@@ -1,0 +1,108 @@
+"""Text-analysis scalar library for LLM-data pipelines (north-star ops).
+
+All pure Column expressions (JVM-side, codegen-friendly) and deliberately
+ANSI-portable: every function has a DuckDB-SQL mirror used by the driver's
+oracle check. Operates on the ``documents`` table (TESTDATA.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Deterministic marker vocabularies for the n-gram/stopword language heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "les", "des", "et", "une"),
+    "de": ("der", "die", "und", "nicht", "das"),
+}
+
+EN_STOPWORDS: tuple[str, ...] = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalize_text(col: Column | str) -> Column:
+    """lower + trim + collapse internal whitespace to single spaces."""
+    return F.lower(F.trim(F.regexp_replace(_c(col), r"\s+", " ")))
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the *normalized* text (empty text → empty array)."""
+    n = normalize_text(col)
+    return F.when(n == "", F.array().cast("array<string>")).otherwise(F.split(n, " "))
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count; NULL/empty → 0."""
+    return F.coalesce(F.size(tokens(col)), F.lit(0)).cast("int")
+
+
+def punct_count(col: Column | str) -> Column:
+    """Count of punctuation chars (.,;:!?) — length-difference formula so the
+    DuckDB oracle can mirror it exactly."""
+    c = _c(col)
+    stripped = F.regexp_replace(c, r"[.,;:!?]", "")
+    return (F.coalesce(F.length(c), F.lit(0)) - F.coalesce(F.length(stripped), F.lit(0))).cast("int")
+
+
+def stopword_count(col: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """Number of tokens that are English stopwords."""
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(sw, t))).cast("int")
+
+
+def marker_count(col: Column | str, markers: tuple[str, ...]) -> Column:
+    """Number of tokens in a marker vocabulary (language-ID building block)."""
+    mk = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(mk, t))).cast("int")
+
+
+def lang_id(col: Column | str) -> Column:
+    """Marker-vocabulary language guess with deterministic tie-breaking:
+    highest marker count wins; ties resolve in LANG_MARKERS insertion order;
+    zero markers everywhere → 'und'."""
+    counts = {lang: marker_count(col, mks) for lang, mks in LANG_MARKERS.items()}
+    best = F.greatest(*counts.values())
+    expr = F.lit("und")
+    # Build the when-chain in reverse so earlier languages win ties.
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when((best > 0) & (counts[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score(col: Column | str) -> Column:
+    """Deterministic heuristic quality in [0,1]:
+    0.5·min(1, tokens/64) + 0.3·(1 − punct_ratio) + 0.2·stopword_ratio.
+    Fixed double-op order so engines agree bit-for-bit (rounded at query
+    boundaries regardless)."""
+    nt = token_count(col).cast("double")
+    ln = F.coalesce(F.length(_c(col)), F.lit(0)).cast("double")
+    pr = F.when(ln > 0, punct_count(col).cast("double") / ln).otherwise(F.lit(0.0))
+    sr = F.when(nt > 0, stopword_count(col).cast("double") / nt).otherwise(F.lit(0.0))
+    return (
+        F.lit(0.5) * F.least(F.lit(1.0), nt / F.lit(64.0))
+        + F.lit(0.3) * (F.lit(1.0) - pr)
+        + F.lit(0.2) * sr
+    )
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Stable content fingerprint: md5 of the normalized text (hex string —
+    identical across engines, unlike engine-native hash())."""
+    return F.md5(normalize_text(col))
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Array of k-word shingles of the normalized text (for MinHash / Jaccard
+    dedup). Fewer than k tokens → empty array."""
+    tok = tokens(col)
+    n = F.size(tok)
+    idx = F.sequence(F.lit(1), n - F.lit(k - 1))
+    shingle = lambda i: F.concat_ws(" ", F.slice(tok, i, k))  # noqa: E731
+    return F.when(n >= k, F.transform(idx, shingle)).otherwise(
+        F.array().cast("array<string>")
+    )

@@ -1,0 +1,41 @@
+"""Vector math over ``array<float>`` embedding columns — pure Column exprs.
+
+Built on higher-order functions (zip_with / aggregate) so the arithmetic runs
+JVM-side per row with no shuffle and no Python. Elements are widened to
+double *before* multiplication so accumulation is a deterministic left fold
+over doubles — the same sequence DuckDB's list functions use, which keeps the
+oracle comparison stable (results are additionally rounded at query edges).
+
+Used by operators/similarity.py for brute-force and LSH-bucketed ANN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot_product(a: Column | str, b: Column | str) -> Column:
+    prods = F.zip_with(_as_double(_c(a)), _as_double(_c(b)), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column | str) -> Column:
+    sq = F.aggregate(
+        _as_double(_c(a)), F.lit(0.0), lambda acc, v: acc + v * v
+    )
+    return F.sqrt(sq)
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """cos(a,b); NULL when either norm is 0 (degenerate vector)."""
+    denom = F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
+    return dot_product(a, b) / denom

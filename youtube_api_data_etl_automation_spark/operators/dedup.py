@@ -1,0 +1,156 @@
+"""Deduplication operator family for LLM-data pipelines (north-star ops).
+
+All variants are pure DataFrame compositions — no Python UDFs — so they run
+JVM-side and scale by partitioning on the dedup key:
+
+- exact:        md5 content fingerprint → groupBy. Shuffles only
+                (fingerprint, doc_id) pairs, never document bodies.
+- ngram-jaccard: shingle explode → self-join on shingle → Jaccard. The join
+                key is the shingle, so frequency-skewed shingles are the
+                scale hazard — cap expansion by deduping (doc, shingle)
+                first and filtering ultra-common shingles if needed.
+- MinHash+LSH:  per-doc signature = min over shingle hashes for k seeded
+                permutations (a groupBy, fully parallel); banding turns
+                near-dup search into an equi-join on (band, band_hash) —
+                the classic sub-quadratic candidate generation at 100 TB.
+
+Hashes are md5 hex strings (not engine-native ``hash()``) so results are
+reproducible across engines — which is exactly what the DuckDB oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round6
+from ..functions.text import doc_fingerprint, word_shingles
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group exact-content duplicates: one row per distinct normalized text,
+    with the canonical (minimum) id and the copy count."""
+    return (
+        docs.select(F.col(id_col), doc_fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 k: int = 3) -> DataFrame:
+    """Distinct (id, shingle) pairs — the input relation for Jaccard/MinHash."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), word_shingles(text_col, k).alias("shingles"))
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact shingle-set Jaccard for all pairs sharing ≥1 shingle.
+
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
+    """
+    sh = doc_shingles(docs, text_col, id_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            round6(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       k: int = 3, num_hashes: int = 8) -> DataFrame:
+    """MinHash signature per doc: column ``m{i}`` = min(md5('s{i}|' || shingle)).
+
+    md5 with a per-seed prefix is a family of independent 'permutations';
+    taking the lexicographic min of hex digests is a valid MinHash. One
+    groupBy computes all k mins in a single shuffle.
+    """
+    sh = doc_shingles(docs, text_col, id_col, k)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("shingle")))).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      k: int = 3, num_hashes: int = 8, band_size: int = 2,
+                      threshold: float = 0.5) -> DataFrame:
+    """Near-dup pairs via LSH banding over MinHash signatures.
+
+    Bands of ``band_size`` signature components are hashed; docs colliding in
+    ANY band become candidates (equi-join on (band_idx, band_key) — never a
+    cross join); candidates are scored by the fraction of matching signature
+    components and filtered by ``threshold``.
+
+    Output: (doc_a, doc_b, est_jaccard), doc_a < doc_b.
+    """
+    sig = minhash_signatures(docs, text_col, id_col, k, num_hashes)
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"m{i * band_size + j}") for j in range(band_size)]
+                    )
+                ).alias("band_key"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    banded = sig.select("doc_id", *[F.col(f"m{i}") for i in range(num_hashes)],
+                        F.explode(bands).alias("band")).select(
+        "doc_id", *[f"m{i}" for i in range(num_hashes)],
+        F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            *[
+                (F.col(f"a.m{i}") == F.col(f"b.m{i}")).cast("int").alias(f"eq{i}")
+                for i in range(num_hashes)
+            ],
+        )
+        .distinct()
+    )
+    est = sum(F.col(f"eq{i}") for i in range(num_hashes)) / F.lit(float(num_hashes))
+    return (
+        cand.select("doc_a", "doc_b", round6(est).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )

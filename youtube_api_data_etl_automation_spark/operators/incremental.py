@@ -1,0 +1,65 @@
+"""Incremental-load protocol — the reference pipeline's core relational op.
+
+The reference hand-rolls a broadcast hash anti-join: build a Python set of
+existing keys (fetch_youtube_data.py:158) and probe it in a list-comp (:160),
+then short-circuits the whole pipeline on an empty delta (:164-165).
+
+Spark-first restatement (SURVEY.md §2.3 J1, §2.2 P5, §7.1 item 5):
+- ``select_new`` is a LEFT ANTI join on the key. The existing-keys side is a
+  key-only projection (the reference's manual ``SELECT videoid`` pushdown at
+  :155 — Catalyst's ColumnPruning does it from ``.select(key)``). When the
+  existing-keys side is small we broadcast it, which is exactly the
+  reference's set-probe strategy distributed: no shuffle of the candidate
+  side at all. At 100 TB the candidate side never moves — only keys do.
+- ``is_empty`` keeps the reference's eager gate: it's the one place the
+  engine deliberately materializes early, because it decides whether the
+  expensive downstream fetch/transform runs at all.
+- ``append_delta`` re-checks keys *inside* the write (anti-join against the
+  sink at write time) so re-runs after partial failure stay idempotent —
+  fixing the reference's non-transactional append (SURVEY.md §7.4 item 2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def select_new(candidates: DataFrame, existing: DataFrame, key: str,
+               broadcast_existing: bool = True) -> DataFrame:
+    """Rows of ``candidates`` whose ``key`` is absent from ``existing``.
+
+    ``existing`` is pruned to the key column before the join so only keys
+    ever cross the wire; with ``broadcast_existing`` Catalyst plans a
+    BroadcastHashJoin(LeftAnti) — the shuffle-free plan.
+    """
+    keys = existing.select(key).dropDuplicates([key])
+    if broadcast_existing:
+        keys = F.broadcast(keys)
+    return candidates.join(keys, on=key, how="left_anti")
+
+
+def is_empty(df: DataFrame) -> bool:
+    """Empty-delta gate (eager by design — it gates the downstream job)."""
+    return df.isEmpty()
+
+
+def append_delta(delta: DataFrame, sink_path: str, key: str) -> None:
+    """Idempotent append: re-filter against current sink keys, then append.
+
+    Parquet-dir sink for the engine's own state; a JDBC sink would wrap the
+    same key-filter in a staging-table + txn commit.
+    """
+    spark = delta.sparkSession
+    try:
+        existing = spark.read.parquet(sink_path)
+        delta = select_new(delta, existing, key)
+    except Exception:
+        pass  # first run — sink doesn't exist yet
+    if not is_empty(delta):
+        delta.write.mode("append").parquet(sink_path)
+
+
+def overwrite_dim(dim: DataFrame, sink_path: str) -> None:
+    """Full-replace dimension write (reference's channel_stats at :198)."""
+    dim.write.mode("overwrite").parquet(sink_path)

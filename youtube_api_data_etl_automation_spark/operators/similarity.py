@@ -1,0 +1,113 @@
+"""Similarity search over embedding columns (north-star op).
+
+Two strategies, both pure DataFrame plans:
+
+- ``brute_force_topk``: broadcast the (small) query set against the corpus,
+  score with the JVM-side cosine expression, rank with a window. Exact; the
+  corpus never shuffles — only (query × corpus-partition) scoring work.
+  This is the correctness baseline.
+
+- ``sign_lsh_topk``: bucket vectors by the sign pattern of their leading
+  components (axis-aligned random-hyperplane LSH — deterministic, so the
+  DuckDB oracle can reproduce it). Candidates come from an equi-join on the
+  bucket key, turning O(N·Q) scoring into O(N·Q/2^bits) expected — the
+  100 TB path. Recall is traded for throughput; bits is the knob.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.rounding import round6
+from ..functions.vectors import cosine_similarity
+
+
+def _rename_query(queries: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, top_k: int = 3,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors per query. Output:
+    (query_id, neighbor_id, rank, cosine) — self-matches excluded."""
+    q = F.broadcast(_rename_query(queries, id_col, vec_col))
+    scored = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
+        .join(q, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity("query_vec", "vec").alias("cosine"),
+        )
+    )
+    scored = scored.withColumn("cosine", round6(F.col("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            F.row_number().over(w).cast("int").alias("rank"),
+            "cosine",
+        )
+        .filter(F.col("rank") <= top_k)
+    )
+
+
+def sign_bucket(vec_col: str, bits: int = 4) -> F.Column:
+    """LSH bucket key: '1'/'0' sign pattern of the first ``bits`` components."""
+    parts = [
+        F.when(F.element_at(F.col(vec_col), i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(bits)
+    ]
+    return F.concat(*parts)
+
+
+def sign_lsh_topk(corpus: DataFrame, queries: DataFrame, top_k: int = 3, bits: int = 4,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket."""
+    q = _rename_query(queries, id_col, vec_col)
+    q = F.broadcast(q.select("query_id", "query_vec", sign_bucket("query_vec", bits).alias("bucket")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        sign_bucket(vec_col, bits).alias("bucket"),
+    )
+    scored = c.join(q, "bucket").filter(F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id", "neighbor_id", cosine_similarity("query_vec", "vec").alias("cosine")
+    )
+    scored = scored.withColumn("cosine", round6(F.col("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            F.row_number().over(w).cast("int").alias("rank"),
+            "cosine",
+        )
+        .filter(F.col("rank") <= top_k)
+    )
+
+
+def most_similar_pairs(corpus: DataFrame, top_n: int = 5, sample_mod: int = 10,
+                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-duplicate detection: the globally most-similar pairs
+    within a deterministic sample (id % sample_mod == 0). Output:
+    (id_a, id_b, cosine) — the embedding-cosine dedup primitive."""
+    sample = corpus.filter(F.col(id_col) % sample_mod == 0).select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    )
+    other = corpus.filter(F.col(id_col) % sample_mod == 0).select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+    )
+    pairs = sample.join(F.broadcast(other), F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", cosine_similarity("vec_a", "vec_b").alias("cosine")
+    )
+    return (
+        pairs.select("id_a", "id_b", round6(F.col("cosine")).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b"))
+        .limit(top_n)
+    )

@@ -1,0 +1,178 @@
+"""Scalar-transform surface (SURVEY.md §2.4 T1-T11) demonstrated on the
+driver's synthetic tables, plus the flagship end-to-end pipeline shape.
+
+Each query exercises the same Column-expression library the reference-shaped
+``transforms.enrich_videos`` uses, so the oracle checks cover the library,
+not ad-hoc copies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import iso8601_duration_seconds, safe_ratio
+from ..functions.rounding import round6, sql_round6
+from ..sources.tables import load_table
+from .registry import query
+
+
+@query(
+    "null_safe_ratios",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           {sql_round6('l_tax / NULLIF(l_discount, 0) * 1000')} AS tax_disc_ratio
+    FROM lineitem
+    """,
+)
+def null_safe_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 + §2.6 item 1: ratio arithmetic with NULL on zero denominator
+    (pandas emitted inf/NaN; NULL is the engine policy)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        round6(safe_ratio("l_tax", "l_discount", 1000.0)).alias("tax_disc_ratio"),
+    )
+
+
+@query(
+    "iso_duration_seconds",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_orderkey % 97 = 0 THEN NULL
+                ELSE CAST(l_linenumber * 3600
+                          + (CAST(FLOOR(l_quantity) AS BIGINT) % 60) * 60
+                          + (l_orderkey % 60) AS DOUBLE)
+           END AS duration_sec
+    FROM lineitem
+    """,
+)
+def iso_duration_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9: build ISO-8601 'PT#H#M#S' strings from lineitem columns, parse
+    them with the engine's pure-Column duration parser, and check the result
+    against direct arithmetic. Every 97th orderkey injects NULL (NULL-in →
+    NULL-out policy, SURVEY.md §2.6 item 3)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = F.col("l_linenumber").cast("long")
+    m = F.floor(F.col("l_quantity")).cast("long") % 60
+    s = F.col("l_orderkey") % 60
+    iso = F.when(
+        F.col("l_orderkey") % 97 == 0, F.lit(None).cast("string")
+    ).otherwise(
+        F.concat(
+            F.lit("PT"),
+            h.cast("string"), F.lit("H"),
+            m.cast("string"), F.lit("M"),
+            s.cast("string"), F.lit("S"),
+        )
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        iso8601_duration_seconds(iso).alias("duration_sec"),
+    )
+
+
+@query(
+    "timestamp_parts",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT)      AS publish_year,
+           strftime(o_orderdate, '%H:%M:%S')   AS publish_time,
+           dayname(o_orderdate)                AS published_dayofweek
+    FROM orders
+    """,
+)
+def timestamp_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-T8: year / time-of-day / English day-name extraction (UTC session)."""
+    o = load_table(spark, sf_dir, "orders")
+    ts = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(ts).alias("publish_year"),
+        F.date_format(ts, "HH:mm:ss").alias("publish_time"),
+        F.date_format(ts, "EEEE").alias("published_dayofweek"),
+    )
+
+
+@query(
+    "cast_null_coalesce",
+    oracle="""
+    SELECT event_id,
+           CAST(COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS BIGINT) AS k_value,
+           CAST(COALESCE(CAST(json_extract_string(props, '$.missing') AS BIGINT), 0) AS BIGINT) AS missing_value
+    FROM events
+    """,
+)
+def cast_null_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T2 + P2: null-tolerant nested-field projection (JSON) and
+    fillna(0)+cast parity — the reference's .get() → fillna → astype chain
+    (fetch_youtube_data.py:129-132, :172-174)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    miss = F.get_json_object("props", "$.missing").cast("long")
+    return ev.select(
+        "event_id",
+        F.coalesce(k, F.lit(0)).alias("k_value"),
+        F.coalesce(miss, F.lit(0)).alias("missing_value"),
+    )
+
+
+@query(
+    "flagship_new_order_enrichment",
+    oracle=f"""
+    WITH delta AS (
+      SELECT * FROM orders
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 5 = 0)
+    ),
+    enriched AS (
+      SELECT d.o_orderkey, d.o_orderpriority,
+             CAST(year(d.o_orderdate) AS INT) AS order_year,
+             dayname(d.o_orderdate) AS order_dow,
+             l.l_quantity,
+             l.l_extendedprice,
+             {sql_round6('l.l_extendedprice / NULLIF(l.l_quantity, 0)')} AS unit_price
+      FROM delta d JOIN lineitem l ON l.l_orderkey = d.o_orderkey
+    )
+    SELECT o_orderpriority, order_year,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           {sql_round6('CAST(SUM(CAST(unit_price AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)')} AS avg_unit_price
+    FROM enriched
+    GROUP BY o_orderpriority, order_year
+    """,
+)
+def flagship_new_order_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship pipeline shape (SURVEY.md §7.2): anti-join delta detection
+    (J1) → scalar enrichment (T5/T8/T10) → join to the fact table → grouped
+    aggregation. This is the reference's whole computational core as ONE lazy
+    Catalyst plan — the broadcast anti-join and broadcast dims mean the only
+    shuffle is the final aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    existing = orders.filter(F.col("o_orderkey") % 5 == 0).select("o_orderkey")
+    delta = orders.join(F.broadcast(existing), "o_orderkey", "left_anti")
+    enriched = (
+        delta.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.year("o_orderdate").alias("order_year"),
+            F.date_format("o_orderdate", "EEEE").alias("order_dow"),
+        )
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "o_orderpriority",
+            "order_year",
+            "l_quantity",
+            "l_extendedprice",
+            round6(safe_ratio("l_extendedprice", "l_quantity")).alias("unit_price"),
+        )
+    )
+    return enriched.groupBy("o_orderpriority", "order_year").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        round6(
+            F.sum(F.col("unit_price").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))
+        ).alias("avg_unit_price"),
+    )

@@ -1,0 +1,500 @@
+"""Relational operator surface: joins, aggregation, windows, set ops, sorts.
+
+Anchored on the reference's operator inventory (SURVEY.md §2.2-§2.5) and
+widened to the standard Spark surface the reference implies but computes
+upstream (per-channel aggregates — fetch_youtube_data.py:65-67 fetches them
+precomputed; here we actually compute the analogous aggregations).
+
+Scale notes are attached per query: which side broadcasts, where the shuffle
+is, and why the plan survives 100 TB (the sf tables stand in for the big
+fact tables).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.rounding import round6, sql_round6
+from ..sources.tables import load_table
+from .registry import query
+
+
+def _dec_sum(col, alias: str, scale: str = "decimal(18,2)"):
+    """Order-independent exact sum of a double column, surfaced as double.
+
+    Sum order over a shuffled dataset is nondeterministic; double addition is
+    not associative, so raw SUM(double) can differ between engines (and
+    between runs). Casting to decimal first makes the sum exact and therefore
+    bit-identical on both engines. Mirrors
+    CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) in the oracle.
+    """
+    return F.sum(F.col(col).cast(scale)).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# J1 — anti-join (the reference pipeline's core op, fetch_youtube_data.py:154-160)
+# ---------------------------------------------------------------------------
+@query(
+    "anti_join_new_keys",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0)
+    """,
+)
+def anti_join_new_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-key detection as LEFT ANTI join (J1). The 'existing sink keys' side
+    is simulated as every third orderkey. Existing side is key-only + broadcast
+    → BroadcastHashJoin(LeftAnti): the 100 TB candidate side never shuffles."""
+    orders = load_table(spark, sf_dir, "orders")
+    existing = orders.filter(F.col("o_orderkey") % 3 == 0).select("o_orderkey")
+    return orders.join(
+        F.broadcast(existing.dropDuplicates(["o_orderkey"])), "o_orderkey", "left_anti"
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@query(
+    "semi_join_active_customers",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join — membership without multiplying rows."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders.select("o_custkey"), customer.c_custkey == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "empty_delta_gate",
+    oracle="""
+    SELECT o_orderkey FROM orders
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    """,
+)
+def empty_delta_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: 100% overlap → empty delta. The engine's is_empty() gate consumes
+    this; here the driver verifies the delta itself is empty."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.join(
+        F.broadcast(orders.select("o_orderkey")), "o_orderkey", "left_anti"
+    ).select("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# A1/A3/A4 — distinct / union-all / set difference (SURVEY.md §2.5)
+# ---------------------------------------------------------------------------
+@query("distinct_ids", oracle="SELECT DISTINCT l_partkey FROM lineitem")
+def distinct_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: global dedup on a scalar key (reference's list(set(ids)) at :103).
+    Hash-aggregate with map-side partial dedup — shuffles only unique keys."""
+    return load_table(spark, sf_dir, "lineitem").select("l_partkey").distinct()
+
+
+@query(
+    "union_all_slices",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, 'high' AS bucket FROM orders WHERE o_totalprice > 200000
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'low' AS bucket FROM orders WHERE o_totalprice < 50000
+    """,
+)
+def union_all_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: UNION ALL of per-partition scans (reference's per-playlist append
+    loop :81-96). unionByName — no shuffle, pure concatenation of partitions."""
+    orders = load_table(spark, sf_dir, "orders")
+    hi = orders.filter(F.col("o_totalprice") > 200000).select(
+        "o_orderkey", "o_totalprice", F.lit("high").alias("bucket")
+    )
+    lo = orders.filter(F.col("o_totalprice") < 50000).select(
+        "o_orderkey", "o_totalprice", F.lit("low").alias("bucket")
+    )
+    return hi.unionByName(lo)
+
+
+@query(
+    "except_keys",
+    oracle="""
+    SELECT o_orderkey FROM orders
+    EXCEPT
+    SELECT l_orderkey AS o_orderkey FROM lineitem
+    """,
+)
+def except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: set difference on keys (reference's video_ids − existing_ids)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("o_orderkey"))
+    return orders.exceptAll(li.distinct()).distinct()
+
+
+@query(
+    "intersect_keys",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (customers with both open and finished orders)."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(o)
+
+
+@query(
+    "membership_filter",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation
+    WHERE n_name IN ('NATION_1', 'NATION_7', 'NATION_19', 'NATION_24')
+    """,
+)
+def membership_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: IN-list predicate — pushed down into the parquet scan."""
+    return (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin("NATION_1", "NATION_7", "NATION_19", "NATION_24"))
+        .select("n_nationkey", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation surface (SURVEY.md §2.5 note — the implied per-channel analytics)
+# ---------------------------------------------------------------------------
+@query(
+    "groupby_agg_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT)                                    AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)      AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def groupby_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: partial (map-side) aggregation means
+    only |groups|×|partitions| rows shuffle — the canonical scalable agg.
+    Decimal-exact sums keep results order-independent (see _dec_sum)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dp = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            _dec_sum("l_quantity", "sum_qty"),
+            _dec_sum("l_extendedprice", "sum_price"),
+            F.sum(dp).cast("double").alias("sum_disc_price"),
+            (F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+        )
+    )
+
+
+@query(
+    "groupby_having_segments",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    HAVING COUNT(*) > 10
+    """,
+)
+def groupby_having_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation filter)."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"), _dec_sum("c_acctbal", "total_bal"))
+        .filter(F.col("n_customers") > 10)
+    )
+
+
+@query(
+    "rollup_order_status",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (grouping-sets family)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"), _dec_sum("o_totalprice", "total"))
+    )
+
+
+@query(
+    "count_distinct_users",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT DISTINCT per group (expand+two-phase agg in Spark);
+    approx_count_distinct is the 100 TB variant but isn't oracle-comparable."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J2 generalization) — star joins with broadcast dims
+# ---------------------------------------------------------------------------
+@query(
+    "join_star_revenue",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dims star join: every dim is broadcast, so the orders fact
+    table is joined map-side with zero shuffle; the only exchange is the
+    final small aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = F.broadcast(load_table(spark, sf_dir, "customer"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"), _dec_sum("o_totalprice", "revenue"))
+    )
+
+
+@query(
+    "broadcast_join_parts",
+    oracle="""
+    SELECT p_brand,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def broadcast_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast-hash join of the big fact against a small dim."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(load_table(spark, sf_dir, "part"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(_dec_sum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@query(
+    "range_join_ship_window",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_fast_lines
+    FROM orders JOIN lineitem
+      ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+    GROUP BY o_orderpriority
+    """,
+)
+def range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi+range join: equi key carries the hash join; the range predicate
+    is a post-join filter — no nested-loop blowup at scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate >= orders.o_orderdate)
+        & (li.l_shipdate <= orders.o_orderdate + F.expr("INTERVAL 30 DAYS"))
+    )
+    return (
+        orders.join(li, cond)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_fast_lines"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordering / top-k / windows
+# ---------------------------------------------------------------------------
+@query(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: Spark plans TakeOrderedAndProject — per-partition heap + driver
+    merge of k rows, never a global sort. Deterministic tie-break on key."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+@query(
+    "window_rank_orders",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-N via ROW_NUMBER window; one shuffle on the partition
+    key, ranking local per partition."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("int").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle=f"""
+    SELECT event_id, user_id,
+           {sql_round6('''SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''')} AS running_value
+    FROM events
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per user — deterministic accumulation order (ts,
+    event_id), so double results agree across engines; rounded as guard."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        round6(F.sum("value").over(w)).alias("running_value"),
+    )
+
+
+@query(
+    "window_lag_delta",
+    oracle=f"""
+    SELECT event_id, user_id,
+           {sql_round6('value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)')} AS delta
+    FROM events
+    """,
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG-based per-user delta (sessionization building block)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = F.col("value")
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        round6(v - F.lag(v).over(w)).alias("delta"),
+    )
+
+
+@query(
+    "asof_last_purchase",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           epoch_us((SELECT max(p.ts) FROM events p
+             WHERE p.user_id = e.user_id AND p.ts <= e.ts AND p.event_type = 'purchase'))
+           AS last_purchase_us
+    FROM events e
+    """,
+)
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (most recent prior 'purchase' per user) expressed as a
+    conditional RANGE window — one shuffle on user_id, no correlated probe
+    per row. The window max over ts<=current exactly matches the correlated
+    subquery semantics including ties."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev = load_table(spark, sf_dir, "events")
+    marker = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.max(marker).over(w)).alias("last_purchase_us"),
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS status_F,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS status_O,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS status_P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list (explicit list = one pass, no extra
+    distinct-values job at scale)."""
+    piv = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_F"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
+    )

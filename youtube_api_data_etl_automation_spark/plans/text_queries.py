@@ -1,0 +1,242 @@
+"""Text-analysis + deduplication queries over the ``documents`` table
+(north-star LLM-pipeline ops; BASELINE.json).
+
+Every oracle reproduces the engine's exact formulas in DuckDB SQL — same
+normalization, same hash (md5 hex), same arithmetic order — so the driver's
+value-hash comparison is meaningful, not coincidental.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round6
+from ..functions.text import (
+    EN_STOPWORDS,
+    LANG_MARKERS,
+    doc_fingerprint,
+    lang_id,
+    punct_count,
+    quality_score,
+    stopword_count,
+    token_count,
+)
+from ..operators.dedup import exact_duplicates, minhash_lsh_pairs, ngram_jaccard_pairs
+from ..sources.tables import load_table
+from .registry import query
+
+# DuckDB mirror of functions.text.normalize_text
+_NORM = r"lower(trim(regexp_replace({col}, '\s+', ' ', 'g')))"
+
+
+def _sql_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+@query(
+    "text_stats_docs",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, text, {_NORM.format(col='text')} AS norm FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN norm = '' THEN 0 ELSE len(string_split(norm, ' ')) END AS INT) AS n_tokens,
+           CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS INT) AS n_punct,
+           CAST(len(list_filter(string_split(norm, ' '),
+                                x -> list_contains({_sql_list(EN_STOPWORDS)}, x))) AS INT) AS n_stopwords,
+           CAST(COALESCE(length(text), 0) AS INT) AS n_chars_raw
+    FROM n
+    """,
+)
+def text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + punctuation + stopword stats — the text-quality
+    feature primitives, all JVM-side Column expressions (no UDF)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        punct_count("text").alias("n_punct"),
+        stopword_count("text").alias("n_stopwords"),
+        F.coalesce(F.length("text"), F.lit(0)).cast("int").alias("n_chars_raw"),
+    )
+
+
+@query(
+    "quality_score_docs",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, text, {_NORM.format(col='text')} AS norm FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CAST(CASE WHEN norm = '' THEN 0 ELSE len(string_split(norm, ' ')) END AS DOUBLE) AS nt,
+             CAST(COALESCE(length(text), 0) AS DOUBLE) AS ln,
+             CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS np,
+             CAST(len(list_filter(string_split(norm, ' '),
+                                  x -> list_contains({_sql_list(EN_STOPWORDS)}, x))) AS DOUBLE) AS sw
+      FROM n
+    )
+    SELECT doc_id,
+           floor((0.5 * least(1.0, nt / 64.0)
+                 + 0.3 * (1.0 - CASE WHEN ln > 0 THEN np / ln ELSE 0.0 END)
+                 + 0.2 * CASE WHEN nt > 0 THEN sw / nt ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS quality
+    FROM s
+    """,
+)
+def quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document quality heuristic (length/punct/stopword mix)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", round6(quality_score("text")).alias("quality"))
+
+
+def _lang_oracle() -> str:
+    counts = ",\n             ".join(
+        f"CAST(len(list_filter(toks, x -> list_contains({_sql_list(mks)}, x))) AS INT) AS c_{lang}"
+        for lang, mks in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"c_{lg}" for lg in langs) + ")"
+    whens = "\n                ".join(
+        f"WHEN c_{lg} = best THEN '{lg}'" for lg in langs
+    )
+    return f"""
+    WITH n AS (
+      SELECT doc_id, {_NORM.format(col='text')} AS norm FROM documents
+    ), t AS (
+      SELECT doc_id, CASE WHEN norm = '' THEN [] ELSE string_split(norm, ' ') END AS toks FROM n
+    ), c AS (
+      SELECT doc_id,
+             {counts}
+      FROM t
+    ), b AS (
+      SELECT doc_id, c_en, c_es, c_fr, c_de, {best} AS best FROM c
+    )
+    SELECT doc_id,
+           CASE WHEN best = 0 THEN 'und'
+                {whens}
+                ELSE 'und' END AS lang_guess
+    FROM b
+    """
+
+
+@query("lang_id_docs", oracle=_lang_oracle())
+def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-vocabulary language ID with deterministic tie-break order."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id("text").alias("lang_guess"))
+
+
+@query(
+    "fingerprint_docs",
+    oracle=f"""
+    SELECT doc_id, md5({_NORM.format(col='text')}) AS fingerprint
+    FROM documents
+    """,
+)
+def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting (md5 of normalized text) — portable across
+    engines, unlike engine-native hash functions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+@query(
+    "dedup_exact_docs",
+    oracle=f"""
+    SELECT md5({_NORM.format(col='text')}) AS fingerprint,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the content fingerprint. Only
+    (fingerprint, id) pairs shuffle — document bodies never move."""
+    return exact_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+# Shared shingle CTE for the Jaccard/MinHash oracles (k=3 word shingles over
+# docs with doc_id % 5 = 0; range bound 4000 safely exceeds max token count).
+_SHINGLES_CTE = f"""
+    WITH docs AS (
+      SELECT doc_id, {_NORM.format(col='text')} AS norm
+      FROM documents WHERE doc_id % 5 = 0
+    ), toks AS (
+      SELECT doc_id, string_split(norm, ' ') AS t FROM docs WHERE norm <> ''
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+      FROM toks, range(1, 4000) r(i)
+      WHERE i <= len(t) - 2
+    )
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_SHINGLES_CTE
+    + """
+    , sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           floor((CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE floor((CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)) * 1000000.0 + 0.5) / 1000000.0 >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (shingle-join candidate
+    generation — never a cross join)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return ngram_jaccard_pairs(docs, k=3, threshold=0.2)
+
+
+def _minhash_oracle(num_hashes: int = 8, band_size: int = 2, threshold: float = 0.25) -> str:
+    mins = ",\n             ".join(
+        f"min(md5('s{i}|' || shingle)) AS m{i}" for i in range(num_hashes)
+    )
+    n_bands = num_hashes // band_size
+    band_rows = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, {i} AS band_idx, "
+        f"md5(m{i * band_size} || '|' || m{i * band_size + 1}) AS band_key FROM sig"
+        for i in range(n_bands)
+    )
+    eqs = " + ".join(
+        f"CAST(x.m{i} = y.m{i} AS INT)" for i in range(num_hashes)
+    )
+    return (
+        _SHINGLES_CTE
+        + f"""
+    , sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM sh GROUP BY doc_id
+    ), banded AS (
+{band_rows}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           floor((({eqs}) / {float(num_hashes)}) * 1000000.0 + 0.5) / 1000000.0 AS est_jaccard
+    FROM cand
+    JOIN sig x ON x.doc_id = doc_a
+    JOIN sig y ON y.doc_id = doc_b
+    WHERE ({eqs}) / {float(num_hashes)} >= {threshold}
+    """
+    )
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection: signature per doc (one groupBy),
+    banding → equi-join candidate generation — the sub-quadratic 100 TB path."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return minhash_lsh_pairs(docs, k=3, num_hashes=8, band_size=2, threshold=0.25)

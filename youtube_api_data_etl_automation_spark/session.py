@@ -1,0 +1,35 @@
+"""SparkSession factory.
+
+Session policy (SURVEY.md §7.1 item 1):
+- UTC session timezone — required for timestamp-part parity with the
+  reference's UTC-pinned pandas parsing (fetch_youtube_data.py:179-182).
+- AQE on: runtime join-strategy adaptation, skew-join splitting, and
+  partition coalescing are the first line of defense at 100 TB scale.
+- Arrow on: every mapInPandas/pandas_udf boundary is Arrow-batched.
+- shuffle.partitions sized from the env (local test boxes want ~cores;
+  a real cluster sets this per-job or relies on AQE coalescing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "youtube-etl-spark-engine", master: str | None = None) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession with the engine config applied."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    return builder.getOrCreate()
