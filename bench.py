@@ -1,0 +1,75 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. Each query is forced end-to-end with the
+noop sink (full computation, no driver collect overhead).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from youtube_api_data_etl_automation_spark.plans import QUERIES
+from youtube_api_data_etl_automation_spark.session import get_spark
+
+# Representative spread: anti-join core, heavy aggregation, star join, window,
+# as-of, scalar-transform block, text/dedup/vector north-star ops.
+HEADLINE = [
+    "flagship_new_order_enrichment",
+    "anti_join_new_keys",
+    "groupby_agg_pricing",
+    "join_star_revenue",
+    "broadcast_join_parts",
+    "window_rank_orders",
+    "asof_last_purchase",
+    "null_safe_ratios",
+    "iso_duration_seconds",
+    "distinct_ids",
+    "text_stats_docs",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "embedding_knn_batch",
+    "ann_sign_lsh_topk",
+]
+
+
+def force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark("bench")
+    # Warm-up: JIT/codegen + catalog init, excluded from timings.
+    force(QUERIES["membership_filter"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        force(QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""Incremental-semantics tests (SURVEY.md §5 item 3): delta-only append,
+idempotent re-run, empty-delta gate, dimension overwrite."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from youtube_api_data_etl_automation_spark.operators.incremental import (
+    append_delta,
+    is_empty,
+    overwrite_dim,
+    select_new,
+)
+
+
+def _orders(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id").alias("videoId"), (F.col("id") * 2).alias("views"))
+
+
+def test_select_new_is_anti_join(spark):
+    cands = _orders(spark, 0, 100)
+    existing = _orders(spark, 0, 60)
+    new = select_new(cands, existing, "videoId")
+    got = sorted(r.videoId for r in new.collect())
+    assert got == list(range(60, 100))
+
+
+def test_select_new_dedups_existing_side(spark):
+    cands = _orders(spark, 0, 10)
+    existing = _orders(spark, 5, 8).unionAll(_orders(spark, 5, 8))
+    assert sorted(r.videoId for r in select_new(cands, existing, "videoId").collect()) == [
+        0, 1, 2, 3, 4, 8, 9,
+    ]
+
+
+def test_empty_delta_gate(spark):
+    cands = _orders(spark, 0, 50)
+    assert is_empty(select_new(cands, cands, "videoId"))
+    assert not is_empty(select_new(_orders(spark, 0, 51), cands, "videoId"))
+
+
+def test_append_delta_idempotent(spark, tmp_path):
+    sink = str(tmp_path / "sink")
+    append_delta(_orders(spark, 0, 500), sink, "videoId")
+    assert spark.read.parquet(sink).count() == 500
+    # overlapping second batch: only the delta lands
+    append_delta(_orders(spark, 0, 800), sink, "videoId")
+    assert spark.read.parquet(sink).count() == 800
+    # exact re-run: no-op (idempotent under at-least-once retries)
+    append_delta(_orders(spark, 0, 800), sink, "videoId")
+    df = spark.read.parquet(sink)
+    assert df.count() == 800
+    assert df.groupBy("videoId").count().filter("count > 1").count() == 0
+
+
+def test_overwrite_dim(spark, tmp_path):
+    sink = str(tmp_path / "dim")
+    overwrite_dim(_orders(spark, 0, 10), sink)
+    overwrite_dim(_orders(spark, 100, 105), sink)
+    got = sorted(r.videoId for r in spark.read.parquet(sink).collect())
+    assert got == list(range(100, 105))

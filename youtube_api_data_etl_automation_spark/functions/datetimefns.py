@@ -18,8 +18,9 @@ def _c(col: Column | str) -> Column:
 
 
 def ts_parse_utc(col: Column | str, fmt: str = API_TS_FORMAT) -> Column:
-    """``pd.to_datetime(..., errors='coerce')`` parity: NULL on failure."""
-    return F.to_timestamp(_c(col), fmt)
+    """``pd.to_datetime(..., errors='coerce')`` parity: NULL on failure
+    (try_to_timestamp — plain to_timestamp throws under ANSI mode)."""
+    return F.try_to_timestamp(_c(col), F.lit(fmt))
 
 
 def time_of_day(col: Column | str) -> Column:
