@@ -1,0 +1,75 @@
+"""SimHash document fingerprinting + Hamming-banded near-dup pairs.
+
+16-bit SimHash over distinct tokens: bit j of a token's contribution is the
+parity of hex digit j of md5(token) (md5 keeps it engine-portable — the
+DuckDB oracle reproduces it digit-for-digit). A document's bit j is the sign
+of the sum of contributions (±1) across its distinct tokens.
+
+Scale shape: one explode (doc → distinct tokens), one groupBy(doc) computing
+all 16 bit-sums in a single shuffle, then near-dup candidates come from an
+equi-join on byte-halves of the signature (Hamming-LSH: any pair within
+Hamming distance ≤ 8+8 shares at least one exact half when distance ≤ 7 per
+half — the standard banding bound), scored by exact bit_count(xor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+N_BITS = 16
+
+
+def _digit_parity(tok: F.Column, j: int) -> F.Column:
+    """Parity of hex digit j of md5(token) → contribution ±1."""
+    digit = F.conv(F.substring(F.md5(tok), j + 1, 1), 16, 10).cast("int") % 2
+    return digit * 2 - 1
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash) with simhash in [0, 2^16). Docs with no tokens get
+    no row (no signal to hash)."""
+    toks = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok"))
+        .distinct()
+    )
+    sums = toks.groupBy("doc_id").agg(
+        *[F.sum(_digit_parity(F.col("tok"), j)).alias(f"b{j}") for j in range(N_BITS)]
+    )
+    sig = None
+    for j in range(N_BITS):
+        bit = (F.col(f"b{j}") > 0).cast("long") * F.lit(1 << j)
+        sig = bit if sig is None else sig + bit
+    return sums.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 4) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share a signature half
+    (Hamming-LSH band join), scored by exact Hamming distance."""
+    sig = simhash(docs, text_col, id_col)
+    halves = sig.select(
+        "doc_id",
+        "simhash",
+        (F.col("simhash") % 256).alias("lo"),
+        F.floor(F.col("simhash") / 256).cast("long").alias("hi"),
+    )
+
+    def band_join(band: str) -> DataFrame:
+        # Equi-join per band (an OR across bands would force a nested-loop
+        # cross join; the union-of-equi-joins form stays hash-partitioned).
+        a, b = halves.alias("a"), halves.alias("b")
+        return a.join(
+            b,
+            (F.col(f"a.{band}") == F.col(f"b.{band}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+
+    cand = band_join("lo").unionByName(band_join("hi")).distinct()
+    return cand.filter(F.col("hamming") <= max_hamming)

@@ -11,5 +11,6 @@ from . import relational  # noqa: E402,F401
 from . import reference_pipeline  # noqa: E402,F401
 from . import text_queries  # noqa: E402,F401
 from . import vector_queries  # noqa: E402,F401
+from . import extended  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -1,0 +1,145 @@
+"""Extended north-star queries: multimodal binary processing (mapInPandas),
+SimHash dedup, and the Structured Streaming ingestion mode.
+
+The multimodal oracles work because the payloads here are utf-8 text bytes
+(ASCII corpus): octet_length/ascii reproduce the Python-side byte math
+exactly, which validates the Arrow/mapInPandas plumbing itself.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import attach_binary, extract_features, frame_sample
+from ..operators.simhash import N_BITS, simhash, simhash_pairs
+from ..sources.tables import load_table
+from .registry import query
+from .text_queries import _NORM
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+           CAST(CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE -1 END AS INT) AS first_byte,
+           CAST(CASE WHEN length(text) > 0 THEN ascii(substr(text, length(text), 1)) ELSE -1 END AS INT) AS last_byte
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + metadata modeling → Arrow-batched mapInPandas
+    feature extraction (the multimodal pipeline shape; decode stubbed per
+    environment, plumbing fully real)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(attach_binary(docs))
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n FROM documents
+    )
+    SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           CAST(least(16, n - i * 16) AS INT) AS frame_len
+    FROM b, unnest(generate_series(0, CAST(ceil(n / 16.0) AS BIGINT) - 1)) AS t(i)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride frame sampling over binary payloads (video/audio chunk
+    access pattern) — per-partition fan-out in mapInPandas, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample(attach_binary(docs), frame_bytes=16)
+
+
+def _simhash_oracle_core() -> str:
+    hexpos = "strpos('0123456789abcdef', substr(hx, {j}, 1)) - 1"
+    bit_sums = ",\n             ".join(
+        f"SUM((({hexpos.format(j=j + 1)}) % 2) * 2 - 1) AS b{j}" for j in range(N_BITS)
+    )
+    sig = " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(N_BITS))
+    return f"""
+    WITH n AS (
+      SELECT doc_id, {_NORM.format(col='text')} AS norm FROM documents
+    ), toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS tok
+      FROM n WHERE norm <> ''
+    ), h AS (
+      SELECT doc_id, md5(tok) AS hx FROM toks
+    ), sums AS (
+      SELECT doc_id,
+             {bit_sums}
+      FROM h GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM sums
+    )
+    """
+
+
+@query(
+    "simhash_docs",
+    oracle=_simhash_oracle_core() + "SELECT doc_id, simhash FROM sig",
+)
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document (md5-digit-parity planes —
+    engine-portable). One explode + one groupBy = one shuffle."""
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=_simhash_oracle_core()
+    + """
+    , halves AS (
+      SELECT doc_id, simhash, simhash % 256 AS lo,
+             CAST(floor(simhash / 256) AS BIGINT) AS hi
+      FROM sig WHERE doc_id % 7 = 0
+    ), cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM halves a JOIN halves b ON a.lo = b.lo AND a.doc_id < b.doc_id
+      UNION
+      SELECT a.doc_id, b.doc_id,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT)
+      FROM halves a JOIN halves b ON a.hi = b.hi AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 4
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: Hamming-LSH banding on signature halves
+    (union of equi-joins — never a cross join), exact bit_count rescore."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    pairs = simhash_pairs(docs, max_hamming=4)
+    return pairs.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@query(
+    "streaming_tumbling_counts",
+    oracle="""
+    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming mode: availableNow drain of the events table
+    through a watermarked tumbling-window aggregation into a memory sink —
+    same results as the batch GROUP BY (checked by the oracle), but computed
+    by the streaming engine with bounded state."""
+    import tempfile
+
+    from ..streaming.ingest import read_events_stream, run_available_now, tumbling_event_counts
+
+    name = f"stream_counts_{uuid.uuid4().hex[:8]}"
+    stream = read_events_stream(spark, sf_dir)
+    agg = tumbling_event_counts(stream, window="1 hour", watermark="2 hours")
+    run_available_now(agg, tempfile.mkdtemp(prefix="ckpt_"), name)
+    return spark.table(name)
