@@ -1,0 +1,119 @@
+"""Custom DataSource tests (SURVEY.md §5 item 5): page/chunk boundaries,
+token threading, partition fan-out — with the stubbed transport — plus the
+full incremental ETL pipeline run twice (§5 item 3)."""
+
+from __future__ import annotations
+
+import pytest
+
+from youtube_api_data_etl_automation_spark.pipeline import register_source, run_etl
+from youtube_api_data_etl_automation_spark.sources.youtube_api import (
+    API_PAGE_SIZE,
+    FakeTransport,
+    YouTubeReader,
+)
+
+
+# ---------------------------------------------------------------------------
+# Reader logic (no Spark needed): pagination + chunking against the stub
+# ---------------------------------------------------------------------------
+def test_playlist_pagination_threads_tokens():
+    reader = YouTubeReader({"table": "playlist_items", "playlist_ids": "P1",
+                            "videos_per_playlist": "120"})
+    [part] = reader.partitions()
+    rows = list(reader.read(part))
+    # 120 videos → pages of 50/50/20 with page_index provenance
+    assert len(rows) == 120
+    assert {r[2] for r in rows} == {0, 1, 2}
+    assert sum(1 for r in rows if r[2] == 2) == 20
+    assert len({r[1] for r in rows}) == 120
+
+
+def test_playlist_partition_per_playlist():
+    reader = YouTubeReader({"table": "playlist_items", "playlist_ids": "P1,P2,P3"})
+    parts = reader.partitions()
+    assert [p.payload for p in parts] == ["P1", "P2", "P3"]
+
+
+def test_video_chunking_50():
+    ids = ",".join(f"v{i}" for i in range(130))
+    reader = YouTubeReader({"table": "videos", "video_ids": ids})
+    parts = reader.partitions()
+    assert [len(p.payload) for p in parts] == [50, 50, 30]
+    rows = [r for p in parts for r in reader.read(p)]
+    assert len(rows) == 130
+
+
+def test_channel_batch_limit():
+    ids = ",".join(f"c{i}" for i in range(60))
+    reader = YouTubeReader({"table": "channels", "channel_ids": ids})
+    parts = reader.partitions()
+    assert [len(p.payload) for p in parts] == [50, 10]
+
+
+def test_transport_rejects_oversized_batches():
+    t = FakeTransport()
+    with pytest.raises(ValueError):
+        t.videos_list([f"v{i}" for i in range(API_PAGE_SIZE + 1)])
+
+
+def test_transport_page_calls_are_bounded():
+    t = FakeTransport(videos_per_playlist=101)
+    token, pages = None, 0
+    while True:
+        resp = t.playlist_items_list("P", token)
+        assert len(resp["items"]) <= API_PAGE_SIZE
+        pages += 1
+        token = resp.get("nextPageToken")
+        if not token:
+            break
+    assert pages == 3  # 50+50+1
+
+
+# ---------------------------------------------------------------------------
+# Through Spark: format("youtube_api") end-to-end
+# ---------------------------------------------------------------------------
+def test_source_reads_through_spark(spark):
+    register_source(spark)
+    df = (
+        spark.read.format("youtube_api")
+        .option("table", "playlist_items")
+        .option("playlist_ids", "P1,P2")
+        .option("videos_per_playlist", "70")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 2
+    assert df.count() == 140
+
+
+def test_full_etl_incremental_semantics(spark, tmp_path):
+    wh = str(tmp_path / "warehouse")
+    channels = [f"UC{i}" for i in range(3)]
+    c1 = run_etl(spark, channels, wh, seed=42)
+    assert c1["channels"] == 3
+    assert c1["loaded"] == c1["new_videos"] == c1["candidate_ids"] > 0
+
+    # second run, same world: everything already loaded → empty delta gate
+    c2 = run_etl(spark, channels, wh, seed=42)
+    assert c2["new_videos"] == 0 and c2["loaded"] == 0
+
+    video_stats = spark.read.parquet(f"{wh}/video_stats")
+    assert video_stats.count() == c1["loaded"]
+    assert video_stats.groupBy("videoId").count().filter("count > 1").count() == 0
+    # 19-column enriched schema with derived cols populated
+    assert len(video_stats.columns) == 19
+    row = video_stats.filter("duration_sec IS NOT NULL").first()
+    assert row.duration_sec >= 0.0
+
+    # channel dimension rebuilt (overwrite) on both branches
+    assert spark.read.parquet(f"{wh}/channel_stats").count() == 3
+
+
+def test_etl_grows_with_new_channel(spark, tmp_path):
+    wh = str(tmp_path / "warehouse")
+    base = run_etl(spark, ["UC0"], wh, seed=7)
+    grown = run_etl(spark, ["UC0", "UC1"], wh, seed=7)
+    # only the new channel's videos are the delta
+    assert grown["new_videos"] == grown["candidate_ids"] - base["candidate_ids"]
+    total = spark.read.parquet(f"{wh}/video_stats").count()
+    assert total == base["loaded"] + grown["loaded"]

@@ -1,0 +1,82 @@
+"""The reference's daily ETL (fetch_youtube_data.py:143-200) as one
+Spark-native pipeline over the custom DataSource.
+
+Flow parity (SURVEY.md §3.1):
+  E1 channel extract → E2 playlist scan → state read → J1 anti-join →
+  P5 empty gate → E3 video extract → T transform block → L1 append →
+  L2 dimension overwrite.
+
+Differences by design: every stage is a lazy DataFrame plan; the only eager
+points are (a) collecting playlist/video *ids* for source control — the
+reference's own driver-side step (P3, :149) — and (b) the empty-delta gate.
+State lives in partitioned Parquet, not JDBC; the append re-checks keys at
+write time so retries are idempotent (SURVEY.md §7.4 item 2).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.incremental import append_delta, is_empty, overwrite_dim, select_new
+from .sources.youtube_api import YouTubeDataSource
+from .transforms import enrich_videos
+
+
+def register_source(spark: SparkSession) -> None:
+    spark.dataSource.register(YouTubeDataSource)
+
+
+def _read(spark: SparkSession, table: str, **options: str) -> DataFrame:
+    reader = spark.read.format("youtube_api").option("table", table)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def run_etl(spark: SparkSession, channel_ids: list[str], warehouse: str,
+            transport: str = "fake", seed: int = 42) -> dict[str, int]:
+    """One incremental ETL run. Returns per-stage row counts (the reference's
+    log counters, fetch_youtube_data.py:72,:102,:137,:162)."""
+    register_source(spark)
+    opts = {"transport": transport, "seed": str(seed)}
+    counts: dict[str, int] = {}
+
+    # E1 — channel dimension (always rebuilt, :146/:198)
+    channels = _read(spark, "channels", channel_ids=",".join(channel_ids), **opts)
+    counts["channels"] = channels.count()
+
+    # E2 — playlist scan; playlist ids are source control (P3 — the one
+    # sanctioned driver-side collect), partition-per-playlist underneath.
+    playlist_ids = [r.playlistId for r in channels.select("playlistId").collect()]
+    items = _read(spark, "playlist_items", playlist_ids=",".join(playlist_ids), **opts)
+    candidate_ids = items.select("videoId").distinct()  # A1 (:103)
+    counts["candidate_ids"] = candidate_ids.count()
+
+    # State read + J1 anti-join (key-only scan of the sink, :154-160)
+    video_sink = os.path.join(warehouse, "video_stats")
+    try:
+        existing = spark.read.parquet(video_sink).select("videoId")
+    except Exception:
+        existing = spark.createDataFrame([], "videoId string")
+    new_ids = select_new(candidate_ids, existing, "videoId")
+    counts["new_videos"] = new_ids.count()
+
+    # P5 — empty-delta gate (:164-165): skip fetch/transform/load entirely.
+    if counts["new_videos"] == 0:
+        counts["loaded"] = 0
+    else:
+        # E3 — chunked video fetch (ids → source control, 50-id partitions)
+        ids = [r.videoId for r in new_ids.collect()]
+        videos_raw = _read(spark, "videos", video_ids=",".join(ids), **opts)
+        # T — the 11→19 column transform block (:171-190), one Project
+        video_stats = enrich_videos(videos_raw)
+        # L1 — idempotent delta append (:194)
+        append_delta(video_stats, video_sink, "videoId")
+        counts["loaded"] = counts["new_videos"]
+
+    # L2 — dimension overwrite on BOTH branches (:196-198)
+    overwrite_dim(channels, os.path.join(warehouse, "channel_stats"))
+    return counts

@@ -1,0 +1,283 @@
+"""API-shaped custom PySpark DataSource (SURVEY.md §2.1 S1-S3, §7.3).
+
+The reference drives the YouTube Data API v3 with three access patterns:
+- S1 channel batch lookup: one ``channels().list`` for ≤50 comma-joined ids
+  (fetch_youtube_data.py:53-57);
+- S2 paginated playlist scan: ``playlistItems().list`` pages of 50, serial
+  ``nextPageToken`` threading per playlist (:86-100);
+- S3 chunked video lookup: ids sliced into chunks of 50, one
+  ``videos().list`` per chunk (:113-119).
+
+Spark-first restatement: a PySpark DataSource whose *partitioning* encodes
+the reference's batching — one partition per playlist (pagination is
+inherently serial per playlist but playlists fan out across executors, the
+parallelism the reference leaves on the table, SURVEY.md §3.3) and one
+partition per 50-id chunk for video lookups. Page/chunk loops live inside
+``read(partition)``, so no pagination state ever crosses partitions.
+
+Transport is injectable by name so the source is testable hermetically:
+``transport=fake`` is a deterministic in-process YouTube API emulator (the
+container has no network/googleapiclient); a real HTTPS transport would
+register under another name with identical response shapes.
+
+Usage::
+
+    spark.dataSource.register(YouTubeDataSource)
+    spark.read.format("youtube_api").option("table", "videos")
+         .option("transport", "fake").option("video_ids", "v1,v2").load()
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql import types as T
+
+API_PAGE_SIZE = 50  # YouTube API max (fetch_youtube_data.py:90, :113-114)
+
+CHANNELS_SCHEMA = T.StructType(
+    [
+        T.StructField("channel_id", T.StringType(), False),
+        T.StructField("channel_title", T.StringType(), False),
+        T.StructField("published_date", T.StringType(), False),
+        T.StructField("country", T.StringType(), True),
+        T.StructField("subscribers", T.StringType(), False),
+        T.StructField("views", T.StringType(), False),
+        T.StructField("totalVideos", T.StringType(), False),
+        T.StructField("playlistId", T.StringType(), False),
+    ]
+)
+
+PLAYLIST_ITEMS_SCHEMA = T.StructType(
+    [
+        T.StructField("playlistId", T.StringType(), False),
+        T.StructField("videoId", T.StringType(), False),
+        T.StructField("page_index", T.IntegerType(), False),
+    ]
+)
+
+VIDEOS_SCHEMA = T.StructType(
+    [
+        T.StructField("videoId", T.StringType(), False),
+        T.StructField("channel", T.StringType(), True),
+        T.StructField("video_title", T.StringType(), True),
+        T.StructField("description", T.StringType(), True),
+        T.StructField("tags", T.ArrayType(T.StringType()), True),
+        T.StructField("publishedAt", T.StringType(), True),
+        T.StructField("likes", T.StringType(), True),
+        T.StructField("views", T.StringType(), True),
+        T.StructField("comments", T.StringType(), True),
+        T.StructField("favourites", T.StringType(), True),
+        T.StructField("duration", T.StringType(), True),
+    ]
+)
+
+_SCHEMAS = {
+    "channels": CHANNELS_SCHEMA,
+    "playlist_items": PLAYLIST_ITEMS_SCHEMA,
+    "videos": VIDEOS_SCHEMA,
+}
+
+
+def _h(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+class FakeTransport:
+    """Deterministic in-process YouTube API emulator.
+
+    Response shapes mirror the real API (items list, statistics counts as
+    JSON *strings*, nextPageToken) so the reader's pagination/chunking logic
+    is exercised for real. Content is a pure function of ids + seed.
+    """
+
+    def __init__(self, seed: int = 42, videos_per_playlist: int = 120):
+        self.seed = seed
+        self.videos_per_playlist = videos_per_playlist
+        self.calls: list[tuple] = []  # observability for tests
+
+    # --- S1 shape ---
+    def channels_list(self, ids: Sequence[str]) -> dict:
+        if len(ids) > API_PAGE_SIZE:
+            raise ValueError("channels().list accepts at most 50 ids")
+        self.calls.append(("channels", tuple(ids)))
+        items = []
+        for cid in ids:
+            h = _h(f"{self.seed}:{cid}")
+            items.append(
+                {
+                    "id": cid,
+                    "snippet": {
+                        "title": f"Channel {cid}",
+                        "publishedAt": f"20{10 + h % 15:02d}-01-01T00:00:00Z",
+                        **({"country": "US"} if h % 5 else {}),  # ~20% missing
+                    },
+                    "statistics": {
+                        "subscriberCount": str(h % 1_000_000),
+                        "viewCount": str(h % 100_000_000),
+                        "videoCount": str(self.videos_per_playlist),
+                    },
+                    "contentDetails": {"relatedPlaylists": {"uploads": f"UU{cid}"}},
+                }
+            )
+        return {"items": items}
+
+    # --- S2 shape ---
+    def playlist_items_list(self, playlist_id: str, page_token: str | None) -> dict:
+        self.calls.append(("playlist_items", playlist_id, page_token))
+        start = int(page_token) if page_token else 0
+        end = min(start + API_PAGE_SIZE, self.videos_per_playlist)
+        items = [
+            {"contentDetails": {"videoId": f"v_{playlist_id}_{i}"}}
+            for i in range(start, end)
+        ]
+        resp = {"items": items}
+        if end < self.videos_per_playlist:
+            resp["nextPageToken"] = str(end)
+        return resp
+
+    # --- S3 shape ---
+    def videos_list(self, ids: Sequence[str]) -> dict:
+        if len(ids) > API_PAGE_SIZE:
+            raise ValueError("videos().list accepts at most 50 ids")
+        self.calls.append(("videos", tuple(ids)))
+        items = []
+        for vid in ids:
+            h = _h(f"{self.seed}:{vid}")
+            snippet = {
+                "channelTitle": f"Channel c{h % 7}",
+                "title": f"Video {vid}",
+                "publishedAt": f"2024-{1 + h % 12:02d}-{1 + h % 28:02d}T{h % 24:02d}:00:00Z",
+            }
+            if h % 4:
+                snippet["description"] = f"Description of {vid}"
+            if h % 3:
+                snippet["tags"] = [f"tag{j}" for j in range(h % 6)]
+            stats = {"viewCount": str(h % 100000), "favoriteCount": "0"}
+            if h % 5:
+                stats["likeCount"] = str(h % 5000)
+            if h % 6:
+                stats["commentCount"] = str(h % 800)
+            items.append(
+                {
+                    "id": vid,
+                    "snippet": snippet,
+                    "statistics": stats,
+                    "contentDetails": {"duration": f"PT{h % 3}H{h % 60}M{(h // 7) % 60}S"},
+                }
+            )
+        return {"items": items}
+
+
+def make_transport(options: dict) -> FakeTransport:
+    """Transport factory from string options (DataSource options are strings
+    only). 'fake' is the only transport in this environment; an HTTPS
+    transport would be import-gated on googleapiclient here."""
+    kind = options.get("transport", "fake")
+    if kind != "fake":
+        raise NotImplementedError(
+            f"transport {kind!r} unavailable: this environment has no network/"
+            "googleapiclient; register a real transport in production"
+        )
+    return FakeTransport(
+        seed=int(options.get("seed", "42")),
+        videos_per_playlist=int(options.get("videos_per_playlist", "120")),
+    )
+
+
+class _Partition(InputPartition):
+    def __init__(self, kind: str, payload):
+        self.kind = kind
+        self.payload = payload
+
+
+class YouTubeReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.options = options
+        self.table = options.get("table", "videos")
+
+    def partitions(self) -> Sequence[InputPartition]:
+        if self.table == "channels":
+            # S1: ≤50 ids per call → one partition per 50-id batch.
+            ids = [c for c in self.options.get("channel_ids", "").split(",") if c]
+            return [
+                _Partition("channels", ids[i : i + API_PAGE_SIZE])
+                for i in range(0, len(ids), API_PAGE_SIZE)
+            ] or [_Partition("channels", [])]
+        if self.table == "playlist_items":
+            # S2: partition-per-playlist; pagination stays inside a partition.
+            pids = [p for p in self.options.get("playlist_ids", "").split(",") if p]
+            return [_Partition("playlist", p) for p in pids] or [_Partition("playlist", None)]
+        # S3: partition per 50-id chunk.
+        vids = [v for v in self.options.get("video_ids", "").split(",") if v]
+        return [
+            _Partition("videos", vids[i : i + API_PAGE_SIZE])
+            for i in range(0, len(vids), API_PAGE_SIZE)
+        ] or [_Partition("videos", [])]
+
+    def read(self, partition: _Partition) -> Iterator[tuple]:
+        transport = make_transport(self.options)
+        if partition.kind == "channels":
+            if not partition.payload:
+                return
+            for item in transport.channels_list(partition.payload)["items"]:
+                yield (
+                    item["id"],
+                    item["snippet"]["title"],
+                    item["snippet"]["publishedAt"],
+                    item["snippet"].get("country"),
+                    item["statistics"]["subscriberCount"],
+                    item["statistics"]["viewCount"],
+                    item["statistics"]["videoCount"],
+                    item["contentDetails"]["relatedPlaylists"]["uploads"],
+                )
+        elif partition.kind == "playlist":
+            if partition.payload is None:
+                return
+            # Serial nextPageToken loop — the reference's :86-100, per
+            # partition instead of per process.
+            token = None
+            page = 0
+            while True:
+                resp = transport.playlist_items_list(partition.payload, token)
+                for item in resp["items"]:
+                    yield (partition.payload, item["contentDetails"]["videoId"], page)
+                token = resp.get("nextPageToken")
+                if not token:
+                    break
+                page += 1
+        else:
+            if not partition.payload:
+                return
+            for item in transport.videos_list(partition.payload)["items"]:
+                sn, st = item["snippet"], item["statistics"]
+                yield (
+                    item["id"],
+                    sn.get("channelTitle"),
+                    sn.get("title"),
+                    sn.get("description"),
+                    sn.get("tags"),
+                    sn.get("publishedAt"),
+                    st.get("likeCount"),
+                    st.get("viewCount"),
+                    st.get("commentCount"),
+                    st.get("favoriteCount"),
+                    item["contentDetails"].get("duration"),
+                )
+
+
+class YouTubeDataSource(DataSource):
+    """``spark.read.format("youtube_api")`` — API-shaped source with the
+    reference's batching encoded as partitioning."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "youtube_api"
+
+    def schema(self):
+        return _SCHEMAS[self.options.get("table", "videos")]
+
+    def reader(self, schema) -> YouTubeReader:
+        return YouTubeReader(dict(self.options))
