@@ -48,8 +48,16 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
     spark = get_spark("bench")
-    # Warm-up: JIT/codegen + catalog init, excluded from timings.
-    force(QUERIES["membership_filter"](spark, sf_dir))
+    # Warm-up: run every headline plan once at the smallest sf so codegen
+    # compilation + JVM JIT are excluded from the measured sf timings.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name in HEADLINE:
+            try:
+                force(QUERIES[name](spark, warm_dir))
+            except Exception:
+                pass
+        spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

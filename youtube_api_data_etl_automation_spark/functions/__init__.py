@@ -10,14 +10,20 @@ from .datetimefns import day_name, time_of_day, ts_parse_utc
 from .text import (
     doc_fingerprint,
     lang_id,
+    lang_id_t,
     marker_count,
+    marker_count_t,
     normalize_text,
     punct_count,
     quality_score,
+    quality_score_t,
     stopword_count,
+    stopword_count_t,
     token_count,
+    token_count_t,
     tokens,
     word_shingles,
+    word_shingles_t,
 )
 from .vectors import cosine_similarity, dot_product, l2_norm
 
@@ -40,6 +46,12 @@ __all__ = [
     "quality_score",
     "doc_fingerprint",
     "word_shingles",
+    "word_shingles_t",
+    "lang_id_t",
+    "marker_count_t",
+    "quality_score_t",
+    "stopword_count_t",
+    "token_count_t",
     "cosine_similarity",
     "dot_product",
     "l2_norm",

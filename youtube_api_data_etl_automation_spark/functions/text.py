@@ -31,14 +31,26 @@ def normalize_text(col: Column | str) -> Column:
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokens of the *normalized* text (empty text → empty array)."""
+    """Whitespace tokens of the *normalized* text (empty text → empty array).
+
+    PERF: higher-order functions (filter/transform) are interpreted, not
+    codegen'd, so Spark does NOT common-subexpression-eliminate this inside
+    their lambdas — project it to a column once (``.withColumn("tok",
+    tokens(...))``) and feed the ``*_t`` variants below, instead of calling
+    several token functions on the raw text in one select."""
     n = normalize_text(col)
     return F.when(n == "", F.array().cast("array<string>")).otherwise(F.split(n, " "))
 
 
+def token_count_t(tok: Column | str) -> Column:
+    """Token count from a pre-projected token array; NULL → 0."""
+    t = _c(tok) if isinstance(tok, str) else tok
+    return F.coalesce(F.size(t), F.lit(0)).cast("int")
+
+
 def token_count(col: Column | str) -> Column:
     """Whitespace token count; NULL/empty → 0."""
-    return F.coalesce(F.size(tokens(col)), F.lit(0)).cast("int")
+    return token_count_t(tokens(col))
 
 
 def punct_count(col: Column | str) -> Column:
@@ -49,23 +61,33 @@ def punct_count(col: Column | str) -> Column:
     return (F.coalesce(F.length(c), F.lit(0)) - F.coalesce(F.length(stripped), F.lit(0))).cast("int")
 
 
+def stopword_count_t(tok: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """Stopword-token count from a pre-projected token array."""
+    t = F.col(tok) if isinstance(tok, str) else tok
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(t, lambda x: F.array_contains(sw, x))).cast("int")
+
+
 def stopword_count(col: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
     """Number of tokens that are English stopwords."""
-    sw = F.array(*[F.lit(s) for s in stopwords])
-    return F.size(F.filter(tokens(col), lambda t: F.array_contains(sw, t))).cast("int")
+    return stopword_count_t(tokens(col), stopwords)
+
+
+def marker_count_t(tok: Column | str, markers: tuple[str, ...]) -> Column:
+    """Marker-vocabulary token count from a pre-projected token array."""
+    t = F.col(tok) if isinstance(tok, str) else tok
+    mk = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(t, lambda x: F.array_contains(mk, x))).cast("int")
 
 
 def marker_count(col: Column | str, markers: tuple[str, ...]) -> Column:
     """Number of tokens in a marker vocabulary (language-ID building block)."""
-    mk = F.array(*[F.lit(m) for m in markers])
-    return F.size(F.filter(tokens(col), lambda t: F.array_contains(mk, t))).cast("int")
+    return marker_count_t(tokens(col), markers)
 
 
-def lang_id(col: Column | str) -> Column:
-    """Marker-vocabulary language guess with deterministic tie-breaking:
-    highest marker count wins; ties resolve in LANG_MARKERS insertion order;
-    zero markers everywhere → 'und'."""
-    counts = {lang: marker_count(col, mks) for lang, mks in LANG_MARKERS.items()}
+def lang_id_t(tok: Column | str) -> Column:
+    """Language guess from a pre-projected token array (see lang_id)."""
+    counts = {lang: marker_count_t(tok, mks) for lang, mks in LANG_MARKERS.items()}
     best = F.greatest(*counts.values())
     expr = F.lit("und")
     # Build the when-chain in reverse so earlier languages win ties.
@@ -74,20 +96,32 @@ def lang_id(col: Column | str) -> Column:
     return expr
 
 
-def quality_score(col: Column | str) -> Column:
-    """Deterministic heuristic quality in [0,1]:
-    0.5·min(1, tokens/64) + 0.3·(1 − punct_ratio) + 0.2·stopword_ratio.
-    Fixed double-op order so engines agree bit-for-bit (rounded at query
-    boundaries regardless)."""
-    nt = token_count(col).cast("double")
+def lang_id(col: Column | str) -> Column:
+    """Marker-vocabulary language guess with deterministic tie-breaking:
+    highest marker count wins; ties resolve in LANG_MARKERS insertion order;
+    zero markers everywhere → 'und'."""
+    return lang_id_t(tokens(col))
+
+
+def quality_score_t(col: Column | str, tok: Column | str) -> Column:
+    """quality_score from raw text + pre-projected token array."""
+    nt = token_count_t(tok).cast("double")
     ln = F.coalesce(F.length(_c(col)), F.lit(0)).cast("double")
     pr = F.when(ln > 0, punct_count(col).cast("double") / ln).otherwise(F.lit(0.0))
-    sr = F.when(nt > 0, stopword_count(col).cast("double") / nt).otherwise(F.lit(0.0))
+    sr = F.when(nt > 0, stopword_count_t(tok).cast("double") / nt).otherwise(F.lit(0.0))
     return (
         F.lit(0.5) * F.least(F.lit(1.0), nt / F.lit(64.0))
         + F.lit(0.3) * (F.lit(1.0) - pr)
         + F.lit(0.2) * sr
     )
+
+
+def quality_score(col: Column | str) -> Column:
+    """Deterministic heuristic quality in [0,1]:
+    0.5·min(1, tokens/64) + 0.3·(1 − punct_ratio) + 0.2·stopword_ratio.
+    Fixed double-op order so engines agree bit-for-bit (rounded at query
+    boundaries regardless)."""
+    return quality_score_t(col, tokens(col))
 
 
 def doc_fingerprint(col: Column | str) -> Column:
@@ -96,13 +130,22 @@ def doc_fingerprint(col: Column | str) -> Column:
     return F.md5(normalize_text(col))
 
 
-def word_shingles(col: Column | str, k: int = 3) -> Column:
-    """Array of k-word shingles of the normalized text (for MinHash / Jaccard
-    dedup). Fewer than k tokens → empty array."""
-    tok = tokens(col)
-    n = F.size(tok)
+def word_shingles_t(tok: Column | str, k: int = 3) -> Column:
+    """k-word shingles from a pre-projected token array. CRITICAL: the input
+    must be a plain column reference — transform() lambdas are interpreted,
+    so an inline tokens(...) expression here would be re-evaluated once per
+    shingle index (measured ~7× slowdown on the dedup pipeline)."""
+    t = F.col(tok) if isinstance(tok, str) else tok
+    n = F.size(t)
     idx = F.sequence(F.lit(1), n - F.lit(k - 1))
-    shingle = lambda i: F.concat_ws(" ", F.slice(tok, i, k))  # noqa: E731
+    shingle = lambda i: F.concat_ws(" ", F.slice(t, i, k))  # noqa: E731
     return F.when(n >= k, F.transform(idx, shingle)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Array of k-word shingles of the normalized text (for MinHash / Jaccard
+    dedup). Fewer than k tokens → empty array. Prefer projecting tokens()
+    first and calling word_shingles_t (see tokens() perf note)."""
+    return word_shingles_t(tokens(col), k)

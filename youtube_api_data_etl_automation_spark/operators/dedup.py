@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round6
-from ..functions.text import doc_fingerprint, word_shingles
+from ..functions.text import doc_fingerprint, tokens, word_shingles_t
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -42,9 +42,14 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 
 def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                  k: int = 3) -> DataFrame:
-    """Distinct (id, shingle) pairs — the input relation for Jaccard/MinHash."""
+    """Distinct (id, shingle) pairs — the input relation for Jaccard/MinHash.
+
+    Tokens are projected to a column before shingling so the interpreted
+    transform() lambda slices a bound array instead of re-running
+    normalize+split per shingle index (functions.text.tokens perf note)."""
     return (
-        docs.select(F.col(id_col).alias("doc_id"), word_shingles(text_col, k).alias("shingles"))
+        docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("tok"))
+        .select("doc_id", word_shingles_t("tok", k).alias("shingles"))
         .select("doc_id", F.explode("shingles").alias("shingle"))
         .distinct()
     )
@@ -56,7 +61,9 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "
 
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
     """
-    sh = doc_shingles(docs, text_col, id_col, k)
+    # Persist: the self-join would otherwise recompute the whole
+    # normalize→shingle→distinct pipeline once per join side.
+    sh = doc_shingles(docs, text_col, id_col, k).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -129,7 +136,7 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "do
                         F.explode(bands).alias("band")).select(
         "doc_id", *[f"m{i}" for i in range(num_hashes)],
         F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key")
-    )
+    ).persist()  # shared by both sides of the candidate self-join
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

@@ -55,7 +55,7 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         "simhash",
         (F.col("simhash") % 256).alias("lo"),
         F.floor(F.col("simhash") / 256).cast("long").alias("hi"),
-    )
+    ).persist()  # reused by both band joins and both sides of each
 
     def band_join(band: str) -> DataFrame:
         # Equi-join per band (an OR across bands would force a nested-loop

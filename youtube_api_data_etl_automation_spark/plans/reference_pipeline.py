@@ -52,8 +52,11 @@ def iso_duration_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T9: build ISO-8601 'PT#H#M#S' strings from lineitem columns, parse
     them with the engine's pure-Column duration parser, and check the result
     against direct arithmetic. Every 97th orderkey injects NULL (NULL-in →
-    NULL-out policy, SURVEY.md §2.6 item 3)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    NULL-out policy, SURVEY.md §2.6 item 3).
+
+    rebalance=True: 6 regex evaluations per row dominate — spread the scan
+    across cores instead of serializing on the single-row-group file."""
+    li = load_table(spark, sf_dir, "lineitem", rebalance=True)
     h = F.col("l_linenumber").cast("long")
     m = F.floor(F.col("l_quantity")).cast("long") % 60
     s = F.col("l_orderkey") % 60

@@ -16,11 +16,12 @@ from ..functions.text import (
     EN_STOPWORDS,
     LANG_MARKERS,
     doc_fingerprint,
-    lang_id,
+    lang_id_t,
     punct_count,
     quality_score,
-    stopword_count,
-    token_count,
+    stopword_count_t,
+    token_count_t,
+    tokens,
 )
 from ..operators.dedup import exact_duplicates, minhash_lsh_pairs, ngram_jaccard_pairs
 from ..sources.tables import load_table
@@ -53,11 +54,12 @@ def text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + punctuation + stopword stats — the text-quality
     feature primitives, all JVM-side Column expressions (no UDF)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    toks = docs.select("doc_id", "text", tokens("text").alias("tok"))
+    return toks.select(
         "doc_id",
-        token_count("text").alias("n_tokens"),
+        token_count_t("tok").alias("n_tokens"),
         punct_count("text").alias("n_punct"),
-        stopword_count("text").alias("n_stopwords"),
+        stopword_count_t("tok").alias("n_stopwords"),
         F.coalesce(F.length("text"), F.lit(0)).cast("int").alias("n_chars_raw"),
     )
 
@@ -85,8 +87,11 @@ def text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic document quality heuristic (length/punct/stopword mix)."""
+    from ..functions.text import quality_score_t
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", round6(quality_score("text")).alias("quality"))
+    toks = docs.select("doc_id", "text", tokens("text").alias("tok"))
+    return toks.select("doc_id", round6(quality_score_t("text", "tok")).alias("quality"))
 
 
 def _lang_oracle() -> str:
@@ -123,7 +128,8 @@ def _lang_oracle() -> str:
 def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-vocabulary language ID with deterministic tie-break order."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", lang_id("text").alias("lang_guess"))
+    toks = docs.select("doc_id", tokens("text").alias("tok"))
+    return toks.select("doc_id", lang_id_t("tok").alias("lang_guess"))
 
 
 @query(

@@ -1,10 +1,23 @@
-"""Loaders for the driver-provided parquet tables (TESTDATA.md)."""
+"""Loaders for the driver-provided parquet tables (TESTDATA.md).
+
+Scan-parallelism policy: the testdata parquet files are single-row-group, so
+Spark cannot split them — every scan would run in ONE task no matter how many
+cores exist, serializing all per-row compute (regex parsing, hashing, vector
+math). ``load_table`` therefore rebalances any non-tiny table up to the
+session's parallelism right after the scan. On a real cluster with properly
+sized multi-file tables the partition count already exceeds cores and this
+is a no-op; it exists for exactly the degenerate single-file case.
+"""
 
 from __future__ import annotations
 
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Below this size a table is dimension-like: broadcast fodder, not worth a
+# rebalance exchange.
+_REBALANCE_MIN_BYTES = 1_000_000
 
 TABLE_NAMES = (
     "region",
@@ -22,7 +35,11 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(spark: SparkSession, sf_dir: str, name: str,
+               rebalance: bool = False) -> DataFrame:
+    """Load one testdata table. ``rebalance=True`` opts into post-scan
+    repartitioning for plans whose per-row compute (regex, hashing) would
+    otherwise serialize on the single-row-group input — see module note."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -35,8 +52,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(path)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = spark.read.parquet(path)
+    return _rebalance(spark, df, path) if rebalance else df
+
+
+def _rebalance(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    try:
+        if os.path.getsize(path) < _REBALANCE_MIN_BYTES:
+            return df
+        target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        if df.rdd.getNumPartitions() < target:
+            return df.repartition(target)
+    except Exception:
+        pass
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
