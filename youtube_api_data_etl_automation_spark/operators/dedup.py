@@ -46,11 +46,19 @@ def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 
     Tokens are projected to a column before shingling so the interpreted
     transform() lambda slices a bound array instead of re-running
-    normalize+split per shingle index (functions.text.tokens perf note)."""
+    normalize+split per shingle index (functions.text.tokens perf note).
+
+    explode_outer, NOT explode: plain explode makes Catalyst infer a
+    ``size(shingles) > 0`` filter and push it below any repartition into the
+    scan — duplicating the whole tokenize+shingle expression tree inside a
+    pre-exchange Filter that then runs with the scan's (low) parallelism.
+    Outer generate infers no filter; the null row per empty doc is dropped
+    after the generate, where it's nearly free."""
     return (
         docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("tok"))
         .select("doc_id", word_shingles_t("tok", k).alias("shingles"))
-        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .select("doc_id", F.explode_outer("shingles").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
         .distinct()
     )
 
@@ -117,7 +125,8 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "do
 
     Output: (doc_a, doc_b, est_jaccard), doc_a < doc_b.
     """
-    sig = minhash_signatures(docs, text_col, id_col, k, num_hashes)
+    # Persist: signatures feed the band explode AND the two scoring joins.
+    sig = minhash_signatures(docs, text_col, id_col, k, num_hashes).persist()
     n_bands = num_hashes // band_size
     bands = F.array(
         *[
@@ -132,11 +141,15 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "do
             for i in range(n_bands)
         ]
     )
-    banded = sig.select("doc_id", *[F.col(f"m{i}") for i in range(num_hashes)],
-                        F.explode(bands).alias("band")).select(
-        "doc_id", *[f"m{i}" for i in range(num_hashes)],
-        F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key")
-    ).persist()  # shared by both sides of the candidate self-join
+    # Candidate generation carries ONLY (doc_id, band_idx, band_key): at 100 TB
+    # the band self-join shuffles 3 narrow columns, and the distinct collapses
+    # multi-band collisions to bare (doc_a, doc_b) pairs BEFORE signatures are
+    # re-attached — the wide signature rows never enter the join shuffle.
+    banded = sig.select("doc_id", F.explode(bands).alias("band")).select(
+        "doc_id",
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_key").alias("band_key"),
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -146,18 +159,20 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "do
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            *[
-                (F.col(f"a.m{i}") == F.col(f"b.m{i}")).cast("int").alias(f"eq{i}")
-                for i in range(num_hashes)
-            ],
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    est = sum(F.col(f"eq{i}") for i in range(num_hashes)) / F.lit(float(num_hashes))
+    # Score candidates by fraction of equal signature components. Candidates
+    # are a tiny fraction of the corpus, so these are skinny equi-joins.
+    x = sig.alias("x")
+    y = sig.alias("y")
+    eqs = sum(
+        (F.col(f"x.m{i}") == F.col(f"y.m{i}")).cast("int") for i in range(num_hashes)
+    )
+    est = eqs / F.lit(float(num_hashes))
     return (
-        cand.select("doc_a", "doc_b", round6(est).alias("est_jaccard"))
+        cand.join(x, F.col("doc_a") == F.col("x.doc_id"))
+        .join(y, F.col("doc_b") == F.col("y.doc_id"))
+        .select("doc_a", "doc_b", round6(est).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
     )

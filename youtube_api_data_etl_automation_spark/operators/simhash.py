@@ -31,8 +31,12 @@ def _digit_parity(tok: F.Column, j: int) -> F.Column:
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, simhash) with simhash in [0, 2^16). Docs with no tokens get
     no row (no signal to hash)."""
+    # explode_outer + post-filter, not explode: see operators.dedup.doc_shingles
+    # — plain explode infers a size()>0 filter that Catalyst pushes below the
+    # repartition, duplicating the tokenize tree in a pre-exchange Filter.
     toks = (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok"))
+        docs.select(F.col(id_col).alias("doc_id"), F.explode_outer(tokens(text_col)).alias("tok"))
+        .filter(F.col("tok").isNotNull())
         .distinct()
     )
     sums = toks.groupBy("doc_id").agg(

@@ -34,7 +34,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload + metadata modeling → Arrow-batched mapInPandas
     feature extraction (the multimodal pipeline shape; decode stubbed per
     environment, plumbing fully real)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     return extract_features(attach_binary(docs))
 
 
@@ -52,7 +52,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-stride frame sampling over binary payloads (video/audio chunk
     access pattern) — per-partition fan-out in mapInPandas, no shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     return frame_sample(attach_binary(docs), frame_bytes=16)
 
 
@@ -87,7 +87,7 @@ def _simhash_oracle_core() -> str:
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprint per document (md5-digit-parity planes —
     engine-portable). One explode + one groupBy = one shuffle."""
-    return simhash(load_table(spark, sf_dir, "documents"))
+    return simhash(load_table(spark, sf_dir, "documents", rebalance=True))
 
 
 @query(
@@ -113,7 +113,7 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: Hamming-LSH banding on signature halves
     (union of equi-joins — never a cross join), exact bit_count rescore."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    docs = load_table(spark, sf_dir, "documents", rebalance=True).filter(F.col("doc_id") % 7 == 0)
     pairs = simhash_pairs(docs, max_hamming=4)
     return pairs.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
 

@@ -53,7 +53,7 @@ def _sql_list(words) -> str:
 def text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + punctuation + stopword stats — the text-quality
     feature primitives, all JVM-side Column expressions (no UDF)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     toks = docs.select("doc_id", "text", tokens("text").alias("tok"))
     return toks.select(
         "doc_id",
@@ -89,7 +89,7 @@ def quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic document quality heuristic (length/punct/stopword mix)."""
     from ..functions.text import quality_score_t
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     toks = docs.select("doc_id", "text", tokens("text").alias("tok"))
     return toks.select("doc_id", round6(quality_score_t("text", "tok")).alias("quality"))
 
@@ -127,7 +127,7 @@ def _lang_oracle() -> str:
 @query("lang_id_docs", oracle=_lang_oracle())
 def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-vocabulary language ID with deterministic tie-break order."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     toks = docs.select("doc_id", tokens("text").alias("tok"))
     return toks.select("doc_id", lang_id_t("tok").alias("lang_guess"))
 
@@ -142,7 +142,7 @@ def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprinting (md5 of normalized text) — portable across
     engines, unlike engine-native hash functions."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
 
 
@@ -159,7 +159,7 @@ def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on the content fingerprint. Only
     (fingerprint, id) pairs shuffle — document bodies never move."""
-    return exact_duplicates(load_table(spark, sf_dir, "documents"))
+    return exact_duplicates(load_table(spark, sf_dir, "documents", rebalance=True))
 
 
 # Shared shingle CTE for the Jaccard/MinHash oracles (k=3 word shingles over
@@ -199,7 +199,7 @@ _SHINGLES_CTE = f"""
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (shingle-join candidate
     generation — never a cross join)."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    docs = load_table(spark, sf_dir, "documents", rebalance=True).filter(F.col("doc_id") % 5 == 0)
     return ngram_jaccard_pairs(docs, k=3, threshold=0.2)
 
 
@@ -244,5 +244,5 @@ def _minhash_oracle(num_hashes: int = 8, band_size: int = 2, threshold: float = 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup detection: signature per doc (one groupBy),
     banding → equi-join candidate generation — the sub-quadratic 100 TB path."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    docs = load_table(spark, sf_dir, "documents", rebalance=True).filter(F.col("doc_id") % 5 == 0)
     return minhash_lsh_pairs(docs, k=3, num_hashes=8, band_size=2, threshold=0.25)

@@ -47,7 +47,7 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k for one query vector — the exact ANN
     baseline. Query side broadcasts; corpus never shuffles; top-k is
     TakeOrderedAndProject (heap, not global sort)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     q = F.broadcast(
         emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     )
@@ -87,7 +87,7 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched exact kNN: broadcast query set × corpus, windowed rank."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     queries = emb.filter(F.col("vec_id") < 5)
     return brute_force_topk(emb, queries, top_k=3)
 
@@ -121,7 +121,7 @@ def ann_sign_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k: candidates come from an equi-join on
     the sign-pattern bucket (expected 1/2^bits of the corpus per query) —
     the scale path for ANN. Deterministic hyperplanes keep it oracle-checkable."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     queries = emb.filter(F.col("vec_id") < 5)
     return sign_lsh_topk(emb, queries, top_k=3, bits=4)
 
@@ -143,7 +143,7 @@ def ann_sign_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection: most-similar pairs within a
     deterministic sample (the brute-force arm; LSH arm = ann_sign_lsh_topk)."""
-    return most_similar_pairs(load_table(spark, sf_dir, "embeddings"), top_n=5, sample_mod=10)
+    return most_similar_pairs(load_table(spark, sf_dir, "embeddings", rebalance=True), top_n=5, sample_mod=10)
 
 
 @query(
@@ -166,7 +166,7 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the array column; decimal-exact mean keeps it order-independent."""
     from ..functions.vectors import l2_norm
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     return (
         emb.select("label", l2_norm("embedding").alias("nrm"))
         .groupBy("label")

@@ -15,9 +15,12 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Below this size a table is dimension-like: broadcast fodder, not worth a
-# rebalance exchange.
-_REBALANCE_MIN_BYTES = 1_000_000
+# Below this size a table is dimension-like (region/nation are ~2 KB):
+# broadcast fodder, not worth a rebalance exchange. Callers passing
+# rebalance=True have already judged their per-row compute heavy, so this
+# gate is deliberately tiny — compressed parquet understates row count badly
+# (sf0.1 documents = 5000 docs in 580 KB).
+_REBALANCE_MIN_BYTES = 16_000
 
 TABLE_NAMES = (
     "region",
