@@ -1,0 +1,52 @@
+"""Gap-based sessionization — the canonical large-scale event-pipeline op.
+
+The reference has no event analytics (its "events" are daily cron runs), but
+a training-data pipeline over 100 TB of interaction logs needs session
+assembly. Spark-first shape: ONE shuffle on the entity key (user_id); every
+window function below reuses that single partitioning (Catalyst plans one
+Exchange + one Sort for the whole chain), then the per-session rollup
+re-aggregates within the same partitions — no second wide shuffle.
+
+At 1000 executors: sessions are independent per user, so skewed power-users
+are the hazard; cap session length or salt ultra-hot keys upstream if one
+user exceeds a partition's memory (not the case in any sane log).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30, user_col: str = "user_id",
+               ts_col: str = "ts") -> DataFrame:
+    """Assign a per-user session index: a new session starts when the gap
+    since the previous event exceeds ``gap_minutes``. Adds ``session_idx``
+    (1-based per user, ordered by time)."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col("event_id"))
+    gap_us = F.lit(gap_minutes * 60 * 1_000_000)
+    prev_ts = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    new_session = (
+        prev_ts.isNull() | (F.unix_micros(F.col(ts_col)) - prev_ts > gap_us)
+    ).cast("int")
+    return events.withColumn(
+        "session_idx", F.sum(new_session).over(w).cast("int")
+    )
+
+
+def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-session rollup: event count, span, value total.
+
+    Output: (user_id, session_idx, n_events, session_start_us,
+    duration_sec, sum_value)."""
+    s = sessionize(events, gap_minutes)
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min(F.unix_micros("ts")).alias("session_start_us"),
+        (
+            (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts")))
+            / F.lit(1_000_000.0)
+        ).alias("duration_sec"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )

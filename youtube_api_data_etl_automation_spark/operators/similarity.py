@@ -92,6 +92,68 @@ def sign_lsh_topk(corpus: DataFrame, queries: DataFrame, top_k: int = 3, bits: i
     )
 
 
+def assign_clusters(corpus: DataFrame, centroids: DataFrame,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF cluster assignment: nearest centroid by cosine (deterministic
+    tie-break on centroid id). Centroids broadcast — the corpus never
+    shuffles for assignment; at 100 TB this is a map-side pass.
+
+    Output: corpus columns + ``cluster_id``."""
+    cent = F.broadcast(
+        centroids.select(F.col(id_col).alias("cluster_id"), F.col(vec_col).alias("cv"))
+    )
+    scored = corpus.join(cent).select(
+        *corpus.columns,
+        F.col("cluster_id"),
+        round6(cosine_similarity(vec_col, "cv")).alias("_csim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cluster_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_csim")
+    )
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+             top_k: int = 3, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus into centroid cells,
+    probe only the query's own cell (nprobe=1). The scale path when the
+    corpus is too large even for LSH bucketing: the cell equi-join touches
+    ~N/k vectors per query instead of N. Recall is traded at cell borders;
+    centroids/nprobe are the knobs.
+
+    Output: (query_id, neighbor_id, rank, cosine)."""
+    assigned = assign_clusters(corpus, centroids, id_col, vec_col)
+    q = assigned.join(
+        queries.select(F.col(id_col).alias("query_id")),
+        assigned[id_col] == F.col("query_id"),
+    ).select("query_id", F.col(vec_col).alias("query_vec"), "cluster_id")
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"), "cluster_id"
+    )
+    scored = (
+        c.join(F.broadcast(q), "cluster_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            round6(cosine_similarity("query_vec", "vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            F.row_number().over(w).cast("int").alias("rank"),
+            "cosine",
+        )
+        .filter(F.col("rank") <= top_k)
+    )
+
+
 def most_similar_pairs(corpus: DataFrame, top_n: int = 5, sample_mod: int = 10,
                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Embedding near-duplicate detection: the globally most-similar pairs

@@ -12,5 +12,6 @@ from . import reference_pipeline  # noqa: E402,F401
 from . import text_queries  # noqa: E402,F401
 from . import vector_queries  # noqa: E402,F401
 from . import extended  # noqa: E402,F401
+from . import advanced  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

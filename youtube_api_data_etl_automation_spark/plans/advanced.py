@@ -1,0 +1,354 @@
+"""Advanced surface: sessionization, multi-dim aggregation, exact
+percentiles, IVF ANN, skew-salted joins, sliding-window streaming, regex
+tokenization, rolling-hash fingerprints.
+
+These go beyond the reference's operator inventory (SURVEY.md §2 notes its
+aggregations are only distinct/count) to prove the engine's standard +
+training-data-pipeline surface. Every oracle reproduces the engine's exact
+arithmetic in DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round6, sql_round6
+from ..operators.sessionize import session_stats
+from ..operators.similarity import ivf_topk
+from ..sources.tables import load_table
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Sessionization (events)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 30*60*1000000
+                     THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT user_id, event_id, value, ts_us,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS INT) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id, session_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts_us) AS session_start_us,
+           (MAX(ts_us) - MIN(ts_us)) / 1000000.0 AS duration_sec,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_idx
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) + per-session rollup.
+    One shuffle on user_id serves the lag, the running sum, AND the final
+    group-by — Catalyst reuses the partitioning across all three."""
+    events = load_table(spark, sf_dir, "events")
+    return session_stats(events, gap_minutes=30)
+
+
+# ---------------------------------------------------------------------------
+# Multi-dimensional aggregation (orders)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping sets in one pass —
+    Spark expands grouping sets map-side, so it's still a single shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+    )
+
+
+@query(
+    "percentile_prices",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {sql_round6('CAST(quantile_cont(o_totalprice, 0.25) AS DOUBLE)')} AS p25,
+           {sql_round6('CAST(quantile_cont(o_totalprice, 0.50) AS DOUBLE)')} AS p50,
+           {sql_round6('CAST(quantile_cont(o_totalprice, 0.75) AS DOUBLE)')} AS p75,
+           {sql_round6('CAST(quantile_cont(o_totalprice, 0.99) AS DOUBLE)')} AS p99
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (Spark `percentile`
+    == DuckDB `quantile_cont`). Exact percentiles need the full value list
+    per group; at 100 TB swap in approx_percentile (t-digest, mergeable
+    partial aggs) — same query shape, bounded state."""
+    orders = load_table(spark, sf_dir, "orders")
+    pct = F.percentile(F.col("o_totalprice"), F.lit([0.25, 0.50, 0.75, 0.99]))
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(pct.alias("p"))
+        .select(
+            "o_orderpriority",
+            round6(F.col("p")[0]).alias("p25"),
+            round6(F.col("p")[1]).alias("p50"),
+            round6(F.col("p")[2]).alias("p75"),
+            round6(F.col("p")[3]).alias("p99"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted join (lineitem ⋈ orders)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "salted_join_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation pattern: salt the fact side's join key into 8
+    sub-keys and explode the dimension side 8×, so one hot orderkey spreads
+    over 8 reducers instead of stalling one. Results are identical to the
+    plain join (the oracle IS the plain join); at 100 TB with skewed keys
+    this is the difference between a straggler and an even stage. (AQE's
+    skew-join split does this adaptively; explicit salting is the portable,
+    deterministic form.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    n_salt = 8
+    fact = li.withColumn("salt", (F.col("l_linenumber") % n_salt).cast("int"))
+    dim = orders.select("o_orderkey", "o_orderpriority").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    joined = fact.join(
+        dim, (F.col("l_orderkey") == F.col("o_orderkey")) & (fact.salt == dim.salt)
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (embeddings)
+# ---------------------------------------------------------------------------
+
+_IVF_COS = (
+    "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    " / nullif(sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))), 0.0)"
+)
+
+
+@query(
+    "ivf_ann_topk",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cluster_id, embedding AS cv FROM embeddings
+      WHERE vec_id BETWEEN 10 AND 17
+    ),
+    scored_assign AS (
+      SELECT e.vec_id, e.embedding, c.cluster_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {sql_round6(_IVF_COS.format(a='e.embedding', b='c.cv'))} DESC,
+                        c.cluster_id
+             ) AS rn
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cluster_id FROM scored_assign WHERE rn = 1
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qv, cluster_id
+      FROM assigned WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id,
+             {sql_round6(_IVF_COS.format(a='a.embedding', b='q.qv'))} AS cosine
+      FROM assigned a JOIN q ON a.cluster_id = q.cluster_id AND a.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS INT) AS rank,
+             cosine
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 3
+    """,
+)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with deterministic 'trained' centroids (vectors 10–17 stand in
+    for k-means output so the oracle can reproduce the index): map-side
+    cluster assignment (centroids broadcast), then probe only the query's
+    cell — candidate count ~N/8 per query instead of N."""
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    centroids = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") <= 17))
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, centroids, top_k=3)
+
+
+# ---------------------------------------------------------------------------
+# Regex tokenization (documents) — the "BPE-ish" token count
+# ---------------------------------------------------------------------------
+
+_SUBWORD_PAT = "[a-z]{1,4}|[0-9]{1,3}"
+
+
+@query(
+    "regex_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(COALESCE(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 0) AS INT) AS n_words,
+           CAST(COALESCE(len(regexp_extract_all(lower(text), '{_SUBWORD_PAT}')), 0) AS INT) AS n_subwords
+    FROM documents
+    """,
+)
+def regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting the tokenizer-budget way: alnum word tokens plus a
+    BPE-ish bounded-subword count (greedy ≤4-char chunks approximates
+    subword-vocab token counts for budget estimation). Pure regexp_count —
+    JVM-side, codegen'd, no UDF."""
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    lower = F.lower(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.coalesce(F.regexp_count(lower, F.lit("[a-z0-9]+")), F.lit(0))
+        .cast("int")
+        .alias("n_words"),
+        F.coalesce(F.regexp_count(lower, F.lit(_SUBWORD_PAT)), F.lit(0))
+        .cast("int")
+        .alias("n_subwords"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash document fingerprint (documents)
+# ---------------------------------------------------------------------------
+
+_HEX_VAL = "+".join(
+    f"(strpos('0123456789abcdef', substr(md5(x), {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+    for j in range(8)
+)
+
+
+@query(
+    "rolling_hash_docs",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id,
+             CASE WHEN norm = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(norm, ' ') END AS tok
+      FROM n
+    )
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          list_transform(tok, x -> CAST({_HEX_VAL} AS BIGINT))),
+             (acc, h) -> (acc * 31 + h) % 1000000007
+           ) AS rhash
+    FROM toks
+    """,
+)
+def rolling_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash over the token stream (Karp–Rabin form:
+    acc·31 + h(tok) mod 1e9+7). Order-sensitive — unlike the md5 content
+    fingerprint, prefix-stable: streaming ingest can maintain it
+    incrementally. Pure higher-order Column expression, no UDF."""
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    tok_hash = lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")  # noqa: E731
+    toks = docs.select("doc_id", tokens("text").alias("tok"))
+    return toks.select(
+        "doc_id",
+        F.aggregate(
+            "tok",
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * F.lit(31) + tok_hash(x)) % F.lit(1_000_000_007),
+        ).alias("rhash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window streaming (events)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "streaming_sliding_counts",
+    oracle="""
+    WITH e AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS b, event_type, value FROM events
+    ),
+    expanded AS (
+      SELECT b AS ws, event_type, value FROM e
+      UNION ALL
+      SELECT b - INTERVAL '30 minutes' AS ws, event_type, value FROM e
+    )
+    SELECT epoch_us(ws) AS window_start_us,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h window / 30 min slide) through the streaming
+    engine: each event feeds window/slide = 2 windows; watermark bounds how
+    long each open window's state lives. Oracle replays the same expansion
+    in batch SQL."""
+    import tempfile
+
+    from ..streaming.ingest import (
+        read_events_stream,
+        run_available_now,
+        tumbling_event_counts,
+    )
+
+    name = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+    stream = read_events_stream(spark, sf_dir)
+    agg = tumbling_event_counts(
+        stream, window="1 hour", watermark="2 hours", slide="30 minutes"
+    )
+    run_available_now(agg, tempfile.mkdtemp(prefix="ckpt_"), name)
+    return spark.table(name)

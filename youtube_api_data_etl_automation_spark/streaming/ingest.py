@@ -47,12 +47,18 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def tumbling_event_counts(events: DataFrame, window: str = "1 hour",
-                          watermark: str = "2 hours") -> DataFrame:
-    """Watermarked tumbling-window aggregation (late rows beyond the
-    watermark are dropped; state is bounded by watermark horizon)."""
+                          watermark: str = "2 hours",
+                          slide: str | None = None) -> DataFrame:
+    """Watermarked windowed aggregation (late rows beyond the watermark are
+    dropped; state is bounded by watermark horizon). ``slide`` < ``window``
+    gives overlapping sliding windows — each event lands in
+    window/slide windows, multiplying state accordingly."""
+    win = (
+        F.window("ts", window, slide) if slide is not None else F.window("ts", window)
+    )
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .groupBy(win.alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
