@@ -36,6 +36,11 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "embedding_knn_batch",
     "ann_sign_lsh_topk",
+    "sessionize_events",
+    "salted_join_revenue",
+    "percentile_prices",
+    "ivf_ann_topk",
+    "rolling_hash_docs",
 ]
 
 

@@ -1,0 +1,86 @@
+"""Cross-micro-batch state continuity for the applyInPandasWithState
+sessionizer: two files drained one-per-batch must yield the same final
+per-session rollup as the batch operator over the union."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from youtube_api_data_etl_automation_spark.operators.sessionize import session_stats
+from youtube_api_data_etl_automation_spark.streaming.stateful import (
+    stateful_sessionize,
+)
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def split_events_dir(spark):
+    """events split into two parquet files on a time boundary, so sessions
+    straddle the batch boundary for some users."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from youtube_api_data_etl_automation_spark.sources.tables import load_table
+
+    events = load_table(spark, SF_DIR, "events")
+    cutoff = events.agg(F.expr("percentile(unix_micros(ts), 0.5)")).first()[0]
+    out = tempfile.mkdtemp(prefix="split_events_")
+    early = events.filter(F.unix_micros("ts") <= cutoff)
+    late = events.filter(F.unix_micros("ts") > cutoff)
+    early.coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "f1"))
+    late.coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "f2"))
+    # One flat dir of two files, named so f1 sorts (and is listed) first.
+    flat = tempfile.mkdtemp(prefix="flat_events_")
+    for sub, name in (("f1", "a_events.parquet"), ("f2", "b_events.parquet")):
+        src = [
+            f
+            for f in os.listdir(os.path.join(out, sub))
+            if f.endswith(".parquet")
+        ][0]
+        os.rename(os.path.join(out, sub, src), os.path.join(flat, name))
+    return flat
+
+
+def test_state_survives_micro_batches(spark, split_events_dir):
+    from youtube_api_data_etl_automation_spark.sources.tables import load_table
+
+    name = f"stateful_mb_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)  # force one file per micro-batch
+        .parquet(split_events_dir)
+    )
+    q = (
+        stateful_sessionize(stream, gap_minutes=30)
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 2, "expected at least two micro-batches"
+
+    # Update-mode memory sink appends every emission; the LAST emission per
+    # (user, session) is the final rollup. Emissions arrive in batch order,
+    # and n_events grows monotonically within a session — take the max.
+    emitted = spark.table(name)
+    final = (
+        emitted.groupBy("user_id", "session_idx")
+        .agg(
+            F.max_by(F.struct("n_events", "session_start_us", "duration_sec", "sum_value"), "n_events").alias("s")
+        )
+        .select("user_id", "session_idx", "s.*")
+    )
+
+    expected = session_stats(load_table(spark, SF_DIR, "events"), gap_minutes=30)
+    diff = final.exceptAll(expected).union(expected.exceptAll(final))
+    assert diff.count() == 0, diff.limit(10).collect()

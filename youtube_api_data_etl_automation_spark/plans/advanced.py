@@ -26,9 +26,9 @@ from .registry import query
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "sessionize_events",
-    oracle="""
+# Shared by the batch window-function form and the stateful streaming form —
+# both must produce the identical per-session rollup.
+_SESSION_ORACLE = """
     WITH ordered AS (
       SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
              lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
@@ -52,14 +52,31 @@ from .registry import query
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
     FROM sessions
     GROUP BY user_id, session_idx
-    """,
-)
+"""
+
+
+@query("sessionize_events", oracle=_SESSION_ORACLE)
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) + per-session rollup.
     One shuffle on user_id serves the lag, the running sum, AND the final
     group-by — Catalyst reuses the partitioning across all three."""
     events = load_table(spark, sf_dir, "events")
     return session_stats(events, gap_minutes=30)
+
+
+@query("stateful_session_stats", oracle=_SESSION_ORACLE)
+def stateful_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    sessionization with explicit per-user state, drained availableNow.
+    One batch ⇒ emissions equal the batch rollup, so the SAME oracle as
+    sessionize_events checks it — a fully value-verified stateful op."""
+    import tempfile
+
+    from ..streaming.stateful import run_stateful_sessions
+
+    name = f"stateful_sessions_{uuid.uuid4().hex[:8]}"
+    run_stateful_sessions(spark, sf_dir, tempfile.mkdtemp(prefix="ckpt_"), name)
+    return spark.table(name)
 
 
 # ---------------------------------------------------------------------------
