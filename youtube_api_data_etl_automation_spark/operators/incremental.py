@@ -31,9 +31,12 @@ def select_new(candidates: DataFrame, existing: DataFrame, key: str,
 
     ``existing`` is pruned to the key column before the join so only keys
     ever cross the wire; with ``broadcast_existing`` Catalyst plans a
-    BroadcastHashJoin(LeftAnti) — the shuffle-free plan.
+    BroadcastHashJoin(LeftAnti) — the shuffle-free plan. No dedup of the
+    keys side: anti-join semantics are unaffected by build-side duplicates
+    (the hash table dedups implicitly), and an explicit dropDuplicates
+    would cost a full shuffle of the keys.
     """
-    keys = existing.select(key).dropDuplicates([key])
+    keys = existing.select(key)
     if broadcast_existing:
         keys = F.broadcast(keys)
     return candidates.join(keys, on=key, how="left_anti")

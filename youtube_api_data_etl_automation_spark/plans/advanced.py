@@ -326,6 +326,45 @@ def rolling_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# JSON payload extraction (events.props) — raw-API-capture analog
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "json_props_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) % 2 = 0
+    GROUP BY event_type
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload handling (the raw-API JSON capture path,
+    SURVEY.md §2.1): parse the props JSON string with an explicit schema via
+    from_json — never schema inference on the data path — then filter +
+    aggregate on the extracted field. At 100 TB, parse once and project; the
+    JSON never reaches the shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    parsed = events.select(
+        "event_type",
+        F.from_json(F.col("props"), "k long").getField("k").alias("k"),
+    )
+    return (
+        parsed.filter(F.col("k") % 2 == 0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sliding-window streaming (events)
 # ---------------------------------------------------------------------------
 

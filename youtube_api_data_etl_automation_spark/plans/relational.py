@@ -50,8 +50,10 @@ def anti_join_new_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     → BroadcastHashJoin(LeftAnti): the 100 TB candidate side never shuffles."""
     orders = load_table(spark, sf_dir, "orders")
     existing = orders.filter(F.col("o_orderkey") % 3 == 0).select("o_orderkey")
+    # No dedup on the keys side: anti-join results are unaffected by
+    # build-side duplicates and the dropDuplicates would cost a shuffle.
     return orders.join(
-        F.broadcast(existing.dropDuplicates(["o_orderkey"])), "o_orderkey", "left_anti"
+        F.broadcast(existing), "o_orderkey", "left_anti"
     ).select("o_orderkey", "o_custkey", "o_totalprice")
 
 
