@@ -156,12 +156,18 @@ def flagship_new_order_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame
     li = load_table(spark, sf_dir, "lineitem")
     existing = orders.filter(F.col("o_orderkey") % 5 == 0).select("o_orderkey")
     delta = orders.join(F.broadcast(existing), "o_orderkey", "left_anti")
+    # Broadcast the enriched delta: it's delta-sized (small by the
+    # incremental invariant) while lineitem is the 100 TB fact — this keeps
+    # the fact side from ever shuffling; the only exchange left in the whole
+    # plan is the final aggregation.
     enriched = (
-        delta.select(
-            "o_orderkey",
-            "o_orderpriority",
-            F.year("o_orderdate").alias("order_year"),
-            F.date_format("o_orderdate", "EEEE").alias("order_dow"),
+        F.broadcast(
+            delta.select(
+                "o_orderkey",
+                "o_orderpriority",
+                F.year("o_orderdate").alias("order_year"),
+                F.date_format("o_orderdate", "EEEE").alias("order_dow"),
+            )
         )
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(

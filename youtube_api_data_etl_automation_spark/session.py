@@ -29,6 +29,15 @@ def get_spark(app_name: str = "youtube-etl-spark-engine", master: str | None = N
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", cpus)
+        # Sized for the test SF (compressed parquet ≤ ~11 MB/table): split
+        # scans finely enough that per-row compute uses the cores. At cluster
+        # scale with properly sized files, raise toward the 128m default —
+        # the env override is the knob.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "2m"),
+        )
+        .config("spark.sql.files.openCostInBytes", "65536")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

@@ -62,15 +62,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
 
 
 def _rebalance(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    # Unconditional when opted in: partition COUNT is not evidence of real
+    # parallelism here — size-based splitting of a single-row-group parquet
+    # yields N-1 empty splits and one split holding every row (parquet can't
+    # split below a row group), so a "already has N partitions" check would
+    # silently keep the whole scan on one core.
     try:
         if os.path.getsize(path) < _REBALANCE_MIN_BYTES:
             return df
         target = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        if df.rdd.getNumPartitions() < target:
-            return df.repartition(target)
+        return df.repartition(target)
     except Exception:
-        pass
-    return df
+        return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
