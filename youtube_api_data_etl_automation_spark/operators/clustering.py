@@ -1,0 +1,100 @@
+"""Lloyd's k-means over an embedding column — the iterative-refinement op
+(IVF index training; corpus organization for curriculum/dedup sharding).
+
+Spark shape per iteration: map-side assignment (centroids broadcast — the
+corpus NEVER shuffles for assignment) + one shuffle of (cluster, component)
+partial sums for the recompute. Driver holds only k×dim centroid floats.
+At 100 TB: assignment cost is linear and embarrassingly parallel; the
+recompute shuffle carries k·dim·partitions rows — negligible. Lineage is
+truncated per round via localCheckpoint-free re-planning from literals
+(centroids re-enter as a literal DataFrame each round, so the plan depth
+stays constant across iterations).
+
+Sums accumulate in DECIMAL so centroid updates are bit-deterministic
+across partitionings/runs (double addition is not associative).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round6
+from ..functions.vectors import cosine_similarity
+
+
+def _assign(corpus: DataFrame, cent_df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Nearest-centroid assignment by cosine (deterministic tie-break)."""
+    from pyspark.sql.window import Window
+
+    scored = corpus.join(F.broadcast(cent_df)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        "cluster_id",
+        round6(cosine_similarity(vec_col, "cv")).alias("_csim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cluster_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, "cluster_id")
+    )
+
+
+def kmeans_lloyd(spark: SparkSession, corpus: DataFrame, init_centroids: DataFrame,
+                 n_iter: int = 3, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Fixed-iteration Lloyd's k-means. ``init_centroids``: (cluster_id, cv).
+    Returns the final assignment: (cluster_id, n_vecs, avg_cos_to_centroid)
+    — deterministic given the init (decimal-exact accumulation)."""
+    cent_df = init_centroids.select("cluster_id", F.col("cv").cast("array<double>"))
+    dim = len(cent_df.first()["cv"])
+    for _ in range(n_iter):
+        assigned = _assign(corpus, cent_df, id_col, vec_col)
+        # Recompute: element-wise decimal mean per cluster.
+        comp = assigned.select(
+            "cluster_id", F.posexplode(F.col(vec_col).cast("array<double>"))
+        )
+        means = (
+            comp.groupBy("cluster_id", "pos")
+            .agg(
+                (
+                    F.sum(F.col("col").cast("decimal(28,12)")) / F.count(F.lit(1))
+                )
+                .cast("double")
+                .alias("m")
+            )
+            .groupBy("cluster_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+            )
+            .select(
+                "cluster_id",
+                F.transform(F.col("pm"), lambda s: s["m"]).alias("cv"),
+            )
+        )
+        # Centroids re-enter as literal rows: constant plan depth per round.
+        rows = means.collect()
+        if not rows:
+            break
+        cent_df = spark.createDataFrame(
+            [(int(r["cluster_id"]), [float(x) for x in r["cv"]]) for r in rows],
+            f"cluster_id int, cv array<double>",
+        )
+        assert all(len(r["cv"]) == dim for r in rows)
+    final = _assign(corpus, cent_df, id_col, vec_col)
+    return (
+        final.join(F.broadcast(cent_df), "cluster_id")
+        .select(
+            "cluster_id",
+            round6(cosine_similarity(vec_col, "cv")).alias("c"),
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            round6(
+                F.sum(F.col("c").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_cos_to_centroid"),
+        )
+    )

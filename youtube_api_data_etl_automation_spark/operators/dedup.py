@@ -97,6 +97,50 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "
     )
 
 
+def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
+                         max_iter: int = 20) -> DataFrame:
+    """Duplicate-cluster assembly: connected components over a near-dup pair
+    graph by iterative min-label propagation. Output: (doc_id, canonical_id)
+    for every doc appearing in ≥1 pair; canonical_id = min id in component.
+
+    The iterative Spark shape: each round is one equi-join + min-aggregate
+    (both shuffles keyed on the node id, so the partitioning is reused);
+    the driver only runs the O(1) convergence probe. Rounds needed = graph
+    diameter — near-dup clusters are shallow (stars/cliques), so 2-4 rounds
+    in practice. Each round's frame is localCheckpoint'ed: without lineage
+    truncation the logical plan doubles per iteration (labels appears twice
+    in the round's plan) and analysis itself blows up long before the data
+    does — the canonical iterative-on-Spark trap."""
+    e = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    edges = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges.a == labels.node).select(
+            F.col("b").alias("node"), "label"
+        )
+        new_labels = (
+            labels.union(prop).groupBy("node").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "old"), "node"
+            )
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("canonical_id"))
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        k: int = 3, num_hashes: int = 8) -> DataFrame:
     """MinHash signature per doc: column ``m{i}`` = min(md5('s{i}|' || shingle)).

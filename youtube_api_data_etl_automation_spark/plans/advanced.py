@@ -14,6 +14,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.rounding import round6, sql_round6
 from ..operators.sessionize import session_stats
@@ -322,6 +323,145 @@ def rolling_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
             lambda acc, x: (acc * F.lit(31) + tok_hash(x)) % F.lit(1_000_000_007),
         ).alias("rhash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-means (embeddings) — iterative algorithm, rows-only check (no oracle:
+# genuinely non-SQL-expressible per the driver contract; the deterministic
+# iterative op WITH an oracle is dedup_connected_components)
+# ---------------------------------------------------------------------------
+
+
+@query("kmeans_embeddings", oracle=None)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration Lloyd's k-means (k=8, cosine assignment, decimal-exact
+    centroid updates), seeded deterministically from vectors 10-17 —
+    the IVF-index-training op. Rows-only driver check (iterative)."""
+    from ..operators.clustering import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    init = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") <= 17)).select(
+        (F.col("vec_id") - 10).cast("int").alias("cluster_id"),
+        F.col("embedding").alias("cv"),
+    )
+    return kmeans_lloyd(spark, emb, init, n_iter=3)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split (documents) — dataset-assembly op
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "train_val_split",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+      FROM documents
+    ),
+    labeled AS (
+      SELECT doc_id,
+             CASE WHEN bucket < 230 THEN 'train'
+                  WHEN bucket < 243 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM h
+    )
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id, CAST(MAX(doc_id) AS BIGINT) AS max_id
+    FROM labeled GROUP BY split
+    """,
+)
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~90/5/5 train/val/test assignment by content-stable
+    hash bucket (md5 of the id — stable across engines, runs, partitionings,
+    and dataset growth: a doc never changes split when new data arrives).
+    Pure map-side expression; the only shuffle is the audit aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    hex2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    bucket = F.conv(hex2, 16, 10).cast("int")
+    split = (
+        F.when(bucket < 230, "train").when(bucket < 243, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms (documents)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    toks AS (
+      SELECT doc_id, unnest(string_split(norm, ' ')) AS term
+      FROM n WHERE norm <> ''
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    nd AS (SELECT COUNT(*) AS n_docs FROM n),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             {sql_round6('tf.tf * ln((1.0 + nd.n_docs) / (1.0 + df.df))')} AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN nd
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf FROM ranked WHERE rn = 1
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with the classic smoothed idf ln((1+N)/(1+df)): per-doc term
+    frequencies (one shuffle on (doc, term)), document frequencies reduced
+    from the TF relation (no second pass over raw text), N as a broadcast
+    scalar, top term per doc via window. The (doc,term) relation — not raw
+    text — is what shuffles, which is what makes this shape work at 100 TB."""
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True).filter(
+        F.col("doc_id") % 3 == 0
+    )
+    toks = docs.select(
+        "doc_id", F.explode_outer(tokens("text")).alias("term")
+    ).filter(F.col("term").isNotNull())
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()  # driver scalar: broadcast into the expression
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        round6(
+            F.col("tf") * F.log((1.0 + n_docs) / (1.0 + F.col("df")))
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
     )
 
 
