@@ -115,29 +115,44 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "d
     edges = e.union(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint()
+    # Size the loop to the graph: per-round task count tracks edge volume
+    # instead of the global shuffle setting, so small graphs don't pay
+    # dozens of empty-task launches per round and huge graphs still fan
+    # out. (~100k edges per partition.)
+    n_edges = edges.count()
+    target = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    parts = max(1, min(target, n_edges // 100_000 + 1))
+    edges = edges.repartition(parts, "a").localCheckpoint()
     labels = (
-        edges.select(F.col("a").alias("node")).distinct()
+        edges.select(F.col("a").alias("node"))
+        .repartition(parts, "node")
+        .distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    # Convergence probe: labels only decrease (min-propagation), so
+    # sum(label) is strictly decreasing until the fixpoint — a one-number
+    # aggregate over the checkpointed frame instead of a self-join diff.
+    prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iter):
         prop = edges.join(labels, edges.a == labels.node).select(
             F.col("b").alias("node"), "label"
         )
+        # repartition-then-groupBy on the same key: one sized exchange (the
+        # aggregate reuses the partitioning instead of adding a second).
+        # Lazy checkpoint: the convergence aggregate below is the action
+        # that materializes it — one job per round, not two.
         new_labels = (
-            labels.union(prop).groupBy("node").agg(F.min("label").alias("label"))
-        ).localCheckpoint()
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("label", "old"), "node"
-            )
-            .filter(F.col("label") != F.col("old"))
-            .limit(1)
-            .count()
-        )
+            labels.union(prop)
+            .repartition(parts, "node")
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=False)
+        new_sum = new_labels.agg(F.sum("label")).first()[0]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("canonical_id"))
 
 
