@@ -22,9 +22,9 @@ from ..functions.text import tokens
 N_BITS = 16
 
 
-def _digit_parity(tok: F.Column, j: int) -> F.Column:
-    """Parity of hex digit j of md5(token) → contribution ±1."""
-    digit = F.conv(F.substring(F.md5(tok), j + 1, 1), 16, 10).cast("int") % 2
+def _digit_parity(hx: F.Column, j: int) -> F.Column:
+    """Parity of hex digit j of a pre-computed md5 hex digest → ±1."""
+    digit = F.conv(F.substring(hx, j + 1, 1), 16, 10).cast("int") % 2
     return digit * 2 - 1
 
 
@@ -39,8 +39,12 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         .filter(F.col("tok").isNotNull())
         .distinct()
     )
-    sums = toks.groupBy("doc_id").agg(
-        *[F.sum(_digit_parity(F.col("tok"), j)).alias(f"b{j}") for j in range(N_BITS)]
+    # md5 projected ONCE per (doc, token); the 16 per-bit aggregates read
+    # hex digits of the projected digest (inlining md5 into each aggregate
+    # expression would hash every row 16x).
+    hashed = toks.select("doc_id", F.md5("tok").alias("hx"))
+    sums = hashed.groupBy("doc_id").agg(
+        *[F.sum(_digit_parity(F.col("hx"), j)).alias(f"b{j}") for j in range(N_BITS)]
     )
     sig = None
     for j in range(N_BITS):
