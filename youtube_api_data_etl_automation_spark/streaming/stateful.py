@@ -19,13 +19,8 @@ the correct rollup (update-mode semantics).
 
 from __future__ import annotations
 
-from typing import TYPE_CHECKING, Any, Iterable, Iterator
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-if TYPE_CHECKING:  # pragma: no cover
-    import pandas as pd
 
 GAP_US_DEFAULT = 30 * 60 * 1_000_000
 
@@ -37,46 +32,16 @@ _OUTPUT_SCHEMA = (
 )
 
 
-def _fold_user(key: tuple, pdfs: Iterable["pd.DataFrame"], state: Any,
-               gap_us: int) -> Iterator["pd.DataFrame"]:
-    import pandas as pd
-
-    (user_id,) = key
-    if state.exists:
-        last_ts, sidx, n_ev, start_us, cents = state.get
-    else:
-        last_ts, sidx, n_ev, start_us, cents = None, 0, 0, 0, 0
-    # session_idx -> (n_events, start_us, last_ts_us, sum_cents)
-    touched: dict[int, tuple[int, int, int, int]] = {}
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts_us", "event_id"])
-        for ts_us, val in zip(pdf["ts_us"], pdf["value"]):
-            ts_us = int(ts_us)
-            if last_ts is None or ts_us - last_ts > gap_us:
-                sidx += 1
-                n_ev, start_us, cents = 0, ts_us, 0
-            n_ev += 1
-            cents += int(round(float(val) * 100))
-            last_ts = ts_us
-            touched[sidx] = (n_ev, start_us, last_ts, cents)
-    state.update((last_ts, sidx, n_ev, start_us, cents))
-    rows = [
-        (int(user_id), s, n, st, (lt - st) / 1e6, c / 100.0)
-        for s, (n, st, lt, c) in touched.items()
-    ]
-    yield pd.DataFrame(
-        rows,
-        columns=[
-            "user_id", "session_idx", "n_events", "session_start_us",
-            "duration_sec", "sum_value",
-        ],
-    )
-
-
 def stateful_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Streaming sessionization over a streaming events DataFrame
     (columns: event_id, ts timestamp, user_id, value). Emits, per
-    micro-batch, the updated rollup of every session the batch touched."""
+    micro-batch, the updated rollup of every session the batch touched.
+
+    ``fold`` is a fully self-contained closure: cloudpickle ships nested
+    functions BY VALUE, while a module-level helper would be pickled by
+    reference and crash any worker that can't import this package (the
+    driver harness runs the engine from a path-inserted checkout the
+    executors' Python workers don't have on sys.path)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     gap_us = gap_minutes * 60 * 1_000_000
@@ -85,7 +50,38 @@ def stateful_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
     def fold(key, pdfs, state):
-        return _fold_user(key, pdfs, state, gap_us)
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            last_ts, sidx, n_ev, start_us, cents = state.get
+        else:
+            last_ts, sidx, n_ev, start_us, cents = None, 0, 0, 0, 0
+        # session_idx -> (n_events, start_us, last_ts_us, sum_cents)
+        touched = {}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            for ts_us, val in zip(pdf["ts_us"], pdf["value"]):
+                ts_us = int(ts_us)
+                if last_ts is None or ts_us - last_ts > gap_us:
+                    sidx += 1
+                    n_ev, start_us, cents = 0, ts_us, 0
+                n_ev += 1
+                cents += int(round(float(val) * 100))
+                last_ts = ts_us
+                touched[sidx] = (n_ev, start_us, last_ts, cents)
+        state.update((last_ts, sidx, n_ev, start_us, cents))
+        rows = [
+            (int(user_id), s, n, st, (lt - st) / 1e6, c / 100.0)
+            for s, (n, st, lt, c) in touched.items()
+        ]
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "user_id", "session_idx", "n_events", "session_start_us",
+                "duration_sec", "sum_value",
+            ],
+        )
 
     return prepped.groupBy("user_id").applyInPandasWithState(
         fold,
