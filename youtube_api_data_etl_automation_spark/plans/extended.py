@@ -13,11 +13,15 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.rounding import round6
+from ..functions.text import EN_STOPWORDS
 from ..operators.multimodal import attach_binary, extract_features, frame_sample
 from ..operators.simhash import N_BITS, simhash, simhash_pairs
 from ..sources.tables import load_table
 from .registry import query
-from .text_queries import _NORM
+from .text_queries import _NORM, _sql_list
+
+_QUALITY_STOPWORDS = _sql_list(EN_STOPWORDS)
 
 
 @query(
@@ -158,6 +162,99 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = simhash_pairs(docs, max_hamming=4)
     return connected_components(pairs)
+
+
+_CC_CTES_H = """
+    , halves AS (
+      SELECT doc_id, simhash, simhash % 256 AS lo,
+             CAST(floor(simhash / 256) AS BIGINT) AS hi
+      FROM sig WHERE doc_id % 7 = 0
+    ), cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM halves a JOIN halves b ON a.lo = b.lo AND a.doc_id < b.doc_id
+        AND bit_count(xor(a.simhash, b.simhash)) <= {h}
+      UNION
+      SELECT a.doc_id, b.doc_id
+      FROM halves a JOIN halves b ON a.hi = b.hi AND a.doc_id < b.doc_id
+        AND bit_count(xor(a.simhash, b.simhash)) <= {h}
+    ), bidir AS (
+      SELECT doc_a AS a, doc_b AS b FROM cand
+      UNION
+      SELECT doc_b, doc_a FROM cand
+    ), reach(node, label) AS (
+      SELECT a, a FROM bidir
+      UNION
+      SELECT e.b, r.label FROM reach r JOIN bidir e ON r.node = e.a
+    ), cc AS (
+      SELECT node AS doc_id, MIN(label) AS canonical_id FROM reach GROUP BY node
+    )
+"""
+
+
+@query(
+    "dedup_survivors",
+    oracle=_simhash_oracle_core().replace("WITH n AS", "WITH RECURSIVE n AS", 1)
+    + _CC_CTES_H.format(h=1)
+    + """
+    , qn AS (
+      SELECT doc_id, text, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS qnorm
+      FROM documents WHERE doc_id % 7 = 0
+    ), qs AS (
+      SELECT doc_id,
+             CAST(CASE WHEN qnorm = '' THEN 0 ELSE len(string_split(qnorm, ' ')) END AS DOUBLE) AS nt,
+             CAST(COALESCE(length(text), 0) AS DOUBLE) AS ln,
+             CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS np,
+             CAST(len(list_filter(string_split(qnorm, ' '),
+                                  x -> list_contains(""" + _QUALITY_STOPWORDS + """, x))) AS DOUBLE) AS sw
+      FROM qn
+    ), quality AS (
+      SELECT doc_id,
+             floor((0.5 * least(1.0, nt / 64.0)
+                   + 0.3 * (1.0 - CASE WHEN ln > 0 THEN np / ln ELSE 0.0 END)
+                   + 0.2 * CASE WHEN nt > 0 THEN sw / nt ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS q
+      FROM qs
+    ), ranked AS (
+      SELECT cc.canonical_id, cc.doc_id, quality.q,
+             COUNT(*) OVER (PARTITION BY cc.canonical_id) AS n_members,
+             ROW_NUMBER() OVER (PARTITION BY cc.canonical_id
+                                ORDER BY quality.q DESC, cc.doc_id) AS rn
+      FROM cc JOIN quality USING (doc_id)
+    )
+    SELECT canonical_id, doc_id AS survivor_id,
+           CAST(n_members AS BIGINT) AS n_members, q AS survivor_quality
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup endgame: near-dup pairs → duplicate clusters (CC) → keep
+    the highest-quality member per cluster. Composes SimHash LSH, iterative
+    connected components, and the quality heuristic into the op a training-
+    data pipeline actually runs: 'which copy survives'."""
+    from pyspark.sql.window import Window
+
+    from ..functions.text import quality_score
+    from ..operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True).filter(
+        F.col("doc_id") % 7 == 0
+    )
+    pairs = simhash_pairs(docs, max_hamming=1)
+    cc = connected_components(pairs)
+    quality = docs.select("doc_id", round6(quality_score("text")).alias("q"))
+    j = cc.join(quality, "doc_id")
+    w = Window.partitionBy("canonical_id")
+    wr = Window.partitionBy("canonical_id").orderBy(F.desc("q"), F.asc("doc_id"))
+    return (
+        j.withColumn("n_members", F.count(F.lit(1)).over(w))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "canonical_id",
+            F.col("doc_id").alias("survivor_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("q").alias("survivor_quality"),
+        )
+    )
 
 
 @query(
