@@ -59,3 +59,24 @@ def test_overwrite_dim(spark, tmp_path):
     overwrite_dim(_orders(spark, 100, 105), sink)
     got = sorted(r.videoId for r in spark.read.parquet(sink).collect())
     assert got == list(range(100, 105))
+
+
+def test_merge_upsert(spark, tmp_path):
+    from youtube_api_data_etl_automation_spark.operators.incremental import merge_upsert
+
+    sink = str(tmp_path / "merge_sink")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, name string, v long"
+    )
+    merge_upsert(base, sink, "k")
+    # Update k=2, insert k=4; k=1/3 untouched.
+    upd = spark.createDataFrame(
+        [(2, "B", 200), (4, "d", 40)], "k long, name string, v long"
+    )
+    merge_upsert(upd, sink, "k")
+    got = {r["k"]: (r["name"], r["v"]) for r in spark.read.parquet(sink).collect()}
+    assert got == {1: ("a", 10), 2: ("B", 200), 3: ("c", 30), 4: ("d", 40)}
+    # Idempotent re-merge of the same updates changes nothing.
+    merge_upsert(upd, sink, "k")
+    again = {r["k"]: (r["name"], r["v"]) for r in spark.read.parquet(sink).collect()}
+    assert again == got

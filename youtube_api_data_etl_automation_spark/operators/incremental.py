@@ -66,3 +66,28 @@ def append_delta(delta: DataFrame, sink_path: str, key: str) -> None:
 def overwrite_dim(dim: DataFrame, sink_path: str) -> None:
     """Full-replace dimension write (reference's channel_stats at :198)."""
     dim.write.mode("overwrite").parquet(sink_path)
+
+
+def merge_upsert(updates: DataFrame, sink_path: str, key: str) -> None:
+    """MERGE-style upsert over the parquet state: matched keys take the
+    incoming row, unmatched sink rows are kept, new keys are inserted —
+    `WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT` semantics without a
+    table format (SURVEY.md §7.4 item 2's scale path; on Delta/Iceberg
+    this becomes a real transactional MERGE with file-level pruning).
+
+    Write protocol: materialize the merged result BEFORE touching the sink
+    (localCheckpoint), then overwrite — the read and the overwrite cannot
+    race because nothing reads lazily from the sink at write time. Updates
+    with duplicate keys keep an arbitrary row (dropDuplicates), matching
+    the reference's dedup policy (SURVEY.md §2.6 item 8).
+    """
+    spark = updates.sparkSession
+    updates = updates.dropDuplicates([key])
+    try:
+        existing = spark.read.parquet(sink_path)
+    except Exception:
+        updates.write.mode("overwrite").parquet(sink_path)  # first run
+        return
+    kept = existing.join(F.broadcast(updates.select(key)), on=key, how="left_anti")
+    merged = kept.unionByName(updates).localCheckpoint()
+    merged.write.mode("overwrite").parquet(sink_path)
