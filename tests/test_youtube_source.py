@@ -117,3 +117,40 @@ def test_etl_grows_with_new_channel(spark, tmp_path):
     assert grown["new_videos"] == grown["candidate_ids"] - base["candidate_ids"]
     total = spark.read.parquet(f"{wh}/video_stats").count()
     assert total == base["loaded"] + grown["loaded"]
+
+
+def test_retry_recovers_from_transient_failures(spark):
+    """Flaky transport fails each call twice; exponential backoff retries
+    through it and the scan yields the same rows as the clean transport."""
+    clean = (
+        spark.read.format("youtube_api")
+        .option("table", "channels")
+        .option("channel_ids", "c1,c2,c3")
+        .load()
+    )
+    flaky = (
+        spark.read.format("youtube_api")
+        .option("table", "channels")
+        .option("channel_ids", "c1,c2,c3")
+        .option("transport", "flaky")
+        .option("fail_first", "2")
+        .option("retry_base_ms", "1")
+        .load()
+    )
+    assert sorted(clean.collect()) == sorted(flaky.collect())
+
+
+def test_retry_gives_up_after_max_retries():
+    from youtube_api_data_etl_automation_spark.sources.youtube_api import (
+        TransientAPIError,
+        make_transport,
+    )
+    import pytest as _pytest
+
+    t = make_transport(
+        {"transport": "flaky", "fail_first": "10", "max_retries": "2",
+         "retry_base_ms": "1"}
+    )
+    with _pytest.raises(TransientAPIError):
+        t.channels_list(["c1"])
+    assert t.retries == 2

@@ -171,19 +171,96 @@ class FakeTransport:
         return {"items": items}
 
 
-def make_transport(options: dict) -> FakeTransport:
+class TransientAPIError(Exception):
+    """Retryable failure (quota 403 / 429 / 5xx in the real API)."""
+
+
+class FlakyTransport:
+    """Test transport: every distinct call fails ``fail_first`` times with
+    TransientAPIError before succeeding — exercises the retry path."""
+
+    def __init__(self, inner: FakeTransport, fail_first: int = 2):
+        self.inner = inner
+        self.fail_first = fail_first
+        self._seen: dict = {}
+
+    def _gate(self, key) -> None:
+        n = self._seen.get(key, 0)
+        self._seen[key] = n + 1
+        if n < self.fail_first:
+            raise TransientAPIError(f"simulated transient failure #{n + 1} for {key}")
+
+    def channels_list(self, ids):
+        self._gate(("channels", tuple(ids)))
+        return self.inner.channels_list(ids)
+
+    def playlist_items_list(self, playlist_id, page_token):
+        self._gate(("playlist", playlist_id, page_token))
+        return self.inner.playlist_items_list(playlist_id, page_token)
+
+    def videos_list(self, ids):
+        self._gate(("videos", tuple(ids)))
+        return self.inner.videos_list(ids)
+
+
+class RetryingTransport:
+    """Exponential backoff around any transport (quota/backoff handling,
+    SURVEY.md §7.1 item 6). Retries only TransientAPIError — a real HTTPS
+    transport maps 403-quota/429/5xx onto it. Reads are idempotent (pure
+    GETs), so retry — and Spark speculative re-execution — is safe."""
+
+    def __init__(self, inner, max_retries: int = 4, base_ms: int = 200):
+        self.inner = inner
+        self.max_retries = max_retries
+        self.base_ms = base_ms
+        self.retries = 0  # observability for tests
+
+    def _call(self, fn, *args):
+        import time
+
+        for attempt in range(self.max_retries + 1):
+            try:
+                return fn(*args)
+            except TransientAPIError:
+                if attempt == self.max_retries:
+                    raise
+                self.retries += 1
+                time.sleep(self.base_ms / 1000.0 * (2 ** attempt))
+
+    def channels_list(self, ids):
+        return self._call(self.inner.channels_list, ids)
+
+    def playlist_items_list(self, playlist_id, page_token):
+        return self._call(self.inner.playlist_items_list, playlist_id, page_token)
+
+    def videos_list(self, ids):
+        return self._call(self.inner.videos_list, ids)
+
+
+def make_transport(options: dict):
     """Transport factory from string options (DataSource options are strings
-    only). 'fake' is the only transport in this environment; an HTTPS
-    transport would be import-gated on googleapiclient here."""
+    only). 'fake' is the production stand-in here; 'flaky' wraps it with
+    simulated transient failures (testing the retry path). An HTTPS
+    transport would be import-gated on googleapiclient here. Every
+    transport is wrapped in RetryingTransport."""
     kind = options.get("transport", "fake")
-    if kind != "fake":
+    fake = FakeTransport(
+        seed=int(options.get("seed", "42")),
+        videos_per_playlist=int(options.get("videos_per_playlist", "120")),
+    )
+    if kind == "fake":
+        inner = fake
+    elif kind == "flaky":
+        inner = FlakyTransport(fake, fail_first=int(options.get("fail_first", "2")))
+    else:
         raise NotImplementedError(
             f"transport {kind!r} unavailable: this environment has no network/"
             "googleapiclient; register a real transport in production"
         )
-    return FakeTransport(
-        seed=int(options.get("seed", "42")),
-        videos_per_playlist=int(options.get("videos_per_playlist", "120")),
+    return RetryingTransport(
+        inner,
+        max_retries=int(options.get("max_retries", "4")),
+        base_ms=int(options.get("retry_base_ms", "200")),
     )
 
 
