@@ -122,6 +122,24 @@ def cast_null_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("reference_etl_video_stats", oracle=None)
+def reference_etl_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ENTIRE daily ETL (fetch_youtube_data.py:143-200) run
+    end-to-end over the custom API-shaped DataSource: channel extract →
+    partition-per-playlist scan → anti-join delta → 11→19-column enrich →
+    idempotent append → dimension overwrite; returns the loaded video_stats
+    table. Rows-only driver check (external-API source — the fake transport
+    is deterministic but not SQL-reproducible); the transform block itself
+    is value-checked by the golden tests and the T-queries' oracles."""
+    import tempfile
+
+    from ..pipeline import run_etl
+
+    warehouse = tempfile.mkdtemp(prefix="ref_etl_wh_")
+    run_etl(spark, [f"chan{i}" for i in range(13)], warehouse)
+    return spark.read.parquet(f"{warehouse}/video_stats")
+
+
 @query(
     "flagship_new_order_enrichment",
     oracle=f"""
