@@ -135,19 +135,26 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "d
     # aggregate over the checkpointed frame instead of a self-join diff.
     prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iter):
-        prop = edges.join(labels, edges.a == labels.node).select(
-            F.col("b").alias("node"), "label"
-        )
-        # repartition-then-groupBy on the same key: one sized exchange (the
-        # aggregate reuses the partitioning instead of adding a second).
+        # Two propagation hops per materialized round: labels reach 2-hop
+        # neighborhoods before the checkpoint+probe roundtrip, halving the
+        # number of driver-synchronized rounds (plan depth stays bounded at
+        # 2 hops — the exponential-growth trap needs unbounded nesting).
+        new_labels = labels
+        for _hop in range(2):
+            prop = edges.join(new_labels, edges.a == new_labels.node).select(
+                F.col("b").alias("node"), "label"
+            )
+            # repartition-then-groupBy on the same key: one sized exchange
+            # (the aggregate reuses the partitioning).
+            new_labels = (
+                new_labels.union(prop)
+                .repartition(parts, "node")
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+            )
         # Lazy checkpoint: the convergence aggregate below is the action
         # that materializes it — one job per round, not two.
-        new_labels = (
-            labels.union(prop)
-            .repartition(parts, "node")
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-        ).localCheckpoint(eager=False)
+        new_labels = new_labels.localCheckpoint(eager=False)
         new_sum = new_labels.agg(F.sum("label")).first()[0]
         labels = new_labels
         if new_sum == prev_sum:
