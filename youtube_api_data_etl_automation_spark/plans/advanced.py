@@ -481,6 +481,44 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SQL entry path (spark.sql over registered views)
+# ---------------------------------------------------------------------------
+
+_Q3ISH = """
+    SELECT o_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(o_orderdate AS DATE) AS o_orderdate,
+           o_orderpriority
+    FROM {customer} c
+    JOIN {orders} o ON c.c_custkey = o.o_custkey
+    JOIN {lineitem} l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1995-03-15'
+      AND l.l_shipdate > DATE '1995-03-15'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+"""
+
+
+@query(
+    "sql_q3_shipping_priority",
+    oracle=_Q3ISH.format(customer="customer", orders="orders", lineitem="lineitem"),
+)
+def sql_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry path: tables registered as temp views, the query given
+    to ``spark.sql`` verbatim (TPC-H Q3 shape) — same Catalyst plan space
+    as the DataFrame API, proving the engine's SQL surface end-to-end. The
+    oracle is the identical SQL text on DuckDB."""
+    views = {}
+    for t in ("customer", "orders", "lineitem"):
+        name = f"v_{t}"
+        load_table(spark, sf_dir, t).createOrReplaceTempView(name)
+        views[t] = name
+    return spark.sql(_Q3ISH.format(**views))
+
+
+# ---------------------------------------------------------------------------
 # JSON payload extraction (events.props) — raw-API-capture analog
 # ---------------------------------------------------------------------------
 
