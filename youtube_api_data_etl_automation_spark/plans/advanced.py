@@ -462,7 +462,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode_outer(tokens("text")).alias("term")
     ).filter(F.col("term").isNotNull())
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # Persist: tf feeds BOTH the df reduction and the scoring join — without
+    # it the tokenize+aggregate pipeline runs twice.
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.count()  # driver scalar: broadcast into the expression
     scored = tf.join(dfreq, "term").select(
