@@ -650,6 +650,52 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_dedup_keys",
+    oracle="""
+    SELECT DISTINCT user_id, event_type,
+           epoch_us(time_bucket(INTERVAL '1 minute', ts)) AS minute_us
+    FROM events
+    """,
+)
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup with bounded state
+    (dropDuplicatesWithinWatermark): duplicate (user, type, minute) arrivals
+    inside the watermark horizon collapse to one row, and state for keys
+    older than the watermark is dropped — the streaming-ingest dedup that
+    stays finite at 100 TB/day. Only key columns are emitted (which
+    duplicate wins is arrival-order-dependent; the key set is not)."""
+    import tempfile
+
+    from ..streaming.ingest import read_events_stream
+
+    keyed = (
+        read_events_stream(spark, sf_dir)
+        .select(
+            "user_id",
+            "event_type",
+            F.date_trunc("minute", F.col("ts")).alias("minute"),
+            F.col("ts"),
+        )
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "minute"])
+        .select(
+            "user_id", "event_type", F.unix_micros("minute").alias("minute_us")
+        )
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        keyed.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
     "streaming_sliding_counts",
     oracle="""
     WITH e AS (
