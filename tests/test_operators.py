@@ -130,3 +130,23 @@ def test_streaming_incremental_ingest(spark, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == 150
     assert out.groupBy("event_id").count().filter("count > 1").count() == 0
+
+
+def test_kmeans_deterministic_and_total(spark):
+    """kmeans_embeddings is rows-only in the driver gate, so pin its real
+    properties here: every vector is assigned (counts sum to corpus size)
+    and two independent runs produce identical output (decimal-exact
+    centroid updates make the iteration run-deterministic)."""
+    from youtube_api_data_etl_automation_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    a = {r["cluster_id"]: (r["n_vecs"], r["avg_cos_to_centroid"])
+         for r in QUERIES["kmeans_embeddings"](spark, sf).collect()}
+    b = {r["cluster_id"]: (r["n_vecs"], r["avg_cos_to_centroid"])
+         for r in QUERIES["kmeans_embeddings"](spark, sf).collect()}
+    assert a == b
+    import duckdb
+    n_total = duckdb.sql(
+        f"select count(*) from '{sf}/embeddings.parquet'"
+    ).fetchone()[0]
+    assert sum(n for n, _ in a.values()) == n_total
