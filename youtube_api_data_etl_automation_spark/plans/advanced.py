@@ -162,6 +162,39 @@ def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "window_distribution_stats",
+    oracle=f"""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           {sql_round6('percent_rank() OVER w')} AS pct_rank,
+           {sql_round6('cume_dist() OVER w')} AS cdist,
+           first_value(o_orderkey) OVER w AS cheapest_key,
+           last_value(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist /
+    first_value / last_value-with-full-frame) — one shuffle + one sort per
+    partition key serves all five. The unique (price, key) ordering makes
+    every function deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        round6(F.percent_rank().over(w)).alias("pct_rank"),
+        round6(F.cume_dist().over(w)).alias("cdist"),
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+        F.last("o_orderkey").over(w_full).alias("priciest_key"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Skew-salted join (lineitem ⋈ orders)
 # ---------------------------------------------------------------------------
