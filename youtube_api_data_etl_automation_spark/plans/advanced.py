@@ -540,6 +540,73 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "concat_id_batches",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS id_batch,
+           CAST(COUNT(*) AS BIGINT) AS n_ids
+    FROM orders
+    WHERE o_orderkey % 1000 = 0
+    GROUP BY o_orderpriority
+    """,
+)
+def concat_id_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11 as a data-plane op: deterministic comma-joined id batches per
+    group (the reference joins 50-id batches for API calls,
+    fetch_youtube_data.py:55,:117). collect_list is shuffle-order-dependent,
+    so array_sort pins the order before concat_ws."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 1000 == 0)
+    return orders.groupBy("o_orderpriority").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list("o_orderkey")),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("id_batch"),
+        F.count(F.lit(1)).alias("n_ids"),
+    )
+
+
+@query(
+    "date_spine_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL '1 day')) AS DATE) AS day FROM bounds
+    ),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1
+    )
+    SELECT spine.day, CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_events
+    FROM spine LEFT JOIN daily USING (day)
+    """,
+)
+def date_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily counts: a generated date spine (sequence + explode
+    — no driver loop) left-joined to the per-day aggregate, zeros where no
+    events. Both join sides are day-cardinality (the fact table is already
+    reduced before the join), and the aggregate side broadcasts — the only
+    fact-table shuffle is its own group-by."""
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        spine.join(F.broadcast(daily), "day", "left")
+        .select("day", F.coalesce("n", F.lit(0)).cast("long").alias("n_events"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SQL entry path (spark.sql over registered views)
 # ---------------------------------------------------------------------------
