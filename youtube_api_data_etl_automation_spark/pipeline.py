@@ -26,6 +26,18 @@ from .transforms import enrich_videos
 
 
 def register_source(spark: SparkSession) -> None:
+    """Register the custom DataSource, shipping its module BY VALUE.
+
+    cloudpickle serializes importable classes by reference; the Python
+    data-source worker processes of a bare session (the driver harness runs
+    the engine from a path-inserted checkout) cannot import this package and
+    would die with PYTHON_DATA_SOURCE_ERROR. register_pickle_by_value makes
+    the whole source module travel inside the pickle instead."""
+    from pyspark import cloudpickle
+
+    from .sources import youtube_api as _src_mod
+
+    cloudpickle.register_pickle_by_value(_src_mod)
     spark.dataSource.register(YouTubeDataSource)
 
 
