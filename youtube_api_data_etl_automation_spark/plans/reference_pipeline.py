@@ -171,7 +171,10 @@ def flagship_new_order_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame
     Catalyst plan — the broadcast anti-join and broadcast dims mean the only
     shuffle is the final aggregation."""
     orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
+    # rebalance: two broadcast probes + decimal aggregation per fact row is
+    # enough per-row work to beat the narrow-column shuffle (A/B: 1.66s →
+    # 1.22s on the single-row-group test file; no-op on real layouts).
+    li = load_table(spark, sf_dir, "lineitem", rebalance=True)
     existing = orders.filter(F.col("o_orderkey") % 5 == 0).select("o_orderkey")
     delta = orders.join(F.broadcast(existing), "o_orderkey", "left_anti")
     # Broadcast the enriched delta: it's delta-sized (small by the
