@@ -132,6 +132,98 @@ def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.select("doc_id", lang_id_t("tok").alias("lang_guess"))
 
 
+def _filter_report_oracle() -> str:
+    counts = ",\n             ".join(
+        f"CAST(len(list_filter(toks, x -> list_contains({_sql_list(mks)}, x))) AS INT) AS c_{lang}"
+        for lang, mks in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"c_{lg}" for lg in langs) + ")"
+    whens = "\n                ".join(f"WHEN c_{lg} = best THEN '{lg}'" for lg in langs)
+    return f"""
+    WITH n AS (
+      SELECT doc_id, text, {_NORM.format(col='text')} AS norm FROM documents
+    ), t AS (
+      SELECT doc_id, text, norm,
+             CASE WHEN norm = '' THEN [] ELSE string_split(norm, ' ') END AS toks
+      FROM n
+    ), c AS (
+      SELECT doc_id, text, norm, toks,
+             {counts}
+      FROM t
+    ), cb AS (
+      SELECT *, {best} AS best FROM c
+    ), feat AS (
+      SELECT doc_id,
+             CASE WHEN best = 0 THEN 'und'
+                {whens}
+                ELSE 'und' END AS lang_guess,
+             CAST(len(toks) AS DOUBLE) AS nt,
+             CAST(COALESCE(length(text), 0) AS DOUBLE) AS ln,
+             CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS np,
+             CAST(len(list_filter(toks, x -> list_contains({_sql_list(EN_STOPWORDS)}, x))) AS DOUBLE) AS sw
+      FROM cb
+    ), scored AS (
+      SELECT doc_id, lang_guess, nt,
+             floor((0.5 * least(1.0, nt / 64.0)
+                   + 0.3 * (1.0 - CASE WHEN ln > 0 THEN np / ln ELSE 0.0 END)
+                   + 0.2 * CASE WHEN nt > 0 THEN sw / nt ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS q
+      FROM feat
+    ), verdicts AS (
+      SELECT lang_guess, q,
+             CASE WHEN nt < 10 THEN 'too_short'
+                  WHEN nt > 1000 THEN 'too_long'
+                  WHEN lang_guess = 'und' THEN 'unknown_lang'
+                  WHEN q < 0.55 THEN 'low_quality'
+                  ELSE 'keep' END AS verdict
+      FROM scored
+    )
+    SELECT lang_guess, verdict,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           floor((CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_quality
+    FROM verdicts
+    GROUP BY lang_guess, verdict
+    """
+
+
+@query("corpus_filter_report", oracle=_filter_report_oracle())
+def corpus_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical pretraining-corpus filter (C4/Gopher-style rule chain):
+    length bounds → language known → quality threshold, first failing rule
+    attributed, reported as (lang, verdict) counts with mean quality. One
+    pass over the text (tokens projected once feed count, language, and
+    quality), one aggregation shuffle — the shape that matters when the
+    corpus is 100 TB and you want the filter funnel, not just the survivors."""
+    from ..functions.text import quality_score_t
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    toks = docs.select("doc_id", "text", tokens("text").alias("tok"))
+    feat = toks.select(
+        "doc_id",
+        lang_id_t("tok").alias("lang_guess"),
+        token_count_t("tok").cast("double").alias("nt"),
+        round6(quality_score_t("text", "tok")).alias("q"),
+    )
+    verdict = (
+        F.when(F.col("nt") < 10, "too_short")
+        .when(F.col("nt") > 1000, "too_long")
+        .when(F.col("lang_guess") == "und", "unknown_lang")
+        .when(F.col("q") < 0.55, "low_quality")
+        .otherwise("keep")
+    )
+    return (
+        feat.select("lang_guess", "q", verdict.alias("verdict"))
+        .groupBy("lang_guess", "verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            round6(
+                F.sum(F.col("q").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_quality"),
+        )
+    )
+
+
 @query(
     "fingerprint_docs",
     oracle=f"""
