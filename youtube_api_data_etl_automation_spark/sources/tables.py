@@ -70,7 +70,11 @@ def _rebalance(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     try:
         if os.path.getsize(path) < _REBALANCE_MIN_BYTES:
             return df
-        target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # Cap the fan-out: this path exists only for unsplittable single-file
+        # inputs, which can't justify more than ~64-way parallelism — and a
+        # default-conf session (shuffle.partitions=200) would otherwise pay
+        # 200 near-empty task launches per scan.
+        target = min(64, int(spark.conf.get("spark.sql.shuffle.partitions")))
         return df.repartition(target)
     except Exception:
         return df
