@@ -130,14 +130,20 @@ def reference_etl_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     idempotent append → dimension overwrite; returns the loaded video_stats
     table. Rows-only driver check (external-API source — the fake transport
     is deterministic but not SQL-reproducible); the transform block itself
-    is value-checked by the golden tests and the T-queries' oracles."""
+    is value-checked by the golden tests and the T-queries' oracles.
+
+    The ``tags`` array is projected to its JSON text at the query edge: the
+    driver's canonicalizer hashes scalar cells (pandas factorize chokes on
+    lists), and to_json is a lossless, deterministic rendering. The stored
+    table — and ``enrich_videos`` — keep the real ArrayType column."""
     import tempfile
 
     from ..pipeline import run_etl
 
     warehouse = tempfile.mkdtemp(prefix="ref_etl_wh_")
     run_etl(spark, [f"chan{i}" for i in range(13)], warehouse)
-    return spark.read.parquet(f"{warehouse}/video_stats")
+    loaded = spark.read.parquet(f"{warehouse}/video_stats")
+    return loaded.withColumn("tags", F.to_json("tags"))
 
 
 @query(
