@@ -62,6 +62,13 @@ EDGE_CASES = [
     ("1H", None),
     ("P1Y2M", None),  # year/month rejected (isodate yields non-timedelta)
     ("P-1D", None),
+    ("PT-5S", None),  # signed components rejected everywhere
+    ("-PT5S", None),
+    ("PT1.5S", 1.5),  # bare fractional seconds
+    ("P1W2D", None),  # weeks don't combine with other designators
+    ("1|2|3|4|5", None),  # adversarial: already looks like the canonical rewrite
+    ("||||", None),
+    ("5||||", None),
     (None, None),
 ]
 
@@ -93,8 +100,9 @@ def test_edge_cases(spark):
                 st.integers(0, 999),
             ),
             st.text(
-                alphabet="PTDHMSW0123456789.", min_size=0, max_size=12
-            ),  # adversarial near-grammar strings
+                alphabet="PTDHMSW0123456789.|-", min_size=0, max_size=12
+            ),  # adversarial near-grammar strings ('|' probes the
+            # canonical-rewrite gate, '-' probes signed forms)
         ),
         min_size=1,
         max_size=50,

@@ -41,13 +41,16 @@ def test_empty_delta_gate(spark):
 
 def test_append_delta_idempotent(spark, tmp_path):
     sink = str(tmp_path / "sink")
-    append_delta(_orders(spark, 0, 500), sink, "videoId")
+    # The return value is the rows ACTUALLY written (what run_etl reports
+    # as 'loaded') — on overlap/retry it is the post-filter delta, not the
+    # incoming batch size.
+    assert append_delta(_orders(spark, 0, 500), sink, "videoId") == 500
     assert spark.read.parquet(sink).count() == 500
     # overlapping second batch: only the delta lands
-    append_delta(_orders(spark, 0, 800), sink, "videoId")
+    assert append_delta(_orders(spark, 0, 800), sink, "videoId") == 300
     assert spark.read.parquet(sink).count() == 800
     # exact re-run: no-op (idempotent under at-least-once retries)
-    append_delta(_orders(spark, 0, 800), sink, "videoId")
+    assert append_delta(_orders(spark, 0, 800), sink, "videoId") == 0
     df = spark.read.parquet(sink)
     assert df.count() == 800
     assert df.groupBy("videoId").count().filter("count > 1").count() == 0

@@ -84,3 +84,47 @@ def test_state_survives_micro_batches(spark, split_events_dir):
     expected = session_stats(load_table(spark, SF_DIR, "events"), gap_minutes=30)
     diff = final.exceptAll(expected).union(expected.exceptAll(final))
     assert diff.count() == 0, diff.limit(10).collect()
+
+
+def test_key_group_spanning_many_arrow_chunks(spark):
+    """A key group larger than arrow.maxRecordsPerBatch arrives as MULTIPLE
+    unordered chunks; the fold must concat-then-sort once, not sort per
+    chunk, or session boundaries silently corrupt (ADVICE r1)."""
+    from youtube_api_data_etl_automation_spark.sources.tables import load_table
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+    try:
+        name = f"stateful_chunks_{uuid.uuid4().hex[:8]}"
+        events = load_table(spark, SF_DIR, "events")
+        src = tempfile.mkdtemp(prefix="chunk_events_")
+        # Reverse time order inside the single file so chunk order ≠ event
+        # order — per-chunk sorting would fold sessions backwards.
+        events.orderBy(F.desc("ts")).coalesce(1).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = (
+            stateful_sessionize(stream, gap_minutes=30)
+            .writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.awaitTermination()
+        emitted = spark.table(name)
+        final = (
+            emitted.groupBy("user_id", "session_idx")
+            .agg(
+                F.max_by(
+                    F.struct("n_events", "session_start_us", "duration_sec", "sum_value"),
+                    "n_events",
+                ).alias("s")
+            )
+            .select("user_id", "session_idx", "s.*")
+        )
+        expected = session_stats(events, gap_minutes=30)
+        diff = final.exceptAll(expected).union(expected.exceptAll(final))
+        assert diff.count() == 0, diff.limit(10).collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)

@@ -33,12 +33,6 @@ _ISO_DUR_RE = (
 
 _MULTS = (604800.0, 86400.0, 3600.0, 60.0, 1.0)
 
-# Shape of a successful canonicalization: 'w|d|h|m|s' with numeric-or-empty
-# components. An input that did NOT match the grammar passes through
-# regexp_replace unchanged and cannot match this (wrong pipe count or
-# non-numeric chars) — including adversarial inputs that contain pipes.
-_CANON_RE = r"^\d*\|\d*\|\d*\|\d*\|(\d+(\.\d+)?)?$"
-
 
 def iso8601_duration_seconds(col: Column | str) -> Column:
     """Total seconds of an ISO-8601 duration string; NULL on NULL/malformed.
@@ -63,6 +57,12 @@ def iso8601_duration_seconds(col: Column | str) -> Column:
         raw = F.element_at(parts, idx)
         term = F.coalesce(raw.try_cast("double"), F.lit(0.0)) * F.lit(mult)
         total = term if total is None else total + term
+    # Match detection with NO second regex: regexp_replace leaves a
+    # non-matching input untouched, and a MATCHING input can never equal its
+    # own rewrite (the grammar requires a leading 'P'; the replacement
+    # template contains none) — so canon == input ⟺ the grammar didn't
+    # match. Unlike a shape check on the rewritten string, this cannot be
+    # spoofed by adversarial inputs that already look canonical ('1|2|3|4|5').
     return F.when(
-        c.isNull() | ~canon.rlike(_CANON_RE), F.lit(None).cast("double")
+        c.isNull() | (canon == c), F.lit(None).cast("double")
     ).otherwise(total)

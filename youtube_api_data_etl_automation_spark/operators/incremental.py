@@ -47,11 +47,18 @@ def is_empty(df: DataFrame) -> bool:
     return df.isEmpty()
 
 
-def append_delta(delta: DataFrame, sink_path: str, key: str) -> None:
+def append_delta(delta: DataFrame, sink_path: str, key: str) -> int:
     """Idempotent append: re-filter against current sink keys, then append.
+    Returns the number of rows actually written — on a retry after partial
+    failure this can be less than the incoming delta, and callers must report
+    THIS count, not the pre-filter one.
 
-    Parquet-dir sink for the engine's own state; a JDBC sink would wrap the
-    same key-filter in a staging-table + txn commit.
+    The count comes from materializing the filtered delta (localCheckpoint)
+    before the write: counting after the append would re-run the anti-join
+    against the sink it just extended and see 0.
+
+    Parquet-dir sink for the engine's own state; `jdbc.append_delta_jdbc`
+    is the same protocol over a database sink.
     """
     spark = delta.sparkSession
     try:
@@ -59,8 +66,11 @@ def append_delta(delta: DataFrame, sink_path: str, key: str) -> None:
         delta = select_new(delta, existing, key)
     except Exception:
         pass  # first run — sink doesn't exist yet
-    if not is_empty(delta):
+    delta = delta.localCheckpoint()
+    n = delta.count()
+    if n > 0:
         delta.write.mode("append").parquet(sink_path)
+    return n
 
 
 def overwrite_dim(dim: DataFrame, sink_path: str) -> None:

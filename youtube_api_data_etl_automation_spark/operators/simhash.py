@@ -7,9 +7,15 @@ of the sum of contributions (±1) across its distinct tokens.
 
 Scale shape: one explode (doc → distinct tokens), one groupBy(doc) computing
 all 16 bit-sums in a single shuffle, then near-dup candidates come from an
-equi-join on byte-halves of the signature (Hamming-LSH: any pair within
-Hamming distance ≤ 8+8 shares at least one exact half when distance ≤ 7 per
-half — the standard banding bound), scored by exact bit_count(xor).
+equi-join on byte-halves of the signature (Hamming-LSH banding), scored by
+exact bit_count(xor).
+
+Recall bound (pigeonhole, 2 bands of 8 bits): a pair is GUARANTEED to share
+an exact half only when total Hamming distance ≤ 1. At distance d ≥ 2 the
+differing bits can split across both halves (e.g. 2+2 at d=4) and the pair
+is missed — banding is probabilistic-recall above d=1. For guaranteed recall
+at d ≤ 3 use 4 bands of 4 bits (or multiple bit rotations); the 2×8 layout
+here trades that recall for 4× fewer join rows.
 """
 
 from __future__ import annotations
@@ -56,7 +62,12 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 4) -> DataFrame:
     """Near-dup pairs by SimHash: candidates share a signature half
-    (Hamming-LSH band join), scored by exact Hamming distance."""
+    (Hamming-LSH band join), scored by exact Hamming distance.
+
+    Recall is guaranteed only for pairs at Hamming distance ≤ 1 (see module
+    docstring); with the default ``max_hamming=4``, pairs whose differing
+    bits split across both halves are (deliberately) missed — the oracle
+    mirrors the same banding, so parity holds by construction."""
     sig = simhash(docs, text_col, id_col)
     halves = sig.select(
         "doc_id",

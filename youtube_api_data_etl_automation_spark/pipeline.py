@@ -85,9 +85,10 @@ def run_etl(spark: SparkSession, channel_ids: list[str], warehouse: str,
         videos_raw = _read(spark, "videos", video_ids=",".join(ids), **opts)
         # T — the 11→19 column transform block (:171-190), one Project
         video_stats = enrich_videos(videos_raw)
-        # L1 — idempotent delta append (:194)
-        append_delta(video_stats, video_sink, "videoId")
-        counts["loaded"] = counts["new_videos"]
+        # L1 — idempotent delta append (:194). 'loaded' is what the append
+        # ACTUALLY wrote: on a retry after partial failure the write-time
+        # re-filter drops already-landed keys, so new_videos would overstate.
+        counts["loaded"] = append_delta(video_stats, video_sink, "videoId")
 
     # L2 — dimension overwrite on BOTH branches (:196-198)
     overwrite_dim(channels, os.path.join(warehouse, "channel_stats"))

@@ -459,10 +459,12 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF join (most recent prior 'purchase' per user) expressed as a
     conditional RANGE window — one shuffle on user_id, no correlated probe
     per row. The window max over ts<=current exactly matches the correlated
-    subquery semantics including ties."""
+    subquery semantics including ties. Frame ordering uses unix_micros, NOT
+    cast('long'): the cast truncates to whole seconds, which would let an
+    event see a purchase later in the same second."""
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
+        .orderBy(F.unix_micros("ts"))
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
     ev = load_table(spark, sf_dir, "events")

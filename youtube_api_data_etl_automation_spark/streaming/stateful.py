@@ -57,19 +57,27 @@ def stateful_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             last_ts, sidx, n_ev, start_us, cents = state.get
         else:
             last_ts, sidx, n_ev, start_us, cents = None, 0, 0, 0, 0
+        # Concatenate ALL Arrow chunks before the single sort: a key group
+        # larger than arrow.maxRecordsPerBatch arrives as multiple chunks in
+        # no guaranteed order — per-chunk sorting would fold events out of
+        # global (ts, event_id) order and silently corrupt session bounds.
+        chunks = list(pdfs)
+        pdf = (
+            pd.concat(chunks, ignore_index=True).sort_values(["ts_us", "event_id"])
+            if chunks
+            else pd.DataFrame({"ts_us": [], "value": []})
+        )
         # session_idx -> (n_events, start_us, last_ts_us, sum_cents)
         touched = {}
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts_us", "event_id"])
-            for ts_us, val in zip(pdf["ts_us"], pdf["value"]):
-                ts_us = int(ts_us)
-                if last_ts is None or ts_us - last_ts > gap_us:
-                    sidx += 1
-                    n_ev, start_us, cents = 0, ts_us, 0
-                n_ev += 1
-                cents += int(round(float(val) * 100))
-                last_ts = ts_us
-                touched[sidx] = (n_ev, start_us, last_ts, cents)
+        for ts_us, val in zip(pdf["ts_us"], pdf["value"]):
+            ts_us = int(ts_us)
+            if last_ts is None or ts_us - last_ts > gap_us:
+                sidx += 1
+                n_ev, start_us, cents = 0, ts_us, 0
+            n_ev += 1
+            cents += int(round(float(val) * 100))
+            last_ts = ts_us
+            touched[sidx] = (n_ev, start_us, last_ts, cents)
         state.update((last_ts, sidx, n_ev, start_us, cents))
         rows = [
             (int(user_id), s, n, st, (lt - st) / 1e6, c / 100.0)
