@@ -65,6 +65,25 @@ def test_ngram_jaccard_identical_docs(spark):
     assert pairs == {(1, 2): 1.0}
 
 
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    """Skew guard: one ultra-common shingle must NOT produce O(n²) candidate
+    pairs. With the boilerplate shingle shared by every doc dropped at the
+    cap, only the genuinely-similar pair survives; uncapped, the stop
+    shingle alone makes every doc pair a candidate."""
+    common = "the quick brown"  # one k=3 shingle present in every doc
+    rows = [(i, f"{common} unique{i} token{i} word{i}") for i in range(20)]
+    rows += [(100, f"{common} same same same"), (101, f"{common} same same same")]
+    docs = _docs(spark, rows)
+    capped = ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_shingle_df=10)
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in capped.collect()}
+    assert got == {(100, 101): 1.0}
+    # Uncapped, every pair shares the stop shingle → n(n-1)/2 candidates
+    # (the threshold filters them later, but the join already paid the
+    # quadratic cost — that's exactly what the cap prevents).
+    uncapped_cand = ngram_jaccard_pairs(docs, k=3, threshold=0.0, max_shingle_df=None)
+    assert uncapped_cand.count() == (22 * 21) // 2
+
+
 def test_minhash_signature_identical_for_identical_docs(spark):
     docs = _docs(spark, [(1, "a b c d e f"), (2, "a b c d e f"), (3, "q r s t u v")])
     sigs = {r.doc_id: tuple(r[f"m{i}"] for i in range(8)) for r in minhash_signatures(docs).collect()}

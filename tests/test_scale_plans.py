@@ -118,6 +118,35 @@ def test_small_dim_join_broadcasts(spark):
     assert "Exchange hashpartitioning(o_custkey" not in plan
 
 
+def test_neardup_pairs_has_no_nested_loop_join(spark):
+    """embedding_neardup_pairs (r1 scale-killer): candidate generation must
+    be the sign-bucket EQUI-join — a BroadcastNestedLoopJoin over id_a<id_b
+    is quadratic compute regardless of cluster size."""
+    from youtube_api_data_etl_automation_spark.operators.similarity import (
+        most_similar_pairs,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = _plan(most_similar_pairs(emb, top_n=5, sample_mod=10))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # The bucket key carries a hash join (broadcast or shuffled).
+    assert "Join" in plan
+
+
+def test_ngram_jaccard_hot_shingles_filtered_by_broadcast_anti_join(spark):
+    """The stop-shingle cap must distribute as a broadcast anti-join of the
+    (tiny) hot set — not shuffle the full shingle relation a second time."""
+    from youtube_api_data_etl_automation_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(ngram_jaccard_pairs(docs, k=3, max_shingle_df=1000))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_anti_join_broadcasts_existing_keys(spark):
     """The incremental core (J1): existing-keys side is broadcast, candidate
     side never shuffles — the property that makes incremental loads O(delta)

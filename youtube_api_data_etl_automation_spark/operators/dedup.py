@@ -64,14 +64,37 @@ def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                        k: int = 3, threshold: float = 0.5) -> DataFrame:
-    """Exact shingle-set Jaccard for all pairs sharing ≥1 shingle.
+                        k: int = 3, threshold: float = 0.5,
+                        max_shingle_df: int | None = 1000) -> DataFrame:
+    """Exact shingle-set Jaccard for all pairs sharing ≥1 frequent-enough
+    shingle.
 
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
+
+    ``max_shingle_df`` is the skew guard: the self-join key is the shingle,
+    and join output grows with df² per shingle — ONE stop-shingle shared by
+    m docs alone emits m(m-1)/2 candidate rows on a single key (the
+    quadratic blowup that stalls a reducer at corpus scale). Shingles with
+    document frequency above the cap are removed from the shingle SETS
+    (sizes and intersections stay consistent — standard stop-shingle
+    semantics, like dropping stopwords before Jaccard). A near-dup pair
+    shares many shingles, so losing its ultra-common ones barely moves the
+    estimate; df ≤ cap bounds any key's join output at cap² rows. The hot
+    set is tiny by construction, so it distributes as a broadcast anti-join
+    — no extra shuffle of the shingle relation. ``None`` disables the cap.
     """
     # Persist: the self-join would otherwise recompute the whole
     # normalize→shingle→distinct pipeline once per join side.
-    sh = doc_shingles(docs, text_col, id_col, k).persist()
+    sh = doc_shingles(docs, text_col, id_col, k)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -155,17 +155,33 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
 
 
 def most_similar_pairs(corpus: DataFrame, top_n: int = 5, sample_mod: int = 10,
-                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Embedding near-duplicate detection: the globally most-similar pairs
-    within a deterministic sample (id % sample_mod == 0). Output:
-    (id_a, id_b, cosine) — the embedding-cosine dedup primitive."""
-    sample = corpus.filter(F.col(id_col) % sample_mod == 0).select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+                       bits: int = 4, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-duplicate detection: most-similar pairs within a
+    deterministic sample (id % sample_mod == 0). Output: (id_a, id_b,
+    cosine) — the embedding-cosine dedup primitive.
+
+    Candidate generation is the sign-LSH bucket EQUI-join — never the
+    id_a < id_b theta join, which Spark can only execute as a broadcast
+    nested loop: quadratic compute at any corpus size (the r1 scale-killer).
+    Only pairs sharing the ``bits``-bit sign bucket are scored, so expected
+    candidate volume is Σ_buckets (N_b choose 2) ≈ N²/2^(bits+1) and each
+    bucket's pairs hash-join locally. True near-duplicates (cosine → 1)
+    agree on every hyperplane sign, so recall for the pairs that matter is
+    ~1; distant pairs are the ones sacrificed — exactly the LSH trade.
+    tests/test_scale_plans.py pins the no-nested-loop property."""
+    sample = corpus.filter(F.col(id_col) % sample_mod == 0)
+    a = sample.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        sign_bucket(vec_col, bits).alias("bucket"),
     )
-    other = corpus.filter(F.col(id_col) % sample_mod == 0).select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+    b = sample.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        sign_bucket(vec_col, bits).alias("bucket"),
     )
-    pairs = sample.join(F.broadcast(other), F.col("id_a") < F.col("id_b")).select(
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b")).select(
         "id_a", "id_b", cosine_similarity("vec_a", "vec_b").alias("cosine")
     )
     return (

@@ -274,10 +274,12 @@ _SHINGLES_CTE = f"""
     "dedup_ngram_jaccard",
     oracle=_SHINGLES_CTE
     + """
-    , sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    , hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 1000),
+    shc AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
@@ -285,14 +287,16 @@ _SHINGLES_CTE = f"""
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE floor((CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)) * 1000000.0 + 0.5) / 1000000.0 >= 0.2
+    WHERE floor((CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)) * 1000000.0 + 0.5) / 1000000.0 >= 0.02
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (shingle-join candidate
-    generation — never a cross join)."""
+    """Exact n-gram Jaccard near-dup pairs: shingle-join candidate
+    generation (never a cross join) with the stop-shingle df cap active —
+    shingles in >1000 docs are dropped from the sets before the self-join
+    (the skew guard; oracle mirrors the identical cap)."""
     docs = load_table(spark, sf_dir, "documents", rebalance=True).filter(F.col("doc_id") % 5 == 0)
-    return ngram_jaccard_pairs(docs, k=3, threshold=0.2)
+    return ngram_jaccard_pairs(docs, k=3, threshold=0.02, max_shingle_df=1000)
 
 
 def _minhash_oracle(num_hashes: int = 8, band_size: int = 2, threshold: float = 0.25) -> str:
