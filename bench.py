@@ -20,22 +20,26 @@ from youtube_api_data_etl_automation_spark.session import get_spark
 
 # Representative spread: anti-join core, heavy aggregation, star join, window,
 # as-of, scalar-transform block, text/dedup/vector north-star ops.
+# r2 registry consolidation (see BASELINE.md): broadcast_join_parts folded
+# into join_star_revenue, null_safe_ratios into the flagship, distinct_ids
+# into union_distinct_slices; window_running_lag and the fused multimodal
+# query joined the headline set.
 HEADLINE = [
     "flagship_new_order_enrichment",
     "anti_join_new_keys",
     "groupby_agg_pricing",
     "join_star_revenue",
-    "broadcast_join_parts",
     "window_rank_orders",
+    "window_running_lag",
     "asof_last_purchase",
-    "null_safe_ratios",
     "iso_duration_seconds",
-    "distinct_ids",
+    "union_distinct_slices",
     "text_stats_docs",
     "dedup_exact_docs",
     "dedup_minhash_lsh",
     "embedding_knn_batch",
     "ann_sign_lsh_topk",
+    "multimodal_frame_features",
     "sessionize_events",
     "salted_join_revenue",
     "percentile_prices",

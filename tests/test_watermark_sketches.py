@@ -87,3 +87,52 @@ def test_approx_count_distinct_tracks_exact(spark):
     # Determinism: sketch result is merge-order independent.
     again = ev.repartition(3).agg(F.approx_count_distinct("user_id", 0.02)).first()[0]
     assert again == row["approx"]
+
+
+def test_sliding_window_counts_match_batch_expansion(spark):
+    """Sliding windows (1 h window / 30 min slide) through the streaming
+    engine: each event must land in exactly window/slide = 2 windows. The
+    batch oracle replays the expansion (every event assigned to its bucket
+    and the bucket 30 min earlier). Registered-query coverage for this
+    moved into the consolidated registry's tumbling query; the slide
+    semantics are pinned here."""
+    import tempfile
+    import uuid
+
+    from youtube_api_data_etl_automation_spark.streaming.ingest import (
+        read_events_stream,
+        run_available_now,
+        tumbling_event_counts,
+    )
+
+    name = f"slide_{uuid.uuid4().hex[:8]}"
+    stream = read_events_stream(spark, SF_DIR)
+    agg = tumbling_event_counts(stream, window="1 hour", watermark="2 hours", slide="30 minutes")
+    run_available_now(agg, tempfile.mkdtemp(prefix="ckpt_"), name)
+    got = {
+        (r.window_start_us, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table(name).collect()
+    }
+
+    ev = load_table(spark, SF_DIR, "events")
+    bucket = F.timestamp_micros(
+        (F.unix_micros("ts") / (30 * 60 * 1_000_000)).cast("long") * (30 * 60 * 1_000_000)
+    )
+    e = ev.select(bucket.alias("b"), "event_type", "value")
+    expanded = e.select(F.col("b").alias("ws"), "event_type", "value").unionByName(
+        e.select(
+            (F.timestamp_micros(F.unix_micros("b") - 30 * 60 * 1_000_000)).alias("ws"),
+            "event_type",
+            "value",
+        )
+    )
+    want = {
+        (r.ws_us, r.event_type): (r.n_events, r.sum_value)
+        for r in expanded.groupBy(F.unix_micros("ws").alias("ws_us"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == want

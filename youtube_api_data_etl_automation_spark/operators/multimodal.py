@@ -90,6 +90,44 @@ def frame_sample(blobs: DataFrame, frame_bytes: int = 16) -> DataFrame:
     return blobs.mapInPandas(batches, FRAME_SCHEMA)
 
 
+FRAME_FEATURES_SCHEMA = (
+    "doc_id bigint, frame_idx int, frame_len int, first_byte int, last_byte int"
+)
+
+
+def frame_features(blobs: DataFrame, frame_bytes: int = 16) -> DataFrame:
+    """Frame sampling + per-frame feature extraction fused in ONE
+    mapInPandas pass (the video pipeline shape: chunk, then featurize each
+    chunk without a second payload scan). Output row per frame with its
+    length and boundary bytes; fan-out stays inside the partition."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, lens, firsts, lasts = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                n_frames = (n + frame_bytes - 1) // frame_bytes
+                for i in range(n_frames):
+                    lo = i * frame_bytes
+                    ln = min(frame_bytes, n - lo)
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    lens.append(ln)
+                    firsts.append(payload[lo])
+                    lasts.append(payload[lo + ln - 1])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_len": pd.Series(lens, dtype="int32"),
+                    "first_byte": pd.Series(firsts, dtype="int32"),
+                    "last_byte": pd.Series(lasts, dtype="int32"),
+                }
+            )
+
+    return blobs.mapInPandas(batches, FRAME_FEATURES_SCHEMA)
+
+
 def decode_image(blobs: DataFrame) -> DataFrame:
     """Real image decode (resize / pixel stats) — requires an image library
     that is not installed in this environment. Explicit stub per the build

@@ -89,6 +89,7 @@ def stateful_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_status_priority",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
     FROM orders
@@ -96,37 +97,17 @@ def stateful_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over (status, priority): all 4 grouping sets in one pass —
-    Spark expands grouping sets map-side, so it's still a single shuffle."""
+    """CUBE over (status, priority) — the full grouping-sets lattice in one
+    pass (Spark expands the sets map-side: still a single shuffle) — with
+    grouping_id() disambiguating real NULL groups from subtotal rows
+    (Spark's bit-per-column id matches DuckDB's GROUPING() exactly).
+    ROLLUP and arbitrary groupingSets are the same machinery; both APIs are
+    value-checked against SQL in tests/test_grouping.py."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
-    )
-
-
-@query(
-    "grouping_sets_status",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority,
-           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
-           CAST(COUNT(*) AS BIGINT) AS n_orders
-    FROM orders
-    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-    """,
-)
-def grouping_sets_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arbitrary GROUPING SETS (not derivable from rollup/cube) with
-    grouping_id() — Spark's bit-per-column id matches DuckDB's GROUPING()
-    exactly. Single shuffle: the sets expand map-side."""
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.groupingSets(
-        [["o_orderstatus"], ["o_orderpriority"], []],
-        "o_orderstatus",
-        "o_orderpriority",
-    ).agg(
         F.grouping_id().cast("long").alias("gid"),
         F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
     )
 
 
@@ -313,38 +294,8 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, centroids, top_k=3)
 
 
-# ---------------------------------------------------------------------------
-# Regex tokenization (documents) — the "BPE-ish" token count
-# ---------------------------------------------------------------------------
-
-_SUBWORD_PAT = "[a-z]{1,4}|[0-9]{1,3}"
-
-
-@query(
-    "regex_token_count",
-    oracle=f"""
-    SELECT doc_id,
-           CAST(COALESCE(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 0) AS INT) AS n_words,
-           CAST(COALESCE(len(regexp_extract_all(lower(text), '{_SUBWORD_PAT}')), 0) AS INT) AS n_subwords
-    FROM documents
-    """,
-)
-def regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting the tokenizer-budget way: alnum word tokens plus a
-    BPE-ish bounded-subword count (greedy ≤4-char chunks approximates
-    subword-vocab token counts for budget estimation). Pure regexp_count —
-    JVM-side, codegen'd, no UDF."""
-    docs = load_table(spark, sf_dir, "documents", rebalance=True)
-    lower = F.lower(F.col("text"))
-    return docs.select(
-        "doc_id",
-        F.coalesce(F.regexp_count(lower, F.lit("[a-z0-9]+")), F.lit(0))
-        .cast("int")
-        .alias("n_words"),
-        F.coalesce(F.regexp_count(lower, F.lit(_SUBWORD_PAT)), F.lit(0))
-        .cast("int")
-        .alias("n_subwords"),
-    )
+# Regex/"BPE-ish" token counting lives in text_stats_docs (plans/
+# text_queries.py) — same documents pass, two extra codegen'd regexp_counts.
 
 
 # ---------------------------------------------------------------------------
@@ -653,34 +604,43 @@ def sql_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "json_props_extract",
     oracle="""
-    SELECT event_type,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    SELECT event_id, event_type,
+           CAST(COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS BIGINT) AS k_value,
+           CAST(COALESCE(CAST(json_extract_string(props, '$.missing') AS BIGINT), 0) AS BIGINT) AS missing_value,
+           CAST(SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) % 2 = 0
+                         THEN CAST(json_extract(props, '$.k') AS BIGINT) END)
+                OVER (PARTITION BY event_type) AS BIGINT) AS even_k_total
     FROM events
-    WHERE CAST(json_extract(props, '$.k') AS BIGINT) % 2 = 0
-    GROUP BY event_type
     """,
 )
 def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured payload handling (the raw-API JSON capture path,
-    SURVEY.md §2.1): parse the props JSON string with an explicit schema via
-    from_json — never schema inference on the data path — then filter +
-    aggregate on the extracted field. At 100 TB, parse once and project; the
-    JSON never reaches the shuffle."""
+    SURVEY.md §2.1) + the reference's .get() → fillna → astype chain
+    (T1/T2/P2, fetch_youtube_data.py:129-132,:172-174): parse the props
+    JSON with an explicit schema via from_json — never schema inference on
+    the data path — project present AND absent fields null-tolerantly
+    (COALESCE 0 + cast), and aggregate the extracted value per type. At
+    100 TB, parse once and project; the JSON never reaches the shuffle."""
     events = load_table(spark, sf_dir, "events")
     parsed = events.select(
+        "event_id",
         "event_type",
-        F.from_json(F.col("props"), "k long").getField("k").alias("k"),
+        F.from_json(F.col("props"), "k long, missing long").alias("p"),
+    ).select(
+        "event_id",
+        "event_type",
+        F.coalesce(F.col("p.k"), F.lit(0)).alias("k_value"),
+        F.coalesce(F.col("p.missing"), F.lit(0)).alias("missing_value"),
+        F.col("p.k").alias("k"),
     )
-    return (
-        parsed.filter(F.col("k") % 2 == 0)
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("k").alias("sum_k"),
-            F.max("k").alias("max_k"),
-        )
+    w = Window.partitionBy("event_type")
+    even_k = F.when(F.col("k") % 2 == 0, F.col("k"))
+    return parsed.select(
+        "event_id",
+        "event_type",
+        "k_value",
+        "missing_value",
+        F.sum(even_k).over(w).alias("even_k_total"),
     )
 
 
@@ -795,42 +755,6 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@query(
-    "streaming_sliding_counts",
-    oracle="""
-    WITH e AS (
-      SELECT time_bucket(INTERVAL '30 minutes', ts) AS b, event_type, value FROM events
-    ),
-    expanded AS (
-      SELECT b AS ws, event_type, value FROM e
-      UNION ALL
-      SELECT b - INTERVAL '30 minutes' AS ws, event_type, value FROM e
-    )
-    SELECT epoch_us(ws) AS window_start_us,
-           event_type,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-    FROM expanded
-    GROUP BY 1, 2
-    """,
-)
-def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding windows (1 h window / 30 min slide) through the streaming
-    engine: each event feeds window/slide = 2 windows; watermark bounds how
-    long each open window's state lives. Oracle replays the same expansion
-    in batch SQL."""
-    import tempfile
-
-    from ..streaming.ingest import (
-        read_events_stream,
-        run_available_now,
-        tumbling_event_counts,
-    )
-
-    name = f"stream_sliding_{uuid.uuid4().hex[:8]}"
-    stream = read_events_stream(spark, sf_dir)
-    agg = tumbling_event_counts(
-        stream, window="1 hour", watermark="2 hours", slide="30 minutes"
-    )
-    run_available_now(agg, tempfile.mkdtemp(prefix="ckpt_"), name)
-    return spark.table(name)
+# Sliding windows (window="1 hour", slide="30 minutes") run through the
+# same tumbling_event_counts machinery; value-checked against the batch
+# window expansion in tests/test_watermark_sketches.py.

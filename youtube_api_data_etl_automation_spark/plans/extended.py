@@ -15,8 +15,8 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import round6
 from ..functions.text import EN_STOPWORDS
-from ..operators.multimodal import attach_binary, extract_features, frame_sample
-from ..operators.simhash import N_BITS, simhash, simhash_pairs
+from ..operators.multimodal import attach_binary, frame_features
+from ..operators.simhash import N_BITS, simhash_pairs
 from ..sources.tables import load_table
 from .registry import query
 from .text_queries import _NORM, _sql_list
@@ -25,39 +25,27 @@ _QUALITY_STOPWORDS = _sql_list(EN_STOPWORDS)
 
 
 @query(
-    "multimodal_features",
-    oracle="""
-    SELECT doc_id,
-           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
-           CAST(CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE -1 END AS INT) AS first_byte,
-           CAST(CASE WHEN length(text) > 0 THEN ascii(substr(text, length(text), 1)) ELSE -1 END AS INT) AS last_byte
-    FROM documents
-    """,
-)
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary payload + metadata modeling → Arrow-batched mapInPandas
-    feature extraction (the multimodal pipeline shape; decode stubbed per
-    environment, plumbing fully real)."""
-    docs = load_table(spark, sf_dir, "documents", rebalance=True)
-    return extract_features(attach_binary(docs))
-
-
-@query(
-    "multimodal_frame_sample",
+    "multimodal_frame_features",
     oracle="""
     WITH b AS (
-      SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n FROM documents
+      SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n FROM documents
     )
     SELECT doc_id, CAST(i AS INT) AS frame_idx,
-           CAST(least(16, n - i * 16) AS INT) AS frame_len
+           CAST(least(16, n - i * 16) AS INT) AS frame_len,
+           CAST(ascii(substr(text, CAST(i * 16 + 1 AS INT), 1)) AS INT) AS first_byte,
+           CAST(ascii(substr(text, CAST(i * 16 + least(16, n - i * 16) AS INT), 1)) AS INT) AS last_byte
     FROM b, unnest(generate_series(0, CAST(ceil(n / 16.0) AS BIGINT) - 1)) AS t(i)
     """,
 )
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-stride frame sampling over binary payloads (video/audio chunk
-    access pattern) — per-partition fan-out in mapInPandas, no shuffle."""
+def multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal pipeline shape end-to-end: binary payload + metadata
+    modeling → fixed-stride frame sampling (video/audio chunk access
+    pattern) → per-frame feature extraction, fused in one Arrow-batched
+    mapInPandas pass (fan-out stays in-partition, payload scanned once;
+    decode itself stubbed per environment, plumbing fully real). The
+    ASCII corpus makes byte features oracle-checkable via substr/ascii."""
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
-    return frame_sample(attach_binary(docs), frame_bytes=16)
+    return frame_features(attach_binary(docs), frame_bytes=16)
 
 
 def _simhash_oracle_core() -> str:
@@ -84,14 +72,10 @@ def _simhash_oracle_core() -> str:
     """
 
 
-@query(
-    "simhash_docs",
-    oracle=_simhash_oracle_core() + "SELECT doc_id, simhash FROM sig",
-)
-def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash fingerprint per document (md5-digit-parity planes —
-    engine-portable). One explode + one groupBy = one shuffle."""
-    return simhash(load_table(spark, sf_dir, "documents", rebalance=True))
+# The per-doc SimHash signature is driver-verified through
+# `dedup_simhash_pairs` / `dedup_connected_components` (both recompute the
+# identical signature in their oracles) and property-tested in
+# tests/test_operators.py.
 
 
 @query(

@@ -17,23 +17,8 @@ from ..sources.tables import load_table
 from .registry import query
 
 
-@query(
-    "null_safe_ratios",
-    oracle=f"""
-    SELECT l_orderkey, l_linenumber,
-           {sql_round6('l_tax / NULLIF(l_discount, 0) * 1000')} AS tax_disc_ratio
-    FROM lineitem
-    """,
-)
-def null_safe_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T10 + §2.6 item 1: ratio arithmetic with NULL on zero denominator
-    (pandas emitted inf/NaN; NULL is the engine policy)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        round6(safe_ratio("l_tax", "l_discount", 1000.0)).alias("tax_disc_ratio"),
-    )
+# T10 (÷0→NULL safe ratios) is driver-verified through the flagship query's
+# unit_price column and unit-tested in tests/test_transforms.py.
 
 
 @query(
@@ -99,27 +84,9 @@ def timestamp_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "cast_null_coalesce",
-    oracle="""
-    SELECT event_id,
-           CAST(COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS BIGINT) AS k_value,
-           CAST(COALESCE(CAST(json_extract_string(props, '$.missing') AS BIGINT), 0) AS BIGINT) AS missing_value
-    FROM events
-    """,
-)
-def cast_null_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T1/T2 + P2: null-tolerant nested-field projection (JSON) and
-    fillna(0)+cast parity — the reference's .get() → fillna → astype chain
-    (fetch_youtube_data.py:129-132, :172-174)."""
-    ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
-    miss = F.get_json_object("props", "$.missing").cast("long")
-    return ev.select(
-        "event_id",
-        F.coalesce(k, F.lit(0)).alias("k_value"),
-        F.coalesce(miss, F.lit(0)).alias("missing_value"),
-    )
+# T1/T2 + P2 (null-tolerant nested projection, fillna(0)+cast) are
+# driver-verified through `json_props_extract` (plans/advanced.py), which
+# runs the same .get() → fillna → astype chain over the events JSON.
 
 
 @query("reference_etl_video_stats", oracle=None)

@@ -58,20 +58,32 @@ def anti_join_new_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "semi_join_active_customers",
+    "active_segment_rollup",
     oracle="""
-    SELECT c_custkey, c_name, c_mktsegment
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
     FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    HAVING COUNT(*) > 10
     """,
 )
-def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT SEMI join — membership without multiplying rows."""
+def active_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (membership without multiplying rows) feeding a
+    GROUP BY + HAVING (post-aggregation filter) — one query demonstrating
+    both: only customers with ≥1 order, rolled up per segment, small
+    segments filtered after the aggregate."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    return customer.join(
+    active = customer.join(
         orders.select("o_custkey"), customer.c_custkey == F.col("o_custkey"), "left_semi"
-    ).select("c_custkey", "c_name", "c_mktsegment")
+    )
+    return (
+        active.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"), _dec_sum("c_acctbal", "total_bal"))
+        .filter(F.col("n_customers") > 10)
+    )
 
 
 @query(
@@ -93,63 +105,62 @@ def empty_delta_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # A1/A3/A4 — distinct / union-all / set difference (SURVEY.md §2.5)
 # ---------------------------------------------------------------------------
-@query("distinct_ids", oracle="SELECT DISTINCT l_partkey FROM lineitem")
-def distinct_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1: global dedup on a scalar key (reference's list(set(ids)) at :103).
-    Hash-aggregate with map-side partial dedup — shuffles only unique keys."""
-    return load_table(spark, sf_dir, "lineitem").select("l_partkey").distinct()
+@query(
+    "union_distinct_slices",
+    oracle="""
+    SELECT DISTINCT o_orderkey, o_totalprice FROM (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 150000
+      UNION ALL
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100000
+    )
+    """,
+)
+def union_distinct_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 + A1 in one plan: UNION ALL of two deliberately OVERLAPPING slices
+    (the reference's per-playlist append loop :81-96 — unionByName is pure
+    partition concatenation, no shuffle), then global DISTINCT (the
+    reference's list(set(ids)) at :103 — hash-aggregate with map-side
+    partial dedup, only unique keys shuffle). The overlap region is what
+    makes the distinct observable."""
+    orders = load_table(spark, sf_dir, "orders")
+    hi = orders.filter(F.col("o_totalprice") > 150000).select("o_orderkey", "o_totalprice")
+    mid = orders.filter(F.col("o_totalprice") > 100000).select("o_orderkey", "o_totalprice")
+    return hi.unionByName(mid).distinct()
 
 
 @query(
-    "union_all_slices",
+    "setops_except_intersect",
     oracle="""
-    SELECT o_orderkey, o_totalprice, 'high' AS bucket FROM orders WHERE o_totalprice > 200000
+    SELECT 'except' AS op, o_orderkey AS key FROM (
+      SELECT o_orderkey FROM orders
+      EXCEPT
+      SELECT l_orderkey AS o_orderkey FROM lineitem
+    )
     UNION ALL
-    SELECT o_orderkey, o_totalprice, 'low' AS bucket FROM orders WHERE o_totalprice < 50000
+    SELECT 'intersect' AS op, o_custkey AS key FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
     """,
 )
-def union_all_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3: UNION ALL of per-partition scans (reference's per-playlist append
-    loop :81-96). unionByName — no shuffle, pure concatenation of partitions."""
+def setops_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 both ways in one tagged relation: EXCEPT (orders with no
+    lineitems — the reference's video_ids − existing_ids) and INTERSECT
+    (customers with both open and finished orders), each a hash-partitioned
+    set op, union-tagged with the op name."""
     orders = load_table(spark, sf_dir, "orders")
-    hi = orders.filter(F.col("o_totalprice") > 200000).select(
-        "o_orderkey", "o_totalprice", F.lit("high").alias("bucket")
-    )
-    lo = orders.filter(F.col("o_totalprice") < 50000).select(
-        "o_orderkey", "o_totalprice", F.lit("low").alias("bucket")
-    )
-    return hi.unionByName(lo)
-
-
-@query(
-    "except_keys",
-    oracle="""
-    SELECT o_orderkey FROM orders
-    EXCEPT
-    SELECT l_orderkey AS o_orderkey FROM lineitem
-    """,
-)
-def except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4: set difference on keys (reference's video_ids − existing_ids)."""
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
     li = load_table(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("o_orderkey"))
-    return orders.exceptAll(li.distinct()).distinct()
-
-
-@query(
-    "intersect_keys",
-    oracle="""
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-    INTERSECT
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-    """,
-)
-def intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set intersection (customers with both open and finished orders)."""
-    orders = load_table(spark, sf_dir, "orders")
+    exc = (
+        orders.select("o_orderkey")
+        .exceptAll(li.distinct())
+        .distinct()
+        .select(F.lit("except").alias("op"), F.col("o_orderkey").alias("key"))
+    )
     f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
-    return f.intersect(o)
+    its = f.intersect(o).select(F.lit("intersect").alias("op"), F.col("o_custkey").alias("key"))
+    return exc.unionByName(its)
 
 
 @query(
@@ -207,44 +218,9 @@ def groupby_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "groupby_having_segments",
-    oracle="""
-    SELECT c_mktsegment,
-           CAST(COUNT(*) AS BIGINT) AS n_customers,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
-    FROM customer
-    GROUP BY c_mktsegment
-    HAVING COUNT(*) > 10
-    """,
-)
-def groupby_having_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUP BY + HAVING (post-aggregation filter)."""
-    return (
-        load_table(spark, sf_dir, "customer")
-        .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n_customers"), _dec_sum("c_acctbal", "total_bal"))
-        .filter(F.col("n_customers") > 10)
-    )
-
-
-@query(
-    "rollup_order_status",
-    oracle="""
-    SELECT o_orderpriority, o_orderstatus,
-           CAST(COUNT(*) AS BIGINT) AS cnt,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-    FROM orders
-    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
-    """,
-)
-def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy totals (grouping-sets family)."""
-    return (
-        load_table(spark, sf_dir, "orders")
-        .rollup("o_orderpriority", "o_orderstatus")
-        .agg(F.count(F.lit(1)).alias("cnt"), _dec_sum("o_totalprice", "total"))
-    )
+# ROLLUP / arbitrary GROUPING SETS demos live in tests/test_grouping.py;
+# the registered grouping-sets-family query is the full-lattice CUBE with
+# grouping_id (`cube_status_priority`) — CUBE subsumes both shapes.
 
 
 @query(
@@ -304,27 +280,6 @@ def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "broadcast_join_parts",
-    oracle="""
-    SELECT p_brand,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(COUNT(*) AS BIGINT) AS n_lines
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    GROUP BY p_brand
-    """,
-)
-def broadcast_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit broadcast-hash join of the big fact against a small dim."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = F.broadcast(load_table(spark, sf_dir, "part"))
-    return (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .groupBy("p_brand")
-        .agg(_dec_sum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n_lines"))
-    )
-
-
-@query(
     "range_join_ship_window",
     oracle="""
     SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_fast_lines
@@ -354,27 +309,9 @@ def range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Ordering / top-k / windows
+# (global ORDER BY + LIMIT — TakeOrderedAndProject — is exercised by
+#  `sql_q3_shipping_priority` and the similarity top-k queries)
 # ---------------------------------------------------------------------------
-@query(
-    "topk_orders",
-    oracle="""
-    SELECT o_orderkey, o_custkey, o_totalprice
-    FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey
-    LIMIT 10
-    """,
-)
-def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k: Spark plans TakeOrderedAndProject — per-partition heap + driver
-    merge of k rows, never a global sort. Deterministic tie-break on key."""
-    return (
-        load_table(spark, sf_dir, "orders")
-        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-        .limit(10)
-    )
-
-
 @query(
     "window_rank_orders",
     oracle="""
@@ -403,44 +340,28 @@ def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "window_running_sum",
+    "window_running_lag",
     oracle=f"""
     SELECT event_id, user_id,
            {sql_round6('''SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''')} AS running_value
-    FROM events
-    """,
-)
-def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running total per user — deterministic accumulation order (ts,
-    event_id), so double results agree across engines; rounded as guard."""
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return load_table(spark, sf_dir, "events").select(
-        "event_id",
-        "user_id",
-        round6(F.sum("value").over(w)).alias("running_value"),
-    )
-
-
-@query(
-    "window_lag_delta",
-    oracle=f"""
-    SELECT event_id, user_id,
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''')} AS running_value,
            {sql_round6('value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)')} AS delta
     FROM events
     """,
 )
-def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LAG-based per-user delta (sessionization building block)."""
+def window_running_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total + LAG delta per user in ONE window pass: both functions
+    share the (user_id | ts, event_id) ordering, so Catalyst plans a single
+    shuffle + single sort serving both — the shape to prefer over separate
+    window queries at scale. Deterministic accumulation order keeps double
+    results engine-identical; rounded as guard."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     v = F.col("value")
     return load_table(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
+        round6(F.sum(v).over(wsum)).alias("running_value"),
         round6(v - F.lag(v).over(w)).alias("delta"),
     )
 

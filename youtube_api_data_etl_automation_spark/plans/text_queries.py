@@ -15,10 +15,8 @@ from ..functions.rounding import round6
 from ..functions.text import (
     EN_STOPWORDS,
     LANG_MARKERS,
-    doc_fingerprint,
     lang_id_t,
     punct_count,
-    quality_score,
     stopword_count_t,
     token_count_t,
     tokens,
@@ -35,6 +33,11 @@ def _sql_list(words) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
 
 
+# BPE-ish bounded-subword pattern: greedy ≤4-char chunks approximate
+# subword-vocab token counts for tokenizer-budget estimation.
+_SUBWORD_PAT = "[a-z]{1,4}|[0-9]{1,3}"
+
+
 @query(
     "text_stats_docs",
     oracle=f"""
@@ -46,55 +49,36 @@ def _sql_list(words) -> str:
            CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS INT) AS n_punct,
            CAST(len(list_filter(string_split(norm, ' '),
                                 x -> list_contains({_sql_list(EN_STOPWORDS)}, x))) AS INT) AS n_stopwords,
-           CAST(COALESCE(length(text), 0) AS INT) AS n_chars_raw
+           CAST(COALESCE(length(text), 0) AS INT) AS n_chars_raw,
+           CAST(COALESCE(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 0) AS INT) AS n_words,
+           CAST(COALESCE(len(regexp_extract_all(lower(text), '{_SUBWORD_PAT}')), 0) AS INT) AS n_subwords
     FROM n
     """,
 )
 def text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting + punctuation + stopword stats — the text-quality
-    feature primitives, all JVM-side Column expressions (no UDF)."""
+    """Token counting + punctuation + stopword stats, plus the tokenizer-
+    budget counts: alnum word tokens and a BPE-ish bounded-subword count
+    (greedy ≤4-char chunks ≈ subword-vocab tokens). All JVM-side Column
+    expressions — regexp_count is codegen'd, no UDF anywhere."""
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
     toks = docs.select("doc_id", "text", tokens("text").alias("tok"))
+    lower = F.lower(F.col("text"))
     return toks.select(
         "doc_id",
         token_count_t("tok").alias("n_tokens"),
         punct_count("text").alias("n_punct"),
         stopword_count_t("tok").alias("n_stopwords"),
         F.coalesce(F.length("text"), F.lit(0)).cast("int").alias("n_chars_raw"),
+        F.coalesce(F.regexp_count(lower, F.lit("[a-z0-9]+")), F.lit(0))
+        .cast("int")
+        .alias("n_words"),
+        F.coalesce(F.regexp_count(lower, F.lit(_SUBWORD_PAT)), F.lit(0))
+        .cast("int")
+        .alias("n_subwords"),
     )
 
 
-@query(
-    "quality_score_docs",
-    oracle=f"""
-    WITH n AS (
-      SELECT doc_id, text, {_NORM.format(col='text')} AS norm FROM documents
-    ), s AS (
-      SELECT doc_id,
-             CAST(CASE WHEN norm = '' THEN 0 ELSE len(string_split(norm, ' ')) END AS DOUBLE) AS nt,
-             CAST(COALESCE(length(text), 0) AS DOUBLE) AS ln,
-             CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS np,
-             CAST(len(list_filter(string_split(norm, ' '),
-                                  x -> list_contains({_sql_list(EN_STOPWORDS)}, x))) AS DOUBLE) AS sw
-      FROM n
-    )
-    SELECT doc_id,
-           floor((0.5 * least(1.0, nt / 64.0)
-                 + 0.3 * (1.0 - CASE WHEN ln > 0 THEN np / ln ELSE 0.0 END)
-                 + 0.2 * CASE WHEN nt > 0 THEN sw / nt ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS quality
-    FROM s
-    """,
-)
-def quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic document quality heuristic (length/punct/stopword mix)."""
-    from ..functions.text import quality_score_t
-
-    docs = load_table(spark, sf_dir, "documents", rebalance=True)
-    toks = docs.select("doc_id", "text", tokens("text").alias("tok"))
-    return toks.select("doc_id", round6(quality_score_t("text", "tok")).alias("quality"))
-
-
-def _lang_oracle() -> str:
+def _lang_quality_oracle() -> str:
     counts = ",\n             ".join(
         f"CAST(len(list_filter(toks, x -> list_contains({_sql_list(mks)}, x))) AS INT) AS c_{lang}"
         for lang, mks in LANG_MARKERS.items()
@@ -106,30 +90,52 @@ def _lang_oracle() -> str:
     )
     return f"""
     WITH n AS (
-      SELECT doc_id, {_NORM.format(col='text')} AS norm FROM documents
+      SELECT doc_id, text, {_NORM.format(col='text')} AS norm FROM documents
     ), t AS (
-      SELECT doc_id, CASE WHEN norm = '' THEN [] ELSE string_split(norm, ' ') END AS toks FROM n
+      SELECT doc_id, text, norm,
+             CASE WHEN norm = '' THEN [] ELSE string_split(norm, ' ') END AS toks
+      FROM n
     ), c AS (
-      SELECT doc_id,
+      SELECT doc_id, text, toks,
              {counts}
       FROM t
     ), b AS (
-      SELECT doc_id, c_en, c_es, c_fr, c_de, {best} AS best FROM c
-    )
-    SELECT doc_id,
-           CASE WHEN best = 0 THEN 'und'
+      SELECT doc_id, text, toks, {best} AS best, c_en, c_es, c_fr, c_de FROM c
+    ), s AS (
+      SELECT doc_id,
+             CASE WHEN best = 0 THEN 'und'
                 {whens}
-                ELSE 'und' END AS lang_guess
-    FROM b
+                ELSE 'und' END AS lang_guess,
+             CAST(len(toks) AS DOUBLE) AS nt,
+             CAST(COALESCE(length(text), 0) AS DOUBLE) AS ln,
+             CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS np,
+             CAST(len(list_filter(toks, x -> list_contains({_sql_list(EN_STOPWORDS)}, x))) AS DOUBLE) AS sw
+      FROM b
+    )
+    SELECT doc_id, lang_guess,
+           floor((0.5 * least(1.0, nt / 64.0)
+                 + 0.3 * (1.0 - CASE WHEN ln > 0 THEN np / ln ELSE 0.0 END)
+                 + 0.2 * CASE WHEN nt > 0 THEN sw / nt ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS quality
+    FROM s
     """
 
 
-@query("lang_id_docs", oracle=_lang_oracle())
-def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-vocabulary language ID with deterministic tie-break order."""
+@query("lang_quality_docs", oracle=_lang_quality_oracle())
+def lang_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc language ID (marker vocabulary, deterministic tie-break) AND
+    the quality heuristic (length/punct/stopword mix) from ONE token
+    projection — the two per-doc scoring primitives the filter funnel
+    composes, value-checked row by row here (the funnel's aggregate check
+    alone could mask compensating errors)."""
+    from ..functions.text import quality_score_t
+
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
-    toks = docs.select("doc_id", tokens("text").alias("tok"))
-    return toks.select("doc_id", lang_id_t("tok").alias("lang_guess"))
+    toks = docs.select("doc_id", "text", tokens("text").alias("tok"))
+    return toks.select(
+        "doc_id",
+        lang_id_t("tok").alias("lang_guess"),
+        round6(quality_score_t("text", "tok")).alias("quality"),
+    )
 
 
 def _filter_report_oracle() -> str:
@@ -224,18 +230,8 @@ def corpus_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "fingerprint_docs",
-    oracle=f"""
-    SELECT doc_id, md5({_NORM.format(col='text')}) AS fingerprint
-    FROM documents
-    """,
-)
-def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content fingerprinting (md5 of normalized text) — portable across
-    engines, unlike engine-native hash functions."""
-    docs = load_table(spark, sf_dir, "documents", rebalance=True)
-    return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+# The md5 content fingerprint (doc_fingerprint) is driver-verified through
+# `dedup_exact_docs`, which groups BY that fingerprint and emits it.
 
 
 @query(

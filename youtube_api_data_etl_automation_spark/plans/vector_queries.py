@@ -28,44 +28,9 @@ def _cos(a: str, b: str) -> str:
     )
 
 
-@query(
-    "embedding_cosine_topk",
-    oracle=f"""
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-    scored AS (
-      SELECT e.vec_id AS neighbor_id, {_cos('e.embedding', 'q.qv')} AS cos
-      FROM embeddings e, q
-      WHERE e.vec_id <> 0
-    )
-    SELECT neighbor_id, floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine
-    FROM scored
-    ORDER BY 2 DESC, neighbor_id
-    LIMIT 10
-    """,
-)
-def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k for one query vector — the exact ANN
-    baseline. Query side broadcasts; corpus never shuffles; top-k is
-    TakeOrderedAndProject (heap, not global sort)."""
-    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
-    q = F.broadcast(
-        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    )
-    from ..functions.vectors import cosine_similarity
-
-    scored = (
-        emb.filter(F.col("vec_id") != 0)
-        .join(q)
-        .select(
-            F.col("vec_id").alias("neighbor_id"),
-            cosine_similarity("embedding", "qv").alias("cos"),
-        )
-    )
-    return (
-        scored.select("neighbor_id", round6(F.col("cos")).alias("cosine"))
-        .orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-        .limit(10)
-    )
+# The single-query brute-force cosine top-k is the batch=1 special case of
+# `embedding_knn_batch` (same broadcast-queries × corpus plan, same exact
+# scoring); only the batched form is registered.
 
 
 @query(
