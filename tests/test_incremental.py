@@ -83,3 +83,53 @@ def test_merge_upsert(spark, tmp_path):
     merge_upsert(upd, sink, "k")
     again = {r["k"]: (r["name"], r["v"]) for r in spark.read.parquet(sink).collect()}
     assert again == got
+
+
+def test_sink_exists_probe(spark, tmp_path):
+    """S5: the sink probe is a real FS existence check — false before any
+    write, true after, and never confuses an empty dir for a table."""
+    from youtube_api_data_etl_automation_spark.operators.incremental import sink_exists
+
+    sink = str(tmp_path / "probe_sink")
+    assert not sink_exists(spark, sink)
+    append_delta(_orders(spark, 0, 5), sink, "videoId")
+    assert sink_exists(spark, sink)
+
+
+def test_jdbc_append_delta_idempotent(spark, tmp_path):
+    """S6 over JDBC (the reference's actual sink is a database via to_sql
+    append, fetch_youtube_data.py:194): same idempotent-append property as
+    the parquet path, against embedded Derby."""
+    from youtube_api_data_etl_automation_spark.operators.jdbc import (
+        append_delta_jdbc,
+        derby_url,
+        jdbc_table_exists,
+        read_dim_jdbc,
+    )
+
+    url = derby_url(str(tmp_path / "derby_db"))
+    assert not jdbc_table_exists(spark, url, "video_stats")
+    assert append_delta_jdbc(_orders(spark, 0, 100), url, "video_stats", "videoId") == 100
+    assert jdbc_table_exists(spark, url, "video_stats")
+    # overlapping second batch: only the delta lands
+    assert append_delta_jdbc(_orders(spark, 0, 150), url, "video_stats", "videoId") == 50
+    # exact re-run: no-op
+    assert append_delta_jdbc(_orders(spark, 0, 150), url, "video_stats", "videoId") == 0
+    back = read_dim_jdbc(spark, url, "video_stats")
+    assert back.count() == 150
+    assert back.groupBy("videoId").count().filter("count > 1").count() == 0
+
+
+def test_jdbc_overwrite_dim(spark, tmp_path):
+    """S7 over JDBC (to_sql replace, :198): full-replace semantics."""
+    from youtube_api_data_etl_automation_spark.operators.jdbc import (
+        derby_url,
+        overwrite_dim_jdbc,
+        read_dim_jdbc,
+    )
+
+    url = derby_url(str(tmp_path / "derby_dim"))
+    overwrite_dim_jdbc(_orders(spark, 0, 10), url, "channel_stats")
+    overwrite_dim_jdbc(_orders(spark, 100, 105), url, "channel_stats")
+    got = sorted(r.videoId for r in read_dim_jdbc(spark, url, "channel_stats").collect())
+    assert got == list(range(100, 105))

@@ -25,6 +25,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def sink_exists(spark, sink_path: str) -> bool:
+    """Sink-exists probe (S5) as a REAL existence check — the Hadoop
+    FileSystem the session would read through — instead of try/except
+    around the read, which would silently treat corrupt files or
+    permission errors as 'first run' and overwrite-by-append. (For
+    catalog-managed tables the probe is ``spark.catalog.tableExists``;
+    the engine's own state is a path-addressed parquet sink.)"""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(sink_path)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(path))
+
+
 def select_new(candidates: DataFrame, existing: DataFrame, key: str,
                broadcast_existing: bool = True) -> DataFrame:
     """Rows of ``candidates`` whose ``key`` is absent from ``existing``.
@@ -61,11 +74,9 @@ def append_delta(delta: DataFrame, sink_path: str, key: str) -> int:
     is the same protocol over a database sink.
     """
     spark = delta.sparkSession
-    try:
+    if sink_exists(spark, sink_path):
         existing = spark.read.parquet(sink_path)
         delta = select_new(delta, existing, key)
-    except Exception:
-        pass  # first run — sink doesn't exist yet
     delta = delta.localCheckpoint()
     n = delta.count()
     if n > 0:
@@ -93,11 +104,10 @@ def merge_upsert(updates: DataFrame, sink_path: str, key: str) -> None:
     """
     spark = updates.sparkSession
     updates = updates.dropDuplicates([key])
-    try:
-        existing = spark.read.parquet(sink_path)
-    except Exception:
+    if not sink_exists(spark, sink_path):
         updates.write.mode("overwrite").parquet(sink_path)  # first run
         return
+    existing = spark.read.parquet(sink_path)
     kept = existing.join(F.broadcast(updates.select(key)), on=key, how="left_anti")
     merged = kept.unionByName(updates).localCheckpoint()
     merged.write.mode("overwrite").parquet(sink_path)

@@ -20,7 +20,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators.incremental import append_delta, is_empty, overwrite_dim, select_new
+from .operators.incremental import append_delta, overwrite_dim, select_new, sink_exists
 from .sources.youtube_api import YouTubeDataSource
 from .transforms import enrich_videos
 
@@ -67,11 +67,14 @@ def run_etl(spark: SparkSession, channel_ids: list[str], warehouse: str,
     candidate_ids = items.select("videoId").distinct()  # A1 (:103)
     counts["candidate_ids"] = candidate_ids.count()
 
-    # State read + J1 anti-join (key-only scan of the sink, :154-160)
+    # State read + J1 anti-join (key-only scan of the sink, :154-160).
+    # S5 sink-exists probe is a real FS check, not try/except around the
+    # read — a corrupt or unreadable sink must surface, not be treated as
+    # first-run (which would re-append everything).
     video_sink = os.path.join(warehouse, "video_stats")
-    try:
+    if sink_exists(spark, video_sink):
         existing = spark.read.parquet(video_sink).select("videoId")
-    except Exception:
+    else:
         existing = spark.createDataFrame([], "videoId string")
     new_ids = select_new(candidate_ids, existing, "videoId")
     counts["new_videos"] = new_ids.count()
