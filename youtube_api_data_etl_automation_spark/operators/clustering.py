@@ -58,10 +58,14 @@ def kmeans_lloyd(spark: SparkSession, corpus: DataFrame, init_centroids: DataFra
         means = (
             comp.groupBy("cluster_id", "pos")
             .agg(
+                # Exact decimal SUM (order-independent), cast to double
+                # BEFORE the divide: one double division is reproducible
+                # across engines, while decimal-division precision/scale
+                # rules are engine-specific (Spark and DuckDB disagree).
                 (
-                    F.sum(F.col("col").cast("decimal(28,12)")) / F.count(F.lit(1))
+                    F.sum(F.col("col").cast("decimal(28,12)")).cast("double")
+                    / F.count(F.lit(1))
                 )
-                .cast("double")
                 .alias("m")
             )
             .groupBy("cluster_id")

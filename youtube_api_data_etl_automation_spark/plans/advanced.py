@@ -351,17 +351,78 @@ def rolling_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# k-means (embeddings) — iterative algorithm, rows-only check (no oracle:
-# genuinely non-SQL-expressible per the driver contract; the deterministic
-# iterative op WITH an oracle is dedup_connected_components)
+# k-means (embeddings) — iterative algorithm. The iteration count is FIXED
+# (3), every step is deterministic (round6 cosine assignment with id
+# tie-break; decimal-exact component sums; one double division), so the
+# oracle UNROLLS the three Lloyd rounds as chained CTEs — upgrading what
+# was a rows-only check in r1 to a full value check.
 # ---------------------------------------------------------------------------
 
+_KM_DIM = 64  # embeddings table dimension (TESTDATA.md)
 
-@query("kmeans_embeddings", oracle=None)
+
+def _kmeans_oracle(n_iter: int = 3) -> str:
+    cos = (
+        "list_dot_product({a}, {b})"
+        " / nullif(sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b})), 0.0)"
+    )
+
+    def assign(src_cent: str, name: str) -> str:
+        c = sql_round6(cos.format(a="e.v", b="c.cv"))
+        return f"""{name} AS (
+      SELECT vec_id, v, cluster_id FROM (
+        SELECT e.vec_id, e.v, c.cluster_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {c} DESC, c.cluster_id) AS rn
+        FROM e CROSS JOIN {src_cent} c
+      ) WHERE rn = 1
+    )"""
+
+    def recompute(src_assign: str, name: str) -> str:
+        return f"""{name} AS (
+      SELECT cluster_id, list(m ORDER BY pos) AS cv FROM (
+        SELECT cluster_id, pos,
+               CAST(SUM(CAST(v[pos] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+        FROM {src_assign}, range(1, {_KM_DIM + 1}) r(pos)
+        GROUP BY cluster_id, pos
+      ) GROUP BY cluster_id
+    )"""
+
+    ctes = [
+        """e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )""",
+        """c0 AS (
+      SELECT CAST(vec_id - 10 AS INT) AS cluster_id,
+             CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id BETWEEN 10 AND 17
+    )""",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(assign(f"c{i - 1}", f"a{i}"))
+        ctes.append(recompute(f"a{i}", f"c{i}"))
+    ctes.append(assign(f"c{n_iter}", "af"))
+    final_c = sql_round6(cos.format(a="a.v", b="c.cv"))
+    avg = sql_round6("CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)")
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           {avg} AS avg_cos_to_centroid
+    FROM (SELECT a.cluster_id, {final_c} AS c
+          FROM af a JOIN c{n_iter} c USING (cluster_id))
+    GROUP BY cluster_id
+    """
+    )
+
+
+@query("kmeans_embeddings", oracle=_kmeans_oracle())
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-iteration Lloyd's k-means (k=8, cosine assignment, decimal-exact
-    centroid updates), seeded deterministically from vectors 10-17 —
-    the IVF-index-training op. Rows-only driver check (iterative)."""
+    centroid updates), seeded deterministically from vectors 10-17 — the
+    IVF-index-training op. Every step is deterministic, so the DuckDB
+    oracle replays the three rounds as unrolled CTEs and the driver
+    value-checks the final per-cluster rollup (r1 had this rows-only)."""
     from ..operators.clustering import kmeans_lloyd
 
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
