@@ -124,6 +124,17 @@ def quality_score(col: Column | str) -> Column:
     return quality_score_t(col, tokens(col))
 
 
+def dup_token_fraction_t(tok: Column | str) -> Column:
+    """Repetition signal (Gopher-style duplicate-fraction family, unigram
+    member): fraction of tokens that are repeats of an earlier token —
+    1 − |distinct|/|tokens|, 0 for empty docs. High values flag boilerplate
+    and degenerate generations; round at the query edge."""
+    t = F.col(tok) if isinstance(tok, str) else tok
+    n = F.size(t).cast("double")
+    nd = F.size(F.array_distinct(t)).cast("double")
+    return F.when(n > 0, (n - nd) / n).otherwise(F.lit(0.0))
+
+
 def doc_fingerprint(col: Column | str) -> Column:
     """Stable content fingerprint: md5 of the normalized text (hex string —
     identical across engines, unlike engine-native hash())."""

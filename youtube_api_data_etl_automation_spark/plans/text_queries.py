@@ -51,15 +51,22 @@ _SUBWORD_PAT = "[a-z]{1,4}|[0-9]{1,3}"
                                 x -> list_contains({_sql_list(EN_STOPWORDS)}, x))) AS INT) AS n_stopwords,
            CAST(COALESCE(length(text), 0) AS INT) AS n_chars_raw,
            CAST(COALESCE(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 0) AS INT) AS n_words,
-           CAST(COALESCE(len(regexp_extract_all(lower(text), '{_SUBWORD_PAT}')), 0) AS INT) AS n_subwords
+           CAST(COALESCE(len(regexp_extract_all(lower(text), '{_SUBWORD_PAT}')), 0) AS INT) AS n_subwords,
+           floor((CASE WHEN norm = '' THEN 0.0
+                       ELSE 1.0 - CAST(len(list_distinct(string_split(norm, ' '))) AS DOUBLE)
+                                  / len(string_split(norm, ' ')) END) * 1000000.0 + 0.5)
+             / 1000000.0 AS dup_token_frac
     FROM n
     """,
 )
 def text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting + punctuation + stopword stats, plus the tokenizer-
-    budget counts: alnum word tokens and a BPE-ish bounded-subword count
-    (greedy ≤4-char chunks ≈ subword-vocab tokens). All JVM-side Column
-    expressions — regexp_count is codegen'd, no UDF anywhere."""
+    """Token counting + punctuation + stopword stats, the tokenizer-budget
+    counts (alnum word tokens and a BPE-ish bounded-subword count — greedy
+    ≤4-char chunks ≈ subword-vocab tokens), and the Gopher-style
+    duplicate-token repetition fraction. All JVM-side Column expressions —
+    regexp_count is codegen'd, no UDF anywhere."""
+    from ..functions.text import dup_token_fraction_t
+
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
     toks = docs.select("doc_id", "text", tokens("text").alias("tok"))
     lower = F.lower(F.col("text"))
@@ -75,6 +82,7 @@ def text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.regexp_count(lower, F.lit(_SUBWORD_PAT)), F.lit(0))
         .cast("int")
         .alias("n_subwords"),
+        round6(dup_token_fraction_t("tok")).alias("dup_token_frac"),
     )
 
 
