@@ -694,14 +694,18 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("p.missing"), F.lit(0)).alias("missing_value"),
         F.col("p.k").alias("k"),
     )
-    w = Window.partitionBy("event_type")
+    # Per-type total attached via partial-agg + broadcast join-back, NOT a
+    # window over event_type: a window partitioned by a low-cardinality key
+    # funnels the whole 100 TB table through a handful of reducers, while
+    # the aggregate is map-side-combined and the tiny result broadcasts.
     even_k = F.when(F.col("k") % 2 == 0, F.col("k"))
-    return parsed.select(
+    totals = parsed.groupBy("event_type").agg(F.sum(even_k).alias("even_k_total"))
+    return parsed.join(F.broadcast(totals), "event_type").select(
         "event_id",
         "event_type",
         "k_value",
         "missing_value",
-        F.sum(even_k).over(w).alias("even_k_total"),
+        "even_k_total",
     )
 
 
