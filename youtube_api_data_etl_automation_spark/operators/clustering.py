@@ -24,20 +24,26 @@ from ..functions.vectors import cosine_similarity
 
 
 def _assign(corpus: DataFrame, cent_df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """Nearest-centroid assignment by cosine (deterministic tie-break)."""
-    from pyspark.sql.window import Window
-
+    """Nearest-centroid assignment by cosine (deterministic tie-break).
+    max_by aggregate, not a window: the k scored rows per vector collapse
+    map-side, so the exchange carries |corpus| rows, unsorted — see
+    similarity.assign_clusters for the full argument."""
     scored = corpus.join(F.broadcast(cent_df)).select(
         F.col(id_col),
         F.col(vec_col),
         "cluster_id",
         round6(cosine_similarity(vec_col, "cv")).alias("_csim"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cluster_id"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, vec_col, "cluster_id")
+    best = scored.groupBy(id_col).agg(
+        F.max_by(
+            F.struct(F.col(vec_col), F.col("cluster_id")),
+            F.struct(F.col("_csim"), (-F.col("cluster_id")).alias("_tie")),
+        ).alias("_best")
+    )
+    return best.select(
+        id_col,
+        F.col(f"_best.{vec_col}").alias(vec_col),
+        F.col("_best.cluster_id").alias("cluster_id"),
     )
 
 

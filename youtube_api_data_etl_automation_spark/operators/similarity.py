@@ -98,21 +98,29 @@ def assign_clusters(corpus: DataFrame, centroids: DataFrame,
     tie-break on centroid id). Centroids broadcast — the corpus never
     shuffles for assignment; at 100 TB this is a map-side pass.
 
+    The per-vector argmax is a ``max_by`` AGGREGATE, not a row_number
+    window: the k scored rows per vector collapse map-side (partial
+    aggregation) so the exchange carries |corpus| rows instead of
+    k·|corpus| — and no sort. The (cosine, -cluster_id) ordering struct
+    reproduces the window's DESC-cosine/ASC-id tie-break exactly.
+
     Output: corpus columns + ``cluster_id``."""
     cent = F.broadcast(
         centroids.select(F.col(id_col).alias("cluster_id"), F.col(vec_col).alias("cv"))
     )
+    payload = [c for c in corpus.columns if c != id_col]
     scored = corpus.join(cent).select(
         *corpus.columns,
         F.col("cluster_id"),
         round6(cosine_similarity(vec_col, "cv")).alias("_csim"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cluster_id"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_csim")
+    best = scored.groupBy(id_col).agg(
+        F.max_by(
+            F.struct(*payload, "cluster_id"),
+            F.struct(F.col("_csim"), (-F.col("cluster_id")).alias("_tie")),
+        ).alias("_best")
     )
+    return best.select(id_col, *[F.col(f"_best.{c}").alias(c) for c in payload + ["cluster_id"]])
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
