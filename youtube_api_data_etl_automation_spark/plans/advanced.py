@@ -544,12 +544,18 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tf") * F.log((1.0 + n_docs) / (1.0 + F.col("df")))
         ).alias("tfidf"),
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    # Top term per doc as a min_by aggregate (ordering struct (-tfidf, term)
+    # == tfidf DESC, term ASC), not a row_number window: a doc's terms are
+    # scattered across term-partitions after the df join, and partial
+    # aggregation collapses them map-side — no per-doc sort, and the
+    # exchange carries at most one row per (doc, partition).
+    best = scored.groupBy("doc_id").agg(
+        F.min_by(
+            F.struct("term", "tfidf"),
+            F.struct((-F.col("tfidf")).alias("_nt"), F.col("term")),
+        ).alias("_b")
     )
+    return best.select("doc_id", F.col("_b.term").alias("term"), F.col("_b.tfidf").alias("tfidf"))
 
 
 @query(

@@ -213,9 +213,10 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup endgame: near-dup pairs → duplicate clusters (CC) → keep
     the highest-quality member per cluster. Composes SimHash LSH, iterative
     connected components, and the quality heuristic into the op a training-
-    data pipeline actually runs: 'which copy survives'."""
-    from pyspark.sql.window import Window
-
+    data pipeline actually runs: 'which copy survives'. Survivor selection
+    is ONE aggregation (count + min_by argmax with the (-q, doc_id)
+    ordering struct == q DESC, doc_id ASC) instead of two windows — partial
+    aggregation, no per-cluster sort."""
     from ..functions.text import quality_score
     from ..operators.dedup import connected_components
 
@@ -226,18 +227,18 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = connected_components(pairs)
     quality = docs.select("doc_id", round6(quality_score("text")).alias("q"))
     j = cc.join(quality, "doc_id")
-    w = Window.partitionBy("canonical_id")
-    wr = Window.partitionBy("canonical_id").orderBy(F.desc("q"), F.asc("doc_id"))
-    return (
-        j.withColumn("n_members", F.count(F.lit(1)).over(w))
-        .withColumn("rn", F.row_number().over(wr))
-        .filter(F.col("rn") == 1)
-        .select(
-            "canonical_id",
-            F.col("doc_id").alias("survivor_id"),
-            F.col("n_members").cast("long").alias("n_members"),
-            F.col("q").alias("survivor_quality"),
-        )
+    best = j.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min_by(
+            F.struct("doc_id", "q"),
+            F.struct((-F.col("q")).alias("_nq"), F.col("doc_id")),
+        ).alias("_b"),
+    )
+    return best.select(
+        "canonical_id",
+        F.col("_b.doc_id").alias("survivor_id"),
+        "n_members",
+        F.col("_b.q").alias("survivor_quality"),
     )
 
 
