@@ -1,0 +1,75 @@
+"""Benchmark decontamination: flag corpus docs sharing word n-grams with an
+evaluation set.
+
+Standard LLM-pretraining hygiene (GPT-3/PaLM-style n-gram overlap checks):
+any training document that contains an n-gram also present in a held-out
+benchmark is flagged (and usually dropped) so downstream evals aren't
+contaminated. Real pipelines use 8–13-gram windows; the synthetic corpus'
+tiny vocabulary makes 3-grams the scale-equivalent demo (TESTDATA.md).
+
+Scale shape (100 TB corpus, fixed-size benchmark):
+- benchmark n-grams come from a *filtered* scan (small by construction),
+  are distinct-reduced, and broadcast — the corpus side never shuffles its
+  n-grams;
+- the only corpus shuffle is the per-doc hit aggregation, carrying
+  (doc_id, n-gram) pairs for *matching* n-grams only;
+- no persist: the benchmark branch re-scans only the benchmark slice, which
+  is cheaper than materializing the exploded corpus n-gram relation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def word_ngrams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Explode ``df`` into (id, g) word n-grams of the normalized text.
+
+    Docs shorter than ``n`` tokens contribute no rows (inner explode) —
+    mirrored by the oracle's ``range(1, greatest(len-n+1, 1))``.
+    """
+    ts = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(ts) >= n,
+        # slice is 1-based; positions 1..len-n+1, each n tokens long.
+        F.transform(
+            F.sequence(F.lit(1), F.size(ts) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(ts, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(id_col), F.explode(grams).alias("g"))
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-corpus-doc benchmark-overlap report.
+
+    Returns (id_col, n_hit_ngrams, contaminated) for EVERY corpus doc —
+    clean docs appear with 0/false so the result is a complete keep/drop
+    verdict, joinable back onto the corpus by key.
+    """
+    bench_grams = word_ngrams(benchmark, text_col, id_col, n).select("g").distinct()
+    hits = (
+        word_ngrams(corpus, text_col, id_col, n)
+        .join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count_distinct("g").alias("n_hit_ngrams"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hit_ngrams", F.lit(0)).cast("long").alias("n_hit_ngrams"),
+            (F.coalesce("n_hit_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -13,5 +13,6 @@ from . import text_queries  # noqa: E402,F401
 from . import vector_queries  # noqa: E402,F401
 from . import extended  # noqa: E402,F401
 from . import advanced  # noqa: E402,F401
+from . import curation  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -597,9 +597,14 @@ def concat_id_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(unnest(generate_series(d0, d1, INTERVAL '1 day')) AS DATE) AS day FROM bounds
     ),
     daily AS (
-      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu
+      FROM events GROUP BY 1
     )
-    SELECT spine.day, CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_events
+    SELECT spine.day,
+           CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_events,
+           CAST(COALESCE(daily.nu, 0) AS BIGINT) AS n_users
     FROM spine LEFT JOIN daily USING (day)
     """,
 )
@@ -608,7 +613,10 @@ def date_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     — no driver loop) left-joined to the per-day aggregate, zeros where no
     events. Both join sides are day-cardinality (the fact table is already
     reduced before the join), and the aggregate side broadcasts — the only
-    fact-table shuffle is its own group-by."""
+    fact-table shuffle is its own group-by. Per-day exact COUNT DISTINCT
+    users (A2) rides the same aggregate: Spark expands to a two-phase
+    distinct agg, still one fact shuffle; at 100 TB swap in
+    approx_count_distinct / HLL sketches (functions/sketches.py)."""
     events = load_table(spark, sf_dir, "events")
     bounds = events.agg(
         F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
@@ -617,11 +625,16 @@ def date_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
     )
     daily = events.groupBy(F.to_date("ts").alias("day")).agg(
-        F.count(F.lit(1)).alias("n")
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col("user_id")).alias("nu"),
     )
     return (
         spine.join(F.broadcast(daily), "day", "left")
-        .select("day", F.coalesce("n", F.lit(0)).cast("long").alias("n_events"))
+        .select(
+            "day",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce("nu", F.lit(0)).cast("long").alias("n_users"),
+        )
     )
 
 
@@ -674,6 +687,9 @@ def sql_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, event_type,
            CAST(COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS BIGINT) AS k_value,
            CAST(COALESCE(CAST(json_extract_string(props, '$.missing') AS BIGINT), 0) AS BIGINT) AS missing_value,
+           CAST(year(ts) AS INT)    AS event_year,
+           strftime(ts, '%H:%M:%S') AS event_time,
+           dayname(ts)              AS event_dayofweek,
            CAST(SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) % 2 = 0
                          THEN CAST(json_extract(props, '$.k') AS BIGINT) END)
                 OVER (PARTITION BY event_type) AS BIGINT) AS even_k_total
@@ -693,11 +709,20 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         F.from_json(F.col("props"), "k long, missing long").alias("p"),
+        # T5–T8 scalar parts (the reference's publish_year / publish_time /
+        # published_dayofweek derivation, fetch_youtube_data.py:176-180) on
+        # the event timestamp — pure codegen'd projections, zero extra cost.
+        F.year("ts").cast("int").alias("event_year"),
+        F.date_format("ts", "HH:mm:ss").alias("event_time"),
+        F.date_format("ts", "EEEE").alias("event_dayofweek"),
     ).select(
         "event_id",
         "event_type",
         F.coalesce(F.col("p.k"), F.lit(0)).alias("k_value"),
         F.coalesce(F.col("p.missing"), F.lit(0)).alias("missing_value"),
+        "event_year",
+        "event_time",
+        "event_dayofweek",
         F.col("p.k").alias("k"),
     )
     # Per-type total attached via partial-agg + broadcast join-back, NOT a
@@ -711,6 +736,9 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "k_value",
         "missing_value",
+        "event_year",
+        "event_time",
+        "event_dayofweek",
         "even_k_total",
     )
 

@@ -62,28 +62,11 @@ def iso_duration_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "timestamp_parts",
-    oracle="""
-    SELECT o_orderkey,
-           CAST(year(o_orderdate) AS INT)      AS publish_year,
-           strftime(o_orderdate, '%H:%M:%S')   AS publish_time,
-           dayname(o_orderdate)                AS published_dayofweek
-    FROM orders
-    """,
-)
-def timestamp_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T5-T8: year / time-of-day / English day-name extraction (UTC session)."""
-    o = load_table(spark, sf_dir, "orders")
-    ts = F.col("o_orderdate")
-    return o.select(
-        "o_orderkey",
-        F.year(ts).alias("publish_year"),
-        F.date_format(ts, "HH:mm:ss").alias("publish_time"),
-        F.date_format(ts, "EEEE").alias("published_dayofweek"),
-    )
-
-
+# T5-T8 (year / time-of-day / English day-name extraction, UTC session) are
+# driver-verified inside `json_props_extract` (plans/advanced.py), which
+# projects them from the event timestamp alongside the JSON extraction —
+# the same publish_year/publish_time/published_dayofweek derivation as the
+# reference (fetch_youtube_data.py:176-180).
 # T1/T2 + P2 (null-tolerant nested projection, fillna(0)+cast) are
 # driver-verified through `json_props_extract` (plans/advanced.py), which
 # runs the same .get() → fillna → astype chain over the events JSON.

@@ -163,20 +163,9 @@ def setops_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exc.unionByName(its)
 
 
-@query(
-    "membership_filter",
-    oracle="""
-    SELECT n_nationkey, n_name FROM nation
-    WHERE n_name IN ('NATION_1', 'NATION_7', 'NATION_19', 'NATION_24')
-    """,
-)
-def membership_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P4: IN-list predicate — pushed down into the parquet scan."""
-    return (
-        load_table(spark, sf_dir, "nation")
-        .filter(F.col("n_name").isin("NATION_1", "NATION_7", "NATION_19", "NATION_24"))
-        .select("n_nationkey", "n_name")
-    )
+# P4 (IN-list membership predicate, pushed into the scan) is driver-verified
+# inside `join_star_revenue` — the nation dim carries the reference's
+# channel-membership filter shape (fetch_youtube_data.py:163).
 
 
 # ---------------------------------------------------------------------------
@@ -223,27 +212,10 @@ def groupby_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # grouping_id (`cube_status_priority`) — CUBE subsumes both shapes.
 
 
-@query(
-    "count_distinct_users",
-    oracle="""
-    SELECT event_type,
-           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-           CAST(COUNT(*) AS BIGINT) AS n_events
-    FROM events
-    GROUP BY event_type
-    """,
-)
-def count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact COUNT DISTINCT per group (expand+two-phase agg in Spark);
-    approx_count_distinct is the 100 TB variant but isn't oracle-comparable."""
-    return (
-        load_table(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(
-            F.count_distinct(F.col("user_id")).alias("n_users"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
-    )
+# A2 exact COUNT DISTINCT per group (expand+two-phase agg in Spark) is
+# driver-verified inside `date_spine_gapfill` (daily distinct users);
+# approx_count_distinct / HLL sketches are the 100 TB variant — see
+# functions/sketches.py (error-bound-tested, not oracle-comparable).
 
 
 # ---------------------------------------------------------------------------
@@ -259,16 +231,24 @@ def count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN customer ON o_custkey = c_custkey
     JOIN nation   ON c_nationkey = n_nationkey
     JOIN region   ON n_regionkey = r_regionkey
+    WHERE n_name IN ('NATION_1', 'NATION_7', 'NATION_19', 'NATION_24')
     GROUP BY r_name, n_name
     """,
 )
 def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-to-dims star join: every dim is broadcast, so the orders fact
     table is joined map-side with zero shuffle; the only exchange is the
-    final small aggregation."""
+    final small aggregation. The nation dim carries a P4 IN-list membership
+    predicate (the reference's channel-membership filter,
+    fetch_youtube_data.py:163) — pushed into the dim's parquet scan, and the
+    inner joins then prune the fact rows map-side."""
     orders = load_table(spark, sf_dir, "orders")
     customer = F.broadcast(load_table(spark, sf_dir, "customer"))
-    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").filter(
+            F.col("n_name").isin("NATION_1", "NATION_7", "NATION_19", "NATION_24")
+        )
+    )
     region = F.broadcast(load_table(spark, sf_dir, "region"))
     return (
         orders.join(customer, orders.o_custkey == customer.c_custkey)
