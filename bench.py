@@ -47,6 +47,10 @@ HEADLINE = [
     "rolling_hash_docs",
     "tfidf_top_terms",
     "dedup_connected_components",
+    # r2 curation additions (plans/curation.py)
+    "pii_redact_docs",
+    "decontam_ngram_hits",
+    "stratified_sample_docs",
 ]
 
 

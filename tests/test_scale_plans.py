@@ -159,3 +159,43 @@ def test_anti_join_broadcasts_existing_keys(spark):
     plan = _plan(delta)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "Exchange hashpartitioning(o_orderkey" not in plan
+
+
+def test_pii_redaction_is_map_only(spark):
+    """PII scrub (curation): pure projection — no hash-partitioned exchange
+    (at 100 TB it pipelines inside the scan stage; the only allowed
+    exchange is the single-row-group rebalance round-robin, which a real
+    multi-file 100 TB input wouldn't need)."""
+    from youtube_api_data_etl_automation_spark.plans.curation import pii_redact_docs
+
+    plan = _plan(pii_redact_docs(spark, SF_DIR))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_decontam_broadcasts_benchmark_grams(spark):
+    """Decontamination: the benchmark n-gram set must broadcast — the
+    corpus' exploded n-grams never hash-partition across the network
+    (the corpus side is 100 TB; the benchmark is fixed-size)."""
+    from youtube_api_data_etl_automation_spark.plans.curation import (
+        decontam_ngram_hits,
+    )
+
+    plan = _plan(decontam_ngram_hits(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # The only gram-keyed exchange allowed is the benchmark DISTINCT inside
+    # the broadcast build subtree (fixed-size side). The corpus (probe)
+    # side prints before the build side — it must contain none.
+    probe_side = plan.split("BroadcastExchange HashedRelationBroadcastMode(List(input[0, string")[0]
+    assert "Exchange hashpartitioning(g" not in probe_side
+
+
+def test_stratified_sample_single_exchange(spark):
+    """Stratified sampling: the keep decision is map-side; the only
+    exchange is the per-language audit aggregate."""
+    from youtube_api_data_etl_automation_spark.plans.curation import (
+        stratified_sample_docs,
+    )
+
+    plan = _plan(stratified_sample_docs(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1

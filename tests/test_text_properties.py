@@ -82,6 +82,65 @@ def test_tokens_and_shingles_match_python(spark, batch):
 
 
 @settings(max_examples=10, deadline=None)
+@given(texts)
+def test_clf_logit_matches_python(spark, batch):
+    """Hashed-feature classifier logit vs a transparent Python fold (same
+    md5-bucket weights, same left-to-right double summation order)."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from youtube_api_data_etl_automation_spark.functions.text import (
+        clf_logit_t,
+        clf_score_t,
+        tokens,
+    )
+
+    def py_logit(s: str) -> float:
+        acc = 0.0
+        toks = py_tokens(s)
+        for t in toks:
+            b = int(hashlib.md5(t.encode()).hexdigest()[:2], 16)
+            acc = acc + ((b % 17) / 17.0 - 0.5)  # same grouping as engine+oracle
+        return acc / (1.0 + len(toks))
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"i": range(len(batch)), "text": batch}), "i long, text string"
+    ).select("i", tokens("text").alias("tok"))
+    got = {
+        r["i"]: (r["z"], r["p"])
+        for r in df.select(
+            "i", clf_logit_t("tok").alias("z"), clf_score_t("tok").alias("p")
+        ).collect()
+    }
+    for i, s in enumerate(batch):
+        assert got[i][0] == py_logit(s), (s, got[i][0], py_logit(s))
+        assert 0.0 < got[i][1] < 1.0  # sigmoid stays in the open interval
+
+
+def test_clf_score_monotone_in_logit(spark):
+    """Thresholding the logit is thresholding the probability: score order
+    must equal logit order (the justification for oracle-checking the
+    rational logit instead of the transcendental sigmoid)."""
+    import pandas as pd
+
+    from youtube_api_data_etl_automation_spark.functions.text import (
+        clf_logit_t,
+        clf_score_t,
+        tokens,
+    )
+
+    docs = [f"w{i} x{i * 7} y z common tail words" for i in range(40)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"i": range(len(docs)), "text": docs}), "i long, text string"
+    ).select("i", tokens("text").alias("tok"))
+    rows = df.select(clf_logit_t("tok").alias("z"), clf_score_t("tok").alias("p")).collect()
+    by_z = sorted(rows, key=lambda r: r.z)
+    assert [r.p for r in by_z] == sorted(r.p for r in rows)
+
+
+@settings(max_examples=10, deadline=None)
 @given(st.text(alphabet="abc defg.h,i!42\t\n", max_size=60))
 def test_fingerprint_is_normalization_invariant(spark, s):
     """Same normalized content ⇒ same fingerprint: leading/trailing/repeated

@@ -124,6 +124,40 @@ def quality_score(col: Column | str) -> Column:
     return quality_score_t(col, tokens(col))
 
 
+def clf_logit_t(tok: Column | str) -> Column:
+    """Hashed-feature linear-model logit (fasttext-style quality classifier
+    shape): each token hashes to one of 256 md5 buckets; the bucket's weight
+    is a fixed deterministic function of the bucket id ((b % 17)/17 − 0.5 —
+    a stand-in for trained weights, which would broadcast as a 256-float
+    map); the logit is the length-normalized weight sum. Pure fold over the
+    token array — no shuffle, no UDF, and the identical fold order on both
+    engines keeps double summation bit-stable."""
+    t = F.col(tok) if isinstance(tok, str) else tok
+    # Association matters for double bit-parity: the oracle computes each
+    # weight fully (w = b/17 − 0.5) then folds acc + w, so the engine must
+    # group the same way — acc + (w − 0.5), NOT (acc + w) − 0.5.
+    wsum = F.aggregate(
+        t,
+        F.lit(0.0),
+        lambda acc, x: acc
+        + (
+            (
+                F.conv(F.substring(F.md5(x), 1, 2), 16, 10).cast("int") % 17
+            ).cast("double")
+            / F.lit(17.0)
+            - F.lit(0.5)
+        ),
+    )
+    return wsum / (F.lit(1.0) + F.size(t).cast("double"))
+
+
+def clf_score_t(tok: Column | str) -> Column:
+    """Sigmoid of 4×logit — the keep-probability a trained quality
+    classifier would emit. Round at the query edge."""
+    z = clf_logit_t(tok)
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(F.lit(-4.0) * z))
+
+
 def dup_token_fraction_t(tok: Column | str) -> Column:
     """Repetition signal (Gopher-style duplicate-fraction family, unigram
     member): fraction of tokens that are repeats of an earlier token —

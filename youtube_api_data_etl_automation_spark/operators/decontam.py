@@ -25,13 +25,25 @@ from pyspark.sql import functions as F
 from ..functions.text import tokens
 
 
-def word_ngrams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+def word_ngrams(
+    df: DataFrame, text_col: str, id_col: str, n: int, *, unique: bool = False
+) -> DataFrame:
     """Explode ``df`` into (id, g) word n-grams of the normalized text.
 
     Docs shorter than ``n`` tokens contribute no rows (inner explode) —
     mirrored by the oracle's ``range(1, greatest(len-n+1, 1))``.
+
+    ``unique=True`` dedupes each doc's grams with array_distinct BEFORE the
+    explode: a within-partition array op that replaces a post-explode
+    two-phase COUNT DISTINCT — fewer exploded rows and no gram-keyed
+    exchange (pinned by tests/test_scale_plans.py).
+
+    The token array is projected to a real column BEFORE the transform()
+    lambda references it: transform is interpreted, so an inline tokens()
+    expression would re-normalize + re-split the text once per n-gram
+    position (the word_shingles_t trap, functions/text.py — measured ~7×).
     """
-    ts = tokens(F.col(text_col))
+    ts = F.col("__ng_toks")
     grams = F.when(
         F.size(ts) >= n,
         # slice is 1-based; positions 1..len-n+1, each n tokens long.
@@ -40,7 +52,12 @@ def word_ngrams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(ts, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return df.select(F.col(id_col), F.explode(grams).alias("g"))
+    if unique:
+        grams = F.array_distinct(grams)
+    return (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__ng_toks"))
+        .select(F.col(id_col), F.explode(grams).alias("g"))
+    )
 
 
 def ngram_contamination(
@@ -58,11 +75,14 @@ def ngram_contamination(
     verdict, joinable back onto the corpus by key.
     """
     bench_grams = word_ngrams(benchmark, text_col, id_col, n).select("g").distinct()
+    # Corpus grams are per-doc-deduped at explode time (unique=True), so a
+    # plain COUNT after the broadcast join IS the distinct-hit count — one
+    # single-phase agg exchange carrying only matching (doc, gram) pairs.
     hits = (
-        word_ngrams(corpus, text_col, id_col, n)
+        word_ngrams(corpus, text_col, id_col, n, unique=True)
         .join(F.broadcast(bench_grams), "g")
         .groupBy(id_col)
-        .agg(F.count_distinct("g").alias("n_hit_ngrams"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit_ngrams"))
     )
     return (
         corpus.select(id_col)

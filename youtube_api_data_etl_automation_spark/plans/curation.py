@@ -70,8 +70,9 @@ def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     redact them to bracket tokens; the oracle compares the md5 of the
     redacted text, proving byte-identical redaction without hauling bodies
     through the driver. Map-only (no shuffle) — the 100 TB cost is one
-    codegen'd scan, and the redacted column ships in the same pass."""
-    docs = load_table(spark, sf_dir, "documents")
+    codegen'd scan, and the redacted column ships in the same pass
+    (rebalance spreads the regex compute off the single-row-group input)."""
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     did = F.col("doc_id")
     aug = F.concat(
         F.col("text"),
@@ -145,8 +146,10 @@ def decontam_ngram_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination: docs with doc_id % 97 == 0 stand in for the
     held-out benchmark; every other doc is checked for word-n-gram overlap
     against it (operators/decontam.py — benchmark n-grams broadcast, corpus
-    n-grams never shuffle, per-doc hit agg is the only exchange)."""
-    docs = load_table(spark, sf_dir, "documents")
+    n-grams never shuffle, per-doc hit agg is the only exchange). The
+    corpus side rebalances (the n-gram explode is the compute hot spot and
+    the input is a single row group); the benchmark slice stays tiny."""
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     is_bench = F.col("doc_id") % 97 == 0
     return ngram_contamination(
         docs.filter(~is_bench), docs.filter(is_bench), n=_DECONTAM_N

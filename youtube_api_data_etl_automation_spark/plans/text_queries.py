@@ -117,13 +117,18 @@ def _lang_quality_oracle() -> str:
              CAST(len(toks) AS DOUBLE) AS nt,
              CAST(COALESCE(length(text), 0) AS DOUBLE) AS ln,
              CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS np,
-             CAST(len(list_filter(toks, x -> list_contains({_sql_list(EN_STOPWORDS)}, x))) AS DOUBLE) AS sw
+             CAST(len(list_filter(toks, x -> list_contains({_sql_list(EN_STOPWORDS)}, x))) AS DOUBLE) AS sw,
+             COALESCE(list_sum(list_transform(toks, x ->
+                 (((strpos('0123456789abcdef', substr(md5(x), 1, 1)) - 1) * 16
+                   + strpos('0123456789abcdef', substr(md5(x), 2, 1)) - 1) % 17) / 17.0 - 0.5)),
+               0.0) AS wsum
       FROM b
     )
     SELECT doc_id, lang_guess,
            floor((0.5 * least(1.0, nt / 64.0)
                  + 0.3 * (1.0 - CASE WHEN ln > 0 THEN np / ln ELSE 0.0 END)
-                 + 0.2 * CASE WHEN nt > 0 THEN sw / nt ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS quality
+                 + 0.2 * CASE WHEN nt > 0 THEN sw / nt ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS quality,
+           floor((wsum / (1.0 + nt)) * 1000000.0 + 0.5) / 1000000.0 AS clf_logit
     FROM s
     """
 
@@ -134,8 +139,13 @@ def lang_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quality heuristic (length/punct/stopword mix) from ONE token
     projection — the two per-doc scoring primitives the filter funnel
     composes, value-checked row by row here (the funnel's aggregate check
-    alone could mask compensating errors)."""
-    from ..functions.text import quality_score_t
+    alone could mask compensating errors) — plus the hashed-feature linear
+    classifier logit (functions/text.py::clf_logit_t, the fasttext-style
+    learned-quality shape; the oracle checks the logit because sigmoid is
+    monotone — thresholding the logit IS thresholding the probability, and
+    the logit stays in rational arithmetic both engines compute
+    bit-identically)."""
+    from ..functions.text import clf_logit_t, quality_score_t
 
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
     toks = docs.select("doc_id", "text", tokens("text").alias("tok"))
@@ -143,6 +153,7 @@ def lang_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         lang_id_t("tok").alias("lang_guess"),
         round6(quality_score_t("text", "tok")).alias("quality"),
+        round6(clf_logit_t("tok")).alias("clf_logit"),
     )
 
 
