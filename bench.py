@@ -74,12 +74,13 @@ def main() -> None:
                 pass
         spark.catalog.clearCache()
 
-    # Min of two runs per query: steady-state throughput, not first-run
-    # scheduler/codegen noise (plans are identical between runs).
+    # Min of three runs per query: steady-state throughput, not first-run
+    # scheduler/codegen noise (plans are identical between runs; observed
+    # multi-second GC/JIT spikes occasionally survive a min-of-2).
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             force(QUERIES[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)

@@ -169,3 +169,35 @@ def test_kmeans_deterministic_and_total(spark):
         f"select count(*) from '{sf}/embeddings.parquet'"
     ).fetchone()[0]
     assert sum(n for n, _ in a.values()) == n_total
+
+
+def test_variant_path_matches_from_json(spark):
+    """Spark 4 VARIANT is the schema-on-read path for semi-structured
+    payloads (no StructType declared up front — the 100 TB-friendly choice
+    when event schemas drift). Pin that parse_json + variant_get extracts
+    the same values as the registered from_json plan (json_props_extract),
+    including the missing-field → NULL behavior."""
+    from pyspark.sql import functions as F
+
+    from youtube_api_data_etl_automation_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    both = ev.select(
+        "event_id",
+        F.from_json("props", "k long, missing long").alias("s"),
+        F.parse_json("props").alias("v"),
+    ).select(
+        "event_id",
+        F.col("s.k").alias("k_struct"),
+        F.try_variant_get("v", "$.k", "long").alias("k_variant"),
+        F.col("s.missing").alias("m_struct"),
+        F.try_variant_get("v", "$.missing", "long").alias("m_variant"),
+    )
+    bad = both.filter(
+        ~(
+            F.col("k_struct").eqNullSafe(F.col("k_variant"))
+            & F.col("m_struct").eqNullSafe(F.col("m_variant"))
+        )
+    )
+    assert bad.count() == 0
+    assert both.count() > 0

@@ -199,3 +199,78 @@ def test_stratified_sample_single_exchange(spark):
 
     plan = _plan(stratified_sample_docs(spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_runtime_bloom_filter_reaches_fact_scan(spark):
+    """Selective dim-filtered shuffle join: the optimizer must inject a
+    bloom filter (might_contain) built from the dim side into the fact
+    side — at 100 TB the fact rows that can't join die at the scan, not
+    in the shuffle. Thresholds are lowered to make the sf0.001 inputs
+    eligible; the session enables the feature itself (session.py)."""
+    orders = load_table(spark, SF_DIR, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load_table(spark, SF_DIR, "lineitem")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+    )
+    try:
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert "might_contain" in _optimized(j)
+        assert j.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+        )
+
+
+def test_clustered_layout_files_are_disjoint_and_complete(spark):
+    """write_clustered: each day directory's files own non-overlapping
+    sort-key ranges (parquet min/max stats can then skip whole files), the
+    file count stays ~num_files (no tasks×days small-file blowup), and the
+    round-trip loses nothing."""
+    from collections import defaultdict
+
+    from youtube_api_data_etl_automation_spark.operators.layout import (
+        write_clustered,
+    )
+
+    out = tempfile.mkdtemp(prefix="clustered_events_")
+    events = load_table(spark, SF_DIR, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    write_clustered(events, out, "day", "user_id", num_files=16)
+
+    back = spark.read.parquet(out)
+    assert back.count() == events.count()
+
+    # Per (day directory, file): the user_id ranges must not overlap.
+    spans = (
+        back.groupBy(
+            F.col("day"), F.input_file_name().alias("f")
+        )
+        .agg(F.min("user_id").alias("lo"), F.max("user_id").alias("hi"))
+        .collect()
+    )
+    per_day = defaultdict(list)
+    for r in spans:
+        per_day[r.day].append((r.lo, r.hi))
+    for day, ranges in per_day.items():
+        ranges.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2, (day, ranges)
+    # Range clustering bounds total files near num_files.
+    n_files = len({r.f for r in spans})
+    assert n_files <= 16 + len(per_day), n_files

@@ -28,6 +28,14 @@ def get_spark(app_name: str = "youtube-etl-spark-engine", master: str | None = N
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Runtime (bloom) join filters: for a selective dim-filtered join
+        # the optimizer injects a bloom filter built from the dim side into
+        # the fact scan — rows that can't join are dropped AT THE SCAN,
+        # before the shuffle. At 100 TB this is often the difference between
+        # shuffling the whole fact table and shuffling the matching slice.
+        # (Creation thresholds still apply per-join; pinned in
+        # tests/test_scale_plans.py.)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.shuffle.partitions", cpus)
         # Sized for the test SF (compressed parquet ≤ ~11 MB/table): split
         # scans finely enough that per-row compute uses the cores. At cluster

@@ -1,0 +1,165 @@
+"""Timer-closed streaming sessionization via ``transformWithStateInPandas``
+(Spark 4's arbitrary-stateful-processing API: typed state + event-time
+timers + TTL, RocksDB-backed).
+
+Complements ``streaming/stateful.py`` (applyInPandasWithState, update-mode
+rollups of every touched session): this operator emits each session ONCE,
+when it is known closed — either because a later event arrived past the
+gap ('gap'), or because the event-time timer registered at
+``last_event + gap`` expired under the advancing watermark ('timer').
+Append-once semantics are what a downstream training-data job wants: no
+last-emission-wins dedup, every emitted row is final.
+
+Scale shape: state per user is one fixed-width row (ValueState) plus one
+pending timer; both live in the RocksDB state store, so 1e9 users spread
+across executors without heap pressure. The only shuffle is the
+groupBy(user_id) the stateful operator requires. Reference parity: the
+closed-session rollups match the batch sessionizer
+(operators/sessionize.py) — pinned by tests/test_transform_state.py.
+
+ENVIRONMENT GATE: transformWithState's Python state server speaks protobuf,
+and this container ships no ``google.protobuf`` — so the end-to-end
+streaming test skips here (it runs wherever protobuf exists). The processor
+LOGIC is still fully verified: tests drive handleInputRows /
+handleExpiredTimer directly through a faked handle over real event data and
+compare against the batch sessionizer (the same direct-call contract Spark's
+own runtime uses).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+GAP_US_DEFAULT = 30 * 60 * 1_000_000
+
+_OUT_SCHEMA = (
+    "user_id long, session_start_us long, session_end_us long, "
+    "n_events long, sum_value double, closed_by string"
+)
+
+# RocksDB is mandatory for transformWithState (the typed-state column
+# families aren't implemented by the default HDFS-backed store).
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def make_session_closer(gap_minutes: int = 30):
+    """Build the SessionCloser StatefulProcessor for ``gap_minutes``.
+
+    The class is defined INSIDE this factory on purpose: cloudpickle ships
+    nested classes by value, while a module-level class would be pickled by
+    reference and crash executors whose Python workers don't have this
+    package on sys.path (same rule as streaming/stateful.py). Exposed
+    separately from timer_closed_sessions so tests can drive the processor
+    directly (see module docstring's environment gate).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        ExpiredTimerInfo,
+        StatefulProcessor,
+        StatefulProcessorHandle,
+        TimerValues,
+    )
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    gap_ms = gap_minutes * 60 * 1_000
+
+    class SessionCloser(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            # (start_us, last_us, n_events, sum_cents) — cents keep the
+            # monetary fold exact and order-stable, as in the batch op.
+            self._open = handle.getValueState(
+                "open", "start_us long, last_us long, n_events long, sum_cents long"
+            )
+
+        def _emit(self, user_id, start_us, last_us, n, cents, closed_by):
+            import pandas as pd
+
+            return pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start_us": [start_us],
+                    "session_end_us": [last_us],
+                    "n_events": [n],
+                    "sum_value": [cents / 100.0],
+                    "closed_by": [closed_by],
+                }
+            )
+
+        def handleInputRows(self, key, rows, timerValues: TimerValues):
+            import pandas as pd
+
+            (user_id,) = key
+            batch = (
+                pd.concat(list(rows), ignore_index=True)
+                .sort_values(["ts_us", "event_id"])
+                .reset_index(drop=True)
+            )
+            if batch.empty:
+                return  # nothing to fold; state and pending timer unchanged
+            if self._open.exists():
+                start_us, last_us, n, cents = self._open.get()
+            else:
+                start_us = last_us = None
+                n = cents = 0
+            for ts_us, cents_v in zip(
+                batch["ts_us"].astype("int64"), batch["cents"].astype("int64")
+            ):
+                ts_us = int(ts_us)
+                if start_us is None:
+                    start_us, last_us, n, cents = ts_us, ts_us, 1, int(cents_v)
+                elif ts_us - last_us > gap_us:
+                    yield self._emit(user_id, start_us, last_us, n, cents, "gap")
+                    start_us, last_us, n, cents = ts_us, ts_us, 1, int(cents_v)
+                else:
+                    last_us, n, cents = ts_us, n + 1, cents + int(cents_v)
+            self._open.update((start_us, last_us, n, cents))
+            # One pending close-timer per user: re-arm at the new frontier.
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(last_us // 1000 + gap_ms)
+
+        def handleExpiredTimer(
+            self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+        ):
+            (user_id,) = key
+            if not self._open.exists():
+                return
+            start_us, last_us, n, cents = self._open.get()
+            # Stale timer (events arrived after it was armed): ignore; the
+            # current timer for the new frontier is still pending.
+            if expiredTimerInfo.getExpiryTimeInMs() < last_us // 1000 + gap_ms:
+                return
+            yield self._emit(user_id, start_us, last_us, n, cents, "timer")
+            self._open.clear()
+
+        def close(self) -> None:
+            pass
+
+    return SessionCloser()
+
+
+def timer_closed_sessions(
+    events: DataFrame, gap_minutes: int = 30, watermark_delay: str = "0 seconds"
+) -> DataFrame:
+    """Streaming gap-sessionization emitting each session exactly once.
+
+    ``events``: streaming DataFrame with (event_id, ts timestamp, user_id,
+    value). Requires the session's state store provider to be RocksDB
+    (ROCKSDB_PROVIDER) and ``google.protobuf`` in the worker Python (see
+    module docstring)."""
+    prepped = events.withWatermark("ts", watermark_delay).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "ts",
+    )
+    return prepped.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=make_session_closer(gap_minutes),
+        outputStructType=_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
+    )
