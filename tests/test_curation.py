@@ -119,3 +119,38 @@ def test_stratified_rates_follow_targets(spark):
         # Achieved rate within a loose binomial band of the target (the
         # md5 bucket is uniform; n is small at sf0.001 so the band is wide).
         assert abs(r.achieved_rate - r.target_rate) < 0.25, (lang, r)
+
+
+def test_pii_planted_entities_property(spark):
+    """Property: plant K known PII strings into digit-free filler — counts
+    must equal K per kind and redaction must remove every planted string."""
+    import random
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "gamma", "delta", "words", "filler", "plain"]
+    rows = []
+    for i in range(40):
+        k_e, k_i, k_p = rng.randint(0, 3), rng.randint(0, 3), rng.randint(0, 3)
+        pieces = [rng.choice(words) for _ in range(rng.randint(3, 10))]
+        pieces += [f"u{j}x{i}@ex{j}.org" for j in range(k_e)]
+        pieces += [f"10.{j}.{i % 200}.7" for j in range(k_i)]
+        pieces += [f"555-00{j}-{1000 + i}" for j in range(k_p)]
+        rng.shuffle(pieces)
+        rows.append((i, k_e, k_i, k_p, " ".join(pieces)))
+    df = spark.createDataFrame(
+        rows, "i long, k_e int, k_i int, k_p int, t string"
+    )
+    got = df.select(
+        "i", "k_e", "k_i", "k_p",
+        email_count("t").alias("e"),
+        ipv4_count("t").alias("ip"),
+        phone_count("t").alias("p"),
+        redact_pii("t").alias("r"),
+    ).collect()
+    for r in got:
+        assert (r.e, r.ip, r.p) == (r.k_e, r.k_i, r.k_p), r
+        assert "@" not in r.r
+        for tok in r.r.split():
+            assert not any(ch.isdigit() for ch in tok.replace("555", "")) or tok in (
+                "[EMAIL]", "[IP]", "[PHONE]"
+            ), r.r
