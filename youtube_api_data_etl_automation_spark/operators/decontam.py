@@ -90,6 +90,11 @@ def ngram_contamination(
         .select(
             id_col,
             F.coalesce("n_hit_ngrams", F.lit(0)).cast("long").alias("n_hit_ngrams"),
-            (F.coalesce("n_hit_ngrams", F.lit(0)) > 0).alias("contaminated"),
+            # 0/1 bigint, not boolean: no driver-checked query had ever
+            # emitted a boolean through the canonicalizer (the r1 tags-array
+            # err taught that lesson about first-of-a-type columns).
+            (F.coalesce("n_hit_ngrams", F.lit(0)) > 0)
+            .cast("long")
+            .alias("contaminated"),
         )
     )

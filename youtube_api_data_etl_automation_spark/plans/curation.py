@@ -135,7 +135,8 @@ hits AS (
 )
 SELECT d.doc_id,
        CAST(COALESCE(h.n_hit_ngrams, 0) AS BIGINT) AS n_hit_ngrams,
-       COALESCE(h.n_hit_ngrams, 0) > 0             AS contaminated
+       CAST(CASE WHEN COALESCE(h.n_hit_ngrams, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS contaminated
 FROM documents d LEFT JOIN hits h USING (doc_id)
 WHERE d.doc_id % 97 <> 0
 """
