@@ -1,0 +1,62 @@
+"""JSONL ingest: schema enforcement, corrupt-line quarantine, lossless
+partition of input lines, and round-trip with the documents table."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from youtube_api_data_etl_automation_spark.sources.text_files import read_jsonl
+from youtube_api_data_etl_automation_spark.sources.tables import load_table
+
+from .conftest import SF_DIR
+
+_SCHEMA = "doc_id long, text string, lang string"
+
+
+def test_corrupt_lines_quarantined_not_fatal(spark):
+    d = tempfile.mkdtemp(prefix="jsonl_")
+    lines = [
+        '{"doc_id": 1, "text": "hello world", "lang": "en"}',
+        'this is not json at all',
+        '{"doc_id": 2, "text": "bonjour", "lang": "fr"}',
+        '{"doc_id": 3, "text": "truncated...',
+        '{"doc_id": 4, "text": null, "lang": "de"}',
+    ]
+    with open(os.path.join(d, "part-0.jsonl"), "w") as f:
+        f.write("\n".join(lines))
+    good, corrupt = read_jsonl(spark, d, _SCHEMA)
+    assert good.columns == ["doc_id", "text", "lang"]
+    assert {r.doc_id for r in good.collect()} == {1, 2, 4}
+    raws = [r.raw_line for r in corrupt.collect()]
+    assert len(raws) == 2
+    assert any("not json" in r for r in raws)
+    assert good.count() + corrupt.count() == len(lines)
+
+
+def test_documents_roundtrip_through_jsonl(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    d = tempfile.mkdtemp(prefix="jsonl_rt_")
+    docs.select("doc_id", "text", "lang").write.mode("overwrite").json(d)
+    good, corrupt = read_jsonl(spark, d, _SCHEMA)
+    assert corrupt.count() == 0
+    assert good.count() == docs.count()
+    # Content equality via order-insensitive fingerprint.
+    fp = lambda df: df.select(
+        F.md5(F.concat_ws("\x00", "doc_id", "text", "lang")).alias("h")
+    ).agg(F.sum(F.conv(F.substring("h", 1, 8), 16, 10).cast("long"))).first()[0]
+    assert fp(good) == fp(docs.select("doc_id", "text", "lang"))
+
+
+def test_clustered_write_uses_zstd(spark):
+    from youtube_api_data_etl_automation_spark.operators.layout import write_clustered
+
+    out = tempfile.mkdtemp(prefix="zstd_layout_")
+    ev = load_table(spark, SF_DIR, "events").withColumn("day", F.to_date("ts"))
+    write_clustered(ev, out, "day", "user_id", num_files=4)
+    files = []
+    for root, _, names in os.walk(out):
+        files += [n for n in names if n.endswith(".parquet")]
+    assert files and all(".zstd." in n for n in files), files[:3]

@@ -31,13 +31,18 @@ def write_clustered(
     sort_col: str,
     num_files: int,
     mode: str = "overwrite",
+    compression: str = "zstd",
 ) -> None:
     """Write ``df`` as parquet partitioned by ``partition_col``, with
-    ``num_files`` range-clustered, internally-sorted files overall."""
+    ``num_files`` range-clustered, internally-sorted files overall.
+
+    zstd by default: ~snappy decode speed at clearly better ratio — at
+    100 TB the codec choice is multiple PB-days of I/O per full pass."""
     (
         df.repartitionByRange(num_files, F.col(partition_col), F.col(sort_col))
         .sortWithinPartitions(partition_col, sort_col)
         .write.partitionBy(partition_col)
+        .option("compression", compression)
         .mode(mode)
         .parquet(path)
     )

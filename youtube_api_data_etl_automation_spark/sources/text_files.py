@@ -1,0 +1,53 @@
+"""JSONL corpus ingest: explicit schema, corrupt lines quarantined not fatal.
+
+Training corpora ship as JSON-lines (one doc per line, often gzip/zstd
+per-file) — the same record shape the reference captures from its API
+(fetch_youtube_data.py:129-141), but file-borne. Scale rules:
+
+- **explicit schema, never inference**: schema inference is a full extra
+  pass over 100 TB before the real read even starts, and a schema drift
+  mid-corpus silently widens columns. The caller declares the schema; the
+  reader enforces it.
+- **PERMISSIVE + corrupt-record capture**: a 100 TB ingest WILL contain
+  malformed lines; FAILFAST kills the job at hour N, DROPMALFORMED hides
+  data loss. Instead malformed lines land in a quarantine column and are
+  split out with their raw text preserved for replay (same first-class
+  quarantine contract as operators/quarantine.py).
+- line-splittable: uncompressed/zstd-seekable JSONL splits by line across
+  tasks; one gzip file = one task, so shard compressed corpora into many
+  files upstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_CORRUPT = "_corrupt_record"
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: str
+) -> tuple[DataFrame, DataFrame]:
+    """Read JSON-lines under ``path`` with the declared ``schema``.
+
+    Returns (good, corrupt): ``good`` carries the declared columns;
+    ``corrupt`` has (raw_line) for every line that failed to parse as the
+    declared schema. The two results partition the input lines.
+    """
+    full_schema = f"{schema}, {_CORRUPT} string"
+    df = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", _CORRUPT)
+        .json(path)
+    )
+    # Spark leaves declared columns NULL and fills _corrupt_record for bad
+    # lines. A cached projection avoids the known PERMISSIVE pitfall where
+    # filtering on the corrupt column alone short-circuits the parse.
+    df = df.cache()
+    good = df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
+    corrupt = df.filter(F.col(_CORRUPT).isNotNull()).select(
+        F.col(_CORRUPT).alias("raw_line")
+    )
+    return good, corrupt
