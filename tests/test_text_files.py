@@ -60,3 +60,23 @@ def test_clustered_write_uses_zstd(spark):
     for root, _, names in os.walk(out):
         files += [n for n in names if n.endswith(".parquet")]
     assert files and all(".zstd." in n for n in files), files[:3]
+
+
+def test_csv_corrupt_lines_quarantined(spark):
+    from youtube_api_data_etl_automation_spark.sources.text_files import (
+        read_csv_strict,
+    )
+
+    d = tempfile.mkdtemp(prefix="csv_")
+    with open(os.path.join(d, "part-0.csv"), "w") as f:
+        f.write(
+            "doc_id,n,lang\n"
+            "1,10,en\n"
+            "2,notanumber,fr\n"   # type mismatch -> quarantine
+            "3,30,de\n"
+        )
+    good, corrupt = read_csv_strict(spark, d, "doc_id long, n long, lang string")
+    assert {r.doc_id for r in good.collect()} == {1, 3}
+    raws = [r.raw_line for r in corrupt.collect()]
+    assert raws and "notanumber" in raws[0]
+    assert good.count() + corrupt.count() == 3

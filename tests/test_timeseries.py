@@ -1,0 +1,61 @@
+"""trailing_window vs a DuckDB RANGE-frame oracle on real events — the
+pytest-level differential for a non-registry op (registry is pinned at the
+driver's 50-query window)."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from youtube_api_data_etl_automation_spark.operators.timeseries import (
+    trailing_window,
+)
+from youtube_api_data_etl_automation_spark.sources.tables import load_table
+
+from .conftest import SF_DIR
+
+
+def test_trailing_7d_matches_duckdb(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    got = {
+        (r.event_id): (r.n_7d, round(r.sum_7d, 6))
+        for r in trailing_window(
+            ev,
+            partition_col="user_id",
+            ts_col="ts",
+            value_col="value",
+            trailing_days=7,
+        )
+        .select("event_id", "n_7d", "sum_7d")
+        .collect()
+    }
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT event_id,
+               COUNT(*) OVER w AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s
+        FROM read_parquet('{SF_DIR}/events.parquet')
+        WINDOW w AS (
+          PARTITION BY user_id ORDER BY epoch_us(ts)
+          RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+        )
+        """
+    ).fetchall()
+    assert len(rows) == len(got)
+    for eid, n, s in rows:
+        gn, gs = got[eid]
+        assert gn == n, (eid, gn, n)
+        assert abs(gs - s) < 1e-9, (eid, gs, s)
+
+
+def test_single_shuffle_plan(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    out = trailing_window(
+        ev, partition_col="user_id", ts_col="ts", value_col="value",
+        trailing_days=7,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # All three window columns share one (partition, order) spec: exactly
+    # one hash exchange, one Window node chain - no repeated shuffles.
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -26,6 +26,27 @@ from pyspark.sql import functions as F
 _CORRUPT = "_corrupt_record"
 
 
+def read_csv_strict(
+    spark: SparkSession, path: str, schema: str, header: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """CSV twin of :func:`read_jsonl`: declared schema, PERMISSIVE parse,
+    malformed lines split out with raw text preserved for replay."""
+    full_schema = f"{schema}, {_CORRUPT} string"
+    df = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", _CORRUPT)
+        .option("header", str(header).lower())
+        .csv(path)
+    )
+    df = df.cache()
+    good = df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
+    corrupt = df.filter(F.col(_CORRUPT).isNotNull()).select(
+        F.col(_CORRUPT).alias("raw_line")
+    )
+    return good, corrupt
+
+
 def read_jsonl(
     spark: SparkSession, path: str, schema: str
 ) -> tuple[DataFrame, DataFrame]:
