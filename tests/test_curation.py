@@ -97,12 +97,22 @@ def test_stratified_sample_partitioning_invariant(spark):
         stratified_sample_docs,
     )
 
+    import os
+    import tempfile
+
     a = {tuple(r) for r in stratified_sample_docs(spark, SF_DIR).collect()}
-    # Same query over a repartitioned source must produce identical strata:
-    # the keep decision is content-hash-based, not partition-based.
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(13)
-    docs.createOrReplaceTempView("_strat_docs_tmp")
-    b = {tuple(r) for r in stratified_sample_docs(spark, SF_DIR).collect()}
+    # Same query over a REWRITTEN, repartitioned copy of the table must
+    # produce identical strata: the keep decision is content-hash-based,
+    # not partition/file-layout-based. (The copy lives in its own sf-style
+    # dir so the query actually reads it.)
+    alt = tempfile.mkdtemp(prefix="strat_alt_sf_")
+    (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .repartition(13)
+        .write.mode("overwrite")
+        .parquet(os.path.join(alt, "documents.parquet"))
+    )
+    b = {tuple(r) for r in stratified_sample_docs(spark, alt).collect()}
     assert a == b
     for lang, n_docs, n_sampled, *_ in a:
         assert 0 <= n_sampled <= n_docs

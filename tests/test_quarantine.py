@@ -39,6 +39,8 @@ def test_first_failing_rule_wins(spark):
         (3, 11, -2.0, "weird"),      # fails rules 2 AND 3 -> attributed to 2
         (4, 12, 3.0, "weird"),       # fails rule 3
         (5, 13, 3.0, "view"),        # clean
+        (6, 14, None, "click"),      # NULL value: `value > 0` is NULL -> FAIL rule 2
+        (7, 15, 2.0, None),          # NULL type: isin is NULL -> FAIL rule 3
     ]
     df = spark.createDataFrame(
         rows, "event_id long, user_id long, value double, event_type string"
@@ -50,6 +52,8 @@ def test_first_failing_rule_wins(spark):
         2: "nonpositive_value",
         3: "nonpositive_value",
         4: "unknown_type",
+        6: "nonpositive_value",
+        7: "unknown_type",
     }
     assert [r.event_id for r in good.collect()] == [5]
 

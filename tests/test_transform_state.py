@@ -186,3 +186,33 @@ def test_streaming_end_to_end_requires_protobuf(spark):
     # tests/test_stateful_streaming.py, run timer_closed_sessions with a
     # far-future sentinel to advance the watermark, and compare to
     # session_stats — the direct-call test above pins the same contract.)
+
+def test_late_event_does_not_regress_frontier(spark):
+    """A late-but-within-watermark event older than the frontier must fold
+    into the open session (widening start if needed) without faking a gap
+    against the next on-time event."""
+    MIN = 60 * 1_000_000
+    proc = make_session_closer(GAP_MIN)
+    handle = FakeHandle()
+    proc.init(handle)
+    out = []
+    t0 = 10_000 * MIN
+    b1 = pd.DataFrame({"ts_us": [t0], "event_id": [1], "cents": [100]})
+    # Late event 5 min BEFORE t0, then an on-time event 26 min after t0:
+    # 26 < 30 gap from the frontier, so all three are ONE session.
+    b2 = pd.DataFrame(
+        {"ts_us": [t0 - 5 * MIN, t0 + 26 * MIN], "event_id": [2, 3], "cents": [10, 1]}
+    )
+    out.extend(proc.handleInputRows((1,), iter([b1]), None) or [])
+    out.extend(proc.handleInputRows((1,), iter([b2]), None) or [])
+    assert out == []  # no gap split emitted
+    start_us, last_us, n, cents = handle.states["open"].get()
+    assert start_us == t0 - 5 * MIN      # widened by the late event
+    assert last_us == t0 + 26 * MIN      # frontier advanced, never regressed
+    assert (n, cents) == (3, 111)
+    out.extend(
+        proc.handleExpiredTimer((1,), None, FakeExpiredTimer(last_us // 1000 + GAP_MS))
+        or []
+    )
+    final = pd.concat(out, ignore_index=True)
+    assert len(final) == 1 and final.iloc[0].session_end_us >= final.iloc[0].session_start_us

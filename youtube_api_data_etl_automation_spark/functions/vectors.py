@@ -54,19 +54,28 @@ def quantize_int8(a: Column | str) -> Column:
     """Symmetric per-vector int8: q_i = round(127 · v_i / max|v|).
 
     Returns struct(scale float, q array<tinyint>); zero vectors get
-    scale 0 and all-zero codes (dequantizes to the zero vector)."""
+    scale 0 and all-zero codes (dequantizes to the zero vector).
+
+    The amax fold is evaluated ONCE and bound as a lambda variable by
+    wrapping it in a 1-element transform(): higher-order lambdas are
+    interpreted with no CSE, so referencing the O(d) aggregate directly
+    inside the per-element lambda would re-run it per element — O(d²)
+    per vector (the tokens()/word_ngrams projection rule, applied at the
+    expression level where there's no column to project to)."""
     arr = _as_double(_c(a))
     amax = F.aggregate(arr, F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v)))
-    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(0.0))
-    q = F.transform(
-        arr,
-        lambda v: F.when(amax > 0, F.round(v / (amax / F.lit(127.0))))
-        .otherwise(F.lit(0.0))
-        .cast("tinyint"),
-    )
-    return F.struct(
-        scale.cast("float").alias("scale"), q.alias("q")
-    )
+
+    def build(m: Column) -> Column:
+        scale = F.when(m > 0, m / F.lit(127.0)).otherwise(F.lit(0.0))
+        q = F.transform(
+            arr,
+            lambda v: F.when(m > 0, F.round(v * F.lit(127.0) / m))
+            .otherwise(F.lit(0.0))
+            .cast("tinyint"),
+        )
+        return F.struct(scale.cast("float").alias("scale"), q.alias("q"))
+
+    return F.element_at(F.transform(F.array(amax), build), 1)
 
 
 def dequantize_int8(qs: Column | str) -> Column:

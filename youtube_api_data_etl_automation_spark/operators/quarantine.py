@@ -36,7 +36,12 @@ def quarantine_split(
     """
     reason = F.lit(None).cast("string")
     for name, cond in reversed(rules):
-        reason = F.when(~cond, F.lit(name)).otherwise(reason)
+        # Three-valued logic: a rule evaluating to NULL (e.g. `value > 0`
+        # on a NULL value) is a FAILURE, not a pass — coalesce to false
+        # before negating, else NULL-condition rows sail into `good`.
+        reason = F.when(~F.coalesce(cond, F.lit(False)), F.lit(name)).otherwise(
+            reason
+        )
     tagged = df.withColumn(_REASON, reason)
     good = tagged.filter(F.col(_REASON).isNull()).drop(_REASON)
     bad = tagged.filter(F.col(_REASON).isNotNull()).withColumnRenamed(

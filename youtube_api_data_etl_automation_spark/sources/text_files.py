@@ -26,25 +26,36 @@ from pyspark.sql import functions as F
 _CORRUPT = "_corrupt_record"
 
 
-def read_csv_strict(
-    spark: SparkSession, path: str, schema: str, header: bool = True
-) -> tuple[DataFrame, DataFrame]:
-    """CSV twin of :func:`read_jsonl`: declared schema, PERMISSIVE parse,
-    malformed lines split out with raw text preserved for replay."""
-    full_schema = f"{schema}, {_CORRUPT} string"
-    df = (
-        spark.read.schema(full_schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", _CORRUPT)
-        .option("header", str(header).lower())
-        .csv(path)
-    )
+def _split_corrupt(df: "DataFrame") -> tuple["DataFrame", "DataFrame"]:
+    """Split a PERMISSIVE read into (good, corrupt).
+
+    The cache() is REQUIRED, not an optimization: Spark refuses a filter
+    that references only the corrupt-record column of a fresh PERMISSIVE
+    scan (the parse would be dead-code-eliminated), and the cache also
+    guarantees both halves see one consistent parse. Lifecycle: the entry
+    is scoped to the ingest — at 100 TB keep the quarantine column inline
+    through the pipeline instead of splitting, or clearCache()/unpersist
+    via the returned frames' storage after the split is consumed."""
     df = df.cache()
     good = df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
     corrupt = df.filter(F.col(_CORRUPT).isNotNull()).select(
         F.col(_CORRUPT).alias("raw_line")
     )
     return good, corrupt
+
+
+def read_csv_strict(
+    spark: SparkSession, path: str, schema: str, header: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """CSV twin of :func:`read_jsonl`: declared schema, PERMISSIVE parse,
+    malformed lines split out with raw text preserved for replay."""
+    return _split_corrupt(
+        spark.read.schema(f"{schema}, {_CORRUPT} string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", _CORRUPT)
+        .option("header", str(header).lower())
+        .csv(path)
+    )
 
 
 def read_jsonl(
@@ -54,21 +65,10 @@ def read_jsonl(
 
     Returns (good, corrupt): ``good`` carries the declared columns;
     ``corrupt`` has (raw_line) for every line that failed to parse as the
-    declared schema. The two results partition the input lines.
-    """
-    full_schema = f"{schema}, {_CORRUPT} string"
-    df = (
-        spark.read.schema(full_schema)
+    declared schema. The two results partition the input lines."""
+    return _split_corrupt(
+        spark.read.schema(f"{schema}, {_CORRUPT} string")
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", _CORRUPT)
         .json(path)
     )
-    # Spark leaves declared columns NULL and fills _corrupt_record for bad
-    # lines. A cached projection avoids the known PERMISSIVE pitfall where
-    # filtering on the corrupt column alone short-circuits the parse.
-    df = df.cache()
-    good = df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
-    corrupt = df.filter(F.col(_CORRUPT).isNotNull()).select(
-        F.col(_CORRUPT).alias("raw_line")
-    )
-    return good, corrupt

@@ -114,7 +114,15 @@ def make_session_closer(gap_minutes: int = 30):
                     yield self._emit(user_id, start_us, last_us, n, cents, "gap")
                     start_us, last_us, n, cents = ts_us, ts_us, 1, int(cents_v)
                 else:
-                    last_us, n, cents = ts_us, n + 1, cents + int(cents_v)
+                    # The frontier never regresses: a late-but-in-watermark
+                    # event (watermark_delay > 0) older than last_us joins
+                    # the open session — folding its value and widening
+                    # start if needed — but must not pull last_us backward,
+                    # which would fake a gap against the NEXT event and
+                    # emit sessions with end < start.
+                    start_us = min(start_us, ts_us)
+                    last_us = max(last_us, ts_us)
+                    n, cents = n + 1, cents + int(cents_v)
             self._open.update((start_us, last_us, n, cents))
             # One pending close-timer per user: re-arm at the new frontier.
             for t in self._handle.listTimers():
