@@ -65,3 +65,17 @@ def test_no_nested_loop_plan(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hot_key_cap_bounds_candidates(spark):
+    """One mass-duplicated short string must not explode the join when the
+    cap is on; distinct strings' pairs survive the cap."""
+    rows = [(i, "zz") for i in range(200)] + [(1000, "alpha"), (1001, "alphb")]
+    df = spark.createDataFrame(rows, "id long, s string")
+    capped = fuzzy_self_pairs(df, "id", "s", max_key_df=50)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (1000, 1001) in got          # real near-match survives
+    assert not any(a < 200 and b < 200 for a, b in got)  # dup cluster dropped
+    # The cap distributes as a broadcast anti-join.
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan

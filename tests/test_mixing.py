@@ -68,3 +68,20 @@ def test_rate_above_one_repeats_rows(spark):
         out.filter(F.col("source") == "tiny").groupBy("doc_id").count().collect()
     )
     assert all(r["count"] >= 49 for r in per_doc)
+
+
+def test_null_source_and_null_id_not_dropped(spark):
+    rows = (
+        [(i, "big") for i in range(100)]
+        + [(200 + i, None) for i in range(10)]
+        + [(None, "big")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = mixture_rates(df, "source", alpha=1.0, target_rows=111)
+    # NULL sources are a stratum, not silently vanished mass.
+    by_src = {r.source: r.n_rows for r in rates.collect()}
+    assert by_src["__null_source__"] == 10 and by_src["big"] == 101
+    out = apply_mixture(df, rates, source_col="source", id_col="doc_id")
+    # alpha=1, target=input size -> rate 1.0 everywhere -> exact passthrough,
+    # including the NULL-source rows and the NULL-id row.
+    assert out.count() == 111

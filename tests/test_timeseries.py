@@ -18,7 +18,7 @@ from .conftest import SF_DIR
 def test_trailing_7d_matches_duckdb(spark):
     ev = load_table(spark, SF_DIR, "events")
     got = {
-        (r.event_id): (r.n_7d, round(r.sum_7d, 6))
+        (r.event_id): (r.n_7d, round(r.sum_7d, 6), r.avg_7d)
         for r in trailing_window(
             ev,
             partition_col="user_id",
@@ -26,7 +26,7 @@ def test_trailing_7d_matches_duckdb(spark):
             value_col="value",
             trailing_days=7,
         )
-        .select("event_id", "n_7d", "sum_7d")
+        .select("event_id", "n_7d", "sum_7d", "avg_7d")
         .collect()
     }
     con = duckdb.connect()
@@ -34,7 +34,8 @@ def test_trailing_7d_matches_duckdb(spark):
         f"""
         SELECT event_id,
                COUNT(*) OVER w AS n,
-               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s,
+               CAST(AVG(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS a
         FROM read_parquet('{SF_DIR}/events.parquet')
         WINDOW w AS (
           PARTITION BY user_id ORDER BY epoch_us(ts)
@@ -43,10 +44,34 @@ def test_trailing_7d_matches_duckdb(spark):
         """
     ).fetchall()
     assert len(rows) == len(got)
-    for eid, n, s in rows:
-        gn, gs = got[eid]
+    for eid, n, s, avg in rows:
+        gn, gs, ga = got[eid]
         assert gn == n, (eid, gn, n)
         assert abs(gs - s) < 1e-9, (eid, gs, s)
+        assert abs(ga - avg) < 1e-9, (eid, ga, avg)
+
+
+def test_avg_excludes_nulls(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 10.0), (1, "2024-01-02 00:00:00", None)],
+        "user_id long, ts_s string, value double",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    rows = {
+        r.value: r.avg_7d
+        for r in trailing_window(
+            df, partition_col="user_id", ts_col="ts", value_col="value",
+            trailing_days=7,
+        ).collect()
+    }
+    # The NULL-value row's window holds [10.0, NULL]: SQL AVG = 10.0, not 5.0.
+    assert rows[None] == 10.0
+    with pytest.raises(ValueError):
+        trailing_window(
+            df, partition_col="user_id", ts_col="ts", value_col="value",
+            trailing_days=7, aggs=("mean",),
+        )
 
 
 def test_single_shuffle_plan(spark):

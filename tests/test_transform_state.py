@@ -188,9 +188,11 @@ def test_streaming_end_to_end_requires_protobuf(spark):
     # session_stats — the direct-call test above pins the same contract.)
 
 def test_late_event_does_not_regress_frontier(spark):
-    """A late-but-within-watermark event older than the frontier must fold
-    into the open session (widening start if needed) without faking a gap
-    against the next on-time event."""
+    """An out-of-order event older than the frontier (defense-in-depth —
+    the operator enforces delay-0 watermarks, so Spark should drop true
+    late data before it arrives here) must fold into the open session
+    (widening start if needed) without faking a gap against the next
+    on-time event."""
     MIN = 60 * 1_000_000
     proc = make_session_closer(GAP_MIN)
     handle = FakeHandle()

@@ -19,6 +19,18 @@ nested loop [pinned by tests/test_fuzzy.py].
 This targets key/name-length strings (L+1 keys per row). Document-level
 near-dup is the MinHash/SimHash family (operators/dedup.py); this is its
 short-string sibling, same candidate-then-verify architecture.
+
+Cost honesty: there are TWO shuffles — the blocking-key equi-join and the
+candidate ``distinct`` (which carries both text payloads) — and candidate
+volume is quadratic in any one key's document frequency (ubiquitous keys
+come from very short strings, whose deletion neighborhoods degenerate to
+'' and single characters, and from mass-duplicated strings). The
+``max_key_df`` cap bounds that: keys shared by more than ``max_key_df``
+rows are dropped from blocking via a broadcast anti-join (the same hot-key
+lever as the stop-shingle cap, operators/dedup.py). With the cap active,
+recall is exact EXCEPT among rows whose every shared key is hot — in
+practice mass-duplicate clusters, which belong to exact dedup
+(fingerprint groupBy), not edit-distance search.
 """
 
 from __future__ import annotations
@@ -41,19 +53,30 @@ def deletion_keys(col) -> "F.Column":
     return F.array_distinct(F.concat(F.array(s), variants))
 
 
-def fuzzy_self_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def fuzzy_self_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_key_df: int | None = None
+) -> DataFrame:
     """All (id_a < id_b) pairs with levenshtein(text_a, text_b) <= 1.
 
-    Returns (id_a, id_b, dist). Exact recall: the deletion-neighborhood
-    join is a provable superset of the distance-≤1 pairs. The only shuffle
-    carries (key, id, text) blocking rows; exact distance runs on the
-    (distinct) candidates alone."""
+    Returns (id_a, id_b, dist). Recall is exact with ``max_key_df=None``
+    (the deletion-neighborhood join is a provable superset of the
+    distance-≤1 pairs); with a cap, hot blocking keys are dropped first —
+    see the module docstring for the shuffle/cost inventory and the
+    cap's recall caveat."""
     base = df.select(
         F.col(id_col).alias("_fid"), F.col(text_col).alias("_ftxt")
     ).filter(F.col("_ftxt").isNotNull())
     keyed = base.select(
         "_fid", "_ftxt", F.explode(deletion_keys(F.col("_ftxt"))).alias("k")
     )
+    if max_key_df is not None:
+        hot = (
+            keyed.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_key_df)
+            .select("k")
+        )
+        keyed = keyed.join(F.broadcast(hot), "k", "left_anti")
     a = keyed.select(
         F.col("_fid").alias("id_a"), F.col("_ftxt").alias("txt_a"), "k"
     )

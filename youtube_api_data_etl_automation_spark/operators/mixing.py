@@ -20,14 +20,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_bucket
+
+# NULL sources form their own stratum under this sentinel (groupBy keeps
+# NULL as a group, but an equi-join would silently drop those rows — the
+# two stages must agree on one normalized key).
+_NULL_SOURCE = "__null_source__"
+
+
+def _norm_source(source_col: str):
+    return F.coalesce(F.col(source_col).cast("string"), F.lit(_NULL_SOURCE))
+
 
 def mixture_rates(
     df: DataFrame, source_col: str, alpha: float, target_rows: int
 ) -> DataFrame:
     """Per-source sampling rate so expected output ≈ target_rows with
     p(source) ∝ n_source^alpha. Returns (source, n_rows, rate); rate may
-    exceed 1 (repeat small sources)."""
-    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    exceed 1 (repeat small sources). NULL sources count as one stratum
+    (sentinel key) rather than silently vanishing from the mix."""
+    counts = df.groupBy(_norm_source(source_col).alias(source_col)).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
     total_w = counts.agg(
         F.sum(F.pow(F.col("n_rows").cast("double"), F.lit(alpha))).alias("tw")
     )
@@ -51,13 +65,27 @@ def apply_mixture(
     id_col: str,
 ) -> DataFrame:
     """Materialize the mix deterministically: each row repeats
-    floor(rate) times, plus one more iff its md5 bucket < frac(rate)·256
-    (content-stable fractional sampling). Output adds ``copy_idx``."""
-    joined = df.join(F.broadcast(rates.select(source_col, "rate")), source_col)
+    floor(rate) times, plus one more iff its SALTED md5 bucket <
+    frac(rate)·256 (content-stable fractional sampling). Output adds
+    ``copy_idx``.
+
+    The bucket salt ("mix") is load-bearing: stratified sampling and the
+    train/val split draw from the UNSALTED bucket, and reusing it here
+    would perfectly correlate the draws when the ops compose (every
+    stratified survivor would win every fractional draw with rate ≥ its
+    stratum threshold — see functions/hashing.py). NULL ids hash via the
+    same sentinelled cast, so no row silently drops."""
+    rates_n = rates.select(
+        _norm_source(source_col).alias("__mix_src"), "rate"
+    )
+    joined = df.join(
+        F.broadcast(rates_n), _norm_source(source_col) == F.col("__mix_src")
+    ).drop("__mix_src")
     whole = F.floor("rate").cast("int")
     frac = F.col("rate") - whole
-    hex2 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
-    bucket = F.conv(hex2, 16, 10).cast("int")
+    bucket = md5_bucket(
+        F.coalesce(F.col(id_col).cast("string"), F.lit("__null_id__")), salt="mix"
+    )
     extra = (bucket < frac * 256).cast("int")
     n_copies = (whole + extra).alias("n_copies")
     return (

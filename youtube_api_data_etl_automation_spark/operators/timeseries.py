@@ -33,6 +33,9 @@ def trailing_window(
 
     Sums accumulate in decimal so the result is order-independent (the
     window frame's internal add order is not guaranteed)."""
+    unknown = set(aggs) - {"sum", "count", "avg"}
+    if unknown:
+        raise ValueError(f"unknown aggs {sorted(unknown)}; expected sum/count/avg")
     span_us = trailing_days * 86_400 * 1_000_000
     w = (
         Window.partitionBy(partition_col)
@@ -46,8 +49,11 @@ def trailing_window(
     if "count" in aggs:
         cols[f"n_{trailing_days}d"] = F.count(F.lit(1)).over(w).cast("long")
     if "avg" in aggs:
+        # SQL AVG semantics: NULL values are excluded from BOTH sides —
+        # dividing the NULL-skipping sum by COUNT(*) would treat NULLs as
+        # zeros. count(dec) counts only non-NULL values.
         cols[f"avg_{trailing_days}d"] = (
-            F.sum(dec).over(w) / F.count(F.lit(1)).over(w)
+            F.sum(dec).over(w) / F.count(dec).over(w)
         ).cast("double")
     out = df
     for name, col in cols.items():

@@ -465,8 +465,9 @@ def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     and dataset growth: a doc never changes split when new data arrives).
     Pure map-side expression; the only shuffle is the audit aggregation."""
     docs = load_table(spark, sf_dir, "documents")
-    hex2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    bucket = F.conv(hex2, 16, 10).cast("int")
+    from ..functions.hashing import md5_bucket
+
+    bucket = md5_bucket("doc_id")  # unsalted: pinned by the oracle text
     split = (
         F.when(bucket < 230, "train").when(bucket < 243, "val").otherwise("test")
     )

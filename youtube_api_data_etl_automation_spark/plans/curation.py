@@ -195,9 +195,12 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side projection; the audit aggregate is the only shuffle. At 100 TB
     the same expression feeds a filter instead of an audit — zero-shuffle
     sampling with exact, auditable per-stratum rates."""
+    from ..functions.hashing import md5_bucket
+
     docs = load_table(spark, sf_dir, "documents")
-    hex2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    bucket = F.conv(hex2, 16, 10).cast("int")
+    # Unsalted bucket: pinned by the oracle text (see functions/hashing.py
+    # on why COMPOSING operators must salt instead).
+    bucket = md5_bucket("doc_id")
     thr = (
         F.when(F.col("lang") == "en", 128)
         .when(F.col("lang") == "fr", 64)

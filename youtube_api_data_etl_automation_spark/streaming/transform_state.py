@@ -114,12 +114,12 @@ def make_session_closer(gap_minutes: int = 30):
                     yield self._emit(user_id, start_us, last_us, n, cents, "gap")
                     start_us, last_us, n, cents = ts_us, ts_us, 1, int(cents_v)
                 else:
-                    # The frontier never regresses: a late-but-in-watermark
-                    # event (watermark_delay > 0) older than last_us joins
-                    # the open session — folding its value and widening
-                    # start if needed — but must not pull last_us backward,
-                    # which would fake a gap against the NEXT event and
-                    # emit sessions with end < start.
+                    # Defense-in-depth (delay-0 should make this moot): an
+                    # out-of-order event older than the frontier joins the
+                    # open session — folding its value, widening start if
+                    # needed — but never pulls last_us backward, which
+                    # would fake a gap against the NEXT event and emit
+                    # sessions with end < start.
                     start_us = min(start_us, ts_us)
                     last_us = max(last_us, ts_us)
                     n, cents = n + 1, cents + int(cents_v)
@@ -157,7 +157,21 @@ def timer_closed_sessions(
     ``events``: streaming DataFrame with (event_id, ts timestamp, user_id,
     value). Requires the session's state store provider to be RocksDB
     (ROCKSDB_PROVIDER) and ``google.protobuf`` in the worker Python (see
-    module docstring)."""
+    module docstring).
+
+    ``watermark_delay`` must be "0 seconds": the gap-split path emits a
+    session the moment a later event lands past the gap, which is only
+    final if no late event can subsequently bridge the two sessions —
+    true exactly when the watermark admits no late data. Supporting a
+    real lateness window needs pending-session state plus merge-on-late
+    (not implemented); rejecting the parameter beats silently emitting
+    sessions that a bridging late event would invalidate."""
+    if watermark_delay.strip() not in ("0 seconds", "0 second"):
+        raise ValueError(
+            "timer_closed_sessions supports only watermark_delay='0 seconds' "
+            "(gap-split emission is final only without late data; "
+            "late-merge is not implemented)"
+        )
     prepped = events.withWatermark("ts", watermark_delay).select(
         "user_id",
         "event_id",
