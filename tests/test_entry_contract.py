@@ -22,9 +22,10 @@ def test_entry_returns_rows_with_stable_schema(spark):
 def test_every_oracle_key_has_a_query():
     q, o = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(o) <= set(q)
-    # Rows-only entries are the documented exceptions, kept deliberately rare.
+    # r2: zero rows-only entries — even the external-API reference ETL is
+    # value-checked via its golden-values oracle (tools/make_etl_golden.py).
     rows_only = set(q) - set(o)
-    assert rows_only == {"reference_etl_video_stats"}
+    assert rows_only == set()
 
 
 def test_registry_fits_driver_check_window():
