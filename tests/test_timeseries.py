@@ -84,3 +84,37 @@ def test_single_shuffle_plan(spark):
     # All three window columns share one (partition, order) spec: exactly
     # one hash exchange, one Window node chain - no repeated shuffles.
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_native_session_window_matches_custom_sessionizer(spark):
+    """Spark's built-in session_window aggregation must produce the same
+    sessions as the custom window-based sessionizer (operators/sessionize)
+    — same count, same per-session (start, n, sum). The built-in is the
+    preferred streaming form (works under watermarks with merging state);
+    the custom op exists because it also yields per-event session ids,
+    which session_window's aggregate-only shape cannot."""
+    from youtube_api_data_etl_automation_spark.operators.sessionize import (
+        session_stats,
+    )
+    from youtube_api_data_etl_automation_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    custom = {
+        (r.user_id, r.session_start_us): (r.n_events, round(r.sum_value, 6))
+        for r in session_stats(ev, gap_minutes=30).collect()
+    }
+    native = {
+        (r.user_id, r.start_us): (r.n, round(r.s, 6))
+        for r in ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("s"),
+        )
+        .select(
+            "user_id", F.unix_micros("w.start").alias("start_us"), "n", "s"
+        )
+        .collect()
+    }
+    assert native == custom
