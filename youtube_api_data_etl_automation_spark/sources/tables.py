@@ -47,15 +47,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
-        # default. Read nanos as long and convert losslessly to a micros
-        # timestamp (the data is microsecond-aligned; integer `div` avoids
-        # the double-precision trap on ~1e18 nanos values).
+        # events.ts is parquet TIMESTAMP(NANOS). Depending on the Spark
+        # build this resolves as TIMESTAMP_NTZ (4.1 native nanos read,
+        # truncating to micros — the data is microsecond-aligned so
+        # lossless) or, under the legacy conf, as a raw nanos long. Handle
+        # both so the engine survives runtime upgrades: ntz → session-TZ
+        # (UTC) timestamp; long → integer `div` then timestamp_micros
+        # (integer div avoids the double-precision trap on ~1e18 nanos).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(path)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type != "timestamp":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(path)
     return _rebalance(spark, df, path) if rebalance else df

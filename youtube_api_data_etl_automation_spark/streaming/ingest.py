@@ -43,7 +43,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Unit guard: depending on the Spark build, a LongType user schema over
+    # parquet TIMESTAMP(NANOS) delivers raw nanos (legacy conf honored) or
+    # micros (4.1 truncating read). 1e17 cleanly separates the two for any
+    # date between 1973 and ~5100, so the conversion survives upgrades.
+    micros = F.when(
+        F.col("ts") > F.lit(100_000_000_000_000_000), F.expr("ts div 1000")
+    ).otherwise(F.col("ts"))
+    return raw.withColumn("ts", F.timestamp_micros(micros))
 
 
 def tumbling_event_counts(events: DataFrame, window: str = "1 hour",
