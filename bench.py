@@ -24,6 +24,10 @@ from youtube_api_data_etl_automation_spark.session import get_spark
 # into join_star_revenue, null_safe_ratios into the flagship, distinct_ids
 # into union_distinct_slices; window_running_lag and the fused multimodal
 # query joined the headline set.
+# r4 consolidation: asof_last_purchase folded into window_running_lag,
+# union_distinct_slices into setops_except_intersect, rolling_hash_docs
+# into text_stats_docs; the three freed slots went to
+# repeated_substring_spans, scd2_priority_history, lang_cap_docs.
 HEADLINE = [
     "flagship_new_order_enrichment",
     "anti_join_new_keys",
@@ -31,9 +35,8 @@ HEADLINE = [
     "join_star_revenue",
     "window_rank_orders",
     "window_running_lag",
-    "asof_last_purchase",
     "iso_duration_seconds",
-    "union_distinct_slices",
+    "setops_except_intersect",
     "text_stats_docs",
     "dedup_exact_docs",
     "dedup_minhash_lsh",
@@ -44,13 +47,16 @@ HEADLINE = [
     "salted_join_revenue",
     "percentile_prices",
     "ivf_ann_topk",
-    "rolling_hash_docs",
     "tfidf_top_terms",
     "dedup_connected_components",
     # r2 curation additions (plans/curation.py)
     "pii_redact_docs",
     "decontam_ngram_hits",
     "stratified_sample_docs",
+    # r4 additions (plans/history.py)
+    "repeated_substring_spans",
+    "scd2_priority_history",
+    "lang_cap_docs",
 ]
 
 

@@ -274,3 +274,69 @@ def test_clustered_layout_files_are_disjoint_and_complete(spark):
     # Range clustering bounds total files near num_files.
     n_files = len({r.f for r in spans})
     assert n_files <= 16 + len(per_day), n_files
+
+
+def test_cap_under_cap_rows_skip_the_window_sort(spark):
+    """Per-group cap (r4): the under-cap path must reach the output through
+    a broadcast anti-join with NO Window operator on it — only over-cap
+    groups' rows may pay the rank. The pin counts Window operators: exactly
+    one, on the hot path."""
+    from youtube_api_data_etl_automation_spark.operators.capping import cap_per_group
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(cap_per_group(docs, group_col="lang", id_col="doc_id", cap=10))
+    window_ops = [
+        line for line in plan.splitlines() if line.lstrip("+-: ").startswith("Window ")
+    ]
+    assert len(window_ops) == 1, plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # Bonus shape worth keeping: Spark's rank-limit pushdown inserts a
+    # partial WindowGroupLimit BEFORE the exchange, so even the hot path
+    # shuffles at most cap rows per group per input partition.
+    assert "WindowGroupLimit" in plan
+
+
+def test_repeated_spans_no_pair_generation_and_no_text_shuffle(spark):
+    """Repeated-substring spans (r4): no nested-loop/cartesian anywhere (the
+    op flags occurrences, never generates pairs), and no exchange carries
+    the raw text column — shuffles move (id, pos, md5 hash) only."""
+    from youtube_api_data_etl_automation_spark.operators.substring import (
+        duplicated_spans,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = duplicated_spans(docs, k=8)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # Every hash exchange partitions on the gram hash or the doc key —
+    # never on the raw text column.
+    exchanges = [line for line in plan.splitlines() if "Exchange hashpartitioning" in line]
+    assert exchanges, plan
+    for line in exchanges:
+        assert "text" not in line, line
+    # Release the operator-internal persist so repeated test runs don't
+    # accumulate cached occurrence relations.
+    spark.catalog.clearCache()
+
+
+def test_scd2_single_key_shuffle(spark):
+    """SCD2 (r4): exactly one hash exchange on the dimension key — the
+    change window, run collapse, and interval lead all reuse it."""
+    from youtube_api_data_etl_automation_spark.operators.scd import scd2_history
+
+    orders = load_table(spark, SF_DIR, "orders")
+    obs = orders.select("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
+    hist = scd2_history(
+        obs,
+        key_cols=["o_custkey"],
+        attr_cols=["o_orderpriority"],
+        order_cols=["o_orderdate", "o_orderkey"],
+    )
+    plan = _plan(hist)
+    exchanges = [
+        line for line in plan.splitlines() if "Exchange hashpartitioning" in line
+    ]
+    assert len(exchanges) == 1, plan
+    assert "o_custkey" in exchanges[0]

@@ -169,6 +169,21 @@ def dup_token_fraction_t(tok: Column | str) -> Column:
     return F.when(n > 0, (n - nd) / n).otherwise(F.lit(0.0))
 
 
+def rolling_hash_t(tok: Column | str) -> Column:
+    """Polynomial rolling hash over the token stream (Karp–Rabin form:
+    acc·31 + h(tok) mod 1e9+7). Order-sensitive — unlike the md5 content
+    fingerprint — and prefix-stable: streaming ingest can maintain it
+    incrementally. Pure higher-order Column fold, no UDF; h(tok) is the
+    first 8 md5 hex chars as an integer so DuckDB reproduces it."""
+    t = F.col(tok) if isinstance(tok, str) else tok
+    tok_hash = lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")  # noqa: E731
+    return F.aggregate(
+        t,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(31) + tok_hash(x)) % F.lit(1_000_000_007),
+    )
+
+
 def doc_fingerprint(col: Column | str) -> Column:
     """Stable content fingerprint: md5 of the normalized text (hex string —
     identical across engines, unlike engine-native hash())."""

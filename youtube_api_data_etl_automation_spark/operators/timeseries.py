@@ -10,7 +10,8 @@ Spark shape: ``Window.orderBy(unix-time).rangeBetween(-seconds, 0)`` per
 key. One shuffle on the partition key; within a partition the frame is a
 sliding pointer over the sorted run (O(n) amortized, no per-row rescan).
 The microsecond ordering key avoids the whole-second truncation trap the
-r1 as-of advice flagged (plans/relational.py::asof_last_purchase)."""
+r1 as-of advice flagged (plans/relational.py::window_running_lag, the
+fused as-of column)."""
 
 from __future__ import annotations
 

@@ -298,56 +298,9 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text_queries.py) — same documents pass, two extra codegen'd regexp_counts.
 
 
-# ---------------------------------------------------------------------------
-# Rolling-hash document fingerprint (documents)
-# ---------------------------------------------------------------------------
-
-_HEX_VAL = "+".join(
-    f"(strpos('0123456789abcdef', substr(md5(x), {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
-    for j in range(8)
-)
-
-
-@query(
-    "rolling_hash_docs",
-    oracle=f"""
-    WITH n AS (
-      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
-      FROM documents
-    ),
-    toks AS (
-      SELECT doc_id,
-             CASE WHEN norm = '' THEN CAST([] AS VARCHAR[])
-                  ELSE string_split(norm, ' ') END AS tok
-      FROM n
-    )
-    SELECT doc_id,
-           list_reduce(
-             list_prepend(CAST(0 AS BIGINT),
-                          list_transform(tok, x -> CAST({_HEX_VAL} AS BIGINT))),
-             (acc, h) -> (acc * 31 + h) % 1000000007
-           ) AS rhash
-    FROM toks
-    """,
-)
-def rolling_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Polynomial rolling hash over the token stream (Karp–Rabin form:
-    acc·31 + h(tok) mod 1e9+7). Order-sensitive — unlike the md5 content
-    fingerprint, prefix-stable: streaming ingest can maintain it
-    incrementally. Pure higher-order Column expression, no UDF."""
-    from ..functions.text import tokens
-
-    docs = load_table(spark, sf_dir, "documents", rebalance=True)
-    tok_hash = lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")  # noqa: E731
-    toks = docs.select("doc_id", tokens("text").alias("tok"))
-    return toks.select(
-        "doc_id",
-        F.aggregate(
-            "tok",
-            F.lit(0).cast("long"),
-            lambda acc, x: (acc * F.lit(31) + tok_hash(x)) % F.lit(1_000_000_007),
-        ).alias("rhash"),
-    )
+# The rolling-hash document fingerprint (Karp–Rabin) moved into
+# functions/text.py::rolling_hash_t and is driver-verified inside
+# text_stats_docs (same documents pass — r4 registry consolidation).
 
 
 # ---------------------------------------------------------------------------

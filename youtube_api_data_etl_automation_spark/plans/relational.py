@@ -103,31 +103,10 @@ def empty_delta_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# A1/A3/A4 — distinct / union-all / set difference (SURVEY.md §2.5)
+# A1/A3/A4 — distinct / union-all / except / intersect (SURVEY.md §2.5)
+# r4 consolidation: the union-distinct demo (formerly its own registry
+# slot, `union_distinct_slices`) is a third tagged section of this query.
 # ---------------------------------------------------------------------------
-@query(
-    "union_distinct_slices",
-    oracle="""
-    SELECT DISTINCT o_orderkey, o_totalprice FROM (
-      SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 150000
-      UNION ALL
-      SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100000
-    )
-    """,
-)
-def union_distinct_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3 + A1 in one plan: UNION ALL of two deliberately OVERLAPPING slices
-    (the reference's per-playlist append loop :81-96 — unionByName is pure
-    partition concatenation, no shuffle), then global DISTINCT (the
-    reference's list(set(ids)) at :103 — hash-aggregate with map-side
-    partial dedup, only unique keys shuffle). The overlap region is what
-    makes the distinct observable."""
-    orders = load_table(spark, sf_dir, "orders")
-    hi = orders.filter(F.col("o_totalprice") > 150000).select("o_orderkey", "o_totalprice")
-    mid = orders.filter(F.col("o_totalprice") > 100000).select("o_orderkey", "o_totalprice")
-    return hi.unionByName(mid).distinct()
-
-
 @query(
     "setops_except_intersect",
     oracle="""
@@ -142,13 +121,26 @@ def union_distinct_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
       INTERSECT
       SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
     )
+    UNION ALL
+    SELECT 'union_distinct' AS op, o_orderkey AS key FROM (
+      SELECT DISTINCT o_orderkey FROM (
+        SELECT o_orderkey FROM orders WHERE o_totalprice > 150000
+        UNION ALL
+        SELECT o_orderkey FROM orders WHERE o_totalprice > 100000
+      )
+    )
     """,
 )
 def setops_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4 both ways in one tagged relation: EXCEPT (orders with no
-    lineitems — the reference's video_ids − existing_ids) and INTERSECT
-    (customers with both open and finished orders), each a hash-partitioned
-    set op, union-tagged with the op name."""
+    """A1/A3/A4 in one tagged relation: EXCEPT (orders with no lineitems —
+    the reference's video_ids − existing_ids), INTERSECT (customers with
+    both open and finished orders), and UNION ALL of two deliberately
+    OVERLAPPING slices followed by global DISTINCT (the reference's
+    per-playlist append loop :81-96 + list(set(ids)) at :103 — unionByName
+    is pure partition concatenation; the distinct is a hash-aggregate with
+    map-side partial dedup, so only unique keys shuffle; the overlap region
+    is what makes the distinct observable). Each section is a
+    hash-partitioned set op, union-tagged with the op name."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("o_orderkey"))
     exc = (
@@ -160,7 +152,14 @@ def setops_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     its = f.intersect(o).select(F.lit("intersect").alias("op"), F.col("o_custkey").alias("key"))
-    return exc.unionByName(its)
+    hi = orders.filter(F.col("o_totalprice") > 150000).select("o_orderkey")
+    mid = orders.filter(F.col("o_totalprice") > 100000).select("o_orderkey")
+    uni = (
+        hi.unionByName(mid)
+        .distinct()
+        .select(F.lit("union_distinct").alias("op"), F.col("o_orderkey").alias("key"))
+    )
+    return exc.unionByName(its).unionByName(uni)
 
 
 # P4 (IN-list membership predicate, pushed into the scan) is driver-verified
@@ -325,55 +324,42 @@ def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id,
            {sql_round6('''SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''')} AS running_value,
-           {sql_round6('value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)')} AS delta
-    FROM events
-    """,
-)
-def window_running_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running total + LAG delta per user in ONE window pass: both functions
-    share the (user_id | ts, event_id) ordering, so Catalyst plans a single
-    shuffle + single sort serving both — the shape to prefer over separate
-    window queries at scale. Deterministic accumulation order keeps double
-    results engine-identical; rounded as guard."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    v = F.col("value")
-    return load_table(spark, sf_dir, "events").select(
-        "event_id",
-        "user_id",
-        round6(F.sum(v).over(wsum)).alias("running_value"),
-        round6(v - F.lag(v).over(w)).alias("delta"),
-    )
-
-
-@query(
-    "asof_last_purchase",
-    oracle="""
-    SELECT e.event_id, e.user_id,
+           {sql_round6('value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)')} AS delta,
            epoch_us((SELECT max(p.ts) FROM events p
              WHERE p.user_id = e.user_id AND p.ts <= e.ts AND p.event_type = 'purchase'))
            AS last_purchase_us
     FROM events e
     """,
 )
-def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AS-OF join (most recent prior 'purchase' per user) expressed as a
-    conditional RANGE window — one shuffle on user_id, no correlated probe
-    per row. The window max over ts<=current exactly matches the correlated
-    subquery semantics including ties. Frame ordering uses unix_micros, NOT
-    cast('long'): the cast truncates to whole seconds, which would let an
-    event see a purchase later in the same second."""
-    w = (
+def window_running_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total + LAG delta + AS-OF lookup per user, ONE shuffle: all
+    three window functions partition by user_id, so Catalyst plans a single
+    Exchange serving every frame — the shape to prefer over separate window
+    queries at scale. (r4 consolidation: the as-of join, formerly its own
+    registry slot `asof_last_purchase`, is the third column.)
+
+    The as-of (most recent prior 'purchase' per user) is a conditional
+    RANGE window — no correlated probe per row; the window max over
+    ts<=current matches correlated-subquery semantics including ties.
+    Its frame orders by unix_micros, NOT cast('long'): the cast truncates
+    to whole seconds, which would let an event see a purchase later in the
+    same second. Deterministic accumulation order keeps double results
+    engine-identical; rounded as guard."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wasof = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_micros("ts"))
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
     marker = F.when(F.col("event_type") == "purchase", F.col("ts"))
-    return ev.select(
+    return load_table(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
-        F.unix_micros(F.max(marker).over(w)).alias("last_purchase_us"),
+        round6(F.sum(v).over(wsum)).alias("running_value"),
+        round6(v - F.lag(v).over(w)).alias("delta"),
+        F.unix_micros(F.max(marker).over(wasof)).alias("last_purchase_us"),
     )
 
 

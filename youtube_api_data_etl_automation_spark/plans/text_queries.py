@@ -37,12 +37,24 @@ def _sql_list(words) -> str:
 # subword-vocab token counts for tokenizer-budget estimation.
 _SUBWORD_PAT = "[a-z]{1,4}|[0-9]{1,3}"
 
+# DuckDB mirror of functions.text.rolling_hash_t's per-token hash: the
+# first 8 md5 hex chars as an integer.
+_HEX_VAL = "+".join(
+    f"(strpos('0123456789abcdef', substr(md5(x), {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+    for j in range(8)
+)
+
 
 @query(
     "text_stats_docs",
     oracle=f"""
     WITH n AS (
       SELECT doc_id, text, {_NORM.format(col='text')} AS norm FROM documents
+    ), t AS (
+      SELECT doc_id, text, norm,
+             CASE WHEN norm = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(norm, ' ') END AS tok
+      FROM n
     )
     SELECT doc_id,
            CAST(CASE WHEN norm = '' THEN 0 ELSE len(string_split(norm, ' ')) END AS INT) AS n_tokens,
@@ -55,17 +67,25 @@ _SUBWORD_PAT = "[a-z]{1,4}|[0-9]{1,3}"
            floor((CASE WHEN norm = '' THEN 0.0
                        ELSE 1.0 - CAST(len(list_distinct(string_split(norm, ' '))) AS DOUBLE)
                                   / len(string_split(norm, ' ')) END) * 1000000.0 + 0.5)
-             / 1000000.0 AS dup_token_frac
-    FROM n
+             / 1000000.0 AS dup_token_frac,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          list_transform(tok, x -> CAST({_HEX_VAL} AS BIGINT))),
+             (acc, h) -> (acc * 31 + h) % 1000000007
+           ) AS rhash
+    FROM t
     """,
 )
 def text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + punctuation + stopword stats, the tokenizer-budget
     counts (alnum word tokens and a BPE-ish bounded-subword count — greedy
-    ≤4-char chunks ≈ subword-vocab tokens), and the Gopher-style
-    duplicate-token repetition fraction. All JVM-side Column expressions —
-    regexp_count is codegen'd, no UDF anywhere."""
-    from ..functions.text import dup_token_fraction_t
+    ≤4-char chunks ≈ subword-vocab tokens), the Gopher-style
+    duplicate-token repetition fraction, and the Karp–Rabin rolling-hash
+    fingerprint (functions/text.py::rolling_hash_t — order-sensitive,
+    prefix-stable, r4: fused here from its own registry slot; same
+    documents pass). All JVM-side Column expressions — regexp_count is
+    codegen'd, no UDF anywhere."""
+    from ..functions.text import dup_token_fraction_t, rolling_hash_t
 
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
     toks = docs.select("doc_id", "text", tokens("text").alias("tok"))
@@ -83,6 +103,7 @@ def text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_subwords"),
         round6(dup_token_fraction_t("tok")).alias("dup_token_frac"),
+        rolling_hash_t("tok").alias("rhash"),
     )
 
 
