@@ -133,3 +133,46 @@ def test_jdbc_overwrite_dim(spark, tmp_path):
     overwrite_dim_jdbc(_orders(spark, 100, 105), url, "channel_stats")
     got = sorted(r.videoId for r in read_dim_jdbc(spark, url, "channel_stats").collect())
     assert got == list(range(100, 105))
+
+
+def test_incremental_agg_matches_full_recompute(spark, tmp_path):
+    """Folding two delta batches into the aggregate state must equal the
+    single-pass aggregate over their union — bit-identical (decimal sums),
+    regardless of batch boundaries."""
+    from youtube_api_data_etl_automation_spark.operators.incremental import (
+        incremental_agg,
+    )
+    from youtube_api_data_etl_automation_spark.sources.tables import load_table
+
+    from .conftest import SF_DIR
+
+    orders = load_table(spark, SF_DIR, "orders")
+    b1 = orders.filter(F.col("o_orderkey") % 3 != 0)
+    b2 = orders.filter(F.col("o_orderkey") % 3 == 0)
+    state_path = str(tmp_path / "agg_state")
+
+    incremental_agg(b1, state_path, keys=["o_orderpriority"], sum_cols=["o_totalprice"])
+    incremental_agg(b2, state_path, keys=["o_orderpriority"], sum_cols=["o_totalprice"])
+
+    got = spark.read.parquet(state_path)
+    want = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .cast("decimal(28,6)")
+        .alias("sum_o_totalprice"),
+    )
+    assert got.exceptAll(want).union(want.exceptAll(got)).count() == 0
+
+
+def test_incremental_agg_new_keys_in_later_batch(spark, tmp_path):
+    from youtube_api_data_etl_automation_spark.operators.incremental import (
+        incremental_agg,
+    )
+
+    b1 = spark.createDataFrame([("x", 1.0), ("x", 2.0)], "k string, v double")
+    b2 = spark.createDataFrame([("y", 5.0), ("x", 3.0)], "k string, v double")
+    state_path = str(tmp_path / "s")
+    incremental_agg(b1, state_path, keys=["k"], sum_cols=["v"])
+    state = incremental_agg(b2, state_path, keys=["k"], sum_cols=["v"])
+    rows = {r["k"]: (r["cnt"], float(r["sum_v"])) for r in state.collect()}
+    assert rows == {"x": (3, 6.0), "y": (1, 5.0)}

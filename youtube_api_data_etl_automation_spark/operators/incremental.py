@@ -89,6 +89,42 @@ def overwrite_dim(dim: DataFrame, sink_path: str) -> None:
     dim.write.mode("overwrite").parquet(sink_path)
 
 
+def incremental_agg(delta: DataFrame, state_path: str, keys: list[str],
+                    sum_cols: list[str]) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: keep per-key
+    (count, sums…) state current by folding in each delta batch WITHOUT
+    rescanning history — the scale answer to 'recompute the daily rollup
+    over 100 TB every night'. Algebraic aggregates only (count/sum — and
+    anything derivable from them: avg = sum/cnt); their partial states
+    merge by addition, so
+
+        new_state = reaggregate(old_state ∪ partial_agg(delta))
+
+    touches |state| + |delta| rows, never the full history. Decimal-exact
+    sums keep the folded state bit-identical to a from-scratch recompute
+    (double addition would drift with batch order).
+
+    Same materialize-then-overwrite protocol as merge_upsert; returns the
+    new state DataFrame. State schema: keys + ``cnt`` + one ``sum_<c>``
+    per sum column."""
+    spark = delta.sparkSession
+    aggs = [F.count(F.lit(1)).cast("long").alias("cnt")] + [
+        F.sum(F.col(c).cast("decimal(28,6)")).cast("decimal(28,6)").alias(f"sum_{c}")
+        for c in sum_cols
+    ]
+    part = delta.groupBy(*keys).agg(*aggs)
+    if sink_exists(spark, state_path):
+        old = spark.read.parquet(state_path)
+        merge_aggs = [F.sum("cnt").cast("long").alias("cnt")] + [
+            F.sum(f"sum_{c}").cast("decimal(28,6)").alias(f"sum_{c}")
+            for c in sum_cols
+        ]
+        part = old.unionByName(part).groupBy(*keys).agg(*merge_aggs)
+    state = part.localCheckpoint()
+    state.write.mode("overwrite").parquet(state_path)
+    return state
+
+
 def merge_upsert(updates: DataFrame, sink_path: str, key: str) -> None:
     """MERGE-style upsert over the parquet state: matched keys take the
     incoming row, unmatched sink rows are kept, new keys are inserted —

@@ -24,6 +24,77 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def zorder_key(col_a: F.Column, col_b: F.Column, bits: int = 16) -> F.Column:
+    """Morton (Z-order) interleave of two normalized integer keys.
+
+    Inputs must already be in [0, 2^bits); the result interleaves their
+    bits (a→even positions, b→odd) into one long. Sorting by this key
+    gives every output file a bounded span in BOTH dimensions — the
+    multi-column data-skipping layout a single-key range cluster cannot
+    provide (its second column spans the full range in every file).
+    Pure bit-arithmetic Column expression: codegen'd, no UDF."""
+    terms = []
+    for i in range(bits):
+        terms.append(F.shiftleft(F.shiftright(col_a, i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(
+            F.shiftleft(F.shiftright(col_b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.bitwiseOR(t)
+    return out
+
+
+def normalize_to_bits(col: F.Column, lo: float, hi: float, bits: int = 16) -> F.Column:
+    """Map a numeric column into [0, 2^bits) by linear min/max scaling —
+    the per-column quantization feeding zorder_key. lo/hi come from a
+    one-row stats aggregate (driver-side control data, like the reference's
+    own source-control collects)."""
+    span = max(hi - lo, 1e-12)
+    scaled = (col.cast("double") - F.lit(float(lo))) / F.lit(span)
+    top = (1 << bits) - 1
+    return F.least(
+        F.lit(top).cast("long"),
+        F.greatest(F.lit(0).cast("long"), F.floor(scaled * F.lit(top + 1)).cast("long")),
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    num_files: int,
+    bits: int = 16,
+    mode: str = "overwrite",
+    compression: str = "zstd",
+) -> None:
+    """Z-order-clustered parquet on two predicate columns: range-partition
+    and sort by the Morton key so parquet file/row-group min-max stats can
+    skip files for selective predicates on EITHER column (each file covers
+    ~a square cell of the 2-D key space instead of a full-width stripe).
+    The min/max stats pass is one tiny aggregate; everything else is the
+    same single repartitionByRange + sorted write as write_clustered."""
+    stats = df.agg(
+        F.min(col_a).alias("a_lo"), F.max(col_a).alias("a_hi"),
+        F.min(col_b).alias("b_lo"), F.max(col_b).alias("b_hi"),
+    ).first()
+    z = zorder_key(
+        normalize_to_bits(F.col(col_a), float(stats["a_lo"]), float(stats["a_hi"]), bits),
+        normalize_to_bits(F.col(col_b), float(stats["b_lo"]), float(stats["b_hi"]), bits),
+        bits,
+    )
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(num_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.option("compression", compression)
+        .mode(mode)
+        .parquet(path)
+    )
+
+
 def write_clustered(
     df: DataFrame,
     path: str,

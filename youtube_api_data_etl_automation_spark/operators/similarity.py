@@ -123,21 +123,50 @@ def assign_clusters(corpus: DataFrame, centroids: DataFrame,
     return best.select(id_col, *[F.col(f"_best.{c}").alias(c) for c in payload + ["cluster_id"]])
 
 
+def probe_cells(queries: DataFrame, centroids: DataFrame, nprobe: int = 1,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(query_id, query_vec, cluster_id) for each query's ``nprobe``
+    nearest centroid cells — the IVF re-probe list. Cell ranking uses the
+    same rounded cosine + lowest-id tie-break as ``assign_clusters``, so
+    nprobe=1 reproduces the plain own-cell assignment exactly. The query
+    set is small (it broadcasts downstream), so the per-query rank window
+    is driver-scale work, not corpus-scale."""
+    cent = F.broadcast(
+        centroids.select(F.col(id_col).alias("cluster_id"), F.col(vec_col).alias("cv"))
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    scored = qs.join(cent).select(
+        "query_id",
+        "query_vec",
+        "cluster_id",
+        round6(cosine_similarity("query_vec", "cv")).alias("_csim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_csim"), F.asc("cluster_id")
+    )
+    return (
+        scored.withColumn("_cr", F.row_number().over(w))
+        .filter(F.col("_cr") <= nprobe)
+        .select("query_id", "query_vec", "cluster_id")
+    )
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
              top_k: int = 3, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding", nprobe: int = 1) -> DataFrame:
     """IVF (inverted-file) ANN: partition the corpus into centroid cells,
-    probe only the query's own cell (nprobe=1). The scale path when the
+    probe the query's ``nprobe`` nearest cells. The scale path when the
     corpus is too large even for LSH bucketing: the cell equi-join touches
-    ~N/k vectors per query instead of N. Recall is traded at cell borders;
-    centroids/nprobe are the knobs.
+    ~nprobe·N/k vectors per query instead of N. nprobe=1 is the fastest/
+    lowest-recall point; raising it buys back the recall lost at cell
+    borders without changing the plan shape (the probe list is still a
+    broadcast equi-join on cluster_id).
 
     Output: (query_id, neighbor_id, rank, cosine)."""
     assigned = assign_clusters(corpus, centroids, id_col, vec_col)
-    q = assigned.join(
-        queries.select(F.col(id_col).alias("query_id")),
-        assigned[id_col] == F.col("query_id"),
-    ).select("query_id", F.col(vec_col).alias("query_vec"), "cluster_id")
+    q = probe_cells(queries, centroids, nprobe=nprobe, id_col=id_col, vec_col=vec_col)
     c = assigned.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"), "cluster_id"
     )
