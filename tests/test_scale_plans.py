@@ -382,3 +382,36 @@ def test_zorder_key_interleaves_bits(spark):
     )
     # a=101, b=011 → interleaved (b2 a2 b1 a1 b0 a0) = 0 1 1 0 1 1 = 27.
     assert df.first()["z"] == 0b011011
+
+
+def test_compact_small_files_roundtrip(spark, tmp_path):
+    """Compaction (r4): a fragmented sink collapses to the target file
+    count with byte-identical content; the sorted variant additionally
+    leaves disjoint per-file sort-key spans."""
+    from youtube_api_data_etl_automation_spark.operators.layout import (
+        compact_small_files,
+    )
+
+    orders = load_table(spark, SF_DIR, "orders")
+    frag = str(tmp_path / "frag")
+    orders.repartition(64).write.parquet(frag)
+
+    stats = compact_small_files(spark, frag, target_mb=128)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] == 1  # sf0.001 orders ≪ 128 MB
+    got = spark.read.parquet(frag)
+    assert got.exceptAll(orders).union(orders.exceptAll(got)).count() == 0
+
+    # Sorted variant: re-fragment, compact clustered on o_orderkey.
+    frag2 = str(tmp_path / "frag2")
+    orders.repartition(64).write.parquet(frag2)
+    compact_small_files(spark, frag2, target_mb=1, sort_col="o_orderkey")
+    df = spark.read.parquet(frag2).withColumn("f", F.input_file_name())
+    spans = df.groupBy("f").agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).orderBy("lo").collect()
+    if len(spans) > 1:
+        for prev, cur in zip(spans, spans[1:]):
+            assert prev["hi"] <= cur["lo"]
+    got2 = spark.read.parquet(frag2)
+    assert got2.count() == orders.count()

@@ -24,6 +24,65 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def compact_small_files(spark, path: str, target_mb: int = 128,
+                        sort_col: str | None = None) -> dict:
+    """Small-file compaction — the maintenance op every incremental sink
+    needs: micro-batch appends (operators/incremental.py::append_delta
+    writes one file set per batch) accumulate thousands of KB-scale files,
+    and at 100 TB the file *listing* alone starts to dominate scan setup.
+    Rewrites the directory into ⌈total_bytes / target⌉ files.
+
+    - Without ``sort_col``: ``coalesce`` — a NARROW dependency, so the
+      rewrite moves no data between executors (each output task
+      concatenates whole input partitions). The cheapest possible rewrite.
+    - With ``sort_col``: range-cluster + sort (one shuffle) so compaction
+      doubles as re-clustering — disjoint per-file spans for min/max
+      skipping (same layout write_clustered produces).
+
+    Write protocol: stage to ``<path>.__compact__`` and swap via FS rename
+    — readers never observe a half-written directory (same
+    materialize-then-replace discipline as merge_upsert).
+
+    Returns {files_before, files_after, bytes}."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    summary = fs.getContentSummary(hpath)
+    total_bytes = summary.getLength()
+    files_before = sum(
+        1
+        for f in fs.listStatus(hpath)
+        if f.isFile() and f.getPath().getName().endswith(".parquet")
+    )
+    n_out = max(1, int(total_bytes // (target_mb * 1024 * 1024)) + (
+        1 if total_bytes % (target_mb * 1024 * 1024) else 0
+    ))
+
+    df = spark.read.parquet(path)
+    staged = path.rstrip("/") + ".__compact__"
+    if sort_col is None:
+        out = df.coalesce(n_out)
+    else:
+        out = df.repartitionByRange(n_out, F.col(sort_col)).sortWithinPartitions(
+            sort_col
+        )
+    out.write.mode("overwrite").parquet(staged)
+
+    spath = jvm.org.apache.hadoop.fs.Path(staged)
+    fs.delete(hpath, True)
+    fs.rename(spath, hpath)
+    files_after = sum(
+        1
+        for f in fs.listStatus(hpath)
+        if f.isFile() and f.getPath().getName().endswith(".parquet")
+    )
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": int(total_bytes),
+    }
+
+
 def zorder_key(col_a: F.Column, col_b: F.Column, bits: int = 16) -> F.Column:
     """Morton (Z-order) interleave of two normalized integer keys.
 
