@@ -96,3 +96,58 @@ def test_partitioning_invariance(spark):
     b = scd2_history(obs.repartition(17), key_cols=["k"], attr_cols=["attr"],
                      order_cols=["d", "tie"])
     assert a.exceptAll(b).union(b.exceptAll(a)).count() == 0
+
+
+# ---- property: SCD2 assembly vs a pure-Python reference -------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_obs_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),          # key
+        st.sampled_from(["A", "B", "C", None]),         # attr (incl. NULL)
+        st.integers(min_value=1, max_value=12),         # d
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _py_scd2(rows):
+    """Reference implementation: per key, order by (d, tie), collapse
+    null-safe-equal runs, chain intervals."""
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for tie, (k, a, d) in enumerate(rows):
+        by_key[k].append((d, tie, a))
+    out = []
+    for k, obs in by_key.items():
+        obs.sort(key=lambda x: (x[0], x[1]))
+        runs = []  # (attr, valid_from, n)
+        for d, _tie, a in obs:
+            if runs and runs[-1][0] == a:
+                runs[-1][2] += 1
+            else:
+                runs.append([a, d, 1])
+        for i, (a, vf, n) in enumerate(runs):
+            vt = runs[i + 1][1] if i + 1 < len(runs) else None
+            out.append((k, i + 1, a, vf, vt, n, 1 if vt is None else 0))
+    return sorted(out)
+
+
+@given(_obs_strategy)
+@settings(max_examples=10, deadline=None)
+def test_scd2_matches_python_reference(spark, rows):
+    data = [(k, a, d, tie) for tie, (k, a, d) in enumerate(rows)]
+    obs = spark.createDataFrame(data, "k long, attr string, d int, tie int")
+    hist = scd2_history(
+        obs, key_cols=["k"], attr_cols=["attr"], order_cols=["d", "tie"]
+    )
+    got = sorted(
+        (r["k"], r["scd_version"], r["attr"], r["valid_from"], r["valid_to"],
+         r["n_observations"], r["is_current"])
+        for r in hist.collect()
+    )
+    assert got == _py_scd2(rows)
