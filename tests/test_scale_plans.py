@@ -415,3 +415,24 @@ def test_compact_small_files_roundtrip(spark, tmp_path):
             assert prev["hi"] <= cur["lo"]
     got2 = spark.read.parquet(frag2)
     assert got2.count() == orders.count()
+
+
+def test_clustered_write_orc_roundtrip(spark, tmp_path):
+    """ORC sink variant of the clustered layout (r4): same layout story on
+    ORC-standardized warehouses — content round-trips and partition
+    pruning works through the ORC scan too."""
+    from youtube_api_data_etl_automation_spark.operators.layout import (
+        write_clustered,
+    )
+
+    orders = load_table(spark, SF_DIR, "orders").withColumn(
+        "status", F.col("o_orderstatus")
+    )
+    out = str(tmp_path / "orc")
+    write_clustered(orders, out, "status", "o_orderkey", num_files=4,
+                    file_format="orc")
+    back = spark.read.orc(out)
+    assert back.count() == orders.count()
+    pruned = back.filter(F.col("status") == "F")
+    plan = _plan(pruned)
+    assert "PartitionFilters" in plan and "status" in plan
