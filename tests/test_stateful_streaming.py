@@ -128,3 +128,33 @@ def test_key_group_spanning_many_arrow_chunks(spark):
         assert diff.count() == 0, diff.limit(10).collect()
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_stream_and_batch_events_agree_on_timestamps(spark):
+    """The streaming events reader must yield the SAME timestamps as the
+    batch loader regardless of what unit the runtime delivers under the
+    explicit long schema (nanos on old Sparks, micros on 4.1+) — pins the
+    magnitude-guard conversion in streaming/ingest.py."""
+    import tempfile
+
+    from youtube_api_data_etl_automation_spark.sources.tables import load_table
+    from youtube_api_data_etl_automation_spark.streaming.ingest import (
+        read_events_stream,
+    )
+
+    name = f"ts_agree_{uuid.uuid4().hex[:8]}"
+    q = (
+        read_events_stream(spark, SF_DIR)
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.table(name).select("event_id", F.unix_micros("ts").alias("us"))
+    batch = load_table(spark, SF_DIR, "events").select(
+        "event_id", F.unix_micros("ts").alias("us")
+    )
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch).union(batch.exceptAll(streamed)).count() == 0
