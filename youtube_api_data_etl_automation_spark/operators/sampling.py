@@ -1,0 +1,78 @@
+"""Deterministic weighted sampling (Efraimidis–Spirakis A-ES, content-stable).
+
+Corpus curation often needs 'keep n docs per stratum, preferring higher
+quality' — a WEIGHTED without-replacement sample, not the uniform cap
+(operators/capping.py) or the fixed-rate stratified draw
+(plans/curation.py). A-ES makes that a per-row key computation:
+
+    key(row) = u ** (1 / w)      u ~ Uniform(0,1),  w = row weight
+
+and the weighted sample of size n is the top-n rows by key per group —
+provably equivalent to sequential weighted draws without replacement
+(Efraimidis & Spirakis 2006, Inf. Process. Lett. — public algorithm).
+
+Engine twist: u is not random but CONTENT-STABLE — derived from md5 of a
+salt + the row id (the same discipline as every sampling decision in this
+engine: a row's fate survives repartitioning, growth, and backfill). The
+top-n per group is a rank over the key, so the whole operator is one
+window (or the capping module's two-path form when most groups are under
+n); nothing shuffles but (group, key) ordering data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 2^53 — doubles represent every integer below this exactly; using the
+# first 13 hex chars (52 bits) of md5 keeps u uniform and exact.
+_U_DENOM = float(1 << 52)
+
+
+def stable_uniform(col: Column | str, salt: str = "aes:") -> Column:
+    """Content-stable u ∈ (0,1]: 52 md5 bits of (salt ++ id), +1 to avoid
+    u=0 (which would give key=0 regardless of weight)."""
+    c = F.col(col) if isinstance(col, str) else col
+    bits = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 13), 16, 10
+    ).cast("double")
+    return (bits + F.lit(1.0)) / F.lit(_U_DENOM)
+
+
+def aes_key(id_col: Column | str, weight: Column, salt: str = "aes:") -> Column:
+    """A-ES sampling key u^(1/w); non-positive weights get key 0 (never
+    sampled ahead of any positive weight). NOTE: u^(1/w) underflows to
+    0.0 for tiny weights (exp(ln(u)/0.001) ≈ e^-2400) — RANKING must use
+    aes_log_key, which is order-equivalent and never underflows; this
+    form exists for inspection/tests of the textbook key."""
+    u = stable_uniform(id_col, salt)
+    return F.when(weight > 0, F.exp(F.log(u) / weight)).otherwise(F.lit(0.0))
+
+
+def aes_log_key(id_col: Column | str, weight: Column, salt: str = "aes:") -> Column:
+    """ln(u)/w — the monotone-equivalent ranking key (exp is strictly
+    increasing, so ordering by ln(u)/w desc == ordering by u^(1/w) desc)
+    with no underflow at any weight ratio: ln(u) ∈ [-36, 0], so the
+    quotient stays a normal double for any w > 1e-300. Non-positive
+    weights map to -inf (always last)."""
+    u = stable_uniform(id_col, salt)
+    return F.when(weight > 0, F.log(u) / weight).otherwise(
+        F.lit(float("-inf"))
+    )
+
+
+def weighted_sample_per_group(df: DataFrame, *, group_col: str, id_col: str,
+                              weight_col: str, n: int,
+                              salt: str = "aes:") -> DataFrame:
+    """Top-n weighted without-replacement sample per group: rank by the
+    A-ES log-key descending (id tie-break), keep rank ≤ n. One window per
+    group — compose with operators/capping.py's two-path split when the
+    group count is huge and most groups are under n."""
+    key = aes_log_key(id_col, F.col(weight_col).cast("double"), salt)
+    w = Window.partitionBy(group_col).orderBy(F.desc("_aes"), F.col(id_col))
+    return (
+        df.withColumn("_aes", key)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_aes", "_rn")
+    )
