@@ -1,0 +1,99 @@
+"""Bigram-LM perplexity scoring (operators/lm.py): exact differential
+against a pure-Python implementation, OOV backoff levels, and the filter
+semantics."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from youtube_api_data_etl_automation_spark.operators.lm import (
+    perplexity_filter,
+    score_docs,
+    train_bigram_lm,
+)
+
+REF = [
+    (1, "the cat sat on the mat"),
+    (2, "the dog sat on the rug"),
+    (3, "a cat and a dog met"),
+]
+EVAL = [
+    (10, "the cat sat on the rug"),     # fluent under the LM
+    (11, "rug rug rug zebra zebra"),    # OOV-heavy gibberish
+    (12, "one"),                        # no bigram evidence
+]
+K = 0.5
+
+
+def _py_lm(ref):
+    uni, bi = Counter(), Counter()
+    for _i, t in ref:
+        ws = t.split()
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    return uni, bi, len(uni)
+
+
+def _py_score(text, uni, bi, v, k=K):
+    ws = text.split()
+    lps = []
+    for a, b in zip(ws, ws[1:]):
+        if a in uni:
+            lps.append(math.log((bi.get((a, b), 0) + k) / (uni[a] + k * v)))
+        else:
+            lps.append(math.log(1.0 / v))
+    if not lps:
+        return None
+    avg = sum(lps) / len(lps)
+    return len(lps), avg, math.exp(-avg)
+
+
+@pytest.fixture(scope="module")
+def lm(spark):
+    ref = spark.createDataFrame(REF, "doc_id long, text string")
+    return train_bigram_lm(ref, k=K)
+
+
+def test_scores_match_python_reference(spark, lm):
+    docs = spark.createDataFrame(EVAL, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logp"], r["ppl"])
+        for r in score_docs(docs, lm).collect()
+    }
+    uni, bi, v = _py_lm(REF)
+    assert v == lm["v"]
+    for doc_id, text in EVAL:
+        want = _py_score(text, uni, bi, v)
+        if want is None:
+            assert doc_id not in got  # <2 tokens → no bigrams → no row
+            continue
+        n, avg, ppl = want
+        assert got[doc_id][0] == n
+        assert got[doc_id][1] == pytest.approx(avg, rel=1e-12)
+        assert got[doc_id][2] == pytest.approx(ppl, rel=1e-12)
+
+
+def test_fluent_text_scores_below_gibberish(spark, lm):
+    docs = spark.createDataFrame(EVAL, "doc_id long, text string")
+    ppl = {r["doc_id"]: r["ppl"] for r in score_docs(docs, lm).collect()}
+    assert ppl[10] < ppl[11]
+
+
+def test_perplexity_filter_keeps_head(spark, lm):
+    docs = spark.createDataFrame(EVAL, "doc_id long, text string")
+    ppl = {r["doc_id"]: r["ppl"] for r in score_docs(docs, lm).collect()}
+    cut = (ppl[10] + ppl[11]) / 2
+    kept = perplexity_filter(docs, lm, max_ppl=cut)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [10]
+
+
+def test_training_docs_score_well_under_own_lm(spark, lm):
+    ref = spark.createDataFrame(REF, "doc_id long, text string")
+    evald = spark.createDataFrame(EVAL, "doc_id long, text string")
+    ref_ppl = [r["ppl"] for r in score_docs(ref, lm).collect()]
+    oov_ppl = {r["doc_id"]: r["ppl"] for r in score_docs(evald, lm).collect()}[11]
+    assert max(ref_ppl) < oov_ppl

@@ -1,0 +1,109 @@
+"""N-gram language-model scoring — the perplexity quality filter.
+
+Standard corpus curation (CCNet-style) scores every document with a small
+language model trained on a trusted reference corpus and drops the
+high-perplexity tail (gibberish, boilerplate soup, wrong-language text).
+This module is that filter as exact DataFrame algebra: an add-k-smoothed
+bigram LM trained corpus-distributed, and a scoring pass that joins each
+document's bigrams against the model.
+
+Scale shape:
+- training = two partial-aggregated counts (bigram, unigram) — the
+  exchanges carry (gram, partial_count), never text;
+- scoring = one equi-join of the corpus' exploded bigrams against the LM
+  relation, then a per-doc mean — at 100 TB the LM table is pruned to its
+  top-M rows and BROADCAST, making scoring map-side (the join key is the
+  bigram either way; plan shape is unchanged);
+- OOV handling is exact two-level backoff: unseen bigram with seen
+  history → add-k mass ln(k / (c_a + k·V)); unseen history → uniform
+  ln(1/V). All doubles flow through one fixed expression order so scores
+  are engine-deterministic.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from .bpe import adjacent_pairs_t
+
+
+def _tok_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    toks = docs.select(F.col(id_col), tokens(text_col).alias("tok"))
+    return toks.select(
+        id_col, F.explode(adjacent_pairs_t("tok")).alias("p")
+    ).select(id_col, F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+
+
+def train_bigram_lm(ref_docs: DataFrame, *, text_col: str = "text",
+                    id_col: str = "doc_id", k: float = 0.5) -> dict:
+    """Train the smoothed bigram LM on a reference corpus. Returns
+    {"bigrams": DF(a, b, logp), "unigrams": DF(a, c_a), "v": vocab_size,
+    "k": k} — the pieces score_docs needs. logp(b|a) =
+    ln((c_ab + k) / (c_a + k·V))."""
+    bg = _tok_bigrams(ref_docs, id_col, text_col)
+    c_ab = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    uni = (
+        ref_docs.select(F.explode(tokens(text_col)).alias("a"))
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("c_a"))
+    )
+    v = uni.count()  # O(1) driver scalar (vocab size), like TF-IDF's N
+    bigrams = (
+        c_ab.join(uni, "a")
+        .select(
+            "a",
+            "b",
+            F.log(
+                (F.col("c_ab") + F.lit(k)) / (F.col("c_a") + F.lit(k * v))
+            ).alias("logp"),
+        )
+    )
+    return {"bigrams": bigrams, "unigrams": uni, "v": v, "k": k}
+
+
+def score_docs(docs: DataFrame, lm: dict, *, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-document mean bigram log-probability and perplexity under the
+    LM. Documents with <2 tokens get NULL scores (no bigram evidence).
+    Output: (id, n_bigrams, avg_logp, ppl)."""
+    k, v = lm["k"], lm["v"]
+    bg = _tok_bigrams(docs, id_col, text_col)
+    scored = (
+        bg.join(lm["bigrams"], ["a", "b"], "left")
+        .join(lm["unigrams"], "a", "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.col("logp"),
+                # seen history, unseen continuation: add-k mass
+                F.log(F.lit(k) / (F.col("c_a") + F.lit(k * v))),
+                # unseen history: uniform over the vocab
+                F.lit(math.log(1.0 / max(v, 1))),
+            ).alias("lp"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.avg("lp").alias("avg_logp"),
+    )
+    return agg.select(
+        id_col,
+        "n_bigrams",
+        "avg_logp",
+        F.exp(-F.col("avg_logp")).alias("ppl"),
+    )
+
+
+def perplexity_filter(docs: DataFrame, lm: dict, max_ppl: float, *,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Keep documents whose perplexity under the reference LM is ≤
+    max_ppl — the CCNet-style 'head' cut. Docs without bigram evidence
+    are dropped (no signal ⇒ can't vouch)."""
+    scores = score_docs(docs, lm, text_col=text_col, id_col=id_col)
+    keep = scores.filter(F.col("ppl") <= max_ppl).select(id_col)
+    return docs.join(keep, id_col, "left_semi")
