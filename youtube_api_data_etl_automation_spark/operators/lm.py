@@ -86,9 +86,16 @@ def score_docs(docs: DataFrame, lm: dict, *, text_col: str = "text",
             ).alias("lp"),
         )
     )
+    # Decimal-exact mean: per-term log-probs are quantized to 1e-12 and
+    # summed exactly, so the result is independent of partition/accumulation
+    # order AND of last-ulp ln() differences between engines — the same
+    # discipline as every cross-row double aggregate in this repo.
     agg = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-        F.avg("lp").alias("avg_logp"),
+        (
+            F.sum(F.col("lp").cast("decimal(20,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_logp"),
     )
     return agg.select(
         id_col,

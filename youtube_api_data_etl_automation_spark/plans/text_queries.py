@@ -144,13 +144,49 @@ def _lang_quality_oracle() -> str:
                    + strpos('0123456789abcdef', substr(md5(x), 2, 1)) - 1) % 17) / 17.0 - 0.5)),
                0.0) AS wsum
       FROM b
+    ),
+    -- bigram LM trained on the doc_id-mod-11 reference slice (add-k, k=0.5)
+    refuni AS (
+      SELECT a, CAST(COUNT(*) AS BIGINT) AS c_a FROM (
+        SELECT unnest(toks) AS a FROM t WHERE doc_id % 11 = 0
+      ) GROUP BY a
+    ),
+    refbi AS (
+      SELECT toks[i] AS a, toks[i+1] AS b, CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM t, UNNEST(range(1, greatest(len(toks), 1))) AS u(i)
+      WHERE doc_id % 11 = 0 AND i < len(toks)
+      GROUP BY 1, 2
+    ),
+    vocab AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM refuni),
+    docbi AS (
+      SELECT doc_id, toks[i] AS a, toks[i+1] AS b
+      FROM t, UNNEST(range(1, greatest(len(toks), 1))) AS u(i)
+      WHERE i < len(toks)
+    ),
+    lmscore AS (
+      SELECT d.doc_id,
+             CASE WHEN rb.c_ab IS NOT NULL THEN ln((rb.c_ab + 0.5) / (ru.c_a + 0.5 * v.v))
+                  WHEN ru.c_a IS NOT NULL THEN ln(0.5 / (ru.c_a + 0.5 * v.v))
+                  ELSE ln(1.0 / v.v) END AS lp
+      FROM docbi d
+      LEFT JOIN refbi rb ON d.a = rb.a AND d.b = rb.b
+      LEFT JOIN refuni ru ON d.a = ru.a
+      CROSS JOIN vocab v
+    ),
+    lmagg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             SUM(CAST(lp AS DECIMAL(20,12))) AS slp
+      FROM lmscore GROUP BY doc_id
     )
-    SELECT doc_id, lang_guess,
+    SELECT s.doc_id, lang_guess,
            floor((0.5 * least(1.0, nt / 64.0)
                  + 0.3 * (1.0 - CASE WHEN ln > 0 THEN np / ln ELSE 0.0 END)
                  + 0.2 * CASE WHEN nt > 0 THEN sw / nt ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS quality,
-           floor((wsum / (1.0 + nt)) * 1000000.0 + 0.5) / 1000000.0 AS clf_logit
-    FROM s
+           floor((wsum / (1.0 + nt)) * 1000000.0 + 0.5) / 1000000.0 AS clf_logit,
+           CAST(COALESCE(g.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           floor(CAST(g.slp AS DOUBLE) / g.n_bigrams * 1000000.0 + 0.5) / 1000000.0
+             AS avg_logp
+    FROM s LEFT JOIN lmagg g ON s.doc_id = g.doc_id
     """
 
 
@@ -165,16 +201,36 @@ def lang_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     learned-quality shape; the oracle checks the logit because sigmoid is
     monotone — thresholding the logit IS thresholding the probability, and
     the logit stays in rational arithmetic both engines compute
-    bit-identically)."""
+    bit-identically) — plus (r4) the CCNet-style perplexity signal: a
+    bigram LM trained on the doc_id-mod-11 reference slice
+    (operators/lm.py — add-k smoothing, exact two-level OOV backoff,
+    decimal-exact log-prob mean) scores every document; avg_logp is the
+    monotone equivalent of perplexity, kept in log space so the oracle
+    avoids a second transcendental."""
     from ..functions.text import clf_logit_t, quality_score_t
+    from ..operators.lm import score_docs, train_bigram_lm
 
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    lm = train_bigram_lm(docs.filter(F.col("doc_id") % 11 == 0), k=0.5)
+    lm_scores = score_docs(docs, lm).select(
+        "doc_id",
+        "n_bigrams",
+        round6(F.col("avg_logp")).alias("avg_logp"),
+    )
     toks = docs.select("doc_id", "text", tokens("text").alias("tok"))
-    return toks.select(
+    main = toks.select(
         "doc_id",
         lang_id_t("tok").alias("lang_guess"),
         round6(quality_score_t("text", "tok")).alias("quality"),
         round6(clf_logit_t("tok")).alias("clf_logit"),
+    )
+    return main.join(lm_scores, "doc_id", "left").select(
+        "doc_id",
+        "lang_guess",
+        "quality",
+        "clf_logit",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+        "avg_logp",
     )
 
 
