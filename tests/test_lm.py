@@ -97,3 +97,39 @@ def test_training_docs_score_well_under_own_lm(spark, lm):
     ref_ppl = [r["ppl"] for r in score_docs(ref, lm).collect()]
     oov_ppl = {r["doc_id"]: r["ppl"] for r in score_docs(evald, lm).collect()}[11]
     assert max(ref_ppl) < oov_ppl
+
+
+def test_pmi_collocations_match_python(spark, lm):
+    from youtube_api_data_etl_automation_spark.operators.lm import pmi_collocations
+
+    got = {
+        (r["a"], r["b"]): (r["c_ab"], r["pmi"])
+        for r in pmi_collocations(lm, min_count=1).collect()
+    }
+    uni, bi, _v = _py_lm(REF)
+    n = sum(uni.values())
+    for (a, b), c in bi.items():
+        assert got[(a, b)][0] == c
+        want = math.log(c * n / (uni[a] * uni[b]))
+        assert got[(a, b)][1] == pytest.approx(want, rel=1e-12)
+    assert len(got) == len(bi)
+
+
+def test_pmi_ranks_fixed_collocation_above_frequent_pair(spark):
+    from youtube_api_data_etl_automation_spark.operators.lm import (
+        pmi_collocations,
+        train_bigram_lm,
+    )
+
+    # 'new york' always co-occurs; 'the' pairs with everything.
+    texts = [
+        (i, "new york is where the people and the cars and the noise meet")
+        for i in range(6)
+    ] + [(10, "the people left"), (11, "the cars stopped")]
+    ref = spark.createDataFrame(texts, "doc_id long, text string")
+    lm2 = train_bigram_lm(ref)
+    top = pmi_collocations(lm2, min_count=2, top_k=5).collect()
+    pmis = {(r["a"], r["b"]): r["pmi"] for r in top}
+    assert ("new", "york") in pmis
+    the_pairs = [v for (a, _b), v in pmis.items() if a == "the"]
+    assert all(pmis[("new", "york")] > v for v in the_pairs) or not the_pairs

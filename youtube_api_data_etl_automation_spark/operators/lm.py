@@ -57,6 +57,7 @@ def train_bigram_lm(ref_docs: DataFrame, *, text_col: str = "text",
         .select(
             "a",
             "b",
+            "c_ab",
             F.log(
                 (F.col("c_ab") + F.lit(k)) / (F.col("c_a") + F.lit(k * v))
             ).alias("logp"),
@@ -103,6 +104,39 @@ def score_docs(docs: DataFrame, lm: dict, *, text_col: str = "text",
         "avg_logp",
         F.exp(-F.col("avg_logp")).alias("ppl"),
     )
+
+
+def pmi_collocations(lm: dict, *, min_count: int = 5,
+                     top_k: int | None = None) -> DataFrame:
+    """Pointwise mutual information of adjacent word pairs from the LM's
+    count relations: pmi(a,b) = ln(c_ab · N / (c_a · c_b)) with N = total
+    bigram occurrences — the classic collocation detector ('new york'
+    scores high, 'of the' low despite its raw frequency). Reuses the
+    bigram/unigram counts train_bigram_lm already aggregated: no new
+    corpus pass, just two broadcast-joinable count relations and one
+    driver scalar. ``min_count`` suppresses noise pairs (PMI's known
+    small-count bias)."""
+    uni = lm["unigrams"]
+    bi_counts = lm["bigrams"].select("a", "b", "c_ab")
+    n_total = uni.agg(F.sum("c_a")).first()[0]  # O(1) driver scalar
+    ub = uni.select(F.col("a").alias("b"), F.col("c_a").alias("c_b"))
+    out = (
+        bi_counts.filter(F.col("c_ab") >= min_count)
+        .join(uni, "a")
+        .join(ub, "b")
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.log(
+                F.col("c_ab").cast("double")
+                * F.lit(float(n_total))
+                / (F.col("c_a") * F.col("c_b")).cast("double")
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+    )
+    return out.limit(top_k) if top_k else out
 
 
 def perplexity_filter(docs: DataFrame, lm: dict, max_ppl: float, *,
