@@ -176,3 +176,21 @@ def test_incremental_agg_new_keys_in_later_batch(spark, tmp_path):
     state = incremental_agg(b2, state_path, keys=["k"], sum_cols=["v"])
     rows = {r["k"]: (r["cnt"], float(r["sum_v"])) for r in state.collect()}
     assert rows == {"x": (3, 6.0), "y": (1, 5.0)}
+
+
+def test_incremental_agg_batch_id_makes_retry_a_noop(spark, tmp_path):
+    from youtube_api_data_etl_automation_spark.operators.incremental import (
+        incremental_agg,
+    )
+
+    b1 = spark.createDataFrame([("x", 1.0), ("x", 2.0)], "k string, v double")
+    state_path = str(tmp_path / "s")
+    incremental_agg(b1, state_path, keys=["k"], sum_cols=["v"], batch_id="b1")
+    # Retry of the same batch: state unchanged.
+    state = incremental_agg(b1, state_path, keys=["k"], sum_cols=["v"], batch_id="b1")
+    rows = {r["k"]: (r["cnt"], float(r["sum_v"])) for r in state.collect()}
+    assert rows == {"x": (2, 3.0)}
+    # A new batch id still folds.
+    state = incremental_agg(b1, state_path, keys=["k"], sum_cols=["v"], batch_id="b2")
+    rows = {r["k"]: (r["cnt"], float(r["sum_v"])) for r in state.collect()}
+    assert rows == {"x": (4, 6.0)}

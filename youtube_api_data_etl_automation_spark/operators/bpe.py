@@ -19,9 +19,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Merged tokens are joined with a separator that cannot occur inside a
-# whitespace token, so successive merges stay unambiguous.
-SEP = "␟"  # ␟ symbol for unit separator
+# Merged tokens are joined with U+241F (symbol-for-unit-separator). It is
+# printable (NOT whitespace), so a hostile/unlucky corpus token could
+# contain it and collide with a merged token — sanitize untrusted corpora
+# (filter or map tokens containing SEP) before training; the training
+# loop itself never introduces ambiguity because pair identity flows
+# through struct keys, not the joined string.
+SEP = "␟"
 
 
 def adjacent_pairs_t(tok: Column | str) -> Column:

@@ -89,8 +89,13 @@ def overwrite_dim(dim: DataFrame, sink_path: str) -> None:
     dim.write.mode("overwrite").parquet(sink_path)
 
 
+def _applied_batches_path(state_path: str) -> str:
+    return state_path.rstrip("/") + ".__applied__"
+
+
 def incremental_agg(delta: DataFrame, state_path: str, keys: list[str],
-                    sum_cols: list[str]) -> DataFrame:
+                    sum_cols: list[str],
+                    batch_id: str | None = None) -> DataFrame:
     """Incremental materialized-aggregate maintenance: keep per-key
     (count, sums…) state current by folding in each delta batch WITHOUT
     rescanning history — the scale answer to 'recompute the daily rollup
@@ -106,8 +111,20 @@ def incremental_agg(delta: DataFrame, state_path: str, keys: list[str],
 
     Same materialize-then-overwrite protocol as merge_upsert; returns the
     new state DataFrame. State schema: keys + ``cnt`` + one ``sum_<c>``
-    per sum column."""
+    per sum column.
+
+    Retry safety: unlike append_delta (whose key filter makes re-runs
+    no-ops), a fold has no per-row identity to re-check — so pass a
+    ``batch_id``. Applied ids are recorded in a sidecar
+    (``<state>.__applied__``); re-folding an already-applied batch is
+    skipped and returns the current state unchanged. Without a batch_id
+    the fold is NOT idempotent under retries."""
     spark = delta.sparkSession
+    applied_path = _applied_batches_path(state_path)
+    if batch_id is not None and sink_exists(spark, applied_path):
+        applied = spark.read.parquet(applied_path)
+        if applied.filter(F.col("batch_id") == batch_id).limit(1).count() > 0:
+            return spark.read.parquet(state_path)
     aggs = [F.count(F.lit(1)).cast("long").alias("cnt")] + [
         F.sum(F.col(c).cast("decimal(28,6)")).cast("decimal(28,6)").alias(f"sum_{c}")
         for c in sum_cols
@@ -122,6 +139,17 @@ def incremental_agg(delta: DataFrame, state_path: str, keys: list[str],
         part = old.unionByName(part).groupBy(*keys).agg(*merge_aggs)
     state = part.localCheckpoint()
     state.write.mode("overwrite").parquet(state_path)
+    if batch_id is not None:
+        # Marker AFTER the state write. This narrows the unsafe window to
+        # the instant between the two writes (crash there → the retry
+        # re-folds once) but does not eliminate it — recording the marker
+        # FIRST would be worse (crash after marker, before state → batch
+        # silently dropped forever). Closing the window fully needs an
+        # atomic commit of state+marker: a table format's transactional
+        # MERGE, which this protocol maps onto directly.
+        spark.createDataFrame([(batch_id,)], "batch_id string").write.mode(
+            "append"
+        ).parquet(applied_path)
     return state
 
 

@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 
 
 def compact_small_files(spark, path: str, target_mb: int = 128,
-                        sort_col: str | None = None) -> dict:
+                        sort_col: str | None = None,
+                        compression: str = "zstd") -> dict:
     """Small-file compaction — the maintenance op every incremental sink
     needs: micro-batch appends (operators/incremental.py::append_delta
     writes one file set per batch) accumulate thousands of KB-scale files,
@@ -39,19 +40,28 @@ def compact_small_files(spark, path: str, target_mb: int = 128,
       doubles as re-clustering — disjoint per-file spans for min/max
       skipping (same layout write_clustered produces).
 
-    Write protocol: stage to ``<path>.__compact__`` and swap via FS rename
-    — readers never observe a half-written directory (same
-    materialize-then-replace discipline as merge_upsert).
+    Write protocol: stage to ``<path>.__compact__``, then delete + rename
+    with every FS return value CHECKED — a failed swap raises with the
+    staged path intact (nothing lost; re-runnable), it never reports
+    success stats over a broken sink. Directory-PARTITIONED sinks
+    (write_clustered output) are refused: a flat rewrite would silently
+    destroy the partition layout — compact each leaf directory instead.
 
     Returns {files_before, files_after, bytes}."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    summary = fs.getContentSummary(hpath)
-    total_bytes = summary.getLength()
+    statuses = list(fs.listStatus(hpath))
+    if any(s.isDirectory() for s in statuses):
+        raise ValueError(
+            f"{path} contains subdirectories (directory-partitioned sink); "
+            "flat compaction would flatten the partition layout — compact "
+            "each partition directory instead"
+        )
+    total_bytes = fs.getContentSummary(hpath).getLength()
     files_before = sum(
         1
-        for f in fs.listStatus(hpath)
+        for f in statuses
         if f.isFile() and f.getPath().getName().endswith(".parquet")
     )
     n_out = max(1, int(total_bytes // (target_mb * 1024 * 1024)) + (
@@ -66,11 +76,19 @@ def compact_small_files(spark, path: str, target_mb: int = 128,
         out = df.repartitionByRange(n_out, F.col(sort_col)).sortWithinPartitions(
             sort_col
         )
-    out.write.mode("overwrite").parquet(staged)
+    # Same codec default as every writer in this module: a zstd sink must
+    # not silently become snappy after maintenance (and n_out was sized
+    # from zstd byte counts).
+    out.write.mode("overwrite").option("compression", compression).parquet(staged)
 
     spath = jvm.org.apache.hadoop.fs.Path(staged)
-    fs.delete(hpath, True)
-    fs.rename(spath, hpath)
+    if not fs.delete(hpath, True):
+        raise IOError(f"compaction: could not delete {path} (staged data kept at {staged})")
+    if not fs.rename(spath, hpath):
+        raise IOError(
+            f"compaction: rename {staged} -> {path} failed (staged data kept; "
+            "sink path is currently absent — re-run to retry the swap)"
+        )
     files_after = sum(
         1
         for f in fs.listStatus(hpath)
@@ -138,6 +156,11 @@ def write_zordered(
         F.min(col_a).alias("a_lo"), F.max(col_a).alias("a_hi"),
         F.min(col_b).alias("b_lo"), F.max(col_b).alias("b_hi"),
     ).first()
+    if stats["a_lo"] is None or stats["b_lo"] is None:
+        # Empty input: no key space to interleave — write the empty sink
+        # instead of crashing on float(None).
+        df.write.option("compression", compression).mode(mode).parquet(path)
+        return
     z = zorder_key(
         normalize_to_bits(F.col(col_a), float(stats["a_lo"]), float(stats["a_hi"]), bits),
         normalize_to_bits(F.col(col_b), float(stats["b_lo"]), float(stats["b_hi"]), bits),

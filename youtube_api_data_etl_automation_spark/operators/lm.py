@@ -31,23 +31,36 @@ from ..functions.text import tokens
 from .bpe import adjacent_pairs_t
 
 
-def _tok_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    toks = docs.select(F.col(id_col), tokens(text_col).alias("tok"))
+def _tok_bigrams(docs: DataFrame, id_col: str, text_col: str,
+                 tok_col: str | None = None) -> DataFrame:
+    """``tok_col``: reuse an already-projected token array instead of
+    re-tokenizing — higher-order lambdas are interpreted and not CSE'd
+    (functions/text.py::tokens perf note), so callers that already carry a
+    token column should pass it."""
+    if tok_col is not None:
+        toks = docs.select(F.col(id_col), F.col(tok_col).alias("tok"))
+    else:
+        toks = docs.select(F.col(id_col), tokens(text_col).alias("tok"))
     return toks.select(
         id_col, F.explode(adjacent_pairs_t("tok")).alias("p")
     ).select(id_col, F.col("p.a").alias("a"), F.col("p.b").alias("b"))
 
 
 def train_bigram_lm(ref_docs: DataFrame, *, text_col: str = "text",
-                    id_col: str = "doc_id", k: float = 0.5) -> dict:
+                    id_col: str = "doc_id", k: float = 0.5,
+                    tok_col: str | None = None) -> dict:
     """Train the smoothed bigram LM on a reference corpus. Returns
-    {"bigrams": DF(a, b, logp), "unigrams": DF(a, c_a), "v": vocab_size,
-    "k": k} — the pieces score_docs needs. logp(b|a) =
-    ln((c_ab + k) / (c_a + k·V))."""
-    bg = _tok_bigrams(ref_docs, id_col, text_col)
+    {"bigrams": DF(a, b, c_ab, logp), "unigrams": DF(a, c_a),
+    "v": vocab_size, "k": k} — the pieces score_docs needs. logp(b|a) =
+    ln((c_ab + k) / (c_a + k·V)). ``tok_col`` reuses a pre-projected
+    token array for BOTH count passes (see _tok_bigrams)."""
+    bg = _tok_bigrams(ref_docs, id_col, text_col, tok_col)
     c_ab = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    uni_tok = (
+        F.col(tok_col) if tok_col is not None else tokens(text_col)
+    )
     uni = (
-        ref_docs.select(F.explode(tokens(text_col)).alias("a"))
+        ref_docs.select(F.explode(uni_tok).alias("a"))
         .groupBy("a")
         .agg(F.count(F.lit(1)).alias("c_a"))
     )
@@ -67,12 +80,13 @@ def train_bigram_lm(ref_docs: DataFrame, *, text_col: str = "text",
 
 
 def score_docs(docs: DataFrame, lm: dict, *, text_col: str = "text",
-               id_col: str = "doc_id") -> DataFrame:
+               id_col: str = "doc_id", tok_col: str | None = None) -> DataFrame:
     """Per-document mean bigram log-probability and perplexity under the
     LM. Documents with <2 tokens get NULL scores (no bigram evidence).
+    ``tok_col`` reuses a pre-projected token array (see _tok_bigrams).
     Output: (id, n_bigrams, avg_logp, ppl)."""
     k, v = lm["k"], lm["v"]
-    bg = _tok_bigrams(docs, id_col, text_col)
+    bg = _tok_bigrams(docs, id_col, text_col, tok_col)
     scored = (
         bg.join(lm["bigrams"], ["a", "b"], "left")
         .join(lm["unigrams"], "a", "left")
@@ -110,12 +124,14 @@ def pmi_collocations(lm: dict, *, min_count: int = 5,
                      top_k: int | None = None) -> DataFrame:
     """Pointwise mutual information of adjacent word pairs from the LM's
     count relations: pmi(a,b) = ln(c_ab · N / (c_a · c_b)) with N = total
-    bigram occurrences — the classic collocation detector ('new york'
-    scores high, 'of the' low despite its raw frequency). Reuses the
-    bigram/unigram counts train_bigram_lm already aggregated: no new
-    corpus pass, just two broadcast-joinable count relations and one
-    driver scalar. ``min_count`` suppresses noise pairs (PMI's known
-    small-count bias)."""
+    TOKEN occurrences (Σ c_a — the unigram normalizer; conventions using
+    the bigram total differ from this one only by the constant
+    ln(N_tok/N_bi), so rankings are identical) — the classic collocation
+    detector ('new york' scores high, 'of the' low despite its raw
+    frequency). Reuses the bigram/unigram counts train_bigram_lm already
+    aggregated: no new corpus pass, just two broadcast-joinable count
+    relations and one driver scalar. ``min_count`` suppresses noise pairs
+    (PMI's known small-count bias)."""
     uni = lm["unigrams"]
     bi_counts = lm["bigrams"].select("a", "b", "c_ab")
     n_total = uni.agg(F.sum("c_a")).first()[0]  # O(1) driver scalar
@@ -128,15 +144,19 @@ def pmi_collocations(lm: dict, *, min_count: int = 5,
             "a",
             "b",
             "c_ab",
+            # Cast each count to double BEFORE multiplying: c_a·c_b as
+            # longs overflows bigint at ~1e10-count unigrams (ANSI mode
+            # would fail the query for exactly the frequent pairs PMI
+            # exists to rank).
             F.log(
                 F.col("c_ab").cast("double")
                 * F.lit(float(n_total))
-                / (F.col("c_a") * F.col("c_b")).cast("double")
+                / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
             ).alias("pmi"),
         )
         .orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
     )
-    return out.limit(top_k) if top_k else out
+    return out.limit(top_k) if top_k is not None else out
 
 
 def perplexity_filter(docs: DataFrame, lm: dict, max_ppl: float, *,

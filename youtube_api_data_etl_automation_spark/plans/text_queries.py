@@ -211,13 +211,18 @@ def lang_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.lm import score_docs, train_bigram_lm
 
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
-    lm = train_bigram_lm(docs.filter(F.col("doc_id") % 11 == 0), k=0.5)
-    lm_scores = score_docs(docs, lm).select(
+    # One token projection feeds the quality signals, LM training, and LM
+    # scoring (tok_col pass-through) — tokenization is interpreted, so
+    # re-deriving it per consumer would triple the dominant per-row cost.
+    toks = docs.select("doc_id", "text", tokens("text").alias("tok"))
+    lm = train_bigram_lm(
+        toks.filter(F.col("doc_id") % 11 == 0), k=0.5, tok_col="tok"
+    )
+    lm_scores = score_docs(toks, lm, tok_col="tok").select(
         "doc_id",
         "n_bigrams",
         round6(F.col("avg_logp")).alias("avg_logp"),
     )
-    toks = docs.select("doc_id", "text", tokens("text").alias("tok"))
     main = toks.select(
         "doc_id",
         lang_id_t("tok").alias("lang_guess"),
