@@ -214,7 +214,9 @@ def lang_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One token projection feeds the quality signals, LM training, and LM
     # scoring (tok_col pass-through) — tokenization is interpreted, so
     # re-deriving it per consumer would triple the dominant per-row cost.
-    toks = docs.select("doc_id", "text", tokens("text").alias("tok"))
+    # persist(): the projection has >2 consumers (repo convention —
+    # without it each branch re-scans and re-tokenizes the corpus).
+    toks = docs.select("doc_id", "text", tokens("text").alias("tok")).persist()
     lm = train_bigram_lm(
         toks.filter(F.col("doc_id") % 11 == 0), k=0.5, tok_col="tok"
     )
