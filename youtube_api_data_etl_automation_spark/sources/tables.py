@@ -45,6 +45,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
     otherwise serialize on the single-row-group input — see module note."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    # Engine policy (session.py): UTC session timezone. Enforced here too
+    # because the DRIVER runs queries on its own vanilla session — and with
+    # date columns now resolving as TIMESTAMP_NTZ, any ntz→timestamp cast
+    # or timestamp-literal comparison would silently shift under a
+    # non-UTC session while the DuckDB oracle stays TZ-naive.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS). Depending on the Spark
