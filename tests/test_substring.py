@@ -122,3 +122,57 @@ def test_partitioning_invariance(spark):
     one = duplicated_spans(docs.repartition(1), k=5)
     many = duplicated_spans(docs.repartition(13), k=5)
     assert one.exceptAll(many).union(many.exceptAll(one)).count() == 0
+
+
+# ---- property: spans vs a brute-force Python reference --------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# Tiny vocab + short docs → dense repeats, every edge case (overlap, runs,
+# within-doc, cross-doc, empty) gets generated.
+_doc_strategy = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _py_spans(docs_tokens, k):
+    from collections import Counter
+
+    grams = Counter()
+    for toks in docs_tokens:
+        for i in range(len(toks) - k + 1):
+            grams[tuple(toks[i:i + k])] += 1
+    out = []
+    for doc_id, toks in enumerate(docs_tokens, start=1):
+        pos = [
+            i + 1
+            for i in range(len(toks) - k + 1)
+            if grams[tuple(toks[i:i + k])] >= 2
+        ]
+        if not pos:
+            continue
+        start = prev = pos[0]
+        for p in pos[1:]:
+            if p - prev <= k:
+                prev = p
+            else:
+                out.append((doc_id, start, prev + k - 1, prev + k - start))
+                start = prev = p
+        out.append((doc_id, start, prev + k - 1, prev + k - start))
+    return sorted(out)
+
+
+@given(_doc_strategy)
+@settings(max_examples=10, deadline=None)
+def test_spans_match_python_reference(spark, docs_tokens):
+    k = 3
+    rows = [(i + 1, " ".join(t)) for i, t in enumerate(docs_tokens)]
+    docs = _docs(spark, rows)
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicated_spans(docs, k=k).collect()
+    )
+    assert got == _py_spans(docs_tokens, k)
