@@ -80,3 +80,34 @@ def test_csv_corrupt_lines_quarantined(spark):
     raws = [r.raw_line for r in corrupt.collect()]
     assert raws and "notanumber" in raws[0]
     assert good.count() + corrupt.count() == 3
+
+
+def test_read_parquet_evolving(spark, tmp_path):
+    """Schema evolution across write batches: old files lack new columns
+    (NULL-filled), contract columns missing everywhere are typed NULLs,
+    on-disk extras are dropped, and a type conflict is a hard error."""
+    from youtube_api_data_etl_automation_spark.sources.text_files import (
+        read_parquet_evolving,
+    )
+
+    p = str(tmp_path / "sink")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.mode(
+        "append"
+    ).parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 3.5, "extra")], "id long, name string, score double, debug string"
+    ).write.mode("append").parquet(p)
+
+    out = read_parquet_evolving(
+        spark, p, "id long, name string, score double, added_later int"
+    )
+    assert out.columns == ["id", "name", "score", "added_later"]
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 3.5
+    assert rows[1]["added_later"] is None and rows[2]["added_later"] is None
+    assert "debug" not in out.columns
+
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="schema drift"):
+        read_parquet_evolving(spark, p, "id string, name string")

@@ -72,3 +72,45 @@ def read_jsonl(
         .option("columnNameOfCorruptRecord", _CORRUPT)
         .json(path)
     )
+
+
+def read_parquet_evolving(spark: SparkSession, path: str,
+                          expected_schema) -> DataFrame:
+    """Schema-drift-tolerant parquet read for sinks written across schema
+    versions (backfills, upstream producers adding/retiring fields — the
+    normal state of a long-lived 100 TB sink):
+
+    - ``mergeSchema=true`` unions the per-file footers (files written
+      before a column existed simply yield NULLs for it);
+    - columns the caller expects but NO file carries are added as typed
+      NULLs, so downstream plans never break on a not-yet-backfilled
+      field;
+    - columns present on disk but absent from ``expected_schema`` are
+      DROPPED (forward-compat: an upstream producer's new experimental
+      field doesn't leak into consumers pinned to the contract);
+    - a type mismatch on an expected column is a hard error — silent
+      try_cast here would hide real producer bugs (the quarantine path is
+      for row-level corruption, not schema-level drift).
+
+    ``expected_schema`` is a StructType or DDL string. Returns columns in
+    the expected order."""
+    from pyspark.sql import types as T
+
+    if isinstance(expected_schema, str):
+        expected_schema = T._parse_datatype_string(expected_schema)
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    on_disk = dict(df.dtypes)
+    cols = []
+    for field in expected_schema.fields:
+        if field.name in on_disk:
+            got = df.schema[field.name].dataType
+            if got != field.dataType:
+                raise TypeError(
+                    f"schema drift on {field.name!r}: sink has {got.simpleString()}, "
+                    f"contract expects {field.dataType.simpleString()} — refusing "
+                    "a silent cast; fix the producer or migrate the sink"
+                )
+            cols.append(F.col(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return df.select(*cols)
