@@ -121,10 +121,20 @@ def incremental_agg(delta: DataFrame, state_path: str, keys: list[str],
     the fold is NOT idempotent under retries."""
     spark = delta.sparkSession
     applied_path = _applied_batches_path(state_path)
+    state_present = sink_exists(spark, state_path)
     if batch_id is not None and sink_exists(spark, applied_path):
-        applied = spark.read.parquet(applied_path)
-        if applied.filter(F.col("batch_id") == batch_id).limit(1).count() > 0:
-            return spark.read.parquet(state_path)
+        if not state_present:
+            # The state was deleted/rebuilt but its marker sidecar
+            # survived: stale ids would silently skip legitimate re-folds
+            # (or crash reading the absent state). A missing state voids
+            # the markers — drop the sidecar and fold fresh.
+            jvm = spark._jvm
+            p = jvm.org.apache.hadoop.fs.Path(applied_path)
+            p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
+        else:
+            applied = spark.read.parquet(applied_path)
+            if applied.filter(F.col("batch_id") == batch_id).limit(1).count() > 0:
+                return spark.read.parquet(state_path)
     aggs = [F.count(F.lit(1)).cast("long").alias("cnt")] + [
         F.sum(F.col(c).cast("decimal(28,6)")).cast("decimal(28,6)").alias(f"sum_{c}")
         for c in sum_cols

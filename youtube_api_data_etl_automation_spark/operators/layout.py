@@ -51,6 +51,22 @@ def compact_small_files(spark, path: str, target_mb: int = 128,
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    staged_prev = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".__compact__")
+    if not fs.exists(hpath) and fs.exists(staged_prev):
+        # Crash-recovery: a previous run deleted the sink but died before
+        # the rename — complete the swap instead of crashing on listStatus,
+        # making the "re-run to retry" contract real.
+        if not fs.rename(staged_prev, hpath):
+            raise IOError(
+                f"compaction recovery: rename {staged_prev} -> {path} failed again"
+            )
+        n = sum(
+            1
+            for f in fs.listStatus(hpath)
+            if f.isFile() and f.getPath().getName().endswith(".parquet")
+        )
+        return {"files_before": 0, "files_after": n,
+                "bytes": int(fs.getContentSummary(hpath).getLength())}
     statuses = list(fs.listStatus(hpath))
     if any(s.isDirectory() for s in statuses):
         raise ValueError(
@@ -153,14 +169,25 @@ def write_zordered(
     The min/max stats pass is one tiny aggregate; everything else is the
     same single repartitionByRange + sorted write as write_clustered."""
     stats = df.agg(
+        F.count(F.lit(1)).alias("n"),
         F.min(col_a).alias("a_lo"), F.max(col_a).alias("a_hi"),
         F.min(col_b).alias("b_lo"), F.max(col_b).alias("b_hi"),
     ).first()
-    if stats["a_lo"] is None or stats["b_lo"] is None:
+    if stats["n"] == 0:
         # Empty input: no key space to interleave — write the empty sink
         # instead of crashing on float(None).
         df.write.option("compression", compression).mode(mode).parquet(path)
         return
+    if stats["a_lo"] is None or stats["b_lo"] is None:
+        # Non-empty input with an all-NULL key column: silently skipping
+        # the clustering would violate the layout contract — fail loudly
+        # (z-order a backfilled column, or use write_clustered on the
+        # non-NULL key).
+        raise ValueError(
+            f"write_zordered: key column {'col_a' if stats['a_lo'] is None else 'col_b'} "
+            f"({col_a if stats['a_lo'] is None else col_b}) is entirely NULL — "
+            "cannot interleave a keyless dimension"
+        )
     z = zorder_key(
         normalize_to_bits(F.col(col_a), float(stats["a_lo"]), float(stats["a_hi"]), bits),
         normalize_to_bits(F.col(col_b), float(stats["b_lo"]), float(stats["b_hi"]), bits),

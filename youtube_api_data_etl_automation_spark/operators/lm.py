@@ -135,6 +135,12 @@ def pmi_collocations(lm: dict, *, min_count: int = 5,
     uni = lm["unigrams"]
     bi_counts = lm["bigrams"].select("a", "b", "c_ab")
     n_total = uni.agg(F.sum("c_a")).first()[0]  # O(1) driver scalar
+    if n_total is None:
+        # Degenerate LM (empty/all-empty-text reference corpus): no
+        # collocations, not a float(None) crash.
+        return bi_counts.select(
+            "a", "b", "c_ab", F.lit(0.0).alias("pmi")
+        ).limit(0)
     ub = uni.select(F.col("a").alias("b"), F.col("c_a").alias("c_b"))
     out = (
         bi_counts.filter(F.col("c_ab") >= min_count)

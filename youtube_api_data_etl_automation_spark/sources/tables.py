@@ -49,7 +49,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
     # because the DRIVER runs queries on its own vanilla session — and with
     # date columns now resolving as TIMESTAMP_NTZ, any ntz→timestamp cast
     # or timestamp-literal comparison would silently shift under a
-    # non-UTC session while the DuckDB oracle stays TZ-naive.
+    # non-UTC session while the DuckDB oracle stays TZ-naive. This is a
+    # session-global, deliberately: the oracle-checked query contract is
+    # only defined under UTC (lazy conf reads make a save/restore around
+    # each query unsound). A host that renders in another timezone should
+    # do so at the presentation edge, not in the analytic session.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":

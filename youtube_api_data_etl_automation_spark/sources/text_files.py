@@ -99,18 +99,22 @@ def read_parquet_evolving(spark: SparkSession, path: str,
     if isinstance(expected_schema, str):
         expected_schema = T._parse_datatype_string(expected_schema)
     df = spark.read.option("mergeSchema", "true").parquet(path)
-    on_disk = dict(df.dtypes)
+    # Case-INSENSITIVE resolution, matching Spark's default analyzer: a
+    # producer whose column case drifted ('Score' vs 'score') must resolve
+    # to the real data, not silently NULL-fill the contract column.
+    on_disk = {f.name.lower(): f for f in df.schema.fields}
     cols = []
     for field in expected_schema.fields:
-        if field.name in on_disk:
-            got = df.schema[field.name].dataType
-            if got != field.dataType:
+        disk_field = on_disk.get(field.name.lower())
+        if disk_field is not None:
+            if disk_field.dataType != field.dataType:
                 raise TypeError(
-                    f"schema drift on {field.name!r}: sink has {got.simpleString()}, "
-                    f"contract expects {field.dataType.simpleString()} — refusing "
-                    "a silent cast; fix the producer or migrate the sink"
+                    f"schema drift on {field.name!r}: sink has "
+                    f"{disk_field.dataType.simpleString()}, contract expects "
+                    f"{field.dataType.simpleString()} — refusing a silent cast; "
+                    "fix the producer or migrate the sink"
                 )
-            cols.append(F.col(field.name))
+            cols.append(F.col(disk_field.name).alias(field.name))
         else:
             cols.append(F.lit(None).cast(field.dataType).alias(field.name))
     return df.select(*cols)
