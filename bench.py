@@ -68,6 +68,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    # A stale HEADLINE name (registry consolidation) must not kill the
+    # whole bench run — drop it loudly instead.
+    missing = [n for n in HEADLINE if n not in QUERIES]
+    if missing:
+        print(f"bench: skipping unknown queries {missing}", file=sys.stderr)
+        HEADLINE[:] = [n for n in HEADLINE if n in QUERIES]
     spark = get_spark("bench")
     # Warm-up: run every headline plan once at the smallest sf so codegen
     # compilation + JVM JIT are excluded from the measured sf timings.
