@@ -1,0 +1,95 @@
+"""End-to-end corpus curation (corpus.py::curate_corpus): the capstone
+composition — funnel, PII scrub, dedup, decontam, sampling, packing — on a
+corpus with planted pathologies."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from youtube_api_data_etl_automation_spark.corpus import curate_corpus
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and runs to the hills "
+    "while a calm wind blows over the quiet town in the early morning"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = []
+    # 40 good English docs (unique suffix keeps them non-duplicates).
+    for i in range(40):
+        rows.append((i, f"{GOOD} marker{i}"))
+    # Exact duplicates of doc 0's text.
+    for i in range(100, 103):
+        rows.append((i, f"{GOOD} marker0"))
+    # Too short.
+    rows.append((200, "tiny doc"))
+    # Unknown language (no marker vocab hits).
+    rows.append((201, "zzz qqq www rrr ttt yyy uuu iii ooo ppp lll kkk"))
+    # PII-bearing good doc.
+    rows.append((202, f"{GOOD} contact me at someone@example.com today"))
+    # Contaminated: shares a long n-gram run with the benchmark.
+    rows.append((203, f"{GOOD} the secret benchmark answer is forty two"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def bench_docs(spark):
+    return spark.createDataFrame(
+        [(9000, "the secret benchmark answer is forty two")],
+        "doc_id long, text string",
+    )
+
+
+def test_pipeline_stages_and_verdicts(spark, corpus, bench_docs):
+    out = curate_corpus(corpus, benchmark=bench_docs, n_shards=4)
+    docs = out["documents"]
+    report = {r["stage"]: r["n_docs"] for r in out["report"].collect()}
+
+    assert report["input"] == 47
+    # funnel: drops 200 (short) and 201 (unknown lang).
+    assert report["funnel"] == 45
+    # dedup: 3 exact copies of doc 0 collapse into it.
+    assert report["exact_dedup"] == 42
+    # decontam: doc 203 shares trigrams with the benchmark.
+    assert report["decontam"] == 41
+    assert report["packed"] == 41
+
+    ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert 203 not in ids and 200 not in ids and 201 not in ids
+    assert not ids & {100, 101, 102}  # duplicate copies lost to doc 0
+    assert 0 in ids and 202 in ids
+
+    # PII scrubbed in the surviving text.
+    clean = docs.filter(F.col("doc_id") == 202).first()["clean_text"]
+    assert "someone@example.com" not in clean and "[EMAIL]" in clean
+
+    # Packing columns present and budget respected per (shard, bin).
+    assert {"shard", "token_start", "bin_first", "bin_last", "spans_cut"} <= set(
+        docs.columns
+    )
+
+
+def test_pipeline_deterministic_and_stratified(spark, corpus, bench_docs):
+    a = curate_corpus(corpus, benchmark=bench_docs, n_shards=4)["documents"]
+    b = curate_corpus(
+        corpus.repartition(7), benchmark=bench_docs, n_shards=4
+    )["documents"]
+    assert a.exceptAll(b).union(b.exceptAll(a)).count() == 0
+
+    # Stratified: keeping only half the en buckets shrinks survivors but
+    # never invents docs.
+    full = {r["doc_id"] for r in a.select("doc_id").collect()}
+    sampled = curate_corpus(
+        corpus, benchmark=bench_docs, lang_rates={"en": 128}, n_shards=4
+    )["documents"]
+    sub = {r["doc_id"] for r in sampled.select("doc_id").collect()}
+    assert sub < full
+
+
+def test_audit_off_returns_no_report(spark, corpus):
+    out = curate_corpus(corpus, audit=False)
+    assert out["report"] is None
+    assert out["documents"].count() > 0

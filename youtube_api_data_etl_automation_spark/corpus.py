@@ -1,0 +1,152 @@
+"""End-to-end corpus curation: the whole operator suite as ONE pipeline.
+
+This is the composition a training-data owner actually runs — the engine's
+capstone flow over a raw document table:
+
+    1. filter funnel   (C4/Gopher rule chain: length → language → quality)
+    2. PII redaction   (map-only scrub, same pass carries the text forward)
+    3. exact dedup     (content fingerprint, min-id survivor)
+    4. decontamination (word-n-gram overlap vs a held-out benchmark)
+    5. stratified sampling (optional per-language keep rates, content-stable)
+    6. sequence packing (concat-and-cut token budgeting into shards)
+
+Every stage is one of the tested operators (operators/, functions/) wired
+in its documented 100 TB shape: the funnel + redaction + fingerprint are a
+single projection pass over the text; dedup shuffles (fingerprint, id);
+decontam broadcasts the benchmark's n-grams; sampling is a map-side
+verdict; packing is a per-shard window. Nothing collects to the driver
+except the optional audit counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.pii import redact_pii
+from .functions.text import (
+    doc_fingerprint,
+    lang_id_t,
+    quality_score_t,
+    token_count_t,
+    tokens,
+)
+from .operators.decontam import ngram_contamination
+from .operators.packing import pack_sequences
+
+
+def curate_corpus(
+    docs: DataFrame,
+    *,
+    benchmark: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_tokens: int = 1000,
+    quality_min: float = 0.55,
+    lang_rates: dict[str, int] | None = None,
+    decontam_n: int = 3,
+    pack_budget: int = 2048,
+    n_shards: int = 16,
+    audit: bool = True,
+) -> dict:
+    """Run the full curation pipeline. Returns
+    {"documents": packed survivors (id, lang, clean_text, n_tokens, shard,
+    token_start, bin_first, bin_last, spans_cut), "report": per-stage
+    (stage, n_docs) audit DataFrame (None when audit=False)}.
+
+    ``lang_rates``: optional {lang: keep_buckets_of_256} map (the
+    stratified-sampling idiom — salt "corpus:" keeps the draw independent
+    of other samplers per functions/hashing.py). ``benchmark``: held-out
+    eval docs; survivors sharing any ``decontam_n``-gram are dropped.
+    """
+    spark = docs.sparkSession
+    stages: list[tuple[str, int]] = []
+
+    def checkpoint(stage: str, df: DataFrame) -> DataFrame:
+        if audit:
+            stages.append((stage, df.count()))
+        return df
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        *[c for c in docs.columns if c not in (id_col, text_col)],
+    )
+    checkpoint("input", base)
+
+    # 1+2+3a: one projection computes the funnel features, the redacted
+    # text, and the content fingerprint — a single pass over the raw text.
+    toks = base.withColumn("tok", tokens("text"))
+    feat = toks.select(
+        "doc_id",
+        lang_id_t("tok").alias("lang"),
+        token_count_t("tok").alias("n_tokens"),
+        quality_score_t("text", "tok").alias("quality"),
+        redact_pii(F.col("text")).alias("clean_text"),
+        doc_fingerprint("text").alias("fingerprint"),
+    )
+    kept = feat.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("lang") != "und")
+        & (F.col("quality") >= quality_min)
+    )
+    kept = checkpoint("funnel", kept)
+
+    # 3b: exact dedup — min-id survivor per fingerprint (min_by aggregate:
+    # map-side partial, no window sort).
+    survivors = (
+        kept.groupBy("fingerprint")
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "lang", "n_tokens", "quality", "clean_text"),
+                F.col("doc_id"),
+            ).alias("s")
+        )
+        .select("s.*")
+    )
+    survivors = checkpoint("exact_dedup", survivors)
+
+    # 4: benchmark decontamination (skip when no benchmark given).
+    if benchmark is not None:
+        bench = benchmark.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        hits = ngram_contamination(
+            survivors.select("doc_id", F.col("clean_text").alias("text")),
+            bench,
+            n=decontam_n,
+        )
+        clean_ids = hits.filter(F.col("contaminated") == 0).select("doc_id")
+        survivors = survivors.join(clean_ids, "doc_id", "left_semi")
+        survivors = checkpoint("decontam", survivors)
+
+    # 5: optional content-stable stratified sampling by language.
+    if lang_rates is not None:
+        from .functions.hashing import md5_bucket
+
+        thr = None
+        for lang, buckets in lang_rates.items():
+            cond = F.when(F.col("lang") == lang, buckets)
+            thr = cond if thr is None else thr.when(F.col("lang") == lang, buckets)
+        thr = (thr.otherwise(256) if thr is not None else F.lit(256))
+        survivors = survivors.filter(md5_bucket("doc_id", salt="corpus:") < thr)
+        survivors = checkpoint("stratified_sample", survivors)
+
+    # 6: pack into token-budgeted shards.
+    packed = pack_sequences(
+        survivors.select("doc_id", "lang", "clean_text", "n_tokens"),
+        token_col="n_tokens",
+        id_col="doc_id",
+        budget=pack_budget,
+        n_shards=n_shards,
+    )
+    packed = checkpoint("packed", packed)
+
+    report = (
+        spark.createDataFrame(stages, "stage string, n_docs long")
+        if audit
+        else None
+    )
+    return {"documents": packed, "report": report}
