@@ -93,3 +93,27 @@ def test_audit_off_returns_no_report(spark, corpus):
     out = curate_corpus(corpus, audit=False)
     assert out["report"] is None
     assert out["documents"].count() > 0
+
+
+def test_write_training_shards_replayable(spark, corpus, bench_docs, tmp_path):
+    """Shard directories are addressable by partition pruning and each
+    shard's rows replay in token_start order with contiguous offsets."""
+    from youtube_api_data_etl_automation_spark.corpus import write_training_shards
+
+    out = curate_corpus(corpus, benchmark=bench_docs, n_shards=4, audit=False)
+    path = str(tmp_path / "shards")
+    write_training_shards(out["documents"], path)
+
+    back = spark.read.parquet(path)
+    assert back.count() == out["documents"].count()
+    for shard in [r["shard"] for r in back.select("shard").distinct().collect()]:
+        rows = (
+            back.filter(F.col("shard") == shard)
+            .orderBy("token_start")
+            .select("token_start", "n_tokens")
+            .collect()
+        )
+        offset = 0
+        for r in rows:
+            assert r["token_start"] == offset
+            offset += r["n_tokens"]

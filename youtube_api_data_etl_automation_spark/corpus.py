@@ -150,3 +150,20 @@ def curate_corpus(
         else None
     )
     return {"documents": packed, "report": report}
+
+
+def write_training_shards(packed: DataFrame, path: str,
+                          compression: str = "zstd") -> None:
+    """Materialize curate_corpus output as training shards: one directory
+    per shard (partition pruning = shard addressing), rows within each
+    file ordered by token_start so a sequential reader replays the
+    concatenated token stream exactly as the packer laid it out. One
+    shuffle (repartition by shard), ~one file per shard."""
+    (
+        packed.repartition("shard")
+        .sortWithinPartitions("shard", "token_start")
+        .write.partitionBy("shard")
+        .option("compression", compression)
+        .mode("overwrite")
+        .parquet(path)
+    )
