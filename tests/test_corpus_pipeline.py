@@ -117,3 +117,38 @@ def test_write_training_shards_replayable(spark, corpus, bench_docs, tmp_path):
         for r in rows:
             assert r["token_start"] == offset
             offset += r["n_tokens"]
+
+
+def test_curate_stream_incremental_dedup(spark, tmp_path):
+    """Two streamed batches with overlapping content: the second drain
+    appends only genuinely-new documents (fingerprint-keyed idempotent
+    append), and filtered docs never reach the sink."""
+    import os
+
+    from youtube_api_data_etl_automation_spark.corpus import curate_stream
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    b1 = [(i, f"{GOOD} stream{i}") for i in range(10)] + [(90, "too short")]
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        curate_stream(stream, ckpt, sink)
+
+    drain()
+    assert spark.read.parquet(sink).count() == 10
+
+    # Batch 2: 5 duplicates of batch-1 text (same fingerprint) + 3 new.
+    b2 = [(100 + i, f"{GOOD} stream{i}") for i in range(5)] + [
+        (200 + i, f"{GOOD} fresh{i}") for i in range(3)
+    ]
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+    drain()
+    out = spark.read.parquet(sink)
+    assert out.count() == 13
+    assert out.groupBy("fingerprint").count().filter("count > 1").count() == 0
+    assert os.path.isdir(ckpt)

@@ -152,6 +152,50 @@ def curate_corpus(
     return {"documents": packed, "report": report}
 
 
+def curate_stream(stream_docs: DataFrame, checkpoint_dir: str, sink_path: str,
+                  *, id_col: str = "doc_id", text_col: str = "text",
+                  min_tokens: int = 10, max_tokens: int = 1000,
+                  quality_min: float = 0.55) -> None:
+    """Streaming corpus curation: drain available document batches
+    (``trigger(availableNow=True)``), apply the funnel + PII scrub +
+    content fingerprint per micro-batch, and append ONLY new-fingerprint
+    docs to the sink (operators/incremental.py::append_delta keyed on the
+    fingerprint — the same idempotent anti-join-at-write protocol as the
+    reference ETL, so retried batches and cross-batch duplicates both
+    land exactly once). The batch and streaming paths share every
+    operator, so a corpus can be bootstrapped with curate_corpus and kept
+    current with this."""
+    from .operators.incremental import append_delta
+
+    def handle_batch(batch: DataFrame, _batch_id: int) -> None:
+        toks = batch.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        ).withColumn("tok", tokens("text"))
+        feat = toks.select(
+            "doc_id",
+            lang_id_t("tok").alias("lang"),
+            token_count_t("tok").alias("n_tokens"),
+            quality_score_t("text", "tok").alias("quality"),
+            redact_pii(F.col("text")).alias("clean_text"),
+            doc_fingerprint("text").alias("fingerprint"),
+        )
+        kept = feat.filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("n_tokens") <= max_tokens)
+            & (F.col("lang") != "und")
+            & (F.col("quality") >= quality_min)
+        ).dropDuplicates(["fingerprint"])
+        append_delta(kept, sink_path, "fingerprint")
+
+    q = (
+        stream_docs.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(handle_batch)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def write_training_shards(packed: DataFrame, path: str,
                           compression: str = "zstd") -> None:
     """Materialize curate_corpus output as training shards: one directory
