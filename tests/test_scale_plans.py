@@ -436,3 +436,24 @@ def test_clustered_write_orc_roundtrip(spark, tmp_path):
     pruned = back.filter(F.col("status") == "F")
     plan = _plan(pruned)
     assert "PartitionFilters" in plan and "status" in plan
+
+
+def test_dataset_manifest_proves_disjoint_spans(spark, tmp_path):
+    """Manifest (r4): per-file stats match the data, totals are complete,
+    and over a range-clustered write the sort-key spans are disjoint —
+    the file-skipping property, proven from the manifest itself."""
+    from youtube_api_data_etl_automation_spark.operators.layout import (
+        dataset_manifest,
+    )
+
+    orders = load_table(spark, SF_DIR, "orders")
+    out = str(tmp_path / "clustered")
+    orders.repartitionByRange(4, F.col("o_orderkey")).sortWithinPartitions(
+        "o_orderkey"
+    ).write.parquet(out)
+
+    m = dataset_manifest(spark, out, "o_orderkey").collect()
+    assert sum(r["n_rows"] for r in m) == orders.count()
+    spans = sorted((r["min_o_orderkey"], r["max_o_orderkey"]) for r in m)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2, spans

@@ -24,6 +24,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def dataset_manifest(spark, path: str, *stat_cols: str) -> DataFrame:
+    """Per-file manifest of a parquet dataset: (file, n_rows, and min/max
+    of each ``stat_col``) — the artifact an external catalog or reader
+    uses for file-level skipping without opening footers, and the audit
+    that proves a clustered/z-ordered layout actually has the disjoint
+    spans it promises. One distributed pass (groupBy input_file_name);
+    no driver-side listing."""
+    df = spark.read.parquet(path).withColumn("_file", F.input_file_name())
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in stat_cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return df.groupBy(F.col("_file").alias("file")).agg(*aggs)
+
+
 def compact_small_files(spark, path: str, target_mb: int = 128,
                         sort_col: str | None = None,
                         compression: str = "zstd") -> dict:
