@@ -31,9 +31,16 @@ def main() -> int:
     flagged = []
     print(f"{'query':34s} {'a':>7} {'b':>7} {'b/a':>6}")
     for q in shared:
-        ratio = b[q] / a[q] if a[q] else float("inf")
-        mark = " <-- REGRESSION" if ratio > threshold else ""
-        if mark:
+        # bench.py rounds to 3 decimals, so sub-ms queries record 0.0:
+        # 0.0 -> 0.0 is a tie (ratio 1), and a blow-up from ~0 is flagged
+        # only when the absolute delta is perceptible (noise floor 50 ms).
+        if a[q] == 0:
+            ratio = 1.0 if b[q] == 0 else float("inf")
+        else:
+            ratio = b[q] / a[q]
+        is_regression = ratio > threshold and (b[q] - a[q]) > 0.05
+        mark = " <-- REGRESSION" if is_regression else ""
+        if is_regression:
             flagged.append(q)
         print(f"{q:34s} {a[q]:7.3f} {b[q]:7.3f} {ratio:6.2f}{mark}")
     only_a = sorted(set(a) - set(b))
@@ -42,8 +49,12 @@ def main() -> int:
         print(f"only in {a_path}: {', '.join(only_a)}")
     if only_b:
         print(f"only in {b_path}: {', '.join(only_b)}")
+    if not shared:
+        print("no shared queries between the two records")
+        return 0
     ta, tb = sum(a[q] for q in shared), sum(b[q] for q in shared)
-    print(f"shared-set totals: {ta:.3f} -> {tb:.3f} ({tb / ta:.2f}x)")
+    ratio_txt = f"{tb / ta:.2f}x" if ta else "n/a"
+    print(f"shared-set totals: {ta:.3f} -> {tb:.3f} ({ratio_txt})")
     if flagged:
         print(f"{len(flagged)} queries over {threshold}x: {', '.join(flagged)}")
         return 1

@@ -35,6 +35,34 @@ from .operators.decontam import ngram_contamination
 from .operators.packing import pack_sequences
 
 
+def _min_id_survivors(feat: DataFrame) -> DataFrame:
+    """Exact-dedup survivor selection without shuffling document bodies:
+    the aggregate that finds duplicated fingerprints and their min-id
+    survivor moves only (fingerprint, id); rows of UNIQUE fingerprints —
+    the overwhelming majority of a normal corpus — pass through a
+    broadcast anti-join untouched, and duplicated groups keep their min-id
+    row via a broadcast semi-join on (fingerprint, id). (A min_by-struct
+    aggregate here would ship ~every body through the exchange; this is
+    the same two-path hot/cold split as operators/capping.py. If most of
+    the corpus IS duplicates, the dup relation outgrows broadcast — flip
+    to a plain shuffled semi-join, same result.)"""
+    fp_stats = (
+        feat.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("_n"), F.min("doc_id").alias("keep_id"))
+    )
+    dup_fps = fp_stats.filter(F.col("_n") > 1).select("fingerprint", "keep_id")
+    uniq = feat.join(
+        F.broadcast(dup_fps.select("fingerprint")), "fingerprint", "left_anti"
+    )
+    dup_keep = feat.join(
+        F.broadcast(dup_fps),
+        (feat["fingerprint"] == dup_fps["fingerprint"])
+        & (feat["doc_id"] == dup_fps["keep_id"]),
+        "left_semi",
+    )
+    return uniq.unionByName(dup_keep).select(*feat.columns)
+
+
 def curate_corpus(
     docs: DataFrame,
     *,
@@ -51,8 +79,9 @@ def curate_corpus(
     audit: bool = True,
 ) -> dict:
     """Run the full curation pipeline. Returns
-    {"documents": packed survivors (id, lang, clean_text, n_tokens, shard,
-    token_start, bin_first, bin_last, spans_cut), "report": per-stage
+    {"documents": packed survivors (id, lang, clean_text, n_tokens,
+    fingerprint, shard, token_start, bin_first, bin_last, spans_cut),
+    "report": per-stage
     (stage, n_docs) audit DataFrame (None when audit=False)}.
 
     ``lang_rates``: optional {lang: keep_buckets_of_256} map (the
@@ -64,14 +93,18 @@ def curate_corpus(
     stages: list[tuple[str, int]] = []
 
     def checkpoint(stage: str, df: DataFrame) -> DataFrame:
+        # audit mode persists each stage so its count (and every later
+        # stage) reads the materialized frame instead of replaying the
+        # whole lineage per stage — without this the interpreted
+        # tokenization re-runs ~once per stage. audit=False keeps the
+        # pipeline a single lazy plan with zero extra jobs.
         if audit:
+            df = df.persist()
             stages.append((stage, df.count()))
         return df
 
     base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(text_col).alias("text"),
-        *[c for c in docs.columns if c not in (id_col, text_col)],
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
     checkpoint("input", base)
 
@@ -94,24 +127,17 @@ def curate_corpus(
     )
     kept = checkpoint("funnel", kept)
 
-    # 3b: exact dedup — min-id survivor per fingerprint (min_by aggregate:
-    # map-side partial, no window sort).
-    survivors = (
-        kept.groupBy("fingerprint")
-        .agg(
-            F.min_by(
-                F.struct("doc_id", "lang", "n_tokens", "quality", "clean_text"),
-                F.col("doc_id"),
-            ).alias("s")
-        )
-        .select("s.*")
-    )
-    survivors = checkpoint("exact_dedup", survivors)
+    # 3b: exact dedup — deterministic min-id survivor per fingerprint.
+    survivors = checkpoint("exact_dedup", _min_id_survivors(kept))
 
     # 4: benchmark decontamination (skip when no benchmark given).
     if benchmark is not None:
+        # The benchmark goes through the SAME redaction: comparing
+        # scrubbed corpus text against raw benchmark text would let any
+        # overlap spanning a redacted span escape detection.
         bench = benchmark.select(
-            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            F.col(id_col).alias("doc_id"),
+            redact_pii(F.col(text_col)).alias("text"),
         )
         hits = ngram_contamination(
             survivors.select("doc_id", F.col("clean_text").alias("text")),
@@ -136,7 +162,7 @@ def curate_corpus(
 
     # 6: pack into token-budgeted shards.
     packed = pack_sequences(
-        survivors.select("doc_id", "lang", "clean_text", "n_tokens"),
+        survivors.select("doc_id", "lang", "clean_text", "n_tokens", "fingerprint"),
         token_col="n_tokens",
         id_col="doc_id",
         budget=pack_budget,
@@ -184,8 +210,11 @@ def curate_stream(stream_docs: DataFrame, checkpoint_dir: str, sink_path: str,
             & (F.col("n_tokens") <= max_tokens)
             & (F.col("lang") != "und")
             & (F.col("quality") >= quality_min)
-        ).dropDuplicates(["fingerprint"])
-        append_delta(kept, sink_path, "fingerprint")
+        )
+        # Same deterministic min-id survivor rule as the batch path (a
+        # dropDuplicates here would keep a scheduling-dependent row and
+        # replays of the same source would produce different sinks).
+        append_delta(_min_id_survivors(kept), sink_path, "fingerprint")
 
     q = (
         stream_docs.writeStream.trigger(availableNow=True)
