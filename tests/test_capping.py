@@ -46,6 +46,21 @@ def test_cap_of_zero_group_sizes(spark):
     assert all(s == 1 for s in sizes)
 
 
+def test_null_group_is_capped_like_any_other(spark):
+    """NULL group keys must NOT bypass the cap: the window form treats NULL
+    as one partition, so the two-path form must route NULL-keyed rows into
+    the capped path too (null-safe joins)."""
+    docs = load_table(spark, SF, "documents")
+    nulled = docs.withColumn(
+        "lang", F.when(F.col("doc_id") % 3 == 0, None).otherwise(F.col("lang"))
+    )
+    fast = cap_per_group(nulled, group_col="lang", id_col="doc_id", cap=5)
+    naive = _naive(nulled, "lang", "doc_id", 5)
+    assert fast.exceptAll(naive).union(naive.exceptAll(fast)).count() == 0
+    n_null = fast.filter(F.col("lang").isNull()).count()
+    assert n_null == 5  # ~167 NULL rows at sf0.001 → capped to exactly 5
+
+
 def test_selection_is_content_stable_under_growth(spark):
     """A row kept at cap N stays kept when the corpus is SHUFFLED or rows
     of other groups are added — its fate depends only on its own group's

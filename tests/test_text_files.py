@@ -111,3 +111,44 @@ def test_read_parquet_evolving(spark, tmp_path):
 
     with _pytest.raises(TypeError, match="schema drift"):
         read_parquet_evolving(spark, p, "id string, name string")
+
+
+def test_read_parquet_evolving_nullability_tolerant(spark, tmp_path):
+    """Nested-nullability differences (array containsNull, struct-field
+    nullable inside the element type) are benign — only genuine TYPE
+    conflicts hard-error."""
+    from pyspark.sql import types as T
+
+    from youtube_api_data_etl_automation_spark.sources.text_files import (
+        read_parquet_evolving,
+    )
+
+    p = str(tmp_path / "sink")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField(
+                "tags", T.ArrayType(T.StringType(), containsNull=False), False
+            ),
+            T.StructField(
+                "meta",
+                T.StructType([T.StructField("k", T.StringType(), False)]),
+                False,
+            ),
+        ]
+    )
+    spark.createDataFrame([(1, ["a", "b"], ("x",))], schema).write.parquet(p)
+
+    # Contract declares everything nullable — must read fine.
+    out = read_parquet_evolving(
+        spark, p, "id long, tags array<string>, meta struct<k: string>"
+    )
+    assert out.collect()[0]["tags"] == ["a", "b"]
+
+    # A real element-type conflict still errors.
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="schema drift"):
+        read_parquet_evolving(
+            spark, p, "id long, tags array<int>, meta struct<k: string>"
+        )

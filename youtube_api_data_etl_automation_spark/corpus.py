@@ -28,7 +28,7 @@ from .functions.text import (
     doc_fingerprint,
     lang_id_t,
     quality_score_t,
-    token_count_t,
+    token_count,
     tokens,
 )
 from .operators.decontam import ngram_contamination
@@ -91,16 +91,24 @@ def curate_corpus(
     """
     spark = docs.sparkSession
     stages: list[tuple[str, int]] = []
+    cached: list[DataFrame] = []
 
     def checkpoint(stage: str, df: DataFrame) -> DataFrame:
         # audit mode persists each stage so its count (and every later
         # stage) reads the materialized frame instead of replaying the
         # whole lineage per stage — without this the interpreted
         # tokenization re-runs ~once per stage. audit=False keeps the
-        # pipeline a single lazy plan with zero extra jobs.
+        # pipeline a single lazy plan with zero extra jobs. Once this
+        # stage is materialized (the count), the PREVIOUS stage's cache
+        # has no remaining consumer — release it so repeated invocations
+        # in a long-lived session don't accumulate cached relations;
+        # only the final (packed) frame stays cached for the caller.
         if audit:
             df = df.persist()
             stages.append((stage, df.count()))
+            if cached:
+                cached.pop().unpersist()
+            cached.append(df)
         return df
 
     base = docs.select(
@@ -108,15 +116,20 @@ def curate_corpus(
     )
     checkpoint("input", base)
 
-    # 1+2+3a: one projection computes the funnel features, the redacted
-    # text, and the content fingerprint — a single pass over the raw text.
-    toks = base.withColumn("tok", tokens("text"))
+    # 1+2+3a: one pass computes the funnel features, the redacted text,
+    # and the content fingerprint. n_tokens is counted on the REDACTED
+    # text — that is the token stream the packer budgets and the shards
+    # materialize, so offsets stay exact even when redaction changes the
+    # token count (e.g. a spaced phone number collapsing to one [PHONE]).
+    toks = base.select(
+        "doc_id", "text", redact_pii(F.col("text")).alias("clean_text")
+    ).withColumn("tok", tokens("text"))
     feat = toks.select(
         "doc_id",
         lang_id_t("tok").alias("lang"),
-        token_count_t("tok").alias("n_tokens"),
+        token_count("clean_text").alias("n_tokens"),
         quality_score_t("text", "tok").alias("quality"),
-        redact_pii(F.col("text")).alias("clean_text"),
+        "clean_text",
         doc_fingerprint("text").alias("fingerprint"),
     )
     kept = feat.filter(
@@ -195,14 +208,17 @@ def curate_stream(stream_docs: DataFrame, checkpoint_dir: str, sink_path: str,
 
     def handle_batch(batch: DataFrame, _batch_id: int) -> None:
         toks = batch.select(
-            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("text"),
+            redact_pii(F.col(text_col)).alias("clean_text"),
         ).withColumn("tok", tokens("text"))
+        # n_tokens on the REDACTED text — same contract as curate_corpus.
         feat = toks.select(
             "doc_id",
             lang_id_t("tok").alias("lang"),
-            token_count_t("tok").alias("n_tokens"),
+            token_count("clean_text").alias("n_tokens"),
             quality_score_t("text", "tok").alias("quality"),
-            redact_pii(F.col("text")).alias("clean_text"),
+            "clean_text",
             doc_fingerprint("text").alias("fingerprint"),
         )
         kept = feat.filter(

@@ -31,10 +31,17 @@ def cap_per_group(df: DataFrame, *, group_col: str, id_col: str,
     ascending md5(salt ++ id) with ``id_col`` as the final tie-break.
     Returns the kept rows with the original schema."""
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
-    over = counts.filter(F.col("_n") > cap).select(group_col)
+    over = counts.filter(F.col("_n") > cap).select(
+        F.col(group_col).alias("_over_g")
+    )
 
-    under_rows = df.join(F.broadcast(over), group_col, "left_anti")
-    over_rows = df.join(F.broadcast(over), group_col, "left_semi")
+    # NULL is a real group (unknown domain/host keys are common in web
+    # corpora): groupBy and the window both treat NULL as one partition, so
+    # the routing joins must match it too — a null-unsafe USING-join would
+    # send every NULL-keyed row down the uncapped pass-through path.
+    route = F.col(group_col).eqNullSafe(F.col("_over_g"))
+    under_rows = df.join(F.broadcast(over), route, "left_anti")
+    over_rows = df.join(F.broadcast(over), route, "left_semi")
 
     rank_key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
     w = Window.partitionBy(group_col).orderBy(rank_key, F.col(id_col))
@@ -43,6 +50,4 @@ def cap_per_group(df: DataFrame, *, group_col: str, id_col: str,
         .filter(F.col("_rn") <= cap)
         .drop("_rn")
     )
-    # USING-joins hoist the join key to the front; restore the input order
-    # so callers see the original schema positionally.
     return under_rows.unionByName(kept_hot).select(*df.columns)

@@ -12,8 +12,11 @@ is a no-op; it exists for exactly the degenerate single-file case.
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
+
+_warned_tz_override = False
 
 # Below this size a table is dimension-like (region/nation are ~2 KB):
 # broadcast fodder, not worth a rebalance exchange. Callers passing
@@ -49,27 +52,45 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
     # because the DRIVER runs queries on its own vanilla session — and with
     # date columns now resolving as TIMESTAMP_NTZ, any ntz→timestamp cast
     # or timestamp-literal comparison would silently shift under a
-    # non-UTC session while the DuckDB oracle stays TZ-naive. This is a
-    # session-global, deliberately: the oracle-checked query contract is
-    # only defined under UTC (lazy conf reads make a save/restore around
-    # each query unsound). A host that renders in another timezone should
-    # do so at the presentation edge, not in the analytic session.
+    # non-UTC session while the DuckDB oracle stays TZ-naive. The
+    # oracle-checked query contract is only defined under UTC (lazy conf
+    # reads make a save/restore around each query unsound). A host that
+    # renders in another timezone should do so at the presentation edge —
+    # when we DO override a differing pre-set timezone, say so once
+    # instead of silently reconfiguring the host session mid-flight.
+    global _warned_tz_override
+    try:
+        prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    except Exception:
+        prev_tz = None
+    if prev_tz not in (None, "UTC") and not _warned_tz_override:
+        warnings.warn(
+            f"load_table: overriding session timezone {prev_tz!r} with UTC — "
+            "the engine's query/oracle contract is defined under UTC only",
+            stacklevel=2,
+        )
+        _warned_tz_override = True
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS). Depending on the Spark
-        # build this resolves as TIMESTAMP_NTZ (4.1 native nanos read,
-        # truncating to micros — the data is microsecond-aligned so
-        # lossless) or, under the legacy conf, as a raw nanos long. Handle
-        # both so the engine survives runtime upgrades: ntz → session-TZ
-        # (UTC) timestamp; long → integer `div` then timestamp_micros
-        # (integer div avoids the double-precision trap on ~1e18 nanos).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # events.ts is parquet TIMESTAMP(NANOS). Spark 4.1 reads nanos
+        # natively as TIMESTAMP_NTZ (truncating to micros — the data is
+        # microsecond-aligned so lossless); older builds reject the type
+        # unless the legacy nanosAsLong conf maps it to a raw nanos long.
+        # Try the native, conf-clean path FIRST so the session-global
+        # legacy flag is only ever set on builds that genuinely need it
+        # (where it then deliberately stays on: the conf is re-read at
+        # scan execution, so a save/restore around the read is unsound).
         from pyspark.sql import functions as F
 
-        df = spark.read.parquet(path)
+        try:
+            df = spark.read.parquet(path)
+        except Exception:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
         ts_type = dict(df.dtypes)["ts"]
         if ts_type == "bigint":
+            # integer `div` avoids the double-precision trap on ~1e18 nanos
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type != "timestamp":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))

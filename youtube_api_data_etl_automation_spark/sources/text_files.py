@@ -74,6 +74,30 @@ def read_jsonl(
     )
 
 
+def _strip_nullability(dt):
+    """Recursively force every nullability flag (struct-field nullable,
+    array containsNull, map valueContainsNull) to True so the drift check
+    compares VALUE TYPES only: a file written when an array element was
+    provably non-null is still the same data as the contract's nullable
+    form — only genuine type conflicts should hard-error."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _strip_nullability(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_strip_nullability(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _strip_nullability(dt.keyType), _strip_nullability(dt.valueType), True
+        )
+    return dt
+
+
 def read_parquet_evolving(spark: SparkSession, path: str,
                           expected_schema) -> DataFrame:
     """Schema-drift-tolerant parquet read for sinks written across schema
@@ -107,7 +131,9 @@ def read_parquet_evolving(spark: SparkSession, path: str,
     for field in expected_schema.fields:
         disk_field = on_disk.get(field.name.lower())
         if disk_field is not None:
-            if disk_field.dataType != field.dataType:
+            if _strip_nullability(disk_field.dataType) != _strip_nullability(
+                field.dataType
+            ):
                 raise TypeError(
                     f"schema drift on {field.name!r}: sink has "
                     f"{disk_field.dataType.simpleString()}, contract expects "
