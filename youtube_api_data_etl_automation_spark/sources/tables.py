@@ -63,7 +63,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
         prev_tz = spark.conf.get("spark.sql.session.timeZone")
     except Exception:
         prev_tz = None
-    if prev_tz not in (None, "UTC") and not _warned_tz_override:
+    _utc_aliases = (None, "UTC", "Etc/UTC", "GMT", "Etc/GMT", "Z", "+00:00")
+    if prev_tz not in _utc_aliases and not _warned_tz_override:
         warnings.warn(
             f"load_table: overriding session timezone {prev_tz!r} with UTC — "
             "the engine's query/oracle contract is defined under UTC only",
