@@ -7,8 +7,11 @@ Flow parity (SURVEY.md §3.1):
   L2 dimension overwrite.
 
 Differences by design: every stage is a lazy DataFrame plan; the only eager
-points are (a) collecting playlist/video *ids* for source control — the
-reference's own driver-side step (P3, :149) — and (b) the empty-delta gate.
+points are (a) collecting the *playlist* ids for source control — the
+reference's own driver-side step (P3, :149), bounded by channel count —
+(b) the empty-delta gate, and (c) staging the delta *video* ids to parquet
+(the reference collects these to the driver, :160; at backfill scale that
+list is unbounded, so here it never leaves the executors).
 State lives in partitioned Parquet, not JDBC; the append re-checks keys at
 write time so retries are idempotent (SURVEY.md §7.4 item 2).
 """
@@ -48,6 +51,21 @@ def _read(spark: SparkSession, table: str, **options: str) -> DataFrame:
     return reader.load()
 
 
+# Ids per staged file ⇒ per source-task batch: 2 500 ids = 50 API calls per
+# task, so a 1 M-id backfill plans ~400 parallel tasks instead of one giant
+# option string. Tune down for more fan-out on slow transports.
+IDS_PER_STAGED_FILE = 2_500
+
+
+def _stage_ids(new_ids: DataFrame, warehouse: str, n_new: int) -> str:
+    """Write the delta-id relation to the warehouse staging area, sized so
+    each parquet file (= one source task) carries a bounded id batch."""
+    ids_dir = os.path.join(warehouse, "_staging", "new_video_ids")
+    n_files = max(1, -(-n_new // IDS_PER_STAGED_FILE))
+    new_ids.repartition(n_files).write.mode("overwrite").parquet(ids_dir)
+    return ids_dir
+
+
 def run_etl(spark: SparkSession, channel_ids: list[str], warehouse: str,
             transport: str = "fake", seed: int = 42) -> dict[str, int]:
     """One incremental ETL run. Returns per-stage row counts (the reference's
@@ -83,9 +101,15 @@ def run_etl(spark: SparkSession, channel_ids: list[str], warehouse: str,
     if counts["new_videos"] == 0:
         counts["loaded"] = 0
     else:
-        # E3 — chunked video fetch (ids → source control, 50-id partitions)
-        ids = [r.videoId for r in new_ids.collect()]
-        videos_raw = _read(spark, "videos", video_ids=",".join(ids), **opts)
+        # E3 — chunked video fetch. The delta ids are STAGED to parquet and
+        # the source reads them per (file, row-group) partition — unlike the
+        # reference's driver-side id list (fetch_youtube_data.py:160), a
+        # million-id backfill never materializes on the driver or in the
+        # plan; only the playlist-id collect above (13 rows, the reference's
+        # own P3) stays driver-side. Each staged file bounds one source
+        # task's batch (IDS_PER_STAGED_FILE ids ≈ that many /50 API calls).
+        ids_dir = _stage_ids(new_ids, warehouse, counts["new_videos"])
+        videos_raw = _read(spark, "videos", video_ids_path=ids_dir, **opts)
         # T — the 11→19 column transform block (:171-190), one Project
         video_stats = enrich_videos(videos_raw)
         # L1 — idempotent delta append (:194). 'loaded' is what the append

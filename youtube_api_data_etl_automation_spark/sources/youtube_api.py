@@ -287,12 +287,42 @@ class YouTubeReader(DataSourceReader):
             # S2: partition-per-playlist; pagination stays inside a partition.
             pids = [p for p in self.options.get("playlist_ids", "").split(",") if p]
             return [_Partition("playlist", p) for p in pids] or [_Partition("playlist", None)]
-        # S3: partition per 50-id chunk.
+        if "video_ids_path" in self.options:
+            # S3 at scale: ids staged as parquet (pipeline.py stages the
+            # anti-join delta there). Planning touches FILE METADATA only —
+            # one partition per (file, row group), so a million-id backfill
+            # never flows through the driver, the options map, or the plan.
+            # Each task reads its own row group's id column and chunks it
+            # into ≤50-id API calls; parallelism = staged file count, which
+            # the writer sizes to the delta (see pipeline._stage_ids).
+            return self._staged_id_partitions(self.options["video_ids_path"])
+        # S3: partition per 50-id chunk (inline option — small deltas only;
+        # the reference's own shape, fetch_youtube_data.py:113-119).
         vids = [v for v in self.options.get("video_ids", "").split(",") if v]
         return [
             _Partition("videos", vids[i : i + API_PAGE_SIZE])
             for i in range(0, len(vids), API_PAGE_SIZE)
         ] or [_Partition("videos", [])]
+
+    @staticmethod
+    def _staged_id_partitions(path: str) -> Sequence[InputPartition]:
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        files = (
+            [path]
+            if os.path.isfile(path)
+            else sorted(glob.glob(os.path.join(path, "*.parquet")))
+        )
+        parts: list[_Partition] = []
+        for f in files:
+            meta = pq.ParquetFile(f).metadata  # footer only, no row data
+            for rg in range(meta.num_row_groups):
+                if meta.row_group(rg).num_rows > 0:
+                    parts.append(_Partition("videos_staged", (f, rg)))
+        return parts or [_Partition("videos", [])]
 
     def read(self, partition: _Partition) -> Iterator[tuple]:
         transport = make_transport(self.options)
@@ -325,24 +355,41 @@ class YouTubeReader(DataSourceReader):
                 if not token:
                     break
                 page += 1
+        elif partition.kind == "videos_staged":
+            import pyarrow.parquet as pq
+
+            fpath, rg = partition.payload
+            col = self.options.get("ids_column", "videoId")
+            ids = (
+                pq.ParquetFile(fpath)
+                .read_row_group(rg, columns=[col])
+                .column(0)
+                .to_pylist()
+            )
+            for i in range(0, len(ids), API_PAGE_SIZE):
+                yield from self._emit_videos(transport, ids[i : i + API_PAGE_SIZE])
         else:
             if not partition.payload:
                 return
-            for item in transport.videos_list(partition.payload)["items"]:
-                sn, st = item["snippet"], item["statistics"]
-                yield (
-                    item["id"],
-                    sn.get("channelTitle"),
-                    sn.get("title"),
-                    sn.get("description"),
-                    sn.get("tags"),
-                    sn.get("publishedAt"),
-                    st.get("likeCount"),
-                    st.get("viewCount"),
-                    st.get("commentCount"),
-                    st.get("favoriteCount"),
-                    item["contentDetails"].get("duration"),
-                )
+            yield from self._emit_videos(transport, partition.payload)
+
+    @staticmethod
+    def _emit_videos(transport, ids: Sequence[str]) -> Iterator[tuple]:
+        for item in transport.videos_list(ids)["items"]:
+            sn, st = item["snippet"], item["statistics"]
+            yield (
+                item["id"],
+                sn.get("channelTitle"),
+                sn.get("title"),
+                sn.get("description"),
+                sn.get("tags"),
+                sn.get("publishedAt"),
+                st.get("likeCount"),
+                st.get("viewCount"),
+                st.get("commentCount"),
+                st.get("favoriteCount"),
+                item["contentDetails"].get("duration"),
+            )
 
 
 class YouTubeDataSource(DataSource):
