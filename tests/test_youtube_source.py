@@ -199,3 +199,146 @@ def test_retry_gives_up_after_max_retries():
     with _pytest.raises(TransientAPIError):
         t.channels_list(["c1"])
     assert t.retries == 2
+
+
+# ---------------------------------------------------------------------------
+# HTTPS transport: stdlib-urllib request building, paging params, backoff —
+# hermetic via an injected urlopen stub (no network in this sandbox)
+# ---------------------------------------------------------------------------
+import io
+import json
+import urllib.error
+from urllib.parse import parse_qs, urlparse
+
+from youtube_api_data_etl_automation_spark.sources.youtube_api import (
+    HttpTransport,
+    RetryingTransport,
+    TransientAPIError,
+    make_transport,
+)
+
+
+class _StubResponse:
+    def __init__(self, payload):
+        self._payload = payload
+
+    def read(self):
+        return json.dumps(self._payload).encode("utf-8")
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+def _scripted_urlopen(script, calls):
+    """Each call pops the next script item: a dict → JSON response, an
+    Exception → raised. URLs are recorded for assertion."""
+
+    def urlopen(url, timeout=None):
+        calls.append(url)
+        item = script.pop(0)
+        if isinstance(item, Exception):
+            raise item
+        return _StubResponse(item)
+
+    return urlopen
+
+
+def _http_error(code: int, body: dict | None = None) -> urllib.error.HTTPError:
+    raw = json.dumps(body or {}).encode("utf-8")
+    return urllib.error.HTTPError(
+        "https://www.googleapis.com/youtube/v3/x", code, "err", None,
+        io.BytesIO(raw),
+    )
+
+
+def test_http_transport_builds_api_urls():
+    calls: list[str] = []
+    t = HttpTransport("KEY123", urlopen=_scripted_urlopen(
+        [{"items": []}, {"items": []}], calls))
+    t.channels_list(["c1", "c2"])
+    t.videos_list(["v1"])
+
+    u0 = urlparse(calls[0])
+    assert u0.scheme == "https" and u0.netloc == "www.googleapis.com"
+    assert u0.path == "/youtube/v3/channels"
+    q0 = parse_qs(u0.query)
+    assert q0["id"] == ["c1,c2"]
+    assert q0["key"] == ["KEY123"]
+    assert q0["part"] == ["snippet,contentDetails,statistics"]
+    assert q0["maxResults"] == ["50"]
+
+    u1 = urlparse(calls[1])
+    assert u1.path == "/youtube/v3/videos"
+    assert parse_qs(u1.query)["id"] == ["v1"]
+
+
+def test_http_transport_threads_page_tokens():
+    """First page carries no pageToken; follow-ups carry the token the
+    previous response returned (the reference's serial loop, :86-100)."""
+    calls: list[str] = []
+    script = [
+        {"items": [{"contentDetails": {"videoId": "a"}}], "nextPageToken": "T1"},
+        {"items": [{"contentDetails": {"videoId": "b"}}]},
+    ]
+    t = HttpTransport("K", urlopen=_scripted_urlopen(script, calls))
+    r1 = t.playlist_items_list("PL1", None)
+    r2 = t.playlist_items_list("PL1", r1.get("nextPageToken"))
+    assert "nextPageToken" not in r2
+
+    q1, q2 = (parse_qs(urlparse(u).query) for u in calls)
+    assert "pageToken" not in q1 and q1["playlistId"] == ["PL1"]
+    assert q2["pageToken"] == ["T1"]
+
+
+def test_http_quota_403_backs_off_and_recovers():
+    calls: list[str] = []
+    script = [
+        _http_error(403, {"error": {"errors": [{"reason": "quotaExceeded"}]}}),
+        _http_error(500),
+        {"items": [{"id": "v1"}]},
+    ]
+    t = RetryingTransport(
+        HttpTransport("K", urlopen=_scripted_urlopen(script, calls)),
+        max_retries=4, base_ms=1,
+    )
+    resp = t.videos_list(["v1"])
+    assert resp["items"][0]["id"] == "v1"
+    assert t.retries == 2 and len(calls) == 3
+
+
+def test_http_permanent_errors_propagate_immediately():
+    # 403 WITHOUT a quota reason (bad key) and 400 are not retried.
+    for err in (
+        _http_error(403, {"error": {"errors": [{"reason": "keyInvalid"}]}}),
+        _http_error(400),
+    ):
+        calls: list[str] = []
+        t = RetryingTransport(
+            HttpTransport("K", urlopen=_scripted_urlopen([err], calls)),
+            max_retries=4, base_ms=1,
+        )
+        with pytest.raises(urllib.error.HTTPError):
+            t.videos_list(["v1"])
+        assert len(calls) == 1  # no retry burned on a permanent failure
+
+
+def test_http_transport_enforces_batch_limit():
+    t = HttpTransport("K", urlopen=_scripted_urlopen([], []))
+    with pytest.raises(ValueError):
+        t.videos_list([f"v{i}" for i in range(51)])
+
+
+def test_make_transport_https_requires_key(monkeypatch):
+    monkeypatch.delenv("YOUTUBE_API_KEY", raising=False)
+    with pytest.raises(ValueError, match="api_key"):
+        make_transport({"transport": "https"})
+    t = make_transport({"transport": "https", "api_key": "K"})
+    assert isinstance(t.inner, HttpTransport)
+
+
+def test_make_transport_rejects_unknown_kind():
+    with pytest.raises(ValueError, match="unknown transport"):
+        make_transport({"transport": "gopher"})

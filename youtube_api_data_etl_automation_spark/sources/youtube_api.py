@@ -237,25 +237,136 @@ class RetryingTransport:
         return self._call(self.inner.videos_list, ids)
 
 
+class HttpTransport:
+    """Real YouTube Data API v3 transport over stdlib urllib — the
+    reference's live extract (fetch_youtube_data.py:36-57 channels,
+    :86-100 playlistItems, :113-119 videos) without the googleapiclient
+    dependency. Same three-call surface and response shapes as
+    FakeTransport, so the reader code is transport-agnostic.
+
+    Quota handling: HTTP 429/5xx — and 403 bodies whose error reason is
+    quotaExceeded/rateLimitExceeded/userRateLimitExceeded — raise
+    TransientAPIError, which RetryingTransport turns into exponential
+    backoff; any other HTTP error (bad key, bad request) propagates
+    immediately. ``urlopen`` is injectable so tests drive the full
+    URL-building/paging/backoff logic hermetically (this sandbox has no
+    network; default construction requires an api_key and is env-gated
+    through make_transport)."""
+
+    BASE_URL = "https://www.googleapis.com/youtube/v3"
+    _QUOTA_REASONS = frozenset(
+        {"quotaExceeded", "rateLimitExceeded", "userRateLimitExceeded"}
+    )
+
+    def __init__(self, api_key: str, urlopen=None, timeout_s: float = 30.0):
+        if not api_key:
+            raise ValueError("HttpTransport requires a non-empty api_key")
+        self.api_key = api_key
+        if urlopen is None:
+            import urllib.request
+
+            urlopen = urllib.request.urlopen
+        self._urlopen = urlopen
+        self.timeout_s = timeout_s
+
+    def _is_transient(self, code: int, body: bytes) -> bool:
+        if code == 429 or code >= 500:
+            return True
+        if code == 403:
+            # 403 is both "quota exhausted" (retryable) and "key invalid /
+            # API disabled" (not). Only the error body disambiguates.
+            import json
+
+            try:
+                errors = json.loads(body.decode("utf-8"))["error"]["errors"]
+                return any(e.get("reason") in self._QUOTA_REASONS for e in errors)
+            except Exception:
+                return False
+        return False
+
+    def _get(self, resource: str, params: dict) -> dict:
+        import json
+        import urllib.error
+        import urllib.parse
+
+        query = urllib.parse.urlencode({**params, "key": self.api_key})
+        url = f"{self.BASE_URL}/{resource}?{query}"
+        try:
+            with self._urlopen(url, timeout=self.timeout_s) as resp:
+                return json.loads(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as e:
+            body = e.read() if e.fp is not None else b""
+            if self._is_transient(e.code, body):
+                raise TransientAPIError(f"HTTP {e.code} from {resource}") from e
+            raise
+
+    # --- S1 shape (fetch_youtube_data.py:53-57) ---
+    def channels_list(self, ids: Sequence[str]) -> dict:
+        if len(ids) > API_PAGE_SIZE:
+            raise ValueError("channels().list accepts at most 50 ids")
+        return self._get(
+            "channels",
+            {
+                "part": "snippet,contentDetails,statistics",
+                "id": ",".join(ids),
+                "maxResults": API_PAGE_SIZE,
+            },
+        )
+
+    # --- S2 shape (:86-100) ---
+    def playlist_items_list(self, playlist_id: str, page_token: str | None) -> dict:
+        params = {
+            "part": "contentDetails",
+            "playlistId": playlist_id,
+            "maxResults": API_PAGE_SIZE,
+        }
+        if page_token:
+            params["pageToken"] = page_token
+        return self._get("playlistItems", params)
+
+    # --- S3 shape (:113-119) ---
+    def videos_list(self, ids: Sequence[str]) -> dict:
+        if len(ids) > API_PAGE_SIZE:
+            raise ValueError("videos().list accepts at most 50 ids")
+        return self._get(
+            "videos",
+            {
+                "part": "snippet,contentDetails,statistics",
+                "id": ",".join(ids),
+                "maxResults": API_PAGE_SIZE,
+            },
+        )
+
+
 def make_transport(options: dict):
     """Transport factory from string options (DataSource options are strings
-    only). 'fake' is the production stand-in here; 'flaky' wraps it with
-    simulated transient failures (testing the retry path). An HTTPS
-    transport would be import-gated on googleapiclient here. Every
-    transport is wrapped in RetryingTransport."""
+    only). 'fake' is the hermetic in-process emulator (the default in this
+    sandbox — no network); 'flaky' wraps it with simulated transient
+    failures (testing the retry path); 'https' is the real YouTube Data
+    API v3 over stdlib urllib, gated on an api_key option or the
+    YOUTUBE_API_KEY env var. Every transport is wrapped in
+    RetryingTransport for quota/5xx backoff."""
     kind = options.get("transport", "fake")
-    fake = FakeTransport(
-        seed=int(options.get("seed", "42")),
-        videos_per_playlist=int(options.get("videos_per_playlist", "120")),
-    )
-    if kind == "fake":
-        inner = fake
-    elif kind == "flaky":
-        inner = FlakyTransport(fake, fail_first=int(options.get("fail_first", "2")))
+    if kind == "https":
+        import os
+
+        api_key = options.get("api_key") or os.environ.get("YOUTUBE_API_KEY", "")
+        inner = HttpTransport(
+            api_key, timeout_s=float(options.get("http_timeout_s", "30"))
+        )
+    elif kind in ("fake", "flaky"):
+        fake = FakeTransport(
+            seed=int(options.get("seed", "42")),
+            videos_per_playlist=int(options.get("videos_per_playlist", "120")),
+        )
+        inner = (
+            fake
+            if kind == "fake"
+            else FlakyTransport(fake, fail_first=int(options.get("fail_first", "2")))
+        )
     else:
-        raise NotImplementedError(
-            f"transport {kind!r} unavailable: this environment has no network/"
-            "googleapiclient; register a real transport in production"
+        raise ValueError(
+            f"unknown transport {kind!r}: expected fake | flaky | https"
         )
     return RetryingTransport(
         inner,
