@@ -84,3 +84,45 @@ def test_daily_rollup_total_matches_merge(spark):
     exact = ev.select("user_id").distinct().count()
     t = total.first().distinct_total
     assert abs(t - exact) <= max(3.0, 0.05 * exact)
+
+
+def test_percentile_prices_approx_rank_error(spark):
+    """The scale twin of percentile_prices honors the GK guarantee at the
+    driver's gate scale: for every group and quantile q, the returned
+    value's fractional rank within its group is within 1/accuracy of q
+    (plus discreteness slack), and each value is bracketed by the group's
+    min/max. Also: identical schema to the exact query."""
+    from collections import defaultdict
+
+    from youtube_api_data_etl_automation_spark.plans.advanced import (
+        percentile_prices,
+        percentile_prices_approx,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    acc = 10_000
+    approx_df = percentile_prices_approx(spark, sf, accuracy=acc)
+    exact_df = percentile_prices(spark, sf)
+    assert approx_df.schema == exact_df.schema
+
+    groups: dict[str, list[float]] = defaultdict(list)
+    for r in load_table(spark, sf, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect():
+        groups[r.o_orderpriority].append(r.o_totalprice)
+
+    rows = {r.o_orderpriority: r for r in approx_df.collect()}
+    assert set(rows) == set(groups)
+    for prio, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        for q, col in ((0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.99, "p99")):
+            a = getattr(rows[prio], col)
+            assert vals[0] <= a <= vals[-1]
+            # fractional rank of the returned value inside the group
+            import bisect
+
+            lo = bisect.bisect_left(vals, a - 1e-6) / n
+            hi = bisect.bisect_right(vals, a + 1e-6) / n
+            slack = 1.0 / acc + 1.0 / n
+            assert lo - slack <= q <= hi + slack, (prio, col, a, lo, hi)
