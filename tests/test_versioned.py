@@ -1,0 +1,133 @@
+"""Versioned sink protocol (operators/versioned.py): commit atomicity,
+reader snapshot isolation across overlapping swaps, crash-debris recovery,
+GC horizon, and the merge/compact twins' semantics."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from youtube_api_data_etl_automation_spark.operators.versioned import (
+    commit_version,
+    compact_versioned,
+    current_version,
+    list_versions,
+    merge_upsert_versioned,
+    overwrite_versioned,
+    read_current,
+    version_path,
+)
+
+
+def _df(spark, pairs):
+    return spark.createDataFrame(pairs, "k string, v long")
+
+
+def test_commit_and_read_roundtrip(spark, tmp_path):
+    base = str(tmp_path / "sink")
+    v1 = commit_version(_df(spark, [("a", 1), ("b", 2)]), base)
+    assert v1 == 1 and current_version(spark, base) == 1
+    got = {(r.k, r.v) for r in read_current(spark, base).collect()}
+    assert got == {("a", 1), ("b", 2)}
+
+
+def test_merge_upsert_versioned_semantics(spark, tmp_path):
+    """Mirror of test_incremental.py::test_merge_upsert over the versioned
+    store: update wins on matched keys, unmatched kept, inserts land."""
+    base = str(tmp_path / "sink")
+    merge_upsert_versioned(_df(spark, [("a", 1), ("b", 2), ("c", 3)]), base, "k")
+    merge_upsert_versioned(_df(spark, [("b", 20), ("d", 40)]), base, "k")
+    got = {(r.k, r.v) for r in read_current(spark, base).collect()}
+    assert got == {("a", 1), ("b", 20), ("c", 3), ("d", 40)}
+    assert current_version(spark, base) == 2
+
+
+def test_reader_overlapping_swap_sees_complete_old_version(spark, tmp_path):
+    """THE race the in-place swap can't win: resolve a read, then commit a
+    replacement, then materialize the old read — it must still see the
+    complete pre-swap state (default retention keeps N-1 alive), while a
+    fresh resolve sees the new state. No interleaving observes a partial
+    directory."""
+    base = str(tmp_path / "sink")
+    commit_version(_df(spark, [("a", 1), ("b", 2), ("c", 3)]), base)
+
+    old_reader = read_current(spark, base)  # resolved: v1, not yet executed
+    merge_upsert_versioned(_df(spark, [("b", 99), ("z", 100)]), base, "k")
+
+    # the in-flight reader still scans v1's immutable files, completely
+    old = {(r.k, r.v) for r in old_reader.collect()}
+    assert old == {("a", 1), ("b", 2), ("c", 3)}
+    new = {(r.k, r.v) for r in read_current(spark, base).collect()}
+    assert new == {("a", 1), ("b", 99), ("c", 3), ("z", 100)}
+
+
+def test_every_observed_state_is_a_committed_state(spark, tmp_path):
+    """Interleaved reads across a chain of commits only ever observe one
+    of the committed row-sets — never a mix or a partial listing."""
+    base = str(tmp_path / "sink")
+    states = []
+    rows = []
+    for i in range(4):
+        rows = rows + [(f"k{i}", i)]
+        commit_version(_df(spark, rows), base, keep_versions=2)
+        states.append(frozenset(rows))
+        observed = frozenset(
+            (r.k, r.v) for r in read_current(spark, base).collect()
+        )
+        assert observed in states
+
+
+def test_uncommitted_debris_is_invisible_and_reclaimed(spark, tmp_path):
+    """A crashed writer's marker-less dir: readers skip it, the next
+    commit reclaims the same version number."""
+    base = str(tmp_path / "sink")
+    commit_version(_df(spark, [("a", 1)]), base)
+    # simulate a writer that died after writing data, before the marker
+    debris = version_path(base, 2)
+    _df(spark, [("PARTIAL", 999)]).write.parquet(debris)
+    os.remove(os.path.join(debris, "_COMMITTED")) if os.path.exists(
+        os.path.join(debris, "_COMMITTED")
+    ) else None
+    # Spark's own _SUCCESS may exist — only OUR marker commits a version.
+    assert current_version(spark, base) == 1
+    got = {(r.k, r.v) for r in read_current(spark, base).collect()}
+    assert got == {("a", 1)}
+
+    v = commit_version(_df(spark, [("a", 1), ("b", 2)]), base)
+    assert v == 2  # debris slot reclaimed
+    got = {(r.k, r.v) for r in read_current(spark, base).collect()}
+    assert got == {("a", 1), ("b", 2)}
+
+
+def test_gc_keeps_retention_horizon(spark, tmp_path):
+    base = str(tmp_path / "sink")
+    for i in range(1, 5):
+        overwrite_versioned(_df(spark, [("n", i)]), base, keep_versions=2)
+    vs = list_versions(spark, base)
+    assert [v for v, ok in vs if ok] == [3, 4]  # only the horizon survives
+    assert read_current(spark, base).collect()[0].v == 4
+
+
+def test_compact_versioned_reduces_files_preserving_data(spark, tmp_path):
+    base = str(tmp_path / "sink")
+    many = spark.range(2000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"), F.col("id").alias("v")
+    ).repartition(37)
+    commit_version(many, base)
+    before = read_current(spark, base)
+    n_before = before.count()
+
+    stats = compact_versioned(spark, base, target_mb=128)
+    assert stats["files_before"] == 37
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["version"] == 2
+    after = read_current(spark, base)
+    assert after.count() == n_before
+    assert after.exceptAll(before).union(before.exceptAll(after)).count() == 0
+
+
+def test_read_fresh_sink_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        read_current(spark, str(tmp_path / "nope"))

@@ -175,6 +175,13 @@ def merge_upsert(updates: DataFrame, sink_path: str, key: str) -> None:
     race because nothing reads lazily from the sink at write time. Updates
     with duplicate keys keep an arbitrary row (dropDuplicates), matching
     the reference's dedup policy (SURVEY.md §2.6 item 8).
+
+    LIMITATION: crash-safe but not reader-safe — a CONCURRENT reader racing
+    the overwrite can observe a partial file listing (the reference's
+    Postgres sink is transactional here, :194/:198). With always-on
+    readers use operators/versioned.py::merge_upsert_versioned — identical
+    semantics published as a committed version directory, old-or-new
+    visibility guaranteed.
     """
     spark = updates.sparkSession
     updates = updates.dropDuplicates([key])

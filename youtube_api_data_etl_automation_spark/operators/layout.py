@@ -62,6 +62,11 @@ def compact_small_files(spark, path: str, target_mb: int = 128,
     (write_clustered output) are refused: a flat rewrite would silently
     destroy the partition layout — compact each leaf directory instead.
 
+    LIMITATION: crash-safe but not reader-safe — a concurrent reader can
+    catch the delete+rename window and see a partial listing. Sinks with
+    always-on readers should use operators/versioned.py::compact_versioned
+    (committed version dirs: readers observe old-or-new, never mid-swap).
+
     Returns {files_before, files_after, bytes}."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)

@@ -1,0 +1,195 @@
+"""Reader-safe versioned parquet sinks: committed-version directories.
+
+The reference's Postgres sink gives overwrite-style operations transactional
+visibility for free (fetch_youtube_data.py:194,:198 — a reader sees the
+table before or after the transaction, never mid-replace). The engine's
+plain-parquet twins (operators/incremental.py::merge_upsert,
+operators/layout.py::compact_small_files) use materialize-then-swap: crash
+safe, but a reader racing the directory delete+rename can observe a partial
+listing. At 100 TB with always-on readers that window is real.
+
+This module closes it with the minimal table-format idea — an append-only
+sequence of immutable version directories plus a commit marker:
+
+    <base>/v=000000001/  part-*.parquet  _COMMITTED
+    <base>/v=000000002/  part-*.parquet  _COMMITTED
+    <base>/v=000000003/  part-*.parquet              <- crashed, unreadable
+
+- A WRITER never mutates a committed version: it writes the full new state
+  into the next ``v=N`` directory, then atomically creates the empty
+  ``_COMMITTED`` marker (single-file create — the commit point).
+- A READER lists the version dirs ONCE, picks the highest committed one,
+  and reads only immutable files from it. Old-or-new, never in-between.
+- A crash before the marker leaves an uncommitted dir that readers skip
+  and the next writer reclaims (its ``mode("overwrite")`` clears it).
+- Old versions are garbage-collected after ``keep_versions`` newer commits
+  land; the default keeps the previous version alive so in-flight readers
+  that resolved it finish safely (size the retention to reader runtime,
+  exactly like table-format VACUUM horizons).
+
+Single-writer-at-a-time per sink, like the reference's one daily ETL; for
+concurrent writers use a real table format (this layout is deliberately the
+same shape, so migration is mechanical). A further bonus over the in-place
+twins: the writer reads the old version lazily while writing the new one —
+no localCheckpoint materialization is needed because nothing overwrites
+what is being read.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_COMMITTED = "_COMMITTED"
+_VERSION_RE = re.compile(r"^v=(\d{9})$")
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, hpath, hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def version_path(base_path: str, version: int) -> str:
+    return f"{base_path.rstrip('/')}/v={version:09d}"
+
+
+def list_versions(spark: SparkSession, base_path: str) -> list[tuple[int, bool]]:
+    """All version dirs under ``base_path`` as (version, committed)."""
+    jvm, hpath, fs = _fs(spark, base_path)
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for st in fs.listStatus(hpath):
+        if not st.isDirectory():
+            continue
+        m = _VERSION_RE.match(st.getPath().getName())
+        if not m:
+            continue
+        v = int(m.group(1))
+        marker = jvm.org.apache.hadoop.fs.Path(
+            version_path(base_path, v) + "/" + _COMMITTED
+        )
+        out.append((v, bool(fs.exists(marker))))
+    return sorted(out)
+
+
+def current_version(spark: SparkSession, base_path: str) -> int | None:
+    """Highest COMMITTED version, or None for a fresh sink. Uncommitted
+    (crashed-writer) dirs are invisible here by construction."""
+    committed = [v for v, ok in list_versions(spark, base_path) if ok]
+    return max(committed) if committed else None
+
+
+def read_current(spark: SparkSession, base_path: str) -> DataFrame:
+    """Snapshot-consistent read: resolve the committed version once, then
+    scan only its immutable files. Raises on a sink with no commits."""
+    v = current_version(spark, base_path)
+    if v is None:
+        raise FileNotFoundError(f"no committed version under {base_path}")
+    return spark.read.parquet(version_path(base_path, v))
+
+
+def commit_version(df: DataFrame, base_path: str, keep_versions: int = 2) -> int:
+    """Write ``df`` as the next version and commit it. Returns the new
+    version number. ``keep_versions`` committed versions are retained
+    (current included); older ones are deleted AFTER the new commit, so a
+    reader that resolved version N-1 before this commit still reads it in
+    full with the default retention."""
+    spark = df.sparkSession
+    new_v = (current_version(spark, base_path) or 0) + 1
+    vpath = version_path(base_path, new_v)
+    # overwrite reclaims any uncommitted debris a crashed writer left here
+    df.write.mode("overwrite").parquet(vpath)
+    jvm, _, fs = _fs(spark, base_path)
+    marker = jvm.org.apache.hadoop.fs.Path(vpath + "/" + _COMMITTED)
+    fs.create(marker, True).close()  # atomic single-file create = commit
+    # GC: drop committed versions older than the retention horizon.
+    for v, ok in list_versions(spark, base_path):
+        if ok and v <= new_v - keep_versions:
+            p = jvm.org.apache.hadoop.fs.Path(version_path(base_path, v))
+            fs.delete(p, True)
+    return new_v
+
+
+def overwrite_versioned(df: DataFrame, base_path: str,
+                        keep_versions: int = 2) -> int:
+    """Reader-safe full replace (the dimension-overwrite shape,
+    reference :198). Alias of commit_version with intent in the name."""
+    return commit_version(df, base_path, keep_versions)
+
+
+def merge_upsert_versioned(updates: DataFrame, base_path: str, key: str,
+                           keep_versions: int = 2) -> int:
+    """Reader-safe MERGE upsert: same semantics as
+    operators/incremental.py::merge_upsert (matched keys take the incoming
+    row, unmatched sink rows kept, new keys inserted, duplicate update keys
+    collapse to one arbitrary row) but published as a new committed
+    version — a concurrent reader observes the pre- or post-merge state,
+    never a partial directory. No localCheckpoint: the old version stays
+    immutable while the new one is written, so the merge plan may read it
+    lazily."""
+    spark = updates.sparkSession
+    updates = updates.dropDuplicates([key])
+    if current_version(spark, base_path) is None:
+        return commit_version(updates, base_path, keep_versions)
+    existing = read_current(spark, base_path)
+    kept = existing.join(F.broadcast(updates.select(key)), on=key, how="left_anti")
+    merged = kept.unionByName(updates)
+    return commit_version(merged, base_path, keep_versions)
+
+
+def compact_versioned(spark: SparkSession, base_path: str,
+                      target_mb: int = 128, sort_col: str | None = None,
+                      compression: str = "zstd",
+                      keep_versions: int = 2) -> dict:
+    """Reader-safe small-file compaction: the maintenance rewrite of
+    operators/layout.py::compact_small_files, published as a new committed
+    version instead of a delete+rename swap. Without ``sort_col`` the
+    rewrite is a narrow coalesce; with it, a range-cluster + sort so
+    compaction doubles as re-clustering. Returns
+    {files_before, files_after, bytes, version}."""
+    v = current_version(spark, base_path)
+    if v is None:
+        raise FileNotFoundError(f"no committed version under {base_path}")
+    vpath = version_path(base_path, v)
+    jvm, hpath, fs = _fs(spark, vpath)
+    total_bytes = fs.getContentSummary(hpath).getLength()
+    files_before = sum(
+        1
+        for f in fs.listStatus(hpath)
+        if f.isFile() and f.getPath().getName().endswith(".parquet")
+    )
+    chunk = target_mb * 1024 * 1024
+    n_out = max(1, int(total_bytes // chunk) + (1 if total_bytes % chunk else 0))
+
+    df = spark.read.parquet(vpath)
+    if sort_col is None:
+        out = df.coalesce(n_out)
+    else:
+        out = df.repartitionByRange(n_out, F.col(sort_col)).sortWithinPartitions(
+            sort_col
+        )
+    # commit_version writes uncompressed-option parquet; keep codec parity
+    # with the layout writers by setting it on the session write below.
+    spark_conf_key = "spark.sql.parquet.compression.codec"
+    prev_codec = spark.conf.get(spark_conf_key)
+    spark.conf.set(spark_conf_key, compression)
+    try:
+        new_v = commit_version(out, base_path, keep_versions)
+    finally:
+        spark.conf.set(spark_conf_key, prev_codec)
+    _, new_hpath, _ = _fs(spark, version_path(base_path, new_v))
+    files_after = sum(
+        1
+        for f in fs.listStatus(new_hpath)
+        if f.isFile() and f.getPath().getName().endswith(".parquet")
+    )
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": int(total_bytes),
+        "version": new_v,
+    }
