@@ -28,12 +28,15 @@ from youtube_api_data_etl_automation_spark.session import get_spark
 # union_distinct_slices into setops_except_intersect, rolling_hash_docs
 # into text_stats_docs; the three freed slots went to
 # repeated_substring_spans, scd2_priority_history, lang_cap_docs.
+# r5 consolidation: window_rank_orders folded into
+# window_distribution_stats (which takes its headline slot); the freed
+# registry slot went to corpus_curation_report.
 HEADLINE = [
     "flagship_new_order_enrichment",
     "anti_join_new_keys",
     "groupby_agg_pricing",
     "join_star_revenue",
-    "window_rank_orders",
+    "window_distribution_stats",
     "window_running_lag",
     "iso_duration_seconds",
     "setops_except_intersect",

@@ -181,19 +181,31 @@ def percentile_prices_approx(
            {sql_round6('cume_dist() OVER w')} AS cdist,
            first_value(o_orderkey) OVER w AS cheapest_key,
            last_value(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
-                                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest_key
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest_key,
+           CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+           CAST(RANK() OVER wb AS INT) AS rnk_bucket,
+           CAST(DENSE_RANK() OVER wb AS INT) AS drnk_bucket
     FROM orders
-    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey),
+           wb AS (PARTITION BY o_orderstatus ORDER BY floor(o_totalprice / 1000.0))
     """,
 )
 def window_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution window functions (ntile / percent_rank / cume_dist /
-    first_value / last_value-with-full-frame) — one shuffle + one sort per
-    partition key serves all five. The unique (price, key) ordering makes
-    every function deterministic."""
+    """Distribution + ranking window functions (ntile / percent_rank /
+    cume_dist / first_value / last_value-with-full-frame / row_number /
+    rank / dense_rank) — ONE exchange on the partition key serves all
+    eight (r5: the former `window_rank_orders` ranking trio folded in;
+    the second sort order reuses the same hash partitioning). The unique
+    (price, key) ordering makes the positional functions deterministic;
+    rank/dense_rank run over a TIE-PRONE bucketed ordering — their values
+    depend only on the order key, so they stay deterministic while
+    actually demonstrating gap vs no-gap ranking."""
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
     w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wb = Window.partitionBy("o_orderstatus").orderBy(
+        F.floor(F.col("o_totalprice") / F.lit(1000.0))
+    )
     return orders.select(
         "o_orderkey",
         "o_orderstatus",
@@ -202,6 +214,9 @@ def window_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         round6(F.cume_dist().over(w)).alias("cdist"),
         F.first("o_orderkey").over(w).alias("cheapest_key"),
         F.last("o_orderkey").over(w_full).alias("priciest_key"),
+        F.row_number().over(w).cast("int").alias("rn"),
+        F.rank().over(wb).cast("int").alias("rnk_bucket"),
+        F.dense_rank().over(wb).cast("int").alias("drnk_bucket"),
     )
 
 

@@ -291,31 +291,13 @@ def range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (global ORDER BY + LIMIT — TakeOrderedAndProject — is exercised by
 #  `sql_q3_shipping_priority` and the similarity top-k queries)
 # ---------------------------------------------------------------------------
-@query(
-    "window_rank_orders",
-    oracle="""
-    SELECT * FROM (
-      SELECT o_custkey, o_orderkey, o_totalprice,
-             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                     ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
-      FROM orders)
-    WHERE rn <= 3
-    """,
-)
-def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group top-N via ROW_NUMBER window; one shuffle on the partition
-    key, ranking local per partition."""
-    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return (
-        load_table(spark, sf_dir, "orders")
-        .select(
-            "o_custkey",
-            "o_orderkey",
-            "o_totalprice",
-            F.row_number().over(w).cast("int").alias("rn"),
-        )
-        .filter(F.col("rn") <= 3)
-    )
+# r5 consolidation: `window_rank_orders` (per-group top-N via ROW_NUMBER)
+# folded into `window_distribution_stats` (plans/advanced.py) — the ranking
+# trio now rides the same status-window exchange there, and the per-group
+# top-N shape stays driver-verified through `ann_sign_lsh_topk` /
+# `ivf_ann_topk` (rank ≤ k per query point). The freed registry slot went
+# to `corpus_curation_report`, putting the capstone composition itself
+# under the DuckDB oracle.
 
 
 @query(

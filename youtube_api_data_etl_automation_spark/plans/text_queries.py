@@ -441,3 +441,134 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding → equi-join candidate generation — the sub-quadratic 100 TB path."""
     docs = load_table(spark, sf_dir, "documents", rebalance=True).filter(F.col("doc_id") % 5 == 0)
     return minhash_lsh_pairs(docs, k=3, num_hashes=8, band_size=2, threshold=0.25)
+
+
+# ---------------------------------------------------------------------------
+# Capstone under the oracle: the end-to-end curation composition (r5)
+# ---------------------------------------------------------------------------
+
+
+def _redact_sql(col: str) -> str:
+    """DuckDB mirror of functions/pii.py::redact_pii (same chain/order)."""
+    from ..functions.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    return (
+        "regexp_replace(regexp_replace(regexp_replace(" + col
+        + ", '" + EMAIL_RE + "', '[EMAIL]', 'g')"
+        + ", '" + IPV4_RE + "', '[IP]', 'g')"
+        + ", '" + PHONE_RE + "', '[PHONE]', 'g')"
+    )
+
+
+def _curation_report_oracle() -> str:
+    counts = ",\n             ".join(
+        f"CAST(len(list_filter(toks, x -> list_contains({_sql_list(mks)}, x))) AS INT) AS c_{lang}"
+        for lang, mks in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"c_{lg}" for lg in langs) + ")"
+    whens = "\n                ".join(
+        f"WHEN c_{lg} = best THEN '{lg}'" for lg in langs
+    )
+    bucket = (
+        "(strpos('0123456789abcdef', substr(md5('corpus:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
+        " + (strpos('0123456789abcdef', substr(md5('corpus:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+    ), n AS (
+      SELECT doc_id, text, {_NORM.format(col='text')} AS norm,
+             {_redact_sql('text')} AS clean_text
+      FROM corpus
+    ), t AS (
+      SELECT doc_id, text, norm, clean_text,
+             CASE WHEN norm = '' THEN [] ELSE string_split(norm, ' ') END AS toks,
+             {_NORM.format(col='clean_text')} AS cnorm
+      FROM n
+    ), c AS (
+      SELECT *, {counts} FROM t
+    ), b AS (
+      SELECT *, {best} AS best FROM c
+    ), feat AS (
+      SELECT doc_id, cnorm, md5(norm) AS fingerprint,
+             CASE WHEN best = 0 THEN 'und'
+                {whens}
+                ELSE 'und' END AS lang,
+             CAST(CASE WHEN cnorm = '' THEN 0
+                       ELSE len(string_split(cnorm, ' ')) END AS INT) AS n_tokens,
+             (0.5 * least(1.0, CAST(len(toks) AS DOUBLE) / 64.0)
+              + 0.3 * (1.0 - CASE WHEN COALESCE(length(text), 0) > 0
+                       THEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                            / length(text) ELSE 0.0 END)
+              + 0.2 * CASE WHEN len(toks) > 0
+                       THEN CAST(len(list_filter(toks, x -> list_contains({_sql_list(EN_STOPWORDS)}, x))) AS DOUBLE)
+                            / len(toks) ELSE 0.0 END) AS quality
+      FROM b
+    ), kept AS (
+      SELECT * FROM feat
+      WHERE n_tokens >= 10 AND n_tokens <= 1000 AND lang <> 'und' AND quality >= 0.55
+    ), surv AS (
+      SELECT * FROM kept
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+    ), bench AS (
+      SELECT DISTINCT array_to_string(bt[i:i+2], ' ') AS g
+      FROM (
+        SELECT CASE WHEN bn = '' THEN [] ELSE string_split(bn, ' ') END AS bt
+        FROM (SELECT {_NORM.format(col=_redact_sql('text'))} AS bn
+              FROM documents WHERE doc_id % 97 = 0)
+      ), UNNEST(range(1, greatest(len(bt) - 1, 1))) AS s(i)
+    ), sgrams AS (
+      SELECT doc_id, array_to_string(ct[i:i+2], ' ') AS g
+      FROM (
+        SELECT doc_id,
+               CASE WHEN cnorm = '' THEN [] ELSE string_split(cnorm, ' ') END AS ct
+        FROM surv
+      ), UNNEST(range(1, greatest(len(ct) - 1, 1))) AS u(i)
+    ), contaminated AS (
+      SELECT DISTINCT doc_id FROM sgrams JOIN bench USING (g)
+    ), decon AS (
+      SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), sampled AS (
+      SELECT * FROM decon
+      WHERE {bucket} < CASE lang WHEN 'en' THEN 128 WHEN 'fr' THEN 64
+                                 WHEN 'es' THEN 64 ELSE 256 END
+    )
+    SELECT 'input' AS stage, CAST((SELECT COUNT(*) FROM corpus) AS BIGINT) AS n_docs
+    UNION ALL SELECT 'funnel', (SELECT COUNT(*) FROM kept)
+    UNION ALL SELECT 'exact_dedup', (SELECT COUNT(*) FROM surv)
+    UNION ALL SELECT 'decontam', (SELECT COUNT(*) FROM decon)
+    UNION ALL SELECT 'stratified_sample', (SELECT COUNT(*) FROM sampled)
+    UNION ALL SELECT 'packed', (SELECT COUNT(*) FROM sampled)
+    """
+
+
+@query("corpus_curation_report", oracle=_curation_report_oracle())
+def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composition itself under the DuckDB oracle (r5): run
+    corpus.py::curate_corpus end-to-end — funnel → PII scrub → exact dedup
+    → benchmark decontamination → stratified sampling → packing — with the
+    doc_id-mod-97 slice as the held-out benchmark, and return its per-stage
+    audit report. The oracle re-derives every stage count in SQL: n_tokens
+    on the REDACTED text (the packer's budget basis), min-id survivor per
+    fingerprint, 3-gram overlap vs the redacted benchmark, and the
+    salt='corpus:' md5-bucket language rates. 'packed' equals
+    'stratified_sample' by construction — concat-and-cut packing is
+    row-preserving, and the oracle pins that invariant."""
+    from ..corpus import curate_corpus
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    is_bench = F.col("doc_id") % 97 == 0
+    out = curate_corpus(
+        docs.filter(~is_bench),
+        benchmark=docs.filter(is_bench),
+        min_tokens=10,
+        max_tokens=1000,
+        quality_min=0.55,
+        lang_rates={"en": 128, "fr": 64, "es": 64},
+        decontam_n=3,
+        pack_budget=2048,
+        n_shards=16,
+        audit=True,
+    )
+    return out["report"]
