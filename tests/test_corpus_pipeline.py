@@ -152,3 +152,36 @@ def test_curate_stream_incremental_dedup(spark, tmp_path):
     assert out.count() == 13
     assert out.groupBy("fingerprint").count().filter("count > 1").count() == 0
     assert os.path.isdir(ckpt)
+
+
+def test_n_tokens_counts_the_redacted_stream(spark):
+    """The packer budgets and the shards replay the REDACTED text, so
+    n_tokens must count clean_text's tokens — not the raw text's (ADVICE
+    r4: a spaced phone number collapsing to one [PHONE] token would
+    otherwise desync token_start offsets from the materialized stream)."""
+    from youtube_api_data_etl_automation_spark.functions.text import token_count
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs to the hills "
+        "while a calm wind blows over the quiet town in the early morning"
+    )
+    # ' call 555 - 123 - 4567' raw ≈ multiple tokens; redacted '[PHONE]' is 1
+    docs = spark.createDataFrame(
+        [(1, base + " call 555-123-4567 now"), (2, base + " plain tail")],
+        "doc_id long, text string",
+    )
+    out = curate_corpus(docs, audit=False, n_shards=1)
+    rows = {r["doc_id"]: r for r in out["documents"].collect()}
+    for r in rows.values():
+        clean_n = (
+            spark.createDataFrame([(r["clean_text"],)], "t string")
+            .select(token_count("t").alias("n"))
+            .first()
+            .n
+        )
+        assert r["n_tokens"] == clean_n
+    assert "[PHONE]" in rows[1]["clean_text"]
+    # offsets are consecutive in the single shard: start_{i+1} = start_i + n_i
+    ordered = sorted(rows.values(), key=lambda r: r["token_start"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert b["token_start"] == a["token_start"] + a["n_tokens"]
