@@ -131,3 +131,93 @@ def test_compact_versioned_reduces_files_preserving_data(spark, tmp_path):
 def test_read_fresh_sink_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_current(spark, str(tmp_path / "nope"))
+
+
+def test_incremental_agg_versioned_matches_full_recompute(spark, tmp_path):
+    """Two folded batches must equal the one-shot aggregate of their union,
+    bit-identical (decimal-exact sums) — and state + applied markers land
+    under ONE commit."""
+    from decimal import Decimal
+
+    from youtube_api_data_etl_automation_spark.operators.versioned import (
+        incremental_agg_versioned,
+        read_agg_state,
+    )
+
+    base = str(tmp_path / "agg")
+    b1 = spark.createDataFrame(
+        [("a", 1.5), ("a", 2.25), ("b", 3.0)], "k string, x double"
+    )
+    b2 = spark.createDataFrame([("a", 0.25), ("c", 7.0)], "k string, x double")
+    incremental_agg_versioned(b1, base, ["k"], ["x"], batch_id="b1")
+    incremental_agg_versioned(b2, base, ["k"], ["x"], batch_id="b2")
+
+    got = {r.k: (r.cnt, r.sum_x) for r in read_agg_state(spark, base).collect()}
+    full = (
+        b1.unionByName(b2)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(F.col("x").cast("decimal(28,6)"))
+            .cast("decimal(28,6)")
+            .alias("sum_x"),
+        )
+    )
+    want = {r.k: (r.cnt, r.sum_x) for r in full.collect()}
+    assert got == want
+    assert got["a"] == (3, Decimal("4.000000"))
+
+
+def test_incremental_agg_versioned_refold_is_noop(spark, tmp_path):
+    from youtube_api_data_etl_automation_spark.operators.versioned import (
+        current_version,
+        incremental_agg_versioned,
+        read_agg_state,
+    )
+
+    base = str(tmp_path / "agg")
+    b1 = spark.createDataFrame([("a", 1.0)], "k string, x double")
+    incremental_agg_versioned(b1, base, ["k"], ["x"], batch_id="b1")
+    v_after_first = current_version(spark, base)
+    # retry of the SAME batch: no fold, no new version
+    incremental_agg_versioned(b1, base, ["k"], ["x"], batch_id="b1")
+    assert current_version(spark, base) == v_after_first
+    [row] = read_agg_state(spark, base).collect()
+    assert (row.k, row.cnt) == ("a", 1)
+
+
+def test_incremental_agg_versioned_crash_pre_marker_refolds_once(spark, tmp_path):
+    """Simulated crash AFTER the state write but BEFORE the commit marker:
+    the debris version is invisible, and the retry folds the batch exactly
+    once — the double-count window of the two-write in-place protocol
+    (incremental.py:152-159) cannot occur."""
+    import os
+
+    from youtube_api_data_etl_automation_spark.operators.versioned import (
+        current_version,
+        incremental_agg_versioned,
+        read_agg_state,
+        version_path,
+    )
+
+    base = str(tmp_path / "agg")
+    b1 = spark.createDataFrame([("a", 1.0)], "k string, x double")
+    incremental_agg_versioned(b1, base, ["k"], ["x"], batch_id="b1")
+
+    # fake a crashed b2 fold: state+applied written, marker never created
+    b2 = spark.createDataFrame([("a", 5.0)], "k string, x double")
+    debris = version_path(base, 2)
+    b2.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.col("x").cast("decimal(28,6)")).cast("decimal(28,6)").alias("sum_x"),
+    ).write.parquet(debris + "/state")
+    spark.createDataFrame([("b2",)], "batch_id string").write.parquet(
+        debris + "/applied"
+    )
+    assert not os.path.exists(os.path.join(debris, "_COMMITTED"))
+    assert current_version(spark, base) == 1  # debris invisible
+
+    # the retry reclaims slot 2 and folds b2 exactly once
+    incremental_agg_versioned(b2, base, ["k"], ["x"], batch_id="b2")
+    [row] = read_agg_state(spark, base).collect()
+    assert row.cnt == 2 and float(row.sum_x) == 6.0

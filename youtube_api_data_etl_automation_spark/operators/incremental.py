@@ -118,7 +118,10 @@ def incremental_agg(delta: DataFrame, state_path: str, keys: list[str],
     ``batch_id``. Applied ids are recorded in a sidecar
     (``<state>.__applied__``); re-folding an already-applied batch is
     skipped and returns the current state unchanged. Without a batch_id
-    the fold is NOT idempotent under retries."""
+    the fold is NOT idempotent under retries. The crash window between
+    the state write and the marker write (see the comment at the marker
+    below) is CLOSED by operators/versioned.py::incremental_agg_versioned,
+    which commits state + applied ids under one atomic marker."""
     spark = delta.sparkSession
     applied_path = _applied_batches_path(state_path)
     state_present = sink_exists(spark, state_path)

@@ -193,3 +193,84 @@ def compact_versioned(spark: SparkSession, base_path: str,
         "bytes": int(total_bytes),
         "version": new_v,
     }
+
+
+# ---------------------------------------------------------------------------
+# Versioned incremental-aggregate state: fold + applied-marker in ONE commit
+# ---------------------------------------------------------------------------
+
+_STATE_SUB = "state"
+_APPLIED_SUB = "applied"
+
+
+def read_agg_state(spark: SparkSession, base_path: str) -> DataFrame:
+    """Current committed aggregate state (see incremental_agg_versioned)."""
+    v = current_version(spark, base_path)
+    if v is None:
+        raise FileNotFoundError(f"no committed version under {base_path}")
+    return spark.read.parquet(f"{version_path(base_path, v)}/{_STATE_SUB}")
+
+
+def incremental_agg_versioned(delta: DataFrame, base_path: str,
+                              keys: list[str], sum_cols: list[str],
+                              batch_id: str, keep_versions: int = 2) -> DataFrame:
+    """operators/incremental.py::incremental_agg with its one documented
+    unsafe window CLOSED: that protocol writes the folded state, THEN the
+    applied-batch marker — a crash between the two makes the retry re-fold
+    the batch once (double-count). Here the new state AND the full
+    applied-batch-id set are written into the same ``v=N`` directory and
+    committed by the single atomic ``_COMMITTED`` create, so state and
+    markers can never disagree: a crash anywhere pre-marker leaves the old
+    version current and the retry folds exactly once. This is the atomic
+    state+marker commit the in-place docstring says needs a table format —
+    the versioned layout IS that commit.
+
+    ``batch_id`` is mandatory (the whole point is exactly-once folding).
+    Re-folding an applied batch returns the current state, no new version.
+    Algebraic aggregates only; decimal-exact sums keep the folded state
+    bit-identical to a from-scratch recompute. Returns the new (or
+    current) state DataFrame."""
+    spark = delta.sparkSession
+    cur = current_version(spark, base_path)
+    old_state = old_applied = None
+    if cur is not None:
+        vdir = version_path(base_path, cur)
+        old_state = spark.read.parquet(f"{vdir}/{_STATE_SUB}")
+        old_applied = spark.read.parquet(f"{vdir}/{_APPLIED_SUB}")
+        if (
+            old_applied.filter(F.col("batch_id") == batch_id).limit(1).count()
+            > 0
+        ):
+            return old_state
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("cnt")] + [
+        F.sum(F.col(c).cast("decimal(28,6)"))
+        .cast("decimal(28,6)")
+        .alias(f"sum_{c}")
+        for c in sum_cols
+    ]
+    part = delta.groupBy(*keys).agg(*aggs)
+    if old_state is not None:
+        merge_aggs = [F.sum("cnt").cast("long").alias("cnt")] + [
+            F.sum(f"sum_{c}").cast("decimal(28,6)").alias(f"sum_{c}")
+            for c in sum_cols
+        ]
+        part = old_state.unionByName(part).groupBy(*keys).agg(*merge_aggs)
+    new_applied = spark.createDataFrame([(batch_id,)], "batch_id string")
+    if old_applied is not None:
+        new_applied = old_applied.unionByName(new_applied)
+
+    new_v = (cur or 0) + 1
+    vpath = version_path(base_path, new_v)
+    # Old version stays immutable while both legs write — the fold may read
+    # it lazily; no localCheckpoint materialization needed.
+    part.write.mode("overwrite").parquet(f"{vpath}/{_STATE_SUB}")
+    new_applied.write.mode("overwrite").parquet(f"{vpath}/{_APPLIED_SUB}")
+    jvm, _, fs = _fs(spark, base_path)
+    marker = jvm.org.apache.hadoop.fs.Path(vpath + "/" + _COMMITTED)
+    fs.create(marker, True).close()  # the ONE commit point for both legs
+    for v, ok in list_versions(spark, base_path):
+        if ok and v <= new_v - keep_versions:
+            p = jvm.org.apache.hadoop.fs.Path(version_path(base_path, v))
+            fs.delete(p, True)
+    return read_agg_state(spark, base_path)
