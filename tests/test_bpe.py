@@ -125,3 +125,74 @@ def test_merged_pair_with_separator_stays_unambiguous(spark):
     assert merges == expected
     # Second merge's left side is the merged 'x␟y' token.
     assert merges[1][0] == f"x{SEP}y"
+
+
+def test_encode_reproduces_training_final_state(spark):
+    """Applying the returned merge list to the ORIGINAL corpus must land
+    exactly on the token arrays training finished with — the
+    train-then-encode contract every tokenizer deployment relies on."""
+    from youtube_api_data_etl_automation_spark.operators.bpe import (
+        apply_merge_t,
+        bpe_encode_corpus,
+        train_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, ["a", "b", "a", "b", "c", "a", "b"]) for i in range(6)]
+        + [(100 + i, ["b", "c", "b", "c", "x"]) for i in range(4)],
+        "doc_id long, tok array<string>",
+    )
+    merges = train_merges(docs, 3)
+    assert len(merges) >= 2
+
+    # re-derive the training end state by hand
+    manual = docs
+    for a, b in merges:
+        manual = manual.select(
+            "doc_id", apply_merge_t("tok", a, b).alias("tok")
+        )
+    encoded = bpe_encode_corpus(docs, merges, checkpoint_every=2)
+    m = {r.doc_id: r.tok for r in manual.collect()}
+    e = {r.doc_id: r.tok for r in encoded.collect()}
+    assert m == e
+
+
+def test_encode_new_text_matches_python_reference(spark):
+    """Encoding UNSEEN text with a trained merge list matches a direct
+    Python implementation of ordered leftmost-first merge application."""
+    from youtube_api_data_etl_automation_spark.operators.bpe import (
+        SEP,
+        bpe_encode_t,
+    )
+
+    def py_apply(toks, a, b):
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(a + SEP + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        return out
+
+    merges = [("a", "b"), ("a" + SEP + "b", "c"), ("x", "x")]
+    cases = [
+        ["a", "b", "c", "x", "x", "x"],
+        ["a", "a", "b", "b", "c"],
+        ["x"] * 5,
+        [],
+        ["c", "a", "b", "a", "b", "c"],
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "i long, tok array<string>"
+    )
+    got = {
+        r.i: r.enc
+        for r in df.select("i", bpe_encode_t("tok", merges).alias("enc")).collect()
+    }
+    for i, toks in enumerate(cases):
+        want = toks
+        for a, b in merges:
+            want = py_apply(want, a, b)
+        assert got[i] == want, (i, toks, got[i], want)

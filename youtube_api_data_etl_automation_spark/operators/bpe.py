@@ -120,3 +120,33 @@ def train_merges(docs: DataFrame, n_merges: int, *, tok_col: str = "tok") -> lis
             apply_merge_t(tok_col, a, b).alias(tok_col)
         ).localCheckpoint()
     return merges
+
+
+def bpe_encode_t(tok: Column | str, merges: list[tuple[str, str]]) -> Column:
+    """Apply a trained merge list IN ORDER to a token-array column — the
+    inference half of the tokenizer (training learns the list,
+    ``train_merges``; this applies it to new text). A pure composition of
+    ``apply_merge_t`` folds: map-side, no shuffle, no UDF. Plan depth
+    grows with ``len(merges)`` — for long merge lists encode through
+    :func:`bpe_encode_corpus`, which checkpoints every few merges."""
+    c = F.col(tok) if isinstance(tok, str) else tok
+    for a, b in merges:
+        c = apply_merge_t(c, a, b)
+    return c
+
+
+def bpe_encode_corpus(docs: DataFrame, merges: list[tuple[str, str]],
+                      *, tok_col: str = "tok",
+                      checkpoint_every: int = 8) -> DataFrame:
+    """Encode a whole corpus with a trained merge list. Merges apply in
+    chunks of ``checkpoint_every`` with a localCheckpoint between chunks,
+    so the fold-expression depth stays bounded regardless of vocabulary
+    size (the same plan-depth discipline as ``train_merges``). Returns
+    ``docs`` with ``tok_col`` replaced by the encoded arrays."""
+    cur = docs
+    for i in range(0, len(merges), checkpoint_every):
+        chunk = merges[i : i + checkpoint_every]
+        cur = cur.withColumn(tok_col, bpe_encode_t(tok_col, chunk))
+        if i + checkpoint_every < len(merges):
+            cur = cur.localCheckpoint()
+    return cur

@@ -1,0 +1,148 @@
+"""Hashed-feature quality-classifier TRAINING (fasttext-style logistic
+regression, distributed).
+
+functions/text.py::clf_logit_t scores documents with a fixed 256-bucket
+hashed linear model whose weights are a deterministic stand-in ("a
+stand-in for trained weights, which would broadcast as a 256-float map").
+This operator supplies the missing half: learn those weights from labeled
+documents with full-batch gradient descent, each round one distributed
+pass —
+
+    per-doc logit   = Σ w[bucket(tok)] / (1 + |tok|)   (map-side Column
+                      fold — the EXACT feature map clf_logit_t scores
+                      with, so a trained weight vector drops into the
+                      same inference expression)
+    residual        = sigmoid(logit + bias) − label     (map-side)
+    weight gradient = Σ_docs residual · count_b/(1+n)   (explode → groupBy
+                      bucket: the ONLY shuffle, ≤ n_buckets keys of
+                      partial-aggregated doubles)
+    update          = driver folds the ≤256-float gradient (O(k) control
+                      data, the sanctioned collect class — same discipline
+                      as k-means centroids)
+
+No UDF anywhere; labels are whatever weak supervision the caller brings
+(heuristic quality threshold, LM perplexity band, human ratings). At
+100 TB each round shuffles only (bucket, partial-sum) pairs — the corpus
+text never moves, and rounds are O(n_buckets) driver state.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_BUCKETS = 256
+
+
+def tok_bucket(x: Column) -> Column:
+    """The 256-way md5 token bucket clf_logit_t uses (first 2 hex chars)."""
+    return F.conv(F.substring(F.md5(x), 1, 2), 16, 10).cast("int")
+
+
+def learned_logit_t(tok: Column | str, weights: list[float], bias: float) -> Column:
+    """Score a token-array column with TRAINED weights — the learned twin
+    of functions/text.py::clf_logit_t (identical feature map: summed
+    bucket weights, length-normalized by 1+n). Weights broadcast as an
+    array literal inside the expression; map-side, no shuffle."""
+    t = F.col(tok) if isinstance(tok, str) else tok
+    warr = F.array(*[F.lit(float(w)) for w in weights])
+    wsum = F.aggregate(
+        t,
+        F.lit(0.0),
+        lambda acc, x: acc + F.element_at(warr, tok_bucket(x) + 1),
+    )
+    return wsum / (F.lit(1.0) + F.size(t).cast("double")) + F.lit(float(bias))
+
+
+def learned_score_t(tok: Column | str, weights: list[float], bias: float) -> Column:
+    """Keep-probability from the trained model: sigmoid(logit)."""
+    z = learned_logit_t(tok, weights, bias)
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def train_quality_clf(
+    docs: DataFrame,
+    *,
+    label_col: str,
+    tok_col: str = "tok",
+    n_rounds: int = 20,
+    learning_rate: float = 2.0,
+    l2: float = 0.0,
+) -> dict:
+    """Full-batch logistic-regression training over hashed bag-of-words
+    features. ``docs`` needs a pre-projected token array (``tok_col``) and
+    a 0/1 ``label_col``. Returns {"weights": [256 floats], "bias": float,
+    "loss_history": [per-round mean log-loss]}.
+
+    Determinism: gradient and loss sums are decimal-exact (the same
+    fixed-point discipline as incremental_agg / k-means), so the learned
+    weights are bit-identical across partitionings and retries. The token
+    relation is persisted for the duration of training (n_rounds
+    consumers) and released before returning."""
+    n_total = None
+    weights = [0.0] * N_BUCKETS
+    bias = 0.0
+    loss_history: list[float] = []
+
+    feat = docs.select(
+        F.col(label_col).cast("double").alias("_y"), F.col(tok_col).alias("_t")
+    ).persist()
+    try:
+        n_total = feat.count()
+        if n_total == 0:
+            raise ValueError("train_quality_clf: empty training set")
+        inv_len = F.lit(1.0) / (F.lit(1.0) + F.size("_t").cast("double"))
+        for _ in range(n_rounds):
+            logit = learned_logit_t(F.col("_t"), weights, bias)
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+            resid = (p - F.col("_y")).alias("_r")
+            # per-doc scalar pass + clipped log-loss (numerics guard)
+            eps = F.lit(1e-12)
+            loss = -(
+                F.col("_y") * F.log(F.greatest(p, eps))
+                + (F.lit(1.0) - F.col("_y"))
+                * F.log(F.greatest(F.lit(1.0) - p, eps))
+            )
+            scored = feat.select(
+                resid,
+                loss.alias("_loss"),
+                (resid * inv_len).alias("_rw"),
+                "_t",
+            )
+            scored = scored.persist()
+            # bias gradient + loss: one tiny aggregate
+            head = scored.agg(
+                F.sum(F.col("_r").cast("decimal(28,18)")).alias("g_bias"),
+                F.sum(F.col("_loss").cast("decimal(28,18)")).alias("loss"),
+            ).first()
+            # weight gradient: explode to (bucket, r/(1+n)) and partial-agg;
+            # ≤ N_BUCKETS result rows — the round's only real shuffle
+            grad_rows = (
+                scored.select(
+                    F.explode("_t").alias("_x"), F.col("_rw")
+                )
+                .select(tok_bucket(F.col("_x")).alias("b"), "_rw")
+                .groupBy("b")
+                .agg(F.sum(F.col("_rw").cast("decimal(28,18)")).alias("g"))
+                .collect()
+            )
+            scored.unpersist()
+            grad = [0.0] * N_BUCKETS
+            for r in grad_rows:
+                grad[r["b"]] = float(r["g"])
+            for b in range(N_BUCKETS):
+                weights[b] -= learning_rate * (
+                    grad[b] / n_total + l2 * weights[b]
+                )
+            bias -= learning_rate * float(head["g_bias"]) / n_total
+            loss_history.append(float(head["loss"]) / n_total)
+    finally:
+        feat.unpersist()
+    if not all(math.isfinite(w) for w in weights) or not math.isfinite(bias):
+        raise ArithmeticError(
+            "train_quality_clf diverged (non-finite weights) — lower "
+            "learning_rate"
+        )
+    return {"weights": weights, "bias": bias, "loss_history": loss_history}
