@@ -226,3 +226,52 @@ def most_similar_pairs(corpus: DataFrame, top_n: int = 5, sample_mod: int = 10,
         .orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b"))
         .limit(top_n)
     )
+
+
+def semantic_neardup(corpus: DataFrame, centroids: DataFrame, *,
+                     threshold: float = 0.95, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> dict:
+    """SemDeDup-shaped semantic deduplication (cluster-scoped cosine
+    pairs; the public Abbas et al. 2023 recipe): assign every vector to
+    its nearest centroid (broadcast map-side argmax — assign_clusters),
+    generate candidate pairs ONLY inside a cluster (equi-join on
+    cluster_id, never an all-pairs theta join), and drop the higher-id
+    member of every pair with cosine ≥ threshold (min-id survivor — the
+    same content-stable rule as exact dedup).
+
+    Returns {"survivors": corpus rows kept, "dup_pairs":
+    (cluster_id, id_a, id_b, cosine) above threshold}.
+
+    Scale: the corpus shuffles ONCE (on cluster_id); pair volume is
+    Σ_c (N_c choose 2), bounded by clustering granularity — train k so
+    cells hold hundreds of vectors (operators/clustering.py::kmeans_lloyd
+    provides the centroids; the IVF cell-size trade, not a new one).
+    Near-identical vectors land in the same cell with ~certainty, so
+    recall on true semantic dups tracks the cluster assignment; pairs
+    straddling a cell boundary are the sacrifice — the standard SemDeDup
+    trade. Survivor selection is PAIRWISE (a drop needs a ≥threshold pair
+    with a lower surviving-or-not id); for transitive-closure groups run
+    operators/dedup.py::connected_components over dup_pairs instead."""
+    assigned = assign_clusters(
+        corpus.select(id_col, vec_col), centroids, id_col, vec_col
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "cluster_id"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "cluster_id"
+    )
+    dup_pairs = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "cluster_id",
+            "id_a",
+            "id_b",
+            round6(cosine_similarity("vec_a", "vec_b")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    drops = dup_pairs.select(F.col("id_b").alias(id_col)).distinct()
+    survivors = corpus.join(drops, id_col, "left_anti")
+    return {"survivors": survivors, "dup_pairs": dup_pairs}
