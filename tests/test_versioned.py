@@ -221,3 +221,78 @@ def test_incremental_agg_versioned_crash_pre_marker_refolds_once(spark, tmp_path
     incremental_agg_versioned(b2, base, ["k"], ["x"], batch_id="b2")
     [row] = read_agg_state(spark, base).collect()
     assert row.cnt == 2 and float(row.sum_x) == 6.0
+
+
+def test_append_versioned_accumulates_and_is_idempotent(spark, tmp_path):
+    from youtube_api_data_etl_automation_spark.operators.versioned import (
+        append_versioned,
+        current_version,
+        read_appended,
+    )
+
+    base = str(tmp_path / "sink")
+    n1 = append_versioned(_df(spark, [("a", 1), ("b", 2)]), base, key="k")
+    n2 = append_versioned(_df(spark, [("b", 99), ("c", 3)]), base, key="k")
+    assert (n1, n2) == (2, 1)  # 'b' already landed → filtered at write
+    got = {(r.k, r.v) for r in read_appended(spark, base).collect()}
+    assert got == {("a", 1), ("b", 2), ("c", 3)}
+
+    # full replay of an already-landed delta: nothing appended, NO new version
+    v_before = current_version(spark, base)
+    assert append_versioned(_df(spark, [("a", 1)]), base, key="k") == 0
+    assert current_version(spark, base) == v_before
+
+
+def test_append_versioned_reader_snapshot_survives_append(spark, tmp_path):
+    from youtube_api_data_etl_automation_spark.operators.versioned import (
+        append_versioned,
+        read_appended,
+    )
+
+    base = str(tmp_path / "sink")
+    append_versioned(_df(spark, [("a", 1)]), base, key="k")
+    old_reader = read_appended(spark, base)  # resolved manifest v1
+    append_versioned(_df(spark, [("b", 2)]), base, key="k")
+    assert {(r.k, r.v) for r in old_reader.collect()} == {("a", 1)}
+    assert {(r.k, r.v) for r in read_appended(spark, base).collect()} == {
+        ("a", 1),
+        ("b", 2),
+    }
+
+
+def test_append_versioned_crashed_batch_is_invisible(spark, tmp_path):
+    """A batch dir written by a crashed append (no manifest commit) is
+    invisible to readers and reclaimed by the retry."""
+    from youtube_api_data_etl_automation_spark.operators.versioned import (
+        append_versioned,
+        read_appended,
+    )
+
+    base = str(tmp_path / "sink")
+    append_versioned(_df(spark, [("a", 1)]), base, key="k")
+    # fake crash: batch b=2 written, version dir v=2 never committed
+    _df(spark, [("ORPHAN", 9)]).write.parquet(f"{base}/batches/b=000000002")
+    assert {(r.k, r.v) for r in read_appended(spark, base).collect()} == {
+        ("a", 1)
+    }
+    append_versioned(_df(spark, [("b", 2)]), base, key="k")
+    got = {(r.k, r.v) for r in read_appended(spark, base).collect()}
+    assert got == {("a", 1), ("b", 2)}  # orphan reclaimed, not resurrected
+
+
+def test_append_versioned_gc_keeps_current_manifest_batches(spark, tmp_path):
+    """GC drops old manifests but every batch the CURRENT manifest lists
+    stays readable — the full accumulated history survives."""
+    from youtube_api_data_etl_automation_spark.operators.versioned import (
+        append_versioned,
+        list_versions,
+        read_appended,
+    )
+
+    base = str(tmp_path / "sink")
+    for i in range(5):
+        append_versioned(_df(spark, [(f"k{i}", i)]), base, key="k",
+                         keep_versions=2)
+    assert [v for v, ok in list_versions(spark, base) if ok] == [4, 5]
+    got = {(r.k, r.v) for r in read_appended(spark, base).collect()}
+    assert got == {(f"k{i}", i) for i in range(5)}

@@ -274,3 +274,102 @@ def incremental_agg_versioned(delta: DataFrame, base_path: str,
             p = jvm.org.apache.hadoop.fs.Path(version_path(base_path, v))
             fs.delete(p, True)
     return read_agg_state(spark, base_path)
+
+
+# ---------------------------------------------------------------------------
+# Versioned APPEND: manifest-listed immutable batches, O(delta) write cost
+# ---------------------------------------------------------------------------
+
+_MANIFEST = "manifest.json"
+
+
+def _batch_dir(base_path: str, version: int) -> str:
+    return f"{base_path.rstrip('/')}/batches/b={version:09d}"
+
+
+def _read_manifest(spark: SparkSession, base_path: str, version: int) -> list[str]:
+    import json
+
+    jvm, _, fs = _fs(spark, base_path)
+    mpath = jvm.org.apache.hadoop.fs.Path(
+        f"{version_path(base_path, version)}/{_MANIFEST}"
+    )
+    stream = fs.open(mpath)
+    try:
+        # py4j passes byte[] by value, so a Python-side read loop can't
+        # fill a buffer — let commons-io (on every Hadoop classpath) drain
+        # the stream JVM-side and hand back the bytes.
+        data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    return json.loads(data.decode("utf-8"))["batches"]
+
+
+def read_appended(spark: SparkSession, base_path: str) -> DataFrame:
+    """Snapshot read of a versioned-APPEND sink: resolve the committed
+    manifest once, scan exactly the batch directories it lists. A batch
+    mid-write (or from a crashed append) is listed by no manifest and is
+    invisible — the append-side twin of read_current's guarantee."""
+    v = current_version(spark, base_path)
+    if v is None:
+        raise FileNotFoundError(f"no committed version under {base_path}")
+    return spark.read.parquet(*_read_manifest(spark, base_path, v))
+
+
+def append_versioned(delta: DataFrame, base_path: str, key: str | None = None,
+                     keep_versions: int = 2) -> int:
+    """Reader-safe idempotent APPEND. The overwrite-shaped versioned ops
+    rewrite the full state per commit; an incremental sink can't afford
+    that, and a plain ``mode("append")`` exposes racing readers to a
+    half-written batch's files. This does neither: the delta lands in an
+    immutable ``batches/b=N`` directory, and a new version commits a
+    MANIFEST = previous manifest + the new batch — atomic visibility at
+    O(delta) write cost, the same idea as a table format's snapshot +
+    added-files commit.
+
+    With ``key``, re-applies append_delta's idempotence protocol against
+    the CURRENT snapshot (anti-join at write time), so retries and
+    replayed batches land exactly once. Returns rows actually appended
+    (0 ⇒ no new version committed). Read through :func:`read_appended`.
+    GC removes expired version (manifest) dirs only; batch dirs stay while
+    any retained manifest lists them — and since manifests only ever grow,
+    every batch a live manifest lists is listed by the current one too."""
+    from .incremental import select_new
+
+    spark = delta.sparkSession
+    cur = current_version(spark, base_path)
+    old_batches: list[str] = [] if cur is None else _read_manifest(
+        spark, base_path, cur
+    )
+    if key is not None and old_batches:
+        delta = select_new(delta, read_appended(spark, base_path), key)
+    delta = delta.localCheckpoint()
+    n = delta.count()
+    if n == 0:
+        return 0
+
+    new_v = (cur or 0) + 1
+    bdir = _batch_dir(base_path, new_v)
+    # overwrite reclaims a crashed append's orphan batch of the same slot
+    delta.write.mode("overwrite").parquet(bdir)
+
+    import json
+
+    jvm, _, fs = _fs(spark, base_path)
+    vdir = version_path(base_path, new_v)
+    vpath_obj = jvm.org.apache.hadoop.fs.Path(vdir)
+    if fs.exists(vpath_obj):
+        fs.delete(vpath_obj, True)  # crashed-writer debris (no marker)
+    manifest = json.dumps({"batches": old_batches + [bdir]}).encode("utf-8")
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(f"{vdir}/{_MANIFEST}"), True)
+    try:
+        out.write(manifest)
+    finally:
+        out.close()
+    marker = jvm.org.apache.hadoop.fs.Path(vdir + "/" + _COMMITTED)
+    fs.create(marker, True).close()  # commit point
+    for v, ok in list_versions(spark, base_path):
+        if ok and v <= new_v - keep_versions:
+            p = jvm.org.apache.hadoop.fs.Path(version_path(base_path, v))
+            fs.delete(p, True)
+    return n
