@@ -31,6 +31,9 @@ from youtube_api_data_etl_automation_spark.session import get_spark
 # r5 consolidation: window_rank_orders folded into
 # window_distribution_stats (which takes its headline slot); the freed
 # registry slot went to corpus_curation_report.
+# r6 consolidation: embedding_knn_batch + ann_sign_lsh_topk (identical
+# output schema, same query batch) tag-unioned into ann_topk_methods;
+# the freed registry slot went to semantic_neardup.
 HEADLINE = [
     "flagship_new_order_enrichment",
     "anti_join_new_keys",
@@ -43,8 +46,8 @@ HEADLINE = [
     "text_stats_docs",
     "dedup_exact_docs",
     "dedup_minhash_lsh",
-    "embedding_knn_batch",
-    "ann_sign_lsh_topk",
+    "ann_topk_methods",
+    "semantic_neardup",
     "multimodal_frame_features",
     "sessionize_events",
     "salted_join_revenue",
@@ -104,7 +107,11 @@ def main() -> None:
         # the CacheManager (reused across the 3 runs above — same
         # canonicalized plan — so this doesn't change timing semantics);
         # release them so the bench session's footprint stays bounded.
-        spark.catalog.clearCache()
+        # SPARK_GRAFT_BENCH_KEEP_CACHE=1 skips the per-query release: the
+        # pre-r5 methodology, kept only for A/B attribution of the r4→r5
+        # drift (BASELINE.md); the isolated default is the record.
+        if not os.environ.get("SPARK_GRAFT_BENCH_KEEP_CACHE"):
+            spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -13,7 +13,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round6
-from ..operators.similarity import brute_force_topk, most_similar_pairs, sign_lsh_topk
+from ..operators.similarity import (
+    brute_force_topk,
+    most_similar_pairs,
+    semantic_neardup,
+    sign_lsh_topk,
+)
 from ..sources.tables import load_table
 from .registry import query
 
@@ -29,38 +34,25 @@ def _cos(a: str, b: str) -> str:
 
 
 # The single-query brute-force cosine top-k is the batch=1 special case of
-# `embedding_knn_batch` (same broadcast-queries × corpus plan, same exact
-# scoring); only the batched form is registered.
+# the `exact` section below (same broadcast-queries × corpus plan, same
+# exact scoring); only the batched form is registered.
 
 
 @query(
-    "embedding_knn_batch",
+    "ann_topk_methods",
     oracle=f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
-    scored AS (
+    WITH q0 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    exact_scored AS (
       SELECT q.query_id, e.vec_id AS neighbor_id, {_cos('e.embedding', 'q.qv')} AS cos
-      FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+      FROM embeddings e JOIN q0 q ON e.vec_id <> q.query_id
     ),
-    ranked AS (
+    exact_ranked AS (
       SELECT query_id, neighbor_id,
              CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY floor(cos * 1000000.0 + 0.5) / 1000000.0 DESC, neighbor_id) AS INT) AS rank,
              floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine
-      FROM scored
-    )
-    SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 3
-    """,
-)
-def embedding_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batched exact kNN: broadcast query set × corpus, windowed rank."""
-    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
-    queries = emb.filter(F.col("vec_id") < 5)
-    return brute_force_topk(emb, queries, top_k=3)
-
-
-@query(
-    "ann_sign_lsh_topk",
-    oracle=f"""
-    WITH bucketed AS (
+      FROM exact_scored
+    ),
+    bucketed AS (
       SELECT vec_id, embedding,
              (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
               CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
@@ -68,27 +60,42 @@ def embedding_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
               CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
       FROM embeddings
     ),
-    q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM bucketed WHERE vec_id < 5),
-    scored AS (
+    lq AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM bucketed WHERE vec_id < 5),
+    lsh_scored AS (
       SELECT q.query_id, e.vec_id AS neighbor_id, {_cos('e.embedding', 'q.qv')} AS cos
-      FROM bucketed e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+      FROM bucketed e JOIN lq q ON e.bucket = q.bucket AND e.vec_id <> q.query_id
     ),
-    ranked AS (
+    lsh_ranked AS (
       SELECT query_id, neighbor_id,
              CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY floor(cos * 1000000.0 + 0.5) / 1000000.0 DESC, neighbor_id) AS INT) AS rank,
              floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine
-      FROM scored
+      FROM lsh_scored
     )
-    SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 3
+    SELECT 'exact' AS method, query_id, neighbor_id, rank, cosine
+    FROM exact_ranked WHERE rank <= 3
+    UNION ALL
+    SELECT 'sign_lsh' AS method, query_id, neighbor_id, rank, cosine
+    FROM lsh_ranked WHERE rank <= 3
     """,
 )
-def ann_sign_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k: candidates come from an equi-join on
-    the sign-pattern bucket (expected 1/2^bits of the corpus per query) —
-    the scale path for ANN. Deterministic hyperplanes keep it oracle-checkable."""
+def ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + LSH top-k in one tag-unioned relation (r6 consolidation of
+    `embedding_knn_batch` + `ann_sign_lsh_topk` — same output schema, same
+    query batch, so one driver row verifies both plans side by side).
+
+    `exact`: broadcast query set × corpus, windowed rank — the correctness
+    baseline. `sign_lsh`: candidates from an equi-join on the sign-pattern
+    bucket (expected 1/2^bits of the corpus per query) — the scale path.
+    Deterministic hyperplanes keep both oracle-checkable."""
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     queries = emb.filter(F.col("vec_id") < 5)
-    return sign_lsh_topk(emb, queries, top_k=3, bits=4)
+    exact = brute_force_topk(emb, queries, top_k=3).select(
+        F.lit("exact").alias("method"), "*"
+    )
+    lsh = sign_lsh_topk(emb, queries, top_k=3, bits=4).select(
+        F.lit("sign_lsh").alias("method"), "*"
+    )
+    return exact.unionByName(lsh)
 
 
 @query(
@@ -118,6 +125,92 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sub-quadratic; near-identical vectors share every hyperplane sign, so
     the pairs that matter survive the bucketing)."""
     return most_similar_pairs(load_table(spark, sf_dir, "embeddings", rebalance=True), top_n=5, sample_mod=10)
+
+
+@query(
+    "semantic_neardup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (
+      SELECT CAST(vec_id - 10 AS INT) AS cluster_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id BETWEEN 10 AND 17
+    ),
+    a AS (
+      SELECT vec_id, v, cluster_id FROM (
+        SELECT e.vec_id, e.v, c.cluster_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY floor(({_cos('e.v', 'c.cv')}) * 1000000.0 + 0.5) / 1000000.0 DESC,
+                                           c.cluster_id) AS rn
+        FROM e CROSS JOIN c
+      ) WHERE rn = 1
+    ),
+    dup AS (
+      SELECT a1.cluster_id, a1.vec_id AS id_a, a2.vec_id AS id_b,
+             floor(({_cos('a1.v', 'a2.v')}) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+      FROM a a1 JOIN a a2 ON a1.cluster_id = a2.cluster_id AND a1.vec_id < a2.vec_id
+      WHERE floor(({_cos('a1.v', 'a2.v')}) * 1000000.0 + 0.5) / 1000000.0 >= 0.45
+    ),
+    drops AS (SELECT DISTINCT id_b FROM dup)
+    SELECT 'pair' AS section, CAST(cluster_id AS INT) AS cluster_id,
+           id_a, id_b, cosine
+    FROM dup
+    UNION ALL
+    SELECT 'summary', CAST(NULL AS INT),
+           (SELECT COUNT(*) FROM e WHERE vec_id NOT IN (SELECT id_b FROM drops)),
+           (SELECT COUNT(*) FROM drops), CAST(NULL AS DOUBLE)
+    """,
+)
+def semantic_neardup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup (operators/similarity.py::
+    semantic_neardup) under the driver oracle: deterministic 'trained'
+    centroids (vectors 10–17, the ivf_ann_topk convention) → map-side
+    cluster assignment → candidate pairs ONLY inside a cluster (equi-join
+    on cluster_id, never all-pairs) → drop the higher-id member of every
+    pair with cosine ≥ threshold.
+
+    Output is tag-unioned: section='pair' rows carry the ≥threshold pairs
+    (cluster_id, id_a, id_b, cosine); the single section='summary' row
+    carries (id_a=n_survivors, id_b=n_dropped) — the survivor anti-join
+    and the distinct-drop set verified in the same relation, with no
+    1-row crossJoin (keeps the plan BNLJ-free; the summary is a tag-union
+    + one global aggregate). Threshold 0.45 sits just under the synthetic
+    corpus's max within-cluster cosine so the fixture yields a stable,
+    non-empty pair set."""
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    centroids = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") <= 17)).select(
+        (F.col("vec_id") - 10).alias("vec_id"), "embedding"
+    )
+    out = semantic_neardup(
+        emb.select("vec_id", "embedding"), centroids, threshold=0.45
+    )
+    pairs = out["dup_pairs"].select(
+        F.lit("pair").alias("section"),
+        F.col("cluster_id").cast("int").alias("cluster_id"),
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("cosine").cast("double").alias("cosine"),
+    )
+    tagged = (
+        out["survivors"]
+        .select(F.lit(1).alias("surv"), F.lit(0).alias("drp"))
+        .unionByName(
+            out["dup_pairs"]
+            .select("id_b")
+            .distinct()
+            .select(F.lit(0).alias("surv"), F.lit(1).alias("drp"))
+        )
+    )
+    summary = tagged.agg(
+        F.sum("surv").cast("bigint").alias("id_a"),
+        F.sum("drp").cast("bigint").alias("id_b"),
+    ).select(
+        F.lit("summary").alias("section"),
+        F.lit(None).cast("int").alias("cluster_id"),
+        "id_a",
+        "id_b",
+        F.lit(None).cast("double").alias("cosine"),
+    )
+    return pairs.unionByName(summary)
 
 
 @query(
