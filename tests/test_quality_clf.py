@@ -111,3 +111,82 @@ def test_empty_training_set_raises(spark):
     empty = spark.createDataFrame([], "doc_id long, tok array<string>, y int")
     with pytest.raises(ValueError):
         train_quality_clf(empty, label_col="y", n_rounds=1)
+
+
+def test_null_token_arrays_train_as_empty(spark, labeled):
+    """ADVICE r5: a NULL token array (or null elements) must behave exactly
+    like its cleaned form — coalesced/filtered before training — instead
+    of silently dropping out of the gradient sums while inflating the
+    denominator."""
+    base = labeled.collect()
+    dirty_rows = [(r.doc_id, r.tok, r.y) for r in base] + [
+        (900, None, 0),
+        (901, ["spam", None, "junk"], 0),
+    ]
+    clean_rows = [(r.doc_id, r.tok, r.y) for r in base] + [
+        (900, [], 0),
+        (901, ["spam", "junk"], 0),
+    ]
+    schema = "doc_id long, tok array<string>, y int"
+    m_dirty = train_quality_clf(
+        spark.createDataFrame(dirty_rows, schema), label_col="y", n_rounds=3
+    )
+    m_clean = train_quality_clf(
+        spark.createDataFrame(clean_rows, schema), label_col="y", n_rounds=3
+    )
+    assert m_dirty["weights"] == m_clean["weights"]
+    assert m_dirty["bias"] == m_clean["bias"]
+    assert m_dirty["loss_history"] == m_clean["loss_history"]
+
+
+def test_minibatch_matches_fullbatch_separation(spark, labeled):
+    """Deterministic mini-batch rounds (the 100 TB scan-cost option) must
+    keep the planted-signal separation, stay bit-deterministic across
+    partitionings, and land within a bounded delta of the full-batch
+    weights."""
+    full = train_quality_clf(
+        labeled, label_col="y", n_rounds=25, learning_rate=20.0
+    )
+    mini = train_quality_clf(
+        labeled.repartition(5),
+        label_col="y",
+        n_rounds=25,
+        learning_rate=20.0,
+        batch_fraction=0.5,
+    )
+    mini2 = train_quality_clf(
+        labeled.repartition(13),
+        label_col="y",
+        n_rounds=25,
+        learning_rate=20.0,
+        batch_fraction=0.5,
+    )
+    # bit-determinism: the md5 sample is content-stable, not partition-luck
+    assert mini["weights"] == mini2["weights"]
+    assert mini["bias"] == mini2["bias"]
+    # same separation on the planted signal
+    scored = labeled.select(
+        "y", learned_score_t("tok", mini["weights"], mini["bias"]).alias("p")
+    ).collect()
+    acc = sum(1 for r in scored if (r.p >= 0.5) == (r.y == 1)) / len(scored)
+    assert acc == 1.0
+    assert mini["weights"][_bucket("good")] > 0 > mini["weights"][_bucket("spam")]
+    # bounded drift from the full-batch weights on this convex problem —
+    # measured at a tame step size (lr=2, 10 rounds: delta ≈ 0.13); the
+    # lr=20 runs above overshoot differently per batch, so the drift bound
+    # is pinned on the stable configuration
+    full_t = train_quality_clf(labeled, label_col="y", n_rounds=10)
+    mini_t = train_quality_clf(
+        labeled, label_col="y", n_rounds=10, batch_fraction=0.5
+    )
+    delta = max(
+        abs(a - b) for a, b in zip(mini_t["weights"], full_t["weights"])
+    )
+    assert delta < 0.4, delta
+
+
+def test_minibatch_bad_fraction_raises(spark, labeled):
+    with pytest.raises(ValueError, match="batch_fraction"):
+        train_quality_clf(labeled, label_col="y", batch_fraction=0.0)
+    with pytest.raises(ValueError, match="batch_fraction"):
+        train_quality_clf(labeled, label_col="y", batch_fraction=1.5)

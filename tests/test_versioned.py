@@ -298,6 +298,125 @@ def test_append_versioned_gc_keeps_current_manifest_batches(spark, tmp_path):
     assert got == {(f"k{i}", i) for i in range(5)}
 
 
+def _race_once(monkeypatch, V, competing):
+    """Patch _publish_version so the NEXT publish is beaten to its slot by
+    ``competing()`` (which itself publishes via the real path), then falls
+    through to the real publish — the loser must raise ConcurrentWriteError."""
+    real = V._publish_version
+    state = {"raced": False}
+
+    def racy(sp, bp, new_v, staging):
+        if not state["raced"]:
+            state["raced"] = True
+            competing()
+        return real(sp, bp, new_v, staging)
+
+    monkeypatch.setattr(V, "_publish_version", racy)
+
+
+def _staging_children(base):
+    sdir = os.path.join(base, "_staging")
+    return os.listdir(sdir) if os.path.isdir(sdir) else []
+
+
+def test_racing_commits_exactly_one_wins(spark, tmp_path, monkeypatch):
+    """CAS guard (r6): two writers racing the same version slot — the one
+    whose rename lands second gets a clean ConcurrentWriteError, its
+    staging debris is deleted, the winner's commit is untouched, and a
+    retry on the fresh snapshot succeeds."""
+    import youtube_api_data_etl_automation_spark.operators.versioned as V
+
+    base = str(tmp_path / "sink")
+    commit_version(_df(spark, [("a", 1)]), base)
+
+    _race_once(
+        monkeypatch, V,
+        lambda: commit_version(_df(spark, [("winner", 2)]), base),
+    )
+    with pytest.raises(V.ConcurrentWriteError):
+        commit_version(_df(spark, [("loser", 2)]), base)
+
+    # winner's v=2 is current and intact; loser left no staging debris
+    assert current_version(spark, base) == 2
+    got = {(r.k, r.v) for r in read_current(spark, base).collect()}
+    assert got == {("winner", 2)}
+    assert _staging_children(base) == []
+
+    # the loser retries on the fresh snapshot and lands as v=3
+    monkeypatch.undo()
+    assert commit_version(_df(spark, [("loser", 2)]), base) == 3
+
+
+def test_racing_appends_loser_cleans_batch_debris(spark, tmp_path, monkeypatch):
+    """Append-family race: the losing append's manifest never commits, so
+    its batch dir is unlisted debris — it must be deleted with the staging,
+    and a key-based retry lands the delta exactly once."""
+    import youtube_api_data_etl_automation_spark.operators.versioned as V
+    from youtube_api_data_etl_automation_spark.operators.versioned import (
+        append_versioned,
+        read_appended,
+    )
+
+    base = str(tmp_path / "ap")
+    append_versioned(_df(spark, [("a", 1)]), base, key="k")
+
+    _race_once(
+        monkeypatch, V,
+        lambda: append_versioned(_df(spark, [("z", 99)]), base, key="k"),
+    )
+    with pytest.raises(V.ConcurrentWriteError):
+        append_versioned(_df(spark, [("b", 2)]), base, key="k")
+
+    got = {(r.k, r.v) for r in read_appended(spark, base).collect()}
+    assert got == {("a", 1), ("z", 99)}
+    # exactly the two committed batch dirs remain — the loser's was reclaimed
+    assert len(os.listdir(os.path.join(base, "batches"))) == 2
+    assert _staging_children(base) == []
+
+    monkeypatch.undo()
+    assert append_versioned(_df(spark, [("b", 2)]), base, key="k") == 1
+    got = {(r.k, r.v) for r in read_appended(spark, base).collect()}
+    assert got == {("a", 1), ("z", 99), ("b", 2)}
+
+
+def test_racing_incremental_agg_loser_refolds_exactly_once(
+    spark, tmp_path, monkeypatch
+):
+    """Exactly-once fold under a race: the losing fold's state+marker never
+    commit, so its batch is still unapplied; the retry folds it once and
+    the final state equals the from-scratch aggregate of all batches."""
+    import youtube_api_data_etl_automation_spark.operators.versioned as V
+    from youtube_api_data_etl_automation_spark.operators.versioned import (
+        incremental_agg_versioned,
+    )
+
+    base = str(tmp_path / "agg")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "g string, x long")
+
+    incremental_agg_versioned(
+        batch([("a", 1)]), base, keys=["g"], sum_cols=["x"], batch_id="b1"
+    )
+    _race_once(
+        monkeypatch, V,
+        lambda: incremental_agg_versioned(
+            batch([("a", 10)]), base, keys=["g"], sum_cols=["x"], batch_id="b2"
+        ),
+    )
+    with pytest.raises(V.ConcurrentWriteError):
+        incremental_agg_versioned(
+            batch([("a", 100)]), base, keys=["g"], sum_cols=["x"], batch_id="b3"
+        )
+    monkeypatch.undo()
+    state = incremental_agg_versioned(
+        batch([("a", 100)]), base, keys=["g"], sum_cols=["x"], batch_id="b3"
+    )
+    rows = {(r.g, r.cnt, int(r.sum_x)) for r in state.collect()}
+    assert rows == {("a", 3, 111)}
+    assert _staging_children(base) == []
+
+
 def test_model_based_random_op_sequences(spark, tmp_path):
     """Model check: a seeded random sequence of overwrite/merge ops must
     keep the committed snapshot equal to a driver-side dict model after
@@ -334,6 +453,38 @@ def test_model_based_random_op_sequences(spark, tmp_path):
             # (semantics for dup keys inside one batch are arbitrary-row)
             got = {r.k: r.v for r in read_current(spark, base).collect()}
             assert set(got) == set(model), (seed, step)
+
+        # r6: inject a CONCURRENT-WRITER op mid-sequence — a competing
+        # overwrite beats the next op to its slot; the model follows the
+        # WINNER, the loser raises, and the store keeps obeying the model
+        # on subsequent ops.
+        import youtube_api_data_etl_automation_spark.operators.versioned as V
+
+        winner_rows = [(f"k{i}", 1000 + i) for i in range(3)]
+        real_publish = V._publish_version
+        raced = {"done": False}
+
+        def racy(sp, bp, new_v, staging):
+            if not raced["done"]:
+                raced["done"] = True
+                overwrite_versioned(_df(spark, winner_rows), base)
+            return real_publish(sp, bp, new_v, staging)
+
+        V._publish_version = racy
+        try:
+            with pytest.raises(V.ConcurrentWriteError):
+                merge_upsert_versioned(_df(spark, [("kx", -1)]), base, "k")
+        finally:
+            V._publish_version = real_publish
+        model = dict(winner_rows)
+        got = {r.k: r.v for r in read_current(spark, base).collect()}
+        assert got == model, seed
+        for step in range(2):
+            rows = [(f"k{rng.randrange(6)}", rng.randrange(100))]
+            merge_upsert_versioned(_df(spark, rows), base, "k")
+            model[rows[0][0]] = rows[0][1]
+            got = {r.k: r.v for r in read_current(spark, base).collect()}
+            assert got == model, (seed, "post-race", step)
 
         # append-family sink: set-of-keys model with exactly-once keys
         abase = str(tmp_path / f"ap_{seed}")

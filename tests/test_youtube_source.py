@@ -91,6 +91,33 @@ def test_staged_ids_match_inline_option(spark, tmp_path):
         assert isinstance(fpath, str) and isinstance(rg, int)
 
 
+def test_staged_ids_missing_or_empty_path_raises(spark, tmp_path):
+    """A wrong/empty staging dir must RAISE at planning, not silently plan
+    an empty videos read while the pipeline reported new_videos > 0
+    (ADVICE r5 silent-data-loss fix). Staged files holding ZERO rows are
+    the legitimate empty delta and still plan (as the empty partition)."""
+    missing = YouTubeReader(
+        {"table": "videos", "video_ids_path": str(tmp_path / "nope")}
+    )
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        missing.partitions()
+
+    empty_dir = tmp_path / "no_parquet"
+    empty_dir.mkdir()
+    (empty_dir / "notes.txt").write_text("not parquet")
+    no_files = YouTubeReader(
+        {"table": "videos", "video_ids_path": str(empty_dir)}
+    )
+    with pytest.raises(FileNotFoundError, match="no .parquet files"):
+        no_files.partitions()
+
+    zero_rows = str(tmp_path / "zero")
+    spark.createDataFrame([], "videoId string").coalesce(1).write.parquet(zero_rows)
+    empty_delta = YouTubeReader({"table": "videos", "video_ids_path": zero_rows})
+    parts = empty_delta.partitions()
+    assert [r for p in parts for r in empty_delta.read(p)] == []
+
+
 def test_staged_ids_scale_without_driver_list(spark, tmp_path):
     """A 100k-id delta flows through the staged path: bounded per-task
     batches, every id fetched exactly once, and the options map stays
@@ -310,19 +337,32 @@ def test_http_quota_403_backs_off_and_recovers():
 
 
 def test_http_permanent_errors_propagate_immediately():
-    # 403 WITHOUT a quota reason (bad key) and 400 are not retried.
-    for err in (
-        _http_error(403, {"error": {"errors": [{"reason": "keyInvalid"}]}}),
-        _http_error(400),
+    # 403 WITHOUT a quota reason (bad key) and 400 are not retried — and
+    # they surface as PermanentAPIError, SANITIZED: urllib's HTTPError
+    # embeds the full request URL (key=<api_key>) in its message/chain,
+    # which must never reach logs or tracebacks (ADVICE r5).
+    from youtube_api_data_etl_automation_spark.sources.youtube_api import (
+        PermanentAPIError,
+    )
+
+    for err, want_reason in (
+        (_http_error(403, {"error": {"errors": [{"reason": "keyInvalid"}]}}),
+         "keyInvalid"),
+        (_http_error(400), None),
     ):
         calls: list[str] = []
         t = RetryingTransport(
-            HttpTransport("K", urlopen=_scripted_urlopen([err], calls)),
+            HttpTransport("SECRET-API-KEY-123",
+                          urlopen=_scripted_urlopen([err], calls)),
             max_retries=4, base_ms=1,
         )
-        with pytest.raises(urllib.error.HTTPError):
+        with pytest.raises(PermanentAPIError) as ei:
             t.videos_list(["v1"])
         assert len(calls) == 1  # no retry burned on a permanent failure
+        assert ei.value.reason == want_reason
+        # neither the exception text nor its cause chain leaks the key
+        assert "SECRET-API-KEY-123" not in str(ei.value)
+        assert ei.value.__cause__ is None
 
 
 def test_http_transport_enforces_batch_limit():

@@ -70,31 +70,71 @@ def train_quality_clf(
     n_rounds: int = 20,
     learning_rate: float = 2.0,
     l2: float = 0.0,
+    batch_fraction: float = 1.0,
 ) -> dict:
-    """Full-batch logistic-regression training over hashed bag-of-words
-    features. ``docs`` needs a pre-projected token array (``tok_col``) and
-    a 0/1 ``label_col``. Returns {"weights": [256 floats], "bias": float,
+    """Logistic-regression training over hashed bag-of-words features.
+    ``docs`` needs a pre-projected token array (``tok_col``) and a 0/1
+    ``label_col``. Returns {"weights": [256 floats], "bias": float,
     "loss_history": [per-round mean log-loss]}.
+
+    NULL discipline (ADVICE r5): a NULL token array is coalesced to empty
+    and NULL elements are dropped before training — matching
+    token_count_t's NULL→0 rule — so no doc silently falls out of the
+    decimal sums while still counting in the denominator.
+
+    ``batch_fraction`` < 1 switches to DETERMINISTIC MINI-BATCH rounds —
+    the 100 TB path: full-batch cost is n_rounds × full-corpus scans,
+    while a content-stable md5 bucket over (round-salt, tokens, label)
+    selects each round's sample, so every round still sees a fixed,
+    engine/partitioning/retry-independent subset (bit-deterministic like
+    full batch, unlike rand()-based sampling). Gradients and the reported
+    loss normalize by the BATCH size. Round salt rotates the sample per
+    round, so across rounds the full corpus contributes.
 
     Determinism: gradient and loss sums are decimal-exact (the same
     fixed-point discipline as incremental_agg / k-means), so the learned
     weights are bit-identical across partitionings and retries. The token
     relation is persisted for the duration of training (n_rounds
     consumers) and released before returning."""
-    n_total = None
+    if not (0.0 < batch_fraction <= 1.0):
+        raise ValueError("batch_fraction must be in (0, 1]")
     weights = [0.0] * N_BUCKETS
     bias = 0.0
     loss_history: list[float] = []
 
+    clean_tok = F.filter(
+        F.coalesce(F.col(tok_col), F.array().cast("array<string>")),
+        lambda x: x.isNotNull(),
+    )
     feat = docs.select(
-        F.col(label_col).cast("double").alias("_y"), F.col(tok_col).alias("_t")
+        F.col(label_col).cast("double").alias("_y"), clean_tok.alias("_t")
     ).persist()
     try:
         n_total = feat.count()
         if n_total == 0:
             raise ValueError("train_quality_clf: empty training set")
         inv_len = F.lit(1.0) / (F.lit(1.0) + F.size("_t").cast("double"))
-        for _ in range(n_rounds):
+        for rnd in range(n_rounds):
+            if batch_fraction < 1.0:
+                # content-stable 16-bit bucket, salted by round index
+                sample_key = F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"r{rnd}:"),
+                                F.concat_ws(chr(0), "_t"),
+                                F.col("_y").cast("string"),
+                            )
+                        ),
+                        1,
+                        4,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                batch = feat.filter(sample_key < int(batch_fraction * 65536))
+            else:
+                batch = feat
             logit = learned_logit_t(F.col("_t"), weights, bias)
             p = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
             resid = (p - F.col("_y")).alias("_r")
@@ -105,18 +145,26 @@ def train_quality_clf(
                 + (F.lit(1.0) - F.col("_y"))
                 * F.log(F.greatest(F.lit(1.0) - p, eps))
             )
-            scored = feat.select(
+            scored = batch.select(
                 resid,
                 loss.alias("_loss"),
                 (resid * inv_len).alias("_rw"),
                 "_t",
             )
             scored = scored.persist()
-            # bias gradient + loss: one tiny aggregate
+            # bias gradient + loss + batch size: one tiny aggregate
             head = scored.agg(
+                F.count(F.lit(1)).alias("m"),
                 F.sum(F.col("_r").cast("decimal(28,18)")).alias("g_bias"),
                 F.sum(F.col("_loss").cast("decimal(28,18)")).alias("loss"),
             ).first()
+            m = int(head["m"])
+            if m == 0:
+                scored.unpersist()
+                raise ValueError(
+                    f"train_quality_clf: round {rnd} mini-batch is empty — "
+                    "raise batch_fraction for this corpus size"
+                )
             # weight gradient: explode to (bucket, r/(1+n)) and partial-agg;
             # ≤ N_BUCKETS result rows — the round's only real shuffle
             grad_rows = (
@@ -134,10 +182,10 @@ def train_quality_clf(
                 grad[r["b"]] = float(r["g"])
             for b in range(N_BUCKETS):
                 weights[b] -= learning_rate * (
-                    grad[b] / n_total + l2 * weights[b]
+                    grad[b] / m + l2 * weights[b]
                 )
-            bias -= learning_rate * float(head["g_bias"]) / n_total
-            loss_history.append(float(head["loss"]) / n_total)
+            bias -= learning_rate * float(head["g_bias"]) / m
+            loss_history.append(float(head["loss"]) / m)
     finally:
         feat.unpersist()
     if not all(math.isfinite(w) for w in weights) or not math.isfinite(bias):

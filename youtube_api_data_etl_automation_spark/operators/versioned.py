@@ -28,28 +28,138 @@ sequence of immutable version directories plus a commit marker:
   exactly like table-format VACUUM horizons).
 
 Single-writer-at-a-time per sink, like the reference's one daily ETL; for
-concurrent writers use a real table format (this layout is deliberately the
-same shape, so migration is mechanical). A further bonus over the in-place
-twins: the writer reads the old version lazily while writing the new one —
-no localCheckpoint materialization is needed because nothing overwrites
-what is being read.
+sustained concurrent writers use a real table format (this layout is
+deliberately the same shape, so migration is mechanical). The commit is
+still CAS-guarded (r6): every writer materializes into its own unique
+``_staging/tx-*`` directory and publishes with an atomic directory RENAME
+into the ``v=N`` slot followed by a create-exclusive ``_COMMITTED`` marker.
+Exactly one of two racing writers wins the slot; the loser gets a clean
+:class:`ConcurrentWriteError` and its staging debris is deleted — never a
+silent interleave (the pre-r6 hazard: two writers ``mode("overwrite")``-ing
+the same shared ``v=N`` dir). Crashed-writer debris (a marker-less ``v=N``
+from a crash inside the rename→marker window, or an abandoned staging dir)
+is reclaimed automatically by the next committer. A further bonus over the
+in-place twins: the writer reads the old version lazily while writing the
+new one — no localCheckpoint materialization is needed because nothing
+overwrites what is being read.
 """
 
 from __future__ import annotations
 
 import re
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _COMMITTED = "_COMMITTED"
 _VERSION_RE = re.compile(r"^v=(\d{9})$")
+_STAGING_SUB = "_staging"
+_STAGING_MAX_AGE_MS = 3_600_000  # abandoned-staging reclaim horizon
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed (or is committing) the version slot this
+    writer targeted. The losing writer's staging has been cleaned up; the
+    store holds the winner's commit intact. Re-read the current version
+    and retry the operation on the fresh snapshot if it still applies."""
 
 
 def _fs(spark: SparkSession, path: str):
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     return jvm, hpath, hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _staging_path(base_path: str) -> str:
+    return f"{base_path.rstrip('/')}/{_STAGING_SUB}/tx-{uuid.uuid4().hex[:16]}"
+
+
+def _try_rename_cas(spark: SparkSession, jvm, spath, vpath) -> bool:
+    """Atomic no-clobber rename. FileSystem.rename(src, dst) on an existing
+    dst DIRECTORY silently moves src INTO it (mv semantics) — useless as a
+    CAS — so this goes through FileContext.rename with the default
+    Options.Rename.NONE, which throws when dst exists. Returns False on
+    failure (slot taken or concurrent create); never nests."""
+    from py4j.protocol import Py4JJavaError
+
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        spark._jsc.hadoopConfiguration()
+    )
+    # rename(Path, Path, Options.Rename...) is varargs — py4j needs the
+    # (empty ⇒ Rename.NONE semantics) options array spelled out.
+    no_opts = spark.sparkContext._gateway.new_array(
+        jvm.org.apache.hadoop.fs.Options.Rename, 0
+    )
+    try:
+        fc.rename(spath, vpath, no_opts)
+        return True
+    except Py4JJavaError:
+        return False
+
+
+def _publish_version(spark: SparkSession, base_path: str, new_v: int,
+                     staging: str) -> None:
+    """CAS publish: atomically RENAME the writer-private ``staging`` dir
+    into the ``v=new_v`` slot, then create the ``_COMMITTED`` marker
+    create-exclusively. Raises :class:`ConcurrentWriteError` (after
+    deleting the staging debris) if the slot was won by another writer —
+    the rename is the compare-and-swap: it fails when the destination
+    exists. A marker-less dir already in the slot is crashed-writer
+    debris from the tiny rename→marker window; it is reclaimed and the
+    rename retried once. Two LIVE writers can no longer interleave data
+    files: each writes only its own staging, and exactly one rename can
+    win the slot."""
+    jvm, _, fs = _fs(spark, base_path)
+    vdir = version_path(base_path, new_v)
+    vpath = jvm.org.apache.hadoop.fs.Path(vdir)
+    spath = jvm.org.apache.hadoop.fs.Path(staging)
+    marker = jvm.org.apache.hadoop.fs.Path(vdir + "/" + _COMMITTED)
+
+    def lose(why: str):
+        fs.delete(spath, True)
+        return ConcurrentWriteError(
+            f"version {new_v} under {base_path}: {why}; this writer's "
+            "staging was cleaned up — re-read the snapshot and retry"
+        )
+
+    if not _try_rename_cas(spark, jvm, spath, vpath):
+        if fs.exists(marker):
+            raise lose("slot already committed by another writer")
+        if fs.exists(vpath):
+            # Marker-less slot: crashed-writer debris (the rename→marker
+            # window). Reclaim it and retry the CAS exactly once.
+            fs.delete(vpath, True)
+            if not _try_rename_cas(spark, jvm, spath, vpath):
+                raise lose("slot re-taken while reclaiming crashed debris")
+        else:
+            raise lose("rename failed")
+    try:
+        # Create-exclusive (overwrite=False): even a pathological double
+        # publish cannot double-commit the slot.
+        fs.create(marker, False).close()
+    except Exception:
+        if fs.exists(marker):
+            raise lose("marker already created by another writer") from None
+        raise
+
+
+def _gc_versions(spark: SparkSession, base_path: str, new_v: int,
+                 keep_versions: int) -> None:
+    """Retention GC + abandoned-staging reclaim, run after every commit."""
+    jvm, _, fs = _fs(spark, base_path)
+    for v, ok in list_versions(spark, base_path):
+        if ok and v <= new_v - keep_versions:
+            p = jvm.org.apache.hadoop.fs.Path(version_path(base_path, v))
+            fs.delete(p, True)
+    sdir = jvm.org.apache.hadoop.fs.Path(
+        f"{base_path.rstrip('/')}/{_STAGING_SUB}"
+    )
+    if fs.exists(sdir):
+        now = jvm.java.lang.System.currentTimeMillis()
+        for st in fs.listStatus(sdir):
+            if now - st.getModificationTime() > _STAGING_MAX_AGE_MS:
+                fs.delete(st.getPath(), True)
 
 
 def version_path(base_path: str, version: int) -> str:
@@ -97,20 +207,14 @@ def commit_version(df: DataFrame, base_path: str, keep_versions: int = 2) -> int
     version number. ``keep_versions`` committed versions are retained
     (current included); older ones are deleted AFTER the new commit, so a
     reader that resolved version N-1 before this commit still reads it in
-    full with the default retention."""
+    full with the default retention. Raises :class:`ConcurrentWriteError`
+    (and cleans its own debris) if a racing writer wins the slot."""
     spark = df.sparkSession
     new_v = (current_version(spark, base_path) or 0) + 1
-    vpath = version_path(base_path, new_v)
-    # overwrite reclaims any uncommitted debris a crashed writer left here
-    df.write.mode("overwrite").parquet(vpath)
-    jvm, _, fs = _fs(spark, base_path)
-    marker = jvm.org.apache.hadoop.fs.Path(vpath + "/" + _COMMITTED)
-    fs.create(marker, True).close()  # atomic single-file create = commit
-    # GC: drop committed versions older than the retention horizon.
-    for v, ok in list_versions(spark, base_path):
-        if ok and v <= new_v - keep_versions:
-            p = jvm.org.apache.hadoop.fs.Path(version_path(base_path, v))
-            fs.delete(p, True)
+    staging = _staging_path(base_path)
+    df.write.mode("overwrite").parquet(staging)
+    _publish_version(spark, base_path, new_v, staging)
+    _gc_versions(spark, base_path, new_v, keep_versions)
     return new_v
 
 
@@ -122,7 +226,8 @@ def overwrite_versioned(df: DataFrame, base_path: str,
 
 
 def merge_upsert_versioned(updates: DataFrame, base_path: str, key: str,
-                           keep_versions: int = 2) -> int:
+                           keep_versions: int = 2,
+                           broadcast_updates: bool = True) -> int:
     """Reader-safe MERGE upsert: same semantics as
     operators/incremental.py::merge_upsert (matched keys take the incoming
     row, unmatched sink rows kept, new keys inserted, duplicate update keys
@@ -130,13 +235,23 @@ def merge_upsert_versioned(updates: DataFrame, base_path: str, key: str,
     version — a concurrent reader observes the pre- or post-merge state,
     never a partial directory. No localCheckpoint: the old version stays
     immutable while the new one is written, so the merge plan may read it
-    lazily."""
+    lazily.
+
+    ``broadcast_updates`` (default True — the reference's small daily
+    delta) broadcasts the update KEY SET into the anti-join. Set False for
+    large upsert deltas where a broadcast would OOM the executors: the
+    anti-join then takes the shuffle-hash/sort-merge path on the key —
+    the same escape hatch as incremental.select_new's
+    ``broadcast_existing``."""
     spark = updates.sparkSession
     updates = updates.dropDuplicates([key])
     if current_version(spark, base_path) is None:
         return commit_version(updates, base_path, keep_versions)
     existing = read_current(spark, base_path)
-    kept = existing.join(F.broadcast(updates.select(key)), on=key, how="left_anti")
+    upd_keys = updates.select(key)
+    if broadcast_updates:
+        upd_keys = F.broadcast(upd_keys)
+    kept = existing.join(upd_keys, on=key, how="left_anti")
     merged = kept.unionByName(updates)
     return commit_version(merged, base_path, keep_versions)
 
@@ -261,18 +376,15 @@ def incremental_agg_versioned(delta: DataFrame, base_path: str,
         new_applied = old_applied.unionByName(new_applied)
 
     new_v = (cur or 0) + 1
-    vpath = version_path(base_path, new_v)
+    staging = _staging_path(base_path)
     # Old version stays immutable while both legs write — the fold may read
-    # it lazily; no localCheckpoint materialization needed.
-    part.write.mode("overwrite").parquet(f"{vpath}/{_STATE_SUB}")
-    new_applied.write.mode("overwrite").parquet(f"{vpath}/{_APPLIED_SUB}")
-    jvm, _, fs = _fs(spark, base_path)
-    marker = jvm.org.apache.hadoop.fs.Path(vpath + "/" + _COMMITTED)
-    fs.create(marker, True).close()  # the ONE commit point for both legs
-    for v, ok in list_versions(spark, base_path):
-        if ok and v <= new_v - keep_versions:
-            p = jvm.org.apache.hadoop.fs.Path(version_path(base_path, v))
-            fs.delete(p, True)
+    # it lazily; no localCheckpoint materialization needed. Both legs land
+    # in this writer's private staging; the rename+marker publish is the
+    # ONE commit point for both.
+    part.write.mode("overwrite").parquet(f"{staging}/{_STATE_SUB}")
+    new_applied.write.mode("overwrite").parquet(f"{staging}/{_APPLIED_SUB}")
+    _publish_version(spark, base_path, new_v, staging)
+    _gc_versions(spark, base_path, new_v, keep_versions)
     return read_agg_state(spark, base_path)
 
 
@@ -284,7 +396,14 @@ _MANIFEST = "manifest.json"
 
 
 def _batch_dir(base_path: str, version: int) -> str:
-    return f"{base_path.rstrip('/')}/batches/b={version:09d}"
+    # Unique per writer (r6 CAS): two racing appends targeting the same
+    # version slot must not interleave files in one batch dir. The manifest
+    # records full paths, so readers never parse the name; the uuid suffix
+    # only guarantees writer-privacy of the directory.
+    return (
+        f"{base_path.rstrip('/')}/batches/"
+        f"b={version:09d}-{uuid.uuid4().hex[:8]}"
+    )
 
 
 def _read_manifest(spark: SparkSession, base_path: str, version: int) -> list[str]:
@@ -330,10 +449,15 @@ def append_versioned(delta: DataFrame, base_path: str, key: str | None = None,
     With ``key``, re-applies append_delta's idempotence protocol against
     the CURRENT snapshot (anti-join at write time), so retries and
     replayed batches land exactly once. Returns rows actually appended
-    (0 ⇒ no new version committed). Read through :func:`read_appended`.
-    GC removes expired version (manifest) dirs only; batch dirs stay while
-    any retained manifest lists them — and since manifests only ever grow,
-    every batch a live manifest lists is listed by the current one too."""
+    (0 ⇒ no new version committed). Raises :class:`ConcurrentWriteError`
+    (cleaning its own batch + staging debris) if a racing append wins the
+    slot — the loser's delta is NOT lost semantically: retry on the fresh
+    snapshot and the key-based anti-join lands it exactly once. Read
+    through :func:`read_appended`. GC removes expired version (manifest)
+    dirs only; batch dirs stay while any retained manifest lists them —
+    and since manifests only ever grow, every batch a live manifest lists
+    is listed by the current one too. A losing/crashed writer's orphan
+    batch dir is unlisted by every manifest, hence invisible forever."""
     from .incremental import select_new
 
     spark = delta.sparkSession
@@ -349,27 +473,27 @@ def append_versioned(delta: DataFrame, base_path: str, key: str | None = None,
         return 0
 
     new_v = (cur or 0) + 1
-    bdir = _batch_dir(base_path, new_v)
-    # overwrite reclaims a crashed append's orphan batch of the same slot
+    bdir = _batch_dir(base_path, new_v)  # writer-private (uuid suffix)
     delta.write.mode("overwrite").parquet(bdir)
 
     import json
 
     jvm, _, fs = _fs(spark, base_path)
-    vdir = version_path(base_path, new_v)
-    vpath_obj = jvm.org.apache.hadoop.fs.Path(vdir)
-    if fs.exists(vpath_obj):
-        fs.delete(vpath_obj, True)  # crashed-writer debris (no marker)
+    staging = _staging_path(base_path)
     manifest = json.dumps({"batches": old_batches + [bdir]}).encode("utf-8")
-    out = fs.create(jvm.org.apache.hadoop.fs.Path(f"{vdir}/{_MANIFEST}"), True)
+    out = fs.create(
+        jvm.org.apache.hadoop.fs.Path(f"{staging}/{_MANIFEST}"), True
+    )
     try:
         out.write(manifest)
     finally:
         out.close()
-    marker = jvm.org.apache.hadoop.fs.Path(vdir + "/" + _COMMITTED)
-    fs.create(marker, True).close()  # commit point
-    for v, ok in list_versions(spark, base_path):
-        if ok and v <= new_v - keep_versions:
-            p = jvm.org.apache.hadoop.fs.Path(version_path(base_path, v))
-            fs.delete(p, True)
+    try:
+        _publish_version(spark, base_path, new_v, staging)
+    except ConcurrentWriteError:
+        # the manifest never committed, so the batch is unlisted debris —
+        # reclaim it before surfacing the clean loss
+        fs.delete(jvm.org.apache.hadoop.fs.Path(bdir), True)
+        raise
+    _gc_versions(spark, base_path, new_v, keep_versions)
     return n

@@ -175,6 +175,23 @@ class TransientAPIError(Exception):
     """Retryable failure (quota 403 / 429 / 5xx in the real API)."""
 
 
+class PermanentAPIError(Exception):
+    """Non-retryable API failure, SANITIZED: carries only the HTTP code,
+    resource, and the API's error reason — never the request URL, whose
+    query string contains ``key=<api_key>`` (urllib's HTTPError embeds the
+    full URL in its message, which would leak the credential into logs and
+    tracebacks)."""
+
+    def __init__(self, code: int, resource: str, reason: str | None):
+        self.code = code
+        self.resource = resource
+        self.reason = reason
+        super().__init__(
+            f"HTTP {code} from {resource}"
+            + (f" (reason: {reason})" if reason else "")
+        )
+
+
 class FlakyTransport:
     """Test transport: every distinct call fails ``fail_first`` times with
     TransientAPIError before succeeding — exercises the retry path."""
@@ -298,7 +315,15 @@ class HttpTransport:
             body = e.read() if e.fp is not None else b""
             if self._is_transient(e.code, body):
                 raise TransientAPIError(f"HTTP {e.code} from {resource}") from e
-            raise
+            # Permanent errors re-raise SANITIZED (`from None`: the chained
+            # HTTPError's message embeds the full key=<api_key> URL).
+            reason = None
+            try:
+                err = json.loads(body.decode("utf-8"))["error"]
+                reason = err["errors"][0].get("reason") or err.get("message")
+            except Exception:
+                pass
+            raise PermanentAPIError(e.code, resource, reason) from None
 
     # --- S1 shape (fetch_youtube_data.py:53-57) ---
     def channels_list(self, ids: Sequence[str]) -> dict:
@@ -417,22 +442,44 @@ class YouTubeReader(DataSourceReader):
 
     @staticmethod
     def _staged_id_partitions(path: str) -> Sequence[InputPartition]:
-        import glob
-        import os
-
+        """Plan one partition per (staged file, row group), touching only
+        parquet FOOTERS. Listing goes through pyarrow's FileSystem
+        abstraction (resolved from the path's scheme), so a warehouse on
+        hdfs:// or s3:// plans the same way as file:// — and a missing or
+        parquet-less staging path RAISES instead of silently planning an
+        empty videos read while the pipeline believes new_videos > 0
+        (silent-data-loss fix, ADVICE r5)."""
         import pyarrow.parquet as pq
+        from pyarrow import fs as pafs
 
-        files = (
-            [path]
-            if os.path.isfile(path)
-            else sorted(glob.glob(os.path.join(path, "*.parquet")))
-        )
+        fsys, rel = pafs.FileSystem.from_uri(path)
+        info = fsys.get_file_info(rel)
+        if info.type == pafs.FileType.File:
+            files = [rel]
+        elif info.type == pafs.FileType.Directory:
+            sel = pafs.FileSelector(rel, recursive=False)
+            files = sorted(
+                f.path
+                for f in fsys.get_file_info(sel)
+                if f.type == pafs.FileType.File and f.path.endswith(".parquet")
+            )
+        else:
+            raise FileNotFoundError(
+                f"video_ids_path {path!r} does not exist on its filesystem"
+            )
+        if not files:
+            raise FileNotFoundError(
+                f"video_ids_path {path!r} contains no .parquet files — "
+                "refusing to plan an empty staged-id read"
+            )
         parts: list[_Partition] = []
         for f in files:
-            meta = pq.ParquetFile(f).metadata  # footer only, no row data
+            with fsys.open_input_file(f) as fh:
+                meta = pq.ParquetFile(fh).metadata  # footer only, no row data
             for rg in range(meta.num_row_groups):
                 if meta.row_group(rg).num_rows > 0:
                     parts.append(_Partition("videos_staged", (f, rg)))
+        # files exist but hold zero rows: a legitimately EMPTY staged delta
         return parts or [_Partition("videos", [])]
 
     def read(self, partition: _Partition) -> Iterator[tuple]:
@@ -468,15 +515,20 @@ class YouTubeReader(DataSourceReader):
                 page += 1
         elif partition.kind == "videos_staged":
             import pyarrow.parquet as pq
+            from pyarrow import fs as pafs
 
             fpath, rg = partition.payload
             col = self.options.get("ids_column", "videoId")
-            ids = (
-                pq.ParquetFile(fpath)
-                .read_row_group(rg, columns=[col])
-                .column(0)
-                .to_pylist()
-            )
+            # re-resolve the staging filesystem on the EXECUTOR from the
+            # original option (the payload path is fs-relative)
+            fsys, _ = pafs.FileSystem.from_uri(self.options["video_ids_path"])
+            with fsys.open_input_file(fpath) as fh:
+                ids = (
+                    pq.ParquetFile(fh)
+                    .read_row_group(rg, columns=[col])
+                    .column(0)
+                    .to_pylist()
+                )
             for i in range(0, len(ids), API_PAGE_SIZE):
                 yield from self._emit_videos(transport, ids[i : i + API_PAGE_SIZE])
         else:
