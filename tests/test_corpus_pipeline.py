@@ -154,6 +154,59 @@ def test_curate_stream_incremental_dedup(spark, tmp_path):
     assert os.path.isdir(ckpt)
 
 
+def test_bpe_merges_drive_pack_token_counts(spark):
+    """With a trained merge list, n_tokens — and therefore the packer's
+    budget and token_start offsets — must follow the BPE-encoded redacted
+    stream (VERDICT r5 task 4: token-budget fidelity is what a
+    training-data user consumes), verified against a Python re-encode of
+    each doc's clean tokens."""
+    from youtube_api_data_etl_automation_spark.functions.text import tokens
+    from youtube_api_data_etl_automation_spark.operators.bpe import SEP
+
+    def py_merge(s, a, b):
+        out, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                out.append(a + SEP + b)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        return out
+
+    merges = [("the", "quick"), ("over", "the"), ("the" + SEP + "quick", "brown")]
+    docs = spark.createDataFrame(
+        [(1, GOOD + " alpha tail"), (2, GOOD + " beta tail"),
+         (3, GOOD + " " + GOOD + " gamma")],
+        "doc_id long, text string",
+    )
+    out = curate_corpus(
+        docs, audit=False, n_shards=1, max_tokens=10_000, bpe_merges=merges
+    )
+    rows = {r["doc_id"]: r for r in out["documents"].collect()}
+    assert set(rows) == {1, 2, 3}
+
+    # Python differential: re-encode each doc's CLEAN token stream
+    clean_toks = {
+        r["doc_id"]: r["t"]
+        for r in spark.createDataFrame(
+            [(d, rows[d]["clean_text"]) for d in rows],
+            "doc_id long, clean string",
+        ).select("doc_id", tokens("clean").alias("t")).collect()
+    }
+    for d, toks in clean_toks.items():
+        expect = list(toks)
+        for a, b in merges:
+            expect = py_merge(expect, a, b)
+        assert rows[d]["n_tokens"] == len(expect), d
+        # non-vacuous: the merges actually shrank the stream
+        assert len(expect) < len(toks), d
+    # offsets replay the BPE stream consecutively within the shard
+    ordered = sorted(rows.values(), key=lambda r: r["token_start"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert b["token_start"] == a["token_start"] + a["n_tokens"]
+
+
 def test_n_tokens_counts_the_redacted_stream(spark):
     """The packer budgets and the shards replay the REDACTED text, so
     n_tokens must count clean_text's tokens — not the raw text's (ADVICE

@@ -77,6 +77,7 @@ def curate_corpus(
     pack_budget: int = 2048,
     n_shards: int = 16,
     audit: bool = True,
+    bpe_merges: list[tuple[str, str]] | None = None,
 ) -> dict:
     """Run the full curation pipeline. Returns
     {"documents": packed survivors (id, lang, clean_text, n_tokens,
@@ -88,7 +89,18 @@ def curate_corpus(
     stratified-sampling idiom — salt "corpus:" keeps the draw independent
     of other samplers per functions/hashing.py). ``benchmark``: held-out
     eval docs; survivors sharing any ``decontam_n``-gram are dropped.
-    """
+
+    ``bpe_merges``: optional trained merge list (operators/bpe.py::
+    train_merges). When given, ``n_tokens`` — the basis for the funnel's
+    min/max bounds AND the packer's budget/offsets — is the BPE-encoded
+    token count of the redacted text (operators/bpe.py::bpe_encode_t over
+    clean_text's whitespace tokens), so shard offsets measure exactly the
+    token stream a trained-tokenizer consumer will materialize, not the
+    whitespace proxy. The merge fold is inlined into the same single
+    feature projection (map-side Column expressions, no extra pass); for
+    vocabulary-scale merge lists (thousands), pre-encode with
+    bpe_encode_corpus and budget on those counts instead — the inline
+    expression depth grows with len(merges)."""
     spark = docs.sparkSession
     stages: list[tuple[str, int]] = []
     cached: list[DataFrame] = []
@@ -124,10 +136,19 @@ def curate_corpus(
     toks = base.select(
         "doc_id", "text", redact_pii(F.col("text")).alias("clean_text")
     ).withColumn("tok", tokens("text"))
+    if bpe_merges is None:
+        n_tokens_expr = token_count("clean_text")
+    else:
+        from .operators.bpe import bpe_encode_t
+        from .functions.text import token_count_t
+
+        n_tokens_expr = token_count_t(
+            bpe_encode_t(tokens("clean_text"), bpe_merges)
+        )
     feat = toks.select(
         "doc_id",
         lang_id_t("tok").alias("lang"),
-        token_count("clean_text").alias("n_tokens"),
+        n_tokens_expr.alias("n_tokens"),
         quality_score_t("text", "tok").alias("quality"),
         "clean_text",
         doc_fingerprint("text").alias("fingerprint"),
