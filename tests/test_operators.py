@@ -40,10 +40,69 @@ def test_multimodal_frame_sample(spark):
     assert 3 not in by_doc
 
 
-def test_decode_image_is_stubbed(spark):
-    docs = _docs(spark, [(1, "x")])
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(multimodal.attach_binary(docs))
+def _bmp24(pixels):
+    """Build a byte-exact 24-bit BI_RGB BMP (bottom-up rows, 4-byte row
+    padding, BGR order) from [[(r,g,b), ...], ...] top-to-bottom rows."""
+    import struct
+
+    h, w = len(pixels), len(pixels[0])
+    stride = (w * 3 + 3) & ~3
+    data = b""
+    for row in reversed(pixels):
+        rb = b"".join(bytes((b_, g, r)) for (r, g, b_) in row)
+        data += rb + b"\x00" * (stride - len(rb))
+    off = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return hdr + dib + data
+
+
+def _ppm6(pixels, comment=False):
+    h, w = len(pixels), len(pixels[0])
+    head = b"P6\n" + (b"# a header comment\n" if comment else b"")
+    head += f"{w} {h}\n255\n".encode()
+    return head + b"".join(bytes(p) for row in pixels for p in row)
+
+
+def _blob_df(spark, payload):
+    return spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+
+
+def test_decode_bmp_byte_exact(spark):
+    """Real BMP decode (r6): planted 3x2 24-bit image with row padding —
+    dimensions, channel order (BGR->RGB), bottom-up flip, and exact
+    per-channel means must all come out byte-exact."""
+    pixels = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+    ]
+    r = multimodal.decode_image(_blob_df(spark, _bmp24(pixels))).collect()[0]
+    assert (r.format, r.width, r.height) == ("bmp", 3, 2)
+    n = 6.0
+    assert r.mean_r == (255 + 0 + 0 + 10 + 40 + 70) / n
+    assert r.mean_g == (0 + 255 + 0 + 20 + 50 + 80) / n
+    assert r.mean_b == (0 + 0 + 255 + 30 + 60 + 90) / n
+
+
+def test_decode_ppm_with_header_comment(spark):
+    pixels = [[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (10, 11, 12)]]
+    r = multimodal.decode_image(
+        _blob_df(spark, _ppm6(pixels, comment=True))
+    ).collect()[0]
+    assert (r.format, r.width, r.height) == ("ppm", 2, 2)
+    assert (r.mean_r, r.mean_g, r.mean_b) == (5.5, 6.5, 7.5)
+
+
+def test_decode_compressed_formats_still_stubbed(spark):
+    """PNG/JPEG need a codec library (absent here) — the decoder raises
+    the honest NotImplementedError, surfaced through the Spark action."""
+    png_magic = b"\x89PNG\r\n\x1a\n" + b"\x00" * 32
+    with pytest.raises(Exception, match="PIL|compressed"):
+        multimodal.decode_image(_blob_df(spark, png_magic)).collect()
 
 
 def test_fake_decode_shapes(spark):
