@@ -56,6 +56,30 @@ def test_nprobe1_unchanged_and_recall_monotone(spark):
     assert r8 == 1.0
 
 
+def test_recall_report_pins_exact_fixture_values(spark):
+    """ivf_recall_report (r6): the tuning artifact is deterministic given
+    fixed centroids, so the fixture's recall@3 values are pinned EXACTLY —
+    any drift in assignment, probing, or scoring shows up here. nprobe=8
+    probes every cell, so its row must be exact recall 1.0."""
+    from youtube_api_data_etl_automation_spark.operators.similarity import (
+        ivf_recall_report,
+    )
+
+    emb, centroids, queries = _fixtures(spark)
+    rows = {
+        r["nprobe"]: (r["n_hits"], r["n_truth"], r["recall_at_k"])
+        for r in ivf_recall_report(
+            emb, queries, centroids, top_k=3, nprobes=(1, 2, 4, 8)
+        ).collect()
+    }
+    assert rows == {
+        1: (4, 15, 0.266667),
+        2: (5, 15, 0.333333),
+        4: (10, 15, 0.666667),
+        8: (15, 15, 1.0),
+    }
+
+
 def test_each_candidate_scored_once(spark):
     """A neighbor lives in exactly one cell, so multi-cell probing must not
     duplicate (query, neighbor) rows."""

@@ -191,6 +191,51 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
     )
 
 
+def ivf_recall_report(corpus: DataFrame, queries: DataFrame,
+                      centroids: DataFrame, *, top_k: int = 3,
+                      nprobes: tuple[int, ...] = (1, 2, 4, 8),
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Recall@k of the IVF index against exact brute force, per nprobe —
+    the tuning artifact an ANN operator owes its user: pick the smallest
+    nprobe whose recall clears the application bar, since candidate cost
+    scales ~linearly with it (ivf_topk touches ~nprobe·N/k vectors per
+    query).
+
+    Output: (nprobe, n_hits, n_truth, recall_at_k), one row per probed
+    setting, recall rounded at the edge (round6) so the relation is
+    engine-portable — a candidate DuckDB-oracle row. Entirely lazy
+    DataFrame composition: per-nprobe hit counting is a semi-join with the
+    exact top-k, and the hit/total ratio folds through a tag-union global
+    aggregate (no crossJoin/BNLJ; the same audit idiom as
+    semantic_neardup's summary row). Everything is deterministic given
+    fixed centroids, so recall values are exactly reproducible."""
+    truth = brute_force_topk(
+        corpus, queries, top_k=top_k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    report = None
+    for np_ in nprobes:
+        got = ivf_topk(
+            corpus, queries, centroids, top_k=top_k,
+            id_col=id_col, vec_col=vec_col, nprobe=np_,
+        ).select("query_id", "neighbor_id")
+        hits = got.join(truth, ["query_id", "neighbor_id"], "left_semi")
+        tagged = hits.select(F.lit(1).alias("hit")).unionByName(
+            truth.select(F.lit(0).alias("hit"))
+        )
+        branch = tagged.agg(
+            F.sum("hit").cast("long").alias("n_hits"),
+            F.sum(F.lit(1) - F.col("hit")).cast("long").alias("n_truth"),
+        ).select(
+            F.lit(int(np_)).cast("int").alias("nprobe"),
+            "n_hits",
+            "n_truth",
+            round6(F.col("n_hits") / F.col("n_truth")).alias("recall_at_k"),
+        )
+        report = branch if report is None else report.unionByName(branch)
+    return report
+
+
 def most_similar_pairs(corpus: DataFrame, top_n: int = 5, sample_mod: int = 10,
                        bits: int = 4, id_col: str = "vec_id",
                        vec_col: str = "embedding") -> DataFrame:
