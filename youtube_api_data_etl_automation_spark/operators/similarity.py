@@ -275,7 +275,8 @@ def most_similar_pairs(corpus: DataFrame, top_n: int = 5, sample_mod: int = 10,
 
 def semantic_neardup(corpus: DataFrame, centroids: DataFrame, *,
                      threshold: float = 0.95, id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> dict:
+                     vec_col: str = "embedding",
+                     cache_assignment: bool = True) -> dict:
     """SemDeDup-shaped semantic deduplication (cluster-scoped cosine
     pairs; the public Abbas et al. 2023 recipe): assign every vector to
     its nearest centroid (broadcast map-side argmax — assign_clusters),
@@ -296,10 +297,18 @@ def semantic_neardup(corpus: DataFrame, centroids: DataFrame, *,
     straddling a cell boundary are the sacrifice — the standard SemDeDup
     trade. Survivor selection is PAIRWISE (a drop needs a ≥threshold pair
     with a lower surviving-or-not id); for transitive-closure groups run
-    operators/dedup.py::connected_components over dup_pairs instead."""
+    operators/dedup.py::connected_components over dup_pairs instead.
+
+    ``cache_assignment`` persists the assigned relation: the self-join's
+    two sides and the survivors' drop-set all reuse ONE assignment pass
+    instead of replaying the broadcast-argmax per consumer (3–6× at plan
+    level). Callers composing into a larger cached pipeline can disable
+    it and manage persistence themselves."""
     assigned = assign_clusters(
         corpus.select(id_col, vec_col), centroids, id_col, vec_col
     )
+    if cache_assignment:
+        assigned = assigned.persist()
     a = assigned.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "cluster_id"
     )
