@@ -65,3 +65,34 @@ def test_mass_conserved_and_sinks_outrank_sources(spark):
     custs = [r.rank for r in ranks if r.node < 1_000_000]
     orders = [r.rank for r in ranks if r.node >= 1_000_000]
     assert min(custs) > max(orders) * 0.99
+
+
+def test_fixedpoint_matches_float_within_quantization(spark):
+    """The fixed-point variant tracks the float variant to within the
+    flooring budget (< iterations+1 scale-units per node, plus the float
+    variant's own rounding), and is bit-stable across repartitionings."""
+    from youtube_api_data_etl_automation_spark.operators.graphrank import (
+        pagerank_fixedpoint,
+    )
+
+    edges = _edges(spark)
+    scale = 10**12
+    fp = {
+        r.node: r.rank_fp
+        for r in pagerank_fixedpoint(edges, iterations=6, scale=scale).collect()
+    }
+    fl = {r.node: r.rank for r in pagerank(edges, iterations=6).collect()}
+    assert set(fp) == set(fl)
+    n = len(fp)
+    for v, r in fl.items():
+        # Each round floors at most ~3 integer divisions per node; 1e-9
+        # relative is orders of magnitude above the accumulated loss.
+        assert abs(fp[v] / scale - r) < 1e-9 + 20.0 / scale, (v, fp[v], r)
+
+    again = {
+        r.node: r.rank_fp
+        for r in pagerank_fixedpoint(
+            edges.repartition(7), iterations=6, scale=scale
+        ).collect()
+    }
+    assert again == fp

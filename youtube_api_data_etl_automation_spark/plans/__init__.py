@@ -14,6 +14,7 @@ from . import vector_queries  # noqa: E402,F401
 from . import extended  # noqa: E402,F401
 from . import advanced  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
+from . import graph_queries  # noqa: E402,F401
 from . import history  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

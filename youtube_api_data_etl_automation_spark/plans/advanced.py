@@ -56,28 +56,40 @@ _SESSION_ORACLE = """
 """
 
 
-@query("sessionize_events", oracle=_SESSION_ORACLE)
-def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30-min inactivity) + per-session rollup.
-    One shuffle on user_id serves the lag, the running sum, AND the final
-    group-by — Catalyst reuses the partitioning across all three."""
-    events = load_table(spark, sf_dir, "events")
-    return session_stats(events, gap_minutes=30)
+_SESSION_METHODS_ORACLE = f"""
+    WITH base AS ({_SESSION_ORACLE})
+    SELECT 'window' AS method, * FROM base
+    UNION ALL
+    SELECT 'stateful' AS method, * FROM base
+"""
 
 
-@query("stateful_session_stats", oracle=_SESSION_ORACLE)
-def stateful_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful streaming operator (applyInPandasWithState):
-    sessionization with explicit per-user state, drained availableNow.
-    One batch ⇒ emissions equal the batch rollup, so the SAME oracle as
-    sessionize_events checks it — a fully value-verified stateful op."""
+@query("sessionize_methods", oracle=_SESSION_METHODS_ORACLE)
+def sessionize_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both sessionization implementations under one driver row (r6
+    consolidation of `sessionize_events` + `stateful_session_stats` —
+    identical output schema, identical oracle, so a tag-union verifies
+    them side by side and proves they agree).
+
+    `window`: gap-based batch sessionization (30-min inactivity) + rollup;
+    one shuffle on user_id serves the lag, the running sum, AND the final
+    group-by — Catalyst reuses the partitioning across all three.
+    `stateful`: the custom stateful streaming operator
+    (applyInPandasWithState) with explicit per-user state, drained
+    availableNow; one batch ⇒ emissions equal the batch rollup, so the
+    same oracle text checks it — a fully value-verified stateful op."""
     import tempfile
 
     from ..streaming.stateful import run_stateful_sessions
 
+    events = load_table(spark, sf_dir, "events")
+    batch = session_stats(events, gap_minutes=30).select(
+        F.lit("window").alias("method"), "*"
+    )
     name = f"stateful_sessions_{uuid.uuid4().hex[:8]}"
     run_stateful_sessions(spark, sf_dir, tempfile.mkdtemp(prefix="ckpt_"), name)
-    return spark.table(name)
+    stateful = spark.table(name).select(F.lit("stateful").alias("method"), "*")
+    return batch.unionByName(stateful)
 
 
 # ---------------------------------------------------------------------------
@@ -806,50 +818,9 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@query(
-    "streaming_dedup_keys",
-    oracle="""
-    SELECT DISTINCT user_id, event_type,
-           epoch_us(time_bucket(INTERVAL '1 minute', ts)) AS minute_us
-    FROM events
-    """,
-)
-def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming exact dedup with bounded state
-    (dropDuplicatesWithinWatermark): duplicate (user, type, minute) arrivals
-    inside the watermark horizon collapse to one row, and state for keys
-    older than the watermark is dropped — the streaming-ingest dedup that
-    stays finite at 100 TB/day. Only key columns are emitted (which
-    duplicate wins is arrival-order-dependent; the key set is not)."""
-    import tempfile
-
-    from ..streaming.ingest import read_events_stream
-
-    keyed = (
-        read_events_stream(spark, sf_dir)
-        .select(
-            "user_id",
-            "event_type",
-            F.date_trunc("minute", F.col("ts")).alias("minute"),
-            F.col("ts"),
-        )
-        .withWatermark("ts", "2 hours")
-        .dropDuplicatesWithinWatermark(["user_id", "event_type", "minute"])
-        .select(
-            "user_id", "event_type", F.unix_micros("minute").alias("minute_us")
-        )
-    )
-    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        keyed.writeStream.trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+# Streaming exact dedup (dropDuplicatesWithinWatermark) is driver-verified
+# through `streaming_ingest_modes` (plans/extended.py — r6 consolidation
+# with the tumbling-window drain; both availableNow modes in one relation).
 
 
 # Sliding windows (window="1 hour", slide="30 minutes") run through the

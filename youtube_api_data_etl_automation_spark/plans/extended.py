@@ -78,10 +78,12 @@ def _simhash_oracle_core() -> str:
 # tests/test_operators.py.
 
 
-@query(
-    "dedup_simhash_pairs",
-    oracle=_simhash_oracle_core()
-    + """
+def _neardup_methods_oracle() -> str:
+    from .vector_queries import _cos
+
+    return (
+        _simhash_oracle_core()
+        + f"""
     , halves AS (
       SELECT doc_id, simhash, simhash % 256 AS lo,
              CAST(floor(simhash / 256) AS BIGINT) AS hi
@@ -94,16 +96,69 @@ def _simhash_oracle_core() -> str:
       SELECT a.doc_id, b.doc_id,
              CAST(bit_count(xor(a.simhash, b.simhash)) AS INT)
       FROM halves a JOIN halves b ON a.hi = b.hi AND a.doc_id < b.doc_id
+    ), emb_s AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+      FROM embeddings WHERE vec_id % 10 = 0
+    ), emb_pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_cos('a.embedding', 'b.embedding')} AS cos
+      FROM emb_s a JOIN emb_s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ), emb_top AS (
+      SELECT id_a, id_b,
+             floor(cos * 1000000.0 + 0.5) / 1000000.0 AS score
+      FROM emb_pairs
+      ORDER BY floor(cos * 1000000.0 + 0.5) / 1000000.0 DESC, id_a, id_b
+      LIMIT 5
     )
-    SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 4
-    """,
-)
-def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: Hamming-LSH banding on signature halves
-    (union of equi-joins — never a cross join), exact bit_count rescore."""
-    docs = load_table(spark, sf_dir, "documents", rebalance=True).filter(F.col("doc_id") % 7 == 0)
-    pairs = simhash_pairs(docs, max_hamming=4)
-    return pairs.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+    SELECT 'simhash' AS method, doc_a AS id_a, doc_b AS id_b,
+           CAST(hamming AS DOUBLE) AS score
+    FROM cand WHERE hamming <= 4
+    UNION ALL
+    SELECT 'embedding' AS method, id_a, id_b, score FROM emb_top
+    """
+    )
+
+
+@query("neardup_pairs_methods", oracle=_neardup_methods_oracle())
+def neardup_pairs_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both hash-sketch near-dup pair detectors under one driver row (r6
+    consolidation of `dedup_simhash_pairs` + `embedding_neardup_pairs` —
+    same (id_a, id_b, score) pair shape, so a tag-union verifies both
+    sub-quadratic candidate plans side by side).
+
+    `simhash`: Hamming-LSH banding on signature halves (union of
+    equi-joins — never a cross join), exact bit_count rescore; score =
+    Hamming distance. `embedding`: most-similar cosine pairs within a
+    deterministic sample, candidates from the sign-LSH bucket equi-join
+    (near-identical vectors share every hyperplane sign); score = cosine.
+    Both keep the candidate generation bucketed — the property pinned in
+    tests/test_scale_plans.py."""
+    from ..operators.similarity import most_similar_pairs
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True).filter(
+        F.col("doc_id") % 7 == 0
+    )
+    sh = simhash_pairs(docs, max_hamming=4).select(
+        F.lit("simhash").alias("method"),
+        F.col("doc_a").alias("id_a"),
+        F.col("doc_b").alias("id_b"),
+        F.col("hamming").cast("double").alias("score"),
+    )
+    emb = most_similar_pairs(
+        load_table(spark, sf_dir, "embeddings", rebalance=True),
+        top_n=5,
+        sample_mod=10,
+    ).select(
+        F.lit("embedding").alias("method"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("cosine").alias("score"),
+    )
+    return sh.unionByName(emb)
 
 
 @query(
@@ -243,27 +298,87 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "streaming_tumbling_counts",
+    "streaming_ingest_modes",
     oracle="""
-    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+    SELECT 'tumbling' AS mode,
+           epoch_us(date_trunc('hour', ts)) AS t_us,
+           CAST(NULL AS BIGINT) AS user_id,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
     FROM events
-    GROUP BY 1, 2
+    GROUP BY 2, 4
+    UNION ALL
+    SELECT DISTINCT 'dedup',
+           epoch_us(time_bucket(INTERVAL '1 minute', ts)),
+           user_id, event_type,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM events
     """,
 )
-def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming mode: availableNow drain of the events table
-    through a watermarked tumbling-window aggregation into a memory sink —
-    same results as the batch GROUP BY (checked by the oracle), but computed
-    by the streaming engine with bounded state."""
+def streaming_ingest_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Structured Streaming ingestion modes under one driver row (r6
+    consolidation of `streaming_tumbling_counts` + `streaming_dedup_keys`;
+    both availableNow drains of the events table, tag-unioned on a common
+    schema).
+
+    `tumbling`: watermarked tumbling-window aggregation into a memory sink
+    — same results as the batch GROUP BY (checked by the oracle), computed
+    by the streaming engine with bounded state. `dedup`: streaming exact
+    dedup with bounded state (dropDuplicatesWithinWatermark) — duplicate
+    (user, type, minute) arrivals inside the watermark horizon collapse to
+    one row and state older than the watermark is dropped; only key
+    columns are emitted (which duplicate wins is arrival-order-dependent;
+    the key set is not)."""
     import tempfile
 
-    from ..streaming.ingest import read_events_stream, run_available_now, tumbling_event_counts
+    from ..streaming.ingest import (
+        read_events_stream,
+        run_available_now,
+        tumbling_event_counts,
+    )
 
     name = f"stream_counts_{uuid.uuid4().hex[:8]}"
-    stream = read_events_stream(spark, sf_dir)
-    agg = tumbling_event_counts(stream, window="1 hour", watermark="2 hours")
+    agg = tumbling_event_counts(
+        read_events_stream(spark, sf_dir), window="1 hour", watermark="2 hours"
+    )
     run_available_now(agg, tempfile.mkdtemp(prefix="ckpt_"), name)
-    return spark.table(name)
+    tumbling = spark.table(name).select(
+        F.lit("tumbling").alias("mode"),
+        F.col("window_start_us").alias("t_us"),
+        F.lit(None).cast("long").alias("user_id"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+    keyed = (
+        read_events_stream(spark, sf_dir)
+        .select(
+            "user_id",
+            "event_type",
+            F.date_trunc("minute", F.col("ts")).alias("minute"),
+            F.col("ts"),
+        )
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "minute"])
+        .select(
+            F.lit("dedup").alias("mode"),
+            F.unix_micros("minute").alias("t_us"),
+            "user_id",
+            "event_type",
+            F.lit(None).cast("long").alias("n_events"),
+            F.lit(None).cast("double").alias("sum_value"),
+        )
+    )
+    dname = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        keyed.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .outputMode("append")
+        .format("memory")
+        .queryName(dname)
+        .start()
+    )
+    q.awaitTermination()
+    return tumbling.unionByName(spark.table(dname))

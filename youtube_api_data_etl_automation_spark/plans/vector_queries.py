@@ -15,7 +15,6 @@ from pyspark.sql import functions as F
 from ..functions.rounding import round6
 from ..operators.similarity import (
     brute_force_topk,
-    most_similar_pairs,
     semantic_neardup,
     sign_lsh_topk,
 )
@@ -98,33 +97,9 @@ def ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.unionByName(lsh)
 
 
-@query(
-    "embedding_neardup_pairs",
-    oracle=f"""
-    WITH s AS (
-      SELECT vec_id, embedding,
-             (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
-              CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
-              CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
-              CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
-      FROM embeddings WHERE vec_id % 10 = 0
-    ),
-    pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos('a.embedding', 'b.embedding')} AS cos
-      FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    )
-    SELECT id_a, id_b, floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine
-    FROM pairs
-    ORDER BY floor(cos * 1000000.0 + 0.5) / 1000000.0 DESC, id_a, id_b
-    LIMIT 5
-    """,
-)
-def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate detection: most-similar pairs within
-    a deterministic sample, candidates from the sign-LSH bucket equi-join
-    (sub-quadratic; near-identical vectors share every hyperplane sign, so
-    the pairs that matter survive the bucketing)."""
-    return most_similar_pairs(load_table(spark, sf_dir, "embeddings", rebalance=True), top_n=5, sample_mod=10)
+# Embedding-cosine near-duplicate pairs (most_similar_pairs) are driver-
+# verified through `neardup_pairs_methods` (plans/extended.py — r6
+# consolidation with the SimHash pair detector; identical pair relation).
 
 
 @query(
