@@ -33,7 +33,12 @@ from youtube_api_data_etl_automation_spark.session import get_spark
 # registry slot went to corpus_curation_report.
 # r6 consolidation: embedding_knn_batch + ann_sign_lsh_topk (identical
 # output schema, same query batch) tag-unioned into ann_topk_methods;
-# the freed registry slot went to semantic_neardup.
+# the freed registry slot went to semantic_neardup. Later in r6:
+# sessionize_events + stateful_session_stats fused into sessionize_methods
+# (which takes the headline slot); the slots freed by that fusion plus the
+# neardup-pairs and streaming-modes fusions went to pagerank_copurchase,
+# mixing_temperature, and pack_token_sequences (the last two join the
+# headline set as the curation-pipeline representatives).
 HEADLINE = [
     "flagship_new_order_enrichment",
     "anti_join_new_keys",
@@ -49,7 +54,7 @@ HEADLINE = [
     "ann_topk_methods",
     "semantic_neardup",
     "multimodal_frame_features",
-    "sessionize_events",
+    "sessionize_methods",
     "salted_join_revenue",
     "percentile_prices",
     "ivf_ann_topk",
@@ -63,6 +68,9 @@ HEADLINE = [
     "repeated_substring_spans",
     "scd2_priority_history",
     "lang_cap_docs",
+    # r6 additions (plans/curation.py)
+    "mixing_temperature",
+    "pack_token_sequences",
 ]
 
 

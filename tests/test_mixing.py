@@ -85,3 +85,25 @@ def test_null_source_and_null_id_not_dropped(spark):
     # alpha=1, target=input size -> rate 1.0 everywhere -> exact passthrough,
     # including the NULL-source rows and the NULL-id row.
     assert out.count() == 111
+
+
+def test_sqrt_rates_match_pow_rates(spark):
+    """mixture_rates_sqrt is the alpha=0.5 special case of mixture_rates
+    with integer-quantized weights; rates agree to the quantization budget
+    (weight_scale=1e6 -> relative error < ~1e-6 per source)."""
+    from youtube_api_data_etl_automation_spark.operators.mixing import (
+        mixture_rates_sqrt,
+    )
+
+    rows = [(i, f"s{i % 7}") for i in range(300)] + [(1000 + i, "rare") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    pow_rates = {
+        r.source: r.rate
+        for r in mixture_rates(df, "source", alpha=0.5, target_rows=200).collect()
+    }
+    sqrt_rates = {
+        r.source: r.rate for r in mixture_rates_sqrt(df, "source", 200).collect()
+    }
+    assert set(pow_rates) == set(sqrt_rates)
+    for s, r in pow_rates.items():
+        assert abs(sqrt_rates[s] - r) / r < 1e-5, (s, sqrt_rates[s], r)

@@ -57,6 +57,42 @@ def mixture_rates(
     )
 
 
+def mixture_rates_sqrt(
+    df: DataFrame, source_col: str, target_rows: int, weight_scale: int = 10**6
+) -> DataFrame:
+    """Alpha=0.5 mixture rates with engine-portable exactness (the
+    oracle-checkable twin of ``mixture_rates(..., alpha=0.5)``).
+
+    ``pow(n, alpha)`` is only faithfully-rounded, so two engines' libm can
+    disagree in the last bit and a summed total weight diverges; sqrt is
+    CORRECTLY rounded by IEEE 754 on every engine. Each source's weight is
+    quantized to an integer (floor(sqrt(n)·scale + 0.5)), the total weight
+    is then an exact bigint sum (order-independent), and the rate is a
+    double derived from exact integers via a fixed operation order
+    (target·w / tw / n) — bit-identical on any IEEE engine, which is what
+    lets a DuckDB oracle reproduce the fractional-draw boundary exactly.
+    Differential-tested against the pow() form in tests/test_mixing.py."""
+    counts = df.groupBy(_norm_source(source_col).alias(source_col)).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    w = F.floor(
+        F.sqrt(F.col("n_rows").cast("double")) * F.lit(float(weight_scale))
+        + F.lit(0.5)
+    ).cast("long")
+    counts = counts.withColumn("w", w)
+    total_w = counts.agg(F.sum("w").alias("tw"))
+    return counts.crossJoin(F.broadcast(total_w)).select(
+        source_col,
+        "n_rows",
+        (
+            F.lit(float(target_rows))
+            * F.col("w")
+            / F.col("tw")
+            / F.col("n_rows")
+        ).alias("rate"),
+    )
+
+
 def apply_mixture(
     df: DataFrame,
     rates: DataFrame,

@@ -26,22 +26,32 @@ Spark-first shape — NO driver loop, NO UDF:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
 def pack_sequences(docs: DataFrame, token_col: str = "n_tokens",
                    id_col: str = "doc_id", budget: int = 2048,
-                   n_shards: int = 64) -> DataFrame:
+                   n_shards: int = 64,
+                   shard_expr: Column | None = None,
+                   order_expr: Column | None = None) -> DataFrame:
     """Assign each doc its packed location. Output: input columns +
     ``shard``, ``token_start`` (offset in the shard's concatenated token
     stream), ``bin_first``/``bin_last`` (sequence ids the doc occupies —
-    equal unless the doc straddles a cut), ``spans_cut``."""
-    shard = (
+    equal unless the doc straddles a cut), ``spans_cut``.
+
+    ``shard_expr``/``order_expr`` override the default xxhash64-derived
+    shard and within-shard ordering — e.g. md5-based expressions when the
+    packing must be reproducible on an engine without xxhash64 (the
+    driver-oracle row in plans/curation.py). The defaults stay xxhash64:
+    cheaper, and fine whenever cross-engine mirroring isn't needed."""
+    shard = shard_expr if shard_expr is not None else (
         F.abs(F.xxhash64(F.col(id_col).cast("string"), F.lit("pack"))) % n_shards
     ).cast("int")
-    order = F.xxhash64(F.col(id_col).cast("string"), F.lit("order"))
+    order = order_expr if order_expr is not None else F.xxhash64(
+        F.col(id_col).cast("string"), F.lit("order")
+    )
     w = (
         Window.partitionBy("shard")
         .orderBy(order, F.col(id_col))

@@ -187,6 +187,149 @@ GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Sequence packing (documents → fixed token-budget training sequences)
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 256
+_PACK_SHARDS = 4
+
+_PACKING_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN norm = '' THEN 0 ELSE len(string_split(norm, ' ')) END AS n_tokens
+  FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+        FROM documents)
+),
+keyed AS (
+  SELECT doc_id, n_tokens,
+         ((strpos('0123456789abcdef', substr(md5('packshard' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(md5('packshard' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1))
+         % {_PACK_SHARDS} AS shard,
+         md5('packorder' || CAST(doc_id AS VARCHAR)) AS ord
+  FROM t
+),
+cum AS (
+  SELECT doc_id, n_tokens, shard,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS c
+  FROM keyed
+)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, CAST(shard AS INT) AS shard,
+       CAST(c - n_tokens AS BIGINT) AS token_start,
+       CAST(floor((c - n_tokens) / {_PACK_BUDGET}.0) AS INT) AS bin_first,
+       CAST(floor((c - 1) / {_PACK_BUDGET}.0) AS INT) AS bin_last,
+       floor((c - 1) / {_PACK_BUDGET}.0) > floor((c - n_tokens) / {_PACK_BUDGET}.0)
+         AS spans_cut
+FROM cum
+"""
+
+
+@query("pack_token_sequences", oracle=_PACKING_ORACLE)
+def pack_token_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut sequence packing (operators/packing.py) under the
+    driver oracle: whitespace token counts → md5-salted shard + ordering
+    (content-stable AND engine-portable — the xxhash64 default can't be
+    mirrored in DuckDB) → per-shard window cumsum → every doc's
+    [token_start, bin_first..bin_last] location in the fixed-budget
+    sequence stream. The only shuffle is the shard exchange; each shard
+    sorts independently (never a global sort), which is the property that
+    lets packing scale to 100 TB corpora."""
+    from ..functions.hashing import md5_bucket
+    from ..functions.text import token_count
+    from ..operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    with_tokens = docs.select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    packed = pack_sequences(
+        with_tokens,
+        budget=_PACK_BUDGET,
+        n_shards=_PACK_SHARDS,
+        shard_expr=(md5_bucket("doc_id", salt="packshard") % _PACK_SHARDS).cast("int"),
+        order_expr=F.md5(F.concat(F.lit("packorder"), F.col("doc_id").cast("string"))),
+    )
+    return packed.select(
+        "doc_id", "n_tokens", "shard", "token_start",
+        "bin_first", "bin_last", "spans_cut",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based source mixing (documents, by language)
+# ---------------------------------------------------------------------------
+
+# size^0.5 mixing over the skewed language mix: the dominant language is
+# damped (rate < 1, content-stable fractional keep), rare ones upweighted
+# (rate > 1, whole-copy repeat + fractional extra). The md5 bucket is
+# SALTED ("mix") so the draw is independent of the unsalted stratified /
+# split buckets (functions/hashing.py).
+_MIX_TARGET = 500
+
+_MIX_BUCKET_SQL = """
+  (strpos('0123456789abcdef', substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+  + (strpos('0123456789abcdef', substr(md5('mix' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+"""
+
+_MIXING_ORACLE = f"""
+WITH counts AS (
+  SELECT COALESCE(CAST(lang AS VARCHAR), '__null_source__') AS lang,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS w
+  FROM documents GROUP BY 1
+),
+tw AS (SELECT SUM(w) AS tw FROM counts),
+rates AS (
+  SELECT lang, n_rows, {_MIX_TARGET}.0 * w / tw / n_rows AS rate
+  FROM counts, tw
+),
+per_doc AS (
+  SELECT r.lang, r.n_rows, r.rate,
+         CAST(floor(r.rate) AS BIGINT)
+         + CASE WHEN ({_MIX_BUCKET_SQL}) < (r.rate - floor(r.rate)) * 256
+                THEN 1 ELSE 0 END AS n_copies
+  FROM documents d
+  JOIN rates r ON COALESCE(CAST(d.lang AS VARCHAR), '__null_source__') = r.lang
+)
+SELECT lang, n_rows,
+       {sql_round6('rate')} AS rate6,
+       CAST(SUM(n_copies) AS BIGINT) AS n_out
+FROM per_doc GROUP BY lang, n_rows, rate
+"""
+
+
+@query("mixing_temperature", oracle=_MIXING_ORACLE)
+def mixing_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixing (size^0.5) of the language mix, applied and
+    audited (operators/mixing.py). Rates come from the sqrt-exact integer-
+    weight path (``mixture_rates_sqrt`` — bit-identical across engines, so
+    the oracle reproduces every fractional-draw boundary); application is
+    ``apply_mixture``'s broadcast rate join + content-stable salted-bucket
+    fractional draw + repeat-explode. The audit counts the EXPLODED output
+    rows per language, so the oracle row verifies the realized copy counts,
+    not just the rate table. Scale shape: one tiny per-source aggregate,
+    then map-only application — no corpus shuffle."""
+    from ..operators.mixing import apply_mixture, mixture_rates_sqrt
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = mixture_rates_sqrt(docs, "lang", target_rows=_MIX_TARGET)
+    mixed = apply_mixture(docs, rates, source_col="lang", id_col="doc_id")
+    realized = mixed.groupBy(
+        F.coalesce(F.col("lang").cast("string"), F.lit("__null_source__")).alias("lang")
+    ).agg(F.count(F.lit(1)).alias("n_out"))
+    return (
+        rates.select("lang", "n_rows", round6(F.col("rate")).alias("rate6"))
+        .join(realized, "lang", "left")
+        .select(
+            "lang",
+            "n_rows",
+            "rate6",
+            F.coalesce(F.col("n_out"), F.lit(0)).cast("long").alias("n_out"),
+        )
+    )
+
+
 @query("stratified_sample_docs", oracle=_STRATIFIED_ORACLE)
 def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified downsampling by language: keep-rate per
