@@ -1,7 +1,7 @@
 """Grouping-sets-family APIs value-checked against their SQL equivalents.
 
 The registered driver query for this family is the full-lattice CUBE with
-grouping_id (`cube_status_priority`); ROLLUP and arbitrary groupingSets use
+grouping_id (the cube section of `olap_status_priority`); ROLLUP and arbitrary groupingSets use
 the same map-side set expansion, pinned here so the consolidated registry
 doesn't lose their coverage.
 """

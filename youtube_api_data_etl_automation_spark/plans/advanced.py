@@ -98,29 +98,73 @@ def sessionize_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "cube_status_priority",
+    "olap_status_priority",
     oracle="""
-    SELECT o_orderstatus, o_orderpriority,
-           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
-           CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
-    FROM orders
-    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    WITH cube_rows AS (
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ),
+    statuses AS (SELECT unnest(['F', 'O', 'P']) AS o_orderstatus),
+    counts AS (
+      SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    pivot_rows AS (
+      SELECT s.o_orderstatus, p.o_orderpriority,
+             CAST(COALESCE(c.n, 0) AS BIGINT) AS n_orders
+      FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+      CROSS JOIN statuses s
+      LEFT JOIN counts c USING (o_orderstatus, o_orderpriority)
+    )
+    SELECT 'cube' AS section, * FROM cube_rows
+    UNION ALL
+    SELECT 'pivot', o_orderstatus, o_orderpriority,
+           CAST(NULL AS BIGINT), n_orders, CAST(NULL AS DOUBLE)
+    FROM pivot_rows
     """,
 )
-def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over (status, priority) — the full grouping-sets lattice in one
-    pass (Spark expands the sets map-side: still a single shuffle) — with
-    grouping_id() disambiguating real NULL groups from subtotal rows
-    (Spark's bit-per-column id matches DuckDB's GROUPING() exactly).
-    ROLLUP and arbitrary groupingSets are the same machinery; both APIs are
-    value-checked against SQL in tests/test_grouping.py."""
+def olap_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE + PIVOT over (status, priority) in one driver row (r6
+    consolidation of `cube_status_priority` + `pivot_status_by_priority`;
+    the pivot's wide result is melted back to long form so both executions
+    share a schema — the melt is lossless, so the pivot cells are still
+    verified one-for-one).
+
+    `cube`: the full grouping-sets lattice in one pass (Spark expands the
+    sets map-side: still a single shuffle) with grouping_id()
+    disambiguating real NULL groups from subtotal rows (Spark's
+    bit-per-column id matches DuckDB's GROUPING() exactly); ROLLUP and
+    arbitrary groupingSets are the same machinery, value-checked in
+    tests/test_grouping.py. `pivot`: PIVOT with an explicit value list
+    (one pass, no extra distinct-values job at scale), melted via
+    unpivot/stack."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+    cube = orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.grouping_id().cast("long").alias("gid"),
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+    ).select(F.lit("cube").alias("section"), "*")
+
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
     )
+    melted = piv.unpivot(
+        ["o_orderpriority"], ["F", "O", "P"], "o_orderstatus", "n_raw"
+    ).select(
+        F.lit("pivot").alias("section"),
+        "o_orderstatus",
+        "o_orderpriority",
+        F.lit(None).cast("long").alias("gid"),
+        F.coalesce(F.col("n_raw"), F.lit(0)).cast("long").alias("n_orders"),
+        F.lit(None).cast("double").alias("total_price"),
+    )
+    return cube.unionByName(melted)
 
 
 @query(

@@ -345,29 +345,6 @@ def window_running_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "pivot_status_by_priority",
-    oracle="""
-    SELECT o_orderpriority,
-           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS status_F,
-           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS status_O,
-           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS status_P
-    FROM orders
-    GROUP BY o_orderpriority
-    """,
-)
-def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PIVOT with an explicit value list (explicit list = one pass, no extra
-    distinct-values job at scale)."""
-    piv = (
-        load_table(spark, sf_dir, "orders")
-        .groupBy("o_orderpriority")
-        .pivot("o_orderstatus", ["F", "O", "P"])
-        .count()
-    )
-    return piv.select(
-        "o_orderpriority",
-        F.coalesce(F.col("F"), F.lit(0)).alias("status_F"),
-        F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
-        F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
-    )
+# PIVOT is driver-verified through `olap_status_priority`
+# (plans/advanced.py — r6 consolidation with CUBE; the wide pivot result
+# is melted back to long form so both executions share one relation).

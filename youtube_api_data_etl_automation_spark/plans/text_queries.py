@@ -572,3 +572,103 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         audit=True,
     )
     return out["report"]
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer: distributed training + corpus encode under the oracle
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 4
+
+
+def _bpe_oracle(n_merges: int = _BPE_MERGES) -> str:
+    """Unrolled-round mirror of train_merges + bpe_encode_corpus.
+
+    The SQL reproduces leftmost-non-overlapping pair merging WITHOUT a
+    fold: tokens are joined into a DOUBLE-space-separated string
+    ('  t1  t2  ...  tn  '), and one merge round is a single
+    replace(s, ' a  b ', ' a<SEP>b ') — each match consumes one space from
+    the two-space gap on each side, so gap integrity is preserved and
+    left-to-right non-overlapping replace() semantics coincide exactly
+    with the engine's fold (operators/bpe.py::apply_merge_t; the 'a a a'
+    overlap case and adjacent-occurrence chains both agree). Each round's
+    winning pair is the same top-1 (count DESC, a, b) the engine's
+    train_merges collects, expressed as scalar subqueries, with the
+    engine's n_pairs >= 2 stopping rule as a no-op CASE."""
+    from ..operators.bpe import SEP
+
+    norm = _NORM.format(col="COALESCE(text, '')")
+    parts = [f"""
+    WITH base AS (SELECT doc_id, {norm} AS norm FROM documents),
+    t0 AS (
+      SELECT doc_id,
+             CASE WHEN norm = '' THEN ''
+                  ELSE '  ' || array_to_string(string_split(norm, ' '), '  ') || '  '
+             END AS s
+      FROM base
+    )"""]
+    for r in range(n_merges):
+        parts.append(f""",
+    tk{r} AS (
+      SELECT doc_id,
+             CASE WHEN trim(s) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(trim(s), '  ') END AS ts
+      FROM t{r}
+    ),
+    p{r} AS (
+      SELECT ts[i] AS a, ts[i + 1] AS b
+      FROM tk{r}, UNNEST(range(1, len(ts))) AS u(i)
+      WHERE len(ts) >= 2
+    ),
+    top{r} AS (
+      SELECT a, b FROM p{r} GROUP BY a, b
+      HAVING COUNT(*) >= 2
+      ORDER BY COUNT(*) DESC, a, b LIMIT 1
+    ),
+    t{r + 1} AS (
+      SELECT doc_id,
+             CASE WHEN (SELECT COUNT(*) FROM top{r}) = 0 THEN s
+                  ELSE replace(s,
+                       ' ' || (SELECT a FROM top{r}) || '  ' || (SELECT b FROM top{r}) || ' ',
+                       ' ' || (SELECT a FROM top{r}) || '{SEP}' || (SELECT b FROM top{r}) || ' ')
+             END AS s
+      FROM t{r}
+    )""")
+    parts.append(f"""
+    SELECT doc_id,
+           CAST(CASE WHEN trim(s) = '' THEN 0
+                     ELSE len(string_split(trim(s), '  ')) END AS INT) AS n_tokens_enc,
+           md5(CASE WHEN trim(s) = '' THEN ''
+                    ELSE array_to_string(string_split(trim(s), '  '), ' ') END) AS tok_fp
+    FROM t{n_merges}
+    """)
+    return "".join(parts)
+
+
+@query("bpe_train_encode", oracle=_bpe_oracle())
+def bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training + full-corpus encode under the
+    driver oracle (operators/bpe.py). Training: {m} rounds, each ONE
+    partial-aggregated pair-count shuffle (the exchange carries
+    (pair, partial_count) — never raw text) + a top-1 collect (O(1)
+    control data) + a map-side merge fold; encode re-applies the learned
+    list with bounded fold depth. The oracle retrains the identical merge
+    sequence in SQL and compares every doc's encoded token stream by
+    count + fingerprint — merged tokens never contain spaces, so the
+    single-space join is unambiguous."""
+    from ..operators.bpe import bpe_encode_corpus, train_merges
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    tok_docs = docs.select(
+        "doc_id", tokens(F.coalesce(F.col("text"), F.lit(""))).alias("tok")
+    )
+    merges = train_merges(tok_docs, n_merges=_BPE_MERGES)
+    enc = bpe_encode_corpus(tok_docs, merges)
+    return enc.select(
+        "doc_id",
+        F.size("tok").cast("int").alias("n_tokens_enc"),
+        F.md5(F.array_join("tok", " ")).alias("tok_fp"),
+    )
+
+
+bpe_train_encode.__doc__ = bpe_train_encode.__doc__.format(m=_BPE_MERGES)
