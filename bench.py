@@ -63,7 +63,7 @@ HEADLINE = [
     # r2 curation additions (plans/curation.py)
     "pii_redact_docs",
     "decontam_ngram_hits",
-    "stratified_sample_docs",
+    "sampling_audits",
     # r4 additions (plans/history.py)
     "repeated_substring_spans",
     "scd2_priority_history",

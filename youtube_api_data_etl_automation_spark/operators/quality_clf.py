@@ -71,6 +71,7 @@ def train_quality_clf(
     learning_rate: float = 2.0,
     l2: float = 0.0,
     batch_fraction: float = 1.0,
+    weight_grid: int | None = None,
 ) -> dict:
     """Logistic-regression training over hashed bag-of-words features.
     ``docs`` needs a pre-projected token array (``tok_col``) and a 0/1
@@ -95,7 +96,18 @@ def train_quality_clf(
     fixed-point discipline as incremental_agg / k-means), so the learned
     weights are bit-identical across partitionings and retries. The token
     relation is persisted for the duration of training (n_rounds
-    consumers) and released before returning."""
+    consumers) and released before returning.
+
+    ``weight_grid`` (e.g. 2**20) snaps weights and bias to the dyadic
+    grid 1/weight_grid after every round's update. With dyadic weights
+    every per-doc logit sum is EXACT in double arithmetic (each addend is
+    k/grid with bounded k, so the sum is an integer multiple of 1/grid —
+    no rounding, hence no dependence on token order or engine summation
+    order), which upgrades the bit-determinism guarantee from
+    "within this engine" to "across engines": the DuckDB oracle of
+    plans/text_queries.py::quality_clf_training replays the identical
+    rounds. The quantization perturbs each update by < 1/grid — far below
+    the gradient signal — and models broadcast for inference smaller."""
     if not (0.0 < batch_fraction <= 1.0):
         raise ValueError("batch_fraction must be in (0, 1]")
     weights = [0.0] * N_BUCKETS
@@ -185,6 +197,12 @@ def train_quality_clf(
                     grad[b] / m + l2 * weights[b]
                 )
             bias -= learning_rate * float(head["g_bias"]) / m
+            if weight_grid is not None:
+                weights = [
+                    math.floor(w * weight_grid + 0.5) / weight_grid
+                    for w in weights
+                ]
+                bias = math.floor(bias * weight_grid + 0.5) / weight_grid
             loss_history.append(float(head["loss"]) / m)
     finally:
         feat.unpersist()

@@ -491,48 +491,9 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "train_val_split",
-    oracle="""
-    WITH h AS (
-      SELECT doc_id,
-             (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-             + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
-      FROM documents
-    ),
-    labeled AS (
-      SELECT doc_id,
-             CASE WHEN bucket < 230 THEN 'train'
-                  WHEN bucket < 243 THEN 'val'
-                  ELSE 'test' END AS split
-      FROM h
-    )
-    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(MIN(doc_id) AS BIGINT) AS min_id, CAST(MAX(doc_id) AS BIGINT) AS max_id
-    FROM labeled GROUP BY split
-    """,
-)
-def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic ~90/5/5 train/val/test assignment by content-stable
-    hash bucket (md5 of the id — stable across engines, runs, partitionings,
-    and dataset growth: a doc never changes split when new data arrives).
-    Pure map-side expression; the only shuffle is the audit aggregation."""
-    docs = load_table(spark, sf_dir, "documents")
-    from ..functions.hashing import md5_bucket
-
-    bucket = md5_bucket("doc_id")  # unsalted: pinned by the oracle text
-    split = (
-        F.when(bucket < 230, "train").when(bucket < 243, "val").otherwise("test")
-    )
-    return (
-        docs.select(split.alias("split"), "doc_id")
-        .groupBy("split")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.min("doc_id").alias("min_id"),
-            F.max("doc_id").alias("max_id"),
-        )
-    )
+# The train/val/test split is driver-verified through `sampling_audits`
+# (plans/curation.py — r6 consolidation with the stratified-sampling
+# audit; both read the same content-stable unsalted md5 bucket).
 
 
 # ---------------------------------------------------------------------------

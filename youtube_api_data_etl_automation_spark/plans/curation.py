@@ -168,25 +168,6 @@ def decontam_ngram_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RATE_CASE_SQL = """CASE lang WHEN 'en' THEN 128 WHEN 'fr' THEN 64
                     WHEN 'es' THEN 64 WHEN 'de' THEN 256 ELSE 32 END"""
 
-_STRATIFIED_ORACLE = f"""
-WITH h AS (
-  SELECT lang, n_chars,
-         (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-         + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket,
-         {_RATE_CASE_SQL} AS thr
-  FROM documents
-)
-SELECT lang,
-       CAST(COUNT(*) AS BIGINT)                                   AS n_docs,
-       CAST(SUM(CASE WHEN bucket < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
-       CAST(SUM(CASE WHEN bucket < thr THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars,
-       {sql_round6('ANY_VALUE(thr) / 256.0')}                     AS target_rate,
-       {sql_round6('CAST(SUM(CASE WHEN bucket < thr THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)')} AS achieved_rate
-FROM h
-GROUP BY lang
-"""
-
-
 # ---------------------------------------------------------------------------
 # Sequence packing (documents → fixed token-budget training sequences)
 # ---------------------------------------------------------------------------
@@ -313,14 +294,18 @@ def mixing_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.mixing import apply_mixture, mixture_rates_sqrt
 
     docs = load_table(spark, sf_dir, "documents")
-    rates = mixture_rates_sqrt(docs, "lang", target_rows=_MIX_TARGET)
+    # Materialize the O(#sources) rate table once: its lineage (a corpus
+    # count aggregate + the 1-row total-weight broadcast) is consumed both
+    # by the application join and the audit output — without this the
+    # corpus would be re-aggregated per consumer.
+    rates = mixture_rates_sqrt(docs, "lang", target_rows=_MIX_TARGET).localCheckpoint()
     mixed = apply_mixture(docs, rates, source_col="lang", id_col="doc_id")
     realized = mixed.groupBy(
         F.coalesce(F.col("lang").cast("string"), F.lit("__null_source__")).alias("lang")
     ).agg(F.count(F.lit(1)).alias("n_out"))
     return (
         rates.select("lang", "n_rows", round6(F.col("rate")).alias("rate6"))
-        .join(realized, "lang", "left")
+        .join(F.broadcast(realized), "lang", "left")
         .select(
             "lang",
             "n_rows",
@@ -330,13 +315,56 @@ def mixing_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stratified_sample_docs", oracle=_STRATIFIED_ORACLE)
-def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic stratified downsampling by language: keep-rate per
-    stratum via content-stable md5 bucket (same idiom as train_val_split —
-    reproducible across engines/runs/partitionings). The keep decision is a
-    map-side projection; the audit aggregate is the only shuffle. At 100 TB
-    the same expression feeds a filter instead of an audit — zero-shuffle
+_SAMPLING_AUDITS_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, lang, n_chars,
+         (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket,
+         {_RATE_CASE_SQL} AS thr
+  FROM documents
+),
+split_rows AS (
+  SELECT CASE WHEN bucket < 230 THEN 'train'
+              WHEN bucket < 243 THEN 'val'
+              ELSE 'test' END AS stratum,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(MIN(doc_id) AS BIGINT) AS min_id, CAST(MAX(doc_id) AS BIGINT) AS max_id
+  FROM h GROUP BY 1
+),
+strat_rows AS (
+  SELECT lang AS stratum,
+         CAST(COUNT(*) AS BIGINT)                                       AS n_docs,
+         CAST(SUM(CASE WHEN bucket < thr THEN 1 ELSE 0 END) AS BIGINT)  AS n_sampled,
+         CAST(SUM(CASE WHEN bucket < thr THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars,
+         {sql_round6('ANY_VALUE(thr) / 256.0')}                         AS target_rate,
+         {sql_round6('CAST(SUM(CASE WHEN bucket < thr THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)')} AS achieved_rate
+  FROM h GROUP BY lang
+)
+SELECT 'split' AS section, stratum, n_docs,
+       CAST(NULL AS BIGINT) AS n_sampled, CAST(NULL AS BIGINT) AS sampled_chars,
+       CAST(NULL AS DOUBLE) AS target_rate, CAST(NULL AS DOUBLE) AS achieved_rate,
+       min_id, max_id
+FROM split_rows
+UNION ALL
+SELECT 'stratified', stratum, n_docs, n_sampled, sampled_chars,
+       target_rate, achieved_rate, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM strat_rows
+"""
+
+
+@query("sampling_audits", oracle=_SAMPLING_AUDITS_ORACLE)
+def sampling_audits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both content-stable md5-bucket sampling decisions under one driver
+    row (r6 consolidation of `train_val_split` + `stratified_sample_docs`
+    — the same unsalted-bucket idiom read two ways, so one relation audits
+    both).
+
+    `split`: deterministic ~90/5/5 train/val/test assignment (a doc never
+    changes split as the corpus grows). `stratified`: per-language
+    keep-rates out of 256 buckets — downsample the over-represented
+    languages, keep the rare ones whole. Both verdicts are map-side
+    projections; the audit aggregates are the only shuffles. At 100 TB
+    the same expressions feed filters instead of audits — zero-shuffle
     sampling with exact, auditable per-stratum rates."""
     from ..functions.hashing import md5_bucket
 
@@ -344,6 +372,31 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Unsalted bucket: pinned by the oracle text (see functions/hashing.py
     # on why COMPOSING operators must salt instead).
     bucket = md5_bucket("doc_id")
+
+    split = (
+        F.when(bucket < 230, "train").when(bucket < 243, "val").otherwise("test")
+    )
+    split_rows = (
+        docs.select(split.alias("stratum"), "doc_id")
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .select(
+            F.lit("split").alias("section"),
+            "stratum",
+            "n_docs",
+            F.lit(None).cast("long").alias("n_sampled"),
+            F.lit(None).cast("long").alias("sampled_chars"),
+            F.lit(None).cast("double").alias("target_rate"),
+            F.lit(None).cast("double").alias("achieved_rate"),
+            "min_id",
+            "max_id",
+        )
+    )
+
     thr = (
         F.when(F.col("lang") == "en", 128)
         .when(F.col("lang") == "fr", 64)
@@ -352,9 +405,9 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(32)
     )
     kept = (bucket < thr).cast("int")
-    return (
+    strat_rows = (
         docs.select("lang", "n_chars", kept.alias("kept"), thr.alias("thr"))
-        .groupBy("lang")
+        .groupBy(F.col("lang").alias("stratum"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("kept").cast("long").alias("n_sampled"),
@@ -364,4 +417,16 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("kept").cast("double") / F.count(F.lit(1))
             ).alias("achieved_rate"),
         )
+        .select(
+            F.lit("stratified").alias("section"),
+            "stratum",
+            "n_docs",
+            "n_sampled",
+            "sampled_chars",
+            "target_rate",
+            "achieved_rate",
+            F.lit(None).cast("long").alias("min_id"),
+            F.lit(None).cast("long").alias("max_id"),
+        )
     )
+    return split_rows.unionByName(strat_rows)

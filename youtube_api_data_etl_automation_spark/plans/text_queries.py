@@ -672,3 +672,142 @@ def bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 bpe_train_encode.__doc__ = bpe_train_encode.__doc__.format(m=_BPE_MERGES)
+
+
+# ---------------------------------------------------------------------------
+# Quality-classifier training (distributed logistic regression) under oracle
+# ---------------------------------------------------------------------------
+
+_CLF_ROUNDS = 3
+_CLF_LR = 2.0
+_CLF_GRID = 1 << 20
+
+
+def _clf_bucket_sql(x: str) -> str:
+    """DuckDB mirror of operators/quality_clf.py::tok_bucket."""
+    return (
+        f"((strpos('0123456789abcdef', substr(md5({x}), 1, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr(md5({x}), 2, 1)) - 1))"
+    )
+
+
+def _clf_oracle(n_rounds: int = _CLF_ROUNDS) -> str:
+    """Unrolled-round mirror of train_quality_clf (full batch).
+
+    Exactness contract: the engine trains with weight_grid=2**20, so after
+    every round each weight/bias is a dyadic rational k/2^20 exactly
+    representable in double — per-doc logit sums are then EXACT regardless
+    of token order or engine summation order, and every gradient/loss sum
+    accumulates in DECIMAL(28,18). The only cross-engine float surfaces
+    left are exp/ln on identical inputs (deterministic per fixture) and
+    the double products mirrored operation-for-operation below."""
+    norm = _NORM.format(col="COALESCE(text, '')")
+    lr, grid = _CLF_LR, _CLF_GRID
+    parts = [f"""
+    WITH cbase AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             CASE WHEN {norm} = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split({norm}, ' ') END AS ts
+      FROM documents
+    ),
+    cstat AS (SELECT doc_id, y, len(ts) AS n FROM cbase),
+    ctb AS (
+      SELECT doc_id, {_clf_bucket_sql('tok')} AS b
+      FROM cbase, UNNEST(ts) AS u(tok)
+    ),
+    cm AS (SELECT COUNT(*) AS m FROM cstat),
+    w0 AS (SELECT CAST(i AS INT) AS b, 0.0 AS w FROM range(256) t(i)),
+    bs0 AS (SELECT 0.0 AS v)"""]
+    for r in range(n_rounds):
+        parts.append(f""",
+    z{r} AS (
+      SELECT s.doc_id, s.y, s.n,
+             COALESCE(ws.wsum, 0.0) / (1.0 + CAST(s.n AS DOUBLE))
+             + (SELECT v FROM bs{r}) AS z
+      FROM cstat s LEFT JOIN (
+        SELECT ctb.doc_id, SUM(w.w) AS wsum
+        FROM ctb JOIN w{r} w ON ctb.b = w.b GROUP BY ctb.doc_id
+      ) ws ON s.doc_id = ws.doc_id
+    ),
+    pr{r} AS (SELECT doc_id, y, n, 1.0 / (1.0 + exp(-z)) AS p FROM z{r}),
+    hd{r} AS (
+      SELECT SUM(CAST(p - y AS DECIMAL(28,18))) AS g_bias,
+             SUM(CAST(-(y * ln(greatest(p, 1e-12))
+                        + (1.0 - y) * ln(greatest(1.0 - p, 1e-12)))
+                 AS DECIMAL(28,18))) AS loss
+      FROM pr{r}
+    ),
+    gr{r} AS (
+      SELECT ctb.b,
+             SUM(CAST((pp.p - pp.y) * (1.0 / (1.0 + CAST(pp.n AS DOUBLE)))
+                 AS DECIMAL(28,18))) AS g
+      FROM ctb JOIN pr{r} pp ON ctb.doc_id = pp.doc_id
+      GROUP BY ctb.b
+    ),
+    w{r + 1} AS (
+      SELECT w.b,
+             floor((w.w - {lr} * (CAST(COALESCE(g.g, 0) AS DOUBLE)
+                                  / (SELECT m FROM cm))) * {grid} + 0.5) / {grid} AS w
+      FROM w{r} w LEFT JOIN gr{r} g ON w.b = g.b
+    ),
+    bs{r + 1} AS (
+      SELECT floor(((SELECT v FROM bs{r})
+                    - {lr} * CAST((SELECT g_bias FROM hd{r}) AS DOUBLE)
+                      / (SELECT m FROM cm)) * {grid} + 0.5) / {grid} AS v
+    )""")
+    loss_rows = "\n    UNION ALL\n".join(
+        f"""    SELECT 'loss', {r},
+           floor((CAST((SELECT loss FROM hd{r}) AS DOUBLE)
+                  / (SELECT m FROM cm)) * 1000000.0 + 0.5) / 1000000.0"""
+        for r in range(n_rounds)
+    )
+    parts.append(f"""
+    SELECT 'weight' AS section, b AS k, w AS v FROM w{n_rounds}
+    UNION ALL
+    SELECT 'bias', -1, (SELECT v FROM bs{n_rounds})
+    UNION ALL
+{loss_rows}
+    """)
+    return "".join(parts)
+
+
+@query("quality_clf_training", oracle=_clf_oracle())
+def quality_clf_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression training
+    (operators/quality_clf.py::train_quality_clf) under the driver oracle:
+    {r} full-batch rounds learning "is this document English?" from hashed
+    bag-of-words features (weak supervision from the lang column — the
+    standard quality/language-classifier recipe). Per round ONE ≤256-key
+    gradient shuffle; corpus text never moves; the driver folds O(k)
+    floats. Trained with weight_grid=2**20 so the weights are dyadic and
+    the oracle can replay every round exactly (see _clf_oracle). Output:
+    the 256 learned weights + bias + per-round mean log-loss — the model
+    itself is the verified relation."""
+    import math as _math
+
+    from ..operators.quality_clf import train_quality_clf
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    labeled = docs.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        tokens(F.coalesce(F.col("text"), F.lit(""))).alias("tok"),
+    )
+    model = train_quality_clf(
+        labeled,
+        label_col="y",
+        tok_col="tok",
+        n_rounds=_CLF_ROUNDS,
+        learning_rate=_CLF_LR,
+        weight_grid=_CLF_GRID,
+    )
+    rows = [("weight", b, float(w)) for b, w in enumerate(model["weights"])]
+    rows.append(("bias", -1, float(model["bias"])))
+    rows.extend(
+        ("loss", i, _math.floor(l * 1e6 + 0.5) / 1e6)
+        for i, l in enumerate(model["loss_history"])
+    )
+    return spark.createDataFrame(rows, "section string, k int, v double")
+
+
+quality_clf_training.__doc__ = quality_clf_training.__doc__.format(r=_CLF_ROUNDS)
