@@ -50,7 +50,7 @@ HEADLINE = [
     "setops_except_intersect",
     "text_stats_docs",
     "dedup_exact_docs",
-    "dedup_minhash_lsh",
+    "jaccard_pairs_methods",
     "ann_topk_methods",
     "semantic_neardup",
     "multimodal_frame_features",

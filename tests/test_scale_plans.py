@@ -191,14 +191,15 @@ def test_decontam_broadcasts_benchmark_grams(spark):
 
 
 def test_stratified_sample_single_exchange(spark):
-    """Stratified sampling: the keep decision is map-side; the only
-    exchange is the per-language audit aggregate."""
+    """Sampling audits (split + stratified sections, r6 fusion): every
+    keep/assign decision is map-side; the only exchanges are the two
+    audit aggregates (one per section)."""
     from youtube_api_data_etl_automation_spark.plans.curation import (
-        stratified_sample_docs,
+        sampling_audits,
     )
 
-    plan = _plan(stratified_sample_docs(spark, SF_DIR))
-    assert plan.count("Exchange hashpartitioning") == 1
+    plan = _plan(sampling_audits(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 2
 
 
 def test_runtime_bloom_filter_reaches_fact_scan(spark):

@@ -63,16 +63,22 @@ def aes_log_key(id_col: Column | str, weight: Column, salt: str = "aes:") -> Col
 
 def weighted_sample_per_group(df: DataFrame, *, group_col: str, id_col: str,
                               weight_col: str, n: int,
-                              salt: str = "aes:") -> DataFrame:
+                              salt: str = "aes:",
+                              keep_rank: str | None = None) -> DataFrame:
     """Top-n weighted without-replacement sample per group: rank by the
     A-ES log-key descending (id tie-break), keep rank ≤ n. One window per
     group — compose with operators/capping.py's two-path split when the
-    group count is huge and most groups are under n."""
+    group count is huge and most groups are under n. ``keep_rank`` names
+    an output column carrying each kept row's 1-based draw order (the
+    sequential-draw position A-ES provably reproduces) — useful for
+    audits; dropped by default."""
     key = aes_log_key(id_col, F.col(weight_col).cast("double"), salt)
     w = Window.partitionBy(group_col).orderBy(F.desc("_aes"), F.col(id_col))
-    return (
+    out = (
         df.withColumn("_aes", key)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= n)
-        .drop("_aes", "_rn")
     )
+    if keep_rank is not None:
+        out = out.withColumn(keep_rank, F.col("_rn").cast("int"))
+    return out.drop("_aes", "_rn")

@@ -169,6 +169,71 @@ _RATE_CASE_SQL = """CASE lang WHEN 'en' THEN 128 WHEN 'fr' THEN 64
                     WHEN 'es' THEN 64 WHEN 'de' THEN 256 ELSE 32 END"""
 
 # ---------------------------------------------------------------------------
+# Weighted without-replacement sampling (A-ES, content-stable)
+# ---------------------------------------------------------------------------
+
+_AES_N = 10
+
+# DuckDB mirror of operators/sampling.py::stable_uniform: the first 13 md5
+# hex nibbles of 'aes:' || doc_id as an exact 52-bit integer (every term
+# < 2^53, so the double sum is exact), then (bits + 1) / 2^52.
+_AES_BITS_SQL = " + ".join(
+    "(strpos('0123456789abcdef', substr(md5('aes:' || CAST(doc_id AS VARCHAR)), "
+    f"{j + 1}, 1)) - 1) * {16 ** (12 - j)}"
+    for j in range(13)
+)
+
+_AES_ORACLE = f"""
+WITH u AS (
+  SELECT doc_id, lang,
+         ({_AES_BITS_SQL} + 1.0) / 4503599627370496.0 AS u,
+         CAST(n_chars AS DOUBLE) AS w
+  FROM documents
+),
+k AS (
+  SELECT doc_id, lang,
+         CASE WHEN w > 0 THEN ln(u) / w ELSE CAST('-infinity' AS DOUBLE) END AS key
+  FROM u
+),
+r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) AS rn
+  FROM k
+)
+SELECT lang, doc_id, CAST(rn AS INT) AS rank
+FROM r WHERE rn <= {_AES_N}
+"""
+
+
+@query("weighted_sample_aes", oracle=_AES_ORACLE)
+def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted without-replacement sampling
+    (operators/sampling.py) under the driver oracle: keep the top-{n}
+    docs per language, preferring longer documents (weight = n_chars) —
+    'keep n per stratum, quality-weighted', the step between uniform
+    capping and fixed-rate stratified draws. The A-ES key is
+    content-stable (u from 52 md5 bits of the salted id — exact in double
+    on any engine) and ranked in log space (ln(u)/w never underflows);
+    the only shuffle is the per-group (group, key) window."""
+    from ..operators.sampling import weighted_sample_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars"
+    )
+    return weighted_sample_per_group(
+        docs,
+        group_col="lang",
+        id_col="doc_id",
+        weight_col="n_chars",
+        n=_AES_N,
+        keep_rank="rank",
+    ).select("lang", "doc_id", "rank")
+
+
+weighted_sample_aes.__doc__ = weighted_sample_aes.__doc__.format(n=_AES_N)
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing (documents → fixed token-budget training sequences)
 # ---------------------------------------------------------------------------
 

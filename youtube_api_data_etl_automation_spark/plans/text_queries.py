@@ -369,10 +369,7 @@ _SHINGLES_CTE = f"""
 """
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle=_SHINGLES_CTE
-    + """
+_NGRAM_JACCARD_CTES = """
     , hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 1000),
     shc AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
@@ -380,22 +377,15 @@ _SHINGLES_CTE = f"""
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
       FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    )
+    ), exact_pairs AS (
     SELECT doc_a, doc_b,
            floor((CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE floor((CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)) * 1000000.0 + 0.5) / 1000000.0 >= 0.02
-    """,
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs: shingle-join candidate
-    generation (never a cross join) with the stop-shingle df cap active —
-    shingles in >1000 docs are dropped from the sets before the self-join
-    (the skew guard; oracle mirrors the identical cap)."""
-    docs = load_table(spark, sf_dir, "documents", rebalance=True).filter(F.col("doc_id") % 5 == 0)
-    return ngram_jaccard_pairs(docs, k=3, threshold=0.02, max_shingle_df=1000)
+    )
+"""
 
 
 def _minhash_oracle(num_hashes: int = 8, band_size: int = 2, threshold: float = 0.25) -> str:
@@ -413,6 +403,7 @@ def _minhash_oracle(num_hashes: int = 8, band_size: int = 2, threshold: float = 
     )
     return (
         _SHINGLES_CTE
+        + _NGRAM_JACCARD_CTES
         + f"""
     , sig AS (
       SELECT doc_id,
@@ -424,23 +415,53 @@ def _minhash_oracle(num_hashes: int = 8, band_size: int = 2, threshold: float = 
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM banded a JOIN banded b
         ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    )
+    ), minhash_pairs AS (
     SELECT doc_a, doc_b,
            floor((({eqs}) / {float(num_hashes)}) * 1000000.0 + 0.5) / 1000000.0 AS est_jaccard
     FROM cand
     JOIN sig x ON x.doc_id = doc_a
     JOIN sig y ON y.doc_id = doc_b
     WHERE ({eqs}) / {float(num_hashes)} >= {threshold}
+    )
+    SELECT 'ngram_exact' AS method, doc_a, doc_b, jaccard AS score
+    FROM exact_pairs
+    UNION ALL
+    SELECT 'minhash_lsh', doc_a, doc_b, est_jaccard FROM minhash_pairs
     """
     )
 
 
-@query("dedup_minhash_lsh", oracle=_minhash_oracle())
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup detection: signature per doc (one groupBy),
-    banding → equi-join candidate generation — the sub-quadratic 100 TB path."""
-    docs = load_table(spark, sf_dir, "documents", rebalance=True).filter(F.col("doc_id") % 5 == 0)
-    return minhash_lsh_pairs(docs, k=3, num_hashes=8, band_size=2, threshold=0.25)
+@query("jaccard_pairs_methods", oracle=_minhash_oracle())
+def jaccard_pairs_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both Jaccard-family near-dup detectors under one driver row (r6
+    consolidation of `dedup_ngram_jaccard` + `dedup_minhash_lsh` — same
+    shingle relation, same (doc_a, doc_b, score) pair shape).
+
+    `ngram_exact`: exact n-gram Jaccard via shingle-join candidate
+    generation (never a cross join) with the stop-shingle df cap active —
+    shingles in >1000 docs are dropped before the self-join (the skew
+    guard; the oracle mirrors the identical cap). `minhash_lsh`: MinHash
+    signature per doc (one groupBy) + banding → equi-join candidates —
+    the sub-quadratic 100 TB path, whose estimate the exact section
+    calibrates."""
+    docs = load_table(spark, sf_dir, "documents", rebalance=True).filter(
+        F.col("doc_id") % 5 == 0
+    )
+    exact = ngram_jaccard_pairs(docs, k=3, threshold=0.02, max_shingle_df=1000).select(
+        F.lit("ngram_exact").alias("method"),
+        "doc_a",
+        "doc_b",
+        F.col("jaccard").alias("score"),
+    )
+    mh = minhash_lsh_pairs(
+        docs, k=3, num_hashes=8, band_size=2, threshold=0.25
+    ).select(
+        F.lit("minhash_lsh").alias("method"),
+        "doc_a",
+        "doc_b",
+        F.col("est_jaccard").alias("score"),
+    )
+    return exact.unionByName(mh)
 
 
 # ---------------------------------------------------------------------------
