@@ -497,6 +497,69 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Trailing physical-time window aggregates (events)
+# ---------------------------------------------------------------------------
+
+_TRAIL_DAYS = 2
+_TRAIL_US = _TRAIL_DAYS * 86_400 * 1_000_000
+
+
+@query(
+    "trailing_time_window",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS t_us,
+             CAST(value AS DECIMAL(18,6)) AS v
+      FROM events
+    )
+    SELECT event_id, user_id, t_us,
+           CAST(SUM(v) OVER w AS DOUBLE) AS sum_{_TRAIL_DAYS}d,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_{_TRAIL_DAYS}d,
+           floor((CAST(SUM(v) OVER w AS DOUBLE)
+                  / (COUNT(*) OVER w)) * 1000000.0 + 0.5) / 1000000.0 AS avg6
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY t_us
+                 RANGE BETWEEN {_TRAIL_US} PRECEDING AND CURRENT ROW)
+    """,
+)
+def trailing_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing PHYSICAL-time window aggregates per user
+    (operators/timeseries.py::trailing_window): a {d}-day trailing
+    sum/count for every event — the frame ROWS windows can't express when
+    event spacing is irregular. RANGE over microsecond ordering; one
+    shuffle on user_id; within a partition the frame is a sliding pointer
+    over the sorted run (O(n) amortized). Sums accumulate in decimal so
+    the frame's internal add order can't leak into the result; the mean
+    is derived at the query edge from the exact sum/count pair (double
+    division, mirrored operation-for-operation)."""
+    from ..operators.timeseries import trailing_window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = trailing_window(
+        ev,
+        partition_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        trailing_days=_TRAIL_DAYS,
+        aggs=("sum", "count"),
+    )
+    s, n = f"sum_{_TRAIL_DAYS}d", f"n_{_TRAIL_DAYS}d"
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.col(s),
+        F.col(n),
+        round6(F.col(s) / F.col(n)).alias("avg6"),
+    )
+
+
+trailing_time_window.__doc__ = trailing_time_window.__doc__.format(d=_TRAIL_DAYS)
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF top terms (documents)
 # ---------------------------------------------------------------------------
 

@@ -39,22 +39,48 @@ def _dec_sum(col, alias: str, scale: str = "decimal(18,2)"):
 @query(
     "anti_join_new_keys",
     oracle="""
-    SELECT o_orderkey, o_custkey, o_totalprice
+    SELECT 'delta' AS section, o_orderkey, o_custkey, o_totalprice
     FROM orders
     WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0)
+    UNION ALL
+    SELECT 'empty_gate', o_orderkey, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM orders
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders)
     """,
 )
 def anti_join_new_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """New-key detection as LEFT ANTI join (J1). The 'existing sink keys' side
-    is simulated as every third orderkey. Existing side is key-only + broadcast
-    → BroadcastHashJoin(LeftAnti): the 100 TB candidate side never shuffles."""
+    """New-key detection as LEFT ANTI join (J1) plus the P5 empty-delta
+    gate in one driver row (r6 consolidation of `empty_delta_gate` — both
+    are the same broadcast anti-join machinery, at opposite overlap
+    extremes).
+
+    `delta`: the 'existing sink keys' side is simulated as every third
+    orderkey; existing side is key-only + broadcast →
+    BroadcastHashJoin(LeftAnti): the 100 TB candidate side never shuffles.
+    `empty_gate`: 100% overlap → provably empty delta (the engine's
+    is_empty() short-circuit consumes this; the driver verifies the delta
+    relation itself is empty — the section contributes zero rows)."""
     orders = load_table(spark, sf_dir, "orders")
     existing = orders.filter(F.col("o_orderkey") % 3 == 0).select("o_orderkey")
     # No dedup on the keys side: anti-join results are unaffected by
     # build-side duplicates and the dropDuplicates would cost a shuffle.
-    return orders.join(
+    delta = orders.join(
         F.broadcast(existing), "o_orderkey", "left_anti"
-    ).select("o_orderkey", "o_custkey", "o_totalprice")
+    ).select(
+        F.lit("delta").alias("section"),
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+    )
+    gate = orders.join(
+        F.broadcast(orders.select("o_orderkey")), "o_orderkey", "left_anti"
+    ).select(
+        F.lit("empty_gate").alias("section"),
+        "o_orderkey",
+        F.lit(None).cast("long").alias("o_custkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    return delta.unionByName(gate)
 
 
 @query(
@@ -86,20 +112,9 @@ def active_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "empty_delta_gate",
-    oracle="""
-    SELECT o_orderkey FROM orders
-    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders)
-    """,
-)
-def empty_delta_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P5: 100% overlap → empty delta. The engine's is_empty() gate consumes
-    this; here the driver verifies the delta itself is empty."""
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.join(
-        F.broadcast(orders.select("o_orderkey")), "o_orderkey", "left_anti"
-    ).select("o_orderkey")
+# The P5 empty-delta gate is driver-verified as the `empty_gate` section
+# of `anti_join_new_keys` (r6 consolidation — same broadcast anti-join
+# machinery at the 100%-overlap extreme).
 
 
 # ---------------------------------------------------------------------------
