@@ -113,30 +113,54 @@ def _neardup_methods_oracle() -> str:
       FROM emb_pairs
       ORDER BY floor(cos * 1000000.0 + 0.5) / 1000000.0 DESC, id_a, id_b
       LIMIT 5
+    ), fz AS (
+      SELECT c_custkey AS id, c_name AS t FROM customer
+      WHERE c_name IS NOT NULL AND c_custkey % 3 = 0
+    ), fzk AS (
+      SELECT id, t, t AS k FROM fz
+      UNION
+      SELECT id, t,
+             substr(t, 1, CAST(i AS INT) - 1)
+             || substr(t, CAST(i AS INT) + 1, length(t)) AS k
+      FROM fz, UNNEST(range(1, length(t) + 1)) AS u(i)
+    ), fz_cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.t AS ta, b.t AS tb
+      FROM fzk a JOIN fzk b ON a.k = b.k AND a.id < b.id
+    ), fz_pairs AS (
+      SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS DOUBLE) AS score
+      FROM fz_cand WHERE levenshtein(ta, tb) <= 1
     )
     SELECT 'simhash' AS method, doc_a AS id_a, doc_b AS id_b,
            CAST(hamming AS DOUBLE) AS score
     FROM cand WHERE hamming <= 4
     UNION ALL
     SELECT 'embedding' AS method, id_a, id_b, score FROM emb_top
+    UNION ALL
+    SELECT 'fuzzy_name' AS method, id_a, id_b, score FROM fz_pairs
     """
     )
 
 
 @query("neardup_pairs_methods", oracle=_neardup_methods_oracle())
 def neardup_pairs_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both hash-sketch near-dup pair detectors under one driver row (r6
-    consolidation of `dedup_simhash_pairs` + `embedding_neardup_pairs` —
-    same (id_a, id_b, score) pair shape, so a tag-union verifies both
-    sub-quadratic candidate plans side by side).
+    """The near-dup pair detectors under one driver row (r6 consolidation
+    of `dedup_simhash_pairs` + `embedding_neardup_pairs`, joined later in
+    r6 by the fuzzy-key detector — all share the (id_a, id_b, score) pair
+    shape, so a tag-union verifies every sub-quadratic candidate plan side
+    by side).
 
     `simhash`: Hamming-LSH banding on signature halves (union of
     equi-joins — never a cross join), exact bit_count rescore; score =
     Hamming distance. `embedding`: most-similar cosine pairs within a
     deterministic sample, candidates from the sign-LSH bucket equi-join
     (near-identical vectors share every hyperplane sign); score = cosine.
-    Both keep the candidate generation bucketed — the property pinned in
-    tests/test_scale_plans.py."""
+    `fuzzy_name`: edit-distance ≤ 1 entity resolution over customer names
+    via symmetric-delete blocking (operators/fuzzy.py — the deletion
+    neighborhood provably covers every distance-1 pair; candidates from a
+    hash equi-join, exact Levenshtein rescore); score = distance. All
+    three keep candidate generation bucketed/blocked — the property
+    pinned in tests/test_scale_plans.py."""
+    from ..operators.fuzzy import fuzzy_self_pairs
     from ..operators.similarity import most_similar_pairs
 
     docs = load_table(spark, sf_dir, "documents", rebalance=True).filter(
@@ -158,7 +182,17 @@ def neardup_pairs_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").cast("long").alias("id_b"),
         F.col("cosine").alias("score"),
     )
-    return sh.unionByName(emb)
+    fz = fuzzy_self_pairs(
+        load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0),
+        "c_custkey",
+        "c_name",
+    ).select(
+        F.lit("fuzzy_name").alias("method"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("dist").cast("double").alias("score"),
+    )
+    return sh.unionByName(emb).unionByName(fz)
 
 
 @query(

@@ -195,27 +195,79 @@ def semantic_neardup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT label,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
       FROM embeddings
+    ),
+    qv AS (
+      SELECT label, CAST(embedding AS DOUBLE[]) AS v,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS amax
+      FROM embeddings
+    ),
+    qe AS (
+      SELECT label,
+             CASE WHEN amax > 0 THEN
+               list_max(list_transform(v, x ->
+                 abs(x - CAST(CAST(round(x * 127.0 / amax) AS TINYINT) AS DOUBLE)
+                         * CAST(CAST(amax / 127.0 AS REAL) AS DOUBLE))))
+             ELSE 0.0 END AS max_err
+      FROM qv
     )
-    SELECT label,
+    SELECT 'norm' AS section, label,
            CAST(COUNT(*) AS BIGINT) AS n_vecs,
-           floor((CAST(SUM(CAST(nrm AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_norm
+           floor((CAST(SUM(CAST(nrm AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_v
     FROM n
+    GROUP BY label
+    UNION ALL
+    SELECT 'quant_err', label,
+           CAST(COUNT(*) AS BIGINT),
+           floor((CAST(SUM(CAST(max_err AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0
+    FROM qe
     GROUP BY label
     """,
 )
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label vector-norm stats — JVM-side higher-order aggregate over
-    the array column; decimal-exact mean keeps it order-independent."""
-    from ..functions.vectors import l2_norm
+    """Per-label vector stats in two tagged sections — JVM-side
+    higher-order aggregates over the array column, decimal-exact means.
+
+    `norm`: average L2 norm. `quant_err` (r6): average per-vector MAX
+    absolute reconstruction error of symmetric int8 quantization
+    (functions/vectors.py::quantize_int8/dequantize_int8 — the 4×
+    storage/shuffle-narrowing path), putting the quantizer's exact
+    round-trip arithmetic (including its float32 scale) under the driver
+    oracle. Max-then-mean keeps every per-vector reduction
+    order-independent (max commutes; the mean sums in decimal)."""
+    from ..functions.vectors import dequantize_int8, l2_norm, quantize_int8
 
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
-    return (
+    norm = (
         emb.select("label", l2_norm("embedding").alias("nrm"))
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
             round6(
                 F.sum(F.col("nrm").cast("decimal(18,12)")).cast("double") / F.count(F.lit(1))
-            ).alias("avg_norm"),
+            ).alias("avg_v"),
+        )
+        .select(F.lit("norm").alias("section"), "label", "n_vecs", "avg_v")
+    )
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    err = (
+        emb.withColumn("_q", quantize_int8("embedding"))
+        .withColumn("_deq", dequantize_int8("_q"))
+        .select(
+            "label",
+            F.array_max(
+                F.zip_with(vd, F.col("_deq"), lambda a, b: F.abs(a - b))
+            ).alias("max_err"),
         )
     )
+    quant = (
+        err.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            round6(
+                F.sum(F.col("max_err").cast("decimal(18,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_v"),
+        )
+        .select(F.lit("quant_err").alias("section"), "label", "n_vecs", "avg_v")
+    )
+    return norm.unionByName(quant)
