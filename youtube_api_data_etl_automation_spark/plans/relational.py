@@ -86,30 +86,67 @@ def anti_join_new_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "active_segment_rollup",
     oracle="""
-    SELECT c_mktsegment,
-           CAST(COUNT(*) AS BIGINT) AS n_customers,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    SELECT 'semi_having' AS section, c_mktsegment AS group_key,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     GROUP BY c_mktsegment
     HAVING COUNT(*) > 10
+    UNION ALL
+    SELECT 'range_window', o_orderpriority, CAST(COUNT(*) AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM orders JOIN lineitem
+      ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+    GROUP BY o_orderpriority
     """,
 )
 def active_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT SEMI join (membership without multiplying rows) feeding a
-    GROUP BY + HAVING (post-aggregation filter) — one query demonstrating
-    both: only customers with ≥1 order, rolled up per segment, small
-    segments filtered after the aggregate."""
+    """Two join-feeding-rollup shapes in one driver row (r6 consolidation
+    of `active_segment_rollup` + `range_join_ship_window`).
+
+    `semi_having`: LEFT SEMI join (membership without multiplying rows)
+    feeding GROUP BY + HAVING — only customers with ≥1 order, rolled up
+    per segment, small segments filtered post-aggregate. `range_window`:
+    equi+range join — the equi key carries the hash join; the date-range
+    predicate is a post-join filter, so there is no nested-loop blowup at
+    scale."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     active = customer.join(
         orders.select("o_custkey"), customer.c_custkey == F.col("o_custkey"), "left_semi"
     )
-    return (
+    semi = (
         active.groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_customers"), _dec_sum("c_acctbal", "total_bal"))
         .filter(F.col("n_customers") > 10)
+        .select(
+            F.lit("semi_having").alias("section"),
+            F.col("c_mktsegment").alias("group_key"),
+            F.col("n_customers").alias("n"),
+            F.col("total_bal").alias("total"),
+        )
     )
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate >= orders.o_orderdate)
+        & (li.l_shipdate <= orders.o_orderdate + F.expr("INTERVAL 30 DAYS"))
+    )
+    rng = (
+        orders.join(li, cond)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_fast_lines"))
+        .select(
+            F.lit("range_window").alias("section"),
+            F.col("o_orderpriority").alias("group_key"),
+            F.col("n_fast_lines").alias("n"),
+            F.lit(None).cast("double").alias("total"),
+        )
+    )
+    return semi.unionByName(rng)
 
 
 # The P5 empty-delta gate is driver-verified as the `empty_gate` section
@@ -273,32 +310,9 @@ def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "range_join_ship_window",
-    oracle="""
-    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_fast_lines
-    FROM orders JOIN lineitem
-      ON l_orderkey = o_orderkey
-     AND l_shipdate >= o_orderdate
-     AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
-    GROUP BY o_orderpriority
-    """,
-)
-def range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi+range join: equi key carries the hash join; the range predicate
-    is a post-join filter — no nested-loop blowup at scale."""
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    cond = (
-        (li.l_orderkey == orders.o_orderkey)
-        & (li.l_shipdate >= orders.o_orderdate)
-        & (li.l_shipdate <= orders.o_orderdate + F.expr("INTERVAL 30 DAYS"))
-    )
-    return (
-        orders.join(li, cond)
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_fast_lines"))
-    )
+# The equi+range ship-window join is driver-verified as the
+# `range_window` section of `active_segment_rollup` (r6 consolidation —
+# both are join-feeding-rollup shapes).
 
 
 # ---------------------------------------------------------------------------

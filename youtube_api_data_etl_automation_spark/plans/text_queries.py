@@ -832,3 +832,58 @@ def quality_clf_training(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 quality_clf_training.__doc__ = quality_clf_training.__doc__.format(r=_CLF_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (long docs → overlapping token windows)
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 24
+_CHUNK_OVERLAP = 4
+_CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP
+
+
+@query(
+    "chunk_documents_windows",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN norm = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(norm, ' ') END AS ts
+      FROM (SELECT doc_id, {_NORM.format(col='text')} AS norm FROM documents)
+    ),
+    sized AS (
+      SELECT doc_id, ts, len(ts) AS n,
+             greatest(CAST(ceil((len(ts) - {_CHUNK_OVERLAP}) / {_CHUNK_STRIDE}.0) AS BIGINT), 1) AS n_chunks
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_idx,
+           CAST(i * {_CHUNK_STRIDE} + 1 AS INT) AS start_token,
+           CAST(least(n - i * {_CHUNK_STRIDE}, {_CHUNK_TOKENS}) AS INT) AS n_tokens,
+           array_to_string(list_slice(ts, CAST(i * {_CHUNK_STRIDE} + 1 AS INT),
+                                      CAST(i * {_CHUNK_STRIDE} + {_CHUNK_TOKENS} AS INT)), ' ') AS chunk
+    FROM sized, UNNEST(range(0, n_chunks)) AS u(i)
+    WHERE n > 0
+    """,
+)
+def chunk_documents_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking (operators/chunking.py) under the driver oracle:
+    every doc cut into {ct}-token windows with {co} tokens of overlap,
+    provenance kept (chunk_idx, start_token, span) and the chunk TEXT
+    itself compared byte-for-byte. Tokens are projected once; chunk starts
+    come from a sequence() stride; the explode fans out in-partition — no
+    shuffle, no UDF, linear in corpus size. The inverse direction of
+    sequence packing (one long doc → many bounded windows); pipelines run
+    chunking then packing."""
+    from ..operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    return chunk_documents(
+        docs, chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP
+    )
+
+
+chunk_documents_windows.__doc__ = chunk_documents_windows.__doc__.format(
+    ct=_CHUNK_TOKENS, co=_CHUNK_OVERLAP
+)
