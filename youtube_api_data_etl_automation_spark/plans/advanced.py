@@ -592,17 +592,66 @@ trailing_time_window.__doc__ = trailing_time_window.__doc__.format(d=_TRAIL_DAYS
       SELECT doc_id, term, tfidf,
              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
       FROM scored
+    ),
+    pmi_n AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+      FROM documents WHERE doc_id % 11 = 0
+    ),
+    pmi_t AS (
+      SELECT doc_id,
+             CASE WHEN norm = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(norm, ' ') END AS ts
+      FROM pmi_n
+    ),
+    pmi_uni AS (
+      SELECT a, CAST(COUNT(*) AS BIGINT) AS c_a FROM (
+        SELECT unnest(ts) AS a FROM pmi_t
+      ) GROUP BY a
+    ),
+    pmi_bi AS (
+      SELECT ts[i] AS a, ts[i+1] AS b, CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM pmi_t, UNNEST(range(1, greatest(len(ts), 1))) AS u(i)
+      WHERE i < len(ts)
+      GROUP BY 1, 2
+    ),
+    pmi_total AS (SELECT CAST(SUM(c_a) AS DOUBLE) AS nt FROM pmi_uni),
+    pmi_scored AS (
+      SELECT bi.a, bi.b, bi.c_ab,
+             {sql_round6('ln(CAST(bi.c_ab AS DOUBLE) * t.nt / (CAST(ua.c_a AS DOUBLE) * CAST(ub.c_a AS DOUBLE)))')} AS pmi
+      FROM pmi_bi bi
+      JOIN pmi_uni ua ON bi.a = ua.a
+      JOIN pmi_uni ub ON bi.b = ub.a
+      CROSS JOIN pmi_total t
+      WHERE bi.c_ab >= 3
+    ),
+    pmi_top AS (
+      SELECT a, b, c_ab, pmi FROM pmi_scored
+      ORDER BY pmi DESC, a, b LIMIT 20
     )
-    SELECT doc_id, term, tfidf FROM ranked WHERE rn = 1
+    SELECT 'tfidf' AS section, doc_id, term AS term_a,
+           CAST(NULL AS VARCHAR) AS term_b, CAST(NULL AS BIGINT) AS n,
+           tfidf AS score
+    FROM ranked WHERE rn = 1
+    UNION ALL
+    SELECT 'pmi', CAST(NULL AS BIGINT), a, b, c_ab, pmi FROM pmi_top
     """,
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF with the classic smoothed idf ln((1+N)/(1+df)): per-doc term
-    frequencies (one shuffle on (doc, term)), document frequencies reduced
-    from the TF relation (no second pass over raw text), N as a broadcast
-    scalar, top term per doc via window. The (doc,term) relation — not raw
-    text — is what shuffles, which is what makes this shape work at 100 TB."""
+    """Term statistics in two tagged sections.
+
+    `tfidf`: TF-IDF with the classic smoothed idf ln((1+N)/(1+df)):
+    per-doc term frequencies (one shuffle on (doc, term)), document
+    frequencies reduced from the TF relation (no second pass over raw
+    text), N as a broadcast scalar, top term per doc. The (doc,term)
+    relation — not raw text — is what shuffles, which is what makes this
+    shape work at 100 TB. `pmi` (r6): PMI collocation detection
+    (operators/lm.py::pmi_collocations) — top-20 adjacent word pairs by
+    pointwise mutual information, reusing the bigram LM's count relations
+    (no extra corpus pass); 'frequently together relative to chance', the
+    classic collocation signal, now value-verified against the SQL
+    retraining of the identical counts."""
     from ..functions.text import tokens
+    from ..operators.lm import pmi_collocations, train_bigram_lm
 
     docs = load_table(spark, sf_dir, "documents", rebalance=True).filter(
         F.col("doc_id") % 3 == 0
@@ -633,7 +682,35 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct((-F.col("tfidf")).alias("_nt"), F.col("term")),
         ).alias("_b")
     )
-    return best.select("doc_id", F.col("_b.term").alias("term"), F.col("_b.tfidf").alias("tfidf"))
+    tfidf_rows = best.select(
+        F.lit("tfidf").alias("section"),
+        "doc_id",
+        F.col("_b.term").alias("term_a"),
+        F.lit(None).cast("string").alias("term_b"),
+        F.lit(None).cast("long").alias("n"),
+        F.col("_b.tfidf").alias("score"),
+    )
+
+    ref = load_table(spark, sf_dir, "documents", rebalance=True).filter(
+        F.col("doc_id") % 11 == 0
+    )
+    lm = train_bigram_lm(ref)
+    pmi = pmi_collocations(lm, min_count=3, top_k=None).select(
+        "a", "b", "c_ab", round6(F.col("pmi")).alias("score")
+    )
+    pmi_rows = (
+        pmi.orderBy(F.desc("score"), F.asc("a"), F.asc("b"))
+        .limit(20)
+        .select(
+            F.lit("pmi").alias("section"),
+            F.lit(None).cast("long").alias("doc_id"),
+            F.col("a").alias("term_a"),
+            F.col("b").alias("term_b"),
+            F.col("c_ab").cast("long").alias("n"),
+            "score",
+        )
+    )
+    return tfidf_rows.unionByName(pmi_rows)
 
 
 @query(
