@@ -94,13 +94,13 @@ def test_ngram_contamination_flags_overlap_only(spark):
 
 def test_stratified_sample_partitioning_invariant(spark):
     from youtube_api_data_etl_automation_spark.plans.curation import (
-        stratified_sample_docs,
+        sampling_audits,
     )
 
     import os
     import tempfile
 
-    a = {tuple(r) for r in stratified_sample_docs(spark, SF_DIR).collect()}
+    a = {tuple(r) for r in sampling_audits(spark, SF_DIR).collect()}
     # Same query over a REWRITTEN, repartitioned copy of the table must
     # produce identical strata: the keep decision is content-hash-based,
     # not partition/file-layout-based. (The copy lives in its own sf-style
@@ -112,18 +112,23 @@ def test_stratified_sample_partitioning_invariant(spark):
         .write.mode("overwrite")
         .parquet(os.path.join(alt, "documents.parquet"))
     )
-    b = {tuple(r) for r in stratified_sample_docs(spark, alt).collect()}
+    b = {tuple(r) for r in sampling_audits(spark, alt).collect()}
     assert a == b
-    for lang, n_docs, n_sampled, *_ in a:
-        assert 0 <= n_sampled <= n_docs
+    for section, _stratum, n_docs, n_sampled, *_ in a:
+        if section == "stratified":
+            assert 0 <= n_sampled <= n_docs
 
 
 def test_stratified_rates_follow_targets(spark):
     from youtube_api_data_etl_automation_spark.plans.curation import (
-        stratified_sample_docs,
+        sampling_audits,
     )
 
-    rows = {r.lang: r for r in stratified_sample_docs(spark, SF_DIR).collect()}
+    rows = {
+        r.stratum: r
+        for r in sampling_audits(spark, SF_DIR).collect()
+        if r.section == "stratified"
+    }
     assert rows["de"].n_sampled == rows["de"].n_docs  # rate 1.0 keeps all
     for lang, r in rows.items():
         # Achieved rate within a loose binomial band of the target (the
