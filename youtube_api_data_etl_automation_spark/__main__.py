@@ -1,0 +1,122 @@
+"""CLI entry point — the drop-in replacement for the reference's script run.
+
+The reference runs `python fetch_youtube_data.py` from a daily cron
+(`.github/workflows/daily_etl.yml:5-7`); this module makes the engine
+invocable the same way:
+
+    python -m youtube_api_data_etl_automation_spark etl \
+        --channels UCabc,UCdef --warehouse /data/wh --transport https
+
+    python -m youtube_api_data_etl_automation_spark curate \
+        --input /data/docs.parquet --output /data/shards \
+        --benchmark /data/eval_docs.parquet
+
+Each subcommand prints ONE JSON line of counters on success (the
+reference's log counters for `etl`; the per-stage audit for `curate`), so
+cron logs stay grep-able and a scheduler can assert on the output.
+Exit code is non-zero on any failure — a cron that ignores output still
+notices.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _cmd_etl(args: argparse.Namespace) -> int:
+    from .pipeline import run_etl
+    from .session import get_spark
+
+    spark = get_spark("youtube-etl", master=args.master)
+    counts = run_etl(
+        spark,
+        channel_ids=[c for c in args.channels.split(",") if c],
+        warehouse=args.warehouse,
+        transport=args.transport,
+        seed=args.seed,
+    )
+    print(json.dumps({"status": "ok", **counts}))
+    return 0
+
+
+def _cmd_curate(args: argparse.Namespace) -> int:
+    from .corpus import curate_corpus, write_training_shards
+    from .session import get_spark
+
+    spark = get_spark("corpus-curate", master=args.master)
+    docs = spark.read.parquet(args.input)
+    benchmark = spark.read.parquet(args.benchmark) if args.benchmark else None
+    lang_rates = None
+    if args.lang_rates:
+        lang_rates = {
+            lang: int(rate)
+            for lang, rate in (kv.split("=") for kv in args.lang_rates.split(","))
+        }
+    out = curate_corpus(
+        docs,
+        benchmark=benchmark,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        min_tokens=args.min_tokens,
+        max_tokens=args.max_tokens,
+        quality_min=args.quality_min,
+        lang_rates=lang_rates,
+        pack_budget=args.pack_budget,
+        n_shards=args.shards,
+        audit=True,
+    )
+    write_training_shards(out["documents"], args.output)
+    report = {r["stage"]: r["n_docs"] for r in out["report"].collect()}
+    print(json.dumps({"status": "ok", "output": args.output, "stages": report}))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m youtube_api_data_etl_automation_spark",
+        description=__doc__.split("\n\n")[0],
+    )
+    p.add_argument("--master", default=None, help="Spark master (default: local[$SPARK_GRAFT_CPUS])")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    etl = sub.add_parser("etl", help="one incremental ETL run (the reference's daily job)")
+    etl.add_argument("--channels", required=True, help="comma-separated channel ids")
+    etl.add_argument("--warehouse", required=True, help="sink directory (video_stats/ + channel_stats/)")
+    etl.add_argument(
+        "--transport",
+        default="https",
+        choices=["https", "fake"],
+        help="https = real YouTube Data API v3 (YOUTUBE_API_KEY env); fake = hermetic deterministic transport",
+    )
+    etl.add_argument("--seed", type=int, default=42, help="fake-transport seed")
+    etl.set_defaults(fn=_cmd_etl)
+
+    cur = sub.add_parser("curate", help="full corpus curation + training-shard write")
+    cur.add_argument("--input", required=True, help="documents parquet path")
+    cur.add_argument("--output", required=True, help="training-shards output dir")
+    cur.add_argument("--benchmark", default=None, help="eval-set parquet for decontamination")
+    cur.add_argument("--id-col", default="doc_id")
+    cur.add_argument("--text-col", default="text")
+    cur.add_argument("--min-tokens", type=int, default=10)
+    cur.add_argument("--max-tokens", type=int, default=1000)
+    cur.add_argument("--quality-min", type=float, default=0.55)
+    cur.add_argument(
+        "--lang-rates",
+        default=None,
+        help="per-language keep-rates out of 256, e.g. en=128,fr=64 (default: keep all)",
+    )
+    cur.add_argument("--pack-budget", type=int, default=2048)
+    cur.add_argument("--shards", type=int, default=16)
+    cur.set_defaults(fn=_cmd_curate)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
