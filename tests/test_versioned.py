@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from youtube_api_data_etl_automation_spark.operators.versioned import (
+    ConcurrentWriteError,
     commit_version,
     compact_versioned,
     current_version,
@@ -79,6 +80,16 @@ def test_every_observed_state_is_a_committed_state(spark, tmp_path):
         assert observed in states
 
 
+def _backdate(path: str, hours: float = 12.0) -> None:
+    """Age a planted debris dir past the staging-GC horizon: the r6 CAS
+    hardening only reclaims MARKER-LESS slots older than the horizon (a
+    fresh one may be a live writer's rename->marker window)."""
+    import time
+
+    t = time.time() - hours * 3600
+    os.utime(path, (t, t))
+
+
 def test_uncommitted_debris_is_invisible_and_reclaimed(spark, tmp_path):
     """A crashed writer's marker-less dir: readers skip it, the next
     commit reclaims the same version number."""
@@ -95,6 +106,14 @@ def test_uncommitted_debris_is_invisible_and_reclaimed(spark, tmp_path):
     got = {(r.k, r.v) for r in read_current(spark, base).collect()}
     assert got == {("a", 1)}
 
+    # FRESH marker-less debris could be a live writer mid-publish: the
+    # next committer must refuse the slot rather than destroy it.
+    with pytest.raises(ConcurrentWriteError):
+        commit_version(_df(spark, [("a", 1), ("b", 2)]), base)
+    assert current_version(spark, base) == 1
+
+    # Aged past the horizon it is provably crashed debris — reclaimed.
+    _backdate(debris)
     v = commit_version(_df(spark, [("a", 1), ("b", 2)]), base)
     assert v == 2  # debris slot reclaimed
     got = {(r.k, r.v) for r in read_current(spark, base).collect()}
@@ -217,7 +236,9 @@ def test_incremental_agg_versioned_crash_pre_marker_refolds_once(spark, tmp_path
     assert not os.path.exists(os.path.join(debris, "_COMMITTED"))
     assert current_version(spark, base) == 1  # debris invisible
 
-    # the retry reclaims slot 2 and folds b2 exactly once
+    # the retry (after the debris ages past the horizon) reclaims slot 2
+    # and folds b2 exactly once
+    _backdate(debris)
     incremental_agg_versioned(b2, base, ["k"], ["x"], batch_id="b2")
     [row] = read_agg_state(spark, base).collect()
     assert row.cnt == 2 and float(row.sum_x) == 6.0

@@ -210,9 +210,13 @@ def ivf_recall_report(corpus: DataFrame, queries: DataFrame,
     aggregate (no crossJoin/BNLJ; the same audit idiom as
     semantic_neardup's summary row). Everything is deterministic given
     fixed centroids, so recall values are exactly reproducible."""
+    # Materialize the exact-truth relation once: it is consumed twice per
+    # nprobe (semi-join probe side + tag-union denominator), and without
+    # the checkpoint the O(|corpus|·|queries|·d) brute-force pass would
+    # replay 2·len(nprobes) times (r6 review finding).
     truth = brute_force_topk(
         corpus, queries, top_k=top_k, id_col=id_col, vec_col=vec_col
-    ).select("query_id", "neighbor_id")
+    ).select("query_id", "neighbor_id").localCheckpoint()
     report = None
     for np_ in nprobes:
         got = ivf_topk(
@@ -328,4 +332,12 @@ def semantic_neardup(corpus: DataFrame, centroids: DataFrame, *,
     )
     drops = dup_pairs.select(F.col("id_b").alias(id_col)).distinct()
     survivors = corpus.join(drops, id_col, "left_anti")
-    return {"survivors": survivors, "dup_pairs": dup_pairs}
+    # Expose the cached assignment so a long-lived session can release it
+    # (assignment.unpersist()) after materializing the consumers — without
+    # the handle every call would leak one persisted full-corpus relation
+    # until clearCache (r6 review finding).
+    return {
+        "survivors": survivors,
+        "dup_pairs": dup_pairs,
+        "assignment": assigned,
+    }

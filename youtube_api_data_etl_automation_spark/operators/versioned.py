@@ -46,6 +46,7 @@ overwrites what is being read.
 
 from __future__ import annotations
 
+import os
 import re
 import uuid
 
@@ -55,7 +56,15 @@ from pyspark.sql import functions as F
 _COMMITTED = "_COMMITTED"
 _VERSION_RE = re.compile(r"^v=(\d{9})$")
 _STAGING_SUB = "_staging"
-_STAGING_MAX_AGE_MS = 3_600_000  # abandoned-staging reclaim horizon
+# Abandoned-staging / crashed-debris reclaim horizon. MUST exceed the
+# longest plausible single write into a staging dir: a Spark parquet job
+# leaves the tx-* dir's mtime at job start (task files land under
+# _temporary/), so a horizon shorter than the write would let a
+# concurrent committer's GC delete a LIVE writer's staging mid-job.
+# Override via SPARK_GRAFT_STAGING_GC_MS for long-running 100 TB writes.
+_STAGING_MAX_AGE_MS = int(
+    os.environ.get("SPARK_GRAFT_STAGING_GC_MS", 6 * 3_600_000)
+)
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -94,8 +103,15 @@ def _try_rename_cas(spark: SparkSession, jvm, spath, vpath) -> bool:
     try:
         fc.rename(spath, vpath, no_opts)
         return True
-    except Py4JJavaError:
-        return False
+    except Py4JJavaError as e:
+        # ONLY a destination-exists failure is "CAS lost". Anything else
+        # (permission denied, safe mode, network IO) must surface — the
+        # r6-review hazard was swallowing it, deleting the fully-written
+        # staging, and telling the caller to retry forever.
+        msg = str(e.java_exception) if e.java_exception is not None else str(e)
+        if "AlreadyExists" in msg or "already exists" in msg:
+            return False
+        raise
 
 
 def _publish_version(spark: SparkSession, base_path: str, new_v: int,
@@ -105,11 +121,16 @@ def _publish_version(spark: SparkSession, base_path: str, new_v: int,
     create-exclusively. Raises :class:`ConcurrentWriteError` (after
     deleting the staging debris) if the slot was won by another writer —
     the rename is the compare-and-swap: it fails when the destination
-    exists. A marker-less dir already in the slot is crashed-writer
-    debris from the tiny rename→marker window; it is reclaimed and the
-    rename retried once. Two LIVE writers can no longer interleave data
-    files: each writes only its own staging, and exactly one rename can
-    win the slot."""
+    exists. A marker-less dir already in the slot is reclaimed ONLY when
+    it is older than the staging-GC horizon: a marker always follows its
+    rename within milliseconds, so an hour-old marker-less slot is
+    provably crashed-writer debris, while a FRESH marker-less slot may be
+    a live writer inside its rename→marker window — deleting that (the
+    r6-review TOCTOU) could destroy a concurrent writer's just-renamed or
+    even just-committed data while both writers report success. Two LIVE
+    writers can therefore never interleave or destroy each other's data:
+    each writes only its own staging, exactly one rename wins the slot,
+    and the loser only ever deletes its own staging."""
     jvm, _, fs = _fs(spark, base_path)
     vdir = version_path(base_path, new_v)
     vpath = jvm.org.apache.hadoop.fs.Path(vdir)
@@ -127,8 +148,14 @@ def _publish_version(spark: SparkSession, base_path: str, new_v: int,
         if fs.exists(marker):
             raise lose("slot already committed by another writer")
         if fs.exists(vpath):
-            # Marker-less slot: crashed-writer debris (the rename→marker
-            # window). Reclaim it and retry the CAS exactly once.
+            now = jvm.java.lang.System.currentTimeMillis()
+            age = now - fs.getFileStatus(vpath).getModificationTime()
+            if age <= _STAGING_MAX_AGE_MS:
+                # Fresh marker-less slot: a live writer's rename→marker
+                # window (or its about-to-land marker). Never reclaim.
+                raise lose("slot held by an in-flight writer")
+            # Aged marker-less slot: crashed-writer debris. Reclaim and
+            # retry the CAS exactly once.
             fs.delete(vpath, True)
             if not _try_rename_cas(spark, jvm, spath, vpath):
                 raise lose("slot re-taken while reclaiming crashed debris")

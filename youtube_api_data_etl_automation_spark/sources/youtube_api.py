@@ -400,6 +400,25 @@ def make_transport(options: dict):
     )
 
 
+def _resolve_fs(path: str):
+    """(pyarrow FileSystem, fs-local path, pafs module) for ``path``.
+
+    ``FileSystem.from_uri`` rejects scheme-less paths ("URI has empty
+    scheme"), but scheme-less is exactly what a relative --warehouse on
+    the CLI produces (and what the pre-r6 glob implementation accepted) —
+    so bare paths resolve to the local filesystem via abspath, while
+    hdfs://, s3://, file:// paths go through from_uri unchanged."""
+    import os as _os
+    import re as _re
+
+    from pyarrow import fs as pafs
+
+    if _re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path):
+        fsys, rel = pafs.FileSystem.from_uri(path)
+        return fsys, rel, pafs
+    return pafs.LocalFileSystem(), _os.path.abspath(path), pafs
+
+
 class _Partition(InputPartition):
     def __init__(self, kind: str, payload):
         self.kind = kind
@@ -450,9 +469,8 @@ class YouTubeReader(DataSourceReader):
         empty videos read while the pipeline believes new_videos > 0
         (silent-data-loss fix, ADVICE r5)."""
         import pyarrow.parquet as pq
-        from pyarrow import fs as pafs
 
-        fsys, rel = pafs.FileSystem.from_uri(path)
+        fsys, rel, pafs = _resolve_fs(path)
         info = fsys.get_file_info(rel)
         if info.type == pafs.FileType.File:
             files = [rel]
@@ -515,13 +533,12 @@ class YouTubeReader(DataSourceReader):
                 page += 1
         elif partition.kind == "videos_staged":
             import pyarrow.parquet as pq
-            from pyarrow import fs as pafs
 
             fpath, rg = partition.payload
             col = self.options.get("ids_column", "videoId")
             # re-resolve the staging filesystem on the EXECUTOR from the
             # original option (the payload path is fs-relative)
-            fsys, _ = pafs.FileSystem.from_uri(self.options["video_ids_path"])
+            fsys, _, _ = _resolve_fs(self.options["video_ids_path"])
             with fsys.open_input_file(fpath) as fh:
                 ids = (
                     pq.ParquetFile(fh)
