@@ -194,3 +194,90 @@ def test_incremental_agg_batch_id_makes_retry_a_noop(spark, tmp_path):
     state = incremental_agg(b1, state_path, keys=["k"], sum_cols=["v"], batch_id="b2")
     rows = {r["k"]: (r["cnt"], float(r["sum_v"])) for r in state.collect()}
     assert rows == {"x": (4, 6.0)}
+
+
+def test_null_key_append_stays_idempotent(spark, tmp_path):
+    """r6: the anti-join key match is NULL-safe, so a NULL-key row appends
+    once and a retry of the same delta appends nothing — previously the
+    NULL = NULL comparison never matched and every retry duplicated it."""
+    from youtube_api_data_etl_automation_spark.operators.incremental import (
+        append_delta,
+    )
+
+    sink = str(tmp_path / "null_sink")
+    delta = spark.createDataFrame([("k1", 1), (None, 2)], "key string, v int")
+    assert append_delta(delta, sink, "key") == 2
+    # retry of the identical delta: both keys (incl. NULL) already present
+    assert append_delta(delta, sink, "key") == 0
+    rows = spark.read.parquet(sink).collect()
+    assert len(rows) == 2
+
+
+def test_merge_upsert_null_key_replaces_not_accumulates(spark, tmp_path):
+    from youtube_api_data_etl_automation_spark.operators.incremental import (
+        merge_upsert,
+    )
+
+    sink = str(tmp_path / "null_dim")
+    merge_upsert(
+        spark.createDataFrame([("a", 1), (None, 10)], "key string, v int"),
+        sink,
+        "key",
+    )
+    for v in (20, 30):
+        merge_upsert(
+            spark.createDataFrame([(None, v)], "key string, v int"), sink, "key"
+        )
+    got = {(r.key, r.v) for r in spark.read.parquet(sink).collect()}
+    assert got == {("a", 1), (None, 30)}  # replaced, not accumulated
+
+
+def test_merge_upsert_recovers_stranded_stage(spark, tmp_path):
+    """r6 staged overwrite: a crash between the sink delete and the stage
+    rename leaves the complete stage on disk; the next call promotes it
+    instead of treating the sink as first-run."""
+    import shutil
+
+    from youtube_api_data_etl_automation_spark.operators.incremental import (
+        _stage_path,
+        merge_upsert,
+    )
+
+    sink = str(tmp_path / "dim")
+    merge_upsert(
+        spark.createDataFrame([("a", 1), ("b", 2)], "key string, v int"),
+        sink,
+        "key",
+    )
+    # Simulate the crash window: full new state sits in the stage, sink gone.
+    spark.createDataFrame(
+        [("a", 9), ("b", 2)], "key string, v int"
+    ).write.parquet(_stage_path(sink))
+    shutil.rmtree(sink)
+    merge_upsert(
+        spark.createDataFrame([("c", 3)], "key string, v int"), sink, "key"
+    )
+    got = {(r.key, r.v) for r in spark.read.parquet(sink).collect()}
+    assert got == {("a", 9), ("b", 2), ("c", 3)}  # staged state recovered
+
+
+def test_stale_sidecar_voided_by_batchless_rebuild(spark, tmp_path):
+    """r6: rebuilding a deleted state WITHOUT a batch_id must still void
+    the applied-batch sidecar, else later replays of previously-applied
+    ids are silently skipped against the rebuilt state."""
+    import shutil
+
+    from youtube_api_data_etl_automation_spark.operators.incremental import (
+        incremental_agg,
+    )
+
+    state = str(tmp_path / "agg_state")
+    b1 = spark.createDataFrame([("k", 1.0)], "g string, x double")
+    incremental_agg(b1, state, ["g"], ["x"], batch_id="b1")
+    shutil.rmtree(state)
+    # rebuild WITHOUT a batch id — previously left the sidecar in place
+    incremental_agg(b1, state, ["g"], ["x"], batch_id=None)
+    # replay of 'b1' must fold (the sidecar was voided), not be skipped
+    incremental_agg(b1, state, ["g"], ["x"], batch_id="b1")
+    [row] = spark.read.parquet(state).collect()
+    assert row.cnt == 2 and float(row.sum_x) == 2.0

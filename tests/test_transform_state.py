@@ -82,7 +82,7 @@ def _drive_processor(user_chunks):
         # Stale timer first (armed before the last events): must not emit.
         state = handle.states["open"]
         assert state.exists()
-        _, last_us, _, _ = state.get()
+        _, last_us, _, _, _ = state.get()
         stale = list(
             proc.handleExpiredTimer(
                 (user_id,), None, FakeExpiredTimer(last_us // 1000 + GAP_MS - 1)
@@ -110,7 +110,9 @@ def test_processor_matches_batch_sessionizer(spark):
             "user_id",
             "event_id",
             F.unix_micros("ts").alias("ts_us"),
-            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            (F.col("value").cast("decimal(18,6)") * F.lit(1_000_000))
+            .cast("long")
+            .alias("micros"),
         )
         .toPandas()
         .sort_values(["user_id", "ts_us", "event_id"])
@@ -157,8 +159,8 @@ def test_processor_matches_batch_sessionizer(spark):
 def test_empty_chunk_and_single_event_sessions(spark):
     """Degenerate shapes: a chunk with zero rows for a key must not corrupt
     state; a single event forms a 1-event, 0-duration session."""
-    chunk1 = pd.DataFrame({"ts_us": [1_000_000], "event_id": [1], "cents": [250]})
-    chunk2 = pd.DataFrame({"ts_us": [], "event_id": [], "cents": []})
+    chunk1 = pd.DataFrame({"ts_us": [1_000_000], "event_id": [1], "micros": [2_500_000]})
+    chunk2 = pd.DataFrame({"ts_us": [], "event_id": [], "micros": []})
     proc = make_session_closer(GAP_MIN)
     handle = FakeHandle()
     proc.init(handle)
@@ -166,7 +168,7 @@ def test_empty_chunk_and_single_event_sessions(spark):
     out.extend(proc.handleInputRows((7,), iter([chunk1]), None) or [])
     out.extend(proc.handleInputRows((7,), iter([chunk2]), None) or [])
     state = handle.states["open"]
-    _, last_us, _, _ = state.get()
+    _, last_us, _, _, _ = state.get()
     out.extend(
         proc.handleExpiredTimer((7,), None, FakeExpiredTimer(last_us // 1000 + GAP_MS))
         or []
@@ -199,22 +201,54 @@ def test_late_event_does_not_regress_frontier(spark):
     proc.init(handle)
     out = []
     t0 = 10_000 * MIN
-    b1 = pd.DataFrame({"ts_us": [t0], "event_id": [1], "cents": [100]})
+    b1 = pd.DataFrame({"ts_us": [t0], "event_id": [1], "micros": [1_000_000]})
     # Late event 5 min BEFORE t0, then an on-time event 26 min after t0:
     # 26 < 30 gap from the frontier, so all three are ONE session.
     b2 = pd.DataFrame(
-        {"ts_us": [t0 - 5 * MIN, t0 + 26 * MIN], "event_id": [2, 3], "cents": [10, 1]}
+        {
+            "ts_us": [t0 - 5 * MIN, t0 + 26 * MIN],
+            "event_id": [2, 3],
+            "micros": [100_000, 10_000],
+        }
     )
     out.extend(proc.handleInputRows((1,), iter([b1]), None) or [])
     out.extend(proc.handleInputRows((1,), iter([b2]), None) or [])
     assert out == []  # no gap split emitted
-    start_us, last_us, n, cents = handle.states["open"].get()
+    start_us, last_us, n, n_vals, micros = handle.states["open"].get()
     assert start_us == t0 - 5 * MIN      # widened by the late event
     assert last_us == t0 + 26 * MIN      # frontier advanced, never regressed
-    assert (n, cents) == (3, 111)
+    assert (n, n_vals, micros) == (3, 3, 1_110_000)
     out.extend(
         proc.handleExpiredTimer((1,), None, FakeExpiredTimer(last_us // 1000 + GAP_MS))
         or []
     )
     final = pd.concat(out, ignore_index=True)
     assert len(final) == 1 and final.iloc[0].session_end_us >= final.iloc[0].session_start_us
+
+
+def test_null_value_events_fold_without_crash():
+    """r6: NULL event values (NaN micros after Arrow) count toward the
+    session but contribute no monetary value — the old astype('int64')
+    crashed the task; an all-NULL session emits a NULL sum like the batch
+    aggregate."""
+    proc = make_session_closer(GAP_MIN)
+    handle = FakeHandle()
+    proc.init(handle)
+    b = pd.DataFrame(
+        {
+            "ts_us": [1_000_000, 2_000_000],
+            "event_id": [1, 2],
+            "micros": [float("nan"), float("nan")],
+        }
+    )
+    out = list(proc.handleInputRows((5,), iter([b]), None) or [])
+    assert out == []
+    _, last_us, n, n_vals, micros = handle.states["open"].get()
+    assert (n, n_vals, micros) == (2, 0, 0)
+    final = pd.concat(
+        proc.handleExpiredTimer(
+            (5,), None, FakeExpiredTimer(last_us // 1000 + GAP_MS)
+        )
+    )
+    r = final.iloc[0]
+    assert r.n_events == 2 and pd.isna(r.sum_value)

@@ -45,18 +45,28 @@ def _min_id_survivors(feat: DataFrame) -> DataFrame:
     aggregate here would ship ~every body through the exchange; this is
     the same two-path hot/cold split as operators/capping.py. If most of
     the corpus IS duplicates, the dup relation outgrows broadcast — flip
-    to a plain shuffled semi-join, same result.)"""
+    to a plain shuffled semi-join, same result.)
+
+    Fingerprint comparisons are NULL-SAFE (r6): groupBy treats NULL as one
+    group but a plain equi-join never matches it, so NULL-fingerprint
+    duplicates (text NULL upstream of the funnel) would ALL take the
+    unique path and survive — eqNullSafe routes them like any other
+    duplicate group, matching capping.py's discipline."""
     fp_stats = (
         feat.groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("_n"), F.min("doc_id").alias("keep_id"))
     )
-    dup_fps = fp_stats.filter(F.col("_n") > 1).select("fingerprint", "keep_id")
+    dup_fps = fp_stats.filter(F.col("_n") > 1).select(
+        F.col("fingerprint").alias("_dup_fp"), "keep_id"
+    )
     uniq = feat.join(
-        F.broadcast(dup_fps.select("fingerprint")), "fingerprint", "left_anti"
+        F.broadcast(dup_fps.select("_dup_fp")),
+        feat["fingerprint"].eqNullSafe(F.col("_dup_fp")),
+        "left_anti",
     )
     dup_keep = feat.join(
         F.broadcast(dup_fps),
-        (feat["fingerprint"] == dup_fps["fingerprint"])
+        feat["fingerprint"].eqNullSafe(dup_fps["_dup_fp"])
         & (feat["doc_id"] == dup_fps["keep_id"]),
         "left_semi",
     )

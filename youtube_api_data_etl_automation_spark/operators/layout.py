@@ -107,7 +107,13 @@ def compact_small_files(spark, path: str, target_mb: int = 128,
     df = spark.read.parquet(path)
     staged = path.rstrip("/") + ".__compact__"
     if sort_col is None:
-        out = df.coalesce(n_out)
+        # coalesce can only DECREASE partition count: when the requested
+        # file count exceeds the scan's partitioning (target_mb below
+        # spark.sql.files.maxPartitionBytes), it would silently emit
+        # maxPartitionBytes-sized files while reporting success (r6
+        # review) — splitting needs a real repartition.
+        n_scan = df.rdd.getNumPartitions()
+        out = df.coalesce(n_out) if n_out <= n_scan else df.repartition(n_out)
     else:
         out = df.repartitionByRange(n_out, F.col(sort_col)).sortWithinPartitions(
             sort_col

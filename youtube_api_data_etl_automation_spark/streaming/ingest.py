@@ -97,10 +97,23 @@ def incremental_ingest(stream_df: DataFrame, checkpoint_dir: str, sink_path: str
                        key: str) -> None:
     """Streaming version of the incremental-load protocol: per micro-batch,
     watermark-free exact dedup against the sink via the same idempotent
-    anti-join append used by the batch path (J1 at write time)."""
+    anti-join append used by the batch path (J1 at write time).
+
+    The within-batch dedup keeps a DETERMINISTIC survivor — the row-wise
+    minimum struct per key — not dropDuplicates, which keeps whichever
+    row partition scheduling happens to deliver first (r6 review: replays
+    of the same source from a fresh checkpoint would write different rows
+    for a duplicated key; corpus.py's curate_stream documents the same
+    rejected pattern)."""
 
     def handle_batch(batch: DataFrame, _batch_id: int) -> None:
-        deduped = batch.dropDuplicates([key])
+        others = [c for c in batch.columns if c != key]
+        deduped = (
+            batch.groupBy(key)
+            .agg(F.min(F.struct(*others)).alias("_row"))
+            .select(key, *[F.col(f"_row.{c}").alias(c) for c in others])
+            .select(*batch.columns)
+        )
         append_delta(deduped, sink_path, key)
 
     q = (

@@ -10,7 +10,11 @@ the shuffle is the single groupBy(user_id) the state operator requires.
 
 Determinism contract (what makes this oracle-checkable): within a
 micro-batch each user's rows are sorted by (ts, event_id) before folding,
-monetary sums accumulate in integer cents, and each batch emits the current
+monetary sums accumulate in integer micro-units (the batch op's
+DECIMAL(18,6) grid, rounded HALF_UP like the decimal cast — r6: the old
+integer-cents fold used Python round(), whose half-EVEN ties diverged
+from the batch aggregate, and crashed on NULL values the batch SUM
+skips), and each batch emits the current
 aggregates of every session it touched. Draining a source in ONE
 availableNow batch therefore reproduces the batch ``sessionize`` result
 exactly; across multiple batches, the LAST emission per (user, session) is
@@ -24,8 +28,11 @@ from pyspark.sql import functions as F
 
 GAP_US_DEFAULT = 30 * 60 * 1_000_000
 
-# (last_ts_us, session_idx, n_events, start_us, sum_cents)
-_STATE_SCHEMA = "last_ts_us long, session_idx int, n_events long, start_us long, sum_cents long"
+# (last_ts_us, session_idx, n_events, start_us, n_vals, sum_micros)
+_STATE_SCHEMA = (
+    "last_ts_us long, session_idx int, n_events long, start_us long, "
+    "n_vals long, sum_micros long"
+)
 _OUTPUT_SCHEMA = (
     "user_id long, session_idx int, n_events long, session_start_us long, "
     "duration_sec double, sum_value double"
@@ -54,9 +61,9 @@ def stateful_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
         (user_id,) = key
         if state.exists:
-            last_ts, sidx, n_ev, start_us, cents = state.get
+            last_ts, sidx, n_ev, start_us, n_vals, micros = state.get
         else:
-            last_ts, sidx, n_ev, start_us, cents = None, 0, 0, 0, 0
+            last_ts, sidx, n_ev, start_us, n_vals, micros = None, 0, 0, 0, 0, 0
         # Concatenate ALL Arrow chunks before the single sort: a key group
         # larger than arrow.maxRecordsPerBatch arrives as multiple chunks in
         # no guaranteed order — per-chunk sorting would fold events out of
@@ -67,21 +74,45 @@ def stateful_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             if chunks
             else pd.DataFrame({"ts_us": [], "value": []})
         )
-        # session_idx -> (n_events, start_us, last_ts_us, sum_cents)
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def to_micros(v):
+            # None for NULL/NaN; else the value on the DECIMAL(18,6) grid,
+            # HALF_UP — exactly Spark's double→decimal(18,6) cast (both
+            # start from the shortest decimal representation).
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                return None
+            return int(
+                Decimal(str(float(v))).scaleb(6).to_integral_value(ROUND_HALF_UP)
+            )
+
+        # session_idx -> (n_events, start_us, last_ts_us, n_vals, micros)
         touched = {}
         for ts_us, val in zip(pdf["ts_us"], pdf["value"]):
             ts_us = int(ts_us)
             if last_ts is None or ts_us - last_ts > gap_us:
                 sidx += 1
-                n_ev, start_us, cents = 0, ts_us, 0
+                n_ev, start_us, n_vals, micros = 0, ts_us, 0, 0
             n_ev += 1
-            cents += int(round(float(val) * 100))
+            mv = to_micros(val)
+            if mv is not None:
+                n_vals += 1
+                micros += mv
             last_ts = ts_us
-            touched[sidx] = (n_ev, start_us, last_ts, cents)
-        state.update((last_ts, sidx, n_ev, start_us, cents))
+            touched[sidx] = (n_ev, start_us, last_ts, n_vals, micros)
+        state.update((last_ts, sidx, n_ev, start_us, n_vals, micros))
         rows = [
-            (int(user_id), s, n, st, (lt - st) / 1e6, c / 100.0)
-            for s, (n, st, lt, c) in touched.items()
+            (
+                int(user_id),
+                s,
+                n,
+                st,
+                (lt - st) / 1e6,
+                # all values NULL -> NULL sum, like the batch aggregate
+                m / 1e6 if nv > 0 else None,
+            )
+            for s, (n, st, lt, nv, m) in touched.items()
         ]
         yield pd.DataFrame(
             rows,

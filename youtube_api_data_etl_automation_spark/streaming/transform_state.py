@@ -68,13 +68,20 @@ def make_session_closer(gap_minutes: int = 30):
     class SessionCloser(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._handle = handle
-            # (start_us, last_us, n_events, sum_cents) — cents keep the
-            # monetary fold exact and order-stable, as in the batch op.
+            # (start_us, last_us, n_events, n_vals, sum_micros) — integer
+            # micro-units (1e-6, the batch op's DECIMAL(18,6) grid) keep
+            # the monetary fold exact and order-stable; n_vals counts
+            # non-NULL values so an all-NULL session emits NULL like the
+            # batch SUM does (r6 parity fix — the old cents fold both
+            # crashed on NULL values and rounded half-up where
+            # stateful.py rounded half-even).
             self._open = handle.getValueState(
-                "open", "start_us long, last_us long, n_events long, sum_cents long"
+                "open",
+                "start_us long, last_us long, n_events long, "
+                "n_vals long, sum_micros long",
             )
 
-        def _emit(self, user_id, start_us, last_us, n, cents, closed_by):
+        def _emit(self, user_id, start_us, last_us, n, n_vals, micros, closed_by):
             import pandas as pd
 
             return pd.DataFrame(
@@ -83,36 +90,58 @@ def make_session_closer(gap_minutes: int = 30):
                     "session_start_us": [start_us],
                     "session_end_us": [last_us],
                     "n_events": [n],
-                    "sum_value": [cents / 100.0],
+                    # All values NULL -> NULL sum, matching the batch
+                    # aggregate's SUM semantics (None survives the Arrow
+                    # conversion as a SQL NULL).
+                    "sum_value": [micros / 1e6 if n_vals > 0 else None],
                     "closed_by": [closed_by],
                 }
             )
 
         def handleInputRows(self, key, rows, timerValues: TimerValues):
+            import math
+
             import pandas as pd
 
             (user_id,) = key
+            # Guard BEFORE concat: pd.concat([]) raises on an exhausted
+            # iterator, which made the old empty-batch check dead code
+            # (r6 review finding).
+            chunks = list(rows)
+            if not chunks:
+                return
             batch = (
-                pd.concat(list(rows), ignore_index=True)
+                pd.concat(chunks, ignore_index=True)
                 .sort_values(["ts_us", "event_id"])
                 .reset_index(drop=True)
             )
             if batch.empty:
                 return  # nothing to fold; state and pending timer unchanged
             if self._open.exists():
-                start_us, last_us, n, cents = self._open.get()
+                start_us, last_us, n, n_vals, micros = self._open.get()
             else:
                 start_us = last_us = None
-                n = cents = 0
-            for ts_us, cents_v in zip(
-                batch["ts_us"].astype("int64"), batch["cents"].astype("int64")
-            ):
+                n = n_vals = micros = 0
+            for ts_us, m_v in zip(batch["ts_us"].astype("int64"), batch["micros"]):
                 ts_us = int(ts_us)
+                # NULL value -> NULL micros -> NaN here; the event still
+                # counts and moves the session frontier, but contributes
+                # no monetary value (the batch SUM skips NULLs the same
+                # way). The old astype('int64') crashed the query on the
+                # first NULL (r6 review finding).
+                has_v = m_v is not None and not (
+                    isinstance(m_v, float) and math.isnan(m_v)
+                )
+                dv, dn = (int(m_v), 1) if has_v else (0, 0)
                 if start_us is None:
-                    start_us, last_us, n, cents = ts_us, ts_us, 1, int(cents_v)
+                    start_us, last_us = ts_us, ts_us
+                    n, n_vals, micros = 1, dn, dv
                 elif ts_us - last_us > gap_us:
-                    yield self._emit(user_id, start_us, last_us, n, cents, "gap")
-                    start_us, last_us, n, cents = ts_us, ts_us, 1, int(cents_v)
+                    yield self._emit(
+                        user_id, start_us, last_us, n, n_vals, micros, "gap"
+                    )
+                    start_us, last_us = ts_us, ts_us
+                    n, n_vals, micros = 1, dn, dv
                 else:
                     # Defense-in-depth (delay-0 should make this moot): an
                     # out-of-order event older than the frontier joins the
@@ -122,8 +151,8 @@ def make_session_closer(gap_minutes: int = 30):
                     # sessions with end < start.
                     start_us = min(start_us, ts_us)
                     last_us = max(last_us, ts_us)
-                    n, cents = n + 1, cents + int(cents_v)
-            self._open.update((start_us, last_us, n, cents))
+                    n, n_vals, micros = n + 1, n_vals + dn, micros + dv
+            self._open.update((start_us, last_us, n, n_vals, micros))
             # One pending close-timer per user: re-arm at the new frontier.
             for t in self._handle.listTimers():
                 self._handle.deleteTimer(t)
@@ -135,12 +164,14 @@ def make_session_closer(gap_minutes: int = 30):
             (user_id,) = key
             if not self._open.exists():
                 return
-            start_us, last_us, n, cents = self._open.get()
+            start_us, last_us, n, n_vals, micros = self._open.get()
             # Stale timer (events arrived after it was armed): ignore; the
             # current timer for the new frontier is still pending.
             if expiredTimerInfo.getExpiryTimeInMs() < last_us // 1000 + gap_ms:
                 return
-            yield self._emit(user_id, start_us, last_us, n, cents, "timer")
+            yield self._emit(
+                user_id, start_us, last_us, n, n_vals, micros, "timer"
+            )
             self._open.clear()
 
         def close(self) -> None:
@@ -176,7 +207,11 @@ def timer_closed_sessions(
         "user_id",
         "event_id",
         F.unix_micros("ts").alias("ts_us"),
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        # Integer micro-units on the batch op's DECIMAL(18,6) grid —
+        # HALF_UP like the decimal cast, exact, NULL-preserving.
+        (F.col("value").cast("decimal(18,6)") * F.lit(1_000_000))
+        .cast("long")
+        .alias("micros"),
         "ts",
     )
     return prepped.groupBy("user_id").transformWithStateInPandas(
