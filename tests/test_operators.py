@@ -260,3 +260,67 @@ def test_variant_path_matches_from_json(spark):
     )
     assert bad.count() == 0
     assert both.count() > 0
+
+
+def test_connected_components_string_ids(spark):
+    """r6: non-numeric node ids use the join-based convergence probe (the
+    numeric sum probe would throw under ANSI); min-label propagates
+    lexicographically across a >2-hop chain."""
+    from youtube_api_data_etl_automation_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [("x1", "x2"), ("x2", "x3"), ("x3", "x4"), ("x4", "x5"),
+         ("y1", "y2")],
+        "doc_a string, doc_b string",
+    )
+    got = {r.doc_id: r.canonical_id for r in connected_components(pairs).collect()}
+    assert got == {f"x{i}": "x1" for i in range(1, 6)} | {"y1": "y1", "y2": "y1"}
+
+
+def test_quantize_int8_nan_element_does_not_crash(spark):
+    """r6: a NaN element quantizes as 0 instead of killing the job with an
+    ANSI CAST_OVERFLOW (NaN orders above every number, poisoning amax)."""
+    from youtube_api_data_etl_automation_spark.functions.vectors import (
+        dequantize_int8,
+        quantize_int8,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [([1.0, float("nan"), -2.0],)], "v array<double>"
+    )
+    out = df.select(
+        dequantize_int8(quantize_int8("v")).alias("dq")
+    ).first()["dq"]
+    assert abs(out[0] - 1.0) < 0.02 and out[1] == 0.0 and abs(out[2] + 2.0) < 0.02
+
+
+def test_minhash_band_size_must_divide(spark):
+    from youtube_api_data_etl_automation_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="divisible"):
+        minhash_lsh_pairs(docs, num_hashes=8, band_size=3)
+
+
+def test_bpe_merge_preserves_null_tokens(spark):
+    """r6: a NULL array element is held and flushed like any token (the
+    old fold conflated 'holding NULL' with 'nothing held' and dropped
+    it), and never participates in a merge."""
+    from youtube_api_data_etl_automation_spark.operators.bpe import (
+        SEP,
+        apply_merge_t,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(["a", None, "b", "a", "b"],)], "tok array<string>"
+    )
+    out = df.select(apply_merge_t("tok", "a", "b").alias("m")).first()["m"]
+    assert out == ["a", None, "b", f"a{SEP}b"]

@@ -62,7 +62,11 @@ def quantize_int8(a: Column | str) -> Column:
     inside the per-element lambda would re-run it per element — O(d²)
     per vector (the tokens()/word_ngrams projection rule, applied at the
     expression level where there's no column to project to)."""
-    arr = _as_double(_c(a))
+    # nanvl: a single NaN element would otherwise poison amax (Spark
+    # orders NaN greater than every number, so the m > 0 guard takes the
+    # quantize branch and NaN.cast(tinyint) kills the whole job under
+    # ANSI — r6 review). NaN quantizes as 0, like a missing measurement.
+    arr = F.transform(_as_double(_c(a)), lambda v: F.nanvl(v, F.lit(0.0)))
     amax = F.aggregate(arr, F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v)))
 
     def build(m: Column) -> Column:

@@ -65,40 +65,52 @@ def apply_merge_t(tok: Column | str, a: str, b: str) -> Column:
     pair (a, b) in a token array with the merged token 'a␟b' — one BPE
     merge, as a single map-side fold (no shuffle, no UDF).
 
-    The fold carries (out, pending): each step either completes a merge
-    (pending==a and current==b), or flushes pending and holds the current
-    token; finish flushes the final pending. 'a a a' under merge (a,a)
-    → ['a␟a', 'a'] — standard leftmost-first BPE semantics."""
+    The fold carries (out, pending, has_pend): each step either completes
+    a merge (pending==a and current==b), or flushes pending and holds the
+    current token; finish flushes the final pending. The explicit
+    ``has_pend`` flag (r6) distinguishes "nothing held" from "holding a
+    NULL token" — keying the flush on pend.isNull would silently DROP a
+    NULL array element (it would look like the empty initial state), and
+    array_insert/concat quirks aside, a caller-supplied token array may
+    legally contain NULLs even though tokens() never emits them. 'a a a'
+    under merge (a,a) → ['a␟a', 'a'] — standard leftmost-first BPE
+    semantics."""
     t = F.col(tok) if isinstance(tok, str) else tok
     merged = a + SEP + b
 
+    def flush(acc: Column) -> Column:
+        return F.when(
+            acc.getField("has_pend"),
+            F.concat(acc.getField("out"), F.array(acc.getField("pend"))),
+        ).otherwise(acc.getField("out"))
+
     def step(acc: Column, x: Column) -> Column:
-        is_merge = acc.getField("pend").eqNullSafe(F.lit(a)) & (x == F.lit(b))
+        is_merge = (
+            acc.getField("has_pend")
+            & acc.getField("pend").eqNullSafe(F.lit(a))
+            & x.eqNullSafe(F.lit(b))
+        )
         return F.when(
             is_merge,
             F.struct(
                 F.concat(acc.getField("out"), F.array(F.lit(merged))).alias("out"),
                 F.lit(None).cast("string").alias("pend"),
+                F.lit(False).alias("has_pend"),
             ),
         ).otherwise(
             F.struct(
-                F.when(
-                    acc.getField("pend").isNull(), acc.getField("out")
-                ).otherwise(
-                    F.concat(acc.getField("out"), F.array(acc.getField("pend")))
-                ).alias("out"),
+                flush(acc).alias("out"),
                 x.alias("pend"),
+                F.lit(True).alias("has_pend"),
             )
         )
 
     init = F.struct(
         F.array().cast("array<string>").alias("out"),
         F.lit(None).cast("string").alias("pend"),
+        F.lit(False).alias("has_pend"),
     )
-    finish = lambda acc: F.when(  # noqa: E731
-        acc.getField("pend").isNull(), acc.getField("out")
-    ).otherwise(F.concat(acc.getField("out"), F.array(acc.getField("pend"))))
-    return F.aggregate(t, init, step, finish)
+    return F.aggregate(t, init, step, flush)
 
 
 def train_merges(docs: DataFrame, n_merges: int, *, tok_col: str = "tok") -> list[tuple[str, str]]:

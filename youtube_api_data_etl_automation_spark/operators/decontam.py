@@ -43,15 +43,9 @@ def word_ngrams(
     expression would re-normalize + re-split the text once per n-gram
     position (the word_shingles_t trap, functions/text.py — measured ~7×).
     """
-    ts = F.col("__ng_toks")
-    grams = F.when(
-        F.size(ts) >= n,
-        # slice is 1-based; positions 1..len-n+1, each n tokens long.
-        F.transform(
-            F.sequence(F.lit(1), F.size(ts) - F.lit(n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(ts, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from ..functions.text import word_shingles_t
+
+    grams = word_shingles_t(F.col("__ng_toks"), n)
     if unique:
         grams = F.array_distinct(grams)
     return (

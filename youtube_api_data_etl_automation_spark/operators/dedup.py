@@ -105,9 +105,14 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    # No broadcast HINT on the sizes joins: sizes is O(corpus docs) rows —
+    # tiny here, unbounded at corpus scale, and a forced broadcast would
+    # bypass autoBroadcastJoinThreshold and OOM the driver at exactly the
+    # scale this operator targets (r6 review). AQE broadcasts it when it
+    # actually fits.
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -153,10 +158,20 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "d
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    # Convergence probe: labels only decrease (min-propagation), so
-    # sum(label) is strictly decreasing until the fixpoint — a one-number
-    # aggregate over the checkpointed frame instead of a self-join diff.
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    # Convergence probe. For numeric ids: labels only decrease
+    # (min-propagation), so sum(label) is strictly decreasing until the
+    # fixpoint — a one-number aggregate over the checkpointed frame. For
+    # NON-numeric ids (string keys are a legal input — min propagates
+    # lexicographically), sum(label) would either throw under ANSI or
+    # return NULL and fake instant convergence (r6 review), so the probe
+    # becomes an any-label-changed join: both frames are checkpointed and
+    # hash-partitioned on node, so the join is co-located — one extra
+    # narrow job per round, no extra exchange.
+    from pyspark.sql.types import NumericType
+
+    numeric_ids = isinstance(labels.schema["label"].dataType, NumericType)
+
+    prev_sum = labels.agg(F.sum("label")).first()[0] if numeric_ids else None
     for _ in range(max_iter):
         # Two propagation hops per materialized round: labels reach 2-hop
         # neighborhoods before the checkpoint+probe roundtrip, halving the
@@ -175,14 +190,25 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "d
                 .groupBy("node")
                 .agg(F.min("label").alias("label"))
             )
-        # Lazy checkpoint: the convergence aggregate below is the action
-        # that materializes it — one job per round, not two.
+        # Lazy checkpoint: the convergence probe below is the action that
+        # materializes it — one job per round, not two.
         new_labels = new_labels.localCheckpoint(eager=False)
-        new_sum = new_labels.agg(F.sum("label")).first()[0]
+        if numeric_ids:
+            new_sum = new_labels.agg(F.sum("label")).first()[0]
+            converged = new_sum == prev_sum
+            prev_sum = new_sum
+        else:
+            old = labels.select(
+                F.col("node"), F.col("label").alias("_old_label")
+            )
+            converged = (
+                new_labels.join(old, "node")
+                .filter(~F.col("label").eqNullSafe(F.col("_old_label")))
+                .isEmpty()
+            )
         labels = new_labels
-        if new_sum == prev_sum:
+        if converged:
             break
-        prev_sum = new_sum
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("canonical_id"))
 
 
@@ -214,6 +240,14 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "do
 
     Output: (doc_a, doc_b, est_jaccard), doc_a < doc_b.
     """
+    if num_hashes % band_size != 0:
+        # A remainder would silently leave the trailing signature
+        # components out of every band (candidates lost, no error) while
+        # scoring still used them — inconsistent and invisible.
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by band_size "
+            f"({band_size}) so every signature component is banded"
+        )
     # Persist: signatures feed the band explode AND the two scoring joins.
     sig = minhash_signatures(docs, text_col, id_col, k, num_hashes).persist()
     n_bands = num_hashes // band_size

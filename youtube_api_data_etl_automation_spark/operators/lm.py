@@ -82,9 +82,12 @@ def train_bigram_lm(ref_docs: DataFrame, *, text_col: str = "text",
 def score_docs(docs: DataFrame, lm: dict, *, text_col: str = "text",
                id_col: str = "doc_id", tok_col: str | None = None) -> DataFrame:
     """Per-document mean bigram log-probability and perplexity under the
-    LM. Documents with <2 tokens get NULL scores (no bigram evidence).
-    ``tok_col`` reuses a pre-projected token array (see _tok_bigrams).
-    Output: (id, n_bigrams, avg_logp, ppl)."""
+    LM. Documents with <2 tokens produce NO output row (no bigram
+    evidence — the pair explode is inner); callers needing the complete
+    corpus shape should LEFT-join the scores back onto their doc relation
+    (perplexity_filter's semi-join drops them, per its documented
+    no-signal policy). ``tok_col`` reuses a pre-projected token array
+    (see _tok_bigrams). Output: (id, n_bigrams, avg_logp, ppl)."""
     k, v = lm["k"], lm["v"]
     bg = _tok_bigrams(docs, id_col, text_col, tok_col)
     scored = (

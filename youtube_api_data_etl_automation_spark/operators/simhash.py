@@ -16,6 +16,17 @@ differing bits can split across both halves (e.g. 2+2 at d=4) and the pair
 is missed — banding is probabilistic-recall above d=1. For guaranteed recall
 at d ≤ 3 use 4 bands of 4 bits (or multiple bit rotations); the 2×8 layout
 here trades that recall for 4× fewer join rows.
+
+SCALE BOUND of the 16-bit demo signature (r6 review): an 8-bit band key
+has only 256 values, so past ~10⁵ docs every bucket fills and the band
+self-join trends toward N²/256 candidate rows on 256 skewed keys — the
+16-bit width is sized for oracle-checkable demonstrations, not corpus
+scale. The production setting is a 64-bit signature with 4×16-bit bands
+(65 536 bucket values per band, same Hamming-≤1-per-band guarantee at
+d ≤ 3): the identical code path with N_BITS = 64 and 16-bit band
+extraction, at the cost of a longer oracle mirror. The df-capped MinHash
+family (operators/dedup.py) is the first choice when banding skew is the
+binding constraint.
 """
 
 from __future__ import annotations
