@@ -49,12 +49,26 @@ def _assign(corpus: DataFrame, cent_df: DataFrame, id_col: str, vec_col: str) ->
 
 def kmeans_lloyd(spark: SparkSession, corpus: DataFrame, init_centroids: DataFrame,
                  n_iter: int = 3, id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
+                 vec_col: str = "embedding",
+                 return_centroids: bool = False):
     """Fixed-iteration Lloyd's k-means. ``init_centroids``: (cluster_id, cv).
-    Returns the final assignment: (cluster_id, n_vecs, avg_cos_to_centroid)
-    — deterministic given the init (decimal-exact accumulation)."""
+    Returns the final per-cluster stats (cluster_id, n_vecs,
+    avg_cos_to_centroid) — deterministic given the init (decimal-exact
+    accumulation). With ``return_centroids=True`` returns
+    ``(stats, centroids_df)`` so the TRAINED centroids can feed
+    assign_clusters / ivf_topk / semantic_neardup (r6: they were computed
+    and then dropped, forcing callers onto the unrefined init).
+
+    A cluster that wins zero vectors in an iteration KEEPS its previous
+    centroid instead of silently vanishing (k used to shrink with no
+    signal); it simply reports n_vecs=0-absent in the stats, like any
+    empty group."""
     cent_df = init_centroids.select("cluster_id", F.col("cv").cast("array<double>"))
     dim = len(cent_df.first()["cv"])
+    prev = {
+        int(r["cluster_id"]): [float(x) for x in r["cv"]]
+        for r in cent_df.collect()
+    }
     for _ in range(n_iter):
         assigned = _assign(corpus, cent_df, id_col, vec_col)
         # Recompute: element-wise decimal mean per cluster.
@@ -87,13 +101,16 @@ def kmeans_lloyd(spark: SparkSession, corpus: DataFrame, init_centroids: DataFra
         rows = means.collect()
         if not rows:
             break
+        new = {int(r["cluster_id"]): [float(x) for x in r["cv"]] for r in rows}
+        assert all(len(cv) == dim for cv in new.values())
+        # Empty clusters keep their previous centroid (winning no vectors
+        # must not silently shrink k).
+        prev = {cid: new.get(cid, cv) for cid, cv in prev.items()}
         cent_df = spark.createDataFrame(
-            [(int(r["cluster_id"]), [float(x) for x in r["cv"]]) for r in rows],
-            f"cluster_id int, cv array<double>",
+            sorted(prev.items()), "cluster_id int, cv array<double>"
         )
-        assert all(len(r["cv"]) == dim for r in rows)
     final = _assign(corpus, cent_df, id_col, vec_col)
-    return (
+    stats = (
         final.join(F.broadcast(cent_df), "cluster_id")
         .select(
             "cluster_id",
@@ -108,3 +125,4 @@ def kmeans_lloyd(spark: SparkSession, corpus: DataFrame, init_centroids: DataFra
             ).alias("avg_cos_to_centroid"),
         )
     )
+    return (stats, cent_df) if return_centroids else stats

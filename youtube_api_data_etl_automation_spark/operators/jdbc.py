@@ -52,8 +52,24 @@ def jdbc_table_exists(spark, url: str, table: str, driver: str = DERBY_DRIVER) -
     try:
         _read_table(spark, url, f"(SELECT * FROM {table} WHERE 1=0) probe", driver).schema
         return True
-    except (AnalysisException, Py4JJavaError):
-        return False
+    except (AnalysisException, Py4JJavaError) as e:
+        # ONLY a missing-relation error means "absent". Anything else —
+        # connection refused, lock timeout, permissions — must surface:
+        # treating it as first-run would skip append_delta_jdbc's
+        # idempotency anti-join and duplicate a retried batch (the exact
+        # try/except-as-first-run failure the parquet sink_exists
+        # rejects; r6 review).
+        msg = str(e)
+        missing_markers = (
+            "does not exist",        # Derby: Table/View 'X' does not exist
+            "not exist",
+            "not found",
+            "42X05",                 # Derby SQLState: missing table/view
+            "TABLE_OR_VIEW_NOT_FOUND",
+        )
+        if any(m in msg for m in missing_markers):
+            return False
+        raise
 
 
 def append_delta_jdbc(delta: DataFrame, url: str, table: str, key: str,

@@ -51,7 +51,10 @@ def extract_features(blobs: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            payloads = pdf["payload"]
+            # NULL payload (a NULL source column) reads as empty bytes —
+            # len(None) used to kill the whole job on one bad row (r6
+            # review); an empty payload already has defined features.
+            payloads = pdf["payload"].map(lambda b: b if b is not None else b"")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -73,7 +76,7 @@ def frame_sample(blobs: DataFrame, frame_bytes: int = 16) -> DataFrame:
         for pdf in it:
             ids, idxs, lens = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                n = len(payload)
+                n = len(payload) if payload is not None else 0
                 n_frames = (n + frame_bytes - 1) // frame_bytes
                 for i in range(n_frames):
                     ids.append(doc_id)
@@ -105,7 +108,8 @@ def frame_features(blobs: DataFrame, frame_bytes: int = 16) -> DataFrame:
         for pdf in it:
             ids, idxs, lens, firsts, lasts = [], [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                n = len(payload)
+                # NULL payload -> zero frames, like an empty payload (r6)
+                n = len(payload) if payload is not None else 0
                 n_frames = (n + frame_bytes - 1) // frame_bytes
                 for i in range(n_frames):
                     lo = i * frame_bytes
@@ -209,7 +213,7 @@ def decode_image(blobs: DataFrame) -> DataFrame:
         for pdf in it:
             ids, fmts, ws, hs, mr, mg, mb = [], [], [], [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                fmt, rgb = _decode_rgb(bytes(payload))
+                fmt, rgb = _decode_rgb(bytes(payload) if payload is not None else b"")
                 ids.append(doc_id)
                 fmts.append(fmt)
                 hs.append(rgb.shape[0])

@@ -30,21 +30,12 @@ def _rename_query(queries: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
-def brute_force_topk(corpus: DataFrame, queries: DataFrame, top_k: int = 3,
-                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Exact top-k cosine neighbors per query. Output:
-    (query_id, neighbor_id, rank, cosine) — self-matches excluded."""
-    q = F.broadcast(_rename_query(queries, id_col, vec_col))
-    scored = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
-        .join(q, F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_similarity("query_vec", "vec").alias("cosine"),
-        )
-    )
-    scored = scored.withColumn("cosine", round6(F.col("cosine")))
+def _rank_topk(scored: DataFrame, top_k: int) -> DataFrame:
+    """Shared top-k ranking over a (query_id, neighbor_id, cosine) scored
+    relation: rounded-cosine DESC, neighbor-id ASC tie-break. One
+    definition keeps the exact/LSH/IVF strategies' ranking semantics
+    provably identical (brute force is the recall oracle for the others,
+    so a drifted tie-break would corrupt recall measurements)."""
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.select(
@@ -57,10 +48,35 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, top_k: int = 3,
     )
 
 
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, top_k: int = 3,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors per query. Output:
+    (query_id, neighbor_id, rank, cosine) — self-matches excluded."""
+    q = F.broadcast(_rename_query(queries, id_col, vec_col))
+    scored = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
+        .join(q, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            round6(cosine_similarity("query_vec", "vec")).alias("cosine"),
+        )
+    )
+    return _rank_topk(scored, top_k)
+
+
 def sign_bucket(vec_col: str, bits: int = 4) -> F.Column:
-    """LSH bucket key: '1'/'0' sign pattern of the first ``bits`` components."""
+    """LSH bucket key: '1'/'0' sign pattern of the first ``bits`` components.
+
+    try_element_at, not element_at: under the session's default ANSI mode
+    a single embedding shorter than ``bits`` would otherwise kill the
+    whole job with INVALID_ARRAY_INDEX (r6 review); a missing component
+    reads as NULL → '0', so ragged rows degrade to a shared bucket
+    instead of failing the run."""
     parts = [
-        F.when(F.element_at(F.col(vec_col), i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        F.when(
+            F.try_element_at(F.col(vec_col), F.lit(i + 1)) >= 0, F.lit("1")
+        ).otherwise(F.lit("0"))
         for i in range(bits)
     ]
     return F.concat(*parts)
@@ -77,19 +93,9 @@ def sign_lsh_topk(corpus: DataFrame, queries: DataFrame, top_k: int = 3, bits: i
         sign_bucket(vec_col, bits).alias("bucket"),
     )
     scored = c.join(q, "bucket").filter(F.col("neighbor_id") != F.col("query_id")).select(
-        "query_id", "neighbor_id", cosine_similarity("query_vec", "vec").alias("cosine")
+        "query_id", "neighbor_id", round6(cosine_similarity("query_vec", "vec")).alias("cosine")
     )
-    scored = scored.withColumn("cosine", round6(F.col("cosine")))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.select(
-            "query_id",
-            "neighbor_id",
-            F.row_number().over(w).cast("int").alias("rank"),
-            "cosine",
-        )
-        .filter(F.col("rank") <= top_k)
-    )
+    return _rank_topk(scored, top_k)
 
 
 def assign_clusters(corpus: DataFrame, centroids: DataFrame,
@@ -155,7 +161,8 @@ def probe_cells(queries: DataFrame, centroids: DataFrame, nprobe: int = 1,
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
              top_k: int = 3, id_col: str = "vec_id",
-             vec_col: str = "embedding", nprobe: int = 1) -> DataFrame:
+             vec_col: str = "embedding", nprobe: int = 1,
+             assigned: DataFrame | None = None) -> DataFrame:
     """IVF (inverted-file) ANN: partition the corpus into centroid cells,
     probe the query's ``nprobe`` nearest cells. The scale path when the
     corpus is too large even for LSH bucketing: the cell equi-join touches
@@ -164,8 +171,14 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
     borders without changing the plan shape (the probe list is still a
     broadcast equi-join on cluster_id).
 
+    ``assigned`` lets a caller reuse a precomputed (and typically
+    persisted) cluster assignment across several probes — the assignment
+    is the corpus-scale term, and replaying it per nprobe setting is the
+    waste ivf_recall_report used to pay (r6 review).
+
     Output: (query_id, neighbor_id, rank, cosine)."""
-    assigned = assign_clusters(corpus, centroids, id_col, vec_col)
+    if assigned is None:
+        assigned = assign_clusters(corpus, centroids, id_col, vec_col)
     q = probe_cells(queries, centroids, nprobe=nprobe, id_col=id_col, vec_col=vec_col)
     c = assigned.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"), "cluster_id"
@@ -179,16 +192,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
             round6(cosine_similarity("query_vec", "vec")).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.select(
-            "query_id",
-            "neighbor_id",
-            F.row_number().over(w).cast("int").alias("rank"),
-            "cosine",
-        )
-        .filter(F.col("rank") <= top_k)
-    )
+    return _rank_topk(scored, top_k)
 
 
 def ivf_recall_report(corpus: DataFrame, queries: DataFrame,
@@ -217,19 +221,32 @@ def ivf_recall_report(corpus: DataFrame, queries: DataFrame,
     truth = brute_force_topk(
         corpus, queries, top_k=top_k, id_col=id_col, vec_col=vec_col
     ).select("query_id", "neighbor_id").localCheckpoint()
+    # Hoist the cluster assignment too: it is the other corpus-scale term,
+    # and each probed setting shares the identical assignment (only the
+    # probe list varies with nprobe) — without this the broadcast-argmax
+    # pass replayed len(nprobes) times (r6 review finding).
+    assigned = assign_clusters(
+        corpus.select(id_col, vec_col), centroids, id_col, vec_col
+    ).localCheckpoint()
     report = None
     for np_ in nprobes:
         got = ivf_topk(
             corpus, queries, centroids, top_k=top_k,
             id_col=id_col, vec_col=vec_col, nprobe=np_,
+            assigned=assigned,
         ).select("query_id", "neighbor_id")
         hits = got.join(truth, ["query_id", "neighbor_id"], "left_semi")
         tagged = hits.select(F.lit(1).alias("hit")).unionByName(
             truth.select(F.lit(0).alias("hit"))
         )
+        # coalesce: an empty truth relation must report 0 counts, not the
+        # NULLs a sum over zero rows yields (recall stays NULL — 0/0 has
+        # no meaningful value and callers should branch on n_truth).
         branch = tagged.agg(
-            F.sum("hit").cast("long").alias("n_hits"),
-            F.sum(F.lit(1) - F.col("hit")).cast("long").alias("n_truth"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hits"),
+            F.coalesce(F.sum(F.lit(1) - F.col("hit")), F.lit(0))
+            .cast("long")
+            .alias("n_truth"),
         ).select(
             F.lit(int(np_)).cast("int").alias("nprobe"),
             "n_hits",

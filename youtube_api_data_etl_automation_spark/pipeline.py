@@ -74,15 +74,25 @@ def run_etl(spark: SparkSession, channel_ids: list[str], warehouse: str,
     opts = {"transport": transport, "seed": str(seed)}
     counts: dict[str, int] = {}
 
-    # E1 — channel dimension (always rebuilt, :146/:198)
-    channels = _read(spark, "channels", channel_ids=",".join(channel_ids), **opts)
+    # E1 — channel dimension (always rebuilt, :146/:198). localCheckpoint:
+    # the relation is consumed three times (count, playlist-id collect,
+    # the L2 dimension overwrite) and each ACTION would otherwise
+    # re-fetch from the API — triple quota burn, and three fetches of a
+    # non-snapshot source can disagree, so the ids collected, the count
+    # reported, and the rows written could come from different snapshots
+    # (r6 review). One fetch, one snapshot.
+    channels = _read(
+        spark, "channels", channel_ids=",".join(channel_ids), **opts
+    ).localCheckpoint()
     counts["channels"] = channels.count()
 
     # E2 — playlist scan; playlist ids are source control (P3 — the one
     # sanctioned driver-side collect), partition-per-playlist underneath.
+    # Same snapshot rule: candidate_ids feeds the count AND the delta
+    # anti-join below.
     playlist_ids = [r.playlistId for r in channels.select("playlistId").collect()]
     items = _read(spark, "playlist_items", playlist_ids=",".join(playlist_ids), **opts)
-    candidate_ids = items.select("videoId").distinct()  # A1 (:103)
+    candidate_ids = items.select("videoId").distinct().localCheckpoint()  # A1 (:103)
     counts["candidate_ids"] = candidate_ids.count()
 
     # State read + J1 anti-join (key-only scan of the sink, :154-160).

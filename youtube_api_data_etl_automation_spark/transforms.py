@@ -33,7 +33,12 @@ from .functions import (
 def enrich_videos(videos_raw: DataFrame) -> DataFrame:
     """11-column videos_raw → 19-column video_stats (schemas.VIDEO_STATS)."""
     ts = ts_parse_utc("publishedAt")
-    views = F.col("views").cast("long")  # strict col in reference (:171); NULL policy here
+    # DELIBERATELY strict (T1): the reference's astype at :171 throws on a
+    # malformed count, and so does this cast under the session's ANSI
+    # mode — same totality contract on purpose, unlike the siblings'
+    # try_cast NULL→0 policy (T2). The API schema guarantees digit
+    # strings; a violation should stop the load, not write a zero.
+    views = F.col("views").cast("long")
     return videos_raw.select(
         "videoId",
         "channel",
