@@ -21,14 +21,18 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # Full-string validity gate. Requires at least one component (bare "P"/"PT"
-# invalid); fractional seconds allowed.
+# invalid); fractional seconds allowed. \A...\z anchoring, not ^...$:
+# Java's default '$' also matches BEFORE a single trailing newline, so
+# "PT1H\n" would pass the gate and parse (r6 review) — \z is end-of-text
+# only, the malformed-in -> NULL-out policy and the RE2 semantics a
+# mirroring engine uses.
 # One anchored grammar with a capture group per component: validity check and
 # extraction share the same pattern, and every regexp_extract fails fast on
 # the anchor instead of scanning substrings (measured ~2× on the sf0.1 bench
 # vs per-component patterns). Groups: 1=W 2=D 3=H 4=M 5=S.
 _ISO_DUR_RE = (
-    r"^P(?=.)(?:(\d+)W|(?:(\d+)D)?(?:T(?=\d)(?:(\d+)H)?(?:(\d+)M)?"
-    r"(?:(\d+(?:\.\d+)?)S)?)?)$"
+    r"\AP(?=.)(?:(\d+)W|(?:(\d+)D)?(?:T(?=\d)(?:(\d+)H)?(?:(\d+)M)?"
+    r"(?:(\d+(?:\.\d+)?)S)?)?)\z"
 )
 
 _MULTS = (604800.0, 86400.0, 3600.0, 60.0, 1.0)

@@ -53,14 +53,18 @@ def approx_quantiles(col: Column | str, probs: list[float], acc: int = 10000) ->
 
 def daily_distinct_rollup(
     df: DataFrame, day_col: Column | str, key_col: Column | str
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """Two-level distinct rollup: per-day HLL sketches, then a total via
     sketch union — the scale pattern for `date_spine_gapfill`'s n_users
-    column (per-day sketches persist; the grand total never rescans)."""
+    column. Returns ``(per_day, total)`` (the annotation lied about a
+    single DataFrame before r6). The sketch relation is localCheckpoint'd
+    so BOTH outputs derive from one materialized per-day aggregation —
+    without it each output re-scanned the fact table, which is exactly
+    the rescan this pattern exists to avoid."""
     day = F.col(day_col) if isinstance(day_col, str) else day_col
     daily = df.groupBy(day.alias("day")).agg(
         hll_distinct_sketch(key_col).alias("users_sketch")
-    )
+    ).localCheckpoint()
     total = daily.agg(
         hll_estimate(hll_merge("users_sketch")).alias("distinct_total")
     )

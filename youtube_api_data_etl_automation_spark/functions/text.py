@@ -31,7 +31,11 @@ def normalize_text(col: Column | str) -> Column:
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokens of the *normalized* text (empty text → empty array).
+    """Whitespace tokens of the *normalized* text (empty OR NULL text →
+    empty array — r6: NULL used to propagate, making the token-derived
+    metrics disagree on the same row: token_count coalesced NULL→0 while
+    stopword_count returned NULL and quality_score mixed the two; a NULL
+    document now behaves as an empty document across every text metric).
 
     PERF: higher-order functions (filter/transform) are interpreted, not
     codegen'd, so Spark does NOT common-subexpression-eliminate this inside
@@ -39,7 +43,9 @@ def tokens(col: Column | str) -> Column:
     tokens(...))``) and feed the ``*_t`` variants below, instead of calling
     several token functions on the raw text in one select."""
     n = normalize_text(col)
-    return F.when(n == "", F.array().cast("array<string>")).otherwise(F.split(n, " "))
+    return F.when(
+        n.isNull() | (n == ""), F.array().cast("array<string>")
+    ).otherwise(F.split(n, " "))
 
 
 def token_count_t(tok: Column | str) -> Column:

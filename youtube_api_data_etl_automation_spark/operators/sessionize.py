@@ -20,11 +20,14 @@ from pyspark.sql.window import Window
 
 
 def sessionize(events: DataFrame, gap_minutes: int = 30, user_col: str = "user_id",
-               ts_col: str = "ts") -> DataFrame:
+               ts_col: str = "ts", id_col: str = "event_id") -> DataFrame:
     """Assign a per-user session index: a new session starts when the gap
     since the previous event exceeds ``gap_minutes``. Adds ``session_idx``
-    (1-based per user, ordered by time)."""
-    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col("event_id"))
+    (1-based per user, ordered by time; ``id_col`` breaks timestamp ties
+    deterministically — parameterized like the other columns, r6: it was
+    hardcoded, so the custom-column parameters crashed on any table
+    without an event_id)."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
     gap_us = F.lit(gap_minutes * 60 * 1_000_000)
     prev_ts = F.lag(F.unix_micros(F.col(ts_col))).over(w)
     new_session = (

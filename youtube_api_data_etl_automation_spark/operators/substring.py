@@ -63,12 +63,13 @@ def duplicated_spans(docs: DataFrame, *, id_col: str = "doc_id",
     maximal span: (id, span_start, span_end, span_tokens).
     """
     occ = kgram_occurrences(docs, id_col=id_col, text_col=text_col, k=k)
-    # Feeds both the df-count aggregate and the join back. Lifecycle: the
-    # cache lives until the caller releases it (unpersist/clearCache after
-    # materializing the result) — it cannot be dropped here because the
-    # returned plan is lazy and reads it at execution. Long-lived sessions:
-    # see bench.py's per-query clearCache.
-    occ = occ.persist()
+    # Feeds both the df-count aggregate and the join back. localCheckpoint,
+    # not persist (r6): the cached handle was never exposed, so a
+    # long-lived session leaked one pinned (doc_id, pos, hash) relation
+    # per call with no release short of a blanket clearCache; the
+    # checkpoint materializes once, is reclaimed automatically when
+    # unreferenced, and serves both consumers identically.
+    occ = occ.localCheckpoint()
     dup = (
         occ.groupBy("gram_hash")
         .agg(F.count(F.lit(1)).alias("n_occ"))

@@ -324,6 +324,17 @@ class HttpTransport:
             except Exception:
                 pass
             raise PermanentAPIError(e.code, resource, reason) from None
+        except (urllib.error.URLError, TimeoutError, OSError) as e:
+            # Connection refused/reset, DNS failure, socket timeout — the
+            # classic transients. They previously bypassed the retry layer
+            # entirely (only HTTPError was caught) and killed the task,
+            # re-issuing every call in the partition on task retry (r6
+            # review). Ordered AFTER the HTTPError clause (its subclass).
+            # Sanitized (from None): the chained exception can embed the
+            # URL, whose query string contains the API key.
+            raise TransientAPIError(
+                f"network error calling {resource}: {type(e).__name__}"
+            ) from None
 
     # --- S1 shape (fetch_youtube_data.py:53-57) ---
     def channels_list(self, ids: Sequence[str]) -> dict:
@@ -505,7 +516,9 @@ class YouTubeReader(DataSourceReader):
         if partition.kind == "channels":
             if not partition.payload:
                 return
-            for item in transport.channels_list(partition.payload)["items"]:
+            # .get("items", []): the real API omits the key on empty result
+            # sets (deleted/unknown ids) — indexing crashed the task (r6).
+            for item in transport.channels_list(partition.payload).get("items", []):
                 yield (
                     item["id"],
                     item["snippet"]["title"],
@@ -525,7 +538,7 @@ class YouTubeReader(DataSourceReader):
             page = 0
             while True:
                 resp = transport.playlist_items_list(partition.payload, token)
-                for item in resp["items"]:
+                for item in resp.get("items", []):
                     yield (partition.payload, item["contentDetails"]["videoId"], page)
                 token = resp.get("nextPageToken")
                 if not token:
@@ -555,7 +568,7 @@ class YouTubeReader(DataSourceReader):
 
     @staticmethod
     def _emit_videos(transport, ids: Sequence[str]) -> Iterator[tuple]:
-        for item in transport.videos_list(ids)["items"]:
+        for item in transport.videos_list(ids).get("items", []):
             sn, st = item["snippet"], item["statistics"]
             yield (
                 item["id"],

@@ -56,10 +56,19 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tumbling_event_counts(events: DataFrame, window: str = "1 hour",
                           watermark: str = "2 hours",
                           slide: str | None = None) -> DataFrame:
-    """Watermarked windowed aggregation (late rows beyond the watermark are
-    dropped; state is bounded by watermark horizon). ``slide`` < ``window``
-    gives overlapping sliding windows — each event lands in
-    window/slide windows, multiplying state accordingly."""
+    """Watermarked windowed aggregation. ``slide`` < ``window`` gives
+    overlapping sliding windows — each event lands in window/slide
+    windows, multiplying state accordingly.
+
+    The watermark's guarantees are OUTPUT-MODE dependent (r6 review):
+    in ``update``/``append`` mode late rows beyond the horizon are
+    dropped and window state is evicted once finalized — the bounded
+    long-running deployment shape. The demo runner
+    :func:`run_available_now` uses ``complete`` mode (a memory sink
+    cannot replay updates), where Spark RETAINS all window state and
+    still aggregates late rows — acceptable for its one-shot
+    drain-and-stop use, wrong for an always-on query; pair this
+    aggregation with update mode and a real sink in production."""
     win = (
         F.window("ts", window, slide) if slide is not None else F.window("ts", window)
     )
