@@ -505,33 +505,63 @@ _TRAIL_US = _TRAIL_DAYS * 86_400 * 1_000_000
 
 
 @query(
-    "trailing_time_window",
+    "events_time_aggregates",
     oracle=f"""
     WITH e AS (
       SELECT event_id, user_id, epoch_us(ts) AS t_us,
-             CAST(value AS DECIMAL(18,6)) AS v
+             CAST(value AS DECIMAL(18,6)) AS v, ts
       FROM events
+    ),
+    trail AS (
+      SELECT event_id, user_id, t_us,
+             CAST(SUM(v) OVER w AS DOUBLE) AS sum_w,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n_w,
+             floor((CAST(SUM(v) OVER w AS DOUBLE)
+                    / (COUNT(*) OVER w)) * 1000000.0 + 0.5) / 1000000.0 AS avg6
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY t_us
+                   RANGE BETWEEN {_TRAIL_US} PRECEDING AND CURRENT ROW)
+    ),
+    bounds AS (
+      SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL '1 day')) AS DATE) AS day
+      FROM bounds
+    ),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu
+      FROM events GROUP BY 1
     )
-    SELECT event_id, user_id, t_us,
-           CAST(SUM(v) OVER w AS DOUBLE) AS sum_{_TRAIL_DAYS}d,
-           CAST(COUNT(*) OVER w AS BIGINT) AS n_{_TRAIL_DAYS}d,
-           floor((CAST(SUM(v) OVER w AS DOUBLE)
-                  / (COUNT(*) OVER w)) * 1000000.0 + 0.5) / 1000000.0 AS avg6
-    FROM e
-    WINDOW w AS (PARTITION BY user_id ORDER BY t_us
-                 RANGE BETWEEN {_TRAIL_US} PRECEDING AND CURRENT ROW)
+    SELECT 'trailing' AS section, t_us, event_id, user_id,
+           n_w AS n1, CAST(NULL AS BIGINT) AS n2, sum_w AS v1, avg6 AS v2
+    FROM trail
+    UNION ALL
+    SELECT 'daily', epoch_us(CAST(spine.day AS TIMESTAMP)),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(COALESCE(daily.n, 0) AS BIGINT),
+           CAST(COALESCE(daily.nu, 0) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM spine LEFT JOIN daily USING (day)
     """,
 )
-def trailing_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing PHYSICAL-time window aggregates per user
-    (operators/timeseries.py::trailing_window): a {d}-day trailing
-    sum/count for every event — the frame ROWS windows can't express when
-    event spacing is irregular. RANGE over microsecond ordering; one
-    shuffle on user_id; within a partition the frame is a sliding pointer
-    over the sorted run (O(n) amortized). Sums accumulate in decimal so
-    the frame's internal add order can't leak into the result; the mean
-    is derived at the query edge from the exact sum/count pair (double
-    division, mirrored operation-for-operation)."""
+def events_time_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two time-series aggregate shapes over events in one driver row (r6
+    consolidation of `trailing_time_window` + `date_spine_gapfill`).
+
+    `trailing`: per-event {d}-day trailing sum/count/mean per user
+    (operators/timeseries.py::trailing_window) via RANGE frames over
+    microsecond ordering — the physical-time window ROWS frames can't
+    express on irregular spacing; decimal-exact frames, mean derived at
+    the query edge from the exact sum/count pair. `daily`: gap-filled
+    daily event/user counts — a generated date spine (sequence + explode,
+    no driver loop) left-joined to the per-day aggregate, zeros where no
+    events; the aggregate side broadcasts, so the only fact shuffle is
+    its own group-by; per-day exact COUNT DISTINCT rides the same
+    aggregate (at 100 TB swap in the HLL sketches,
+    functions/sketches.py::daily_distinct_rollup)."""
     from ..operators.timeseries import trailing_window
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -545,18 +575,49 @@ def trailing_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         trailing_days=_TRAIL_DAYS,
         aggs=("sum", "count"),
     )
-    s, n = f"sum_{_TRAIL_DAYS}d", f"n_{_TRAIL_DAYS}d"
-    return out.select(
+    sc, nc = f"sum_{_TRAIL_DAYS}d", f"n_{_TRAIL_DAYS}d"
+    trail = out.select(
+        F.lit("trailing").alias("section"),
+        F.unix_micros("ts").alias("t_us"),
         "event_id",
         "user_id",
-        F.unix_micros("ts").alias("t_us"),
-        F.col(s),
-        F.col(n),
-        round6(F.col(s) / F.col(n)).alias("avg6"),
+        F.col(nc).alias("n1"),
+        F.lit(None).cast("long").alias("n2"),
+        F.col(sc).alias("v1"),
+        round6(F.col(sc) / F.col(nc)).alias("v2"),
     )
 
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col("user_id")).alias("nu"),
+    )
+    gap = (
+        spine.join(F.broadcast(daily), "day", "left")
+        .select(
+            F.lit("daily").alias("section"),
+            F.unix_micros(F.col("day").cast("timestamp")).alias("t_us"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("long").alias("user_id"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n1"),
+            F.coalesce("nu", F.lit(0)).cast("long").alias("n2"),
+            F.lit(None).cast("double").alias("v1"),
+            F.lit(None).cast("double").alias("v2"),
+        )
+    )
+    return trail.unionByName(gap)
 
-trailing_time_window.__doc__ = trailing_time_window.__doc__.format(d=_TRAIL_DAYS)
+
+events_time_aggregates.__doc__ = events_time_aggregates.__doc__.format(
+    d=_TRAIL_DAYS
+)
+
 
 
 # ---------------------------------------------------------------------------
@@ -742,55 +803,9 @@ def concat_id_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "date_spine_gapfill",
-    oracle="""
-    WITH bounds AS (
-      SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events
-    ),
-    spine AS (
-      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL '1 day')) AS DATE) AS day FROM bounds
-    ),
-    daily AS (
-      SELECT CAST(ts AS DATE) AS day,
-             CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu
-      FROM events GROUP BY 1
-    )
-    SELECT spine.day,
-           CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_events,
-           CAST(COALESCE(daily.nu, 0) AS BIGINT) AS n_users
-    FROM spine LEFT JOIN daily USING (day)
-    """,
-)
-def date_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-filled daily counts: a generated date spine (sequence + explode
-    — no driver loop) left-joined to the per-day aggregate, zeros where no
-    events. Both join sides are day-cardinality (the fact table is already
-    reduced before the join), and the aggregate side broadcasts — the only
-    fact-table shuffle is its own group-by. Per-day exact COUNT DISTINCT
-    users (A2) rides the same aggregate: Spark expands to a two-phase
-    distinct agg, still one fact shuffle; at 100 TB swap in
-    approx_count_distinct / HLL sketches (functions/sketches.py)."""
-    events = load_table(spark, sf_dir, "events")
-    bounds = events.agg(
-        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
-    )
-    spine = bounds.select(
-        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
-    )
-    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_distinct(F.col("user_id")).alias("nu"),
-    )
-    return (
-        spine.join(F.broadcast(daily), "day", "left")
-        .select(
-            "day",
-            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
-            F.coalesce("nu", F.lit(0)).cast("long").alias("n_users"),
-        )
-    )
+# The date-spine gap-fill is driver-verified as the `daily` section of
+# `events_time_aggregates` (r6 consolidation with the trailing-window
+# aggregates; identical spine + broadcast-join plan).
 
 
 # ---------------------------------------------------------------------------
@@ -971,3 +986,109 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sliding windows (window="1 hour", slide="30 minutes") run through the
 # same tumbling_event_counts machinery; value-checked against the batch
 # window expansion in tests/test_watermark_sketches.py.
+
+
+# ---------------------------------------------------------------------------
+# IVF recall curve (embeddings) — the ANN tuning artifact under the oracle
+# ---------------------------------------------------------------------------
+
+_RECALL_NPROBES = (1, 2, 4, 8)
+
+
+def _ivf_recall_oracle(nprobes: tuple[int, ...] = _RECALL_NPROBES,
+                       top_k: int = 3) -> str:
+    """Mirror of operators/similarity.py::ivf_recall_report on the
+    ivf_ann_topk fixture conventions (centroids = vectors 10–17, queries =
+    vec_id < 5): exact truth from the brute-force ranking, IVF candidates
+    from the query's top-``nprobe`` cells, per-nprobe hit counts."""
+    cos_q = sql_round6(_IVF_COS.format(a="a.embedding", b="q.qv"))
+    cos_cell = sql_round6(_IVF_COS.format(a="q.qv", b="c.cv"))
+    cos_exact = sql_round6(_IVF_COS.format(a="e.embedding", b="q.qv"))
+    head = f"""
+    WITH cent AS (
+      SELECT vec_id AS cluster_id, embedding AS cv FROM embeddings
+      WHERE vec_id BETWEEN 10 AND 17
+    ),
+    scored_assign AS (
+      SELECT e.vec_id, e.embedding, c.cluster_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {sql_round6(_IVF_COS.format(a='e.embedding', b='c.cv'))} DESC,
+                        c.cluster_id
+             ) AS rn
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cluster_id FROM scored_assign WHERE rn = 1
+    ),
+    q0 AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+    ),
+    cells AS (
+      SELECT q.query_id, q.qv, c.cluster_id,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                ORDER BY {cos_cell} DESC, c.cluster_id) AS cell_rank
+      FROM q0 q CROSS JOIN cent c
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {cos_exact} DESC, e.vec_id) AS rank
+        FROM embeddings e JOIN q0 q ON e.vec_id <> q.query_id
+      ) WHERE rank <= {top_k}
+    )"""
+    branches = []
+    for np_ in nprobes:
+        branches.append(f""",
+    got{np_} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id
+                                  ORDER BY {sql_round6(_IVF_COS.format(a='a.embedding', b='p.qv'))} DESC,
+                                           a.vec_id) AS rank
+        FROM (SELECT query_id, qv, cluster_id FROM cells WHERE cell_rank <= {np_}) p
+        JOIN assigned a ON a.cluster_id = p.cluster_id AND a.vec_id <> p.query_id
+      ) WHERE rank <= {top_k}
+    ),
+    hit{np_} AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n
+      FROM got{np_} g JOIN truth t USING (query_id, neighbor_id)
+    )""")
+    selects = "\n    UNION ALL\n".join(
+        f"""    SELECT CAST({np_} AS INT) AS nprobe,
+           (SELECT n FROM hit{np_}) AS n_hits,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+           floor((CAST((SELECT n FROM hit{np_}) AS DOUBLE)
+                  / (SELECT COUNT(*) FROM truth)) * 1000000.0 + 0.5) / 1000000.0
+             AS recall_at_k"""
+        for np_ in nprobes
+    )
+    return head + "".join(branches) + "\n" + selects
+
+
+@query("ivf_recall_curve", oracle=_ivf_recall_oracle())
+def ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN tuning artifact under the driver oracle
+    (operators/similarity.py::ivf_recall_report): recall@k of the IVF
+    index vs exact brute force for nprobe ∈ {np} — pick the smallest
+    setting that clears the application's recall bar, since candidate
+    cost scales ~linearly with nprobe. Same fixture conventions as
+    ivf_ann_topk (deterministic 'trained' centroids = vectors 10–17).
+    The truth relation and the cluster assignment each materialize ONCE
+    and serve every probed setting (the corpus-scale terms of the
+    report); exact per-setting recall values are pinned by
+    tests/test_ivf_nprobe.py and now value-verified by the driver."""
+    from ..operators.similarity import ivf_recall_report
+
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    centroids = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") <= 17))
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_recall_report(
+        emb, queries, centroids, top_k=3, nprobes=_RECALL_NPROBES
+    )
+
+
+ivf_recall_curve.__doc__ = ivf_recall_curve.__doc__.format(
+    np="{" + ", ".join(str(n) for n in _RECALL_NPROBES) + "}"
+)
