@@ -33,6 +33,10 @@ SANCTIONED_BNLJ = {
     "kmeans_embeddings": "Lloyd assignment: k centroids broadcast vs vectors",
     "semantic_neardup": "cluster assignment: 8 centroids broadcast vs vectors",
     "mixing_temperature": "rate table: 1-row total-weight broadcast vs source counts",
+    "ivf_recall_curve": (
+        "exact-truth baseline: query batch broadcast vs corpus; centroid "
+        "assignment + probe-cell ranking: k centroids broadcast"
+    ),
 }
 
 
