@@ -196,3 +196,45 @@ def test_encode_new_text_matches_python_reference(spark):
         for a, b in merges:
             want = py_apply(want, a, b)
         assert got[i] == want, (i, toks, got[i], want)
+
+
+def test_double_space_replace_trick_equals_merge_fold():
+    """Property guard for the bpe_train_encode oracle
+    (plans/text_queries.py::_bpe_oracle): one merge round expressed as
+    replace(s, ' a  b ', ' a<SEP>b ') on a DOUBLE-space-joined token
+    string must equal leftmost-non-overlapping pair merging — including
+    overlapping runs ('a a a'), adjacent occurrences ('a b a b'), merged
+    tokens containing the separator, and tokens that are substrings of
+    neighbors. Pure-Python simulation of the SQL (str.replace is
+    left-to-right non-overlapping, like DuckDB's replace), checked against
+    the _py_merge reference over randomized sequences."""
+    import random
+
+    rng = random.Random(20260814)
+    alphabet = ["a", "b", "ab", "ba", "aa", "x", f"a{SEP}b", "xa"]
+
+    def sql_sim(toks, a, b):
+        if not toks:
+            return []
+        s = "  " + "  ".join(toks) + "  "
+        s = s.replace(f" {a}  {b} ", f" {a}{SEP}{b} ")
+        out = s.strip()
+        return out.split("  ") if out else []
+
+    for _ in range(500):
+        n = rng.randint(0, 10)
+        toks = [rng.choice(alphabet) for _ in range(n)]
+        a, b = rng.choice(alphabet), rng.choice(alphabet)
+        assert sql_sim(toks, a, b) == _py_merge(toks, a, b), (toks, a, b)
+
+    # Chained merges (the oracle applies rounds sequentially).
+    for _ in range(200):
+        n = rng.randint(0, 12)
+        toks = [rng.choice(alphabet) for _ in range(n)]
+        ref = list(toks)
+        sim = list(toks)
+        for _r in range(3):
+            a, b = rng.choice(alphabet), rng.choice(alphabet)
+            ref = _py_merge(ref, a, b)
+            sim = sql_sim(sim, a, b)
+            assert sim == ref, (toks, a, b, sim, ref)
