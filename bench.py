@@ -106,10 +106,20 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            force(QUERIES[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
+        try:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                force(QUERIES[name](spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+        except Exception as e:  # noqa: BLE001 — the audit must be total
+            # One broken query must not abort the whole bench (the driver
+            # would record NO line at all); report it loudly and keep
+            # timing the rest. A None value in the JSON is the failure
+            # signal.
+            print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+            timings[name] = None
+            spark.catalog.clearCache()
+            continue
         timings[name] = round(best, 3)
         # Queries that persist() shared projections leave those relations in
         # the CacheManager (reused across the 3 runs above — same
@@ -121,7 +131,7 @@ def main() -> None:
         if not os.environ.get("SPARK_GRAFT_BENCH_KEEP_CACHE"):
             spark.catalog.clearCache()
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if t is not None), 3)
     print(
         json.dumps(
             {

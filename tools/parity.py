@@ -53,6 +53,12 @@ def compare(name: str, spark, con, sf_dir: str) -> tuple[bool, str]:
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
     if name not in ORACLES:
+        # Rows-only queries must at least produce rows: an unconditional
+        # PASS would mask a regression to an empty relation (r6 review).
+        # (All 50 registered queries currently have oracles — this path
+        # guards any future oracle-less addition.)
+        if not srows:
+            return False, "rows-only EMPTY RESULT (0 rows)"
         return True, f"rows-only ({len(srows)} rows)"
     res = con.execute(ORACLES[name])
     dcols = [d[0] for d in res.description]

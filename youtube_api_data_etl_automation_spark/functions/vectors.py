@@ -71,6 +71,14 @@ def quantize_int8(a: Column | str) -> Column:
 
     def build(m: Column) -> Column:
         scale = F.when(m > 0, m / F.lit(127.0)).otherwise(F.lit(0.0))
+        # F.round at INTEGER scale is engine-portable, unlike the scale-6
+        # rounding functions/rounding.py exists for: X.5 is exactly
+        # representable in double for |X| < 2^52, and a shortest-decimal
+        # representation always lies on the same side of any representable
+        # value as the double it round-trips to — so BigDecimal HALF_UP on
+        # the shortest repr (Spark) and round-half-away on the raw double
+        # (DuckDB) agree at scale 0. (The scale-6 divergence arises only
+        # because 0.0000005-grid points are NOT representable.)
         q = F.transform(
             arr,
             lambda v: F.when(m > 0, F.round(v * F.lit(127.0) / m))

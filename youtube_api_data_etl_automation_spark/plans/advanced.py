@@ -432,14 +432,23 @@ def _kmeans_oracle(n_iter: int = 3) -> str:
       ) WHERE rn = 1
     )"""
 
-    def recompute(src_assign: str, name: str) -> str:
+    def recompute(src_assign: str, src_cent: str, name: str) -> str:
+        # COALESCE via the previous centroid set: a cluster that wins zero
+        # vectors KEEPS its centroid, mirroring kmeans_lloyd's r6
+        # empty-cluster retention (without this the oracle would drop the
+        # cluster while the engine keeps it — latent divergence flagged by
+        # the r6 review; the fixture never produces an empty cluster, but
+        # the mirror must match the semantics, not the data).
         return f"""{name} AS (
-      SELECT cluster_id, list(m ORDER BY pos) AS cv FROM (
-        SELECT cluster_id, pos,
-               CAST(SUM(CAST(v[pos] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
-        FROM {src_assign}, range(1, {_KM_DIM + 1}) r(pos)
-        GROUP BY cluster_id, pos
-      ) GROUP BY cluster_id
+      SELECT p.cluster_id, COALESCE(m.cv, p.cv) AS cv
+      FROM {src_cent} p LEFT JOIN (
+        SELECT cluster_id, list(m ORDER BY pos) AS cv FROM (
+          SELECT cluster_id, pos,
+                 CAST(SUM(CAST(v[pos] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+          FROM {src_assign}, range(1, {_KM_DIM + 1}) r(pos)
+          GROUP BY cluster_id, pos
+        ) GROUP BY cluster_id
+      ) m ON p.cluster_id = m.cluster_id
     )"""
 
     ctes = [
@@ -454,7 +463,7 @@ def _kmeans_oracle(n_iter: int = 3) -> str:
     ]
     for i in range(1, n_iter + 1):
         ctes.append(assign(f"c{i - 1}", f"a{i}"))
-        ctes.append(recompute(f"a{i}", f"c{i}"))
+        ctes.append(recompute(f"a{i}", f"c{i - 1}", f"c{i}"))
     ctes.append(assign(f"c{n_iter}", "af"))
     final_c = sql_round6(cos.format(a="a.v", b="c.cv"))
     avg = sql_round6("CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)")
@@ -900,8 +909,17 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # funnels the whole 100 TB table through a handful of reducers, while
     # the aggregate is map-side-combined and the tiny result broadcasts.
     even_k = F.when(F.col("k") % 2 == 0, F.col("k"))
-    totals = parsed.groupBy("event_type").agg(F.sum(even_k).alias("even_k_total"))
-    return parsed.join(F.broadcast(totals), "event_type").select(
+    # eqNullSafe join-back: groupBy keeps a NULL event_type as its own
+    # group (as the oracle's window does), but a plain equi-join would
+    # silently drop those rows from the output (r6 review — the same
+    # NULL-group hazard capping.py guards).
+    totals = parsed.groupBy(
+        F.col("event_type").alias("__tot_type")
+    ).agg(F.sum(even_k).alias("even_k_total"))
+    return parsed.join(
+        F.broadcast(totals),
+        parsed["event_type"].eqNullSafe(F.col("__tot_type")),
+    ).select(
         "event_id",
         "event_type",
         "k_value",

@@ -244,7 +244,8 @@ _PACKING_ORACLE = f"""
 WITH t AS (
   SELECT doc_id,
          CASE WHEN norm = '' THEN 0 ELSE len(string_split(norm, ' ')) END AS n_tokens
-  FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+  FROM (SELECT doc_id,
+               lower(trim(regexp_replace(COALESCE(text, ''), '\\s+', ' ', 'g'))) AS norm
         FROM documents)
 ),
 keyed AS (

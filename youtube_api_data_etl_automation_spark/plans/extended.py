@@ -195,48 +195,6 @@ def neardup_pairs_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.unionByName(emb).unionByName(fz)
 
 
-@query(
-    "dedup_connected_components",
-    oracle=_simhash_oracle_core().replace("WITH n AS", "WITH RECURSIVE n AS", 1)
-    + """
-    , halves AS (
-      SELECT doc_id, simhash, simhash % 256 AS lo,
-             CAST(floor(simhash / 256) AS BIGINT) AS hi
-      FROM sig WHERE doc_id % 7 = 0
-    ), cand AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM halves a JOIN halves b ON a.lo = b.lo AND a.doc_id < b.doc_id
-        AND bit_count(xor(a.simhash, b.simhash)) <= 4
-      UNION
-      SELECT a.doc_id, b.doc_id
-      FROM halves a JOIN halves b ON a.hi = b.hi AND a.doc_id < b.doc_id
-        AND bit_count(xor(a.simhash, b.simhash)) <= 4
-    ), bidir AS (
-      SELECT doc_a AS a, doc_b AS b FROM cand
-      UNION
-      SELECT doc_b, doc_a FROM cand
-    ), reach(node, label) AS (
-      SELECT a, a FROM bidir
-      UNION
-      SELECT e.b, r.label FROM reach r JOIN bidir e ON r.node = e.a
-    )
-    SELECT node AS doc_id, MIN(label) AS canonical_id FROM reach GROUP BY node
-    """,
-)
-def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-cluster assembly: SimHash near-dup pairs → connected
-    components by iterative min-label propagation (the iterative-algorithm
-    shape: per-round join+aggregate, driver-side O(1) convergence probe).
-    Oracle = DuckDB recursive CTE over the identical pair graph."""
-    from ..operators.dedup import connected_components
-
-    docs = load_table(spark, sf_dir, "documents", rebalance=True).filter(
-        F.col("doc_id") % 7 == 0
-    )
-    pairs = simhash_pairs(docs, max_hamming=4)
-    return connected_components(pairs)
-
-
 _CC_CTES_H = """
     , halves AS (
       SELECT doc_id, simhash, simhash % 256 AS lo,
@@ -262,6 +220,30 @@ _CC_CTES_H = """
       SELECT node AS doc_id, MIN(label) AS canonical_id FROM reach GROUP BY node
     )
 """
+
+
+@query(
+    "dedup_connected_components",
+    oracle=_simhash_oracle_core().replace("WITH n AS", "WITH RECURSIVE n AS", 1)
+    + _CC_CTES_H.format(h=4)
+    + """
+    SELECT doc_id, canonical_id FROM cc
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assembly: SimHash near-dup pairs → connected
+    components by iterative min-label propagation (the iterative-algorithm
+    shape: per-round join+aggregate, driver-side O(1) convergence probe).
+    Oracle = DuckDB recursive CTE over the identical pair graph."""
+    from ..operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True).filter(
+        F.col("doc_id") % 7 == 0
+    )
+    pairs = simhash_pairs(docs, max_hamming=4)
+    return connected_components(pairs)
+
+
 
 
 @query(

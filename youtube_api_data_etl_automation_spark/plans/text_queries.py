@@ -49,7 +49,10 @@ _HEX_VAL = "+".join(
     "text_stats_docs",
     oracle=f"""
     WITH n AS (
-      SELECT doc_id, text, {_NORM.format(col='text')} AS norm FROM documents
+      -- COALESCE: the engine's tokens() treats NULL text as empty text
+      -- (r6), so every token-derived metric must read 0, not NULL
+      SELECT doc_id, text, {_NORM.format(col="COALESCE(text, '')")} AS norm
+      FROM documents
     ), t AS (
       SELECT doc_id, text, norm,
              CASE WHEN norm = '' THEN CAST([] AS VARCHAR[])
@@ -119,7 +122,8 @@ def _lang_quality_oracle() -> str:
     )
     return f"""
     WITH n AS (
-      SELECT doc_id, text, {_NORM.format(col='text')} AS norm FROM documents
+      SELECT doc_id, text, {_NORM.format(col="COALESCE(text, '')")} AS norm
+      FROM documents
     ), t AS (
       SELECT doc_id, text, norm,
              CASE WHEN norm = '' THEN [] ELSE string_split(norm, ' ') END AS toks
@@ -251,7 +255,8 @@ def _filter_report_oracle() -> str:
     whens = "\n                ".join(f"WHEN c_{lg} = best THEN '{lg}'" for lg in langs)
     return f"""
     WITH n AS (
-      SELECT doc_id, text, {_NORM.format(col='text')} AS norm FROM documents
+      SELECT doc_id, text, {_NORM.format(col="COALESCE(text, '')")} AS norm
+      FROM documents
     ), t AS (
       SELECT doc_id, text, norm,
              CASE WHEN norm = '' THEN [] ELSE string_split(norm, ' ') END AS toks
@@ -499,7 +504,7 @@ def _curation_report_oracle() -> str:
     WITH corpus AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
     ), n AS (
-      SELECT doc_id, text, {_NORM.format(col='text')} AS norm,
+      SELECT doc_id, text, {_NORM.format(col="COALESCE(text, '')")} AS norm,
              {_redact_sql('text')} AS clean_text
       FROM corpus
     ), t AS (
