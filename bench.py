@@ -58,7 +58,7 @@ HEADLINE = [
     "salted_join_revenue",
     "percentile_prices",
     "ivf_ann_topk",
-    "tfidf_top_terms",
+    "term_stats_tfidf_pmi",
     "dedup_connected_components",
     # r2 curation additions (plans/curation.py)
     "pii_redact_docs",

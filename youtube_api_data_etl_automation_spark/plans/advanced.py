@@ -635,7 +635,7 @@ events_time_aggregates.__doc__ = events_time_aggregates.__doc__.format(
 
 
 @query(
-    "tfidf_top_terms",
+    "term_stats_tfidf_pmi",
     oracle=f"""
     WITH n AS (
       SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
