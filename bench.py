@@ -71,6 +71,8 @@ HEADLINE = [
     # r6 additions (plans/curation.py)
     "mixing_temperature",
     "pack_token_sequences",
+    # late-r6 addition: the single-pass table profiler (plans/advanced.py)
+    "table_profile_orders",
 ]
 
 

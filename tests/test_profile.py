@@ -1,0 +1,161 @@
+"""Table-profiling operators (operators/profile.py): single-pass column
+stats, fixed-grid histograms, top-k values.
+
+Checks the documented NULL/empty/edge policies directly (the driver row
+`table_profile_orders` covers the cross-engine arithmetic), plus the plan
+shapes the scale notes promise: one aggregate job for the whole stats block,
+TakeOrdered (not a global sort) for top-k.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import Row, functions as F
+from pyspark.sql import types as T
+
+from youtube_api_data_etl_automation_spark.operators.profile import (
+    column_stats,
+    numeric_histogram,
+    top_values,
+)
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("x", T.DoubleType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("arr", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _df(spark):
+    rows = [
+        (1, "aa", 1.5, datetime.datetime(2024, 1, 2, 3, 4, 5), [1, 2]),
+        (2, "bbbb", 2.5, datetime.datetime(2024, 6, 7, 8, 9, 10), [3]),
+        (3, None, None, None, None),
+        (4, "aa", -1.0, datetime.datetime(2023, 12, 31, 23, 59, 59), []),
+    ]
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def test_column_stats_values(spark):
+    out = {r["column_name"]: r for r in column_stats(_df(spark)).collect()}
+    assert set(out) == {"k", "s", "x", "ts", "arr"}
+    k = out["k"]
+    assert (k["dtype"], k["n_rows"], k["n_nulls"], k["n_distinct"]) == (
+        "bigint", 4, 0, 4,
+    )
+    assert (k["min_value"], k["max_value"], k["avg_value"]) == ("1", "4", 2.5)
+    assert k["avg_len"] is None
+    s = out["s"]
+    assert (s["n_nulls"], s["n_distinct"]) == (1, 2)
+    assert (s["min_value"], s["max_value"]) == ("aa", "bbbb")
+    # mean length over the 3 non-null strings: (2 + 4 + 2) / 3
+    assert s["avg_len"] == pytest.approx(8 / 3, abs=1e-6)
+    assert s["avg_value"] is None
+    x = out["x"]
+    # fractional min/max render via decimal(24,6) — fixed scale, no
+    # engine-specific float formatting
+    assert (x["min_value"], x["max_value"]) == ("-1.000000", "2.500000")
+    assert x["avg_value"] == pytest.approx(1.0, abs=1e-9)
+    ts = out["ts"]
+    assert ts["min_value"] == "2023-12-31 23:59:59"
+    assert ts["max_value"] == "2024-06-07 08:09:10"
+    # no portable rendering for arrays: NULL min/max, but null/distinct
+    # counts still real
+    arr = out["arr"]
+    assert (arr["min_value"], arr["max_value"]) == (None, None)
+    assert (arr["n_nulls"], arr["n_distinct"]) == (1, 3)
+
+
+def test_column_stats_empty_and_all_null(spark):
+    empty = spark.createDataFrame([], _SCHEMA)
+    for r in column_stats(empty, ["k", "s"]).collect():
+        assert r["n_rows"] == 0 and r["n_nulls"] == 0 and r["n_distinct"] == 0
+        assert r["min_value"] is None and r["avg_value"] is None
+    rows = [(None, None, None, None, None)]
+    out = {r["column_name"]: r for r in
+           column_stats(spark.createDataFrame(rows, _SCHEMA)).collect()}
+    assert out["k"]["n_nulls"] == 1 and out["k"]["n_distinct"] == 0
+    assert out["k"]["avg_value"] is None and out["s"]["avg_len"] is None
+
+
+def test_column_stats_unknown_column(spark):
+    with pytest.raises(KeyError, match="nope"):
+        column_stats(_df(spark), ["k", "nope"])
+
+
+def test_column_stats_one_agg_job(spark):
+    """The whole stats block is one aggregate pipeline over ONE scan of the
+    source: two exchanges in exact mode (Expand-based multi-distinct needs
+    a distinct-stage shuffle before the final one), exactly one in approx
+    mode — never one scan/job per column."""
+    exact = column_stats(_df(spark))._jdf.queryExecution().executedPlan().toString()
+    assert exact.count("Scan ExistingRDD") == 1
+    assert exact.count("Exchange") == 2
+    approx = (
+        column_stats(_df(spark), exact_distinct=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert approx.count("Scan ExistingRDD") == 1
+    assert approx.count("Exchange") == 1
+
+
+def test_column_stats_approx_mode_drops_expand(spark):
+    exact = column_stats(_df(spark))._jdf.queryExecution().executedPlan().toString()
+    approx = (
+        column_stats(_df(spark), exact_distinct=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" in exact  # multi-distinct fixture mode
+    assert "Expand" not in approx  # HLL partials: the 100 TB mode
+    # approx cardinalities still sane on a tiny relation
+    out = {r["column_name"]: r for r in
+           column_stats(_df(spark), exact_distinct=False).collect()}
+    assert out["k"]["n_distinct"] == 4
+
+
+def test_numeric_histogram_clamps_and_totals(spark):
+    df = spark.range(0, 100).select((F.col("id") * 1.0).alias("v"))
+    # grid [10, 90) x 8 bins; values <10 and >=90 clamp into edge buckets
+    hist = numeric_histogram(df, "v", 10.0, 90.0, 8).collect()
+    by_bucket = {r["bucket"]: r for r in hist}
+    assert sum(r["bucket_n"] for r in hist) == 100  # no rows lost
+    assert by_bucket[0]["bucket_n"] == 20  # 0..19 (10 clamped + 10 in-range)
+    assert by_bucket[7]["bucket_n"] == 20  # 80..99
+    assert all(by_bucket[b]["bucket_n"] == 10 for b in range(1, 7))
+    assert by_bucket[3]["bucket_lo"] == 40.0 and by_bucket[3]["bucket_hi"] == 50.0
+
+
+def test_numeric_histogram_drops_nulls_and_validates(spark):
+    df = spark.createDataFrame([Row(v=1.0), Row(v=None), Row(v=2.0)])
+    assert sum(r["bucket_n"] for r in
+               numeric_histogram(df, "v", 0.0, 4.0, 4).collect()) == 2
+    with pytest.raises(ValueError, match="bins"):
+        numeric_histogram(df, "v", 0.0, 4.0, 0)
+    with pytest.raises(ValueError, match="hi > lo"):
+        numeric_histogram(df, "v", 4.0, 4.0, 2)
+
+
+def test_top_values_rank_and_ties(spark):
+    rows = [Row(c=v) for v in
+            ["b"] * 3 + ["a"] * 3 + ["c"] * 2 + ["d"] * 1 + [None] * 5]
+    df = spark.createDataFrame(rows)
+    got = [(r["value"], r["value_n"], r["rank"])
+           for r in top_values(df, "c", k=3).collect()]
+    # tie between a and b broken by value ascending; NULLs never counted
+    assert sorted(got, key=lambda t: t[2]) == [
+        ("a", 3, 1), ("b", 3, 2), ("c", 2, 3),
+    ]
+    with pytest.raises(ValueError, match="k must be"):
+        top_values(df, "c", k=0)
+
+
+def test_top_values_take_ordered_not_global_sort(spark):
+    df = spark.range(0, 1000).select((F.col("id") % 7).cast("string").alias("c"))
+    plan = top_values(df, "c", k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -119,20 +119,35 @@ def sessionize_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT DISTINCT o_orderpriority FROM orders) p
       CROSS JOIN statuses s
       LEFT JOIN counts c USING (o_orderstatus, o_orderpriority)
+    ),
+    batch_rows AS (
+      SELECT o_orderpriority,
+             string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS id_batch,
+             CAST(COUNT(*) AS BIGINT) AS n_ids
+      FROM orders
+      WHERE o_orderkey % 1000 = 0
+      GROUP BY o_orderpriority
     )
-    SELECT 'cube' AS section, * FROM cube_rows
+    SELECT 'cube' AS section, *, CAST(NULL AS VARCHAR) AS id_batch FROM cube_rows
     UNION ALL
     SELECT 'pivot', o_orderstatus, o_orderpriority,
-           CAST(NULL AS BIGINT), n_orders, CAST(NULL AS DOUBLE)
+           CAST(NULL AS BIGINT), n_orders, CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
     FROM pivot_rows
+    UNION ALL
+    SELECT 'id_batches', CAST(NULL AS VARCHAR), o_orderpriority,
+           CAST(NULL AS BIGINT), n_ids, CAST(NULL AS DOUBLE), id_batch
+    FROM batch_rows
     """,
 )
 def olap_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE + PIVOT over (status, priority) in one driver row (r6
-    consolidation of `cube_status_priority` + `pivot_status_by_priority`;
-    the pivot's wide result is melted back to long form so both executions
-    share a schema — the melt is lossless, so the pivot cells are still
-    verified one-for-one).
+    """CUBE + PIVOT + deterministic string-agg batching over orders in one
+    driver row (r6 consolidation of `cube_status_priority` +
+    `pivot_status_by_priority`; later in r6 the T11 `concat_id_batches` row
+    joined as the `id_batches` section — all three are one-shuffle
+    aggregation shapes over the same table, so one relation verifies them
+    side by side; the pivot's wide result is melted back to long form so
+    the executions share a schema — the melt is lossless, so the pivot
+    cells are still verified one-for-one).
 
     `cube`: the full grouping-sets lattice in one pass (Spark expands the
     sets map-side: still a single shuffle) with grouping_id()
@@ -141,13 +156,19 @@ def olap_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     arbitrary groupingSets are the same machinery, value-checked in
     tests/test_grouping.py. `pivot`: PIVOT with an explicit value list
     (one pass, no extra distinct-values job at scale), melted via
-    unpivot/stack."""
+    unpivot/stack. `id_batches` (T11 as a data-plane op): the reference
+    joins 50-id batches for API calls (fetch_youtube_data.py:55,:117);
+    collect_list is shuffle-order-dependent, so array_sort pins the order
+    before concat_ws."""
     orders = load_table(spark, sf_dir, "orders")
     cube = orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.grouping_id().cast("long").alias("gid"),
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
-    ).select(F.lit("cube").alias("section"), "*")
+    ).select(
+        F.lit("cube").alias("section"), "*",
+        F.lit(None).cast("string").alias("id_batch"),
+    )
 
     piv = (
         orders.groupBy("o_orderpriority")
@@ -163,8 +184,33 @@ def olap_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("gid"),
         F.coalesce(F.col("n_raw"), F.lit(0)).cast("long").alias("n_orders"),
         F.lit(None).cast("double").alias("total_price"),
+        F.lit(None).cast("string").alias("id_batch"),
     )
-    return cube.unionByName(melted)
+
+    batches = (
+        orders.filter(F.col("o_orderkey") % 1000 == 0)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("o_orderkey")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("id_batch"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.lit("id_batches").alias("section"),
+            F.lit(None).cast("string").alias("o_orderstatus"),
+            "o_orderpriority",
+            F.lit(None).cast("long").alias("gid"),
+            "n_orders",
+            F.lit(None).cast("double").alias("total_price"),
+            "id_batch",
+        )
+    )
+    return cube.unionByName(melted).unionByName(batches)
 
 
 @query(
@@ -783,33 +829,187 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_rows.unionByName(pmi_rows)
 
 
-@query(
-    "concat_id_batches",
-    oracle="""
-    SELECT o_orderpriority,
-           string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS id_batch,
-           CAST(COUNT(*) AS BIGINT) AS n_ids
+# T11 string-agg batching is driver-verified as the `id_batches` section of
+# `olap_status_priority` (r6 consolidation — the freed slot went to
+# `table_profile_orders` below).
+
+
+# ---------------------------------------------------------------------------
+# Table profiling (operators/profile.py) — the data-quality triage pass
+# ---------------------------------------------------------------------------
+
+# One UNION ALL branch per profiled column; every branch mirrors the exact
+# arithmetic of operators/profile.py::column_stats (decimal-exact sums,
+# portable round6, pinned timestamp format, decimal(24,6) rendering for
+# fractional min/max).
+_PROFILE_PAD = """
+           CAST(NULL AS INT) AS bucket, CAST(NULL AS DOUBLE) AS bucket_lo,
+           CAST(NULL AS DOUBLE) AS bucket_hi, CAST(NULL AS BIGINT) AS bucket_n,
+           CAST(NULL AS VARCHAR) AS value, CAST(NULL AS BIGINT) AS value_n,
+           CAST(NULL AS INT) AS rank
+"""
+
+
+def _stats_branch(col: str, dtype: str, min_expr: str, max_expr: str,
+                  avg_expr: str, len_expr: str) -> str:
+    return f"""
+    SELECT 'stats' AS section, '{col}' AS column_name, '{dtype}' AS dtype,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+           {min_expr} AS min_value, {max_expr} AS max_value,
+           {avg_expr} AS avg_value, {len_expr} AS avg_len,
+           {_PROFILE_PAD}
     FROM orders
-    WHERE o_orderkey % 1000 = 0
-    GROUP BY o_orderpriority
-    """,
-)
-def concat_id_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T11 as a data-plane op: deterministic comma-joined id batches per
-    group (the reference joins 50-id batches for API calls,
-    fetch_youtube_data.py:55,:117). collect_list is shuffle-order-dependent,
-    so array_sort pins the order before concat_ws."""
-    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 1000 == 0)
-    return orders.groupBy("o_orderpriority").agg(
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.array_sort(F.collect_list("o_orderkey")),
-                lambda x: x.cast("string"),
-            ),
-        ).alias("id_batch"),
-        F.count(F.lit(1)).alias("n_ids"),
+    """
+
+
+def _avg_sql(col: str) -> str:
+    return (
+        "CASE WHEN COUNT({c}) > 0 THEN "
+        + sql_round6("CAST(SUM(CAST({c} AS DECIMAL(24,6))) AS DOUBLE) / COUNT({c})")
+        + " END"
+    ).format(c=col)
+
+
+def _len_sql(col: str) -> str:
+    return (
+        "CASE WHEN COUNT({c}) > 0 THEN "
+        + sql_round6("CAST(SUM(CAST(LENGTH({c}) AS DECIMAL(24,6))) AS DOUBLE) / COUNT({c})")
+        + " END"
+    ).format(c=col)
+
+
+_NULL_D = "CAST(NULL AS DOUBLE)"
+
+_PROFILE_ORACLE = (
+    _stats_branch(
+        "o_orderkey", "bigint",
+        "CAST(MIN(o_orderkey) AS VARCHAR)", "CAST(MAX(o_orderkey) AS VARCHAR)",
+        _avg_sql("o_orderkey"), _NULL_D,
     )
+    + " UNION ALL "
+    + _stats_branch(
+        "o_orderstatus", "string",
+        "MIN(o_orderstatus)", "MAX(o_orderstatus)",
+        _NULL_D, _len_sql("o_orderstatus"),
+    )
+    + " UNION ALL "
+    + _stats_branch(
+        "o_totalprice", "double",
+        "CAST(CAST(MIN(o_totalprice) AS DECIMAL(24,6)) AS VARCHAR)",
+        "CAST(CAST(MAX(o_totalprice) AS DECIMAL(24,6)) AS VARCHAR)",
+        _avg_sql("o_totalprice"), _NULL_D,
+    )
+    + " UNION ALL "
+    + _stats_branch(
+        "o_orderdate", "timestamp_ntz",
+        "strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S')",
+        "strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')",
+        _NULL_D, _NULL_D,
+    )
+    + " UNION ALL "
+    + _stats_branch(
+        "o_orderpriority", "string",
+        "MIN(o_orderpriority)", "MAX(o_orderpriority)",
+        _NULL_D, _len_sql("o_orderpriority"),
+    )
+    + f"""
+    UNION ALL
+    SELECT 'hist', 'o_totalprice', CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           bucket, 0.0 + CAST(bucket AS DOUBLE) * 25000.0,
+           0.0 + CAST(bucket + 1 AS DOUBLE) * 25000.0, bucket_n,
+           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS INT)
+    FROM (
+      SELECT CAST(LEAST(GREATEST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - 0.0)
+                                            / 25000.0) AS INT), 0), 19) AS INT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS bucket_n
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+    )
+    UNION ALL
+    SELECT 'topk', 'o_orderpriority', CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS INT), {_NULL_D}, {_NULL_D}, CAST(NULL AS BIGINT),
+           value, value_n, rank
+    FROM (
+      SELECT CAST(o_orderpriority AS VARCHAR) AS value,
+             CAST(COUNT(*) AS BIGINT) AS value_n,
+             CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC,
+                                     CAST(o_orderpriority AS VARCHAR)) AS INT) AS rank
+      FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY o_orderpriority
+    ) WHERE rank <= 3
+    """
+)
+
+
+@query("table_profile_orders", oracle=_PROFILE_ORACLE)
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-quality triage pass every 100 TB ingest starts with
+    (operators/profile.py; the reference has NO quality surface and crashes
+    on payload surprises — SURVEY.md §2.6): per-column stats + value-range
+    histogram + top-k skew readout over orders, tag-unioned into one
+    relation.
+
+    `stats`: null counts, exact cardinalities, portable min/max renderings
+    and decimal-exact means for all five orders columns — ONE aggregate job
+    over ONE scan (the multi-distinct Expand is the fixture-mode cost; at
+    100 TB `exact_distinct=False` swaps in mergeable HLL sketches and the
+    Expand disappears). `hist`: 20 fixed buckets over o_totalprice, clamped
+    edges so counts always total the non-null rows. `topk`: frequency-ranked
+    priorities via TakeOrderedAndProject — per-partition top-k, never a full
+    sort."""
+    from ..operators.profile import column_stats, numeric_histogram, top_values
+
+    orders = load_table(spark, sf_dir, "orders")
+    pad_hist_topk = [
+        F.lit(None).cast("int").alias("bucket"),
+        F.lit(None).cast("double").alias("bucket_lo"),
+        F.lit(None).cast("double").alias("bucket_hi"),
+        F.lit(None).cast("long").alias("bucket_n"),
+        F.lit(None).cast("string").alias("value"),
+        F.lit(None).cast("long").alias("value_n"),
+        F.lit(None).cast("int").alias("rank"),
+    ]
+    pad_stats = [
+        F.lit(None).cast("string").alias("dtype"),
+        F.lit(None).cast("long").alias("n_rows"),
+        F.lit(None).cast("long").alias("n_nulls"),
+        F.lit(None).cast("long").alias("n_distinct"),
+        F.lit(None).cast("string").alias("min_value"),
+        F.lit(None).cast("string").alias("max_value"),
+        F.lit(None).cast("double").alias("avg_value"),
+        F.lit(None).cast("double").alias("avg_len"),
+    ]
+    stats = column_stats(
+        orders,
+        ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+         "o_orderpriority"],
+    ).select(F.lit("stats").alias("section"), "*", *pad_hist_topk)
+    hist = numeric_histogram(orders, "o_totalprice", 0.0, 500_000.0, 20).select(
+        F.lit("hist").alias("section"),
+        F.lit("o_totalprice").alias("column_name"),
+        *pad_stats,
+        "bucket", "bucket_lo", "bucket_hi", "bucket_n",
+        F.lit(None).cast("string").alias("value"),
+        F.lit(None).cast("long").alias("value_n"),
+        F.lit(None).cast("int").alias("rank"),
+    )
+    topk = top_values(orders, "o_orderpriority", k=3).select(
+        F.lit("topk").alias("section"),
+        F.lit("o_orderpriority").alias("column_name"),
+        *pad_stats,
+        F.lit(None).cast("int").alias("bucket"),
+        F.lit(None).cast("double").alias("bucket_lo"),
+        F.lit(None).cast("double").alias("bucket_hi"),
+        F.lit(None).cast("long").alias("bucket_n"),
+        "value", "value_n", "rank",
+    )
+    return stats.unionByName(hist).unionByName(topk)
 
 
 # The date-spine gap-fill is driver-verified as the `daily` section of
