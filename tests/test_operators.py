@@ -111,6 +111,67 @@ def test_fake_decode_shapes(spark):
     assert (r.width, r.height) == (11, 11)
 
 
+def _wav(rate, frames, bits=16, fmt_code=1, pre_data_chunk=None):
+    """Build a byte-exact RIFF/WAVE file: frames is [(ch0, ch1, ...), ...]
+    (8-bit values given raw-unsigned). ``pre_data_chunk`` injects an extra
+    (id, body) chunk between fmt and data to exercise the chunk walk."""
+    import struct
+
+    n_ch = len(frames[0]) if frames else 1
+    width = bits // 8
+    if bits == 8:
+        data = b"".join(bytes(f) for f in frames)
+    else:
+        data = b"".join(struct.pack(f"<{n_ch}h", *f) for f in frames)
+    fmt = struct.pack(
+        "<HHIIHH", fmt_code, n_ch, rate, rate * n_ch * width, n_ch * width, bits
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if pre_data_chunk is not None:
+        cid, body = pre_data_chunk
+        chunks += cid + struct.pack("<I", len(body)) + body
+        if len(body) & 1:
+            chunks += b"\x00"  # RIFF even-padding
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_decode_wav_16bit_stereo_exact(spark):
+    """Real WAV decode: planted 16-bit stereo PCM — layout and the exact
+    int64-sum peak/RMS must come out byte-exact."""
+    frames = [(1000, -1000), (2000, -2000), (0, 32767)]
+    r = multimodal.decode_audio(
+        _blob_df(spark, _wav(8000, frames))
+    ).collect()[0]
+    assert (r.format, r.sample_rate, r.n_channels, r.n_frames) == (
+        "wav", 8000, 2, 3,
+    )
+    assert r.duration_sec == 3 / 8000
+    assert r.peak == 32767
+    sq = 1000**2 * 2 + 2000**2 * 2 + 0 + 32767**2
+    assert r.rms == (sq / 6) ** 0.5
+
+
+def test_decode_wav_8bit_and_chunk_walk(spark):
+    """8-bit WAV is unsigned centered at 128; an odd-length LIST chunk
+    before data must be skipped via the even-padding rule."""
+    frames = [(128,), (138,), (118,)]
+    payload = _wav(4000, frames, bits=8, pre_data_chunk=(b"LIST", b"INFOx"))
+    r = multimodal.decode_audio(_blob_df(spark, payload)).collect()[0]
+    assert (r.n_channels, r.n_frames, r.peak) == (1, 3, 10)
+    assert r.rms == (200 / 3) ** 0.5
+
+
+def test_decode_wav_compressed_still_stubbed(spark):
+    """Float PCM / non-RIFF payloads need a codec library (absent here) —
+    the honest NotImplementedError surfaces through the Spark action."""
+    float_wav = _wav(8000, [(1, 1)], fmt_code=3)
+    with pytest.raises(Exception, match="variant not supported"):
+        multimodal.decode_audio(_blob_df(spark, float_wav)).collect()
+    with pytest.raises(Exception, match="codec"):
+        multimodal.decode_audio(_blob_df(spark, b"ID3\x04" + b"\x00" * 32)).collect()
+
+
 def test_exact_duplicates_groups_copies(spark):
     docs = _docs(spark, [(1, "Same  Text"), (2, "same text"), (3, "other")])
     out = {r.canonical_id: r.n_copies for r in exact_duplicates(docs).collect()}

@@ -11,10 +11,13 @@ Design (per the 100 TB posture):
 - partitioning: payload tables should be partitioned/bucketed by the id the
   downstream join uses; nothing here ever collects to the driver.
 
-The real image/audio decoders are not installed in this environment, so
-``decode_image`` is an explicit stub (NotImplementedError) and
-``fake_decode_features`` is the deterministic stand-in that keeps the
-pipeline (schema, batching, UDF signature) real and testable end-to-end.
+No codec libraries are installed in this environment, so the decoders are
+split honestly: ``decode_image`` REALLY decodes the uncompressed formats
+that need no codec (24-bit BMP, binary P6 PPM), ``decode_audio`` really
+decodes RIFF/WAVE PCM (8- and 16-bit), and every compressed format
+(PNG/JPEG/MP3/AAC/...) raises an explicit NotImplementedError from inside
+the same mapInPandas shape. ``fake_decode_features`` remains the
+deterministic stand-in for pipeline tests that don't care about pixels.
 """
 
 from __future__ import annotations
@@ -235,6 +238,110 @@ def decode_image(blobs: DataFrame) -> DataFrame:
             )
 
     return blobs.mapInPandas(batches, DECODE_SCHEMA)
+
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, format string, sample_rate int, n_channels int, "
+    "n_frames bigint, duration_sec double, peak int, rms double"
+)
+
+
+def _decode_pcm(payload: bytes):
+    """Decode one RIFF/WAVE PCM payload to (sample_rate, int samples array
+    shaped (frames, channels)).
+
+    Manual chunk walk (not the stdlib ``wave`` module: it chokes on
+    benign extension chunks and non-seekable layouts): 4-byte id + LE
+    u32 size per chunk, even-padded; 'fmt ' gives the codec/layout,
+    'data' the samples. Supported: format 1 (integer PCM) at 8-bit
+    unsigned or 16-bit signed — everything a codec-free decoder can do.
+    Float PCM, ADPCM, 24-bit, MP3-in-WAV raise NotImplementedError."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "compressed/unknown audio format (magic "
+            f"{payload[:4]!r}) requires an audio codec library, not "
+            "available in this container"
+        )
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are even-padded
+    if fmt is None or data is None:
+        raise ValueError("malformed WAVE: missing fmt/data chunk")
+    audio_fmt, n_ch, rate = struct.unpack_from("<HHI", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    # 0xFFFE = WAVE_FORMAT_EXTENSIBLE: real codec is the GUID's first
+    # two bytes at offset 24 of the fmt body
+    if audio_fmt == 0xFFFE and len(fmt) >= 26:
+        audio_fmt = struct.unpack_from("<H", fmt, 24)[0]
+    if audio_fmt != 1 or bits not in (8, 16) or n_ch == 0:
+        raise NotImplementedError(
+            f"WAVE variant not supported (format={audio_fmt}, bits={bits}, "
+            f"channels={n_ch}); only integer PCM at 8/16-bit decodes "
+            "without a codec library"
+        )
+    width = bits // 8
+    n_frames = len(data) // (width * n_ch)
+    if bits == 8:  # 8-bit WAV is unsigned, centered at 128
+        samples = (
+            np.frombuffer(data, dtype=np.uint8, count=n_frames * n_ch)
+            .astype(np.int64) - 128
+        )
+    else:
+        samples = np.frombuffer(
+            data, dtype="<i2", count=n_frames * n_ch
+        ).astype(np.int64)
+    return int(rate), samples.reshape(n_frames, n_ch)
+
+
+def decode_audio(blobs: DataFrame) -> DataFrame:
+    """REAL audio decode for RIFF/WAVE integer PCM — stdlib struct chunk
+    walk + numpy sample math in the same Arrow-batched mapInPandas shape
+    as ``decode_image``. Output row per payload: layout (rate, channels,
+    frames, duration) and level stats — peak |sample| and RMS, both over
+    all channels, computed with exact int64 sums so the doubles are
+    deterministic. Compressed codecs raise NotImplementedError (honest
+    stub: a codec library is required and absent here)."""
+    import math
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, rates, chs, frames, durs, peaks, rmss = [], [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, s = _decode_pcm(bytes(payload) if payload is not None else b"")
+                ids.append(doc_id)
+                rates.append(rate)
+                chs.append(s.shape[1])
+                frames.append(s.shape[0])
+                durs.append(s.shape[0] / rate)
+                n = s.size
+                peaks.append(int(abs(s).max()) if n else 0)
+                rmss.append(math.sqrt(int((s * s).sum()) / n) if n else 0.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "format": pd.Series(["wav"] * len(ids), dtype="object"),
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "n_channels": pd.Series(chs, dtype="int32"),
+                    "n_frames": pd.Series(frames, dtype="int64"),
+                    "duration_sec": pd.Series(durs, dtype="float64"),
+                    "peak": pd.Series(peaks, dtype="int32"),
+                    "rms": pd.Series(rmss, dtype="float64"),
+                }
+            )
+
+    return blobs.mapInPandas(batches, AUDIO_SCHEMA)
 
 
 def fake_decode_features(blobs: DataFrame) -> DataFrame:
