@@ -1,0 +1,74 @@
+"""HTML/markup boilerplate stripping (functions/markup.py): planted-markup
+cases pinning the documented pipeline order, plus a DuckDB differential
+proving the SQL mirror is byte-identical (the same property the driver's
+`pii_redact_docs` row checks at corpus scale)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import Row, functions as F
+
+from youtube_api_data_etl_automation_spark.functions.markup import (
+    sql_strip_markup,
+    sql_tag_count,
+    strip_markup,
+    tag_count,
+)
+
+CASES = [
+    # script/style elements vanish WITH contents; '<' inside script must
+    # not confuse the element regex
+    ('<p>keep</p><script>var x = 1 < 2;</script>', "keep"),
+    ("<style type=text/css>p {color:red}</style>after", "after"),
+    # comments vanish, tags strip, whitespace collapses
+    ("a <!-- no -->  <b>bold</b>\n\tc", "a bold c"),
+    # entity decode AFTER tag strip: escaped markup stays visible text;
+    # &amp; decodes LAST (single-decode)
+    ("&lt;b&gt;not a tag&lt;/b&gt;", "<b>not a tag</b>"),
+    ("&amp;lt;still escaped&amp;gt;", "&lt;still escaped&gt;"),
+    ('x &quot;q&quot; &#39;a&#39; &apos;b&apos; &nbsp; y', "x \"q\" 'a' 'b' y"),
+    # unterminated script: the element regex declines (non-greedy needs the
+    # closer), the tag pass still strips the opener
+    ("<script>half open", "half open"),
+    # markup-free text: whitespace normalization only
+    ("  plain   text  ", "plain text"),
+    # case-insensitive elements
+    ("<SCRIPT>x</SCRIPT><STYLE>y</STYLE>z", "z"),
+]
+
+
+def test_strip_markup_cases(spark):
+    df = spark.createDataFrame([Row(i=i, t=t) for i, (t, _) in enumerate(CASES)])
+    got = {r["i"]: r["out"] for r in
+           df.select("i", strip_markup("t").alias("out")).collect()}
+    for i, (_, want) in enumerate(CASES):
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+
+
+def test_strip_markup_null_and_tag_count(spark):
+    df = spark.createDataFrame([Row(t=None), Row(t="<a><b>x</b></a>")],
+                               "t string")
+    rows = df.select(strip_markup("t").alias("s"),
+                     tag_count("t").alias("n")).collect()
+    assert rows[0]["s"] is None and rows[0]["n"] is None
+    assert rows[1]["s"] == "x" and rows[1]["n"] == 4
+
+
+def test_sql_mirror_differential(spark):
+    """Spark and the DuckDB mirror must strip byte-identically on every
+    planted case — the exact property the driver's oracle row relies on."""
+    con = duckdb.connect()
+    df = spark.createDataFrame([Row(i=i, t=t) for i, (t, _) in enumerate(CASES)])
+    got = {
+        r["i"]: (r["out"], r["n"])
+        for r in df.select(
+            "i", strip_markup("t").alias("out"), tag_count("t").alias("n")
+        ).collect()
+    }
+    for i, (t, _) in enumerate(CASES):
+        con.execute("CREATE OR REPLACE TABLE c AS SELECT ? AS t", [t])
+        want = con.execute(
+            f"SELECT {sql_strip_markup('t')}, {sql_tag_count('t')} FROM c"
+        ).fetchone()
+        assert got[i] == want, f"case {i}: spark {got[i]!r} != duckdb {want!r}"

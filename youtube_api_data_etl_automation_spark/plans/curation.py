@@ -13,6 +13,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.markup import (
+    sql_strip_markup,
+    sql_tag_count,
+    strip_markup,
+    tag_count,
+)
 from ..functions.pii import (
     EMAIL_RE,
     IPV4_RE,
@@ -52,6 +58,18 @@ WITH aug AS (
                  || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END AS t
   FROM documents
 )
+, html AS (
+  SELECT doc_id, t,
+    '<div class="doc">'
+    || CASE WHEN doc_id % 2 = 0
+            THEN '<script type="text/js">var x = 1 < 2;</script>' ELSE '' END
+    || '<p>' || text || '</p>'
+    || CASE WHEN doc_id % 4 = 0
+            THEN '<!-- hidden --><style>p ' || chr(123) || 'color: red' || chr(125) || '</style>'
+            ELSE '' END
+    || '&amp;lt;tail&gt; &nbsp;</div>' AS h
+  FROM aug JOIN documents USING (doc_id)
+)
 SELECT doc_id,
        CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS INT)  AS n_emails,
        CAST(len(regexp_extract_all(t, '{IPV4_RE}')) AS INT)   AS n_ipv4,
@@ -59,18 +77,25 @@ SELECT doc_id,
        md5(regexp_replace(regexp_replace(regexp_replace(t,
             '{EMAIL_RE}', '[EMAIL]', 'g'),
             '{IPV4_RE}', '[IP]', 'g'),
-            '{PHONE_RE}', '[PHONE]', 'g'))                    AS redacted_fp
-FROM aug
+            '{PHONE_RE}', '[PHONE]', 'g'))                    AS redacted_fp,
+       {sql_tag_count('h')}                                   AS n_tags,
+       md5({sql_strip_markup('h')})                           AS stripped_fp
+FROM html
 """
 
 
 @query("pii_redact_docs", oracle=_PII_ORACLE)
 def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrub over the corpus: count emails/IPv4s/phone numbers, then
-    redact them to bracket tokens; the oracle compares the md5 of the
-    redacted text, proving byte-identical redaction without hauling bodies
-    through the driver. Map-only (no shuffle) — the 100 TB cost is one
-    codegen'd scan, and the redacted column ships in the same pass
+    """Document scrubbing over the corpus: PII detection/redaction plus
+    HTML boilerplate stripping (late r6, functions/markup.py) in one
+    map-only pass. The oracle compares md5 fingerprints of both scrubbed
+    texts, proving byte-identical transformation without hauling bodies
+    through the driver. Each doc is wrapped in deterministic planted
+    markup (script/comment/style blocks on different moduli, an
+    entity-escaped tail) so the strip pipeline's order — elements,
+    comments, tags, entities-with-&amp;-last, whitespace — is value-checked
+    on varying input. Map-only (no shuffle) — the 100 TB cost is one
+    codegen'd scan, and the scrubbed columns ship in the same pass
     (rebalance spreads the regex compute off the single-row-group input)."""
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
     did = F.col("doc_id")
@@ -101,12 +126,29 @@ def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(""),
     )
+    html = F.concat(
+        F.lit('<div class="doc">'),
+        F.when(
+            did % 2 == 0,
+            F.lit('<script type="text/js">var x = 1 < 2;</script>'),
+        ).otherwise(""),
+        F.lit("<p>"),
+        F.col("text"),
+        F.lit("</p>"),
+        F.when(
+            did % 4 == 0,
+            F.lit("<!-- hidden --><style>p {color: red}</style>"),
+        ).otherwise(""),
+        F.lit("&amp;lt;tail&gt; &nbsp;</div>"),
+    )
     return docs.select(
         "doc_id",
         email_count(aug).alias("n_emails"),
         ipv4_count(aug).alias("n_ipv4"),
         phone_count(aug).alias("n_phones"),
         F.md5(redact_pii(aug)).alias("redacted_fp"),
+        tag_count(html).alias("n_tags"),
+        F.md5(strip_markup(html)).alias("stripped_fp"),
     )
 
 
