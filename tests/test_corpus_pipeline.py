@@ -89,6 +89,35 @@ def test_pipeline_deterministic_and_stratified(spark, corpus, bench_docs):
     assert sub < full
 
 
+def test_strip_html_normalizes_before_every_signal(spark):
+    """strip_html=True: the funnel, fingerprint, and output all see the
+    VISIBLE text — two crawls of the same page with different markup
+    chrome dedup to one doc, and script garbage never reaches the token
+    counts (without stripping, the script body would push doc 3 over the
+    funnel's max_tokens)."""
+    noise = "zz " * 2000
+    rows = [
+        (1, f"<html><p>{GOOD} page</p><script>var x=1;</script></html>"),
+        (2, f"<body class='alt'><div>{GOOD} page</div></body>"),
+        (3, f"<p>{GOOD} other</p><script>{noise}</script>"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curate_corpus(docs, strip_html=True, n_shards=1)
+    report = {r["stage"]: r["n_docs"] for r in out["report"].collect()}
+    kept = {r["doc_id"]: r for r in out["documents"].collect()}
+    # 1 and 2 have identical visible text -> min-id survivor
+    assert report["exact_dedup"] == 2 and set(kept) == {1, 3}
+    assert kept[1]["clean_text"].startswith("the quick")
+    assert "<" not in kept[1]["clean_text"]
+    # doc 3 survived the funnel: the 2000-token script body was stripped
+    assert kept[3]["n_tokens"] < 50
+    # without stripping, none of this holds: no dedup and 3 is over budget
+    raw = curate_corpus(docs, strip_html=False, n_shards=1)
+    raw_report = {r["stage"]: r["n_docs"] for r in raw["report"].collect()}
+    assert raw_report["exact_dedup"] == raw_report["funnel"]
+    assert 3 not in {r["doc_id"] for r in raw["documents"].collect()}
+
+
 def test_audit_off_returns_no_report(spark, corpus):
     out = curate_corpus(corpus, audit=False)
     assert out["report"] is None

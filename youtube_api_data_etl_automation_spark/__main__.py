@@ -66,6 +66,7 @@ def _cmd_curate(args: argparse.Namespace) -> int:
         pack_budget=args.pack_budget,
         n_shards=args.shards,
         audit=True,
+        strip_html=args.strip_html,
     )
     write_training_shards(out["documents"], args.output)
     report = {r["stage"]: r["n_docs"] for r in out["report"].collect()}
@@ -109,6 +110,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     cur.add_argument("--pack-budget", type=int, default=2048)
     cur.add_argument("--shards", type=int, default=16)
+    cur.add_argument(
+        "--strip-html",
+        action="store_true",
+        help="reduce documents to visible text (markup strip) before curation",
+    )
     cur.set_defaults(fn=_cmd_curate)
     return p
 

@@ -3,6 +3,7 @@
 This is the composition a training-data owner actually runs — the engine's
 capstone flow over a raw document table:
 
+    0. markup strip    (optional: HTML → visible text, before any signal)
     1. filter funnel   (C4/Gopher rule chain: length → language → quality)
     2. PII redaction   (map-only scrub, same pass carries the text forward)
     3. exact dedup     (content fingerprint, min-id survivor)
@@ -88,6 +89,7 @@ def curate_corpus(
     n_shards: int = 16,
     audit: bool = True,
     bpe_merges: list[tuple[str, str]] | None = None,
+    strip_html: bool = False,
 ) -> dict:
     """Run the full curation pipeline. Returns
     {"documents": packed survivors (id, lang, clean_text, n_tokens,
@@ -110,7 +112,15 @@ def curate_corpus(
     feature projection (map-side Column expressions, no extra pass); for
     vocabulary-scale merge lists (thousands), pre-encode with
     bpe_encode_corpus and budget on those counts instead — the inline
-    expression depth grows with len(merges)."""
+    expression depth grows with len(merges).
+
+    ``strip_html`` (late r6): when True, ``functions/markup.py::
+    strip_markup`` reduces each document to its visible text BEFORE any
+    downstream signal is computed — so the funnel's token/language/quality
+    reads, the PII scan, the dedup fingerprint, and the packed output all
+    see what a reader sees, and two crawls of the same page with different
+    chrome dedup to one document. Folds into the same first projection
+    pass (map-only, no extra scan)."""
     spark = docs.sparkSession
     stages: list[tuple[str, int]] = []
     cached: list[DataFrame] = []
@@ -136,6 +146,10 @@ def curate_corpus(
     base = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
+    if strip_html:
+        from .functions.markup import strip_markup
+
+        base = base.select("doc_id", strip_markup("text").alias("text"))
     checkpoint("input", base)
 
     # 1+2+3a: one pass computes the funnel features, the redacted text,
@@ -225,7 +239,8 @@ def curate_corpus(
 def curate_stream(stream_docs: DataFrame, checkpoint_dir: str, sink_path: str,
                   *, id_col: str = "doc_id", text_col: str = "text",
                   min_tokens: int = 10, max_tokens: int = 1000,
-                  quality_min: float = 0.55) -> None:
+                  quality_min: float = 0.55,
+                  strip_html: bool = False) -> None:
     """Streaming corpus curation: drain available document batches
     (``trigger(availableNow=True)``), apply the funnel + PII scrub +
     content fingerprint per micro-batch, and append ONLY new-fingerprint
@@ -238,10 +253,18 @@ def curate_stream(stream_docs: DataFrame, checkpoint_dir: str, sink_path: str,
     from .operators.incremental import append_delta
 
     def handle_batch(batch: DataFrame, _batch_id: int) -> None:
+        # Same optional markup strip as the batch path (visible text
+        # before any signal), same single-projection fold.
+        src = F.col(text_col)
+        if strip_html:
+            from .functions.markup import strip_markup
+
+            src = strip_markup(src)
         toks = batch.select(
             F.col(id_col).alias("doc_id"),
-            F.col(text_col).alias("text"),
-            redact_pii(F.col(text_col)).alias("clean_text"),
+            src.alias("text"),
+        ).select(
+            "doc_id", "text", redact_pii(F.col("text")).alias("clean_text")
         ).withColumn("tok", tokens("text"))
         # n_tokens on the REDACTED text — same contract as curate_corpus.
         feat = toks.select(
