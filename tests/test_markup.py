@@ -72,3 +72,44 @@ def test_sql_mirror_differential(spark):
             f"SELECT {sql_strip_markup('t')}, {sql_tag_count('t')} FROM c"
         ).fetchone()
         assert got[i] == want, f"case {i}: spark {got[i]!r} != duckdb {want!r}"
+
+
+def test_sql_mirror_randomized_differential(spark):
+    """200 seeded random markup-ish strings (nested/unbalanced tags, stray
+    '&'/'<', half-entities) through both engines — any Java-vs-RE2
+    interpretation drift in the shared pattern subset shows up here.
+    Alphabet deliberately excludes \\x0b/\\x0c (Java's \\s and RE2's \\s
+    disagree on vertical tab — the known, documented edge of the shared
+    subset, same as the other regex oracles)."""
+    import random
+
+    rng = random.Random(42)
+    frags = [
+        "<p>", "</p>", "<script>", "</script>", "<style>", "</style>",
+        "<!--", "-->", "<b ", ">", "<", "&", ";", "&amp;", "&lt;", "&gt;",
+        "&nbsp;", "&#39;", "word", "x y", " ", "\t", "\n", '"', "'", "=",
+        "<a href='z'>", "</SCRIPT>", "t<1", "2>t",
+    ]
+    cases = [
+        "".join(rng.choice(frags) for _ in range(rng.randint(0, 25)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([Row(i=i, t=t) for i, t in enumerate(cases)])
+    got = {
+        r["i"]: (r["out"], r["n"])
+        for r in df.select(
+            "i", strip_markup("t").alias("out"), tag_count("t").alias("n")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE c(i INT, t VARCHAR)")
+    con.executemany("INSERT INTO c VALUES (?, ?)", list(enumerate(cases)))
+    want = dict(
+        (i, (s, n))
+        for i, s, n in con.execute(
+            f"SELECT i, {sql_strip_markup('t')}, {sql_tag_count('t')} FROM c"
+        ).fetchall()
+    )
+    mismatches = {i: (got[i], want[i], cases[i])
+                  for i in got if got[i] != want[i]}
+    assert not mismatches, f"{len(mismatches)} diverge, e.g. {next(iter(mismatches.items()))}"
