@@ -162,6 +162,37 @@ def test_decode_wav_8bit_and_chunk_walk(spark):
     assert r.rms == (200 / 3) ** 0.5
 
 
+def test_decode_wav_corrupt_payloads_raise_typed_errors(spark):
+    """Corrupt-but-well-framed WAVs must fail with the module's documented
+    error classes, not raw ZeroDivisionError/struct.error — and a
+    truncated data chunk must refuse rather than report level stats over
+    the fragment."""
+    import struct
+
+    ok = _wav(8000, [(1, 2)])
+    # declared data size far beyond the actual bytes (truncated transfer)
+    idx = ok.rindex(b"data")
+    truncated = ok[: idx + 4] + struct.pack("<I", 100000) + ok[idx + 8 :]
+    with pytest.raises(Exception, match="truncated"):
+        multimodal.decode_audio(_blob_df(spark, truncated)).collect()
+    # sample_rate = 0
+    zero_rate = _wav(8000, [(1, 2)])
+    fidx = zero_rate.index(b"fmt ")
+    zero_rate = (
+        zero_rate[: fidx + 12] + struct.pack("<I", 0) + zero_rate[fidx + 16 :]
+    )
+    with pytest.raises(Exception, match="sample_rate=0"):
+        multimodal.decode_audio(_blob_df(spark, zero_rate)).collect()
+    # fmt chunk shorter than the 16-byte PCM header
+    short_fmt = (
+        b"RIFF" + struct.pack("<I", 24) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x01\x00"
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(Exception, match="fmt chunk"):
+        multimodal.decode_audio(_blob_df(spark, short_fmt)).collect()
+
+
 def test_decode_wav_compressed_still_stubbed(spark):
     """Float PCM / non-RIFF payloads need a codec library (absent here) —
     the honest NotImplementedError surfaces through the Spark action."""

@@ -89,6 +89,22 @@ def test_column_stats_unknown_column(spark):
         column_stats(_df(spark), ["k", "nope"])
 
 
+def test_profile_ops_accept_dotted_column_names(spark):
+    """Flattened-JSON ingests carry literal dots in column names; the
+    profiler must treat them as plain names, not struct-field paths."""
+    df = spark.range(0, 10).select(
+        (F.col("id") % 3).alias("payload.id"),
+        (F.col("id") * 1.0).alias("m.x"),
+    )
+    stats = {r["column_name"]: r for r in column_stats(df).collect()}
+    assert stats["payload.id"]["n_distinct"] == 3
+    assert stats["m.x"]["avg_value"] == pytest.approx(4.5, abs=1e-9)
+    hist = numeric_histogram(df, "m.x", 0.0, 10.0, 2).collect()
+    assert sum(r["bucket_n"] for r in hist) == 10
+    top = top_values(df, "payload.id", k=2).collect()
+    assert [r["value"] for r in top] == ["0", "1"]
+
+
 def test_column_stats_one_agg_job(spark):
     """The whole stats block is one aggregate pipeline over ONE scan of the
     source: two exchanges in exact mode (Expand-based multi-distinct needs
@@ -131,10 +147,14 @@ def test_numeric_histogram_clamps_and_totals(spark):
     assert by_bucket[3]["bucket_lo"] == 40.0 and by_bucket[3]["bucket_hi"] == 50.0
 
 
-def test_numeric_histogram_drops_nulls_and_validates(spark):
-    df = spark.createDataFrame([Row(v=1.0), Row(v=None), Row(v=2.0)])
-    assert sum(r["bucket_n"] for r in
-               numeric_histogram(df, "v", 0.0, 4.0, 4).collect()) == 2
+def test_numeric_histogram_drops_nulls_and_nans_and_validates(spark):
+    df = spark.createDataFrame(
+        [Row(v=1.0), Row(v=None), Row(v=2.0), Row(v=float("nan"))]
+    )
+    # NaN must NOT be counted (floor(NaN)->0 would silently bin it as a
+    # small value); only the two finite rows land
+    hist = numeric_histogram(df, "v", 0.0, 4.0, 4).collect()
+    assert sum(r["bucket_n"] for r in hist) == 2
     with pytest.raises(ValueError, match="bins"):
         numeric_histogram(df, "v", 0.0, 4.0, 0)
     with pytest.raises(ValueError, match="hi > lo"):

@@ -271,6 +271,14 @@ def _decode_pcm(payload: bytes):
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if pos + 8 + size > len(payload):
+            # Truncated-in-transit file: refusing beats reporting
+            # plausible level stats over a fragment (the module's
+            # decode-faithfully-or-raise posture).
+            raise ValueError(
+                f"malformed WAVE: chunk {cid!r} declares {size} bytes but "
+                f"only {len(payload) - pos - 8} remain (truncated payload)"
+            )
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = body
@@ -279,8 +287,12 @@ def _decode_pcm(payload: bytes):
         pos += 8 + size + (size & 1)  # chunks are even-padded
     if fmt is None or data is None:
         raise ValueError("malformed WAVE: missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError(f"malformed WAVE: fmt chunk is {len(fmt)} bytes (<16)")
     audio_fmt, n_ch, rate = struct.unpack_from("<HHI", fmt, 0)
     bits = struct.unpack_from("<H", fmt, 14)[0]
+    if rate == 0:
+        raise ValueError("malformed WAVE: sample_rate=0")
     # 0xFFFE = WAVE_FORMAT_EXTENSIBLE: real codec is the GUID's first
     # two bytes at offset 24 of the fmt body
     if audio_fmt == 0xFFFE and len(fmt) >= 26:

@@ -68,6 +68,14 @@ def _is_numeric(dt: T.DataType) -> bool:
     return isinstance(dt, _INTEGRAL + _FRACTIONAL) or isinstance(dt, T.DecimalType)
 
 
+def _ref(name: str) -> Column:
+    """Reference a column by its LITERAL name: a profiled source can carry
+    dotted or otherwise exotic column names (flattened JSON ingest), which
+    bare F.col/df[...] would parse as nested-field access. Backtick
+    quoting (with `` escaping) makes the reference verbatim."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def column_stats(
     df: DataFrame,
     cols: Sequence[str] | None = None,
@@ -99,12 +107,12 @@ def column_stats(
         names = list(cols)
 
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n_rows")]
-    for c in names:
+    for i, c in enumerate(names):
         dt = fields[c]
-        col = F.col(c)
-        aggs.append(F.count(col).alias(f"__{c}__nn"))
+        col = _ref(c)  # verbatim name; internal agg aliases are positional
+        aggs.append(F.count(col).alias(f"__p{i}__nn"))
         nd = F.count_distinct(col) if exact_distinct else F.approx_count_distinct(col)
-        aggs.append(nd.cast("long").alias(f"__{c}__nd"))
+        aggs.append(nd.cast("long").alias(f"__p{i}__nd"))
         if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
             mn = F.date_format(F.min(col), timestamp_format)
             mx = F.date_format(F.max(col), timestamp_format)
@@ -119,8 +127,8 @@ def column_stats(
         else:  # arrays/structs/maps/binary: no portable rendering
             mn = F.lit(None).cast("string")
             mx = F.lit(None).cast("string")
-        aggs.append(mn.alias(f"__{c}__min"))
-        aggs.append(mx.alias(f"__{c}__max"))
+        aggs.append(mn.alias(f"__p{i}__min"))
+        aggs.append(mx.alias(f"__p{i}__max"))
         if _is_numeric(dt):
             avg = F.when(
                 F.count(col) > 0,
@@ -130,7 +138,7 @@ def column_stats(
             )
         else:
             avg = F.lit(None).cast("double")
-        aggs.append(avg.alias(f"__{c}__avg"))
+        aggs.append(avg.alias(f"__p{i}__avg"))
         if isinstance(dt, T.StringType):
             alen = F.when(
                 F.count(col) > 0,
@@ -141,7 +149,7 @@ def column_stats(
             )
         else:
             alen = F.lit(None).cast("double")
-        aggs.append(alen.alias(f"__{c}__len"))
+        aggs.append(alen.alias(f"__p{i}__len"))
 
     row = df.agg(*aggs)
     structs = [
@@ -149,14 +157,14 @@ def column_stats(
             F.lit(c).alias("column_name"),
             F.lit(fields[c].simpleString()).alias("dtype"),
             F.col("__n_rows").alias("n_rows"),
-            (F.col("__n_rows") - F.col(f"__{c}__nn")).alias("n_nulls"),
-            F.col(f"__{c}__nd").alias("n_distinct"),
-            F.col(f"__{c}__min").alias("min_value"),
-            F.col(f"__{c}__max").alias("max_value"),
-            F.col(f"__{c}__avg").alias("avg_value"),
-            F.col(f"__{c}__len").alias("avg_len"),
+            (F.col("__n_rows") - F.col(f"__p{i}__nn")).alias("n_nulls"),
+            F.col(f"__p{i}__nd").alias("n_distinct"),
+            F.col(f"__p{i}__min").alias("min_value"),
+            F.col(f"__p{i}__max").alias("max_value"),
+            F.col(f"__p{i}__avg").alias("avg_value"),
+            F.col(f"__p{i}__len").alias("avg_len"),
         )
-        for c in names
+        for i, c in enumerate(names)
     ]
     return row.select(F.inline(F.array(*structs)))
 
@@ -165,9 +173,13 @@ def numeric_histogram(
     df: DataFrame, col: str, lo: float, hi: float, bins: int
 ) -> DataFrame:
     """Fixed-grid histogram of a numeric column: ``(bucket, bucket_lo,
-    bucket_hi, bucket_n)``, NULLs dropped, out-of-range values clamped into
-    the edge buckets (so the bucket counts always sum to the non-null row
-    count — a profile must not silently lose rows).
+    bucket_hi, bucket_n)``, NULLs and NaNs dropped (a NaN has no bucket —
+    without the explicit drop Spark's floor(NaN)→0 would silently count
+    every NaN as a small value, exactly the corruption a profiler exists
+    to surface; pair with ``column_stats`` null counts for the missing
+    side), out-of-range values clamped into the edge buckets (so the
+    bucket counts always sum to the non-null, non-NaN row count — a
+    profile must not silently lose finite rows).
 
     Empty buckets are absent from the result (join a spine at the
     presentation edge if a dense grid is wanted). The bucket arithmetic is
@@ -179,11 +191,11 @@ def numeric_histogram(
     if not hi > lo:
         raise ValueError(f"need hi > lo, got [{lo}, {hi})")
     width = (float(hi) - float(lo)) / bins
-    x = F.col(col).cast("double")
+    x = _ref(col).cast("double")
     b = F.floor((x - F.lit(float(lo))) / F.lit(width)).cast("int")
     b = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1))
     return (
-        df.filter(x.isNotNull())
+        df.filter(x.isNotNull() & ~F.isnan(x))
         .select(b.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("bucket_n"))
@@ -211,8 +223,8 @@ def top_values(df: DataFrame, col: str, k: int = 10) -> DataFrame:
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     counts = (
-        df.filter(F.col(col).isNotNull())
-        .groupBy(F.col(col).cast("string").alias("value"))
+        df.filter(_ref(col).isNotNull())
+        .groupBy(_ref(col).cast("string").alias("value"))
         .agg(F.count(F.lit(1)).alias("value_n"))
     )
     order = [F.desc("value_n"), F.asc("value")]

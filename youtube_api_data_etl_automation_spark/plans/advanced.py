@@ -927,7 +927,8 @@ _PROFILE_ORACLE = (
       SELECT CAST(LEAST(GREATEST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - 0.0)
                                             / 25000.0) AS INT), 0), 19) AS INT) AS bucket,
              CAST(COUNT(*) AS BIGINT) AS bucket_n
-      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+      FROM orders WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
+      GROUP BY 1
     )
     UNION ALL
     SELECT 'topk', 'o_orderpriority', CAST(NULL AS VARCHAR),
