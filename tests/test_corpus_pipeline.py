@@ -118,6 +118,30 @@ def test_strip_html_normalizes_before_every_signal(spark):
     assert 3 not in {r["doc_id"] for r in raw["documents"].collect()}
 
 
+def test_neardup_stage_collapses_clusters(spark):
+    """neardup_threshold: docs sharing most shingles (but NOT exact
+    copies) collapse to the min-id survivor via LSH pairs + connected
+    components; transitive chains (A~B, B~C) land in ONE cluster. Off by
+    default: the same corpus keeps every variant."""
+    rows = [
+        (1, f"{GOOD} alpha"),
+        (2, f"{GOOD} beta"),    # near-dup of 1 (one word differs)
+        (3, f"{GOOD} gamma"),   # near-dup of 1 and 2 -> same cluster
+        (4, "the lazy dog sleeps under the old tree while the quick wind "
+            "turns over the calm hills near the quiet town and the early "
+            "fox runs in the morning light"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curate_corpus(docs, neardup_threshold=0.5, n_shards=1)
+    report = {r["stage"]: r["n_docs"] for r in out["report"].collect()}
+    kept = {r["doc_id"] for r in out["documents"].collect()}
+    assert report["exact_dedup"] == 4  # no exact copies
+    assert report["near_dedup"] == 2 and kept == {1, 4}
+    # default path: near-dups all survive
+    off = curate_corpus(docs, n_shards=1)
+    assert {r["doc_id"] for r in off["documents"].collect()} == {1, 2, 3, 4}
+
+
 def test_audit_off_returns_no_report(spark, corpus):
     out = curate_corpus(corpus, audit=False)
     assert out["report"] is None

@@ -67,6 +67,7 @@ def _cmd_curate(args: argparse.Namespace) -> int:
         n_shards=args.shards,
         audit=True,
         strip_html=args.strip_html,
+        neardup_threshold=args.neardup_threshold,
     )
     write_training_shards(out["documents"], args.output)
     report = {r["stage"]: r["n_docs"] for r in out["report"].collect()}
@@ -114,6 +115,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--strip-html",
         action="store_true",
         help="reduce documents to visible text (markup strip) before curation",
+    )
+    cur.add_argument(
+        "--neardup-threshold",
+        type=float,
+        default=None,
+        help="enable MinHash-LSH near-dup dedup at this estimated-Jaccard "
+        "threshold (default: exact dedup only)",
     )
     cur.set_defaults(fn=_cmd_curate)
     return p

@@ -7,6 +7,8 @@ capstone flow over a raw document table:
     1. filter funnel   (C4/Gopher rule chain: length → language → quality)
     2. PII redaction   (map-only scrub, same pass carries the text forward)
     3. exact dedup     (content fingerprint, min-id survivor)
+    3b. near dedup     (optional: MinHash-LSH pairs → connected
+                        components → min-id survivor per cluster)
     4. decontamination (word-n-gram overlap vs a held-out benchmark)
     5. stratified sampling (optional per-language keep rates, content-stable)
     6. sequence packing (concat-and-cut token budgeting into shards)
@@ -90,6 +92,8 @@ def curate_corpus(
     audit: bool = True,
     bpe_merges: list[tuple[str, str]] | None = None,
     strip_html: bool = False,
+    neardup_threshold: float | None = None,
+    neardup_k: int = 3,
 ) -> dict:
     """Run the full curation pipeline. Returns
     {"documents": packed survivors (id, lang, clean_text, n_tokens,
@@ -120,7 +124,19 @@ def curate_corpus(
     reads, the PII scan, the dedup fingerprint, and the packed output all
     see what a reader sees, and two crawls of the same page with different
     chrome dedup to one document. Folds into the same first projection
-    pass (map-only, no extra scan)."""
+    pass (map-only, no extra scan).
+
+    ``neardup_threshold`` (late r6): when set, a NEAR-duplicate stage runs
+    after exact dedup — MinHash-LSH candidate pairs over ``clean_text``
+    (the text that actually ships) at this estimated-Jaccard threshold,
+    clusters assembled by connected components, min-id survivor per
+    cluster. The scale shape is the operators' own: banded equi-join
+    candidates (never all-pairs), label propagation shuffling only
+    (id, label), and the final drop-list applied as a broadcast anti-join
+    so document bodies never enter an exchange for this stage (the drop
+    list is the non-survivors of near-dup clusters — a small fraction of
+    any sane corpus; for a pathological mostly-duplicates corpus flip to
+    a shuffled anti-join). ``neardup_k`` is the word-shingle width."""
     spark = docs.sparkSession
     stages: list[tuple[str, int]] = []
     cached: list[DataFrame] = []
@@ -187,6 +203,22 @@ def curate_corpus(
 
     # 3b: exact dedup — deterministic min-id survivor per fingerprint.
     survivors = checkpoint("exact_dedup", _min_id_survivors(kept))
+
+    # 3c: optional near-dup dedup (MinHash-LSH pairs → connected
+    # components → min-id survivor) on the shipping text.
+    if neardup_threshold is not None:
+        from .operators.dedup import connected_components, minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(
+            survivors.select("doc_id", F.col("clean_text").alias("text")),
+            k=neardup_k,
+            threshold=neardup_threshold,
+        )
+        drop = connected_components(pairs).filter(
+            F.col("doc_id") != F.col("canonical_id")
+        ).select("doc_id")
+        survivors = survivors.join(F.broadcast(drop), "doc_id", "left_anti")
+        survivors = checkpoint("near_dedup", survivors)
 
     # 4: benchmark decontamination (skip when no benchmark given).
     if benchmark is not None:
