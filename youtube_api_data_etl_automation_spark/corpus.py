@@ -281,7 +281,10 @@ def curate_stream(stream_docs: DataFrame, checkpoint_dir: str, sink_path: str,
     reference ETL, so retried batches and cross-batch duplicates both
     land exactly once). The batch and streaming paths share every
     operator, so a corpus can be bootstrapped with curate_corpus and kept
-    current with this."""
+    current with this. Near-dup dedup is deliberately batch-only:
+    cross-batch LSH needs the full signature history as state, so the
+    streaming guarantee is exact-fingerprint dedup — run the batch
+    near-dup stage periodically over the accumulated sink instead."""
     from .operators.incremental import append_delta
 
     def handle_batch(batch: DataFrame, _batch_id: int) -> None:
