@@ -1,0 +1,87 @@
+"""Expectation checks (operators/expectations.py): planted violations per
+check kind, the one-agg plan shape, FK broadcast anti-join, NULL policy."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from youtube_api_data_etl_automation_spark.operators.expectations import (
+    accepted_values,
+    foreign_key,
+    in_range,
+    matches,
+    not_null,
+    run_checks,
+    unique,
+)
+
+
+def _facts(spark):
+    rows = [
+        Row(k=1, status="A", amt=10.0, ref=100),
+        Row(k=2, status="B", amt=-5.0, ref=200),   # amt below range
+        Row(k=2, status="C", amt=20.0, ref=999),   # dup key, bad status+ref
+        Row(k=None, status="A", amt=None, ref=None),  # nulls
+    ]
+    return spark.createDataFrame(rows, "k long, status string, amt double, ref long")
+
+
+def _dim(spark):
+    return spark.createDataFrame([Row(d=100), Row(d=200), Row(d=200)])
+
+
+def test_run_checks_counts_each_kind(spark):
+    out = {r["check"]: r for r in run_checks(
+        _facts(spark),
+        [
+            not_null("k"),
+            unique("k"),
+            in_range("amt", 0, 100),
+            accepted_values("status", ["A", "B"]),
+            matches("status", "^[A-B]$"),
+            foreign_key("ref", _dim(spark), "d"),
+        ],
+    ).collect()}
+    assert all(r["n_rows"] == 4 for r in out.values())
+    assert out["not_null(k)"]["n_violations"] == 1
+    assert out["unique(k)"]["n_violations"] == 1  # one extra row for k=2
+    assert out["in_range[0,100](amt)"]["n_violations"] == 1  # -5.0; NULL skipped
+    assert out["accepted_values[A,B](status)"]["n_violations"] == 1  # 'C'
+    assert out["matches[^[A-B]$](status)"]["n_violations"] == 1
+    assert out["foreign_key(ref)"]["n_violations"] == 1  # 999; NULL skipped
+    assert out["foreign_key(ref)"]["passed"] is False
+    clean = run_checks(_dim(spark).select("d"), [not_null("d")]).collect()[0]
+    assert clean["passed"] is True and clean["n_violations"] == 0
+
+
+def test_null_violates_only_not_null(spark):
+    df = spark.createDataFrame([Row(v=None)], "v string")
+    out = {r["check"]: r["n_violations"] for r in run_checks(
+        df, [not_null("v"), matches("v", "x"), accepted_values("v", ["x"])]
+    ).collect()}
+    assert out == {"not_null(v)": 1, "matches[x](v)": 0,
+                   "accepted_values[x](v)": 0}
+
+
+def test_non_fk_checks_are_one_scan(spark):
+    """Every row-level + unique check folds into one aggregate pipeline
+    over one scan (the count_distinct adds the Expand/second exchange,
+    same as the profiler's exact mode)."""
+    plan = run_checks(
+        _facts(spark),
+        [not_null("k"), unique("k"), in_range("amt", 0, 100)],
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") == 1
+
+
+def test_fk_check_broadcasts_the_dim(spark):
+    plan = run_checks(
+        _facts(spark), [foreign_key("ref", _dim(spark), "d")]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_empty_checks_raise(spark):
+    with pytest.raises(ValueError, match="no checks"):
+        run_checks(_facts(spark), [])

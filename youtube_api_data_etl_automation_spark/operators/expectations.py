@@ -1,0 +1,143 @@
+"""Data-contract expectation checks — the ingest circuit breaker.
+
+The reference trusts its API payload completely and crashes (or silently
+corrupts) on surprises (SURVEY.md §2.6). A 100 TB pipeline gates ingest on
+declared expectations instead: every batch is checked against the contract
+(nulls, key uniqueness, value domains, referential integrity) and the
+violation counts decide whether the batch ships, quarantines, or pages
+someone. This module is that Deequ-style check suite as DataFrame algebra.
+
+Scale shape:
+- every ROW-LEVEL check (not_null / in_range / matches / accepted_values)
+  and every ``unique`` check folds into ONE wide aggregate over ONE scan —
+  a violation is a codegen'd boolean summed map-side, and uniqueness costs
+  ``count(col) - count_distinct(col)`` inside the same agg (the
+  multi-distinct Expand, exactly as operators/profile.py::column_stats);
+- each ``foreign_key`` check is one broadcast left-anti join against the
+  DISTINCT key relation of the dimension (dims broadcast; the fact side
+  never shuffles) producing a single count row;
+- results union into one tiny relation: ``(check, column, n_rows,
+  n_violations, passed)``.
+
+NULL policy: a NULL value violates only ``not_null`` — domain checks
+(in_range / matches / accepted_values / foreign_key) skip NULLs so each
+declared expectation is attributed exactly once. ``matches`` patterns
+should stay in the Java/RE2-shared regex subset (functions/pii.py) when the
+result must be oracle-mirrorable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _ref(name: str) -> Column:
+    """Verbatim column reference (dotted names stay literal)."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
+@dataclass(frozen=True)
+class Check:
+    kind: str
+    column: str
+    # row-level violation predicate (None for unique / foreign_key)
+    violation: Column | None = field(default=None, compare=False)
+    # foreign_key target: (dim DataFrame, key column name)
+    fk: tuple[DataFrame, str] | None = field(default=None, compare=False)
+
+    @property
+    def name(self) -> str:
+        return f"{self.kind}({self.column})"
+
+
+def not_null(col: str) -> Check:
+    return Check("not_null", col, violation=_ref(col).isNull())
+
+
+def in_range(col: str, lo, hi) -> Check:
+    c = _ref(col)
+    return Check(
+        f"in_range[{lo},{hi}]", col,
+        violation=c.isNotNull() & ((c < F.lit(lo)) | (c > F.lit(hi))),
+    )
+
+
+def matches(col: str, pattern: str) -> Check:
+    c = _ref(col)
+    return Check(
+        f"matches[{pattern}]", col,
+        violation=c.isNotNull() & ~c.rlike(pattern),
+    )
+
+
+def accepted_values(col: str, values) -> Check:
+    c = _ref(col)
+    vals = list(values)
+    return Check(
+        f"accepted_values[{','.join(str(v) for v in vals)}]", col,
+        violation=c.isNotNull() & ~c.isin(vals),
+    )
+
+
+def unique(col: str) -> Check:
+    return Check("unique", col)
+
+
+def foreign_key(col: str, dim: DataFrame, dim_col: str) -> Check:
+    return Check("foreign_key", col, fk=(dim, dim_col))
+
+
+def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Evaluate every check; returns ``(check, column, n_rows,
+    n_violations, passed)`` — one row per check, ``passed`` ⇔ zero
+    violations. See the module note for the plan shape (one wide agg for
+    everything except foreign keys; one broadcast anti-join per FK)."""
+    if not checks:
+        raise ValueError("no checks given")
+    agg_checks = [c for c in checks if c.fk is None]
+    fk_checks = [c for c in checks if c.fk is not None]
+
+    out = None
+    if agg_checks:
+        aggs: list[Column] = [F.count(F.lit(1)).alias("__n_rows")]
+        for i, c in enumerate(agg_checks):
+            if c.kind == "unique":
+                v = (F.count(_ref(c.column)) - F.count_distinct(_ref(c.column)))
+            else:
+                v = F.sum(F.when(c.violation, 1).otherwise(0))
+            aggs.append(v.cast("long").alias(f"__v{i}"))
+        row = df.agg(*aggs)
+        structs = [
+            F.struct(
+                F.lit(c.name).alias("check"),
+                F.lit(c.column).alias("column"),
+                F.col("__n_rows").alias("n_rows"),
+                F.col(f"__v{i}").alias("n_violations"),
+                (F.col(f"__v{i}") == 0).alias("passed"),
+            )
+            for i, c in enumerate(agg_checks)
+        ]
+        out = row.select(F.inline(F.array(*structs)))
+
+    for c in fk_checks:
+        dim, dim_col = c.fk
+        keys = dim.select(_ref(dim_col).alias("__k")).distinct()
+        viol = (
+            df.select(_ref(c.column).alias("__fkv"))
+            .filter(F.col("__fkv").isNotNull())
+            .join(F.broadcast(keys), F.col("__fkv") == F.col("__k"), "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        )
+        n = df.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        branch = n.crossJoin(viol).select(
+            F.lit(c.name).alias("check"),
+            F.lit(c.column).alias("column"),
+            "n_rows",
+            "n_violations",
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return out

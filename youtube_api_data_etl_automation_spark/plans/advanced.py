@@ -846,7 +846,9 @@ _PROFILE_PAD = """
            CAST(NULL AS INT) AS bucket, CAST(NULL AS DOUBLE) AS bucket_lo,
            CAST(NULL AS DOUBLE) AS bucket_hi, CAST(NULL AS BIGINT) AS bucket_n,
            CAST(NULL AS VARCHAR) AS value, CAST(NULL AS BIGINT) AS value_n,
-           CAST(NULL AS INT) AS rank
+           CAST(NULL AS INT) AS rank,
+           CAST(NULL AS VARCHAR) AS "check", CAST(NULL AS BIGINT) AS n_violations,
+           CAST(NULL AS BOOLEAN) AS passed
 """
 
 
@@ -922,7 +924,8 @@ _PROFILE_ORACLE = (
            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
            bucket, 0.0 + CAST(bucket AS DOUBLE) * 25000.0,
            0.0 + CAST(bucket + 1 AS DOUBLE) * 25000.0, bucket_n,
-           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS INT)
+           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS INT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN)
     FROM (
       SELECT CAST(LEAST(GREATEST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - 0.0)
                                             / 25000.0) AS INT), 0), 19) AS INT) AS bucket,
@@ -936,7 +939,8 @@ _PROFILE_ORACLE = (
            CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
            CAST(NULL AS INT), {_NULL_D}, {_NULL_D}, CAST(NULL AS BIGINT),
-           value, value_n, rank
+           value, value_n, rank,
+           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN)
     FROM (
       SELECT CAST(o_orderpriority AS VARCHAR) AS value,
              CAST(COUNT(*) AS BIGINT) AS value_n,
@@ -944,6 +948,53 @@ _PROFILE_ORACLE = (
                                      CAST(o_orderpriority AS VARCHAR)) AS INT) AS rank
       FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY o_orderpriority
     ) WHERE rank <= 3
+    UNION ALL
+    SELECT 'checks', col, CAST(NULL AS VARCHAR),
+           n_rows, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS INT), {_NULL_D}, {_NULL_D}, CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS INT),
+           chk, nv, nv = 0
+    FROM (
+      SELECT 'not_null(o_orderkey)' AS chk, 'o_orderkey' AS col,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nv
+      FROM orders
+      UNION ALL
+      SELECT 'unique(o_orderkey)', 'o_orderkey', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'in_range[0,600000](o_totalprice)', 'o_totalprice',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                            AND (o_totalprice < 0 OR o_totalprice > 600000)
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'accepted_values[F,O,P](o_orderstatus)', 'o_orderstatus',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                            AND o_orderstatus NOT IN ('F', 'O', 'P')
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'matches[^[1-5]-](o_orderpriority)', 'o_orderpriority',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                            AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'foreign_key(o_custkey)', 'o_custkey',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM orders o
+              LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+                ON o.o_custkey = c.c_custkey
+              WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL)
+    )
     """
 )
 
@@ -963,7 +1014,20 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     Expand disappears). `hist`: 20 fixed buckets over o_totalprice, clamped
     edges so counts always total the non-null rows. `topk`: frequency-ranked
     priorities via TakeOrderedAndProject — per-partition top-k, never a full
-    sort."""
+    sort. `checks` (late r6, operators/expectations.py): the declared data
+    contract — not-null + unique keys, value range/domain/format, and
+    o_custkey referential integrity against customer — all row-level and
+    unique checks in ONE wide aggregate, the FK as one broadcast anti-join
+    against the distinct dimension keys."""
+    from ..operators.expectations import (
+        accepted_values,
+        foreign_key,
+        in_range,
+        matches,
+        not_null,
+        run_checks,
+        unique,
+    )
     from ..operators.profile import column_stats, numeric_histogram, top_values
 
     orders = load_table(spark, sf_dir, "orders")
@@ -986,11 +1050,16 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("avg_value"),
         F.lit(None).cast("double").alias("avg_len"),
     ]
+    pad_checks = [
+        F.lit(None).cast("string").alias("check"),
+        F.lit(None).cast("long").alias("n_violations"),
+        F.lit(None).cast("boolean").alias("passed"),
+    ]
     stats = column_stats(
         orders,
         ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate",
          "o_orderpriority"],
-    ).select(F.lit("stats").alias("section"), "*", *pad_hist_topk)
+    ).select(F.lit("stats").alias("section"), "*", *pad_hist_topk, *pad_checks)
     hist = numeric_histogram(orders, "o_totalprice", 0.0, 500_000.0, 20).select(
         F.lit("hist").alias("section"),
         F.lit("o_totalprice").alias("column_name"),
@@ -999,6 +1068,7 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("value"),
         F.lit(None).cast("long").alias("value_n"),
         F.lit(None).cast("int").alias("rank"),
+        *pad_checks,
     )
     topk = top_values(orders, "o_orderpriority", k=3).select(
         F.lit("topk").alias("section"),
@@ -1009,8 +1079,34 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("bucket_hi"),
         F.lit(None).cast("long").alias("bucket_n"),
         "value", "value_n", "rank",
+        *pad_checks,
     )
-    return stats.unionByName(hist).unionByName(topk)
+    customer = load_table(spark, sf_dir, "customer")
+    checks = run_checks(
+        orders,
+        [
+            not_null("o_orderkey"),
+            unique("o_orderkey"),
+            in_range("o_totalprice", 0, 600000),
+            accepted_values("o_orderstatus", ["F", "O", "P"]),
+            matches("o_orderpriority", "^[1-5]-"),
+            foreign_key("o_custkey", customer, "c_custkey"),
+        ],
+    ).select(
+        F.lit("checks").alias("section"),
+        F.col("column").alias("column_name"),
+        F.lit(None).cast("string").alias("dtype"),
+        "n_rows",
+        F.lit(None).cast("long").alias("n_nulls"),
+        F.lit(None).cast("long").alias("n_distinct"),
+        F.lit(None).cast("string").alias("min_value"),
+        F.lit(None).cast("string").alias("max_value"),
+        F.lit(None).cast("double").alias("avg_value"),
+        F.lit(None).cast("double").alias("avg_len"),
+        *pad_hist_topk,
+        "check", "n_violations", "passed",
+    )
+    return stats.unionByName(hist).unionByName(topk).unionByName(checks)
 
 
 # The date-spine gap-fill is driver-verified as the `daily` section of
