@@ -85,3 +85,23 @@ def test_fk_check_broadcasts_the_dim(spark):
 def test_empty_checks_raise(spark):
     with pytest.raises(ValueError, match="no checks"):
         run_checks(_facts(spark), [])
+
+
+def test_enforce_checks_quarantines_with_first_fail_attribution(spark):
+    from youtube_api_data_etl_automation_spark.operators.expectations import (
+        enforce_checks,
+    )
+
+    good, bad = enforce_checks(
+        _facts(spark),
+        [not_null("k"), in_range("amt", 0, 100), accepted_values("status", ["A", "B"])],
+    )
+    assert {r["k"] for r in good.collect()} == {1}
+    reasons = {r["status"]: r["quarantine_reason"] for r in bad.collect()}
+    # row (2,B,-5): range; row (2,C,20): status; row NULL-k: not_null first
+    assert reasons["B"] == "in_range[0,100](amt)"
+    assert reasons["C"] == "accepted_values[A,B](status)"
+    assert "not_null(k)" in reasons.values()
+    # relation-level checks can't row-attribute: loud error, not silence
+    with pytest.raises(ValueError, match="relation-level"):
+        enforce_checks(_facts(spark), [not_null("k"), unique("k")])

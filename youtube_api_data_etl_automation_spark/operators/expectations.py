@@ -90,6 +90,31 @@ def foreign_key(col: str, dim: DataFrame, dim_col: str) -> Check:
     return Check("foreign_key", col, fk=(dim, dim_col))
 
 
+def enforce_checks(
+    df: DataFrame, checks: list[Check]
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level ENFORCEMENT of a contract: returns (good, quarantined)
+    via operators/quarantine.py::quarantine_split — rows violating any
+    row-level check route to quarantine with the FIRST failed check's
+    name as the attribution (check order = attribution order), and the
+    job never dies on data.
+
+    Only row-level checks qualify: ``unique`` and ``foreign_key`` are
+    relation-level (which copy of a duplicate is "the extra one" depends
+    on global order; an FK verdict needs the dimension), so passing one
+    here raises — audit those with :func:`run_checks` and repair at the
+    relation level (dedup operators / anti-join backfill)."""
+    relation_level = [c for c in checks if c.violation is None]
+    if relation_level:
+        raise ValueError(
+            "relation-level checks cannot row-quarantine: "
+            f"{[c.name for c in relation_level]}; audit via run_checks"
+        )
+    from .quarantine import quarantine_split
+
+    return quarantine_split(df, [(c.name, ~c.violation) for c in checks])
+
+
 def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
     """Evaluate every check; returns ``(check, column, n_rows,
     n_violations, passed)`` — one row per check, ``passed`` ⇔ zero
