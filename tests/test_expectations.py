@@ -75,11 +75,14 @@ def test_non_fk_checks_are_one_scan(spark):
     assert plan.count("Scan ExistingRDD") == 1
 
 
-def test_fk_check_broadcasts_the_dim(spark):
+def test_fk_check_broadcasts_the_dim_one_pass(spark):
     plan = run_checks(
         _facts(spark), [foreign_key("ref", _dim(spark), "d")]
     )._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # one broadcast outer join, one scan of the fact, no scalar cross join
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert plan.count("Scan ExistingRDD") == 2  # fact + dim, once each
 
 
 def test_empty_checks_raise(spark):

@@ -13,9 +13,10 @@ Scale shape:
   a violation is a codegen'd boolean summed map-side, and uniqueness costs
   ``count(col) - count_distinct(col)`` inside the same agg (the
   multi-distinct Expand, exactly as operators/profile.py::column_stats);
-- each ``foreign_key`` check is one broadcast left-anti join against the
+- each ``foreign_key`` check is one broadcast left-OUTER join against the
   DISTINCT key relation of the dimension (dims broadcast; the fact side
-  never shuffles) producing a single count row;
+  never shuffles) whose single aggregate yields both the row count and
+  the orphan count in the same pass;
 - results union into one tiny relation: ``(check, column, n_rows,
   n_violations, passed)``.
 
@@ -150,19 +151,29 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
     for c in fk_checks:
         dim, dim_col = c.fk
         keys = dim.select(_ref(dim_col).alias("__k")).distinct()
-        viol = (
+        # ONE pass: left-outer broadcast join keeps every fact row, so the
+        # same aggregate yields n_rows and the orphan count (non-null key,
+        # no dim match) — no separate count job, no scalar cross join.
+        branch = (
             df.select(_ref(c.column).alias("__fkv"))
-            .filter(F.col("__fkv").isNotNull())
-            .join(F.broadcast(keys), F.col("__fkv") == F.col("__k"), "left_anti")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
-        )
-        n = df.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
-        branch = n.crossJoin(viol).select(
-            F.lit(c.name).alias("check"),
-            F.lit(c.column).alias("column"),
-            "n_rows",
-            "n_violations",
-            (F.col("n_violations") == 0).alias("passed"),
+            .join(F.broadcast(keys), F.col("__fkv") == F.col("__k"), "left")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(
+                    F.when(
+                        F.col("__fkv").isNotNull() & F.col("__k").isNull(), 1
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_violations"),
+            )
+            .select(
+                F.lit(c.name).alias("check"),
+                F.lit(c.column).alias("column"),
+                "n_rows",
+                "n_violations",
+                (F.col("n_violations") == 0).alias("passed"),
+            )
         )
         out = branch if out is None else out.unionByName(branch)
     return out
