@@ -85,6 +85,22 @@ def test_fk_check_broadcasts_the_dim_one_pass(spark):
     assert plan.count("Scan ExistingRDD") == 2  # fact + dim, once each
 
 
+def test_run_checks_on_empty_relation_passes_with_zero_counts(spark):
+    """SUM over zero rows is NULL — every check (agg and FK alike) must
+    still report (0 rows, 0 violations, passed) on an empty batch, not
+    NULL/NULL/NULL (a gate that returns NULL `passed` neither ships nor
+    quarantines)."""
+    empty = _facts(spark).limit(0)
+    out = run_checks(
+        empty,
+        [not_null("k"), unique("k"), in_range("amt", 0, 100),
+         foreign_key("ref", _dim(spark), "d")],
+    ).collect()
+    assert len(out) == 4
+    for r in out:
+        assert (r["n_rows"], r["n_violations"], r["passed"]) == (0, 0, True)
+
+
 def test_empty_checks_raise(spark):
     with pytest.raises(ValueError, match="no checks"):
         run_checks(_facts(spark), [])

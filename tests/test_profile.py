@@ -179,3 +179,123 @@ def test_top_values_take_ordered_not_global_sort(spark):
     df = spark.range(0, 1000).select((F.col("id") % 7).cast("string").alias("c"))
     plan = top_values(df, "c", k=3)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# fused_profile: stats + checks + histogram in ONE aggregate over ONE scan
+# ---------------------------------------------------------------------------
+
+
+def _fused_inputs():
+    from youtube_api_data_etl_automation_spark.operators.expectations import (
+        in_range,
+        not_null,
+        unique,
+    )
+
+    return (
+        ["k", "s", "x", "ts", "arr"],
+        [not_null("s"), unique("k"), in_range("x", 0.0, 2.0)],
+        [("x", 0.0, 4.0, 4)],
+    )
+
+
+def test_fused_profile_matches_components(spark):
+    """Section-by-section differential: the fused relation must equal the
+    component operators' outputs exactly (same arithmetic, same NULL/NaN
+    policy, same absent-empty-bucket shape)."""
+    from youtube_api_data_etl_automation_spark.operators.expectations import (
+        run_checks,
+    )
+    from youtube_api_data_etl_automation_spark.operators.profile import (
+        fused_profile,
+    )
+
+    df = _df(spark)
+    cols, checks, hists = _fused_inputs()
+    out = fused_profile(df, cols, checks=checks, hists=hists).collect()
+    by_section = {}
+    for r in out:
+        by_section.setdefault(r["section"], []).append(r)
+
+    want_stats = {tuple(r) for r in column_stats(df, cols).collect()}
+    got_stats = {
+        (r["column_name"], r["dtype"], r["n_rows"], r["n_nulls"],
+         r["n_distinct"], r["min_value"], r["max_value"], r["avg_value"],
+         r["avg_len"])
+        for r in by_section["stats"]
+    }
+    assert got_stats == want_stats
+
+    want_checks = {tuple(r) for r in run_checks(df, checks).collect()}
+    got_checks = {
+        (r["check"], r["column_name"], r["n_rows"], r["n_violations"],
+         r["passed"])
+        for r in by_section["checks"]
+    }
+    assert got_checks == want_checks
+
+    want_hist = {tuple(r) for r in
+                 numeric_histogram(df, "x", 0.0, 4.0, 4).collect()}
+    got_hist = {
+        (r["bucket"], r["bucket_lo"], r["bucket_hi"], r["bucket_n"])
+        for r in by_section["hist"]
+    }
+    assert got_hist == want_hist  # x = 1.5, 2.5 land; NULL dropped; b3 absent
+
+
+def test_fused_profile_is_one_scan_one_agg(spark):
+    from youtube_api_data_etl_automation_spark.operators.profile import (
+        fused_profile,
+    )
+
+    df = _df(spark)
+    cols, checks, hists = _fused_inputs()
+    plan = (
+        fused_profile(df, cols, checks=checks, hists=hists)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan ExistingRDD") == 1
+    # exact mode: the multi-distinct Expand needs its distinct-stage
+    # exchange before the final single-row one — same as column_stats
+    assert plan.count("Exchange") == 2
+    approx = (
+        fused_profile(
+            df, cols, checks=checks, hists=hists, exact_distinct=False
+        )._jdf.queryExecution().executedPlan().toString()
+    )
+    # `unique` still needs one exact distinct; stats cardinalities go HLL
+    assert approx.count("Scan ExistingRDD") == 1
+
+
+def test_fused_profile_rejects_fk_checks(spark):
+    from youtube_api_data_etl_automation_spark.operators.expectations import (
+        foreign_key,
+    )
+    from youtube_api_data_etl_automation_spark.operators.profile import (
+        fused_profile,
+    )
+
+    dim = spark.createDataFrame([Row(d=1)])
+    with pytest.raises(ValueError, match="join-based"):
+        fused_profile(_df(spark), ["k"], checks=[foreign_key("k", dim, "d")])
+
+
+def test_fused_profile_empty_relation(spark):
+    """Empty input: stats rows with zero counts, checks rows all passing,
+    hist section empty — mirroring each component's empty behavior."""
+    from youtube_api_data_etl_automation_spark.operators.profile import (
+        fused_profile,
+    )
+
+    cols, checks, hists = _fused_inputs()
+    out = fused_profile(
+        spark.createDataFrame([], _SCHEMA), cols, checks=checks, hists=hists
+    ).collect()
+    sections = {r["section"] for r in out}
+    assert "hist" not in sections
+    assert all(r["n_rows"] == 0 for r in out if r["section"] == "stats")
+    assert all(
+        r["passed"] and r["n_violations"] == 0
+        for r in out if r["section"] == "checks"
+    )

@@ -91,6 +91,23 @@ def foreign_key(col: str, dim: DataFrame, dim_col: str) -> Check:
     return Check("foreign_key", col, fk=(dim, dim_col))
 
 
+def violation_agg(c: Check) -> Column:
+    """The one-scan AGGREGATE column counting a check's violations: row-level
+    predicates sum a codegen'd boolean; ``unique`` is ``count(col) -
+    count_distinct(col)`` (joins the same multi-distinct Expand as any other
+    distinct in the agg). Foreign-key checks have NO aggregate form — they
+    need the dimension join — so asking for one raises; route those through
+    :func:`run_checks`'s join branch. Shared with
+    ``operators/profile.py::fused_profile`` so the profiler can fold a
+    contract's checks into its single-scan wide aggregate."""
+    if c.fk is not None:
+        raise ValueError(f"{c.name} is join-based; no aggregate form")
+    if c.kind == "unique":
+        return F.count(_ref(c.column)) - F.count_distinct(_ref(c.column))
+    # SUM over zero rows is NULL; an empty relation has zero violations.
+    return F.coalesce(F.sum(F.when(c.violation, 1).otherwise(0)), F.lit(0))
+
+
 def enforce_checks(
     df: DataFrame, checks: list[Check]
 ) -> tuple[DataFrame, DataFrame]:
@@ -130,11 +147,7 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
     if agg_checks:
         aggs: list[Column] = [F.count(F.lit(1)).alias("__n_rows")]
         for i, c in enumerate(agg_checks):
-            if c.kind == "unique":
-                v = (F.count(_ref(c.column)) - F.count_distinct(_ref(c.column)))
-            else:
-                v = F.sum(F.when(c.violation, 1).otherwise(0))
-            aggs.append(v.cast("long").alias(f"__v{i}"))
+            aggs.append(violation_agg(c).cast("long").alias(f"__v{i}"))
         row = df.agg(*aggs)
         structs = [
             F.struct(
@@ -159,10 +172,15 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
             .join(F.broadcast(keys), F.col("__fkv") == F.col("__k"), "left")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_rows"),
-                F.sum(
-                    F.when(
-                        F.col("__fkv").isNotNull() & F.col("__k").isNull(), 1
-                    ).otherwise(0)
+                # coalesce: SUM over an empty fact is NULL, not 0 orphans
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("__fkv").isNotNull() & F.col("__k").isNull(),
+                            1,
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
                 )
                 .cast("long")
                 .alias("n_violations"),

@@ -1008,17 +1008,28 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation.
 
     `stats`: null counts, exact cardinalities, portable min/max renderings
-    and decimal-exact means for all five orders columns — ONE aggregate job
-    over ONE scan (the multi-distinct Expand is the fixture-mode cost; at
-    100 TB `exact_distinct=False` swaps in mergeable HLL sketches and the
-    Expand disappears). `hist`: 20 fixed buckets over o_totalprice, clamped
-    edges so counts always total the non-null rows. `topk`: frequency-ranked
-    priorities via TakeOrderedAndProject — per-partition top-k, never a full
-    sort. `checks` (late r6, operators/expectations.py): the declared data
-    contract — not-null + unique keys, value range/domain/format, and
-    o_custkey referential integrity against customer — all row-level and
-    unique checks in ONE wide aggregate, the FK as one broadcast anti-join
-    against the distinct dimension keys."""
+    and decimal-exact means for all five orders columns. `hist`: 20 fixed
+    buckets over o_totalprice, clamped edges so counts always total the
+    non-null rows. `checks` (late r6, operators/expectations.py): the
+    declared data contract — not-null + unique keys, value range/domain/
+    format, and o_custkey referential integrity against customer.
+
+    Scan discipline (late r6, operators/profile.py::fused_profile): stats
+    and the agg-expressible checks are both global aggregates of orders, so
+    they run as ONE wide aggregate over ONE scan — measured performance-
+    NEUTRAL at sf0.1 (the check sums ride the multi-distinct Expand stream
+    the stats already pay for) while eliminating a full 5-column scan of
+    the fact, which is the term that dominates at 100 TB. The histogram
+    deliberately stays a separate groupBy scan: folding its bucket sums
+    into the same agg was measured ~1.5 s SLOWER than its own
+    single-column-pruned scan (0.15 s) because the Expand multiplies the
+    agg's input 7× (6 distinct columns + the regular group) while the
+    dedicated scan reads one column once — see fused_profile's docstring
+    for when the `hists` fold does win. Remaining orders scans: hist,
+    `topk` (needs a per-value groupBy; TakeOrderedAndProject — per-
+    partition top-k, never a full sort), and the FK check (needs the
+    dimension: one broadcast left-outer join against the distinct customer
+    keys, both counts in one pass)."""
     from ..operators.expectations import (
         accepted_values,
         foreign_key,
@@ -1028,18 +1039,21 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_checks,
         unique,
     )
-    from ..operators.profile import column_stats, numeric_histogram, top_values
+    from ..operators.profile import fused_profile, numeric_histogram, top_values
 
     orders = load_table(spark, sf_dir, "orders")
-    pad_hist_topk = [
-        F.lit(None).cast("int").alias("bucket"),
-        F.lit(None).cast("double").alias("bucket_lo"),
-        F.lit(None).cast("double").alias("bucket_hi"),
-        F.lit(None).cast("long").alias("bucket_n"),
-        F.lit(None).cast("string").alias("value"),
-        F.lit(None).cast("long").alias("value_n"),
-        F.lit(None).cast("int").alias("rank"),
-    ]
+    fused = fused_profile(
+        orders,
+        ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+         "o_orderpriority"],
+        checks=[
+            not_null("o_orderkey"),
+            unique("o_orderkey"),
+            in_range("o_totalprice", 0, 600000),
+            accepted_values("o_orderstatus", ["F", "O", "P"]),
+            matches("o_orderpriority", "^[1-5]-"),
+        ],
+    )
     pad_stats = [
         F.lit(None).cast("string").alias("dtype"),
         F.lit(None).cast("long").alias("n_rows"),
@@ -1055,11 +1069,6 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n_violations"),
         F.lit(None).cast("boolean").alias("passed"),
     ]
-    stats = column_stats(
-        orders,
-        ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate",
-         "o_orderpriority"],
-    ).select(F.lit("stats").alias("section"), "*", *pad_hist_topk, *pad_checks)
     hist = numeric_histogram(orders, "o_totalprice", 0.0, 500_000.0, 20).select(
         F.lit("hist").alias("section"),
         F.lit("o_totalprice").alias("column_name"),
@@ -1082,16 +1091,8 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         *pad_checks,
     )
     customer = load_table(spark, sf_dir, "customer")
-    checks = run_checks(
-        orders,
-        [
-            not_null("o_orderkey"),
-            unique("o_orderkey"),
-            in_range("o_totalprice", 0, 600000),
-            accepted_values("o_orderstatus", ["F", "O", "P"]),
-            matches("o_orderpriority", "^[1-5]-"),
-            foreign_key("o_custkey", customer, "c_custkey"),
-        ],
+    fk = run_checks(
+        orders, [foreign_key("o_custkey", customer, "c_custkey")]
     ).select(
         F.lit("checks").alias("section"),
         F.col("column").alias("column_name"),
@@ -1103,10 +1104,16 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("max_value"),
         F.lit(None).cast("double").alias("avg_value"),
         F.lit(None).cast("double").alias("avg_len"),
-        *pad_hist_topk,
+        F.lit(None).cast("int").alias("bucket"),
+        F.lit(None).cast("double").alias("bucket_lo"),
+        F.lit(None).cast("double").alias("bucket_hi"),
+        F.lit(None).cast("long").alias("bucket_n"),
+        F.lit(None).cast("string").alias("value"),
+        F.lit(None).cast("long").alias("value_n"),
+        F.lit(None).cast("int").alias("rank"),
         "check", "n_violations", "passed",
     )
-    return stats.unionByName(hist).unionByName(topk).unionByName(checks)
+    return fused.unionByName(hist).unionByName(topk).unionByName(fk)
 
 
 # The date-spine gap-fill is driver-verified as the `daily` section of
