@@ -26,6 +26,24 @@ def _optimized(df) -> str:
     return df._jdf.queryExecution().optimizedPlan().toString()
 
 
+def test_profile_row_scan_budget(spark):
+    """table_profile_orders' scan discipline (late r6): stats and every
+    agg-expressible contract check share ONE scan (fused_profile), leaving
+    exactly four orders scans — the fused aggregate, the histogram (its
+    own single-column-pruned scan, see fused_profile's docstring for why
+    the fold loses under exact_distinct), top-k, and the FK probe — plus
+    one customer scan. Pre-fusion this was five; a refactor that splits
+    the fused aggregate back into separate stats/checks scans fails
+    here."""
+    import re
+
+    from youtube_api_data_etl_automation_spark.plans import QUERIES
+
+    plan = _plan(QUERIES["table_profile_orders"](spark, SF_DIR))
+    assert len(re.findall(r"Scan parquet[^\n]*orders", plan)) == 4
+    assert len(re.findall(r"Scan parquet[^\n]*customer", plan)) == 1
+
+
 def test_bucketed_join_has_no_shuffle(spark):
     """Bucketing both sides of a recurring join key co-locates the join:
     the plan must contain NO shuffle exchange (at 100 TB this is the
