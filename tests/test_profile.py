@@ -268,6 +268,58 @@ def test_fused_profile_is_one_scan_one_agg(spark):
     assert approx.count("Scan ExistingRDD") == 1
 
 
+def test_fused_profile_seeded_random_differential(spark):
+    """300 seeded random rows with the adversarial cases (NULL keys, dup
+    groups, NaN doubles, empty strings): fused output must equal the
+    component operators' row sets exactly, section by section — one
+    generation, three comparisons, so the whole sweep is a handful of
+    Spark jobs."""
+    import random
+
+    from youtube_api_data_etl_automation_spark.operators.expectations import (
+        run_checks,
+    )
+    from youtube_api_data_etl_automation_spark.operators.profile import (
+        fused_profile,
+    )
+
+    rnd = random.Random(20260814)
+    rows = []
+    for _ in range(300):
+        k = rnd.choice([None] + list(range(40)))
+        s = rnd.choice([None, "", "a", "bb", "ccc", "dddd"])
+        x = rnd.choice([None, float("nan")] + [round(rnd.uniform(-5, 10), 3)])
+        rows.append((k, s, x, None, None))
+    df = spark.createDataFrame(rows, _SCHEMA)
+    cols, checks, hists = _fused_inputs()
+    out = fused_profile(df, cols, checks=checks, hists=hists).collect()
+    by_section = {}
+    for r in out:
+        by_section.setdefault(r["section"], []).append(r)
+    want_stats = {tuple(r) for r in column_stats(df, cols).collect()}
+    got_stats = {
+        (r["column_name"], r["dtype"], r["n_rows"], r["n_nulls"],
+         r["n_distinct"], r["min_value"], r["max_value"], r["avg_value"],
+         r["avg_len"])
+        for r in by_section["stats"]
+    }
+    assert got_stats == want_stats
+    want_checks = {tuple(r) for r in run_checks(df, checks).collect()}
+    got_checks = {
+        (r["check"], r["column_name"], r["n_rows"], r["n_violations"],
+         r["passed"])
+        for r in by_section["checks"]
+    }
+    assert got_checks == want_checks
+    want_hist = {tuple(r) for r in
+                 numeric_histogram(df, "x", 0.0, 4.0, 4).collect()}
+    got_hist = {
+        (r["bucket"], r["bucket_lo"], r["bucket_hi"], r["bucket_n"])
+        for r in by_section["hist"]
+    }
+    assert got_hist == want_hist
+
+
 def test_fused_profile_rejects_fk_checks(spark):
     from youtube_api_data_etl_automation_spark.operators.expectations import (
         foreign_key,
