@@ -333,6 +333,71 @@ def test_fused_profile_rejects_fk_checks(spark):
         fused_profile(_df(spark), ["k"], checks=[foreign_key("k", dim, "d")])
 
 
+# ---------------------------------------------------------------------------
+# profile_drift: batch-over-batch monitoring between two stats relations
+# ---------------------------------------------------------------------------
+
+
+def _drift(spark, prev_rows, cur_rows):
+    from youtube_api_data_etl_automation_spark.operators.profile import (
+        profile_drift,
+    )
+
+    prev = column_stats(spark.createDataFrame(prev_rows, _SCHEMA), ["k", "s", "x"])
+    cur = column_stats(spark.createDataFrame(cur_rows, _SCHEMA), ["k", "s", "x"])
+    return {
+        (r["column_name"], r["metric"]): r
+        for r in profile_drift(cur, prev).collect()
+    }
+
+
+def test_profile_drift_flags_null_spike_and_distinct_collapse(spark):
+    prev = [(i, f"s{i}", float(i), None, None) for i in range(20)]
+    # current batch: half the s values went NULL; k collapsed to one value
+    cur = [(1, f"s{i}" if i % 2 else None, float(i), None, None)
+           for i in range(20)]
+    out = _drift(spark, prev, cur)
+    assert len(out) == 9  # 3 columns x 3 metrics
+    s_null = out[("s", "null_rate")]
+    assert s_null["prev_value"] == 0.0 and s_null["cur_value"] == 0.5
+    assert s_null["flagged"] is True
+    k_nd = out[("k", "n_distinct")]
+    assert (k_nd["prev_value"], k_nd["cur_value"]) == (20.0, 1.0)
+    assert k_nd["flagged"] is True  # 0.05 ratio < 0.5 drop threshold
+    # x unchanged: nothing flags on it
+    assert not any(out[("x", m)]["flagged"]
+                   for m in ("null_rate", "n_distinct", "avg_value"))
+    # string column has NULL means: avg_value never flags
+    assert out[("s", "avg_value")]["flagged"] is False
+    assert out[("s", "avg_value")]["delta"] is None
+
+
+def test_profile_drift_mean_shift_and_growth_tolerance(spark):
+    prev = [(i, "a", 10.0, None, None) for i in range(10)]
+    # mean doubled (rel shift 1.0 > 0.25); distinct GREW (never flags)
+    cur = [(i + 100, "a", 20.0, None, None) for i in range(30)]
+    out = _drift(spark, prev, cur)
+    x_avg = out[("x", "avg_value")]
+    assert x_avg["flagged"] is True and x_avg["delta"] == pytest.approx(1.0)
+    assert out[("k", "n_distinct")]["flagged"] is False  # growth is normal
+    # prev empty-side guards: empty prev relation -> rate 0, no crash
+    from youtube_api_data_etl_automation_spark.operators.profile import (
+        profile_drift,
+    )
+
+    empty_stats = column_stats(
+        spark.createDataFrame([], _SCHEMA), ["k", "s", "x"]
+    )
+    cur_stats = column_stats(spark.createDataFrame(cur, _SCHEMA), ["k", "s", "x"])
+    rows = {
+        (r["column_name"], r["metric"]): r
+        for r in profile_drift(cur_stats, empty_stats).collect()
+    }
+    assert rows[("x", "null_rate")]["prev_value"] == 0.0
+    assert rows[("x", "n_distinct")]["flagged"] is False  # prev had none
+    assert rows[("x", "avg_value")]["flagged"] is False  # NULL prev mean
+
+
 def test_fused_profile_empty_relation(spark):
     """Empty input: stats rows with zero counts, checks rows all passing,
     hist section empty — mirroring each component's empty behavior."""

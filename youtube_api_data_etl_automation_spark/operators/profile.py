@@ -400,3 +400,103 @@ def fused_profile(
     out = row.select(F.inline(F.array(*structs)))
     # Empty buckets are ABSENT, matching numeric_histogram's groupBy shape.
     return out.filter((F.col("section") != "hist") | (F.col("bucket_n") > 0))
+
+
+def profile_drift(
+    cur: DataFrame,
+    prev: DataFrame,
+    *,
+    null_rate_jump: float = 0.05,
+    distinct_drop: float = 0.5,
+    mean_shift: float = 0.25,
+) -> DataFrame:
+    """Batch-over-batch drift detection between two :func:`column_stats`
+    relations (e.g. this ingest's profile vs the previous committed
+    version's): the monitor that catches the failures expectation checks
+    can't — a contract says "o_custkey is never NULL", drift says "the
+    null RATE just jumped 20 points", which is how upstream breakage
+    (a source dropping a join, a schema default flipping) actually shows
+    up before anyone updates the contract.
+
+    One row per (column_name, metric) with ``metric`` ∈
+    {``null_rate``, ``n_distinct``, ``avg_value``}: ``prev_value``,
+    ``cur_value``, ``delta`` and ``flagged``.
+
+    - ``null_rate``: fraction NULL (0 for an empty relation); ``delta`` is
+      the absolute jump, flagged when it exceeds ``null_rate_jump``.
+    - ``n_distinct``: ``delta`` = cur/prev ratio; flagged when cardinality
+      COLLAPSES below ``distinct_drop`` × previous (an id column suddenly
+      constant — the classic silent-join corruption) while the previous
+      batch had any. Growth never flags — new values are normal.
+    - ``avg_value``: ``delta`` = |cur−prev| / |prev| relative shift,
+      flagged above ``mean_shift``; NULL means (non-numeric column or an
+      empty side) never flag, a prev mean of exactly 0 compares by
+      absolute shift instead.
+
+    Scale shape: both inputs are k-row profile relations (k = column
+    count), so this is a k-row sort-merge/broadcast join and pure Column
+    arithmetic — nothing touches the data that produced the profiles.
+    Columns present on only one side (schema evolution) are dropped here;
+    diff schemas explicitly, not through drift arithmetic.
+    """
+    p = prev.select(
+        F.col("column_name"),
+        F.col("n_rows").alias("_p_rows"),
+        F.col("n_nulls").alias("_p_nulls"),
+        F.col("n_distinct").alias("_p_nd"),
+        F.col("avg_value").alias("_p_avg"),
+    )
+    c = cur.select(
+        F.col("column_name"),
+        F.col("n_rows").alias("_c_rows"),
+        F.col("n_nulls").alias("_c_nulls"),
+        F.col("n_distinct").alias("_c_nd"),
+        F.col("avg_value").alias("_c_avg"),
+    )
+    j = c.join(p, "column_name", "inner")
+
+    def rate(nulls: Column, rows: Column) -> Column:
+        return F.when(rows > 0, nulls.cast("double") / rows).otherwise(0.0)
+
+    pr, cr = rate(F.col("_p_nulls"), F.col("_p_rows")), rate(
+        F.col("_c_nulls"), F.col("_c_rows")
+    )
+    null_delta = cr - pr
+    nd_ratio = F.when(
+        F.col("_p_nd") > 0, F.col("_c_nd").cast("double") / F.col("_p_nd")
+    )
+    mean_delta = F.when(
+        F.col("_p_avg").isNotNull() & F.col("_c_avg").isNotNull(),
+        F.when(
+            F.col("_p_avg") != 0.0,
+            F.abs(F.col("_c_avg") - F.col("_p_avg")) / F.abs(F.col("_p_avg")),
+        ).otherwise(F.abs(F.col("_c_avg") - F.col("_p_avg"))),
+    )
+    metrics = [
+        F.struct(
+            F.lit("null_rate").alias("metric"),
+            pr.alias("prev_value"),
+            cr.alias("cur_value"),
+            null_delta.alias("delta"),
+            (null_delta > F.lit(float(null_rate_jump))).alias("flagged"),
+        ),
+        F.struct(
+            F.lit("n_distinct").alias("metric"),
+            F.col("_p_nd").cast("double").alias("prev_value"),
+            F.col("_c_nd").cast("double").alias("cur_value"),
+            nd_ratio.alias("delta"),
+            F.coalesce(
+                nd_ratio < F.lit(float(distinct_drop)), F.lit(False)
+            ).alias("flagged"),
+        ),
+        F.struct(
+            F.lit("avg_value").alias("metric"),
+            F.col("_p_avg").alias("prev_value"),
+            F.col("_c_avg").alias("cur_value"),
+            mean_delta.alias("delta"),
+            F.coalesce(
+                mean_delta > F.lit(float(mean_shift)), F.lit(False)
+            ).alias("flagged"),
+        ),
+    ]
+    return j.select("column_name", F.inline(F.array(*metrics)))
