@@ -34,6 +34,39 @@ def test_commit_and_read_roundtrip(spark, tmp_path):
     assert got == {("a", 1), ("b", 2)}
 
 
+def test_drift_between_versions(spark, tmp_path):
+    """Refresh-over-refresh drift straight off the sink: v2 plants a null
+    spike and a value collapse in k; the report carries the version pair
+    and flags exactly the planted metrics. One committed version (or a
+    non-retained explicit pair) raises instead of reading as 'no
+    drift'."""
+    from youtube_api_data_etl_automation_spark.operators.versioned import (
+        drift_between_versions,
+    )
+
+    base = str(tmp_path / "sink")
+    commit_version(
+        _df(spark, [(f"k{i}", i) for i in range(20)]), base
+    )
+    with pytest.raises(ValueError, match="two committed versions"):
+        drift_between_versions(spark, base)
+    commit_version(
+        _df(spark, [("k0" if i % 2 else None, 1) for i in range(20)]), base
+    )
+    rows = {
+        (r["column_name"], r["metric"]): r
+        for r in drift_between_versions(spark, base).collect()
+    }
+    assert all(
+        (r["prev_version"], r["cur_version"]) == (1, 2) for r in rows.values()
+    )
+    assert rows[("k", "null_rate")]["flagged"] is True  # 0 -> 0.5
+    assert rows[("k", "n_distinct")]["flagged"] is True  # 20 -> 1
+    assert rows[("v", "avg_value")]["flagged"] is True  # 9.5 -> 1.0
+    with pytest.raises(ValueError, match="not committed"):
+        drift_between_versions(spark, base, versions=(7, 2))
+
+
 def test_merge_upsert_versioned_semantics(spark, tmp_path):
     """Mirror of test_incremental.py::test_merge_upsert over the versioned
     store: update wins on matched keys, unmatched kept, inserts land."""

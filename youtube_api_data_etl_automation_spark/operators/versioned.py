@@ -229,6 +229,60 @@ def read_current(spark: SparkSession, base_path: str) -> DataFrame:
     return spark.read.parquet(version_path(base_path, v))
 
 
+def drift_between_versions(
+    spark: SparkSession,
+    base_path: str,
+    cols: list[str] | None = None,
+    *,
+    versions: tuple[int, int] | None = None,
+    **drift_kwargs,
+) -> DataFrame:
+    """Profile-drift report between two COMMITTED versions of an
+    overwrite-family sink — by default the current version against its
+    predecessor, i.e. "did this refresh change the shape of the data?"
+    asked right after a commit, while ``keep_versions`` (default 2) still
+    retains the predecessor. The composition a production refresh runs:
+    ``operators/profile.py::column_stats`` of each immutable version dir,
+    diffed by ``profile_drift`` (null-rate jump / cardinality collapse /
+    mean shift; thresholds forwarded via ``drift_kwargs``). Each profile
+    is one scan of its version; the diff itself is a k-row join. Output
+    carries ``prev_version``/``cur_version`` for the audit trail.
+
+    ``versions=(v_prev, v_cur)`` compares two explicit committed versions
+    (both must still be retained). Raises ValueError when the sink has
+    fewer than two committed versions — a first commit has nothing to
+    drift against, and silently returning empty would read as "no
+    drift"."""
+    from .profile import column_stats, profile_drift
+
+    committed = [v for v, ok in list_versions(spark, base_path) if ok]
+    if versions is None:
+        if len(committed) < 2:
+            raise ValueError(
+                f"need two committed versions under {base_path}, "
+                f"have {committed}"
+            )
+        v_prev, v_cur = committed[-2], committed[-1]
+    else:
+        v_prev, v_cur = versions
+        missing = [v for v in (v_prev, v_cur) if v not in committed]
+        if missing:
+            raise ValueError(
+                f"version(s) {missing} not committed/retained under "
+                f"{base_path}; committed: {committed}"
+            )
+    prev = spark.read.parquet(version_path(base_path, v_prev))
+    cur = spark.read.parquet(version_path(base_path, v_cur))
+    report = profile_drift(
+        column_stats(cur, cols), column_stats(prev, cols), **drift_kwargs
+    )
+    return report.select(
+        F.lit(v_prev).alias("prev_version"),
+        F.lit(v_cur).alias("cur_version"),
+        "*",
+    )
+
+
 def commit_version(df: DataFrame, base_path: str, keep_versions: int = 2) -> int:
     """Write ``df`` as the next version and commit it. Returns the new
     version number. ``keep_versions`` committed versions are retained
