@@ -30,6 +30,47 @@ def test_parser_curate_lang_rates():
     assert args.lang_rates == "en=128,fr=64"
 
 
+def test_parser_drift_versions():
+    args = build_parser().parse_args(
+        ["drift", "--sink", "/tmp/s", "--versions", "3:5",
+         "--null-rate-jump", "0.1"]
+    )
+    assert args.versions == "3:5" and args.null_rate_jump == 0.1
+
+
+def test_drift_cli_end_to_end(spark, capsys):
+    """Two committed versions with a planted null spike: exit code 2 and
+    the flagged metric in the JSON line; a clean pair exits 0."""
+    from pyspark.sql import functions as F
+
+    from youtube_api_data_etl_automation_spark.operators.versioned import (
+        commit_version,
+    )
+
+    base = tempfile.mkdtemp(prefix="cli_drift_") + "/sink"
+    df = spark.createDataFrame(
+        [(f"k{i}", float(i)) for i in range(20)], "k string, v double"
+    )
+    commit_version(df, base, keep_versions=3)
+    commit_version(df, base, keep_versions=3)  # identical refresh: clean
+    rc = main(["drift", "--sink", base])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["status"] == "ok" and out["flagged"] == []
+    commit_version(
+        df.withColumn("k", F.when(F.col("v") < 10, F.col("k"))), base,
+        keep_versions=3,
+    )
+    rc = main(["drift", "--sink", base])
+    assert rc == 2
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["status"] == "drift"
+    assert (out["prev_version"], out["cur_version"]) == (2, 3)
+    assert {(f["column"], f["metric"]) for f in out["flagged"]} == {
+        ("k", "null_rate")
+    }
+
+
 def test_etl_fake_transport_end_to_end(spark, capsys):
     # main() builds its own session via get_spark(); under pytest that
     # returns the active session, so no second JVM spins up.

@@ -11,6 +11,9 @@ invocable the same way:
         --input /data/docs.parquet --output /data/shards \
         --benchmark /data/eval_docs.parquet
 
+    python -m youtube_api_data_etl_automation_spark drift \
+        --sink /data/wh/video_stats   # exit 2 + flagged metrics on drift
+
 Each subcommand prints ONE JSON line of counters on success (the
 reference's log counters for `etl`; the per-stage audit for `curate`), so
 cron logs stay grep-able and a scheduler can assert on the output.
@@ -75,6 +78,51 @@ def _cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_drift(args: argparse.Namespace) -> int:
+    from .operators.versioned import drift_between_versions
+    from .session import get_spark
+
+    spark = get_spark("sink-drift", master=args.master)
+    cols = [c for c in (args.columns or "").split(",") if c] or None
+    versions = None
+    if args.versions:
+        a, b = args.versions.split(":")
+        versions = (int(a), int(b))
+    rows = drift_between_versions(
+        spark,
+        args.sink,
+        cols,
+        versions=versions,
+        null_rate_jump=args.null_rate_jump,
+        distinct_drop=args.distinct_drop,
+        mean_shift=args.mean_shift,
+    ).collect()
+    flagged = [
+        {
+            "column": r["column_name"],
+            "metric": r["metric"],
+            "prev": r["prev_value"],
+            "cur": r["cur_value"],
+            "delta": r["delta"],
+        }
+        for r in rows
+        if r["flagged"]
+    ]
+    print(
+        json.dumps(
+            {
+                "status": "drift" if flagged else "ok",
+                "prev_version": rows[0]["prev_version"] if rows else None,
+                "cur_version": rows[0]["cur_version"] if rows else None,
+                "n_metrics": len(rows),
+                "flagged": flagged,
+            }
+        )
+    )
+    # a cron that only checks exit codes still notices drift
+    return 2 if flagged else 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="python -m youtube_api_data_etl_automation_spark",
@@ -124,6 +172,26 @@ def build_parser() -> argparse.ArgumentParser:
         "threshold (default: exact dedup only)",
     )
     cur.set_defaults(fn=_cmd_curate)
+
+    dr = sub.add_parser(
+        "drift",
+        help="profile-drift report between two committed sink versions "
+        "(exit 2 when drift is flagged)",
+    )
+    dr.add_argument("--sink", required=True, help="versioned sink base path")
+    dr.add_argument(
+        "--columns", default=None, help="comma-separated columns (default: all)"
+    )
+    dr.add_argument(
+        "--versions",
+        default=None,
+        help="explicit PREV:CUR committed version pair (default: "
+        "predecessor vs current)",
+    )
+    dr.add_argument("--null-rate-jump", type=float, default=0.05)
+    dr.add_argument("--distinct-drop", type=float, default=0.5)
+    dr.add_argument("--mean-shift", type=float, default=0.25)
+    dr.set_defaults(fn=_cmd_drift)
     return p
 
 
