@@ -71,6 +71,31 @@ def test_drift_cli_end_to_end(spark, capsys):
     }
 
 
+def test_drift_cli_psi_flag(spark, capsys):
+    """--psi COL:LO:HI:BINS rides the same run: a same-mean spread
+    explosion flags ONLY through psi (exit 2, psi object in the JSON)."""
+    from youtube_api_data_etl_automation_spark.operators.versioned import (
+        commit_version,
+    )
+
+    def vdf(vals):
+        return spark.createDataFrame(
+            [(f"k{i}", float(v)) for i, v in enumerate(vals)],
+            "k string, v double",
+        )
+
+    base = tempfile.mkdtemp(prefix="cli_psi_") + "/sink"
+    commit_version(vdf([5.0] * 40 + [4.0] * 30 + [6.0] * 30), base)
+    commit_version(vdf([5.0] * 20 + [1.0] * 40 + [9.0] * 40), base)
+    rc = main(["drift", "--sink", base, "--psi", "v:0:10:10"])
+    assert rc == 2
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["status"] == "drift"
+    assert out["psi"]["flagged"] is True and out["psi"]["psi"] > 0.25
+    # moment metrics alone were quiet: the psi entry is the only flag
+    assert [f["metric"] for f in out["flagged"]] == ["psi"]
+
+
 def test_etl_fake_transport_end_to_end(spark, capsys):
     # main() builds its own session via get_spark(); under pytest that
     # returns the active session, so no second JVM spins up.

@@ -398,6 +398,59 @@ def test_profile_drift_mean_shift_and_growth_tolerance(spark):
     assert rows[("x", "avg_value")]["flagged"] is False  # NULL prev mean
 
 
+def test_histogram_drift_psi(spark):
+    """PSI over two same-grid histograms: identical distributions score
+    ~0; a symmetric variance blow-up (mean UNCHANGED — invisible to
+    profile_drift's moment checks) flags; a bucket emptying on one side
+    takes the epsilon path and stays finite."""
+    from youtube_api_data_etl_automation_spark.operators.profile import (
+        histogram_drift,
+        profile_drift,
+    )
+
+    def h(vals):
+        df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+        return numeric_histogram(df, "x", 0.0, 10.0, 10)
+
+    base = [5.0] * 40 + [4.0] * 30 + [6.0] * 30
+    same = histogram_drift(h(base), h(base)).collect()[0]
+    assert same["psi"] == pytest.approx(0.0, abs=1e-9)
+    assert same["flagged"] is False
+    assert (same["prev_total"], same["cur_total"]) == (100, 100)
+
+    # same mean (5.0), exploded spread: moments quiet, PSI loud
+    wide = [5.0] * 20 + [1.0] * 40 + [9.0] * 40
+    psi_row = histogram_drift(h(wide), h(base)).collect()[0]
+    assert psi_row["flagged"] is True and psi_row["psi"] > 0.25
+    stats_prev = column_stats(
+        spark.createDataFrame([(float(v),) for v in base], "x double")
+    )
+    stats_cur = column_stats(
+        spark.createDataFrame([(float(v),) for v in wide], "x double")
+    )
+    moment = {r["metric"]: r for r in
+              profile_drift(stats_cur, stats_prev).collect()}
+    assert moment["avg_value"]["flagged"] is False  # mean moved 0%
+
+    # one-sided bucket: epsilon smoothing keeps the term finite
+    import math
+
+    one_sided = histogram_drift(h([1.0] * 100), h([9.0] * 100)).collect()[0]
+    assert math.isfinite(one_sided["psi"]) and one_sided["flagged"] is True
+
+
+def test_histogram_drift_rejects_mismatched_grids(spark):
+    from youtube_api_data_etl_automation_spark.operators.profile import (
+        histogram_drift,
+    )
+
+    df = spark.createDataFrame([(float(v),) for v in range(10)], "x double")
+    a = numeric_histogram(df, "x", 0.0, 10.0, 5)
+    b = numeric_histogram(df, "x", 0.0, 20.0, 5)
+    with pytest.raises(ValueError, match="grids disagree"):
+        histogram_drift(a, b)
+
+
 def test_fused_profile_empty_relation(spark):
     """Empty input: stats rows with zero counts, checks rows all passing,
     hist section empty — mirroring each component's empty behavior."""

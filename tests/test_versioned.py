@@ -67,6 +67,36 @@ def test_drift_between_versions(spark, tmp_path):
         drift_between_versions(spark, base, versions=(7, 2))
 
 
+def test_psi_between_versions(spark, tmp_path):
+    """Distribution-shape drift off the sink: same mean, exploded spread
+    between v1 and v2 — moments stay quiet, PSI flags."""
+    from youtube_api_data_etl_automation_spark.operators.versioned import (
+        drift_between_versions,
+        psi_between_versions,
+    )
+
+    def vdf(vals):
+        return spark.createDataFrame(
+            [(f"k{i}", float(v)) for i, v in enumerate(vals)],
+            "k string, v double",
+        )
+
+    base = str(tmp_path / "sink")
+    commit_version(vdf([5.0] * 40 + [4.0] * 30 + [6.0] * 30), base)
+    commit_version(vdf([5.0] * 20 + [1.0] * 40 + [9.0] * 40), base)
+    psi = psi_between_versions(spark, base, "v", 0.0, 10.0, 10).collect()[0]
+    assert (psi["prev_version"], psi["cur_version"]) == (1, 2)
+    assert psi["column_name"] == "v"
+    assert psi["flagged"] is True and psi["psi"] > 0.25
+    moments = {
+        (r["column_name"], r["metric"]): r
+        for r in drift_between_versions(spark, base, ["v"]).collect()
+    }
+    assert moments[("v", "avg_value")]["flagged"] is False  # mean unmoved
+    with pytest.raises(ValueError, match="not committed"):
+        psi_between_versions(spark, base, "v", 0.0, 10.0, 10, versions=(9, 2))
+
+
 def test_merge_upsert_versioned_semantics(spark, tmp_path):
     """Mirror of test_incremental.py::test_merge_upsert over the versioned
     store: update wins on matched keys, unmatched kept, inserts land."""

@@ -108,17 +108,36 @@ def _cmd_drift(args: argparse.Namespace) -> int:
         for r in rows
         if r["flagged"]
     ]
-    print(
-        json.dumps(
-            {
-                "status": "drift" if flagged else "ok",
-                "prev_version": rows[0]["prev_version"] if rows else None,
-                "cur_version": rows[0]["cur_version"] if rows else None,
-                "n_metrics": len(rows),
-                "flagged": flagged,
-            }
-        )
-    )
+    out = {
+        "status": "ok",
+        "prev_version": rows[0]["prev_version"] if rows else None,
+        "cur_version": rows[0]["cur_version"] if rows else None,
+        "n_metrics": len(rows),
+        "flagged": flagged,
+    }
+    if args.psi:
+        from .operators.versioned import psi_between_versions
+
+        col, lo, hi, bins = args.psi.split(":")
+        psi = psi_between_versions(
+            spark,
+            args.sink,
+            col,
+            float(lo),
+            float(hi),
+            int(bins),
+            versions=versions,
+            psi_threshold=args.psi_threshold,
+        ).collect()[0]
+        out["psi"] = {
+            "column": psi["column_name"],
+            "psi": psi["psi"],
+            "flagged": psi["flagged"],
+        }
+        if psi["flagged"]:
+            flagged.append({"column": psi["column_name"], "metric": "psi"})
+    out["status"] = "drift" if flagged else "ok"
+    print(json.dumps(out))
     # a cron that only checks exit codes still notices drift
     return 2 if flagged else 0
 
@@ -191,6 +210,15 @@ def build_parser() -> argparse.ArgumentParser:
     dr.add_argument("--null-rate-jump", type=float, default=0.05)
     dr.add_argument("--distinct-drop", type=float, default=0.5)
     dr.add_argument("--mean-shift", type=float, default=0.25)
+    dr.add_argument(
+        "--psi",
+        default=None,
+        metavar="COL:LO:HI:BINS",
+        help="also compute the Population Stability Index of this numeric "
+        "column over a fixed histogram grid (distribution drift the "
+        "moment checks can't see)",
+    )
+    dr.add_argument("--psi-threshold", type=float, default=0.2)
     dr.set_defaults(fn=_cmd_drift)
     return p
 

@@ -500,3 +500,85 @@ def profile_drift(
         ),
     ]
     return j.select("column_name", F.inline(F.array(*metrics)))
+
+
+def histogram_drift(
+    cur: DataFrame,
+    prev: DataFrame,
+    *,
+    psi_threshold: float = 0.2,
+    epsilon: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two :func:`numeric_histogram`
+    relations built on the SAME fixed grid — the standard distribution-
+    drift metric :func:`profile_drift`'s moment checks can't see (a
+    symmetric variance blow-up leaves the mean untouched; PSI catches it).
+
+    ``PSI = Σ_buckets (p_cur − p_prev) · ln(p_cur / p_prev)`` over bucket
+    probability masses, with ``epsilon`` standing in for an empty side of
+    a bucket (the conventional smoothing — a bucket present in one batch
+    and absent in the other contributes a large finite term, not ±inf).
+    Returns ONE row: ``(psi, n_buckets, prev_total, cur_total, flagged)``
+    with the usual reading — <0.1 stable, 0.1–0.25 moderate shift, >0.25
+    action; ``flagged`` ⇔ psi > ``psi_threshold``.
+
+    Scale shape: both inputs are ≤``bins``-row relations, so this is a
+    bins-row full-outer join + one aggregate — free next to the scans
+    that built the histograms. Raises when the grids disagree (same
+    bucket id with different edges): PSI over mismatched grids is
+    meaningless, and silently joining on bucket ids would compute it.
+    """
+    p = prev.select(
+        "bucket",
+        F.col("bucket_lo").alias("_p_lo"),
+        F.col("bucket_hi").alias("_p_hi"),
+        F.col("bucket_n").alias("_p_n"),
+    )
+    c = cur.select(
+        "bucket",
+        F.col("bucket_lo").alias("_c_lo"),
+        F.col("bucket_hi").alias("_c_hi"),
+        F.col("bucket_n").alias("_c_n"),
+    )
+    j = c.join(p, "bucket", "full_outer")
+    mismatched = j.filter(
+        F.col("_p_lo").isNotNull()
+        & F.col("_c_lo").isNotNull()
+        & ((F.col("_p_lo") != F.col("_c_lo")) | (F.col("_p_hi") != F.col("_c_hi")))
+    ).count()
+    if mismatched:
+        raise ValueError(
+            f"histogram grids disagree on {mismatched} bucket(s); "
+            "build both histograms with the same (lo, hi, bins)"
+        )
+    pn = F.coalesce(F.col("_p_n"), F.lit(0)).cast("double")
+    cn = F.coalesce(F.col("_c_n"), F.lit(0)).cast("double")
+    totals = j.agg(
+        F.sum(pn).alias("pt"), F.sum(cn).alias("ct"),
+        F.count(F.lit(1)).cast("long").alias("nb"),
+    )
+    tp, tc = F.col("pt"), F.col("ct")
+    # probability mass per bucket, epsilon-smoothed; an EMPTY relation on
+    # either side (total 0) yields epsilon everywhere => psi 0, not NaN
+    pp = F.when(tp > 0, pn / tp).otherwise(F.lit(0.0))
+    pc = F.when(tc > 0, cn / tc).otherwise(F.lit(0.0))
+    pp = F.greatest(pp, F.lit(float(epsilon)))
+    pc = F.greatest(pc, F.lit(float(epsilon)))
+    term = (pc - pp) * F.log(pc / pp)
+    psi = (
+        j.crossJoin(F.broadcast(totals))
+        .agg(
+            F.coalesce(F.sum(term), F.lit(0.0)).alias("psi"),
+            F.first("nb").alias("n_buckets"),
+            F.first("pt").cast("long").alias("prev_total"),
+            F.first("ct").cast("long").alias("cur_total"),
+        )
+        .select(
+            round6(F.col("psi")).alias("psi"),
+            "n_buckets",
+            "prev_total",
+            "cur_total",
+            (F.col("psi") > F.lit(float(psi_threshold))).alias("flagged"),
+        )
+    )
+    return psi

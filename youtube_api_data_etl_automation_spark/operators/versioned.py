@@ -229,6 +229,31 @@ def read_current(spark: SparkSession, base_path: str) -> DataFrame:
     return spark.read.parquet(version_path(base_path, v))
 
 
+def _resolve_version_pair(
+    spark: SparkSession, base_path: str, versions: tuple[int, int] | None
+) -> tuple[int, int]:
+    """(prev, cur) committed versions to diff: the latest two by default,
+    or an explicit pair (both must still be retained). Raises rather than
+    returning an empty comparison — 'no data' must not read as 'no
+    drift'."""
+    committed = [v for v, ok in list_versions(spark, base_path) if ok]
+    if versions is None:
+        if len(committed) < 2:
+            raise ValueError(
+                f"need two committed versions under {base_path}, "
+                f"have {committed}"
+            )
+        return committed[-2], committed[-1]
+    v_prev, v_cur = versions
+    missing = [v for v in (v_prev, v_cur) if v not in committed]
+    if missing:
+        raise ValueError(
+            f"version(s) {missing} not committed/retained under "
+            f"{base_path}; committed: {committed}"
+        )
+    return v_prev, v_cur
+
+
 def drift_between_versions(
     spark: SparkSession,
     base_path: str,
@@ -255,22 +280,7 @@ def drift_between_versions(
     drift"."""
     from .profile import column_stats, profile_drift
 
-    committed = [v for v, ok in list_versions(spark, base_path) if ok]
-    if versions is None:
-        if len(committed) < 2:
-            raise ValueError(
-                f"need two committed versions under {base_path}, "
-                f"have {committed}"
-            )
-        v_prev, v_cur = committed[-2], committed[-1]
-    else:
-        v_prev, v_cur = versions
-        missing = [v for v in (v_prev, v_cur) if v not in committed]
-        if missing:
-            raise ValueError(
-                f"version(s) {missing} not committed/retained under "
-                f"{base_path}; committed: {committed}"
-            )
+    v_prev, v_cur = _resolve_version_pair(spark, base_path, versions)
     prev = spark.read.parquet(version_path(base_path, v_prev))
     cur = spark.read.parquet(version_path(base_path, v_cur))
     report = profile_drift(
@@ -279,6 +289,42 @@ def drift_between_versions(
     return report.select(
         F.lit(v_prev).alias("prev_version"),
         F.lit(v_cur).alias("cur_version"),
+        "*",
+    )
+
+
+def psi_between_versions(
+    spark: SparkSession,
+    base_path: str,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+    *,
+    versions: tuple[int, int] | None = None,
+    psi_threshold: float = 0.2,
+) -> DataFrame:
+    """Population Stability Index of one numeric column between two
+    committed sink versions (default: predecessor vs current) — the
+    distribution-shape companion to :func:`drift_between_versions`'s
+    moment checks. Both versions are histogrammed on the SAME (lo, hi,
+    bins) grid (one single-column scan each) and diffed by
+    ``operators/profile.py::histogram_drift``; output is its one-row PSI
+    relation stamped with ``prev_version``/``cur_version``."""
+    from .profile import histogram_drift, numeric_histogram
+
+    v_prev, v_cur = _resolve_version_pair(spark, base_path, versions)
+    prev = spark.read.parquet(version_path(base_path, v_prev))
+    cur = spark.read.parquet(version_path(base_path, v_cur))
+    report = histogram_drift(
+        numeric_histogram(cur, col, lo, hi, bins),
+        numeric_histogram(prev, col, lo, hi, bins),
+        psi_threshold=psi_threshold,
+    )
+    return report.select(
+        F.lit(v_prev).alias("prev_version"),
+        F.lit(v_cur).alias("cur_version"),
+        F.lit(col).alias("column_name"),
         "*",
     )
 
