@@ -33,9 +33,16 @@ def test_parser_curate_lang_rates():
 def test_parser_drift_versions():
     args = build_parser().parse_args(
         ["drift", "--sink", "/tmp/s", "--versions", "3:5",
-         "--null-rate-jump", "0.1"]
+         "--null-rate-jump", "0.1", "--psi", "v:0:10:20"]
     )
-    assert args.versions == "3:5" and args.null_rate_jump == 0.1
+    assert args.versions == (3, 5) and args.null_rate_jump == 0.1
+    assert args.psi == ("v", 0.0, 10.0, 20)
+    # malformed specs are clean usage errors, not tracebacks after a
+    # Spark session already spun up
+    for bad in (["--versions", "3"], ["--versions", "a:b"],
+                ["--psi", "v:0:10"], ["--psi", "v:0:ten:4"]):
+        with pytest.raises(SystemExit):
+            build_parser().parse_args(["drift", "--sink", "/tmp/s"] + bad)
 
 
 def test_drift_cli_end_to_end(spark, capsys):

@@ -78,16 +78,36 @@ def _cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def _version_pair(s: str) -> tuple[int, int]:
+    """argparse type for PREV:CUR — malformed specs die as clean usage
+    errors, not tracebacks after a Spark session already spun up."""
+    try:
+        a, b = s.split(":")
+        return int(a), int(b)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"expected PREV:CUR (two integers), got {s!r}"
+        ) from None
+
+
+def _psi_spec(s: str) -> tuple[str, float, float, int]:
+    """argparse type for COL:LO:HI:BINS."""
+    try:
+        col, lo, hi, bins = s.split(":")
+        return col, float(lo), float(hi), int(bins)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"expected COL:LO:HI:BINS, got {s!r}"
+        ) from None
+
+
 def _cmd_drift(args: argparse.Namespace) -> int:
     from .operators.versioned import drift_between_versions
     from .session import get_spark
 
     spark = get_spark("sink-drift", master=args.master)
     cols = [c for c in (args.columns or "").split(",") if c] or None
-    versions = None
-    if args.versions:
-        a, b = args.versions.split(":")
-        versions = (int(a), int(b))
+    versions = args.versions
     rows = drift_between_versions(
         spark,
         args.sink,
@@ -118,14 +138,14 @@ def _cmd_drift(args: argparse.Namespace) -> int:
     if args.psi:
         from .operators.versioned import psi_between_versions
 
-        col, lo, hi, bins = args.psi.split(":")
+        col, lo, hi, bins = args.psi
         psi = psi_between_versions(
             spark,
             args.sink,
             col,
-            float(lo),
-            float(hi),
-            int(bins),
+            lo,
+            hi,
+            bins,
             versions=versions,
             psi_threshold=args.psi_threshold,
         ).collect()[0]
@@ -204,6 +224,7 @@ def build_parser() -> argparse.ArgumentParser:
     dr.add_argument(
         "--versions",
         default=None,
+        type=_version_pair,
         help="explicit PREV:CUR committed version pair (default: "
         "predecessor vs current)",
     )
@@ -213,6 +234,7 @@ def build_parser() -> argparse.ArgumentParser:
     dr.add_argument(
         "--psi",
         default=None,
+        type=_psi_spec,
         metavar="COL:LO:HI:BINS",
         help="also compute the Population Stability Index of this numeric "
         "column over a fixed histogram grid (distribution drift the "
