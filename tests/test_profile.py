@@ -440,6 +440,9 @@ def test_histogram_drift_psi(spark):
 
 
 def test_histogram_drift_rejects_mismatched_grids(spark):
+    """The grid guard is lazy (an eager check would re-materialize both
+    histogram lineages — two extra table scans): the raise_error branch
+    fires at execution, and the plan stays a single pass."""
     from youtube_api_data_etl_automation_spark.operators.profile import (
         histogram_drift,
     )
@@ -447,8 +450,14 @@ def test_histogram_drift_rejects_mismatched_grids(spark):
     df = spark.createDataFrame([(float(v),) for v in range(10)], "x double")
     a = numeric_histogram(df, "x", 0.0, 10.0, 5)
     b = numeric_histogram(df, "x", 0.0, 20.0, 5)
-    with pytest.raises(ValueError, match="grids disagree"):
-        histogram_drift(a, b)
+    with pytest.raises(Exception, match="grids disagree"):
+        histogram_drift(a, b).collect()
+    # one source scan per histogram side, not two (no eager validation)
+    plan = (
+        histogram_drift(a, numeric_histogram(df, "x", 0.0, 10.0, 5))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan ExistingRDD") == 2
 
 
 def test_fused_profile_empty_relation(spark):

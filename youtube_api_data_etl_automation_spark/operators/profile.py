@@ -524,9 +524,12 @@ def histogram_drift(
 
     Scale shape: both inputs are ≤``bins``-row relations, so this is a
     bins-row full-outer join + one aggregate — free next to the scans
-    that built the histograms. Raises when the grids disagree (same
-    bucket id with different edges): PSI over mismatched grids is
-    meaningless, and silently joining on bucket ids would compute it.
+    that built the histograms. A grid mismatch (same bucket id with
+    different edges) raises AT EXECUTION via a ``raise_error`` branch
+    folded into the PSI term: PSI over mismatched grids is meaningless,
+    and validating eagerly would materialize both histogram lineages a
+    second time (the first version of this operator did exactly that —
+    two extra scans of the tables that built them).
     """
     p = prev.select(
         "bucket",
@@ -541,37 +544,49 @@ def histogram_drift(
         F.col("bucket_n").alias("_c_n"),
     )
     j = c.join(p, "bucket", "full_outer")
-    mismatched = j.filter(
-        F.col("_p_lo").isNotNull()
-        & F.col("_c_lo").isNotNull()
-        & ((F.col("_p_lo") != F.col("_c_lo")) | (F.col("_p_hi") != F.col("_c_hi")))
-    ).count()
-    if mismatched:
-        raise ValueError(
-            f"histogram grids disagree on {mismatched} bucket(s); "
-            "build both histograms with the same (lo, hi, bins)"
-        )
+    grid_ok = (
+        F.col("_p_lo").isNull()
+        | F.col("_c_lo").isNull()
+        | ((F.col("_p_lo") == F.col("_c_lo")) & (F.col("_p_hi") == F.col("_c_hi")))
+    )
     pn = F.coalesce(F.col("_p_n"), F.lit(0)).cast("double")
     cn = F.coalesce(F.col("_c_n"), F.lit(0)).cast("double")
-    totals = j.agg(
-        F.sum(pn).alias("pt"), F.sum(cn).alias("ct"),
-        F.count(F.lit(1)).cast("long").alias("nb"),
-    )
-    tp, tc = F.col("pt"), F.col("ct")
+    # Totals via an unpartitioned window over the ≤bins-row join, NOT a
+    # separate aggregate cross-joined back: that second shape executes the
+    # join lineage — histogram builds AND their source scans — twice. The
+    # single-partition window is trivial at ≤bins rows and keeps each
+    # histogram side at exactly one source scan.
+    w = Window.partitionBy(F.lit(1))
+    tp, tc = F.sum(pn).over(w), F.sum(cn).over(w)
     # probability mass per bucket, epsilon-smoothed; an EMPTY relation on
     # either side (total 0) yields epsilon everywhere => psi 0, not NaN
-    pp = F.when(tp > 0, pn / tp).otherwise(F.lit(0.0))
-    pc = F.when(tc > 0, cn / tc).otherwise(F.lit(0.0))
-    pp = F.greatest(pp, F.lit(float(epsilon)))
-    pc = F.greatest(pc, F.lit(float(epsilon)))
-    term = (pc - pp) * F.log(pc / pp)
-    psi = (
-        j.crossJoin(F.broadcast(totals))
+    pp = F.greatest(
+        F.when(tp > 0, pn / tp).otherwise(F.lit(0.0)), F.lit(float(epsilon))
+    )
+    pc = F.greatest(
+        F.when(tc > 0, cn / tc).otherwise(F.lit(0.0)), F.lit(float(epsilon))
+    )
+    # the guard rides the summed term (not a separate pass, and not
+    # prunable): any mismatched-grid bucket fails the job with the message
+    term = F.when(grid_ok, (pc - pp) * F.log(pc / pp)).otherwise(
+        F.raise_error(
+            F.lit(
+                "histogram grids disagree; build both histograms with "
+                "the same (lo, hi, bins)"
+            )
+        ).cast("double")
+    )
+    return (
+        j.select(
+            term.alias("_t"),
+            tp.alias("_tp"),
+            tc.alias("_tc"),
+        )
         .agg(
-            F.coalesce(F.sum(term), F.lit(0.0)).alias("psi"),
-            F.first("nb").alias("n_buckets"),
-            F.first("pt").cast("long").alias("prev_total"),
-            F.first("ct").cast("long").alias("cur_total"),
+            F.coalesce(F.sum("_t"), F.lit(0.0)).alias("psi"),
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.coalesce(F.max("_tp"), F.lit(0.0)).cast("long").alias("prev_total"),
+            F.coalesce(F.max("_tc"), F.lit(0.0)).cast("long").alias("cur_total"),
         )
         .select(
             round6(F.col("psi")).alias("psi"),
@@ -581,4 +596,3 @@ def histogram_drift(
             (F.col("psi") > F.lit(float(psi_threshold))).alias("flagged"),
         )
     )
-    return psi
