@@ -39,8 +39,14 @@ def test_parser_drift_versions():
     assert args.psi == ("v", 0.0, 10.0, 20)
     # malformed specs are clean usage errors, not tracebacks after a
     # Spark session already spun up
+    # ... and so are SEMANTICALLY invalid specs (hi<=lo, bins<=0,
+    # prev==cur), which used to parse fine and die later as ValueError
+    # tracebacks once the Spark session had already spun up
     for bad in (["--versions", "3"], ["--versions", "a:b"],
-                ["--psi", "v:0:10"], ["--psi", "v:0:ten:4"]):
+                ["--versions", "3:3"],
+                ["--psi", "v:0:10"], ["--psi", "v:0:ten:4"],
+                ["--psi", "v:10:0:5"], ["--psi", "v:5:5:5"],
+                ["--psi", "v:0:10:0"], ["--psi", "v:0:10:-3"]):
         with pytest.raises(SystemExit):
             build_parser().parse_args(["drift", "--sink", "/tmp/s"] + bad)
 
@@ -99,8 +105,14 @@ def test_drift_cli_psi_flag(spark, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["status"] == "drift"
     assert out["psi"]["flagged"] is True and out["psi"]["psi"] > 0.25
-    # moment metrics alone were quiet: the psi entry is the only flag
+    # moment metrics alone were quiet: the psi entry is the only flag,
+    # and it carries the SAME key shape as moment-drift entries so
+    # consumers can index flagged[i]['delta'] regardless of metric
     assert [f["metric"] for f in out["flagged"]] == ["psi"]
+    entry = out["flagged"][0]
+    assert {"column", "metric", "prev", "cur", "delta"} <= set(entry)
+    assert entry["delta"] == out["psi"]["psi"]
+    assert entry["prev"] == 100 and entry["cur"] == 100
 
 
 def test_etl_fake_transport_end_to_end(spark, capsys):

@@ -193,6 +193,35 @@ def test_decode_wav_corrupt_payloads_raise_typed_errors(spark):
         multimodal.decode_audio(_blob_df(spark, short_fmt)).collect()
 
 
+def test_decode_empty_payloads_raise_distinct_error():
+    """A NULL/empty blob is a data-quality problem, not a missing codec:
+    both decoders raise a distinct ValueError naming the real cause
+    instead of the misleading 'unknown format (magic b"")'."""
+    with pytest.raises(ValueError, match="empty/NULL audio payload"):
+        multimodal._decode_pcm(b"")
+    with pytest.raises(ValueError, match="empty/NULL image payload"):
+        multimodal._decode_rgb(b"")
+
+
+def test_decode_wav_duplicate_chunks_refused():
+    """A malformed WAV with two fmt/data chunks must refuse rather than
+    silently decode only the last one (stats over a fragment)."""
+    import struct
+
+    ok = _wav(8000, [(1, 2), (3, 4)])
+    extra_data = b"data" + struct.pack("<I", 4) + b"\x01\x00\x02\x00"
+    dup_data = ok + extra_data
+    dup_data = dup_data[:4] + struct.pack("<I", len(dup_data) - 8) + dup_data[8:]
+    with pytest.raises(ValueError, match="duplicate 'data'"):
+        multimodal._decode_pcm(dup_data)
+    fidx = ok.index(b"fmt ")
+    fmt_chunk = ok[fidx : fidx + 8 + 16]
+    dup_fmt = ok[: fidx + 24] + fmt_chunk + ok[fidx + 24 :]
+    dup_fmt = dup_fmt[:4] + struct.pack("<I", len(dup_fmt) - 8) + dup_fmt[8:]
+    with pytest.raises(ValueError, match="duplicate 'fmt '"):
+        multimodal._decode_pcm(dup_fmt)
+
+
 def test_decode_wav_compressed_still_stubbed(spark):
     """Float PCM / non-RIFF payloads need a codec library (absent here) —
     the honest NotImplementedError surfaces through the Spark action."""

@@ -79,26 +79,43 @@ def _cmd_curate(args: argparse.Namespace) -> int:
 
 
 def _version_pair(s: str) -> tuple[int, int]:
-    """argparse type for PREV:CUR — malformed specs die as clean usage
+    """argparse type for PREV:CUR — malformed specs (including
+    semantically invalid ones like PREV == CUR) die as clean usage
     errors, not tracebacks after a Spark session already spun up."""
     try:
         a, b = s.split(":")
-        return int(a), int(b)
+        pair = int(a), int(b)
     except ValueError:
         raise argparse.ArgumentTypeError(
             f"expected PREV:CUR (two integers), got {s!r}"
         ) from None
+    if pair[0] == pair[1]:
+        raise argparse.ArgumentTypeError(
+            f"PREV and CUR must differ, got {s!r}"
+        )
+    return pair
 
 
 def _psi_spec(s: str) -> tuple[str, float, float, int]:
-    """argparse type for COL:LO:HI:BINS."""
+    """argparse type for COL:LO:HI:BINS — grid semantics (hi > lo,
+    bins > 0) are validated here too, so an invalid grid is a usage
+    error, not a post-session ValueError traceback."""
     try:
-        col, lo, hi, bins = s.split(":")
-        return col, float(lo), float(hi), int(bins)
+        col, lo_s, hi_s, bins_s = s.split(":")
+        lo, hi, bins = float(lo_s), float(hi_s), int(bins_s)
     except ValueError:
         raise argparse.ArgumentTypeError(
             f"expected COL:LO:HI:BINS, got {s!r}"
         ) from None
+    if bins <= 0:
+        raise argparse.ArgumentTypeError(
+            f"BINS must be positive, got {s!r}"
+        )
+    if not hi > lo:
+        raise argparse.ArgumentTypeError(
+            f"need HI > LO, got {s!r}"
+        )
+    return col, lo, hi, bins
 
 
 def _cmd_drift(args: argparse.Namespace) -> int:
@@ -155,7 +172,19 @@ def _cmd_drift(args: argparse.Namespace) -> int:
             "flagged": psi["flagged"],
         }
         if psi["flagged"]:
-            flagged.append({"column": psi["column_name"], "metric": "psi"})
+            # Same key shape as the moment-drift entries, so consumers can
+            # index flagged[i]['delta'] regardless of which metric fired
+            # (prev/cur are the two distribution masses' totals; the PSI
+            # value itself is the drift magnitude).
+            flagged.append(
+                {
+                    "column": psi["column_name"],
+                    "metric": "psi",
+                    "prev": psi["prev_total"],
+                    "cur": psi["cur_total"],
+                    "delta": psi["psi"],
+                }
+            )
     out["status"] = "drift" if flagged else "ok"
     print(json.dumps(out))
     # a cron that only checks exit codes still notices drift

@@ -155,6 +155,8 @@ def _decode_rgb(payload: bytes):
 
     import numpy as np
 
+    if not payload:
+        raise ValueError("empty/NULL image payload")
     if payload[:2] == b"BM":
         off = struct.unpack_from("<I", payload, 10)[0]
         w = struct.unpack_from("<i", payload, 18)[0]
@@ -260,6 +262,10 @@ def _decode_pcm(payload: bytes):
 
     import numpy as np
 
+    if not payload:
+        # Distinct from the unknown-codec case: a NULL/empty blob is a
+        # data-quality problem (quarantine it), not a missing library.
+        raise ValueError("empty/NULL audio payload")
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError(
             "compressed/unknown audio format (magic "
@@ -281,8 +287,15 @@ def _decode_pcm(payload: bytes):
             )
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if fmt is not None:
+                # A duplicate would silently shadow the first chunk and
+                # report stats over a fragment — refuse instead (the
+                # module's decode-faithfully-or-raise posture).
+                raise ValueError("malformed WAVE: duplicate 'fmt ' chunk")
             fmt = body
         elif cid == b"data":
+            if data is not None:
+                raise ValueError("malformed WAVE: duplicate 'data' chunk")
             data = body
         pos += 8 + size + (size & 1)  # chunks are even-padded
     if fmt is None or data is None:
