@@ -101,6 +101,71 @@ def test_run_checks_on_empty_relation_passes_with_zero_counts(spark):
         assert (r["n_rows"], r["n_violations"], r["passed"]) == (0, 0, True)
 
 
+def test_satisfies_cross_column_null_skip_and_one_scan(spark):
+    """satisfies(expr) counts rows where the boolean expr is FALSE;
+    a NULL result (three-valued logic) is skipped, not violated — and
+    the check rides the same one-scan aggregate as every row-level
+    check."""
+    from youtube_api_data_etl_automation_spark.operators.expectations import (
+        satisfies,
+    )
+
+    df = spark.createDataFrame(
+        [Row(lo=1, hi=2), Row(lo=5, hi=3), Row(lo=None, hi=7), Row(lo=4, hi=4)],
+        "lo long, hi long",
+    )
+    chk = satisfies("hi >= lo", column="hi")
+    out = run_checks(df, [chk]).collect()[0]
+    assert out["check"] == "satisfies[hi >= lo](hi)"
+    assert out["column"] == "hi"
+    assert (out["n_rows"], out["n_violations"], out["passed"]) == (4, 1, False)
+    plan = run_checks(df, [chk, not_null("lo")])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") == 1
+
+
+def test_satisfies_enforce_quarantines_only_false_rows(spark):
+    """satisfies is row-level, so enforce_checks can quarantine on it —
+    and the COALESCE makes NULL evaluations KEEP (pass), matching the
+    audit count exactly."""
+    from youtube_api_data_etl_automation_spark.operators.expectations import (
+        enforce_checks,
+        satisfies,
+    )
+
+    df = spark.createDataFrame(
+        [Row(lo=1, hi=2), Row(lo=5, hi=3), Row(lo=None, hi=7)],
+        "lo long, hi long",
+    )
+    good, quarantined = enforce_checks(df, [satisfies("hi >= lo")])
+    assert {(r["lo"], r["hi"]) for r in good.collect()} == {(1, 2), (None, 7)}
+    bad = quarantined.collect()
+    assert [(r["lo"], r["hi"]) for r in bad] == [(5, 3)]
+
+
+def test_satisfies_rides_fused_profile(spark):
+    """The cross-column check folds into fused_profile's single wide
+    aggregate alongside the stats (one scan total)."""
+    from youtube_api_data_etl_automation_spark.operators.expectations import (
+        satisfies,
+    )
+    from youtube_api_data_etl_automation_spark.operators.profile import (
+        fused_profile,
+    )
+
+    df = spark.createDataFrame(
+        [Row(lo=1, hi=2), Row(lo=5, hi=3)], "lo long, hi long"
+    )
+    out = fused_profile(df, ["lo"], checks=[satisfies("hi >= lo")])
+    # plan BEFORE executing: post-collect AQE toString repeats the plan
+    # (initial + final sections), double-counting scans
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") == 1
+    rows = {(r["section"], r["check"]): r for r in out.collect()}
+    chk = rows[("checks", "satisfies[hi >= lo](*)")]
+    assert (chk["n_violations"], chk["passed"]) == (1, False)
+
+
 def test_empty_checks_raise(spark):
     with pytest.raises(ValueError, match="no checks"):
         run_checks(_facts(spark), [])

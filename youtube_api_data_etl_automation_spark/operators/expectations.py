@@ -83,6 +83,29 @@ def accepted_values(col: str, values) -> Check:
     )
 
 
+def satisfies(expr: str, column: str = "*") -> Check:
+    """CROSS-COLUMN contract check: a row violates when ``expr`` (any SQL
+    boolean over the checked relation's columns, e.g.
+    ``"l_shipdate >= o_orderdate"`` after an FK join) evaluates FALSE.
+    A NULL result (three-valued logic: some referenced column was NULL)
+    is skipped, not violated — consistent with the module's NULL policy
+    that each expectation attributes a NULL exactly once (to
+    ``not_null``); the COALESCE also keeps the predicate two-valued, so
+    :func:`enforce_checks` quarantines exactly the rows this counts.
+    ``column`` names the column the violation is attributed to in
+    reports (default ``*`` — relation-level).
+
+    Rides :func:`violation_agg` like every row-level check: one
+    codegen'd conditional sum in the single-scan wide aggregate (or in
+    ``fused_profile``'s), never a second pass over the relation."""
+    pred = F.expr(expr)
+    return Check(
+        f"satisfies[{expr}]",
+        column,
+        violation=~F.coalesce(pred, F.lit(True)),
+    )
+
+
 def unique(col: str) -> Check:
     return Check("unique", col)
 

@@ -994,6 +994,12 @@ _PROFILE_ORACLE = (
               LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
                 ON o.o_custkey = c.c_custkey
               WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL)
+      UNION ALL
+      SELECT 'satisfies[l_shipdate >= o_orderdate](l_shipdate)', 'l_shipdate',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN NOT COALESCE(l_shipdate >= o_orderdate, TRUE)
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     )
     """
 )
@@ -1012,7 +1018,9 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets over o_totalprice, clamped edges so counts always total the
     non-null rows. `checks` (late r6, operators/expectations.py): the
     declared data contract — not-null + unique keys, value range/domain/
-    format, and o_custkey referential integrity against customer.
+    format, o_custkey referential integrity against customer, and (r7) a
+    cross-column `satisfies` contract over the joined fact
+    (l_shipdate >= o_orderdate — NULL-skipping three-valued logic).
 
     Scan discipline (late r6, operators/profile.py::fused_profile): stats
     and the agg-expressible checks are both global aggregates of orders, so
@@ -1037,6 +1045,7 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         matches,
         not_null,
         run_checks,
+        satisfies,
         unique,
     )
     from ..operators.profile import fused_profile, numeric_histogram, top_values
@@ -1090,30 +1099,54 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value", "value_n", "rank",
         *pad_checks,
     )
+    def _checks_pad(checked: DataFrame) -> DataFrame:
+        return checked.select(
+            F.lit("checks").alias("section"),
+            F.col("column").alias("column_name"),
+            F.lit(None).cast("string").alias("dtype"),
+            "n_rows",
+            F.lit(None).cast("long").alias("n_nulls"),
+            F.lit(None).cast("long").alias("n_distinct"),
+            F.lit(None).cast("string").alias("min_value"),
+            F.lit(None).cast("string").alias("max_value"),
+            F.lit(None).cast("double").alias("avg_value"),
+            F.lit(None).cast("double").alias("avg_len"),
+            F.lit(None).cast("int").alias("bucket"),
+            F.lit(None).cast("double").alias("bucket_lo"),
+            F.lit(None).cast("double").alias("bucket_hi"),
+            F.lit(None).cast("long").alias("bucket_n"),
+            F.lit(None).cast("string").alias("value"),
+            F.lit(None).cast("long").alias("value_n"),
+            F.lit(None).cast("int").alias("rank"),
+            "check", "n_violations", "passed",
+        )
+
     customer = load_table(spark, sf_dir, "customer")
-    fk = run_checks(
-        orders, [foreign_key("o_custkey", customer, "c_custkey")]
-    ).select(
-        F.lit("checks").alias("section"),
-        F.col("column").alias("column_name"),
-        F.lit(None).cast("string").alias("dtype"),
-        "n_rows",
-        F.lit(None).cast("long").alias("n_nulls"),
-        F.lit(None).cast("long").alias("n_distinct"),
-        F.lit(None).cast("string").alias("min_value"),
-        F.lit(None).cast("string").alias("max_value"),
-        F.lit(None).cast("double").alias("avg_value"),
-        F.lit(None).cast("double").alias("avg_len"),
-        F.lit(None).cast("int").alias("bucket"),
-        F.lit(None).cast("double").alias("bucket_lo"),
-        F.lit(None).cast("double").alias("bucket_hi"),
-        F.lit(None).cast("long").alias("bucket_n"),
-        F.lit(None).cast("string").alias("value"),
-        F.lit(None).cast("long").alias("value_n"),
-        F.lit(None).cast("int").alias("rank"),
-        "check", "n_violations", "passed",
+    fk = _checks_pad(
+        run_checks(orders, [foreign_key("o_custkey", customer, "c_custkey")])
     )
-    return fused.unionByName(hist).unionByName(topk).unionByName(fk)
+    # Cross-COLUMN, cross-TABLE contract (r7, expectations.satisfies):
+    # "items ship on/after their order date", checked AFTER the FK join —
+    # the contract shape single-column checks can't express. One
+    # column-pruned scan of each side (2 cols of lineitem, 2 of orders)
+    # into the same violation_agg single-scan aggregate; in this synthetic
+    # data the contract genuinely fails (dates are independent), so the
+    # row also demonstrates a non-zero violation count under the oracle.
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    shipped = lineitem.select("l_orderkey", "l_shipdate").join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    xcol = _checks_pad(
+        run_checks(
+            shipped,
+            [satisfies("l_shipdate >= o_orderdate", column="l_shipdate")],
+        )
+    )
+    return (
+        fused.unionByName(hist).unionByName(topk).unionByName(fk)
+        .unionByName(xcol)
+    )
 
 
 # The date-spine gap-fill is driver-verified as the `daily` section of
