@@ -39,6 +39,10 @@ from youtube_api_data_etl_automation_spark.session import get_spark
 # neardup-pairs and streaming-modes fusions went to pagerank_copurchase,
 # mixing_temperature, and pack_token_sequences (the last two join the
 # headline set as the curation-pipeline representatives).
+# r7 consolidation: weighted_sample_aes tag-unioned into sampling_audits
+# (the `aes` section); the freed registry slot went to
+# profile_drift_report (drift monitoring under the oracle), which also
+# joins the headline set.
 HEADLINE = [
     "flagship_new_order_enrichment",
     "anti_join_new_keys",
@@ -73,6 +77,8 @@ HEADLINE = [
     "pack_token_sequences",
     # late-r6 addition: the single-pass table profiler (plans/advanced.py)
     "table_profile_orders",
+    # r7 addition: drift monitoring (plans/advanced.py)
+    "profile_drift_report",
 ]
 
 

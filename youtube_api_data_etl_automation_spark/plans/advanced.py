@@ -1149,6 +1149,199 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Drift monitoring (operators/profile.py::profile_drift / histogram_drift)
+# ---------------------------------------------------------------------------
+
+# Two planted slices of orders stand in for "previous batch" vs "current
+# batch": the cur slice nulls o_custkey for every 5th order (null-rate jump
+# 0 → 0.2), scales o_totalprice ×1.6 (mean shift 0.6 AND a distribution
+# shift PSI sees), and collapses o_orderpriority to a constant (cardinality
+# ratio 1/5); o_orderdate is untouched (all three metrics must stay quiet).
+_DRIFT_PREV_SQL = (
+    "SELECT o_custkey, o_totalprice, o_orderpriority, o_orderdate FROM orders"
+)
+_DRIFT_CUR_SQL = """
+SELECT CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_custkey END AS o_custkey,
+       o_totalprice * 1.6 AS o_totalprice,
+       '1-URGENT' AS o_orderpriority,
+       o_orderdate
+FROM orders
+"""
+
+
+def _drift_stats_sql(rel: str) -> str:
+    """DuckDB mirror of the column_stats fields profile_drift consumes
+    (n_rows / n_nulls / n_distinct / decimal-exact round6 avg) for the
+    four profiled columns of one slice."""
+    branches = []
+    for col, numeric in (
+        ("o_custkey", True),
+        ("o_totalprice", True),
+        ("o_orderpriority", False),
+        ("o_orderdate", False),
+    ):
+        avg = _avg_sql(col) if numeric else _NULL_D
+        branches.append(f"""
+        SELECT '{col}' AS column_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+               {avg} AS avg_value
+        FROM {rel}
+        """)
+    return " UNION ALL ".join(branches)
+
+
+_DRIFT_ORACLE = f"""
+WITH prev AS ({_DRIFT_PREV_SQL}),
+cur AS ({_DRIFT_CUR_SQL}),
+pstats AS ({_drift_stats_sql('prev')}),
+cstats AS ({_drift_stats_sql('cur')}),
+m AS (
+  SELECT c.column_name,
+         CASE WHEN p.n_rows > 0
+              THEN CAST(p.n_nulls AS DOUBLE) / p.n_rows ELSE 0.0 END AS pr,
+         CASE WHEN c.n_rows > 0
+              THEN CAST(c.n_nulls AS DOUBLE) / c.n_rows ELSE 0.0 END AS cr,
+         p.n_distinct AS pnd, c.n_distinct AS cnd,
+         p.avg_value AS pavg, c.avg_value AS cavg
+  FROM cstats c JOIN pstats p USING (column_name)
+),
+metrics AS (
+  SELECT column_name, 'null_rate' AS metric, pr AS prev_value,
+         cr AS cur_value, cr - pr AS delta, (cr - pr) > 0.05 AS flagged
+  FROM m
+  UNION ALL
+  SELECT column_name, 'n_distinct', CAST(pnd AS DOUBLE), CAST(cnd AS DOUBLE),
+         CASE WHEN pnd > 0 THEN CAST(cnd AS DOUBLE) / pnd END,
+         COALESCE(CASE WHEN pnd > 0 THEN CAST(cnd AS DOUBLE) / pnd END < 0.5,
+                  FALSE)
+  FROM m
+  UNION ALL
+  SELECT column_name, 'avg_value', pavg, cavg,
+         CASE WHEN pavg IS NOT NULL AND cavg IS NOT NULL THEN
+           CASE WHEN pavg <> 0.0 THEN abs(cavg - pavg) / abs(pavg)
+                ELSE abs(cavg - pavg) END END,
+         COALESCE(CASE WHEN pavg IS NOT NULL AND cavg IS NOT NULL THEN
+           CASE WHEN pavg <> 0.0 THEN abs(cavg - pavg) / abs(pavg)
+                ELSE abs(cavg - pavg) END END > 0.25, FALSE)
+  FROM m
+),
+phist AS (
+  SELECT CAST(LEAST(GREATEST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - 0.0)
+                                        / 30000.0) AS INT), 0), 19) AS INT)
+           AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM prev WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
+  GROUP BY 1
+),
+chist AS (
+  SELECT CAST(LEAST(GREATEST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - 0.0)
+                                        / 30000.0) AS INT), 0), 19) AS INT)
+           AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM cur WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
+  GROUP BY 1
+),
+hj AS (
+  SELECT COALESCE(p.n, 0) AS pn, COALESCE(c.n, 0) AS cn
+  FROM phist p FULL OUTER JOIN chist c USING (bucket)
+),
+tot AS (SELECT SUM(pn) AS tp, SUM(cn) AS tc FROM hj),
+psi_terms AS (
+  SELECT GREATEST(CASE WHEN tp > 0 THEN CAST(pn AS DOUBLE) / tp
+                       ELSE 0.0 END, 0.000001) AS pp,
+         GREATEST(CASE WHEN tc > 0 THEN CAST(cn AS DOUBLE) / tc
+                       ELSE 0.0 END, 0.000001) AS pc
+  FROM hj, tot
+),
+psi AS (SELECT COALESCE(SUM((pc - pp) * ln(pc / pp)), 0.0) AS psi
+        FROM psi_terms)
+SELECT 'moments' AS section, column_name, metric,
+       {sql_round6('prev_value')} AS prev_value,
+       {sql_round6('cur_value')} AS cur_value,
+       {sql_round6('delta')} AS delta, flagged
+FROM metrics
+UNION ALL
+SELECT 'psi', 'o_totalprice', 'psi',
+       CAST(tp AS DOUBLE), CAST(tc AS DOUBLE),
+       {sql_round6('psi')}, psi > 0.2
+FROM psi, tot
+"""
+
+
+@query("profile_drift_report", oracle=_DRIFT_ORACLE)
+def profile_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-over-batch drift monitoring under the driver oracle (r7 —
+    previously the only pytest-only family): `moments` is
+    operators/profile.py::profile_drift between the column_stats profiles
+    of two planted orders slices (null-rate jump / cardinality collapse /
+    mean shift, one (column, metric) row each); `psi` is
+    histogram_drift's Population Stability Index between same-grid
+    o_totalprice histograms of the slices — the distribution-shape drift
+    the moment checks can't see.
+
+    The planted cur slice (vs prev = the raw columns) nulls o_custkey for
+    every 5th order, scales o_totalprice ×1.6, collapses o_orderpriority
+    to one value, and leaves o_orderdate alone — so every metric family
+    fires on exactly one planted pathology, the epsilon-smoothed PSI sum
+    and the 0/0 and NULL-mean edge cases all execute, and o_orderdate
+    proves the quiet path. All drift arithmetic is IEEE double over
+    k-row/≤bins-row relations, so DuckDB reproduces it bit-for-bit before
+    the round6 edge.
+
+    Scale shape: the drift operators themselves join k-row (k = columns)
+    and ≤bins-row relations — free next to the four source scans that
+    build the profiles (2 × column_stats, 2 × single-column pruned
+    histogram; in production the prev side comes from an already-committed
+    profile, halving that). The one unpartitioned window inside
+    histogram_drift runs over ≤20 joined bucket rows (documented there —
+    it is what keeps each histogram lineage at ONE scan)."""
+    from ..operators.profile import (
+        column_stats,
+        histogram_drift,
+        numeric_histogram,
+        profile_drift,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_totalprice", "o_orderpriority", "o_orderdate"]
+    prev = orders.select(*cols)
+    cur = orders.select(
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        (F.col("o_totalprice") * F.lit(1.6)).alias("o_totalprice"),
+        F.lit("1-URGENT").alias("o_orderpriority"),
+        "o_orderdate",
+    )
+    moments = profile_drift(column_stats(cur, cols), column_stats(prev, cols))
+    moment_rows = moments.select(
+        F.lit("moments").alias("section"),
+        "column_name",
+        "metric",
+        round6(F.col("prev_value")).alias("prev_value"),
+        round6(F.col("cur_value")).alias("cur_value"),
+        round6(F.col("delta")).alias("delta"),
+        "flagged",
+    )
+    psi = histogram_drift(
+        numeric_histogram(cur, "o_totalprice", 0.0, 600_000.0, 20),
+        numeric_histogram(prev, "o_totalprice", 0.0, 600_000.0, 20),
+    )
+    psi_rows = psi.select(
+        F.lit("psi").alias("section"),
+        F.lit("o_totalprice").alias("column_name"),
+        F.lit("psi").alias("metric"),
+        F.col("prev_total").cast("double").alias("prev_value"),
+        F.col("cur_total").cast("double").alias("cur_value"),
+        F.col("psi").alias("delta"),
+        "flagged",
+    )
+    return moment_rows.unionByName(psi_rows)
+
+
 # The date-spine gap-fill is driver-verified as the `daily` section of
 # `events_time_aggregates` (r6 consolidation with the trailing-window
 # aggregates; identical spine + broadcast-join plan).

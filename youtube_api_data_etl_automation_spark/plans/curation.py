@@ -247,32 +247,10 @@ FROM r WHERE rn <= {_AES_N}
 """
 
 
-@query("weighted_sample_aes", oracle=_AES_ORACLE)
-def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Efraimidis–Spirakis weighted without-replacement sampling
-    (operators/sampling.py) under the driver oracle: keep the top-{n}
-    docs per language, preferring longer documents (weight = n_chars) —
-    'keep n per stratum, quality-weighted', the step between uniform
-    capping and fixed-rate stratified draws. The A-ES key is
-    content-stable (u from 52 md5 bits of the salted id — exact in double
-    on any engine) and ranked in log space (ln(u)/w never underflows);
-    the only shuffle is the per-group (group, key) window."""
-    from ..operators.sampling import weighted_sample_per_group
-
-    docs = load_table(spark, sf_dir, "documents").select(
-        "lang", "doc_id", "n_chars"
-    )
-    return weighted_sample_per_group(
-        docs,
-        group_col="lang",
-        id_col="doc_id",
-        weight_col="n_chars",
-        n=_AES_N,
-        keep_rank="rank",
-    ).select("lang", "doc_id", "rank")
-
-
-weighted_sample_aes.__doc__ = weighted_sample_aes.__doc__.format(n=_AES_N)
+# The Efraimidis–Spirakis weighted-sampling demonstration rides
+# `sampling_audits` as its `aes` section (r7 consolidation — all three
+# content-stable sampling verdicts under one driver row, freeing the slot
+# for `profile_drift_report`); _AES_ORACLE above is its DuckDB mirror.
 
 
 # ---------------------------------------------------------------------------
@@ -451,21 +429,28 @@ strat_rows AS (
 SELECT 'split' AS section, stratum, n_docs,
        CAST(NULL AS BIGINT) AS n_sampled, CAST(NULL AS BIGINT) AS sampled_chars,
        CAST(NULL AS DOUBLE) AS target_rate, CAST(NULL AS DOUBLE) AS achieved_rate,
-       min_id, max_id
+       min_id, max_id,
+       CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INT) AS rank
 FROM split_rows
 UNION ALL
 SELECT 'stratified', stratum, n_docs, n_sampled, sampled_chars,
-       target_rate, achieved_rate, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+       target_rate, achieved_rate, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS INT)
 FROM strat_rows
+UNION ALL
+SELECT 'aes', lang, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), doc_id, rank
+FROM ({_AES_ORACLE})
 """
 
 
 @query("sampling_audits", oracle=_SAMPLING_AUDITS_ORACLE)
 def sampling_audits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both content-stable md5-bucket sampling decisions under one driver
-    row (r6 consolidation of `train_val_split` + `stratified_sample_docs`
-    — the same unsalted-bucket idiom read two ways, so one relation audits
-    both).
+    """All three content-stable sampling decisions under one driver row
+    (r6 fused `train_val_split` + `stratified_sample_docs`; r7 adds the
+    Efraimidis–Spirakis draw as the `aes` section, freeing a registry
+    slot for `profile_drift_report`).
 
     `split`: deterministic ~90/5/5 train/val/test assignment (a doc never
     changes split as the corpus grows). `stratified`: per-language
@@ -473,8 +458,16 @@ def sampling_audits(spark: SparkSession, sf_dir: str) -> DataFrame:
     languages, keep the rare ones whole. Both verdicts are map-side
     projections; the audit aggregates are the only shuffles. At 100 TB
     the same expressions feed filters instead of audits — zero-shuffle
-    sampling with exact, auditable per-stratum rates."""
+    sampling with exact, auditable per-stratum rates.
+
+    `aes` (operators/sampling.py::weighted_sample_per_group): weighted
+    WITHOUT-replacement top-10 docs per language, weight = n_chars. The
+    A-ES key is content-stable (u from 52 md5 bits of the salted id —
+    exact in double on any engine) and ranked in log space (ln(u)/w
+    never underflows); its only shuffle is the per-group (group, key)
+    window."""
     from ..functions.hashing import md5_bucket
+    from ..operators.sampling import weighted_sample_per_group
 
     docs = load_table(spark, sf_dir, "documents")
     # Unsalted bucket: pinned by the oracle text (see functions/hashing.py
@@ -502,6 +495,8 @@ def sampling_audits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("double").alias("achieved_rate"),
             "min_id",
             "max_id",
+            F.lit(None).cast("long").alias("doc_id"),
+            F.lit(None).cast("int").alias("rank"),
         )
     )
 
@@ -535,6 +530,29 @@ def sampling_audits(spark: SparkSession, sf_dir: str) -> DataFrame:
             "achieved_rate",
             F.lit(None).cast("long").alias("min_id"),
             F.lit(None).cast("long").alias("max_id"),
+            F.lit(None).cast("long").alias("doc_id"),
+            F.lit(None).cast("int").alias("rank"),
         )
     )
-    return split_rows.unionByName(strat_rows)
+
+    aes_rows = weighted_sample_per_group(
+        docs.select("lang", "doc_id", "n_chars"),
+        group_col="lang",
+        id_col="doc_id",
+        weight_col="n_chars",
+        n=_AES_N,
+        keep_rank="rank",
+    ).select(
+        F.lit("aes").alias("section"),
+        F.col("lang").alias("stratum"),
+        F.lit(None).cast("long").alias("n_docs"),
+        F.lit(None).cast("long").alias("n_sampled"),
+        F.lit(None).cast("long").alias("sampled_chars"),
+        F.lit(None).cast("double").alias("target_rate"),
+        F.lit(None).cast("double").alias("achieved_rate"),
+        F.lit(None).cast("long").alias("min_id"),
+        F.lit(None).cast("long").alias("max_id"),
+        "doc_id",
+        "rank",
+    )
+    return split_rows.unionByName(strat_rows).unionByName(aes_rows)
