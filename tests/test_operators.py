@@ -97,12 +97,137 @@ def test_decode_ppm_with_header_comment(spark):
     assert (r.mean_r, r.mean_g, r.mean_b) == (5.5, 6.5, 7.5)
 
 
+def _png(pixels, color_type=2, filters=None, interlace=0, depth=8,
+         split_idat=False):
+    """Build a byte-exact PNG: forward-filters each scanline with the
+    given per-row filter type (0..4) so the decoder's unfilter path is
+    exercised row by row; ``split_idat`` splits the compressed stream
+    across two IDAT chunks (spec-legal, must concatenate)."""
+    import struct
+    import zlib
+
+    h, w = len(pixels), len(pixels[0])
+    ch = {0: 1, 2: 3, 6: 4}[color_type]
+    filters = filters if filters is not None else [0] * h
+    raw = bytearray()
+    prev = [0] * (w * ch)
+    for y, row in enumerate(pixels):
+        flat = [
+            c
+            for px in row
+            for c in (px if isinstance(px, (tuple, list)) else (px,))
+        ]
+        ft = filters[y]
+        raw.append(ft)
+        for x in range(len(flat)):
+            a = flat[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            raw.append((flat[x] - pred) & 0xFF)
+        prev = flat
+
+    def chunk(t, body):
+        return (
+            struct.pack(">I", len(body)) + t + body
+            + struct.pack(">I", zlib.crc32(t + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    z = zlib.compress(bytes(raw))
+    if split_idat:
+        mid = len(z) // 2
+        idat = chunk(b"IDAT", z[:mid]) + chunk(b"IDAT", z[mid:])
+    else:
+        idat = chunk(b"IDAT", z)
+    return b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + idat + chunk(b"IEND", b"")
+
+
+def test_decode_png_rgb_all_filters_byte_exact():
+    """Real PNG decode (r7): a 3x5 RGB image filtered with every spec
+    filter type (None/Sub/Up/Average/Paeth, one per row) must reconstruct
+    the exact pixel bytes."""
+    import numpy as np
+
+    rng = [
+        [(10, 200, 30), (250, 5, 90), (0, 0, 0)],
+        [(1, 2, 3), (130, 129, 128), (255, 255, 255)],
+        [(17, 34, 51), (68, 85, 102), (119, 136, 153)],
+        [(200, 100, 50), (25, 250, 125), (7, 77, 177)],
+        [(0, 128, 255), (255, 128, 0), (64, 64, 64)],
+    ]
+    fmt, rgb = multimodal._decode_rgb(_png(rng, filters=[0, 1, 2, 3, 4]))
+    assert fmt == "png" and rgb.shape == (5, 3, 3)
+    assert np.array_equal(rgb, np.array(rng, dtype=np.uint8))
+
+
+def test_decode_png_rgba_and_split_idat(spark):
+    """8-bit RGBA decodes (alpha reported structure, RGB means over the
+    stored channels) and a stream split across two IDAT chunks is
+    spec-legal — exercised end-to-end through the Spark action."""
+    pixels = [
+        [(255, 0, 0, 255), (0, 255, 0, 128)],
+        [(0, 0, 255, 0), (30, 60, 90, 255)],
+    ]
+    payload = _png(pixels, color_type=6, filters=[4, 2], split_idat=True)
+    r = multimodal.decode_image(_blob_df(spark, payload)).collect()[0]
+    assert (r.format, r.width, r.height) == ("png", 2, 2)
+    assert r.mean_r == (255 + 0 + 0 + 30) / 4.0
+    assert r.mean_g == (0 + 255 + 0 + 60) / 4.0
+    assert r.mean_b == (0 + 0 + 255 + 90) / 4.0
+
+
+def test_decode_png_greyscale_broadcasts_channels():
+    pixels = [[10, 20], [30, 40]]
+    fmt, rgb = multimodal._decode_rgb(_png(pixels, color_type=0, filters=[1, 2]))
+    assert fmt == "png" and rgb.shape == (2, 2, 3)
+    assert (rgb[:, :, 0] == rgb[:, :, 1]).all()
+    assert float(rgb.mean()) == 25.0
+
+
+def test_decode_png_unsupported_variants_raise():
+    """Palette / 16-bit / Adam7-interlaced stay honest NotImplementedError;
+    structurally broken files (truncated IDAT, bad stream length) refuse
+    with ValueError rather than misreport."""
+    px = [[(1, 2, 3)]]
+    with pytest.raises(NotImplementedError, match="variant not supported"):
+        multimodal._decode_rgb(_png(px, interlace=1))
+    with pytest.raises(NotImplementedError, match="variant not supported"):
+        multimodal._decode_rgb(_png(px, depth=16))
+    ok = _png([[(1, 2, 3), (4, 5, 6)]] * 3)
+    idat_at = ok.index(b"IDAT")
+    truncated = ok[: idat_at + 8]  # IDAT declared but bytes missing
+    with pytest.raises(ValueError, match="truncated|IHDR"):
+        multimodal._decode_rgb(truncated)
+    import struct
+    import zlib
+
+    # valid zlib stream of the WRONG length for the declared dimensions
+    bad_body = zlib.compress(b"\x00\x01\x02")
+    bad = ok[:idat_at - 4] + struct.pack(">I", len(bad_body)) + b"IDAT" \
+        + bad_body + struct.pack(">I", zlib.crc32(b"IDAT" + bad_body)) \
+        + ok[ok.index(b"IEND") - 4:]
+    with pytest.raises(ValueError, match="expected"):
+        multimodal._decode_rgb(bad)
+
+
 def test_decode_compressed_formats_still_stubbed(spark):
-    """PNG/JPEG need a codec library (absent here) — the decoder raises
+    """JPEG needs a codec library (absent here) — the decoder raises
     the honest NotImplementedError, surfaced through the Spark action."""
-    png_magic = b"\x89PNG\r\n\x1a\n" + b"\x00" * 32
+    jpeg_magic = b"\xff\xd8\xff\xe0" + b"\x00" * 32
     with pytest.raises(Exception, match="PIL|compressed"):
-        multimodal.decode_image(_blob_df(spark, png_magic)).collect()
+        multimodal.decode_image(_blob_df(spark, jpeg_magic)).collect()
 
 
 def test_fake_decode_shapes(spark):

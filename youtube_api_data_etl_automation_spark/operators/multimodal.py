@@ -141,16 +141,132 @@ DECODE_SCHEMA = (
 )
 
 
-def _decode_rgb(payload: bytes):
-    """Decode one uncompressed image payload to (format, HxWx3 RGB array).
+def _png_unfilter(raw: bytes, h: int, w: int, ch: int):
+    """Reverse PNG scanline filtering (spec §9: None/Sub/Up/Average/Paeth)
+    over the zlib-decompressed byte stream — the only part of PNG decode
+    that needs per-pixel recurrence (each byte's predictor references the
+    reconstructed left/up/up-left bytes). Up is vectorized per row; Sub/
+    Average/Paeth run the spec recurrence per byte. Returns (h, w*ch)
+    uint8."""
+    import numpy as np
 
-    Pure stdlib+numpy decoders for the two formats that need no codec:
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"malformed PNG: decompressed stream is {len(raw)} bytes, "
+            f"expected {h * (stride + 1)} for {w}x{h}x{ch}"
+        )
+    out = np.empty((h, stride), dtype=np.uint8)
+    zero = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos)
+        line = line.astype(np.int32)
+        pos += stride
+        prior = out[y - 1].astype(np.int32) if y > 0 else zero
+        if ft == 0:
+            rec = line
+        elif ft == 2:  # Up
+            rec = (line + prior) & 0xFF
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                b = int(prior[x])
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = int(prior[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"malformed PNG: unknown filter type {ft}")
+        out[y] = rec.astype(np.uint8)
+    return out
+
+
+def _decode_png(payload: bytes):
+    """Pure-stdlib PNG decode (zlib inflate + scanline unfilter) for the
+    subset a codec-free decoder can honestly do: non-interlaced 8-bit
+    greyscale (0), truecolor RGB (2), and RGBA (6). Palette, 16-bit, and
+    Adam7-interlaced images raise NotImplementedError; structurally
+    broken files raise ValueError (refuse-rather-than-misreport).
+    Returns an HxWx3 RGB array; alpha is reported structure, not
+    composited — the mean-channel features are over the stored RGB."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    ihdr = None
+    idat = bytearray()
+    pos = 8  # past the signature
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError(
+                f"malformed PNG: chunk {ctype!r} declares {length} bytes "
+                f"but only {len(body)} remain (truncated payload)"
+            )
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + body + crc (crc not checked)
+    if ihdr is None or len(ihdr) < 13:
+        raise ValueError("malformed PNG: missing/short IHDR chunk")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if w == 0 or h == 0:
+        raise ValueError(f"malformed PNG: zero dimension ({w}x{h})")
+    if comp != 0 or filt != 0:
+        raise ValueError(
+            f"malformed PNG: compression={comp}, filter_method={filt}"
+        )
+    channels = {0: 1, 2: 3, 6: 4}.get(color)
+    if depth != 8 or channels is None or interlace != 0:
+        raise NotImplementedError(
+            f"PNG variant not supported (depth={depth}, color_type={color}, "
+            "interlace={0}); only non-interlaced 8-bit greyscale/RGB/RGBA "
+            "decodes without a codec library".format(interlace)
+        )
+    if not idat:
+        raise ValueError("malformed PNG: no IDAT data")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"malformed PNG: IDAT inflate failed ({e})") from None
+    px = _png_unfilter(raw, h, w, channels).reshape(h, w, channels)
+    if color == 0:
+        px = np.repeat(px, 3, axis=2)
+    elif color == 6:
+        px = px[:, :, :3]
+    return px
+
+
+def _decode_rgb(payload: bytes):
+    """Decode one image payload to (format, HxWx3 RGB array).
+
+    Pure stdlib+numpy decoders for the formats that need no codec
+    library:
     - BMP: 24-bit BI_RGB (BITMAPINFOHEADER), bottom-up or top-down rows,
       4-byte row padding, BGR channel order.
     - PPM: binary P6, maxval ≤ 255, '#' header comments.
+    - PNG (r7): non-interlaced 8-bit greyscale/RGB/RGBA via stdlib zlib +
+      spec scanline unfilter — the format a web corpus actually contains.
 
-    Compressed formats (PNG/JPEG/...) still raise NotImplementedError —
-    they need a real codec library, absent in this environment."""
+    JPEG / palette / interlaced / 16-bit images still raise
+    NotImplementedError — those need a real codec library, absent in
+    this environment."""
     import struct
 
     import numpy as np
@@ -199,6 +315,8 @@ def _decode_rgb(payload: bytes):
             payload, dtype=np.uint8, count=w * h * 3, offset=i
         ).reshape(h, w, 3)
         return "ppm", rgb
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png", _decode_png(payload)
     raise NotImplementedError(
         "compressed/unknown image format (magic "
         f"{payload[:2]!r}) requires PIL/opencv, not available in this "
@@ -207,12 +325,14 @@ def _decode_rgb(payload: bytes):
 
 
 def decode_image(blobs: DataFrame) -> DataFrame:
-    """REAL image decode for uncompressed formats (24-bit BMP, binary P6
-    PPM) — stdlib struct parsing + numpy pixel math inside the same
-    Arrow-batched mapInPandas shape as every other payload op. Output row
-    per image: format, dimensions, per-channel means (exact doubles).
-    Compressed formats still raise NotImplementedError from the decoder
-    (honest stub: a codec library is required and absent here)."""
+    """REAL image decode for codec-free formats (24-bit BMP, binary P6
+    PPM, and — r7 — non-interlaced 8-bit greyscale/RGB/RGBA PNG via
+    stdlib zlib + scanline unfilter) — struct parsing + numpy pixel math
+    inside the same Arrow-batched mapInPandas shape as every other
+    payload op. Output row per image: format, dimensions, per-channel
+    means (exact doubles). JPEG and exotic PNG variants still raise
+    NotImplementedError from the decoder (honest stub: a codec library
+    is required and absent here)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
