@@ -115,6 +115,55 @@ def test_drift_cli_psi_flag(spark, capsys):
     assert entry["prev"] == 100 and entry["cur"] == 100
 
 
+def test_drift_cli_breaking_schema_change_exits_2(spark, capsys):
+    """A dropped column is invisible to value drift (profile_drift diffs
+    only shared columns) but IS a breaking schema change: the CLI must
+    report it under schema_changes and exit 2 even with every value
+    metric quiet; a non-breaking added column alone stays exit 0."""
+    from youtube_api_data_etl_automation_spark.operators.versioned import (
+        commit_version,
+    )
+
+    base = tempfile.mkdtemp(prefix="cli_schema_") + "/sink"
+    rows = [(f"k{i}", float(i), i) for i in range(20)]
+    commit_version(
+        spark.createDataFrame(rows, "k string, v double, w long"), base,
+        keep_versions=4,
+    )
+    # v2 drops w: values of k/v identical => only the schema flags
+    commit_version(
+        spark.createDataFrame(
+            [(k, v) for k, v, _ in rows], "k string, v double"
+        ),
+        base,
+        keep_versions=4,
+    )
+    rc = main(["drift", "--sink", base])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 2 and out["status"] == "drift"
+    assert out["flagged"] == []  # no value metric saw anything
+    assert out["schema_changes"] == [
+        {"column": "w", "change": "dropped", "prev_type": "bigint",
+         "cur_type": None, "breaking": True}
+    ]
+    # v3 adds a column back (non-breaking): clean exit, change reported
+    commit_version(
+        spark.createDataFrame(
+            [(k, v, True) for k, v, _ in rows],
+            "k string, v double, extra boolean",
+        ),
+        base,
+        keep_versions=4,
+    )
+    rc = main(["drift", "--sink", base])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["status"] == "ok"
+    assert out["schema_changes"] == [
+        {"column": "extra", "change": "added", "prev_type": None,
+         "cur_type": "boolean", "breaking": False}
+    ]
+
+
 def test_etl_fake_transport_end_to_end(spark, capsys):
     # main() builds its own session via get_spark(); under pytest that
     # returns the active session, so no second JVM spins up.

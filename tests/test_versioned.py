@@ -97,6 +97,64 @@ def test_psi_between_versions(spark, tmp_path):
         psi_between_versions(spark, base, "v", 0.0, 10.0, 10, versions=(9, 2))
 
 
+def test_schema_diff_between_versions(spark, tmp_path):
+    """Planted add + drop + retype between two commits: the diff reports
+    each exactly once with the right breaking verdict (drop/retype break
+    readers, add does not), and identical schemas diff to empty —
+    footer-only metadata, stamped with the version pair."""
+    from youtube_api_data_etl_automation_spark.operators.versioned import (
+        schema_diff_between_versions,
+    )
+
+    base = str(tmp_path / "sink")
+    commit_version(
+        spark.createDataFrame(
+            [("a", 1, 1.0)], "k string, v long, w double"
+        ),
+        base,
+        keep_versions=3,
+    )
+    commit_version(
+        spark.createDataFrame(
+            [("a", "1", True)], "k string, v string, extra boolean"
+        ),
+        base,
+        keep_versions=3,
+    )
+    rows = {
+        r["column_name"]: r
+        for r in schema_diff_between_versions(spark, base).collect()
+    }
+    assert all(
+        (r["prev_version"], r["cur_version"]) == (1, 2) for r in rows.values()
+    )
+    assert set(rows) == {"v", "w", "extra"}
+    v = rows["v"]
+    assert (v["change"], v["prev_type"], v["cur_type"], v["breaking"]) == (
+        "retyped", "bigint", "string", True,
+    )
+    w = rows["w"]
+    assert (w["change"], w["prev_type"], w["cur_type"], w["breaking"]) == (
+        "dropped", "double", None, True,
+    )
+    extra = rows["extra"]
+    assert (
+        extra["change"], extra["prev_type"], extra["cur_type"],
+        extra["breaking"],
+    ) == ("added", None, "boolean", False)
+    # identical refresh: empty diff
+    commit_version(
+        spark.createDataFrame(
+            [("b", "2", False)], "k string, v string, extra boolean"
+        ),
+        base,
+        keep_versions=3,
+    )
+    assert schema_diff_between_versions(spark, base).count() == 0
+    with pytest.raises(ValueError, match="not committed"):
+        schema_diff_between_versions(spark, base, versions=(9, 2))
+
+
 def test_merge_upsert_versioned_semantics(spark, tmp_path):
     """Mirror of test_incremental.py::test_merge_upsert over the versioned
     store: update wins on matched keys, unmatched kept, inserts land."""

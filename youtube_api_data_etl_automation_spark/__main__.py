@@ -119,7 +119,10 @@ def _psi_spec(s: str) -> tuple[str, float, float, int]:
 
 
 def _cmd_drift(args: argparse.Namespace) -> int:
-    from .operators.versioned import drift_between_versions
+    from .operators.versioned import (
+        drift_between_versions,
+        schema_diff_between_versions,
+    )
     from .session import get_spark
 
     spark = get_spark("sink-drift", master=args.master)
@@ -145,12 +148,32 @@ def _cmd_drift(args: argparse.Namespace) -> int:
         for r in rows
         if r["flagged"]
     ]
+    # Value drift above runs over the SHARED columns only
+    # (profile_drift diffs schemas explicitly, not through drift
+    # arithmetic) — this is that explicit diff: a dropped/retyped
+    # column is a BREAKING change and must flag the run even though
+    # no value metric can see it.
+    schema_rows = schema_diff_between_versions(
+        spark, args.sink, versions=versions
+    ).collect()
+    schema_changes = [
+        {
+            "column": r["column_name"],
+            "change": r["change"],
+            "prev_type": r["prev_type"],
+            "cur_type": r["cur_type"],
+            "breaking": r["breaking"],
+        }
+        for r in schema_rows
+    ]
+    breaking = any(c["breaking"] for c in schema_changes)
     out = {
         "status": "ok",
         "prev_version": rows[0]["prev_version"] if rows else None,
         "cur_version": rows[0]["cur_version"] if rows else None,
         "n_metrics": len(rows),
         "flagged": flagged,
+        "schema_changes": schema_changes,
     }
     if args.psi:
         from .operators.versioned import psi_between_versions
@@ -185,10 +208,11 @@ def _cmd_drift(args: argparse.Namespace) -> int:
                     "delta": psi["psi"],
                 }
             )
-    out["status"] = "drift" if flagged else "ok"
+    out["status"] = "drift" if (flagged or breaking) else "ok"
     print(json.dumps(out))
-    # a cron that only checks exit codes still notices drift
-    return 2 if flagged else 0
+    # a cron that only checks exit codes still notices drift — including
+    # a breaking schema change no value metric can see
+    return 2 if (flagged or breaking) else 0
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -293,6 +293,67 @@ def drift_between_versions(
     )
 
 
+def schema_diff(spark: SparkSession, cur, prev) -> DataFrame:
+    """Explicit schema evolution between two relations/schemas: one row
+    per changed column — ``(column_name, change, prev_type, cur_type,
+    breaking)`` with ``change`` ∈ {``added``, ``dropped``, ``retyped``} —
+    the diff :func:`~..profile.profile_drift` deliberately punts (it
+    drops columns present on only one side rather than reading their
+    absence as drift; operators/profile.py:440). Without this, a
+    dropped column silently vanishes from the drift report — the exact
+    failure a monitor exists to catch.
+
+    ``breaking``: ``dropped`` and ``retyped`` break existing readers
+    (their selects/casts stop resolving); ``added`` does not (column
+    pruning ignores it). Types compare by Spark ``simpleString`` so
+    nested/decimal changes count.
+
+    Pure metadata: both sides are StructTypes (pass DataFrames or
+    schemas), the comparison is O(columns) driver-side, and the result
+    is a k-row local relation — no data is scanned."""
+    cur_s = cur.schema if isinstance(cur, DataFrame) else cur
+    prev_s = prev.schema if isinstance(prev, DataFrame) else prev
+    cur_t = {f.name: f.dataType.simpleString() for f in cur_s.fields}
+    prev_t = {f.name: f.dataType.simpleString() for f in prev_s.fields}
+    rows = []
+    for name, pt in prev_t.items():
+        ct = cur_t.get(name)
+        if ct is None:
+            rows.append((name, "dropped", pt, None, True))
+        elif ct != pt:
+            rows.append((name, "retyped", pt, ct, True))
+    for name, ct in cur_t.items():
+        if name not in prev_t:
+            rows.append((name, "added", None, ct, False))
+    return spark.createDataFrame(
+        rows,
+        "column_name string, change string, prev_type string, "
+        "cur_type string, breaking boolean",
+    )
+
+
+def schema_diff_between_versions(
+    spark: SparkSession,
+    base_path: str,
+    *,
+    versions: tuple[int, int] | None = None,
+) -> DataFrame:
+    """:func:`schema_diff` between two COMMITTED versions of a sink
+    (default: predecessor vs current) — parquet footers only, no data
+    scan. Output carries ``prev_version``/``cur_version``; an empty
+    result means the schemas are identical. The companion
+    :func:`drift_between_versions` runs the VALUE drift over the shared
+    columns; this reports the columns it had to exclude."""
+    v_prev, v_cur = _resolve_version_pair(spark, base_path, versions)
+    prev = spark.read.parquet(version_path(base_path, v_prev))
+    cur = spark.read.parquet(version_path(base_path, v_cur))
+    return schema_diff(spark, cur, prev).select(
+        F.lit(v_prev).alias("prev_version"),
+        F.lit(v_cur).alias("cur_version"),
+        "*",
+    )
+
+
 def psi_between_versions(
     spark: SparkSession,
     base_path: str,
