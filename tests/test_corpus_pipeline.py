@@ -207,6 +207,22 @@ def test_curate_stream_incremental_dedup(spark, tmp_path):
     assert os.path.isdir(ckpt)
 
 
+def test_bpe_merges_inline_cap_raises_actionably(spark):
+    """One merge past the inline cap must fail at the API edge with a
+    message routing callers to bpe_encode_corpus — not deep inside
+    Catalyst as an analysis/stack error."""
+    import pytest
+
+    from youtube_api_data_etl_automation_spark.corpus import (
+        _MAX_INLINE_BPE_MERGES,
+    )
+
+    docs = spark.createDataFrame([(1, GOOD)], "doc_id long, text string")
+    too_many = [(f"a{i}", f"b{i}") for i in range(_MAX_INLINE_BPE_MERGES + 1)]
+    with pytest.raises(ValueError, match="bpe_encode_corpus"):
+        curate_corpus(docs, audit=False, bpe_merges=too_many)
+
+
 def test_bpe_merges_drive_pack_token_counts(spark):
     """With a trained merge list, n_tokens — and therefore the packer's
     budget and token_start offsets — must follow the BPE-encoded redacted

@@ -76,6 +76,14 @@ def _min_id_survivors(feat: DataFrame) -> DataFrame:
     return uniq.unionByName(dup_keep).select(*feat.columns)
 
 
+# Ceiling for the inlined BPE merge fold in curate_corpus: each merge adds
+# a fixed slab of nested Column expressions to the single feature
+# projection, and far past this Catalyst's analyzer hits recursion/stack
+# limits with an unactionable error. 64 is measured-safe with headroom;
+# bigger merge lists take the two-pass bpe_encode_corpus route.
+_MAX_INLINE_BPE_MERGES = 64
+
+
 def curate_corpus(
     docs: DataFrame,
     *,
@@ -113,10 +121,12 @@ def curate_corpus(
     clean_text's whitespace tokens), so shard offsets measure exactly the
     token stream a trained-tokenizer consumer will materialize, not the
     whitespace proxy. The merge fold is inlined into the same single
-    feature projection (map-side Column expressions, no extra pass); for
-    vocabulary-scale merge lists (thousands), pre-encode with
-    bpe_encode_corpus and budget on those counts instead — the inline
-    expression depth grows with len(merges).
+    feature projection (map-side Column expressions, no extra pass); the
+    inline path is HARD-CAPPED at 64 merges (ValueError above that) —
+    the expression depth grows with len(merges) and would otherwise die
+    deep inside Catalyst. For vocabulary-scale merge lists (thousands),
+    pre-encode with bpe_encode_corpus and budget on those counts
+    instead.
 
     ``strip_html`` (late r6): when True, ``functions/markup.py::
     strip_markup`` reduces each document to its visible text BEFORE any
@@ -179,6 +189,19 @@ def curate_corpus(
     if bpe_merges is None:
         n_tokens_expr = token_count("clean_text")
     else:
+        if len(bpe_merges) > _MAX_INLINE_BPE_MERGES:
+            # Fail explicitly at the API edge: past this depth the inlined
+            # merge fold stops being a win and eventually dies inside
+            # Catalyst as an analysis/stack error with no actionable
+            # message. Vocabulary-scale merge lists belong in the
+            # dedicated two-pass path.
+            raise ValueError(
+                f"bpe_merges has {len(bpe_merges)} merges; the inline "
+                f"fold is capped at {_MAX_INLINE_BPE_MERGES} (expression "
+                "depth grows per merge). Pre-encode with "
+                "operators/bpe.py::bpe_encode_corpus and budget on those "
+                "counts instead."
+            )
         from .operators.bpe import bpe_encode_t
         from .functions.text import token_count_t
 
