@@ -318,6 +318,43 @@ def test_decode_wav_corrupt_payloads_raise_typed_errors(spark):
         multimodal.decode_audio(_blob_df(spark, short_fmt)).collect()
 
 
+def test_decode_quarantine_mode_yields_rows_not_task_failures(spark):
+    """errors='quarantine': one corrupt blob in a batch becomes a row
+    with the decoder's own error message (features NULL) while good
+    payloads decode normally — the 100 TB posture where a task failure
+    on row N of 10^12 is not acceptable. Default 'raise' is unchanged."""
+    pixels = [[(1, 2, 3), (4, 5, 6)]]
+    good_png = _png(pixels)
+    blobs = spark.createDataFrame(
+        [(1, bytearray(good_png)), (2, bytearray(b"\xff\xd8\xff" + b"\x00" * 8)),
+         (3, None), (4, bytearray(_bmp24(pixels)))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in
+            multimodal.decode_image(blobs, errors="quarantine").collect()}
+    assert rows[1].format == "png" and rows[1].error is None
+    assert rows[4].format == "bmp" and rows[4].error is None
+    assert rows[2].format is None and "compressed/unknown" in rows[2].error
+    assert rows[3].format is None and "empty/NULL" in rows[3].error
+    assert rows[2].width is None and rows[2].mean_r is None
+    # default mode still dies on the first bad payload
+    with pytest.raises(Exception, match="compressed|empty"):
+        multimodal.decode_image(blobs).collect()
+    with pytest.raises(ValueError, match="errors must be"):
+        multimodal.decode_image(blobs, errors="skip")
+
+    wav = _wav(8000, [(100, -100)])
+    ablobs = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"ID3\x04" + b"\x00" * 16))],
+        "doc_id long, payload binary",
+    )
+    arows = {r.doc_id: r for r in
+             multimodal.decode_audio(ablobs, errors="quarantine").collect()}
+    assert arows[1].format == "wav" and arows[1].error is None
+    assert arows[1].peak == 100
+    assert arows[2].format is None and "codec" in arows[2].error
+
+
 def test_decode_empty_payloads_raise_distinct_error():
     """A NULL/empty blob is a data-quality problem, not a missing codec:
     both decoders raise a distinct ValueError naming the real cause

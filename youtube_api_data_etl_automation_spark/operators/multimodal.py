@@ -324,7 +324,18 @@ def _decode_rgb(payload: bytes):
     )
 
 
-def decode_image(blobs: DataFrame) -> DataFrame:
+DECODE_QUARANTINE_SCHEMA = DECODE_SCHEMA + ", error string"
+
+
+def _check_errors_mode(errors: str) -> bool:
+    if errors not in ("raise", "quarantine"):
+        raise ValueError(
+            f"errors must be 'raise' or 'quarantine', got {errors!r}"
+        )
+    return errors == "quarantine"
+
+
+def decode_image(blobs: DataFrame, errors: str = "raise") -> DataFrame:
     """REAL image decode for codec-free formats (24-bit BMP, binary P6
     PPM, and — r7 — non-interlaced 8-bit greyscale/RGB/RGBA PNG via
     stdlib zlib + scanline unfilter) — struct parsing + numpy pixel math
@@ -332,13 +343,39 @@ def decode_image(blobs: DataFrame) -> DataFrame:
     payload op. Output row per image: format, dimensions, per-channel
     means (exact doubles). JPEG and exotic PNG variants still raise
     NotImplementedError from the decoder (honest stub: a codec library
-    is required and absent here)."""
+    is required and absent here).
+
+    ``errors='quarantine'`` (r7, the repo's corrupt-input posture at
+    batch scale — one bad blob in 100 TB must not kill the job): decode
+    failures become ROWS instead of task failures; the schema gains an
+    ``error`` column (NULL on success, the decode error's message on
+    failure, feature columns NULL) so callers split with
+    ``filter(col('error').isNull())`` — the same quarantine split as
+    operators/quarantine.py, attributed by the decoder's own message."""
+    quarantine = _check_errors_mode(errors)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, fmts, ws, hs, mr, mg, mb = [], [], [], [], [], [], []
+            ids, fmts, ws, hs, mr, mg, mb, errs = [], [], [], [], [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                fmt, rgb = _decode_rgb(bytes(payload) if payload is not None else b"")
+                try:
+                    fmt, rgb = _decode_rgb(
+                        bytes(payload) if payload is not None else b""
+                    )
+                except (ValueError, NotImplementedError):
+                    if not quarantine:
+                        raise
+                    import sys
+
+                    ids.append(doc_id)
+                    fmts.append(None)
+                    hs.append(None)
+                    ws.append(None)
+                    mr.append(None)
+                    mg.append(None)
+                    mb.append(None)
+                    errs.append(str(sys.exc_info()[1]))
+                    continue
                 ids.append(doc_id)
                 fmts.append(fmt)
                 hs.append(rgb.shape[0])
@@ -347,19 +384,22 @@ def decode_image(blobs: DataFrame) -> DataFrame:
                 mr.append(float(means[0]))
                 mg.append(float(means[1]))
                 mb.append(float(means[2]))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "format": pd.Series(fmts, dtype="object"),
-                    "width": pd.Series(ws, dtype="int32"),
-                    "height": pd.Series(hs, dtype="int32"),
-                    "mean_r": pd.Series(mr, dtype="float64"),
-                    "mean_g": pd.Series(mg, dtype="float64"),
-                    "mean_b": pd.Series(mb, dtype="float64"),
-                }
-            )
+                errs.append(None)
+            out = {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "format": pd.Series(fmts, dtype="object"),
+                "width": pd.array(ws, dtype="Int32"),
+                "height": pd.array(hs, dtype="Int32"),
+                "mean_r": pd.array(mr, dtype="Float64"),
+                "mean_g": pd.array(mg, dtype="Float64"),
+                "mean_b": pd.array(mb, dtype="Float64"),
+            }
+            if quarantine:
+                out["error"] = pd.Series(errs, dtype="object")
+            yield pd.DataFrame(out)
 
-    return blobs.mapInPandas(batches, DECODE_SCHEMA)
+    schema = DECODE_QUARANTINE_SCHEMA if quarantine else DECODE_SCHEMA
+    return blobs.mapInPandas(batches, schema)
 
 
 AUDIO_SCHEMA = (
@@ -450,43 +490,76 @@ def _decode_pcm(payload: bytes):
     return int(rate), samples.reshape(n_frames, n_ch)
 
 
-def decode_audio(blobs: DataFrame) -> DataFrame:
+AUDIO_QUARANTINE_SCHEMA = AUDIO_SCHEMA + ", error string"
+
+
+def decode_audio(blobs: DataFrame, errors: str = "raise") -> DataFrame:
     """REAL audio decode for RIFF/WAVE integer PCM — stdlib struct chunk
     walk + numpy sample math in the same Arrow-batched mapInPandas shape
     as ``decode_image``. Output row per payload: layout (rate, channels,
     frames, duration) and level stats — peak |sample| and RMS, both over
     all channels, computed with exact int64 sums so the doubles are
     deterministic. Compressed codecs raise NotImplementedError (honest
-    stub: a codec library is required and absent here)."""
+    stub: a codec library is required and absent here).
+
+    ``errors='quarantine'``: decode failures become rows with an
+    ``error`` column instead of task failures — see
+    :func:`decode_image`."""
     import math
+
+    quarantine = _check_errors_mode(errors)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, rates, chs, frames, durs, peaks, rmss = [], [], [], [], [], [], []
+            cols = {
+                k: []
+                for k in ("ids", "fmts", "rates", "chs", "frames", "durs",
+                          "peaks", "rmss", "errs")
+            }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                rate, s = _decode_pcm(bytes(payload) if payload is not None else b"")
-                ids.append(doc_id)
-                rates.append(rate)
-                chs.append(s.shape[1])
-                frames.append(s.shape[0])
-                durs.append(s.shape[0] / rate)
-                n = s.size
-                peaks.append(int(abs(s).max()) if n else 0)
-                rmss.append(math.sqrt(int((s * s).sum()) / n) if n else 0.0)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "format": pd.Series(["wav"] * len(ids), dtype="object"),
-                    "sample_rate": pd.Series(rates, dtype="int32"),
-                    "n_channels": pd.Series(chs, dtype="int32"),
-                    "n_frames": pd.Series(frames, dtype="int64"),
-                    "duration_sec": pd.Series(durs, dtype="float64"),
-                    "peak": pd.Series(peaks, dtype="int32"),
-                    "rms": pd.Series(rmss, dtype="float64"),
-                }
-            )
+                try:
+                    rate, s = _decode_pcm(
+                        bytes(payload) if payload is not None else b""
+                    )
+                except (ValueError, NotImplementedError):
+                    if not quarantine:
+                        raise
+                    import sys
 
-    return blobs.mapInPandas(batches, AUDIO_SCHEMA)
+                    vals = (None, None, None, None, None, None, None,
+                            str(sys.exc_info()[1]))
+                else:
+                    n = s.size
+                    vals = (
+                        "wav", rate, s.shape[1], s.shape[0],
+                        s.shape[0] / rate,
+                        int(abs(s).max()) if n else 0,
+                        math.sqrt(int((s * s).sum()) / n) if n else 0.0,
+                        None,
+                    )
+                cols["ids"].append(doc_id)
+                for k, v in zip(
+                    ("fmts", "rates", "chs", "frames", "durs", "peaks",
+                     "rmss", "errs"),
+                    vals,
+                ):
+                    cols[k].append(v)
+            out = {
+                "doc_id": pd.Series(cols["ids"], dtype="int64"),
+                "format": pd.Series(cols["fmts"], dtype="object"),
+                "sample_rate": pd.array(cols["rates"], dtype="Int32"),
+                "n_channels": pd.array(cols["chs"], dtype="Int32"),
+                "n_frames": pd.array(cols["frames"], dtype="Int64"),
+                "duration_sec": pd.array(cols["durs"], dtype="Float64"),
+                "peak": pd.array(cols["peaks"], dtype="Int32"),
+                "rms": pd.array(cols["rmss"], dtype="Float64"),
+            }
+            if quarantine:
+                out["error"] = pd.Series(cols["errs"], dtype="object")
+            yield pd.DataFrame(out)
+
+    schema = AUDIO_QUARANTINE_SCHEMA if quarantine else AUDIO_SCHEMA
+    return blobs.mapInPandas(batches, schema)
 
 
 def fake_decode_features(blobs: DataFrame) -> DataFrame:
