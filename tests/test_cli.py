@@ -115,6 +115,34 @@ def test_drift_cli_psi_flag(spark, capsys):
     assert entry["prev"] == 100 and entry["cur"] == 100
 
 
+def test_profile_cli_end_to_end(spark, capsys):
+    """profile subcommand: stats + histogram + top-k + contract checks in
+    one JSON line; a failed check exits 2, a clean contract exits 0."""
+    d = tempfile.mkdtemp(prefix="cli_profile_")
+    path = d + "/t.parquet"
+    spark.createDataFrame(
+        [(i, float(i), "x" if i % 2 else "y") for i in range(10)]
+        + [(3, None, None)],  # dup key + nulls
+        "k long, v double, s string",
+    ).write.parquet(path)
+    rc = main([
+        "profile", "--input", path, "--hist", "v:0:10:5", "--topk", "s",
+        "--not-null", "k", "--unique", "k", "--satisfies", "v >= k",
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 2 and out["status"] == "check_failed"
+    assert out["n_rows"] == 11
+    assert out["failed_checks"] == ["unique(k)"]
+    sections = {r["section"] for r in out["profile"]}
+    assert sections == {"stats", "checks", "hist", "topk"}
+    stats = {r["column_name"]: r for r in out["profile"]
+             if r["section"] == "stats"}
+    assert stats["v"]["n_nulls"] == 1 and stats["k"]["n_distinct"] == 10
+    rc = main(["profile", "--input", path, "--not-null", "k"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["status"] == "ok" and out["failed_checks"] == []
+
+
 def test_drift_cli_breaking_schema_change_exits_2(spark, capsys):
     """A dropped column is invisible to value drift (profile_drift diffs
     only shared columns) but IS a breaking schema change: the CLI must

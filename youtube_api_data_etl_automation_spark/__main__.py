@@ -14,6 +14,10 @@ invocable the same way:
     python -m youtube_api_data_etl_automation_spark drift \
         --sink /data/wh/video_stats   # exit 2 + flagged metrics on drift
 
+    python -m youtube_api_data_etl_automation_spark profile \
+        --input /data/docs.parquet --hist n_chars:0:10000:20 \
+        --not-null doc_id --unique doc_id --satisfies "n_chars >= 0"
+
 Each subcommand prints ONE JSON line of counters on success (the
 reference's log counters for `etl`; the per-stage audit for `curate`), so
 cron logs stay grep-able and a scheduler can assert on the output.
@@ -116,6 +120,64 @@ def _psi_spec(s: str) -> tuple[str, float, float, int]:
             f"need HI > LO, got {s!r}"
         )
     return col, lo, hi, bins
+
+
+def _cmd_profile(args: argparse.Namespace) -> int:
+    """One-scan table profile (+ optional histogram / top-k / contract
+    checks) straight from the command line — the triage pass every
+    ingest starts with, printable into cron logs. Exit 2 when any
+    declared check fails (a contract violation is drift-grade news)."""
+    from .operators.profile import fused_profile, numeric_histogram, top_values
+    from .session import get_spark
+
+    spark = get_spark("table-profile", master=args.master)
+    df = spark.read.parquet(args.input)
+    cols = [c for c in (args.columns or "").split(",") if c] or None
+    checks = []
+    for spec in args.not_null or []:
+        from .operators.expectations import not_null
+
+        checks.append(not_null(spec))
+    for spec in args.unique or []:
+        from .operators.expectations import unique
+
+        checks.append(unique(spec))
+    for spec in args.satisfies or []:
+        from .operators.expectations import satisfies
+
+        checks.append(satisfies(spec))
+    prof = fused_profile(
+        df, cols, checks=checks, exact_distinct=not args.approx_distinct
+    )
+    rows = [r.asDict() for r in prof.collect()]
+    if args.hist:
+        col, lo, hi, bins = args.hist
+        rows += [
+            {"section": "hist", "column_name": col, **r.asDict()}
+            for r in numeric_histogram(df, col, lo, hi, bins).collect()
+        ]
+    if args.topk:
+        rows += [
+            {"section": "topk", "column_name": args.topk, **r.asDict()}
+            for r in top_values(df, args.topk, k=args.k).collect()
+        ]
+    failed = [
+        r["check"]
+        for r in rows
+        if r.get("section") == "checks" and r.get("passed") is False
+    ]
+    out = {
+        "status": "check_failed" if failed else "ok",
+        "n_rows": next(
+            (r["n_rows"] for r in rows if r.get("section") == "stats"), 0
+        ),
+        "failed_checks": failed,
+        "profile": [
+            {k: v for k, v in r.items() if v is not None} for r in rows
+        ],
+    }
+    print(json.dumps(out))
+    return 2 if failed else 0
 
 
 def _cmd_drift(args: argparse.Namespace) -> int:
@@ -264,6 +326,47 @@ def build_parser() -> argparse.ArgumentParser:
         "threshold (default: exact dedup only)",
     )
     cur.set_defaults(fn=_cmd_curate)
+
+    pr_ = sub.add_parser(
+        "profile",
+        help="one-scan table profile + optional histogram/top-k/contract "
+        "checks (exit 2 on any failed check)",
+    )
+    pr_.add_argument("--input", required=True, help="parquet path to profile")
+    pr_.add_argument(
+        "--columns", default=None, help="comma-separated columns (default: all)"
+    )
+    pr_.add_argument(
+        "--approx-distinct",
+        action="store_true",
+        help="HyperLogLog distinct counts (the 100 TB mode: no Expand, "
+        "mergeable partials) instead of exact COUNT(DISTINCT)",
+    )
+    pr_.add_argument(
+        "--hist",
+        default=None,
+        type=_psi_spec,
+        metavar="COL:LO:HI:BINS",
+        help="also emit a fixed-grid histogram of this numeric column",
+    )
+    pr_.add_argument(
+        "--topk", default=None, help="also emit top-k frequent values of this column"
+    )
+    pr_.add_argument("--k", type=int, default=10, help="k for --topk")
+    pr_.add_argument(
+        "--not-null", action="append", default=None, metavar="COL",
+        help="contract: COL must be non-null (repeatable)",
+    )
+    pr_.add_argument(
+        "--unique", action="append", default=None, metavar="COL",
+        help="contract: COL must be unique (repeatable)",
+    )
+    pr_.add_argument(
+        "--satisfies", action="append", default=None, metavar="EXPR",
+        help="contract: SQL boolean over any columns must not be FALSE "
+        "(repeatable; NULL evaluations skip)",
+    )
+    pr_.set_defaults(fn=_cmd_profile)
 
     dr = sub.add_parser(
         "drift",
