@@ -29,19 +29,25 @@ def _optimized(df) -> str:
 def test_profile_row_scan_budget(spark):
     """table_profile_orders' scan discipline (late r6): stats and every
     agg-expressible contract check share ONE scan (fused_profile), leaving
-    exactly four orders scans — the fused aggregate, the histogram (its
+    exactly five orders scans — the fused aggregate, the histogram (its
     own single-column-pruned scan, see fused_profile's docstring for why
-    the fold loses under exact_distinct), top-k, and the FK probe — plus
-    one customer scan. Pre-fusion this was five; a refactor that splits
-    the fused aggregate back into separate stats/checks scans fails
-    here."""
+    the fold loses under exact_distinct), top-k, the FK probe, and (r7)
+    the cross-column satisfies contract's 2-column side of the joined
+    fact — plus one customer scan and one 2-column lineitem scan. A
+    refactor that splits the fused aggregate back into separate
+    stats/checks scans fails here."""
     import re
 
     from youtube_api_data_etl_automation_spark.plans import QUERIES
 
     plan = _plan(QUERIES["table_profile_orders"](spark, SF_DIR))
-    assert len(re.findall(r"Scan parquet[^\n]*orders", plan)) == 4
+    assert len(re.findall(r"Scan parquet[^\n]*orders", plan)) == 5
     assert len(re.findall(r"Scan parquet[^\n]*customer", plan)) == 1
+    assert len(re.findall(r"Scan parquet[^\n]*lineitem", plan)) == 1
+    # the satisfies branch reads ONLY its two columns from each side
+    m = re.search(r"Scan parquet[^\n]*lineitem[^\n]*ReadSchema: ([^\n]*)", plan)
+    assert m and "l_orderkey" in m.group(1) and "l_shipdate" in m.group(1)
+    assert "l_extendedprice" not in m.group(1)
 
 
 def test_bucketed_join_has_no_shuffle(spark):
@@ -209,15 +215,17 @@ def test_decontam_broadcasts_benchmark_grams(spark):
 
 
 def test_stratified_sample_single_exchange(spark):
-    """Sampling audits (split + stratified sections, r6 fusion): every
+    """Sampling audits (split + stratified + r7 aes sections): every
     keep/assign decision is map-side; the only exchanges are the two
-    audit aggregates (one per section)."""
+    audit aggregates (one per audit section) plus the A-ES draw's
+    per-group (lang, key) window partition — three total, no sort or
+    shuffle beyond them."""
     from youtube_api_data_etl_automation_spark.plans.curation import (
         sampling_audits,
     )
 
     plan = _plan(sampling_audits(spark, SF_DIR))
-    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Exchange hashpartitioning") == 3
 
 
 def test_runtime_bloom_filter_reaches_fact_scan(spark):
