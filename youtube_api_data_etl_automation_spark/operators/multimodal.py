@@ -12,11 +12,13 @@ Design (per the 100 TB posture):
   downstream join uses; nothing here ever collects to the driver.
 
 No codec libraries are installed in this environment, so the decoders are
-split honestly: ``decode_image`` REALLY decodes the uncompressed formats
-that need no codec (24-bit BMP, binary P6 PPM), ``decode_audio`` really
-decodes RIFF/WAVE PCM (8- and 16-bit), and every compressed format
-(PNG/JPEG/MP3/AAC/...) raises an explicit NotImplementedError from inside
-the same mapInPandas shape. ``fake_decode_features`` remains the
+split honestly: ``decode_image`` REALLY decodes the formats that need no
+codec library (24-bit BMP, binary P6 PPM, and — r7 — non-interlaced 8-bit
+PNG via stdlib zlib + scanline unfilter), ``decode_audio`` really decodes
+RIFF/WAVE PCM (8- and 16-bit), and every remaining compressed format
+(JPEG/MP3/AAC/...) raises an explicit NotImplementedError from inside
+the same mapInPandas shape — or becomes a quarantine ROW under
+``errors='quarantine'``. ``fake_decode_features`` remains the
 deterministic stand-in for pipeline tests that don't care about pixels.
 """
 
@@ -236,8 +238,8 @@ def _decode_png(payload: bytes):
     if depth != 8 or channels is None or interlace != 0:
         raise NotImplementedError(
             f"PNG variant not supported (depth={depth}, color_type={color}, "
-            "interlace={0}); only non-interlaced 8-bit greyscale/RGB/RGBA "
-            "decodes without a codec library".format(interlace)
+            f"interlace={interlace}); only non-interlaced 8-bit "
+            "greyscale/RGB/RGBA decodes without a codec library"
         )
     if not idat:
         raise ValueError("malformed PNG: no IDAT data")
@@ -362,11 +364,9 @@ def decode_image(blobs: DataFrame, errors: str = "raise") -> DataFrame:
                     fmt, rgb = _decode_rgb(
                         bytes(payload) if payload is not None else b""
                     )
-                except (ValueError, NotImplementedError):
+                except (ValueError, NotImplementedError) as e:
                     if not quarantine:
                         raise
-                    import sys
-
                     ids.append(doc_id)
                     fmts.append(None)
                     hs.append(None)
@@ -374,7 +374,7 @@ def decode_image(blobs: DataFrame, errors: str = "raise") -> DataFrame:
                     mr.append(None)
                     mg.append(None)
                     mb.append(None)
-                    errs.append(str(sys.exc_info()[1]))
+                    errs.append(str(e))
                     continue
                 ids.append(doc_id)
                 fmts.append(fmt)
@@ -521,13 +521,10 @@ def decode_audio(blobs: DataFrame, errors: str = "raise") -> DataFrame:
                     rate, s = _decode_pcm(
                         bytes(payload) if payload is not None else b""
                     )
-                except (ValueError, NotImplementedError):
+                except (ValueError, NotImplementedError) as e:
                     if not quarantine:
                         raise
-                    import sys
-
-                    vals = (None, None, None, None, None, None, None,
-                            str(sys.exc_info()[1]))
+                    vals = (None, None, None, None, None, None, None, str(e))
                 else:
                     n = s.size
                     vals = (
