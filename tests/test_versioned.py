@@ -155,6 +155,28 @@ def test_schema_diff_between_versions(spark, tmp_path):
         schema_diff_between_versions(spark, base, versions=(9, 2))
 
 
+def test_schema_diff_sees_nested_and_decimal_changes(spark):
+    """Types compare by simpleString, so a change INSIDE a struct field
+    or a decimal precision bump counts as a retype — the changes a naive
+    name-only diff would miss."""
+    from youtube_api_data_etl_automation_spark.operators.versioned import (
+        schema_diff,
+    )
+
+    prev = spark.createDataFrame(
+        [], "k string, meta struct<a:int,b:string>, amt decimal(10,2)"
+    )
+    cur = spark.createDataFrame(
+        [], "k string, meta struct<a:bigint,b:string>, amt decimal(12,2)"
+    )
+    rows = {r["column_name"]: r for r in schema_diff(spark, cur, prev).collect()}
+    assert set(rows) == {"meta", "amt"}
+    assert rows["meta"]["change"] == "retyped" and rows["meta"]["breaking"]
+    assert rows["meta"]["prev_type"] == "struct<a:int,b:string>"
+    assert rows["meta"]["cur_type"] == "struct<a:bigint,b:string>"
+    assert rows["amt"]["prev_type"] == "decimal(10,2)"
+
+
 def test_merge_upsert_versioned_semantics(spark, tmp_path):
     """Mirror of test_incremental.py::test_merge_upsert over the versioned
     store: update wins on matched keys, unmatched kept, inserts land."""
