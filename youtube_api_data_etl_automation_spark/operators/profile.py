@@ -437,7 +437,10 @@ def profile_drift(
     count), so this is a k-row sort-merge/broadcast join and pure Column
     arithmetic — nothing touches the data that produced the profiles.
     Columns present on only one side (schema evolution) are dropped here;
-    diff schemas explicitly, not through drift arithmetic.
+    diff schemas explicitly via ``operators/versioned.py::schema_diff``
+    (added/dropped/retyped with a breaking verdict — the drift CLI runs
+    it alongside this and exits 2 on breaking changes), not through
+    drift arithmetic.
     """
     p = prev.select(
         F.col("column_name"),
