@@ -158,3 +158,76 @@ def test_stream_and_batch_events_agree_on_timestamps(spark):
     )
     assert streamed.count() == batch.count()
     assert streamed.exceptAll(batch).union(batch.exceptAll(streamed)).count() == 0
+
+
+def test_session_window_boundary_parity_with_batch(spark):
+    """Pins the gap-boundary contract between the JVM-native session_window
+    aggregate and the batch `> gap` rule: an event EXACTLY gap after its
+    predecessor merges into the same session in both; gap + 1 µs splits in
+    both. If a Spark upgrade changes session-merge boundary semantics, this
+    is the test that catches it."""
+    from youtube_api_data_etl_automation_spark.streaming.stateful import (
+        session_window_stats,
+    )
+
+    rows = [
+        # user 1: e2 exactly 30 min after e1 (merge), e3 gap+1us after e2
+        # (split), e4 just under gap after e3 (merge)
+        (1, 1, "2026-01-01 00:00:00.000000", 1.0),
+        (1, 2, "2026-01-01 00:30:00.000000", 2.0),
+        (1, 3, "2026-01-01 01:00:00.000001", 4.0),
+        (1, 4, "2026-01-01 01:30:00.000000", 8.0),
+        # user 2: single event, NULL value
+        (2, 5, "2026-01-01 00:00:00.000000", None),
+    ]
+    events = (
+        spark.createDataFrame(
+            rows, "user_id long, event_id long, ts_s string, value double"
+        )
+        .withColumn("ts", F.to_timestamp("ts_s"))
+        .drop("ts_s")
+    )
+    batch = session_stats(events, gap_minutes=30).drop("session_idx")
+    native = session_window_stats(events, gap_minutes=30)
+    diff = batch.exceptAll(native).union(native.exceptAll(batch))
+    assert diff.count() == 0, diff.collect()
+    # and the shape is what the boundary rules say: user 1 has sessions of
+    # 2 and 2 events, user 2 has one 1-event session with NULL sum
+    got = {
+        (r.user_id, r.session_start_us): (r.n_events, r.sum_value)
+        for r in native.collect()
+    }
+    assert len(got) == 3
+    u1 = sorted(v[0] for (u, _), v in got.items() if u == 1)
+    assert u1 == [2, 2]
+    (null_sum,) = [v[1] for (u, _), v in got.items() if u == 2]
+    assert null_sum is None
+
+
+def test_session_window_drain_equals_batch(spark):
+    """availableNow drain of the native session_window aggregate over the
+    events table == the batch rollup, including the re-derived ordinal
+    session_idx (the registry row's third section in miniature)."""
+    from pyspark.sql.window import Window
+
+    from youtube_api_data_etl_automation_spark.sources.tables import load_table
+    from youtube_api_data_etl_automation_spark.streaming.stateful import (
+        run_session_window_sessions,
+    )
+
+    name = f"sw_drain_{uuid.uuid4().hex[:8]}"
+    run_session_window_sessions(
+        spark, SF_DIR, tempfile.mkdtemp(prefix="ckpt_"), name
+    )
+    idx_w = Window.partitionBy("user_id").orderBy("session_start_us")
+    native = (
+        spark.table(name)
+        .withColumn("session_idx", F.row_number().over(idx_w).cast("int"))
+        .select(
+            "user_id", "session_idx", "n_events", "session_start_us",
+            "duration_sec", "sum_value",
+        )
+    )
+    expected = session_stats(load_table(spark, SF_DIR, "events"), gap_minutes=30)
+    diff = native.exceptAll(expected).union(expected.exceptAll(native))
+    assert diff.count() == 0, diff.limit(10).collect()

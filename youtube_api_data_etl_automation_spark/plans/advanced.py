@@ -61,6 +61,8 @@ _SESSION_METHODS_ORACLE = f"""
     SELECT 'window' AS method, * FROM base
     UNION ALL
     SELECT 'stateful' AS method, * FROM base
+    UNION ALL
+    SELECT 'session_window' AS method, * FROM base
 """
 
 
@@ -77,19 +79,43 @@ def sessionize_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     `stateful`: the custom stateful streaming operator
     (applyInPandasWithState) with explicit per-user state, drained
     availableNow; one batch ⇒ emissions equal the batch rollup, so the
-    same oracle text checks it — a fully value-verified stateful op."""
+    same oracle text checks it — a fully value-verified stateful op.
+    `session_window`: the JVM-native merging-session aggregate
+    (F.session_window), also drained availableNow — the 100 TB scale path
+    the r7 decade audit promoted after finding the Python stateful op's
+    cost at 100× is per-key framework overhead (SCALE.md); session_idx is
+    re-derived by numbering each user's sessions by start time (sessions
+    ≪ events, so that window is a rounding error)."""
     import tempfile
 
-    from ..streaming.stateful import run_stateful_sessions
+    from ..streaming.stateful import (
+        run_session_window_sessions,
+        run_stateful_sessions,
+    )
 
     events = load_table(spark, sf_dir, "events")
     batch = session_stats(events, gap_minutes=30).select(
         F.lit("window").alias("method"), "*"
     )
-    name = f"stateful_sessions_{uuid.uuid4().hex[:8]}"
+    tag = uuid.uuid4().hex[:8]
+    name = f"stateful_sessions_{tag}"
     run_stateful_sessions(spark, sf_dir, tempfile.mkdtemp(prefix="ckpt_"), name)
     stateful = spark.table(name).select(F.lit("stateful").alias("method"), "*")
-    return batch.unionByName(stateful)
+    sw_name = f"sw_sessions_{tag}"
+    run_session_window_sessions(
+        spark, sf_dir, tempfile.mkdtemp(prefix="ckpt_"), sw_name
+    )
+    idx_w = Window.partitionBy("user_id").orderBy("session_start_us")
+    native = (
+        spark.table(sw_name)
+        .withColumn("session_idx", F.row_number().over(idx_w).cast("int"))
+        .select(
+            F.lit("session_window").alias("method"),
+            "user_id", "session_idx", "n_events", "session_start_us",
+            "duration_sec", "sum_value",
+        )
+    )
+    return batch.unionByName(stateful).unionByName(native)
 
 
 # ---------------------------------------------------------------------------

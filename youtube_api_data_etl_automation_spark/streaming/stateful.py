@@ -148,3 +148,78 @@ def run_stateful_sessions(spark, sf_dir: str, checkpoint_dir: str,
         .start()
     )
     q.awaitTermination()
+
+
+def session_window_stats(events: DataFrame, gap_minutes: int = 30,
+                         watermark: str | None = None) -> DataFrame:
+    """Gap sessionization via Spark's JVM-native ``F.session_window`` — the
+    100 TB SCALE PATH for plain gap-based session rollups.
+
+    The r7 decade audit (SCALE.md) found :func:`stateful_sessionize`'s cost
+    at 100× data is dominated by per-key Python/pandas framework overhead in
+    ``applyInPandasWithState`` (one fold call + one pandas frame per user per
+    batch — ~1M keys at 100×), not by the data volume. ``session_window`` is
+    a hash aggregation with session merging that runs entirely inside
+    whole-stage-codegen'd JVM aggregation: one shuffle on (user_id), zero
+    Python in the hot path. Use the Python stateful op only for state logic
+    a merging-session aggregate cannot express (timers, cross-session
+    carry-over, custom eviction).
+
+    Boundary parity with :func:`..operators.sessionize.sessionize` (verified
+    empirically + pinned in tests/test_stateful_streaming.py): an event
+    exactly ``gap`` after its predecessor MERGES into the same session in
+    both engines (batch rule is ``> gap`` starts a new session; session
+    windows merge on boundary touch), and ``gap`` + 1 µs splits in both.
+
+    Works on batch AND streaming inputs (same plan either way). Output
+    matches :func:`..operators.sessionize.session_stats` minus the ordinal
+    ``session_idx`` (a streaming aggregate cannot number sessions; derive it
+    downstream with row_number over session_start_us — sessions are ≪
+    events, so that window is cheap). Streaming restriction: session windows
+    support append/complete output modes only (no update); ``watermark`` is
+    required for state eviction in an always-on append-mode query."""
+    if watermark is not None and events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(
+            "user_id",
+            F.session_window("ts", f"{gap_minutes} minutes").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min(F.unix_micros("ts")).alias("session_start_us"),
+            (
+                (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts")))
+                / F.lit(1_000_000.0)
+            ).alias("duration_sec"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .drop("w")
+    )
+
+
+def run_session_window_sessions(spark, sf_dir: str, checkpoint_dir: str,
+                                table_name: str,
+                                gap_minutes: int = 30) -> None:
+    """Drain the events table through the native session_window aggregate
+    into a memory sink. Complete mode: session windows don't support update
+    mode, and append would hold back every session newer than the watermark
+    horizon — complete emits the full rollup, which is exactly what a
+    one-shot availableNow drain wants (same trade as the tumbling demo
+    runner in ingest.py; an always-on deployment would use append + a real
+    sink and accept watermark-delayed finalization)."""
+    from .ingest import read_events_stream
+
+    stream = read_events_stream(spark, sf_dir)
+    sessions = session_window_stats(stream, gap_minutes)
+    q = (
+        sessions.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("complete")
+        .format("memory")
+        .queryName(table_name)
+        .start()
+    )
+    q.awaitTermination()
