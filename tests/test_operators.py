@@ -337,6 +337,12 @@ def test_decode_quarantine_mode_yields_rows_not_task_failures(spark):
     assert rows[2].format is None and "compressed/unknown" in rows[2].error
     assert rows[3].format is None and "empty/NULL" in rows[3].error
     assert rows[2].width is None and rows[2].mean_r is None
+    # error_kind routes the two failure populations without message
+    # parsing: JPEG (a codec library would decode it) is 'unsupported';
+    # a NULL blob is 'corrupt' data; successes carry NULL.
+    assert rows[2].error_kind == "unsupported"
+    assert rows[3].error_kind == "corrupt"
+    assert rows[1].error_kind is None and rows[4].error_kind is None
     # default mode still dies on the first bad payload
     with pytest.raises(Exception, match="compressed|empty"):
         multimodal.decode_image(blobs).collect()
@@ -351,8 +357,9 @@ def test_decode_quarantine_mode_yields_rows_not_task_failures(spark):
     arows = {r.doc_id: r for r in
              multimodal.decode_audio(ablobs, errors="quarantine").collect()}
     assert arows[1].format == "wav" and arows[1].error is None
-    assert arows[1].peak == 100
+    assert arows[1].peak == 100 and arows[1].error_kind is None
     assert arows[2].format is None and "codec" in arows[2].error
+    assert arows[2].error_kind == "unsupported"
 
 
 def test_decode_empty_payloads_raise_distinct_error():

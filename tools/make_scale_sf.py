@@ -17,12 +17,24 @@ operator itself is linear — i.e. replicas must not collide with each other:
 - events: event_id/user_id shifted — K× users with identical per-user
   session structure.
 - embeddings: vec_id shifted; the vector is ROTATED by i dimensions per
-  replica — norm/di stribution preserved, but cross-replica cosine drops to
+  replica — norm/distribution preserved, but cross-replica cosine drops to
   noise, so near-dup/ANN structure per replica matches the source.
 - region/nation/part/supplier: copied unchanged (dimension tables; not the
   audit's subject).
 
 Everything is deterministic: same inputs → byte-identical outputs.
+
+TIMING-AUDIT ONLY — not a correctness fixture: the per-replica token
+suffix rewrites ``text`` but leaves any stored derived columns
+(``n_chars``, ``n_tokens``, fingerprints, …) describing the ORIGINAL
+text. Suffixed replicas would silently skew any oracle that re-derives
+those columns from the rewritten text; SCALE.md uses this data purely
+for wall-clock ratios.
+
+Memory: tables are processed PER ROW GROUP (``ParquetFile.iter_batches``)
+and written incrementally, so driver memory is bounded by one row group
+regardless of source size or K — replicating sf10 does not need an
+sf10-sized driver heap.
 """
 
 from __future__ import annotations
@@ -50,7 +62,7 @@ def _suffix_tokens(t: pa.Table, name: str, i: int) -> pa.Table:
         return t
     suf = f"_{i}"
     idx = t.schema.get_field_index(name)
-    vals = t.column(name).to_pylist()
+    vals = t.column(name).to_pylist()  # one row group's worth, not the table
     out = [
         None if s is None else " ".join(w + suf for w in s.split(" "))
         for s in vals
@@ -64,7 +76,7 @@ def _rotate_vectors(t: pa.Table, name: str, i: int) -> pa.Table:
     if i == 0:
         return t
     idx = t.schema.get_field_index(name)
-    vals = t.column(name).to_pylist()
+    vals = t.column(name).to_pylist()  # one row group's worth, not the table
     out = []
     for v in vals:
         if v is None or len(v) == 0:
@@ -95,6 +107,29 @@ REPLICATED = {
 COPIED = ("region", "nation", "part", "supplier")
 
 
+def _replicate_streaming(src_path: str, dst_path: str, fn, k: int) -> tuple[int, int]:
+    """Write K transformed replicas of src_path to dst_path one source
+    row group at a time. Each (replica, row group) pair becomes its own
+    output row group — the K-way-splittable multi-file shape a real table
+    would have — and peak memory is a single row group."""
+    pf = pq.ParquetFile(src_path)
+    writer = None
+    n_in = pf.metadata.num_rows
+    n_out = 0
+    try:
+        for i in range(k):
+            for batch in pf.iter_batches():
+                part = fn(pa.Table.from_batches([batch]), i)
+                if writer is None:
+                    writer = pq.ParquetWriter(dst_path, part.schema)
+                writer.write_table(part, row_group_size=part.num_rows)
+                n_out += part.num_rows
+    finally:
+        if writer is not None:
+            writer.close()
+    return n_in, n_out
+
+
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_sf1.0"
@@ -106,16 +141,13 @@ def main() -> None:
             os.path.join(dst, f"{name}.parquet"),
         )
     for name, fn in REPLICATED.items():
-        t = pq.read_table(os.path.join(src, f"{name}.parquet"))
-        parts = [fn(t, i) for i in range(k)]
-        out = pa.concat_tables(parts)
-        # one row group per source replica: K-way splittable scans, the
-        # multi-file shape a real table would have
-        pq.write_table(
-            out, os.path.join(dst, f"{name}.parquet"),
-            row_group_size=t.num_rows,
+        n_in, n_out = _replicate_streaming(
+            os.path.join(src, f"{name}.parquet"),
+            os.path.join(dst, f"{name}.parquet"),
+            fn,
+            k,
         )
-        print(f"{name}: {t.num_rows} -> {out.num_rows} rows")
+        print(f"{name}: {n_in} -> {n_out} rows")
 
 
 if __name__ == "__main__":

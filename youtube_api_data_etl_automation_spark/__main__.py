@@ -182,6 +182,7 @@ def _cmd_profile(args: argparse.Namespace) -> int:
 
 def _cmd_drift(args: argparse.Namespace) -> int:
     from .operators.versioned import (
+        _resolve_version_pair,
         drift_between_versions,
         schema_diff_between_versions,
     )
@@ -189,7 +190,11 @@ def _cmd_drift(args: argparse.Namespace) -> int:
 
     spark = get_spark("sink-drift", master=args.master)
     cols = [c for c in (args.columns or "").split(",") if c] or None
-    versions = args.versions
+    # Resolve the (prev, cur) pair ONCE and pass it explicitly to every
+    # section below — otherwise a commit landing between the value-drift,
+    # schema-diff, and PSI calls would make the sections of one report
+    # describe different version pairs.
+    versions = _resolve_version_pair(spark, args.sink, args.versions)
     rows = drift_between_versions(
         spark,
         args.sink,
@@ -231,8 +236,8 @@ def _cmd_drift(args: argparse.Namespace) -> int:
     breaking = any(c["breaking"] for c in schema_changes)
     out = {
         "status": "ok",
-        "prev_version": rows[0]["prev_version"] if rows else None,
-        "cur_version": rows[0]["cur_version"] if rows else None,
+        "prev_version": versions[0],
+        "cur_version": versions[1],
         "n_metrics": len(rows),
         "flagged": flagged,
         "schema_changes": schema_changes,

@@ -147,9 +147,18 @@ def _png_unfilter(raw: bytes, h: int, w: int, ch: int):
     """Reverse PNG scanline filtering (spec §9: None/Sub/Up/Average/Paeth)
     over the zlib-decompressed byte stream — the only part of PNG decode
     that needs per-pixel recurrence (each byte's predictor references the
-    reconstructed left/up/up-left bytes). Up is vectorized per row; Sub/
-    Average/Paeth run the spec recurrence per byte. Returns (h, w*ch)
-    uint8."""
+    reconstructed left/up/up-left bytes). None/Up rows are whole-row numpy
+    ops; Sub rows vectorize exactly as a per-channel-lane prefix sum mod
+    256 (uint8 cumsum wraps, which IS the spec's mod-256); Average/Paeth
+    are true recurrences (rec[x] needs rec[x-ch]) and run a plain-Python
+    byte loop over list ints — no per-byte numpy scalar extraction.
+
+    Perf note: Average/Paeth therefore cost O(width*channels) Python-int
+    ops per row (~0.3 µs/byte). A 4k RGBA image that is wall-to-wall
+    Paeth rows is ~50 ms of Python per image inside the Arrow batch — fine
+    for thumbnails/tiles, a real cliff for bulk hi-res decode. At 100 TB,
+    route hi-res imagery through a codec library on the executors and keep
+    this stdlib path for environments without one."""
     import numpy as np
 
     stride = w * ch
@@ -159,37 +168,42 @@ def _png_unfilter(raw: bytes, h: int, w: int, ch: int):
             f"expected {h * (stride + 1)} for {w}x{h}x{ch}"
         )
     out = np.empty((h, stride), dtype=np.uint8)
-    zero = np.zeros(stride, dtype=np.int32)
+    zero_row = np.zeros(stride, dtype=np.uint8)
     pos = 0
     for y in range(h):
         ft = raw[pos]
         pos += 1
         line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos)
-        line = line.astype(np.int32)
         pos += stride
-        prior = out[y - 1].astype(np.int32) if y > 0 else zero
+        prior = out[y - 1] if y > 0 else zero_row
         if ft == 0:
-            rec = line
-        elif ft == 2:  # Up
-            rec = (line + prior) & 0xFF
-        elif ft in (1, 3, 4):  # Sub / Average / Paeth
-            rec = np.empty(stride, dtype=np.int32)
-            for x in range(stride):
-                a = int(rec[x - ch]) if x >= ch else 0
-                b = int(prior[x])
-                if ft == 1:
-                    pred = a
-                elif ft == 3:
-                    pred = (a + b) >> 1
-                else:
-                    c = int(prior[x - ch]) if x >= ch else 0
+            out[y] = line
+        elif ft == 2:  # Up — whole-row add, uint8 wraps mod 256
+            out[y] = line + prior
+        elif ft == 1:  # Sub — per-lane prefix sum; uint8 cumsum ≡ mod 256
+            out[y] = np.cumsum(
+                line.reshape(w, ch), axis=0, dtype=np.uint8
+            ).reshape(stride)
+        elif ft in (3, 4):  # Average / Paeth — inherent byte recurrence
+            lv = line.tolist()
+            pv = prior.tolist()
+            rec = [0] * stride
+            if ft == 3:
+                for x in range(stride):
+                    a = rec[x - ch] if x >= ch else 0
+                    rec[x] = (lv[x] + ((a + pv[x]) >> 1)) & 0xFF
+            else:
+                for x in range(stride):
+                    a = rec[x - ch] if x >= ch else 0
+                    b = pv[x]
+                    c = pv[x - ch] if x >= ch else 0
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                rec[x] = (line[x] + pred) & 0xFF
+                    rec[x] = (lv[x] + pred) & 0xFF
+            out[y] = rec
         else:
             raise ValueError(f"malformed PNG: unknown filter type {ft}")
-        out[y] = rec.astype(np.uint8)
     return out
 
 
@@ -326,7 +340,17 @@ def _decode_rgb(payload: bytes):
     )
 
 
-DECODE_QUARANTINE_SCHEMA = DECODE_SCHEMA + ", error string"
+DECODE_QUARANTINE_SCHEMA = DECODE_SCHEMA + ", error string, error_kind string"
+
+
+def _error_kind(e: Exception) -> str:
+    """Route quarantined decode failures by exception class, so consumers
+    can split the two populations without parsing message text:
+    'unsupported' (NotImplementedError — a real codec library would decode
+    it; re-route those payloads to an executor image with PIL/ffmpeg) vs
+    'corrupt' (ValueError — structurally broken blob; no library will
+    help, drop or re-fetch at the source)."""
+    return "unsupported" if isinstance(e, NotImplementedError) else "corrupt"
 
 
 def _check_errors_mode(errors: str) -> bool:
@@ -353,12 +377,16 @@ def decode_image(blobs: DataFrame, errors: str = "raise") -> DataFrame:
     ``error`` column (NULL on success, the decode error's message on
     failure, feature columns NULL) so callers split with
     ``filter(col('error').isNull())`` — the same quarantine split as
-    operators/quarantine.py, attributed by the decoder's own message."""
+    operators/quarantine.py, attributed by the decoder's own message —
+    plus an ``error_kind`` column ('unsupported' vs 'corrupt', see
+    :func:`_error_kind`) so the two failure populations route differently
+    (JPEG, the dominant web-corpus case, is 'unsupported', not broken)."""
     quarantine = _check_errors_mode(errors)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, fmts, ws, hs, mr, mg, mb, errs = [], [], [], [], [], [], [], []
+            ids, fmts, ws, hs = [], [], [], []
+            mr, mg, mb, errs, kinds = [], [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
                     fmt, rgb = _decode_rgb(
@@ -375,6 +403,7 @@ def decode_image(blobs: DataFrame, errors: str = "raise") -> DataFrame:
                     mg.append(None)
                     mb.append(None)
                     errs.append(str(e))
+                    kinds.append(_error_kind(e))
                     continue
                 ids.append(doc_id)
                 fmts.append(fmt)
@@ -385,6 +414,7 @@ def decode_image(blobs: DataFrame, errors: str = "raise") -> DataFrame:
                 mg.append(float(means[1]))
                 mb.append(float(means[2]))
                 errs.append(None)
+                kinds.append(None)
             out = {
                 "doc_id": pd.Series(ids, dtype="int64"),
                 "format": pd.Series(fmts, dtype="object"),
@@ -396,6 +426,7 @@ def decode_image(blobs: DataFrame, errors: str = "raise") -> DataFrame:
             }
             if quarantine:
                 out["error"] = pd.Series(errs, dtype="object")
+                out["error_kind"] = pd.Series(kinds, dtype="object")
             yield pd.DataFrame(out)
 
     schema = DECODE_QUARANTINE_SCHEMA if quarantine else DECODE_SCHEMA
@@ -490,7 +521,7 @@ def _decode_pcm(payload: bytes):
     return int(rate), samples.reshape(n_frames, n_ch)
 
 
-AUDIO_QUARANTINE_SCHEMA = AUDIO_SCHEMA + ", error string"
+AUDIO_QUARANTINE_SCHEMA = AUDIO_SCHEMA + ", error string, error_kind string"
 
 
 def decode_audio(blobs: DataFrame, errors: str = "raise") -> DataFrame:
@@ -502,8 +533,8 @@ def decode_audio(blobs: DataFrame, errors: str = "raise") -> DataFrame:
     deterministic. Compressed codecs raise NotImplementedError (honest
     stub: a codec library is required and absent here).
 
-    ``errors='quarantine'``: decode failures become rows with an
-    ``error`` column instead of task failures — see
+    ``errors='quarantine'``: decode failures become rows with ``error``
+    and ``error_kind`` columns instead of task failures — see
     :func:`decode_image`."""
     import math
 
@@ -514,7 +545,7 @@ def decode_audio(blobs: DataFrame, errors: str = "raise") -> DataFrame:
             cols = {
                 k: []
                 for k in ("ids", "fmts", "rates", "chs", "frames", "durs",
-                          "peaks", "rmss", "errs")
+                          "peaks", "rmss", "errs", "kinds")
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
@@ -524,7 +555,8 @@ def decode_audio(blobs: DataFrame, errors: str = "raise") -> DataFrame:
                 except (ValueError, NotImplementedError) as e:
                     if not quarantine:
                         raise
-                    vals = (None, None, None, None, None, None, None, str(e))
+                    vals = (None, None, None, None, None, None, None,
+                            str(e), _error_kind(e))
                 else:
                     n = s.size
                     vals = (
@@ -533,11 +565,12 @@ def decode_audio(blobs: DataFrame, errors: str = "raise") -> DataFrame:
                         int(abs(s).max()) if n else 0,
                         math.sqrt(int((s * s).sum()) / n) if n else 0.0,
                         None,
+                        None,
                     )
                 cols["ids"].append(doc_id)
                 for k, v in zip(
                     ("fmts", "rates", "chs", "frames", "durs", "peaks",
-                     "rmss", "errs"),
+                     "rmss", "errs", "kinds"),
                     vals,
                 ):
                     cols[k].append(v)
@@ -553,6 +586,7 @@ def decode_audio(blobs: DataFrame, errors: str = "raise") -> DataFrame:
             }
             if quarantine:
                 out["error"] = pd.Series(cols["errs"], dtype="object")
+                out["error_kind"] = pd.Series(cols["kinds"], dtype="object")
             yield pd.DataFrame(out)
 
     schema = AUDIO_QUARANTINE_SCHEMA if quarantine else AUDIO_SCHEMA
