@@ -160,7 +160,13 @@ def test_satisfies_rides_fused_profile(spark):
     # plan BEFORE executing: post-collect AQE toString repeats the plan
     # (initial + final sections), double-counting scans
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Scan ExistingRDD") == 1
+    base = fused_profile(df, ["lo"])._jdf.queryExecution().executedPlan()
+    # the check adds NO scan: it rides the stats' plain fold (exact mode
+    # is 2 scans either way — the split distinct agg, see _merge_nd)
+    assert plan.count("Scan ExistingRDD") == 2
+    assert plan.count("Scan ExistingRDD") == base.toString().count(
+        "Scan ExistingRDD"
+    )
     rows = {(r["section"], r["check"]): r for r in out.collect()}
     chk = rows[("checks", "satisfies[hi >= lo](*)")]
     assert (chk["n_violations"], chk["passed"]) == (1, False)

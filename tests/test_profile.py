@@ -106,13 +106,16 @@ def test_profile_ops_accept_dotted_column_names(spark):
 
 
 def test_column_stats_one_agg_job(spark):
-    """The whole stats block is one aggregate pipeline over ONE scan of the
-    source: two exchanges in exact mode (Expand-based multi-distinct needs
-    a distinct-stage shuffle before the final one), exactly one in approx
-    mode — never one scan/job per column."""
+    """Exact mode is exactly TWO aggregate pipelines (plain stats fold +
+    the split distinct-only HashAggregate, union-folded — see
+    profile._merge_nd for why one fused aggregate would sort the
+    (n_cols+1)×N Expand stream) over two scans and three exchanges; approx
+    mode fuses back to ONE scan and ONE exchange. Never one scan/job per
+    column, and never a Sort operator anywhere."""
     exact = column_stats(_df(spark))._jdf.queryExecution().executedPlan().toString()
-    assert exact.count("Scan ExistingRDD") == 1
-    assert exact.count("Exchange") == 2
+    assert exact.count("Scan ExistingRDD") == 2
+    assert exact.count("Exchange") == 3
+    assert "Sort " not in exact and "BroadcastNestedLoopJoin" not in exact
     approx = (
         column_stats(_df(spark), exact_distinct=False)
         ._jdf.queryExecution().executedPlan().toString()
@@ -244,7 +247,7 @@ def test_fused_profile_matches_components(spark):
     assert got_hist == want_hist  # x = 1.5, 2.5 land; NULL dropped; b3 absent
 
 
-def test_fused_profile_is_one_scan_one_agg(spark):
+def test_fused_profile_is_two_aggs_no_sort(spark):
     from youtube_api_data_etl_automation_spark.operators.profile import (
         fused_profile,
     )
@@ -255,17 +258,22 @@ def test_fused_profile_is_one_scan_one_agg(spark):
         fused_profile(df, cols, checks=checks, hists=hists)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert plan.count("Scan ExistingRDD") == 1
-    # exact mode: the multi-distinct Expand needs its distinct-stage
-    # exchange before the final single-row one — same as column_stats
-    assert plan.count("Exchange") == 2
+    # exact mode: plain fold + split distinct-only HashAggregate
+    # (profile._merge_nd) — two scans, three exchanges, and crucially no
+    # Sort (the fused single-agg alternative sorts the whole Expand
+    # stream) and no nested-loop join from the 1-row merge
+    assert plan.count("Scan ExistingRDD") == 2
+    assert plan.count("Exchange") == 3
+    assert "Sort " not in plan and "BroadcastNestedLoopJoin" not in plan
     approx = (
         fused_profile(
             df, cols, checks=checks, hists=hists, exact_distinct=False
         )._jdf.queryExecution().executedPlan().toString()
     )
-    # `unique` still needs one exact distinct; stats cardinalities go HLL
-    assert approx.count("Scan ExistingRDD") == 1
+    # `unique` still needs one exact distinct, split to the side agg for
+    # the same no-sort reason; stats cardinalities go HLL in the fold
+    assert approx.count("Scan ExistingRDD") == 2
+    assert "Sort " not in approx
 
 
 def test_fused_profile_seeded_random_differential(spark):

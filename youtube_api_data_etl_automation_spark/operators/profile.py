@@ -6,20 +6,24 @@ API payload and crashes on surprises (SURVEY.md §2.6; e.g. the unguarded
 duration parse, fetch_youtube_data.py:184-186). At 100 TB the first step of
 any ingest/curation run is a cheap profile of what actually arrived: null
 rates, cardinalities, ranges, value skew. These operators are that step,
-built so the whole per-column stats block is ONE aggregate job over ONE scan
-of the table.
+built so the whole per-column stats block is one aggregate job over one
+scan of the table — plus, in exact-distinct mode only, a second
+distinct-only aggregate kept deliberately separate (see Scale notes).
 
 Scale notes
 -----------
-- ``column_stats`` with ``exact_distinct=True`` uses one COUNT(DISTINCT)
-  per column; Spark plans multi-distinct aggregates with an Expand (each
-  input row replicated once per distinct column before the partial
-  aggregate) — still a single scan, but the shuffle carries ``n_cols×``
-  rows and the plan needs a second exchange for the distinct stage. That
-  is the fixture/oracle mode. At 100 TB set ``exact_distinct=False``:
-  approx_count_distinct (HyperLogLog++) partials merge associatively, the
-  Expand and the extra exchange disappear, and the single shuffle carries
-  one tiny sketch per partition per column.
+- ``column_stats`` with ``exact_distinct=True`` (the fixture/oracle mode)
+  runs TWO aggregates over two column-pruned scans: the distinct counts
+  alone (Spark's multi-distinct Expand feeding a codegen'd HashAggregate —
+  all-long buffers, no sort) union-folded into the plain stats row.
+  They are deliberately NOT one aggregate: mixed, the string min/max
+  buffers disqualify HashAggregate and the multi-distinct rewrite makes
+  the resulting SortAggregate SORT the (n_cols+1)×N expanded rows —
+  interpreted, no codegen (measured 20-40× slower at sf0.1; a dead plan at
+  100 TB). At 100 TB set ``exact_distinct=False``: approx_count_distinct
+  (HyperLogLog++) partials merge associatively, no Expand exists, and
+  everything fuses back into ONE aggregate over ONE scan whose single
+  shuffle carries one tiny sketch per partition per column.
 - ``numeric_histogram`` groups on at most ``bins`` keys — map-side partial
   aggregation reduces the shuffle to ``bins`` rows per partition.
 - ``top_values`` aggregates (value, count) then takes the global top-k via
@@ -96,14 +100,28 @@ def _stats_aggs(
 ) -> list[Column]:
     """The per-column stats block as aggregate columns (``__n_rows`` +
     ``__p{i}__*`` per profiled column) — the shared core of
-    :func:`column_stats` and :func:`fused_profile`."""
+    :func:`column_stats` and :func:`fused_profile`.
+
+    In exact mode the distinct counts are OMITTED here — they go in their
+    own aggregate (see :func:`_merge_nd`): a
+    multi-COUNT(DISTINCT) mixed with string min/max buffers forces Spark
+    onto SortAggregate for the whole tree, and the multi-distinct rewrite
+    then groups the Expand stream by the distinct keys — i.e. the plan
+    SORTS (n_cols+1)×N rows, interpreted, no codegen. Split, the distinct
+    counts are a HashAggregate over the Expand (long buffers, no sort) and
+    the rest is a global fold; measured 20-40× faster at sf0.1 and the
+    5×N sort is gone at any scale. Approx mode keeps the HLL sketches in
+    this same aggregate: no Expand exists there, so the single-scan fused
+    form is strictly better."""
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n_rows")]
     for i, c in enumerate(names):
         dt = fields[c]
         col = _ref(c)  # verbatim name; internal agg aliases are positional
         aggs.append(F.count(col).alias(f"__p{i}__nn"))
-        nd = F.count_distinct(col) if exact_distinct else F.approx_count_distinct(col)
-        aggs.append(nd.cast("long").alias(f"__p{i}__nd"))
+        if not exact_distinct:
+            aggs.append(
+                F.approx_count_distinct(col).cast("long").alias(f"__p{i}__nd")
+            )
         if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
             mn = F.date_format(F.min(col), timestamp_format)
             mx = F.date_format(F.max(col), timestamp_format)
@@ -144,6 +162,43 @@ def _stats_aggs(
     return aggs
 
 
+def _merge_nd(
+    df: DataFrame,
+    row: DataFrame,
+    names: Sequence[str],
+    extra: Sequence[Column] = (),
+) -> DataFrame:
+    """Attach exact distinct counts to the 1-row stats aggregate: a
+    distinct-ONLY aggregate of the same source (all-long buffers →
+    HashAggregate over the multi-distinct Expand, codegen'd, no sort),
+    merged by unioning the two 1-row relations and collapsing with a
+    2-row ``max()`` fold — deliberately NOT a join: a 1×1 crossJoin plans
+    as BroadcastNestedLoopJoin (tripping the repo's no-nested-loop plan
+    pins) and a literal-key equi-join constant-folds back into one, while
+    the union-fold costs a 2-row exchange and nothing else. ``max`` over
+    [value, NULL] is the value; a legitimately-NULL stat (all-null column
+    min/max) has no non-NULL candidate on either row and stays NULL.
+
+    Costs a second column-pruned scan; buys the removal of an interpreted
+    sort over (n_cols+1)×N expanded rows — the right trade at every scale
+    where exact distincts are on (the oracle/fixture mode; 100 TB runs
+    use ``exact_distinct=False``, which stays single-scan).
+
+    ``extra`` carries additional distinct-involving aggregate columns that
+    must live on this side for the same reason (e.g. ``fused_profile``'s
+    ``unique`` expectation, whose violation count is
+    ``count - count_distinct``)."""
+    nd_row = df.agg(
+        *[
+            F.count_distinct(_ref(c)).cast("long").alias(f"__p{i}__nd")
+            for i, c in enumerate(names)
+        ],
+        *extra,
+    )
+    both = row.unionByName(nd_row, allowMissingColumns=True)
+    return both.agg(*[F.max(c).alias(c) for c in both.columns])
+
+
 def _stat_struct_fields(i: int, c: str, dt: T.DataType) -> dict[str, Column]:
     return {
         "column_name": F.lit(c),
@@ -167,9 +222,12 @@ def column_stats(
     """One row per profiled column: ``(column_name, dtype, n_rows, n_nulls,
     n_distinct, min_value, max_value, avg_value, avg_len)``.
 
-    One aggregate job, one scan — every per-column metric is a column of the
-    same wide agg, then the single result row is unpivoted driver-free via
-    ``inline``. NULL policy: ``n_nulls`` counts them, every other metric
+    One aggregate job over one scan for every non-distinct metric (plus,
+    in exact mode only, a distinct-count aggregate over a second pruned
+    scan, broadcast-joined — see the module Scale notes for why splitting
+    beats the fused SortAggregate), then the single result row is unpivoted
+    driver-free via ``inline``. NULL policy: ``n_nulls`` counts them, every
+    other metric
     ignores them (min/max/avg over the non-null subset); an all-NULL or
     empty column yields NULL min/max/avg and ``n_distinct = 0``.
 
@@ -181,6 +239,8 @@ def column_stats(
     """
     fields, names = _resolve_cols(df, cols)
     row = df.agg(*_stats_aggs(fields, names, exact_distinct, timestamp_format))
+    if exact_distinct:
+        row = _merge_nd(df, row, names)
     structs = [
         F.struct(
             *[
@@ -302,29 +362,34 @@ def fused_profile(
     timestamp_format: str = "yyyy-MM-dd HH:mm:ss",
 ) -> DataFrame:
     """The whole profile-and-gate pass — per-column stats, expectation
-    checks, fixed-grid histograms — as ONE wide aggregate over ONE scan.
+    checks, fixed-grid histograms — fused into the minimum number of
+    aggregate passes (one, plus the split distinct-only aggregate in
+    exact mode — see :func:`_merge_nd`).
 
     :func:`column_stats`, ``expectations.run_checks``'s aggregate branch,
     and :func:`numeric_histogram` are each global aggregates of the same
     table; composed naively (as separate union branches) they scan the
     fact once EACH. This operator folds them into a single ``df.agg``:
     each histogram bucket is a conditional sum (fixed small ``bins``, so
-    ``bins`` extra codegen'd agg columns, not a groupBy), each check rides
+    ``bins`` extra agg columns, not a groupBy), each check rides
     :func:`expectations.violation_agg`, and the one result row unpivots
     into the section-tagged wide relation (``section`` ∈ stats/checks/hist,
     NULL-padded like the driver row ``table_profile_orders``).
 
-    Measured guidance (sf0.1, local[32]): fusing CHECKS is free — CPU-
-    neutral (the check sums ride the Expand stream the stats'
-    multi-distinct already pays for) and one fewer full-width scan of the
-    fact, the term that dominates at 100 TB. Fusing HISTS is a trade:
-    under ``exact_distinct`` the Expand multiplies the agg input
-    (n_distinct_cols + 1)×, so the bucket sums cost ~1.5 s there vs 0.15 s
-    as their own single-column groupBy scan — pass ``hists`` only when the
-    extra scan is the bottleneck (remote/cold storage where I/O dominates,
-    or ``exact_distinct=False`` where no Expand exists and the fold is
-    genuinely one cheap pass). The driver row keeps its histogram as a
-    separate scan for exactly this reason.
+    Plan shape: distinct-involving aggregates — the exact per-column
+    distinct counts and any ``unique`` check (``count − count_distinct``)
+    — run in the separate all-long-buffer HashAggregate and union-fold
+    back (:func:`_merge_nd`); everything else (min/max/means, row-level
+    check sums, histogram bucket sums) is one global fold with no Expand
+    and no sort. Note the fold itself is SortAggregate-interpreted (string
+    min/max buffers disqualify codegen), so every fused column adds
+    ~per-row interpreted cost: fusing CHECKS is a few sums and worth the
+    saved scan; fusing HISTS adds ``bins`` updates per row, which at sf0.1
+    measures slower than :func:`numeric_histogram`'s own codegen'd
+    single-column groupBy scan (~1 s vs 0.4 s for 20 bins) — pass
+    ``hists`` when scan I/O dominates (wide rows, remote/cold storage),
+    keep the separate scan when compute does. The driver row keeps its
+    histogram separate for exactly this reason.
 
     Semantics are EXACTLY the component operators': same stats arithmetic
     (shared ``_stats_aggs``), same NULL/NaN policy, same clamped buckets
@@ -344,8 +409,10 @@ def fused_profile(
         if not hi > lo:
             raise ValueError(f"need hi > lo, got [{lo}, {hi})")
     aggs = _stats_aggs(fields, names, exact_distinct, timestamp_format)
+    side: list[Column] = []  # distinct-involving aggs: see _merge_nd
     for j, c in enumerate(checks):
-        aggs.append(violation_agg(c).cast("long").alias(f"__c{j}"))
+        va = violation_agg(c).cast("long").alias(f"__c{j}")
+        (side if c.kind == "unique" else aggs).append(va)
     for j, (col, lo, hi, bins) in enumerate(hists):
         x = _ref(col).cast("double")
         width = (hi - lo) / bins
@@ -362,6 +429,13 @@ def fused_profile(
                 .alias(f"__h{j}_{i}")
             )
     row = df.agg(*aggs)
+    if exact_distinct:
+        row = _merge_nd(df, row, names, extra=side)
+    elif side:
+        # Approx mode with a `unique` check: the HLL sketches stay in the
+        # main agg, but the check's count_distinct must still be split out
+        # or it would drag the whole agg onto the sorted Expand path.
+        row = _merge_nd(df, row, [], extra=side)
 
     structs = [
         _wide_struct(

@@ -1342,7 +1342,44 @@ def profile_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("1-URGENT").alias("o_orderpriority"),
         "o_orderdate",
     )
-    moments = profile_drift(column_stats(cur, cols), column_stats(prev, cols))
+    # BOTH slices' stats from ONE column_stats pass: the cur slice is a
+    # row-level rewrite of the prev columns, so an 8-column projection
+    # (prev__*/cur__*) profiles both in the same aggregates instead of
+    # two separate profile jobs over the same fact — the "profile many
+    # slices in one pass" shape that matters when prev isn't a committed
+    # profile but live data. The 8-row result is collected (O(k)
+    # control-plane, k = profiled columns — same sanction as the k
+    # centroids in operators/clustering.py) and re-created as two local
+    # relations; referencing the stats DataFrame from both drift sides
+    # instead would re-execute the whole profile job per side (the
+    # prefix filters specialize each branch, so ReuseExchange never
+    # matches the subtrees).
+    both = orders.select(
+        *[F.col(c).alias(f"prev__{c}") for c in cols],
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("cur__o_custkey"),
+        (F.col("o_totalprice") * F.lit(1.6)).alias("cur__o_totalprice"),
+        F.lit("1-URGENT").alias("cur__o_orderpriority"),
+        F.col("o_orderdate").alias("cur__o_orderdate"),
+    )
+    stats = column_stats(both)
+    stat_rows = stats.collect()
+    names = stats.schema.fieldNames()
+
+    def _slice(tag: str) -> DataFrame:
+        pref = f"{tag}__"
+        rows = [
+            tuple(
+                r[f][len(pref):] if f == "column_name" else r[f]
+                for f in names
+            )
+            for r in stat_rows
+            if r["column_name"].startswith(pref)
+        ]
+        return spark.createDataFrame(rows, stats.schema)
+
+    moments = profile_drift(_slice("cur"), _slice("prev"))
     moment_rows = moments.select(
         F.lit("moments").alias("section"),
         "column_name",
