@@ -92,6 +92,103 @@ def test_ngram_contamination_flags_overlap_only(spark):
     assert set(rows) == {1, 2, 3}
 
 
+def _decontam_fixture(spark):
+    """120 seeded docs over a small vocab (dense n-gram collisions) + a
+    7-doc benchmark sharing grams with roughly a third of the corpus."""
+    import random
+
+    rng = random.Random(8)
+    vocab = [f"w{i}" for i in range(40)]
+    corpus = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 30))))
+        for i in range(120)
+    ]
+    bench = [
+        (1000 + i, " ".join(rng.choice(vocab) for _ in range(12)))
+        for i in range(7)
+    ]
+    return (
+        spark.createDataFrame(corpus, "doc_id long, text string"),
+        spark.createDataFrame(bench, "doc_id long, text string"),
+    )
+
+
+def test_bloom_decontam_equals_exact(spark):
+    """The Bloom-prefiltered mode must return BIT-IDENTICAL verdicts to
+    exact mode — Bloom has no false negatives and the exact confirm join
+    removes every false positive — even with an absurdly undersized
+    filter (m=64, k=1 ⇒ near-100% FPR, the worst case: the prefilter
+    degenerates to a pass-through and correctness must not depend on its
+    selectivity)."""
+    corpus, bench = _decontam_fixture(spark)
+    exact = sorted(
+        tuple(r) for r in ngram_contamination(corpus, bench, n=3).collect()
+    )
+    assert any(r[2] == 1 for r in exact) and any(r[2] == 0 for r in exact)
+    for m_bits, k in ((1 << 16, 5), (64, 1)):
+        bloom = sorted(
+            tuple(r)
+            for r in ngram_contamination(
+                corpus, bench, n=3, bloom_bits=m_bits, bloom_k=k
+            ).collect()
+        )
+        assert bloom == exact, (m_bits, k)
+
+
+def test_bloom_bitset_relation_shape(spark):
+    """The bit array is a (word_idx, bits) relation bounded by m/64 rows
+    with every word index in range, and a well-sized filter actually
+    prunes: non-member probe traffic into the exact join drops."""
+    from youtube_api_data_etl_automation_spark.operators.decontam import (
+        bloom_bitset,
+        bloom_might_contain,
+    )
+
+    grams = spark.createDataFrame(
+        [(f"g{i}",) for i in range(200)], "g string"
+    )
+    m, k = 1 << 14, 5
+    words = bloom_bitset(grams, m, k).collect()
+    assert len(words) <= m // 64
+    assert all(0 <= r.word_idx < m // 64 for r in words)
+    assert all(r.bits != 0 for r in words)
+    bitset = bloom_bitset(grams, m, k)
+    members = bloom_might_contain(grams, bitset, m, k).count()
+    assert members == 200  # no false negatives, ever
+    probes = spark.createDataFrame(
+        [(f"other{i}",) for i in range(500)], "g string"
+    )
+    fps = bloom_might_contain(probes, bitset, m, k).count()
+    # 200 grams in 2^14 bits at k=5 → FPR ~ 0.03%; allow slack
+    assert fps < 25
+
+
+def test_bloom_prefilter_plan_is_broadcast_only(spark):
+    """Scale pin: the corpus side streams map-side through k broadcast
+    hash joins — the Bloom prefilter adds NO nested-loop join and exactly
+    k broadcast joins, and the bitset is BUILT ONCE: every probe join
+    references the relation with identical aliases, so after execution
+    the k-1 later broadcasts are ReusedExchange nodes, not k rebuilds of
+    the bit array."""
+    corpus, bench = _decontam_fixture(spark)
+    exact_plan = (
+        ngram_contamination(corpus, bench, n=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    k = 4
+    bloom = ngram_contamination(
+        corpus, bench, n=3, bloom_bits=1 << 16, bloom_k=k
+    )
+    pre = bloom._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in pre
+    assert pre.count("BroadcastHashJoin") == exact_plan.count(
+        "BroadcastHashJoin"
+    ) + k
+    bloom.collect()
+    post = bloom._jdf.queryExecution().executedPlan().toString()
+    assert post.count("ReusedExchange") >= k - 1
+
+
 def test_stratified_sample_partitioning_invariant(spark):
     from youtube_api_data_etl_automation_spark.plans.curation import (
         sampling_audits,

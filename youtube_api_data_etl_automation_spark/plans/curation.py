@@ -174,13 +174,21 @@ hits AS (
   FROM ng JOIN bench USING (g)
   WHERE ng.doc_id % 97 <> 0
   GROUP BY ng.doc_id
+),
+verdicts AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(h.n_hit_ngrams, 0) AS BIGINT) AS n_hit_ngrams,
+         CAST(CASE WHEN COALESCE(h.n_hit_ngrams, 0) > 0 THEN 1 ELSE 0 END
+              AS BIGINT) AS contaminated
+  FROM documents d LEFT JOIN hits h USING (doc_id)
+  WHERE d.doc_id % 97 <> 0
 )
-SELECT d.doc_id,
-       CAST(COALESCE(h.n_hit_ngrams, 0) AS BIGINT) AS n_hit_ngrams,
-       CAST(CASE WHEN COALESCE(h.n_hit_ngrams, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
-         AS contaminated
-FROM documents d LEFT JOIN hits h USING (doc_id)
-WHERE d.doc_id % 97 <> 0
+-- the Bloom-prefiltered mode is exact by construction (no false
+-- negatives; the exact confirm join removes false positives), so its
+-- oracle IS the exact verdicts again under its own tag
+SELECT 'exact' AS section, * FROM verdicts
+UNION ALL
+SELECT 'bloom' AS section, * FROM verdicts
 """
 
 
@@ -191,11 +199,26 @@ def decontam_ngram_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     against it (operators/decontam.py — benchmark n-grams broadcast, corpus
     n-grams never shuffle, per-doc hit agg is the only exchange). The
     corpus side rebalances (the n-gram explode is the compute hot spot and
-    the input is a single row group); the benchmark slice stays tiny."""
+    the input is a single row group); the benchmark slice stays tiny.
+
+    Two sections, one oracle truth: `exact` broadcasts the benchmark grams
+    themselves; `bloom` (r8) first streams corpus grams through the
+    relational Bloom filter (operators/decontam.py::bloom_bitset — k
+    broadcast probe joins over a (word_idx, bits) relation at ~m/8 bytes
+    total, the shape that survives benchmark sets too big to broadcast as
+    strings) and confirms survivors against the exact set, which makes its
+    verdicts bit-identical — both sections hash against the SAME oracle
+    rows, proving the probabilistic prefilter changes traffic, not
+    results."""
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
     is_bench = F.col("doc_id") % 97 == 0
-    return ngram_contamination(
-        docs.filter(~is_bench), docs.filter(is_bench), n=_DECONTAM_N
+    corpus, bench = docs.filter(~is_bench), docs.filter(is_bench)
+    exact = ngram_contamination(corpus, bench, n=_DECONTAM_N)
+    bloom = ngram_contamination(
+        corpus, bench, n=_DECONTAM_N, bloom_bits=1 << 20, bloom_k=5
+    )
+    return exact.select(F.lit("exact").alias("section"), "*").unionByName(
+        bloom.select(F.lit("bloom").alias("section"), "*")
     )
 
 
