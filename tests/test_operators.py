@@ -433,6 +433,72 @@ def test_ngram_jaccard_stop_shingle_cap(spark):
     assert uncapped_cand.count() == (22 * 21) // 2
 
 
+def test_incremental_dedup_against_committed_index(spark):
+    """Continuous-ingest dedup: a new batch checked against a committed
+    corpus index (fingerprints + MinHash signatures) without touching
+    corpus text. Verdicts: exact duplicate of a committed doc, near-dup
+    (band collision, scored >= threshold, best-match tie-broken to the
+    smallest corpus id), short-doc exact dup (no shingles — fingerprint
+    only), and kept."""
+    from youtube_api_data_etl_automation_spark.operators.dedup import (
+        corpus_dedup_index,
+        dedup_against_index,
+    )
+
+    corpus = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+            (3, "hi"),  # shorter than the shingle width: no signature
+            (4, "alpha beta gamma delta epsilon zeta"),  # committed twin of 1
+        ],
+    )
+    idx = corpus_dedup_index(corpus)
+    # short doc carries a fingerprint but NULL signature components
+    short = {r.doc_id: r.m0 for r in idx.collect()}
+    assert short[3] is None and short[1] is not None
+
+    new = _docs(
+        spark,
+        [
+            (10, "Alpha  beta GAMMA delta epsilon zeta"),  # exact dup (normalized) of 1 and 4
+            (11, "one two three four five six SEVEN extra"),  # near-dup of 2
+            (12, "hi"),  # exact dup of the short committed doc
+            (13, "totally novel content with fresh words"),  # kept
+        ],
+    )
+    out = {
+        r.doc_id: (r.verdict, r.dup_of, r.est_jaccard)
+        for r in dedup_against_index(new, idx, threshold=0.25).collect()
+    }
+    assert set(out) == {10, 11, 12, 13}
+    # exact beats near; dup_of = smallest matching corpus id; est NULL
+    assert out[10] == ("exact_dup", 1, None)
+    assert out[12] == ("exact_dup", 3, None)
+    assert out[13] == ("kept", None, None)
+    verdict, dup_of, est = out[11]
+    assert verdict == "near_dup" and dup_of == 2 and est >= 0.25
+
+
+def test_incremental_dedup_index_never_shuffles(spark):
+    """Scale pin: every join broadcasts a delta-derived relation — the
+    committed index streams map-side, with no index-keyed exchange and no
+    nested-loop join."""
+    from youtube_api_data_etl_automation_spark.operators.dedup import (
+        corpus_dedup_index,
+        dedup_against_index,
+    )
+
+    corpus = _docs(spark, [(i, f"w{i} x{i} y{i} z{i} common tail") for i in range(30)])
+    new = _docs(spark, [(100, "w1 x1 y1 z1 common tail")])
+    out = dedup_against_index(new, corpus_dedup_index(corpus), threshold=0.25)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    out.collect()
+
+
 def test_minhash_signature_identical_for_identical_docs(spark):
     docs = _docs(spark, [(1, "a b c d e f"), (2, "a b c d e f"), (3, "q r s t u v")])
     sigs = {r.doc_id: tuple(r[f"m{i}"] for i in range(8)) for r in minhash_signatures(docs).collect()}

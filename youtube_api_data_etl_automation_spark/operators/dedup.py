@@ -228,6 +228,42 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def signature_bands(
+    sig: DataFrame, num_hashes: int, band_size: int
+) -> DataFrame:
+    """LSH band keys from a MinHash signature relation: (doc_id, band_idx,
+    band_key), band_key = md5 of the band's joined signature components.
+    Derivable from stored signatures alone — no re-shingling, which is
+    what lets a committed dedup index (:func:`corpus_dedup_index`) serve
+    band joins forever without touching corpus text. Docs with NULL
+    signatures (shorter than the shingle width — they have no shingles)
+    contribute NO band rows: concat_ws would otherwise collapse every
+    such doc into one md5('') mega-bucket."""
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"m{i * band_size + j}") for j in range(band_size)]
+                    )
+                ).alias("band_key"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    return (
+        sig.filter(F.col("m0").isNotNull())
+        .select("doc_id", F.explode(bands).alias("band"))
+        .select(
+            "doc_id",
+            F.col("band.band_idx").alias("band_idx"),
+            F.col("band.band_key").alias("band_key"),
+        )
+    )
+
+
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       k: int = 3, num_hashes: int = 8, band_size: int = 2,
                       threshold: float = 0.5) -> DataFrame:
@@ -250,29 +286,11 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "do
         )
     # Persist: signatures feed the band explode AND the two scoring joins.
     sig = minhash_signatures(docs, text_col, id_col, k, num_hashes).persist()
-    n_bands = num_hashes // band_size
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band_idx"),
-                F.md5(
-                    F.concat_ws(
-                        "|", *[F.col(f"m{i * band_size + j}") for j in range(band_size)]
-                    )
-                ).alias("band_key"),
-            )
-            for i in range(n_bands)
-        ]
-    )
     # Candidate generation carries ONLY (doc_id, band_idx, band_key): at 100 TB
     # the band self-join shuffles 3 narrow columns, and the distinct collapses
     # multi-band collisions to bare (doc_a, doc_b) pairs BEFORE signatures are
     # re-attached — the wide signature rows never enter the join shuffle.
-    banded = sig.select("doc_id", F.explode(bands).alias("band")).select(
-        "doc_id",
-        F.col("band.band_idx").alias("band_idx"),
-        F.col("band.band_key").alias("band_key"),
-    )
+    banded = signature_bands(sig, num_hashes, band_size)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -299,3 +317,147 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "do
         .select("doc_a", "doc_b", round6(est).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
     )
+
+
+def corpus_dedup_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """The per-doc dedup STATE a continuous pipeline commits alongside its
+    corpus (e.g. through operators/versioned.py): ``(doc_id, fingerprint,
+    m0..m{num_hashes-1})``. Exact dedup needs only the md5 content
+    fingerprint; near-dup needs only the MinHash signature (band keys are
+    re-derivable from it — :func:`signature_bands`) — so future batches
+    dedup against an arbitrarily old corpus WITHOUT ever re-reading or
+    re-shingling its text. Docs shorter than the shingle width carry NULL
+    signature components (they have no shingles, hence no near-dup
+    surface) but still carry a fingerprint, so exact duplicates of short/
+    empty docs are caught.
+
+    Cost: ONE groupBy over the batch being indexed — O(batch), never
+    O(corpus), and join-free: the fingerprint rides the shingle relation
+    as a grouping key (functionally dependent on doc_id) instead of being
+    joined back on, explode_outer keeps shingle-less docs as a NULL
+    shingle row (md5 of NULL is NULL, so their signature components come
+    out NULL), and no pre-distinct is needed because MIN is insensitive
+    to duplicate shingles — so the only exchange is the map-side-combined
+    signature groupBy itself, one combined row per doc per partition."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        doc_fingerprint(text_col).alias("fingerprint"),
+        tokens(text_col).alias("__tok"),
+    ).select(
+        "doc_id",
+        "fingerprint",
+        F.explode_outer(word_shingles_t("__tok", k)).alias("shingle"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("shingle")))).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id", "fingerprint").agg(*aggs)
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental dedup: verdict per NEW doc against a COMMITTED corpus
+    index (:func:`corpus_dedup_index`) — the shape a continuous ingest
+    actually runs, where yesterday's 100 TB is already deduped/committed
+    and only today's delta needs checking.
+
+    Returns one row per new doc: ``(doc_id, verdict, dup_of,
+    est_jaccard)`` with verdict ∈ 'exact_dup' (fingerprint already
+    committed; dup_of = smallest matching corpus id), 'near_dup' (LSH
+    band collision scored ≥ threshold; dup_of = best match — highest
+    est_jaccard, ties to the smallest corpus id), or 'kept'. Exact beats
+    near when both hold (est_jaccard is NULL on exact hits: identity
+    needs no estimate). Within-batch duplicates are deliberately out of
+    scope — run the batch through the ordinary dedup operators first,
+    then check survivors against the index.
+
+    Scale shape: the DELTA side is small by construction, so every join
+    broadcasts delta-derived relations — new fingerprints into the exact
+    probe, new band keys into the candidate join, the candidate pairs
+    into the scoring join — and the corpus index only ever streams
+    map-side through broadcast hash joins: no index shuffle, no index
+    sort, no O(corpus) work beyond one scan of the (narrow) index
+    relation."""
+    new_idx = corpus_dedup_index(new_docs, text_col, id_col, k, num_hashes)
+    # The tiny side feeds three joins; without a persist each consumer
+    # would re-shingle the delta.
+    new_idx = new_idx.persist()
+
+    c_fps = index.select(F.col("doc_id").alias("c_id"), "fingerprint")
+    exact = (
+        c_fps.join(
+            F.broadcast(new_idx.select("doc_id", "fingerprint")), "fingerprint"
+        )
+        .groupBy("doc_id")
+        .agg(F.min("c_id").alias("x_dup_of"))
+    )
+
+    new_bands = signature_bands(new_idx, num_hashes, band_size)
+    c_bands = signature_bands(
+        index.select("doc_id", *[f"m{i}" for i in range(num_hashes)]),
+        num_hashes,
+        band_size,
+    )
+    cand = (
+        c_bands.withColumnRenamed("doc_id", "c_id")
+        .join(F.broadcast(new_bands), ["band_idx", "band_key"])
+        .select("doc_id", "c_id")
+        .distinct()
+    )
+    c_sigs = index.select(
+        F.col("doc_id").alias("c_id"),
+        *[F.col(f"m{i}").alias(f"cm{i}") for i in range(num_hashes)],
+    )
+    eqs = sum(
+        (F.col(f"m{i}") == F.col(f"cm{i}")).cast("int") for i in range(num_hashes)
+    )
+    scored = (
+        c_sigs.join(F.broadcast(cand.join(F.broadcast(new_idx), "doc_id")), "c_id")
+        .select(
+            "doc_id", "c_id", round6(eqs / F.lit(float(num_hashes))).alias("est")
+        )
+        .filter(F.col("est") >= threshold)
+    )
+    # Best match = (max est, then min corpus id): one struct-max aggregate,
+    # no window. The negated id makes the lexicographic struct order
+    # express the tie-break.
+    near = (
+        scored.groupBy("doc_id")
+        .agg(F.max(F.struct(F.col("est"), (-F.col("c_id")).alias("neg"))).alias("b"))
+        .select("doc_id", F.col("b.est").alias("n_est"), (-F.col("b.neg")).alias("n_dup_of"))
+    )
+
+    out = (
+        new_docs.select(F.col(id_col).alias("doc_id"))
+        .join(F.broadcast(exact), "doc_id", "left")
+        .join(F.broadcast(near), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("x_dup_of").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("n_dup_of").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("verdict"),
+            F.coalesce("x_dup_of", "n_dup_of").cast("long").alias("dup_of"),
+            F.when(F.col("x_dup_of").isNull(), F.col("n_est"))
+            .cast("double")
+            .alias("est_jaccard"),
+        )
+    )
+    new_idx.unpersist()
+    return out

@@ -341,21 +341,159 @@ def corpus_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The md5 content fingerprint (doc_fingerprint) is driver-verified through
 # `dedup_exact_docs`, which groups BY that fingerprint and emits it.
 
-
-@query(
-    "dedup_exact_docs",
-    oracle=f"""
-    SELECT md5({_NORM.format(col='text')}) AS fingerprint,
-           CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
-           CAST(COUNT(*) AS BIGINT) AS n_copies
-    FROM documents
-    GROUP BY 1
-    """,
+# Incremental-dedup fixture: committed corpus = doc_id % 3 <> 0, new batch =
+# doc_id % 3 = 0 PLUS a planted exact twin of committed doc 1 (shifted id) —
+# the synthetic data has no cross-split exact duplicates of its own, so the
+# plant is what exercises the exact_dup verdict; the near_dup verdicts come
+# from the data's real cross-split near-duplicate structure.
+_INC_SIG_MINS = ",\n             ".join(
+    f"min(md5('s{i}|' || shingle)) AS m{i}" for i in range(8)
 )
+_INC_BANDS = "\n      UNION ALL\n".join(
+    f"      SELECT doc_id, {i} AS band_idx, "
+    f"md5(m{i * 2} || '|' || m{i * 2 + 1}) AS band_key FROM {{side}}sig"
+    for i in range(4)
+)
+_INC_EQS = " + ".join(f"CAST(n.m{i} = c.m{i} AS INT)" for i in range(8))
+
+
+def _inc_side_ctes(side: str, rel: str) -> str:
+    """Shingle → signature → band CTEs for one side of the incremental
+    dedup (mirrors operators/dedup.py::corpus_dedup_index +
+    signature_bands: docs without shingles get no sig row, hence no
+    bands; MIN needs no distinct)."""
+    return f"""
+    {side}toks AS (
+      SELECT doc_id, string_split({_NORM.format(col='text')}, ' ') AS t
+      FROM {rel}
+    ),
+    {side}sh AS (
+      SELECT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+      FROM {side}toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS s(i)
+    ),
+    {side}sig AS (
+      SELECT doc_id,
+             {_INC_SIG_MINS}
+      FROM {side}sh GROUP BY doc_id
+    ),
+    {side}band AS (
+{_INC_BANDS.format(side=side)}
+    )"""
+
+
+_DEDUP_DOCS_ORACLE = f"""
+WITH groups AS (
+  SELECT md5({_NORM.format(col='text')}) AS fingerprint,
+         CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+         CAST(COUNT(*) AS BIGINT) AS n_copies
+  FROM documents
+  GROUP BY 1
+),
+committed AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+newdocs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id = 1
+),
+cfp AS (SELECT doc_id, md5({_NORM.format(col='text')}) AS f FROM committed),
+nfp AS (SELECT doc_id, md5({_NORM.format(col='text')}) AS f FROM newdocs),
+{_inc_side_ctes('c', 'committed')},
+{_inc_side_ctes('n', 'newdocs')},
+exact AS (
+  SELECT n.doc_id, CAST(MIN(c.doc_id) AS BIGINT) AS x_dup_of
+  FROM nfp n JOIN cfp c ON n.f = c.f GROUP BY 1
+),
+cand AS (
+  SELECT DISTINCT n.doc_id, c.doc_id AS c_id
+  FROM nband n JOIN cband c USING (band_idx, band_key)
+),
+scored AS (
+  SELECT cand.doc_id, cand.c_id,
+         floor((({_INC_EQS}) / 8.0) * 1000000.0 + 0.5) / 1000000.0 AS est
+  FROM cand
+  JOIN nsig n ON n.doc_id = cand.doc_id
+  JOIN csig c ON c.doc_id = cand.c_id
+  WHERE floor((({_INC_EQS}) / 8.0) * 1000000.0 + 0.5) / 1000000.0 >= 0.25
+),
+best AS (SELECT doc_id, MAX(est) AS est FROM scored GROUP BY 1),
+near AS (
+  SELECT s.doc_id, CAST(MIN(s.c_id) AS BIGINT) AS n_dup_of, b.est
+  FROM scored s JOIN best b ON s.doc_id = b.doc_id AND s.est = b.est
+  GROUP BY s.doc_id, b.est
+),
+verdicts AS (
+  SELECT nd.doc_id,
+         CASE WHEN e.x_dup_of IS NOT NULL THEN 'exact_dup'
+              WHEN nr.n_dup_of IS NOT NULL THEN 'near_dup'
+              ELSE 'kept' END AS verdict,
+         COALESCE(e.x_dup_of, nr.n_dup_of) AS dup_of,
+         CASE WHEN e.x_dup_of IS NULL THEN nr.est END AS est_jaccard
+  FROM newdocs nd
+  LEFT JOIN exact e ON e.doc_id = nd.doc_id
+  LEFT JOIN near nr ON nr.doc_id = nd.doc_id
+)
+SELECT 'groups' AS section, fingerprint, canonical_id, n_copies,
+       CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS verdict,
+       CAST(NULL AS BIGINT) AS dup_of, CAST(NULL AS DOUBLE) AS est_jaccard
+FROM groups
+UNION ALL
+SELECT 'incremental', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), doc_id, verdict, dup_of,
+       CAST(est_jaccard AS DOUBLE)
+FROM verdicts
+"""
+
+
+@query("dedup_exact_docs", oracle=_DEDUP_DOCS_ORACLE)
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: hash-groupBy on the content fingerprint. Only
-    (fingerprint, id) pairs shuffle — document bodies never move."""
-    return exact_duplicates(load_table(spark, sf_dir, "documents", rebalance=True))
+    """Two dedup surfaces under one oracle row. `groups`: exact dedup as a
+    hash-groupBy on the content fingerprint — only (fingerprint, id) pairs
+    shuffle, document bodies never move. `incremental` (r8): the
+    continuous-ingest shape — a committed corpus (doc_id % 3 <> 0) is
+    reduced ONCE to its dedup index (operators/dedup.py::
+    corpus_dedup_index — fingerprint + MinHash signature per doc, one
+    join-free groupBy) and the new batch (doc_id % 3 = 0, plus a planted
+    exact twin of committed doc 1) gets per-doc verdicts from
+    dedup_against_index: exact fingerprint hit, LSH-band near-dup scored
+    ≥ 0.25 with best-match attribution, or kept. Every probe join
+    broadcasts the delta side; the index never shuffles
+    (tests/test_operators.py pins the plan)."""
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    from ..operators.dedup import corpus_dedup_index, dedup_against_index
+
+    groups = exact_duplicates(docs).select(
+        F.lit("groups").alias("section"),
+        "fingerprint",
+        "canonical_id",
+        "n_copies",
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("string").alias("verdict"),
+        F.lit(None).cast("long").alias("dup_of"),
+        F.lit(None).cast("double").alias("est_jaccard"),
+    )
+    committed = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    new_batch = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") == 1).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    verdicts = dedup_against_index(
+        new_batch, corpus_dedup_index(committed), threshold=0.25
+    ).select(
+        F.lit("incremental").alias("section"),
+        F.lit(None).cast("string").alias("fingerprint"),
+        F.lit(None).cast("long").alias("canonical_id"),
+        F.lit(None).cast("long").alias("n_copies"),
+        "doc_id",
+        "verdict",
+        "dup_of",
+        "est_jaccard",
+    )
+    return groups.unionByName(verdicts)
 
 
 # Shared shingle CTE for the Jaccard/MinHash oracles (k=3 word shingles over
