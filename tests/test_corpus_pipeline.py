@@ -307,3 +307,65 @@ def test_n_tokens_counts_the_redacted_stream(spark):
     ordered = sorted(rows.values(), key=lambda r: r["token_start"])
     for a, b in zip(ordered, ordered[1:]):
         assert b["token_start"] == a["token_start"] + a["n_tokens"]
+
+
+def test_commit_deduped_batch_end_to_end(spark, tmp_path):
+    """The continuous-ingest loop: batch 1 seeds the sink; batch 2 is
+    checked against COMMITTED state (exact twin dropped, near-dup
+    dropped, within-batch copy dropped, novel doc kept); a replay of
+    batch 2 commits nothing. The sink's single relation carries docs +
+    their dedup index, so probes re-read signatures, never text."""
+    from youtube_api_data_etl_automation_spark.corpus import (
+        commit_deduped_batch,
+    )
+    from youtube_api_data_etl_automation_spark.operators.versioned import (
+        read_appended,
+    )
+
+    sink = str(tmp_path / "corpus_sink")
+    b1 = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine"),
+            (3, "completely separate committed content here now"),
+        ],
+        "doc_id long, text string",
+    )
+    r1 = commit_deduped_batch(b1, sink, threshold=0.25)
+    assert r1 == {
+        "n_in": 3, "n_within_exact": 0, "n_exact_dup": 0, "n_near_dup": 0,
+        "n_committed": 3, "version": 1,
+    }
+
+    b2 = spark.createDataFrame(
+        [
+            (10, "ALPHA beta gamma  delta epsilon zeta eta theta"),  # exact dup of 1 (normalized)
+            (11, "one two three four five six seven eight NINE ten"),  # near-dup of 2
+            (12, "genuinely new material nothing like the others"),  # novel
+            (13, "genuinely new material nothing like the others"),  # within-batch copy of 12
+        ],
+        "doc_id long, text string",
+    )
+    r2 = commit_deduped_batch(b2, sink, threshold=0.25)
+    assert r2 == {
+        "n_in": 4, "n_within_exact": 1, "n_exact_dup": 1, "n_near_dup": 1,
+        "n_committed": 1, "version": 2,
+    }
+
+    state = read_appended(spark, sink)
+    assert {r.doc_id for r in state.select("doc_id").collect()} == {1, 2, 3, 12}
+    # the stored index matches a recomputation from the stored text
+    from youtube_api_data_etl_automation_spark.operators.dedup import (
+        corpus_dedup_index,
+    )
+    stored = {r.doc_id: (r.fingerprint, r.m0) for r in state.collect()}
+    redone = {
+        r.doc_id: (r.fingerprint, r.m0)
+        for r in corpus_dedup_index(state.select("doc_id", "text")).collect()
+    }
+    assert stored == redone
+
+    # replay: every doc is now a duplicate of committed state → no commit
+    r3 = commit_deduped_batch(b2, sink, threshold=0.25)
+    assert r3["n_committed"] == 0 and r3["version"] == 2
+    assert r3["n_exact_dup"] >= 2  # 10 and 12's canonical both already in

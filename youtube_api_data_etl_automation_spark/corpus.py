@@ -368,3 +368,129 @@ def write_training_shards(packed: DataFrame, path: str,
         .mode("overwrite")
         .parquet(path)
     )
+
+
+def commit_deduped_batch(
+    new_docs: DataFrame,
+    base_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.5,
+    keep_versions: int = 2,
+) -> dict:
+    """Continuous-ingest commit: dedup a new batch against everything the
+    sink has EVER committed, then append only the novel docs — together
+    with their dedup-index columns — as one atomic, reader-safe version
+    (operators/versioned.py::append_versioned).
+
+    The sink holds ONE relation per doc: the doc's own columns plus
+    ``fingerprint`` and the MinHash signature ``m0..m{num_hashes-1}``
+    (operators/dedup.py::corpus_dedup_index). Storing the index inline
+    rather than in a sibling sink keeps the commit atomic (no docs/index
+    ordering window where a crash strands one side) and costs nothing at
+    probe time: the index read projects only the narrow columns, so
+    parquet column pruning never touches stored text.
+
+    Dedup order: within-batch EXACT dedup first (canonical = min id per
+    fingerprint — a batch that contains its own duplicate must not land
+    twice), then verdicts against the committed index via
+    dedup_against_index (exact fingerprint hit, LSH near-dup ≥ threshold,
+    or kept). Within-batch NEAR-dup is deliberately out of scope here —
+    run the batch through :func:`curate_corpus` first when that matters.
+
+    Returns a report dict: n_in, n_within_exact (dropped as within-batch
+    copies), n_exact_dup / n_near_dup (dropped against committed state),
+    n_committed (rows actually appended — 0 on a full-duplicate or
+    replayed batch), version (current sink version after the call). The
+    counts are O(1) driver scalars off one verdict aggregate; nothing
+    O(batch) collects. Concurrency: append_versioned's CAS protocol
+    applies — on ConcurrentWriteError, retry; the fingerprint state is
+    re-read fresh and the id-keyed anti-join keeps replays exactly-once.
+    """
+    from .operators.dedup import corpus_dedup_index, dedup_against_index
+    from .operators.versioned import (
+        append_versioned,
+        current_version,
+        read_appended,
+    )
+
+    spark = new_docs.sparkSession
+    n_in = new_docs.count()
+    batch_idx = corpus_dedup_index(
+        new_docs, text_col, id_col, k, num_hashes
+    ).persist()
+    canon = batch_idx.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("__canon_id")
+    ).withColumnRenamed("fingerprint", "__canon_fp")
+    survivor_idx = (
+        batch_idx.join(
+            F.broadcast(canon),
+            (batch_idx["fingerprint"] == canon["__canon_fp"])
+            & (batch_idx["doc_id"] == canon["__canon_id"]),
+        )
+        .select(batch_idx["*"])
+        .persist()
+    )
+    n_within = n_in - survivor_idx.count()
+
+    sig_cols = [f"m{i}" for i in range(num_hashes)]
+    have_state = current_version(spark, base_path) is not None
+    if have_state:
+        committed_index = read_appended(spark, base_path).select(
+            "doc_id", "fingerprint", *sig_cols
+        )
+        survivors_docs = new_docs.join(
+            F.broadcast(survivor_idx.select("doc_id")),
+            new_docs[id_col] == survivor_idx["doc_id"],
+        ).select(new_docs["*"])
+        verdicts = dedup_against_index(
+            survivors_docs,
+            committed_index,
+            text_col=text_col,
+            id_col=id_col,
+            k=k,
+            num_hashes=num_hashes,
+            band_size=band_size,
+            threshold=threshold,
+            new_index=survivor_idx,
+        ).persist()
+        counts = {
+            r["verdict"]: r["n"]
+            for r in verdicts.groupBy("verdict")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        keep_ids = verdicts.filter(F.col("verdict") == "kept").select("doc_id")
+    else:
+        counts = {}
+        keep_ids = survivor_idx.select("doc_id")
+
+    rows = (
+        new_docs.alias("d")
+        .join(
+            survivor_idx.select("doc_id", "fingerprint", *sig_cols).alias("i"),
+            F.col(f"d.{id_col}") == F.col("i.doc_id"),
+        )
+        .join(F.broadcast(keep_ids.alias("kp")), F.col("i.doc_id") == F.col("kp.doc_id"))
+        .select("d.*", "i.fingerprint", *[f"i.{c}" for c in sig_cols])
+    )
+    n_committed = append_versioned(
+        rows, base_path, key=id_col, keep_versions=keep_versions
+    )
+    report = {
+        "n_in": n_in,
+        "n_within_exact": n_within,
+        "n_exact_dup": counts.get("exact_dup", 0),
+        "n_near_dup": counts.get("near_dup", 0),
+        "n_committed": n_committed,
+        "version": current_version(spark, base_path),
+    }
+    if have_state:
+        verdicts.unpersist()
+    survivor_idx.unpersist()
+    batch_idx.unpersist()
+    return report

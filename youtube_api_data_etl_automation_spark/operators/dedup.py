@@ -371,11 +371,16 @@ def dedup_against_index(
     num_hashes: int = 8,
     band_size: int = 2,
     threshold: float = 0.5,
+    new_index: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental dedup: verdict per NEW doc against a COMMITTED corpus
     index (:func:`corpus_dedup_index`) — the shape a continuous ingest
     actually runs, where yesterday's 100 TB is already deduped/committed
     and only today's delta needs checking.
+
+    ``new_index``: pass the delta's own :func:`corpus_dedup_index` if the
+    caller already built it (e.g. ``corpus.commit_deduped_batch``, which
+    needs it again for the commit) — skips one re-shingling of the delta.
 
     Returns one row per new doc: ``(doc_id, verdict, dup_of,
     est_jaccard)`` with verdict ∈ 'exact_dup' (fingerprint already
@@ -394,10 +399,11 @@ def dedup_against_index(
     map-side through broadcast hash joins: no index shuffle, no index
     sort, no O(corpus) work beyond one scan of the (narrow) index
     relation."""
-    new_idx = corpus_dedup_index(new_docs, text_col, id_col, k, num_hashes)
+    if new_index is None:
+        new_index = corpus_dedup_index(new_docs, text_col, id_col, k, num_hashes)
     # The tiny side feeds three joins; without a persist each consumer
     # would re-shingle the delta.
-    new_idx = new_idx.persist()
+    new_idx = new_index.persist()
 
     c_fps = index.select(F.col("doc_id").alias("c_id"), "fingerprint")
     exact = (
