@@ -219,3 +219,29 @@ def test_etl_fake_transport_end_to_end(spark, capsys):
     assert rc == 0
     again = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert again["new_videos"] == 0
+
+
+def test_ingest_cli_end_to_end(spark, capsys, tmp_path):
+    """Two `ingest` runs against one sink: the first commits the seed
+    batch (exit 0), the second — an exact replay — commits nothing and
+    exits 3 (the cron-visible 'fully stale feed' signal), with the
+    verdict counts in the JSON line."""
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "totally different second document text")],
+        "doc_id long, text string",
+    )
+    inp = str(tmp_path / "batch1")
+    b1.write.parquet(inp)
+    sink = str(tmp_path / "sink")
+
+    rc = main(["ingest", "--input", inp, "--sink", sink])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert out["n_committed"] == 2 and out["version"] == 1
+
+    rc = main(["ingest", "--input", inp, "--sink", sink])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 3
+    assert out["n_committed"] == 0 and out["n_exact_dup"] == 2
+    assert out["version"] == 1

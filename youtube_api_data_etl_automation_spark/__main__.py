@@ -82,6 +82,26 @@ def _cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_ingest(args: argparse.Namespace) -> int:
+    from .corpus import commit_deduped_batch
+    from .session import get_spark
+
+    spark = get_spark("corpus-ingest", master=args.master)
+    batch = spark.read.parquet(args.input)
+    report = commit_deduped_batch(
+        batch,
+        args.sink,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        threshold=args.neardup_threshold,
+        keep_versions=args.keep_versions,
+    )
+    print(json.dumps({"status": "ok", **report}))
+    # cron-friendly: 3 = the whole batch was duplicates (nothing landed,
+    # not an error — but a pipeline may want to notice a fully-stale feed)
+    return 3 if report["n_committed"] == 0 else 0
+
+
 def _version_pair(s: str) -> tuple[int, int]:
     """argparse type for PREV:CUR — malformed specs (including
     semantically invalid ones like PREV == CUR) die as clean usage
@@ -331,6 +351,30 @@ def build_parser() -> argparse.ArgumentParser:
         "threshold (default: exact dedup only)",
     )
     cur.set_defaults(fn=_cmd_curate)
+
+    ing = sub.add_parser(
+        "ingest",
+        help="dedup a new batch against a committed corpus sink and "
+        "atomically append only novel docs (+ their dedup index); "
+        "exit 3 when the whole batch was duplicates",
+    )
+    ing.add_argument("--input", required=True, help="new-batch parquet path")
+    ing.add_argument("--sink", required=True, help="versioned corpus sink dir")
+    ing.add_argument("--id-col", default="doc_id")
+    ing.add_argument("--text-col", default="text")
+    ing.add_argument(
+        "--neardup-threshold",
+        type=float,
+        default=0.5,
+        help="estimated-Jaccard threshold for near-dup drops vs committed "
+        "state (exact fingerprint dups always drop)",
+    )
+    ing.add_argument(
+        "--keep-versions", type=int, default=2,
+        help="retained manifest versions (batch data itself is never GC'd "
+        "while listed)",
+    )
+    ing.set_defaults(fn=_cmd_ingest)
 
     pr_ = sub.add_parser(
         "profile",
