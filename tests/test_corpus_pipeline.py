@@ -369,3 +369,29 @@ def test_commit_deduped_batch_end_to_end(spark, tmp_path):
     r3 = commit_deduped_batch(b2, sink, threshold=0.25)
     assert r3["n_committed"] == 0 and r3["version"] == 2
     assert r3["n_exact_dup"] >= 2  # 10 and 12's canonical both already in
+
+
+def test_commit_deduped_batch_rejects_index_column_clash(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "some text", "x")], "doc_id long, text string, fingerprint string"
+    )
+    from youtube_api_data_etl_automation_spark.corpus import (
+        commit_deduped_batch,
+    )
+
+    with pytest.raises(ValueError, match="collide with the sink's dedup-index"):
+        commit_deduped_batch(df, str(tmp_path / "s"))
+
+
+def test_curate_corpus_bloom_decontam_identical(spark, corpus, bench_docs):
+    """Routing curate_corpus's decontam stage through the Bloom prefilter
+    must not change a single surviving document."""
+    base = curate_corpus(corpus, benchmark=bench_docs, audit=False)
+    bloom = curate_corpus(
+        corpus, benchmark=bench_docs, audit=False,
+        decontam_bloom_bits=1 << 14, decontam_bloom_k=4,
+    )
+    ids = lambda out: sorted(
+        r.doc_id for r in out["documents"].select("doc_id").collect()
+    )
+    assert ids(base) == ids(bloom)

@@ -95,6 +95,8 @@ def curate_corpus(
     quality_min: float = 0.55,
     lang_rates: dict[str, int] | None = None,
     decontam_n: int = 3,
+    decontam_bloom_bits: int | None = None,
+    decontam_bloom_k: int = 5,
     pack_budget: int = 2048,
     n_shards: int = 16,
     audit: bool = True,
@@ -113,6 +115,10 @@ def curate_corpus(
     stratified-sampling idiom — salt "corpus:" keeps the draw independent
     of other samplers per functions/hashing.py). ``benchmark``: held-out
     eval docs; survivors sharing any ``decontam_n``-gram are dropped.
+    ``decontam_bloom_bits``/``decontam_bloom_k`` (r8): route the decontam
+    stage through the relational Bloom prefilter — identical drops, less
+    traffic into the exact gram join; size per the formulas in
+    operators/decontam.py.
 
     ``bpe_merges``: optional trained merge list (operators/bpe.py::
     train_merges). When given, ``n_tokens`` — the basis for the funnel's
@@ -256,6 +262,10 @@ def curate_corpus(
             survivors.select("doc_id", F.col("clean_text").alias("text")),
             bench,
             n=decontam_n,
+            # result-identical Bloom prefilter for benchmark-gram sets too
+            # big to broadcast as strings (operators/decontam.py)
+            bloom_bits=decontam_bloom_bits,
+            bloom_k=decontam_bloom_k,
         )
         clean_ids = hits.filter(F.col("contaminated") == 0).select("doc_id")
         survivors = survivors.join(clean_ids, "doc_id", "left_semi")
@@ -419,6 +429,15 @@ def commit_deduped_batch(
     )
 
     spark = new_docs.sparkSession
+    reserved = {"fingerprint", *(f"m{i}" for i in range(num_hashes))}
+    clash = sorted(reserved & set(new_docs.columns))
+    if clash:
+        # the sink row is doc columns + these index columns; a silent
+        # duplicate column name would poison every later read
+        raise ValueError(
+            f"new_docs columns {clash} collide with the sink's dedup-index "
+            "columns; rename them before committing"
+        )
     n_in = new_docs.count()
     batch_idx = corpus_dedup_index(
         new_docs, text_col, id_col, k, num_hashes
