@@ -395,3 +395,43 @@ def test_curate_corpus_bloom_decontam_identical(spark, corpus, bench_docs):
         r.doc_id for r in out["documents"].select("doc_id").collect()
     )
     assert ids(base) == ids(bloom)
+
+
+def test_ingest_stream_cross_batch_near_dedup(spark, tmp_path):
+    """Streaming ingest through commit_deduped_batch: the second drained
+    batch is near-dup-checked against the FIRST batch's committed state —
+    the cross-batch guarantee curate_stream (exact-fingerprint only)
+    cannot give — and replaying the source adds nothing."""
+    from youtube_api_data_etl_automation_spark.corpus import ingest_stream
+    from youtube_api_data_etl_automation_spark.operators.versioned import (
+        read_appended,
+    )
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    schema = "doc_id long, text string"
+    b1 = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "one two three four five six seven eight nine"),
+    ]
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(src)
+
+    def drain(ckpt):
+        stream = spark.readStream.schema(schema).parquet(src)
+        ingest_stream(stream, str(tmp_path / ckpt), sink, threshold=0.25)
+
+    drain("ckpt")
+    assert {r.doc_id for r in read_appended(spark, sink).collect()} == {1, 2}
+
+    b2 = [
+        (10, "ALPHA beta gamma delta epsilon zeta eta theta"),  # exact dup of 1
+        (11, "one two three four five six seven eight NINE ten"),  # near-dup of 2
+        (12, "fresh unrelated content that should be kept"),
+    ]
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+    drain("ckpt")
+    assert {r.doc_id for r in read_appended(spark, sink).collect()} == {1, 2, 12}
+
+    # a fresh checkpoint replays the whole source: nothing new lands
+    drain("ckpt2")
+    assert {r.doc_id for r in read_appended(spark, sink).collect()} == {1, 2, 12}

@@ -363,6 +363,60 @@ def curate_stream(stream_docs: DataFrame, checkpoint_dir: str, sink_path: str,
     q.awaitTermination()
 
 
+def ingest_stream(
+    stream_docs: DataFrame,
+    checkpoint_dir: str,
+    sink_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.5,
+    keep_versions: int = 2,
+) -> None:
+    """Streaming continuous-ingest dedup: drain available document batches
+    (``trigger(availableNow=True)``) and push each micro-batch through
+    :func:`commit_deduped_batch` — so unlike :func:`curate_stream` (whose
+    cross-batch guarantee is exact-fingerprint only), every batch is also
+    NEAR-dup-checked against everything the sink has ever committed: the
+    sink's inline fingerprint+signature columns ARE the cross-batch LSH
+    state, read back column-pruned each batch, with per-batch work
+    O(delta × committed-index) through broadcast probes only.
+
+    Failure semantics: a crash after a partial commit replays the
+    micro-batch; commit_deduped_batch's verdicts plus append_versioned's
+    id-keyed anti-join land the replay exactly once (the same run-twice
+    property test_commit_deduped_batch_end_to_end pins for the batch
+    path). Writes are strictly sequential inside one query, so the
+    versioned sink's single-writer CAS never trips in normal streaming
+    operation."""
+
+    def handle_batch(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        commit_deduped_batch(
+            batch,
+            sink_path,
+            id_col=id_col,
+            text_col=text_col,
+            k=k,
+            num_hashes=num_hashes,
+            band_size=band_size,
+            threshold=threshold,
+            keep_versions=keep_versions,
+        )
+
+    q = (
+        stream_docs.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(handle_batch)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def write_training_shards(packed: DataFrame, path: str,
                           compression: str = "zstd") -> None:
     """Materialize curate_corpus output as training shards: one directory
