@@ -27,21 +27,23 @@ def _optimized(df) -> str:
 
 
 def test_profile_row_scan_budget(spark):
-    """table_profile_orders' scan discipline (late r6): stats and every
-    agg-expressible contract check share ONE scan (fused_profile), leaving
-    exactly five orders scans — the fused aggregate, the histogram (its
-    own single-column-pruned scan, see fused_profile's docstring for why
-    the fold loses under exact_distinct), top-k, the FK probe, and (r7)
-    the cross-column satisfies contract's 2-column side of the joined
-    fact — plus one customer scan and one 2-column lineitem scan. A
-    refactor that splits the fused aggregate back into separate
-    stats/checks scans fails here."""
+    """table_profile_orders' scan discipline: stats and every
+    agg-expressible non-distinct contract check share ONE scan
+    (fused_profile), and the distinct counts + unique check share ONE
+    more (the r8 split side-aggregate — profile._merge_nd explains why
+    fusing them back would sort the Expand stream), leaving exactly six
+    orders scans — those two aggregates, the histogram (its own
+    single-column-pruned scan, see fused_profile's docstring), top-k,
+    the FK probe, and (r7) the cross-column satisfies contract's
+    2-column side of the joined fact — plus one customer scan and one
+    2-column lineitem scan. A refactor that splits the fused aggregate
+    into per-stat scans (or re-fuses the distinct side) fails here."""
     import re
 
     from youtube_api_data_etl_automation_spark.plans import QUERIES
 
     plan = _plan(QUERIES["table_profile_orders"](spark, SF_DIR))
-    assert len(re.findall(r"Scan parquet[^\n]*orders", plan)) == 5
+    assert len(re.findall(r"Scan parquet[^\n]*orders", plan)) == 6
     assert len(re.findall(r"Scan parquet[^\n]*customer", plan)) == 1
     assert len(re.findall(r"Scan parquet[^\n]*lineitem", plan)) == 1
     # the satisfies branch reads ONLY its two columns from each side
