@@ -127,3 +127,23 @@ def test_pca_fit_validates(spark, vectors):
     tiny = df.limit(1)
     with pytest.raises(ValueError, match="at least 2 vectors"):
         pca_fit(tiny, k=2)
+
+
+def test_second_moments_grid6_fixture_mode(spark, vectors):
+    """The oracle-fixture mode (summands snapped to the 6-decimal grid,
+    decimal(18,6) sums) tracks the full-precision path to within the
+    grid's accumulation error and stays repartition-stable."""
+    df, x = vectors
+    full = {int(r["pos"]): float(r["s"]) for r in second_moments(df).collect()}
+    grid = {
+        int(r["pos"]): float(r["s"])
+        for r in second_moments(df, grid6=True).collect()
+    }
+    assert set(grid) == set(full)
+    for pos, v in full.items():
+        assert grid[pos] == pytest.approx(v, abs=N * 5e-7 + 1e-9)
+    grid2 = {
+        int(r["pos"]): float(r["s"])
+        for r in second_moments(df.repartition(5, "vec_id"), grid6=True).collect()
+    }
+    assert grid == grid2

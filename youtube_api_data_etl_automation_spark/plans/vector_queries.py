@@ -221,6 +221,24 @@ def semantic_neardup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor((CAST(SUM(CAST(max_err AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0
     FROM qe
     GROUP BY label
+    UNION ALL
+    -- PCA sufficient statistics (operators/pca.py::second_moments grid6
+    -- fixture mode) over the label-0 slice: pos < 64 are the
+    -- per-dimension sums, pos >= 64 flatten the second-moment matrix at
+    -- 64 + i*64 + j; every summand snaps to the exact 6-decimal grid
+    -- first so the decimal(18,6) totals are bit-identical cross-engine
+    SELECT 'moment2', CAST(pos AS INTEGER), CAST(NULL AS BIGINT),
+           CAST(SUM(CAST(floor(x * 1000000.0 + 0.5) / 1000000.0
+                         AS DECIMAL(18,6))) AS DOUBLE)
+    FROM (
+      SELECT i AS pos, CAST(embedding[i+1] AS DOUBLE) AS x
+      FROM embeddings, range(0,64) r(i) WHERE label = 0
+      UNION ALL
+      SELECT 64 + i*64 + j,
+             CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[j+1] AS DOUBLE)
+      FROM embeddings, range(0,64) r1(i), range(0,64) r2(j) WHERE label = 0
+    )
+    GROUP BY pos
     """,
 )
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -270,4 +288,21 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.lit("quant_err").alias("section"), "label", "n_vecs", "avg_v")
     )
-    return norm.unionByName(quant)
+    # moment2 (r8): the distributed core of PCA — operators/pca.py's
+    # exact sufficient-statistics relation in its grid6 oracle-fixture
+    # mode over the label-0 slice (the eigendecomposition itself is O(d²)
+    # driver numpy and not SQL-expressible; what CAN silently break at
+    # scale — the outer-product explode layout, the grouping, the
+    # order-independent decimal summation — is exactly what this section
+    # value-hashes). label carries the flattened pos.
+    from ..operators.pca import second_moments
+
+    moments = second_moments(
+        emb.filter(F.col("label") == 0), "embedding", dim=64, grid6=True
+    ).select(
+        F.lit("moment2").alias("section"),
+        F.col("pos").cast("int").alias("label"),
+        F.lit(None).cast("long").alias("n_vecs"),
+        F.col("s").cast("double").alias("avg_v"),
+    )
+    return norm.unionByName(quant).unionByName(moments)
