@@ -99,12 +99,18 @@ def sessionize_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tag = uuid.uuid4().hex[:8]
     name = f"stateful_sessions_{tag}"
-    run_stateful_sessions(spark, sf_dir, tempfile.mkdtemp(prefix="ckpt_"), name)
-    stateful = spark.table(name).select(F.lit("stateful").alias("method"), "*")
     sw_name = f"sw_sessions_{tag}"
+    # Deliberately SEQUENTIAL drains: the run_* helpers expose
+    # block=False for clusters with spare capacity, but on local[32] the
+    # two CPU-bound availableNow drains contend for the same cores and
+    # overlapping them measured ~25% SLOWER than back-to-back (4.5-4.8 s
+    # vs 3.3-3.9 s at sf0.1) — concurrency only buys wall-clock when the
+    # queries aren't fighting over one machine.
+    run_stateful_sessions(spark, sf_dir, tempfile.mkdtemp(prefix="ckpt_"), name)
     run_session_window_sessions(
         spark, sf_dir, tempfile.mkdtemp(prefix="ckpt_"), sw_name
     )
+    stateful = spark.table(name).select(F.lit("stateful").alias("method"), "*")
     idx_w = Window.partitionBy("user_id").orderBy("session_start_us")
     native = (
         spark.table(sw_name)

@@ -132,9 +132,15 @@ def stateful_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
 
 def run_stateful_sessions(spark, sf_dir: str, checkpoint_dir: str,
-                          table_name: str, gap_minutes: int = 30) -> None:
+                          table_name: str, gap_minutes: int = 30,
+                          block: bool = True):
     """Drain the events table through the stateful operator into a memory
-    sink (update mode: one row per touched session per batch)."""
+    sink (update mode: one row per touched session per batch).
+
+    ``block=False`` returns the started StreamingQuery instead of awaiting
+    it — Spark runs concurrent streaming queries natively, so independent
+    drains (e.g. this and the session_window twin) should overlap their
+    fixed stream-init/state-store setup rather than paying it serially."""
     from .ingest import read_events_stream
 
     stream = read_events_stream(spark, sf_dir)
@@ -147,6 +153,8 @@ def run_stateful_sessions(spark, sf_dir: str, checkpoint_dir: str,
         .queryName(table_name)
         .start()
     )
+    if not block:
+        return q
     q.awaitTermination()
 
 
@@ -202,7 +210,8 @@ def session_window_stats(events: DataFrame, gap_minutes: int = 30,
 
 def run_session_window_sessions(spark, sf_dir: str, checkpoint_dir: str,
                                 table_name: str,
-                                gap_minutes: int = 30) -> None:
+                                gap_minutes: int = 30,
+                                block: bool = True):
     """Drain the events table through the native session_window aggregate
     into a memory sink. Complete mode: session windows don't support update
     mode, and append would hold back every session newer than the watermark
@@ -222,4 +231,6 @@ def run_session_window_sessions(spark, sf_dir: str, checkpoint_dir: str,
         .queryName(table_name)
         .start()
     )
+    if not block:
+        return q
     q.awaitTermination()
