@@ -231,3 +231,51 @@ def test_session_window_drain_equals_batch(spark):
     expected = session_stats(load_table(spark, SF_DIR, "events"), gap_minutes=30)
     diff = native.exceptAll(expected).union(expected.exceptAll(native))
     assert diff.count() == 0, diff.limit(10).collect()
+
+
+def test_monitor_stream_drift_flags_shifted_batch(spark, tmp_path):
+    """Per-micro-batch PSI against a fixed baseline: an in-distribution
+    batch scores quiet, a x10-scaled batch flags, and a resumed drain
+    does not re-score processed batches."""
+    from youtube_api_data_etl_automation_spark.operators.profile import (
+        numeric_histogram,
+    )
+    from youtube_api_data_etl_automation_spark.streaming.monitor import (
+        monitor_stream_drift,
+    )
+
+    grid = dict(col="v", lo=0.0, hi=100.0, bins=10)
+    base_df = spark.createDataFrame(
+        [(i, float(i % 100)) for i in range(1000)], "id long, v double"
+    )
+    baseline = numeric_histogram(base_df, **grid)
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id long, v double"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        monitor_stream_drift(stream, baseline, ckpt, sink, **grid)
+
+    # batch 1: same uniform shape — quiet
+    spark.createDataFrame(
+        [(i, float((i * 7) % 100)) for i in range(500)], schema
+    ).write.mode("append").parquet(src)
+    drain()
+    rows = spark.read.parquet(sink).collect()
+    assert len(rows) == 1 and not rows[0]["flagged"]
+    assert rows[0]["cur_total"] == 500
+
+    # batch 2: everything clamps into the top bucket — flagged
+    spark.createDataFrame(
+        [(i, float(900 + i % 10)) for i in range(500)], schema
+    ).write.mode("append").parquet(src)
+    drain()
+    rows = {r["batch_id"]: r for r in spark.read.parquet(sink).collect()}
+    assert len(rows) == 2
+    assert any(r["flagged"] for r in rows.values())
+    # resume with nothing new: no extra verdict rows
+    drain()
+    assert spark.read.parquet(sink).count() == 2
