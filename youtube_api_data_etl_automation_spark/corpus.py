@@ -496,74 +496,80 @@ def commit_deduped_batch(
     batch_idx = corpus_dedup_index(
         new_docs, text_col, id_col, k, num_hashes
     ).persist()
-    canon = batch_idx.groupBy("fingerprint").agg(
-        F.min("doc_id").alias("__canon_id")
-    ).withColumnRenamed("fingerprint", "__canon_fp")
-    survivor_idx = (
-        batch_idx.join(
-            F.broadcast(canon),
-            (batch_idx["fingerprint"] == canon["__canon_fp"])
-            & (batch_idx["doc_id"] == canon["__canon_id"]),
+    # unpersist on EVERY exit — a ConcurrentWriteError from the
+    # append must not leak the delta-index cache entries
+    verdicts = None
+    survivor_idx = None
+    try:
+        canon = batch_idx.groupBy("fingerprint").agg(
+            F.min("doc_id").alias("__canon_id")
+        ).withColumnRenamed("fingerprint", "__canon_fp")
+        survivor_idx = (
+            batch_idx.join(
+                F.broadcast(canon),
+                (batch_idx["fingerprint"] == canon["__canon_fp"])
+                & (batch_idx["doc_id"] == canon["__canon_id"]),
+            )
+            .select(batch_idx["*"])
+            .persist()
         )
-        .select(batch_idx["*"])
-        .persist()
-    )
-    n_within = n_in - survivor_idx.count()
+        n_within = n_in - survivor_idx.count()
 
-    sig_cols = [f"m{i}" for i in range(num_hashes)]
-    have_state = current_version(spark, base_path) is not None
-    if have_state:
-        committed_index = read_appended(spark, base_path).select(
-            "doc_id", "fingerprint", *sig_cols
+        sig_cols = [f"m{i}" for i in range(num_hashes)]
+        have_state = current_version(spark, base_path) is not None
+        if have_state:
+            committed_index = read_appended(spark, base_path).select(
+                "doc_id", "fingerprint", *sig_cols
+            )
+            survivors_docs = new_docs.join(
+                F.broadcast(survivor_idx.select("doc_id")),
+                new_docs[id_col] == survivor_idx["doc_id"],
+            ).select(new_docs["*"])
+            verdicts = dedup_against_index(
+                survivors_docs,
+                committed_index,
+                text_col=text_col,
+                id_col=id_col,
+                k=k,
+                num_hashes=num_hashes,
+                band_size=band_size,
+                threshold=threshold,
+                new_index=survivor_idx,
+            ).persist()
+            counts = {
+                r["verdict"]: r["n"]
+                for r in verdicts.groupBy("verdict")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            keep_ids = verdicts.filter(F.col("verdict") == "kept").select("doc_id")
+        else:
+            counts = {}
+            keep_ids = survivor_idx.select("doc_id")
+
+        rows = (
+            new_docs.alias("d")
+            .join(
+                survivor_idx.select("doc_id", "fingerprint", *sig_cols).alias("i"),
+                F.col(f"d.{id_col}") == F.col("i.doc_id"),
+            )
+            .join(F.broadcast(keep_ids.alias("kp")), F.col("i.doc_id") == F.col("kp.doc_id"))
+            .select("d.*", "i.fingerprint", *[f"i.{c}" for c in sig_cols])
         )
-        survivors_docs = new_docs.join(
-            F.broadcast(survivor_idx.select("doc_id")),
-            new_docs[id_col] == survivor_idx["doc_id"],
-        ).select(new_docs["*"])
-        verdicts = dedup_against_index(
-            survivors_docs,
-            committed_index,
-            text_col=text_col,
-            id_col=id_col,
-            k=k,
-            num_hashes=num_hashes,
-            band_size=band_size,
-            threshold=threshold,
-            new_index=survivor_idx,
-        ).persist()
-        counts = {
-            r["verdict"]: r["n"]
-            for r in verdicts.groupBy("verdict")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
+        n_committed = append_versioned(
+            rows, base_path, key=id_col, keep_versions=keep_versions
+        )
+        return {
+            "n_in": n_in,
+            "n_within_exact": n_within,
+            "n_exact_dup": counts.get("exact_dup", 0),
+            "n_near_dup": counts.get("near_dup", 0),
+            "n_committed": n_committed,
+            "version": current_version(spark, base_path),
         }
-        keep_ids = verdicts.filter(F.col("verdict") == "kept").select("doc_id")
-    else:
-        counts = {}
-        keep_ids = survivor_idx.select("doc_id")
-
-    rows = (
-        new_docs.alias("d")
-        .join(
-            survivor_idx.select("doc_id", "fingerprint", *sig_cols).alias("i"),
-            F.col(f"d.{id_col}") == F.col("i.doc_id"),
-        )
-        .join(F.broadcast(keep_ids.alias("kp")), F.col("i.doc_id") == F.col("kp.doc_id"))
-        .select("d.*", "i.fingerprint", *[f"i.{c}" for c in sig_cols])
-    )
-    n_committed = append_versioned(
-        rows, base_path, key=id_col, keep_versions=keep_versions
-    )
-    report = {
-        "n_in": n_in,
-        "n_within_exact": n_within,
-        "n_exact_dup": counts.get("exact_dup", 0),
-        "n_near_dup": counts.get("near_dup", 0),
-        "n_committed": n_committed,
-        "version": current_version(spark, base_path),
-    }
-    if have_state:
-        verdicts.unpersist()
-    survivor_idx.unpersist()
-    batch_idx.unpersist()
-    return report
+    finally:
+        if verdicts is not None:
+            verdicts.unpersist()
+        if survivor_idx is not None:
+            survivor_idx.unpersist()
+        batch_idx.unpersist()

@@ -380,7 +380,14 @@ def dedup_against_index(
 
     ``new_index``: pass the delta's own :func:`corpus_dedup_index` if the
     caller already built it (e.g. ``corpus.commit_deduped_batch``, which
-    needs it again for the commit) — skips one re-shingling of the delta.
+    needs it again for the commit) — and PERSIST it caller-side when the
+    re-shingling matters: the index feeds three probe joins in the
+    returned (lazy) plan, and only a cache whose lifetime spans the
+    caller's ACTION can dedupe those evaluations. This function does not
+    persist internally — a persist it would have to release before
+    returning could never cover the caller's action (the bug that
+    pattern actually produces is a cache entry that either leaks or
+    never gets hit).
 
     Returns one row per new doc: ``(doc_id, verdict, dup_of,
     est_jaccard)`` with verdict ∈ 'exact_dup' (fingerprint already
@@ -401,9 +408,7 @@ def dedup_against_index(
     relation."""
     if new_index is None:
         new_index = corpus_dedup_index(new_docs, text_col, id_col, k, num_hashes)
-    # The tiny side feeds three joins; without a persist each consumer
-    # would re-shingle the delta.
-    new_idx = new_index.persist()
+    new_idx = new_index
 
     c_fps = index.select(F.col("doc_id").alias("c_id"), "fingerprint")
     exact = (
@@ -465,5 +470,4 @@ def dedup_against_index(
             .alias("est_jaccard"),
         )
     )
-    new_idx.unpersist()
     return out

@@ -14,8 +14,9 @@ standard big-data PCA decomposition:
    - :func:`second_moments` — the EXACT relational path: per-row outer
      products via nested ``transform`` (pure codegen, no join), exploded
      to (pos, value) and summed as DECIMAL(38,30) so the total is
-     bit-identical under any partitioning/retry — which is what lets the
-     DuckDB oracle value-hash it (same cast, same truncation, same sum).
+     bit-identical under any partitioning/retry. (Cross-ENGINE identity
+     needs the ``grid6`` fixture mode instead — see its docstring: Spark
+     and DuckDB convert double→decimal differently at digit 30.)
    - :func:`gram_matrix_pandas` — the SCALE path: per-Arrow-batch
      ``X.T @ X`` in numpy (BLAS) inside ``mapInPandas``, one partial
      (d² floats) per batch, summed. ~100× less per-row work than the
@@ -44,9 +45,11 @@ from pyspark.sql import functions as F
 
 # Exact-sum cast for the relational path: float32 inputs make every
 # pairwise double product exact; DECIMAL(38,30) keeps 30 fractional
-# digits (enough for products of normal-range f32 embedding components)
-# and truncates identically in Spark and DuckDB, so the cross-partition
-# sum is order-independent AND cross-engine identical.
+# digits (enough for products of normal-range f32 embedding components),
+# making the cross-partition sum order-independent. It is NOT
+# cross-engine mirrorable (Spark converts double→decimal via the
+# shortest string repr, DuckDB via the binary expansion) — the grid6
+# mode exists for that.
 _MOMENT_DECIMAL = "decimal(38,30)"
 
 
@@ -109,8 +112,6 @@ def gram_matrix_pandas(df: DataFrame, col: str = "embedding", dim: int | None = 
     :func:`second_moments` plus ``pos = -1`` carrying the row count.
     Float-sum order varies with partitioning at the last ulp — use
     :func:`second_moments` when bit-stability matters more than speed."""
-    import pandas as pd  # noqa: F401 — worker-side import
-
     d = dim if dim is not None else _dim(df, col)
 
     def batches(it):

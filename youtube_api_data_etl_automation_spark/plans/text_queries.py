@@ -481,8 +481,15 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # Persist the delta-sized index (the three probe joins reuse it
+    # within the driver's one collect); released by the session's
+    # clearCache like semantic_neardup's cached assignment.
+    new_idx = corpus_dedup_index(new_batch).persist()
     verdicts = dedup_against_index(
-        new_batch, corpus_dedup_index(committed), threshold=0.25
+        new_batch,
+        corpus_dedup_index(committed),
+        threshold=0.25,
+        new_index=new_idx,
     ).select(
         F.lit("incremental").alias("section"),
         F.lit(None).cast("string").alias("fingerprint"),
