@@ -29,6 +29,12 @@ from ..functions.pii import (
     redact_pii,
 )
 from ..functions.rounding import round6, sql_round6
+from ..functions.unicodefns import (
+    mojibake_count,
+    normalize_unicode,
+    sql_mojibake_count,
+    sql_normalize_unicode,
+)
 from ..operators.decontam import ngram_contamination
 from ..sources.tables import load_table
 from .registry import query
@@ -43,6 +49,17 @@ from .registry import query
 # then detects and redacts it. Both engines build the identical augmented
 # text, so the oracle checks the real detection/redaction machinery with a
 # non-trivial, varying signal.
+
+# Planted unicode damage for the normalize_unicode section (r8): cp1252
+# mojibake (incl. the U+201D artifact whose third byte is the C1 control
+# \x9d), fullwidth ASCII + ideographic space, and invisible/typographic
+# codepoints — on different moduli so docs carry each class independently
+# and sometimes together. No straight apostrophes (keeps the SQL literal
+# quoting trivial).
+_DMG_MOJI = " donâ€™t â€œmixâ€\x9d cafÃ©"
+_DMG_FW = " ＦＵＬＬ　ｗｉｄｅ！"
+_DMG_ZW = " in​vis‌ible﻿ ‘q’ – …"
+
 _PII_ORACLE = f"""
 WITH aug AS (
   SELECT doc_id,
@@ -70,6 +87,14 @@ WITH aug AS (
     || '&amp;lt;tail&gt; &nbsp;</div>' AS h
   FROM aug JOIN documents USING (doc_id)
 )
+, dmg AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 2 = 0 THEN '{_DMG_MOJI}' ELSE '' END
+    || CASE WHEN doc_id % 3 = 0 THEN '{_DMG_FW}' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN '{_DMG_ZW}' ELSE '' END AS u
+  FROM documents
+)
 SELECT doc_id,
        CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS INT)  AS n_emails,
        CAST(len(regexp_extract_all(t, '{IPV4_RE}')) AS INT)   AS n_ipv4,
@@ -79,18 +104,25 @@ SELECT doc_id,
             '{IPV4_RE}', '[IP]', 'g'),
             '{PHONE_RE}', '[PHONE]', 'g'))                    AS redacted_fp,
        {sql_tag_count('h')}                                   AS n_tags,
-       md5({sql_strip_markup('h')})                           AS stripped_fp
-FROM html
+       md5({sql_strip_markup('h')})                           AS stripped_fp,
+       {sql_mojibake_count('u')}                              AS n_mojibake,
+       md5({sql_normalize_unicode('u', collapse_ws=True)})    AS normalized_fp
+FROM html JOIN dmg USING (doc_id)
 """
 
 
 @query("pii_redact_docs", oracle=_PII_ORACLE)
 def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document scrubbing over the corpus: PII detection/redaction plus
-    HTML boilerplate stripping (late r6, functions/markup.py) in one
-    map-only pass. The oracle compares md5 fingerprints of both scrubbed
+    """Document scrubbing over the corpus: PII detection/redaction, HTML
+    boilerplate stripping (late r6, functions/markup.py), and unicode
+    normalization / mojibake repair (r8, functions/unicodefns.py) in one
+    map-only pass. The oracle compares md5 fingerprints of all scrubbed
     texts, proving byte-identical transformation without hauling bodies
-    through the driver. Each doc is wrapped in deterministic planted
+    through the driver. Each doc gets deterministic planted unicode
+    damage (cp1252 mojibake incl. the C1-\\x9d artifact, fullwidth ASCII,
+    zero-width/typographic codepoints on independent moduli) so repair
+    order, the translate table, and control stripping are value-checked
+    on varying input. Each doc is wrapped in deterministic planted
     markup (script/comment/style blocks on different moduli, an
     entity-escaped tail) so the strip pipeline's order — elements,
     comments, tags, entities-with-&amp;-last, whitespace — is value-checked
@@ -141,6 +173,12 @@ def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(""),
         F.lit("&amp;lt;tail&gt; &nbsp;</div>"),
     )
+    dmg = F.concat(
+        F.col("text"),
+        F.when(did % 2 == 0, F.lit(_DMG_MOJI)).otherwise(""),
+        F.when(did % 3 == 0, F.lit(_DMG_FW)).otherwise(""),
+        F.when(did % 5 == 0, F.lit(_DMG_ZW)).otherwise(""),
+    )
     return docs.select(
         "doc_id",
         email_count(aug).alias("n_emails"),
@@ -149,6 +187,8 @@ def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(redact_pii(aug)).alias("redacted_fp"),
         tag_count(html).alias("n_tags"),
         F.md5(strip_markup(html)).alias("stripped_fp"),
+        mojibake_count(dmg).alias("n_mojibake"),
+        F.md5(normalize_unicode(dmg, collapse_ws=True)).alias("normalized_fp"),
     )
 
 
