@@ -118,6 +118,36 @@ def test_strip_html_normalizes_before_every_signal(spark):
     assert 3 not in {r["doc_id"] for r in raw["documents"].collect()}
 
 
+def test_normalize_unicode_dedups_mojibake_twin(spark):
+    """normalize_unicode=True: a document and its cp1252-mojibake twin
+    (plus fullwidth/zero-width damage) converge to ONE surface form
+    before any signal — shared fingerprint, min-id survivor; entity-
+    decoded curly quotes from the markup strip fold too (normalization
+    runs after strip_html). Without it, no dedup."""
+    dmg = (
+        GOOD.replace("the quick", "the​ quick")  # zero-width split
+        .replace("fox", "ｆｏｘ")                      # fullwidth
+        + " donâ€™t"                                   # mojibake tail
+    )
+    clean = GOOD + " don't"
+    rows = [
+        (1, f"<p>{clean}</p>"),
+        (2, f"<div>{dmg}</div>"),
+        # entity-escaped typographic apostrophe decodes to U+2019, then
+        # normalization folds it to ' — a three-way dedup only if the
+        # stages compose in the documented order
+        (3, f"<p>{GOOD} don&#8217;t</p>".replace("&#8217;", "’")),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curate_corpus(docs, strip_html=True, normalize_unicode=True, n_shards=1)
+    report = {r["stage"]: r["n_docs"] for r in out["report"].collect()}
+    kept = {r["doc_id"]: r for r in out["documents"].collect()}
+    assert report["exact_dedup"] == 1 and set(kept) == {1}
+    assert kept[1]["clean_text"].endswith("don't")
+    raw = curate_corpus(docs, strip_html=True, normalize_unicode=False, n_shards=1)
+    assert len(raw["documents"].collect()) == 3
+
+
 def test_neardup_stage_collapses_clusters(spark):
     """neardup_threshold: docs sharing most shingles (but NOT exact
     copies) collapse to the min-id survivor via LSH pairs + connected

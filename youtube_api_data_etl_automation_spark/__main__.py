@@ -74,6 +74,7 @@ def _cmd_curate(args: argparse.Namespace) -> int:
         n_shards=args.shards,
         audit=True,
         strip_html=args.strip_html,
+        normalize_unicode=args.normalize_unicode,
         neardup_threshold=args.neardup_threshold,
     )
     write_training_shards(out["documents"], args.output)
@@ -342,6 +343,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--strip-html",
         action="store_true",
         help="reduce documents to visible text (markup strip) before curation",
+    )
+    cur.add_argument(
+        "--normalize-unicode",
+        action="store_true",
+        help="canonicalize unicode (mojibake repair, fullwidth fold, "
+        "zero-width strip) before curation signals",
     )
     cur.add_argument(
         "--neardup-threshold",

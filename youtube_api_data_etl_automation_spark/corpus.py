@@ -102,6 +102,7 @@ def curate_corpus(
     audit: bool = True,
     bpe_merges: list[tuple[str, str]] | None = None,
     strip_html: bool = False,
+    normalize_unicode: bool = False,
     neardup_threshold: float | None = None,
     neardup_k: int = 3,
 ) -> dict:
@@ -142,6 +143,15 @@ def curate_corpus(
     chrome dedup to one document. Folds into the same first projection
     pass (map-only, no extra scan).
 
+    ``normalize_unicode`` (r8): when True, ``functions/unicodefns.py::
+    normalize_unicode`` canonicalizes each document's surface form AFTER
+    any markup strip (so entity-decoded typographic quotes fold too) and
+    BEFORE any downstream signal — mojibake repair, fullwidth→ASCII,
+    zero-width deletion, quote/dash/space canonicalization. A document
+    and its mis-decoded twin then share one fingerprint and one shingle
+    set, so exact AND near dedup see through the damage. Folds into the
+    same first projection pass (map-only, no extra scan).
+
     ``neardup_threshold`` (late r6): when set, a NEAR-duplicate stage runs
     after exact dedup — MinHash-LSH candidate pairs over ``clean_text``
     (the text that actually ships) at this estimated-Jaccard threshold,
@@ -178,10 +188,17 @@ def curate_corpus(
     base = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
-    if strip_html:
-        from .functions.markup import strip_markup
+    if strip_html or normalize_unicode:
+        txt = F.col("text")
+        if strip_html:
+            from .functions.markup import strip_markup
 
-        base = base.select("doc_id", strip_markup("text").alias("text"))
+            txt = strip_markup(txt)
+        if normalize_unicode:
+            from .functions.unicodefns import normalize_unicode as _nu
+
+            txt = _nu(txt)
+        base = base.select("doc_id", txt.alias("text"))
     checkpoint("input", base)
 
     # 1+2+3a: one pass computes the funnel features, the redacted text,
