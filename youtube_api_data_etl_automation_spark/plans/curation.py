@@ -464,6 +464,75 @@ def mixing_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Diversity section (r8, operators/diversity.py): cluster-balanced
+# round-robin selection over the embeddings table, ivf_ann_topk's fixture
+# conventions (deterministic 'trained' centroids = vectors 10–17). The
+# oracle re-derives the whole selection: nearest-centroid assignment
+# (round6 cosine, id tie-break), the salted 52-bit md5 uniform as the
+# within-cluster preference, and the exact water-filled draw depth
+# (smallest d with Σ min(size, d) ≥ n, boundary trimmed by cluster_id).
+_DIV_N = 24
+
+_DIV_COS = (
+    "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    " / nullif(sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))), 0.0)"
+)
+
+# operators/sampling.py::stable_uniform with the diversity salt, on vec_id.
+_DIV_BITS_SQL = " + ".join(
+    "(strpos('0123456789abcdef', substr(md5('diversity:' || CAST(vec_id AS VARCHAR)), "
+    f"{j + 1}, 1)) - 1) * {16 ** (12 - j)}"
+    for j in range(13)
+)
+
+_DIVERSITY_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS cluster_id, embedding AS cv FROM embeddings
+  WHERE vec_id BETWEEN 10 AND 17
+),
+sa AS (
+  SELECT e.vec_id, c.cluster_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {sql_round6(_DIV_COS.format(a='e.embedding', b='c.cv'))} DESC,
+                    c.cluster_id
+         ) AS rn
+  FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (SELECT vec_id, cluster_id FROM sa WHERE rn = 1),
+ranked AS (
+  SELECT vec_id, cluster_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY cluster_id
+           ORDER BY ({_DIV_BITS_SQL} + 1.0) / 4503599627370496.0 DESC, vec_id
+         ) AS rr
+  FROM assigned
+),
+sizes AS (SELECT cluster_id, COUNT(*) AS s FROM assigned GROUP BY cluster_id),
+fill AS (
+  SELECT d, SUM(LEAST(s, d)) AS filled
+  FROM (SELECT UNNEST(range(1, (SELECT MAX(s) FROM sizes) + 1)) AS d), sizes
+  GROUP BY d
+),
+c AS (SELECT MIN(d) AS depth FROM fill WHERE filled >= {_DIV_N}),
+below AS (
+  SELECT CAST(SUM(LEAST(s, (SELECT depth FROM c) - 1)) AS BIGINT) AS nb FROM sizes
+),
+pick AS (
+  SELECT vec_id, cluster_id, rr FROM ranked WHERE rr < (SELECT depth FROM c)
+  UNION ALL
+  SELECT vec_id, cluster_id, rr FROM (
+    SELECT vec_id, cluster_id, rr,
+           ROW_NUMBER() OVER (ORDER BY cluster_id) AS brn
+    FROM ranked WHERE rr = (SELECT depth FROM c)
+  ) WHERE brn <= {_DIV_N} - (SELECT nb FROM below)
+)
+SELECT vec_id, cluster_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY rr, cluster_id, vec_id) AS INT) AS draw
+FROM pick
+"""
+
 _SAMPLING_AUDITS_ORACLE = f"""
 WITH h AS (
   SELECT doc_id, lang, n_chars,
@@ -505,6 +574,12 @@ SELECT 'aes', lang, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
        CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
        CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), doc_id, rank
 FROM ({_AES_ORACLE})
+UNION ALL
+SELECT 'diversity', CAST(cluster_id AS VARCHAR), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       vec_id, draw
+FROM ({_DIVERSITY_ORACLE})
 """
 
 
@@ -528,8 +603,18 @@ def sampling_audits(spark: SparkSession, sf_dir: str) -> DataFrame:
     A-ES key is content-stable (u from 52 md5 bits of the salted id —
     exact in double on any engine) and ranked in log space (ln(u)/w
     never underflows); its only shuffle is the per-group (group, key)
-    window."""
+    window.
+
+    `diversity` (r8, operators/diversity.py::diversity_sample):
+    cluster-balanced round-robin selection of 24 embedding rows
+    (centroids = vectors 10–17, the ivf_ann_topk fixture convention) —
+    the oracle re-derives assignment, the salted md5-uniform preference,
+    and the exact water-filled draw depth, so the picked ID SET and the
+    global draw order are both value-checked. Scale shape per the
+    operator: broadcast assignment, one cluster_id window shuffle, O(k)
+    size collect, ≤k-row boundary TakeOrdered."""
     from ..functions.hashing import md5_bucket
+    from ..operators.diversity import diversity_sample
     from ..operators.sampling import weighted_sample_per_group
 
     docs = load_table(spark, sf_dir, "documents")
@@ -618,4 +703,31 @@ def sampling_audits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "rank",
     )
-    return split_rows.unionByName(strat_rows).unionByName(aes_rows)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(
+        (F.col("vec_id") >= 10) & (F.col("vec_id") <= 17)
+    ).select("vec_id", "embedding")
+    div_rows = diversity_sample(
+        emb.select("vec_id", "embedding"),
+        cents,
+        n=_DIV_N,
+        keep_order="draw",
+    ).select(
+        F.lit("diversity").alias("section"),
+        F.col("cluster_id").cast("string").alias("stratum"),
+        F.lit(None).cast("long").alias("n_docs"),
+        F.lit(None).cast("long").alias("n_sampled"),
+        F.lit(None).cast("long").alias("sampled_chars"),
+        F.lit(None).cast("double").alias("target_rate"),
+        F.lit(None).cast("double").alias("achieved_rate"),
+        F.lit(None).cast("long").alias("min_id"),
+        F.lit(None).cast("long").alias("max_id"),
+        F.col("vec_id").cast("long").alias("doc_id"),
+        F.col("draw").alias("rank"),
+    )
+    return (
+        split_rows.unionByName(strat_rows)
+        .unionByName(aes_rows)
+        .unionByName(div_rows)
+    )
