@@ -237,6 +237,40 @@ def test_curate_stream_incremental_dedup(spark, tmp_path):
     assert os.path.isdir(ckpt)
 
 
+def test_curate_stream_normalize_dedups_cross_batch_mojibake(spark, tmp_path):
+    """normalize_unicode=True in the streaming path: a mojibake twin
+    arriving in a LATER micro-batch canonicalizes to the committed
+    document's surface form and is dropped by the fingerprint-keyed
+    append — the cross-batch dedup guarantee survives unicode damage."""
+    from youtube_api_data_etl_automation_spark.corpus import curate_stream
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    spark.createDataFrame(
+        [(1, GOOD + " don't")], schema
+    ).write.mode("append").parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        curate_stream(stream, ckpt, sink, normalize_unicode=True)
+
+    drain()
+    assert spark.read.parquet(sink).count() == 1
+
+    # batch 2: the cp1252-mojibake/fullwidth twin + one genuinely new doc
+    dmg = (GOOD + " donâ€™t").replace("fox", "ｆｏｘ")
+    spark.createDataFrame(
+        [(2, dmg), (3, GOOD + " truly new tail")], schema
+    ).write.mode("append").parquet(src)
+    drain()
+    out = spark.read.parquet(sink)
+    assert out.count() == 2
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+
+
 def test_bpe_merges_inline_cap_raises_actionably(spark):
     """One merge past the inline cap must fail at the API edge with a
     message routing callers to bpe_encode_corpus — not deep inside

@@ -322,7 +322,8 @@ def curate_stream(stream_docs: DataFrame, checkpoint_dir: str, sink_path: str,
                   *, id_col: str = "doc_id", text_col: str = "text",
                   min_tokens: int = 10, max_tokens: int = 1000,
                   quality_min: float = 0.55,
-                  strip_html: bool = False) -> None:
+                  strip_html: bool = False,
+                  normalize_unicode: bool = False) -> None:
     """Streaming corpus curation: drain available document batches
     (``trigger(availableNow=True)``), apply the funnel + PII scrub +
     content fingerprint per micro-batch, and append ONLY new-fingerprint
@@ -338,13 +339,19 @@ def curate_stream(stream_docs: DataFrame, checkpoint_dir: str, sink_path: str,
     from .operators.incremental import append_delta
 
     def handle_batch(batch: DataFrame, _batch_id: int) -> None:
-        # Same optional markup strip as the batch path (visible text
-        # before any signal), same single-projection fold.
+        # Same optional markup strip + unicode canonicalization as the
+        # batch path (visible, normalized text before any signal — a
+        # mojibake twin arriving in a LATER micro-batch still dedups
+        # against the committed fingerprint), same single-projection fold.
         src = F.col(text_col)
         if strip_html:
             from .functions.markup import strip_markup
 
             src = strip_markup(src)
+        if normalize_unicode:
+            from .functions.unicodefns import normalize_unicode as _nu
+
+            src = _nu(src)
         toks = batch.select(
             F.col(id_col).alias("doc_id"),
             src.alias("text"),
