@@ -775,6 +775,20 @@ events_time_aggregates.__doc__ = events_time_aggregates.__doc__.format(
     pmi_top AS (
       SELECT a, b, c_ab, pmi FROM pmi_scored
       ORDER BY pmi DESC, a, b LIMIT 20
+    ),
+    term_tot AS (
+      SELECT term, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY term
+    ),
+    vr AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rank
+      FROM term_tot
+    ),
+    vtot AS (SELECT CAST(SUM(c) AS DOUBLE) AS tt FROM term_tot),
+    vcov AS (
+      SELECT v.vocab_size, CAST(SUM(vr.c) AS BIGINT) AS covered
+      FROM (VALUES (16), (64), (256), (1024)) AS v(vocab_size)
+      JOIN vr ON vr.rank <= v.vocab_size
+      GROUP BY v.vocab_size
     )
     SELECT 'tfidf' AS section, doc_id, term AS term_a,
            CAST(NULL AS VARCHAR) AS term_b, CAST(NULL AS BIGINT) AS n,
@@ -782,6 +796,11 @@ events_time_aggregates.__doc__ = events_time_aggregates.__doc__.format(
     FROM ranked WHERE rn = 1
     UNION ALL
     SELECT 'pmi', CAST(NULL AS BIGINT), a, b, c_ab, pmi FROM pmi_top
+    UNION ALL
+    SELECT 'vocab', CAST(vocab_size AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), covered,
+           {sql_round6('covered / tt')}
+    FROM vcov CROSS JOIN vtot
     """,
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -797,7 +816,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     pointwise mutual information, reusing the bigram LM's count relations
     (no extra corpus pass); 'frequently together relative to chance', the
     classic collocation signal, now value-verified against the SQL
-    retraining of the identical counts."""
+    retraining of the identical counts. `vocab` (r8,
+    operators/vocab.py): the tokenizer-budget coverage curve —
+    covered occurrences + coverage at four candidate vocab sizes —
+    computed from the SAME persisted tf relation (type-table work only;
+    the corpus is never re-scanned)."""
     from ..functions.text import tokens
     from ..operators.lm import pmi_collocations, train_bigram_lm
 
@@ -858,7 +881,23 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score",
         )
     )
-    return tfidf_rows.unionByName(pmi_rows)
+    from ..operators.vocab import vocab_coverage_from_counts
+
+    # `vocab` (r8): the tokenizer-budget coverage curve rides the SAME
+    # persisted tf relation (term totals are one more type-table
+    # aggregate — no extra corpus pass).
+    term_tot = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    vocab_rows = vocab_coverage_from_counts(
+        term_tot, vocab_sizes=(16, 64, 256, 1024)
+    ).select(
+        F.lit("vocab").alias("section"),
+        F.col("vocab_size").cast("long").alias("doc_id"),
+        F.lit(None).cast("string").alias("term_a"),
+        F.lit(None).cast("string").alias("term_b"),
+        F.col("covered_tokens").cast("long").alias("n"),
+        F.col("coverage").alias("score"),
+    )
+    return tfidf_rows.unionByName(pmi_rows).unionByName(vocab_rows)
 
 
 # T11 string-agg batching is driver-verified as the `id_batches` section of
