@@ -201,6 +201,32 @@ def test_write_training_shards_replayable(spark, corpus, bench_docs, tmp_path):
             assert r["token_start"] == offset
             offset += r["n_tokens"]
 
+    # shard_report certifies the same invariants relationally: contiguous
+    # from 0, no gaps, totals consistent, balance ratios centered on 1
+    from youtube_api_data_etl_automation_spark.corpus import shard_report
+
+    rep = shard_report(spark, path).collect()
+    assert len(rep) == back.select("shard").distinct().count()
+    assert all(r["n_gaps"] == 0 and r["first_offset"] == 0 for r in rep)
+    assert all(r["last_end"] == r["n_tokens"] for r in rep)
+    assert sum(r["n_docs"] for r in rep) == back.count()
+    mean = sum(r["n_tokens"] for r in rep) / len(rep)
+    for r in rep:
+        assert r["tokens_vs_mean"] == pytest.approx(r["n_tokens"] / mean, abs=1e-6)
+
+    # a planted hole (drop one middle doc from shard 0) must surface as
+    # exactly one gap in exactly that shard
+    holed = str(tmp_path / "holed")
+    docs0 = back.filter("shard = 0").orderBy("token_start").collect()
+    assert len(docs0) >= 3
+    victim = docs0[1]["token_start"]
+    back.filter(
+        ~((F.col("shard") == 0) & (F.col("token_start") == victim))
+    ).write.partitionBy("shard").mode("overwrite").parquet(holed)
+    hrep = {r["shard"]: r for r in shard_report(spark, holed).collect()}
+    assert hrep[0]["n_gaps"] == 1
+    assert all(r["n_gaps"] == 0 for s, r in hrep.items() if s != 0)
+
 
 def test_curate_stream_incremental_dedup(spark, tmp_path):
     """Two streamed batches with overlapping content: the second drain

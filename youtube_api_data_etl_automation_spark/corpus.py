@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.pii import redact_pii
+from .functions.rounding import round6
 from .functions.text import (
     doc_fingerprint,
     lang_id_t,
@@ -455,6 +456,61 @@ def write_training_shards(packed: DataFrame, path: str,
         .option("compression", compression)
         .mode("overwrite")
         .parquet(path)
+    )
+
+
+def shard_report(spark, path: str) -> DataFrame:
+    """Audit a :func:`write_training_shards` sink: one row per shard —
+    ``(shard, n_docs, n_tokens, first_offset, last_end, n_gaps,
+    tokens_vs_mean)`` — answering the two questions a training run asks
+    before it starts: is every shard's token stream CONTIGUOUS from 0
+    (``n_gaps = 0`` and ``first_offset = 0`` ⇒ a sequential reader
+    replays exactly the packed stream; any other value names the broken
+    shard), and are shards BALANCED (``tokens_vs_mean`` — straggler
+    shards stretch epoch wall-clock by their excess).
+
+    One column-pruned scan (shard, token_start, n_tokens — stored text is
+    never read), one window + aggregate sharing the shard partitioning;
+    the k-row mean join broadcasts. Scale: work ∝ docs, result ∝ shards."""
+    from pyspark.sql import Window
+
+    rows = spark.read.parquet(path).select("shard", "token_start", "n_tokens")
+    w = Window.partitionBy("shard").orderBy("token_start")
+    gap = (
+        F.col("token_start")
+        != F.coalesce(
+            F.lag(F.col("token_start") + F.col("n_tokens")).over(w),
+            F.col("token_start"),  # first row in the shard: not a gap here
+        )
+    ).cast("long")
+    per = (
+        rows.withColumn("_gap", gap)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("token_start").cast("long").alias("first_offset"),
+            F.max(F.col("token_start") + F.col("n_tokens"))
+            .cast("long")
+            .alias("last_end"),
+            F.sum("_gap").cast("long").alias("n_gaps"),
+        )
+    )
+    mean = per.agg(F.avg("n_tokens").alias("_mean"))
+    return (
+        per.crossJoin(F.broadcast(mean))
+        .select(
+            "shard",
+            "n_docs",
+            "n_tokens",
+            "first_offset",
+            "last_end",
+            "n_gaps",
+            round6(F.col("n_tokens") / F.nullif(F.col("_mean"), F.lit(0.0))).alias(
+                "tokens_vs_mean"
+            ),
+        )
+        .orderBy("shard")
     )
 
 
