@@ -245,3 +245,43 @@ def test_ingest_cli_end_to_end(spark, capsys, tmp_path):
     assert rc == 3
     assert out["n_committed"] == 0 and out["n_exact_dup"] == 2
     assert out["version"] == 1
+
+
+def test_shards_cli_certifies_and_flags_broken(spark, capsys, tmp_path):
+    """`shards` exits 0 on a healthy write_training_shards sink and 2
+    with the broken shard named after a mid-shard hole is planted."""
+    from pyspark.sql import functions as F
+
+    from youtube_api_data_etl_automation_spark.corpus import (
+        curate_corpus,
+        write_training_shards,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs to the hills "
+        "while a calm wind blows over the quiet town in the early morning"
+    )
+    docs = spark.createDataFrame(
+        [(i, f"{good} tail{i}") for i in range(30)], "doc_id long, text string"
+    )
+    out = curate_corpus(docs, n_shards=3, audit=False)
+    path = str(tmp_path / "shards")
+    write_training_shards(out["documents"], path)
+
+    rc = main(["shards", "--input", path])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["status"] == "ok" and rep["broken_shards"] == []
+    assert rep["n_shards"] == 3
+
+    back = spark.read.parquet(path)
+    s0 = back.filter("shard = 0").orderBy("token_start").collect()
+    assert len(s0) >= 3
+    holed = str(tmp_path / "holed")
+    back.filter(
+        ~((F.col("shard") == 0) & (F.col("token_start") == s0[1]["token_start"]))
+    ).write.partitionBy("shard").mode("overwrite").parquet(holed)
+    rc = main(["shards", "--input", holed])
+    assert rc == 2
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["status"] == "broken_shards" and rep["broken_shards"] == [0]

@@ -201,6 +201,32 @@ def _cmd_profile(args: argparse.Namespace) -> int:
     return 2 if failed else 0
 
 
+def _cmd_shards(args: argparse.Namespace) -> int:
+    """Certify a training-shard sink before a run: per-shard token
+    totals, contiguity-from-0 gap count, and balance-vs-mean. Exit 2
+    when any shard is broken (a gap or a nonzero first offset means a
+    sequential reader will NOT replay the packed stream)."""
+    from .corpus import shard_report
+    from .session import get_spark
+
+    spark = get_spark("shard-report", master=args.master)
+    rows = [r.asDict() for r in shard_report(spark, args.input).collect()]
+    broken = [
+        r["shard"] for r in rows if r["n_gaps"] != 0 or r["first_offset"] != 0
+    ]
+    print(
+        json.dumps(
+            {
+                "status": "broken_shards" if broken else "ok",
+                "n_shards": len(rows),
+                "broken_shards": broken,
+                "shards": rows,
+            }
+        )
+    )
+    return 2 if broken else 0
+
+
 def _cmd_drift(args: argparse.Namespace) -> int:
     from .operators.versioned import (
         _resolve_version_pair,
@@ -423,6 +449,16 @@ def build_parser() -> argparse.ArgumentParser:
         "(repeatable; NULL evaluations skip)",
     )
     pr_.set_defaults(fn=_cmd_profile)
+
+    sh = sub.add_parser(
+        "shards",
+        help="certify a training-shard sink: per-shard contiguity + "
+        "balance (exit 2 on any broken shard)",
+    )
+    sh.add_argument(
+        "--input", required=True, help="write_training_shards output path"
+    )
+    sh.set_defaults(fn=_cmd_shards)
 
     dr = sub.add_parser(
         "drift",
