@@ -203,12 +203,13 @@ def test_stratified_sample_partitioning_invariant(spark):
     # not partition/file-layout-based. (The copy lives in its own sf-style
     # dir so the query actually reads it.)
     alt = tempfile.mkdtemp(prefix="strat_alt_sf_")
-    (
-        spark.read.parquet(f"{SF_DIR}/documents.parquet")
-        .repartition(13)
-        .write.mode("overwrite")
-        .parquet(os.path.join(alt, "documents.parquet"))
-    )
+    for table, parts in (("documents", 13), ("embeddings", 5)):
+        (
+            spark.read.parquet(f"{SF_DIR}/{table}.parquet")
+            .repartition(parts)
+            .write.mode("overwrite")
+            .parquet(os.path.join(alt, f"{table}.parquet"))
+        )
     b = {tuple(r) for r in sampling_audits(spark, alt).collect()}
     assert a == b
     for section, _stratum, n_docs, n_sampled, *_ in a:

@@ -217,17 +217,21 @@ def test_decontam_broadcasts_benchmark_grams(spark):
 
 
 def test_stratified_sample_single_exchange(spark):
-    """Sampling audits (split + stratified + r7 aes sections): every
-    keep/assign decision is map-side; the only exchanges are the two
-    audit aggregates (one per audit section) plus the A-ES draw's
-    per-group (lang, key) window partition — three total, no sort or
-    shuffle beyond them."""
+    """Sampling audits (split + stratified + aes + late-r8 diversity
+    sections): every keep/assign decision is map-side; the exchanges are
+    the two audit aggregates (one per audit section), the A-ES draw's
+    per-group (lang, key) window partition, and the diversity section's
+    four (its cluster_id preference window, the k-row cluster-size
+    aggregate feeding water-filling, and the quota join's two sides) —
+    seven total, no shuffle beyond them. The diversity draw-order
+    windows over the ≤n picked rows are the section's documented
+    bounded-row SinglePartition ops, not data-plane shuffles."""
     from youtube_api_data_etl_automation_spark.plans.curation import (
         sampling_audits,
     )
 
     plan = _plan(sampling_audits(spark, SF_DIR))
-    assert plan.count("Exchange hashpartitioning") == 3
+    assert plan.count("Exchange hashpartitioning") == 7
 
 
 def test_runtime_bloom_filter_reaches_fact_scan(spark):
