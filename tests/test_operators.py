@@ -680,3 +680,67 @@ def test_bpe_merge_preserves_null_tokens(spark):
     )
     out = df.select(apply_merge_t("tok", "a", "b").alias("m")).first()["m"]
     assert out == ["a", None, "b", f"a{SEP}b"]
+
+
+def test_dedup_lines_cross_doc_boilerplate(spark):
+    """Line-level exact dedup (the C4/RefinedWeb scrub): a trimmed line
+    appearing in >= min_docs distinct documents is removed everywhere
+    except its global (doc_id, line_idx)-first occurrence; short lines
+    and within-one-doc repeats survive; NULL text passes through."""
+    from youtube_api_data_etl_automation_spark.operators.dedup import dedup_lines
+
+    banner = "accept cookies to continue"  # 26 chars, in 3 docs
+    rows = [
+        (1, f"{banner}\nunique first body line\nshort ln"),
+        (2, f"second doc opening line\n {banner} \nsecond doc closing line"),
+        (3, f"{banner}\nthird doc body text here\nthird doc body text here"),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup_lines(docs, min_line_chars=10).collect()}
+
+    # doc 1 holds the global first occurrence -> untouched
+    assert out[1].text == rows[0][1]
+    assert (out[1].n_lines, out[1].n_removed) == (3, 0)
+    # doc 2's padded copy trims to the same line -> removed
+    assert out[2].text == "second doc opening line\nsecond doc closing line"
+    assert (out[2].n_lines, out[2].n_removed) == (3, 1)
+    # doc 3 loses the banner but keeps BOTH copies of its within-doc
+    # repeat (min_docs counts distinct documents, not occurrences)
+    assert out[3].text == "third doc body text here\nthird doc body text here"
+    assert (out[3].n_lines, out[3].n_removed) == (3, 1)
+    assert out[4].text is None
+    assert (out[4].n_lines, out[4].n_removed) == (0, 0)
+
+    # keep='none' drops every occurrence, including the global first
+    none_out = {
+        r.doc_id: r
+        for r in dedup_lines(docs, min_line_chars=10, keep="none").collect()
+    }
+    assert none_out[1].text == "unique first body line\nshort ln"
+    assert none_out[1].n_removed == 1
+
+    # 'short ln' (8 chars) repeated across docs would still survive
+    docs2 = spark.createDataFrame(
+        [(1, "short ln\nlong enough line one"), (2, "short ln\nlong enough line two")],
+        "doc_id long, text string",
+    )
+    out2 = {r.doc_id: r.n_removed for r in dedup_lines(docs2, min_line_chars=10).collect()}
+    assert out2 == {1: 0, 2: 0}
+
+
+def test_dedup_lines_passthrough_columns_and_validation(spark):
+    from youtube_api_data_etl_automation_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(1, "duplicated banner line\nbody a", "en"), (2, "duplicated banner line\nbody b", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r for r in dedup_lines(docs).collect()}
+    assert out[1].lang == "en" and out[2].lang == "fr"
+    assert out[1].text.startswith("duplicated banner line") and out[2].text == "body b"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep"):
+        dedup_lines(docs, keep="last")

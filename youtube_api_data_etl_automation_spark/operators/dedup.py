@@ -471,3 +471,93 @@ def dedup_against_index(
         )
     )
     return out
+
+
+def dedup_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+    min_line_chars: int = 10,
+    min_docs: int = 2,
+    keep: str = "first",
+) -> DataFrame:
+    """Cross-corpus line-level exact dedup (the C4/RefinedWeb scrub the
+    reference's row-level pipeline has no analogue for): a line that
+    appears, trimmed-identical, in >= ``min_docs`` DISTINCT documents is
+    boilerplate (nav bars, cookie banners, repeated headers) or a leaked
+    duplicate span, and is removed from every document — except, under
+    ``keep='first'``, its globally first occurrence (lexicographic
+    (doc_id, line_idx)); ``keep='none'`` drops every occurrence.
+
+    Returns ``docs`` with ``text_col`` rewritten in place plus ``n_lines``
+    (original line count) and ``n_removed`` appended; all other columns
+    pass through. Lines shorter than ``min_line_chars`` after trim (and
+    empty lines) are never counted or removed, so short connectives
+    survive. NULL text stays NULL with n_lines = n_removed = 0.
+
+    Scale shape: the counting pass explodes a NARROW (id, idx, md5) lines
+    projection — document bodies never enter it — and shuffles only the
+    16-byte line hash plus two ints per eligible line. Removal coordinates
+    come back as a per-doc sorted index array (one narrow doc_id shuffle),
+    and the ONLY body movement in the whole plan is the final doc_id join
+    of that index relation against the untouched ``docs`` — broadcast
+    (zero body shuffle) whenever few documents carry removals, one
+    co-partitioning shuffle otherwise, which AQE picks at runtime. The
+    rewrite itself is a codegen'd array filter + concat_ws, so no line
+    ever moves between executors to be re-assembled.
+    """
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    import re as _re
+
+    split_pat = _re.escape(delim)
+    arr = F.split(F.col(text_col), split_pat, -1)
+
+    lines = (
+        docs.select(F.col(id_col).alias("doc_id"), arr.alias("l"))
+        .select("doc_id", F.posexplode_outer("l").alias("idx", "line"))
+        .filter(F.length(F.trim(F.col("line"))) >= min_line_chars)
+        .select("doc_id", "idx", F.md5(F.trim(F.col("line"))).alias("k"))
+    )
+    stats = lines.groupBy("k").agg(
+        F.count_distinct("doc_id").alias("nd"),
+        F.min(F.struct("doc_id", "idx")).alias("first"),
+    )
+    rm = lines.join(stats.filter(F.col("nd") >= min_docs), "k")
+    if keep == "first":
+        rm = rm.filter(
+            ~(
+                (F.col("doc_id") == F.col("first.doc_id"))
+                & (F.col("idx") == F.col("first.idx"))
+            )
+        )
+    rm_lists = rm.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("idx")).alias("_rm_idx")
+    )
+
+    joined = docs.join(
+        rm_lists.withColumnRenamed("doc_id", "_rm_doc"),
+        F.col(id_col) == F.col("_rm_doc"),
+        "left",
+    )
+    cleaned = F.when(
+        F.col("_rm_idx").isNull(), F.col(text_col)
+    ).otherwise(
+        F.concat_ws(
+            delim,
+            F.filter(arr, lambda x, i: ~F.array_contains(F.col("_rm_idx"), i)),
+        )
+    )
+    out_cols = [
+        (cleaned.alias(text_col) if c == text_col else F.col(c))
+        for c in docs.columns
+    ]
+    return joined.select(
+        *out_cols,
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(F.size(arr))
+        .cast("long")
+        .alias("n_lines"),
+        F.coalesce(F.size("_rm_idx"), F.lit(0)).cast("long").alias("n_removed"),
+    )

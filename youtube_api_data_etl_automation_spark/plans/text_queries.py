@@ -381,6 +381,56 @@ def _inc_side_ctes(side: str, rel: str) -> str:
     )"""
 
 
+# Line-dedup fixture: the synthetic text has no newlines, so both engines
+# chunk each doc into 3-token lines first (identical arithmetic); the small
+# vocabulary then yields ~1.4k naturally repeated cross-doc lines at
+# sf0.01 — a real boilerplate population, nothing planted. The CTEs mirror
+# operators/dedup.py::dedup_lines exactly: trim-eligible lines (>= 10
+# chars), count DISTINCT docs per md5(trimmed line), keep the global
+# (doc_id, idx)-first occurrence (encoded doc_id*10000+idx — idx < 10000
+# by construction), rewrite by index filter.
+_LINES_CTES = """
+ltoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+lchunked AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(range(0, CAST(ceil(len(t) / 3.0) AS BIGINT)),
+                          i -> array_to_string(t[(i*3+1):(i*3+3)], ' ')),
+           chr(10)) AS text
+  FROM ltoks
+),
+lsplit AS (SELECT doc_id, text, string_split(text, chr(10)) AS L FROM lchunked),
+lelig AS (
+  SELECT doc_id, i AS idx, md5(trim(L[i+1])) AS k
+  FROM lsplit, UNNEST(range(0, len(L))) AS s(i)
+  WHERE length(trim(L[i+1])) >= 10
+),
+lfirst AS (
+  SELECT k, MIN(doc_id * 10000 + idx) AS fk
+  FROM lelig GROUP BY k HAVING COUNT(DISTINCT doc_id) >= 2
+),
+lrm AS (
+  SELECT e.doc_id, e.idx FROM lelig e JOIN lfirst f USING (k)
+  WHERE e.doc_id * 10000 + e.idx <> f.fk
+),
+lrm_agg AS (
+  SELECT doc_id, list(idx) AS ridx, COUNT(*) AS n_removed
+  FROM lrm GROUP BY doc_id
+),
+lrewrite AS (
+  -- COALESCE: DuckDB's array_to_string([]) is NULL, Spark's concat_ws
+  -- over an empty array is '' — a fully-scrubbed doc must hash as ''.
+  SELECT s.doc_id,
+         COALESCE(array_to_string(
+           list_transform(
+             list_filter(range(0, len(s.L)), i -> NOT list_contains(r.ridx, i)),
+             i -> s.L[i+1]),
+           chr(10)), '') AS new_text,
+         len(s.L) AS n_lines, r.n_removed AS n_removed
+  FROM lsplit s JOIN lrm_agg r USING (doc_id)
+)"""
+
+
 _DEDUP_DOCS_ORACLE = f"""
 WITH groups AS (
   SELECT md5({_NORM.format(col='text')}) AS fingerprint,
@@ -431,7 +481,8 @@ verdicts AS (
   FROM newdocs nd
   LEFT JOIN exact e ON e.doc_id = nd.doc_id
   LEFT JOIN near nr ON nr.doc_id = nd.doc_id
-)
+),
+{_LINES_CTES.lstrip()}
 SELECT 'groups' AS section, fingerprint, canonical_id, n_copies,
        CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS verdict,
        CAST(NULL AS BIGINT) AS dup_of, CAST(NULL AS DOUBLE) AS est_jaccard
@@ -441,6 +492,11 @@ SELECT 'incremental', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
        CAST(NULL AS BIGINT), doc_id, verdict, dup_of,
        CAST(est_jaccard AS DOUBLE)
 FROM verdicts
+UNION ALL
+SELECT 'lines', md5(new_text), CAST(n_lines AS BIGINT),
+       CAST(n_removed AS BIGINT), doc_id, CAST(NULL AS VARCHAR),
+       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+FROM lrewrite
 """
 
 
@@ -457,9 +513,22 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_against_index: exact fingerprint hit, LSH-band near-dup scored
     ≥ 0.25 with best-match attribution, or kept. Every probe join
     broadcasts the delta side; the index never shuffles
-    (tests/test_operators.py pins the plan)."""
+    (tests/test_operators.py pins the plan). `lines` (r8): the
+    C4/RefinedWeb line-level scrub (operators/dedup.py::dedup_lines) —
+    each doc chunked into 3-token lines (the synthetic text has no
+    newlines; the small vocabulary gives ~1.4k naturally repeated
+    cross-doc lines at sf0.01), any trimmed line appearing in >= 2
+    distinct docs removed everywhere but its global first occurrence;
+    per-doc rows carry md5(rewritten text) in `fingerprint` (byte-exact
+    rewrite check), original line count in `canonical_id`, and removal
+    count in `n_copies` (tag-union column reuse, as with the other
+    sections)."""
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
-    from ..operators.dedup import corpus_dedup_index, dedup_against_index
+    from ..operators.dedup import (
+        corpus_dedup_index,
+        dedup_against_index,
+        dedup_lines,
+    )
 
     groups = exact_duplicates(docs).select(
         F.lit("groups").alias("section"),
@@ -500,7 +569,35 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_of",
         "est_jaccard",
     )
-    return groups.unionByName(verdicts)
+
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(3.0)).cast("int")
+    chunked = F.concat_ws(
+        "\n",
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - F.lit(1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * F.lit(3) + F.lit(1), 3)),
+        ),
+    )
+    lines_sec = (
+        dedup_lines(
+            docs.select("doc_id", chunked.alias("text")),
+            min_line_chars=10,
+            min_docs=2,
+        )
+        .filter(F.col("n_removed") > 0)
+        .select(
+            F.lit("lines").alias("section"),
+            F.md5("text").alias("fingerprint"),
+            F.col("n_lines").alias("canonical_id"),
+            F.col("n_removed").alias("n_copies"),
+            "doc_id",
+            F.lit(None).cast("string").alias("verdict"),
+            F.lit(None).cast("long").alias("dup_of"),
+            F.lit(None).cast("double").alias("est_jaccard"),
+        )
+    )
+    return groups.unionByName(verdicts).unionByName(lines_sec)
 
 
 # Shared shingle CTE for the Jaccard/MinHash oracles (k=3 word shingles over
