@@ -1,0 +1,336 @@
+"""Product quantization (PQ) over embedding columns — the memory half of
+IVF-PQ, the standard architecture for ANN at 1e9+ vectors (Jégou et al.,
+"Product Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+Reference parity note: the reference repo (fetch_youtube_data.py) has no
+vector surface at all; this module is part of the training-data-pipeline
+extension mandate (SURVEY.md §7.3b similarity family), completing the ANN
+ladder: brute force (exact) → sign-LSH / IVF (candidate pruning) → PQ
+(per-vector compression + cheap approximate scoring).
+
+Why PQ matters at 100 TB: a float32 d=64 corpus is 256 B/vector; PQ with
+m=4 subspaces and k=8 centroids stores 4 small codes (< 4 B) — a ~64×
+working-set reduction, so the scored relation carries codes, never raw
+vectors. All three stages are Spark-shaped:
+
+- ``train_pq``: per-subspace Lloyd's k-means run as ONE distributed job
+  per round over the exploded (id, subspace, subvector) relation — the
+  compound (subspace, cluster_id) key trains all m codebooks
+  simultaneously instead of m sequential jobs. Decimal-exact recompute
+  (order-independent), broadcast assignment; the corpus never shuffles
+  for assignment, only (subspace, cluster, component) partial sums do.
+- ``pq_encode``: codebooks enter as LITERAL nested arrays (m·k·d/m
+  doubles — broadcast via the plan itself), so encoding is a pure
+  map-side Column expression: no join, no shuffle, no Python. Cost is
+  O(d·k) multiply-adds per row, embarrassingly parallel.
+- ``pq_topk``: asymmetric distance computation (ADC) — each document is
+  scored against a query through its RECONSTRUCTED vector (per-subspace
+  codebook lookup), again fully map-side off literal codebooks; only the
+  per-query top-k window shuffles (query_id-partitioned, same shape as
+  brute_force_topk).
+
+Determinism / oracle contract (the DuckDB value-hash gate): every
+dot product is a left fold over doubles (functions/vectors.py ≡ DuckDB
+``list_dot_product`` — the equivalence the ann/semantic oracles already
+pin); assignment scores and per-subspace ADC contributions snap to the
+round6 grid, and cross-subspace sums accumulate in DECIMAL(18,6) so they
+are exact and order-independent; argmin ties break to the lowest centroid
+index on both engines.
+"""
+
+from __future__ import annotations
+
+import operator
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round6
+from .similarity import _rank_topk, _rename_query
+
+Codebooks = list[list[list[float]]]  # [subspace][centroid][component]
+
+
+def _subvec(vec_col: str | F.Column, s: int, dsub: int) -> F.Column:
+    """Subspace s's slice of the vector, widened to double BEFORE any
+    multiplication (the deterministic-fold contract of functions/vectors)."""
+    col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(
+        F.slice(col, s * dsub + 1, dsub), lambda x: x.cast("double")
+    )
+
+
+def _dot_lit(xs: F.Column, cv: list[float]) -> F.Column:
+    """Left-fold dot product of a column subvector against a literal
+    centroid — the same op sequence as DuckDB's list_dot_product."""
+    cvl = F.array(*[F.lit(float(v)) for v in cv])
+    prods = F.zip_with(xs, cvl, lambda a, b: a * b)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _dot_cc_lit(cv: list[float]) -> F.Column:
+    """Engine-side ||c||² of a literal centroid. Computed in the plan (not
+    driver-side Python) so the oracle's list_dot_product(cv, cv) is
+    mirrored op-for-op — no Python-float-vs-engine question to audit."""
+    cvl = F.array(*[F.lit(float(v)) for v in cv])
+    return F.aggregate(
+        F.transform(cvl, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _assign_score(xs: F.Column, cv: list[float]) -> F.Column:
+    """Nearest-centroid score: dot(x,c) − ½·dot(c,c), maximized ⇔ squared-L2
+    minimized (the ‖x‖² term is constant per row). Snapped to the round6
+    grid so both engines see identical values and identical argmax ties."""
+    return round6(_dot_lit(xs, cv) - F.lit(0.5) * _dot_cc_lit(cv))
+
+
+def _argmax_code(scores: list[F.Column]) -> F.Column:
+    """0-based index of the max score, FIRST occurrence (lowest centroid
+    index) on ties. The scores array is bound as a lambda variable via a
+    1-element transform so the k-fold score expressions evaluate once, not
+    once per array_position probe (the CSE rule functions/vectors.py
+    documents for higher-order lambdas)."""
+    arr = F.array(*scores)
+    return (
+        F.element_at(
+            F.transform(
+                F.array(arr), lambda sc: F.array_position(sc, F.array_max(sc))
+            ),
+            1,
+        )
+        - 1
+    ).cast("int")
+
+
+def pq_encode(corpus: DataFrame, codebooks: Codebooks,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Encode each vector to its array<int> of per-subspace nearest-centroid
+    codes. Pure map-side Column expression over literal codebooks: the
+    plan has NO exchange and NO join (pinned in tests/test_pq.py) — at
+    100 TB this is a linear scan that writes a 64×-narrower relation.
+
+    Output: (id_col, codes array<int> length m). The raw vector column is
+    dropped — the point of PQ is that downstream scoring never touches it.
+    """
+    m = len(codebooks)
+    k = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    assert all(len(cb) == k and all(len(cv) == dsub for cv in cb) for cb in codebooks)
+    codes = F.array(
+        *[
+            _argmax_code(
+                [_assign_score(_subvec(vec_col, s, dsub), codebooks[s][j]) for j in range(k)]
+            )
+            for s in range(m)
+        ]
+    )
+    return corpus.select(F.col(id_col), codes.alias("codes"))
+
+
+def pq_reconstruct(codes_col: str | F.Column, codebooks: Codebooks) -> F.Column:
+    """Reconstructed vector x̂ = concat_s codebooks[s][codes[s]] as
+    array<double> — for recall / reconstruction-error audits."""
+    codes = F.col(codes_col) if isinstance(codes_col, str) else codes_col
+    parts = []
+    for s, cb in enumerate(codebooks):
+        lut = F.array(*[F.array(*[F.lit(float(v)) for v in cv]) for cv in cb])
+        parts.append(F.element_at(lut, F.element_at(codes, s + 1) + 1))
+    return F.concat(*parts)
+
+
+def pq_topk(codes: DataFrame, queries: DataFrame, codebooks: Codebooks,
+            top_k: int = 3, id_col: str = "vec_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """ADC top-k: approximate cosine between each query and each document's
+    reconstruction, computed per-subspace from literal codebooks —
+    cos^(q, x̂) = Σ_s dot(q_s, ĉ_s) / (‖q‖ · sqrt(Σ_s dot(ĉ_s, ĉ_s))).
+
+    ``codes`` is the pq_encode output — raw document vectors are never
+    read, so the scored relation is (codes × tiny broadcast query set).
+    Per-subspace contributions snap to round6 and sum in DECIMAL(18,6)
+    (exact, order-free — matches the oracle's grouped SUM); ranking
+    reuses _rank_topk so tie semantics are provably identical to the
+    exact/LSH/IVF strategies. Output: (query_id, neighbor_id, rank,
+    cosine) with cosine = the approximate (reconstructed) cosine.
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    q = _rename_query(queries, id_col, vec_col)
+    q = F.broadcast(q.select("query_id", "query_vec"))
+    adc_terms, n2_terms = [], []
+    for s in range(m):
+        cb = codebooks[s]
+        code_s = F.element_at(F.col("codes"), s + 1)
+        qs = _subvec("query_vec", s, dsub)
+        # dot(q_s, ĉ_s): fold q_s against each centroid, pick by code —
+        # the k dots are cheap (dsub each) and the element_at keeps the
+        # expression branch-free.
+        dots = F.array(*[_dot_lit(qs, cv) for cv in cb])
+        ccs = F.array(*[_dot_cc_lit(cv) for cv in cb])
+        adc_terms.append(
+            round6(F.element_at(dots, code_s + 1)).cast("decimal(18,6)")
+        )
+        n2_terms.append(
+            round6(F.element_at(ccs, code_s + 1)).cast("decimal(18,6)")
+        )
+    adc = reduce(operator.add, adc_terms).cast("double")
+    n2 = reduce(operator.add, n2_terms).cast("double")
+    qq = F.aggregate(
+        F.transform(
+            F.col("query_vec"), lambda x: x.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v * v,
+    )
+    scored = (
+        codes.select(F.col("vec_id").alias("neighbor_id"), "codes")
+        if id_col == "vec_id"
+        else codes.select(F.col(id_col).alias("neighbor_id"), "codes")
+    )
+    scored = (
+        scored.join(q, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            round6(
+                adc / F.nullif(F.sqrt(qq) * F.sqrt(n2), F.lit(0.0))
+            ).alias("cosine"),
+        )
+    )
+    return _rank_topk(scored, top_k)
+
+
+def train_pq(spark: SparkSession, corpus: DataFrame, m: int, k: int,
+             n_iter: int = 3, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             init_codebooks: Codebooks | None = None) -> Codebooks:
+    """Train m per-subspace codebooks of k centroids each with Lloyd's
+    k-means — ALL subspaces in one distributed job per round, keyed by the
+    compound (subspace, cluster_id): the corpus explodes once to
+    (id, subspace, subvector) (m× rows, d/m-wide each — same total bytes
+    as the input), assignment is a broadcast m·k-row codebook join
+    collapsed map-side by max_by (the clustering.py argument: the exchange
+    carries |corpus|·m unsorted rows, not the k-fanned scored relation),
+    and the recompute shuffles only (subspace, cluster, component) decimal
+    partial sums. Driver state is the m·k·(d/m) codebook floats — O(d·k).
+
+    Default init: the k lowest-id vectors' subvectors (deterministic; the
+    fixture convention the IVF/semantic oracles use). Empty clusters keep
+    their previous centroid, as in clustering.kmeans_lloyd. Returns plain
+    Python codebooks, ready for pq_encode/pq_topk's literal plans.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    dsub = dim // m
+    if init_codebooks is None:
+        seed = [
+            [float(x) for x in r[0]]
+            for r in corpus.select(vec_col).orderBy(F.col(id_col)).limit(k).collect()
+        ]
+        assert len(seed) == k, f"corpus has < k={k} vectors"
+        cbs: Codebooks = [
+            [v[s * dsub:(s + 1) * dsub] for v in seed] for s in range(m)
+        ]
+    else:
+        cbs = [[list(map(float, cv)) for cv in cb] for cb in init_codebooks]
+
+    sub = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("subspace"),
+                        _subvec(vec_col, s, dsub).alias("xs"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("_sv"),
+    ).select("_id", "_sv.subspace", "_sv.xs")
+
+    for _ in range(n_iter):
+        cent_rows = [
+            (s, j, cbs[s][j]) for s in range(m) for j in range(k)
+        ]
+        cent_df = spark.createDataFrame(
+            cent_rows, "subspace int, cluster_id int, cv array<double>"
+        )
+        scored = sub.join(F.broadcast(cent_df), "subspace").select(
+            "_id",
+            "subspace",
+            "xs",
+            "cluster_id",
+            round6(
+                F.aggregate(
+                    F.zip_with(F.col("xs"), F.col("cv"), lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                - F.lit(0.5)
+                * F.aggregate(
+                    F.transform(F.col("cv"), lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ).alias("_score"),
+        )
+        assigned = scored.groupBy("_id", "subspace").agg(
+            F.max_by(
+                F.struct(F.col("xs"), F.col("cluster_id")),
+                F.struct(F.col("_score"), (-F.col("cluster_id")).alias("_tie")),
+            ).alias("_best")
+        ).select(
+            "subspace",
+            F.col("_best.cluster_id").alias("cluster_id"),
+            F.col("_best.xs").alias("xs"),
+        )
+        means = (
+            assigned.select("subspace", "cluster_id", F.posexplode("xs"))
+            .groupBy("subspace", "cluster_id", "pos")
+            .agg(
+                (
+                    F.sum(F.col("col").cast("decimal(28,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("mval")
+            )
+            .groupBy("subspace", "cluster_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mval"))).alias("pm"))
+            .select(
+                "subspace",
+                "cluster_id",
+                F.transform(F.col("pm"), lambda t: t["mval"]).alias("cv"),
+            )
+        )
+        new = {
+            (int(r["subspace"]), int(r["cluster_id"])): [float(x) for x in r["cv"]]
+            for r in means.collect()
+        }
+        cbs = [
+            [new.get((s, j), cbs[s][j]) for j in range(k)] for s in range(m)
+        ]
+    return cbs
+
+
+def pq_quantization_error(corpus: DataFrame, codebooks: Codebooks,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> float:
+    """Mean squared reconstruction error over the corpus (decimal-exact
+    mean) — the train_pq convergence / recall-budget audit."""
+    enc = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    joined = corpus.select(F.col(id_col), F.col(vec_col)).join(enc, id_col)
+    recon = pq_reconstruct("codes", codebooks)
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    se = F.aggregate(
+        F.zip_with(vd, recon, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    row = joined.agg(
+        (
+            F.sum(se.cast("decimal(28,12)")).cast("double") / F.count(F.lit(1))
+        ).alias("mse")
+    ).first()
+    return float(row["mse"])

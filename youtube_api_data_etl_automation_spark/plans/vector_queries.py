@@ -69,12 +69,58 @@ def _cos(a: str, b: str) -> str:
              CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY floor(cos * 1000000.0 + 0.5) / 1000000.0 DESC, neighbor_id) AS INT) AS rank,
              floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine
       FROM lsh_scored
+    ),
+    -- PQ/ADC mirror (operators/pq.py): m=4 subspaces of 16 components,
+    -- k=8 fixture codebooks from vectors 10-17 (the IVF centroid
+    -- convention). Codes = argmax of round6(dot(x_s,c) - 0.5*dot(c,c)),
+    -- lowest-j tie; ADC cosine sums round6-snapped per-subspace
+    -- contributions in DECIMAL(18,6) (exact, order-free).
+    q0d AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 5),
+    cb AS (
+      SELECT s.i AS subspace, CAST(vec_id - 10 AS INT) AS j,
+             (CAST(embedding AS DOUBLE[]))[(s.i*16+1):(s.i*16+16)] AS cv
+      FROM embeddings, range(0,4) s(i) WHERE vec_id BETWEEN 10 AND 17
+    ),
+    docsub AS (
+      SELECT vec_id, s.i AS subspace,
+             (CAST(embedding AS DOUBLE[]))[(s.i*16+1):(s.i*16+16)] AS xs
+      FROM embeddings, range(0,4) s(i)
+    ),
+    pq_scored AS (
+      SELECT d.vec_id, d.subspace, c.j,
+             floor((list_dot_product(d.xs, c.cv) - 0.5 * list_dot_product(c.cv, c.cv)) * 1000000.0 + 0.5) / 1000000.0 AS sc
+      FROM docsub d JOIN cb c USING (subspace)
+    ),
+    pq_codes AS (
+      SELECT vec_id, subspace, j FROM (
+        SELECT vec_id, subspace, j,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY sc DESC, j) AS rn
+        FROM pq_scored) WHERE rn = 1
+    ),
+    pq_adc AS (
+      SELECT q.query_id, t.vec_id AS neighbor_id,
+             CAST(SUM(CAST(floor(list_dot_product(q.qv[(t.subspace*16+1):(t.subspace*16+16)], c.cv) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6))) AS DOUBLE) AS adc,
+             CAST(SUM(CAST(floor(list_dot_product(c.cv, c.cv) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6))) AS DOUBLE) AS n2
+      FROM pq_codes t
+      JOIN cb c ON c.subspace = t.subspace AND c.j = t.j
+      JOIN q0d q ON t.vec_id <> q.query_id
+      GROUP BY q.query_id, t.vec_id
+    ),
+    pq_ranked AS (
+      SELECT a.query_id, a.neighbor_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY a.query_id ORDER BY floor((a.adc / nullif(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(a.n2), 0.0)) * 1000000.0 + 0.5) / 1000000.0 DESC, a.neighbor_id) AS INT) AS rank,
+             floor((a.adc / nullif(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(a.n2), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+      FROM pq_adc a JOIN q0d q ON q.query_id = a.query_id
     )
     SELECT 'exact' AS method, query_id, neighbor_id, rank, cosine
     FROM exact_ranked WHERE rank <= 3
     UNION ALL
     SELECT 'sign_lsh' AS method, query_id, neighbor_id, rank, cosine
     FROM lsh_ranked WHERE rank <= 3
+    UNION ALL
+    SELECT 'pq_adc' AS method, query_id, neighbor_id, rank, cosine
+    FROM pq_ranked WHERE rank <= 3
     """,
 )
 def ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,7 +131,12 @@ def ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     `exact`: broadcast query set × corpus, windowed rank — the correctness
     baseline. `sign_lsh`: candidates from an equi-join on the sign-pattern
     bucket (expected 1/2^bits of the corpus per query) — the scale path.
-    Deterministic hyperplanes keep both oracle-checkable."""
+    `pq_adc` (r8): product-quantization asymmetric-distance scoring
+    (operators/pq.py) — the corpus is encoded to m=4 codes per vector off
+    deterministic fixture codebooks (vectors 10-17's subvectors, the IVF
+    centroid convention) and scored through its reconstruction, the
+    compression path that makes 1e9+-vector ANN fit in memory.
+    Deterministic hyperplanes/codebooks keep all three oracle-checkable."""
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     queries = emb.filter(F.col("vec_id") < 5)
     exact = brute_force_topk(emb, queries, top_k=3).select(
@@ -94,7 +145,21 @@ def ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = sign_lsh_topk(emb, queries, top_k=3, bits=4).select(
         F.lit("sign_lsh").alias("method"), "*"
     )
-    return exact.unionByName(lsh)
+    from ..operators.pq import pq_encode, pq_topk
+
+    # Fixture codebooks: vectors 10-17's subvectors (m=4 × k=8 × 16 floats
+    # — an O(k) control-plane collect, like the k-means centroid reads).
+    cb_vecs = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") <= 17))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    codebooks = [[v[s * 16:(s + 1) * 16] for v in cb_vecs] for s in range(4)]
+    pq = pq_topk(pq_encode(emb, codebooks), queries, codebooks, top_k=3).select(
+        F.lit("pq_adc").alias("method"), "*"
+    )
+    return exact.unionByName(lsh).unionByName(pq)
 
 
 # Embedding-cosine near-duplicate pairs (most_similar_pairs) are driver-
