@@ -533,8 +533,89 @@ SELECT vec_id, cluster_id,
 FROM pick
 """
 
+# DSIR sections (r8, operators/dsir.py): importance resampling of the
+# raw pool (lang <> 'de') toward the 'de' slice as the stand-in target
+# corpus. The oracle re-derives the full chain: salted 256-way md5 token
+# buckets, add-1-smoothed count ratios over the FULL bucket domain,
+# round6(ln(ratio)) λ, per-doc DECIMAL(18,6) λ sums, and the Gumbel
+# top-N draw (key = log_w − ln(−ln(u)), u = exact 52-bit md5 uniform).
+_DSIR_N = 16
+
+_DSIR_BUCKET_SQL = (
+    "(strpos('0123456789abcdef', substr(md5('dsir:' || term), 1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5('dsir:' || term), 2, 1)) - 1)"
+)
+
+# operators/sampling.py::stable_uniform with the dsir draw salt.
+_DSIR_BITS_SQL = " + ".join(
+    "(strpos('0123456789abcdef', substr(md5('dsir-g:' || CAST(doc_id AS VARCHAR)), "
+    f"{j + 1}, 1)) - 1) * {16 ** (12 - j)}"
+    for j in range(13)
+)
+
+_DSIR_CTES = f"""
+dsir_tgt AS (
+  SELECT lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+  FROM documents WHERE lang = 'de'
+),
+dsir_raw AS (
+  SELECT doc_id, lang,
+         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+  FROM documents WHERE lang <> 'de'
+),
+dsir_tcnt AS (
+  SELECT {_DSIR_BUCKET_SQL} AS bucket, COUNT(*) AS ct
+  FROM (SELECT unnest(string_split(norm, ' ')) AS term
+        FROM dsir_tgt WHERE norm <> '')
+  GROUP BY 1
+),
+dsir_rcnt AS (
+  SELECT {_DSIR_BUCKET_SQL} AS bucket, COUNT(*) AS cr
+  FROM (SELECT doc_id, unnest(string_split(norm, ' ')) AS term
+        FROM dsir_raw WHERE norm <> '')
+  GROUP BY 1
+),
+dsir_cnts AS (
+  SELECT CAST(r.i AS INT) AS bucket,
+         COALESCE(t.ct, 0) AS ct, COALESCE(c.cr, 0) AS cr
+  FROM range(0, 256) r(i)
+  LEFT JOIN dsir_tcnt t ON t.bucket = r.i
+  LEFT JOIN dsir_rcnt c ON c.bucket = r.i
+),
+dsir_tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM dsir_cnts),
+dsir_lam AS (
+  SELECT bucket,
+         {sql_round6('ln(((ct + 1.0) * (nr + 256.0)) / ((cr + 1.0) * (nt + 256.0)))')} AS lr
+  FROM dsir_cnts, dsir_tot
+),
+dsir_score AS (
+  SELECT r.doc_id, r.lang, COALESCE(CAST(s.sw AS DOUBLE), 0.0) AS log_w
+  FROM dsir_raw r LEFT JOIN (
+    SELECT doc_id, SUM(CAST(lr AS DECIMAL(18,6))) AS sw
+    FROM (
+      SELECT t.doc_id, l.lr
+      FROM (SELECT doc_id, {_DSIR_BUCKET_SQL} AS bucket
+            FROM (SELECT doc_id, unnest(string_split(norm, ' ')) AS term
+                  FROM dsir_raw WHERE norm <> ''))  t
+      JOIN dsir_lam l USING (bucket)
+    )
+    GROUP BY doc_id
+  ) s USING (doc_id)
+),
+dsir_sel AS (
+  SELECT doc_id, lang, log_w, key,
+         ROW_NUMBER() OVER (ORDER BY key DESC, doc_id) AS rn
+  FROM (
+    SELECT doc_id, lang, log_w,
+           {sql_round6('log_w - ln(-ln((' + _DSIR_BITS_SQL + ' + 1.0) / 4503599627370496.0))')} AS key
+    FROM dsir_score
+  )
+)"""
+
+
 _SAMPLING_AUDITS_ORACLE = f"""
-WITH h AS (
+WITH {_DSIR_CTES.lstrip()},
+h AS (
   SELECT doc_id, lang, n_chars,
          (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
          + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket,
@@ -580,6 +661,17 @@ SELECT 'diversity', CAST(cluster_id AS VARCHAR), CAST(NULL AS BIGINT),
        CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
        vec_id, draw
 FROM ({_DIVERSITY_ORACLE})
+UNION ALL
+SELECT 'dsir_lambda', CAST(bucket AS VARCHAR), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), lr,
+       CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS INT)
+FROM dsir_lam
+UNION ALL
+SELECT 'dsir', lang, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), log_w, key, CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), doc_id, CAST(rn AS INT)
+FROM dsir_sel WHERE rn <= {_DSIR_N}
 """
 
 
@@ -604,6 +696,15 @@ def sampling_audits(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact in double on any engine) and ranked in log space (ln(u)/w
     never underflows); its only shuffle is the per-group (group, key)
     window.
+
+    `dsir_lambda` / `dsir` (r8, operators/dsir.py): DSIR importance
+    resampling of the raw pool (lang <> 'de') toward the 'de' slice as
+    the target distribution — the hashed-n-gram λ table (full 256-bucket
+    domain, add-1 smoothing, round6(ln ratio)) and the Gumbel top-16 draw
+    (key = log_w − ln(−ln(u))), with per-doc log-weights folded map-side
+    in DECIMAL(18,6) off the literal λ array (no shuffle, no join — the
+    paper's linear scan). Both the model (λ) and the decision (selected
+    ids, weights, keys, draw order) are value-hashed.
 
     `diversity` (r8, operators/diversity.py::diversity_sample):
     cluster-balanced round-robin selection of 24 embedding rows
@@ -726,8 +827,51 @@ def sampling_audits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("long").alias("doc_id"),
         F.col("draw").alias("rank"),
     )
+    # DSIR sections (r8): λ relation materialized once (localCheckpoint —
+    # consumed both by the output rows and the O(B) collect that feeds the
+    # map-side literal scoring), then importance-weighted Gumbel top-N over
+    # the raw pool.
+    from ..operators.dsir import (
+        bucket_logratios,
+        collect_logratios,
+        dsir_log_weights,
+        gumbel_select,
+    )
+
+    target = docs.filter(F.col("lang") == "de").select("text")
+    raw_pool = docs.filter(F.col("lang") != "de").select("doc_id", "lang", "text")
+    lam = bucket_logratios(target, raw_pool).localCheckpoint()
+    lam_rows = lam.select(
+        F.lit("dsir_lambda").alias("section"),
+        F.col("bucket").cast("string").alias("stratum"),
+        F.lit(None).cast("long").alias("n_docs"),
+        F.lit(None).cast("long").alias("n_sampled"),
+        F.lit(None).cast("long").alias("sampled_chars"),
+        F.col("log_ratio").alias("target_rate"),
+        F.lit(None).cast("double").alias("achieved_rate"),
+        F.lit(None).cast("long").alias("min_id"),
+        F.lit(None).cast("long").alias("max_id"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("int").alias("rank"),
+    )
+    weighted = dsir_log_weights(raw_pool, collect_logratios(lam))
+    dsir_rows = gumbel_select(weighted, _DSIR_N).select(
+        F.lit("dsir").alias("section"),
+        F.col("lang").alias("stratum"),
+        F.lit(None).cast("long").alias("n_docs"),
+        F.lit(None).cast("long").alias("n_sampled"),
+        F.lit(None).cast("long").alias("sampled_chars"),
+        F.col("log_w").alias("target_rate"),
+        F.col("key").alias("achieved_rate"),
+        F.lit(None).cast("long").alias("min_id"),
+        F.lit(None).cast("long").alias("max_id"),
+        "doc_id",
+        "rank",
+    )
     return (
         split_rows.unionByName(strat_rows)
         .unionByName(aes_rows)
         .unionByName(div_rows)
+        .unionByName(lam_rows)
+        .unionByName(dsir_rows)
     )
