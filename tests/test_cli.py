@@ -30,6 +30,19 @@ def test_parser_curate_lang_rates():
     assert args.lang_rates == "en=128,fr=64"
 
 
+def test_parser_curate_dsir_pair_required_together():
+    args = build_parser().parse_args(
+        ["curate", "--input", "i", "--output", "o",
+         "--dsir-target", "t.parquet", "--dsir-keep", "5"]
+    )
+    assert args.dsir_target == "t.parquet" and args.dsir_keep == 5
+    # half a pair is a usage error BEFORE any Spark session spins up
+    half = build_parser().parse_args(
+        ["curate", "--input", "i", "--output", "o", "--dsir-keep", "5"]
+    )
+    assert half.fn(half) == 2
+
+
 def test_parser_drift_versions():
     args = build_parser().parse_args(
         ["drift", "--sink", "/tmp/s", "--versions", "3:5",

@@ -525,3 +525,30 @@ def test_ingest_stream_cross_batch_near_dedup(spark, tmp_path):
     # a fresh checkpoint replays the whole source: nothing new lands
     drain("ckpt2")
     assert {r.doc_id for r in read_appended(spark, sink).collect()} == {1, 2, 12}
+
+
+def test_dsir_stage_selects_target_like_docs(spark):
+    """Stage 5b: with a physics-flavored target, DSIR must keep the
+    physics-flavored survivors over the cooking-flavored ones — the
+    per-doc weight gap (repeated distinguishing tokens × λ difference)
+    dwarfs the Gumbel noise, so the draw is effectively deterministic."""
+    phys = "quantum energy photon entropy lattice spectrum boson field"
+    cook = "recipe butter flour sugar oven whisk batter glaze"
+    rows = [(i, f"{GOOD} {phys} {phys} {phys} v{i}") for i in range(10)]
+    rows += [(100 + i, f"{GOOD} {cook} {cook} {cook} v{i}") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(9000 + i, f"{GOOD} {phys} study{i}") for i in range(3)],
+        "doc_id long, text string",
+    )
+    out = curate_corpus(
+        docs, dsir_target=target, dsir_keep=6, max_tokens=2000, n_shards=2
+    )
+    report = {r["stage"]: r["n_docs"] for r in out["report"].collect()}
+    assert report["dsir_select"] == 6
+    assert report["packed"] == 6
+    ids = {r["doc_id"] for r in out["documents"].select("doc_id").collect()}
+    assert len(ids) == 6
+    assert all(i < 100 for i in ids), f"cooking docs selected: {ids}"
+    # selection metadata must not leak into the packed schema
+    assert not {"log_w", "key", "rank"} & set(out["documents"].columns)

@@ -52,9 +52,24 @@ def _cmd_curate(args: argparse.Namespace) -> int:
     from .corpus import curate_corpus, write_training_shards
     from .session import get_spark
 
+    # Usage errors die before a Spark session spins up (the drift
+    # subcommand's parse-time discipline).
+    if (args.dsir_target is None) != (args.dsir_keep is None):
+        print(
+            json.dumps(
+                {
+                    "status": "error",
+                    "error": "--dsir-target and --dsir-keep must be given together",
+                }
+            )
+        )
+        return 2
     spark = get_spark("corpus-curate", master=args.master)
     docs = spark.read.parquet(args.input)
     benchmark = spark.read.parquet(args.benchmark) if args.benchmark else None
+    dsir_target = (
+        spark.read.parquet(args.dsir_target) if args.dsir_target else None
+    )
     lang_rates = None
     if args.lang_rates:
         lang_rates = {
@@ -76,6 +91,8 @@ def _cmd_curate(args: argparse.Namespace) -> int:
         strip_html=args.strip_html,
         normalize_unicode=args.normalize_unicode,
         neardup_threshold=args.neardup_threshold,
+        dsir_target=dsir_target,
+        dsir_keep=args.dsir_keep,
     )
     write_training_shards(out["documents"], args.output)
     report = {r["stage"]: r["n_docs"] for r in out["report"].collect()}
@@ -382,6 +399,20 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="enable MinHash-LSH near-dup dedup at this estimated-Jaccard "
         "threshold (default: exact dedup only)",
+    )
+    cur.add_argument(
+        "--dsir-target",
+        default=None,
+        help="parquet path of a high-quality target corpus: enable DSIR "
+        "importance selection of the survivors toward its hashed-n-gram "
+        "distribution (requires --dsir-keep)",
+    )
+    cur.add_argument(
+        "--dsir-keep",
+        type=int,
+        default=None,
+        help="number of docs the DSIR stage keeps (sampled without "
+        "replacement proportional to importance weight)",
     )
     cur.set_defaults(fn=_cmd_curate)
 

@@ -11,6 +11,9 @@ capstone flow over a raw document table:
                         components → min-id survivor per cluster)
     4. decontamination (word-n-gram overlap vs a held-out benchmark)
     5. stratified sampling (optional per-language keep rates, content-stable)
+    5b. DSIR selection  (optional: importance resampling toward a target
+                         corpus — hashed-n-gram λ, map-side scoring,
+                         content-stable Gumbel draw)
     6. sequence packing (concat-and-cut token budgeting into shards)
 
 Every stage is one of the tested operators (operators/, functions/) wired
@@ -106,6 +109,9 @@ def curate_corpus(
     normalize_unicode: bool = False,
     neardup_threshold: float | None = None,
     neardup_k: int = 3,
+    dsir_target: DataFrame | None = None,
+    dsir_keep: int | None = None,
+    dsir_buckets: int = 256,
 ) -> dict:
     """Run the full curation pipeline. Returns
     {"documents": packed survivors (id, lang, clean_text, n_tokens,
@@ -163,7 +169,18 @@ def curate_corpus(
     so document bodies never enter an exchange for this stage (the drop
     list is the non-survivors of near-dup clusters — a small fraction of
     any sane corpus; for a pathological mostly-duplicates corpus flip to
-    a shuffled anti-join). ``neardup_k`` is the word-shingle width."""
+    a shuffled anti-join). ``neardup_k`` is the word-shingle width.
+
+    ``dsir_target`` + ``dsir_keep`` (r8): DSIR importance selection
+    (operators/dsir.py) toward a small high-quality target corpus — fit
+    the hashed-n-gram λ model on (target, survivors), score each
+    survivor's clean_text map-side off the literal λ array, keep
+    ``dsir_keep`` docs sampled without replacement ∝ exp(log_w) via the
+    content-stable Gumbel draw. Runs AFTER dedup/decontam/stratification
+    (selection should see the deduplicated pool, per the paper) and
+    BEFORE packing. The target goes through the same PII redaction the
+    survivors' clean_text did, so both distributions are measured on the
+    shipping surface form."""
     spark = docs.sparkSession
     stages: list[tuple[str, int]] = []
     cached: list[DataFrame] = []
@@ -300,6 +317,28 @@ def curate_corpus(
         thr = (thr.otherwise(256) if thr is not None else F.lit(256))
         survivors = survivors.filter(md5_bucket("doc_id", salt="corpus:") < thr)
         survivors = checkpoint("stratified_sample", survivors)
+
+    # 5b: optional DSIR importance selection toward a target corpus.
+    if dsir_target is not None and dsir_keep is not None:
+        from .operators.dsir import (
+            bucket_logratios,
+            collect_logratios,
+            dsir_log_weights,
+            gumbel_select,
+        )
+
+        tgt = dsir_target.select(redact_pii(F.col(text_col)).alias("clean_text"))
+        lam = collect_logratios(
+            bucket_logratios(
+                tgt, survivors, text_col="clean_text", buckets=dsir_buckets
+            ),
+            buckets=dsir_buckets,
+        )
+        weighted = dsir_log_weights(survivors, lam, text_col="clean_text")
+        survivors = gumbel_select(weighted, dsir_keep).drop(
+            "log_w", "key", "rank"
+        )
+        survivors = checkpoint("dsir_select", survivors)
 
     # 6: pack into token-budgeted shards.
     packed = pack_sequences(
