@@ -1,0 +1,231 @@
+"""Mergeable profile state (operators/profile.py::profile_state /
+merge_profile_states / stats_from_state, operators/versioned.py::
+incremental_profile_versioned): profile each batch once, fold states
+algebraically, never rescan.
+
+The contract under test: stats_from_state(merge(per-batch states)) is
+bit-identical to a full-table column_stats on every algebraic field
+(counts, min/max renderings, decimal-exact means), with n_distinct an
+HLL estimate that is merge-order invariant and within the sketch's
+error band of exact.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from youtube_api_data_etl_automation_spark.operators.profile import (
+    column_stats,
+    merge_profile_states,
+    profile_state,
+    stats_from_state,
+)
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("x", T.DoubleType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("b", T.BooleanType()),
+        T.StructField("d", T.DateType()),
+        T.StructField("arr", T.ArrayType(T.LongType())),
+    ]
+)
+
+_ALGEBRAIC = (
+    "dtype",
+    "n_rows",
+    "n_nulls",
+    "min_value",
+    "max_value",
+    "avg_value",
+    "avg_len",
+)
+
+
+def _rows(n0: int, n1: int):
+    out = []
+    for i in range(n0, n1):
+        out.append(
+            (
+                i,
+                None if i % 7 == 3 else f"s{i % 13:03d}" * (1 + i % 3),
+                None if i % 11 == 5 else (i * 17 % 101) / 4.0 - 5.0,
+                datetime.datetime(2024, 1 + i % 12, 1 + i % 28, i % 24, 0, 0),
+                i % 3 == 0,
+                datetime.date(2023, 1 + i % 12, 1 + i % 28),
+                [i, i + 1] if i % 2 == 0 else None,
+            )
+        )
+    return out
+
+
+def _df(spark, n0=0, n1=120):
+    return spark.createDataFrame(_rows(n0, n1), _SCHEMA)
+
+
+def _stats_map(df):
+    return {r["column_name"]: r.asDict() for r in df.collect()}
+
+
+def test_merged_state_matches_full_column_stats(spark):
+    full = _df(spark)
+    batches = [_df(spark, 0, 40), _df(spark, 40, 90), _df(spark, 90, 120)]
+    merged = merge_profile_states(*[profile_state(b) for b in batches])
+    got = _stats_map(stats_from_state(merged))
+    want = _stats_map(column_stats(full))
+    assert set(got) == set(want)
+    for c, w in want.items():
+        for k in _ALGEBRAIC:
+            assert got[c][k] == w[k], (c, k, got[c][k], w[k])
+        # HLL estimate within the lgk=12 error band of exact
+        if w["n_distinct"] > 0:
+            assert got[c]["n_distinct"] == pytest.approx(
+                w["n_distinct"], rel=0.05
+            )
+        else:
+            assert got[c]["n_distinct"] == 0
+
+
+def test_batch_expr_grouped_scan_equals_per_batch_states(spark):
+    """One grouped scan over the whole table == separate per-slice scans."""
+    full = _df(spark)
+    grouped = profile_state(full, batch_expr=F.col("k") % 3)
+    assert sorted(
+        (r["batch_id"], r["column_name"]) for r in grouped.collect()
+    ) == sorted(
+        (str(i), f.name) for i in range(3) for f in _SCHEMA.fields
+    )
+    separate = [
+        profile_state(full.filter(F.col("k") % 3 == i)) for i in range(3)
+    ]
+    a = _stats_map(stats_from_state(merge_profile_states(grouped)))
+    b = _stats_map(stats_from_state(merge_profile_states(*separate)))
+    assert a == b
+
+
+def test_merge_is_order_and_grouping_invariant(spark):
+    parts = [profile_state(_df(spark, a, b)) for a, b in ((0, 30), (30, 50), (50, 120))]
+    flat = _stats_map(stats_from_state(merge_profile_states(*parts)))
+    nested = _stats_map(
+        stats_from_state(
+            merge_profile_states(
+                merge_profile_states(parts[2], parts[0]), parts[1]
+            )
+        )
+    )
+    assert flat == nested
+
+
+def test_repartition_stable(spark):
+    a = _stats_map(
+        stats_from_state(merge_profile_states(profile_state(_df(spark))))
+    )
+    b = _stats_map(
+        stats_from_state(
+            merge_profile_states(profile_state(_df(spark).repartition(7)))
+        )
+    )
+    assert a == b
+
+
+def test_empty_batch_is_identity(spark):
+    data = profile_state(_df(spark))
+    empty = profile_state(_df(spark).limit(0))
+    with_empty = _stats_map(
+        stats_from_state(merge_profile_states(data, empty))
+    )
+    alone = _stats_map(stats_from_state(merge_profile_states(data)))
+    assert with_empty == alone
+
+
+def test_all_null_column_and_empty_state(spark):
+    df = _df(spark).select(
+        "k", F.lit(None).cast("double").alias("x"), "s"
+    )
+    got = _stats_map(stats_from_state(merge_profile_states(profile_state(df))))
+    x = got["x"]
+    assert (x["n_nulls"], x["n_distinct"]) == (x["n_rows"], 0)
+    assert x["min_value"] is None and x["avg_value"] is None
+    empty = _stats_map(
+        stats_from_state(
+            merge_profile_states(profile_state(_df(spark).limit(0)))
+        )
+    )
+    assert empty["k"]["n_rows"] == 0
+    assert empty["k"]["n_distinct"] == 0
+
+
+def test_track_distinct_off_yields_null_estimate(spark):
+    st = profile_state(_df(spark), ["k", "s"], track_distinct=False)
+    got = _stats_map(stats_from_state(merge_profile_states(st)))
+    assert got["k"]["n_distinct"] is None
+    # everything else still derives
+    assert got["k"]["min_value"] == "0"
+
+
+def test_unsupported_types_get_null_minmax(spark):
+    got = _stats_map(
+        stats_from_state(merge_profile_states(profile_state(_df(spark))))
+    )
+    arr = got["arr"]
+    assert arr["min_value"] is None and arr["max_value"] is None
+    assert arr["n_nulls"] == sum(1 for i in range(120) if i % 2 == 1)
+    # boolean/date/timestamp renderings match column_stats exactly
+    want = _stats_map(column_stats(_df(spark)))
+    for c in ("b", "d", "ts"):
+        assert (got[c]["min_value"], got[c]["max_value"]) == (
+            want[c]["min_value"],
+            want[c]["max_value"],
+        )
+
+
+def test_profile_state_is_one_aggregate_scan(spark):
+    """Plan shape: the grouped-scan form is a single aggregate job — no
+    join, no nested loop; the merge input is state rows, never data."""
+    plan = profile_state(
+        _df(spark), ["k", "s", "x"], batch_expr=F.col("k") % 3
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    merged_plan = (
+        merge_profile_states(profile_state(_df(spark), ["k"]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in merged_plan
+
+
+def test_incremental_profile_versioned_exactly_once(spark, tmp_path):
+    from youtube_api_data_etl_automation_spark.operators.versioned import (
+        incremental_profile_versioned,
+        read_profile_state,
+    )
+
+    base = str(tmp_path / "prof_state")
+    cols = ["k", "s", "x"]
+    incremental_profile_versioned(
+        _df(spark, 0, 50), base, cols, batch_id="b1"
+    )
+    incremental_profile_versioned(
+        _df(spark, 50, 120), base, cols, batch_id="b2"
+    )
+    # replaying an applied batch folds nothing
+    incremental_profile_versioned(
+        _df(spark, 50, 120), base, cols, batch_id="b2"
+    )
+    got = _stats_map(
+        stats_from_state(read_profile_state(spark, base))
+    )
+    want = _stats_map(column_stats(_df(spark), cols))
+    for c, w in want.items():
+        for k in _ALGEBRAIC:
+            assert got[c][k] == w[k], (c, k)
+        assert got[c]["n_distinct"] == pytest.approx(
+            max(w["n_distinct"], 1), rel=0.05
+        ) or (w["n_distinct"] == 0 and got[c]["n_distinct"] == 0)

@@ -34,16 +34,21 @@ def test_profile_row_scan_budget(spark):
     fusing them back would sort the Expand stream), leaving exactly six
     orders scans — those two aggregates, the histogram (its own
     single-column-pruned scan, see fused_profile's docstring), top-k,
-    the FK probe, and (r7) the cross-column satisfies contract's
-    2-column side of the joined fact — plus one customer scan and one
-    2-column lineitem scan. A refactor that splits the fused aggregate
-    into per-stat scans (or re-fuses the distinct side) fails here."""
+    the FK probe, (r7) the cross-column satisfies contract's
+    2-column side of the joined fact, and (r8) the `state` section's ONE
+    grouped scan producing all three per-batch profile states (the
+    incremental-profiling demo — N batch states from one pass, merged
+    over state rows, never data) — seven orders scans total, plus one
+    customer scan and one 2-column lineitem scan. A refactor that splits
+    the fused aggregate into per-stat scans (or re-fuses the distinct
+    side, or turns the grouped state scan into per-batch scans) fails
+    here."""
     import re
 
     from youtube_api_data_etl_automation_spark.plans import QUERIES
 
     plan = _plan(QUERIES["table_profile_orders"](spark, SF_DIR))
-    assert len(re.findall(r"Scan parquet[^\n]*orders", plan)) == 6
+    assert len(re.findall(r"Scan parquet[^\n]*orders", plan)) == 7
     assert len(re.findall(r"Scan parquet[^\n]*customer", plan)) == 1
     assert len(re.findall(r"Scan parquet[^\n]*lineitem", plan)) == 1
     # the satisfies branch reads ONLY its two columns from each side

@@ -673,3 +673,240 @@ def histogram_drift(
             (F.col("psi") > F.lit(float(psi_threshold))).alias("flagged"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable profile state: profile each batch ONCE, fold states forever
+# ---------------------------------------------------------------------------
+#
+# column_stats answers "what does this table look like?" with one scan of
+# the whole table. At 100 TB with daily appends that is the wrong shape:
+# the table was already scanned once per batch when it was written, and a
+# nightly full-table profile re-reads everything ever ingested. These three
+# operators close that gap the same way incremental_agg closes it for
+# keyed aggregates — the per-column stats block is re-expressed as an
+# ALGEBRAIC state (counts, decimal-exact sums, order-preserving min/max
+# encodings, a DataSketches HLL sketch for cardinality) that merges
+# associatively: profile_state(batch) per delta, merge_profile_states to
+# fold, stats_from_state to materialize the exact column_stats relation —
+# all without touching stored data again. The only non-algebraic
+# column_stats metric is the exact distinct count; the state carries the
+# mergeable HLL sketch instead (the same trade column_stats itself makes
+# at scale with exact_distinct=False), so stats_from_state's n_distinct is
+# an estimate (exact in HLL sparse mode at small cardinalities).
+#
+# Cross-engine exactness of everything else is by construction: sums
+# round each value to decimal(24,6) exactly like column_stats, then fold
+# in decimal(38,6) (exact addition ⇒ merged avg == full-scan avg bit for
+# bit); numeric min/max fold as decimal(38,6) (rounding to 6 dp is weakly
+# monotone, so min-of-rounded == rounded-min); string/date/timestamp/
+# boolean min/max fold as their portable renderings, each of which is
+# lexicographically order-preserving ('yyyy-MM-dd HH:mm:ss' timestamps,
+# ISO dates, 'false' < 'true'). DecimalType columns are normalized through
+# decimal(24,6) here (a documented divergence: column_stats renders them
+# at native scale, which a type-erased state row cannot reconstruct).
+
+PROFILE_STATE_FIELDS = (
+    "batch_id",
+    "column_name",
+    "dtype",
+    "n_rows",
+    "n_nonnull",
+    "sum_value",
+    "sum_len",
+    "min_num",
+    "max_num",
+    "min_str",
+    "max_str",
+    "distinct_sketch",
+)
+
+_INTEGRAL_NAMES = ("tinyint", "smallint", "int", "bigint")
+
+
+def profile_state(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    *,
+    batch_expr: Column | None = None,
+    track_distinct: bool = True,
+    lgk: int = 12,
+    timestamp_format: str = "yyyy-MM-dd HH:mm:ss",
+) -> DataFrame:
+    """Per-column ALGEBRAIC profile state of ``df`` (see the section note
+    above): one row per profiled column — or per (batch, column) when
+    ``batch_expr`` is given, which profiles N batches in ONE grouped scan
+    (the backfill shape: state for every historical partition from a
+    single pass). Output schema is :data:`PROFILE_STATE_FIELDS`;
+    ``batch_id`` is the stringified ``batch_expr`` (literal ``'all'``
+    without one).
+
+    One aggregate job over one column-pruned scan; with ``batch_expr`` the
+    shuffle carries one partial state row per batch per map partition
+    (map-side combine — batches × cols rows total). ``track_distinct``
+    attaches a DataSketches HLL sketch (``lgk`` config) over the 64-bit
+    xxhash of each non-null value — uniform across types, mergeable with
+    :func:`merge_profile_states`; pass ``False`` to skip the sketch cost
+    when cardinality is not needed (``n_distinct`` derives as NULL).
+    """
+    fields, names = _resolve_cols(df, cols)
+    aggs: list[Column] = [F.count(F.lit(1)).cast("long").alias("__n_rows")]
+    for i, c in enumerate(names):
+        dt = fields[c]
+        col = _ref(c)
+        aggs.append(F.count(col).cast("long").alias(f"__s{i}__nn"))
+        if _is_numeric(dt):
+            aggs.append(
+                F.sum(col.cast("decimal(24,6)"))
+                .cast("decimal(38,6)")
+                .alias(f"__s{i}__sum")
+            )
+            aggs.append(F.min(col).cast("decimal(38,6)").alias(f"__s{i}__mnn"))
+            aggs.append(F.max(col).cast("decimal(38,6)").alias(f"__s{i}__mxn"))
+        else:
+            aggs.append(
+                F.lit(None).cast("decimal(38,6)").alias(f"__s{i}__sum")
+            )
+            aggs.append(
+                F.lit(None).cast("decimal(38,6)").alias(f"__s{i}__mnn")
+            )
+            aggs.append(
+                F.lit(None).cast("decimal(38,6)").alias(f"__s{i}__mxn")
+            )
+        if isinstance(dt, T.StringType):
+            slen = (
+                F.sum(F.length(col).cast("decimal(24,6)"))
+                .cast("decimal(38,6)")
+                .alias(f"__s{i}__len")
+            )
+        else:
+            slen = F.lit(None).cast("decimal(38,6)").alias(f"__s{i}__len")
+        aggs.append(slen)
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            mns = F.date_format(F.min(col), timestamp_format)
+            mxs = F.date_format(F.max(col), timestamp_format)
+        elif isinstance(dt, (T.StringType, T.DateType, T.BooleanType)):
+            mns = F.min(col).cast("string")
+            mxs = F.max(col).cast("string")
+        else:
+            mns = F.lit(None).cast("string")
+            mxs = F.lit(None).cast("string")
+        aggs.append(mns.alias(f"__s{i}__mns"))
+        aggs.append(mxs.alias(f"__s{i}__mxs"))
+        if track_distinct:
+            sk = F.hll_sketch_agg(
+                F.when(col.isNotNull(), F.xxhash64(col)), F.lit(int(lgk))
+            )
+        else:
+            sk = F.lit(None).cast("binary")
+        aggs.append(sk.alias(f"__s{i}__hll"))
+    if batch_expr is not None:
+        row = df.groupBy(batch_expr.cast("string").alias("__batch")).agg(*aggs)
+        batch_col = F.col("__batch")
+    else:
+        row = df.agg(*aggs)
+        batch_col = F.lit("all")
+    structs = [
+        F.struct(
+            batch_col.alias("batch_id"),
+            F.lit(c).alias("column_name"),
+            F.lit(fields[c].simpleString()).alias("dtype"),
+            F.col("__n_rows").alias("n_rows"),
+            F.col(f"__s{i}__nn").alias("n_nonnull"),
+            F.col(f"__s{i}__sum").alias("sum_value"),
+            F.col(f"__s{i}__len").alias("sum_len"),
+            F.col(f"__s{i}__mnn").alias("min_num"),
+            F.col(f"__s{i}__mxn").alias("max_num"),
+            F.col(f"__s{i}__mns").alias("min_str"),
+            F.col(f"__s{i}__mxs").alias("max_str"),
+            F.col(f"__s{i}__hll").alias("distinct_sketch"),
+        )
+        for i, c in enumerate(names)
+    ]
+    return row.select(F.inline(F.array(*structs)))
+
+
+def merge_profile_states(*states: DataFrame) -> DataFrame:
+    """Fold any number of :func:`profile_state` relations (and/or already-
+    merged states) into one state row per column: counts and sums add
+    (decimal-exact), min/max encodings fold under their order-preserving
+    representations, HLL sketches union (``hll_union_agg`` — register-wise
+    max). Associative and commutative: fold per-batch states in any
+    order, any grouping, and every metric is identical (the sketch
+    estimate included — unions are order-invariant). The one artifact of
+    merging: a unioned sketch estimates with DataSketches' composite
+    estimator while a single-pass sketch uses HIP, so a merged
+    ``n_distinct`` can differ from a one-shot profile's by a fraction of
+    the ~1.6 % lgk=12 error band — both are estimates of the same thing. The merge input is k·cols rows of state — never data — so
+    folding a year of daily batches costs a 365·cols-row aggregate.
+
+    Columns must agree on dtype across states (a retyped column is a
+    schema change — diff it with ``schema_diff``, don't merge through it);
+    disagreeing dtypes surface as separate (column_name, dtype) rows
+    rather than silently mixing incompatible encodings."""
+    if not states:
+        raise ValueError("need at least one profile_state relation")
+    all_states = states[0]
+    for s in states[1:]:
+        all_states = all_states.unionByName(s)
+    return (
+        all_states.groupBy("column_name", "dtype")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("n_nonnull").cast("long").alias("n_nonnull"),
+            F.sum("sum_value").cast("decimal(38,6)").alias("sum_value"),
+            F.sum("sum_len").cast("decimal(38,6)").alias("sum_len"),
+            F.min("min_num").alias("min_num"),
+            F.max("max_num").alias("max_num"),
+            F.min("min_str").alias("min_str"),
+            F.max("max_str").alias("max_str"),
+            # hll_union_agg of zero sketches yields an EMPTY sketch, not
+            # NULL — preserve NULL-ness so a track_distinct=False history
+            # keeps deriving n_distinct = NULL (unknown), not 0 (all-null)
+            F.hll_union_agg("distinct_sketch").alias("__sk"),
+            F.max(F.col("distinct_sketch").isNotNull()).alias("__had"),
+        )
+        .select(
+            F.lit("merged").alias("batch_id"),
+            *[c for c in PROFILE_STATE_FIELDS if c not in ("batch_id", "distinct_sketch")],
+            F.when(F.col("__had"), F.col("__sk")).alias("distinct_sketch"),
+        )
+    )
+
+
+def stats_from_state(state: DataFrame) -> DataFrame:
+    """Materialize the :func:`column_stats` relation (:data:`STATS_FIELDS`
+    schema) from a (merged) profile state — zero scans of the profiled
+    data. Every metric except ``n_distinct`` is bit-identical to a
+    full-table ``column_stats`` run by the algebra in the section note;
+    ``n_distinct`` is the HLL estimate (NULL when the state was built with
+    ``track_distinct=False``), 0 for an all-null/empty column."""
+    dtype = F.col("dtype")
+    is_int = dtype.isin(*_INTEGRAL_NAMES)
+    num_render = F.when(
+        is_int, F.col("min_num").cast("long").cast("string")
+    ).otherwise(F.col("min_num").cast("decimal(24,6)").cast("string"))
+    num_render_mx = F.when(
+        is_int, F.col("max_num").cast("long").cast("string")
+    ).otherwise(F.col("max_num").cast("decimal(24,6)").cast("string"))
+    nn = F.col("n_nonnull")
+    return state.select(
+        F.col("column_name"),
+        dtype,
+        F.col("n_rows"),
+        (F.col("n_rows") - nn).cast("long").alias("n_nulls"),
+        F.when(nn == 0, F.lit(0).cast("long"))
+        .otherwise(F.hll_sketch_estimate(F.col("distinct_sketch")))
+        .cast("long")
+        .alias("n_distinct"),
+        F.coalesce(F.col("min_str"), num_render).alias("min_value"),
+        F.coalesce(F.col("max_str"), num_render_mx).alias("max_value"),
+        F.when(
+            (nn > 0) & F.col("sum_value").isNotNull(),
+            round6(F.col("sum_value").cast("double") / nn),
+        ).alias("avg_value"),
+        F.when(
+            (nn > 0) & F.col("sum_len").isNotNull(),
+            round6(F.col("sum_len").cast("double") / nn),
+        ).alias("avg_len"),
+    )

@@ -685,3 +685,80 @@ def append_versioned(delta: DataFrame, base_path: str, key: str | None = None,
         raise
     _gc_versions(spark, base_path, new_v, keep_versions)
     return n
+
+
+# ---------------------------------------------------------------------------
+# Versioned incremental PROFILING: fold per-delta profile states exactly once
+# ---------------------------------------------------------------------------
+
+
+def read_profile_state(spark: SparkSession, base_path: str) -> DataFrame:
+    """Current committed profile state (see incremental_profile_versioned).
+    Feed to ``profile.stats_from_state`` for the column_stats relation, or
+    to ``profile.profile_drift`` via that derivation for drift checks —
+    neither touches the profiled data."""
+    v = current_version(spark, base_path)
+    if v is None:
+        raise FileNotFoundError(f"no committed version under {base_path}")
+    return spark.read.parquet(f"{version_path(base_path, v)}/{_STATE_SUB}")
+
+
+def incremental_profile_versioned(
+    delta: DataFrame,
+    base_path: str,
+    cols: list[str] | None = None,
+    *,
+    batch_id: str,
+    keep_versions: int = 2,
+    track_distinct: bool = True,
+    lgk: int = 12,
+) -> DataFrame:
+    """Maintain a whole-table profile at O(delta) cost: profile ONLY the
+    incoming batch (``profile.profile_state`` — one aggregate over one
+    column-pruned scan of the delta) and fold it into the committed state
+    (``profile.merge_profile_states`` — a cols-row merge, never data).
+    ``profile.stats_from_state`` of the result is what a full-table
+    ``column_stats`` rescan would report (bit-identical except the
+    HLL-estimated ``n_distinct``), so the nightly 100 TB profile job
+    becomes a per-batch delta profile plus a k-row fold.
+
+    Exactly-once by the same construction as :func:`incremental_agg_versioned`:
+    the folded state AND the applied-batch-id set commit under ONE atomic
+    ``_COMMITTED`` marker, so a crash anywhere pre-marker leaves the old
+    state current and the retry folds the batch exactly once. Re-folding
+    an applied ``batch_id`` returns the current state unchanged. The
+    profile parameters (``cols``, ``track_distinct``, ``lgk``) must be
+    held constant across batches — states fold by (column_name, dtype),
+    so a changed column set merges per-column histories, and a changed
+    ``lgk`` raises in the sketch union. Returns the committed state."""
+    from .profile import merge_profile_states, profile_state
+
+    spark = delta.sparkSession
+    cur = current_version(spark, base_path)
+    old_state = old_applied = None
+    if cur is not None:
+        vdir = version_path(base_path, cur)
+        old_state = spark.read.parquet(f"{vdir}/{_STATE_SUB}")
+        old_applied = spark.read.parquet(f"{vdir}/{_APPLIED_SUB}")
+        if (
+            old_applied.filter(F.col("batch_id") == batch_id).limit(1).count()
+            > 0
+        ):
+            return old_state
+
+    part = profile_state(
+        delta, cols, track_distinct=track_distinct, lgk=lgk
+    )
+    if old_state is not None:
+        part = merge_profile_states(old_state, part)
+    new_applied = spark.createDataFrame([(batch_id,)], "batch_id string")
+    if old_applied is not None:
+        new_applied = old_applied.unionByName(new_applied)
+
+    new_v = (cur or 0) + 1
+    staging = _staging_path(base_path)
+    part.write.mode("overwrite").parquet(f"{staging}/{_STATE_SUB}")
+    new_applied.write.mode("overwrite").parquet(f"{staging}/{_APPLIED_SUB}")
+    _publish_version(spark, base_path, new_v, staging)
+    _gc_versions(spark, base_path, new_v, keep_versions)
+    return read_profile_state(spark, base_path)

@@ -924,12 +924,18 @@ _PROFILE_PAD = """
 
 
 def _stats_branch(col: str, dtype: str, min_expr: str, max_expr: str,
-                  avg_expr: str, len_expr: str) -> str:
+                  avg_expr: str, len_expr: str,
+                  section: str = "stats") -> str:
+    # section='state' mirrors the stats arithmetic but NULLs n_distinct:
+    # the merged-state cardinality is an HLL estimate (pytest-verified in
+    # tests/test_profile_state.py), not oracle-reproducible arithmetic.
+    nd = ("CAST(NULL AS BIGINT)" if section == "state"
+          else f"CAST(COUNT(DISTINCT {col}) AS BIGINT)")
     return f"""
-    SELECT 'stats' AS section, '{col}' AS column_name, '{dtype}' AS dtype,
+    SELECT '{section}' AS section, '{col}' AS column_name, '{dtype}' AS dtype,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_nulls,
-           CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+           {nd} AS n_distinct,
            {min_expr} AS min_value, {max_expr} AS max_value,
            {avg_expr} AS avg_value, {len_expr} AS avg_len,
            {_PROFILE_PAD}
@@ -986,6 +992,32 @@ _PROFILE_ORACLE = (
         "o_orderpriority", "string",
         "MIN(o_orderpriority)", "MAX(o_orderpriority)",
         _NULL_D, _len_sql("o_orderpriority"),
+    )
+    # `state` section: the MERGED 3-batch profile state must reproduce a
+    # full-scan profile exactly on every algebraic field — the oracle
+    # recomputes them straight off the whole table.
+    + "".join(
+        " UNION ALL " + _stats_branch(*args, section="state")
+        for args in (
+            ("o_orderkey", "bigint",
+             "CAST(MIN(o_orderkey) AS VARCHAR)",
+             "CAST(MAX(o_orderkey) AS VARCHAR)",
+             _avg_sql("o_orderkey"), _NULL_D),
+            ("o_orderstatus", "string",
+             "MIN(o_orderstatus)", "MAX(o_orderstatus)",
+             _NULL_D, _len_sql("o_orderstatus")),
+            ("o_totalprice", "double",
+             "CAST(CAST(MIN(o_totalprice) AS DECIMAL(24,6)) AS VARCHAR)",
+             "CAST(CAST(MAX(o_totalprice) AS DECIMAL(24,6)) AS VARCHAR)",
+             _avg_sql("o_totalprice"), _NULL_D),
+            ("o_orderdate", "timestamp_ntz",
+             "strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S')",
+             "strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')",
+             _NULL_D, _NULL_D),
+            ("o_orderpriority", "string",
+             "MIN(o_orderpriority)", "MAX(o_orderpriority)",
+             _NULL_D, _len_sql("o_orderpriority")),
+        )
     )
     + f"""
     UNION ALL
@@ -1092,6 +1124,12 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     format, o_custkey referential integrity against customer, and (r7) a
     cross-column `satisfies` contract over the joined fact
     (l_shipdate >= o_orderdate — NULL-skipping three-valued logic).
+    `state` (r8, operators/profile.py::profile_state): the incremental-
+    profiling path — per-batch mergeable profile states (3 batches from one
+    grouped scan here; one per ingest delta in production via
+    versioned.incremental_profile_versioned) folded and re-materialized as
+    the stats relation, oracle-proved lossless against a full-table
+    recompute on every algebraic field.
 
     Scan discipline (late r6, operators/profile.py::fused_profile): stats
     and the agg-expressible checks are both global aggregates of orders, so
@@ -1119,7 +1157,14 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         satisfies,
         unique,
     )
-    from ..operators.profile import fused_profile, numeric_histogram, top_values
+    from ..operators.profile import (
+        fused_profile,
+        merge_profile_states,
+        numeric_histogram,
+        profile_state,
+        stats_from_state,
+        top_values,
+    )
 
     orders = load_table(spark, sf_dir, "orders")
     fused = fused_profile(
@@ -1214,9 +1259,36 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             [satisfies("l_shipdate >= o_orderdate", column="l_shipdate")],
         )
     )
+    # `state` section (r8, profile.profile_state): the incremental-profiling
+    # path — 3 per-batch states from ONE grouped scan (o_orderkey % 3 plays
+    # the ingest-batch id), folded by merge_profile_states, materialized by
+    # stats_from_state. The oracle recomputes the stats from the full table,
+    # proving the fold is lossless on every algebraic field; n_distinct is
+    # NULLed here (the merged HLL estimate is pytest-verified instead —
+    # tests/test_profile_state.py).
+    st = profile_state(
+        orders,
+        ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+         "o_orderpriority"],
+        batch_expr=F.col("o_orderkey") % 3,
+    )
+    state = stats_from_state(merge_profile_states(st)).select(
+        F.lit("state").alias("section"),
+        "column_name", "dtype", "n_rows", "n_nulls",
+        F.lit(None).cast("long").alias("n_distinct"),
+        "min_value", "max_value", "avg_value", "avg_len",
+        F.lit(None).cast("int").alias("bucket"),
+        F.lit(None).cast("double").alias("bucket_lo"),
+        F.lit(None).cast("double").alias("bucket_hi"),
+        F.lit(None).cast("long").alias("bucket_n"),
+        F.lit(None).cast("string").alias("value"),
+        F.lit(None).cast("long").alias("value_n"),
+        F.lit(None).cast("int").alias("rank"),
+        *pad_checks,
+    )
     return (
         fused.unionByName(hist).unionByName(topk).unionByName(fk)
-        .unionByName(xcol)
+        .unionByName(xcol).unionByName(state)
     )
 
 
