@@ -298,3 +298,52 @@ def test_shards_cli_certifies_and_flags_broken(spark, capsys, tmp_path):
     assert rc == 2
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["status"] == "broken_shards" and rep["broken_shards"] == [0]
+
+
+def test_profile_cli_state_mode_folds_and_gates(spark, capsys):
+    """profile --state-dir: batch 1 seeds the state, a clean batch 2 folds
+    (exit 0, cumulative rows grow), a drifted batch with --gate-drift is
+    NOT folded (exit 2, state unchanged), and a replayed batch id folds
+    nothing."""
+    d = tempfile.mkdtemp(prefix="cli_profile_state_")
+    state = d + "/state"
+
+    def write(path, rows):
+        spark.createDataFrame(rows, "k long, v double").write.parquet(path)
+
+    write(d + "/b1.parquet", [(i, float(i % 7)) for i in range(50)])
+    write(d + "/b2.parquet", [(50 + i, float(i % 7)) for i in range(50)])
+    write(d + "/bad.parquet", [(100 + i, None) for i in range(50)])
+
+    # drift-check the STATIONARY column only (k is a monotone id whose
+    # mean shifts across batches by construction — the operator docstring
+    # says not to drift-check those)
+    rc = main(["profile", "--input", d + "/b1.parquet", "--columns", "v",
+               "--state-dir", state, "--batch-id", "b1"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["status"] == "ok" and out["folded"]
+    assert {r["column_name"]: r["n_rows"] for r in out["cumulative_profile"]} \
+        == {"v": 50}
+
+    rc = main(["profile", "--input", d + "/b2.parquet", "--columns", "v",
+               "--state-dir", state, "--batch-id", "b2"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["cumulative_profile"][0]["n_rows"] == 100
+
+    rc = main(["profile", "--input", d + "/bad.parquet", "--columns", "v",
+               "--state-dir", state, "--batch-id", "b3", "--gate-drift"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 2 and out["status"] == "drift_flagged" and not out["folded"]
+    assert any(f["metric"] == "null_rate" for f in out["drift_flags"])
+    assert out["cumulative_profile"][0]["n_rows"] == 100  # state untouched
+
+    # replayed id: exit 0, nothing double-folds
+    rc = main(["profile", "--input", d + "/b2.parquet", "--columns", "v",
+               "--state-dir", state, "--batch-id", "b2"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["cumulative_profile"][0]["n_rows"] == 100
+
+    # --state-dir without --batch-id is a usage error
+    rc = main(["profile", "--input", d + "/b1.parquet", "--state-dir", state])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and out["status"] == "error"

@@ -229,3 +229,63 @@ def test_incremental_profile_versioned_exactly_once(spark, tmp_path):
         assert got[c]["n_distinct"] == pytest.approx(
             max(w["n_distinct"], 1), rel=0.05
         ) or (w["n_distinct"] == 0 and got[c]["n_distinct"] == 0)
+
+
+def test_drift_vs_profile_state_flags_planted_shift(spark, tmp_path):
+    from youtube_api_data_etl_automation_spark.operators.versioned import (
+        drift_vs_profile_state,
+        incremental_profile_versioned,
+    )
+
+    # STATIONARY columns (cyclic with periods dividing every batch size):
+    # delta-vs-cumulative comparison is only meaningful for size-invariant
+    # metrics over stationary distributions — the operator docstring's
+    # whole point. Monotone ids would shift their mean by construction.
+    def batch(spark, n0, n1):
+        return spark.createDataFrame(
+            [
+                (
+                    i,
+                    f"cat{i % 5}",
+                    None if i % 10 == 7 else float(i % 4),
+                )
+                for i in range(n0, n1)
+            ],
+            "k long, s string, x double",
+        )
+
+    base = str(tmp_path / "gate_state")
+    cols = ["s", "x"]
+    incremental_profile_versioned(
+        batch(spark, 0, 100), base, ["k", "s", "x"], batch_id="b1"
+    )
+    # a same-shaped batch stays quiet (identical rates and means)
+    quiet = drift_vs_profile_state(batch(spark, 100, 120), base, cols)
+    assert quiet.filter(F.col("flagged")).count() == 0
+    # plant a null spike in x: every value null
+    bad = batch(spark, 100, 120).withColumn(
+        "x", F.lit(None).cast("double")
+    )
+    flagged = {
+        (r["column_name"], r["metric"])
+        for r in drift_vs_profile_state(bad, base, cols)
+        .filter(F.col("flagged"))
+        .collect()
+    }
+    assert ("x", "null_rate") in flagged
+    # the cardinality metric is opt-in here: a 20-row delta vs a 100-row
+    # history "collapses" by size alone, which is exactly why it's off
+    k_drift = drift_vs_profile_state(
+        batch(spark, 100, 120), base, ["k"], distinct_drop=0.5
+    )
+    assert (
+        k_drift.filter(
+            (F.col("metric") == "n_distinct") & F.col("flagged")
+        ).count()
+        == 1
+    )
+    # no committed state -> explicit error, not a silent empty verdict
+    with pytest.raises(Exception):
+        drift_vs_profile_state(
+            batch(spark, 0, 10), str(tmp_path / "nowhere"), cols
+        ).count()

@@ -160,6 +160,59 @@ def _psi_spec(s: str) -> tuple[str, float, float, int]:
     return col, lo, hi, bins
 
 
+def _profile_state_mode(args, spark, df, cols) -> int:
+    """`profile --state-dir`: the O(delta) nightly profile. Drift-check the
+    incoming batch against the committed cumulative state (k-row compare,
+    zero historical rescans), then fold it in exactly once
+    (operators/versioned.py::incremental_profile_versioned) — unless
+    --gate-drift and the batch flagged, in which case the state stays
+    clean and the exit code quarantines the batch. Exit 2 on drift."""
+    from .operators.profile import stats_from_state
+    from .operators.versioned import (
+        current_version,
+        drift_vs_profile_state,
+        incremental_profile_versioned,
+    )
+
+    if not args.batch_id:
+        print(json.dumps({"status": "error",
+                          "error": "--state-dir requires --batch-id"}))
+        return 1
+    from pyspark.sql import functions as F
+
+    flags: list[dict] = []
+    if current_version(spark, args.state_dir) is not None:
+        drift = drift_vs_profile_state(
+            df, args.state_dir, cols,
+            null_rate_jump=args.null_rate_jump,
+            distinct_drop=args.distinct_drop,
+            mean_shift=args.mean_shift,
+        )
+        flags = [
+            r.asDict() for r in drift.filter(F.col("flagged")).collect()
+        ]
+    folded = not (flags and args.gate_drift)
+    if folded:
+        state = incremental_profile_versioned(
+            df, args.state_dir, cols, batch_id=args.batch_id
+        )
+    else:
+        from .operators.versioned import read_profile_state
+
+        state = read_profile_state(spark, args.state_dir)
+    cumulative = [r.asDict() for r in stats_from_state(state).collect()]
+    print(json.dumps({
+        "status": "drift_flagged" if flags else "ok",
+        "batch_id": args.batch_id,
+        "folded": folded,
+        "drift_flags": flags,
+        "cumulative_profile": [
+            {k: v for k, v in r.items() if v is not None} for r in cumulative
+        ],
+    }, default=str))
+    return 2 if flags else 0
+
+
 def _cmd_profile(args: argparse.Namespace) -> int:
     """One-scan table profile (+ optional histogram / top-k / contract
     checks) straight from the command line — the triage pass every
@@ -171,6 +224,8 @@ def _cmd_profile(args: argparse.Namespace) -> int:
     spark = get_spark("table-profile", master=args.master)
     df = spark.read.parquet(args.input)
     cols = [c for c in (args.columns or "").split(",") if c] or None
+    if args.state_dir:
+        return _profile_state_mode(args, spark, df, cols)
     checks = []
     for spec in args.not_null or []:
         from .operators.expectations import not_null
@@ -479,6 +534,29 @@ def build_parser() -> argparse.ArgumentParser:
         help="contract: SQL boolean over any columns must not be FALSE "
         "(repeatable; NULL evaluations skip)",
     )
+    pr_.add_argument(
+        "--state-dir", default=None, metavar="DIR",
+        help="incremental mode: treat --input as ONE ingest batch — drift-"
+        "check it against DIR's committed cumulative profile state, then "
+        "fold it in exactly once (requires --batch-id; exit 2 on drift)",
+    )
+    pr_.add_argument(
+        "--batch-id", default=None,
+        help="idempotency key for --state-dir (a replayed batch id folds "
+        "nothing)",
+    )
+    pr_.add_argument(
+        "--gate-drift", action="store_true",
+        help="with --state-dir: do NOT fold a batch that flags drift "
+        "(circuit breaker — the state stays clean for the next batch)",
+    )
+    pr_.add_argument("--null-rate-jump", type=float, default=0.05)
+    pr_.add_argument(
+        "--distinct-drop", type=float, default=0.0,
+        help="cardinality-collapse threshold; defaults OFF in state mode "
+        "(a small delta always has fewer distincts than the history)",
+    )
+    pr_.add_argument("--mean-shift", type=float, default=0.25)
     pr_.set_defaults(fn=_cmd_profile)
 
     sh = sub.add_parser(

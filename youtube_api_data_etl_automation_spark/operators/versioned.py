@@ -762,3 +762,63 @@ def incremental_profile_versioned(
     _publish_version(spark, base_path, new_v, staging)
     _gc_versions(spark, base_path, new_v, keep_versions)
     return read_profile_state(spark, base_path)
+
+
+def drift_vs_profile_state(
+    delta: DataFrame,
+    base_path: str,
+    cols: list[str] | None = None,
+    *,
+    null_rate_jump: float = 0.05,
+    distinct_drop: float = 0.0,
+    mean_shift: float = 0.25,
+    track_distinct: bool = True,
+    lgk: int = 12,
+) -> DataFrame:
+    """Ingest-time drift gate at O(delta) cost: profile the INCOMING batch
+    (one aggregate over the delta) and compare it against the committed
+    cumulative profile state — ``profile.profile_drift`` over two k-row
+    relations, zero scans of historical data. This is the "is today's
+    feed shaped like everything we've ever ingested?" check, run BEFORE
+    folding the batch (fold with :func:`incremental_profile_versioned`
+    after the verdict — or not at all, if the caller gates on flags; the
+    CLI ``profile --state-dir --gate-drift`` wires exactly that).
+
+    Metric scope in this delta-vs-CUMULATIVE shape: null_rate and
+    avg_value are size-invariant (rates and means), so they compare
+    cleanly across any batch size. Cardinality is NOT — a day's batch
+    always has fewer distincts than the whole history, so the collapse
+    metric would fire on every small delta; it therefore defaults OFF
+    here (``distinct_drop=0.0`` — a ratio is never below 0). Opt in only
+    when batches are comparable in size to the folded history. The same
+    logic says: drift-check stationary columns (rates, amounts,
+    categories), not monotone ids, whose mean grows with time by
+    construction. Both sides' ``n_distinct`` are HLL estimates (the
+    committed side via the merged sketches) when the metric is enabled.
+    Raises FileNotFoundError when no state is committed yet (a first
+    batch has nothing to drift against).
+    """
+    from .profile import (
+        merge_profile_states,
+        profile_drift,
+        profile_state,
+        stats_from_state,
+    )
+
+    committed = stats_from_state(
+        read_profile_state(delta.sparkSession, base_path)
+    )
+    batch = stats_from_state(
+        # single-state "merge" so the estimate comes from the same
+        # (unioned-sketch) estimator class on both sides
+        merge_profile_states(
+            profile_state(delta, cols, track_distinct=track_distinct, lgk=lgk)
+        )
+    )
+    return profile_drift(
+        batch,
+        committed,
+        null_rate_jump=null_rate_jump,
+        distinct_drop=distinct_drop,
+        mean_shift=mean_shift,
+    )
