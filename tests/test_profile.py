@@ -486,3 +486,117 @@ def test_fused_profile_empty_relation(spark):
         r["passed"] and r["n_violations"] == 0
         for r in out if r["section"] == "checks"
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic drift (operators/clustering.py::cluster_occupancy/embedding_drift)
+# ---------------------------------------------------------------------------
+
+
+def _emb_df(spark, n=60, dim=4, negate=False):
+    import math
+
+    rows = []
+    for i in range(n):
+        # SKEWED occupancy: everything hugs axis 0 with small noise on the
+        # other axes — negation then scatters assignments across axes
+        # 1..3 (cosine to centroid 0 becomes ≈ −1), a real occupancy shift
+        v = [1.0] + [0.1 * math.cos(i + j) for j in range(1, dim)]
+        if negate:
+            v = [-x for x in v]
+        rows.append((i, v))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def _cent_df(spark, k=4, dim=4):
+    rows = [
+        (c, [1.0 if j == c else 0.0 for j in range(dim)]) for c in range(k)
+    ]
+    return spark.createDataFrame(rows, "cluster_id long, cv array<double>")
+
+
+def test_cluster_occupancy_counts_every_vector_once(spark):
+    from youtube_api_data_etl_automation_spark.operators.clustering import (
+        cluster_occupancy,
+    )
+
+    occ = cluster_occupancy(_emb_df(spark), _cent_df(spark)).collect()
+    assert sum(r["n"] for r in occ) == 60
+    assert all(0 <= r["cluster_id"] <= 3 for r in occ)
+
+
+def test_embedding_drift_quiet_on_identical_flagged_on_negated(spark):
+    from youtube_api_data_etl_automation_spark.operators.clustering import (
+        embedding_drift,
+    )
+
+    cent = _cent_df(spark)
+    same = embedding_drift(
+        _emb_df(spark), _emb_df(spark), cent
+    ).collect()[0]
+    assert same["psi"] == pytest.approx(0.0, abs=1e-9)
+    assert not same["flagged"]
+    assert same["prev_total"] == same["cur_total"] == 60
+    # negation flips every assignment to the most-anti-similar centroid
+    shifted = embedding_drift(
+        _emb_df(spark, negate=True), _emb_df(spark), cent
+    ).collect()[0]
+    assert shifted["flagged"] and shifted["psi"] > 0.2
+
+
+def test_embedding_drift_composition_matches_manual_psi(spark):
+    """embedding_drift == histogram_drift over the occupancy relations —
+    the composition introduces no arithmetic of its own."""
+    from youtube_api_data_etl_automation_spark.operators.clustering import (
+        cluster_occupancy,
+        embedding_drift,
+    )
+    from youtube_api_data_etl_automation_spark.operators.profile import (
+        histogram_drift,
+    )
+
+    cent = _cent_df(spark)
+    cur, prev = _emb_df(spark, negate=True), _emb_df(spark)
+
+    def hist(df):
+        return cluster_occupancy(df, cent).select(
+            F.col("cluster_id").cast("int").alias("bucket"),
+            F.col("cluster_id").cast("double").alias("bucket_lo"),
+            (F.col("cluster_id") + 1).cast("double").alias("bucket_hi"),
+            F.col("n").alias("bucket_n"),
+        )
+
+    a = embedding_drift(cur, prev, cent).collect()[0]
+    b = histogram_drift(hist(cur), hist(prev)).collect()[0]
+    assert a.asDict() == b.asDict()
+
+
+def test_embedding_drift_corpus_never_shuffles_vectors(spark):
+    """Plan pin on the occupancy side: assignment is a broadcast join
+    (sanctioned tiny-side BNLJ, same as clustering/semantic_neardup), no
+    sort-merge join, and the max_by carries only the cluster id — the
+    embedding column never appears in an exchange. (embedding_drift's
+    OWN plan does contain one SortMergeJoin: histogram_drift's ≤k-row
+    full-outer bucket join, documented there.)"""
+    from youtube_api_data_etl_automation_spark.operators.clustering import (
+        cluster_occupancy,
+    )
+
+    plan = (
+        cluster_occupancy(_emb_df(spark), _cent_df(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan
+    # the embedding column dies map-side: no aggregate buffer or exchange
+    # row carries it (max_by output is the bare cluster id)
+    import re
+
+    agg_lines = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln or "HashAggregate" in ln
+    ]
+    assert agg_lines and not any("embedding" in ln for ln in agg_lines)

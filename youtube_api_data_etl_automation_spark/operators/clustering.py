@@ -126,3 +126,76 @@ def kmeans_lloyd(spark: SparkSession, corpus: DataFrame, init_centroids: DataFra
         )
     )
     return (stats, cent_df) if return_centroids else stats
+
+
+def cluster_occupancy(corpus: DataFrame, centroids: DataFrame,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Cluster-occupancy histogram of an embedding relation: assign every
+    vector to its nearest centroid (broadcast argmax — the corpus never
+    shuffles its vectors; the one exchange carries (id, cluster) pairs)
+    and count per cluster. ``(cluster_id, n)`` — at most k rows.
+
+    This is the semantic analogue of ``profile.numeric_histogram``: the
+    centroids are the fixed grid, occupancy is the bucket mass. Built for
+    :func:`embedding_drift`, useful alone as a corpus-composition readout
+    (which semantic regions a crawl actually filled).
+
+    Unlike :func:`_assign` (whose callers need the vectors back), the
+    max_by here carries ONLY the winning cluster_id, so the post-scoring
+    exchange holds (id, cluster) partials — the embedding column dies at
+    the map side [pinned in tests/test_profile.py]."""
+    scored = corpus.select(id_col, vec_col).join(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        round6(cosine_similarity(vec_col, "cv")).alias("_csim"),
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max_by(
+            F.col("cluster_id"),
+            F.struct(F.col("_csim"), (-F.col("cluster_id")).alias("_tie")),
+        ).alias("cluster_id")
+    )
+    return best.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def embedding_drift(cur: DataFrame, prev: DataFrame, centroids: DataFrame,
+                    *, id_col: str = "vec_id", vec_col: str = "embedding",
+                    psi_threshold: float = 0.2,
+                    epsilon: float = 1e-6) -> DataFrame:
+    """SEMANTIC drift between two embedding batches: PSI over their
+    cluster-occupancy distributions under a SHARED, fixed centroid set —
+    the embedding-space twin of ``profile.histogram_drift``. A numeric
+    histogram can't see a corpus pivoting from code to marketing prose
+    when every scalar stat stays flat; occupancy over semantic regions
+    can. One row: ``(psi, n_buckets, prev_total, cur_total, flagged)``
+    (``n_buckets`` = clusters occupied by either side).
+
+    The centroids MUST be the same fixed relation on both sides (train
+    once — e.g. ``kmeans_lloyd(return_centroids=True)`` on the baseline
+    corpus — then reuse; re-training per batch would move the grid under
+    the metric, exactly the mismatch histogram_drift raises on for
+    numeric grids). Cost: one broadcast-assign aggregate per side over
+    the batch being compared — the baseline side's occupancy can be a
+    ≤k-row committed relation reused forever, so steady-state monitoring
+    prices at one pass over each NEW batch only, like the streaming PSI
+    monitor it composes with."""
+    from .profile import histogram_drift
+
+    def occ_hist(df: DataFrame) -> DataFrame:
+        # cluster ids as the "grid": lo/hi = [id, id+1) so the shared-grid
+        # guard inside histogram_drift is trivially satisfied when both
+        # sides use the same centroid relation
+        return cluster_occupancy(df, centroids, id_col, vec_col).select(
+            F.col("cluster_id").cast("int").alias("bucket"),
+            F.col("cluster_id").cast("double").alias("bucket_lo"),
+            (F.col("cluster_id") + 1).cast("double").alias("bucket_hi"),
+            F.col("n").alias("bucket_n"),
+        )
+
+    return histogram_drift(
+        occ_hist(cur), occ_hist(prev),
+        psi_threshold=psi_threshold, epsilon=epsilon,
+    )

@@ -1336,6 +1336,14 @@ def _drift_stats_sql(rel: str) -> str:
     return " UNION ALL ".join(branches)
 
 
+# round6 cosine, id tie-break — the same assignment convention (and the
+# same cross-engine-exact formula) the diversity/IVF oracles use.
+_DRIFT_COS = (
+    "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    " / nullif(sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))), 0.0)"
+)
+
 _DRIFT_ORACLE = f"""
 WITH prev AS ({_DRIFT_PREV_SQL}),
 cur AS ({_DRIFT_CUR_SQL}),
@@ -1400,7 +1408,52 @@ psi_terms AS (
   FROM hj, tot
 ),
 psi AS (SELECT COALESCE(SUM((pc - pp) * ln(pc / pp)), 0.0) AS psi
-        FROM psi_terms)
+        FROM psi_terms),
+ecent AS (
+  SELECT vec_id AS cluster_id, embedding AS cv FROM embeddings
+  WHERE vec_id BETWEEN 10 AND 17
+),
+ecur AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> -x) AS embedding
+  FROM embeddings
+),
+pocc AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT e.vec_id, c.cluster_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {sql_round6(_DRIFT_COS.format(a='e.embedding', b='c.cv'))} DESC,
+                      c.cluster_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN ecent c
+  ) WHERE rn = 1 GROUP BY cluster_id
+),
+cocc AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT e.vec_id, c.cluster_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {sql_round6(_DRIFT_COS.format(a='e.embedding', b='c.cv'))} DESC,
+                      c.cluster_id
+           ) AS rn
+    FROM ecur e CROSS JOIN ecent c
+  ) WHERE rn = 1 GROUP BY cluster_id
+),
+ej AS (
+  SELECT COALESCE(p.n, 0) AS pn, COALESCE(c.n, 0) AS cn
+  FROM pocc p FULL OUTER JOIN cocc c USING (cluster_id)
+),
+etot AS (SELECT SUM(pn) AS tp, SUM(cn) AS tc FROM ej),
+epsi_terms AS (
+  SELECT GREATEST(CASE WHEN tp > 0 THEN CAST(pn AS DOUBLE) / tp
+                       ELSE 0.0 END, 0.000001) AS pp,
+         GREATEST(CASE WHEN tc > 0 THEN CAST(cn AS DOUBLE) / tc
+                       ELSE 0.0 END, 0.000001) AS pc
+  FROM ej, etot
+),
+epsi AS (SELECT COALESCE(SUM((pc - pp) * ln(pc / pp)), 0.0) AS psi
+         FROM epsi_terms)
 SELECT 'moments' AS section, column_name, metric,
        {sql_round6('prev_value')} AS prev_value,
        {sql_round6('cur_value')} AS cur_value,
@@ -1411,6 +1464,11 @@ SELECT 'psi', 'o_totalprice', 'psi',
        CAST(tp AS DOUBLE), CAST(tc AS DOUBLE),
        {sql_round6('psi')}, psi > 0.2
 FROM psi, tot
+UNION ALL
+SELECT 'semantic', 'embedding', 'psi',
+       CAST(tp AS DOUBLE), CAST(tc AS DOUBLE),
+       {sql_round6('psi')}, psi > 0.2
+FROM epsi, etot
 """
 
 
@@ -1441,6 +1499,7 @@ def profile_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile, halving that). The one unpartitioned window inside
     histogram_drift runs over ≤20 joined bucket rows (documented there —
     it is what keeps each histogram lineage at ONE scan)."""
+    from ..operators.clustering import embedding_drift
     from ..operators.profile import (
         column_stats,
         histogram_drift,
@@ -1519,7 +1578,36 @@ def profile_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("psi").alias("delta"),
         "flagged",
     )
-    return moment_rows.unionByName(psi_rows)
+    # `semantic` (late r8, operators/clustering.py::embedding_drift): PSI
+    # over cluster-OCCUPANCY distributions under a shared fixed centroid
+    # set (vec_id 10-17, the ivf/diversity fixture convention) — the
+    # embedding-space drift a numeric histogram can't see. The planted cur
+    # batch NEGATES every vector, flipping each assignment to its most-
+    # anti-similar centroid: occupancy reshuffles wholesale, PSI flags,
+    # and clusters emptied on one side exercise the epsilon path. The
+    # oracle re-derives both assignments (round6 cosine, id tie-break)
+    # and the PSI sum.
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id").between(10, 17)).select(
+        F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("cv")
+    )
+    cur_emb = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: -x
+        ).alias("embedding"),
+    )
+    sem = embedding_drift(cur_emb, emb, cent)
+    sem_rows = sem.select(
+        F.lit("semantic").alias("section"),
+        F.lit("embedding").alias("column_name"),
+        F.lit("psi").alias("metric"),
+        F.col("prev_total").cast("double").alias("prev_value"),
+        F.col("cur_total").cast("double").alias("cur_value"),
+        F.col("psi").alias("delta"),
+        "flagged",
+    )
+    return moment_rows.unionByName(psi_rows).unionByName(sem_rows)
 
 
 # The date-spine gap-fill is driver-verified as the `daily` section of
