@@ -347,3 +347,37 @@ def test_profile_cli_state_mode_folds_and_gates(spark, capsys):
     rc = main(["profile", "--input", d + "/b1.parquet", "--state-dir", state])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 1 and out["status"] == "error"
+
+
+def test_profile_cli_state_mode_hist_psi_gate(spark, capsys):
+    """profile --state-dir --hist: the shape gate — a batch whose moments
+    are quiet but whose distribution collapsed into one bucket flags PSI
+    and is quarantined under --gate-drift."""
+    d = tempfile.mkdtemp(prefix="cli_profile_hist_")
+    state = d + "/state"
+    spark.createDataFrame(
+        [(i, float(i % 10)) for i in range(100)], "k long, v double"
+    ).write.parquet(d + "/b1.parquet")
+    # same mean (4.5), same null rate (0), completely different shape
+    spark.createDataFrame(
+        [(100 + i, 4.5) for i in range(100)], "k long, v double"
+    ).write.parquet(d + "/peaked.parquet")
+
+    rc = main(["profile", "--input", d + "/b1.parquet", "--columns", "v",
+               "--state-dir", state, "--batch-id", "b1",
+               "--hist", "v:0:10:10"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["folded"]
+
+    rc = main(["profile", "--input", d + "/peaked.parquet", "--columns", "v",
+               "--state-dir", state, "--batch-id", "b2",
+               "--hist", "v:0:10:10", "--gate-drift"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 2 and not out["folded"]
+    assert [f["metric"] for f in out["drift_flags"]] == ["psi"]
+
+    # folding without --hist on a shape-tracking sink surfaces the raise
+    # (argparse-level usage is fine; the operator protects the state)
+    with pytest.raises(ValueError):
+        main(["profile", "--input", d + "/b1.parquet", "--columns", "v",
+              "--state-dir", state, "--batch-id", "b3"])

@@ -289,3 +289,127 @@ def test_drift_vs_profile_state_flags_planted_shift(spark, tmp_path):
         drift_vs_profile_state(
             batch(spark, 0, 10), str(tmp_path / "nowhere"), cols
         ).count()
+
+
+# ---------------------------------------------------------------------------
+# Histogram state (profile.histogram_state / merge_histogram_states /
+# hist_from_state + versioned hist_specs / psi_vs_hist_state)
+# ---------------------------------------------------------------------------
+
+
+def _hdf(spark, n0, n1):
+    return spark.createDataFrame(
+        [
+            (
+                i,
+                None if i % 10 == 3 else float(i % 50),
+                float("nan") if i % 17 == 4 else float(i % 9) - 2.0,
+            )
+            for i in range(n0, n1)
+        ],
+        "k long, u double, w double",
+    )
+
+
+def test_merged_hist_state_matches_full_histogram(spark):
+    from youtube_api_data_etl_automation_spark.operators.profile import (
+        hist_from_state,
+        histogram_state,
+        merge_histogram_states,
+        numeric_histogram,
+    )
+
+    specs = [("u", 0.0, 50.0, 10), ("w", -5.0, 10.0, 6)]
+    parts = [
+        histogram_state(_hdf(spark, a, b), specs)
+        for a, b in ((0, 70), (70, 150), (150, 200))
+    ]
+    merged = merge_histogram_states(*parts)
+    full = _hdf(spark, 0, 200)
+    for col, lo, hi, bins in specs:
+        got = sorted(
+            tuple(r) for r in hist_from_state(merged, col).collect()
+        )
+        want = sorted(
+            tuple(r) for r in numeric_histogram(full, col, lo, hi, bins).collect()
+        )
+        assert got == want, col  # bit-identical: integer counts, same edges
+
+
+def test_histogram_state_grouped_scan_and_grid_isolation(spark):
+    from youtube_api_data_etl_automation_spark.operators.profile import (
+        hist_from_state,
+        histogram_state,
+        merge_histogram_states,
+    )
+
+    # one grouped scan == per-slice scans
+    specs = [("u", 0.0, 50.0, 10)]
+    grouped = histogram_state(
+        _hdf(spark, 0, 200), specs, batch_expr=F.col("k") % 2
+    )
+    assert {r["batch_id"] for r in grouped.collect()} == {"0", "1"}
+    sep = [
+        histogram_state(_hdf(spark, 0, 200).filter(F.col("k") % 2 == i), specs)
+        for i in range(2)
+    ]
+    a = sorted(tuple(r) for r in hist_from_state(
+        merge_histogram_states(grouped), "u").collect())
+    b = sorted(tuple(r) for r in hist_from_state(
+        merge_histogram_states(*sep), "u").collect())
+    assert a == b
+    # different grids never mix: same column, two grids -> separate rows
+    g1 = histogram_state(_hdf(spark, 0, 100), [("u", 0.0, 50.0, 10)])
+    g2 = histogram_state(_hdf(spark, 100, 200), [("u", 0.0, 100.0, 10)])
+    merged = merge_histogram_states(g1, g2)
+    grids = (
+        merged.select("grid_lo", "grid_hi", "grid_bins").distinct().count()
+    )
+    assert grids == 2
+
+
+def test_versioned_hist_state_and_psi_gate(spark, tmp_path):
+    from youtube_api_data_etl_automation_spark.operators.profile import (
+        hist_from_state,
+        histogram_state,
+        numeric_histogram,
+    )
+    from youtube_api_data_etl_automation_spark.operators.versioned import (
+        incremental_profile_versioned,
+        psi_vs_hist_state,
+        read_hist_state,
+    )
+
+    base = str(tmp_path / "hist_state")
+    specs = [("u", 0.0, 50.0, 10)]
+    incremental_profile_versioned(
+        _hdf(spark, 0, 100), base, ["u"], batch_id="b1", hist_specs=specs
+    )
+    incremental_profile_versioned(
+        _hdf(spark, 100, 200), base, ["u"], batch_id="b2", hist_specs=specs
+    )
+    got = sorted(
+        tuple(r)
+        for r in hist_from_state(read_hist_state(spark, base), "u").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in numeric_histogram(_hdf(spark, 0, 200), "u", 0.0, 50.0, 10).collect()
+    )
+    assert got == want
+    # same-shaped batch: tiny PSI; shape-shifted batch (all mass in one
+    # bucket) flags
+    quiet = psi_vs_hist_state(_hdf(spark, 200, 300), base, "u").collect()[0]
+    assert not quiet["flagged"]
+    shifted_df = _hdf(spark, 200, 300).withColumn("u", F.lit(1.0))
+    loud = psi_vs_hist_state(shifted_df, base, "u").collect()[0]
+    assert loud["flagged"] and loud["psi"] > 0.2
+    # untracked column is an explicit KeyError
+    with pytest.raises(KeyError):
+        psi_vs_hist_state(_hdf(spark, 0, 10), base, "w").collect()
+    # folding WITHOUT hist_specs on a shape-tracking sink raises instead
+    # of silently dropping the committed shapes
+    with pytest.raises(ValueError):
+        incremental_profile_versioned(
+            _hdf(spark, 200, 210), base, ["u"], batch_id="b3"
+        )

@@ -191,10 +191,31 @@ def _profile_state_mode(args, spark, df, cols) -> int:
         flags = [
             r.asDict() for r in drift.filter(F.col("flagged")).collect()
         ]
+        if args.hist:
+            # shape gate: PSI of the batch vs the committed histogram
+            # state (grid read off the state, so it can't drift)
+            from .operators.versioned import psi_vs_hist_state
+
+            try:
+                psi_row = psi_vs_hist_state(
+                    df, args.state_dir, args.hist[0],
+                    psi_threshold=args.psi_threshold,
+                ).collect()[0]
+            except FileNotFoundError:
+                psi_row = None  # moment-only history; tracking starts now
+            if psi_row is not None and psi_row["flagged"]:
+                flags.append({
+                    "column_name": args.hist[0], "metric": "psi",
+                    "prev_value": float(psi_row["prev_total"]),
+                    "cur_value": float(psi_row["cur_total"]),
+                    "delta": psi_row["psi"], "flagged": True,
+                })
     folded = not (flags and args.gate_drift)
+    hist_specs = [tuple(args.hist)] if args.hist else None
     if folded:
         state = incremental_profile_versioned(
-            df, args.state_dir, cols, batch_id=args.batch_id
+            df, args.state_dir, cols, batch_id=args.batch_id,
+            hist_specs=hist_specs,
         )
     else:
         from .operators.versioned import read_profile_state
@@ -549,6 +570,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--gate-drift", action="store_true",
         help="with --state-dir: do NOT fold a batch that flags drift "
         "(circuit breaker — the state stays clean for the next batch)",
+    )
+    pr_.add_argument(
+        "--psi-threshold", type=float, default=0.2,
+        help="state mode: PSI flag level for the --hist column's shape "
+        "vs the committed histogram state",
     )
     pr_.add_argument("--null-rate-jump", type=float, default=0.05)
     pr_.add_argument(

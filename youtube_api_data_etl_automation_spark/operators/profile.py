@@ -910,3 +910,137 @@ def stats_from_state(state: DataFrame) -> DataFrame:
             round6(F.col("sum_len").cast("double") / nn),
         ).alias("avg_len"),
     )
+
+
+# Histogram state: the SHAPE half of the committed drift baseline. Moments
+# (profile_state) catch null-rate/mean/cardinality shifts; PSI needs the
+# distribution itself. Bucket counts are plain integers, so the fold is
+# exact — merged per-batch histograms are bit-identical to a full-table
+# numeric_histogram, unlike the estimated n_distinct.
+
+HIST_STATE_FIELDS = (
+    "batch_id",
+    "column_name",
+    "grid_lo",
+    "grid_hi",
+    "grid_bins",
+    "bucket",
+    "bucket_n",
+)
+
+
+def histogram_state(
+    df: DataFrame,
+    specs: Sequence[tuple[str, float, float, int]],
+    *,
+    batch_expr: Column | None = None,
+) -> DataFrame:
+    """Fixed-grid histogram counts for any number of (col, lo, hi, bins)
+    specs from ONE scan: each row contributes one bucket per spec
+    (:func:`numeric_histogram`'s exact bucket arithmetic — NULL/NaN
+    dropped, out-of-range clamped to the edge buckets), exploded and
+    counted by (spec, bucket) with map-side combine, so the shuffle
+    carries ≤ Σ bins rows per partition regardless of N. With
+    ``batch_expr``, per-batch histograms from the same single pass (the
+    backfill shape). Schema :data:`HIST_STATE_FIELDS`; the grid columns
+    ride every row so merges can never silently mix grids.
+
+    Merge with :func:`merge_histogram_states` (integer sums — exact);
+    re-materialize the ``numeric_histogram`` relation with
+    :func:`hist_from_state`."""
+    if not specs:
+        raise ValueError("need at least one (col, lo, hi, bins) spec")
+    entries = []
+    for si, (c, lo, hi, bins) in enumerate(specs):
+        if bins <= 0:
+            raise ValueError(f"bins must be positive, got {bins}")
+        if not float(hi) > float(lo):
+            raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+        width = (float(hi) - float(lo)) / bins
+        x = _ref(c).cast("double")
+        b = F.floor((x - F.lit(float(lo))) / F.lit(width)).cast("int")
+        b = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1))
+        entries.append(
+            F.when(
+                x.isNotNull() & ~F.isnan(x),
+                F.struct(F.lit(si).alias("si"), b.alias("bucket")),
+            )
+        )
+    batch = (
+        batch_expr.cast("string") if batch_expr is not None else F.lit("all")
+    )
+    hit = F.explode(F.array_compact(F.array(*entries))).alias("hit")
+    counts = (
+        df.select(batch.alias("batch_id"), hit)
+        .groupBy("batch_id", "hit.si", "hit.bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("bucket_n"))
+    )
+    # spec metadata back onto the ≤ Σ bins result rows as literals
+    name = cn = lo_c = hi_c = bins_c = None
+    for si, (c, lo, hi, bins) in enumerate(specs):
+        cond = F.col("si") == si
+        cn = F.when(cond, F.lit(c)) if cn is None else cn.when(cond, F.lit(c))
+        lo_c = (
+            F.when(cond, F.lit(float(lo)))
+            if lo_c is None
+            else lo_c.when(cond, F.lit(float(lo)))
+        )
+        hi_c = (
+            F.when(cond, F.lit(float(hi)))
+            if hi_c is None
+            else hi_c.when(cond, F.lit(float(hi)))
+        )
+        bins_c = (
+            F.when(cond, F.lit(int(bins)))
+            if bins_c is None
+            else bins_c.when(cond, F.lit(int(bins)))
+        )
+    return counts.select(
+        "batch_id",
+        cn.alias("column_name"),
+        lo_c.alias("grid_lo"),
+        hi_c.alias("grid_hi"),
+        bins_c.alias("grid_bins"),
+        F.col("bucket"),
+        "bucket_n",
+    )
+
+
+def merge_histogram_states(*states: DataFrame) -> DataFrame:
+    """Fold histogram states: integer bucket sums grouped on the FULL grid
+    identity (column, lo, hi, bins, bucket), so two batches histogrammed
+    on different grids stay separate rows instead of silently mixing —
+    the same shared-grid discipline :func:`histogram_drift` enforces at
+    compare time. Exact (integer addition), associative, commutative;
+    the merge input is ≤ Σ bins rows per state, never data."""
+    if not states:
+        raise ValueError("need at least one histogram_state relation")
+    all_states = states[0]
+    for s in states[1:]:
+        all_states = all_states.unionByName(s)
+    return (
+        all_states.groupBy(
+            "column_name", "grid_lo", "grid_hi", "grid_bins", "bucket"
+        )
+        .agg(F.sum("bucket_n").cast("long").alias("bucket_n"))
+        .select(
+            F.lit("merged").alias("batch_id"),
+            *[c for c in HIST_STATE_FIELDS if c != "batch_id"],
+        )
+    )
+
+
+def hist_from_state(state: DataFrame, col: str) -> DataFrame:
+    """Materialize one column's :func:`numeric_histogram` relation
+    (``bucket, bucket_lo, bucket_hi, bucket_n``) from a (merged)
+    histogram state — bit-identical to a full-table run (integer counts;
+    the bucket-edge arithmetic repeats numeric_histogram's IEEE ops).
+    Feed two of these to :func:`histogram_drift` for PSI between any two
+    committed shapes, zero rescans."""
+    width = (F.col("grid_hi") - F.col("grid_lo")) / F.col("grid_bins")
+    return state.filter(F.col("column_name") == col).select(
+        "bucket",
+        (F.col("grid_lo") + F.col("bucket") * width).alias("bucket_lo"),
+        (F.col("grid_lo") + (F.col("bucket") + 1) * width).alias("bucket_hi"),
+        "bucket_n",
+    )

@@ -703,6 +703,27 @@ def read_profile_state(spark: SparkSession, base_path: str) -> DataFrame:
     return spark.read.parquet(f"{version_path(base_path, v)}/{_STATE_SUB}")
 
 
+_HIST_SUB = "hist"
+
+
+def read_hist_state(spark: SparkSession, base_path: str) -> DataFrame:
+    """Current committed histogram state (the ``hist_specs`` side of
+    :func:`incremental_profile_versioned`). Feed one column's slice to
+    ``profile.hist_from_state`` → ``profile.histogram_drift`` for PSI
+    between the committed shape and anything else, zero rescans."""
+    v = current_version(spark, base_path)
+    if v is None:
+        raise FileNotFoundError(f"no committed version under {base_path}")
+    path = f"{version_path(base_path, v)}/{_HIST_SUB}"
+    _, hpath, fs = _fs(spark, path)
+    if not fs.exists(hpath):
+        raise FileNotFoundError(
+            f"version v={v} has no histogram state; pass hist_specs= to "
+            "incremental_profile_versioned to start tracking shapes"
+        )
+    return spark.read.parquet(path)
+
+
 def incremental_profile_versioned(
     delta: DataFrame,
     base_path: str,
@@ -712,6 +733,7 @@ def incremental_profile_versioned(
     keep_versions: int = 2,
     track_distinct: bool = True,
     lgk: int = 12,
+    hist_specs: list[tuple[str, float, float, int]] | None = None,
 ) -> DataFrame:
     """Maintain a whole-table profile at O(delta) cost: profile ONLY the
     incoming batch (``profile.profile_state`` — one aggregate over one
@@ -730,16 +752,42 @@ def incremental_profile_versioned(
     profile parameters (``cols``, ``track_distinct``, ``lgk``) must be
     held constant across batches — states fold by (column_name, dtype),
     so a changed column set merges per-column histories, and a changed
-    ``lgk`` raises in the sketch union. Returns the committed state."""
-    from .profile import merge_profile_states, profile_state
+    ``lgk`` raises in the sketch union. Returns the committed state.
+
+    ``hist_specs`` additionally maintains the SHAPE half of the baseline:
+    per-spec bucket counts (``profile.histogram_state`` — one more scan
+    of the delta, all specs in one pass) folded by exact integer sums
+    under the same atomic commit, read back via :func:`read_hist_state`
+    → ``profile.hist_from_state`` → ``profile.histogram_drift`` for PSI
+    with zero rescans. Grids are part of the fold key, so a changed spec
+    starts separate rows (and histogram_drift raises at compare time)
+    rather than silently mixing. Once tracking starts, pass the same
+    ``hist_specs`` on every fold — a fold WITHOUT them drops the shape
+    state from the new version (the commit is all-or-nothing per
+    version), and that fold raises to prevent the silent drop."""
+    from .profile import (
+        histogram_state,
+        merge_histogram_states,
+        merge_profile_states,
+        profile_state,
+    )
 
     spark = delta.sparkSession
     cur = current_version(spark, base_path)
-    old_state = old_applied = None
+    old_state = old_applied = old_hist = None
     if cur is not None:
         vdir = version_path(base_path, cur)
         old_state = spark.read.parquet(f"{vdir}/{_STATE_SUB}")
         old_applied = spark.read.parquet(f"{vdir}/{_APPLIED_SUB}")
+        _, hpath, fs = _fs(spark, f"{vdir}/{_HIST_SUB}")
+        if fs.exists(hpath):
+            if hist_specs is None:
+                raise ValueError(
+                    f"{base_path} tracks histogram state; folding without "
+                    "hist_specs would silently drop the committed shapes — "
+                    "pass the same hist_specs, or rebuild the state dir"
+                )
+            old_hist = spark.read.parquet(f"{vdir}/{_HIST_SUB}")
         if (
             old_applied.filter(F.col("batch_id") == batch_id).limit(1).count()
             > 0
@@ -751,6 +799,11 @@ def incremental_profile_versioned(
     )
     if old_state is not None:
         part = merge_profile_states(old_state, part)
+    part_hist = None
+    if hist_specs is not None:
+        part_hist = histogram_state(delta, hist_specs)
+        if old_hist is not None:
+            part_hist = merge_histogram_states(old_hist, part_hist)
     new_applied = spark.createDataFrame([(batch_id,)], "batch_id string")
     if old_applied is not None:
         new_applied = old_applied.unionByName(new_applied)
@@ -758,6 +811,8 @@ def incremental_profile_versioned(
     new_v = (cur or 0) + 1
     staging = _staging_path(base_path)
     part.write.mode("overwrite").parquet(f"{staging}/{_STATE_SUB}")
+    if part_hist is not None:
+        part_hist.write.mode("overwrite").parquet(f"{staging}/{_HIST_SUB}")
     new_applied.write.mode("overwrite").parquet(f"{staging}/{_APPLIED_SUB}")
     _publish_version(spark, base_path, new_v, staging)
     _gc_versions(spark, base_path, new_v, keep_versions)
@@ -821,4 +876,47 @@ def drift_vs_profile_state(
         null_rate_jump=null_rate_jump,
         distinct_drop=distinct_drop,
         mean_shift=mean_shift,
+    )
+
+
+def psi_vs_hist_state(
+    delta: DataFrame,
+    base_path: str,
+    col: str,
+    *,
+    psi_threshold: float = 0.2,
+    epsilon: float = 1e-6,
+) -> DataFrame:
+    """PSI between an incoming batch and the committed SHAPE baseline:
+    histogram the delta on the grid the committed state already tracks
+    (the grid is read off the k-row state — O(1) control-plane, so a
+    caller can't accidentally compare across grids) and run
+    ``profile.histogram_drift`` against ``hist_from_state``. One
+    single-column-pruned scan of the delta; the baseline side is the
+    committed ≤bins-row relation — zero historical rescans, the shape
+    twin of :func:`drift_vs_profile_state`'s moment gate."""
+    from .profile import hist_from_state, histogram_drift, numeric_histogram
+
+    state = read_hist_state(delta.sparkSession, base_path)
+    grid = (
+        state.filter(F.col("column_name") == col)
+        .select("grid_lo", "grid_hi", "grid_bins")
+        .limit(1)
+        .collect()
+    )
+    if not grid:
+        tracked = [
+            r["column_name"]
+            for r in state.select("column_name").distinct().collect()
+        ]
+        raise KeyError(
+            f"no histogram state for column {col!r}; tracked: {sorted(tracked)}"
+        )
+    lo, hi, bins = grid[0]["grid_lo"], grid[0]["grid_hi"], grid[0]["grid_bins"]
+    cur = numeric_histogram(delta, col, lo, hi, bins)
+    return histogram_drift(
+        cur,
+        hist_from_state(state, col),
+        psi_threshold=psi_threshold,
+        epsilon=epsilon,
     )
