@@ -279,3 +279,42 @@ def test_monitor_stream_drift_flags_shifted_batch(spark, tmp_path):
     # resume with nothing new: no extra verdict rows
     drain()
     assert spark.read.parquet(sink).count() == 2
+
+
+def test_monitor_stream_drift_from_committed_state(spark, tmp_path):
+    """The always-on monitor reads its baseline (and grid) straight off a
+    committed profile-state sink: one shape baseline shared by the batch
+    gate and the stream monitor."""
+    from youtube_api_data_etl_automation_spark.operators.versioned import (
+        incremental_profile_versioned,
+    )
+    from youtube_api_data_etl_automation_spark.streaming.monitor import (
+        monitor_stream_drift_from_state,
+    )
+
+    state = str(tmp_path / "state")
+    base_df = spark.createDataFrame(
+        [(i, float(i % 100)) for i in range(1000)], "id long, v double"
+    )
+    incremental_profile_versioned(
+        base_df, state, ["v"], batch_id="seed",
+        hist_specs=[("v", 0.0, 100.0, 10)],
+    )
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id long, v double"
+    spark.createDataFrame(
+        [(i, float(95.0)) for i in range(400)], schema  # one-bucket collapse
+    ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    monitor_stream_drift_from_state(stream, state, ckpt, sink, col="v")
+    rows = spark.read.parquet(sink).collect()
+    assert len(rows) == 1 and rows[0]["flagged"] and rows[0]["psi"] > 0.2
+    # untracked column is explicit
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    with pytest.raises(KeyError):
+        monitor_stream_drift_from_state(
+            stream2, state, ckpt + "2", sink + "2", col="id"
+        )

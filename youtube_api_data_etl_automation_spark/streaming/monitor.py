@@ -85,3 +85,44 @@ def monitor_stream_drift(
         .start()
     )
     q.awaitTermination()
+
+
+def monitor_stream_drift_from_state(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    sink_path: str,
+    *,
+    col: str,
+    psi_threshold: float = 0.2,
+) -> None:
+    """:func:`monitor_stream_drift` with the baseline read off a committed
+    profile-state sink (``versioned.incremental_profile_versioned`` with
+    ``hist_specs=``): the grid comes from the state itself, so the stream
+    is scored on exactly the histogram the batch pipeline maintains — one
+    baseline for batch gates (``psi_vs_hist_state``), version drift, and
+    the always-on monitor. Reads the ≤bins-row committed shape once at
+    start; restart the monitor to pick up a newer committed baseline."""
+    from ..operators.versioned import read_hist_state
+    from ..operators.profile import hist_from_state
+
+    state = read_hist_state(stream_df.sparkSession, state_dir)
+    grid = (
+        state.filter(F.col("column_name") == col)
+        .select("grid_lo", "grid_hi", "grid_bins")
+        .limit(1)
+        .collect()
+    )
+    if not grid:
+        raise KeyError(f"no committed histogram state for column {col!r}")
+    monitor_stream_drift(
+        stream_df,
+        hist_from_state(state, col),
+        checkpoint_dir,
+        sink_path,
+        col=col,
+        lo=grid[0]["grid_lo"],
+        hi=grid[0]["grid_hi"],
+        bins=int(grid[0]["grid_bins"]),
+        psi_threshold=psi_threshold,
+    )
