@@ -621,6 +621,27 @@ _TRAIL_US = _TRAIL_DAYS * 86_400 * 1_000_000
              CAST(COUNT(*) AS BIGINT) AS n,
              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu
       FROM events GROUP BY 1
+    ),
+    f1 AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t1
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    f2 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+      FROM events e JOIN f1 ON e.user_id = f1.user_id
+                          AND epoch_us(e.ts) > f1.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    f3 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+      FROM events e JOIN f2 ON e.user_id = f2.user_id
+                          AND epoch_us(e.ts) > f2.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    fc AS (
+      SELECT (SELECT COUNT(*) FROM f1) AS c1,
+             (SELECT COUNT(*) FROM f2) AS c2,
+             (SELECT COUNT(*) FROM f3) AS c3
     )
     SELECT 'trailing' AS section, t_us, event_id, user_id,
            n_w AS n1, CAST(NULL AS BIGINT) AS n2, sum_w AS v1, avg6 AS v2
@@ -632,6 +653,18 @@ _TRAIL_US = _TRAIL_DAYS * 86_400 * 1_000_000
            CAST(COALESCE(daily.nu, 0) AS BIGINT),
            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
     FROM spine LEFT JOIN daily USING (day)
+    UNION ALL
+    SELECT 'funnel', CAST(NULL AS BIGINT), CAST(step AS BIGINT),
+           CAST(NULL AS BIGINT), n, CAST(NULL AS BIGINT),
+           CASE WHEN c1 > 0
+                THEN {sql_round6('CAST(n AS DOUBLE) / c1')}
+                END,
+           CAST(NULL AS DOUBLE)
+    FROM (
+      SELECT 1 AS step, CAST(c1 AS BIGINT) AS n, c1 FROM fc
+      UNION ALL SELECT 2, CAST(c2 AS BIGINT), c1 FROM fc
+      UNION ALL SELECT 3, CAST(c3 AS BIGINT), c1 FROM fc
+    )
     """,
 )
 def events_time_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -648,7 +681,13 @@ def events_time_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     events; the aggregate side broadcasts, so the only fact shuffle is
     its own group-by; per-day exact COUNT DISTINCT rides the same
     aggregate (at 100 TB swap in the HLL sketches,
-    functions/sketches.py::daily_distinct_rollup)."""
+    functions/sketches.py::daily_distinct_rollup). `funnel` (late r8,
+    operators/funnel.py): the greedy-earliest behavioral funnel
+    signup → click → purchase — per-user step-completion chain built
+    from user-keyed joins + mins (no arrays, no collect), rolled up to
+    (step, n_users, conversion); the oracle replays the chain as
+    per-step min-after-previous CTEs in microsecond space."""
+    from ..operators.funnel import funnel
     from ..operators.timeseries import trailing_window
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -698,7 +737,17 @@ def events_time_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("double").alias("v2"),
         )
     )
-    return trail.unionByName(gap)
+    fun = funnel(events, ["signup", "click", "purchase"]).select(
+        F.lit("funnel").alias("section"),
+        F.lit(None).cast("long").alias("t_us"),
+        F.col("step").cast("long").alias("event_id"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.col("n_users").alias("n1"),
+        F.lit(None).cast("long").alias("n2"),
+        F.col("conversion").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+    )
+    return trail.unionByName(gap).unionByName(fun)
 
 
 events_time_aggregates.__doc__ = events_time_aggregates.__doc__.format(
