@@ -125,3 +125,50 @@ def test_funnel_empty_entry_gives_null_conversion(spark):
     rows = [(1, "click", 0)]  # nobody signs up
     out = {r["step"]: r for r in funnel(_ev(spark, rows), STEPS).collect()}
     assert out[1]["n_users"] == 0 and out[1]["conversion"] is None
+
+
+def test_retention_cohorts_hand_computed(spark):
+    from youtube_api_data_etl_automation_spark.operators.funnel import (
+        retention_cohorts,
+    )
+
+    rows = [
+        # cohort day 0: u1 (returns d1, d2), u2 (returns d2), u3 (never)
+        (1, "view", 0), (1, "view", 86_400), (1, "view", 2 * 86_400),
+        (1, "view", 10),  # same-day second event: still ONE active day
+        (2, "view", 50), (2, "view", 2 * 86_400 + 5),
+        (3, "view", 99),
+        # cohort day 1: u4 (returns d2)
+        (4, "view", 86_400 + 3), (4, "view", 2 * 86_400 + 3),
+    ]
+    out = {
+        (str(r["cohort_day"]), r["offset_days"]): r
+        for r in retention_cohorts(_ev(spark, rows)).collect()
+    }
+    d0, d1 = "2024-01-01", "2024-01-02"
+    assert out[(d0, 0)]["n_active"] == 3 and out[(d0, 0)]["cohort_size"] == 3
+    assert out[(d0, 1)]["n_active"] == 1
+    assert out[(d0, 2)]["n_active"] == 2
+    assert out[(d1, 0)]["cohort_size"] == 1 and out[(d1, 1)]["n_active"] == 1
+    assert (d0, 3) not in out  # empty cells absent
+    assert out[(d0, 2)]["retention"] == pytest.approx(2 / 3, abs=1e-6)
+    # max_offset_days caps the matrix
+    capped = retention_cohorts(_ev(spark, rows), max_offset_days=1).collect()
+    assert max(r["offset_days"] for r in capped) <= 1
+
+
+def test_retention_offset0_equals_cohort_size_on_real_events(spark):
+    from .conftest import SF_DIR
+    from youtube_api_data_etl_automation_spark.operators.funnel import (
+        retention_cohorts,
+    )
+    from youtube_api_data_etl_automation_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    rows = retention_cohorts(ev).collect()
+    day0 = [r for r in rows if r["offset_days"] == 0]
+    assert day0 and all(r["n_active"] == r["cohort_size"] for r in day0)
+    assert all(0 <= r["retention"] <= 1.0 for r in rows)
+    # total cohort sizes == distinct users
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["cohort_size"] for r in day0) == n_users

@@ -136,3 +136,56 @@ def funnel(
         for k, s in enumerate(steps, start=1)
     ]
     return counts.select(F.inline(F.array(*rows)))
+
+
+def retention_cohorts(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_offset_days: int | None = None,
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by their FIRST active
+    day; each cell is how many of them were active again ``offset_days``
+    later. ``(cohort_day, offset_days, n_active, cohort_size,
+    retention)``, one row per non-empty cell (offset 0 always equals the
+    cohort size); ``retention`` = n_active / cohort_size (round6). The
+    funnel answers "do users progress?", this answers "do they come
+    back?" — together the behavioral pair every event sink feeds.
+
+    Scale shape: one column-pruned scan → per-(user, day) distinct (the
+    only user-keyed shuffle; per-day activity collapses map-side), a
+    cohort join against the |users|-row first-day relation, then a
+    (cohort, offset)-keyed count — every aggregate partial, cell count
+    bounded by days², independent of |events|. ``max_offset_days`` caps
+    the matrix width (dashboards rarely read past 90)."""
+    u, ts = F.col(user_col), F.col(ts_col)
+    act = (
+        events.select(u.alias("__u"), F.to_date(ts).alias("__day"))
+        .distinct()
+    )
+    first = act.groupBy("__u").agg(F.min("__day").alias("cohort_day"))
+    j = act.join(first, "__u").select(
+        "__u",
+        "cohort_day",
+        F.datediff(F.col("__day"), F.col("cohort_day")).alias("offset_days"),
+    )
+    if max_offset_days is not None:
+        j = j.filter(F.col("offset_days") <= int(max_offset_days))
+    # act is distinct per (user, day) already, so the cell count needs no
+    # second distinct — a plain count is the distinct-user count
+    cells = j.groupBy("cohort_day", "offset_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active")
+    )
+    sizes = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    return cells.join(F.broadcast(sizes), "cohort_day").select(
+        "cohort_day",
+        F.col("offset_days").cast("int").alias("offset_days"),
+        "n_active",
+        "cohort_size",
+        round6(F.col("n_active").cast("double") / F.col("cohort_size")).alias(
+            "retention"
+        ),
+    )

@@ -642,6 +642,21 @@ _TRAIL_US = _TRAIL_DAYS * 86_400 * 1_000_000
       SELECT (SELECT COUNT(*) FROM f1) AS c1,
              (SELECT COUNT(*) FROM f2) AS c2,
              (SELECT COUNT(*) FROM f3) AS c3
+    ),
+    ract AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    rfirst AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM ract GROUP BY user_id
+    ),
+    rcells AS (
+      SELECT cohort_day, date_diff('day', cohort_day, day) AS offset_days,
+             CAST(COUNT(*) AS BIGINT) AS n_active
+      FROM ract JOIN rfirst USING (user_id) GROUP BY 1, 2
+    ),
+    rsizes AS (
+      SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      FROM rfirst GROUP BY 1
     )
     SELECT 'trailing' AS section, t_us, event_id, user_id,
            n_w AS n1, CAST(NULL AS BIGINT) AS n2, sum_w AS v1, avg6 AS v2
@@ -665,6 +680,13 @@ _TRAIL_US = _TRAIL_DAYS * 86_400 * 1_000_000
       UNION ALL SELECT 2, CAST(c2 AS BIGINT), c1 FROM fc
       UNION ALL SELECT 3, CAST(c3 AS BIGINT), c1 FROM fc
     )
+    UNION ALL
+    SELECT 'retention', epoch_us(CAST(cohort_day AS TIMESTAMP)),
+           CAST(offset_days AS BIGINT), CAST(NULL AS BIGINT),
+           n_active, cohort_size,
+           {sql_round6('CAST(n_active AS DOUBLE) / cohort_size')},
+           CAST(NULL AS DOUBLE)
+    FROM rcells JOIN rsizes USING (cohort_day)
     """,
 )
 def events_time_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -686,8 +708,12 @@ def events_time_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     signup → click → purchase — per-user step-completion chain built
     from user-keyed joins + mins (no arrays, no collect), rolled up to
     (step, n_users, conversion); the oracle replays the chain as
-    per-step min-after-previous CTEs in microsecond space."""
-    from ..operators.funnel import funnel
+    per-step min-after-previous CTEs in microsecond space. `retention`
+    (late r8, operators/funnel.py::retention_cohorts): the cohort
+    retention matrix — users cohorted by first active day, one cell per
+    (cohort_day, offset_days) with distinct-active counts and rates;
+    the per-(user, day) distinct is the only user-keyed shuffle."""
+    from ..operators.funnel import funnel, retention_cohorts
     from ..operators.timeseries import trailing_window
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -747,7 +773,17 @@ def events_time_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("conversion").alias("v1"),
         F.lit(None).cast("double").alias("v2"),
     )
-    return trail.unionByName(gap).unionByName(fun)
+    ret = retention_cohorts(events).select(
+        F.lit("retention").alias("section"),
+        F.unix_micros(F.col("cohort_day").cast("timestamp")).alias("t_us"),
+        F.col("offset_days").cast("long").alias("event_id"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.col("n_active").alias("n1"),
+        F.col("cohort_size").alias("n2"),
+        F.col("retention").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+    )
+    return trail.unionByName(gap).unionByName(fun).unionByName(ret)
 
 
 events_time_aggregates.__doc__ = events_time_aggregates.__doc__.format(
