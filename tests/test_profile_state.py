@@ -413,3 +413,46 @@ def test_versioned_hist_state_and_psi_gate(spark, tmp_path):
         incremental_profile_versioned(
             _hdf(spark, 200, 210), base, ["u"], batch_id="b3"
         )
+
+
+def test_quantiles_from_state_interpolation_and_bounds(spark):
+    from youtube_api_data_etl_automation_spark.operators.profile import (
+        histogram_state,
+        merge_histogram_states,
+        quantiles_from_state,
+    )
+
+    # uniform 0..99: p50 ~ 50, p90 ~ 90, within one bucket width (10)
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "k long, u double"
+    )
+    st = merge_histogram_states(
+        histogram_state(df, [("u", 0.0, 100.0, 10)])
+    )
+    got = {
+        r["q"]: r["value"]
+        for r in quantiles_from_state(st, "u", [0.5, 0.9, 1.0]).collect()
+    }
+    assert got[0.5] == pytest.approx(50.0, abs=10.0)
+    assert got[0.9] == pytest.approx(90.0, abs=10.0)
+    assert got[1.0] == 100.0  # the full mass ends at the grid top
+    # quantiles derived from MERGED per-batch states == from one state
+    parts = [
+        histogram_state(
+            df.filter(F.col("k") % 2 == i), [("u", 0.0, 100.0, 10)]
+        )
+        for i in range(2)
+    ]
+    merged = merge_histogram_states(*parts)
+    got2 = {
+        r["q"]: r["value"]
+        for r in quantiles_from_state(merged, "u", [0.5, 0.9, 1.0]).collect()
+    }
+    assert got2 == got
+    # validation
+    with pytest.raises(ValueError):
+        quantiles_from_state(st, "u", [])
+    with pytest.raises(ValueError):
+        quantiles_from_state(st, "u", [0.0])
+    with pytest.raises(KeyError):
+        quantiles_from_state(st, "nope", [0.5])

@@ -1044,3 +1044,73 @@ def hist_from_state(state: DataFrame, col: str) -> DataFrame:
         (F.col("grid_lo") + (F.col("bucket") + 1) * width).alias("bucket_hi"),
         "bucket_n",
     )
+
+
+def quantiles_from_state(
+    state: DataFrame, col: str, qs: Sequence[float]
+) -> DataFrame:
+    """Approximate quantiles straight off a (merged) histogram state —
+    zero scans of the profiled data, the committed-baseline twin of
+    ``approx_percentile``. ``(q, value)`` per requested quantile, by
+    linear interpolation within the containing fixed-grid bucket; the
+    error is bounded by one bucket width (choose ``bins`` accordingly
+    when starting to track the column). Values below/above the grid were
+    CLAMPED into the edge buckets at histogram time, so edge-bucket
+    quantiles saturate at the grid bounds — the same contract as
+    :func:`numeric_histogram`.
+
+    Runs as Column arithmetic over the ≤bins-row state slice (one
+    bounded-row cumulative window + a per-q selection), so deriving
+    p50/p95/p99 for a dashboard costs nothing beyond the fold the
+    pipeline already committed."""
+    if not qs:
+        raise ValueError("need at least one quantile in (0, 1]")
+    bad = [q for q in qs if not 0.0 < float(q) <= 1.0]
+    if bad:
+        raise ValueError(f"quantiles must be in (0, 1], got {bad}")
+    h = hist_from_state(state, col)
+    if not h.take(1):
+        raise KeyError(f"no histogram state for column {col!r}")
+    # cumulative mass over the ≤bins-row relation (bounded-row window —
+    # same sanction as histogram_drift's totals window)
+    w = Window.partitionBy(F.lit(1)).orderBy("bucket")
+    cum = h.select(
+        "bucket",
+        "bucket_lo",
+        "bucket_hi",
+        "bucket_n",
+        F.sum("bucket_n").over(w).alias("_cum"),
+        F.sum("bucket_n").over(
+            Window.partitionBy(F.lit(1)).orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_total"),
+    )
+    rows = []
+    for q in qs:
+        qf = float(q)
+        target = F.lit(qf) * F.col("_total")
+        # first bucket whose cumulative mass reaches the target
+        hit = (
+            cum.filter(F.col("_cum") >= target)
+            .orderBy("bucket")
+            .limit(1)
+            .select(
+                F.lit(qf).alias("q"),
+                # interpolate within the bucket: fraction of the bucket's
+                # own mass needed to reach the target
+                (
+                    F.col("bucket_lo")
+                    + (F.col("bucket_hi") - F.col("bucket_lo"))
+                    * (
+                        (target - (F.col("_cum") - F.col("bucket_n")))
+                        / F.col("bucket_n")
+                    )
+                ).alias("value"),
+            )
+        )
+        rows.append(hit)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
