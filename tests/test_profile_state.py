@@ -456,3 +456,103 @@ def test_quantiles_from_state_interpolation_and_bounds(spark):
         quantiles_from_state(st, "u", [0.0])
     with pytest.raises(KeyError):
         quantiles_from_state(st, "nope", [0.5])
+
+
+# ---------------------------------------------------------------------------
+# Heavy-hitters state (topk_state / merge_topk_states / topk_from_state)
+# ---------------------------------------------------------------------------
+
+
+def _zipf_df(spark, n0, n1):
+    # value v_j appears ~ proportionally more for small j
+    rows = []
+    for i in range(n0, n1):
+        j = i % 16
+        v = f"v{j // 4}" if j < 12 else f"rare{i % 37}"
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "k long, s string")
+
+
+def test_topk_state_bounds_contain_exact_counts(spark):
+    from youtube_api_data_etl_automation_spark.operators.profile import (
+        merge_topk_states,
+        topk_state,
+    )
+
+    full = _zipf_df(spark, 0, 400)
+    exact = {
+        r["s"]: r["n"]
+        for r in full.groupBy("s").agg(F.count("*").alias("n")).collect()
+    }
+    parts = [
+        topk_state(_zipf_df(spark, a, b), "s", k_track=5)
+        for a, b in ((0, 150), (150, 300), (300, 400))
+    ]
+    merged = merge_topk_states(*parts).collect()
+    assert merged  # heavy hitters survive
+    for r in merged:
+        assert r["n_min"] <= exact[r["value"]] <= r["n_max"], r
+    # the dominant values were kept by EVERY batch -> exact bounds
+    by_val = {r["value"]: r for r in merged}
+    for v in ("v0", "v1", "v2"):
+        assert by_val[v]["n_min"] == by_val[v]["n_max"] == exact[v]
+
+
+def test_topk_from_state_matches_exact_top_values(spark):
+    from youtube_api_data_etl_automation_spark.operators.profile import (
+        merge_topk_states,
+        top_values,
+        topk_from_state,
+        topk_state,
+    )
+
+    full = _zipf_df(spark, 0, 400)
+    parts = [
+        topk_state(_zipf_df(spark, a, b), "s", k_track=8)
+        for a, b in ((0, 150), (150, 300), (300, 400))
+    ]
+    got = topk_from_state(merge_topk_states(*parts), "s", k=3).collect()
+    want = top_values(full, "s", k=3).collect()
+    assert [(r["value"], r["value_n"], r["rank"]) for r in got] == [
+        (r["value"], r["value_n"], r["rank"]) for r in want
+    ]
+    assert all(r["exact"] for r in got)
+
+
+def test_topk_state_no_truncation_threshold_zero_and_single_batch(spark):
+    from youtube_api_data_etl_automation_spark.operators.profile import (
+        merge_topk_states,
+        topk_state,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"v{i % 3}") for i in range(30)], "k long, s string"
+    )
+    st = topk_state(df, "s", k_track=10)  # 3 distinct < k_track
+    assert {r["batch_min_kept"] for r in st.collect()} == {0}
+    merged = merge_topk_states(st).collect()
+    # no truncation anywhere -> every bound exact
+    assert all(r["n_min"] == r["n_max"] == 10 for r in merged)
+
+
+def test_topk_state_batch_expr_grouped_scan(spark):
+    from youtube_api_data_etl_automation_spark.operators.profile import (
+        merge_topk_states,
+        topk_state,
+    )
+
+    full = _zipf_df(spark, 0, 300)
+    grouped = topk_state(full, "s", k_track=5, batch_expr=F.col("k") % 3)
+    separate = [
+        topk_state(full.filter(F.col("k") % 3 == i), "s", k_track=5)
+        for i in range(3)
+    ]
+    a = sorted(
+        tuple(r)
+        for r in merge_topk_states(grouped).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in merge_topk_states(*separate).collect()
+    )
+    assert a == b

@@ -1114,3 +1114,160 @@ def quantiles_from_state(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# Heavy-hitters state: the top-k half of the committed baseline. Unlike
+# counts/sums (exact) and HLL (fixed error), per-batch top-k truncation
+# loses information deterministically: a value absent from a batch's kept
+# set has an UNKNOWN count in that batch, bounded above by the smallest
+# count the batch kept (equality possible — rank ties break lexically).
+# The merge therefore reports [n_min, n_max] bounds
+# (classic distributed top-k semantics) instead of pretending exactness —
+# n_min == n_max exactly when the value survived every batch's cut.
+
+TOPK_STATE_FIELDS = (
+    "batch_id",
+    "column_name",
+    "value",
+    "value_n",
+    "batch_min_kept",
+)
+
+
+def topk_state(
+    df: DataFrame,
+    col: str,
+    *,
+    k_track: int = 100,
+    batch_expr: Column | None = None,
+) -> DataFrame:
+    """Per-batch exact top-``k_track`` value counts of ``col`` (NULLs
+    excluded, values stringified like :func:`top_values`), plus the
+    batch's truncation threshold ``batch_min_kept`` (the smallest kept
+    count — every unkept value in the batch counts AT MOST that much
+    (ties break lexically at the cut), or 0 when nothing was truncated
+    because the batch had ≤ k_track distinct values). Track MORE than you report (k_track ≫ k) — the slack is
+    what keeps merged bounds tight.
+
+    One grouped count over one scan (map-side combined), then a
+    per-batch rank over the VALUE-COUNT relation (|distinct values| rows
+    per batch, not data rows). For ultra-high-cardinality columns where
+    even the distinct relation is huge, profile a support-filtered view
+    (``df.filter``) or track a coarser rollup — the window is per-batch
+    and honest about that bound."""
+    if k_track <= 0:
+        raise ValueError(f"k_track must be positive, got {k_track}")
+    batch = (
+        batch_expr.cast("string") if batch_expr is not None else F.lit("all")
+    )
+    counts = (
+        df.filter(_ref(col).isNotNull())
+        .select(batch.alias("batch_id"), _ref(col).cast("string").alias("value"))
+        .groupBy("batch_id", "value")
+        .agg(F.count(F.lit(1)).cast("long").alias("value_n"))
+    )
+    w = Window.partitionBy("batch_id").orderBy(
+        F.desc("value_n"), F.asc("value")
+    )
+    ranked = counts.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n_distinct", F.count(F.lit(1)).over(Window.partitionBy("batch_id"))
+    )
+    kept = ranked.filter(F.col("_rn") <= k_track)
+    # threshold: smallest kept count if the batch truncated, else 0
+    wb = Window.partitionBy("batch_id")
+    return kept.select(
+        "batch_id",
+        F.lit(col).alias("column_name"),
+        "value",
+        "value_n",
+        F.when(
+            F.col("_n_distinct") > k_track, F.min("value_n").over(wb)
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("batch_min_kept"),
+    )
+
+
+def merge_topk_states(*states: DataFrame) -> DataFrame:
+    """Fold per-batch top-k states into global count BOUNDS per value:
+    ``(column_name, value, n_min, n_max)`` where ``n_min`` sums the
+    batches that kept the value and ``n_max`` adds, for every batch that
+    did NOT, that batch's truncation threshold (an unkept value counts at
+    most the smallest kept one — ties at the cut break lexically, so
+    equality is possible). Bounds are sharp under the state's
+    information; ``n_min == n_max`` iff the value survived every batch's
+    cut. The merge input is ≤ k_track rows per batch per column — state,
+    never data. States from separate :func:`topk_state` calls are
+    disambiguated per input relation, so three un-batched calls merge as
+    three batches, not one.
+
+    Guarantee inherited from per-batch exactness: any value whose true
+    count exceeds Σ_b threshold_b appears in the merged relation, so a
+    sufficiently dominant heavy hitter can never be missed.
+
+    Unlike profile/histogram states, the merged BOUNDS relation is not
+    itself re-mergeable (bounds don't add) — retain the per-batch state
+    rows (≤ k_track per batch, trivial storage) and re-merge from
+    those."""
+    if not states:
+        raise ValueError("need at least one topk_state relation")
+    # prefix batch ids per input relation: separate un-batched calls all
+    # say batch_id='all' and must not collapse into one batch
+    tagged = [
+        s.withColumn(
+            "batch_id", F.concat(F.lit(f"s{i}:"), F.col("batch_id"))
+        )
+        for i, s in enumerate(states)
+    ]
+    all_states = tagged[0]
+    for s in tagged[1:]:
+        all_states = all_states.unionByName(s)
+    # per-(column, batch) threshold relation: k-row control plane
+    thresholds = all_states.groupBy("column_name", "batch_id").agg(
+        F.max("batch_min_kept").alias("_t")
+    )
+    totals = thresholds.groupBy("column_name").agg(
+        # Σ_b t_b: the total mass a value could hide at-or-below
+        F.sum("_t").alias("_t_total")
+    )
+    per_value = all_states.groupBy("column_name", "value").agg(
+        F.sum("value_n").cast("long").alias("n_min"),
+        # slack actually available to THIS value: thresholds of batches
+        # it was present in don't apply to it
+        F.sum("batch_min_kept").cast("long").alias("_t_present"),
+    )
+    return (
+        per_value.join(F.broadcast(totals), "column_name")
+        .select(
+            "column_name",
+            "value",
+            "n_min",
+            (F.col("n_min") + F.col("_t_total") - F.col("_t_present"))
+            .cast("long")
+            .alias("n_max"),
+        )
+    )
+
+
+def topk_from_state(merged: DataFrame, col: str, k: int = 10) -> DataFrame:
+    """The :func:`top_values`-shaped readout from a merged top-k state:
+    ``(value, value_n, rank, exact)`` ranked by the LOWER bound (the
+    conservative order — a value only outranks another when even its
+    pessimistic count wins ties deterministically), with ``value_n`` =
+    n_min and ``exact`` true iff the bounds coincide. TakeOrdered over
+    the state relation; never touches data."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    top = (
+        merged.filter(F.col("column_name") == col)
+        .orderBy(F.desc("n_min"), F.asc("value"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("n_min"), F.asc("value"))
+    return top.select(
+        "value",
+        F.col("n_min").alias("value_n"),
+        F.row_number().over(w).cast("int").alias("rank"),
+        (F.col("n_min") == F.col("n_max")).alias("exact"),
+    )
