@@ -556,3 +556,39 @@ def test_topk_state_batch_expr_grouped_scan(spark):
         for r in merge_topk_states(*separate).collect()
     )
     assert a == b
+
+
+def test_versioned_topk_state_accumulates_per_batch(spark, tmp_path):
+    from youtube_api_data_etl_automation_spark.operators.profile import (
+        merge_topk_states,
+        top_values,
+        topk_from_state,
+    )
+    from youtube_api_data_etl_automation_spark.operators.versioned import (
+        incremental_profile_versioned,
+        read_topk_state,
+    )
+
+    base = str(tmp_path / "topk_state")
+    specs = [("s", 8)]
+    incremental_profile_versioned(
+        _zipf_df(spark, 0, 200), base, ["s"], batch_id="b1",
+        topk_specs=specs,
+    )
+    incremental_profile_versioned(
+        _zipf_df(spark, 200, 400), base, ["s"], batch_id="b2",
+        topk_specs=specs,
+    )
+    state = read_topk_state(spark, base)
+    assert {r["batch_id"] for r in state.select("batch_id").distinct().collect()} \
+        == {"b1", "b2"}
+    got = topk_from_state(merge_topk_states(state), "s", k=3).collect()
+    want = top_values(_zipf_df(spark, 0, 400), "s", k=3).collect()
+    assert [(r["value"], r["value_n"], r["rank"]) for r in got] == [
+        (r["value"], r["value_n"], r["rank"]) for r in want
+    ]
+    # fold without topk_specs on a skew-tracking sink raises
+    with pytest.raises(ValueError):
+        incremental_profile_versioned(
+            _zipf_df(spark, 400, 410), base, ["s"], batch_id="b3"
+        )

@@ -734,6 +734,7 @@ def incremental_profile_versioned(
     track_distinct: bool = True,
     lgk: int = 12,
     hist_specs: list[tuple[str, float, float, int]] | None = None,
+    topk_specs: list[tuple[str, int]] | None = None,
 ) -> DataFrame:
     """Maintain a whole-table profile at O(delta) cost: profile ONLY the
     incoming batch (``profile.profile_state`` — one aggregate over one
@@ -764,30 +765,46 @@ def incremental_profile_versioned(
     rather than silently mixing. Once tracking starts, pass the same
     ``hist_specs`` on every fold — a fold WITHOUT them drops the shape
     state from the new version (the commit is all-or-nothing per
-    version), and that fold raises to prevent the silent drop."""
+    version), and that fold raises to prevent the silent drop.
+
+    ``topk_specs`` (``[(col, k_track), ...]``) likewise maintains the
+    value-skew half: per-BATCH exact top-k_track rows
+    (``profile.topk_state`` — one more grouped scan of the delta per
+    spec'd column) accumulate under the same commit; they are stored
+    per batch (not merged) because merged bounds don't re-merge — read
+    via :func:`read_topk_state` → ``profile.merge_topk_states``. The
+    same drop-protection raise applies."""
     from .profile import (
         histogram_state,
         merge_histogram_states,
         merge_profile_states,
         profile_state,
+        topk_state,
     )
 
     spark = delta.sparkSession
     cur = current_version(spark, base_path)
-    old_state = old_applied = old_hist = None
+    old_state = old_applied = old_hist = old_topk = None
     if cur is not None:
         vdir = version_path(base_path, cur)
         old_state = spark.read.parquet(f"{vdir}/{_STATE_SUB}")
         old_applied = spark.read.parquet(f"{vdir}/{_APPLIED_SUB}")
-        _, hpath, fs = _fs(spark, f"{vdir}/{_HIST_SUB}")
-        if fs.exists(hpath):
-            if hist_specs is None:
-                raise ValueError(
-                    f"{base_path} tracks histogram state; folding without "
-                    "hist_specs would silently drop the committed shapes — "
-                    "pass the same hist_specs, or rebuild the state dir"
-                )
-            old_hist = spark.read.parquet(f"{vdir}/{_HIST_SUB}")
+        for sub, specs, what, arg in (
+            (_HIST_SUB, hist_specs, "histogram", "hist_specs"),
+            (_TOPK_SUB, topk_specs, "heavy-hitters", "topk_specs"),
+        ):
+            _, hpath, fs = _fs(spark, f"{vdir}/{sub}")
+            if fs.exists(hpath):
+                if specs is None:
+                    raise ValueError(
+                        f"{base_path} tracks {what} state; folding without "
+                        f"{arg} would silently drop it — pass the same "
+                        f"{arg}, or rebuild the state dir"
+                    )
+                if sub == _HIST_SUB:
+                    old_hist = spark.read.parquet(f"{vdir}/{sub}")
+                else:
+                    old_topk = spark.read.parquet(f"{vdir}/{sub}")
         if (
             old_applied.filter(F.col("batch_id") == batch_id).limit(1).count()
             > 0
@@ -804,6 +821,15 @@ def incremental_profile_versioned(
         part_hist = histogram_state(delta, hist_specs)
         if old_hist is not None:
             part_hist = merge_histogram_states(old_hist, part_hist)
+    part_topk = None
+    if topk_specs is not None:
+        for c, kt in topk_specs:
+            one = topk_state(delta, c, k_track=kt).withColumn(
+                "batch_id", F.lit(batch_id)
+            )
+            part_topk = one if part_topk is None else part_topk.unionByName(one)
+        if old_topk is not None:
+            part_topk = old_topk.unionByName(part_topk)
     new_applied = spark.createDataFrame([(batch_id,)], "batch_id string")
     if old_applied is not None:
         new_applied = old_applied.unionByName(new_applied)
@@ -813,6 +839,8 @@ def incremental_profile_versioned(
     part.write.mode("overwrite").parquet(f"{staging}/{_STATE_SUB}")
     if part_hist is not None:
         part_hist.write.mode("overwrite").parquet(f"{staging}/{_HIST_SUB}")
+    if part_topk is not None:
+        part_topk.write.mode("overwrite").parquet(f"{staging}/{_TOPK_SUB}")
     new_applied.write.mode("overwrite").parquet(f"{staging}/{_APPLIED_SUB}")
     _publish_version(spark, base_path, new_v, staging)
     _gc_versions(spark, base_path, new_v, keep_versions)
@@ -920,3 +948,25 @@ def psi_vs_hist_state(
         psi_threshold=psi_threshold,
         epsilon=epsilon,
     )
+
+
+_TOPK_SUB = "topk"
+
+
+def read_topk_state(spark: SparkSession, base_path: str) -> DataFrame:
+    """Current committed per-batch heavy-hitters state rows (the
+    ``topk_specs`` side of :func:`incremental_profile_versioned`). Feed to
+    ``profile.merge_topk_states`` → ``profile.topk_from_state`` for the
+    skew readout; the per-BATCH rows are what is stored because merged
+    bounds are not re-mergeable (profile.merge_topk_states docstring)."""
+    v = current_version(spark, base_path)
+    if v is None:
+        raise FileNotFoundError(f"no committed version under {base_path}")
+    path = f"{version_path(base_path, v)}/{_TOPK_SUB}"
+    _, hpath, fs = _fs(spark, path)
+    if not fs.exists(hpath):
+        raise FileNotFoundError(
+            f"version v={v} has no heavy-hitters state; pass topk_specs= "
+            "to incremental_profile_versioned to start tracking skew"
+        )
+    return spark.read.parquet(path)
