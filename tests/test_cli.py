@@ -381,3 +381,36 @@ def test_profile_cli_state_mode_hist_psi_gate(spark, capsys):
     with pytest.raises(ValueError):
         main(["profile", "--input", d + "/b1.parquet", "--columns", "v",
               "--state-dir", state, "--batch-id", "b3"])
+
+
+def test_profile_cli_report_mode_reads_committed_state(spark, capsys):
+    """profile --state-dir --report: the dashboard read — cumulative
+    stats + quantiles + heavy-hitter bounds straight off the committed
+    state, no --input, no fold."""
+    d = tempfile.mkdtemp(prefix="cli_profile_report_")
+    state = d + "/state"
+    spark.createDataFrame(
+        [(i, float(i % 10), f"v{i % 3}") for i in range(100)],
+        "k long, v double, s string",
+    ).write.parquet(d + "/b1.parquet")
+
+    rc = main(["profile", "--input", d + "/b1.parquet",
+               "--columns", "v,s", "--state-dir", state, "--batch-id", "b1",
+               "--hist", "v:0:10:10", "--track-topk", "s:5"])
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = main(["profile", "--state-dir", state, "--report", "--k", "2"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["status"] == "ok"
+    assert {r["column_name"] for r in out["cumulative_profile"]} == {"v", "s"}
+    assert "0.5" in out["quantiles"]["v"]
+    top = out["top_values"]["s"]
+    assert len(top) == 2 and top[0]["exact"] is True
+    # usage errors stay pre-Spark-friendly JSON
+    rc = main(["profile", "--report"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and out["status"] == "error"
+    rc = main(["profile"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and out["status"] == "error"

@@ -32,7 +32,21 @@ SANCTIONED_BNLJ = {
     "ivf_ann_topk": "centroid assignment: k centroids broadcast vs vectors",
     "kmeans_embeddings": "Lloyd assignment: k centroids broadcast vs vectors",
     "semantic_neardup": "cluster assignment: 8 centroids broadcast vs vectors",
+    "profile_drift_report": (
+        "semantic section: 8 fixture centroids broadcast vs both "
+        "occupancy sides (clustering.cluster_occupancy)"
+    ),
     "mixing_temperature": "rate table: 1-row total-weight broadcast vs source counts",
+    "sampling_audits": (
+        "diversity section: 8 fixture centroids broadcast vs vectors "
+        "(operators/diversity.py assignment — the kmeans pattern)"
+    ),
+    "term_stats_tfidf_pmi": (
+        "vocab section: 1-row corpus-total broadcast, plus the rank<=V "
+        "theta join of the <=max(V)-row type table against the 4-row "
+        "vocab-size relation (operators/vocab.py — bounded rows by "
+        "construction, never data)"
+    ),
     "ivf_recall_curve": (
         "exact-truth baseline: query batch broadcast vs corpus; centroid "
         "assignment + probe-cell ranking: k centroids broadcast"

@@ -212,10 +212,16 @@ def _profile_state_mode(args, spark, df, cols) -> int:
                 })
     folded = not (flags and args.gate_drift)
     hist_specs = [tuple(args.hist)] if args.hist else None
+    topk_specs = None
+    if args.track_topk:
+        topk_specs = []
+        for spec in args.track_topk:
+            col_name, _, kt = spec.partition(":")
+            topk_specs.append((col_name, int(kt) if kt else 100))
     if folded:
         state = incremental_profile_versioned(
             df, args.state_dir, cols, batch_id=args.batch_id,
-            hist_specs=hist_specs,
+            hist_specs=hist_specs, topk_specs=topk_specs,
         )
     else:
         from .operators.versioned import read_profile_state
@@ -234,6 +240,67 @@ def _profile_state_mode(args, spark, df, cols) -> int:
     return 2 if flags else 0
 
 
+def _profile_report_mode(args, spark) -> int:
+    """`profile --state-dir --report`: the dashboard read — cumulative
+    stats (plus quantiles off the committed shape and the heavy-hitter
+    bounds, where tracked) straight from the committed state, ZERO scans
+    of any data. No --input, no fold, exit 0."""
+    from .operators.profile import (
+        merge_topk_states,
+        quantiles_from_state,
+        stats_from_state,
+        topk_from_state,
+    )
+    from .operators.versioned import (
+        read_hist_state,
+        read_profile_state,
+        read_topk_state,
+    )
+
+    state = read_profile_state(spark, args.state_dir)
+    out: dict = {
+        "status": "ok",
+        "cumulative_profile": [
+            {k: v for k, v in r.asDict().items() if v is not None}
+            for r in stats_from_state(state).collect()
+        ],
+    }
+    try:
+        hist = read_hist_state(spark, args.state_dir)
+        tracked = [
+            r["column_name"]
+            for r in hist.select("column_name").distinct().collect()
+        ]
+        out["quantiles"] = {
+            c: {
+                str(r["q"]): r["value"]
+                for r in quantiles_from_state(
+                    hist, c, [0.5, 0.9, 0.99]
+                ).collect()
+            }
+            for c in sorted(tracked)
+        }
+    except FileNotFoundError:
+        pass
+    try:
+        topk = merge_topk_states(read_topk_state(spark, args.state_dir))
+        cols = [
+            r["column_name"]
+            for r in topk.select("column_name").distinct().collect()
+        ]
+        out["top_values"] = {
+            c: [
+                r.asDict()
+                for r in topk_from_state(topk, c, k=args.k).collect()
+            ]
+            for c in sorted(cols)
+        }
+    except FileNotFoundError:
+        pass
+    print(json.dumps(out, default=str))
+    return 0
+
+
 def _cmd_profile(args: argparse.Namespace) -> int:
     """One-scan table profile (+ optional histogram / top-k / contract
     checks) straight from the command line — the triage pass every
@@ -242,7 +309,18 @@ def _cmd_profile(args: argparse.Namespace) -> int:
     from .operators.profile import fused_profile, numeric_histogram, top_values
     from .session import get_spark
 
+    if args.report and not args.state_dir:
+        print(json.dumps({"status": "error",
+                          "error": "--report requires --state-dir"}))
+        return 1
+    if not args.input and not (args.state_dir and args.report):
+        print(json.dumps({"status": "error",
+                          "error": "--input is required (except with "
+                          "--state-dir --report)"}))
+        return 1
     spark = get_spark("table-profile", master=args.master)
+    if args.report:
+        return _profile_report_mode(args, spark)
     df = spark.read.parquet(args.input)
     cols = [c for c in (args.columns or "").split(",") if c] or None
     if args.state_dir:
@@ -521,7 +599,17 @@ def build_parser() -> argparse.ArgumentParser:
         help="one-scan table profile + optional histogram/top-k/contract "
         "checks (exit 2 on any failed check)",
     )
-    pr_.add_argument("--input", required=True, help="parquet path to profile")
+    pr_.add_argument(
+        "--input", default=None,
+        help="parquet path to profile (required except with "
+        "--state-dir --report)",
+    )
+    pr_.add_argument(
+        "--report", action="store_true",
+        help="with --state-dir: print the cumulative profile (plus "
+        "quantiles and heavy-hitter bounds where tracked) from the "
+        "committed state — zero data scans, no fold",
+    )
     pr_.add_argument(
         "--columns", default=None, help="comma-separated columns (default: all)"
     )
@@ -570,6 +658,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--gate-drift", action="store_true",
         help="with --state-dir: do NOT fold a batch that flags drift "
         "(circuit breaker — the state stays clean for the next batch)",
+    )
+    pr_.add_argument(
+        "--track-topk", action="append", default=None, metavar="COL[:K]",
+        help="state mode: also maintain per-batch heavy-hitter state for "
+        "COL (track top K per batch, default 100; repeatable) — read "
+        "back with --report",
     )
     pr_.add_argument(
         "--psi-threshold", type=float, default=0.2,
