@@ -358,3 +358,66 @@ def semantic_neardup(corpus: DataFrame, centroids: DataFrame, *,
         "dup_pairs": dup_pairs,
         "assignment": assigned,
     }
+
+
+# ---------------------------------------------------------------------------
+# Persistent IVF index: cell-partitioned layout, partition-pruned probes
+# ---------------------------------------------------------------------------
+
+
+def write_ivf_index(corpus: DataFrame, centroids: DataFrame, path: str,
+                    *, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    mode: str = "overwrite") -> None:
+    """Materialize the IVF index AT REST: assign every vector to its cell
+    and write the corpus parquet-partitioned BY ``cluster_id``. This
+    turns cell selection from a filter Spark applies after scanning into
+    a PLANNING-time decision — a probe of ``nprobe`` cells lists and
+    reads only those ``cluster_id=N`` directories, so query I/O is
+    ~nprobe/k of the corpus, which is the entire point of IVF on 100 TB
+    of vectors (the in-memory :func:`ivf_topk` still scans everything
+    and filters). ``mode="append"`` adds a new batch to an existing
+    index (same centroids — the grid discipline again); the layout is a
+    plain partitioned dir, so reader-safe versioning composes by
+    pointing `path` inside a versioned sink's staging."""
+    assigned = assign_clusters(corpus, centroids, id_col, vec_col)
+    (
+        assigned.select(id_col, vec_col, "cluster_id")
+        .write.mode(mode)
+        .partitionBy("cluster_id")
+        .parquet(path)
+    )
+
+
+def ivf_topk_from_index(spark, path: str, queries: DataFrame,
+                        centroids: DataFrame, *, top_k: int = 3,
+                        nprobe: int = 1, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k against a :func:`write_ivf_index` layout, reading ONLY
+    the probed cells: the probe list (queries × nprobe cells — control-
+    plane-sized, same O(q·k) sanction as every centroid scoring) prunes
+    the scan via an IN filter on the PARTITION column, so the files of
+    unprobed cells are never opened [pinned in tests/test_scale_plans.py:
+    PartitionFilters carries the cluster_id filter]. Scoring then
+    proceeds exactly like :func:`ivf_topk` (broadcast probe equi-join on
+    cluster_id), and results are identical to the in-memory form on the
+    same corpus/centroids/nprobe."""
+    q = probe_cells(queries, centroids, nprobe=nprobe,
+                    id_col=id_col, vec_col=vec_col)
+    cells = [r["cluster_id"] for r in q.select("cluster_id").distinct().collect()]
+    index = spark.read.parquet(path).filter(F.col("cluster_id").isin(cells))
+    c = index.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        "cluster_id",
+    )
+    scored = (
+        c.join(F.broadcast(q), "cluster_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            round6(cosine_similarity("query_vec", "vec")).alias("cosine"),
+        )
+    )
+    return _rank_topk(scored, top_k)
