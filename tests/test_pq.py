@@ -140,3 +140,51 @@ def test_train_pq_empty_cluster_keeps_previous_centroid(spark):
     for s in range(M):
         assert len(cbs[s]) == 2
         assert all(len(cv) == DSUB for cv in cbs[s])
+
+
+def test_ivf_pq_index_prunes_and_matches_full_probe(spark, tmp_path):
+    """write_ivf_pq_index / ivf_pq_topk_from_index: the at-rest IVF-PQ —
+    PartitionFilters prune to the probed cells, raw vectors never appear
+    in the scan schema, and probing EVERY cell reproduces pq_topk over
+    the full code relation exactly (same ADC Column by construction)."""
+    import re
+
+    from youtube_api_data_etl_automation_spark.operators.pq import (
+        ivf_pq_topk_from_index,
+        pq_encode,
+        pq_topk,
+        train_pq,
+        write_ivf_pq_index,
+    )
+    from youtube_api_data_etl_automation_spark.sources.tables import load_table
+
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings", rebalance=True)
+    cent = emb.filter(F.col("vec_id").between(10, 13)).select(
+        (F.col("vec_id") - 10).alias("vec_id"), "embedding"
+    )
+    cbs = train_pq(spark, emb, m=4, k=4, n_iter=1)
+    queries = emb.filter(F.col("vec_id") < 2)
+    path = str(tmp_path / "ivfpq")
+    write_ivf_pq_index(emb, cent, cbs, path)
+
+    # full probe (nprobe = #cells) == flat pq_topk over all codes
+    at_rest = ivf_pq_topk_from_index(
+        spark, path, queries, cent, cbs, top_k=3, nprobe=4
+    )
+    flat = pq_topk(pq_encode(emb, cbs), queries, cbs, top_k=3)
+    assert sorted(map(tuple, at_rest.collect())) == sorted(
+        map(tuple, flat.collect())
+    )
+
+    # pruned probe: PartitionFilters carries cluster_id; codes-only scan
+    pruned = ivf_pq_topk_from_index(
+        spark, path, queries, cent, cbs, top_k=3, nprobe=1
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    m_ = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m_ and "cluster_id" in m_.group(1)
+    scan = [ln for ln in plan.splitlines() if "Scan parquet" in ln and "codes" in ln]
+    assert scan and all("embedding" not in ln for ln in scan)
+    assert pruned.count() > 0

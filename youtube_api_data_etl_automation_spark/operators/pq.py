@@ -105,14 +105,17 @@ def _argmax_code(scores: list[F.Column]) -> F.Column:
 
 
 def pq_encode(corpus: DataFrame, codebooks: Codebooks,
-              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              keep: tuple[str, ...] = ()) -> DataFrame:
     """Encode each vector to its array<int> of per-subspace nearest-centroid
     codes. Pure map-side Column expression over literal codebooks: the
     plan has NO exchange and NO join (pinned in tests/test_pq.py) — at
     100 TB this is a linear scan that writes a 64×-narrower relation.
 
-    Output: (id_col, codes array<int> length m). The raw vector column is
-    dropped — the point of PQ is that downstream scoring never touches it.
+    Output: (id_col, codes array<int> length m [, *keep]). The raw vector
+    column is dropped — the point of PQ is that downstream scoring never
+    touches it; ``keep`` carries extra columns through (e.g. the IVF
+    ``cluster_id`` for :func:`write_ivf_pq_index`).
     """
     m = len(codebooks)
     k = len(codebooks[0])
@@ -126,7 +129,7 @@ def pq_encode(corpus: DataFrame, codebooks: Codebooks,
             for s in range(m)
         ]
     )
-    return corpus.select(F.col(id_col), codes.alias("codes"))
+    return corpus.select(F.col(id_col), codes.alias("codes"), *keep)
 
 
 def pq_reconstruct(codes_col: str | F.Column, codebooks: Codebooks) -> F.Column:
@@ -155,10 +158,31 @@ def pq_topk(codes: DataFrame, queries: DataFrame, codebooks: Codebooks,
     exact/LSH/IVF strategies. Output: (query_id, neighbor_id, rank,
     cosine) with cosine = the approximate (reconstructed) cosine.
     """
-    m = len(codebooks)
-    dsub = len(codebooks[0][0])
     q = _rename_query(queries, id_col, vec_col)
     q = F.broadcast(q.select("query_id", "query_vec"))
+    scored = (
+        codes.select(F.col("vec_id").alias("neighbor_id"), "codes")
+        if id_col == "vec_id"
+        else codes.select(F.col(id_col).alias("neighbor_id"), "codes")
+    )
+    scored = (
+        scored.join(q, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _adc_cosine(codebooks).alias("cosine"),
+        )
+    )
+    return _rank_topk(scored, top_k)
+
+
+def _adc_cosine(codebooks: Codebooks) -> F.Column:
+    """The ADC approximate-cosine Column over a relation carrying
+    ``codes`` and ``query_vec`` — shared by :func:`pq_topk` and the
+    at-rest :func:`ivf_pq_topk_from_index` so the two forms are
+    arithmetic-identical by construction."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
     adc_terms, n2_terms = [], []
     for s in range(m):
         cb = codebooks[s]
@@ -184,22 +208,7 @@ def pq_topk(codes: DataFrame, queries: DataFrame, codebooks: Codebooks,
         F.lit(0.0),
         lambda acc, v: acc + v * v,
     )
-    scored = (
-        codes.select(F.col("vec_id").alias("neighbor_id"), "codes")
-        if id_col == "vec_id"
-        else codes.select(F.col(id_col).alias("neighbor_id"), "codes")
-    )
-    scored = (
-        scored.join(q, F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            round6(
-                adc / F.nullif(F.sqrt(qq) * F.sqrt(n2), F.lit(0.0))
-            ).alias("cosine"),
-        )
-    )
-    return _rank_topk(scored, top_k)
+    return round6(adc / F.nullif(F.sqrt(qq) * F.sqrt(n2), F.lit(0.0)))
 
 
 def train_pq(spark: SparkSession, corpus: DataFrame, m: int, k: int,
@@ -334,3 +343,64 @@ def pq_quantization_error(corpus: DataFrame, codebooks: Codebooks,
         ).alias("mse")
     ).first()
     return float(row["mse"])
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ at rest: cell-partitioned CODES — pruned I/O times compressed I/O
+# ---------------------------------------------------------------------------
+
+
+def write_ivf_pq_index(corpus: DataFrame, centroids: DataFrame,
+                       codebooks: Codebooks, path: str, *,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       mode: str = "overwrite") -> None:
+    """The full FAISS-shaped IVF-PQ index as a parquet layout: assign each
+    vector to its IVF cell (broadcast argmax), PQ-encode it (map-only
+    literal codebooks), and write ``(id, codes)`` partitioned BY
+    ``cluster_id``. A probe then multiplies the two savings —
+    partition pruning reads ~nprobe/k of the files, and those files hold
+    codes, not vectors (~64× narrower at m=4, d=64) — which is the
+    standard architecture for billion-scale ANN. ``mode="append"`` adds
+    a batch under the SAME centroids and codebooks (both are the index's
+    fixed grid; retrain ⇒ rebuild)."""
+    from .similarity import assign_clusters
+
+    assigned = assign_clusters(corpus, centroids, id_col, vec_col)
+    codes = pq_encode(
+        assigned, codebooks, id_col=id_col, vec_col=vec_col,
+        keep=("cluster_id",),
+    )
+    codes.write.mode(mode).partitionBy("cluster_id").parquet(path)
+
+
+def ivf_pq_topk_from_index(spark: SparkSession, path: str,
+                           queries: DataFrame, centroids: DataFrame,
+                           codebooks: Codebooks, *, top_k: int = 3,
+                           nprobe: int = 1, id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """ADC top-k against a :func:`write_ivf_pq_index` layout: the probe
+    list prunes the scan to the probed cells at PLANNING time (the same
+    PartitionFilters pin as similarity.ivf_topk_from_index), each query
+    scores ONLY against its own probed cells (equi-join on cluster_id,
+    not the union of all queries' cells), and scoring is the identical
+    ADC Column :func:`pq_topk` uses — so results match pq_topk exactly
+    whenever the probe covers the true neighbors. Raw vectors are never
+    read: the scan is (id, codes, cluster_id)."""
+    from .similarity import probe_cells
+
+    q = probe_cells(queries, centroids, nprobe=nprobe,
+                    id_col=id_col, vec_col=vec_col)
+    cells = [
+        r["cluster_id"] for r in q.select("cluster_id").distinct().collect()
+    ]
+    idx = spark.read.parquet(path).filter(F.col("cluster_id").isin(cells))
+    scored = (
+        idx.select(
+            F.col(id_col).alias("neighbor_id"), "codes", "cluster_id"
+        )
+        .join(F.broadcast(q), "cluster_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _adc_cosine(codebooks).alias("cosine"))
+    )
+    return _rank_topk(scored, top_k)
