@@ -318,3 +318,57 @@ def test_monitor_stream_drift_from_committed_state(spark, tmp_path):
         monitor_stream_drift_from_state(
             stream2, state, ckpt + "2", sink + "2", col="id"
         )
+
+
+def test_profile_stream_to_state_exactly_once_even_without_checkpoint(
+    spark, tmp_path
+):
+    """Streaming profile maintenance: micro-batches fold into the
+    committed state; a replay from a FRESH checkpoint (simulated
+    checkpoint loss) refolds nothing because the applied-batch markers
+    carry the idempotence, not just the checkpoint."""
+    from youtube_api_data_etl_automation_spark.operators.profile import (
+        stats_from_state,
+    )
+    from youtube_api_data_etl_automation_spark.operators.versioned import (
+        read_profile_state,
+    )
+    from youtube_api_data_etl_automation_spark.streaming.monitor import (
+        profile_stream_to_state,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    schema = "id long, v double"
+    spark.createDataFrame(
+        [(i, float(i % 10)) for i in range(100)], schema
+    ).write.mode("append").parquet(src)
+
+    def drain(ckpt):
+        stream = spark.readStream.schema(schema).parquet(src)
+        profile_stream_to_state(stream, state, ckpt, ["v"])
+
+    drain(str(tmp_path / "ckpt1"))
+    n1 = {
+        r["column_name"]: r["n_rows"]
+        for r in stats_from_state(read_profile_state(spark, state)).collect()
+    }
+    assert n1 == {"v": 100}
+    # replay the WHOLE source from a fresh checkpoint: same micro-batch
+    # ids => applied markers skip every fold
+    drain(str(tmp_path / "ckpt2"))
+    n2 = {
+        r["column_name"]: r["n_rows"]
+        for r in stats_from_state(read_profile_state(spark, state)).collect()
+    }
+    assert n2 == {"v": 100}
+    # genuinely new data folds in on the next drain
+    spark.createDataFrame(
+        [(100 + i, float(i % 10)) for i in range(50)], schema
+    ).write.mode("append").parquet(src)
+    drain(str(tmp_path / "ckpt1"))
+    n3 = {
+        r["column_name"]: r["n_rows"]
+        for r in stats_from_state(read_profile_state(spark, state)).collect()
+    }
+    assert n3 == {"v": 150}

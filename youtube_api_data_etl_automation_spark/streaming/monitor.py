@@ -126,3 +126,52 @@ def monitor_stream_drift_from_state(
         bins=int(grid[0]["grid_bins"]),
         psi_threshold=psi_threshold,
     )
+
+
+def profile_stream_to_state(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    cols: list[str] | None = None,
+    *,
+    hist_specs: list[tuple[str, float, float, int]] | None = None,
+    topk_specs: list[tuple[str, int]] | None = None,
+    batch_id_prefix: str = "stream",
+) -> None:
+    """Maintain the committed profile state FROM A STREAM: drain
+    (``availableNow``) folding every micro-batch into the versioned
+    profile state (``versioned.incremental_profile_versioned`` — moments
+    + optional histogram shapes + optional heavy-hitter rows, one atomic
+    commit per batch).
+
+    Exactly-once twice over: the checkpoint skips processed batches on
+    resume, AND the fold's applied-batch markers make even a replay from
+    a LOST checkpoint idempotent — micro-batch ids restart at 0, the
+    marker for ``{prefix}-0`` already exists, and the refold is a no-op.
+    That is strictly stronger than the usual foreachBatch contract
+    (where a replayed batch re-appends), and it falls out of reusing the
+    batch-gate protocol instead of a bare write. Empty batches commit
+    nothing. The resulting state feeds the same readouts as the batch
+    path: ``profile --state-dir --report``, ``psi_vs_hist_state``,
+    :func:`monitor_stream_drift_from_state`."""
+    from ..operators.versioned import incremental_profile_versioned
+
+    def handle_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        incremental_profile_versioned(
+            batch,
+            state_dir,
+            cols,
+            batch_id=f"{batch_id_prefix}-{batch_id}",
+            hist_specs=hist_specs,
+            topk_specs=topk_specs,
+        )
+
+    q = (
+        stream_df.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(handle_batch)
+        .start()
+    )
+    q.awaitTermination()
