@@ -592,3 +592,25 @@ def test_versioned_topk_state_accumulates_per_batch(spark, tmp_path):
         incremental_profile_versioned(
             _zipf_df(spark, 400, 410), base, ["s"], batch_id="b3"
         )
+
+
+def test_merge_random_partitions_differential(spark):
+    """Seeded randomized differential: ANY partition of the table into
+    batches, merged, must reproduce the full-table profile on every
+    algebraic field (the associativity claim under arbitrary splits,
+    not just the hand-picked ones above)."""
+    import random
+
+    rng = random.Random(20260815)
+    full = _df(spark, 0, 150)
+    want = _stats_map(column_stats(full))
+    for _ in range(3):
+        # random cut points -> 2-5 contiguous batches
+        cuts = sorted(rng.sample(range(1, 150), rng.randint(1, 4)))
+        bounds = list(zip([0] + cuts, cuts + [150]))
+        parts = [profile_state(_df(spark, a, b)) for a, b in bounds]
+        rng.shuffle(parts)
+        got = _stats_map(stats_from_state(merge_profile_states(*parts)))
+        for c, w in want.items():
+            for k in _ALGEBRAIC:
+                assert got[c][k] == w[k], (bounds, c, k)
