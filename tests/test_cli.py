@@ -414,3 +414,32 @@ def test_profile_cli_report_mode_reads_committed_state(spark, capsys):
     rc = main(["profile"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 1 and out["status"] == "error"
+
+
+def test_events_cli_funnel_and_retention(spark, capsys):
+    """events subcommand: funnel + retention as one JSON line."""
+    d = tempfile.mkdtemp(prefix="cli_events_")
+    path = d + "/ev.parquet"
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, "signup", t0), (1, "click", t0 + datetime.timedelta(seconds=5)),
+        (2, "signup", t0), (3, "click", t0),
+        (1, "click", t0 + datetime.timedelta(days=1)),
+    ]
+    spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp_ntz"
+    ).write.parquet(path)
+    rc = main(["events", "--input", path, "--steps", "signup,click",
+               "--retention"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["status"] == "ok"
+    assert [(r["step"], r["n_users"]) for r in out["funnel"]] == [
+        (1, 2), (2, 1)
+    ]
+    assert any(r["offset_days"] == 1 for r in out["retention"])
+    # bad steps: usage error before a session matters
+    rc = main(["events", "--input", path, "--steps", "a,a"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and out["status"] == "error"

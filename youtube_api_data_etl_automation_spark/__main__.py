@@ -32,6 +32,45 @@ import json
 import sys
 
 
+def _cmd_events(args: argparse.Namespace) -> int:
+    """Behavioral analytics over an event table from the command line:
+    the greedy-earliest funnel for --steps and (optionally) the cohort
+    retention matrix — one JSON line, the dashboard numbers without a
+    dashboard. Exit 0 always (this is a readout, not a gate)."""
+    from .operators.funnel import funnel, retention_cohorts
+    from .session import get_spark
+
+    steps = [s for s in args.steps.split(",") if s]
+    if len(steps) < 1 or len(set(steps)) != len(steps):
+        print(json.dumps({"status": "error",
+                          "error": "--steps needs distinct comma-separated "
+                          "event types"}))
+        return 1
+    spark = get_spark("events-analytics", master=args.master)
+    ev = spark.read.parquet(args.input)
+    out: dict = {
+        "status": "ok",
+        "funnel": [
+            r.asDict()
+            for r in funnel(
+                ev, steps,
+                user_col=args.user_col, type_col=args.type_col,
+                ts_col=args.ts_col, within_sec=args.within_sec,
+            ).orderBy("step").collect()
+        ],
+    }
+    if args.retention:
+        out["retention"] = [
+            r.asDict()
+            for r in retention_cohorts(
+                ev, user_col=args.user_col, ts_col=args.ts_col,
+                max_offset_days=args.max_offset_days,
+            ).orderBy("cohort_day", "offset_days").collect()
+        ]
+    print(json.dumps(out, default=str))
+    return 0
+
+
 def _cmd_etl(args: argparse.Namespace) -> int:
     from .pipeline import run_etl
     from .session import get_spark
@@ -678,6 +717,30 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pr_.add_argument("--mean-shift", type=float, default=0.25)
     pr_.set_defaults(fn=_cmd_profile)
+
+    evp = sub.add_parser(
+        "events",
+        help="behavioral analytics over an event table: funnel "
+        "conversion for --steps, optional cohort retention matrix",
+    )
+    evp.add_argument("--input", required=True, help="events parquet path")
+    evp.add_argument(
+        "--steps", required=True,
+        help="comma-separated ordered event types (e.g. signup,click,buy)",
+    )
+    evp.add_argument("--user-col", default="user_id")
+    evp.add_argument("--type-col", default="event_type")
+    evp.add_argument("--ts-col", default="ts")
+    evp.add_argument(
+        "--within-sec", type=int, default=None,
+        help="bound the whole journey to this many seconds from step 1",
+    )
+    evp.add_argument(
+        "--retention", action="store_true",
+        help="also emit the cohort retention matrix",
+    )
+    evp.add_argument("--max-offset-days", type=int, default=None)
+    evp.set_defaults(fn=_cmd_events)
 
     sh = sub.add_parser(
         "shards",
