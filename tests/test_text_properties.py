@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import re
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -159,3 +160,47 @@ def test_fingerprint_is_normalization_invariant(spark, s):
     assert len(set(fps)) == 1, (s, fps)
     expected = hashlib.md5(py_normalize(s).encode()).hexdigest()
     assert fps[0] == expected
+
+
+def test_token_entropy_hand_computed_and_edges(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from youtube_api_data_etl_automation_spark.functions.text import (
+        token_entropy_t,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, ["a", "a", "a", "b"]),      # H = -(3/4)ln(3/4) - (1/4)ln(1/4)
+            (2, ["a", "a", "b", "b"]),      # H = ln 2 (max for 2 symbols)
+            (3, ["x", "x", "x", "x"]),      # H = 0 (degenerate)
+            (4, []),                        # empty -> 0 by contract
+            (5, ["q"]),                     # single token -> 0
+        ],
+        "doc_id long, tok array<string>",
+    )
+    got = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id", token_entropy_t("tok").alias("h")
+        ).collect()
+    }
+    assert got[1] == pytest.approx(
+        -(0.75 * math.log(0.75) + 0.25 * math.log(0.25)), abs=1e-12
+    )
+    assert got[2] == pytest.approx(math.log(2), abs=1e-12)
+    assert got[3] == 0.0 and got[4] == 0.0 and got[5] == 0.0
+    # same dup_token_frac, different entropy — the signal dup_frac misses
+    from youtube_api_data_etl_automation_spark.functions.text import (
+        dup_token_fraction_t,
+    )
+
+    pair = df.filter(F.col("doc_id").isin(1, 2)).select(
+        "doc_id",
+        dup_token_fraction_t("tok").alias("d"),
+        token_entropy_t("tok").alias("h"),
+    ).collect()
+    d = {r["doc_id"]: (r["d"], r["h"]) for r in pair}
+    assert d[1][0] == d[2][0] and d[1][1] < d[2][1]

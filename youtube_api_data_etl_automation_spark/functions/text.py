@@ -175,6 +175,34 @@ def dup_token_fraction_t(tok: Column | str) -> Column:
     return F.when(n > 0, (n - nd) / n).otherwise(F.lit(0.0))
 
 
+def token_entropy_t(tok: Column | str) -> Column:
+    """Unigram token entropy H = −Σ_d (c_d/n)·ln(c_d/n) in nats — the
+    information-content quality signal (Gopher-family): boilerplate and
+    degenerate generations sit near 0, diverse prose near ln(n). 0 for
+    empty docs. Complements :func:`dup_token_fraction_t` (which only sees
+    THAT tokens repeat, not how the mass is distributed — "a a a b" and
+    "a a b b" share dup_frac 0.5 but differ in entropy).
+
+    Pure Column fold, no shuffle: per-distinct counts come from
+    ``filter`` over the token array (O(L·D) codegen'd ops per doc — map
+    compute, not exchange bytes), and the sum runs over the SORTED
+    distinct list so the float accumulation order is deterministic and
+    engine-portable (DuckDB mirrors it with list_sort + list_reduce).
+    Round at the query edge."""
+    t = F.col(tok) if isinstance(tok, str) else tok
+    n = F.size(t).cast("double")
+    distinct_sorted = F.array_sort(F.array_distinct(t))
+
+    def term(acc, d):
+        c = F.size(F.filter(t, lambda x: x == d)).cast("double")
+        r = c / n
+        return acc - r * F.log(r)
+
+    return F.when(
+        F.size(t) > 0, F.aggregate(distinct_sorted, F.lit(0.0), term)
+    ).otherwise(F.lit(0.0))
+
+
 def rolling_hash_t(tok: Column | str) -> Column:
     """Polynomial rolling hash over the token stream (Karp–Rabin form:
     acc·31 + h(tok) mod 1e9+7). Order-sensitive — unlike the md5 content

@@ -75,7 +75,19 @@ _HEX_VAL = "+".join(
              list_prepend(CAST(0 AS BIGINT),
                           list_transform(tok, x -> CAST({_HEX_VAL} AS BIGINT))),
              (acc, h) -> (acc * 31 + h) % 1000000007
-           ) AS rhash
+           ) AS rhash,
+           -- unigram entropy: mirror of functions/text.py::token_entropy_t —
+           -- same sorted-distinct fold order, same acc − (c/n)·ln(c/n) ops
+           floor((CASE WHEN norm = '' THEN 0.0 ELSE
+             list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(list_sort(list_distinct(tok)),
+                   d -> -(CAST(len(list_filter(tok, x -> x = d)) AS DOUBLE)
+                          / len(tok))
+                        * ln(CAST(len(list_filter(tok, x -> x = d)) AS DOUBLE)
+                             / len(tok)))),
+               (acc, v) -> acc + v)
+           END) * 1000000.0 + 0.5) / 1000000.0 AS token_entropy
     FROM t
     """,
 )
@@ -86,9 +98,16 @@ def text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-token repetition fraction, and the Karp–Rabin rolling-hash
     fingerprint (functions/text.py::rolling_hash_t — order-sensitive,
     prefix-stable, r4: fused here from its own registry slot; same
-    documents pass). All JVM-side Column expressions — regexp_count is
+    documents pass), plus (late r8) the unigram token ENTROPY — the
+    distribution-aware repetition signal dup_token_frac can't see
+    (functions/text.py::token_entropy_t; sorted-distinct fold so the
+    float order is engine-portable). All JVM-side Column expressions — regexp_count is
     codegen'd, no UDF anywhere."""
-    from ..functions.text import dup_token_fraction_t, rolling_hash_t
+    from ..functions.text import (
+        dup_token_fraction_t,
+        rolling_hash_t,
+        token_entropy_t,
+    )
 
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
     toks = docs.select("doc_id", "text", tokens("text").alias("tok"))
@@ -107,6 +126,7 @@ def text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_subwords"),
         round6(dup_token_fraction_t("tok")).alias("dup_token_frac"),
         rolling_hash_t("tok").alias("rhash"),
+        round6(token_entropy_t("tok")).alias("token_entropy"),
     )
 
 
