@@ -184,8 +184,10 @@ def token_entropy_t(tok: Column | str) -> Column:
     "a a b b" share dup_frac 0.5 but differ in entropy).
 
     Pure Column fold, no shuffle: per-distinct counts come from
-    ``filter`` over the token array (O(L·D) codegen'd ops per doc — map
-    compute, not exchange bytes), and the sum runs over the SORTED
+    ``filter`` over the token array — O(L·D) ops per doc, INTERPRETED
+    (higher-order lambdas don't codegen; measured ~+0.6 s over 60k docs
+    at sf0.1) but map compute, not exchange bytes — and the sum runs
+    over the SORTED
     distinct list so the float accumulation order is deterministic and
     engine-portable (DuckDB mirrors it with list_sort + list_reduce).
     Round at the query edge."""
