@@ -204,3 +204,36 @@ def test_token_entropy_hand_computed_and_edges(spark):
     ).collect()
     d = {r["doc_id"]: (r["d"], r["h"]) for r in pair}
     assert d[1][0] == d[2][0] and d[1][1] < d[2][1]
+
+
+def test_dup_ngram_fraction_hand_computed(spark):
+    from youtube_api_data_etl_automation_spark.functions.text import (
+        dup_ngram_fraction_t,
+        dup_token_fraction_t,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # "buy now X buy now Y": interleaved boilerplate — every token
+            # distinct-ish at unigram level once, but 'buy now' repeats
+            (1, ["buy", "now", "x", "buy", "now", "y"]),
+            (2, ["a", "b", "c", "d"]),   # no repeated bigrams
+            (3, ["z"]),                  # < n tokens -> 0
+            (4, []),
+        ],
+        "doc_id long, tok array<string>",
+    )
+    got = {
+        r["doc_id"]: (r["b"], r["u"])
+        for r in df.select(
+            "doc_id",
+            dup_ngram_fraction_t("tok", n=2).alias("b"),
+            dup_token_fraction_t("tok").alias("u"),
+        ).collect()
+    }
+    # doc 1: 5 bigrams, 'buy now' appears twice -> 1 - 4/5 = 0.2; the
+    # unigram fraction sees 2/6 repeats — both fire, but on doc 2 ONLY
+    # at n-gram level nothing fires
+    assert got[1][0] == pytest.approx(0.2)
+    assert got[2][0] == 0.0 and got[2][1] == 0.0
+    assert got[3][0] == 0.0 and got[4][0] == 0.0

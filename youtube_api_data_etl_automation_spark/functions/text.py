@@ -245,3 +245,17 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     dedup). Fewer than k tokens → empty array. Prefer projecting tokens()
     first and calling word_shingles_t (see tokens() perf note)."""
     return word_shingles_t(tokens(col), k)
+
+
+def dup_ngram_fraction_t(tok: Column | str, n: int = 2) -> Column:
+    """Duplicate word-n-gram fraction (the Gopher repetition filters'
+    n-gram members — unigram is :func:`dup_token_fraction_t`): fraction
+    of the doc's n-grams that repeat an earlier one, 1 − |distinct|/|all|,
+    0 when the doc has fewer than n tokens. Boilerplate that interleaves
+    filler ("buy now X buy now Y …") evades the unigram fraction but not
+    the bigram/trigram ones. Rides :func:`word_shingles_t`'s projection —
+    map-only, no shuffle; round at the query edge."""
+    sh = word_shingles_t(tok, k=n)
+    total = F.size(sh).cast("double")
+    nd = F.size(F.array_distinct(sh)).cast("double")
+    return F.when(total > 0, (total - nd) / total).otherwise(F.lit(0.0))

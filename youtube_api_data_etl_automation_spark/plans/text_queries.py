@@ -87,7 +87,15 @@ _HEX_VAL = "+".join(
                         * ln(CAST(len(list_filter(tok, x -> x = d)) AS DOUBLE)
                              / len(tok)))),
                (acc, v) -> acc + v)
-           END) * 1000000.0 + 0.5) / 1000000.0 AS token_entropy
+           END) * 1000000.0 + 0.5) / 1000000.0 AS token_entropy,
+           -- duplicate-bigram fraction: mirror of functions/text.py::
+           -- dup_ngram_fraction_t (word_shingles_t k=2: concat_ws over a
+           -- 2-slice == array_to_string over the inclusive 1-based slice)
+           floor((CASE WHEN len(tok) >= 2 THEN
+             1.0 - CAST(len(list_distinct(list_transform(range(1, len(tok)),
+                          i -> array_to_string(tok[i:i+1], ' ')))) AS DOUBLE)
+                   / (len(tok) - 1)
+           ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS dup_bigram_frac
     FROM t
     """,
 )
@@ -104,6 +112,7 @@ def text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     float order is engine-portable). All JVM-side Column expressions — regexp_count is
     codegen'd, no UDF anywhere."""
     from ..functions.text import (
+        dup_ngram_fraction_t,
         dup_token_fraction_t,
         rolling_hash_t,
         token_entropy_t,
@@ -127,6 +136,7 @@ def text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         round6(dup_token_fraction_t("tok")).alias("dup_token_frac"),
         rolling_hash_t("tok").alias("rhash"),
         round6(token_entropy_t("tok")).alias("token_entropy"),
+        round6(dup_ngram_fraction_t("tok", n=2)).alias("dup_bigram_frac"),
     )
 
 
