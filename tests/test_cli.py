@@ -376,11 +376,23 @@ def test_profile_cli_state_mode_hist_psi_gate(spark, capsys):
     assert rc == 2 and not out["folded"]
     assert [f["metric"] for f in out["drift_flags"]] == ["psi"]
 
-    # folding without --hist on a shape-tracking sink surfaces the raise
-    # (argparse-level usage is fine; the operator protects the state)
-    with pytest.raises(ValueError):
-        main(["profile", "--input", d + "/b1.parquet", "--columns", "v",
-              "--state-dir", state, "--batch-id", "b3"])
+    # folding without --hist on a shape-tracking sink: the operator's
+    # drop-protection ValueError surfaces through the CLI's JSON error
+    # contract (exit 1), never a traceback
+    rc = main(["profile", "--input", d + "/b1.parquet", "--columns", "v",
+               "--state-dir", state, "--batch-id", "b3"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and out["status"] == "error"
+    assert "hist" in out["error"]
+
+    # --hist retargeted to a column the committed state doesn't track:
+    # KeyError from the shape gate also honors the JSON contract
+    rc = main(["profile", "--input", d + "/b1.parquet", "--columns", "v",
+               "--state-dir", state, "--batch-id", "b4",
+               "--hist", "k:0:200:10"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and out["status"] == "error"
+    assert "k" in out["error"]
 
 
 def test_profile_cli_report_mode_reads_committed_state(spark, capsys):

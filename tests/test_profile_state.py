@@ -366,6 +366,14 @@ def test_histogram_state_grouped_scan_and_grid_isolation(spark):
         merged.select("grid_lo", "grid_hi", "grid_bins").distinct().count()
     )
     assert grids == 2
+    # ...and reading a column whose state holds two grids is an explicit
+    # refusal, not a silent interleave of colliding bucket ids
+    with pytest.raises(ValueError, match="grid"):
+        hist_from_state(merged, "u")
+    # a column with ONE grid in the same state still reads fine after a
+    # single-grid slice
+    one = merged.filter(F.col("grid_hi") == 50.0)
+    assert hist_from_state(one, "u").count() > 0
 
 
 def test_versioned_hist_state_and_psi_gate(spark, tmp_path):

@@ -242,6 +242,13 @@ def _profile_state_mode(args, spark, df, cols) -> int:
                 ).collect()[0]
             except FileNotFoundError:
                 psi_row = None  # moment-only history; tracking starts now
+            except (KeyError, ValueError) as e:
+                # --hist names a column the committed hist state doesn't
+                # track (KeyError: operator retargeted between runs) or
+                # the state holds colliding grids (ValueError). Honor the
+                # JSON error contract, not a traceback.
+                print(json.dumps({"status": "error", "error": str(e)}))
+                return 1
             if psi_row is not None and psi_row["flagged"]:
                 flags.append({
                     "column_name": args.hist[0], "metric": "psi",
@@ -258,10 +265,17 @@ def _profile_state_mode(args, spark, df, cols) -> int:
             col_name, _, kt = spec.partition(":")
             topk_specs.append((col_name, int(kt) if kt else 100))
     if folded:
-        state = incremental_profile_versioned(
-            df, args.state_dir, cols, batch_id=args.batch_id,
-            hist_specs=hist_specs, topk_specs=topk_specs,
-        )
+        try:
+            state = incremental_profile_versioned(
+                df, args.state_dir, cols, batch_id=args.batch_id,
+                hist_specs=hist_specs, topk_specs=topk_specs,
+            )
+        except ValueError as e:
+            # hist/topk drop-protection: folding this batch without the
+            # previously-tracked hist/topk specs would silently lose
+            # committed sketch history. JSON error contract, exit 1.
+            print(json.dumps({"status": "error", "error": str(e)}))
+            return 1
     else:
         from .operators.versioned import read_profile_state
 
@@ -310,15 +324,21 @@ def _profile_report_mode(args, spark) -> int:
             r["column_name"]
             for r in hist.select("column_name").distinct().collect()
         ]
-        out["quantiles"] = {
-            c: {
-                str(r["q"]): r["value"]
-                for r in quantiles_from_state(
-                    hist, c, [0.5, 0.9, 0.99]
-                ).collect()
-            }
-            for c in sorted(tracked)
-        }
+        quantiles: dict = {}
+        for c in sorted(tracked):
+            try:
+                quantiles[c] = {
+                    str(r["q"]): r["value"]
+                    for r in quantiles_from_state(
+                        hist, c, [0.5, 0.9, 0.99]
+                    ).collect()
+                }
+            except ValueError as e:
+                # grid changed mid-history for this column — surface the
+                # refusal per-column instead of a traceback, keep the
+                # rest of the report usable
+                quantiles[c] = {"error": str(e)}
+        out["quantiles"] = quantiles
     except FileNotFoundError:
         pass
     try:

@@ -1036,7 +1036,32 @@ def hist_from_state(state: DataFrame, col: str) -> DataFrame:
     histogram state — bit-identical to a full-table run (integer counts;
     the bucket-edge arithmetic repeats numeric_histogram's IEEE ops).
     Feed two of these to :func:`histogram_drift` for PSI between any two
-    committed shapes, zero rescans."""
+    committed shapes, zero rescans.
+
+    Raises ``ValueError`` if the state holds MORE THAN ONE grid for
+    ``col`` (a spec change mid-history: :func:`merge_histogram_states`
+    deliberately keeps both grids as separate rows) — colliding bucket
+    ids from two grids would otherwise interleave here and silently
+    corrupt every readout built on this relation (PSI, quantiles). The
+    check is one distinct-count over the ≤Σ bins-row state slice —
+    control-plane, never data."""
+    grids = (
+        state.filter(F.col("column_name") == col)
+        .select("grid_lo", "grid_hi", "grid_bins")
+        .distinct()
+        .collect()
+    )
+    if len(grids) > 1:
+        specs = sorted(
+            (r["grid_lo"], r["grid_hi"], r["grid_bins"]) for r in grids
+        )
+        raise ValueError(
+            f"histogram state for column {col!r} holds {len(grids)} "
+            f"different grids {specs} — the grid spec changed between "
+            "batches. Rebuild the histogram state on one grid (or slice "
+            "the state to one version) before reading it back; mixing "
+            "grids would silently corrupt bucket counts."
+        )
     width = (F.col("grid_hi") - F.col("grid_lo")) / F.col("grid_bins")
     return state.filter(F.col("column_name") == col).select(
         "bucket",
