@@ -3,6 +3,26 @@
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}. Each query is forced end-to-end with the
 noop sink (full computation, no driver collect overhead).
+
+Sectioned observability (r9): the registry's 50-row cap made the heavy rows
+3-6-section tag-unions, so a regression inside one section is unattributable
+from the row total alone. After the row timings, every fused row is re-timed
+PER SECTION — `df.filter(tag == section)` lets Catalyst constant-fold the
+per-branch literal tag and prune the other union arms to empty relations
+(verified: sampling_audits drops 8 parquet scans -> 1 under a section
+filter) — and the per-section wall times land in BENCH_SECTIONS.json next
+to this file. Methodology notes:
+ - a section's time is its STANDALONE cost (cache cleared between sections,
+   so shared persisted projections are re-materialized per section); the
+   section sum therefore legitimately exceeds the fused row's time wherever
+   sections share work.
+ - `__construct__` is the one call to QUERIES[name] itself — it captures
+   eager driver-side work some rows do at build time (streaming availableNow
+   drains in sessionize_methods, bounded control-plane collects elsewhere)
+   that a per-section force can never see.
+ - min-of-2 per section (vs min-of-3 per row): sections inherit the row
+   warm-up, and the section pass must stay inside the driver's budget.
+Set SPARK_GRAFT_BENCH_NO_SECTIONS=1 to skip the pass (row line unchanged).
 """
 
 from __future__ import annotations
@@ -82,8 +102,99 @@ HEADLINE = [
 ]
 
 
+# Fused headline rows -> (tag column, union-branch tag values). Hardcoded
+# rather than discovered from data: tag-value discovery is data-dependent
+# (anti_join_new_keys' `empty_gate` arm and semantic_neardup's `pair` arm
+# produce zero rows at small sf and would vanish from a distinct() probe).
+# A renamed/stale entry shows up as a ~0 s section (every branch folds to
+# false), which is loud enough in the BASELINE.md table.
+SECTIONS: dict[str, tuple[str, list[str]]] = {
+    "anti_join_new_keys": ("section", ["delta", "empty_gate"]),
+    "dedup_exact_docs": ("section", ["groups", "lines", "incremental"]),
+    "jaccard_pairs_methods": ("method", ["minhash_lsh", "ngram_exact"]),
+    "ann_topk_methods": ("method", ["exact", "sign_lsh", "pq_adc"]),
+    "semantic_neardup": ("section", ["pair", "summary"]),
+    "sessionize_methods": ("method", ["window", "stateful", "session_window"]),
+    "term_stats_tfidf_pmi": ("section", ["tfidf", "pmi", "vocab"]),
+    "decontam_ngram_hits": ("section", ["exact", "bloom"]),
+    "sampling_audits": (
+        "section",
+        ["split", "stratified", "aes", "dsir_lambda", "dsir", "diversity"],
+    ),
+    "table_profile_orders": (
+        "section", ["stats", "hist", "topk", "checks", "state"],
+    ),
+    "profile_drift_report": ("section", ["moments", "psi", "semantic"]),
+}
+
+
 def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
+
+
+def section_pass(spark, sf_dir: str, sf) -> None:
+    """Per-section wall times for every fused headline row, written to
+    BENCH_SECTIONS.json (see module docstring for methodology).
+
+    The query is RE-CONSTRUCTED for every section: clearCache() between
+    sections removes not just cached data but the persist REGISTRATION
+    made inside the query builder, so reusing one DataFrame would leave
+    later sections with no cache reuse even between their own two runs
+    (measured: semantic_neardup.summary 9.0 s both runs off a stale
+    registration vs 2.1 s warm — the row methodology's number). A fresh
+    construct per section restores the row loop's semantics: min over
+    runs with the query's own persists alive."""
+    from pyspark.sql import functions as F
+
+    out: dict[str, dict] = {}
+    for name, (tag, secs) in SECTIONS.items():
+        if name not in QUERIES or name not in HEADLINE:
+            continue
+        row: dict[str, float | None] = {}
+        construct_best = float("inf")
+        stale_tag = False
+        for s in secs:
+            spark.catalog.clearCache()
+            try:
+                t0 = time.perf_counter()
+                df = QUERIES[name](spark, sf_dir)
+                construct_best = min(
+                    construct_best, time.perf_counter() - t0
+                )
+            except Exception as e:  # noqa: BLE001 — the audit must be total
+                print(f"bench: {name} section construct FAILED: {e}",
+                      file=sys.stderr)
+                row[s] = None
+                continue
+            if tag not in df.columns:
+                print(f"bench: {name} lost its {tag!r} tag column; "
+                      "SECTIONS map is stale", file=sys.stderr)
+                stale_tag = True
+                break
+            sub = df.filter(F.col(tag) == s)
+            best = float("inf")
+            try:
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    force(sub)
+                    best = min(best, time.perf_counter() - t0)
+                row[s] = round(best, 3)
+            except Exception as e:  # noqa: BLE001
+                print(f"bench: {name}.{s} FAILED: {e}", file=sys.stderr)
+                row[s] = None
+        spark.catalog.clearCache()
+        if stale_tag:
+            continue
+        if construct_best < float("inf"):
+            row["__construct__"] = round(construct_best, 3)
+        out[name] = {"tag": tag, "times": row}
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_SECTIONS.json")
+    with open(path, "w") as f:
+        json.dump({"sf": sf, "runs_per_section": 2, "sections": out},
+                  f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"bench: wrote per-section timings to {path}", file=sys.stderr)
 
 
 def main() -> None:
@@ -138,6 +249,9 @@ def main() -> None:
         # drift (BASELINE.md); the isolated default is the record.
         if not os.environ.get("SPARK_GRAFT_BENCH_KEEP_CACHE"):
             spark.catalog.clearCache()
+
+    if not os.environ.get("SPARK_GRAFT_BENCH_NO_SECTIONS"):
+        section_pass(spark, sf_dir, sf)
 
     total = round(sum(t for t in timings.values() if t is not None), 3)
     print(

@@ -1,0 +1,154 @@
+"""IVF index maintenance loop (operators/similarity.py r9): versioned
+commits, cell-size health report off partition metadata, retrain/rewrite
+via the versioned-sink CAS.
+
+Fixture: 8 well-separated blobs in 8-dim (blob b hugs axis e_b with tiny
+deterministic jitter), 45 vectors each. An index built with only 2
+coarse centroids has 180-vector cells (4x the design size of 45) — the
+planted drift; rebalancing at target 45 re-derives k=8, and Lloyd from
+the 8 lowest-id vectors (one per blob by id layout) recovers the blob
+partition exactly, so the band check and the pre/post probe-identity
+check are deterministic."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from youtube_api_data_etl_automation_spark.operators.similarity import (
+    brute_force_topk,
+    current_ivf_index_path,
+    ivf_cell_report,
+    ivf_topk_from_index,
+    read_ivf_centroids,
+    rebalance_ivf_index,
+    write_ivf_index,
+    write_ivf_index_versioned,
+)
+from youtube_api_data_etl_automation_spark.operators.versioned import (
+    list_versions,
+    version_path,
+)
+
+DIM = 8
+PER_BLOB = 45
+
+
+def _blob_vec(b: int, j: int) -> list[float]:
+    v = [0.0] * DIM
+    v[b] = 1.0
+    v[(b + 1) % DIM] = 0.01 * (j % 5)
+    v[(b + 3) % DIM] = 0.005 * (j % 7)
+    return v
+
+
+def _corpus(spark, blobs=range(8), per_blob=PER_BLOB):
+    # id layout: member j of blob b gets id b + 8*j, so ids 0..7 are one
+    # vector per blob — the deterministic rebalance init set
+    rows = [
+        (b + 8 * j, _blob_vec(b, j)) for b in blobs for j in range(per_blob)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+
+def _axes(spark, ids):
+    rows = [(i, [1.0 if d == b else 0.0 for d in range(DIM)])
+            for i, b in enumerate(ids)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+
+def test_cell_report_flags_planted_skewed_appends(spark, tmp_path):
+    """A balanced 4-cell index passes the band check; appending a batch
+    that all lands in one cell pushes that cell past 2x target and ONLY
+    it flags. The report plan projects nothing but the partition
+    column (metadata-weight at 100 TB)."""
+    path = str(tmp_path / "ivf_plain")
+    base = _corpus(spark, blobs=range(4), per_blob=40)  # 40 per cell
+    cent = _axes(spark, [0, 1, 2, 3])
+    write_ivf_index(base, cent, path)
+
+    pre = ivf_cell_report(spark, path, target_cell_size=40)
+    assert pre.filter(F.col("flagged")).count() == 0
+    # scan reads only the partition column
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<>" in plan, plan[:1500]
+
+    # planted drift: 120 more vectors, all in blob 0's cell
+    extra = spark.createDataFrame(
+        [(10_000 + j, _blob_vec(0, j)) for j in range(120)],
+        "vec_id long, embedding array<float>",
+    )
+    write_ivf_index(extra, cent, path, mode="append")
+    post = {r["cluster_id"]: r for r in ivf_cell_report(
+        spark, path, target_cell_size=40
+    ).collect()}
+    assert post[0].flagged and post[0].n_vecs == 160 and post[0].ratio == 4.0
+    assert not any(post[c].flagged for c in (1, 2, 3))
+    # observed-mean mode (no design size) catches the same skew
+    mean_mode = {r["cluster_id"]: r["flagged"] for r in ivf_cell_report(
+        spark, path
+    ).collect()}
+    assert mean_mode[0]
+
+
+def test_rebalance_restores_band_and_preserves_probes(spark, tmp_path):
+    base_path = str(tmp_path / "ivf_versioned")
+    corpus = _corpus(spark)  # 8 blobs x 45 = 360 vectors
+    coarse = _axes(spark, [0, 4])  # 2 cells of 180 — 4x the design size
+    v1 = write_ivf_index_versioned(corpus, coarse, base_path)
+    assert v1 == 1
+
+    path1 = current_ivf_index_path(spark, base_path)
+    rep1 = ivf_cell_report(spark, path1, target_cell_size=PER_BLOB)
+    assert rep1.filter(F.col("flagged")).count() == 2  # every cell over
+
+    queries = corpus.filter(F.col("vec_id") < 3)
+    pre_probe = sorted(map(tuple, ivf_topk_from_index(
+        spark, path1, queries, read_ivf_centroids(spark, base_path),
+        top_k=3, nprobe=2,  # nprobe = k: full probe == exact
+    ).collect()))
+
+    out = rebalance_ivf_index(
+        spark, base_path, target_cell_size=PER_BLOB, n_iter=3
+    )
+    assert out == {"version": 2, "k": 8, "n_vectors": 360}
+
+    path2 = current_ivf_index_path(spark, base_path)
+    assert path2 != path1
+    rep2 = ivf_cell_report(spark, path2, target_cell_size=PER_BLOB)
+    rows2 = rep2.collect()
+    assert len(rows2) == 8
+    assert all(not r["flagged"] for r in rows2), rows2
+    assert all(r["n_vecs"] == PER_BLOB for r in rows2), rows2
+
+    # content unchanged -> full probe identical pre/post, and both equal
+    # the brute-force answer
+    post_probe = sorted(map(tuple, ivf_topk_from_index(
+        spark, path2, queries, read_ivf_centroids(spark, base_path),
+        top_k=3, nprobe=8,
+    ).collect()))
+    assert post_probe == pre_probe
+    exact = sorted(map(tuple, brute_force_topk(
+        corpus, queries, top_k=3
+    ).collect()))
+    assert post_probe == exact
+
+    # reader safety: the old committed version is retained (keep=2) and
+    # still fully readable after the rewrite
+    assert [(1, True), (2, True)] == [
+        (v, ok) for v, ok in list_versions(spark, base_path)
+    ]
+    assert spark.read.parquet(
+        version_path(base_path, 1) + "/cells"
+    ).count() == 360
+
+
+def test_maintenance_errors(spark, tmp_path):
+    with pytest.raises(FileNotFoundError, match="no committed IVF index"):
+        current_ivf_index_path(spark, str(tmp_path / "nope"))
+    with pytest.raises(FileNotFoundError, match="no committed IVF index"):
+        read_ivf_centroids(spark, str(tmp_path / "nope"))

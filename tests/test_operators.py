@@ -222,12 +222,59 @@ def test_decode_png_unsupported_variants_raise():
         multimodal._decode_rgb(bad)
 
 
+def test_decode_png_slow_filter_budget(spark):
+    """The Average/Paeth recurrence is the one pure-Python loop in PNG
+    decode; a wide wall-to-wall-Paeth image must (a) still decode
+    byte-exactly under the default 2 MB budget in bounded time, (b)
+    refuse with NotImplementedError when it exceeds a caller budget, and
+    (c) land in quarantine as error_kind='unsupported' (recoverable — a
+    codec library would decode it), not 'corrupt'."""
+    import time
+
+    import numpy as np
+
+    w, h = 160, 120  # 57,600 Paeth bytes — under the default budget
+    rng = np.random.default_rng(7)
+    pixels = [[tuple(int(v) for v in rng.integers(0, 256, 3))
+               for _ in range(w)] for _ in range(h)]
+    payload = _png(pixels, filters=[4] * h)
+
+    t0 = time.perf_counter()
+    fmt, rgb = multimodal._decode_rgb(payload)
+    elapsed = time.perf_counter() - t0
+    assert fmt == "png"
+    assert np.array_equal(rgb, np.array(pixels, dtype=np.uint8))
+    # ~0.3 µs/byte puts 57.6 kB of Paeth around 20 ms; 5 s is the loose
+    # "did not fall off a cliff" bound, not a throughput claim
+    assert elapsed < 5.0
+
+    # budget exceeded -> honest refusal naming the knob
+    with pytest.raises(NotImplementedError, match="byte budget"):
+        multimodal._decode_rgb(payload, slow_filter_budget=1000)
+    # budget disabled -> decodes regardless
+    fmt2, rgb2 = multimodal._decode_rgb(payload, slow_filter_budget=None)
+    assert np.array_equal(rgb2, rgb)
+    # None/Sub/Up rows never charge the budget
+    cheap = _png(pixels[:2], filters=[1, 2])
+    fmt3, _ = multimodal._decode_rgb(cheap, slow_filter_budget=1)
+    assert fmt3 == "png"
+
+    # quarantine routing: unsupported (budget), not corrupt
+    rows = multimodal.decode_image(
+        _blob_df(spark, payload), errors="quarantine", slow_filter_budget=1000
+    ).collect()
+    assert rows[0].error_kind == "unsupported"
+    assert "byte budget" in rows[0].error
+
+
 def test_decode_compressed_formats_still_stubbed(spark):
-    """JPEG needs a codec library (absent here) — the decoder raises
-    the honest NotImplementedError, surfaced through the Spark action."""
-    jpeg_magic = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    """GIF/WebP/... still need a codec library (absent here) — the
+    decoder raises the honest NotImplementedError, surfaced through the
+    Spark action. (Baseline JPEG really decodes since r9 — see
+    tests/test_jpeg.py; a truncated JPEG is now correctly 'corrupt'.)"""
+    gif_magic = b"GIF89a" + b"\x00" * 32
     with pytest.raises(Exception, match="PIL|compressed"):
-        multimodal.decode_image(_blob_df(spark, jpeg_magic)).collect()
+        multimodal.decode_image(_blob_df(spark, gif_magic)).collect()
 
 
 def test_fake_decode_shapes(spark):
@@ -326,7 +373,7 @@ def test_decode_quarantine_mode_yields_rows_not_task_failures(spark):
     pixels = [[(1, 2, 3), (4, 5, 6)]]
     good_png = _png(pixels)
     blobs = spark.createDataFrame(
-        [(1, bytearray(good_png)), (2, bytearray(b"\xff\xd8\xff" + b"\x00" * 8)),
+        [(1, bytearray(good_png)), (2, bytearray(b"GIF89a" + b"\x00" * 8)),
          (3, None), (4, bytearray(_bmp24(pixels)))],
         "doc_id long, payload binary",
     )
@@ -338,7 +385,7 @@ def test_decode_quarantine_mode_yields_rows_not_task_failures(spark):
     assert rows[3].format is None and "empty/NULL" in rows[3].error
     assert rows[2].width is None and rows[2].mean_r is None
     # error_kind routes the two failure populations without message
-    # parsing: JPEG (a codec library would decode it) is 'unsupported';
+    # parsing: GIF (a codec library would decode it) is 'unsupported';
     # a NULL blob is 'corrupt' data; successes carry NULL.
     assert rows[2].error_kind == "unsupported"
     assert rows[3].error_kind == "corrupt"

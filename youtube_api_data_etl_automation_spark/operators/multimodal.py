@@ -13,10 +13,11 @@ Design (per the 100 TB posture):
 
 No codec libraries are installed in this environment, so the decoders are
 split honestly: ``decode_image`` REALLY decodes the formats that need no
-codec library (24-bit BMP, binary P6 PPM, and — r7 — non-interlaced 8-bit
-PNG via stdlib zlib + scanline unfilter), ``decode_audio`` really decodes
+codec library (24-bit BMP, binary P6 PPM, non-interlaced 8-bit PNG via
+stdlib zlib + scanline unfilter, and — r9 — baseline Huffman JPEG via
+operators/jpeg.py), ``decode_audio`` really decodes
 RIFF/WAVE PCM (8- and 16-bit), and every remaining compressed format
-(JPEG/MP3/AAC/...) raises an explicit NotImplementedError from inside
+(progressive JPEG/GIF/WebP/MP3/AAC/...) raises an explicit NotImplementedError from inside
 the same mapInPandas shape — or becomes a quarantine ROW under
 ``errors='quarantine'``. ``fake_decode_features`` remains the
 deterministic stand-in for pipeline tests that don't care about pixels.
@@ -143,7 +144,22 @@ DECODE_SCHEMA = (
 )
 
 
-def _png_unfilter(raw: bytes, h: int, w: int, ch: int):
+# Cumulative per-image budget of Average/Paeth-filtered bytes (the two
+# filters whose reconstruction is an inherent byte recurrence and runs a
+# plain-Python loop at ~0.3 µs/byte). 2 MB ≈ 0.7 s worst-case Python per
+# image inside the Arrow batch — bounded enough for bulk thumbnail/tile
+# corpora, and any hi-res Paeth-heavy image beyond it raises
+# NotImplementedError (error_kind='unsupported' under errors='quarantine',
+# so the refusal is recoverable row-level data, never a hung executor).
+# Pass slow_filter_budget=None to decode_image for unlimited (correctness
+# over latency), or a smaller budget for stricter per-image latency SLOs.
+# At 100 TB, route hi-res imagery through a codec library on the executors
+# and keep this stdlib path for environments without one.
+PNG_SLOW_FILTER_BYTE_BUDGET = 2_000_000
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, ch: int,
+                  slow_filter_budget: int | None = PNG_SLOW_FILTER_BYTE_BUDGET):
     """Reverse PNG scanline filtering (spec §9: None/Sub/Up/Average/Paeth)
     over the zlib-decompressed byte stream — the only part of PNG decode
     that needs per-pixel recurrence (each byte's predictor references the
@@ -151,14 +167,16 @@ def _png_unfilter(raw: bytes, h: int, w: int, ch: int):
     ops; Sub rows vectorize exactly as a per-channel-lane prefix sum mod
     256 (uint8 cumsum wraps, which IS the spec's mod-256); Average/Paeth
     are true recurrences (rec[x] needs rec[x-ch]) and run a plain-Python
-    byte loop over list ints — no per-byte numpy scalar extraction.
+    byte loop over list ints, capped by ``slow_filter_budget`` (see
+    PNG_SLOW_FILTER_BYTE_BUDGET above).
 
-    Perf note: Average/Paeth therefore cost O(width*channels) Python-int
-    ops per row (~0.3 µs/byte). A 4k RGBA image that is wall-to-wall
-    Paeth rows is ~50 ms of Python per image inside the Arrow batch — fine
-    for thumbnails/tiles, a real cliff for bulk hi-res decode. At 100 TB,
-    route hi-res imagery through a codec library on the executors and keep
-    this stdlib path for environments without one."""
+    Why no numpy recurrence: the mod-256 + floor/branch nonlinearity
+    kills every exact vectorization. A per-pixel numpy loop over
+    ch-length lanes trades ~0.3 µs/byte of Python ints for ~15 µs/pixel
+    of numpy call overhead (measured slower for ch≤4); the speculative
+    256-carry parallel-scan pays a flat 256× element blow-up (w·ch·256
+    lane-steps regardless of chunking), also slower. The loop below IS
+    the fast exact pure-Python path — the budget bounds it instead."""
     import numpy as np
 
     stride = w * ch
@@ -170,6 +188,7 @@ def _png_unfilter(raw: bytes, h: int, w: int, ch: int):
     out = np.empty((h, stride), dtype=np.uint8)
     zero_row = np.zeros(stride, dtype=np.uint8)
     pos = 0
+    slow_bytes = 0
     for y in range(h):
         ft = raw[pos]
         pos += 1
@@ -185,18 +204,34 @@ def _png_unfilter(raw: bytes, h: int, w: int, ch: int):
                 line.reshape(w, ch), axis=0, dtype=np.uint8
             ).reshape(stride)
         elif ft in (3, 4):  # Average / Paeth — inherent byte recurrence
+            slow_bytes += stride
+            if slow_filter_budget is not None and \
+                    slow_bytes > slow_filter_budget:
+                raise NotImplementedError(
+                    f"PNG exceeds the Average/Paeth byte budget "
+                    f"({slow_bytes} > {slow_filter_budget}): hi-res "
+                    "slow-filter images need a codec library; raise "
+                    "slow_filter_budget (or pass None) to force the "
+                    "pure-Python path"
+                )
             lv = line.tolist()
             pv = prior.tolist()
             rec = [0] * stride
             if ft == 3:
-                for x in range(stride):
-                    a = rec[x - ch] if x >= ch else 0
-                    rec[x] = (lv[x] + ((a + pv[x]) >> 1)) & 0xFF
+                # first pixel: a = 0 → pred = pv>>1 (loop below then
+                # never branches on x >= ch)
+                for x in range(ch):
+                    rec[x] = (lv[x] + (pv[x] >> 1)) & 0xFF
+                for x in range(ch, stride):
+                    rec[x] = (lv[x] + ((rec[x - ch] + pv[x]) >> 1)) & 0xFF
             else:
-                for x in range(stride):
-                    a = rec[x - ch] if x >= ch else 0
+                # first pixel: a = c = 0 → Paeth predictor reduces to b
+                for x in range(ch):
+                    rec[x] = (lv[x] + pv[x]) & 0xFF
+                for x in range(ch, stride):
+                    a = rec[x - ch]
                     b = pv[x]
-                    c = pv[x - ch] if x >= ch else 0
+                    c = pv[x - ch]
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -207,7 +242,8 @@ def _png_unfilter(raw: bytes, h: int, w: int, ch: int):
     return out
 
 
-def _decode_png(payload: bytes):
+def _decode_png(payload: bytes,
+                slow_filter_budget: int | None = PNG_SLOW_FILTER_BYTE_BUDGET):
     """Pure-stdlib PNG decode (zlib inflate + scanline unfilter) for the
     subset a codec-free decoder can honestly do: non-interlaced 8-bit
     greyscale (0), truecolor RGB (2), and RGBA (6). Palette, 16-bit, and
@@ -261,7 +297,9 @@ def _decode_png(payload: bytes):
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ValueError(f"malformed PNG: IDAT inflate failed ({e})") from None
-    px = _png_unfilter(raw, h, w, channels).reshape(h, w, channels)
+    px = _png_unfilter(
+        raw, h, w, channels, slow_filter_budget=slow_filter_budget
+    ).reshape(h, w, channels)
     if color == 0:
         px = np.repeat(px, 3, axis=2)
     elif color == 6:
@@ -269,7 +307,8 @@ def _decode_png(payload: bytes):
     return px
 
 
-def _decode_rgb(payload: bytes):
+def _decode_rgb(payload: bytes,
+                slow_filter_budget: int | None = PNG_SLOW_FILTER_BYTE_BUDGET):
     """Decode one image payload to (format, HxWx3 RGB array).
 
     Pure stdlib+numpy decoders for the formats that need no codec
@@ -279,8 +318,12 @@ def _decode_rgb(payload: bytes):
     - PPM: binary P6, maxval ≤ 255, '#' header comments.
     - PNG (r7): non-interlaced 8-bit greyscale/RGB/RGBA via stdlib zlib +
       spec scanline unfilter — the format a web corpus actually contains.
+    - JPEG (r9): baseline/extended-sequential Huffman via
+      operators/jpeg.py (T.81 marker parse, canonical Huffman entropy
+      decode, float64 IDCT, chroma upsampling, BT.601) — the DOMINANT
+      web-corpus format, previously 100% quarantine.
 
-    JPEG / palette / interlaced / 16-bit images still raise
+    Progressive JPEG / palette / interlaced / 16-bit images still raise
     NotImplementedError — those need a real codec library, absent in
     this environment."""
     import struct
@@ -332,7 +375,13 @@ def _decode_rgb(payload: bytes):
         ).reshape(h, w, 3)
         return "ppm", rgb
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        return "png", _decode_png(payload)
+        return "png", _decode_png(
+            payload, slow_filter_budget=slow_filter_budget
+        )
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_baseline_jpeg
+
+        return "jpeg", decode_baseline_jpeg(payload)
     raise NotImplementedError(
         "compressed/unknown image format (magic "
         f"{payload[:2]!r}) requires PIL/opencv, not available in this "
@@ -361,13 +410,17 @@ def _check_errors_mode(errors: str) -> bool:
     return errors == "quarantine"
 
 
-def decode_image(blobs: DataFrame, errors: str = "raise") -> DataFrame:
+def decode_image(
+    blobs: DataFrame,
+    errors: str = "raise",
+    slow_filter_budget: int | None = PNG_SLOW_FILTER_BYTE_BUDGET,
+) -> DataFrame:
     """REAL image decode for codec-free formats (24-bit BMP, binary P6
     PPM, and — r7 — non-interlaced 8-bit greyscale/RGB/RGBA PNG via
     stdlib zlib + scanline unfilter) — struct parsing + numpy pixel math
     inside the same Arrow-batched mapInPandas shape as every other
     payload op. Output row per image: format, dimensions, per-channel
-    means (exact doubles). JPEG and exotic PNG variants still raise
+    means (exact doubles). Progressive JPEG and exotic PNG variants still raise
     NotImplementedError from the decoder (honest stub: a codec library
     is required and absent here).
 
@@ -380,7 +433,8 @@ def decode_image(blobs: DataFrame, errors: str = "raise") -> DataFrame:
     operators/quarantine.py, attributed by the decoder's own message —
     plus an ``error_kind`` column ('unsupported' vs 'corrupt', see
     :func:`_error_kind`) so the two failure populations route differently
-    (JPEG, the dominant web-corpus case, is 'unsupported', not broken)."""
+    (progressive JPEG and GIF are 'unsupported', not broken; baseline
+    JPEG — the dominant web-corpus case — really decodes since r9)."""
     quarantine = _check_errors_mode(errors)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -390,7 +444,8 @@ def decode_image(blobs: DataFrame, errors: str = "raise") -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
                     fmt, rgb = _decode_rgb(
-                        bytes(payload) if payload is not None else b""
+                        bytes(payload) if payload is not None else b"",
+                        slow_filter_budget=slow_filter_budget,
                     )
                 except (ValueError, NotImplementedError) as e:
                     if not quarantine:

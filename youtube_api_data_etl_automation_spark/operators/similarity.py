@@ -421,3 +421,172 @@ def ivf_topk_from_index(spark, path: str, queries: DataFrame,
         )
     )
     return _rank_topk(scored, top_k)
+
+
+# ---------------------------------------------------------------------------
+# IVF index maintenance: versioned commits, cell-size health, rebalance
+# ---------------------------------------------------------------------------
+#
+# An at-rest IVF index degrades silently: appends under FIXED centroids
+# (write_ivf_index mode="append") keep working, but as the corpus drifts the
+# cell sizes leave the k ∝ N band that makes probe cost ~nprobe/k of the
+# data (SCALE.md's rule — the same one that fixed semantic_neardup's
+# super-linear term). These operators close the loop: commit the partitioned
+# layout through the versioned-sink CAS (operators/versioned.py) so readers
+# are never mid-rewrite, report cell-size skew from partition metadata, and
+# retrain/rewrite when the report flags.
+
+
+def write_ivf_index_versioned(corpus: DataFrame, centroids: DataFrame,
+                              base_path: str, *, id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              keep_versions: int = 2) -> int:
+    """:func:`write_ivf_index`'s layout published as a committed version
+    under ``base_path`` (CAS commit marker, crash-safe, old version
+    retained for in-flight readers — the operators/versioned.py
+    contract). The version dir IS a plain partitioned index dir, so
+    :func:`ivf_topk_from_index` works on
+    :func:`current_ivf_index_path` unchanged. Centroids are stored next
+    to the cells (``_centroids`` subdir) — an index whose grid travels
+    with it can always be probed, appended to, and health-checked
+    without a side channel."""
+    from .versioned import ConcurrentWriteError  # noqa: F401 (re-raise doc)
+    from .versioned import (
+        _gc_versions,
+        _publish_version,
+        _staging_path,
+        current_version,
+    )
+
+    spark = corpus.sparkSession
+    new_v = (current_version(spark, base_path) or 0) + 1
+    staging = _staging_path(base_path)
+    assigned = assign_clusters(corpus, centroids, id_col, vec_col)
+    (
+        assigned.select(id_col, vec_col, "cluster_id")
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(f"{staging}/cells")
+    )
+    (
+        centroids.select(
+            F.col(id_col).alias("cluster_id"), F.col(vec_col).alias("cv")
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{staging}/_centroids")
+    )
+    _publish_version(spark, base_path, new_v, staging)
+    _gc_versions(spark, base_path, new_v, keep_versions)
+    return new_v
+
+
+def current_ivf_index_path(spark, base_path: str) -> str:
+    """Cell-dir path of the current committed index version (feed to
+    :func:`ivf_topk_from_index` / :func:`ivf_cell_report`)."""
+    from .versioned import current_version, version_path
+
+    v = current_version(spark, base_path)
+    if v is None:
+        raise FileNotFoundError(f"no committed IVF index under {base_path}")
+    return version_path(base_path, v) + "/cells"
+
+
+def read_ivf_centroids(spark, base_path: str, *, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """The committed index's own centroid grid, shaped like every other
+    centroid relation ((id, vector) — assign/probe rename internally)."""
+    from .versioned import current_version, version_path
+
+    v = current_version(spark, base_path)
+    if v is None:
+        raise FileNotFoundError(f"no committed IVF index under {base_path}")
+    cent = spark.read.parquet(version_path(base_path, v) + "/_centroids")
+    return cent.select(
+        F.col("cluster_id").alias(id_col), F.col("cv").alias(vec_col)
+    )
+
+
+def ivf_cell_report(spark, path: str, *, target_cell_size: int | None = None,
+                    band: tuple[float, float] = (0.5, 2.0)) -> DataFrame:
+    """Cell-size health of an at-rest IVF index: one row per cell with
+    its vector count and its ratio to the target, flagged when outside
+    ``band`` (default: anything below half or above twice target). The
+    scan projects ONLY the partition column, so the job reads parquet
+    row counts/partition values — metadata-weight, never vectors; the
+    report relation itself is ≤k rows (control plane).
+
+    ``target_cell_size`` defaults to the observed mean (pure skew
+    check); pass the SCALE.md-chosen design size to also catch uniform
+    over-fill from appends (every cell 3× target flags, even though
+    skew alone would look healthy)."""
+    counts = (
+        spark.read.parquet(path)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+    if target_cell_size is None:
+        target = counts.agg(
+            (F.sum("n_vecs") / F.count(F.lit(1))).alias("t")
+        ).collect()[0]["t"]
+    else:
+        target = float(target_cell_size)
+    lo, hi = float(band[0]) * target, float(band[1]) * target
+    return counts.select(
+        F.col("cluster_id").cast("int"),
+        F.col("n_vecs").cast("long"),
+        F.lit(round(target, 6)).alias("target_cell_size"),
+        round6(F.col("n_vecs") / F.lit(target)).alias("ratio"),
+        ((F.col("n_vecs") < F.lit(lo)) | (F.col("n_vecs") > F.lit(hi)))
+        .alias("flagged"),
+    )
+
+
+def rebalance_ivf_index(spark, base_path: str, *, target_cell_size: int,
+                        n_iter: int = 3, keep_versions: int = 2,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> dict:
+    """Retrain the grid to the design cell size and rewrite the index as
+    a NEW committed version (readers on the old version are undisturbed;
+    the content — the vector set — is unchanged, only the cell layout
+    moves, so a full probe returns identical neighbors pre/post).
+
+    k is re-derived from the data: ``ceil(n_vectors / target_cell_size)``
+    — the k ∝ N rule applied at maintenance time instead of frozen at
+    first build. Init centroids are the k lowest-id vectors
+    (deterministic, content-stable; TakeOrdered of k rows), refined with
+    ``n_iter`` Lloyd iterations (operators/clustering.py — decimal-exact,
+    bounded driver state of k·dim). Returns ``{"version", "k",
+    "n_vectors"}``."""
+    import math
+
+    from .clustering import kmeans_lloyd
+
+    corpus = spark.read.parquet(
+        current_ivf_index_path(spark, base_path)
+    ).select(id_col, vec_col)
+    n = corpus.count()
+    if n == 0:
+        raise ValueError(f"IVF index under {base_path} is empty")
+    k = max(1, math.ceil(n / target_cell_size))
+    init = (
+        corpus.orderBy(id_col).limit(k)
+        .select(
+            (F.row_number().over(
+                Window.orderBy(id_col)
+            ) - 1).alias("cluster_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+    )
+    _, cent_df = kmeans_lloyd(
+        spark, corpus, init, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+        return_centroids=True,
+    )
+    centroids = cent_df.select(
+        F.col("cluster_id").alias(id_col), F.col("cv").alias(vec_col)
+    )
+    v = write_ivf_index_versioned(
+        corpus, centroids, base_path, id_col=id_col, vec_col=vec_col,
+        keep_versions=keep_versions,
+    )
+    return {"version": v, "k": k, "n_vectors": n}
