@@ -507,6 +507,32 @@ def read_ivf_centroids(spark, base_path: str, *, id_col: str = "vec_id",
     )
 
 
+def cell_report_from_counts(
+    counts: DataFrame, *, target_cell_size: int | None = None,
+    band: tuple[float, float] = (0.5, 2.0),
+) -> DataFrame:
+    """Band/flag logic of :func:`ivf_cell_report` over an already-built
+    per-cell ``(cluster_id, n_vecs)`` relation — shared by the at-rest
+    path and any in-memory assignment (the oracle-checked
+    `ivf_ann_topk` `cells` section drives this form). ≤k rows; the one
+    collect is the 1-row observed-mean target (control plane)."""
+    if target_cell_size is None:
+        target = counts.agg(
+            (F.sum("n_vecs") / F.count(F.lit(1))).alias("t")
+        ).collect()[0]["t"]
+    else:
+        target = float(target_cell_size)
+    lo, hi = float(band[0]) * target, float(band[1]) * target
+    return counts.select(
+        F.col("cluster_id").cast("int"),
+        F.col("n_vecs").cast("long"),
+        F.lit(round(target, 6)).alias("target_cell_size"),
+        round6(F.col("n_vecs") / F.lit(target)).alias("ratio"),
+        ((F.col("n_vecs") < F.lit(lo)) | (F.col("n_vecs") > F.lit(hi)))
+        .alias("flagged"),
+    )
+
+
 def ivf_cell_report(spark, path: str, *, target_cell_size: int | None = None,
                     band: tuple[float, float] = (0.5, 2.0)) -> DataFrame:
     """Cell-size health of an at-rest IVF index: one row per cell with
@@ -525,20 +551,8 @@ def ivf_cell_report(spark, path: str, *, target_cell_size: int | None = None,
         .groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("n_vecs"))
     )
-    if target_cell_size is None:
-        target = counts.agg(
-            (F.sum("n_vecs") / F.count(F.lit(1))).alias("t")
-        ).collect()[0]["t"]
-    else:
-        target = float(target_cell_size)
-    lo, hi = float(band[0]) * target, float(band[1]) * target
-    return counts.select(
-        F.col("cluster_id").cast("int"),
-        F.col("n_vecs").cast("long"),
-        F.lit(round(target, 6)).alias("target_cell_size"),
-        round6(F.col("n_vecs") / F.lit(target)).alias("ratio"),
-        ((F.col("n_vecs") < F.lit(lo)) | (F.col("n_vecs") > F.lit(hi)))
-        .alias("flagged"),
+    return cell_report_from_counts(
+        counts, target_cell_size=target_cell_size, band=band
     )
 
 
