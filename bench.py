@@ -114,6 +114,7 @@ SECTIONS: dict[str, tuple[str, list[str]]] = {
     "jaccard_pairs_methods": ("method", ["minhash_lsh", "ngram_exact"]),
     "ann_topk_methods": ("method", ["exact", "sign_lsh", "pq_adc"]),
     "semantic_neardup": ("section", ["pair", "summary"]),
+    "ivf_ann_topk": ("section", ["topk", "cells"]),
     "sessionize_methods": ("method", ["window", "stateful", "session_window"]),
     "term_stats_tfidf_pmi": ("section", ["tfidf", "pmi", "vocab"]),
     "decontam_ngram_hits": ("section", ["exact", "bloom"]),

@@ -189,3 +189,198 @@ def retention_cohorts(
             "retention"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental funnel / retention state (r9): the event sinks these
+# operators target are STREAMS; recomputing the full funnel over all
+# history per micro-batch is O(history) per batch. These folds maintain
+# the same outputs at O(delta + |touched users|) per batch, committed
+# through the versioned-sink CAS (operators/versioned.py) with
+# applied-batch markers — the exactly-once contract
+# incremental_agg_versioned established, applied to behavioral state.
+# streaming/funnel.py rides them under foreachBatch.
+# ---------------------------------------------------------------------------
+
+
+def fold_funnel_state(
+    old_state: DataFrame | None,
+    batch_events: DataFrame,
+    steps: Sequence[str],
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Fold one batch of events into the per-user funnel state — the
+    same ``(user, t_1..t_k)`` relation :func:`funnel_users` computes,
+    maintained incrementally.
+
+    Construction: run the batch through the :func:`funnel_users` join
+    chain SEEDED by the committed state — at each step,
+    ``new_t_j = least(state_t_j, min(batch step-j events > new_t_{j-1}))``.
+    The state's own ``t_j`` never needs re-qualifying: completion times
+    are strictly increasing within a row and new times only move EARLIER
+    (``new_t_{j-1} <= old_t_{j-1} < old_t_j``), so the committed time
+    always remains a valid candidate. Untouched users ride through via
+    an anti-join union — no per-batch rewrite of their rows' values.
+
+    Exactness contract (the stateful-streaming trade, stated instead of
+    hidden): within a batch, any event order is exact (the join chain
+    sees the whole batch). ACROSS batches the fold is exact as long as a
+    later batch never delivers a user's step-j event EARLIER than one of
+    that user's already-discarded later-step events — the discarded
+    event times are gone, exactly like late data beyond a Structured
+    Streaming watermark. Event-time-ordered (or per-user monotone)
+    delivery satisfies this; with heavily out-of-order history, replay
+    the sink through :func:`funnel_users` instead. ``retention`` state
+    (:func:`fold_retention_state`) has NO such caveat — min/distinct are
+    order-free.
+
+    ``within_sec`` is intentionally absent: a windowed funnel bound
+    references t_1, and t_1 moving earlier on a later batch can
+    invalidate previously-admitted steps — that variant does not fold
+    exactly and would need the silent-wrongness this module refuses."""
+    if len(steps) < 1:
+        raise ValueError("need at least one funnel step")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct, got {steps}")
+    tcols = [f"t_{k}" for k in range(1, len(steps) + 1)]
+    ev = batch_events.select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("__t"),
+        F.col(ts_col).alias("__ts"),
+    ).filter(F.col("__t").isin(list(steps)))
+
+    # prior state restricted to users the batch touches — the fold's
+    # per-batch work is O(delta + |touched users|); everyone else rides
+    # through the anti-join union below untouched
+    if old_state is not None:
+        prior = old_state.select(
+            F.col(user_col).alias("__u"),
+            *[F.col(c).alias(f"__s{k}") for k, c in enumerate(tcols, 1)],
+        ).join(ev.select("__u").distinct(), "__u")
+    else:
+        prior = None
+
+    cur = (
+        ev.filter(F.col("__t") == steps[0])
+        .groupBy("__u")
+        .agg(F.min("__ts").alias("__b1"))
+    )
+    if prior is not None:
+        cur = cur.join(prior, "__u", "full").select(
+            "__u",
+            F.least("__s1", "__b1").alias("t_1"),
+            *[F.col(f"__s{k}") for k in range(2, len(steps) + 1)],
+        )
+    else:
+        cur = cur.select(
+            "__u", F.col("__b1").alias("t_1"),
+            *[F.lit(None).cast("timestamp").alias(f"__s{k}")
+              for k in range(2, len(steps) + 1)],
+        )
+    for k, s in enumerate(steps[1:], start=2):
+        batch_k = (
+            ev.filter(F.col("__t") == s)
+            .join(cur.select("__u", f"t_{k - 1}"), "__u")
+            .filter(F.col("__ts") > F.col(f"t_{k - 1}"))
+            .groupBy("__u")
+            .agg(F.min("__ts").alias("__bk"))
+        )
+        carried = [f"t_{j}" for j in range(1, k)]
+        later = [f"__s{j}" for j in range(k + 1, len(steps) + 1)]
+        cur = cur.join(batch_k, "__u", "left").select(
+            "__u",
+            *carried,
+            F.least(F.col(f"__s{k}"), F.col("__bk")).alias(f"t_{k}"),
+            *later,
+        )
+    folded = cur.select(F.col("__u").alias(user_col), *tcols)
+    if old_state is None:
+        return folded
+    untouched = old_state.join(
+        folded.select(F.col(user_col)), user_col, "left_anti"
+    )
+    return folded.unionByName(untouched)
+
+
+def funnel_from_state(state: DataFrame, steps: Sequence[str]) -> DataFrame:
+    """:func:`funnel`'s step rollup off a committed funnel state — zero
+    event rescans (one aggregate over the |users|-row state)."""
+    counts = state.agg(
+        *[
+            F.count(F.col(f"t_{k}")).cast("long").alias(f"n_{k}")
+            for k in range(1, len(steps) + 1)
+        ]
+    )
+    rows = [
+        F.struct(
+            F.lit(k).cast("int").alias("step"),
+            F.lit(s).alias("event_type"),
+            F.col(f"n_{k}").alias("n_users"),
+            F.when(
+                F.col("n_1") > 0,
+                round6(F.col(f"n_{k}").cast("double") / F.col("n_1")),
+            ).alias("conversion"),
+        )
+        for k, s in enumerate(steps, start=1)
+    ]
+    return counts.select(F.inline(F.array(*rows)))
+
+
+def fold_retention_state(
+    old_state: DataFrame | None,
+    batch_events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Fold one batch into the retention state: the distinct
+    ``(user, day)`` activity relation — exactly the intermediate
+    :func:`retention_cohorts` builds, maintained as state. min/distinct
+    are order- and replay-free, so unlike the funnel fold this is exact
+    under ARBITRARY batch arrival order. State size is |users × active
+    days| — the same relation a from-scratch recompute shuffles every
+    night, paid once here."""
+    act = (
+        batch_events.select(
+            F.col(user_col).alias("user_id"),
+            F.to_date(F.col(ts_col)).alias("day"),
+        ).distinct()
+    )
+    if old_state is None:
+        return act
+    return old_state.unionByName(act).distinct()
+
+
+def retention_from_state(
+    state: DataFrame, *, max_offset_days: int | None = None
+) -> DataFrame:
+    """:func:`retention_cohorts`' matrix off a committed activity state
+    — zero event rescans; bit-identical to the batch operator over the
+    same events (both reduce through the identical distinct
+    (user, day) relation)."""
+    first = state.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    j = state.join(first, "user_id").select(
+        "user_id",
+        "cohort_day",
+        F.datediff(F.col("day"), F.col("cohort_day")).alias("offset_days"),
+    )
+    if max_offset_days is not None:
+        j = j.filter(F.col("offset_days") <= int(max_offset_days))
+    cells = j.groupBy("cohort_day", "offset_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active")
+    )
+    sizes = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    return cells.join(F.broadcast(sizes), "cohort_day").select(
+        "cohort_day",
+        F.col("offset_days").cast("int").alias("offset_days"),
+        "n_active",
+        "cohort_size",
+        round6(F.col("n_active").cast("double") / F.col("cohort_size")).alias(
+            "retention"
+        ),
+    )

@@ -970,3 +970,47 @@ def read_topk_state(spark: SparkSession, base_path: str) -> DataFrame:
             "to incremental_profile_versioned to start tracking skew"
         )
     return spark.read.parquet(path)
+
+
+def incremental_state_versioned(
+    delta: DataFrame,
+    base_path: str,
+    batch_id: str,
+    fold_fn,
+    keep_versions: int = 2,
+) -> DataFrame:
+    """Generic exactly-once state fold (r9): the
+    :func:`incremental_agg_versioned` protocol — state AND the
+    applied-batch-id set committed under ONE atomic ``_COMMITTED``
+    marker, replayed batch ids fold nothing — with the FOLD ITSELF
+    supplied by the caller: ``fold_fn(old_state_or_None, delta) ->
+    new_state DataFrame``. This is what the behavioral state folds
+    (operators/funnel.py::fold_funnel_state / fold_retention_state) and
+    any future algebraic state ride instead of re-implementing the
+    commit dance. ``fold_fn`` must be deterministic and full-state (its
+    return REPLACES the state); read back via :func:`read_agg_state`."""
+    spark = delta.sparkSession
+    cur = current_version(spark, base_path)
+    old_state = old_applied = None
+    if cur is not None:
+        vdir = version_path(base_path, cur)
+        old_state = spark.read.parquet(f"{vdir}/{_STATE_SUB}")
+        old_applied = spark.read.parquet(f"{vdir}/{_APPLIED_SUB}")
+        if (
+            old_applied.filter(F.col("batch_id") == batch_id).limit(1).count()
+            > 0
+        ):
+            return old_state
+
+    new_state = fold_fn(old_state, delta)
+    new_applied = spark.createDataFrame([(batch_id,)], "batch_id string")
+    if old_applied is not None:
+        new_applied = old_applied.unionByName(new_applied)
+
+    new_v = (cur or 0) + 1
+    staging = _staging_path(base_path)
+    new_state.write.mode("overwrite").parquet(f"{staging}/{_STATE_SUB}")
+    new_applied.write.mode("overwrite").parquet(f"{staging}/{_APPLIED_SUB}")
+    _publish_version(spark, base_path, new_v, staging)
+    _gc_versions(spark, base_path, new_v, keep_versions)
+    return read_agg_state(spark, base_path)

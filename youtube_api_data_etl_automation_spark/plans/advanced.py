@@ -457,19 +457,58 @@ _IVF_COS = (
                                      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank,
              cosine
       FROM scored
+    ),
+    cellcounts AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM assigned GROUP BY 1
+    ),
+    celltarget AS (
+      SELECT CAST(SUM(n) AS DOUBLE) / COUNT(*) AS t FROM cellcounts
     )
-    SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 3
+    SELECT 'topk' AS section, query_id, neighbor_id, rank, cosine
+    FROM ranked WHERE rank <= 3
+    UNION ALL
+    SELECT 'cells', cluster_id, n,
+           CASE WHEN n < 0.5 * t OR n > 2.0 * t THEN 1 ELSE 0 END,
+           {sql_round6('CAST(n AS DOUBLE) / t')}
+    FROM cellcounts, celltarget
     """,
 )
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with deterministic 'trained' centroids (vectors 10–17 stand in
     for k-means output so the oracle can reproduce the index): map-side
     cluster assignment (centroids broadcast), then probe only the query's
-    cell — candidate count ~N/8 per query instead of N."""
+    cell — candidate count ~N/8 per query instead of N.
+
+    `cells` section (r9, operators/similarity.py::cell_report_from_counts
+    — the band/flag core of the IVF maintenance loop's ivf_cell_report):
+    per-cell vector counts off the SAME assignment, with observed-mean
+    target, round6 size ratio, and the (0.5, 2.0) band flag (1/0 in the
+    rank slot) — the skew verdict that triggers rebalance_ivf_index. The
+    at-rest half (partition-metadata-only scan, versioned rewrite, probe
+    identity) is pinned in tests/test_ivf_maintenance.py."""
+    from ..operators.similarity import assign_clusters, cell_report_from_counts
+
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     centroids = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") <= 17))
     queries = emb.filter(F.col("vec_id") < 5)
-    return ivf_topk(emb, queries, centroids, top_k=3)
+    topk = ivf_topk(emb, queries, centroids, top_k=3).select(
+        F.lit("topk").alias("section"), "query_id", "neighbor_id",
+        "rank", "cosine",
+    )
+    counts = (
+        assign_clusters(emb.select("vec_id", "embedding"), centroids)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+    cells = cell_report_from_counts(counts).select(
+        F.lit("cells").alias("section"),
+        F.col("cluster_id").cast("long").alias("query_id"),
+        F.col("n_vecs").alias("neighbor_id"),
+        F.when(F.col("flagged"), 1).otherwise(0).cast("int").alias("rank"),
+        F.col("ratio").alias("cosine"),
+    )
+    return topk.unionByName(cells)
 
 
 # Regex/"BPE-ish" token counting lives in text_stats_docs (plans/
@@ -687,6 +726,21 @@ _TRAIL_US = _TRAIL_DAYS * 86_400 * 1_000_000
            {sql_round6('CAST(n_active AS DOUBLE) / cohort_size')},
            CAST(NULL AS DOUBLE)
     FROM rcells JOIN rsizes USING (cohort_day)
+    UNION ALL
+    -- funnel_state: the r9 incremental fold (two time-split batches
+    -- folded through fold_funnel_state) must equal the batch funnel —
+    -- the oracle is literally the batch funnel rollup, re-tagged
+    SELECT 'funnel_state', CAST(NULL AS BIGINT), CAST(step AS BIGINT),
+           CAST(NULL AS BIGINT), n, CAST(NULL AS BIGINT),
+           CASE WHEN c1 > 0
+                THEN {sql_round6('CAST(n AS DOUBLE) / c1')}
+                END,
+           CAST(NULL AS DOUBLE)
+    FROM (
+      SELECT 1 AS step, CAST(c1 AS BIGINT) AS n, c1 FROM fc
+      UNION ALL SELECT 2, CAST(c2 AS BIGINT), c1 FROM fc
+      UNION ALL SELECT 3, CAST(c3 AS BIGINT), c1 FROM fc
+    )
     """,
 )
 def events_time_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -712,7 +766,13 @@ def events_time_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     (late r8, operators/funnel.py::retention_cohorts): the cohort
     retention matrix — users cohorted by first active day, one cell per
     (cohort_day, offset_days) with distinct-active counts and rates;
-    the per-(user, day) distinct is the only user-keyed shuffle."""
+    the per-(user, day) distinct is the only user-keyed shuffle.
+    `funnel_state` (r9, operators/funnel.py::fold_funnel_state): the
+    incremental funnel fold over a midpoint time-split of the same
+    events, rolled up via funnel_from_state — the oracle is the batch
+    funnel re-tagged, so the fold's exactness (not just plausibility)
+    is value-hashed every round; the streaming drain over the same fold
+    is pinned in tests/test_funnel_stream.py."""
     from ..operators.funnel import funnel, retention_cohorts
     from ..operators.timeseries import trailing_window
 
@@ -783,7 +843,40 @@ def events_time_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("retention").alias("v1"),
         F.lit(None).cast("double").alias("v2"),
     )
-    return trail.unionByName(gap).unionByName(fun).unionByName(ret)
+    # funnel_state (r9): the incremental fold over a TIME-SPLIT of the
+    # same events (batch 1 = everything up to the midpoint instant,
+    # batch 2 = the rest — a global time split satisfies the fold's
+    # per-user-monotone delivery contract by construction) must equal
+    # the batch funnel; the midpoint is a 1-row bounded collect
+    # (control plane), the fold is fold_funnel_state's join chain twice.
+    from ..operators.funnel import fold_funnel_state, funnel_from_state
+
+    steps = ["signup", "click", "purchase"]
+    b = events.agg(
+        ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2)
+        .cast("long").alias("mid")
+    ).collect()[0]
+    mid = int(b["mid"])
+    state = fold_funnel_state(
+        None, events.filter(F.unix_micros("ts") <= mid), steps
+    )
+    state = fold_funnel_state(
+        state, events.filter(F.unix_micros("ts") > mid), steps
+    )
+    fun_state = funnel_from_state(state, steps).select(
+        F.lit("funnel_state").alias("section"),
+        F.lit(None).cast("long").alias("t_us"),
+        F.col("step").cast("long").alias("event_id"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.col("n_users").alias("n1"),
+        F.lit(None).cast("long").alias("n2"),
+        F.col("conversion").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+    )
+    return (
+        trail.unionByName(gap).unionByName(fun).unionByName(ret)
+        .unionByName(fun_state)
+    )
 
 
 events_time_aggregates.__doc__ = events_time_aggregates.__doc__.format(
