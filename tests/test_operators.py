@@ -98,45 +98,97 @@ def test_decode_ppm_with_header_comment(spark):
 
 
 def _png(pixels, color_type=2, filters=None, interlace=0, depth=8,
-         split_idat=False):
-    """Build a byte-exact PNG: forward-filters each scanline with the
-    given per-row filter type (0..4) so the decoder's unfilter path is
-    exercised row by row; ``split_idat`` splits the compressed stream
-    across two IDAT chunks (spec-legal, must concatenate)."""
+         split_idat=False, palette=None, plte_override=None):
+    """Build a byte-exact PNG across the whole variant matrix: any legal
+    (color_type, depth) pair, optional PLTE, sub-byte bit packing,
+    16-bit samples (big-endian), Adam7 interlacing (per-pass forward
+    filtering), multi-IDAT splits. ``filters`` gives per-scanline filter
+    types, cycled per pass for interlaced images. Forward-filters with
+    the spec predictors so the decoder's unfilter path is exercised."""
     import struct
     import zlib
 
-    h, w = len(pixels), len(pixels[0])
-    ch = {0: 1, 2: 3, 6: 4}[color_type]
-    filters = filters if filters is not None else [0] * h
-    raw = bytearray()
-    prev = [0] * (w * ch)
-    for y, row in enumerate(pixels):
-        flat = [
-            c
-            for px in row
-            for c in (px if isinstance(px, (tuple, list)) else (px,))
+    import numpy as np
+
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    arr = np.array(
+        [[px if isinstance(px, (tuple, list)) else (px,) for px in row]
+         for row in pixels],
+        dtype=np.int64,
+    )
+    h, w = arr.shape[:2]
+    bpp_bits = depth * ch
+    bpp = max(1, bpp_bits // 8)
+
+    def stride_of(pw):
+        return (pw * bpp_bits + 7) // 8
+
+    def pack_row(vals):
+        """(pw, ch) sample values -> list of scanline bytes."""
+        flat = [int(v) for v in vals.reshape(-1)]
+        if depth == 8:
+            return [v & 0xFF for v in flat]
+        if depth == 16:
+            out = []
+            for v in flat:
+                out += [(v >> 8) & 0xFF, v & 0xFF]
+            return out
+        bits = []
+        for v in flat:
+            for i in range(depth - 1, -1, -1):
+                bits.append((v >> i) & 1)
+        while len(bits) % 8:
+            bits.append(0)
+        return [
+            int("".join(map(str, bits[i : i + 8])), 2)
+            for i in range(0, len(bits), 8)
         ]
-        ft = filters[y]
-        raw.append(ft)
-        for x in range(len(flat)):
-            a = flat[x - ch] if x >= ch else 0
-            b = prev[x]
-            c = prev[x - ch] if x >= ch else 0
-            if ft == 0:
-                pred = 0
-            elif ft == 1:
-                pred = a
-            elif ft == 2:
-                pred = b
-            elif ft == 3:
-                pred = (a + b) >> 1
-            else:
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-            raw.append((flat[x] - pred) & 0xFF)
-        prev = flat
+
+    fi = [0]
+    filters = filters if filters is not None else [0]
+
+    def next_filter():
+        ft = filters[fi[0] % len(filters)]
+        fi[0] += 1
+        return ft
+
+    raw = bytearray()
+
+    def emit_pass(sub):
+        ph, pw = sub.shape[:2]
+        prev = [0] * stride_of(pw)
+        for y in range(ph):
+            flat = pack_row(sub[y])
+            ft = next_filter()
+            raw.append(ft)
+            for x in range(len(flat)):
+                a = flat[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ft == 0:
+                    pred = 0
+                elif ft == 1:
+                    pred = a
+                elif ft == 2:
+                    pred = b
+                elif ft == 3:
+                    pred = (a + b) >> 1
+                else:
+                    pp = a + b - c
+                    pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                raw.append((flat[x] - pred) & 0xFF)
+            prev = flat
+
+    if interlace == 0:
+        emit_pass(arr)
+    else:
+        for (x0, y0, dx, dy) in [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                                 (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                                 (0, 1, 1, 2)]:
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                emit_pass(sub)
 
     def chunk(t, body):
         return (
@@ -145,13 +197,18 @@ def _png(pixels, color_type=2, filters=None, interlace=0, depth=8,
         )
 
     ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte_override is not None:
+        out += chunk(b"PLTE", plte_override)
+    elif palette is not None:
+        out += chunk(b"PLTE", bytes(c for rgb in palette for c in rgb))
     z = zlib.compress(bytes(raw))
     if split_idat:
         mid = len(z) // 2
-        idat = chunk(b"IDAT", z[:mid]) + chunk(b"IDAT", z[mid:])
+        out += chunk(b"IDAT", z[:mid]) + chunk(b"IDAT", z[mid:])
     else:
-        idat = chunk(b"IDAT", z)
-    return b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + idat + chunk(b"IEND", b"")
+        out += chunk(b"IDAT", z)
+    return out + chunk(b"IEND", b"")
 
 
 def test_decode_png_rgb_all_filters_byte_exact():
@@ -196,23 +253,97 @@ def test_decode_png_greyscale_broadcasts_channels():
     assert float(rgb.mean()) == 25.0
 
 
-def test_decode_png_unsupported_variants_raise():
-    """Palette / 16-bit / Adam7-interlaced stay honest NotImplementedError;
-    structurally broken files (truncated IDAT, bad stream length) refuse
-    with ValueError rather than misreport."""
-    px = [[(1, 2, 3)]]
-    with pytest.raises(NotImplementedError, match="variant not supported"):
-        multimodal._decode_rgb(_png(px, interlace=1))
-    with pytest.raises(NotImplementedError, match="variant not supported"):
-        multimodal._decode_rgb(_png(px, depth=16))
+def test_decode_png_palette_and_subbyte_depths():
+    """r9: palette images decode through the PLTE lookup at every legal
+    bit depth (8-bit and the packed 1/2/4-bit forms), byte-exact."""
+    import numpy as np
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 77, 177)]
+    idx = [[0, 1, 2], [3, 2, 1], [1, 1, 0]]
+    want = np.array([[pal[i] for i in row] for row in idx], dtype=np.uint8)
+    for depth in (8, 4, 2):
+        fmt, rgb = multimodal._decode_rgb(
+            _png(idx, color_type=3, depth=depth, palette=pal,
+                 filters=[0, 1, 2])
+        )
+        assert fmt == "png" and np.array_equal(rgb, want), depth
+    # 1-bit palette: indices 0/1 only, 11 pixels wide (padding bits)
+    idx1 = [[(i % 2) for i in range(11)]] * 2
+    fmt, rgb = multimodal._decode_rgb(
+        _png(idx1, color_type=3, depth=1, palette=pal[:2])
+    )
+    assert np.array_equal(
+        rgb, np.array([[pal[i % 2] for i in range(11)]] * 2, dtype=np.uint8)
+    )
+
+
+def test_decode_png_16bit_and_grey_alpha():
+    """r9: 16-bit samples keep the high byte (values v*257 round-trip
+    exactly); grey+alpha (color 4) reports the grey channel."""
+    import numpy as np
+
+    px16 = [[(10 * 257, 200 * 257, 30 * 257), (250 * 257, 5 * 257, 90 * 257)],
+            [(1 * 257, 2 * 257, 3 * 257), (130 * 257, 129 * 257, 128 * 257)]]
+    fmt, rgb = multimodal._decode_rgb(
+        _png(px16, depth=16, filters=[0, 4])
+    )
+    want = (np.array(px16) // 257).astype(np.uint8)
+    assert fmt == "png" and np.array_equal(rgb, want)
+    # greyscale 16-bit
+    g16 = [[77 * 257, 200 * 257], [0, 65535]]
+    fmt, rgb = multimodal._decode_rgb(
+        _png(g16, color_type=0, depth=16, filters=[2, 3])
+    )
+    assert np.array_equal(rgb[:, :, 0], np.array([[77, 200], [0, 255]]))
+    # grey+alpha: alpha is structure, means are over the grey channel
+    ga = [[(10, 255), (20, 0)], [(30, 128), (40, 64)]]
+    fmt, rgb = multimodal._decode_rgb(
+        _png(ga, color_type=4, filters=[1, 4])
+    )
+    assert np.array_equal(rgb[:, :, 1], np.array([[10, 20], [30, 40]]))
+    # sub-byte greyscale scales to full range: 2-bit 0..3 -> 0/85/170/255
+    g2 = [[0, 1], [2, 3]]
+    fmt, rgb = multimodal._decode_rgb(_png(g2, color_type=0, depth=2))
+    assert np.array_equal(rgb[:, :, 0], np.array([[0, 85], [170, 255]]))
+
+
+def test_decode_png_adam7_interlaced():
+    """r9: Adam7 images reassemble from the seven per-pass sub-images
+    byte-exactly — checked on a 9x10 RGB (every pass non-empty, odd
+    dims exercise the per-pass ceil sizing) and a small palette image
+    (passes 1-2 empty at w<5... still spec-legal)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    px = [[tuple(int(v) for v in rng.integers(0, 256, 3))
+           for _ in range(10)] for _ in range(9)]
+    fmt, rgb = multimodal._decode_rgb(
+        _png(px, interlace=1, filters=[0, 1, 2, 3, 4])
+    )
+    assert fmt == "png" and np.array_equal(rgb, np.array(px, dtype=np.uint8))
+    pal = [(9, 8, 7), (1, 2, 3)]
+    idx = [[0, 1], [1, 0], [0, 0]]
+    fmt, rgb = multimodal._decode_rgb(
+        _png(idx, color_type=3, depth=4, palette=pal, interlace=1)
+    )
+    assert np.array_equal(
+        rgb, np.array([[pal[i] for i in row] for row in idx], dtype=np.uint8)
+    )
+
+
+def test_decode_png_malformed_refuses_with_valueerror():
+    """Structurally broken files — truncated IDAT, wrong stream length,
+    spec-ILLEGAL depth/color combos, out-of-range palette index, missing
+    PLTE — refuse with ValueError (corrupt, not 'unsupported'): there is
+    no legal PNG the decoder refuses anymore."""
+    import struct
+    import zlib
+
     ok = _png([[(1, 2, 3), (4, 5, 6)]] * 3)
     idat_at = ok.index(b"IDAT")
     truncated = ok[: idat_at + 8]  # IDAT declared but bytes missing
     with pytest.raises(ValueError, match="truncated|IHDR"):
         multimodal._decode_rgb(truncated)
-    import struct
-    import zlib
-
     # valid zlib stream of the WRONG length for the declared dimensions
     bad_body = zlib.compress(b"\x00\x01\x02")
     bad = ok[:idat_at - 4] + struct.pack(">I", len(bad_body)) + b"IDAT" \
@@ -220,6 +351,23 @@ def test_decode_png_unsupported_variants_raise():
         + ok[ok.index(b"IEND") - 4:]
     with pytest.raises(ValueError, match="expected"):
         multimodal._decode_rgb(bad)
+    # spec-illegal combos are malformed, not unsupported
+    with pytest.raises(ValueError, match="illegal depth/color"):
+        multimodal._decode_rgb(_png([[(1, 2, 3)]], depth=4))  # RGB depth 4
+    with pytest.raises(ValueError, match="illegal depth/color"):
+        multimodal._decode_rgb(
+            _png([[0]], color_type=3, depth=16, palette=[(1, 2, 3)])
+        )
+    # palette index beyond the PLTE
+    with pytest.raises(ValueError, match="palette index"):
+        multimodal._decode_rgb(
+            _png([[3]], color_type=3, depth=8, palette=[(1, 2, 3)])
+        )
+    # palette image without PLTE
+    with pytest.raises(ValueError, match="PLTE"):
+        multimodal._decode_rgb(
+            _png([[0]], color_type=3, depth=8, plte_override=b"")
+        )
 
 
 def test_decode_png_slow_filter_budget(spark):
@@ -283,22 +431,40 @@ def test_fake_decode_shapes(spark):
     assert (r.width, r.height) == (11, 11)
 
 
-def _wav(rate, frames, bits=16, fmt_code=1, pre_data_chunk=None):
+def _wav(rate, frames, bits=16, fmt_code=1, pre_data_chunk=None,
+         block_align=None, raw_data=None, fact=None):
     """Build a byte-exact RIFF/WAVE file: frames is [(ch0, ch1, ...), ...]
-    (8-bit values given raw-unsigned). ``pre_data_chunk`` injects an extra
-    (id, body) chunk between fmt and data to exercise the chunk walk."""
+    (8-bit values given raw-unsigned; fmt_code=3 takes floats; 24/32-bit
+    take native ints). ``pre_data_chunk`` injects an extra (id, body)
+    chunk between fmt and data to exercise the chunk walk; ``raw_data``
+    supplies a pre-built data payload (ADPCM); ``fact`` adds a fact
+    chunk."""
     import struct
 
     n_ch = len(frames[0]) if frames else 1
     width = bits // 8
-    if bits == 8:
+    if raw_data is not None:
+        data = raw_data
+    elif fmt_code == 3:
+        f = "f" if bits == 32 else "d"
+        data = b"".join(struct.pack(f"<{n_ch}{f}", *fr) for fr in frames)
+    elif bits == 8:
         data = b"".join(bytes(f) for f in frames)
-    else:
+    elif bits == 16:
         data = b"".join(struct.pack(f"<{n_ch}h", *f) for f in frames)
+    elif bits == 24:
+        data = b"".join(
+            (v & 0xFFFFFF).to_bytes(3, "little") for f in frames for v in f
+        )
+    else:  # 32
+        data = b"".join(struct.pack(f"<{n_ch}i", *f) for f in frames)
+    ba = block_align if block_align is not None else n_ch * width
     fmt = struct.pack(
-        "<HHIIHH", fmt_code, n_ch, rate, rate * n_ch * width, n_ch * width, bits
+        "<HHIIHH", fmt_code, n_ch, rate, rate * ba, ba, bits
     )
     chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if fact is not None:
+        chunks += b"fact" + struct.pack("<II", 4, fact)
     if pre_data_chunk is not None:
         cid, body = pre_data_chunk
         chunks += cid + struct.pack("<I", len(body)) + body
@@ -306,6 +472,78 @@ def _wav(rate, frames, bits=16, fmt_code=1, pre_data_chunk=None):
             chunks += b"\x00"  # RIFF even-padding
     chunks += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+_IMA_STEPS_T = None
+
+
+def _ima_encode(ch_samples, block_align):
+    """Reference IMA ADPCM encoder (independent of the module): returns
+    (data bytes, expected decoded per-channel samples). Expected samples
+    are the encoder's own reconstruction — the integer recurrence any
+    conforming decoder must reproduce byte-exactly."""
+    import struct
+
+    from youtube_api_data_etl_automation_spark.operators.multimodal import (
+        _IMA_INDEX,
+        _IMA_STEPS,
+    )
+
+    n_ch = len(ch_samples)
+    spb = (block_align - 4 * n_ch) * 2 // n_ch + 1  # samples per block
+    data = bytearray()
+    expected = [[] for _ in range(n_ch)]
+    n = len(ch_samples[0])
+    off = 0
+    while off < n:
+        block = [cs[off : off + spb] for cs in ch_samples]
+        pred = [b[0] for b in block]
+        idx = [0] * n_ch
+        for c in range(n_ch):
+            data += struct.pack("<hBB", pred[c], idx[c], 0)
+            expected[c].append(pred[c])
+        nibbles = [[] for _ in range(n_ch)]
+        for c in range(n_ch):
+            p, i = pred[c], idx[c]
+            for v in block[c][1:]:
+                step = _IMA_STEPS[i]
+                diff = v - p
+                nib = 8 if diff < 0 else 0
+                if diff < 0:
+                    diff = -diff
+                if diff >= step:
+                    nib |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    nib |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    nib |= 1
+                # reconstruct exactly as the decoder will
+                rd = step >> 3
+                if nib & 1:
+                    rd += step >> 2
+                if nib & 2:
+                    rd += step >> 1
+                if nib & 4:
+                    rd += step
+                p = p - rd if nib & 8 else p + rd
+                p = max(-32768, min(32767, p))
+                i = max(0, min(88, i + _IMA_INDEX[nib & 7]))
+                nibbles[c].append(nib)
+                expected[c].append(p)
+            # pad the block's nibble stream to full 4-byte groups
+            while len(nibbles[c]) % 8:
+                nibbles[c].append(0)
+        groups = len(nibbles[0]) // 8
+        for g in range(groups):
+            for c in range(n_ch):
+                for k in range(4):
+                    lo = nibbles[c][8 * g + 2 * k]
+                    hi = nibbles[c][8 * g + 2 * k + 1]
+                    data.append(lo | (hi << 4))
+        off += spb
+    return bytes(data), expected
 
 
 def test_decode_wav_16bit_stereo_exact(spark):
@@ -332,6 +570,106 @@ def test_decode_wav_8bit_and_chunk_walk(spark):
     r = multimodal.decode_audio(_blob_df(spark, payload)).collect()[0]
     assert (r.n_channels, r.n_frames, r.peak) == (1, 3, 10)
     assert r.rms == (200 / 3) ** 0.5
+
+
+def test_decode_wav_24_and_32bit_exact(spark):
+    """r9: 24-bit (3-byte LE two's-complement) and 32-bit integer PCM
+    decode with exact big-int square sums — (s*s).sum() in int64 would
+    silently wrap at these widths; the expected RMS here is computed
+    with Python bignums."""
+    frames24 = [(-8388608,), (8388607,), (1,), (-2,)]
+    r = multimodal.decode_audio(
+        _blob_df(spark, _wav(8000, frames24, bits=24))
+    ).collect()[0]
+    assert (r.n_channels, r.n_frames, r.peak) == (1, 4, 8388608)
+    sq = sum(v * v for (v,) in frames24)
+    assert r.rms == (sq / 4) ** 0.5
+
+    frames32 = [(2**31 - 1, -(2**31)), (123456789, -987654321)]
+    r = multimodal.decode_audio(
+        _blob_df(spark, _wav(8000, frames32, bits=32))
+    ).collect()[0]
+    assert (r.n_channels, r.n_frames) == (2, 2)
+    assert r.peak == 2**31
+    sq = sum(v * v for f in frames32 for v in f)
+    assert r.rms == (sq / 4) ** 0.5
+
+
+def test_exact_sumsq_matches_bignum_and_detects_wrap():
+    """_exact_sumsq == Python-bignum ground truth on wide samples where
+    the naive int64 product-sum provably wraps."""
+    import numpy as np
+
+    s = np.full(300_000, 2**31 - 1, dtype=np.int64)
+    want = 300_000 * (2**31 - 1) ** 2
+    assert multimodal._exact_sumsq(s) == want
+    assert int((s * s).sum()) != want  # the naive path really wraps here
+    rng = np.random.default_rng(3)
+    r = rng.integers(-(2**23), 2**23, 50_000).astype(np.int64)
+    assert multimodal._exact_sumsq(r) == sum(int(v) ** 2 for v in r)
+    assert multimodal._exact_sumsq(np.array([], dtype=np.int64)) == 0
+
+
+def test_decode_wav_float_pcm_scaled(spark):
+    """r9: IEEE-float WAV decodes with samples scaled to the int16 grid
+    (nominal ±1.0 -> ±32768) so peak/RMS are comparable with integer
+    files; 32- and 64-bit."""
+    frames = [(0.5, -1.0), (0.25, 0.0)]
+    for bits in (32, 64):
+        r = multimodal.decode_audio(
+            _blob_df(spark, _wav(8000, frames, bits=bits, fmt_code=3))
+        ).collect()[0]
+        assert (r.format, r.n_channels, r.n_frames) == ("wav", 2, 2)
+        assert r.peak == 32768
+        sq = (0.5**2 + 1.0**2 + 0.25**2) * 32768.0**2
+        assert abs(r.rms - (sq / 4) ** 0.5) < 1e-6
+
+
+def test_decode_wav_ima_adpcm_exact(spark):
+    """r9: IMA ADPCM decodes byte-exactly against an independent
+    reference encoder's reconstruction — mono multi-block and stereo
+    interleave; the fact chunk trims block padding; an oversized payload
+    refuses on the sample budget."""
+    import math
+
+    # mono: 2 blocks of 9 samples (8 nibbles/block — no padding)
+    wave = [int(3000 * math.sin(i / 3)) for i in range(18)]
+    data, expected = _ima_encode([wave], block_align=8)
+    payload = _wav(8000, [(0,)], fmt_code=0x11, bits=4, block_align=8,
+                   raw_data=data)
+    rate, s = multimodal._decode_pcm(payload)
+    assert rate == 8000 and s.shape == (18, 1)
+    assert [int(v) for v in s[:, 0]] == expected[0]
+
+    # stereo: one block of 9 frames, channels decode independently
+    left = [int(2000 * math.sin(i / 2)) for i in range(9)]
+    right = [int(-1500 * math.cos(i / 2)) for i in range(9)]
+    data, expected = _ima_encode([left, right], block_align=16)
+    payload = _wav(8000, [(0, 0)], fmt_code=0x11, bits=4, block_align=16,
+                   raw_data=data)
+    rate, s = multimodal._decode_pcm(payload)
+    assert s.shape == (9, 2)
+    assert [int(v) for v in s[:, 0]] == expected[0]
+    assert [int(v) for v in s[:, 1]] == expected[1]
+
+    # fact trims padding nibbles: 5 real samples in an 8-nibble block
+    data, expected = _ima_encode([wave[:5]], block_align=8)
+    payload = _wav(8000, [(0,)], fmt_code=0x11, bits=4, block_align=8,
+                   raw_data=data, fact=5)
+    r = multimodal.decode_audio(_blob_df(spark, payload)).collect()[0]
+    assert r.n_frames == 5
+    sq = sum(v * v for v in expected[0][:5])
+    assert r.rms == (sq / 5) ** 0.5
+
+    # budget refusal is recoverable 'unsupported'
+    with pytest.raises(NotImplementedError, match="sample budget"):
+        multimodal._decode_pcm(payload, adpcm_sample_budget=3)
+    # malformed block geometry is corrupt
+    with pytest.raises(ValueError, match="block_align"):
+        multimodal._decode_pcm(
+            _wav(8000, [(0,)], fmt_code=0x11, bits=4, block_align=6,
+                 raw_data=b"\x00" * 12)
+        )
 
 
 def test_decode_wav_corrupt_payloads_raise_typed_errors(spark):
@@ -439,11 +777,13 @@ def test_decode_wav_duplicate_chunks_refused():
 
 
 def test_decode_wav_compressed_still_stubbed(spark):
-    """Float PCM / non-RIFF payloads need a codec library (absent here) —
-    the honest NotImplementedError surfaces through the Spark action."""
-    float_wav = _wav(8000, [(1, 1)], fmt_code=3)
+    """A-law / MP3 / non-RIFF payloads need a codec library (absent
+    here) — the honest NotImplementedError surfaces through the Spark
+    action. (Float PCM, 24/32-bit, and IMA ADPCM really decode since
+    r9 — see the tests above.)"""
+    alaw_wav = _wav(8000, [(1, 1)], fmt_code=6, bits=8)
     with pytest.raises(Exception, match="variant not supported"):
-        multimodal.decode_audio(_blob_df(spark, float_wav)).collect()
+        multimodal.decode_audio(_blob_df(spark, alaw_wav)).collect()
     with pytest.raises(Exception, match="codec"):
         multimodal.decode_audio(_blob_df(spark, b"ID3\x04" + b"\x00" * 32)).collect()
 

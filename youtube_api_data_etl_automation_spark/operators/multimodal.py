@@ -14,9 +14,11 @@ Design (per the 100 TB posture):
 No codec libraries are installed in this environment, so the decoders are
 split honestly: ``decode_image`` REALLY decodes the formats that need no
 codec library (24-bit BMP, binary P6 PPM, non-interlaced 8-bit PNG via
-stdlib zlib + scanline unfilter, and — r9 — baseline Huffman JPEG via
+stdlib zlib + scanline unfilter — every spec variant incl. palette,
+16-bit, and Adam7 since r9 — and, also r9, baseline Huffman JPEG via
 operators/jpeg.py), ``decode_audio`` really decodes
-RIFF/WAVE PCM (8- and 16-bit), and every remaining compressed format
+RIFF/WAVE integer PCM 8/16/24/32, IEEE-float 32/64, and IMA ADPCM (the
+matrix completed in r9), and every remaining compressed format
 (progressive JPEG/GIF/WebP/MP3/AAC/...) raises an explicit NotImplementedError from inside
 the same mapInPandas shape — or becomes a quarantine ROW under
 ``errors='quarantine'``. ``fake_decode_features`` remains the
@@ -158,37 +160,42 @@ DECODE_SCHEMA = (
 PNG_SLOW_FILTER_BYTE_BUDGET = 2_000_000
 
 
-def _png_unfilter(raw: bytes, h: int, w: int, ch: int,
-                  slow_filter_budget: int | None = PNG_SLOW_FILTER_BYTE_BUDGET):
+def _png_unfilter(raw: bytes, pos: int, h: int, stride: int, bpp: int,
+                  slow_filter_budget: int | None, slow_bytes: int):
     """Reverse PNG scanline filtering (spec §9: None/Sub/Up/Average/Paeth)
-    over the zlib-decompressed byte stream — the only part of PNG decode
-    that needs per-pixel recurrence (each byte's predictor references the
-    reconstructed left/up/up-left bytes). None/Up rows are whole-row numpy
-    ops; Sub rows vectorize exactly as a per-channel-lane prefix sum mod
-    256 (uint8 cumsum wraps, which IS the spec's mod-256); Average/Paeth
-    are true recurrences (rec[x] needs rec[x-ch]) and run a plain-Python
-    byte loop over list ints, capped by ``slow_filter_budget`` (see
+    for ONE pass of ``h`` rows of ``stride`` filtered bytes starting at
+    ``pos`` in the decompressed stream (Adam7 images call this once per
+    sub-image pass). ``bpp`` is the filter byte distance (max(1,
+    bits-per-pixel // 8) per spec §9.2 — 1 for all sub-byte depths).
+
+    None/Up rows are whole-row numpy ops; Sub rows vectorize exactly as
+    a per-bpp-lane prefix sum mod 256 (uint8 cumsum wraps, which IS the
+    spec's mod-256; stride is always a multiple of bpp for depth ≥ 8 and
+    bpp is 1 below that); Average/Paeth are true recurrences
+    (rec[x] needs rec[x-bpp]) and run a plain-Python byte loop over list
+    ints, charged against ``slow_filter_budget`` (see
     PNG_SLOW_FILTER_BYTE_BUDGET above).
 
     Why no numpy recurrence: the mod-256 + floor/branch nonlinearity
     kills every exact vectorization. A per-pixel numpy loop over
-    ch-length lanes trades ~0.3 µs/byte of Python ints for ~15 µs/pixel
-    of numpy call overhead (measured slower for ch≤4); the speculative
-    256-carry parallel-scan pays a flat 256× element blow-up (w·ch·256
+    bpp-length lanes trades ~0.3 µs/byte of Python ints for ~15 µs/pixel
+    of numpy call overhead (measured slower for bpp≤4); the speculative
+    256-carry parallel-scan pays a flat 256× element blow-up (w·bpp·256
     lane-steps regardless of chunking), also slower. The loop below IS
-    the fast exact pure-Python path — the budget bounds it instead."""
+    the fast exact pure-Python path — the budget bounds it instead.
+
+    Returns ``(rows, new_pos, slow_bytes)`` with ``rows`` an (h, stride)
+    uint8 array."""
     import numpy as np
 
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
+    if len(raw) - pos < h * (stride + 1):
         raise ValueError(
-            f"malformed PNG: decompressed stream is {len(raw)} bytes, "
-            f"expected {h * (stride + 1)} for {w}x{h}x{ch}"
+            f"malformed PNG: decompressed stream has {len(raw) - pos} "
+            f"bytes left, pass needs {h * (stride + 1)}"
         )
     out = np.empty((h, stride), dtype=np.uint8)
     zero_row = np.zeros(stride, dtype=np.uint8)
-    pos = 0
-    slow_bytes = 0
+    lanes = stride // bpp if stride % bpp == 0 else None
     for y in range(h):
         ft = raw[pos]
         pos += 1
@@ -199,11 +206,12 @@ def _png_unfilter(raw: bytes, h: int, w: int, ch: int,
             out[y] = line
         elif ft == 2:  # Up — whole-row add, uint8 wraps mod 256
             out[y] = line + prior
-        elif ft == 1:  # Sub — per-lane prefix sum; uint8 cumsum ≡ mod 256
+        elif ft == 1 and lanes is not None:
+            # Sub — per-lane prefix sum; uint8 cumsum ≡ mod 256
             out[y] = np.cumsum(
-                line.reshape(w, ch), axis=0, dtype=np.uint8
+                line.reshape(lanes, bpp), axis=0, dtype=np.uint8
             ).reshape(stride)
-        elif ft in (3, 4):  # Average / Paeth — inherent byte recurrence
+        elif ft in (1, 3, 4):  # Sub fallback / Average / Paeth
             slow_bytes += stride
             if slow_filter_budget is not None and \
                     slow_bytes > slow_filter_budget:
@@ -217,21 +225,26 @@ def _png_unfilter(raw: bytes, h: int, w: int, ch: int,
             lv = line.tolist()
             pv = prior.tolist()
             rec = [0] * stride
-            if ft == 3:
+            if ft == 1:
+                for x in range(bpp):
+                    rec[x] = lv[x]
+                for x in range(bpp, stride):
+                    rec[x] = (lv[x] + rec[x - bpp]) & 0xFF
+            elif ft == 3:
                 # first pixel: a = 0 → pred = pv>>1 (loop below then
-                # never branches on x >= ch)
-                for x in range(ch):
+                # never branches on x >= bpp)
+                for x in range(bpp):
                     rec[x] = (lv[x] + (pv[x] >> 1)) & 0xFF
-                for x in range(ch, stride):
-                    rec[x] = (lv[x] + ((rec[x - ch] + pv[x]) >> 1)) & 0xFF
+                for x in range(bpp, stride):
+                    rec[x] = (lv[x] + ((rec[x - bpp] + pv[x]) >> 1)) & 0xFF
             else:
                 # first pixel: a = c = 0 → Paeth predictor reduces to b
-                for x in range(ch):
+                for x in range(bpp):
                     rec[x] = (lv[x] + pv[x]) & 0xFF
-                for x in range(ch, stride):
-                    a = rec[x - ch]
+                for x in range(bpp, stride):
+                    a = rec[x - bpp]
                     b = pv[x]
-                    c = pv[x - ch]
+                    c = pv[x - bpp]
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -239,24 +252,60 @@ def _png_unfilter(raw: bytes, h: int, w: int, ch: int,
             out[y] = rec
         else:
             raise ValueError(f"malformed PNG: unknown filter type {ft}")
-    return out
+    return out, pos, slow_bytes
+
+
+# color type -> samples per pixel, and the legal bit depths per color
+# type (PNG spec §11.2.2 — the full legal matrix; anything outside it
+# is a malformed file, not an unsupported variant)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (spec §8.2)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _png_pass_samples(rows, w, ch, depth):
+    """(h, stride) filtered-byte rows -> (h, w, ch) uint8 samples.
+    depth 16 keeps the high byte (the standard 16→8 preview scaling —
+    exact for v = k·257, within 1/256 otherwise); sub-byte depths
+    unpack MSB-first and, for greyscale, scale by 255/(2^d − 1)
+    (an exact integer for d ∈ {1, 2, 4}); palette indices pass through
+    unscaled for the PLTE lookup."""
+    import numpy as np
+
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * ch].reshape(h, w, ch)
+    if depth == 16:
+        return rows.reshape(h, -1)[:, 0 : 2 * w * ch : 2].reshape(h, w, ch)
+    bits = np.unpackbits(rows, axis=1)[:, : w * depth].reshape(h, w, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+    vals = (bits.astype(np.uint16) * weights).sum(axis=2)
+    return vals.astype(np.uint8).reshape(h, w, 1)
 
 
 def _decode_png(payload: bytes,
                 slow_filter_budget: int | None = PNG_SLOW_FILTER_BYTE_BUDGET):
-    """Pure-stdlib PNG decode (zlib inflate + scanline unfilter) for the
-    subset a codec-free decoder can honestly do: non-interlaced 8-bit
-    greyscale (0), truecolor RGB (2), and RGBA (6). Palette, 16-bit, and
-    Adam7-interlaced images raise NotImplementedError; structurally
-    broken files raise ValueError (refuse-rather-than-misreport).
-    Returns an HxWx3 RGB array; alpha is reported structure, not
-    composited — the mean-channel features are over the stored RGB."""
+    """Pure-stdlib PNG decode (zlib inflate + scanline unfilter), r9:
+    the FULL spec variant matrix — greyscale (1/2/4/8/16-bit), truecolor
+    (8/16), palette (1/2/4/8 + PLTE), grey+alpha and RGBA (8/16), both
+    non-interlaced and Adam7-interlaced. 16-bit samples keep the high
+    byte (documented preview scaling); alpha is reported structure, not
+    composited — the mean-channel features are over the stored RGB;
+    tRNS is ignored for the same reason. Structurally broken files —
+    including spec-illegal depth/color combos and out-of-range palette
+    indices — raise ValueError (refuse-rather-than-misreport); the only
+    NotImplementedError left is the Average/Paeth byte budget
+    (recoverable 'unsupported'). Returns an HxWx3 RGB uint8 array."""
     import struct
     import zlib
 
     import numpy as np
 
     ihdr = None
+    plte = None
     idat = bytearray()
     pos = 8  # past the signature
     while pos + 8 <= len(payload):
@@ -270,6 +319,8 @@ def _decode_png(payload: bytes,
             )
         if ctype == b"IHDR":
             ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -284,27 +335,75 @@ def _decode_png(payload: bytes,
         raise ValueError(
             f"malformed PNG: compression={comp}, filter_method={filt}"
         )
-    channels = {0: 1, 2: 3, 6: 4}.get(color)
-    if depth != 8 or channels is None or interlace != 0:
-        raise NotImplementedError(
-            f"PNG variant not supported (depth={depth}, color_type={color}, "
-            f"interlace={interlace}); only non-interlaced 8-bit "
-            "greyscale/RGB/RGBA decodes without a codec library"
+    ch = _PNG_CHANNELS.get(color)
+    if ch is None or depth not in _PNG_DEPTHS.get(color, ()):
+        raise ValueError(
+            f"malformed PNG: illegal depth/color combination "
+            f"(depth={depth}, color_type={color})"
         )
+    if interlace not in (0, 1):
+        raise ValueError(f"malformed PNG: interlace method {interlace}")
+    if color == 3:
+        if plte is None or len(plte) % 3 or not plte:
+            raise ValueError("malformed PNG: palette image without a "
+                             "valid PLTE chunk")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
     if not idat:
         raise ValueError("malformed PNG: no IDAT data")
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ValueError(f"malformed PNG: IDAT inflate failed ({e})") from None
-    px = _png_unfilter(
-        raw, h, w, channels, slow_filter_budget=slow_filter_budget
-    ).reshape(h, w, channels)
-    if color == 0:
-        px = np.repeat(px, 3, axis=2)
-    elif color == 6:
-        px = px[:, :, :3]
-    return px
+
+    bpp_bits = depth * ch
+    bpp = max(1, bpp_bits // 8)
+
+    def stride_of(width):
+        return (width * bpp_bits + 7) // 8
+
+    samples = np.zeros((h, w, ch), dtype=np.uint8)
+    passes = (
+        [(0, 0, 1, 1)] if interlace == 0 else _ADAM7
+    )
+    rpos = 0
+    slow = 0
+    expected = 0
+    pass_dims = []
+    for (x0, y0, dx, dy) in passes:
+        pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+        ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        pass_dims.append((pw, ph))
+        if pw and ph:
+            expected += ph * (stride_of(pw) + 1)
+    if len(raw) != expected:
+        raise ValueError(
+            f"malformed PNG: decompressed stream is {len(raw)} bytes, "
+            f"expected {expected} for {w}x{h} depth={depth} "
+            f"color={color} interlace={interlace}"
+        )
+    for (x0, y0, dx, dy), (pw, ph) in zip(passes, pass_dims):
+        if not pw or not ph:
+            continue
+        rows, rpos, slow = _png_unfilter(
+            raw, rpos, ph, stride_of(pw), bpp, slow_filter_budget, slow
+        )
+        samples[y0::dy, x0::dx, :] = _png_pass_samples(rows, pw, ch, depth)
+
+    if color == 3:
+        idx = samples[:, :, 0]
+        if int(idx.max()) >= pal.shape[0]:
+            raise ValueError(
+                f"malformed PNG: palette index {int(idx.max())} out of "
+                f"range for {pal.shape[0]}-entry PLTE"
+            )
+        return pal[idx]
+    if color in (0, 4):
+        grey = samples[:, :, 0]
+        if depth < 8:
+            grey = (grey.astype(np.uint16) * (255 // ((1 << depth) - 1))) \
+                .astype(np.uint8)
+        return np.repeat(grey[:, :, None], 3, axis=2)
+    return samples[:, :, :3]
 
 
 def _decode_rgb(payload: bytes,
@@ -316,16 +415,18 @@ def _decode_rgb(payload: bytes,
     - BMP: 24-bit BI_RGB (BITMAPINFOHEADER), bottom-up or top-down rows,
       4-byte row padding, BGR channel order.
     - PPM: binary P6, maxval ≤ 255, '#' header comments.
-    - PNG (r7): non-interlaced 8-bit greyscale/RGB/RGBA via stdlib zlib +
-      spec scanline unfilter — the format a web corpus actually contains.
+    - PNG (r7, completed r9): the FULL spec variant matrix — greyscale
+      1/2/4/8/16-bit, truecolor 8/16, palette 1/2/4/8, grey+alpha and
+      RGBA 8/16, non-interlaced and Adam7 — via stdlib zlib + spec
+      scanline unfilter (16-bit keeps the high byte; alpha/tRNS
+      reported structure, not composited).
     - JPEG (r9): baseline/extended-sequential Huffman via
       operators/jpeg.py (T.81 marker parse, canonical Huffman entropy
       decode, float64 IDCT, chroma upsampling, BT.601) — the DOMINANT
       web-corpus format, previously 100% quarantine.
 
-    Progressive JPEG / palette / interlaced / 16-bit images still raise
-    NotImplementedError — those need a real codec library, absent in
-    this environment."""
+    Progressive JPEG / GIF / WebP still raise NotImplementedError —
+    those need a real codec library, absent in this environment."""
     import struct
 
     import numpy as np
@@ -420,9 +521,9 @@ def decode_image(
     stdlib zlib + scanline unfilter) — struct parsing + numpy pixel math
     inside the same Arrow-batched mapInPandas shape as every other
     payload op. Output row per image: format, dimensions, per-channel
-    means (exact doubles). Progressive JPEG and exotic PNG variants still raise
+    means (exact doubles). Progressive JPEG and GIF/WebP still raise
     NotImplementedError from the decoder (honest stub: a codec library
-    is required and absent here).
+    is required and absent here); every PNG spec variant decodes (r9).
 
     ``errors='quarantine'`` (r7, the repo's corrupt-input posture at
     batch scale — one bad blob in 100 TB must not kill the job): decode
@@ -490,20 +591,127 @@ def decode_image(
 
 AUDIO_SCHEMA = (
     "doc_id bigint, format string, sample_rate int, n_channels int, "
-    "n_frames bigint, duration_sec double, peak int, rms double"
+    "n_frames bigint, duration_sec double, peak bigint, rms double"
 )
 
 
-def _decode_pcm(payload: bytes):
-    """Decode one RIFF/WAVE PCM payload to (sample_rate, int samples array
-    shaped (frames, channels)).
+# IMA ADPCM decode is a per-nibble Python recurrence (like the PNG
+# Average/Paeth loop) at ~0.5 µs/sample; the budget bounds per-payload
+# latency with the same recoverable-refusal contract. 2M samples ≈ 45 s
+# of 44.1 kHz mono ≈ ~1 s of Python.
+ADPCM_SAMPLE_BUDGET = 2_000_000
+
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+
+
+def _ima_adpcm_decode(data: bytes, n_ch: int, block_align: int,
+                      sample_budget: int | None):
+    """IMA/DVI ADPCM (WAVE format 0x11) nibble decode: per block and
+    channel a 4-byte header (predictor int16, step index, reserved)
+    emits the first sample, then 4-bit deltas in 4-byte-per-channel
+    interleave. Integer recurrence exactly per the IMA spec — byte-exact
+    against any conforming encoder."""
+    if block_align < 4 * n_ch or block_align % 4:
+        raise ValueError(
+            f"malformed WAVE: ADPCM block_align={block_align} for "
+            f"{n_ch} channel(s)"
+        )
+    total_nibbles = sum(
+        (min(block_align, len(data) - off) - 4 * n_ch) * 2
+        for off in range(0, len(data), block_align)
+    )
+    if sample_budget is not None and total_nibbles > sample_budget:
+        raise NotImplementedError(
+            f"ADPCM payload exceeds the sample budget ({total_nibbles} > "
+            f"{sample_budget}): bulk audio decode needs a codec library; "
+            "raise adpcm_sample_budget (or pass None) to force the "
+            "pure-Python path"
+        )
+    steps, itab = _IMA_STEPS, _IMA_INDEX
+    chans: list[list[int]] = [[] for _ in range(n_ch)]
+    for off in range(0, len(data), block_align):
+        block = data[off : off + block_align]
+        if len(block) < 4 * n_ch:
+            break  # trailing fragment shorter than the headers
+        pred = [0] * n_ch
+        idx = [0] * n_ch
+        for c in range(n_ch):
+            import struct as _st
+
+            p0, i0 = _st.unpack_from("<hB", block, 4 * c)[0], block[4 * c + 2]
+            if i0 > 88:
+                raise ValueError(
+                    f"malformed WAVE: ADPCM step index {i0} > 88"
+                )
+            pred[c], idx[c] = p0, i0
+            chans[c].append(p0)
+        pos = 4 * n_ch
+        while pos + 4 * n_ch <= len(block):
+            for c in range(n_ch):
+                p, i, out = pred[c], idx[c], chans[c]
+                for b in block[pos + 4 * c : pos + 4 * c + 4]:
+                    for nib in (b & 0x0F, b >> 4):
+                        step = steps[i]
+                        diff = step >> 3
+                        if nib & 1:
+                            diff += step >> 2
+                        if nib & 2:
+                            diff += step >> 1
+                        if nib & 4:
+                            diff += step
+                        p = p - diff if nib & 8 else p + diff
+                        if p > 32767:
+                            p = 32767
+                        elif p < -32768:
+                            p = -32768
+                        i += itab[nib & 7]
+                        if i < 0:
+                            i = 0
+                        elif i > 88:
+                            i = 88
+                        out.append(p)
+                pred[c], idx[c] = p, i
+            pos += 4 * n_ch
+    import numpy as np
+
+    n_frames = min(len(c) for c in chans) if chans else 0
+    return np.stack(
+        [np.asarray(c[:n_frames], dtype=np.int64) for c in chans], axis=1
+    ) if n_frames else np.zeros((0, n_ch), dtype=np.int64)
+
+
+def _decode_pcm(payload: bytes,
+                adpcm_sample_budget: int | None = ADPCM_SAMPLE_BUDGET):
+    """Decode one RIFF/WAVE payload to (sample_rate, samples array shaped
+    (frames, channels)).
 
     Manual chunk walk (not the stdlib ``wave`` module: it chokes on
     benign extension chunks and non-seekable layouts): 4-byte id + LE
     u32 size per chunk, even-padded; 'fmt ' gives the codec/layout,
-    'data' the samples. Supported: format 1 (integer PCM) at 8-bit
-    unsigned or 16-bit signed — everything a codec-free decoder can do.
-    Float PCM, ADPCM, 24-bit, MP3-in-WAV raise NotImplementedError."""
+    'data' the samples, 'fact' (when present) the true frame count for
+    compressed formats. Supported (r9 completes the matrix):
+
+    - format 1 integer PCM at 8 (unsigned, centered), 16, 24 (3-byte
+      LE), and 32 bits — int64 samples in native units;
+    - format 3 IEEE float PCM at 32/64 bits — samples SCALED by 32768
+      (float WAV's nominal ±1.0 mapped to the int16 full-scale grid) so
+      peak/RMS are comparable with 16-bit integer files; returned as
+      float64 (stats float-accumulated, deterministic for a fixed
+      array);
+    - format 0x11 IMA ADPCM (4-bit) — exact integer nibble recurrence,
+      int16-range samples, capped by ``adpcm_sample_budget``.
+
+    MP3-in-WAV / A-law / µ-law / unknown formats raise
+    NotImplementedError (quarantine 'unsupported')."""
     import struct
 
     import numpy as np
@@ -518,7 +726,7 @@ def _decode_pcm(payload: bytes):
             f"{payload[:4]!r}) requires an audio codec library, not "
             "available in this container"
         )
-    fmt = data = None
+    fmt = data = fact = None
     pos = 12
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
@@ -543,24 +751,55 @@ def _decode_pcm(payload: bytes):
             if data is not None:
                 raise ValueError("malformed WAVE: duplicate 'data' chunk")
             data = body
+        elif cid == b"fact" and len(body) >= 4:
+            fact = struct.unpack_from("<I", body, 0)[0]
         pos += 8 + size + (size & 1)  # chunks are even-padded
     if fmt is None or data is None:
         raise ValueError("malformed WAVE: missing fmt/data chunk")
     if len(fmt) < 16:
         raise ValueError(f"malformed WAVE: fmt chunk is {len(fmt)} bytes (<16)")
     audio_fmt, n_ch, rate = struct.unpack_from("<HHI", fmt, 0)
+    block_align = struct.unpack_from("<H", fmt, 12)[0]
     bits = struct.unpack_from("<H", fmt, 14)[0]
     if rate == 0:
         raise ValueError("malformed WAVE: sample_rate=0")
+    if n_ch == 0:
+        raise ValueError("malformed WAVE: zero channels")
     # 0xFFFE = WAVE_FORMAT_EXTENSIBLE: real codec is the GUID's first
     # two bytes at offset 24 of the fmt body
     if audio_fmt == 0xFFFE and len(fmt) >= 26:
         audio_fmt = struct.unpack_from("<H", fmt, 24)[0]
-    if audio_fmt != 1 or bits not in (8, 16) or n_ch == 0:
+
+    if audio_fmt == 0x11:  # IMA ADPCM
+        if bits != 4:
+            raise NotImplementedError(
+                f"ADPCM at {bits} bits/sample not supported (IMA is 4)"
+            )
+        samples = _ima_adpcm_decode(
+            data, n_ch, block_align, adpcm_sample_budget
+        )
+        if fact is not None and fact < samples.shape[0]:
+            samples = samples[:fact]
+        return int(rate), samples
+
+    if audio_fmt == 3:  # IEEE float
+        if bits not in (32, 64):
+            raise NotImplementedError(
+                f"float PCM at {bits} bits not supported (32/64 only)"
+            )
+        width = bits // 8
+        n_frames = len(data) // (width * n_ch)
+        dt = "<f4" if bits == 32 else "<f8"
+        samples = np.frombuffer(
+            data, dtype=dt, count=n_frames * n_ch
+        ).astype(np.float64) * 32768.0
+        return int(rate), samples.reshape(n_frames, n_ch)
+
+    if audio_fmt != 1 or bits not in (8, 16, 24, 32):
         raise NotImplementedError(
             f"WAVE variant not supported (format={audio_fmt}, bits={bits}, "
-            f"channels={n_ch}); only integer PCM at 8/16-bit decodes "
-            "without a codec library"
+            f"channels={n_ch}); integer PCM 8/16/24/32, float 32/64, and "
+            "IMA ADPCM decode without a codec library"
         )
     width = bits // 8
     n_frames = len(data) // (width * n_ch)
@@ -569,24 +808,63 @@ def _decode_pcm(payload: bytes):
             np.frombuffer(data, dtype=np.uint8, count=n_frames * n_ch)
             .astype(np.int64) - 128
         )
-    else:
+    elif bits == 16:
         samples = np.frombuffer(
             data, dtype="<i2", count=n_frames * n_ch
         ).astype(np.int64)
+    elif bits == 24:  # 3-byte LE two's-complement
+        b = np.frombuffer(
+            data, dtype=np.uint8, count=n_frames * n_ch * 3
+        ).reshape(-1, 3).astype(np.int64)
+        samples = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        samples -= (samples >> 23) << 24  # sign-extend bit 23
+    else:  # 32
+        samples = np.frombuffer(
+            data, dtype="<i4", count=n_frames * n_ch
+        ).astype(np.int64)
     return int(rate), samples.reshape(n_frames, n_ch)
+
+
+def _exact_sumsq(s) -> int:
+    """Exact Σ s² for an int64 sample array WITHOUT int64 overflow: for
+    |s| beyond 16 bits (24/32-bit PCM), a direct (s*s).sum() wraps
+    silently past ~131k frames. Split s = hi·2^16 + lo and sum the three
+    partial products separately (each bounded well inside int64 for any
+    realistic frame count), recombining in Python bignums."""
+    import numpy as np
+
+    if s.size == 0:
+        return 0
+    if int(np.abs(s).max()) < (1 << 16):
+        return int((s * s).sum())
+    hi = s >> 16
+    lo = s - (hi << 16)
+    return (
+        (int((hi * hi).sum()) << 32)
+        + (int((hi * lo).sum()) << 17)
+        + int((lo * lo).sum())
+    )
 
 
 AUDIO_QUARANTINE_SCHEMA = AUDIO_SCHEMA + ", error string, error_kind string"
 
 
-def decode_audio(blobs: DataFrame, errors: str = "raise") -> DataFrame:
-    """REAL audio decode for RIFF/WAVE integer PCM — stdlib struct chunk
-    walk + numpy sample math in the same Arrow-batched mapInPandas shape
-    as ``decode_image``. Output row per payload: layout (rate, channels,
+def decode_audio(
+    blobs: DataFrame,
+    errors: str = "raise",
+    adpcm_sample_budget: int | None = ADPCM_SAMPLE_BUDGET,
+) -> DataFrame:
+    """REAL audio decode for RIFF/WAVE — integer PCM 8/16/24/32, IEEE
+    float 32/64 (scaled to the int16 grid, see _decode_pcm), and IMA
+    ADPCM (r9 completes the matrix) — stdlib struct chunk walk + numpy
+    sample math in the same Arrow-batched mapInPandas shape as
+    ``decode_image``. Output row per payload: layout (rate, channels,
     frames, duration) and level stats — peak |sample| and RMS, both over
-    all channels, computed with exact int64 sums so the doubles are
-    deterministic. Compressed codecs raise NotImplementedError (honest
-    stub: a codec library is required and absent here).
+    all channels; integer formats use exact big-int square sums
+    (_exact_sumsq — a plain int64 (s*s).sum() silently wraps for 24/32-bit
+    audio past ~131k frames), float formats accumulate in float64.
+    MP3-in-WAV / A-law / unknown codecs raise NotImplementedError
+    (honest stub: a codec library is required and absent here).
 
     ``errors='quarantine'``: decode failures become rows with ``error``
     and ``error_kind`` columns instead of task failures — see
@@ -605,7 +883,8 @@ def decode_audio(blobs: DataFrame, errors: str = "raise") -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
                     rate, s = _decode_pcm(
-                        bytes(payload) if payload is not None else b""
+                        bytes(payload) if payload is not None else b"",
+                        adpcm_sample_budget=adpcm_sample_budget,
                     )
                 except (ValueError, NotImplementedError) as e:
                     if not quarantine:
@@ -614,11 +893,19 @@ def decode_audio(blobs: DataFrame, errors: str = "raise") -> DataFrame:
                             str(e), _error_kind(e))
                 else:
                     n = s.size
+                    if s.dtype.kind == "f":
+                        peak = int(round(float(abs(s).max()))) if n else 0
+                        rms = (
+                            math.sqrt(float((s * s).sum()) / n) if n else 0.0
+                        )
+                    else:
+                        peak = int(abs(s).max()) if n else 0
+                        rms = math.sqrt(_exact_sumsq(s) / n) if n else 0.0
                     vals = (
                         "wav", rate, s.shape[1], s.shape[0],
                         s.shape[0] / rate,
-                        int(abs(s).max()) if n else 0,
-                        math.sqrt(int((s * s).sum()) / n) if n else 0.0,
+                        peak,
+                        rms,
                         None,
                         None,
                     )
@@ -636,7 +923,7 @@ def decode_audio(blobs: DataFrame, errors: str = "raise") -> DataFrame:
                 "n_channels": pd.array(cols["chs"], dtype="Int32"),
                 "n_frames": pd.array(cols["frames"], dtype="Int64"),
                 "duration_sec": pd.array(cols["durs"], dtype="Float64"),
-                "peak": pd.array(cols["peaks"], dtype="Int32"),
+                "peak": pd.array(cols["peaks"], dtype="Int64"),
                 "rms": pd.array(cols["rmss"], dtype="Float64"),
             }
             if quarantine:
