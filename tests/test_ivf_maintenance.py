@@ -26,8 +26,8 @@ from youtube_api_data_etl_automation_spark.operators.similarity import (
     write_ivf_index_versioned,
 )
 from youtube_api_data_etl_automation_spark.operators.versioned import (
+    _read_manifest,
     list_versions,
-    version_path,
 )
 
 DIM = 8
@@ -138,12 +138,12 @@ def test_rebalance_restores_band_and_preserves_probes(spark, tmp_path):
     assert post_probe == exact
 
     # reader safety: the old committed version is retained (keep=2) and
-    # still fully readable after the rewrite
+    # still fully readable after the rewrite, through ITS OWN manifest
     assert [(1, True), (2, True)] == [
         (v, ok) for v, ok in list_versions(spark, base_path)
     ]
     assert spark.read.parquet(
-        version_path(base_path, 1) + "/cells"
+        *_read_manifest(spark, base_path, 1)
     ).count() == 360
 
 
@@ -152,3 +152,95 @@ def test_maintenance_errors(spark, tmp_path):
         current_ivf_index_path(spark, str(tmp_path / "nope"))
     with pytest.raises(FileNotFoundError, match="no committed IVF index"):
         read_ivf_centroids(spark, str(tmp_path / "nope"))
+
+
+def test_append_ivf_index_versioned_odelta_and_full_cycle(spark, tmp_path):
+    """r9 manifest appends: the write cost is the batch (old dirs are
+    listed, never rewritten), probes over the multi-dir snapshot still
+    partition-prune and match brute force, the cell report sees the
+    union, rebalance compacts the manifest back to one cells dir, and
+    gc_ivf_batches reclaims batch dirs once no retained manifest lists
+    them."""
+    from youtube_api_data_etl_automation_spark.operators.similarity import (
+        append_ivf_index_versioned,
+        current_ivf_index_dirs,
+        gc_ivf_batches,
+    )
+
+    base = str(tmp_path / "ivf_append")
+    corpus = _corpus(spark, blobs=range(4), per_blob=30)
+    cent = _axes(spark, [0, 1, 2, 3])
+    assert write_ivf_index_versioned(corpus, cent, base) == 1
+    assert len(current_ivf_index_dirs(spark, base)) == 1
+
+    batch1 = spark.createDataFrame(
+        [(10_000 + j, _blob_vec(0, j)) for j in range(31)],
+        "vec_id long, embedding array<float>",
+    )
+    assert append_ivf_index_versioned(batch1, base) == 2
+    dirs = current_ivf_index_dirs(spark, base)
+    assert len(dirs) == 2 and any("/batches/" in d for d in dirs)
+    # single-path accessor refuses on a manifest version, loudly
+    with pytest.raises(ValueError, match="append-based"):
+        from youtube_api_data_etl_automation_spark.operators.similarity import (
+            current_ivf_index_path as _p,
+        )
+
+        _p(spark, base)
+
+    batch2 = spark.createDataFrame(
+        [(20_000 + j, _blob_vec(1, j)) for j in range(15)],
+        "vec_id long, embedding array<float>",
+    )
+    assert append_ivf_index_versioned(batch2, base) == 3
+    dirs = current_ivf_index_dirs(spark, base)
+    assert len(dirs) == 3
+
+    # report over the union: cell 0 over-filled by batch1
+    rep = {r["cluster_id"]: r for r in ivf_cell_report(
+        spark, dirs, target_cell_size=30
+    ).collect()}
+    assert rep[0].n_vecs == 61 and rep[0].flagged  # 61/30 > 2x: out of band
+    assert rep[1].n_vecs == 45 and not rep[1].flagged  # 1.5x: in band
+    assert rep[2].n_vecs == 30 and rep[3].n_vecs == 30
+
+    # probes over the multi-dir snapshot == brute force at full probe
+    all_vecs = corpus.unionByName(batch1).unionByName(batch2)
+    queries = all_vecs.filter(F.col("vec_id") < 2)
+    got = sorted(map(tuple, ivf_topk_from_index(
+        spark, dirs, queries, read_ivf_centroids(spark, base),
+        top_k=3, nprobe=4,
+    ).collect()))
+    want = sorted(map(tuple, brute_force_topk(
+        all_vecs, queries, top_k=3
+    ).collect()))
+    assert got == want
+
+    # rebalance compacts: one cells dir again, content preserved
+    out = rebalance_ivf_index(spark, base, target_cell_size=30, n_iter=2)
+    assert out["version"] == 4 and out["n_vectors"] == 166
+    dirs4 = current_ivf_index_dirs(spark, base)
+    assert len(dirs4) == 1 and "/batches/" in dirs4[0]
+    assert spark.read.parquet(dirs4[0]).count() == 166
+
+    # batch dirs are still listed by the retained v3 manifest — gc keeps
+    # them; after one more commit retires v3, gc reclaims all three
+    assert gc_ivf_batches(spark, base, max_age_ms=0) == []
+    rebalance_ivf_index(spark, base, target_cell_size=30, n_iter=1)
+    deleted = gc_ivf_batches(spark, base, max_age_ms=0)
+    assert len(deleted) == 3  # v1's full-write dir + the two append dirs
+    probe_after = sorted(map(tuple, ivf_topk_from_index(
+        spark, current_ivf_index_dirs(spark, base), queries,
+        read_ivf_centroids(spark, base), top_k=3, nprobe=out["k"],
+    ).collect()))
+    assert probe_after == want
+
+
+def test_append_requires_initial_index(spark, tmp_path):
+    from youtube_api_data_etl_automation_spark.operators.similarity import (
+        append_ivf_index_versioned,
+    )
+
+    batch = _corpus(spark, blobs=[0], per_blob=3)
+    with pytest.raises(FileNotFoundError, match="write the initial"):
+        append_ivf_index_versioned(batch, str(tmp_path / "none"))

@@ -389,7 +389,7 @@ def write_ivf_index(corpus: DataFrame, centroids: DataFrame, path: str,
     )
 
 
-def ivf_topk_from_index(spark, path: str, queries: DataFrame,
+def ivf_topk_from_index(spark, path, queries: DataFrame,
                         centroids: DataFrame, *, top_k: int = 3,
                         nprobe: int = 1, id_col: str = "vec_id",
                         vec_col: str = "embedding") -> DataFrame:
@@ -405,7 +405,10 @@ def ivf_topk_from_index(spark, path: str, queries: DataFrame,
     q = probe_cells(queries, centroids, nprobe=nprobe,
                     id_col=id_col, vec_col=vec_col)
     cells = [r["cluster_id"] for r in q.select("cluster_id").distinct().collect()]
-    index = spark.read.parquet(path).filter(F.col("cluster_id").isin(cells))
+    # path may be a single compacted dir or the manifest's batch-dir
+    # list (append-based versions) — the membership filter prunes
+    # partitions inside every union arm either way
+    index = _read_index(spark, path).filter(F.col("cluster_id").isin(cells))
     c = index.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec"),
@@ -444,52 +447,82 @@ def write_ivf_index_versioned(corpus: DataFrame, centroids: DataFrame,
     """:func:`write_ivf_index`'s layout published as a committed version
     under ``base_path`` (CAS commit marker, crash-safe, old version
     retained for in-flight readers — the operators/versioned.py
-    contract). The version dir IS a plain partitioned index dir, so
-    :func:`ivf_topk_from_index` works on
-    :func:`current_ivf_index_path` unchanged. Centroids are stored next
-    to the cells (``_centroids`` subdir) — an index whose grid travels
-    with it can always be probed, appended to, and health-checked
-    without a side channel."""
-    from .versioned import ConcurrentWriteError  # noqa: F401 (re-raise doc)
+    contract). Data lands in a writer-private ``batches/b=N-uuid``
+    cell-partitioned dir OUTSIDE the version dirs; the version commits a
+    MANIFEST listing it plus the centroid grid (``_centroids`` subdir) —
+    version dirs never own data, so version GC can never strand a
+    manifest (data dirs are reclaimed separately by
+    :func:`gc_ivf_batches` once no retained manifest lists them). An
+    index whose grid travels with it can always be probed, appended to,
+    and health-checked without a side channel."""
+    assigned = assign_clusters(corpus, centroids, id_col, vec_col)
+    return _commit_ivf_version(
+        assigned.select(id_col, vec_col, "cluster_id"),
+        centroids.select(
+            F.col(id_col).alias("cluster_id"), F.col(vec_col).alias("cv")
+        ),
+        base_path,
+        keep_versions=keep_versions,
+    )
+
+
+def _commit_ivf_version(assigned: DataFrame, cent_kv: DataFrame,
+                        base_path: str, *, keep_versions: int) -> int:
+    """Shared CAS commit for full writes and rebalances: one new
+    partitioned data dir under ``batches/`` + a single-entry manifest +
+    the (cluster_id, cv) grid, published atomically."""
+    import json
+
     from .versioned import (
+        ConcurrentWriteError,
+        _batch_dir,
+        _fs,
         _gc_versions,
         _publish_version,
         _staging_path,
         current_version,
     )
 
-    spark = corpus.sparkSession
+    spark = assigned.sparkSession
     new_v = (current_version(spark, base_path) or 0) + 1
-    staging = _staging_path(base_path)
-    assigned = assign_clusters(corpus, centroids, id_col, vec_col)
+    bdir = _batch_dir(base_path, new_v)
     (
-        assigned.select(id_col, vec_col, "cluster_id")
-        .write.mode("overwrite")
+        assigned.write.mode("overwrite")
         .partitionBy("cluster_id")
-        .parquet(f"{staging}/cells")
+        .parquet(bdir)
     )
-    (
-        centroids.select(
-            F.col(id_col).alias("cluster_id"), F.col(vec_col).alias("cv")
-        )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{staging}/_centroids")
+    staging = _staging_path(base_path)
+    cent_kv.coalesce(1).write.mode("overwrite")         .parquet(f"{staging}/_centroids")
+    jvm, _, fs = _fs(spark, base_path)
+    manifest = json.dumps({"batches": [bdir]}).encode("utf-8")
+    out = fs.create(
+        jvm.org.apache.hadoop.fs.Path(f"{staging}/manifest.json"), True
     )
-    _publish_version(spark, base_path, new_v, staging)
+    try:
+        out.write(manifest)
+    finally:
+        out.close()
+    try:
+        _publish_version(spark, base_path, new_v, staging)
+    except ConcurrentWriteError:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(bdir), True)
+        raise
     _gc_versions(spark, base_path, new_v, keep_versions)
     return new_v
 
 
 def current_ivf_index_path(spark, base_path: str) -> str:
-    """Cell-dir path of the current committed index version (feed to
-    :func:`ivf_topk_from_index` / :func:`ivf_cell_report`)."""
-    from .versioned import current_version, version_path
-
-    v = current_version(spark, base_path)
-    if v is None:
-        raise FileNotFoundError(f"no committed IVF index under {base_path}")
-    return version_path(base_path, v) + "/cells"
+    """Single data-dir path of the current committed index version (feed
+    to :func:`ivf_topk_from_index` / :func:`ivf_cell_report`). Raises
+    for an append-extended version, whose data spans several dirs — use
+    :func:`current_ivf_index_dirs` there (it also covers this case)."""
+    dirs = current_ivf_index_dirs(spark, base_path)
+    if len(dirs) != 1:
+        raise ValueError(
+            f"current version under {base_path} is append-based "
+            f"({len(dirs)} data dirs); use current_ivf_index_dirs"
+        )
+    return dirs[0]
 
 
 def read_ivf_centroids(spark, base_path: str, *, id_col: str = "vec_id",
@@ -533,7 +566,7 @@ def cell_report_from_counts(
     )
 
 
-def ivf_cell_report(spark, path: str, *, target_cell_size: int | None = None,
+def ivf_cell_report(spark, path, *, target_cell_size: int | None = None,
                     band: tuple[float, float] = (0.5, 2.0)) -> DataFrame:
     """Cell-size health of an at-rest IVF index: one row per cell with
     its vector count and its ratio to the target, flagged when outside
@@ -547,7 +580,7 @@ def ivf_cell_report(spark, path: str, *, target_cell_size: int | None = None,
     over-fill from appends (every cell 3× target flags, even though
     skew alone would look healthy)."""
     counts = (
-        spark.read.parquet(path)
+        _read_index(spark, path)
         .groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("n_vecs"))
     )
@@ -576,8 +609,8 @@ def rebalance_ivf_index(spark, base_path: str, *, target_cell_size: int,
 
     from .clustering import kmeans_lloyd
 
-    corpus = spark.read.parquet(
-        current_ivf_index_path(spark, base_path)
+    corpus = _read_index(
+        spark, current_ivf_index_dirs(spark, base_path)
     ).select(id_col, vec_col)
     n = corpus.count()
     if n == 0:
@@ -604,3 +637,149 @@ def rebalance_ivf_index(spark, base_path: str, *, target_cell_size: int,
         keep_versions=keep_versions,
     )
     return {"version": v, "k": k, "n_vectors": n}
+
+
+def current_ivf_index_dirs(spark, base_path: str) -> list[str]:
+    """All cell-partitioned data dirs of the current committed index
+    version — the manifest's list (one dir after a full write or
+    rebalance; one per append since). Every dir is a
+    cluster_id-partitioned parquet layout; feed the list to
+    :func:`ivf_topk_from_index` / :func:`ivf_cell_report`."""
+    from .versioned import _read_manifest, current_version
+
+    v = current_version(spark, base_path)
+    if v is None:
+        raise FileNotFoundError(f"no committed IVF index under {base_path}")
+    return _read_manifest(spark, base_path, v)
+
+
+def _read_index(spark, path) -> DataFrame:
+    """One DataFrame over an index path or list of paths. Multi-dir
+    reads union per-dir scans, so a cluster_id membership filter still
+    prunes PARTITIONS inside every scan (the filter pushes through the
+    union into each arm — same mechanism as the bench section filter)."""
+    dirs = [path] if isinstance(path, str) else list(path)
+    df = spark.read.parquet(dirs[0])
+    for d in dirs[1:]:
+        df = df.unionByName(spark.read.parquet(d))
+    return df
+
+
+def append_ivf_index_versioned(batch: DataFrame, base_path: str, *,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               keep_versions: int = 2) -> int:
+    """O(delta) append to a versioned IVF index: assign the batch under
+    the index's OWN committed centroid grid, land it in a writer-private
+    ``batches/b=N-uuid`` dir (cluster_id-partitioned like every index
+    dir), and commit a new version whose MANIFEST lists the previous
+    dirs plus the new one — the table-format snapshot+added-files idea
+    (same protocol as versioned.append_versioned), applied to the index
+    layout. Write cost is the batch, never the index; readers on the
+    old version are undisturbed; a racing append loses cleanly
+    (ConcurrentWriteError, its batch dir reclaimed).
+
+    Appends keep the grid FIXED, so cell sizes drift as the corpus
+    grows — that is exactly what :func:`ivf_cell_report` watches and
+    :func:`rebalance_ivf_index` repairs (the rebalance compacts the
+    manifest back to one ``cells`` dir; :func:`gc_ivf_batches` then
+    reclaims batch dirs no retained manifest lists)."""
+    import json
+
+    from .versioned import (
+        ConcurrentWriteError,
+        _batch_dir,
+        _fs,
+        _gc_versions,
+        _publish_version,
+        _staging_path,
+        current_version,
+        version_path,
+    )
+
+    spark = batch.sparkSession
+    cur = current_version(spark, base_path)
+    if cur is None:
+        raise FileNotFoundError(
+            f"no committed IVF index under {base_path}; write the initial "
+            "index with write_ivf_index_versioned first (appends assign "
+            "under its committed centroids)"
+        )
+    cent = read_ivf_centroids(spark, base_path, id_col=id_col,
+                              vec_col=vec_col)
+    dirs = current_ivf_index_dirs(spark, base_path)
+    assigned = assign_clusters(
+        batch.select(id_col, vec_col), cent, id_col, vec_col
+    )
+    new_v = cur + 1
+    bdir = _batch_dir(base_path, new_v)
+    (
+        assigned.select(id_col, vec_col, "cluster_id")
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(bdir)
+    )
+    jvm, _, fs = _fs(spark, base_path)
+    staging = _staging_path(base_path)
+    # the centroid grid travels with every version (copy, not reference:
+    # the old version dir is GC-fodder; data dirs are not, but the grid
+    # is k rows — copying is cheaper than special-casing)
+    spark.read.parquet(version_path(base_path, cur) + "/_centroids") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(f"{staging}/_centroids")
+    manifest = json.dumps({"batches": dirs + [bdir]}).encode("utf-8")
+    out = fs.create(
+        jvm.org.apache.hadoop.fs.Path(f"{staging}/manifest.json"), True
+    )
+    try:
+        out.write(manifest)
+    finally:
+        out.close()
+    try:
+        _publish_version(spark, base_path, new_v, staging)
+    except ConcurrentWriteError:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(bdir), True)
+        raise
+    _gc_versions(spark, base_path, new_v, keep_versions)
+    return new_v
+
+
+def gc_ivf_batches(spark, base_path: str, *,
+                   max_age_ms: int | None = None) -> list[str]:
+    """Reclaim batch dirs no RETAINED committed manifest lists (orphans
+    from version GC after a rebalance compaction, or from crashed
+    writers). Age-guarded like staging GC: a dir younger than the
+    horizon may belong to a live appender mid-commit and is never
+    touched (pass ``max_age_ms=0`` only in tests). Returns deleted
+    paths."""
+    from .versioned import (
+        _STAGING_MAX_AGE_MS,
+        _fs,
+        _read_manifest,
+        list_versions,
+    )
+
+    horizon = _STAGING_MAX_AGE_MS if max_age_ms is None else max_age_ms
+    jvm, _, fs = _fs(spark, base_path)
+    referenced: set[str] = set()
+    for v, committed in list_versions(spark, base_path):
+        if not committed:
+            continue
+        referenced.update(_read_manifest(spark, base_path, v))
+    broot = jvm.org.apache.hadoop.fs.Path(
+        f"{base_path.rstrip('/')}/batches"
+    )
+    if not fs.exists(broot):
+        return []
+    deleted = []
+    now = jvm.java.lang.System.currentTimeMillis()
+    for st in fs.listStatus(broot):
+        p = st.getPath()
+        full = p.toUri().getPath()
+        if full in referenced:
+            continue
+        if now - st.getModificationTime() <= horizon:
+            continue
+        fs.delete(p, True)
+        deleted.append(full)
+    return deleted
