@@ -455,3 +455,132 @@ def test_events_cli_funnel_and_retention(spark, capsys):
     rc = main(["events", "--input", path, "--steps", "a,a"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 1 and out["status"] == "error"
+
+
+def test_events_cli_state_mode_folds_and_reports(spark, capsys):
+    """events --state-dir (r9): batch 1 seeds the funnel/retention state,
+    batch 2 folds (rollup off the state == batch over the union), a
+    replayed batch id folds nothing, and --report reads with no input."""
+    import datetime
+
+    d = tempfile.mkdtemp(prefix="cli_events_state_")
+    state = d + "/state"
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def write(path, rows):
+        spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp_ntz"
+        ).write.parquet(path)
+
+    write(d + "/b1.parquet", [
+        (1, "signup", t0), (2, "signup", t0),
+        (1, "click", t0 + datetime.timedelta(seconds=5)),
+    ])
+    write(d + "/b2.parquet", [
+        (2, "click", t0 + datetime.timedelta(days=1)),
+        (3, "signup", t0 + datetime.timedelta(days=1)),
+    ])
+
+    base = ["events", "--steps", "signup,click", "--retention",
+            "--state-dir", state]
+    rc = main(base + ["--input", d + "/b1.parquet", "--batch-id", "b1"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["folded"]
+    assert [(r["step"], r["n_users"]) for r in out["funnel"]] == [
+        (1, 2), (2, 1)
+    ]
+
+    rc = main(base + ["--input", d + "/b2.parquet", "--batch-id", "b2"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert [(r["step"], r["n_users"]) for r in out["funnel"]] == [
+        (1, 3), (2, 2)
+    ]
+    assert any(r["offset_days"] == 1 for r in out["retention"])
+
+    # replayed id: markers skip the fold, numbers unchanged
+    rc = main(base + ["--input", d + "/b1.parquet", "--batch-id", "b1"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [(r["step"], r["n_users"]) for r in out["funnel"]] == [
+        (1, 3), (2, 2)
+    ]
+
+    # pure report: no input, same numbers
+    rc = main(base + ["--report"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and not out["folded"]
+    assert [(r["step"], r["n_users"]) for r in out["funnel"]] == [
+        (1, 3), (2, 2)
+    ]
+
+    # missing batch id / missing state are JSON errors
+    rc = main(base + ["--input", d + "/b1.parquet"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and out["status"] == "error"
+    rc = main(["events", "--steps", "signup,click",
+               "--state-dir", d + "/none", "--report"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and "no committed funnel state" in out["error"]
+
+
+def test_ivf_cli_full_maintenance_cycle(spark, capsys):
+    """ivf subcommand (r9): init trains and commits v1, report is a gate
+    (exit 2 when a cell leaves the band), append folds a batch at
+    O(delta), rebalance compacts and restores the band, gc reports."""
+    d = tempfile.mkdtemp(prefix="cli_ivf_")
+    base = d + "/index"
+
+    def vec(b, j):
+        v = [0.0] * 4
+        v[b] = 1.0
+        v[(b + 1) % 4] = 0.01 * (j % 5)
+        return v
+
+    spark.createDataFrame(
+        [(b + 4 * j, vec(b, j)) for b in range(4) for j in range(20)],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(d + "/corpus.parquet")
+    spark.createDataFrame(
+        [(1000 + j, vec(0, j)) for j in range(50)],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(d + "/batch.parquet")
+
+    rc = main(["ivf", "--base", base, "--init",
+               "--input", d + "/corpus.parquet", "--k", "4"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["version"] == 1
+
+    rc = main(["ivf", "--base", base, "--target-cell-size", "20"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["status"] == "ok" and len(out["cells"]) == 4
+
+    rc = main(["ivf", "--base", base, "--append",
+               "--input", d + "/batch.parquet"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["version"] == 2
+
+    rc = main(["ivf", "--base", base, "--target-cell-size", "20"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 2 and out["status"] == "flagged"
+    assert out["flagged_cells"] == [0] and out["n_dirs"] == 2
+
+    rc = main(["ivf", "--base", base, "--rebalance",
+               "--target-cell-size", "20"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["k"] == 7 and out["n_vectors"] == 130
+
+    rc = main(["ivf", "--base", base, "--target-cell-size", "20"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc in (0, 2) and len(out["cells"]) == 7
+
+    rc = main(["ivf", "--base", base, "--gc"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["deleted"] == []  # age guard: nothing yet
+
+    # usage / missing-index errors follow the JSON contract
+    rc = main(["ivf", "--base", d + "/none"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and out["status"] == "error"
+    rc = main(["ivf", "--base", base, "--rebalance"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and "target-cell-size" in out["error"]

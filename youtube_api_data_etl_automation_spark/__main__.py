@@ -36,7 +36,14 @@ def _cmd_events(args: argparse.Namespace) -> int:
     """Behavioral analytics over an event table from the command line:
     the greedy-earliest funnel for --steps and (optionally) the cohort
     retention matrix — one JSON line, the dashboard numbers without a
-    dashboard. Exit 0 always (this is a readout, not a gate)."""
+    dashboard. Exit 0 always (this is a readout, not a gate).
+
+    ``--state-dir`` switches to the r9 incremental mode: ``--input`` +
+    ``--batch-id`` folds the batch into the committed per-user funnel
+    state (and, with --retention, the activity state in a sibling
+    subdir) exactly once — replayed batch ids fold nothing — and the
+    rollups print OFF THE STATE, zero rescans of prior events;
+    ``--report`` (no --input) is the pure dashboard read."""
     from .operators.funnel import funnel, retention_cohorts
     from .session import get_spark
 
@@ -46,7 +53,14 @@ def _cmd_events(args: argparse.Namespace) -> int:
                           "error": "--steps needs distinct comma-separated "
                           "event types"}))
         return 1
+    if not args.input and not args.state_dir:
+        print(json.dumps({"status": "error",
+                          "error": "--input is required (except with "
+                          "--state-dir --report)"}))
+        return 1
     spark = get_spark("events-analytics", master=args.master)
+    if args.state_dir:
+        return _events_state_mode(args, spark, steps)
     ev = spark.read.parquet(args.input)
     out: dict = {
         "status": "ok",
@@ -69,6 +83,170 @@ def _cmd_events(args: argparse.Namespace) -> int:
         ]
     print(json.dumps(out, default=str))
     return 0
+
+
+def _events_state_mode(args, spark, steps) -> int:
+    from .operators.funnel import (
+        fold_funnel_state,
+        fold_retention_state,
+        funnel_from_state,
+        retention_from_state,
+    )
+    from .operators.versioned import (
+        incremental_state_versioned,
+        read_agg_state,
+    )
+
+    fdir = args.state_dir.rstrip("/") + "/funnel"
+    rdir = args.state_dir.rstrip("/") + "/retention"
+    folded = False
+    if args.input:
+        if not args.batch_id:
+            print(json.dumps({"status": "error",
+                              "error": "--state-dir with --input requires "
+                              "--batch-id"}))
+            return 1
+        ev = spark.read.parquet(args.input)
+        incremental_state_versioned(
+            ev, fdir, args.batch_id,
+            lambda old, delta: fold_funnel_state(
+                old, delta, steps, user_col=args.user_col,
+                type_col=args.type_col, ts_col=args.ts_col,
+            ),
+        )
+        if args.retention:
+            incremental_state_versioned(
+                ev, rdir, args.batch_id,
+                lambda old, delta: fold_retention_state(
+                    old, delta, user_col=args.user_col, ts_col=args.ts_col
+                ),
+            )
+        folded = True
+    try:
+        fstate = read_agg_state(spark, fdir)
+    except FileNotFoundError:
+        print(json.dumps({"status": "error",
+                          "error": f"no committed funnel state under {fdir}; "
+                          "fold a batch first (--input --batch-id)"}))
+        return 1
+    out: dict = {
+        "status": "ok",
+        "folded": folded,
+        "funnel": [
+            r.asDict()
+            for r in funnel_from_state(fstate, steps)
+            .orderBy("step").collect()
+        ],
+    }
+    if args.retention:
+        try:
+            rstate = read_agg_state(spark, rdir)
+        except FileNotFoundError:
+            rstate = None
+        if rstate is not None:
+            out["retention"] = [
+                r.asDict()
+                for r in retention_from_state(
+                    rstate, max_offset_days=args.max_offset_days
+                ).orderBy("cohort_day", "offset_days").collect()
+            ]
+    print(json.dumps(out, default=str))
+    return 0
+
+
+def _cmd_ivf(args: argparse.Namespace) -> int:
+    """IVF index maintenance from the command line: --report prints
+    per-cell size health off partition metadata (exit 2 when any cell is
+    out of band — a gate, like drift), --append folds a batch in at
+    O(delta), --rebalance retrains the grid to the design cell size and
+    compacts, --gc reclaims unreferenced batch dirs, --init builds the
+    first version (centroids = k-means from the k lowest-id vectors)."""
+    from .session import get_spark
+
+    spark = get_spark("ivf-maintenance", master=args.master)
+    from .operators.similarity import (
+        append_ivf_index_versioned,
+        current_ivf_index_dirs,
+        gc_ivf_batches,
+        ivf_cell_report,
+        rebalance_ivf_index,
+        write_ivf_index_versioned,
+    )
+
+    try:
+        if args.init:
+            if not args.input or not args.k:
+                raise ValueError("--init requires --input and --k")
+            from pyspark.sql import functions as F
+            from pyspark.sql.window import Window
+
+            from .operators.clustering import kmeans_lloyd
+
+            corpus = spark.read.parquet(args.input).select(
+                args.id_col, args.vec_col
+            )
+            init = corpus.orderBy(args.id_col).limit(args.k).select(
+                (F.row_number().over(Window.orderBy(args.id_col)) - 1)
+                .alias("cluster_id"),
+                F.col(args.vec_col).cast("array<double>").alias("cv"),
+            )
+            _, cent = kmeans_lloyd(
+                spark, corpus, init, n_iter=args.n_iter,
+                id_col=args.id_col, vec_col=args.vec_col,
+                return_centroids=True,
+            )
+            v = write_ivf_index_versioned(
+                corpus,
+                cent.select(F.col("cluster_id").alias(args.id_col),
+                            F.col("cv").alias(args.vec_col)),
+                args.base, id_col=args.id_col, vec_col=args.vec_col,
+            )
+            print(json.dumps({"status": "ok", "action": "init",
+                              "version": v, "k": args.k}))
+            return 0
+        if args.append:
+            if not args.input:
+                raise ValueError("--append requires --input")
+            v = append_ivf_index_versioned(
+                spark.read.parquet(args.input), args.base,
+                id_col=args.id_col, vec_col=args.vec_col,
+            )
+            print(json.dumps({"status": "ok", "action": "append",
+                              "version": v}))
+            return 0
+        if args.rebalance:
+            if not args.target_cell_size:
+                raise ValueError("--rebalance requires --target-cell-size")
+            out = rebalance_ivf_index(
+                spark, args.base, target_cell_size=args.target_cell_size,
+                n_iter=args.n_iter, id_col=args.id_col, vec_col=args.vec_col,
+            )
+            print(json.dumps({"status": "ok", "action": "rebalance", **out}))
+            return 0
+        if args.gc:
+            deleted = gc_ivf_batches(spark, args.base)
+            print(json.dumps({"status": "ok", "action": "gc",
+                              "deleted": deleted}))
+            return 0
+        # default: --report
+        lo, _, hi = (args.band or "0.5:2.0").partition(":")
+        dirs = current_ivf_index_dirs(spark, args.base)
+        rows = [
+            r.asDict()
+            for r in ivf_cell_report(
+                spark, dirs, target_cell_size=args.target_cell_size,
+                band=(float(lo), float(hi)),
+            ).orderBy("cluster_id").collect()
+        ]
+        flagged = [r["cluster_id"] for r in rows if r["flagged"]]
+        print(json.dumps({
+            "status": "flagged" if flagged else "ok", "action": "report",
+            "n_dirs": len(dirs), "cells": rows, "flagged_cells": flagged,
+        }, default=str))
+        return 2 if flagged else 0
+    except (FileNotFoundError, ValueError) as e:
+        print(json.dumps({"status": "error", "error": str(e)}))
+        return 1
 
 
 def _cmd_etl(args: argparse.Namespace) -> int:
@@ -743,7 +921,7 @@ def build_parser() -> argparse.ArgumentParser:
         help="behavioral analytics over an event table: funnel "
         "conversion for --steps, optional cohort retention matrix",
     )
-    evp.add_argument("--input", required=True, help="events parquet path")
+    evp.add_argument("--input", default=None, help="events parquet path")
     evp.add_argument(
         "--steps", required=True,
         help="comma-separated ordered event types (e.g. signup,click,buy)",
@@ -760,7 +938,38 @@ def build_parser() -> argparse.ArgumentParser:
         help="also emit the cohort retention matrix",
     )
     evp.add_argument("--max-offset-days", type=int, default=None)
+    evp.add_argument(
+        "--state-dir", default=None,
+        help="incremental mode: fold --input into the committed funnel "
+        "state (exactly-once by --batch-id) and report off the state",
+    )
+    evp.add_argument("--batch-id", default=None)
+    evp.add_argument(
+        "--report", action="store_true",
+        help="with --state-dir and no --input: pure state readout",
+    )
     evp.set_defaults(fn=_cmd_events)
+
+    ivf = sub.add_parser(
+        "ivf",
+        help="IVF index maintenance: cell-size report (exit 2 on "
+        "out-of-band cells), O(delta) append, rebalance, batch GC, init",
+    )
+    ivf.add_argument("--base", required=True, help="versioned index root")
+    ivf.add_argument("--init", action="store_true")
+    ivf.add_argument("--append", action="store_true")
+    ivf.add_argument("--rebalance", action="store_true")
+    ivf.add_argument("--gc", action="store_true")
+    ivf.add_argument("--input", default=None,
+                     help="corpus (--init) or batch (--append) parquet")
+    ivf.add_argument("--k", type=int, default=None, help="cells for --init")
+    ivf.add_argument("--target-cell-size", type=int, default=None)
+    ivf.add_argument("--n-iter", type=int, default=3)
+    ivf.add_argument("--band", default=None,
+                     help="report band as LO:HI of target (default 0.5:2.0)")
+    ivf.add_argument("--id-col", default="vec_id")
+    ivf.add_argument("--vec-col", default="embedding")
+    ivf.set_defaults(fn=_cmd_ivf)
 
     sh = sub.add_parser(
         "shards",
