@@ -416,13 +416,13 @@ def test_decode_png_slow_filter_budget(spark):
 
 
 def test_decode_compressed_formats_still_stubbed(spark):
-    """GIF/WebP/... still need a codec library (absent here) — the
+    """WebP/TIFF/... still need a codec library (absent here) — the
     decoder raises the honest NotImplementedError, surfaced through the
-    Spark action. (Baseline JPEG really decodes since r9 — see
-    tests/test_jpeg.py; a truncated JPEG is now correctly 'corrupt'.)"""
-    gif_magic = b"GIF89a" + b"\x00" * 32
+    Spark action. (Baseline JPEG and first-frame GIF really decode since
+    r9 — see tests/test_jpeg.py and test_gif.py.)"""
+    webp_magic = b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 24
     with pytest.raises(Exception, match="PIL|compressed"):
-        multimodal.decode_image(_blob_df(spark, gif_magic)).collect()
+        multimodal.decode_image(_blob_df(spark, webp_magic)).collect()
 
 
 def test_fake_decode_shapes(spark):
@@ -711,7 +711,8 @@ def test_decode_quarantine_mode_yields_rows_not_task_failures(spark):
     pixels = [[(1, 2, 3), (4, 5, 6)]]
     good_png = _png(pixels)
     blobs = spark.createDataFrame(
-        [(1, bytearray(good_png)), (2, bytearray(b"GIF89a" + b"\x00" * 8)),
+        [(1, bytearray(good_png)),
+         (2, bytearray(b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 8)),
          (3, None), (4, bytearray(_bmp24(pixels)))],
         "doc_id long, payload binary",
     )
@@ -723,7 +724,7 @@ def test_decode_quarantine_mode_yields_rows_not_task_failures(spark):
     assert rows[3].format is None and "empty/NULL" in rows[3].error
     assert rows[2].width is None and rows[2].mean_r is None
     # error_kind routes the two failure populations without message
-    # parsing: GIF (a codec library would decode it) is 'unsupported';
+    # parsing: WebP (a codec library would decode it) is 'unsupported';
     # a NULL blob is 'corrupt' data; successes carry NULL.
     assert rows[2].error_kind == "unsupported"
     assert rows[3].error_kind == "corrupt"
@@ -776,14 +777,49 @@ def test_decode_wav_duplicate_chunks_refused():
         multimodal._decode_pcm(dup_fmt)
 
 
+def test_decode_wav_g711_ulaw_alaw_exact():
+    """r9: G.711 mu-law / A-law expand via the 256-entry LUT —
+    spot-checked against hand-computed CCITT reference values and the
+    structural invariants (full-scale magnitudes, zero codes, sign
+    conventions — A-law's sign bit means POSITIVE, mu-law's negative)."""
+    import numpy as np
+
+    ulaw = multimodal._g711_lut(alaw=False)
+    alaw = multimodal._g711_lut(alaw=True)
+    # mu-law: code 0x00 complements to max exp/mant -> full-scale
+    # negative -32124; 0x80 its positive mirror; 0xFF/0x7F are the zero
+    # codes
+    assert ulaw[0x00] == -32124 and ulaw[0x80] == 32124
+    assert ulaw[0xFF] == 0 and ulaw[0x7F] == 0
+    assert int(np.abs(ulaw).max()) == 32124  # the G.711 full scale
+    # A-law: code 0x55 (xor -> 0) is the smallest NEGATIVE step -8;
+    # 0xD5 its positive mirror; full scale 32256
+    assert alaw[0x55] == -8 and alaw[0xD5] == 8
+    assert int(np.abs(alaw).max()) == 32256
+    # both tables are odd-symmetric under their sign bit
+    for b in range(128):
+        assert ulaw[b] == -ulaw[b ^ 0x80]
+        assert alaw[b] == -alaw[b ^ 0x80]
+
+    # end-to-end: a mu-law WAV (format 7) and an A-law WAV (format 6)
+    frames = bytes([0x00, 0xFF, 0x80, 0x9A])
+    payload = _wav(8000, [(0,)], fmt_code=7, bits=8, raw_data=frames)
+    rate, s = multimodal._decode_pcm(payload)
+    assert rate == 8000 and s.shape == (4, 1)
+    assert [int(v) for v in s[:, 0]] == [int(ulaw[b]) for b in frames]
+    payload = _wav(8000, [(0,)], fmt_code=6, bits=8, raw_data=frames)
+    _, s = multimodal._decode_pcm(payload)
+    assert [int(v) for v in s[:, 0]] == [int(alaw[b]) for b in frames]
+
+
 def test_decode_wav_compressed_still_stubbed(spark):
-    """A-law / MP3 / non-RIFF payloads need a codec library (absent
-    here) — the honest NotImplementedError surfaces through the Spark
-    action. (Float PCM, 24/32-bit, and IMA ADPCM really decode since
-    r9 — see the tests above.)"""
-    alaw_wav = _wav(8000, [(1, 1)], fmt_code=6, bits=8)
+    """MS-ADPCM / MP3-in-WAV / non-RIFF payloads need a codec library
+    (absent here) — the honest NotImplementedError surfaces through the
+    Spark action. (Float PCM, 24/32-bit, G.711, and IMA ADPCM really
+    decode since r9 — see the tests above.)"""
+    mp3_wav = _wav(8000, [(1, 1)], fmt_code=85, bits=16)
     with pytest.raises(Exception, match="variant not supported"):
-        multimodal.decode_audio(_blob_df(spark, alaw_wav)).collect()
+        multimodal.decode_audio(_blob_df(spark, mp3_wav)).collect()
     with pytest.raises(Exception, match="codec"):
         multimodal.decode_audio(_blob_df(spark, b"ID3\x04" + b"\x00" * 32)).collect()
 

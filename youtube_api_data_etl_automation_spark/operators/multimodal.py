@@ -15,11 +15,11 @@ No codec libraries are installed in this environment, so the decoders are
 split honestly: ``decode_image`` REALLY decodes the formats that need no
 codec library (24-bit BMP, binary P6 PPM, non-interlaced 8-bit PNG via
 stdlib zlib + scanline unfilter — every spec variant incl. palette,
-16-bit, and Adam7 since r9 — and, also r9, baseline Huffman JPEG via
-operators/jpeg.py), ``decode_audio`` really decodes
+16-bit, and Adam7 since r9 — plus, also r9, baseline Huffman JPEG via
+operators/jpeg.py and first-frame GIF via operators/gif.py), ``decode_audio`` really decodes
 RIFF/WAVE integer PCM 8/16/24/32, IEEE-float 32/64, and IMA ADPCM (the
 matrix completed in r9), and every remaining compressed format
-(progressive JPEG/GIF/WebP/MP3/AAC/...) raises an explicit NotImplementedError from inside
+(progressive JPEG/WebP/MP3/AAC/...) raises an explicit NotImplementedError from inside
 the same mapInPandas shape — or becomes a quarantine ROW under
 ``errors='quarantine'``. ``fake_decode_features`` remains the
 deterministic stand-in for pipeline tests that don't care about pixels.
@@ -425,8 +425,8 @@ def _decode_rgb(payload: bytes,
       decode, float64 IDCT, chroma upsampling, BT.601) — the DOMINANT
       web-corpus format, previously 100% quarantine.
 
-    Progressive JPEG / GIF / WebP still raise NotImplementedError —
-    those need a real codec library, absent in this environment."""
+    Progressive JPEG / WebP still raise NotImplementedError — those
+    need a real codec library, absent in this environment."""
     import struct
 
     import numpy as np
@@ -483,6 +483,10 @@ def _decode_rgb(payload: bytes,
         from .jpeg import decode_baseline_jpeg
 
         return "jpeg", decode_baseline_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        return "gif", decode_gif(payload)
     raise NotImplementedError(
         "compressed/unknown image format (magic "
         f"{payload[:2]!r}) requires PIL/opencv, not available in this "
@@ -521,7 +525,7 @@ def decode_image(
     stdlib zlib + scanline unfilter) — struct parsing + numpy pixel math
     inside the same Arrow-batched mapInPandas shape as every other
     payload op. Output row per image: format, dimensions, per-channel
-    means (exact doubles). Progressive JPEG and GIF/WebP still raise
+    means (exact doubles). Progressive JPEG and WebP still raise
     NotImplementedError from the decoder (honest stub: a codec library
     is required and absent here); every PNG spec variant decodes (r9).
 
@@ -534,8 +538,9 @@ def decode_image(
     operators/quarantine.py, attributed by the decoder's own message —
     plus an ``error_kind`` column ('unsupported' vs 'corrupt', see
     :func:`_error_kind`) so the two failure populations route differently
-    (progressive JPEG and GIF are 'unsupported', not broken; baseline
-    JPEG — the dominant web-corpus case — really decodes since r9)."""
+    (progressive JPEG and WebP are 'unsupported', not broken; baseline
+    JPEG — the dominant web-corpus case — and first-frame GIF really
+    decode since r9)."""
     quarantine = _check_errors_mode(errors)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -689,6 +694,36 @@ def _ima_adpcm_decode(data: bytes, n_ch: int, block_align: int,
     ) if n_frames else np.zeros((0, n_ch), dtype=np.int64)
 
 
+def _g711_lut(*, alaw: bool):
+    """256-entry G.711 expansion table (ITU-T G.711): companded byte →
+    linear int16. Built once per worker import; decode is then a pure
+    numpy gather — no per-sample Python."""
+    import numpy as np
+
+    out = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        if alaw:
+            a = b ^ 0x55
+            sign = a & 0x80
+            exp = (a >> 4) & 0x07
+            mant = a & 0x0F
+            if exp > 0:
+                v = ((mant << 4) + 0x108) << (exp - 1)
+            else:
+                v = (mant << 4) + 8
+            # A-law sign convention is INVERTED vs mu-law: a set sign
+            # bit means positive (CCITT reference alaw2linear)
+            out[b] = v if sign else -v
+        else:
+            u = ~b & 0xFF
+            sign = u & 0x80
+            exp = (u >> 4) & 0x07
+            mant = u & 0x0F
+            v = (((mant << 3) + 0x84) << exp) - 0x84
+            out[b] = -v if sign else v
+    return out
+
+
 def _decode_pcm(payload: bytes,
                 adpcm_sample_budget: int | None = ADPCM_SAMPLE_BUDGET):
     """Decode one RIFF/WAVE payload to (sample_rate, samples array shaped
@@ -795,11 +830,24 @@ def _decode_pcm(payload: bytes,
         ).astype(np.float64) * 32768.0
         return int(rate), samples.reshape(n_frames, n_ch)
 
+    if audio_fmt in (6, 7):  # G.711 A-law / mu-law
+        if bits not in (0, 8):
+            raise ValueError(
+                f"malformed WAVE: G.711 declares {bits} bits (must be 8)"
+            )
+        lut = _g711_lut(alaw=audio_fmt == 6)
+        n_frames = len(data) // n_ch
+        samples = lut[
+            np.frombuffer(data, dtype=np.uint8, count=n_frames * n_ch)
+        ].astype(np.int64)
+        return int(rate), samples.reshape(n_frames, n_ch)
+
     if audio_fmt != 1 or bits not in (8, 16, 24, 32):
         raise NotImplementedError(
             f"WAVE variant not supported (format={audio_fmt}, bits={bits}, "
-            f"channels={n_ch}); integer PCM 8/16/24/32, float 32/64, and "
-            "IMA ADPCM decode without a codec library"
+            f"channels={n_ch}); integer PCM 8/16/24/32, float 32/64, "
+            "G.711 A-law/mu-law, and IMA ADPCM decode without a codec "
+            "library"
         )
     width = bits // 8
     n_frames = len(data) // (width * n_ch)
