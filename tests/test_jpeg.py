@@ -373,14 +373,16 @@ def test_extended_sequential_sof1_accepted():
     assert (jpeg.decode_baseline_jpeg(payload) == 78).all()
 
 
-def test_progressive_and_arithmetic_refuse_honestly():
+def test_arithmetic_refuses_and_fake_progressive_is_corrupt():
     img = np.full((8, 8), 10, dtype=np.uint8)
-    prog, *_ = _encode_jpeg(img, sof_marker=0xC2)
-    with pytest.raises(NotImplementedError, match="progressive"):
-        jpeg.decode_baseline_jpeg(prog)
     arith, *_ = _encode_jpeg(img, sof_marker=0xC9)
     with pytest.raises(NotImplementedError, match="arithmetic"):
         jpeg.decode_baseline_jpeg(arith)
+    # a baseline scan mislabeled SOF2 is NOT valid progressive (its one
+    # scan spans DC and AC) — the decoder refuses it as malformed
+    fake_prog, *_ = _encode_jpeg(img, sof_marker=0xC2)
+    with pytest.raises(ValueError, match="mixes DC and AC"):
+        jpeg.decode_baseline_jpeg(fake_prog)
 
 
 def test_corrupt_payloads_refuse_with_valueerror():
@@ -421,15 +423,17 @@ def test_decode_rgb_routes_jpeg():
 
 
 def test_decode_image_spark_roundtrip_and_quarantine(spark):
-    """End-to-end through the Arrow-batched decode_image: a good baseline
-    JPEG yields features; a progressive one lands in quarantine as
-    'unsupported' (recoverable), a truncated one as 'corrupt'."""
+    """End-to-end through the Arrow-batched decode_image: good baseline
+    AND progressive JPEGs yield features; an arithmetic-coded one lands
+    in quarantine as 'unsupported' (recoverable), a truncated one as
+    'corrupt'."""
     img = np.full((8, 8), 160, dtype=np.uint8)
     good, *_ = _encode_jpeg(img)
-    prog, *_ = _encode_jpeg(img, sof_marker=0xC2)
+    prog, *_ = _encode_progressive(img)
+    arith, *_ = _encode_jpeg(img, sof_marker=0xC9)
     blobs = spark.createDataFrame(
         [(1, bytearray(good)), (2, bytearray(prog)),
-         (3, bytearray(good[:40]))],
+         (3, bytearray(good[:40])), (4, bytearray(arith))],
         "doc_id long, payload binary",
     )
     rows = {r.doc_id: r for r in multimodal.decode_image(
@@ -438,6 +442,274 @@ def test_decode_image_spark_roundtrip_and_quarantine(spark):
     assert rows[1].format == "jpeg" and rows[1].error is None
     assert (rows[1].mean_r, rows[1].mean_g, rows[1].mean_b) == \
         (160.0, 160.0, 160.0)
-    assert rows[2].error_kind == "unsupported" \
-        and "progressive" in rows[2].error
+    assert rows[2].format == "jpeg" and rows[2].error is None
+    assert (rows[2].mean_r, rows[2].mean_g, rows[2].mean_b) == \
+        (160.0, 160.0, 160.0)
     assert rows[3].error_kind == "corrupt"
+    assert rows[4].error_kind == "unsupported" \
+        and "arithmetic" in rows[4].error
+
+
+# ------------------------------------------------------- progressive
+
+def _prog_bits(ops, table_codes):
+    bw = _BitWriter()
+    for sym, extras in ops:
+        if sym is not None:  # DC refinement scans are RAW bits (no code)
+            ln, code = table_codes[sym]
+            bw.put(code, ln)
+        for val, nbits in extras:
+            if nbits:
+                bw.put(val, nbits)
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _dc_first_ops(comp_blocks, sampling, mcus, al):
+    mcus_y, mcus_x = mcus
+    pred = [0] * len(sampling)
+    ops = []
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (sh, sv) in enumerate(sampling):
+                for by in range(sv):
+                    for bx in range(sh):
+                        dc = int(comp_blocks[ci][(my * sv + by,
+                                                  mx * sh + bx)][0, 0]) >> al
+                        diff = dc - pred[ci]
+                        pred[ci] = dc
+                        t = _category(diff)
+                        bits = diff if diff > 0 else diff + (1 << t) - 1
+                        ops.append((t, [(bits, t)]))
+    return ops
+
+
+def _dc_refine_ops(comp_blocks, sampling, mcus, al):
+    mcus_y, mcus_x = mcus
+    ops = []
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (sh, sv) in enumerate(sampling):
+                for by in range(sv):
+                    for bx in range(sh):
+                        bit = (int(comp_blocks[ci][(my * sv + by,
+                                                    mx * sh + bx)][0, 0])
+                               >> al) & 1
+                        ops.append((None, [(bit, 1)]))  # raw bit, no code
+    return ops
+
+
+def _block_raster(blocks, dims):
+    """Non-interleaved scans cover the component's OWN block grid
+    (T.81 A.2.2) — NOT the MCU-padded cover the dict holds."""
+    bh_n, bw_n = dims
+    return [blocks[(by, bx)] for by in range(bh_n) for bx in range(bw_n)]
+
+
+def _ac_first_ops(blocks, dims, ss, se, al):
+    """T.81 G.1.2.2 encoder: band run-lengths with cross-block EOB runs;
+    AC point transform is magnitude-wise (sign * (|v| >> al))."""
+    ops = []
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            ops.append((r << 4, [(eobrun - (1 << r), r)]))
+            eobrun = 0
+
+    for blk in _block_raster(blocks, dims):
+        zz = [int(blk[r, c]) for (r, c) in ZIGZAG]
+        vals = []
+        for k in range(ss, se + 1):
+            v = zz[k]
+            vals.append((abs(v) >> al) * (1 if v >= 0 else -1))
+        if not any(vals):
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        last_nz = max(i for i, v in enumerate(vals) if v)
+        r = 0
+        for v in vals[: last_nz + 1]:
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                ops.append((0xF0, []))
+                r -= 16
+            sz = abs(v).bit_length()
+            bits = v if v > 0 else v + (1 << sz) - 1
+            ops.append(((r << 4) | sz, [(bits, sz)]))
+            r = 0
+        if last_nz < len(vals) - 1:
+            eobrun += 1
+    flush_eob()
+    return ops
+
+
+def _ac_refine_ops(blocks, dims, ss, se, al):
+    """T.81 G.1.2.3 encoder (libjpeg encode_mcu_AC_refine structure):
+    newly-visible +/-1 coefficients with run lengths, correction bits
+    for already-known coefficients, EOB runs carrying buffered
+    correction bits."""
+    ops = []
+    eobrun = 0
+    pending_br: list[tuple[int, int]] = []
+
+    def flush_eob():
+        nonlocal eobrun, pending_br
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            ops.append((r << 4, [(eobrun - (1 << r), r)] + pending_br))
+            eobrun = 0
+            pending_br = []
+
+    for blk in _block_raster(blocks, dims):
+        zz = [int(blk[r, c]) for (r, c) in ZIGZAG]
+        absv = [abs(zz[k]) >> al for k in range(ss, se + 1)]
+        signs = [zz[k] >= 0 for k in range(ss, se + 1)]
+        eob = 0
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob = i + 1  # last newly-visible position + 1
+        r = 0
+        br: list[tuple[int, int]] = []
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i < eob:
+                flush_eob()
+                ops.append((0xF0, list(br)))
+                br = []
+                r -= 16
+            if t > 1:
+                br.append((t & 1, 1))
+                continue
+            flush_eob()
+            ops.append(((r << 4) | 1,
+                        [(1 if signs[i] else 0, 1)] + br))
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            pending_br += br
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    return ops
+
+
+def _encode_progressive(pixels, sampling=None, q=FLAT_Q):
+    """Progressive JPEG encoder: DC first at Al=1 + DC refinement, then
+    per component a spectral-selection split (bands 1..5 and 6..63) each
+    as an Al=1 first pass plus an Al=0 refinement — every Annex G scan
+    type, with per-scan Huffman tables (redefined between scans)."""
+    pixels = np.asarray(pixels, dtype=np.uint8)
+    grey = pixels.ndim == 2
+    ncomp = 1 if grey else 3
+    sampling = sampling or ([(1, 1)] if grey else [(2, 2), (1, 1), (1, 1)])
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    h_img, w_img = pixels.shape[:2]
+    q8 = np.empty((8, 8))
+    for i, (r, c) in enumerate(ZIGZAG):
+        q8[r, c] = q[i]
+    planes = [pixels.astype(np.float64)] if grey else _rgb_to_ycbcr(pixels)
+    mcus_x = (w_img + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h_img + 8 * vmax - 1) // (8 * vmax)
+    comp_blocks = []
+    for ci, (sh, sv) in enumerate(sampling):
+        p = planes[ci]
+        fy, fx = vmax // sv, hmax // sh
+        if fy > 1 or fx > 1:
+            ph = (p.shape[0] + fy - 1) // fy * fy
+            pw = (p.shape[1] + fx - 1) // fx * fx
+            p = _pad_to(p, ph, pw)
+            p = np.round(
+                p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+            )
+        comp_blocks.append(_quantized_blocks(p, q8, mcus_y * sv, mcus_x * sh))
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes(q))
+    sof = bytes([8]) + struct.pack(">HH", h_img, w_img) + bytes([ncomp])
+    for ci, (sh, sv) in enumerate(sampling):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0])
+    out += seg(0xC2, sof)
+
+    def emit_scan(ops, sel, ss, se, ah, al, tc):
+        syms = sorted({sym for sym, _ in ops if sym is not None})
+        counts, codes = (lambda c_: c_)(None) or (None, None)
+        # canonical() from the baseline encoder
+        length = max(2, (len(syms) + 1).bit_length())
+        counts = [0] * 16
+        counts[length - 1] = len(syms)
+        table_codes = {sym: (length, i) for i, sym in enumerate(syms)}
+        nonlocal_out = seg(
+            0xC4, bytes([(tc << 4) | 0]) + bytes(counts) + bytes(syms)
+        )
+        sos = bytes([len(sel)])
+        for cs in sel:
+            sos += bytes([cs, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        data = _prog_bits(ops, table_codes)
+        return nonlocal_out + seg(0xDA, sos) + data
+
+    all_ids = list(range(1, ncomp + 1))
+    out += emit_scan(_dc_first_ops(comp_blocks, sampling, (mcus_y, mcus_x), 1),
+                     all_ids, 0, 0, 0, 1, 0)
+    out += emit_scan(_dc_refine_ops(comp_blocks, sampling, (mcus_y, mcus_x), 0),
+                     all_ids, 0, 0, 1, 0, 0)
+    def ndims(ci):
+        sh, sv = sampling[ci]
+        cw = (w_img * sh + hmax - 1) // hmax
+        ch = (h_img * sv + vmax - 1) // vmax
+        return ((ch + 7) // 8, (cw + 7) // 8)
+
+    for ci in range(ncomp):
+        for (ss, se) in ((1, 5), (6, 63)):
+            out += emit_scan(
+                _ac_first_ops(comp_blocks[ci], ndims(ci), ss, se, 1),
+                [ci + 1], ss, se, 0, 1, 1)
+    for ci in range(ncomp):
+        for (ss, se) in ((1, 5), (6, 63)):
+            out += emit_scan(
+                _ac_refine_ops(comp_blocks[ci], ndims(ci), ss, se, 0),
+                [ci + 1], ss, se, 1, 0, 1)
+    out += b"\xff\xd9"
+    return bytes(out), comp_blocks, sampling
+
+
+def test_progressive_grey_matches_baseline_model():
+    img = _rng_image(24, 16, seed=21, grey=True)
+    payload, blocks, sampling = _encode_progressive(img)
+    got = jpeg.decode_baseline_jpeg(payload)
+    want = _expected_pixels(blocks, sampling, FLAT_Q, 24, 16)
+    _assert_close(got, want)
+
+
+def test_progressive_color_420_matches_baseline_model():
+    img = _rng_image(21, 19, seed=22)  # non-MCU-aligned, 4:2:0
+    payload, blocks, sampling = _encode_progressive(img)
+    got = jpeg.decode_baseline_jpeg(payload)
+    want = _expected_pixels(blocks, sampling, FLAT_Q, 21, 19)
+    _assert_close(got, want)
+
+
+def test_progressive_444_and_solid_dc_only():
+    img = np.full((8, 8), 160, dtype=np.uint8)
+    payload, *_ = _encode_progressive(img)
+    assert (jpeg.decode_baseline_jpeg(payload) == 160).all()
+    img = _rng_image(16, 16, seed=23)
+    payload, blocks, sampling = _encode_progressive(
+        img, sampling=[(1, 1), (1, 1), (1, 1)]
+    )
+    got = jpeg.decode_baseline_jpeg(payload)
+    _assert_close(got, _expected_pixels(blocks, sampling, FLAT_Q, 16, 16))

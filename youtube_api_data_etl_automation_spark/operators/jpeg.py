@@ -1,27 +1,34 @@
-"""Pure-stdlib+numpy baseline JPEG (ITU-T T.81) decoder.
+"""Pure-stdlib+numpy Huffman JPEG (ITU-T T.81) decoder — baseline,
+extended-sequential, AND progressive.
 
 Closes the dominant gap in the codec-free image path
 (:mod:`.multimodal`): JPEG is the majority image format of any real web
 corpus, and until r9 every JPEG payload landed in quarantine as
-``error_kind='unsupported'``. This module decodes the baseline subset
+``error_kind='unsupported'``. This module decodes the Huffman subset
 honestly end-to-end — no codec library, no approximation of the spec:
 
 - marker segments: SOI, APPn/COM (skipped), DQT (8-bit and 16-bit
-  precision), DHT, SOF0/SOF1 (baseline / extended-sequential Huffman),
-  SOS, DRI + RSTn restart intervals, EOI;
+  precision), DHT (redefinable between scans), SOF0/SOF1/SOF2, SOS,
+  DRI + RSTn restart intervals, EOI;
 - entropy decode: canonical Huffman per T.81 Annex C (BITS/HUFFVAL →
   code table), bit-serial reader over the 0xFF00-destuffed scan, DC
   category + diff with per-component predictors (reset at restarts), AC
   run/size with ZRL and EOB, generic interleaved MCU layout for any
   per-component sampling factors (4:4:4, 4:2:2, 4:2:0, greyscale);
+- progressive (T.81 Annex G, late r9): multi-scan spectral selection
+  (DC/AC band splits over each component's own block grid) and
+  successive approximation (DC raw-bit refinement, the G.1.2.3 AC
+  refinement protocol with EOB runs and buffered correction bits),
+  coefficients accumulated across scans then reconstructed in one
+  batched einsum IDCT per component;
 - reconstruction: dequantize, inverse zigzag, separable float64 IDCT
   (8x8 DCT-III basis matrix, numpy matmul per block batch), +128 level
   shift, clip/round to uint8, nearest-neighbor (pixel-replication)
   chroma upsampling, BT.601 YCbCr→RGB.
 
 Honest refusals (NotImplementedError → ``error_kind='unsupported'``
-under the quarantine path): progressive (SOF2) and every non-Huffman /
-non-8-bit SOF variant, plus scans whose entropy-coded byte count
+under the quarantine path): arithmetic coding, lossless/differential/
+hierarchical SOFs, non-8-bit precision, plus scans whose entropy-coded byte count
 exceeds ``JPEG_ENTROPY_BYTE_BUDGET`` — the bit-serial Huffman loop is
 the same inherently-sequential Python hot spot as the PNG Average/Paeth
 recurrence (see multimodal.PNG_SLOW_FILTER_BYTE_BUDGET), so the budget
@@ -62,7 +69,6 @@ _ZIGZAG = [
 ]
 
 _SOF_UNSUPPORTED = {
-    0xC2: "progressive (SOF2)",
     0xC3: "lossless (SOF3)",
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
@@ -176,9 +182,13 @@ def _idct_matrix():
     return t * 0.5
 
 
-def _parse_segments(payload: bytes):
-    """Walk the marker stream up to (and including) SOS; return parsed
-    state + the offset where entropy-coded data begins."""
+def _parse_segments(payload: bytes, all_scans: bool = False):
+    """Walk the marker stream up to (and including) the first SOS — or,
+    with ``all_scans``, through EVERY scan (progressive frames): each
+    scan then carries its destuffed data/restart offsets plus a snapshot
+    of the Huffman tables and restart interval in effect (both may be
+    redefined between scans). Returns
+    (qtables, htables, frame, restart_interval, scans_or_scan)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("malformed JPEG: missing SOI marker")
     qtables: dict[int, list[int]] = {}
@@ -186,6 +196,7 @@ def _parse_segments(payload: bytes):
     frame = None
     restart_interval = 0
     scan = None
+    scans: list[dict] = []
     pos = 2
     n = len(payload)
     while pos + 4 <= n:
@@ -232,7 +243,7 @@ def _parse_segments(payload: bytes):
                 symbols = body[i + 17 : i + 17 + total]
                 htables[(tc, th)] = _build_huffman(counts, symbols)
                 i += 17 + total
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1: Huffman sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # Huffman sequential/progressive
             precision = body[0]
             if precision != 8:
                 raise NotImplementedError(
@@ -252,7 +263,8 @@ def _parse_segments(payload: bytes):
             if any(c["h"] < 1 or c["v"] < 1 or c["h"] > 4 or c["v"] > 4
                    for c in comps):
                 raise ValueError("malformed JPEG: bad sampling factor")
-            frame = {"h": h, "w": w, "comps": comps}
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
         elif marker in _SOF_UNSUPPORTED:
             raise NotImplementedError(
                 f"JPEG {_SOF_UNSUPPORTED[marker]} not supported; only "
@@ -269,19 +281,29 @@ def _parse_segments(payload: bytes):
             for si in range(ns):
                 cs, tds = body[1 + 2 * si : 3 + 2 * si]
                 sel.append({"cs": cs, "td": tds >> 4, "ta": tds & 0x0F})
-            scan = {"sel": sel, "data_at": pos + 2 + seg_len}
-            break
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            scan = {"sel": sel, "data_at": pos + 2 + seg_len,
+                    "ss": ss, "se": se, "ah": ahal >> 4, "al": ahal & 0x0F,
+                    "ri": restart_interval, "huff": dict(htables)}
+            scans.append(scan)
+            if not all_scans:
+                break
+            data, restarts, pos = _destuff(payload, scan["data_at"])
+            scan["data"], scan["restarts"] = data, restarts
+            continue
         # APPn / COM / anything else: skipped
         pos += 2 + seg_len
     if frame is None or scan is None:
         raise ValueError("malformed JPEG: missing SOF/SOS")
-    return qtables, htables, frame, restart_interval, scan
+    return qtables, htables, frame, restart_interval, \
+        (scans if all_scans else scan)
 
 
 def _destuff(payload: bytes, start: int):
     """Collect the entropy-coded segment from ``start``: drop 0xFF00
     stuffing, record restart-marker positions (as byte offsets in the
-    destuffed stream), stop at the next real marker."""
+    destuffed stream), stop at the next real marker. Returns
+    (data, restarts, position of the terminating marker)."""
     out = bytearray()
     restarts = []
     pos = start
@@ -293,6 +315,7 @@ def _destuff(payload: bytes, start: int):
             pos += 1
             continue
         if pos + 1 >= n:
+            pos = n
             break
         m = payload[pos + 1]
         if m == 0x00:
@@ -303,20 +326,23 @@ def _destuff(payload: bytes, start: int):
             pos += 2
         else:  # EOI or next segment
             break
-    return bytes(out), restarts
+    return bytes(out), restarts, pos
 
 
 def decode_baseline_jpeg(
     payload: bytes,
     entropy_budget: int | None = JPEG_ENTROPY_BYTE_BUDGET,
 ):
-    """Decode a baseline/extended-sequential Huffman JPEG to an HxWx3
-    uint8 RGB array (greyscale replicated across channels). See the
-    module docstring for the supported subset and refusal contract."""
+    """Decode a Huffman JPEG — baseline, extended-sequential, or
+    progressive (dispatched on the SOF marker) — to an HxWx3 uint8 RGB
+    array (greyscale replicated across channels). See the module
+    docstring for the supported subset and refusal contract."""
     import numpy as np
 
     qtables, htables, frame, restart_interval, scan = _parse_segments(payload)
-    data, restart_offsets = _destuff(payload, scan["data_at"])
+    if frame.get("progressive"):
+        return _decode_progressive(payload, entropy_budget)
+    data, restart_offsets, _ = _destuff(payload, scan["data_at"])
     if entropy_budget is not None and len(data) > entropy_budget:
         raise NotImplementedError(
             f"JPEG exceeds the entropy-coded byte budget ({len(data)} > "
@@ -429,7 +455,15 @@ def decode_baseline_jpeg(
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_index += 1
 
-    # upsample to full resolution by pixel replication, crop to the image
+    return _finish(planes, comps, hmax, vmax, h_img, w_img)
+
+
+def _finish(planes, comps, hmax, vmax, h_img, w_img):
+    """Shared reconstruction tail: replication upsample to full
+    resolution, crop to the image, greyscale broadcast or BT.601
+    YCbCr→RGB, clip/round to uint8."""
+    import numpy as np
+
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -458,3 +492,242 @@ def decode_baseline_jpeg(
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_progressive(
+    payload: bytes,
+    entropy_budget: int | None = JPEG_ENTROPY_BYTE_BUDGET,
+):
+    """Progressive (SOF2) Huffman JPEG decode — T.81 Annex G: per-scan
+    spectral selection (Ss..Se bands, DC and AC split) AND successive
+    approximation (Ah/Al bit-plane refinement, incl. the G.1.2.3 AC
+    refinement protocol with EOB runs and correction bits). Coefficients
+    accumulate in zigzag order across scans; reconstruction then runs as
+    one batched dequant + IDCT per component. Restart intervals reset DC
+    predictors and the EOB run and re-align the reader, exactly as in
+    the sequential path."""
+    import numpy as np
+
+    qtables, _, frame, _, scans = _parse_segments(payload, all_scans=True)
+    total = sum(len(sc["data"]) for sc in scans)
+    if entropy_budget is not None and total > entropy_budget:
+        raise NotImplementedError(
+            f"JPEG exceeds the entropy-coded byte budget ({total} > "
+            f"{entropy_budget}): bulk hi-res decode needs a codec "
+            "library; raise entropy_budget (or pass None) to force the "
+            "pure-Python path"
+        )
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if len(comps) == 1:
+        comps[0]["h"] = comps[0]["v"] = hmax = vmax = 1
+    h_img, w_img = frame["h"], frame["w"]
+    mcus_x = (w_img + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h_img + 8 * vmax - 1) // (8 * vmax)
+    comp_by_id = {}
+    coef = []
+    for ci, c in enumerate(comps):
+        if c["tq"] not in qtables:
+            raise ValueError(
+                f"malformed JPEG: component references missing quant "
+                f"table {c['tq']}"
+            )
+        c["bw"] = mcus_x * c["h"]
+        c["bh"] = mcus_y * c["v"]
+        # non-interleaved scans cover the component's OWN block grid
+        # (T.81 A.2.2), not the MCU-padded cover
+        c["bw_n"] = ((w_img * c["h"] + hmax - 1) // hmax + 7) // 8
+        c["bh_n"] = ((h_img * c["v"] + vmax - 1) // vmax + 7) // 8
+        c["ci"] = ci
+        comp_by_id[c["id"]] = c
+        coef.append(np.zeros((c["bh"], c["bw"], 64), dtype=np.int64))
+
+    for sc in scans:
+        reader = _BitReader(sc["data"])
+        restart_iter = iter(sc["restarts"])
+        ri = sc["ri"]
+        ss, se, ah, al = sc["ss"], sc["se"], sc["ah"], sc["al"]
+        if ss > se or se > 63:
+            raise ValueError(f"malformed JPEG: scan band {ss}..{se}")
+        sel = sc["sel"]
+        for s_ in sel:
+            if s_["cs"] not in comp_by_id:
+                raise ValueError(
+                    f"malformed JPEG: scan selects unknown component "
+                    f"{s_['cs']}"
+                )
+
+        def do_restart(preds, eob_box):
+            try:
+                boundary = next(restart_iter)
+            except StopIteration:
+                raise ValueError(
+                    "malformed JPEG: missing RST marker at restart "
+                    "interval"
+                ) from None
+            reader.pos = boundary * 8
+            for cid in preds:
+                preds[cid] = 0
+            eob_box[0] = 0
+
+        if ss == 0:
+            # DC scan (the only scan kind that may interleave)
+            if se != 0:
+                raise ValueError(
+                    "malformed JPEG: progressive scan mixes DC and AC"
+                )
+            preds = {s_["cs"]: 0 for s_ in sel}
+            eob_box = [0]
+
+            def dc_block(block, s_):
+                if ah == 0:
+                    t = reader.decode_symbol(sc["huff"][(0, s_["td"])])
+                    if t > 11:
+                        raise ValueError("malformed JPEG: DC category > 11")
+                    preds[s_["cs"]] += _extend(reader.receive(t), t)
+                    block[0] = preds[s_["cs"]] << al
+                else:
+                    if reader.read_bit():
+                        block[0] |= 1 << al
+            if len(sel) > 1:
+                unit = 0
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        if ri and unit and unit % ri == 0:
+                            do_restart(preds, eob_box)
+                        for s_ in sel:
+                            c = comp_by_id[s_["cs"]]
+                            for by in range(c["v"]):
+                                for bx in range(c["h"]):
+                                    dc_block(
+                                        coef[c["ci"]][my * c["v"] + by,
+                                                      mx * c["h"] + bx],
+                                        s_,
+                                    )
+                        unit += 1
+            else:
+                s_ = sel[0]
+                c = comp_by_id[s_["cs"]]
+                unit = 0
+                for by in range(c["bh_n"]):
+                    for bx in range(c["bw_n"]):
+                        if ri and unit and unit % ri == 0:
+                            do_restart(preds, eob_box)
+                        dc_block(coef[c["ci"]][by, bx], s_)
+                        unit += 1
+            continue
+
+        # AC scan: single component, raster over its own grid
+        if len(sel) != 1:
+            raise ValueError(
+                "malformed JPEG: progressive AC scan must be "
+                "non-interleaved (one component)"
+            )
+        s_ = sel[0]
+        c = comp_by_id[s_["cs"]]
+        ac_tab = sc["huff"].get((1, s_["ta"]))
+        if ac_tab is None:
+            raise ValueError(
+                "malformed JPEG: scan references missing Huffman table"
+            )
+        grid = coef[c["ci"]]
+        eobrun = 0
+        p1 = 1 << al
+        m1 = -p1
+        unit = 0
+        dummy_preds: dict = {}
+        for by in range(c["bh_n"]):
+            for bx in range(c["bw_n"]):
+                if ri and unit and unit % ri == 0:
+                    box = [eobrun]
+                    do_restart(dummy_preds, box)
+                    eobrun = box[0]
+                unit += 1
+                block = grid[by, bx]
+                if ah == 0:
+                    # first pass for this band (G.1.2.2)
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = reader.decode_symbol(ac_tab)
+                        r, sz = rs >> 4, rs & 0x0F
+                        if sz == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.receive(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError(
+                                "malformed JPEG: AC run past band end"
+                            )
+                        block[k] = _extend(reader.receive(sz), sz) << al
+                        k += 1
+                else:
+                    # refinement pass (G.1.2.3, libjpeg structure)
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = reader.decode_symbol(ac_tab)
+                            r, sz = rs >> 4, rs & 0x0F
+                            if sz == 0:
+                                if r < 15:
+                                    eobrun = (1 << r)
+                                    if r:
+                                        eobrun += reader.receive(r)
+                                    break
+                                # r == 15: ZRL — advance 16 zero-history
+                                # positions (correction bits ride along)
+                                val = 0
+                            else:
+                                if sz != 1:
+                                    raise ValueError(
+                                        "malformed JPEG: refinement "
+                                        "coefficient size != 1"
+                                    )
+                                val = p1 if reader.read_bit() else m1
+                            while k <= se:
+                                if block[k] != 0:
+                                    if reader.read_bit() and \
+                                            (block[k] & p1) == 0:
+                                        block[k] += p1 if block[k] >= 0 \
+                                            else m1
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if sz and k <= se:
+                                block[k] = val
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:
+                            if block[k] != 0:
+                                if reader.read_bit() and \
+                                        (block[k] & p1) == 0:
+                                    block[k] += p1 if block[k] >= 0 else m1
+                            k += 1
+                        eobrun -= 1
+
+    # batched reconstruction: dequant in zigzag space, scatter to
+    # natural order, one einsum IDCT per component
+    tmat = _idct_matrix()
+    zr = np.array([r for r, _ in _ZIGZAG])
+    zc = np.array([cc for _, cc in _ZIGZAG])
+    planes = []
+    for ci, c in enumerate(comps):
+        qz = np.array(qtables[c["tq"]], dtype=np.float64)
+        deq = coef[ci].astype(np.float64) * qz
+        nat = np.zeros((c["bh"], c["bw"], 8, 8), dtype=np.float64)
+        nat[:, :, zr, zc] = deq
+        blocks = np.einsum("ij,xyjk,kl->xyil", tmat.T, nat, tmat) + 128.0
+        planes.append(
+            blocks.transpose(0, 2, 1, 3).reshape(c["bh"] * 8, c["bw"] * 8)
+        )
+    return _finish(planes, comps, hmax, vmax, h_img, w_img)

@@ -15,11 +15,12 @@ No codec libraries are installed in this environment, so the decoders are
 split honestly: ``decode_image`` REALLY decodes the formats that need no
 codec library (24-bit BMP, binary P6 PPM, non-interlaced 8-bit PNG via
 stdlib zlib + scanline unfilter — every spec variant incl. palette,
-16-bit, and Adam7 since r9 — plus, also r9, baseline Huffman JPEG via
-operators/jpeg.py and first-frame GIF via operators/gif.py), ``decode_audio`` really decodes
+16-bit, and Adam7 since r9 — plus, also r9, Huffman JPEG — baseline AND
+progressive — via operators/jpeg.py and first-frame GIF via
+operators/gif.py), ``decode_audio`` really decodes
 RIFF/WAVE integer PCM 8/16/24/32, IEEE-float 32/64, and IMA ADPCM (the
 matrix completed in r9), and every remaining compressed format
-(progressive JPEG/WebP/MP3/AAC/...) raises an explicit NotImplementedError from inside
+(arithmetic JPEG/WebP/MP3/AAC/...) raises an explicit NotImplementedError from inside
 the same mapInPandas shape — or becomes a quarantine ROW under
 ``errors='quarantine'``. ``fake_decode_features`` remains the
 deterministic stand-in for pipeline tests that don't care about pixels.
@@ -420,13 +421,13 @@ def _decode_rgb(payload: bytes,
       RGBA 8/16, non-interlaced and Adam7 — via stdlib zlib + spec
       scanline unfilter (16-bit keeps the high byte; alpha/tRNS
       reported structure, not composited).
-    - JPEG (r9): baseline/extended-sequential Huffman via
+    - JPEG (r9): baseline/extended-sequential AND progressive Huffman via
       operators/jpeg.py (T.81 marker parse, canonical Huffman entropy
       decode, float64 IDCT, chroma upsampling, BT.601) — the DOMINANT
       web-corpus format, previously 100% quarantine.
 
-    Progressive JPEG / WebP still raise NotImplementedError — those
-    need a real codec library, absent in this environment."""
+    Arithmetic-coded JPEG / WebP still raise NotImplementedError —
+    those need a real codec library, absent in this environment."""
     import struct
 
     import numpy as np
@@ -525,7 +526,7 @@ def decode_image(
     stdlib zlib + scanline unfilter) — struct parsing + numpy pixel math
     inside the same Arrow-batched mapInPandas shape as every other
     payload op. Output row per image: format, dimensions, per-channel
-    means (exact doubles). Progressive JPEG and WebP still raise
+    means (exact doubles). Arithmetic-coded JPEG and WebP still raise
     NotImplementedError from the decoder (honest stub: a codec library
     is required and absent here); every PNG spec variant decodes (r9).
 
@@ -538,9 +539,9 @@ def decode_image(
     operators/quarantine.py, attributed by the decoder's own message —
     plus an ``error_kind`` column ('unsupported' vs 'corrupt', see
     :func:`_error_kind`) so the two failure populations route differently
-    (progressive JPEG and WebP are 'unsupported', not broken; baseline
-    JPEG — the dominant web-corpus case — and first-frame GIF really
-    decode since r9)."""
+    (arithmetic-coded JPEG and WebP are 'unsupported', not broken;
+    baseline AND progressive JPEG — the dominant web-corpus cases — and
+    first-frame GIF really decode since r9)."""
     quarantine = _check_errors_mode(errors)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
