@@ -219,3 +219,33 @@ def test_gif_through_decode_image_and_quarantine(spark):
     assert rows[1].format == "gif" and rows[1].error is None
     assert (rows[1].mean_r, rows[1].mean_g, rows[1].mean_b) == (30.0, 45.0, 60.0)
     assert rows[2].error_kind == "corrupt"
+
+
+# ------------------------------------------------- property round-trips
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    n_colors=st.integers(2, 16),
+    interlace=st.booleans(),
+    clear_every=st.one_of(st.none(), st.integers(5, 60)),
+    seed=st.integers(0, 2**31),
+)
+def test_gif_lzw_roundtrip_property(w, h, n_colors, interlace,
+                                    clear_every, seed):
+    """Any palette image of any shape must round-trip byte-exactly
+    through the independent compressor and the decoder — hypothesis
+    sweeps the LZW width/clear/interlace state space."""
+    rng = np.random.default_rng(seed)
+    pal = [tuple(int(v) for v in rng.integers(0, 256, 3))
+           for _ in range(n_colors)]
+    idx = rng.integers(0, n_colors, (h, w)).tolist()
+    got = gif.decode_gif(
+        _gif(idx, pal, interlace=interlace, clear_every=clear_every)
+    )
+    assert np.array_equal(got, _expected(idx, pal))

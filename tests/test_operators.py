@@ -1167,3 +1167,145 @@ def test_dedup_lines_passthrough_columns_and_validation(spark):
 
     with _pytest.raises(ValueError, match="keep"):
         dedup_lines(docs, keep="last")
+
+
+def test_png_matrix_roundtrip_property():
+    """Property sweep over the PNG variant matrix: random legal
+    (color_type, depth, interlace, per-row filters) combinations must
+    reconstruct byte-exactly (greyscale modulo the documented sub-byte
+    scaling and 16-bit high-byte rules, checked via the same independent
+    model used by the unit tests)."""
+    import numpy as np
+
+    rng = np.random.default_rng(123)
+    legal = [(0, d) for d in (1, 2, 4, 8, 16)] + \
+        [(2, d) for d in (8, 16)] + [(3, d) for d in (1, 2, 4, 8)] + \
+        [(4, d) for d in (8, 16)] + [(6, d) for d in (8, 16)]
+    for trial in range(40):
+        color, depth = legal[int(rng.integers(0, len(legal)))]
+        h = int(rng.integers(1, 14))
+        w = int(rng.integers(1, 14))
+        interlace = int(rng.integers(0, 2))
+        filters = [int(f) for f in rng.integers(0, 5, 64)]
+        ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+        maxv = (1 << depth) - 1 if depth < 16 else 65535
+        if color == 3:
+            pal = [tuple(int(v) for v in rng.integers(0, 256, 3))
+                   for _ in range(min(maxv + 1, 16))]
+            vals = rng.integers(0, len(pal), (h, w))
+            pixels = vals.tolist()
+            want = np.array([[pal[i] for i in row] for row in pixels],
+                            dtype=np.uint8)
+            payload = _png(pixels, color_type=3, depth=depth,
+                           palette=pal, filters=filters,
+                           interlace=interlace)
+        else:
+            vals = rng.integers(0, maxv + 1, (h, w, ch))
+            pixels = [[tuple(int(v) for v in vals[y, x]) if ch > 1
+                       else int(vals[y, x, 0]) for x in range(w)]
+                      for y in range(h)]
+            payload = _png(pixels, color_type=color, depth=depth,
+                           filters=filters, interlace=interlace)
+            if depth == 16:
+                first = (vals >> 8).astype(np.uint8)
+            elif depth < 8:
+                first = (vals.astype(np.uint16)
+                         * (255 // maxv)).astype(np.uint8)
+            else:
+                first = vals.astype(np.uint8)
+            if color in (0, 4):
+                want = np.repeat(first[:, :, :1], 3, axis=2)
+            else:
+                want = first[:, :, :3]
+        fmt, rgb = multimodal._decode_rgb(payload)
+        assert fmt == "png" and np.array_equal(rgb, want), (
+            color, depth, interlace, h, w
+        )
+
+
+def _ms_adpcm_encode(ch_samples, block_align, pred_idx=0):
+    """Reference MS-ADPCM encoder (independent of the module): standard
+    quantize-to-nibble + decoder-mirror reconstruction; returns (data,
+    expected decoded per-channel samples)."""
+    import struct
+
+    from youtube_api_data_etl_automation_spark.operators.multimodal import (
+        _MS_ADAPT,
+        _MS_COEFS,
+    )
+
+    n_ch = len(ch_samples)
+    spb = (block_align - 7 * n_ch) * 2 // n_ch + 2
+    c1, c2 = _MS_COEFS[pred_idx]
+    data = bytearray()
+    expected = [[] for _ in range(n_ch)]
+    n = len(ch_samples[0])
+    off = 0
+    while off < n:
+        block = [cs[off : off + spb] for cs in ch_samples]
+        s2 = [b[0] for b in block]
+        s1 = [b[1] if len(b) > 1 else b[0] for b in block]
+        delta = [16] * n_ch
+        data += bytes([pred_idx] * n_ch)
+        for c in range(n_ch):
+            data += struct.pack("<h", delta[c])
+        for c in range(n_ch):
+            data += struct.pack("<h", s1[c])
+        for c in range(n_ch):
+            data += struct.pack("<h", s2[c])
+        for c in range(n_ch):
+            expected[c] += [s2[c], s1[c]]
+        nibbles: list[int] = []
+        for i in range(2, spb):
+            for c in range(n_ch):
+                v = block[c][i] if i < len(block[c]) else 0
+                pred = (s1[c] * c1 + s2[c] * c2) >> 8
+                nib_s = max(-8, min(7, round((v - pred) / delta[c])))
+                nib = nib_s & 0x0F
+                samp = max(-32768, min(32767, pred + nib_s * delta[c]))
+                s2[c], s1[c] = s1[c], samp
+                delta[c] = max(16, (_MS_ADAPT[nib] * delta[c]) >> 8)
+                nibbles.append(nib)
+                expected[c].append(samp)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        for i in range(0, len(nibbles), 2):
+            data.append((nibbles[i] << 4) | nibbles[i + 1])
+        off += spb
+    return bytes(data), expected
+
+
+def test_decode_wav_ms_adpcm_exact(spark):
+    """r9: Microsoft ADPCM (format 2) decodes byte-exactly against an
+    independent reference encoder — mono multi-block and stereo
+    high-nibble-first interleave; malformed geometry refuses."""
+    import math
+
+    # mono: block_align 11 -> 10 samples/block; 20 samples = 2 blocks
+    wave = [int(5000 * math.sin(i / 2.5)) for i in range(20)]
+    data, expected = _ms_adpcm_encode([wave], block_align=11)
+    payload = _wav(8000, [(0,)], fmt_code=2, bits=4, block_align=11,
+                   raw_data=data)
+    rate, s = multimodal._decode_pcm(payload)
+    assert rate == 8000 and s.shape == (20, 1)
+    assert [int(v) for v in s[:, 0]] == expected[0]
+
+    # stereo: one block of 10 frames, per-frame byte = (ch0<<4)|ch1
+    left = [int(3000 * math.sin(i / 2)) for i in range(10)]
+    right = [int(-2000 * math.cos(i / 3)) for i in range(10)]
+    data, expected = _ms_adpcm_encode([left, right], block_align=22,
+                                      pred_idx=4)
+    payload = _wav(8000, [(0, 0)], fmt_code=2, bits=4, block_align=22,
+                   raw_data=data)
+    _, s = multimodal._decode_pcm(payload)
+    assert s.shape == (10, 2)
+    assert [int(v) for v in s[:, 0]] == expected[0]
+    assert [int(v) for v in s[:, 1]] == expected[1]
+
+    with pytest.raises(ValueError, match="block_align"):
+        multimodal._decode_pcm(
+            _wav(8000, [(0,)], fmt_code=2, bits=4, block_align=5,
+                 raw_data=b"\x00" * 10)
+        )
+    with pytest.raises(NotImplementedError, match="sample budget"):
+        multimodal._decode_pcm(payload, adpcm_sample_budget=2)

@@ -18,8 +18,9 @@ stdlib zlib + scanline unfilter — every spec variant incl. palette,
 16-bit, and Adam7 since r9 — plus, also r9, Huffman JPEG — baseline AND
 progressive — via operators/jpeg.py and first-frame GIF via
 operators/gif.py), ``decode_audio`` really decodes
-RIFF/WAVE integer PCM 8/16/24/32, IEEE-float 32/64, and IMA ADPCM (the
-matrix completed in r9), and every remaining compressed format
+RIFF/WAVE integer PCM 8/16/24/32, IEEE-float 32/64, G.711, and
+IMA + Microsoft ADPCM (the matrix completed in r9), and every remaining
+compressed format
 (arithmetic JPEG/WebP/MP3/AAC/...) raises an explicit NotImplementedError from inside
 the same mapInPandas shape — or becomes a quarantine ROW under
 ``errors='quarantine'``. ``fake_decode_features`` remains the
@@ -725,6 +726,79 @@ def _g711_lut(*, alaw: bool):
     return out
 
 
+_MS_COEFS = [(256, 0), (512, -256), (0, 0), (192, 64),
+             (240, 0), (460, -208), (392, -232)]
+_MS_ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230]
+
+
+def _ms_adpcm_decode(data: bytes, n_ch: int, block_align: int,
+                     sample_budget: int | None):
+    """Microsoft ADPCM (WAVE format 2): per block and channel a 7-byte
+    header (predictor index, initial delta, two seed samples), then
+    4-bit codes (high nibble first, channel-interleaved per frame).
+    Integer recurrence exactly per the published MS spec — byte-exact
+    against any conforming encoder."""
+    import struct as _st
+
+    import numpy as np
+
+    if block_align < 7 * n_ch + 1:
+        raise ValueError(
+            f"malformed WAVE: MS-ADPCM block_align={block_align} for "
+            f"{n_ch} channel(s)"
+        )
+    total_nibbles = sum(
+        max(0, min(block_align, len(data) - off) - 7 * n_ch) * 2
+        for off in range(0, len(data), block_align)
+    )
+    if sample_budget is not None and total_nibbles > sample_budget:
+        raise NotImplementedError(
+            f"ADPCM payload exceeds the sample budget ({total_nibbles} > "
+            f"{sample_budget}): bulk audio decode needs a codec library; "
+            "raise adpcm_sample_budget (or pass None) to force the "
+            "pure-Python path"
+        )
+    chans: list[list[int]] = [[] for _ in range(n_ch)]
+    for off in range(0, len(data), block_align):
+        block = data[off : off + block_align]
+        if len(block) < 7 * n_ch:
+            break
+        pred_idx = list(block[:n_ch])
+        if any(pi > 6 for pi in pred_idx):
+            raise ValueError(
+                f"malformed WAVE: MS-ADPCM predictor index {max(pred_idx)}"
+            )
+        delta = list(_st.unpack_from(f"<{n_ch}h", block, n_ch))
+        s1 = list(_st.unpack_from(f"<{n_ch}h", block, 3 * n_ch))
+        s2 = list(_st.unpack_from(f"<{n_ch}h", block, 5 * n_ch))
+        for c in range(n_ch):
+            chans[c].append(s2[c])  # sample2 is the OLDER seed
+            chans[c].append(s1[c])
+        c1 = [_MS_COEFS[pi][0] for pi in pred_idx]
+        c2 = [_MS_COEFS[pi][1] for pi in pred_idx]
+        ch = 0
+        for b in block[7 * n_ch :]:
+            for nib in (b >> 4, b & 0x0F):  # high nibble FIRST
+                signed = nib - 16 if nib >= 8 else nib
+                pred = (s1[ch] * c1[ch] + s2[ch] * c2[ch]) >> 8
+                samp = pred + signed * delta[ch]
+                if samp > 32767:
+                    samp = 32767
+                elif samp < -32768:
+                    samp = -32768
+                s2[ch] = s1[ch]
+                s1[ch] = samp
+                d = (_MS_ADAPT[nib] * delta[ch]) >> 8
+                delta[ch] = d if d >= 16 else 16
+                chans[ch].append(samp)
+                ch = (ch + 1) % n_ch
+    n_frames = min(len(c) for c in chans) if chans else 0
+    return np.stack(
+        [np.asarray(c[:n_frames], dtype=np.int64) for c in chans], axis=1
+    ) if n_frames else np.zeros((0, n_ch), dtype=np.int64)
+
+
 def _decode_pcm(payload: bytes,
                 adpcm_sample_budget: int | None = ADPCM_SAMPLE_BUDGET):
     """Decode one RIFF/WAVE payload to (sample_rate, samples array shaped
@@ -743,11 +817,13 @@ def _decode_pcm(payload: bytes,
       peak/RMS are comparable with 16-bit integer files; returned as
       float64 (stats float-accumulated, deterministic for a fixed
       array);
-    - format 0x11 IMA ADPCM (4-bit) — exact integer nibble recurrence,
-      int16-range samples, capped by ``adpcm_sample_budget``.
+    - format 0x11 IMA ADPCM and format 2 Microsoft ADPCM (4-bit) —
+      exact integer nibble recurrences, int16-range samples, capped by
+      ``adpcm_sample_budget``;
+    - formats 6/7 G.711 A-law/µ-law — 256-entry LUT expand.
 
-    MP3-in-WAV / A-law / µ-law / unknown formats raise
-    NotImplementedError (quarantine 'unsupported')."""
+    MP3-in-WAV / unknown formats raise NotImplementedError
+    (quarantine 'unsupported')."""
     import struct
 
     import numpy as np
@@ -805,6 +881,18 @@ def _decode_pcm(payload: bytes,
     # two bytes at offset 24 of the fmt body
     if audio_fmt == 0xFFFE and len(fmt) >= 26:
         audio_fmt = struct.unpack_from("<H", fmt, 24)[0]
+
+    if audio_fmt == 2:  # Microsoft ADPCM
+        if bits != 4:
+            raise NotImplementedError(
+                f"MS-ADPCM at {bits} bits/sample not supported (spec is 4)"
+            )
+        samples = _ms_adpcm_decode(
+            data, n_ch, block_align, adpcm_sample_budget
+        )
+        if fact is not None and fact < samples.shape[0]:
+            samples = samples[:fact]
+        return int(rate), samples
 
     if audio_fmt == 0x11:  # IMA ADPCM
         if bits != 4:
@@ -904,16 +992,17 @@ def decode_audio(
     adpcm_sample_budget: int | None = ADPCM_SAMPLE_BUDGET,
 ) -> DataFrame:
     """REAL audio decode for RIFF/WAVE — integer PCM 8/16/24/32, IEEE
-    float 32/64 (scaled to the int16 grid, see _decode_pcm), and IMA
-    ADPCM (r9 completes the matrix) — stdlib struct chunk walk + numpy
+    float 32/64 (scaled to the int16 grid, see _decode_pcm), G.711
+    A-law/µ-law, and IMA + Microsoft ADPCM (r9 completes the matrix) —
+    stdlib struct chunk walk + numpy
     sample math in the same Arrow-batched mapInPandas shape as
     ``decode_image``. Output row per payload: layout (rate, channels,
     frames, duration) and level stats — peak |sample| and RMS, both over
     all channels; integer formats use exact big-int square sums
     (_exact_sumsq — a plain int64 (s*s).sum() silently wraps for 24/32-bit
     audio past ~131k frames), float formats accumulate in float64.
-    MP3-in-WAV / A-law / unknown codecs raise NotImplementedError
-    (honest stub: a codec library is required and absent here).
+    MP3-in-WAV / unknown codecs raise NotImplementedError (honest
+    stub: a codec library is required and absent here).
 
     ``errors='quarantine'``: decode failures become rows with ``error``
     and ``error_kind`` columns instead of task failures — see
