@@ -1,0 +1,177 @@
+"""Container-metadata extraction (operators/mediameta.py): hand-built
+minimal ISO-BMFF files and WebP headers, byte-exact field checks, the
+quarantine contract."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from youtube_api_data_etl_automation_spark.operators import mediameta
+
+
+def _box(btype: bytes, body: bytes, largesize=False) -> bytes:
+    if largesize:
+        return struct.pack(">I", 1) + btype + \
+            struct.pack(">Q", 16 + len(body)) + body
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _tkhd(w, h, version=0):
+    base = 20 if version == 0 else 32  # through duration
+    body = bytes([version, 0, 0, 0]) + b"\x00" * base
+    body += b"\x00" * 52  # reserved/matrix etc.
+    body += struct.pack(">II", w << 16, h << 16)
+    return _box(b"tkhd", body)
+
+
+def _trak(handler: bytes, codec: bytes, w=0, h=0, tkhd_version=0):
+    hdlr = _box(b"hdlr", b"\x00" * 8 + handler + b"\x00" * 12)
+    stsd = _box(b"stsd", b"\x00" * 8 + struct.pack(">I", 86) + codec
+                + b"\x00" * 8)
+    stbl = _box(b"stbl", stsd)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", hdlr + minf)
+    return _box(b"trak", _tkhd(w, h, tkhd_version) + mdia)
+
+
+def _mp4(timescale=1000, duration=90_000, mvhd_version=0, tracks=(),
+         largesize_moov=False):
+    if mvhd_version == 1:
+        mvhd = _box(b"mvhd", bytes([1, 0, 0, 0]) + b"\x00" * 16
+                    + struct.pack(">IQ", timescale, duration) + b"\x00" * 80)
+    else:
+        mvhd = _box(b"mvhd", bytes([0, 0, 0, 0]) + b"\x00" * 8
+                    + struct.pack(">II", timescale, duration) + b"\x00" * 80)
+    moov = _box(b"moov", mvhd + b"".join(tracks), largesize=largesize_moov)
+    ftyp = _box(b"ftyp", b"isom" + b"\x00" * 8)
+    return ftyp + moov + _box(b"mdat", b"\x00" * 16)
+
+
+def test_mp4_metadata_fields():
+    payload = _mp4(
+        timescale=600, duration=1500,
+        tracks=(
+            _trak(b"vide", b"avc1", w=1920, h=1080),
+            _trak(b"soun", b"mp4a"),
+        ),
+    )
+    out = mediameta._parse_mp4(payload)
+    assert out["brand"] == "isom"
+    assert out["duration_sec"] == 2.5
+    assert out["n_tracks"] == 2
+    assert out["n_video_tracks"] == 1 and out["n_audio_tracks"] == 1
+    assert (out["width"], out["height"]) == (1920, 1080)
+    assert out["codecs"] == "avc1,mp4a"
+
+
+def test_mp4_version1_and_largesize_boxes():
+    payload = _mp4(timescale=90_000, duration=90_000 * 7, mvhd_version=1,
+                   tracks=(_trak(b"vide", b"hvc1", w=640, h=360,
+                                 tkhd_version=1),),
+                   largesize_moov=True)
+    out = mediameta._parse_mp4(payload)
+    assert out["duration_sec"] == 7.0
+    assert out["codecs"] == "hvc1"
+    assert (out["width"], out["height"]) == (640, 360)
+
+
+def test_mp4_malformed_and_unsupported():
+    good = _mp4(tracks=(_trak(b"vide", b"avc1", w=16, h=16),))
+    with pytest.raises(ValueError, match="truncated box|beyond its scope"):
+        mediameta._parse_mp4(good[:-10])
+    # a box whose size overruns its scope
+    bad = bytearray(good)
+    moov_at = good.index(b"moov") - 4
+    struct.pack_into(">I", bad, moov_at, len(good) * 2)
+    with pytest.raises(ValueError, match="beyond its scope"):
+        mediameta._parse_mp4(bytes(bad))
+    with pytest.raises(ValueError, match="no moov"):
+        mediameta._parse_mp4(_box(b"ftyp", b"isom" + b"\x00" * 8))
+    with pytest.raises(NotImplementedError, match="demuxer"):
+        mediameta._parse_mp4(b"RIFF\x00\x00\x00\x00AVI " + b"\x00" * 16)
+
+
+def test_image_probe_all_formats():
+    import sys
+    sys.path.insert(0, "tests")
+    from test_gif import PAL4, _gif
+    from test_jpeg import _encode_jpeg, _encode_progressive
+    from test_operators import _bmp24, _png, _ppm6
+
+    import numpy as np
+
+    png = _png([[(1, 2, 3)] * 5] * 4)
+    assert mediameta._probe_image(png) == ("png", 5, 4)
+    jb, *_ = _encode_jpeg(np.full((16, 24), 70, dtype=np.uint8))
+    assert mediameta._probe_image(jb) == ("jpeg", 24, 16)
+    jp, *_ = _encode_progressive(np.full((8, 16), 70, dtype=np.uint8))
+    assert mediameta._probe_image(jp) == ("jpeg", 16, 8)
+    g = _gif([[0, 1, 2]] * 2, PAL4)
+    assert mediameta._probe_image(g) == ("gif", 3, 2)
+    b = _bmp24([[(1, 2, 3), (4, 5, 6)]])
+    assert mediameta._probe_image(b) == ("bmp", 2, 1)
+    p = _ppm6([[(1, 2, 3), (4, 5, 6)]])
+    assert mediameta._probe_image(p) == ("ppm", 2, 1)
+
+
+def _webp(kind: bytes, chunk: bytes) -> bytes:
+    body = b"WEBP" + kind + struct.pack("<I", len(chunk)) + chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_image_probe_webp_variants():
+    # VP8 lossy: 10-byte frame header; 14-bit sizes at bytes 6..9
+    vp8 = b"\x00" * 6 + struct.pack("<HH", 320 | 0x4000, 240)
+    assert mediameta._probe_image(_webp(b"VP8 ", vp8 + b"\x00" * 8)) == \
+        ("webp", 320, 240)
+    # VP8L lossless: 0x2F then 14+14 bits, minus-one coded
+    bits = (99 - 1) | ((77 - 1) << 14)
+    vp8l = bytes([0x2F]) + struct.pack("<I", bits)
+    assert mediameta._probe_image(_webp(b"VP8L", vp8l + b"\x00" * 8)) == \
+        ("webp", 99, 77)
+    # VP8X extended: 24-bit canvas minus one at offset 4 of the chunk
+    vp8x = b"\x00" * 4 + (1919).to_bytes(3, "little") \
+        + (1079).to_bytes(3, "little")
+    assert mediameta._probe_image(_webp(b"VP8X", vp8x + b"\x00" * 8)) == \
+        ("webp", 1920, 1080)
+    with pytest.raises(ValueError, match="unknown chunk"):
+        mediameta._probe_image(_webp(b"XXXX", b"\x00" * 16))
+
+
+def test_meta_ops_spark_and_quarantine(spark):
+    mp4 = _mp4(timescale=1000, duration=4000,
+               tracks=(_trak(b"vide", b"avc1", w=64, h=48),))
+    vids = spark.createDataFrame(
+        [(1, bytearray(mp4)), (2, bytearray(mp4[:20])),
+         (3, bytearray(b"RIFF\x00\x00\x00\x00AVI " + b"\x00" * 8))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in mediameta.video_meta(
+        vids, errors="quarantine"
+    ).collect()}
+    assert rows[1].brand == "isom" and rows[1].duration_sec == 4.0
+    assert rows[1].n_video_tracks == 1 and rows[1].codecs == "avc1"
+    assert (rows[1].width, rows[1].height) == (64, 48)
+    assert rows[2].error_kind == "corrupt"
+    assert rows[3].error_kind == "unsupported"
+
+    import sys
+    sys.path.insert(0, "tests")
+    from test_operators import _png
+
+    imgs = spark.createDataFrame(
+        [(1, bytearray(_png([[(9, 9, 9)] * 3] * 2))),
+         (2, bytearray(b"\x00\x01junk")), (3, None)],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in mediameta.image_meta(
+        imgs, errors="quarantine"
+    ).collect()}
+    assert (rows[1].format, rows[1].width, rows[1].height) == ("png", 3, 2)
+    assert rows[2].error_kind == "unsupported"
+    assert rows[3].error_kind == "corrupt"
+    # default mode still raises on the first bad payload
+    with pytest.raises(Exception, match="unknown image format|empty/NULL"):
+        mediameta.image_meta(imgs).collect()
