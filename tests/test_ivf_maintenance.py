@@ -244,3 +244,48 @@ def test_append_requires_initial_index(spark, tmp_path):
     batch = _corpus(spark, blobs=[0], per_blob=3)
     with pytest.raises(FileNotFoundError, match="write the initial"):
         append_ivf_index_versioned(batch, str(tmp_path / "none"))
+
+
+def test_gc_ivf_batches_relative_base_path_keeps_live_dirs(spark, tmp_path):
+    """r10 regression (ADVICE high): with a relative base path the GC
+    compared unqualified manifest strings against qualified listStatus
+    paths, matched nothing, and deleted the CURRENT version's live batch
+    dirs — leaving the index unreadable. Both sides are now compared as
+    fully-qualified URIs."""
+    import os
+
+    from youtube_api_data_etl_automation_spark.operators.similarity import (
+        current_ivf_index_dirs,
+        gc_ivf_batches,
+    )
+
+    rel = os.path.relpath(str(tmp_path / "ivf_rel"), os.getcwd())
+    corpus = _corpus(spark, blobs=range(2), per_blob=10)
+    assert write_ivf_index_versioned(corpus, _axes(spark, [0, 1]), rel) == 1
+    # nothing is orphaned: the one batch dir is listed by v1's manifest
+    assert gc_ivf_batches(spark, rel, max_age_ms=0) == []
+    dirs = current_ivf_index_dirs(spark, rel)
+    assert spark.read.parquet(*dirs).count() == 20
+    # a second commit retires v1 under keep_versions=1; the orphaned v1
+    # batch dir IS reclaimed (qualified comparison removes, not just
+    # preserves), and the live v2 dirs survive
+    assert write_ivf_index_versioned(
+        corpus, _axes(spark, [0, 1]), rel, keep_versions=1
+    ) == 2
+    deleted = gc_ivf_batches(spark, rel, max_age_ms=0)
+    assert len(deleted) == 1
+    assert spark.read.parquet(
+        *current_ivf_index_dirs(spark, rel)
+    ).count() == 20
+
+
+def test_cell_report_empty_counts_raises(spark):
+    """r10 regression (ADVICE low): an empty index used to surface as a
+    TypeError (None * float) from the observed-mean collect."""
+    from youtube_api_data_etl_automation_spark.operators.similarity import (
+        cell_report_from_counts,
+    )
+
+    empty = spark.createDataFrame([], "cluster_id int, n_vecs long")
+    with pytest.raises(ValueError, match="empty index"):
+        cell_report_from_counts(empty)

@@ -713,3 +713,80 @@ def test_progressive_444_and_solid_dc_only():
     )
     got = jpeg.decode_baseline_jpeg(payload)
     _assert_close(got, _expected_pixels(blocks, sampling, FLAT_Q, 16, 16))
+
+
+def _strip_dht(payload: bytes) -> bytes:
+    """Remove every DHT segment — the scan then references tables no one
+    defined."""
+    out = bytearray(payload[:2])
+    pos = 2
+    while pos + 4 <= len(payload):
+        marker = payload[pos + 1]
+        if marker == 0xDA:
+            out += payload[pos:]
+            break
+        seg_len = struct.unpack_from(">H", payload, pos + 2)[0]
+        if marker != 0xC4:
+            out += payload[pos : pos + 2 + seg_len]
+        pos += 2 + seg_len
+    return bytes(out)
+
+
+def test_declared_short_segments_raise_valueerror():
+    """r10 regression (ADVICE medium): malformed declared lengths used to
+    escape as struct.error / IndexError and kill the task instead of
+    quarantining."""
+    # SOF whose declared body can't hold precision+dims+ncomp
+    bad_sof = b"\xff\xd8\xff\xc0" + struct.pack(">H", 4) + b"\x08\x00"
+    with pytest.raises(ValueError, match="truncated SOF body"):
+        jpeg.decode_baseline_jpeg(bad_sof)
+    # SOF whose body ends before its declared component list
+    bad_comps = b"\xff\xd8\xff\xc0" + struct.pack(">H", 8) \
+        + bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1])
+    with pytest.raises(ValueError, match="truncated SOF components"):
+        jpeg.decode_baseline_jpeg(bad_comps)
+    # DRI with an empty body
+    bad_dri = b"\xff\xd8\xff\xdd" + struct.pack(">H", 2) + b"\xff\xd9\x00\x00"
+    with pytest.raises(ValueError, match="truncated DRI"):
+        jpeg.decode_baseline_jpeg(bad_dri)
+    # SOS whose declared body can't hold its own component selectors
+    sof = b"\xff\xc0" + struct.pack(">H", 11) + bytes([8]) \
+        + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+    bad_sos = b"\xff\xd8" + sof + b"\xff\xda" + struct.pack(">H", 3) \
+        + bytes([2])
+    with pytest.raises(ValueError, match="truncated SOS body"):
+        jpeg.decode_baseline_jpeg(bad_sos)
+
+
+def test_undefined_huffman_table_raises_valueerror():
+    """r10 regression (ADVICE medium): a scan referencing a DHT no
+    segment defined used to escape as KeyError (verified on progressive
+    DC scans); both the baseline and the progressive path now refuse
+    with ValueError → error_kind='corrupt'."""
+    img = np.full((8, 8), 100, dtype=np.uint8)
+    base, *_ = _encode_jpeg(img)
+    with pytest.raises(ValueError, match="undefined|missing Huffman"):
+        jpeg.decode_baseline_jpeg(_strip_dht(base))
+    prog, *_ = _encode_progressive(img)
+    with pytest.raises(ValueError, match="undefined|missing Huffman"):
+        jpeg.decode_baseline_jpeg(_strip_dht(prog))
+
+
+def test_malformed_payloads_quarantine_not_kill(spark):
+    """The one-bad-blob-is-a-row posture holds for the r10 malformed
+    shapes end to end: they land as 'corrupt' rows, the good row still
+    decodes."""
+    img = np.full((8, 8), 100, dtype=np.uint8)
+    good, *_ = _encode_jpeg(img)
+    bad_sof = b"\xff\xd8\xff\xc0" + struct.pack(">H", 4) + b"\x08\x00"
+    blobs = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(bad_sof)),
+         (3, bytearray(_strip_dht(good)))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in multimodal.decode_image(
+        blobs, errors="quarantine"
+    ).collect()}
+    assert rows[1].error is None and rows[1].mean_r == 100.0
+    assert rows[2].error_kind == "corrupt"
+    assert rows[3].error_kind == "corrupt"

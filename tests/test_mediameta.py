@@ -175,3 +175,38 @@ def test_meta_ops_spark_and_quarantine(spark):
     # default mode still raises on the first bad payload
     with pytest.raises(Exception, match="unknown image format|empty/NULL"):
         mediameta.image_meta(imgs).collect()
+
+
+def test_mp4_truncated_mvhd_is_corrupt(spark):
+    """r10 regression (ADVICE medium): a declared-short mvhd body used to
+    escape as struct.error from unpack_from and kill the task."""
+    ftyp = _box(b"ftyp", b"isom" + b"\x00" * 8)
+    short_v0 = ftyp + _box(b"moov", _box(b"mvhd", bytes([0, 0, 0, 0])))
+    with pytest.raises(ValueError, match="truncated mvhd v0"):
+        mediameta._parse_mp4(short_v0)
+    short_v1 = ftyp + _box(
+        b"moov", _box(b"mvhd", bytes([1, 0, 0, 0]) + b"\x00" * 20)
+    )
+    with pytest.raises(ValueError, match="truncated mvhd v1"):
+        mediameta._parse_mp4(short_v1)
+    with pytest.raises(ValueError, match="empty mvhd"):
+        mediameta._parse_mp4(ftyp + _box(b"moov", _box(b"mvhd", b"")))
+    # end to end: a corrupt row, not a task failure
+    vids = spark.createDataFrame(
+        [(1, bytearray(short_v0))], "doc_id long, payload binary"
+    )
+    rows = mediameta.video_meta(vids, errors="quarantine").collect()
+    assert rows[0].error_kind == "corrupt"
+
+
+def test_ppm_probe_is_header_only():
+    """r10 regression (ADVICE low): the PPM probe used to decode the full
+    pixel payload; it must answer from the header alone — huge declared
+    dimensions with zero pixel bytes still probe."""
+    hdr = b"P6\n# comment\n40000 30000\n255\n"
+    assert mediameta._probe_image(hdr) == ("ppm", 40000, 30000)
+    # and a 16-bit PPM (maxval > 255) probes fine even though the pixel
+    # decoder refuses it
+    assert mediameta._probe_image(b"P6\n4 2\n65535\n") == ("ppm", 4, 2)
+    with pytest.raises(ValueError, match="truncated header"):
+        mediameta._probe_image(b"P6\n12 ")

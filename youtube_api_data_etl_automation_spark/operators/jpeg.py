@@ -244,6 +244,8 @@ def _parse_segments(payload: bytes, all_scans: bool = False):
                 htables[(tc, th)] = _build_huffman(counts, symbols)
                 i += 17 + total
         elif marker in (0xC0, 0xC1, 0xC2):  # Huffman sequential/progressive
+            if len(body) < 6:
+                raise ValueError("malformed JPEG: truncated SOF body")
             precision = body[0]
             if precision != 8:
                 raise NotImplementedError(
@@ -254,6 +256,8 @@ def _parse_segments(payload: bytes, all_scans: bool = False):
             if h == 0 or w == 0:
                 raise ValueError(f"malformed JPEG: zero dimension ({w}x{h})")
             ncomp = body[5]
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("malformed JPEG: truncated SOF components")
             comps = []
             for ci in range(ncomp):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
@@ -272,10 +276,14 @@ def _parse_segments(payload: bytes, all_scans: bool = False):
                 "codec library"
             )
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("malformed JPEG: truncated DRI")
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("malformed JPEG: SOS before SOF")
+            if not body or len(body) < 4 + 2 * body[0]:
+                raise ValueError("malformed JPEG: truncated SOS body")
             ns = body[0]
             sel = []
             for si in range(ns):
@@ -419,8 +427,13 @@ def decode_baseline_jpeg(
                     pred[cid] = 0
             for ci, c in enumerate(comps):
                 s = sel_by_cid[c["id"]]
-                dc_tab = htables[(0, s["td"])]
-                ac_tab = htables[(1, s["ta"])]
+                dc_tab = htables.get((0, s["td"]))
+                ac_tab = htables.get((1, s["ta"]))
+                if dc_tab is None or ac_tab is None:
+                    raise ValueError(
+                        "malformed JPEG: scan references undefined "
+                        "Huffman table"
+                    )
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
                         coef = np.zeros((8, 8), dtype=np.float64)
@@ -582,7 +595,13 @@ def _decode_progressive(
 
             def dc_block(block, s_):
                 if ah == 0:
-                    t = reader.decode_symbol(sc["huff"][(0, s_["td"])])
+                    dc_tab = sc["huff"].get((0, s_["td"]))
+                    if dc_tab is None:
+                        raise ValueError(
+                            "malformed JPEG: scan references undefined "
+                            f"DC Huffman table {s_['td']}"
+                        )
+                    t = reader.decode_symbol(dc_tab)
                     if t > 11:
                         raise ValueError("malformed JPEG: DC category > 11")
                     preds[s_["cs"]] += _extend(reader.receive(t), t)

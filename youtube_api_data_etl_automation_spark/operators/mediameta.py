@@ -105,13 +105,13 @@ def _parse_mp4(payload: bytes) -> dict:
         handler = None
         for btype, b0, b1 in _boxes(payload, body_start, body_end):
             if btype == b"tkhd":
-                version = payload[b0]
-                # width/height are the LAST two 16.16 fields of tkhd
+                # width/height are the LAST two 16.16 fields of tkhd;
+                # _boxes guarantees b1 <= len(payload), so the read is
+                # in-bounds whenever the body holds 8 bytes at all
                 off = b1 - 8
                 if off >= b0:
                     w_fx, h_fx = struct.unpack_from(">II", payload, off)
                     t_w, t_h = w_fx >> 16, h_fx >> 16
-                del version
             elif btype == b"mdia":
                 for mtype, m0, m1 in _boxes(payload, b0, b1):
                     if mtype == b"hdlr" and m1 - m0 >= 12:
@@ -141,7 +141,17 @@ def _parse_mp4(payload: bytes) -> dict:
             continue
         for mtype, m0, m1 in _boxes(payload, b0, b1):
             if mtype == b"mvhd":
+                if m1 - m0 < 1:
+                    raise ValueError("malformed MP4: empty mvhd body")
                 version = payload[m0]
+                # v1: 4 fullbox + 8+8 times + 4 scale + 8 dur = 32 bytes;
+                # v0: 4 fullbox + 4+4 times + 4 scale + 4 dur = 20 bytes
+                need = 32 if version == 1 else 20
+                if m1 - m0 < need:
+                    raise ValueError(
+                        f"malformed MP4: truncated mvhd v{version} body "
+                        f"({m1 - m0} < {need} bytes)"
+                    )
                 if version == 1:
                     scale, dur = struct.unpack_from(">IQ", payload, m0 + 20)
                 else:
@@ -178,10 +188,10 @@ def _probe_image(payload: bytes) -> tuple[str, int, int]:
         h = abs(struct.unpack_from("<i", payload, 22)[0])
         return "bmp", w, h
     if payload[:2] == b"P6":
-        from .multimodal import _decode_rgb  # header parser lives there
+        from .multimodal import _ppm_header  # O(header) — never pixels
 
-        fmt, rgb = _decode_rgb(payload)
-        return "ppm", rgb.shape[1], rgb.shape[0]
+        w, h, _maxval, _off = _ppm_header(payload)
+        return "ppm", w, h
     if payload[:2] == b"\xff\xd8":
         # walk segments to the first SOF (any Huffman/arithmetic kind)
         pos = 2
@@ -230,7 +240,7 @@ def _probe_image(payload: bytes) -> tuple[str, int, int]:
 def _quarantine_batches(rows_fn, columns, quarantine):
     """Shared mapInPandas body: rows_fn(payload) -> dict of columns, or
     raises; failures become quarantine rows when enabled."""
-    from .multimodal import _error_kind
+    from .multimodal import DECODE_ERRORS, _error_kind
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -244,7 +254,7 @@ def _quarantine_batches(rows_fn, columns, quarantine):
                     vals = rows_fn(
                         bytes(payload) if payload is not None else b""
                     )
-                except (ValueError, NotImplementedError) as e:
+                except DECODE_ERRORS as e:
                     if not quarantine:
                         raise
                     for c in columns:

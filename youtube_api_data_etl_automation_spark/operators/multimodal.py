@@ -408,6 +408,30 @@ def _decode_png(payload: bytes,
     return samples[:, :, :3]
 
 
+def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse a binary-P6 PPM header: ``(width, height, maxval,
+    pixel_data_offset)``. O(header bytes) — shared by the pixel decoder
+    and the header-only metadata probe, which must never touch pixels."""
+    i, vals = 2, []
+    while len(vals) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("malformed PPM: truncated header")
+        vals.append(int(payload[i:j]))
+        i = j
+    i += 1  # the single whitespace byte after maxval
+    w, h, maxval = vals
+    return w, h, maxval, i
+
+
 def _decode_rgb(payload: bytes,
                 slow_filter_budget: int | None = PNG_SLOW_FILTER_BYTE_BUDGET):
     """Decode one image payload to (format, HxWx3 RGB array).
@@ -454,21 +478,7 @@ def _decode_rgb(payload: bytes,
         rgb = arr[:, :, ::-1]  # BGR → RGB
         return "bmp", (rgb if top_down else rgb[::-1])
     if payload[:2] == b"P6":
-        i, vals = 2, []
-        while len(vals) < 3:
-            while i < len(payload) and payload[i : i + 1].isspace():
-                i += 1
-            if payload[i : i + 1] == b"#":
-                while i < len(payload) and payload[i] != 0x0A:
-                    i += 1
-                continue
-            j = i
-            while j < len(payload) and not payload[j : j + 1].isspace():
-                j += 1
-            vals.append(int(payload[i:j]))
-            i = j
-        i += 1  # the single whitespace byte after maxval
-        w, h, maxval = vals
+        w, h, maxval, i = _ppm_header(payload)
         if maxval > 255:
             raise NotImplementedError(
                 "16-bit PPM (maxval > 255) not supported"
@@ -497,6 +507,20 @@ def _decode_rgb(payload: bytes,
 
 
 DECODE_QUARANTINE_SCHEMA = DECODE_SCHEMA + ", error string, error_kind string"
+
+# Exception classes a malformed blob may surface as. ValueError is the
+# decoders' declared signal; struct.error / KeyError / IndexError escape
+# from short reads or dangling table references in hand-rolled spec
+# parsers (truncated SOF bodies, a progressive scan naming an undefined
+# Huffman table, a cut-off MP4 box). The one-bad-blob-is-a-row posture
+# means ALL of them must become a quarantine row, never kill the task —
+# catching them here is the backstop; hot sites also bounds-check and
+# raise ValueError with a real message.
+import struct as _struct  # noqa: E402  (scoped: only for .error)
+
+DECODE_ERRORS = (
+    ValueError, NotImplementedError, _struct.error, KeyError, IndexError,
+)
 
 
 def _error_kind(e: Exception) -> str:
@@ -555,7 +579,7 @@ def decode_image(
                         bytes(payload) if payload is not None else b"",
                         slow_filter_budget=slow_filter_budget,
                     )
-                except (ValueError, NotImplementedError) as e:
+                except DECODE_ERRORS as e:
                     if not quarantine:
                         raise
                     ids.append(doc_id)
@@ -1024,7 +1048,7 @@ def decode_audio(
                         bytes(payload) if payload is not None else b"",
                         adpcm_sample_budget=adpcm_sample_budget,
                     )
-                except (ValueError, NotImplementedError) as e:
+                except DECODE_ERRORS as e:
                     if not quarantine:
                         raise
                     vals = (None, None, None, None, None, None, None,

@@ -553,6 +553,11 @@ def cell_report_from_counts(
         target = counts.agg(
             (F.sum("n_vecs") / F.count(F.lit(1))).alias("t")
         ).collect()[0]["t"]
+        if target is None:  # sum over zero rows — empty index
+            raise ValueError(
+                "cell report over an empty index: no cells to band "
+                "(build the index before asking for its health)"
+            )
     else:
         target = float(target_cell_size)
     lo, hi = float(band[0]) * target, float(band[1]) * target
@@ -761,11 +766,28 @@ def gc_ivf_batches(spark, base_path: str, *,
 
     horizon = _STAGING_MAX_AGE_MS if max_age_ms is None else max_age_ms
     jvm, _, fs = _fs(spark, base_path)
+    # Manifests store the caller's verbatim path strings (possibly
+    # relative, possibly scheme-qualified: hdfs://, s3a://); listStatus
+    # returns fully-qualified Paths. Compare fully-qualified URIs on
+    # BOTH sides — a raw-string mismatch here would GC live data dirs.
+    # URI.normalize() resolves the '..' segments a relative base path
+    # leaves behind (Hadoop Path keeps them lexically); rebuilding from
+    # (scheme, authority, path) collapses the file:/x vs file:///x
+    # authority-presence split so equal locations compare equal.
+    def _qualify(path_str: str) -> str:
+        u = fs.makeQualified(
+            jvm.org.apache.hadoop.fs.Path(path_str)
+        ).toUri().normalize()
+        auth = u.getAuthority() or ""
+        return f"{u.getScheme()}://{auth}{u.getPath()}"
+
     referenced: set[str] = set()
     for v, committed in list_versions(spark, base_path):
         if not committed:
             continue
-        referenced.update(_read_manifest(spark, base_path, v))
+        referenced.update(
+            _qualify(d) for d in _read_manifest(spark, base_path, v)
+        )
     broot = jvm.org.apache.hadoop.fs.Path(
         f"{base_path.rstrip('/')}/batches"
     )
@@ -775,7 +797,7 @@ def gc_ivf_batches(spark, base_path: str, *,
     now = jvm.java.lang.System.currentTimeMillis()
     for st in fs.listStatus(broot):
         p = st.getPath()
-        full = p.toUri().getPath()
+        full = _qualify(p.toString())
         if full in referenced:
             continue
         if now - st.getModificationTime() <= horizon:
