@@ -126,6 +126,9 @@ SECTIONS: dict[str, tuple[str, list[str]]] = {
         "section", ["stats", "hist", "topk", "checks", "state"],
     ),
     "profile_drift_report": ("section", ["moments", "psi", "semantic"]),
+    # r10: the codec golden section (fixed ~43-payload fixture decode)
+    # vs the sf-scaled ASCII frame plumbing
+    "multimodal_frame_features": ("section", ["frames", "codec"]),
 }
 
 

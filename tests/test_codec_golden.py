@@ -1,0 +1,133 @@
+"""The codec golden row (plans/codec_check.py + plans/codec_golden.py):
+the committed fixture corpus decodes to exactly the frozen fingerprints,
+and the fingerprint is sensitive — a one-byte payload change flips it.
+
+This is the pytest twin of the driver-side check (the `codec` section of
+`multimodal_frame_features`); the driver verifies via DuckDB hash-match,
+this verifies the same rows in-process and adds the sensitivity control
+the driver can't run.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from youtube_api_data_etl_automation_spark.plans.codec_check import (
+    CODEC_FIXTURE_PATH,
+    codec_stats,
+)
+
+
+def test_fixture_is_committed_and_covers_all_families():
+    assert os.path.exists(CODEC_FIXTURE_PATH), (
+        "fixture missing — run tools/make_codec_fixture.py"
+    )
+    con = duckdb.connect()
+    fams = dict(
+        con.execute(
+            "SELECT family, count(*) FROM read_parquet(?) GROUP BY 1",
+            [CODEC_FIXTURE_PATH],
+        ).fetchall()
+    )
+    assert set(fams) == {"image", "audio", "image_meta", "video_meta"}
+    # the decode matrix: 6 PNG variants + 4 JPEG + GIF/BMP/PPM + 2 refusals
+    assert fams["image"] == 16
+    # PCM 8/16/24/32 + float 32/64 + G.711 ×2 + IMA + MS + 2 refusals
+    assert fams["audio"] == 12
+
+
+def test_codec_stats_match_golden(spark):
+    """Every fixture payload's decode/probe fingerprint equals the frozen
+    golden value — the same comparison the driver's hash-match makes."""
+    from youtube_api_data_etl_automation_spark.plans.codec_golden import (
+        CODEC_GOLDEN_SQL,
+    )
+
+    got = sorted(
+        (r.doc_id, r.fmt, r.width, r.height, r.fp)
+        for r in codec_stats(spark).collect()
+    )
+    want = sorted(
+        (int(d), f, None if w is None else int(w),
+         None if h is None else int(h), fp)
+        for d, f, w, h, fp in duckdb.connect()
+        .execute(CODEC_GOLDEN_SQL).fetchall()
+    )
+    assert got == want
+
+
+def test_codec_fingerprint_is_sensitive(spark, tmp_path):
+    """Negative control: corrupting one pixel byte of the BMP payload
+    changes its fingerprint — the golden row would catch a decoder that
+    starts returning wrong pixels, not just one that crashes."""
+    import pyarrow.parquet as pq_mod
+
+    table = pq_mod.read_table(CODEC_FIXTURE_PATH)
+    rows = table.to_pylist()
+    bmp = next(r for r in rows if r["name"] == "bmp24")
+    golden_fp = {
+        r.doc_id: r.fp for r in codec_stats(spark).collect()
+    }[bmp["payload_id"]]
+
+    payload = bytearray(bmp["payload"])
+    # last PIXEL byte: the 3x2 BMP has 12-byte strides with 3 padding
+    # bytes per row, so [-1..-3] are padding — flip [-4] instead
+    payload[-4] ^= 0xFF
+    import pyarrow as pa
+
+    mut = pa.table(
+        {
+            "payload_id": [bmp["payload_id"]],
+            "family": ["image"],
+            "name": ["bmp24_mutated"],
+            "payload": [bytes(payload)],
+        },
+        schema=table.schema,
+    )
+    mut_path = str(tmp_path / "mut.parquet")
+    pq_mod.write_table(mut, mut_path)
+
+    import youtube_api_data_etl_automation_spark.plans.codec_check as cc
+
+    orig = cc.CODEC_FIXTURE_PATH
+    cc.CODEC_FIXTURE_PATH = mut_path
+    try:
+        mut_fp = codec_stats(spark).collect()[0].fp
+    finally:
+        cc.CODEC_FIXTURE_PATH = orig
+    assert mut_fp != golden_fp
+
+
+def test_golden_regeneration_is_deterministic():
+    """Rebuilding the payloads yields byte-identical content (ids, names,
+    payload bytes) — the fixture can always be regenerated from source."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    sys.path.insert(0, "tests")
+    from make_codec_fixture import build_payloads
+
+    rows = build_payloads()
+    con = duckdb.connect()
+    committed = con.execute(
+        "SELECT payload_id, family, name, payload FROM read_parquet(?) "
+        "ORDER BY payload_id",
+        [CODEC_FIXTURE_PATH],
+    ).fetchall()
+    rebuilt = sorted(rows)
+    assert len(committed) == len(rebuilt)
+    for (cid, cf, cn, cp), (rid, rf, rn, rp) in zip(committed, rebuilt):
+        assert (cid, cf, cn) == (rid, rf, rn)
+        assert bytes(cp) == rp, f"payload drift for {cn}"
+
+
+def test_unknown_errors_mode_refuses():
+    with pytest.raises(ValueError, match="errors must be"):
+        from youtube_api_data_etl_automation_spark.operators.multimodal import (
+            _check_errors_mode,
+        )
+
+        _check_errors_mode("ignore")

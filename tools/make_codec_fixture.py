@@ -1,0 +1,249 @@
+"""Regenerate the codec-surface golden fixture and its oracle.
+
+Builds ``youtube_api_data_etl_automation_spark/fixtures/codec_payloads.parquet``
+— a deterministic corpus of encoder-built payloads covering the full
+decode/probe matrix — then runs :func:`plans.codec_check.codec_stats`
+once and freezes the result as a DuckDB VALUES literal in
+``youtube_api_data_etl_automation_spark/plans/codec_golden.py``.
+
+The payload encoders are the independent test-side encoders
+(tests/test_operators.py, tests/test_jpeg.py, tests/test_gif.py,
+tests/test_mediameta.py) that already pin the decoders byte-exactly in
+pytest; this tool promotes that signal to the driver's CORRECTNESS gate.
+
+Run after any INTENDED change to a decoder/probe's behavior:
+
+    python tools/make_codec_fixture.py
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import struct
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+
+def build_payloads() -> list[tuple[int, str, str, bytes]]:
+    """(payload_id, family, name, payload) for the whole matrix."""
+    import numpy as np
+    from test_gif import PAL4, _gif
+    from test_jpeg import _encode_jpeg, _encode_progressive, _rng_image
+    from test_mediameta import _box, _mp4, _trak, _webp
+    from test_operators import (
+        _bmp24,
+        _ima_encode,
+        _ms_adpcm_encode,
+        _png,
+        _ppm6,
+        _wav,
+    )
+
+    rows: list[tuple[int, str, str, bytes]] = []
+
+    def add(pid, family, name, payload):
+        rows.append((pid, family, name, bytes(payload)))
+
+    # ---- images: decode_image (ids 1xx) ------------------------------
+    grad = [[(x * 9 % 256, y * 31 % 256, (x + y) * 17 % 256)
+             for x in range(6)] for y in range(4)]
+    add(101, "image", "png_rgb8_filters", _png(grad, filters=[0, 1, 2, 3, 4]))
+    add(102, "image", "png_palette",
+        _png([[0, 1, 2, 3]] * 4, color_type=3, palette=PAL4))
+    add(103, "image", "png_grey16",
+        _png([[(v * 257,) for v in (0, 80, 160, 240, 255)]] * 3,
+             color_type=0, depth=16))
+    add(104, "image", "png_grey_alpha",
+        _png([[(g, 255 - g) for g in (0, 60, 120, 250)]] * 4, color_type=4))
+    add(105, "image", "png_adam7",
+        _png([[((x * 23 + y * 11) % 256,) * 3 for x in range(9)]
+              for y in range(9)], interlace=1, filters=[0, 1, 2, 3, 4]))
+    add(106, "image", "png_grey2",
+        _png([[(v,) for v in (0, 1, 2, 3, 3, 2, 1, 0)]] * 2,
+             color_type=0, depth=2))
+    add(107, "image", "jpeg_base_grey",
+        _encode_jpeg(_rng_image(16, 16, seed=41, grey=True))[0])
+    add(108, "image", "jpeg_base_color",
+        _encode_jpeg(_rng_image(16, 24, seed=42))[0])
+    add(109, "image", "jpeg_progressive",
+        _encode_progressive(_rng_image(8, 16, seed=43, grey=True))[0])
+    add(110, "image", "jpeg_restart",
+        _encode_jpeg(_rng_image(24, 24, seed=44, grey=True),
+                     restart_interval=2)[0])
+    add(111, "image", "gif_first_frame",
+        _gif([[0, 1, 2, 3, 2, 1]] * 4, PAL4))
+    add(112, "image", "bmp24",
+        _bmp24([[(1, 2, 3), (4, 5, 6), (7, 8, 9)],
+                [(10, 11, 12), (13, 14, 15), (16, 17, 18)]]))
+    add(113, "image", "ppm_p6", _ppm6([[(9, 8, 7), (6, 5, 4)]] * 2))
+    add(114, "image", "jpeg_arithmetic_unsupported",
+        _encode_jpeg(_rng_image(8, 8, seed=45, grey=True),
+                     sof_marker=0xC9)[0])
+    add(115, "image", "jpeg_truncated_corrupt",
+        _encode_jpeg(_rng_image(8, 8, seed=46, grey=True))[0][:40])
+    add(116, "image", "webp_pixels_unsupported",
+        _webp(b"VP8 ", b"\x00" * 6
+              + struct.pack("<HH", 32 | 0x4000, 16) + b"\x00" * 8))
+
+    # ---- audio: decode_audio (ids 2xx) -------------------------------
+    sin16 = [(int(12000 * math.sin(i / 3.0)),
+              int(-9000 * math.cos(i / 5.0))) for i in range(64)]
+    add(201, "audio", "wav_pcm16_stereo", _wav(8000, sin16))
+    add(202, "audio", "wav_pcm8",
+        _wav(11025, [((128 + int(100 * math.sin(i / 4.0))),)
+                     for i in range(40)], bits=8))
+    add(203, "audio", "wav_pcm24",
+        _wav(16000, [(int(4_000_000 * math.sin(i / 6.0)),)
+                     for i in range(32)], bits=24))
+    add(204, "audio", "wav_pcm32",
+        _wav(48000, [(int(1_000_000_000 * math.sin(i / 7.0)),)
+                     for i in range(24)], bits=32))
+    add(205, "audio", "wav_float32",
+        _wav(22050, [(math.sin(i / 3.0) * 0.5,) for i in range(30)],
+             bits=32, fmt_code=3))
+    add(206, "audio", "wav_float64",
+        _wav(22050, [(math.cos(i / 9.0) * 0.25,) for i in range(20)],
+             bits=64, fmt_code=3))
+    g711_codes = bytes(range(0, 256, 8))  # 32 codes across the LUT
+    add(207, "audio", "wav_alaw",
+        _wav(8000, [(0,)], bits=8, fmt_code=6, raw_data=g711_codes))
+    add(208, "audio", "wav_ulaw",
+        _wav(8000, [(0,)], bits=8, fmt_code=7, raw_data=g711_codes))
+    ima_wave = [int(6000 * math.sin(i / 2.0)) for i in range(16)]
+    ima_data, _ = _ima_encode([ima_wave], block_align=8)
+    add(209, "audio", "wav_ima_adpcm",
+        _wav(8000, [(0,)], bits=4, fmt_code=0x11, block_align=8,
+             raw_data=ima_data))
+    ms_wave = [int(5000 * math.sin(i / 2.5)) for i in range(20)]
+    ms_data, _ = _ms_adpcm_encode([ms_wave], block_align=11)
+    add(210, "audio", "wav_ms_adpcm",
+        _wav(8000, [(0,)], bits=4, fmt_code=2, block_align=11,
+             raw_data=ms_data))
+    add(211, "audio", "mp3_unsupported",
+        b"ID3\x04\x00\x00\x00\x00\x00\x00" + b"\xff\xfb\x90\x00" * 8)
+    add(212, "audio", "wav_truncated_corrupt", _wav(8000, sin16)[:30])
+
+    # ---- image headers: image_meta (ids 3xx) -------------------------
+    add(301, "image_meta", "probe_png", _png(grad))
+    add(302, "image_meta", "probe_jpeg_progressive",
+        _encode_progressive(_rng_image(8, 16, seed=47, grey=True))[0])
+    add(303, "image_meta", "probe_gif", _gif([[0, 1, 2]] * 2, PAL4))
+    add(304, "image_meta", "probe_bmp", _bmp24([[(1, 2, 3), (4, 5, 6)]]))
+    # header-only contract: huge declared dims, zero pixel bytes
+    add(305, "image_meta", "probe_ppm_header_only", b"P6\n4000 3000\n255\n")
+    add(306, "image_meta", "probe_webp_vp8",
+        _webp(b"VP8 ", b"\x00" * 6
+              + struct.pack("<HH", 320 | 0x4000, 240) + b"\x00" * 8))
+    add(307, "image_meta", "probe_webp_vp8l",
+        _webp(b"VP8L", bytes([0x2F])
+              + struct.pack("<I", (99 - 1) | ((77 - 1) << 14))
+              + b"\x00" * 8))
+    add(308, "image_meta", "probe_webp_vp8x",
+        _webp(b"VP8X", b"\x00" * 4 + (1919).to_bytes(3, "little")
+              + (1079).to_bytes(3, "little") + b"\x00" * 8))
+    add(309, "image_meta", "probe_unknown_unsupported", b"\x00\x01junk")
+    add(310, "image_meta", "probe_png_truncated_corrupt",
+        _png(grad)[:20])
+
+    # ---- video containers: video_meta (ids 4xx) ----------------------
+    add(401, "video_meta", "mp4_v0_two_tracks",
+        _mp4(timescale=600, duration=1500,
+             tracks=(_trak(b"vide", b"avc1", w=1920, h=1080),
+                     _trak(b"soun", b"mp4a"))))
+    add(402, "video_meta", "mp4_v1_largesize",
+        _mp4(timescale=90_000, duration=90_000 * 7, mvhd_version=1,
+             tracks=(_trak(b"vide", b"hvc1", w=640, h=360,
+                           tkhd_version=1),),
+             largesize_moov=True))
+    add(403, "video_meta", "mp4_truncated_corrupt",
+        _mp4(tracks=(_trak(b"vide", b"avc1", w=16, h=16),))[:-10])
+    add(404, "video_meta", "avi_unsupported",
+        b"RIFF\x00\x00\x00\x00AVI " + b"\x00" * 16)
+    add(405, "video_meta", "mp4_short_mvhd_corrupt",
+        _box(b"ftyp", b"isom" + b"\x00" * 8)
+        + _box(b"moov", _box(b"mvhd", bytes([0, 0, 0, 0]))))
+
+    return rows
+
+
+def write_fixture(rows) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from youtube_api_data_etl_automation_spark.plans.codec_check import (
+        CODEC_FIXTURE_PATH,
+    )
+
+    os.makedirs(os.path.dirname(CODEC_FIXTURE_PATH), exist_ok=True)
+    table = pa.table(
+        {
+            "payload_id": pa.array([r[0] for r in rows], pa.int64()),
+            "family": pa.array([r[1] for r in rows], pa.string()),
+            "name": pa.array([r[2] for r in rows], pa.string()),
+            "payload": pa.array([r[3] for r in rows], pa.binary()),
+        }
+    )
+    pq.write_table(table, CODEC_FIXTURE_PATH)
+    return CODEC_FIXTURE_PATH
+
+
+def write_golden() -> str:
+    from youtube_api_data_etl_automation_spark.plans.codec_check import (
+        codec_stats,
+    )
+    from youtube_api_data_etl_automation_spark.session import get_spark
+
+    spark = get_spark("codec-golden")
+    rows = sorted(
+        (r.doc_id, r.fmt, r.width, r.height, r.fp)
+        for r in codec_stats(spark).collect()
+    )
+
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    values = ",\n  ".join(
+        f"({d}, {lit(f)}, "
+        f"CAST({lit(w)} AS INT), CAST({lit(h)} AS INT), {lit(fp)})"
+        for d, f, w, h, fp in rows
+    )
+    sql = (
+        "SELECT * FROM (VALUES\n  " + values
+        + "\n) AS t(doc_id, fmt, width, height, fp)"
+    )
+    out = os.path.join(
+        REPO, "youtube_api_data_etl_automation_spark", "plans",
+        "codec_golden.py",
+    )
+    with open(out, "w") as f:
+        f.write(
+            '"""GENERATED by tools/make_codec_fixture.py — do not '
+            "hand-edit.\n\n"
+            "Golden per-payload decode/probe fingerprints of the codec\n"
+            "fixture corpus; the DuckDB oracle for the `codec` section of\n"
+            "`multimodal_frame_features`.\n"
+            '"""\n\n'
+            f"CODEC_GOLDEN_SQL = '''\n{sql}\n'''\n"
+        )
+    return out
+
+
+def main() -> None:
+    rows = build_payloads()
+    fx = write_fixture(rows)
+    print(f"wrote {fx} ({len(rows)} payloads, "
+          f"{sum(len(r[3]) for r in rows)} bytes)")
+    out = write_golden()
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,133 @@
+"""Golden-values verification of the codec/metadata surface.
+
+The decode family (operators/multimodal.py, operators/jpeg.py,
+operators/gif.py) and the container probes (operators/mediameta.py) are
+pytest-pinned against independent in-repo encoders, but until r10 they
+had no DRIVER-side correctness signal: the `multimodal_frame_features`
+oracle only exercises the Arrow/mapInPandas plumbing over ASCII
+payloads. This module closes that gap the same way
+`reference_pipeline.py` does for the ETL: a committed fixture parquet of
+encoder-built payloads covering the full decode matrix (PNG variants,
+baseline + progressive JPEG, GIF, BMP, PPM, the WAV matrix incl. G.711 +
+IMA/MS ADPCM, MP4 boxes, WebP headers, plus deliberate corrupt and
+unsupported payloads), a query that decodes/probes every payload and
+folds the result into a per-payload fingerprint row, and a generated
+golden VALUES table (tools/make_codec_fixture.py) the DuckDB oracle
+replays. Any regression in ~3k LoC of decoder code flips the driver's
+hash match.
+
+Fixture families → engine op exercised:
+- ``image``       → :func:`operators.multimodal.decode_image`
+- ``audio``       → :func:`operators.multimodal.decode_audio`
+- ``image_meta``  → :func:`operators.mediameta.image_meta`
+- ``video_meta``  → :func:`operators.mediameta.video_meta`
+
+Scale note: the fixture is a verification corpus (~40 rows, a few KB);
+the ops it drives are the same Arrow-batched mapInPandas operators that
+run over real payload tables, so the plan shape it certifies is the
+100 TB plan shape.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round6
+
+CODEC_FIXTURE_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "fixtures",
+    "codec_payloads.parquet",
+)
+
+# One schema for every family: fmt/width/height where the op yields them,
+# everything else folded into the fp string (exact ints, %.6f floats —
+# deterministic: the decoders are pure byte math).
+CODEC_STATS_COLUMNS = ("doc_id", "fmt", "width", "height", "fp")
+
+
+def _err_fp():
+    return F.concat(F.lit("ERR:"), F.col("error_kind"))
+
+
+def codec_stats(spark: SparkSession) -> DataFrame:
+    """One fingerprint row per fixture payload: ``(doc_id, fmt, width,
+    height, fp)``. Quarantined payloads carry ``fp='ERR:<kind>'`` so the
+    corrupt/unsupported routing is part of the golden contract too."""
+    from ..operators.mediameta import image_meta, video_meta
+    from ..operators.multimodal import decode_audio, decode_image
+    from ..session import ship_package
+
+    # the decode closures are pickled by module reference — workers must
+    # be able to import the package no matter where the driver is rooted
+    ship_package(spark)
+
+    blobs = spark.read.parquet(CODEC_FIXTURE_PATH)
+    by_family = {
+        fam: blobs.filter(F.col("family") == fam)
+        .select(F.col("payload_id").alias("doc_id"), "payload")
+        for fam in ("image", "audio", "image_meta", "video_meta")
+    }
+
+    img = decode_image(by_family["image"], errors="quarantine").select(
+        "doc_id",
+        F.col("format").alias("fmt"),
+        "width",
+        "height",
+        F.when(
+            F.col("error").isNull(),
+            F.format_string(
+                "%.6f,%.6f,%.6f",
+                round6(F.col("mean_r")),
+                round6(F.col("mean_g")),
+                round6(F.col("mean_b")),
+            ),
+        ).otherwise(_err_fp()).alias("fp"),
+    )
+    aud = decode_audio(by_family["audio"], errors="quarantine").select(
+        "doc_id",
+        F.col("format").alias("fmt"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.when(
+            F.col("error").isNull(),
+            F.format_string(
+                "%d,%d,%d,%.6f,%d,%.6f",
+                F.col("sample_rate"),
+                F.col("n_channels"),
+                F.col("n_frames"),
+                round6(F.col("duration_sec")),
+                F.col("peak"),
+                round6(F.col("rms")),
+            ),
+        ).otherwise(_err_fp()).alias("fp"),
+    )
+    imeta = image_meta(by_family["image_meta"], errors="quarantine").select(
+        "doc_id",
+        F.col("format").alias("fmt"),
+        "width",
+        "height",
+        F.when(F.col("error").isNull(), F.lit("meta"))
+        .otherwise(_err_fp()).alias("fp"),
+    )
+    vmeta = video_meta(by_family["video_meta"], errors="quarantine").select(
+        "doc_id",
+        F.col("brand").alias("fmt"),
+        "width",
+        "height",
+        F.when(
+            F.col("error").isNull(),
+            F.format_string(
+                "%.6f,%d,%d,%d,%s",
+                round6(F.col("duration_sec")),
+                F.col("n_tracks"),
+                F.col("n_video_tracks"),
+                F.col("n_audio_tracks"),
+                F.col("codecs"),
+            ),
+        ).otherwise(_err_fp()).alias("fp"),
+    )
+    return img.unionByName(aud).unionByName(imeta).unionByName(vmeta)

@@ -24,28 +24,73 @@ from .text_queries import _NORM, _sql_list
 _QUALITY_STOPWORDS = _sql_list(EN_STOPWORDS)
 
 
-@query(
-    "multimodal_frame_features",
-    oracle="""
+try:
+    from .codec_golden import CODEC_GOLDEN_SQL as _CODEC_GOLDEN
+except ImportError:  # golden not generated yet → honest rows-only check
+    _CODEC_GOLDEN = None
+
+_FRAMES_ORACLE = """
     WITH b AS (
       SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n FROM documents
     )
-    SELECT doc_id, CAST(i AS INT) AS frame_idx,
+    SELECT 'frames' AS section, doc_id, CAST(i AS INT) AS frame_idx,
            CAST(least(16, n - i * 16) AS INT) AS frame_len,
            CAST(ascii(substr(text, CAST(i * 16 + 1 AS INT), 1)) AS INT) AS first_byte,
-           CAST(ascii(substr(text, CAST(i * 16 + least(16, n - i * 16) AS INT), 1)) AS INT) AS last_byte
+           CAST(ascii(substr(text, CAST(i * 16 + least(16, n - i * 16) AS INT), 1)) AS INT) AS last_byte,
+           CAST(NULL AS VARCHAR) AS fmt, CAST(NULL AS INT) AS width,
+           CAST(NULL AS INT) AS height, CAST(NULL AS VARCHAR) AS fp
     FROM b, unnest(generate_series(0, CAST(ceil(n / 16.0) AS BIGINT) - 1)) AS t(i)
+"""
+
+
+@query(
+    "multimodal_frame_features",
+    oracle=None if _CODEC_GOLDEN is None else _FRAMES_ORACLE + f"""
+    UNION ALL
+    SELECT 'codec' AS section, CAST(doc_id AS BIGINT), CAST(NULL AS INT),
+           CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT),
+           fmt, width, height, fp
+    FROM ({_CODEC_GOLDEN})
     """,
 )
 def multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The multimodal pipeline shape end-to-end: binary payload + metadata
-    modeling → fixed-stride frame sampling (video/audio chunk access
-    pattern) → per-frame feature extraction, fused in one Arrow-batched
-    mapInPandas pass (fan-out stays in-partition, payload scanned once;
-    decode itself stubbed per environment, plumbing fully real). The
-    ASCII corpus makes byte features oracle-checkable via substr/ascii."""
+    """The multimodal pipeline end-to-end, tag-unioned (r10):
+
+    - section='frames': binary payload + metadata modeling → fixed-stride
+      frame sampling (video/audio chunk access pattern) → per-frame
+      feature extraction, fused in one Arrow-batched mapInPandas pass
+      (fan-out stays in-partition, payload scanned once). The ASCII
+      corpus makes byte features oracle-checkable via substr/ascii.
+    - section='codec': the REAL decode/probe surface under a golden
+      oracle — every payload of the committed fixture corpus
+      (plans/codec_check.py: PNG matrix, baseline+progressive JPEG, GIF,
+      BMP, PPM, the full WAV matrix, MP4 boxes, WebP headers, plus
+      deliberate corrupt/unsupported blobs) decoded via
+      decode_image/decode_audio/image_meta/video_meta and fingerprinted;
+      the oracle replays the generated golden VALUES
+      (tools/make_codec_fixture.py), so any decoder regression flips the
+      driver's hash match."""
+    from .codec_check import codec_stats
+
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
-    return frame_features(attach_binary(docs), frame_bytes=16)
+    frames = frame_features(attach_binary(docs), frame_bytes=16).select(
+        F.lit("frames").alias("section"),
+        "doc_id", "frame_idx", "frame_len", "first_byte", "last_byte",
+        F.lit(None).cast("string").alias("fmt"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("string").alias("fp"),
+    )
+    codec = codec_stats(spark).select(
+        F.lit("codec").alias("section"),
+        "doc_id",
+        F.lit(None).cast("int").alias("frame_idx"),
+        F.lit(None).cast("int").alias("frame_len"),
+        F.lit(None).cast("int").alias("first_byte"),
+        F.lit(None).cast("int").alias("last_byte"),
+        "fmt", "width", "height", "fp",
+    )
+    return frames.unionByName(codec)
 
 
 def _simhash_oracle_core() -> str:

@@ -50,3 +50,44 @@ def get_spark(app_name: str = "youtube-etl-spark-engine", master: str | None = N
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     return builder.getOrCreate()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make THIS package importable inside Spark's Python workers.
+
+    Operators whose mapInPandas/pandas_udf closures reference
+    module-level functions (the decode family: operators/jpeg.py,
+    operators/gif.py, operators/multimodal.py, operators/mediameta.py)
+    are pickled BY REFERENCE — the worker unpickles an import, so the
+    worker must be able to import the package. A driver process rooted
+    in the repo gets that for free (cwd on sys.path); an external
+    harness makes no such promise. This ships a one-time zip of the
+    package via ``sc.addPyFile`` — idempotent per SparkContext, ~100 ms,
+    a few hundred KB. Data files (fixtures/) and caches are excluded:
+    workers need code, the driver reads fixtures locally."""
+    sc = spark.sparkContext
+    if getattr(sc, "_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"{pkg_name}-{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, dirs, files in os.walk(pkg_dir):
+            dirs[:] = [
+                d for d in dirs if d not in ("__pycache__", "fixtures")
+            ]
+            for fn in sorted(files):
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(root, fn)
+                arc = os.path.join(
+                    pkg_name, os.path.relpath(full, pkg_dir)
+                )
+                zf.write(full, arc)
+    sc.addPyFile(zpath)
+    sc._pkg_shipped = True
