@@ -32,11 +32,14 @@ def test_fixture_is_committed_and_covers_all_families():
             [CODEC_FIXTURE_PATH],
         ).fetchall()
     )
-    assert set(fams) == {"image", "audio", "image_meta", "video_meta"}
+    assert set(fams) == {"image", "audio", "image_meta", "video_meta",
+                         "audio_meta"}
     # the decode matrix: 6 PNG variants + 4 JPEG + GIF/BMP/PPM + 2 refusals
     assert fams["image"] == 16
     # PCM 8/16/24/32 + float 32/64 + G.711 ×2 + IMA + MS + 2 refusals
     assert fams["audio"] == 12
+    # MP4 ×2 + MKV ×2 + 3 refusals / MP3 ×3 + FLAC + WAV + 2 refusals
+    assert fams["video_meta"] == 8 and fams["audio_meta"] == 7
 
 
 def test_codec_stats_match_golden(spark):

@@ -210,3 +210,200 @@ def test_ppm_probe_is_header_only():
     assert mediameta._probe_image(b"P6\n4 2\n65535\n") == ("ppm", 4, 2)
     with pytest.raises(ValueError, match="truncated header"):
         mediameta._probe_image(b"P6\n12 ")
+
+
+# ---------------------------------------------------------------- r10:
+# header-only audio probes (MP3 / FLAC / WAV) and the EBML/MKV walk
+
+
+def _mp3_frame_header(bitrate_idx=9, rate_idx=0, stereo=True,
+                      version_bits=3, layer=3):
+    b2 = 0xE0 | (version_bits << 3) | ((4 - layer) << 1) | 1  # no CRC
+    b3 = (bitrate_idx << 4) | (rate_idx << 2)
+    b4 = 0x00 if stereo else 0xC0
+    return bytes([0xFF, b2, b3, b4])
+
+
+def _id3v2(body_len=20):
+    size = bytes((body_len >> s) & 0x7F for s in (21, 14, 7, 0))
+    return b"ID3\x04\x00\x00" + size + b"\x00" * body_len
+
+
+def test_mp3_probe_cbr_and_xing():
+    # CBR: MPEG1 Layer3, 128 kbps, 44100 Hz, stereo; 2000 stream bytes
+    payload = _id3v2() + _mp3_frame_header() + b"\x00" * 1996
+    out = mediameta._parse_audio_meta(payload)
+    assert out["format"] == "mp3"
+    assert out["sample_rate"] == 44100 and out["n_channels"] == 2
+    assert out["duration_sec"] == pytest.approx(2000 * 8 / 128000)
+    assert out["detail"] == "mpeg1-layer3,cbr,128kbps"
+
+    # Xing: frame count wins over the CBR estimate
+    xing = b"Xing" + struct.pack(">II", 1, 100)
+    payload = _mp3_frame_header() + b"\x00" * 32 + xing + b"\x00" * 64
+    out = mediameta._parse_audio_meta(payload)
+    assert out["duration_sec"] == pytest.approx(100 * 1152 / 44100)
+    assert out["detail"] == "mpeg1-layer3,vbr-xing,128kbps"
+
+    # MPEG2.5 mono Layer3: half tables, 576 samples/frame path
+    hdr = _mp3_frame_header(bitrate_idx=4, rate_idx=2, stereo=False,
+                            version_bits=0)
+    out = mediameta._parse_audio_meta(hdr + b"\x00" * 996)
+    assert out["sample_rate"] == 8000 and out["n_channels"] == 1
+    assert out["detail"] == "mpeg2.5-layer3,cbr,32kbps"
+
+    with pytest.raises(ValueError, match="no frame sync"):
+        mediameta._parse_audio_meta(_id3v2() + b"\x00\x00\x00\x00")
+    with pytest.raises(ValueError, match="free-format"):
+        mediameta._parse_audio_meta(
+            _mp3_frame_header(bitrate_idx=0) + b"\x00" * 32
+        )
+
+
+def test_flac_probe_streaminfo():
+    packed = (44100 << 44) | ((2 - 1) << 41) | ((16 - 1) << 36) | 88200
+    streaminfo = b"\x00" * 10 + packed.to_bytes(8, "big") + b"\x00" * 16
+    payload = b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + streaminfo
+    out = mediameta._parse_audio_meta(payload)
+    assert out["format"] == "flac"
+    assert out["sample_rate"] == 44100 and out["n_channels"] == 2
+    assert out["duration_sec"] == pytest.approx(2.0)
+    assert out["detail"] == "bps=16,total_samples=88200"
+
+    # STREAMINFO after a padding block (non-last walk)
+    pad = bytes([0x01]) + (4).to_bytes(3, "big") + b"\x00" * 4
+    payload2 = b"fLaC" + pad + bytes([0x80]) + (34).to_bytes(3, "big") \
+        + streaminfo
+    assert mediameta._parse_audio_meta(payload2)["sample_rate"] == 44100
+
+    with pytest.raises(ValueError, match="no STREAMINFO"):
+        mediameta._parse_audio_meta(
+            b"fLaC" + bytes([0x81]) + (4).to_bytes(3, "big") + b"\x00" * 4
+        )
+    with pytest.raises(ValueError, match="short STREAMINFO"):
+        mediameta._parse_audio_meta(
+            b"fLaC" + bytes([0x80]) + (10).to_bytes(3, "big") + b"\x00" * 10
+        )
+
+
+def test_wav_header_probe_never_reads_samples():
+    import sys
+    sys.path.insert(0, "tests")
+    from test_operators import _wav
+
+    payload = _wav(8000, [(100, -100)] * 64)  # 16-bit stereo
+    out = mediameta._parse_audio_meta(payload)
+    assert out["format"] == "wav"
+    assert out["sample_rate"] == 8000 and out["n_channels"] == 2
+    assert out["duration_sec"] == pytest.approx(64 / 8000)
+    assert out["detail"] == "fmt_code=1,bits=16,block_align=4"
+    # header-only contract: data chunk SIZE counted, bytes never read —
+    # a payload truncated mid-data still probes
+    assert mediameta._parse_audio_meta(payload[:50])["duration_sec"] == \
+        pytest.approx(64 / 8000)
+
+    with pytest.raises(NotImplementedError, match="unknown audio"):
+        mediameta._parse_audio_meta(b"OggS" + b"\x00" * 32)
+
+
+def _ebml(eid: bytes, body: bytes) -> bytes:
+    n = 1
+    while len(body) >= (1 << (7 * n)) - 1:  # all-ones size is reserved
+        n += 1
+    return eid + (len(body) | (1 << (7 * n))).to_bytes(n, "big")
+
+
+def _mkv(duration=5000.0, tscale=None, tracks=(), unknown_size=False):
+    # NB: _ebml returns header only — append body explicitly
+    info = _ebml(b"\x44\x89", struct.pack(">f", duration)) \
+        + struct.pack(">f", duration)
+    if tscale is not None:
+        scale_el = _ebml(b"\x2a\xd7\xb1", tscale.to_bytes(3, "big")) \
+            + tscale.to_bytes(3, "big")
+        info = scale_el + info
+    info_el = _ebml(b"\x15\x49\xa9\x66", info) + info
+    tracks_body = b"".join(tracks)
+    tracks_el = _ebml(b"\x16\x54\xae\x6b", tracks_body) + tracks_body
+    seg_body = info_el + tracks_el
+    if unknown_size:
+        seg = b"\x18\x53\x80\x67" + b"\xff" + seg_body
+    else:
+        seg = _ebml(b"\x18\x53\x80\x67", seg_body) + seg_body
+    ebml_hdr = _ebml(b"\x1a\x45\xdf\xa3", b"\x00" * 4) + b"\x00" * 4
+    return ebml_hdr + seg
+
+
+def _mkv_track(ttype: int, codec: bytes, w=None, h=None):
+    body = _ebml(b"\x83", bytes([ttype])) + bytes([ttype])
+    body += _ebml(b"\x86", codec) + codec
+    if w is not None:
+        wb = w.to_bytes(2, "big")
+        hb = h.to_bytes(2, "big")
+        video = _ebml(b"\xb0", wb) + wb + _ebml(b"\xba", hb) + hb
+        body += _ebml(b"\xe0", video) + video
+    return _ebml(b"\xae", body) + body
+
+
+def test_mkv_metadata_walk():
+    payload = _mkv(
+        duration=5000.0,
+        tracks=(_mkv_track(1, b"V_VP9", w=640, h=360),
+                _mkv_track(2, b"A_OPUS")),
+    )
+    out = mediameta._parse_mkv(payload)
+    assert out["brand"] == "mkv"
+    assert out["duration_sec"] == pytest.approx(5.0)  # default 1e6 ns scale
+    assert out["n_tracks"] == 2
+    assert out["n_video_tracks"] == 1 and out["n_audio_tracks"] == 1
+    assert (out["width"], out["height"]) == (640, 360)
+    assert out["codecs"] == "V_VP9,A_OPUS"
+
+    # explicit TimestampScale and the unknown-size (streaming) segment
+    out = mediameta._parse_mkv(
+        _mkv(duration=3000.0, tscale=2_000_000, unknown_size=True)
+    )
+    assert out["duration_sec"] == pytest.approx(6.0)
+    assert out["n_tracks"] == 0
+
+    with pytest.raises(ValueError, match="no Segment/Info/Duration"):
+        mediameta._parse_mkv(_ebml(b"\x1a\x45\xdf\xa3", b"") )
+    trunc = _mkv(duration=1000.0)[:-3]
+    with pytest.raises(ValueError, match="overruns|truncated"):
+        mediameta._parse_mkv(trunc)
+
+
+def test_audio_video_meta_spark_dispatch(spark):
+    """audio_meta end to end, and video_meta dispatching MP4 vs MKV."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_operators import _wav
+
+    auds = spark.createDataFrame(
+        [(1, bytearray(_id3v2() + _mp3_frame_header() + b"\x00" * 996)),
+         (2, bytearray(_wav(16000, [(5,)] * 32))),
+         (3, bytearray(b"OggS" + b"\x00" * 16)),
+         (4, bytearray(b"fLaC\x80"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in mediameta.audio_meta(
+        auds, errors="quarantine"
+    ).collect()}
+    assert rows[1].format == "mp3" and rows[1].sample_rate == 44100
+    assert rows[2].format == "wav" and rows[2].duration_sec == \
+        pytest.approx(32 / 16000)
+    assert rows[3].error_kind == "unsupported"
+    assert rows[4].error_kind == "corrupt"
+
+    vids = spark.createDataFrame(
+        [(1, bytearray(_mp4(timescale=1000, duration=4000))),
+         (2, bytearray(_mkv(duration=5000.0,
+                            tracks=(_mkv_track(1, b"V_VP9", w=320,
+                                               h=240),))))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in mediameta.video_meta(vids).collect()}
+    assert rows[1].brand == "isom" and rows[1].duration_sec == 4.0
+    assert rows[2].brand == "mkv" and rows[2].duration_sec == \
+        pytest.approx(5.0)
+    assert (rows[2].width, rows[2].height) == (320, 240)
+    assert rows[2].codecs == "V_VP9"

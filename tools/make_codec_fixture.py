@@ -166,6 +166,37 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
     add(405, "video_meta", "mp4_short_mvhd_corrupt",
         _box(b"ftyp", b"isom" + b"\x00" * 8)
         + _box(b"moov", _box(b"mvhd", bytes([0, 0, 0, 0]))))
+    from test_mediameta import _mkv, _mkv_track
+
+    add(406, "video_meta", "mkv_two_tracks",
+        _mkv(duration=5000.0,
+             tracks=(_mkv_track(1, b"V_VP9", w=640, h=360),
+                     _mkv_track(2, b"A_OPUS"))))
+    add(407, "video_meta", "mkv_unknown_size_segment",
+        _mkv(duration=3000.0, tscale=2_000_000, unknown_size=True))
+    add(408, "video_meta", "mkv_truncated_corrupt",
+        _mkv(duration=1000.0,
+             tracks=(_mkv_track(1, b"V_AV1", w=32, h=32),))[:-3])
+
+    # ---- audio headers: audio_meta (ids 5xx) -------------------------
+    from test_mediameta import _id3v2, _mp3_frame_header
+
+    add(501, "audio_meta", "mp3_cbr_id3",
+        _id3v2() + _mp3_frame_header() + b"\x00" * 1996)
+    add(502, "audio_meta", "mp3_xing_vbr",
+        _mp3_frame_header() + b"\x00" * 32
+        + b"Xing" + struct.pack(">II", 1, 100) + b"\x00" * 64)
+    add(503, "audio_meta", "mp3_mpeg25_mono",
+        _mp3_frame_header(bitrate_idx=4, rate_idx=2, stereo=False,
+                          version_bits=0) + b"\x00" * 996)
+    flac_packed = (44100 << 44) | ((2 - 1) << 41) | ((16 - 1) << 36) | 88200
+    add(504, "audio_meta", "flac_streaminfo",
+        b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big")
+        + b"\x00" * 10 + flac_packed.to_bytes(8, "big") + b"\x00" * 16)
+    add(505, "audio_meta", "wav_header_probe",
+        _wav(16000, [(int(900 * math.sin(i / 3.0)),) for i in range(48)]))
+    add(506, "audio_meta", "ogg_unsupported", b"OggS" + b"\x00" * 16)
+    add(507, "audio_meta", "flac_truncated_corrupt", b"fLaC\x80")
 
     return rows
 

@@ -15,6 +15,9 @@ That is pure struct parsing, which this module does for real:
   truncated/overlapping boxes refuse with ValueError (quarantine
   'corrupt'), non-BMFF payloads (AVI/MKV/…) raise NotImplementedError
   ('unsupported': a demuxer library would read them).
+- ``video_meta`` / ``_parse_mkv`` (r10): the EBML twin — Matroska/WebM
+  element walk (TimestampScale×Duration, per-track type + CodecID,
+  first video track's pixel dimensions), cluster data skipped by size.
 - ``image_meta`` / ``_probe_image``: header-only dimension/format probe
   for PNG, JPEG (incl. progressive — SOF scan), GIF, BMP, PPM, and all
   three WebP flavors (VP8 key-frame size, VP8L 14-bit packed size, VP8X
@@ -22,8 +25,11 @@ That is pure struct parsing, which this module does for real:
   dimensions do not, so corpus triage (resolution filters, aspect
   buckets, thumbnail routing) works over every common web format
   without decoding anything.
+- ``audio_meta`` (r10): MP3 (ID3v2 skip, frame-header tables, Xing/Info
+  frame count else CBR estimate), FLAC STREAMINFO, and WAV fmt-chunk
+  probing — rate/channels/duration without touching one sample.
 
-Both run as Arrow-batched ``mapInPandas`` with the same
+All run as Arrow-batched ``mapInPandas`` with the same
 ``errors='quarantine'`` contract as the decoders: one bad payload in
 10^12 is a row, not a task failure. Parsing cost is O(header bytes) per
 payload — there is no budget knob because there is no per-pixel loop.
@@ -89,7 +95,7 @@ def _parse_mp4(payload: bytes) -> dict:
     docstring for the fields)."""
     if len(payload) < 12 or payload[4:8] != b"ftyp":
         raise NotImplementedError(
-            "unknown video container (no ftyp box): AVI/MKV/raw streams "
+            "unknown video container (no ftyp box): AVI/raw streams "
             "need a demuxer library, not available in this container"
         )
     brand = payload[8:12].decode("latin-1")
@@ -237,6 +243,301 @@ def _probe_image(payload: bytes) -> tuple[str, int, int]:
     )
 
 
+AUDIO_META_SCHEMA = (
+    "doc_id bigint, format string, sample_rate int, n_channels int, "
+    "duration_sec double, detail string"
+)
+AUDIO_META_QUARANTINE_SCHEMA = AUDIO_META_SCHEMA + \
+    ", error string, error_kind string"
+
+# MPEG audio frame-header tables (ISO/IEC 11172-3 / 13818-3). Bitrate
+# kbps by (version-group, layer, index 1..14); index 0 is 'free format'
+# and 15 is invalid.
+_MP3_BITRATES = {
+    (1, 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384,
+             416, 448),
+    (1, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+             320, 384),
+    (1, 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+             256, 320),
+    (2, 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192,
+             224, 256),
+    (2, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+              0: (11025, 12000, 8000)}
+
+
+def _parse_mp3(payload: bytes) -> dict:
+    """Header-only MPEG-audio probe: skip ID3v2, parse the first frame
+    header; duration from the Xing/Info frame count when present, else
+    the CBR estimate (stream bytes × 8 / bitrate). O(header bytes)."""
+    pos = 0
+    if payload[:3] == b"ID3":
+        if len(payload) < 10:
+            raise ValueError("malformed MP3: truncated ID3v2 header")
+        size = 0
+        for b in payload[6:10]:  # syncsafe 7-bit bytes
+            if b & 0x80:
+                raise ValueError("malformed MP3: non-syncsafe ID3 size")
+            size = (size << 7) | b
+        pos = 10 + size
+    if pos + 4 > len(payload):
+        raise ValueError("malformed MP3: no frame header after ID3 tag")
+    b1, b2, b3, b4 = payload[pos : pos + 4]
+    if b1 != 0xFF or (b2 & 0xE0) != 0xE0:
+        raise ValueError("malformed MP3: no frame sync")
+    ver_bits = (b2 >> 3) & 0x3
+    if ver_bits == 1:
+        raise ValueError("malformed MP3: reserved MPEG version")
+    vgroup = 1 if ver_bits == 3 else 2  # MPEG2 and 2.5 share tables
+    layer = 4 - ((b2 >> 1) & 0x3)
+    if layer == 4:
+        raise ValueError("malformed MP3: reserved layer")
+    br_idx = (b3 >> 4) & 0xF
+    if br_idx in (0, 15):
+        raise ValueError(
+            f"malformed MP3: bitrate index {br_idx} (free-format/invalid)"
+        )
+    rate_idx = (b3 >> 2) & 0x3
+    if rate_idx == 3:
+        raise ValueError("malformed MP3: reserved sample-rate index")
+    rate = _MP3_RATES[ver_bits][rate_idx]
+    bitrate = _MP3_BITRATES[(vgroup, layer)][br_idx - 1] * 1000
+    mode = (b4 >> 6) & 0x3
+    n_ch = 1 if mode == 3 else 2
+    version_name = {3: "1", 2: "2", 0: "2.5"}[ver_bits]
+
+    # Xing/Info header sits after the Layer-III side info
+    duration = None
+    detail_kind = "cbr"
+    if layer == 3:
+        side = (17 if n_ch == 1 else 32) if vgroup == 1 else \
+            (9 if n_ch == 1 else 17)
+        xat = pos + 4 + side
+        if payload[xat : xat + 4] in (b"Xing", b"Info") and \
+                xat + 12 <= len(payload):
+            (flags,) = struct.unpack_from(">I", payload, xat + 4)
+            if flags & 0x1:
+                (n_frames,) = struct.unpack_from(">I", payload, xat + 8)
+                spf = 1152 if vgroup == 1 else 576
+                duration = n_frames * spf / rate
+                detail_kind = "vbr-xing"
+    if duration is None:
+        duration = (len(payload) - pos) * 8 / bitrate
+    return {
+        "format": "mp3", "sample_rate": rate, "n_channels": n_ch,
+        "duration_sec": duration,
+        "detail": f"mpeg{version_name}-layer{layer},{detail_kind},"
+                  f"{bitrate // 1000}kbps",
+    }
+
+
+def _parse_flac(payload: bytes) -> dict:
+    """FLAC STREAMINFO probe (the mandatory first metadata block):
+    rate/channels/bit-depth/total-samples from 34 header bytes."""
+    if len(payload) < 8:
+        raise ValueError("malformed FLAC: truncated metadata header")
+    pos = 4
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("malformed FLAC: truncated metadata header")
+        head = payload[pos]
+        btype, last = head & 0x7F, bool(head & 0x80)
+        blen = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + blen]
+        if btype == 0:  # STREAMINFO
+            if blen < 34 or len(body) < 34:
+                raise ValueError("malformed FLAC: short STREAMINFO")
+            packed = int.from_bytes(body[10:18], "big")
+            rate = packed >> 44
+            n_ch = ((packed >> 41) & 0x7) + 1
+            bps = ((packed >> 36) & 0x1F) + 1
+            total = packed & ((1 << 36) - 1)
+            if rate == 0:
+                raise ValueError("malformed FLAC: sample rate 0")
+            return {
+                "format": "flac", "sample_rate": rate, "n_channels": n_ch,
+                "duration_sec": total / rate,
+                "detail": f"bps={bps},total_samples={total}",
+            }
+        if last:
+            raise ValueError("malformed FLAC: no STREAMINFO block")
+        pos += 4 + blen
+
+
+def _parse_wav_header(payload: bytes) -> dict:
+    """RIFF/WAVE probe from the fmt chunk + data chunk SIZE only — the
+    triage twin of multimodal._decode_pcm that never touches samples."""
+    if len(payload) < 12:
+        raise ValueError("malformed WAV: truncated RIFF header")
+    pos, fmt, data_len = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"fmt ":
+            if clen < 16 or pos + 8 + 16 > len(payload):
+                raise ValueError("malformed WAV: short fmt chunk")
+            fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+        elif cid == b"data":
+            data_len = clen
+            break  # header probe stops at the data chunk — never reads it
+        pos += 8 + clen + (clen & 1)
+    if fmt is None or data_len is None:
+        raise ValueError("malformed WAV: missing fmt/data chunk")
+    fmt_code, n_ch, rate, byte_rate, block_align, bits = fmt
+    if rate == 0 or byte_rate == 0:
+        raise ValueError("malformed WAV: zero rate")
+    return {
+        "format": "wav", "sample_rate": rate, "n_channels": n_ch,
+        "duration_sec": data_len / byte_rate,
+        "detail": f"fmt_code={fmt_code},bits={bits},"
+                  f"block_align={block_align}",
+    }
+
+
+def _parse_audio_meta(payload: bytes) -> dict:
+    if not payload:
+        raise ValueError("empty/NULL audio payload")
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2 and payload[0] == 0xFF and
+        (payload[1] & 0xE0) == 0xE0
+    ):
+        return _parse_mp3(payload)
+    if payload[:4] == b"fLaC":
+        return _parse_flac(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _parse_wav_header(payload)
+    raise NotImplementedError(
+        f"unknown audio container (magic {payload[:4]!r}); header "
+        "probing covers MP3 (ID3/frame-sync), FLAC, WAV"
+    )
+
+
+# --- EBML / Matroska (and WebM) -------------------------------------
+
+def _ebml_vint(payload: bytes, pos: int, *, keep_marker: bool):
+    """(value, next_pos) for an EBML variable-length integer at ``pos``.
+    Element IDs keep the length-marker bit (``keep_marker=True``);
+    sizes strip it."""
+    if pos >= len(payload):
+        raise ValueError("malformed EBML: truncated vint")
+    first = payload[pos]
+    if first == 0:
+        raise ValueError("malformed EBML: invalid vint lead byte 0")
+    n = 8 - first.bit_length() + 1  # leading-zero count + 1
+    if pos + n > len(payload):
+        raise ValueError("malformed EBML: truncated vint body")
+    raw = int.from_bytes(payload[pos : pos + n], "big")
+    if not keep_marker:
+        raw &= (1 << (7 * n)) - 1
+    return raw, pos + n
+
+
+def _ebml_children(payload: bytes, start: int, end: int):
+    """Yield (element_id, body_start, body_end) for EBML elements in
+    [start, end) — the _boxes() twin for Matroska."""
+    pos = start
+    while pos < end:
+        eid, pos = _ebml_vint(payload, pos, keep_marker=True)
+        spos = pos
+        size, pos = _ebml_vint(payload, pos, keep_marker=False)
+        # an all-data-bits-one size vint means 'unknown size'
+        # (streaming): treat as extends-to-scope, like an MP4 size-0 box
+        if size == (1 << (7 * (pos - spos))) - 1:
+            size = end - pos
+        if pos + size > end:
+            raise ValueError(
+                f"malformed EBML: element 0x{eid:X} overruns its scope"
+            )
+        yield eid, pos, pos + size
+        pos += size
+
+
+_MKV_SEGMENT = 0x18538067
+_MKV_INFO = 0x1549A966
+_MKV_TSCALE = 0x2AD7B1
+_MKV_DURATION = 0x4489
+_MKV_TRACKS = 0x1654AE6B
+_MKV_TRACK_ENTRY = 0xAE
+_MKV_TRACK_TYPE = 0x83
+_MKV_CODEC_ID = 0x86
+_MKV_VIDEO = 0xE0
+_MKV_PIXEL_W = 0xB0
+_MKV_PIXEL_H = 0xBA
+
+
+def _parse_mkv(payload: bytes) -> dict:
+    """Matroska/WebM metadata walk — the EBML twin of :func:`_parse_mp4`:
+    duration via TimestampScale×Duration, per-track type/codec, first
+    video track's pixel dimensions. Never touches cluster (essence)
+    data: clusters are skipped by their size vints."""
+    out = {
+        "brand": "mkv", "duration_sec": None, "n_tracks": 0,
+        "n_video_tracks": 0, "n_audio_tracks": 0,
+        "width": None, "height": None, "codecs": [],
+    }
+    tscale = 1_000_000  # ns per tick, Matroska default
+    duration_ticks = None
+
+    def walk_track(t0, t1):
+        out["n_tracks"] += 1
+        ttype, t_w, t_h = None, None, None
+        for eid, b0, b1 in _ebml_children(payload, t0, t1):
+            if eid == _MKV_TRACK_TYPE:
+                ttype = int.from_bytes(payload[b0:b1], "big")
+            elif eid == _MKV_CODEC_ID:
+                out["codecs"].append(
+                    payload[b0:b1].decode("latin-1").rstrip("\x00")
+                )
+            elif eid == _MKV_VIDEO:
+                for vid, v0, v1 in _ebml_children(payload, b0, b1):
+                    if vid == _MKV_PIXEL_W:
+                        t_w = int.from_bytes(payload[v0:v1], "big")
+                    elif vid == _MKV_PIXEL_H:
+                        t_h = int.from_bytes(payload[v0:v1], "big")
+        if ttype == 1:
+            out["n_video_tracks"] += 1
+            if t_w and t_h and out["width"] is None:
+                out["width"], out["height"] = t_w, t_h
+        elif ttype == 2:
+            out["n_audio_tracks"] += 1
+
+    for eid, b0, b1 in _ebml_children(payload, 0, len(payload)):
+        if eid != _MKV_SEGMENT:
+            continue
+        for sid, s0, s1 in _ebml_children(payload, b0, b1):
+            if sid == _MKV_INFO:
+                for iid, i0, i1 in _ebml_children(payload, s0, s1):
+                    if iid == _MKV_TSCALE:
+                        tscale = int.from_bytes(payload[i0:i1], "big")
+                    elif iid == _MKV_DURATION:
+                        w = i1 - i0
+                        if w == 4:
+                            (duration_ticks,) = struct.unpack_from(
+                                ">f", payload, i0
+                            )
+                        elif w == 8:
+                            (duration_ticks,) = struct.unpack_from(
+                                ">d", payload, i0
+                            )
+                        else:
+                            raise ValueError(
+                                "malformed MKV: Duration is a 4/8-byte "
+                                f"float, got {w} bytes"
+                            )
+            elif sid == _MKV_TRACKS:
+                for tid, t0, t1 in _ebml_children(payload, s0, s1):
+                    if tid == _MKV_TRACK_ENTRY:
+                        walk_track(t0, t1)
+    if duration_ticks is None:
+        raise ValueError("malformed MKV: no Segment/Info/Duration")
+    out["duration_sec"] = duration_ticks * tscale / 1e9
+    out["codecs"] = ",".join(out["codecs"])
+    return out
+
+
 def _quarantine_batches(rows_fn, columns, quarantine):
     """Shared mapInPandas body: rows_fn(payload) -> dict of columns, or
     raises; failures become quarantine rows when enabled."""
@@ -277,7 +578,8 @@ def _quarantine_batches(rows_fn, columns, quarantine):
 def video_meta(blobs: DataFrame, errors: str = "raise") -> DataFrame:
     """Container metadata per video payload (see module docstring):
     ``(doc_id, brand, duration_sec, n_tracks, n_video_tracks,
-    n_audio_tracks, width, height, codecs)``."""
+    n_audio_tracks, width, height, codecs)``. Dispatches on magic:
+    ISO-BMFF (ftyp) → box walk, EBML (Matroska/WebM) → element walk."""
     from .multimodal import _check_errors_mode
 
     quarantine = _check_errors_mode(errors)
@@ -285,6 +587,8 @@ def video_meta(blobs: DataFrame, errors: str = "raise") -> DataFrame:
     def one(payload):
         if not payload:
             raise ValueError("empty/NULL video payload")
+        if payload[:4] == b"\x1a\x45\xdf\xa3":
+            return _parse_mkv(payload)
         return _parse_mp4(payload)
 
     schema = VIDEO_META_QUARANTINE_SCHEMA if quarantine else VIDEO_META_SCHEMA
@@ -313,5 +617,30 @@ def image_meta(blobs: DataFrame, errors: str = "raise") -> DataFrame:
     schema = IMAGE_META_QUARANTINE_SCHEMA if quarantine else IMAGE_META_SCHEMA
     return blobs.mapInPandas(
         _quarantine_batches(one, ("format", "width", "height"), quarantine),
+        schema,
+    )
+
+
+def audio_meta(blobs: DataFrame, errors: str = "raise") -> DataFrame:
+    """Header-only audio probe: ``(doc_id, format, sample_rate,
+    n_channels, duration_sec, detail)`` for MP3 (ID3v2 skip + frame
+    header + Xing/Info frame count, CBR estimate otherwise), FLAC
+    (STREAMINFO), and WAV (fmt chunk + data SIZE — the triage twin of
+    ``decode_audio`` that never reads a sample). At 100 TB this probe,
+    not the decoder, is the operation that runs over every payload:
+    O(header bytes), no budget knob because there is no per-sample
+    loop."""
+    from .multimodal import _check_errors_mode
+
+    quarantine = _check_errors_mode(errors)
+
+    schema = AUDIO_META_QUARANTINE_SCHEMA if quarantine else AUDIO_META_SCHEMA
+    return blobs.mapInPandas(
+        _quarantine_batches(
+            _parse_audio_meta,
+            ("format", "sample_rate", "n_channels", "duration_sec",
+             "detail"),
+            quarantine,
+        ),
         schema,
     )

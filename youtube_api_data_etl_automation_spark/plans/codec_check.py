@@ -20,7 +20,9 @@ Fixture families → engine op exercised:
 - ``image``       → :func:`operators.multimodal.decode_image`
 - ``audio``       → :func:`operators.multimodal.decode_audio`
 - ``image_meta``  → :func:`operators.mediameta.image_meta`
-- ``video_meta``  → :func:`operators.mediameta.video_meta`
+- ``video_meta``  → :func:`operators.mediameta.video_meta` (MP4 + MKV)
+- ``audio_meta``  → :func:`operators.mediameta.audio_meta` (r10:
+  MP3/FLAC/WAV header probes)
 
 Scale note: the fixture is a verification corpus (~40 rows, a few KB);
 the ops it drives are the same Arrow-batched mapInPandas operators that
@@ -57,7 +59,7 @@ def codec_stats(spark: SparkSession) -> DataFrame:
     """One fingerprint row per fixture payload: ``(doc_id, fmt, width,
     height, fp)``. Quarantined payloads carry ``fp='ERR:<kind>'`` so the
     corrupt/unsupported routing is part of the golden contract too."""
-    from ..operators.mediameta import image_meta, video_meta
+    from ..operators.mediameta import audio_meta, image_meta, video_meta
     from ..operators.multimodal import decode_audio, decode_image
     from ..session import ship_package
 
@@ -69,7 +71,8 @@ def codec_stats(spark: SparkSession) -> DataFrame:
     by_family = {
         fam: blobs.filter(F.col("family") == fam)
         .select(F.col("payload_id").alias("doc_id"), "payload")
-        for fam in ("image", "audio", "image_meta", "video_meta")
+        for fam in ("image", "audio", "image_meta", "video_meta",
+                    "audio_meta")
     }
 
     img = decode_image(by_family["image"], errors="quarantine").select(
@@ -130,4 +133,23 @@ def codec_stats(spark: SparkSession) -> DataFrame:
             ),
         ).otherwise(_err_fp()).alias("fp"),
     )
-    return img.unionByName(aud).unionByName(imeta).unionByName(vmeta)
+    ameta = audio_meta(by_family["audio_meta"], errors="quarantine").select(
+        "doc_id",
+        F.col("format").alias("fmt"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.when(
+            F.col("error").isNull(),
+            F.format_string(
+                "%d,%d,%.6f,%s",
+                F.col("sample_rate"),
+                F.col("n_channels"),
+                round6(F.col("duration_sec")),
+                F.col("detail"),
+            ),
+        ).otherwise(_err_fp()).alias("fp"),
+    )
+    return (
+        img.unionByName(aud).unionByName(imeta).unionByName(vmeta)
+        .unionByName(ameta)
+    )
