@@ -407,3 +407,50 @@ def test_audio_video_meta_spark_dispatch(spark):
         pytest.approx(5.0)
     assert (rows[2].width, rows[2].height) == (320, 240)
     assert rows[2].codecs == "V_VP9"
+
+
+def test_triage_decode_images_routes_before_decoding(spark):
+    """r10 triage router: the O(header) probe gates the per-pixel
+    decoder. The oversized payload here has NO pixel bytes at all — if
+    the decode loop ever ran on it, the row would be an error, not a
+    clean 'oversized' route with probed dims intact."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_operators import _png
+
+    good_png = _png([[(10, 20, 30)] * 4] * 2)
+    huge_ppm = b"P6\n40000 30000\n255\n"  # header only, 1.2 Gpx declared
+    webp = _webp(b"VP8 ", b"\x00" * 6
+                 + struct.pack("<HH", 320 | 0x4000, 240) + b"\x00" * 8)
+    # valid PNG header, pixel stream cut: probe passes, decode refuses
+    cut_png = good_png[:40]
+    blobs = spark.createDataFrame(
+        [(1, bytearray(good_png)), (2, bytearray(huge_ppm)),
+         (3, bytearray(webp)), (4, bytearray(b"\x00\x01junk")),
+         (5, bytearray(cut_png))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in mediameta.triage_decode_images(
+        blobs, max_pixels=1_000_000
+    ).collect()}
+    assert rows[1].route == "decoded" and rows[1].format == "png"
+    assert (rows[1].mean_r, rows[1].mean_g, rows[1].mean_b) == \
+        (10.0, 20.0, 30.0)
+    assert rows[2].route == "oversized" and rows[2].error_kind == \
+        "unsupported"
+    assert (rows[2].format, rows[2].width, rows[2].height) == \
+        ("ppm", 40000, 30000)  # triage report keeps the probed dims
+    assert rows[3].route == "undecodable" and rows[3].format == "webp"
+    assert rows[3].error_kind == "unsupported"
+    assert rows[4].route == "probe_failed" and \
+        rows[4].error_kind == "unsupported"
+    assert rows[5].route == "decode_failed" and \
+        rows[5].error_kind == "corrupt"
+    assert (rows[5].width, rows[5].height) == (4, 2)  # probe survived
+
+    # raise mode surfaces the first routed-out payload as its exception
+    with pytest.raises(Exception, match="triage budget|no stdlib codec"):
+        mediameta.triage_decode_images(
+            blobs.filter("doc_id = 2"), max_pixels=1_000_000,
+            errors="raise",
+        ).collect()

@@ -644,3 +644,109 @@ def audio_meta(blobs: DataFrame, errors: str = "raise") -> DataFrame:
         ),
         schema,
     )
+
+
+TRIAGE_DECODE_SCHEMA = (
+    "doc_id bigint, route string, format string, width int, height int, "
+    "mean_r double, mean_g double, mean_b double, "
+    "error string, error_kind string"
+)
+
+#: formats _decode_rgb can reconstruct without a codec library; anything
+#: else that PROBES fine (WebP today) routes 'undecodable' pre-decode.
+DECODABLE_IMAGE_FORMATS = frozenset({"png", "jpeg", "gif", "bmp", "ppm"})
+
+
+def triage_decode_images(
+    blobs: DataFrame,
+    *,
+    max_pixels: int = 4_000_000,
+    decodable: frozenset[str] = DECODABLE_IMAGE_FORMATS,
+    errors: str = "quarantine",
+) -> DataFrame:
+    """Probe-then-decode router — the shape the decode path takes at
+    100 TB: the O(header-bytes) :func:`_probe_image` runs FIRST, and only
+    payloads whose probed format is decodable and whose probed pixel
+    count fits ``max_pixels`` ever reach the per-pixel decoder. Oversized
+    or codec-needing payloads are routed out with their probed
+    format/dimensions intact (that is the triage report: 'route this
+    slice to executors with a codec library / raise the budget'), and a
+    blob that fails its header probe never touches the decode loop at
+    all. One fused mapInPandas pass — probe and decode share the Arrow
+    batch, the payload bytes are scanned once and never joined/shuffled.
+
+    Routes: ``decoded`` (features present), ``oversized`` (probed dims
+    exceed ``max_pixels``; error_kind='unsupported' — recoverable by
+    budget), ``undecodable`` (probed fine, no stdlib codec;
+    'unsupported'), ``probe_failed`` (header unparseable; kind from the
+    probe), ``decode_failed`` (probe passed, pixel data broken).
+
+    Versus calling :func:`multimodal.decode_image` directly: the budget
+    check there happens INSIDE the decoder after entropy-segment
+    location; here a 100-megapixel bomb costs its header bytes only."""
+    from .multimodal import (
+        DECODE_ERRORS,
+        _check_errors_mode,
+        _decode_rgb,
+        _error_kind,
+    )
+
+    quarantine = _check_errors_mode(errors)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                k: [] for k in (
+                    "doc_id", "route", "format", "width", "height",
+                    "mean_r", "mean_g", "mean_b", "error", "error_kind",
+                )
+            }
+
+            def emit(doc_id, route, fmt=None, w=None, h=None,
+                     means=(None, None, None), err=None, kind=None):
+                for k, v in zip(out, (doc_id, route, fmt, w, h,
+                                      *means, err, kind)):
+                    out[k].append(v)
+
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    fmt, w, h = _probe_image(raw)
+                except DECODE_ERRORS as e:
+                    if not quarantine:
+                        raise
+                    emit(doc_id, "probe_failed", err=str(e),
+                         kind=_error_kind(e))
+                    continue
+                if fmt not in decodable:
+                    e_msg = (f"probed {fmt} {w}x{h}: no stdlib codec — "
+                             "route to a codec-library executor image")
+                    if not quarantine:
+                        raise NotImplementedError(e_msg)
+                    emit(doc_id, "undecodable", fmt, w, h,
+                         err=e_msg, kind="unsupported")
+                    continue
+                if w * h > max_pixels:
+                    e_msg = (f"probed {fmt} {w}x{h} = {w * h} px over the "
+                             f"{max_pixels} px triage budget")
+                    if not quarantine:
+                        raise NotImplementedError(e_msg)
+                    emit(doc_id, "oversized", fmt, w, h,
+                         err=e_msg, kind="unsupported")
+                    continue
+                try:
+                    dfmt, rgb = _decode_rgb(raw)
+                except DECODE_ERRORS as e:
+                    if not quarantine:
+                        raise
+                    emit(doc_id, "decode_failed", fmt, w, h,
+                         err=str(e), kind=_error_kind(e))
+                    continue
+                means = rgb.reshape(-1, 3).mean(axis=0, dtype="float64")
+                emit(doc_id, "decoded", dfmt, rgb.shape[1], rgb.shape[0],
+                     tuple(float(m) for m in means))
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="object") for k, v in out.items()}
+            )
+
+    return blobs.mapInPandas(batches, TRIAGE_DECODE_SCHEMA)
