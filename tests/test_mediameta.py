@@ -454,3 +454,32 @@ def test_triage_decode_images_routes_before_decoding(spark):
             blobs.filter("doc_id = 2"), max_pixels=1_000_000,
             errors="raise",
         ).collect()
+
+
+def test_triage_routes_vp8l_to_decode(spark):
+    """r10: lossless WebP is decodable now — the triage router sends
+    VP8L through the decoder and keeps lossy VP8 out."""
+    import sys
+    sys.path.insert(0, "tests")
+    import numpy as np
+    from test_vp8l import _encode_vp8l
+
+    img = np.zeros((2, 3, 4), dtype=np.int64)
+    img[:, :, 0] = 50
+    img[:, :, 1] = 100
+    img[:, :, 2] = 150
+    img[:, :, 3] = 255
+    vp8l_payload = _encode_vp8l(img)
+    lossy = _webp(b"VP8 ", b"\x00" * 6
+                  + struct.pack("<HH", 320 | 0x4000, 240) + b"\x00" * 8)
+    blobs = spark.createDataFrame(
+        [(1, bytearray(vp8l_payload)), (2, bytearray(lossy))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in mediameta.triage_decode_images(
+        blobs
+    ).collect()}
+    assert rows[1].route == "decoded" and rows[1].format == "webp"
+    assert (rows[1].mean_r, rows[1].mean_g, rows[1].mean_b) == \
+        (50.0, 100.0, 150.0)
+    assert rows[2].route == "undecodable" and rows[2].format == "webp"

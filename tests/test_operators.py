@@ -416,13 +416,16 @@ def test_decode_png_slow_filter_budget(spark):
 
 
 def test_decode_compressed_formats_still_stubbed(spark):
-    """WebP/TIFF/... still need a codec library (absent here) — the
-    decoder raises the honest NotImplementedError, surfaced through the
-    Spark action. (Baseline JPEG and first-frame GIF really decode since
-    r9 — see tests/test_jpeg.py and test_gif.py.)"""
+    """Lossy-VP8 WebP / TIFF / ... still need a codec library (absent
+    here) — the decoder raises the honest NotImplementedError, surfaced
+    through the Spark action. (Baseline JPEG and first-frame GIF decode
+    since r9, VP8L WebP since r10 — see tests/test_vp8l.py.)"""
     webp_magic = b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 24
-    with pytest.raises(Exception, match="PIL|compressed"):
+    with pytest.raises(Exception, match="codec library"):
         multimodal.decode_image(_blob_df(spark, webp_magic)).collect()
+    tiff_magic = b"II*\x00" + b"\x00" * 24
+    with pytest.raises(Exception, match="PIL|compressed"):
+        multimodal.decode_image(_blob_df(spark, tiff_magic)).collect()
 
 
 def test_fake_decode_shapes(spark):
@@ -720,17 +723,17 @@ def test_decode_quarantine_mode_yields_rows_not_task_failures(spark):
             multimodal.decode_image(blobs, errors="quarantine").collect()}
     assert rows[1].format == "png" and rows[1].error is None
     assert rows[4].format == "bmp" and rows[4].error is None
-    assert rows[2].format is None and "compressed/unknown" in rows[2].error
+    assert rows[2].format is None and "codec library" in rows[2].error
     assert rows[3].format is None and "empty/NULL" in rows[3].error
     assert rows[2].width is None and rows[2].mean_r is None
     # error_kind routes the two failure populations without message
-    # parsing: WebP (a codec library would decode it) is 'unsupported';
-    # a NULL blob is 'corrupt' data; successes carry NULL.
+    # parsing: lossy-VP8 WebP (a codec library would decode it) is
+    # 'unsupported'; a NULL blob is 'corrupt' data; successes carry NULL.
     assert rows[2].error_kind == "unsupported"
     assert rows[3].error_kind == "corrupt"
     assert rows[1].error_kind is None and rows[4].error_kind is None
     # default mode still dies on the first bad payload
-    with pytest.raises(Exception, match="compressed|empty"):
+    with pytest.raises(Exception, match="codec library|empty"):
         multimodal.decode_image(blobs).collect()
     with pytest.raises(ValueError, match="errors must be"):
         multimodal.decode_image(blobs, errors="skip")

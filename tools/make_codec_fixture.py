@@ -85,9 +85,20 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
                      sof_marker=0xC9)[0])
     add(115, "image", "jpeg_truncated_corrupt",
         _encode_jpeg(_rng_image(8, 8, seed=46, grey=True))[0][:40])
-    add(116, "image", "webp_pixels_unsupported",
+    add(116, "image", "webp_vp8_lossy_unsupported",
         _webp(b"VP8 ", b"\x00" * 6
               + struct.pack("<HH", 32 | 0x4000, 16) + b"\x00" * 8))
+    from test_vp8l import _encode_vp8l, _rgba
+
+    add(117, "image", "webp_vp8l_lossless",
+        _encode_vp8l(_rgba(6, 5, seed=99), subtract_green=True,
+                     cache_bits=4))
+    add(118, "image", "webp_vp8l_palette_predictor",
+        _encode_vp8l(
+            np.array([[((x * 37) % 2 * 200, (y * 53) % 3 * 80, 40, 255)
+                       for x in range(9)] for y in range(5)],
+                     dtype=np.int64),
+            palette=True))
 
     # ---- audio: decode_audio (ids 2xx) -------------------------------
     sin16 = [(int(12000 * math.sin(i / 3.0)),

@@ -652,9 +652,12 @@ TRIAGE_DECODE_SCHEMA = (
     "error string, error_kind string"
 )
 
-#: formats _decode_rgb can reconstruct without a codec library; anything
-#: else that PROBES fine (WebP today) routes 'undecodable' pre-decode.
-DECODABLE_IMAGE_FORMATS = frozenset({"png", "jpeg", "gif", "bmp", "ppm"})
+#: formats _decode_rgb can reconstruct without a codec library; 'webp'
+#: qualifies only in its VP8L (lossless) flavor — the router peeks the
+#: chunk fourcc, so lossy VP8/VP8X still route 'undecodable' pre-decode.
+DECODABLE_IMAGE_FORMATS = frozenset(
+    {"png", "jpeg", "gif", "bmp", "ppm", "webp"}
+)
 
 
 def triage_decode_images(
@@ -718,7 +721,9 @@ def triage_decode_images(
                     emit(doc_id, "probe_failed", err=str(e),
                          kind=_error_kind(e))
                     continue
-                if fmt not in decodable:
+                if fmt not in decodable or (
+                    fmt == "webp" and raw[12:16] != b"VP8L"
+                ):
                     e_msg = (f"probed {fmt} {w}x{h}: no stdlib codec — "
                              "route to a codec-library executor image")
                     if not quarantine:

@@ -19,11 +19,12 @@ stdlib zlib + scanline unfilter — every spec variant incl. palette,
 progressive — via operators/jpeg.py and first-frame GIF via
 operators/gif.py), ``decode_audio`` really decodes
 RIFF/WAVE integer PCM 8/16/24/32, IEEE-float 32/64, G.711, and
-IMA + Microsoft ADPCM (the matrix completed in r9), and every remaining
-compressed format
-(arithmetic JPEG/WebP/MP3/AAC/...) raises an explicit NotImplementedError from inside
-the same mapInPandas shape — or becomes a quarantine ROW under
-``errors='quarantine'``. ``fake_decode_features`` remains the
+IMA + Microsoft ADPCM (the matrix completed in r9), plus — r10 —
+lossless WebP (VP8L via operators/vp8l.py: prefix codes + LZ77 + color
+cache + all four transforms). Every remaining compressed format
+(arithmetic JPEG, lossy-VP8 WebP, MP3/AAC) raises an explicit
+NotImplementedError from inside the same mapInPandas shape — or becomes
+a quarantine ROW under ``errors='quarantine'``. ``fake_decode_features`` remains the
 deterministic stand-in for pipeline tests that don't care about pixels.
 """
 
@@ -451,8 +452,12 @@ def _decode_rgb(payload: bytes,
       decode, float64 IDCT, chroma upsampling, BT.601) — the DOMINANT
       web-corpus format, previously 100% quarantine.
 
-    Arithmetic-coded JPEG / WebP still raise NotImplementedError —
-    those need a real codec library, absent in this environment."""
+    - WebP VP8L (r10): the lossless bitstream via operators/vp8l.py —
+      prefix codes, LZ77 + color cache, all four transforms.
+
+    Arithmetic-coded JPEG / lossy-VP8 WebP still raise
+    NotImplementedError — those need a real codec library, absent in
+    this environment."""
     import struct
 
     import numpy as np
@@ -499,6 +504,12 @@ def _decode_rgb(payload: bytes,
         from .gif import decode_gif
 
         return "gif", decode_gif(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .vp8l import decode_webp_lossless
+
+        # VP8L (lossless) really decodes (r10); VP8 lossy/VP8X raise
+        # NotImplementedError from inside — a codec-library job
+        return "webp", decode_webp_lossless(payload)[:, :, :3]
     raise NotImplementedError(
         "compressed/unknown image format (magic "
         f"{payload[:2]!r}) requires PIL/opencv, not available in this "
