@@ -37,8 +37,9 @@ def test_fixture_is_committed_and_covers_all_families():
     # the decode matrix: 6 PNG variants + 4 JPEG + GIF/BMP/PPM +
     # 2 VP8L WebP (r10) + 2 refusals
     assert fams["image"] == 18
-    # PCM 8/16/24/32 + float 32/64 + G.711 ×2 + IMA + MS + 2 refusals
-    assert fams["audio"] == 12
+    # PCM 8/16/24/32 + float 32/64 + G.711 ×2 + IMA + MS +
+    # 2 FLAC (r10) + 3 refusals
+    assert fams["audio"] == 15
     # MP4 ×2 + MKV ×2 + 3 refusals / MP3 ×3 + FLAC + WAV + 2 refusals
     assert fams["video_meta"] == 8 and fams["audio_meta"] == 7
 

@@ -137,6 +137,18 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
     add(211, "audio", "mp3_unsupported",
         b"ID3\x04\x00\x00\x00\x00\x00\x00" + b"\xff\xfb\x90\x00" * 8)
     add(212, "audio", "wav_truncated_corrupt", _wav(8000, sin16)[:30])
+    from test_flac import _flac, _wave
+
+    add(213, "audio", "flac_fixed_stereo_midside",
+        _flac([_wave(50, 9000), _wave(50, 7000, phase=0.5)], rate=16000,
+              ch_mode="mid_side", sub_kw={"kind": "fixed", "order": 3}))
+    add(214, "audio", "flac_lpc_multiframe",
+        _flac([_wave(48, 5000)], frames_of=[16, 32],
+              sub_kw={"kind": "lpc",
+                      "lpc": ([3 << 4, -(3 << 3), 1 << 2], 4, 8)}))
+    add(215, "audio", "flac_crc_corrupt",
+        _flac([_wave(24, 800)], sub_kw={"kind": "fixed", "order": 1})[:-1]
+        + b"\x00")
 
     # ---- image headers: image_meta (ids 3xx) -------------------------
     add(301, "image_meta", "probe_png", _png(grad))

@@ -13,18 +13,18 @@ Design (per the 100 TB posture):
 
 No codec libraries are installed in this environment, so the decoders are
 split honestly: ``decode_image`` REALLY decodes the formats that need no
-codec library (24-bit BMP, binary P6 PPM, non-interlaced 8-bit PNG via
-stdlib zlib + scanline unfilter — every spec variant incl. palette,
-16-bit, and Adam7 since r9 — plus, also r9, Huffman JPEG — baseline AND
-progressive — via operators/jpeg.py and first-frame GIF via
-operators/gif.py), ``decode_audio`` really decodes
-RIFF/WAVE integer PCM 8/16/24/32, IEEE-float 32/64, G.711, and
-IMA + Microsoft ADPCM (the matrix completed in r9), plus — r10 —
-lossless WebP (VP8L via operators/vp8l.py: prefix codes + LZ77 + color
-cache + all four transforms). Every remaining compressed format
-(arithmetic JPEG, lossy-VP8 WebP, MP3/AAC) raises an explicit
-NotImplementedError from inside the same mapInPandas shape — or becomes
-a quarantine ROW under ``errors='quarantine'``. ``fake_decode_features`` remains the
+codec library (24-bit BMP, binary P6 PPM, the full PNG variant matrix via
+stdlib zlib + scanline unfilter incl. palette/16-bit/Adam7 — r9; Huffman
+JPEG baseline AND progressive via operators/jpeg.py — r9; first-frame GIF
+via operators/gif.py — r9; lossless WebP via operators/vp8l.py — r10:
+prefix codes + LZ77 + color cache + all four transforms).
+``decode_audio`` really decodes RIFF/WAVE integer PCM 8/16/24/32,
+IEEE-float 32/64, G.711, IMA + Microsoft ADPCM (the matrix completed in
+r9), and — r10 — FLAC via operators/flac.py (pure-integer LPC + Rice).
+Every remaining compressed format (arithmetic JPEG, lossy-VP8 WebP,
+MP3/AAC) raises an explicit NotImplementedError from inside the same
+mapInPandas shape — or becomes a quarantine ROW under
+``errors='quarantine'``. ``fake_decode_features`` remains the
 deterministic stand-in for pipeline tests that don't care about pixels.
 """
 
@@ -867,6 +867,12 @@ def _decode_pcm(payload: bytes,
         # Distinct from the unknown-codec case: a NULL/empty blob is a
         # data-quality problem (quarantine it), not a missing library.
         raise ValueError("empty/NULL audio payload")
+    if payload[:4] == b"fLaC":
+        # r10: FLAC really decodes (operators/flac.py — pure integer
+        # LPC + Rice, no DSP library needed)
+        from .flac import decode_flac
+
+        return decode_flac(payload)
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError(
             "compressed/unknown audio format (magic "
@@ -1054,9 +1060,10 @@ def decode_audio(
                           "peaks", "rmss", "errs", "kinds")
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
                 try:
                     rate, s = _decode_pcm(
-                        bytes(payload) if payload is not None else b"",
+                        raw,
                         adpcm_sample_budget=adpcm_sample_budget,
                     )
                 except DECODE_ERRORS as e:
@@ -1075,7 +1082,8 @@ def decode_audio(
                         peak = int(abs(s).max()) if n else 0
                         rms = math.sqrt(_exact_sumsq(s) / n) if n else 0.0
                     vals = (
-                        "wav", rate, s.shape[1], s.shape[0],
+                        "flac" if raw[:4] == b"fLaC" else "wav",
+                        rate, s.shape[1], s.shape[0],
                         s.shape[0] / rate,
                         peak,
                         rms,
