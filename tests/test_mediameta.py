@@ -483,3 +483,198 @@ def test_triage_routes_vp8l_to_decode(spark):
     assert (rows[1].mean_r, rows[1].mean_g, rows[1].mean_b) == \
         (50.0, 100.0, 150.0)
     assert rows[2].route == "undecodable" and rows[2].format == "webp"
+
+
+# --------------------------------------------------- r10: EXIF + tags
+
+
+def _tiff(entries, order="<", exif_entries=None):
+    """Minimal TIFF with IFD0 ``entries`` = [(tag, type, count, value)];
+    value is int (inline) or bytes (stored out-of-line)."""
+    lt = order
+    blobs = b""
+    blob_at = []  # patched after layout
+    n = len(entries) + (1 if exif_entries else 0)
+    ifd0_at = 8
+    entries_end = ifd0_at + 2 + 12 * n + 4
+    exif_at = entries_end
+    exif_size = (2 + 12 * len(exif_entries) + 4) if exif_entries else 0
+    data_at = exif_at + exif_size
+
+    def pack_entries(ents, extra=()):
+        nonlocal blobs
+        out = struct.pack(lt + "H", len(ents) + len(extra))
+        for tag, ftype, count, value in list(ents) + list(extra):
+            out += struct.pack(lt + "HHI", tag, ftype, count)
+            if isinstance(value, bytes):
+                if len(value) <= 4:
+                    out += value.ljust(4, b"\x00")
+                else:
+                    out += struct.pack(lt + "I", data_at + len(blobs))
+                    blobs += value
+            else:
+                size = {1: 1, 3: 2, 4: 4}[ftype] * count
+                fmt = {1: "B", 3: "H", 4: "I"}[ftype]
+                raw = struct.pack(lt + fmt, value)
+                out += raw.ljust(4, b"\x00")
+        out += struct.pack(lt + "I", 0)  # next IFD
+        return out
+
+    extra = [(0x8769, 4, 1, exif_at)] if exif_entries else []
+    ifd0 = pack_entries(entries, extra)
+    exif = pack_entries(exif_entries) if exif_entries else b""
+    hdr = (b"II" if lt == "<" else b"MM") + struct.pack(lt + "HI", 42, 8)
+    return hdr + ifd0 + exif + blobs
+
+
+def _jpeg_with_app1(tiff: bytes) -> bytes:
+    seg = b"Exif\x00\x00" + tiff
+    return (b"\xff\xd8\xff\xe1" + struct.pack(">H", 2 + len(seg)) + seg
+            + b"\xff\xd9")
+
+
+def test_exif_orientation_dims_and_both_byte_orders():
+    for order in ("<", ">"):
+        tiff = _tiff(
+            [(0x0112, 3, 1, 6), (0x010F, 2, 6, b"Nikon\x00"),
+             (0x0110, 2, 12, b"D850 camera\x00"),
+             (0x0132, 2, 20, b"2021:05:01 10:00:00\x00")],
+            order=order,
+            exif_entries=[(0xA002, 4, 1, 4032), (0xA003, 3, 1, 3024),
+                          (0x9003, 2, 20, b"2020:01:02 03:04:05\x00")],
+        )
+        out = mediameta._parse_exif(_jpeg_with_app1(tiff))
+        assert out["orientation"] == 6, order
+        assert (out["exif_width"], out["exif_height"]) == (4032, 3024)
+        assert out["make"] == "Nikon" and out["model"] == "D850 camera"
+        # DateTimeOriginal (ExifIFD) beats the file-modification DateTime
+        assert out["datetime"] == "2020:01:02 03:04:05"
+
+
+def test_exif_absent_and_malformed(spark):
+    import sys
+    sys.path.insert(0, "tests")
+    from test_jpeg import _encode_jpeg
+
+    import numpy as np
+
+    plain, *_ = _encode_jpeg(np.full((8, 8), 50, dtype=np.uint8))
+    out = mediameta._parse_exif(plain)
+    assert all(v is None for v in out.values())  # no APP1: NULLs, not error
+
+    bad_magic = _tiff([(0x0112, 3, 1, 1)])
+    bad_magic = bad_magic[:2] + struct.pack("<H", 41) + bad_magic[4:]
+    with pytest.raises(ValueError, match="magic"):
+        mediameta._parse_exif(_jpeg_with_app1(bad_magic))
+    with pytest.raises(ValueError, match="truncated IFD"):
+        mediameta._parse_exif(_jpeg_with_app1(_tiff([(0x0112, 3, 1, 1)])[:12]))
+
+    from test_operators import _png
+
+    blobs = spark.createDataFrame(
+        [(1, bytearray(_jpeg_with_app1(_tiff([(0x0112, 3, 1, 8)])))),
+         (2, bytearray(plain)),
+         (3, bytearray(_png([[(1, 1, 1)]])))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in mediameta.image_exif(
+        blobs, errors="quarantine"
+    ).collect()}
+    assert rows[1].orientation == 8 and rows[1].error is None
+    assert rows[2].orientation is None and rows[2].error is None
+    assert rows[3].error_kind == "unsupported"
+
+
+def _id3_frame(fid: bytes, text: str, encoding=3, major=4):
+    enc_bytes = {0: "latin-1", 1: "utf-16", 3: "utf-8"}[encoding]
+    body = bytes([encoding]) + text.encode(enc_bytes)
+    n = len(body)
+    if major == 4:
+        size = struct.pack(
+            ">I", ((n << 3) & 0x7F000000) | ((n << 2) & 0x7F0000)
+            | ((n << 1) & 0x7F00) | (n & 0x7F)
+        )
+        size = bytes(((n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                      (n >> 7) & 0x7F, n & 0x7F))
+    else:
+        size = struct.pack(">I", n)
+    return fid + size + b"\x00\x00" + body
+
+
+def _id3(frames: bytes, major=4, padding=8):
+    total = len(frames) + padding
+    size = bytes(((total >> 21) & 0x7F, (total >> 14) & 0x7F,
+                  (total >> 7) & 0x7F, total & 0x7F))
+    return b"ID3" + bytes([major, 0, 0]) + size + frames \
+        + b"\x00" * padding
+
+
+def test_audio_tags_id3_both_versions_and_encodings():
+    frames = (_id3_frame(b"TIT2", "Sunny Day", encoding=3)
+              + _id3_frame(b"TPE1", "Ana", encoding=0)
+              + _id3_frame(b"TALB", "Früh", encoding=1))
+    out = mediameta._parse_audio_tags(_id3(frames, major=4))
+    assert out == {"container": "id3", "title": "Sunny Day",
+                   "artist": "Ana", "album": "Früh"}
+    frames3 = (_id3_frame(b"TIT2", "Old School", encoding=0, major=3)
+               + _id3_frame(b"TPE1", "Bo", encoding=0, major=3))
+    out = mediameta._parse_audio_tags(_id3(frames3, major=3))
+    assert out["title"] == "Old School" and out["artist"] == "Bo"
+    assert out["album"] is None
+    with pytest.raises(NotImplementedError, match="ID3v2.2"):
+        mediameta._parse_audio_tags(_id3(frames3, major=2))
+    # cut into the LAST frame's body (past its header): refuses loudly
+    with pytest.raises(ValueError, match="truncated frame"):
+        mediameta._parse_audio_tags(
+            _id3(frames, major=4, padding=0)[:-2]
+        )
+
+
+def _flac_with_comments(comments: list[str]) -> bytes:
+    import sys
+    sys.path.insert(0, "tests")
+    from test_flac import _streaminfo
+
+    stream = bytearray(_streaminfo(8000, 1, 16, 4))
+    stream[4] &= 0x7F  # STREAMINFO is no longer the last block
+    body = struct.pack("<I", 4) + b"test"
+    body += struct.pack("<I", len(comments))
+    for c in comments:
+        raw = c.encode("utf-8")
+        body += struct.pack("<I", len(raw)) + raw
+    stream += bytes([0x84]) + len(body).to_bytes(3, "big") + body
+    return bytes(stream)
+
+
+def test_audio_tags_flac_and_wav(spark):
+    payload = _flac_with_comments(
+        ["TITLE=Nocturne", "artist=Clara", "GENRE=piano"]
+    )
+    out = mediameta._parse_audio_tags(payload)
+    assert out == {"container": "flac", "title": "Nocturne",
+                   "artist": "Clara", "album": None}
+
+    import sys
+    sys.path.insert(0, "tests")
+    from test_operators import _wav
+
+    info = (b"INFO"
+            + b"INAM" + struct.pack("<I", 5) + b"Intro\x00"[:5]
+            + b"\x00"  # odd-length pad
+            + b"IART" + struct.pack("<I", 4) + b"Mo\x00\x00")
+    wav = _wav(8000, [(0,)] * 4, pre_data_chunk=(b"LIST", info))
+    out = mediameta._parse_audio_tags(wav)
+    assert out["container"] == "wav" and out["title"] == "Intro"
+    assert out["artist"] == "Mo" and out["album"] is None
+
+    blobs = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(wav)),
+         (3, bytearray(b"OggS" + b"\x00" * 8))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in mediameta.audio_tags(
+        blobs, errors="quarantine"
+    ).collect()}
+    assert rows[1].title == "Nocturne"
+    assert rows[2].title == "Intro"
+    assert rows[3].error_kind == "unsupported"

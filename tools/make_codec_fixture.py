@@ -221,6 +221,50 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
     add(506, "audio_meta", "ogg_unsupported", b"OggS" + b"\x00" * 16)
     add(507, "audio_meta", "flac_truncated_corrupt", b"fLaC\x80")
 
+    # ---- EXIF (ids 6xx) and audio tags (ids 7xx) ---------------------
+    from test_mediameta import (
+        _flac_with_comments,
+        _id3,
+        _id3_frame,
+        _jpeg_with_app1,
+        _tiff,
+    )
+
+    exif_tiff = _tiff(
+        [(0x0112, 3, 1, 6), (0x010F, 2, 6, b"Nikon\x00"),
+         (0x0110, 2, 12, b"D850 camera\x00"),
+         (0x0132, 2, 20, b"2021:05:01 10:00:00\x00")],
+        order=">",
+        exif_entries=[(0xA002, 4, 1, 4032), (0xA003, 3, 1, 3024),
+                      (0x9003, 2, 20, b"2020:01:02 03:04:05\x00")],
+    )
+    add(601, "image_exif", "exif_full_mm", _jpeg_with_app1(exif_tiff))
+    add(602, "image_exif", "exif_absent_nulls",
+        _encode_jpeg(_rng_image(8, 8, seed=61, grey=True))[0])
+    add(603, "image_exif", "exif_truncated_corrupt",
+        _jpeg_with_app1(_tiff([(0x0112, 3, 1, 1)])[:12]))
+    add(604, "image_exif", "exif_non_jpeg_unsupported",
+        _png([[(1, 1, 1)]]))
+
+    add(701, "audio_tags", "id3v4_tags",
+        _id3(_id3_frame(b"TIT2", "Sunny Day", encoding=3)
+             + _id3_frame(b"TPE1", "Ana", encoding=0)
+             + _id3_frame(b"TALB", "Früh", encoding=1)))
+    add(702, "audio_tags", "flac_vorbis_comment",
+        _flac_with_comments(["TITLE=Nocturne", "artist=Clara",
+                             "GENRE=piano"]))
+    add(703, "audio_tags", "wav_list_info",
+        _wav(8000, [(0,)] * 4,
+             pre_data_chunk=(b"LIST", b"INFO" + b"INAM"
+                             + struct.pack("<I", 5) + b"Intro" + b"\x00"
+                             + b"IART" + struct.pack("<I", 4)
+                             + b"Mo\x00\x00")))
+    add(704, "audio_tags", "tags_unknown_unsupported",
+        b"OggS" + b"\x00" * 8)
+    add(705, "audio_tags", "id3_truncated_corrupt",
+        _id3(_id3_frame(b"TIT2", "Cut Short", encoding=3),
+             padding=0)[:-2])
+
     return rows
 
 

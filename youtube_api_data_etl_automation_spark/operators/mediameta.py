@@ -755,3 +755,331 @@ def triage_decode_images(
             )
 
     return blobs.mapInPandas(batches, TRIAGE_DECODE_SCHEMA)
+
+
+EXIF_SCHEMA = (
+    "doc_id bigint, orientation int, exif_width int, exif_height int, "
+    "datetime string, make string, model string"
+)
+EXIF_QUARANTINE_SCHEMA = EXIF_SCHEMA + ", error string, error_kind string"
+
+# TIFF field types this reader needs (Exif 2.x / TIFF 6.0)
+_TIFF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4}
+
+
+def _tiff_ifd_entries(payload: bytes, tiff0: int, ifd_off: int, lt: str):
+    """Yield (tag, field_type, count, value_bytes) for one IFD; values
+    ≤4 bytes are inline, larger ones live at a u32 offset from the TIFF
+    header. Bounds-checked — truncation refuses (ValueError)."""
+    at = tiff0 + ifd_off
+    if at + 2 > len(payload):
+        raise ValueError("malformed EXIF: truncated IFD count")
+    (n,) = struct.unpack_from(lt + "H", payload, at)
+    at += 2
+    if at + 12 * n > len(payload):
+        raise ValueError("malformed EXIF: truncated IFD entries")
+    for i in range(n):
+        tag, ftype = struct.unpack_from(lt + "HH", payload, at + 12 * i)
+        (count,) = struct.unpack_from(lt + "I", payload, at + 12 * i + 4)
+        size = _TIFF_TYPE_SIZES.get(ftype, 0) * count
+        if size and size <= 4:
+            vb = payload[at + 12 * i + 8 : at + 12 * i + 8 + size]
+        elif size:
+            (off,) = struct.unpack_from(lt + "I", payload, at + 12 * i + 8)
+            if tiff0 + off + size > len(payload):
+                raise ValueError(
+                    f"malformed EXIF: tag 0x{tag:04x} value out of bounds"
+                )
+            vb = payload[tiff0 + off : tiff0 + off + size]
+        else:
+            vb = b""  # type this reader doesn't decode (RATIONAL etc.)
+        yield tag, ftype, count, vb
+
+
+def _tiff_scalar(vb: bytes, ftype: int, lt: str):
+    if ftype == 3:
+        return struct.unpack_from(lt + "H", vb, 0)[0]
+    if ftype == 4:
+        return struct.unpack_from(lt + "I", vb, 0)[0]
+    if ftype == 1:
+        return vb[0]
+    return None
+
+
+def _tiff_ascii(vb: bytes) -> str:
+    return vb.split(b"\x00", 1)[0].decode("latin-1").strip()
+
+
+def _parse_exif(payload: bytes) -> dict:
+    """Orientation / pixel dims / timestamp / camera make+model from a
+    JPEG's APP1 Exif segment (TIFF 6.0 IFD walk, both byte orders).
+    O(header bytes): stops at SOS, never touches entropy data. A JPEG
+    without APP1 Exif yields all-NULL fields (not an error — most web
+    images carry none); a structurally broken TIFF refuses."""
+    if payload[:2] != b"\xff\xd8":
+        raise NotImplementedError(
+            "EXIF extraction reads JPEG APP1 segments; other containers "
+            "carry their metadata elsewhere (PNG eXIf/tEXt, ISO-BMFF)"
+        )
+    out = {"orientation": None, "exif_width": None, "exif_height": None,
+           "datetime": None, "make": None, "model": None}
+    pos, n = 2, len(payload)
+    app1 = None
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("malformed JPEG: expected marker")
+        marker = payload[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker in (0xDA, 0xD9):  # SOS/EOI: metadata segments are over
+            break
+        (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+        if marker == 0xE1 and \
+                payload[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            app1 = (pos + 10, pos + 2 + seg_len)
+            break
+        pos += 2 + seg_len
+    if app1 is None:
+        return out
+    t0, t1 = app1
+    tiff = payload[t0:t1]
+    if len(tiff) < 8:
+        raise ValueError("malformed EXIF: truncated TIFF header")
+    order = tiff[:2]
+    if order == b"II":
+        lt = "<"
+    elif order == b"MM":
+        lt = ">"
+    else:
+        raise ValueError(f"malformed EXIF: bad byte order {order!r}")
+    magic, ifd0 = struct.unpack_from(lt + "HI", tiff, 2)
+    if magic != 42:
+        raise ValueError("malformed EXIF: TIFF magic != 42")
+    exif_ifd_off = None
+    for tag, ftype, count, vb in _tiff_ifd_entries(tiff, 0, ifd0, lt):
+        if tag == 0x0112:
+            out["orientation"] = _tiff_scalar(vb, ftype, lt)
+        elif tag == 0x010F:
+            out["make"] = _tiff_ascii(vb)
+        elif tag == 0x0110:
+            out["model"] = _tiff_ascii(vb)
+        elif tag == 0x0132 and out["datetime"] is None:
+            out["datetime"] = _tiff_ascii(vb)
+        elif tag == 0x8769:
+            exif_ifd_off = _tiff_scalar(vb, ftype, lt)
+    if exif_ifd_off is not None:
+        for tag, ftype, count, vb in _tiff_ifd_entries(
+            tiff, 0, exif_ifd_off, lt
+        ):
+            if tag == 0xA002:
+                out["exif_width"] = _tiff_scalar(vb, ftype, lt)
+            elif tag == 0xA003:
+                out["exif_height"] = _tiff_scalar(vb, ftype, lt)
+            elif tag == 0x9003:  # DateTimeOriginal beats file DateTime
+                out["datetime"] = _tiff_ascii(vb)
+    return out
+
+
+def image_exif(blobs: DataFrame, errors: str = "raise") -> DataFrame:
+    """EXIF triage metadata per JPEG payload: ``(doc_id, orientation,
+    exif_width, exif_height, datetime, make, model)`` — the fields a
+    corpus pipeline filters on (rotate-before-resize, camera/source
+    stratification, capture-time windows) without decoding a pixel.
+    All-NULL row for JPEGs with no APP1 Exif; quarantine contract for
+    broken TIFF structures; non-JPEG payloads are 'unsupported'."""
+    from .multimodal import _check_errors_mode
+
+    quarantine = _check_errors_mode(errors)
+
+    def one(payload):
+        if not payload:
+            raise ValueError("empty/NULL image payload")
+        return _parse_exif(payload)
+
+    schema = EXIF_QUARANTINE_SCHEMA if quarantine else EXIF_SCHEMA
+    return blobs.mapInPandas(
+        _quarantine_batches(
+            one,
+            ("orientation", "exif_width", "exif_height", "datetime",
+             "make", "model"),
+            quarantine,
+        ),
+        schema,
+    )
+
+
+AUDIO_TAGS_SCHEMA = (
+    "doc_id bigint, container string, title string, artist string, "
+    "album string"
+)
+AUDIO_TAGS_QUARANTINE_SCHEMA = AUDIO_TAGS_SCHEMA + \
+    ", error string, error_kind string"
+
+_ID3_TEXT_ENCODINGS = {0: "latin-1", 1: "utf-16", 2: "utf-16-be",
+                       3: "utf-8"}
+
+
+def _parse_id3v2_tags(payload: bytes) -> dict:
+    """TIT2/TPE1/TALB text frames from an ID3v2.3/2.4 tag (frame sizes
+    syncsafe in 2.4, plain u32 in 2.3; all four text encodings)."""
+    major = payload[3]
+    if major not in (3, 4):
+        raise NotImplementedError(
+            f"ID3v2.{major} tags not supported (only 2.3/2.4)"
+        )
+    size = 0
+    for b in payload[6:10]:
+        if b & 0x80:
+            raise ValueError("malformed ID3: non-syncsafe tag size")
+        size = (size << 7) | b
+    end = min(10 + size, len(payload))
+    pos = 10
+    if payload[5] & 0x40:  # extended header present: skip it
+        if pos + 4 > end:
+            raise ValueError("malformed ID3: truncated extended header")
+        (ext,) = struct.unpack_from(">I", payload, pos)
+        if major == 4:  # syncsafe, includes itself
+            ext = ((ext & 0x7F000000) >> 3) | ((ext & 0x7F0000) >> 2) \
+                | ((ext & 0x7F00) >> 1) | (ext & 0x7F)
+            pos += ext
+        else:  # 2.3: size excludes the 4 size bytes
+            pos += 4 + ext
+    out = {"container": "id3", "title": None, "artist": None,
+           "album": None}
+    want = {b"TIT2": "title", b"TPE1": "artist", b"TALB": "album"}
+    while pos + 10 <= end:
+        fid = payload[pos : pos + 4]
+        if fid == b"\x00\x00\x00\x00":  # padding
+            break
+        (fsize,) = struct.unpack_from(">I", payload, pos + 4)
+        if major == 4:
+            if fsize & 0x80808080:
+                raise ValueError("malformed ID3: non-syncsafe frame size")
+            fsize = ((fsize & 0x7F000000) >> 3) | ((fsize & 0x7F0000) >> 2) \
+                | ((fsize & 0x7F00) >> 1) | (fsize & 0x7F)
+        body = payload[pos + 10 : pos + 10 + fsize]
+        if len(body) < fsize:
+            raise ValueError(f"malformed ID3: truncated frame {fid!r}")
+        key = want.get(fid)
+        if key is not None and fsize >= 1:
+            enc = _ID3_TEXT_ENCODINGS.get(body[0])
+            if enc is None:
+                raise ValueError(
+                    f"malformed ID3: text encoding {body[0]} in {fid!r}"
+                )
+            try:
+                text = body[1:].decode(enc)
+            except UnicodeDecodeError as e:
+                raise ValueError(f"malformed ID3: undecodable {fid!r}: {e}")
+            out[key] = text.rstrip("\x00").strip() or None
+        pos += 10 + fsize
+    return out
+
+
+def _parse_vorbis_comment_tags(payload: bytes) -> dict:
+    """TITLE/ARTIST/ALBUM from a FLAC VORBIS_COMMENT block (type 4)."""
+    out = {"container": "flac", "title": None, "artist": None,
+           "album": None}
+    pos = 4
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("malformed FLAC: truncated metadata header")
+        head = payload[pos]
+        btype, last = head & 0x7F, bool(head & 0x80)
+        blen = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + blen]
+        if btype == 4:
+            if len(body) < 8:
+                raise ValueError("malformed FLAC: short VORBIS_COMMENT")
+            (vlen,) = struct.unpack_from("<I", body, 0)
+            at = 4 + vlen
+            if at + 4 > len(body):
+                raise ValueError("malformed FLAC: truncated vendor string")
+            (n,) = struct.unpack_from("<I", body, at)
+            at += 4
+            for _ in range(n):
+                if at + 4 > len(body):
+                    raise ValueError("malformed FLAC: truncated comment")
+                (clen,) = struct.unpack_from("<I", body, at)
+                at += 4
+                if at + clen > len(body):
+                    raise ValueError("malformed FLAC: truncated comment")
+                kv = body[at : at + clen].decode("utf-8", "strict")
+                at += clen
+                k, _, v = kv.partition("=")
+                k = k.upper()
+                if k in ("TITLE", "ARTIST", "ALBUM") and v:
+                    out[{"TITLE": "title", "ARTIST": "artist",
+                         "ALBUM": "album"}[k]] = v
+            return out
+        if last:
+            return out  # no comment block: all-NULL tags
+        pos += 4 + blen
+
+
+def _parse_wav_info_tags(payload: bytes) -> dict:
+    """INAM/IART/IPRD from a RIFF LIST/INFO chunk."""
+    out = {"container": "wav", "title": None, "artist": None,
+           "album": None}
+    want = {b"INAM": "title", b"IART": "artist", b"IPRD": "album"}
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"LIST" and \
+                payload[pos + 8 : pos + 12] == b"INFO":
+            at = pos + 12
+            lend = pos + 8 + clen
+            while at + 8 <= min(lend, len(payload)):
+                sid = payload[at : at + 4]
+                (slen,) = struct.unpack_from("<I", payload, at + 4)
+                body = payload[at + 8 : at + 8 + slen]
+                key = want.get(sid)
+                if key is not None:
+                    out[key] = body.split(b"\x00", 1)[0] \
+                        .decode("latin-1").strip() or None
+                at += 8 + slen + (slen & 1)
+            return out
+        pos += 8 + clen + (clen & 1)
+    return out  # no INFO list: all-NULL tags
+
+
+def _parse_audio_tags(payload: bytes) -> dict:
+    if not payload:
+        raise ValueError("empty/NULL audio payload")
+    if payload[:3] == b"ID3":
+        return _parse_id3v2_tags(payload)
+    if payload[:4] == b"fLaC":
+        return _parse_vorbis_comment_tags(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _parse_wav_info_tags(payload)
+    raise NotImplementedError(
+        f"unknown tag container (magic {payload[:4]!r}); tag extraction "
+        "covers ID3v2.3/2.4, FLAC VORBIS_COMMENT, WAV LIST/INFO"
+    )
+
+
+def audio_tags(blobs: DataFrame, errors: str = "raise") -> DataFrame:
+    """Embedded text tags per audio payload: ``(doc_id, container,
+    title, artist, album)`` from ID3v2.3/2.4 (MP3), FLAC VORBIS_COMMENT,
+    or a WAV LIST/INFO chunk — the provenance fields a corpus pipeline
+    stratifies and dedups on. Untagged payloads yield all-NULL tag
+    columns (not errors); O(header bytes), never touches audio data."""
+    from .multimodal import _check_errors_mode
+
+    quarantine = _check_errors_mode(errors)
+
+    schema = AUDIO_TAGS_QUARANTINE_SCHEMA if quarantine \
+        else AUDIO_TAGS_SCHEMA
+    return blobs.mapInPandas(
+        _quarantine_batches(
+            _parse_audio_tags,
+            ("container", "title", "artist", "album"),
+            quarantine,
+        ),
+        schema,
+    )

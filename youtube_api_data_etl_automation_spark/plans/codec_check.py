@@ -23,6 +23,10 @@ Fixture families → engine op exercised:
 - ``video_meta``  → :func:`operators.mediameta.video_meta` (MP4 + MKV)
 - ``audio_meta``  → :func:`operators.mediameta.audio_meta` (r10:
   MP3/FLAC/WAV header probes)
+- ``image_exif``  → :func:`operators.mediameta.image_exif` (r10:
+  JPEG APP1 TIFF walk)
+- ``audio_tags``  → :func:`operators.mediameta.audio_tags` (r10:
+  ID3v2 / VORBIS_COMMENT / LIST-INFO)
 
 Scale note: the fixture is a verification corpus (~40 rows, a few KB);
 the ops it drives are the same Arrow-batched mapInPandas operators that
@@ -59,7 +63,13 @@ def codec_stats(spark: SparkSession) -> DataFrame:
     """One fingerprint row per fixture payload: ``(doc_id, fmt, width,
     height, fp)``. Quarantined payloads carry ``fp='ERR:<kind>'`` so the
     corrupt/unsupported routing is part of the golden contract too."""
-    from ..operators.mediameta import audio_meta, image_meta, video_meta
+    from ..operators.mediameta import (
+        audio_meta,
+        audio_tags,
+        image_exif,
+        image_meta,
+        video_meta,
+    )
     from ..operators.multimodal import decode_audio, decode_image
     from ..session import ship_package
 
@@ -72,7 +82,7 @@ def codec_stats(spark: SparkSession) -> DataFrame:
         fam: blobs.filter(F.col("family") == fam)
         .select(F.col("payload_id").alias("doc_id"), "payload")
         for fam in ("image", "audio", "image_meta", "video_meta",
-                    "audio_meta")
+                    "audio_meta", "image_exif", "audio_tags")
     }
 
     img = decode_image(by_family["image"], errors="quarantine").select(
@@ -149,7 +159,39 @@ def codec_stats(spark: SparkSession) -> DataFrame:
             ),
         ).otherwise(_err_fp()).alias("fp"),
     )
+    exif = image_exif(by_family["image_exif"], errors="quarantine").select(
+        "doc_id",
+        F.lit("exif").alias("fmt"),
+        F.col("exif_width").alias("width"),
+        F.col("exif_height").alias("height"),
+        F.when(
+            F.col("error").isNull(),
+            F.concat_ws(
+                "|",
+                F.coalesce(F.col("orientation").cast("string"),
+                           F.lit("-")),
+                F.coalesce(F.col("datetime"), F.lit("-")),
+                F.coalesce(F.col("make"), F.lit("-")),
+                F.coalesce(F.col("model"), F.lit("-")),
+            ),
+        ).otherwise(_err_fp()).alias("fp"),
+    )
+    tags = audio_tags(by_family["audio_tags"], errors="quarantine").select(
+        "doc_id",
+        F.col("container").alias("fmt"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.when(
+            F.col("error").isNull(),
+            F.concat_ws(
+                "|",
+                F.coalesce(F.col("title"), F.lit("-")),
+                F.coalesce(F.col("artist"), F.lit("-")),
+                F.coalesce(F.col("album"), F.lit("-")),
+            ),
+        ).otherwise(_err_fp()).alias("fp"),
+    )
     return (
         img.unionByName(aud).unionByName(imeta).unionByName(vmeta)
-        .unionByName(ameta)
+        .unionByName(ameta).unionByName(exif).unionByName(tags)
     )
