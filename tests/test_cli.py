@@ -584,3 +584,50 @@ def test_ivf_cli_full_maintenance_cycle(spark, capsys):
     rc = main(["ivf", "--base", base, "--rebalance"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 1 and "target-cell-size" in out["error"]
+
+
+def test_media_cli_triage_and_tags(spark, capsys):
+    """r10 media subcommand: triage over a mixed payload parquet exits 2
+    (quarantined payloads present) with the route breakdown; a
+    clean-only input exits 0; tags mode reads the tag containers."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_operators import _png
+
+    base = tempfile.mkdtemp(prefix="cli_media_")
+    good = _png([[(10, 20, 30)] * 3] * 2)
+    spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"\x00junk"))],
+        "doc_id long, payload binary",
+    ).write.mode("overwrite").parquet(base + "/mixed")
+    rc = main(["media", "--input", base + "/mixed", "--op", "triage",
+               "--output", base + "/out"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 2
+    assert out["status"] == "quarantined_payloads"
+    assert out["by_route"] == {"decoded": 1, "probe_failed": 1}
+    assert spark.read.parquet(base + "/out").count() == 2
+
+    spark.createDataFrame(
+        [(1, bytearray(good))], "doc_id long, payload binary"
+    ).write.mode("overwrite").parquet(base + "/clean")
+    rc = main(["media", "--input", base + "/clean", "--op", "decode"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["status"] == "ok"
+    assert out["by_format"] == {"png": 1}
+
+    from test_mediameta import _flac_with_comments
+
+    spark.createDataFrame(
+        [(1, bytearray(_flac_with_comments(["TITLE=T", "ARTIST=A"])))],
+        "doc_id long, payload binary",
+    ).write.mode("overwrite").parquet(base + "/tagged")
+    rc = main(["media", "--input", base + "/tagged", "--op", "tags"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["by_container"] == {"flac": 1}
+
+    # unusable input is a clean error, not a traceback
+    rc = main(["media", "--input", base + "/missing", "--op", "probe"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and out["status"] == "error"

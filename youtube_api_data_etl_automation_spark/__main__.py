@@ -737,6 +737,81 @@ def _cmd_drift(args: argparse.Namespace) -> int:
     return 2 if (flagged or breaking) else 0
 
 
+def _cmd_media(args: argparse.Namespace) -> int:
+    """Run one media operator over a parquet of binary payloads from the
+    command line (r10): header probes, real decodes, the probe-first
+    triage router, EXIF, and embedded tags. Input needs a binary
+    ``payload`` column and an id column (``doc_id``, or ``payload_id``
+    which is renamed). Prints ONE JSON summary line (row count + the
+    per-format / per-route / per-error_kind breakdowns); ``--output``
+    additionally writes the full per-payload result parquet. Exit 1 on
+    unusable input, 2 when any payload quarantined (a cron that only
+    checks exit codes still notices a corrupt batch), else 0."""
+    from pyspark.sql import functions as F
+
+    from .operators import mediameta
+    from .operators.multimodal import decode_audio, decode_image
+    from .session import get_spark
+
+    spark = get_spark("media-ops", master=args.master)
+    try:
+        blobs = spark.read.parquet(args.input)
+    except Exception as e:
+        print(json.dumps({"status": "error", "error": str(e)}))
+        return 1
+    if "payload_id" in blobs.columns and "doc_id" not in blobs.columns:
+        blobs = blobs.withColumnRenamed("payload_id", "doc_id")
+    if "doc_id" not in blobs.columns or "payload" not in blobs.columns:
+        print(json.dumps({"status": "error",
+                          "error": "input needs doc_id (or payload_id) "
+                          "and payload columns"}))
+        return 1
+    blobs = blobs.select("doc_id", "payload")
+    ops = {
+        "probe": lambda b: mediameta.image_meta(b, errors="quarantine"),
+        "decode": lambda b: decode_image(b, errors="quarantine"),
+        "audio": lambda b: decode_audio(b, errors="quarantine"),
+        "audiometa": lambda b: mediameta.audio_meta(
+            b, errors="quarantine"),
+        "video": lambda b: mediameta.video_meta(b, errors="quarantine"),
+        "triage": lambda b: mediameta.triage_decode_images(
+            b, max_pixels=args.max_pixels),
+        "exif": lambda b: mediameta.image_exif(b, errors="quarantine"),
+        "tags": lambda b: mediameta.audio_tags(b, errors="quarantine"),
+    }
+    out = ops[args.op](blobs)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        out = spark.read.parquet(args.output)  # summarize the sink
+    group_col = next(
+        (c for c in ("route", "format", "brand", "container")
+         if c in out.columns), None
+    )
+    summary = {"status": "ok", "op": args.op, "n": out.count()}
+    if group_col is not None:
+        summary["by_" + group_col] = {
+            str(r[group_col]): r["n"]
+            for r in out.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+    n_bad = 0
+    if "error_kind" in out.columns:
+        kinds = {
+            str(r["error_kind"]): r["n"]
+            for r in out.filter(F.col("error_kind").isNotNull())
+            .groupBy("error_kind").agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        summary["by_error_kind"] = kinds
+        n_bad = sum(kinds.values())
+    if args.output:
+        summary["output"] = args.output
+    if n_bad:
+        summary["status"] = "quarantined_payloads"
+    print(json.dumps(summary))
+    return 2 if n_bad else 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="python -m youtube_api_data_etl_automation_spark",
@@ -744,6 +819,28 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--master", default=None, help="Spark master (default: local[$SPARK_GRAFT_CPUS])")
     sub = p.add_subparsers(dest="command", required=True)
+
+    med = sub.add_parser(
+        "media",
+        help="media ops over a payload parquet: probe/decode/triage/"
+             "exif/tags (r10)",
+    )
+    med.add_argument("--input", required=True,
+                     help="parquet with doc_id (or payload_id) + payload")
+    med.add_argument(
+        "--op", required=True,
+        choices=["probe", "decode", "audio", "audiometa", "video",
+                 "triage", "exif", "tags"],
+        help="probe=image headers, decode=image pixels, audio=samples, "
+             "audiometa=MP3/FLAC/WAV headers, video=MP4/MKV containers, "
+             "triage=probe-then-decode router, exif=JPEG APP1, "
+             "tags=ID3/Vorbis/LIST-INFO",
+    )
+    med.add_argument("--output", default=None,
+                     help="write the per-payload result parquet here")
+    med.add_argument("--max-pixels", type=int, default=4_000_000,
+                     help="triage pixel budget (default 4 Mpx)")
+    med.set_defaults(fn=_cmd_media)
 
     etl = sub.add_parser("etl", help="one incremental ETL run (the reference's daily job)")
     etl.add_argument("--channels", required=True, help="comma-separated channel ids")
