@@ -34,7 +34,7 @@ def test_fixture_is_committed_and_covers_all_families():
     )
     assert set(fams) == {"image", "audio", "image_meta", "video_meta",
                          "audio_meta", "image_exif", "audio_tags"}
-    assert fams["image_exif"] == 4 and fams["audio_tags"] == 5
+    assert fams["image_exif"] == 7 and fams["audio_tags"] == 5
     # the decode matrix: 6 PNG variants + 4 JPEG + GIF/BMP/PPM +
     # 2 VP8L WebP (r10) + 2 refusals
     assert fams["image"] == 18

@@ -569,12 +569,14 @@ def test_exif_absent_and_malformed(spark):
     with pytest.raises(ValueError, match="truncated IFD"):
         mediameta._parse_exif(_jpeg_with_app1(_tiff([(0x0112, 3, 1, 1)])[:12]))
 
+    from test_gif import PAL4, _gif
     from test_operators import _png
 
     blobs = spark.createDataFrame(
         [(1, bytearray(_jpeg_with_app1(_tiff([(0x0112, 3, 1, 8)])))),
          (2, bytearray(plain)),
-         (3, bytearray(_png([[(1, 1, 1)]])))],
+         (3, bytearray(_png([[(1, 1, 1)]]))),
+         (4, bytearray(_gif([[0, 1]], PAL4)))],
         "doc_id long, payload binary",
     )
     rows = {r.doc_id: r for r in mediameta.image_exif(
@@ -582,7 +584,45 @@ def test_exif_absent_and_malformed(spark):
     ).collect()}
     assert rows[1].orientation == 8 and rows[1].error is None
     assert rows[2].orientation is None and rows[2].error is None
-    assert rows[3].error_kind == "unsupported"
+    # PNG without eXIf: a valid container with no Exif -> NULLs (r10)
+    assert rows[3].orientation is None and rows[3].error is None
+    assert rows[4].error_kind == "unsupported"  # GIF has no Exif story
+
+
+def _png_with_exif(tiff: bytes) -> bytes:
+    import struct as _s
+    import sys
+    import zlib
+
+    sys.path.insert(0, "tests")
+    from test_operators import _png
+
+    base = _png([[(5, 6, 7), (8, 9, 10)]])
+    ihdr_end = 8 + 8 + 13 + 4  # sig + len/type + IHDR body + crc
+    chunk = _s.pack(">I", len(tiff)) + b"eXIf" + tiff \
+        + _s.pack(">I", zlib.crc32(b"eXIf" + tiff) & 0xFFFFFFFF)
+    return base[:ihdr_end] + chunk + base[ihdr_end:]
+
+
+def test_exif_png_and_webp_containers():
+    """r10: the same TIFF walk reads PNG eXIf and WebP EXIF chunks."""
+    tiff = _tiff([(0x0112, 3, 1, 3)], order="<",
+                 exif_entries=[(0xA002, 3, 1, 640), (0xA003, 3, 1, 480)])
+    out = mediameta._parse_exif(_png_with_exif(tiff))
+    assert out["orientation"] == 3
+    assert (out["exif_width"], out["exif_height"]) == (640, 480)
+
+    # WebP: EXIF chunk after the image chunk, Exif\0\0 prefix variant
+    vp8 = b"\x00" * 6 + struct.pack("<HH", 32 | 0x4000, 16) + b"\x00" * 8
+    body = (b"WEBP" + b"VP8 " + struct.pack("<I", len(vp8)) + vp8
+            + b"EXIF" + struct.pack("<I", len(tiff) + 6)
+            + b"Exif\x00\x00" + tiff)
+    webp = b"RIFF" + struct.pack("<I", len(body)) + body
+    out = mediameta._parse_exif(webp)
+    assert out["orientation"] == 3 and out["exif_width"] == 640
+    # a WebP without an EXIF chunk: NULLs, not an error
+    plain_webp = _webp(b"VP8 ", vp8)
+    assert mediameta._parse_exif(plain_webp) == mediameta._EXIF_NULLS
 
 
 def _id3_frame(fid: bytes, text: str, encoding=3, major=4):

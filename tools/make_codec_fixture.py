@@ -243,8 +243,25 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
         _encode_jpeg(_rng_image(8, 8, seed=61, grey=True))[0])
     add(603, "image_exif", "exif_truncated_corrupt",
         _jpeg_with_app1(_tiff([(0x0112, 3, 1, 1)])[:12]))
-    add(604, "image_exif", "exif_non_jpeg_unsupported",
+    add(604, "image_exif", "exif_png_without_chunk_nulls",
         _png([[(1, 1, 1)]]))
+    from test_mediameta import _png_with_exif
+
+    small_tiff = _tiff([(0x0112, 3, 1, 3)], order="<",
+                       exif_entries=[(0xA002, 3, 1, 640),
+                                     (0xA003, 3, 1, 480)])
+    add(605, "image_exif", "exif_png_exif_chunk",
+        _png_with_exif(small_tiff))
+    vp8_hdr = b"\x00" * 6 + struct.pack("<HH", 32 | 0x4000, 16) \
+        + b"\x00" * 8
+    webp_body = (b"WEBP" + b"VP8 " + struct.pack("<I", len(vp8_hdr))
+                 + vp8_hdr + b"EXIF"
+                 + struct.pack("<I", len(small_tiff) + 6)
+                 + b"Exif\x00\x00" + small_tiff)
+    add(606, "image_exif", "exif_webp_chunk",
+        b"RIFF" + struct.pack("<I", len(webp_body)) + webp_body)
+    add(607, "image_exif", "exif_gif_unsupported",
+        _gif([[0, 1]] * 2, PAL4))
 
     add(701, "audio_tags", "id3v4_tags",
         _id3(_id3_frame(b"TIT2", "Sunny Day", encoding=3)

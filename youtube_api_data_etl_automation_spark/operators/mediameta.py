@@ -810,43 +810,78 @@ def _tiff_ascii(vb: bytes) -> str:
     return vb.split(b"\x00", 1)[0].decode("latin-1").strip()
 
 
+_EXIF_NULLS = {"orientation": None, "exif_width": None,
+               "exif_height": None, "datetime": None, "make": None,
+               "model": None}
+
+
+def _locate_exif_tiff(payload: bytes) -> bytes | None:
+    """The embedded TIFF blob per container: JPEG APP1 (``Exif\\0\\0``
+    prefix), PNG ``eXIf`` chunk (raw TIFF), WebP ``EXIF`` chunk (raw
+    TIFF, some writers keep the JPEG-style prefix — stripped). None =
+    the container is fine but carries no Exif."""
+    if payload[:2] == b"\xff\xd8":  # JPEG: APP1 segment walk
+        pos, n = 2, len(payload)
+        while pos + 4 <= n:
+            if payload[pos] != 0xFF:
+                raise ValueError("malformed JPEG: expected marker")
+            marker = payload[pos + 1]
+            if marker == 0xFF:
+                pos += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            if marker in (0xDA, 0xD9):  # SOS/EOI: metadata is over
+                return None
+            (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+            if marker == 0xE1 and \
+                    payload[pos + 4 : pos + 10] == b"Exif\x00\x00":
+                return payload[pos + 10 : pos + 2 + seg_len]
+            pos += 2 + seg_len
+        return None
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":  # PNG: chunk walk
+        pos, n = 8, len(payload)
+        while pos + 8 <= n:
+            (clen,) = struct.unpack_from(">I", payload, pos)
+            ctype = payload[pos + 4 : pos + 8]
+            if pos + 12 + clen > n:
+                raise ValueError(f"malformed PNG: truncated {ctype!r}")
+            if ctype == b"eXIf":
+                return payload[pos + 8 : pos + 8 + clen]
+            if ctype in (b"IDAT", b"IEND"):  # metadata precedes data
+                return None
+            pos += 12 + clen
+        return None
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        pos, n = 12, len(payload)
+        while pos + 8 <= n:
+            cid = payload[pos : pos + 4]
+            (clen,) = struct.unpack_from("<I", payload, pos + 4)
+            if cid == b"EXIF":
+                tiff = payload[pos + 8 : pos + 8 + clen]
+                if tiff[:6] == b"Exif\x00\x00":
+                    tiff = tiff[6:]
+                return tiff
+            pos += 8 + clen + (clen & 1)
+        return None
+    raise NotImplementedError(
+        "EXIF extraction covers JPEG APP1, PNG eXIf, and WebP EXIF "
+        f"chunks (magic {payload[:4]!r})"
+    )
+
+
 def _parse_exif(payload: bytes) -> dict:
-    """Orientation / pixel dims / timestamp / camera make+model from a
-    JPEG's APP1 Exif segment (TIFF 6.0 IFD walk, both byte orders).
-    O(header bytes): stops at SOS, never touches entropy data. A JPEG
-    without APP1 Exif yields all-NULL fields (not an error — most web
-    images carry none); a structurally broken TIFF refuses."""
-    if payload[:2] != b"\xff\xd8":
-        raise NotImplementedError(
-            "EXIF extraction reads JPEG APP1 segments; other containers "
-            "carry their metadata elsewhere (PNG eXIf/tEXt, ISO-BMFF)"
-        )
-    out = {"orientation": None, "exif_width": None, "exif_height": None,
-           "datetime": None, "make": None, "model": None}
-    pos, n = 2, len(payload)
-    app1 = None
-    while pos + 4 <= n:
-        if payload[pos] != 0xFF:
-            raise ValueError("malformed JPEG: expected marker")
-        marker = payload[pos + 1]
-        if marker == 0xFF:
-            pos += 1
-            continue
-        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-            pos += 2
-            continue
-        if marker in (0xDA, 0xD9):  # SOS/EOI: metadata segments are over
-            break
-        (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
-        if marker == 0xE1 and \
-                payload[pos + 4 : pos + 10] == b"Exif\x00\x00":
-            app1 = (pos + 10, pos + 2 + seg_len)
-            break
-        pos += 2 + seg_len
-    if app1 is None:
+    """Orientation / pixel dims / timestamp / camera make+model from the
+    container's Exif blob (JPEG APP1 / PNG eXIf / WebP EXIF; TIFF 6.0
+    IFD walk, both byte orders). O(header bytes): stops before
+    image/entropy data. A payload without Exif yields all-NULL fields
+    (not an error — most web images carry none); a structurally broken
+    TIFF refuses."""
+    out = dict(_EXIF_NULLS)
+    tiff = _locate_exif_tiff(payload)
+    if tiff is None:
         return out
-    t0, t1 = app1
-    tiff = payload[t0:t1]
     if len(tiff) < 8:
         raise ValueError("malformed EXIF: truncated TIFF header")
     order = tiff[:2]
@@ -885,12 +920,13 @@ def _parse_exif(payload: bytes) -> dict:
 
 
 def image_exif(blobs: DataFrame, errors: str = "raise") -> DataFrame:
-    """EXIF triage metadata per JPEG payload: ``(doc_id, orientation,
+    """EXIF triage metadata per image payload: ``(doc_id, orientation,
     exif_width, exif_height, datetime, make, model)`` — the fields a
     corpus pipeline filters on (rotate-before-resize, camera/source
     stratification, capture-time windows) without decoding a pixel.
-    All-NULL row for JPEGs with no APP1 Exif; quarantine contract for
-    broken TIFF structures; non-JPEG payloads are 'unsupported'."""
+    Reads JPEG APP1, PNG ``eXIf``, and WebP ``EXIF`` containers;
+    all-NULL row when the container carries no Exif; quarantine
+    contract for broken TIFF structures; other formats 'unsupported'."""
     from .multimodal import _check_errors_mode
 
     quarantine = _check_errors_mode(errors)
