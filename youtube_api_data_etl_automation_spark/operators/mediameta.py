@@ -21,13 +21,18 @@ That is pure struct parsing, which this module does for real:
 - ``image_meta`` / ``_probe_image``: header-only dimension/format probe
   for PNG, JPEG (incl. progressive — SOF scan), GIF, BMP, PPM, and all
   three WebP flavors (VP8 key-frame size, VP8L 14-bit packed size, VP8X
-  canvas size) — WebP PIXELS still need a codec library, but its
-  dimensions do not, so corpus triage (resolution filters, aspect
-  buckets, thumbnail routing) works over every common web format
-  without decoding anything.
+  canvas size) — lossy-VP8 WebP pixels still need a codec library
+  (VP8L decodes for real since r10, operators/vp8l.py), but dimensions
+  never do, so corpus triage (resolution filters, aspect buckets,
+  thumbnail routing) works over every common web format without
+  decoding anything.
 - ``audio_meta`` (r10): MP3 (ID3v2 skip, frame-header tables, Xing/Info
   frame count else CBR estimate), FLAC STREAMINFO, and WAV fmt-chunk
   probing — rate/channels/duration without touching one sample.
+- ``triage_decode_images`` (r10): the probe-first decode router.
+- ``image_exif`` / ``audio_tags`` (r10): EXIF (JPEG APP1 / PNG eXIf /
+  WebP EXIF) and embedded text tags (ID3v2.3/2.4, FLAC VORBIS_COMMENT,
+  WAV LIST/INFO).
 
 All run as Arrow-batched ``mapInPandas`` with the same
 ``errors='quarantine'`` contract as the decoders: one bad payload in
