@@ -1,0 +1,177 @@
+"""Quarantine-contract fuzz: every parser/decoder added in r9-r10 must
+map ARBITRARY bytes — random garbage, truncations, and single-byte
+mutations of valid payloads — to either a clean result or an exception
+in multimodal.DECODE_ERRORS. Anything else (an unexpected exception
+class) would kill a Spark task instead of becoming a quarantine row,
+the exact failure mode of ADVICE r9's medium finding.
+
+Seeded (no flaky randomness); a few hundred payloads per parser keeps
+the whole module under ~30 s without Spark.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from youtube_api_data_etl_automation_spark.operators import (
+    flac,
+    gif,
+    jpeg,
+    mediameta,
+    multimodal,
+    vp8l,
+)
+
+OK_ERRORS = multimodal.DECODE_ERRORS
+
+
+def _mutations(rng, payload: bytes, n: int):
+    """n single-byte mutations + n truncations of a valid payload."""
+    out = []
+    b = bytearray(payload)
+    for _ in range(n):
+        m = bytearray(b)
+        m[rng.integers(0, len(m))] ^= int(rng.integers(1, 256))
+        out.append(bytes(m))
+    for _ in range(n):
+        out.append(payload[: int(rng.integers(0, len(payload)))])
+    return out
+
+
+def _assert_contract(fn, payloads, label):
+    escaped = []
+    for i, p in enumerate(payloads):
+        try:
+            fn(p)
+        except OK_ERRORS:
+            pass
+        except Exception as e:  # noqa: BLE001 - the point of the test
+            escaped.append((i, type(e).__name__, str(e)[:80]))
+    assert not escaped, f"{label}: non-quarantine exceptions: {escaped[:5]}"
+
+
+def _garbage(rng, n, max_len=600):
+    out = [b"", b"\x00"]
+    for _ in range(n):
+        ln = int(rng.integers(1, max_len))
+        out.append(rng.integers(0, 256, ln, dtype=np.uint8).tobytes())
+    return out
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(1234)
+
+
+def test_fuzz_vp8l(rng):
+    import sys
+    sys.path.insert(0, "tests")
+    from test_vp8l import _encode_vp8l, _rgba
+
+    valid = _encode_vp8l(_rgba(4, 5, seed=3), subtract_green=True,
+                         cache_bits=4)
+    payloads = _garbage(rng, 120) + _mutations(rng, valid, 120)
+    # seed garbage with plausible magic so parsing goes deeper
+    payloads += [b"RIFF" + g[:40].ljust(8, b"\0")[:4] + b"WEBPVP8L"
+                 + g for g in _garbage(rng, 120, 200)]
+    _assert_contract(vp8l.decode_webp_lossless, payloads, "vp8l")
+    _assert_contract(
+        lambda p: vp8l.decode_vp8l(bytes([0x2F]) + p),
+        _garbage(rng, 150, 200), "vp8l-chunk",
+    )
+
+
+def test_fuzz_flac(rng):
+    import sys
+    sys.path.insert(0, "tests")
+    from test_flac import _flac, _wave
+
+    valid = _flac([_wave(30, 900)], sub_kw={"kind": "fixed", "order": 2})
+    payloads = _garbage(rng, 100) + _mutations(rng, valid, 150)
+    payloads += [b"fLaC" + g for g in _garbage(rng, 120, 300)]
+    _assert_contract(flac.decode_flac, payloads, "flac")
+
+
+def test_fuzz_image_and_audio_decoders(rng):
+    import sys
+    sys.path.insert(0, "tests")
+    from test_gif import PAL4, _gif
+    from test_jpeg import _encode_jpeg, _encode_progressive, _rng_image
+    from test_operators import _png, _wav
+
+    base, *_ = _encode_jpeg(_rng_image(16, 16, seed=9, grey=True))
+    prog, *_ = _encode_progressive(_rng_image(8, 8, seed=10, grey=True))
+    for valid in (base, prog):
+        _assert_contract(jpeg.decode_baseline_jpeg,
+                         _mutations(rng, valid, 150), "jpeg")
+    _assert_contract(jpeg.decode_baseline_jpeg,
+                     [b"\xff\xd8" + g for g in _garbage(rng, 150, 300)],
+                     "jpeg-garbage")
+    g_img = _gif([[0, 1, 2, 3]] * 3, PAL4)
+    _assert_contract(gif.decode_gif, _mutations(rng, g_img, 150), "gif")
+    png = _png([[(1, 2, 3)] * 4] * 3)
+    _assert_contract(multimodal._decode_rgb, _mutations(rng, png, 150),
+                     "png")
+    wav = _wav(8000, [(100, -100)] * 16)
+    _assert_contract(multimodal._decode_pcm, _mutations(rng, wav, 150),
+                     "wav")
+    _assert_contract(multimodal._decode_rgb, _garbage(rng, 120),
+                     "decode_rgb-garbage")
+    _assert_contract(multimodal._decode_pcm, _garbage(rng, 120),
+                     "decode_pcm-garbage")
+
+
+def test_fuzz_metadata_parsers(rng):
+    import sys
+    sys.path.insert(0, "tests")
+    from test_mediameta import (
+        _flac_with_comments,
+        _id3,
+        _id3_frame,
+        _jpeg_with_app1,
+        _mkv,
+        _mkv_track,
+        _mp4,
+        _tiff,
+        _trak,
+    )
+
+    mp4 = _mp4(tracks=(_trak(b"vide", b"avc1", w=16, h=16),))
+    mkv = _mkv(duration=1000.0, tracks=(_mkv_track(1, b"V_VP9", w=8,
+                                                   h=8),))
+    def video_one(p):  # the video_meta op's dispatch, payload-level
+        if p[:4] == b"\x1a\x45\xdf\xa3":
+            return mediameta._parse_mkv(p)
+        return mediameta._parse_mp4(p)
+
+    for valid in (mp4, mkv):
+        _assert_contract(video_one, _mutations(rng, valid, 150),
+                         "video_meta")
+    _assert_contract(mediameta._parse_mp4,
+                     [mp4[:8] + g for g in _garbage(rng, 100, 200)],
+                     "mp4-garbage")
+    _assert_contract(mediameta._parse_mkv,
+                     [b"\x1a\x45\xdf\xa3" + g
+                      for g in _garbage(rng, 100, 200)], "mkv-garbage")
+    _assert_contract(mediameta._probe_image, _garbage(rng, 150),
+                     "probe-garbage")
+
+    id3 = _id3(_id3_frame(b"TIT2", "Fuzz Me", encoding=3))
+    mp3 = b"\xff\xfb\x90\x00" + b"\x00" * 200
+    flac_tags = _flac_with_comments(["TITLE=x", "ARTIST=y"])
+    for valid in (id3 + mp3, flac_tags):
+        _assert_contract(mediameta._parse_audio_meta,
+                         _mutations(rng, valid, 120), "audio_meta")
+        _assert_contract(mediameta._parse_audio_tags,
+                         _mutations(rng, valid, 120), "audio_tags")
+    exif = _jpeg_with_app1(_tiff(
+        [(0x0112, 3, 1, 6), (0x010F, 2, 6, b"Nikon\x00")],
+        exif_entries=[(0xA002, 4, 1, 640)],
+    ))
+    _assert_contract(mediameta._parse_exif, _mutations(rng, exif, 150),
+                     "exif")
+    _assert_contract(mediameta._parse_exif,
+                     _garbage(rng, 80) + [b"\xff\xd8" + g for g in
+                                          _garbage(rng, 80, 200)],
+                     "exif-garbage")
