@@ -137,3 +137,30 @@ def test_unknown_errors_mode_refuses():
         )
 
         _check_errors_mode("ignore")
+
+
+def test_codec_stats_from_foreign_cwd():
+    """The driver harness makes no PYTHONPATH/cwd promise; the decode
+    closures are pickled by module reference, so workers must import the
+    package via session.ship_package's addPyFile zip. Regression: run
+    the codec query from /tmp in a bare subprocess session — without
+    ship_package this dies with ModuleNotFoundError in the worker."""
+    import subprocess
+    import sys
+
+    script = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from pyspark.sql import SparkSession\n"
+        "spark = (SparkSession.builder.master('local[4]')\n"
+        "         .config('spark.ui.enabled', 'false').getOrCreate())\n"
+        "from youtube_api_data_etl_automation_spark.plans.codec_check "
+        "import codec_stats\n"
+        "print('CODEC_ROWS=%d' % codec_stats(spark).count())\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script], cwd="/tmp", capture_output=True,
+        text=True, timeout=300,
+        env={k: v for k, v in __import__("os").environ.items()
+             if k != "PYTHONPATH"},
+    )
+    assert "CODEC_ROWS=70" in out.stdout, out.stderr[-2000:]
