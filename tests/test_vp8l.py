@@ -564,3 +564,19 @@ def test_decode_rgb_routes_vp8l_and_quarantine(spark):
     assert rows[1].format == "webp" and rows[1].error is None
     assert (rows[1].width, rows[1].height) == (5, 3)
     assert rows[2].error_kind == "unsupported"
+
+
+def test_distance_map_table_invariants():
+    """The 120-entry 2D distance map is a transcribed spec constant; pin
+    the two structural properties that catch transcription errors: its
+    membership is EXACTLY the near-neighborhood {dy=0, dx 1..8} ∪
+    {dy 1..7, dx -7..8} (8 + 7×16 = 120 cells), and entries are ordered
+    by non-decreasing Euclidean distance."""
+    m = vp8l._DIST_MAP
+    assert len(m) == 120 and len(set(m)) == 120
+    want = {(dx, 0) for dx in range(1, 9)} | {
+        (dx, dy) for dy in range(1, 8) for dx in range(-7, 9)
+    }
+    assert set(m) == want
+    d2 = [dx * dx + dy * dy for dx, dy in m]
+    assert all(a <= b for a, b in zip(d2, d2[1:]))
