@@ -175,3 +175,18 @@ def test_fuzz_metadata_parsers(rng):
                      _garbage(rng, 80) + [b"\xff\xd8" + g for g in
                                           _garbage(rng, 80, 200)],
                      "exif-garbage")
+
+
+def test_fuzz_tiff(rng):
+    import sys
+    sys.path.insert(0, "tests")
+    from test_tiff import _img, _tiff_image
+
+    from youtube_api_data_etl_automation_spark.operators import tiff
+
+    valid = _tiff_image(_img(4, 6, seed=77))
+    pb = _tiff_image(_img(4, 6, seed=78, grey=True), packbits=True)
+    payloads = _mutations(rng, valid, 150) + _mutations(rng, pb, 150)
+    payloads += [b"II*\x00" + g for g in _garbage(rng, 120, 300)]
+    payloads += [b"MM\x00*" + g for g in _garbage(rng, 120, 300)]
+    _assert_contract(tiff.decode_tiff, payloads, "tiff")

@@ -423,9 +423,9 @@ def test_decode_compressed_formats_still_stubbed(spark):
     webp_magic = b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 24
     with pytest.raises(Exception, match="codec library"):
         multimodal.decode_image(_blob_df(spark, webp_magic)).collect()
-    tiff_magic = b"II*\x00" + b"\x00" * 24
+    jp2_magic = b"\x00\x00\x00\x0cjP  \r\n\x87\n" + b"\x00" * 16
     with pytest.raises(Exception, match="PIL|compressed"):
-        multimodal.decode_image(_blob_df(spark, tiff_magic)).collect()
+        multimodal.decode_image(_blob_df(spark, jp2_magic)).collect()
 
 
 def test_fake_decode_shapes(spark):

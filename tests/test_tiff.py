@@ -1,0 +1,200 @@
+"""Baseline TIFF decoder (operators/tiff.py), byte-exact against an
+independent test-side encoder: grey/RGB, WhiteIsZero inversion, both
+byte orders, multi-strip layouts, PackBits, refusals, probe/EXIF/triage
+integration."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from youtube_api_data_etl_automation_spark.operators import (
+    mediameta,
+    multimodal,
+    tiff,
+)
+
+
+def _packbits(row: bytes) -> bytes:
+    """Reference PackBits encoder: greedy literal/repeat runs."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and row[i + run] == row[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, row[i]])
+            i += run
+            continue
+        lit = i
+        while i < n and (i - lit) < 128 and not (
+            i + 1 < n and row[i + 1] == row[i]
+        ):
+            i += 1
+        out += bytes([i - lit - 1]) + row[lit:i]
+    return bytes(out)
+
+
+def _tiff_image(pixels, *, photometric=None, order="<", packbits=False,
+                rows_per_strip=None, extra_tags=(), spp=None):
+    """Independent baseline-TIFF encoder. ``pixels``: (h, w) grey or
+    (h, w, 3/4) arrays."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    grey = arr.ndim == 2
+    h, w = arr.shape[:2]
+    n_samples = spp if spp is not None else (1 if grey else arr.shape[2])
+    if photometric is None:
+        photometric = 1 if grey else 2
+    rps = rows_per_strip or h
+    lt = order
+
+    rows = arr.reshape(h, -1).tobytes()
+    row_bytes = w * n_samples
+    strips = []
+    for y0 in range(0, h, rps):
+        strip = rows[y0 * row_bytes : min(y0 + rps, h) * row_bytes]
+        strips.append(_packbits(strip) if packbits else strip)
+
+    entries = [
+        (256, 4, 1, w), (257, 4, 1, h),
+        (258, 3, n_samples, [8] * n_samples),
+        (259, 3, 1, 32773 if packbits else 1),
+        (262, 3, 1, photometric),
+        (277, 3, 1, n_samples),
+        (278, 4, 1, rps),
+    ]
+    entries += list(extra_tags)
+    # StripOffsets/ByteCounts appended after layout below
+    n_entries = len(entries) + 2
+    ifd0 = 8
+    ifd_size = 2 + 12 * n_entries + 4
+    data_at = ifd0 + ifd_size
+
+    overflow = b""
+
+    def value_bytes(ftype, values):
+        fmt = {1: "B", 2: "s", 3: "H", 4: "I"}[ftype]
+        if ftype == 2:
+            return values  # bytes already
+        return b"".join(struct.pack(lt + fmt, v) for v in values)
+
+    def entry(tag, ftype, count, values):
+        nonlocal overflow
+        vb = value_bytes(ftype, values if isinstance(values, (list, bytes))
+                         else [values])
+        if len(vb) <= 4:
+            return struct.pack(lt + "HHI", tag, ftype, count) \
+                + vb.ljust(4, b"\x00")
+        off = data_at + len(overflow)
+        overflow += vb
+        return struct.pack(lt + "HHI", tag, ftype, count) \
+            + struct.pack(lt + "I", off)
+
+    # first pass to size the overflow area before strip data
+    tmp_overflow = 0
+    for tag, ftype, count, values in entries + [
+        (273, 4, len(strips), [0] * len(strips)),
+        (279, 4, len(strips), [0] * len(strips)),
+    ]:
+        vb_len = {1: 1, 3: 2, 4: 4}[ftype] * count
+        if vb_len > 4:
+            tmp_overflow += vb_len
+    strips_at = data_at + tmp_overflow
+    offsets = []
+    at = strips_at
+    for s in strips:
+        offsets.append(at)
+        at += len(s)
+    counts = [len(s) for s in strips]
+
+    all_entries = entries + [(273, 4, len(strips), offsets),
+                             (279, 4, len(strips), counts)]
+    all_entries.sort(key=lambda e: e[0])
+    body = struct.pack(lt + "H", n_entries)
+    for tag, ftype, count, values in all_entries:
+        body += entry(tag, ftype, count, values)
+    body += struct.pack(lt + "I", 0)
+    assert len(overflow) == tmp_overflow
+    hdr = (b"II" if lt == "<" else b"MM") + struct.pack(lt + "HI", 42, 8)
+    return hdr + body + overflow + b"".join(strips)
+
+
+def _img(h, w, seed=0, grey=False):
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if grey else (h, w, 3)
+    return rng.integers(0, 256, shape, dtype=np.uint8)
+
+
+def test_grey_rgb_and_byte_orders():
+    g = _img(5, 7, seed=1, grey=True)
+    for order in ("<", ">"):
+        out = tiff.decode_tiff(_tiff_image(g, order=order))
+        assert (out == np.repeat(g[:, :, None], 3, axis=2)).all()
+    rgb = _img(4, 6, seed=2)
+    for order in ("<", ">"):
+        out = tiff.decode_tiff(_tiff_image(rgb, order=order))
+        assert (out == rgb).all()
+
+
+def test_white_is_zero_inverts():
+    g = _img(3, 3, seed=3, grey=True)
+    out = tiff.decode_tiff(_tiff_image(g, photometric=0))
+    assert (out == np.repeat((255 - g)[:, :, None], 3, axis=2)).all()
+
+
+def test_multi_strip_and_packbits():
+    rgb = np.repeat(_img(2, 9, seed=4), 5, axis=0)  # RLE-friendly rows
+    for packbits in (False, True):
+        payload = _tiff_image(rgb, packbits=packbits, rows_per_strip=3)
+        out = tiff.decode_tiff(payload)
+        assert (out == rgb).all(), f"packbits={packbits}"
+    # RGBA: alpha dropped structurally (like the PNG decoder)
+    rgba = np.dstack([_img(3, 4, seed=5), np.full((3, 4), 200, np.uint8)])
+    out = tiff.decode_tiff(_tiff_image(rgba))
+    assert (out == rgba[:, :, :3]).all()
+
+
+def test_refusals_and_malformed():
+    g = _img(4, 4, seed=6, grey=True)
+    lzw = _tiff_image(g, extra_tags=())
+    # rewrite compression tag to LZW (5): unsupported, not corrupt
+    lzw_payload = _tiff_image(g)
+    i = lzw_payload.index(struct.pack("<HHI", 259, 3, 1))
+    lzw_payload = lzw_payload[: i + 8] + struct.pack("<I", 5) \
+        + lzw_payload[i + 12 :]
+    with pytest.raises(NotImplementedError, match="compression 5"):
+        tiff.decode_tiff(lzw_payload)
+    del lzw
+    with pytest.raises(ValueError, match="bad magic"):
+        tiff.decode_tiff(b"II+\x00" + b"\x00" * 16)
+    with pytest.raises(ValueError, match="strip out of bounds|short strip"):
+        tiff.decode_tiff(_tiff_image(g)[:-6])
+    with pytest.raises(NotImplementedError, match="pixel budget"):
+        tiff.decode_tiff(_tiff_image(g), pixel_budget=8)
+    # truncated PackBits refuses as corrupt
+    pb = _tiff_image(np.repeat(_img(1, 9, seed=7), 4, axis=0),
+                     packbits=True)
+    with pytest.raises(ValueError, match="PackBits|out of bounds|short"):
+        tiff.decode_tiff(pb[:-3])
+
+
+def test_probe_exif_and_triage_integration(spark):
+    rgb = _img(6, 8, seed=8)
+    payload = _tiff_image(rgb, order=">")
+    assert mediameta._probe_image(payload) == ("tiff", 8, 6)
+    fmt, out = multimodal._decode_rgb(payload)
+    assert fmt == "tiff" and (out == rgb).all()
+    # a TIFF file is its own Exif structure: the orientation tag
+    # (0x0112 = 274) reads directly off IFD0
+    with_orient = _tiff_image(rgb, extra_tags=[(274, 3, 1, 6)])
+    ex = mediameta._parse_exif(with_orient)
+    assert ex["orientation"] == 6
+    blobs = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    row = mediameta.triage_decode_images(blobs).collect()[0]
+    assert row.route == "decoded" and row.format == "tiff"
+    assert (row.width, row.height) == (8, 6)

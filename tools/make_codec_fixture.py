@@ -93,6 +93,15 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
     add(117, "image", "webp_vp8l_lossless",
         _encode_vp8l(_rgba(6, 5, seed=99), subtract_green=True,
                      cache_bits=4))
+    from test_tiff import _img as _tiff_img
+    from test_tiff import _tiff_image
+
+    add(119, "image", "tiff_rgb_bigendian",
+        _tiff_image(_tiff_img(4, 6, seed=51), order=">"))
+    add(120, "image", "tiff_grey_packbits_strips",
+        _tiff_image(
+            np.repeat(_tiff_img(2, 9, seed=52, grey=True), 4, axis=0),
+            packbits=True, rows_per_strip=3))
     add(118, "image", "webp_vp8l_palette_predictor",
         _encode_vp8l(
             np.array([[((x * 37) % 2 * 200, (y * 53) % 3 * 80, 40, 255)

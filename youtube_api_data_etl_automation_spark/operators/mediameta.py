@@ -225,6 +225,20 @@ def _probe_image(payload: bytes) -> tuple[str, int, int]:
                 return "jpeg", w, h
             pos += 2 + seg_len
         raise ValueError("malformed JPEG: no SOF marker")
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):  # TIFF (r10)
+        lt = "<" if payload[:2] == b"II" else ">"
+        (ifd0,) = struct.unpack_from(lt + "I", payload, 4)
+        w = h = None
+        for tag, ftype, count, vb in _tiff_ifd_entries(
+            payload, 0, ifd0, lt
+        ):
+            if tag == 256:
+                w = _tiff_scalar(vb, ftype, lt)
+            elif tag == 257:
+                h = _tiff_scalar(vb, ftype, lt)
+        if w is None or h is None:
+            raise ValueError("malformed TIFF: missing dimension tags")
+        return "tiff", w, h
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         if len(payload) < 30:
             raise ValueError("malformed WebP: truncated chunk")
@@ -244,7 +258,7 @@ def _probe_image(payload: bytes) -> tuple[str, int, int]:
         raise ValueError(f"malformed WebP: unknown chunk {kind!r}")
     raise NotImplementedError(
         f"unknown image format (magic {payload[:2]!r}); header probing "
-        "covers PNG/JPEG/GIF/BMP/PPM/WebP"
+        "covers PNG/JPEG/GIF/BMP/PPM/WebP/TIFF"
     )
 
 
@@ -661,7 +675,7 @@ TRIAGE_DECODE_SCHEMA = (
 #: qualifies only in its VP8L (lossless) flavor — the router peeks the
 #: chunk fourcc, so lossy VP8/VP8X still route 'undecodable' pre-decode.
 DECODABLE_IMAGE_FORMATS = frozenset(
-    {"png", "jpeg", "gif", "bmp", "ppm", "webp"}
+    {"png", "jpeg", "gif", "bmp", "ppm", "webp", "tiff"}
 )
 
 
@@ -870,9 +884,11 @@ def _locate_exif_tiff(payload: bytes) -> bytes | None:
                 return tiff
             pos += 8 + clen + (clen & 1)
         return None
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return payload  # a TIFF file IS its own Exif structure
     raise NotImplementedError(
-        "EXIF extraction covers JPEG APP1, PNG eXIf, and WebP EXIF "
-        f"chunks (magic {payload[:4]!r})"
+        "EXIF extraction covers JPEG APP1, PNG eXIf, WebP EXIF, and "
+        f"raw TIFF (magic {payload[:4]!r})"
     )
 
 

@@ -510,6 +510,12 @@ def _decode_rgb(payload: bytes,
         # VP8L (lossless) really decodes (r10); VP8 lossy/VP8X raise
         # NotImplementedError from inside — a codec-library job
         return "webp", decode_webp_lossless(payload)[:, :, :3]
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import decode_tiff
+
+        # baseline TIFF really decodes (r10): uncompressed + PackBits,
+        # 8-bit grey/RGB; LZW/JPEG-in-TIFF refuse from inside
+        return "tiff", decode_tiff(payload)
     raise NotImplementedError(
         "compressed/unknown image format (magic "
         f"{payload[:2]!r}) requires PIL/opencv, not available in this "

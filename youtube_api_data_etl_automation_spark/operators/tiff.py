@@ -1,0 +1,167 @@
+"""Baseline TIFF decoder (r10) — reuses the EXIF TIFF-IFD reader.
+
+TIFF 6.0's baseline profile is plain struct parsing over the same IFD
+machinery operators/mediameta.py already walks for EXIF: strip-based
+storage with two self-contained compressions — none (1) and PackBits
+(32773, a one-byte RLE). That covers the scanned-document/archival TIFF
+population without a codec library; LZW/JPEG-in-TIFF variants raise the
+honest NotImplementedError and quarantine as 'unsupported'.
+
+Supported: 8-bit greyscale (photometric 0/1, WhiteIsZero inverted) and
+8-bit RGB/RGBA (photometric 2; alpha reported structurally by dropping
+the extra sample, like the PNG decoder), both byte orders, multi-strip
+layouts, RowsPerStrip defaulting to the full image. Pixel budget with
+the family's recoverable-refusal contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ~0.1 µs/byte numpy path + per-strip Python for PackBits; 16 Mpx keeps
+# the worst case ~1 s. None disables.
+TIFF_PIXEL_BUDGET = 1 << 24
+
+
+def _unpackbits(data: bytes, expected: int) -> bytes:
+    """PackBits RLE (TIFF 6.0 §9): n in 0..127 copies n+1 literals,
+    n in -127..-1 repeats the next byte 1-n times, -128 is a no-op."""
+    out = bytearray()
+    pos, n = 0, len(data)
+    while pos < n and len(out) < expected:
+        b = data[pos]
+        pos += 1
+        if b < 128:  # literal run
+            cnt = b + 1
+            if pos + cnt > n:
+                raise ValueError("malformed TIFF: truncated PackBits run")
+            out += data[pos : pos + cnt]
+            pos += cnt
+        elif b == 128:  # no-op
+            continue
+        else:  # repeat run
+            cnt = 257 - b
+            if pos >= n:
+                raise ValueError("malformed TIFF: truncated PackBits run")
+            out += bytes([data[pos]]) * cnt
+            pos += 1
+    if len(out) != expected:
+        raise ValueError(
+            f"malformed TIFF: PackBits yields {len(out)} bytes, strip "
+            f"declares {expected}"
+        )
+    return bytes(out)
+
+
+def _tag_values(vb: bytes, ftype: int, count: int, lt: str) -> list[int]:
+    fmt = {1: "B", 3: "H", 4: "I"}.get(ftype)
+    if fmt is None:
+        raise ValueError(f"malformed TIFF: field type {ftype} for array")
+    import struct
+
+    return list(struct.unpack_from(lt + fmt * count, vb, 0))
+
+
+def decode_tiff(payload: bytes,
+                pixel_budget: int | None = TIFF_PIXEL_BUDGET) -> np.ndarray:
+    """Decode a baseline TIFF payload to an (h, w, 3) uint8 RGB array."""
+    import struct
+
+    from .mediameta import _tiff_ifd_entries
+
+    if payload[:4] not in (b"II*\x00", b"MM\x00*"):
+        raise ValueError("malformed TIFF: bad magic")
+    lt = "<" if payload[:2] == b"II" else ">"
+    (ifd0,) = struct.unpack_from(lt + "I", payload, 4)
+    tags: dict[int, tuple[int, int, bytes]] = {}
+    for tag, ftype, count, vb in _tiff_ifd_entries(payload, 0, ifd0, lt):
+        tags[tag] = (ftype, count, vb)
+
+    def scalar(tag, default=None):
+        if tag not in tags:
+            if default is None:
+                raise ValueError(f"malformed TIFF: missing tag {tag}")
+            return default
+        ftype, count, vb = tags[tag]
+        return _tag_values(vb, ftype, count, lt)[0]
+
+    def array(tag):
+        ftype, count, vb = tags[tag]
+        return _tag_values(vb, ftype, count, lt)
+
+    w = scalar(256)
+    h = scalar(257)
+    if w == 0 or h == 0:
+        raise ValueError(f"malformed TIFF: zero dimension ({w}x{h})")
+    if pixel_budget is not None and w * h > pixel_budget:
+        raise NotImplementedError(
+            f"TIFF {w}x{h} exceeds the {pixel_budget}-pixel budget; "
+            "raise pixel_budget or route to a codec library"
+        )
+    compression = scalar(259, default=1)
+    if compression not in (1, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {compression} needs a codec library; "
+            "only uncompressed (1) and PackBits (32773) decode here"
+        )
+    photometric = scalar(262)
+    if photometric not in (0, 1, 2):
+        raise NotImplementedError(
+            f"TIFF photometric {photometric} not supported (baseline "
+            "grey/RGB only — palette/CMYK/YCbCr need tables or a codec)"
+        )
+    spp = scalar(277, default=1)
+    if photometric == 2 and spp not in (3, 4):
+        raise ValueError(
+            f"malformed TIFF: RGB with {spp} samples per pixel"
+        )
+    if photometric in (0, 1) and spp != 1:
+        raise ValueError(
+            f"malformed TIFF: greyscale with {spp} samples per pixel"
+        )
+    if 258 in tags:
+        bits = array(258)
+        if any(b != 8 for b in bits):
+            raise NotImplementedError(
+                f"TIFF bits-per-sample {bits} not supported (8-bit "
+                "baseline only)"
+            )
+    if 273 not in tags or 279 not in tags:
+        raise ValueError("malformed TIFF: missing strip offsets/counts")
+    offsets = array(273)
+    counts = array(279)
+    if len(offsets) != len(counts):
+        raise ValueError("malformed TIFF: strip offsets/counts mismatch")
+    rows_per_strip = scalar(278, default=h)
+    if rows_per_strip == 0:
+        raise ValueError("malformed TIFF: RowsPerStrip=0")
+
+    row_bytes = w * spp
+    raw = bytearray()
+    remaining_rows = h
+    for off, cnt in zip(offsets, counts):
+        if off + cnt > len(payload):
+            raise ValueError("malformed TIFF: strip out of bounds")
+        strip = payload[off : off + cnt]
+        n_rows = min(rows_per_strip, remaining_rows)
+        expected = n_rows * row_bytes
+        if compression == 32773:
+            raw += _unpackbits(strip, expected)
+        else:
+            if len(strip) < expected:
+                raise ValueError("malformed TIFF: short strip")
+            raw += strip[:expected]
+        remaining_rows -= n_rows
+    if remaining_rows > 0:
+        raise ValueError(
+            f"malformed TIFF: strips cover {h - remaining_rows} of {h} "
+            "rows"
+        )
+    arr = np.frombuffer(bytes(raw), dtype=np.uint8, count=h * row_bytes)
+    arr = arr.reshape(h, w, spp)
+    if photometric == 2:
+        return np.ascontiguousarray(arr[:, :, :3])
+    grey = arr[:, :, 0]
+    if photometric == 0:  # WhiteIsZero
+        grey = 255 - grey
+    return np.repeat(grey[:, :, None], 3, axis=2)
