@@ -41,8 +41,9 @@ def test_fixture_is_committed_and_covers_all_families():
     # PCM 8/16/24/32 + float 32/64 + G.711 ×2 + IMA + MS +
     # 2 FLAC (r10) + 3 refusals
     assert fams["audio"] == 15
-    # MP4 ×2 + MKV ×2 + 3 refusals / MP3 ×3 + FLAC + WAV + 2 refusals
-    assert fams["video_meta"] == 8 and fams["audio_meta"] == 7
+    # MP4 ×2 + MKV ×2 + AVI + 3 refusals / MP3 ×3 + FLAC + WAV +
+    # OGG ×2 + 3 refusals
+    assert fams["video_meta"] == 9 and fams["audio_meta"] == 10
 
 
 def test_codec_stats_match_golden(spark):
@@ -163,4 +164,4 @@ def test_codec_stats_from_foreign_cwd():
         env={k: v for k, v in __import__("os").environ.items()
              if k != "PYTHONPATH"},
     )
-    assert "CODEC_ROWS=72" in out.stdout, out.stderr[-2000:]
+    assert "CODEC_ROWS=76" in out.stdout, out.stderr[-2000:]

@@ -156,6 +156,19 @@ def test_fuzz_metadata_parsers(rng):
                       for g in _garbage(rng, 100, 200)], "mkv-garbage")
     _assert_contract(mediameta._probe_image, _garbage(rng, 150),
                      "probe-garbage")
+    from test_mediameta import _avi, _ogg_page
+
+    avi = _avi()
+    _assert_contract(mediameta._parse_avi, _mutations(rng, avi, 120),
+                     "avi")
+    ogg = _ogg_page(b"\x01vorbis" + b"\x00" * 4 + bytes([2])
+                    + b"\x44\xac\x00\x00" + b"\x00" * 16) \
+        + _ogg_page(b"\x00" * 32, granule=44100, seq=1)
+    _assert_contract(mediameta._parse_ogg, _mutations(rng, ogg, 120),
+                     "ogg")
+    _assert_contract(mediameta._parse_ogg,
+                     [b"OggS" + g for g in _garbage(rng, 100, 200)],
+                     "ogg-garbage")
 
     id3 = _id3(_id3_frame(b"TIT2", "Fuzz Me", encoding=3))
     mp3 = b"\xff\xfb\x90\x00" + b"\x00" * 200

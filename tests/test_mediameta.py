@@ -145,7 +145,7 @@ def test_meta_ops_spark_and_quarantine(spark):
                tracks=(_trak(b"vide", b"avc1", w=64, h=48),))
     vids = spark.createDataFrame(
         [(1, bytearray(mp4)), (2, bytearray(mp4[:20])),
-         (3, bytearray(b"RIFF\x00\x00\x00\x00AVI " + b"\x00" * 8))],
+         (3, bytearray(b"\x00\x01rawstream" + b"\x00" * 8))],
         "doc_id long, payload binary",
     )
     rows = {r.doc_id: r for r in mediameta.video_meta(
@@ -302,8 +302,10 @@ def test_wav_header_probe_never_reads_samples():
     assert mediameta._parse_audio_meta(payload[:50])["duration_sec"] == \
         pytest.approx(64 / 8000)
 
-    with pytest.raises(NotImplementedError, match="unknown audio"):
+    with pytest.raises(NotImplementedError, match="OGG stream"):
         mediameta._parse_audio_meta(b"OggS" + b"\x00" * 32)
+    with pytest.raises(NotImplementedError, match="unknown audio"):
+        mediameta._parse_audio_meta(b"caff" + b"\x00" * 32)
 
 
 def _ebml(eid: bytes, body: bytes) -> bytes:
@@ -381,7 +383,7 @@ def test_audio_video_meta_spark_dispatch(spark):
     auds = spark.createDataFrame(
         [(1, bytearray(_id3v2() + _mp3_frame_header() + b"\x00" * 996)),
          (2, bytearray(_wav(16000, [(5,)] * 32))),
-         (3, bytearray(b"OggS" + b"\x00" * 16)),
+         (3, bytearray(b"caff" + b"\x00" * 16)),
          (4, bytearray(b"fLaC\x80"))],
         "doc_id long, payload binary",
     )
@@ -718,3 +720,92 @@ def test_audio_tags_flac_and_wav(spark):
     assert rows[1].title == "Nocturne"
     assert rows[2].title == "Intro"
     assert rows[3].error_kind == "unsupported"
+
+
+# ------------------------------------------------- late r10: OGG + AVI
+
+
+def _ogg_page(body: bytes, granule=0, seq=0, header_type=2) -> bytes:
+    """One Ogg page with ``body`` as a single segment run."""
+    segs = []
+    n = len(body)
+    while n >= 255:
+        segs.append(255)
+        n -= 255
+    segs.append(n)
+    return (b"OggS" + bytes([0, header_type])
+            + struct.pack("<q", granule)
+            + struct.pack("<III", 7, seq, 0)
+            + bytes([len(segs)]) + bytes(segs) + body)
+
+
+def test_ogg_vorbis_and_opus_probe():
+    vorbis_id = (b"\x01vorbis" + struct.pack("<I", 0) + bytes([2])
+                 + struct.pack("<I", 44100) + b"\x00" * 16)
+    payload = _ogg_page(vorbis_id) \
+        + _ogg_page(b"\x00" * 64, granule=88200, seq=1, header_type=4)
+    out = mediameta._parse_audio_meta(payload)
+    assert out["format"] == "ogg" and out["detail"] == "vorbis"
+    assert out["sample_rate"] == 44100 and out["n_channels"] == 2
+    assert out["duration_sec"] == pytest.approx(2.0)
+
+    opus_id = (b"OpusHead" + bytes([1, 1])
+               + struct.pack("<H", 312)  # pre-skip
+               + struct.pack("<I", 16000) + b"\x00" * 4)
+    payload = _ogg_page(opus_id) \
+        + _ogg_page(b"\x00" * 32, granule=48000 + 312, seq=1,
+                    header_type=4)
+    out = mediameta._parse_audio_meta(payload)
+    assert out["detail"] == "opus" and out["n_channels"] == 1
+    assert out["sample_rate"] == 16000
+    assert out["duration_sec"] == pytest.approx(1.0)  # 48 kHz ticks
+
+    with pytest.raises(NotImplementedError, match="OGG stream"):
+        mediameta._parse_audio_meta(_ogg_page(b"\x80theora" + b"\x00" * 16))
+    with pytest.raises(ValueError, match="truncated first page"):
+        mediameta._parse_audio_meta(b"OggS" + b"\x00" * 10)
+
+
+def _avi(tracks=((b"vids", b"XVID"), (b"auds", b"mp3 ")), w=320, h=240,
+         us_per_frame=40_000, total_frames=250):
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body \
+            + (b"\x00" if len(body) & 1 else b"")
+
+    avih = struct.pack("<IIII", us_per_frame, 0, 0, 0) \
+        + struct.pack("<I", total_frames) + b"\x00" * 12 \
+        + struct.pack("<II", w, h) + b"\x00" * 16
+    strls = b"".join(
+        chunk(b"LIST", b"strl" + chunk(
+            b"strh", fcc + handler + b"\x00" * 48
+        ))
+        for fcc, handler in tracks
+    )
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih) + strls)
+    movi = chunk(b"LIST", b"movi" + chunk(b"00dc", b"\x00" * 16))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_avi_metadata_walk(spark):
+    out = mediameta._parse_avi(_avi())
+    assert out["brand"] == "avi"
+    assert out["duration_sec"] == pytest.approx(10.0)  # 250 x 40 ms
+    assert (out["width"], out["height"]) == (320, 240)
+    assert out["n_tracks"] == 2
+    assert out["n_video_tracks"] == 1 and out["n_audio_tracks"] == 1
+    assert out["codecs"] == "XVID,mp3"
+
+    with pytest.raises(ValueError, match="no hdrl/avih"):
+        mediameta._parse_avi(b"RIFF\x10\x00\x00\x00AVI " + b"\x00" * 12)
+    with pytest.raises(ValueError, match="overruns"):
+        mediameta._parse_avi(_avi()[:-6])
+
+    vids = spark.createDataFrame(
+        [(1, bytearray(_avi(tracks=((b"vids", b"H264"),), w=640,
+                            h=360)))],
+        "doc_id long, payload binary",
+    )
+    row = mediameta.video_meta(vids, errors="quarantine").collect()[0]
+    assert row.brand == "avi" and row.codecs == "H264"
+    assert (row.width, row.height) == (640, 360)

@@ -193,8 +193,13 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
              largesize_moov=True))
     add(403, "video_meta", "mp4_truncated_corrupt",
         _mp4(tracks=(_trak(b"vide", b"avc1", w=16, h=16),))[:-10])
-    add(404, "video_meta", "avi_unsupported",
-        b"RIFF\x00\x00\x00\x00AVI " + b"\x00" * 16)
+    from test_mediameta import _avi, _ogg_page
+
+    add(404, "video_meta", "avi_two_tracks",
+        _avi(tracks=((b"vids", b"XVID"), (b"auds", b"mp3 ")), w=320,
+             h=240, us_per_frame=40_000, total_frames=250))
+    add(409, "video_meta", "raw_stream_unsupported",
+        b"\x00\x01rawstream" + b"\x00" * 16)
     add(405, "video_meta", "mp4_short_mvhd_corrupt",
         _box(b"ftyp", b"isom" + b"\x00" * 8)
         + _box(b"moov", _box(b"mvhd", bytes([0, 0, 0, 0]))))
@@ -227,7 +232,17 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
         + b"\x00" * 10 + flac_packed.to_bytes(8, "big") + b"\x00" * 16)
     add(505, "audio_meta", "wav_header_probe",
         _wav(16000, [(int(900 * math.sin(i / 3.0)),) for i in range(48)]))
-    add(506, "audio_meta", "ogg_unsupported", b"OggS" + b"\x00" * 16)
+    add(506, "audio_meta", "ogg_truncated_corrupt",
+        b"OggS" + b"\x00" * 16)
+    add(508, "audio_meta", "ogg_vorbis",
+        _ogg_page(b"\x01vorbis" + struct.pack("<I", 0) + bytes([2])
+                  + struct.pack("<I", 44100) + b"\x00" * 16)
+        + _ogg_page(b"\x00" * 64, granule=88200, seq=1, header_type=4))
+    add(509, "audio_meta", "ogg_opus",
+        _ogg_page(b"OpusHead" + bytes([1, 1]) + struct.pack("<H", 312)
+                  + struct.pack("<I", 16000) + b"\x00" * 4)
+        + _ogg_page(b"\x00" * 32, granule=48312, seq=1, header_type=4))
+    add(510, "audio_meta", "caf_unsupported", b"caff" + b"\x00" * 16)
     add(507, "audio_meta", "flac_truncated_corrupt", b"fLaC\x80")
 
     # ---- EXIF (ids 6xx) and audio tags (ids 7xx) ---------------------

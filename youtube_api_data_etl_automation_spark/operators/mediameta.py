@@ -100,8 +100,8 @@ def _parse_mp4(payload: bytes) -> dict:
     docstring for the fields)."""
     if len(payload) < 12 or payload[4:8] != b"ftyp":
         raise NotImplementedError(
-            "unknown video container (no ftyp box): AVI/raw streams "
-            "need a demuxer library, not available in this container"
+            "unknown video container (no ftyp box): raw streams need a "
+            "demuxer library, not available in this container"
         )
     brand = payload[8:12].decode("latin-1")
     out = {
@@ -416,6 +416,58 @@ def _parse_wav_header(payload: bytes) -> dict:
     }
 
 
+def _parse_ogg(payload: bytes) -> dict:
+    """Ogg Vorbis/Opus probe: the identification header of the first
+    page gives rate/channels; the LAST page's granule position gives the
+    duration (total PCM samples for Vorbis; 48 kHz ticks minus pre-skip
+    for Opus) — O(header + tail scan), no packet decode."""
+    if len(payload) < 28:
+        raise ValueError("malformed OGG: truncated first page")
+    if payload[4] != 0:
+        raise ValueError(f"malformed OGG: stream version {payload[4]}")
+    n_segs = payload[26]
+    body_at = 27 + n_segs
+    if body_at >= len(payload):
+        raise ValueError("malformed OGG: truncated segment table")
+    packet = payload[body_at : body_at + 32]
+    if packet[:7] == b"\x01vorbis":
+        if len(packet) < 16:
+            raise ValueError("malformed OGG: short Vorbis id header")
+        n_ch = packet[11]
+        (rate,) = struct.unpack_from("<I", packet, 12)
+        codec, gran_rate, pre_skip = "vorbis", rate, 0
+    elif packet[:8] == b"OpusHead":
+        if len(packet) < 19:
+            raise ValueError("malformed OGG: short OpusHead")
+        n_ch = packet[9]
+        (pre_skip,) = struct.unpack_from("<H", packet, 10)
+        (rate,) = struct.unpack_from("<I", packet, 12)  # input rate
+        codec, gran_rate = "opus", 48000  # granules are 48 kHz ticks
+    else:
+        raise NotImplementedError(
+            f"OGG stream {packet[:8]!r} not supported (Vorbis/Opus "
+            "probe only; Theora/FLAC-in-Ogg need their own id parse)"
+        )
+    if rate == 0:
+        raise ValueError("malformed OGG: sample rate 0")
+    # last page's granule: scan back for a plausible page header
+    at = payload.rfind(b"OggS")
+    granule = None
+    while at > 0:
+        if at + 14 <= len(payload) and payload[at + 4] == 0:
+            (granule,) = struct.unpack_from("<q", payload, at + 6)
+            if granule >= 0:
+                break
+        at = payload.rfind(b"OggS", 0, at)
+    if granule is None or granule < 0:
+        raise ValueError("malformed OGG: no final granule position")
+    duration = max(0, granule - pre_skip) / gran_rate
+    return {
+        "format": "ogg", "sample_rate": rate, "n_channels": n_ch,
+        "duration_sec": duration, "detail": codec,
+    }
+
+
 def _parse_audio_meta(payload: bytes) -> dict:
     if not payload:
         raise ValueError("empty/NULL audio payload")
@@ -428,10 +480,75 @@ def _parse_audio_meta(payload: bytes) -> dict:
         return _parse_flac(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _parse_wav_header(payload)
+    if payload[:4] == b"OggS":
+        return _parse_ogg(payload)
     raise NotImplementedError(
         f"unknown audio container (magic {payload[:4]!r}); header "
-        "probing covers MP3 (ID3/frame-sync), FLAC, WAV"
+        "probing covers MP3 (ID3/frame-sync), FLAC, WAV, Ogg "
+        "Vorbis/Opus"
     )
+
+
+def _riff_chunks(payload: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_end) for RIFF subchunks in
+    [start, end); LIST bodies begin with their 4-byte list type."""
+    pos = start
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + clen > end:
+            raise ValueError(
+                f"malformed AVI: chunk {cid!r} overruns its scope"
+            )
+        yield cid, pos + 8, pos + 8 + clen
+        pos += 8 + clen + (clen & 1)
+
+
+def _parse_avi(payload: bytes) -> dict:
+    """AVI (RIFF) metadata walk — avih gives frame timing/dimensions,
+    each LIST/strl's strh gives the track type + codec fourcc. Movi
+    (essence) data is skipped by chunk size, like MP4 mdat."""
+    out = {
+        "brand": "avi", "duration_sec": None, "n_tracks": 0,
+        "n_video_tracks": 0, "n_audio_tracks": 0,
+        "width": None, "height": None, "codecs": [],
+    }
+    us_per_frame = total_frames = None
+    for cid, b0, b1 in _riff_chunks(payload, 12, len(payload)):
+        if cid != b"LIST" or payload[b0 : b0 + 4] != b"hdrl":
+            continue
+        for hid, h0, h1 in _riff_chunks(payload, b0 + 4, b1):
+            if hid == b"avih":
+                if h1 - h0 < 40:
+                    raise ValueError("malformed AVI: short avih")
+                us_per_frame, = struct.unpack_from("<I", payload, h0)
+                total_frames, = struct.unpack_from("<I", payload, h0 + 16)
+                w, h = struct.unpack_from("<II", payload, h0 + 32)
+                out["width"] = w or None
+                out["height"] = h or None
+            elif hid == b"LIST" and payload[h0 : h0 + 4] == b"strl":
+                for sid, s0, s1 in _riff_chunks(payload, h0 + 4, h1):
+                    if sid != b"strh":
+                        continue
+                    if s1 - s0 < 8:
+                        raise ValueError("malformed AVI: short strh")
+                    out["n_tracks"] += 1
+                    fcc_type = payload[s0 : s0 + 4]
+                    handler = payload[s0 + 4 : s0 + 8]
+                    if fcc_type == b"vids":
+                        out["n_video_tracks"] += 1
+                    elif fcc_type == b"auds":
+                        out["n_audio_tracks"] += 1
+                    codec = handler.decode("latin-1").strip("\x00 ")
+                    if codec:
+                        out["codecs"].append(codec)
+    if us_per_frame is None:
+        raise ValueError("malformed AVI: no hdrl/avih header")
+    if us_per_frame == 0 or total_frames is None:
+        raise ValueError("malformed AVI: zero frame timing")
+    out["duration_sec"] = total_frames * us_per_frame / 1e6
+    out["codecs"] = ",".join(out["codecs"])
+    return out
 
 
 # --- EBML / Matroska (and WebM) -------------------------------------
@@ -608,6 +725,8 @@ def video_meta(blobs: DataFrame, errors: str = "raise") -> DataFrame:
             raise ValueError("empty/NULL video payload")
         if payload[:4] == b"\x1a\x45\xdf\xa3":
             return _parse_mkv(payload)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            return _parse_avi(payload)
         return _parse_mp4(payload)
 
     schema = VIDEO_META_QUARANTINE_SCHEMA if quarantine else VIDEO_META_SCHEMA
