@@ -34,7 +34,7 @@ def test_fixture_is_committed_and_covers_all_families():
     )
     assert set(fams) == {"image", "audio", "image_meta", "video_meta",
                          "audio_meta", "image_exif", "audio_tags"}
-    assert fams["image_exif"] == 7 and fams["audio_tags"] == 5
+    assert fams["image_exif"] == 7 and fams["audio_tags"] == 6
     # the decode matrix: 6 PNG variants + 4 JPEG + GIF/BMP/PPM +
     # 2 VP8L WebP + 2 TIFF (r10) + 2 refusals
     assert fams["image"] == 20
@@ -43,7 +43,7 @@ def test_fixture_is_committed_and_covers_all_families():
     assert fams["audio"] == 15
     # MP4 ×2 + MKV ×2 + AVI + 3 refusals / MP3 ×3 + FLAC + WAV +
     # OGG ×2 + 3 refusals
-    assert fams["video_meta"] == 9 and fams["audio_meta"] == 10
+    assert fams["video_meta"] == 11 and fams["audio_meta"] == 10
 
 
 def test_codec_stats_match_golden(spark):
@@ -164,4 +164,4 @@ def test_codec_stats_from_foreign_cwd():
         env={k: v for k, v in __import__("os").environ.items()
              if k != "PYTHONPATH"},
     )
-    assert "CODEC_ROWS=76" in out.stdout, out.stderr[-2000:]
+    assert "CODEC_ROWS=79" in out.stdout, out.stderr[-2000:]

@@ -663,8 +663,8 @@ def test_audio_tags_id3_both_versions_and_encodings():
     out = mediameta._parse_audio_tags(_id3(frames3, major=3))
     assert out["title"] == "Old School" and out["artist"] == "Bo"
     assert out["album"] is None
-    with pytest.raises(NotImplementedError, match="ID3v2.2"):
-        mediameta._parse_audio_tags(_id3(frames3, major=2))
+    with pytest.raises(NotImplementedError, match="ID3v2.5"):
+        mediameta._parse_audio_tags(_id3(frames3, major=5))
     # cut into the LAST frame's body (past its header): refuses loudly
     with pytest.raises(ValueError, match="truncated frame"):
         mediameta._parse_audio_tags(
@@ -809,3 +809,80 @@ def test_avi_metadata_walk(spark):
     row = mediameta.video_meta(vids, errors="quarantine").collect()[0]
     assert row.brand == "avi" and row.codecs == "H264"
     assert (row.width, row.height) == (640, 360)
+
+
+def _animated_gif(frame_rows_list, palette, delays_cs):
+    """Multi-frame GIF: splice single-frame image sections together with
+    Graphic Control Extensions carrying per-frame delays."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_gif import _gif
+
+    singles = [_gif(rows, palette) for rows in frame_rows_list]
+    gct_len = 3 * max(2, 1 << (len(palette) - 1).bit_length())
+    head = singles[0][: 13 + gct_len]
+    out = bytearray(head)
+    for single, delay in zip(singles, delays_cs):
+        gce = b"\x21\xf9\x04\x00" + struct.pack("<H", delay) \
+            + b"\x00\x00"
+        out += gce + single[13 + gct_len : -1]  # image desc + data
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_video_meta_animated_and_static(spark):
+    import sys
+    sys.path.insert(0, "tests")
+    from test_gif import PAL4, _gif
+
+    anim = _animated_gif(
+        [[[0, 1, 2]] * 2, [[1, 2, 3]] * 2, [[3, 0, 1]] * 2],
+        PAL4, delays_cs=[10, 20, 30],
+    )
+    out = mediameta._parse_gif_meta(anim)
+    assert out["brand"] == "gif89a"
+    assert out["n_frames"] == 3
+    assert out["duration_sec"] == pytest.approx(0.60)
+    assert (out["width"], out["height"]) == (3, 2)
+
+    static = _gif([[0, 1, 2, 3]] * 3, PAL4)
+    out = mediameta._parse_gif_meta(static)
+    assert out["n_frames"] == 1 and out["duration_sec"] == 0.0
+
+    with pytest.raises(ValueError, match="truncated|unknown"):
+        mediameta._parse_gif_meta(anim[:-10])
+
+    # routed through video_meta: the animated-vs-static triage signal
+    vids = spark.createDataFrame(
+        [(1, bytearray(anim)), (2, bytearray(static))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in mediameta.video_meta(vids).collect()}
+    assert rows[1].n_frames == 3 and rows[1].duration_sec == \
+        pytest.approx(0.60)
+    assert rows[2].n_frames == 1 and rows[2].codecs == "gif"
+
+
+def _id3v22(frames: bytes, padding=6):
+    total = len(frames) + padding
+    size = bytes(((total >> 21) & 0x7F, (total >> 14) & 0x7F,
+                  (total >> 7) & 0x7F, total & 0x7F))
+    return b"ID3" + bytes([2, 0, 0]) + size + frames + b"\x00" * padding
+
+
+def test_audio_tags_id3v22():
+    def frame22(fid, text, encoding=0):
+        body = bytes([encoding]) + text.encode(
+            "latin-1" if encoding == 0 else "utf-16"
+        )
+        return fid + len(body).to_bytes(3, "big") + body
+
+    payload = _id3v22(frame22(b"TT2", "Vintage") + frame22(b"TP1", "Duo")
+                      + frame22(b"TAL", "Sélection", encoding=1))
+    out = mediameta._parse_audio_tags(payload)
+    assert out == {"container": "id3", "title": "Vintage",
+                   "artist": "Duo", "album": "Sélection"}
+    with pytest.raises(ValueError, match="truncated frame"):
+        mediameta._parse_audio_tags(
+            _id3v22(frame22(b"TT2", "Cut"), padding=0)[:-2]
+        )

@@ -200,6 +200,13 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
              h=240, us_per_frame=40_000, total_frames=250))
     add(409, "video_meta", "raw_stream_unsupported",
         b"\x00\x01rawstream" + b"\x00" * 16)
+    from test_mediameta import _animated_gif
+
+    add(410, "video_meta", "gif_animated_3_frames",
+        _animated_gif([[[0, 1, 2]] * 2, [[1, 2, 3]] * 2,
+                       [[3, 0, 1]] * 2], PAL4, delays_cs=[10, 20, 30]))
+    add(411, "video_meta", "gif_static_single_frame",
+        _gif([[0, 1, 2, 3]] * 3, PAL4))
     add(405, "video_meta", "mp4_short_mvhd_corrupt",
         _box(b"ftyp", b"isom" + b"\x00" * 8)
         + _box(b"moov", _box(b"mvhd", bytes([0, 0, 0, 0]))))
@@ -302,6 +309,16 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
                              + b"Mo\x00\x00")))
     add(704, "audio_tags", "tags_unknown_unsupported",
         b"OggS" + b"\x00" * 8)
+    from test_mediameta import _id3v22
+
+    def _frame22(fid, text, encoding=0):
+        body = bytes([encoding]) + text.encode(
+            "latin-1" if encoding == 0 else "utf-16")
+        return fid + len(body).to_bytes(3, "big") + body
+
+    add(706, "audio_tags", "id3v22_tags",
+        _id3v22(_frame22(b"TT2", "Vintage") + _frame22(b"TP1", "Duo")
+                + _frame22(b"TAL", "Sélection", encoding=1)))
     add(705, "audio_tags", "id3_truncated_corrupt",
         _id3(_id3_frame(b"TIT2", "Cut Short", encoding=3),
              padding=0)[:-2])

@@ -50,8 +50,8 @@ from pyspark.sql import DataFrame
 
 VIDEO_META_SCHEMA = (
     "doc_id bigint, brand string, duration_sec double, n_tracks int, "
-    "n_video_tracks int, n_audio_tracks int, width int, height int, "
-    "codecs string"
+    "n_video_tracks int, n_audio_tracks int, n_frames bigint, "
+    "width int, height int, codecs string"
 )
 VIDEO_META_QUARANTINE_SCHEMA = VIDEO_META_SCHEMA + \
     ", error string, error_kind string"
@@ -107,7 +107,7 @@ def _parse_mp4(payload: bytes) -> dict:
     out = {
         "brand": brand, "duration_sec": None, "n_tracks": 0,
         "n_video_tracks": 0, "n_audio_tracks": 0,
-        "width": None, "height": None, "codecs": [],
+        "n_frames": None, "width": None, "height": None, "codecs": [],
     }
 
     def walk_trak(body_start, body_end):
@@ -511,7 +511,7 @@ def _parse_avi(payload: bytes) -> dict:
     out = {
         "brand": "avi", "duration_sec": None, "n_tracks": 0,
         "n_video_tracks": 0, "n_audio_tracks": 0,
-        "width": None, "height": None, "codecs": [],
+        "n_frames": None, "width": None, "height": None, "codecs": [],
     }
     us_per_frame = total_frames = None
     for cid, b0, b1 in _riff_chunks(payload, 12, len(payload)):
@@ -547,8 +547,74 @@ def _parse_avi(payload: bytes) -> dict:
     if us_per_frame == 0 or total_frames is None:
         raise ValueError("malformed AVI: zero frame timing")
     out["duration_sec"] = total_frames * us_per_frame / 1e6
+    out["n_frames"] = total_frames
     out["codecs"] = ",".join(out["codecs"])
     return out
+
+
+def _parse_gif_meta(payload: bytes) -> dict:
+    """Animated-GIF triage metadata (late r10): frame count and total
+    duration from the block walk ALONE — image descriptors counted, LZW
+    pixel data skipped sub-block by sub-block, Graphic Control
+    Extension delays summed (centiseconds). The decode family only
+    reconstructs the FIRST frame (operators/gif.py); this is how a
+    pipeline ROUTES animated vs static GIFs without decoding any."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("malformed GIF: bad signature")
+    if len(payload) < 13:
+        raise ValueError("malformed GIF: truncated screen descriptor")
+    w, h = struct.unpack_from("<HH", payload, 6)
+    flags = payload[10]
+    pos = 13
+    if flags & 0x80:  # global color table
+        pos += 3 * (2 << (flags & 0x07))
+    n_frames = 0
+    delay_cs = 0
+
+    def skip_subblocks(at: int) -> int:
+        while True:
+            if at >= len(payload):
+                raise ValueError("malformed GIF: truncated sub-blocks")
+            n = payload[at]
+            at += 1 + n
+            if n == 0:
+                return at
+
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                raise ValueError("malformed GIF: truncated descriptor")
+            n_frames += 1
+            lflags = payload[pos + 9]
+            pos += 10
+            if lflags & 0x80:  # local color table
+                pos += 3 * (2 << (lflags & 0x07))
+            if pos >= len(payload):
+                raise ValueError("malformed GIF: truncated image data")
+            pos = skip_subblocks(pos + 1)  # min code size byte + LZW
+        elif b == 0x21:  # extension
+            if pos + 2 > len(payload):
+                raise ValueError("malformed GIF: truncated extension")
+            label = payload[pos + 1]
+            if label == 0xF9 and pos + 7 <= len(payload) and                     payload[pos + 2] == 4:
+                (d,) = struct.unpack_from("<H", payload, pos + 4)
+                delay_cs += d
+            pos = skip_subblocks(pos + 2)
+        else:
+            raise ValueError(
+                f"malformed GIF: unknown block 0x{b:02x} at {pos}"
+            )
+    if n_frames == 0:
+        raise ValueError("malformed GIF: no image descriptor")
+    return {
+        "brand": payload[:6].decode("latin-1").lower(),
+        "duration_sec": delay_cs / 100.0,
+        "n_tracks": 1, "n_video_tracks": 1, "n_audio_tracks": 0,
+        "n_frames": n_frames, "width": w, "height": h, "codecs": "gif",
+    }
 
 
 # --- EBML / Matroska (and WebM) -------------------------------------
@@ -612,7 +678,7 @@ def _parse_mkv(payload: bytes) -> dict:
     out = {
         "brand": "mkv", "duration_sec": None, "n_tracks": 0,
         "n_video_tracks": 0, "n_audio_tracks": 0,
-        "width": None, "height": None, "codecs": [],
+        "n_frames": None, "width": None, "height": None, "codecs": [],
     }
     tscale = 1_000_000  # ns per tick, Matroska default
     duration_ticks = None
@@ -727,6 +793,8 @@ def video_meta(blobs: DataFrame, errors: str = "raise") -> DataFrame:
             return _parse_mkv(payload)
         if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
             return _parse_avi(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return _parse_gif_meta(payload)
         return _parse_mp4(payload)
 
     schema = VIDEO_META_QUARANTINE_SCHEMA if quarantine else VIDEO_META_SCHEMA
@@ -734,7 +802,7 @@ def video_meta(blobs: DataFrame, errors: str = "raise") -> DataFrame:
         _quarantine_batches(
             one,
             ("brand", "duration_sec", "n_tracks", "n_video_tracks",
-             "n_audio_tracks", "width", "height", "codecs"),
+             "n_audio_tracks", "n_frames", "width", "height", "codecs"),
             quarantine,
         ),
         schema,
@@ -1103,9 +1171,9 @@ def _parse_id3v2_tags(payload: bytes) -> dict:
     """TIT2/TPE1/TALB text frames from an ID3v2.3/2.4 tag (frame sizes
     syncsafe in 2.4, plain u32 in 2.3; all four text encodings)."""
     major = payload[3]
-    if major not in (3, 4):
+    if major not in (2, 3, 4):
         raise NotImplementedError(
-            f"ID3v2.{major} tags not supported (only 2.3/2.4)"
+            f"ID3v2.{major} tags not supported (only 2.2/2.3/2.4)"
         )
     size = 0
     for b in payload[6:10]:
@@ -1126,6 +1194,32 @@ def _parse_id3v2_tags(payload: bytes) -> dict:
             pos += 4 + ext
     out = {"container": "id3", "title": None, "artist": None,
            "album": None}
+    if major == 2:  # 3-char ids, 3-byte sizes, no frame flags
+        want2 = {b"TT2": "title", b"TP1": "artist", b"TAL": "album"}
+        while pos + 6 <= end:
+            fid = payload[pos : pos + 3]
+            if fid == b"\x00\x00\x00":  # padding
+                break
+            fsize = int.from_bytes(payload[pos + 3 : pos + 6], "big")
+            body = payload[pos + 6 : pos + 6 + fsize]
+            if len(body) < fsize:
+                raise ValueError(f"malformed ID3: truncated frame {fid!r}")
+            key = want2.get(fid)
+            if key is not None and fsize >= 1:
+                enc = _ID3_TEXT_ENCODINGS.get(body[0])
+                if enc is None or body[0] > 1:  # 2.2: latin-1/utf-16 only
+                    raise ValueError(
+                        f"malformed ID3: text encoding {body[0]} in {fid!r}"
+                    )
+                try:
+                    text = body[1:].decode(enc)
+                except UnicodeDecodeError as e:
+                    raise ValueError(
+                        f"malformed ID3: undecodable {fid!r}: {e}"
+                    )
+                out[key] = text.rstrip("\x00").strip() or None
+            pos += 6 + fsize
+        return out
     want = {b"TIT2": "title", b"TPE1": "artist", b"TALB": "album"}
     while pos + 10 <= end:
         fid = payload[pos : pos + 4]

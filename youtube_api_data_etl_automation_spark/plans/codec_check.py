@@ -134,11 +134,13 @@ def codec_stats(spark: SparkSession) -> DataFrame:
         F.when(
             F.col("error").isNull(),
             F.format_string(
-                "%.6f,%d,%d,%d,%s",
+                "%.6f,%d,%d,%d,%s,%s",
                 round6(F.col("duration_sec")),
                 F.col("n_tracks"),
                 F.col("n_video_tracks"),
                 F.col("n_audio_tracks"),
+                F.coalesce(F.col("n_frames").cast("string"),
+                           F.lit("-")),
                 F.col("codecs"),
             ),
         ).otherwise(_err_fp()).alias("fp"),
