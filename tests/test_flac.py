@@ -322,6 +322,12 @@ def test_crc_and_malformed_refusals():
         flac.decode_flac(b"OggS" + good[4:])
     with pytest.raises(ValueError, match="unknown total"):
         flac.decode_flac(_streaminfo(8000, 1, 16, 0))
+    # rate 0 must refuse BEFORE frame decode: duration math downstream
+    # divides by it (r10 ADVICE — ZeroDivisionError is not a quarantine
+    # class, so one such payload would kill the task, not become a row)
+    with pytest.raises(ValueError, match="sample rate 0"):
+        flac.decode_flac(_streaminfo(0, 1, 16, 24) +
+                         _frame(0, [_wave(24, 800)], 16))
     with pytest.raises(NotImplementedError, match="sample budget"):
         flac.decode_flac(good, sample_budget=10)
 

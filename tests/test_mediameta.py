@@ -766,6 +766,18 @@ def test_ogg_vorbis_and_opus_probe():
         mediameta._parse_audio_meta(b"OggS" + b"\x00" * 10)
 
 
+def test_ogg_single_page_at_offset_zero():
+    """A stream whose only (final) page sits at offset 0 must probe —
+    the last-page scan used to stop at `at > 0` and miss it (r10
+    ADVICE)."""
+    vorbis_id = (b"\x01vorbis" + struct.pack("<I", 0) + bytes([1])
+                 + struct.pack("<I", 8000) + b"\x00" * 16)
+    payload = _ogg_page(vorbis_id, granule=0, header_type=6)
+    out = mediameta._parse_audio_meta(payload)
+    assert out["format"] == "ogg" and out["detail"] == "vorbis"
+    assert out["duration_sec"] == 0.0
+
+
 def _avi(tracks=((b"vids", b"XVID"), (b"auds", b"mp3 ")), w=320, h=240,
          us_per_frame=40_000, total_frames=250):
     def chunk(cid, body):
@@ -886,3 +898,19 @@ def test_audio_tags_id3v22():
         mediameta._parse_audio_tags(
             _id3v22(frame22(b"TT2", "Cut"), padding=0)[:-2]
         )
+
+
+def test_error_text_tags_bug_shaped_classes():
+    """Backstop classes (KeyError/IndexError/struct.error) are tagged
+    with their class name in quarantine output so decoder bugs stay
+    greppable; deliberate refusals pass through verbatim (r10 ADVICE)."""
+    from youtube_api_data_etl_automation_spark.operators.multimodal import (
+        _error_text,
+    )
+    assert _error_text(ValueError("malformed X: y")) == "malformed X: y"
+    assert _error_text(NotImplementedError("codec Z")) == "codec Z"
+    assert _error_text(KeyError(7)) == "KeyError: 7"
+    assert _error_text(IndexError("list index out of range")) == \
+        "IndexError: list index out of range"
+    assert _error_text(struct.error("unpack requires more")) == \
+        "struct.error: unpack requires more"

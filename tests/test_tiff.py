@@ -181,6 +181,25 @@ def test_refusals_and_malformed():
         tiff.decode_tiff(pb[:-3])
 
 
+def test_missing_bits_per_sample_defaults_bilevel():
+    """TIFF 6.0 defaults BitsPerSample to 1 when tag 258 is absent; a
+    tagless bilevel file must route 'unsupported', not misread as an
+    8-bit short strip (r10 ADVICE). Retags entry 258 to a private tag
+    in place, so the layout (and every offset) stays valid."""
+    import struct as st
+    payload = bytearray(_tiff_image(_img(4, 5, grey=True)))
+    n = st.unpack_from("<H", payload, 8)[0]
+    hit = 0
+    for i in range(n):
+        at = 10 + 12 * i
+        if st.unpack_from("<H", payload, at)[0] == 258:
+            st.pack_into("<H", payload, at, 32995)  # private, ignored
+            hit += 1
+    assert hit == 1
+    with pytest.raises(NotImplementedError, match=r"bits-per-sample \[1\]"):
+        tiff.decode_tiff(bytes(payload))
+
+
 def test_probe_exif_and_triage_integration(spark):
     rgb = _img(6, 8, seed=8)
     payload = _tiff_image(rgb, order=">")

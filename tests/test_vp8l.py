@@ -248,7 +248,7 @@ def _encode_image(bw: _BW, pixels: list[int], w: int, *, level0: bool,
 
 def _encode_vp8l(pixels_rgba, *, cache_bits=0, copies=(), meta=None,
                  subtract_green=False, palette=False, predictor=None,
-                 color_transform=None, riff=True):
+                 color_transform=None, riff=True, palette_first=False):
     """Full VP8L stream from an (h, w, 4) RGBA array. Transforms are
     applied forward here and must be inverted by the decoder.
     ``predictor``: (bits, mode_map); ``color_transform``: (bits,
@@ -296,36 +296,8 @@ def _encode_vp8l(pixels_rgba, *, cache_bits=0, copies=(), meta=None,
         px = out
         bw.put(1, 1)
         bw.put(2, 2)
-    if predictor is not None:
-        bits, modes = predictor
-        mw = (w + (1 << bits) - 1) >> bits
-        out = []
-        for i, p in enumerate(px):
-            y, x = divmod(i, w)
-            if i == 0:
-                pred = 0xFF000000
-            elif y == 0:
-                pred = px[i - 1]
-            elif x == 0:
-                pred = px[i - w]
-            else:
-                mode = modes[(y >> bits) * mw + (x >> bits)]
-                pred = vp8l._predict(
-                    mode, px[i - 1], px[i - w], px[i - w - 1],
-                    px[i - w + 1],
-                )
-            res = 0
-            for sh in (24, 16, 8, 0):
-                res |= ((((p >> sh) & 0xFF) - ((pred >> sh) & 0xFF))
-                        & 0xFF) << sh
-            out.append(res)
-        px = out
-        bw.put(1, 1)
-        bw.put(0, 2)
-        bw.put(bits - 2, 3)
-        _encode_image(bw, [0xFF000000 | (m << 8) for m in modes], mw,
-                      level0=False)
-    if palette:
+    def _apply_palette():
+        nonlocal px, cur_w
         pal = sorted(set(px))
         assert len(pal) <= 256
         wb = vp8l._palette_width_bits(len(pal))
@@ -360,6 +332,40 @@ def _encode_vp8l(pixels_rgba, *, cache_bits=0, copies=(), meta=None,
             deltas.append(d)
             prev = p
         _encode_image(bw, deltas, len(pal), level0=False)
+
+    if palette and palette_first:
+        _apply_palette()
+    if predictor is not None:
+        bits, modes = predictor
+        mw = (cur_w + (1 << bits) - 1) >> bits
+        out = []
+        for i, p in enumerate(px):
+            y, x = divmod(i, cur_w)
+            if i == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = px[i - 1]
+            elif x == 0:
+                pred = px[i - cur_w]
+            else:
+                mode = modes[(y >> bits) * mw + (x >> bits)]
+                pred = vp8l._predict(
+                    mode, px[i - 1], px[i - cur_w], px[i - cur_w - 1],
+                    px[i - cur_w + 1],
+                )
+            res = 0
+            for sh in (24, 16, 8, 0):
+                res |= ((((p >> sh) & 0xFF) - ((pred >> sh) & 0xFF))
+                        & 0xFF) << sh
+            out.append(res)
+        px = out
+        bw.put(1, 1)
+        bw.put(0, 2)
+        bw.put(bits - 2, 3)
+        _encode_image(bw, [0xFF000000 | (m << 8) for m in modes], mw,
+                      level0=False)
+    if palette and not palette_first:
+        _apply_palette()
     bw.put(0, 1)  # end of transforms
 
     _encode_image(bw, px, cur_w, level0=True, cache_bits=cache_bits,
@@ -514,6 +520,26 @@ def test_stacked_transforms():
     mh = (5 + 3) >> bits
     modes = [(i * 5) % 14 for i in range(mw * mh)]
     payload = _encode_vp8l(img, subtract_green=True,
+                           predictor=(bits, modes))
+    assert (vp8l.decode_webp_lossless(payload) == img).all()
+
+
+def test_palette_before_predictor_ordering():
+    """Spec-legal transform order COLOR_INDEXING -> PREDICTOR: the
+    predictor then operates on the width-PACKED image, so its inverse
+    must run at the packed width, not the canvas width (r10 ADVICE —
+    the inverter used to misindex and quarantine a valid image)."""
+    rng = np.random.default_rng(77)
+    # <=16 colors forces width packing (2 px/byte at 8 colors -> wb=1)
+    pal = _rgba(1, 8, seed=3).reshape(8, 4)
+    idx = rng.integers(0, 8, size=(6, 13))
+    img = pal[idx]
+    bits = 2
+    pw = (13 + 1) >> 1  # packed width at wb=1
+    mw = (pw + 3) >> bits
+    mh = (6 + 3) >> bits
+    modes = [(i * 3) % 14 for i in range(mw * mh)]
+    payload = _encode_vp8l(img, palette=True, palette_first=True,
                            predictor=(bits, modes))
     assert (vp8l.decode_webp_lossless(payload) == img).all()
 

@@ -254,6 +254,9 @@ def decode_flac(payload: bytes,
         raise ValueError(
             "malformed FLAC: STREAMINFO declares unknown total samples"
         )
+    if si["rate"] == 0:
+        # rate 0 is spec-invalid; downstream duration math divides by it
+        raise ValueError("malformed FLAC: STREAMINFO sample rate 0")
     if sample_budget is not None and \
             si["total"] * si["channels"] > sample_budget:
         raise NotImplementedError(

@@ -453,11 +453,14 @@ def _parse_ogg(payload: bytes) -> dict:
     # last page's granule: scan back for a plausible page header
     at = payload.rfind(b"OggS")
     granule = None
-    while at > 0:
+    while at != -1:  # -1 is rfind's miss sentinel; offset 0 is a valid page
         if at + 14 <= len(payload) and payload[at + 4] == 0:
             (granule,) = struct.unpack_from("<q", payload, at + 6)
             if granule >= 0:
                 break
+            granule = None
+        if at == 0:
+            break
         at = payload.rfind(b"OggS", 0, at)
     if granule is None or granule < 0:
         raise ValueError("malformed OGG: no final granule position")
@@ -743,7 +746,7 @@ def _parse_mkv(payload: bytes) -> dict:
 def _quarantine_batches(rows_fn, columns, quarantine):
     """Shared mapInPandas body: rows_fn(payload) -> dict of columns, or
     raises; failures become quarantine rows when enabled."""
-    from .multimodal import DECODE_ERRORS, _error_kind
+    from .multimodal import DECODE_ERRORS, _error_kind, _error_text
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -762,7 +765,7 @@ def _quarantine_batches(rows_fn, columns, quarantine):
                         raise
                     for c in columns:
                         cols[c].append(None)
-                    cols["error"].append(str(e))
+                    cols["error"].append(_error_text(e))
                     cols["error_kind"].append(_error_kind(e))
                     continue
                 for c in columns:
@@ -898,6 +901,7 @@ def triage_decode_images(
         _check_errors_mode,
         _decode_rgb,
         _error_kind,
+        _error_text,
     )
 
     quarantine = _check_errors_mode(errors)
@@ -924,7 +928,7 @@ def triage_decode_images(
                 except DECODE_ERRORS as e:
                     if not quarantine:
                         raise
-                    emit(doc_id, "probe_failed", err=str(e),
+                    emit(doc_id, "probe_failed", err=_error_text(e),
                          kind=_error_kind(e))
                     continue
                 if fmt not in decodable or (
@@ -951,7 +955,7 @@ def triage_decode_images(
                     if not quarantine:
                         raise
                     emit(doc_id, "decode_failed", fmt, w, h,
-                         err=str(e), kind=_error_kind(e))
+                         err=_error_text(e), kind=_error_kind(e))
                     continue
                 means = rgb.reshape(-1, 3).mean(axis=0, dtype="float64")
                 emit(doc_id, "decoded", dfmt, rgb.shape[1], rgb.shape[0],

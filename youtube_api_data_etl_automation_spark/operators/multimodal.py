@@ -550,6 +550,20 @@ def _error_kind(e: Exception) -> str:
     return "unsupported" if isinstance(e, NotImplementedError) else "corrupt"
 
 
+def _error_text(e: Exception) -> str:
+    """Quarantine error string. ValueError/NotImplementedError carry the
+    decoders' own messages verbatim; the backstop classes (KeyError,
+    IndexError, struct.error) are bug-shaped — a spec parser that meant
+    to refuse would have raised ValueError — so prefix the class name to
+    keep them greppable in quarantine output rather than blending into
+    the malformed-blob population."""
+    if isinstance(e, (ValueError, NotImplementedError)):
+        return str(e)
+    if isinstance(e, _struct.error):  # class __name__ is bare 'error'
+        return f"struct.error: {e}"
+    return f"{type(e).__name__}: {e}"
+
+
 def _check_errors_mode(errors: str) -> bool:
     if errors not in ("raise", "quarantine"):
         raise ValueError(
@@ -606,7 +620,7 @@ def decode_image(
                     mr.append(None)
                     mg.append(None)
                     mb.append(None)
-                    errs.append(str(e))
+                    errs.append(_error_text(e))
                     kinds.append(_error_kind(e))
                     continue
                 ids.append(doc_id)
@@ -1076,7 +1090,7 @@ def decode_audio(
                     if not quarantine:
                         raise
                     vals = (None, None, None, None, None, None, None,
-                            str(e), _error_kind(e))
+                            _error_text(e), _error_kind(e))
                 else:
                     n = s.size
                     if s.dtype.kind == "f":

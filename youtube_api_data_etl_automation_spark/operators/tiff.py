@@ -119,13 +119,15 @@ def decode_tiff(payload: bytes,
         raise ValueError(
             f"malformed TIFF: greyscale with {spp} samples per pixel"
         )
-    if 258 in tags:
-        bits = array(258)
-        if any(b != 8 for b in bits):
-            raise NotImplementedError(
-                f"TIFF bits-per-sample {bits} not supported (8-bit "
-                "baseline only)"
-            )
+    # TIFF 6.0 defaults BitsPerSample to 1 (bilevel) when tag 258 is
+    # absent — assuming 8 would misread a tagless bilevel file as a
+    # short strip; route it through the same unsupported branch instead
+    bits = array(258) if 258 in tags else [1]
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(
+            f"TIFF bits-per-sample {bits} not supported (8-bit "
+            "baseline only)"
+        )
     if 273 not in tags or 279 not in tags:
         raise ValueError("malformed TIFF: missing strip offsets/counts")
     offsets = array(273)

@@ -528,7 +528,10 @@ def decode_vp8l(chunk: bytes,
             tw = (cur_w + (1 << bits) - 1) >> bits
             th = (h + (1 << bits) - 1) >> bits
             sub = _decode_image(br, tw, th, level0=False)
-            transforms.append((ttype, (bits, sub)))
+            # the transform operates on the image at its READ-time width:
+            # if COLOR_INDEXING (width-packing) was read first, predictor/
+            # color apply to the packed-width image, not the full-width one
+            transforms.append((ttype, (bits, sub, cur_w)))
         elif ttype == 3:  # color indexing
             size = br.read(8) + 1
             pal_deltas = _decode_image(br, size, 1, level0=False)
@@ -551,11 +554,11 @@ def decode_vp8l(chunk: bytes,
         elif ttype == 2:
             _inv_subtract_green(buf)
         elif ttype == 1:
-            bits, cte = data
-            _inv_color_transform(buf, w, h, bits, cte)
+            bits, cte, tr_w = data
+            _inv_color_transform(buf, tr_w, h, bits, cte)
         else:
-            bits, modes = data
-            _inv_predictor(buf, w, h, bits, modes)
+            bits, modes, tr_w = data
+            _inv_predictor(buf, tr_w, h, bits, modes)
 
     arr = np.array(buf, dtype=np.uint32).reshape(h, w)
     rgba = np.empty((h, w, 4), dtype=np.uint8)
