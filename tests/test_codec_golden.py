@@ -36,8 +36,8 @@ def test_fixture_is_committed_and_covers_all_families():
                          "audio_meta", "image_exif", "audio_tags"}
     assert fams["image_exif"] == 7 and fams["audio_tags"] == 6
     # the decode matrix: 6 PNG variants + 4 JPEG + GIF/BMP/PPM +
-    # 2 VP8L WebP + 2 TIFF (r10) + 2 refusals
-    assert fams["image"] == 20
+    # 2 VP8L WebP + 4 TIFF (incl. 2 LZW, r11) + 2 refusals
+    assert fams["image"] == 22
     # PCM 8/16/24/32 + float 32/64 + G.711 ×2 + IMA + MS +
     # 2 FLAC (r10) + 3 refusals
     assert fams["audio"] == 15
@@ -164,4 +164,4 @@ def test_codec_stats_from_foreign_cwd():
         env={k: v for k, v in __import__("os").environ.items()
              if k != "PYTHONPATH"},
     )
-    assert "CODEC_ROWS=79" in out.stdout, out.stderr[-2000:]
+    assert "CODEC_ROWS=81" in out.stdout, out.stderr[-2000:]

@@ -199,7 +199,9 @@ def test_fuzz_tiff(rng):
 
     valid = _tiff_image(_img(4, 6, seed=77))
     pb = _tiff_image(_img(4, 6, seed=78, grey=True), packbits=True)
-    payloads = _mutations(rng, valid, 150) + _mutations(rng, pb, 150)
+    lzw = _tiff_image(_img(5, 7, seed=79), lzw=True, predictor=2)
+    payloads = _mutations(rng, valid, 150) + _mutations(rng, pb, 150) \
+        + _mutations(rng, lzw, 150)
     payloads += [b"II*\x00" + g for g in _garbage(rng, 120, 300)]
     payloads += [b"MM\x00*" + g for g in _garbage(rng, 120, 300)]
     _assert_contract(tiff.decode_tiff, payloads, "tiff")

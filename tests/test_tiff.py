@@ -38,8 +38,64 @@ def _packbits(row: bytes) -> bytes:
     return bytes(out)
 
 
+def _lzw_encode(data: bytes) -> bytes:
+    """Independent TIFF-LZW encoder (TIFF 6.0 §13): MSB-first bit
+    packing, 9->12-bit codes with the EARLY width change (the width of
+    the next emitted code grows as soon as the next code to assign
+    reaches 2^width - 1 — one code earlier than GIF), Clear well before
+    the 12-bit table fills."""
+    CLEAR, EOI = 256, 257
+    bits: list[tuple[int, int]] = []
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+
+    def emit(code):
+        bits.append((code, width))
+
+    def reset():
+        nonlocal table, next_code, width
+        table = {bytes([i]): i for i in range(256)}
+        next_code = 258
+        width = 9
+
+    emit(CLEAR)
+    run = b""
+    for b in data:
+        nxt = run + bytes([b])
+        if nxt in table:
+            run = nxt
+            continue
+        emit(table[run])
+        table[nxt] = next_code
+        next_code += 1
+        # early change: GIF's encoder bumps at next_code == 2^width + 1
+        # (just-assigned code == 2^width); TIFF is one code earlier
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        run = bytes([b])
+        if next_code >= 4094:  # stay clear of 12-bit boundary semantics
+            emit(CLEAR)
+            reset()
+    if run:
+        emit(table[run])
+    emit(EOI)
+    out = bytearray()
+    acc = nbits = 0
+    for code, wd in bits:
+        acc = (acc << wd) | code
+        nbits += wd
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def _tiff_image(pixels, *, photometric=None, order="<", packbits=False,
-                rows_per_strip=None, extra_tags=(), spp=None):
+                lzw=False, predictor=1, rows_per_strip=None,
+                extra_tags=(), spp=None):
     """Independent baseline-TIFF encoder. ``pixels``: (h, w) grey or
     (h, w, 3/4) arrays."""
     arr = np.asarray(pixels, dtype=np.uint8)
@@ -51,21 +107,32 @@ def _tiff_image(pixels, *, photometric=None, order="<", packbits=False,
     rps = rows_per_strip or h
     lt = order
 
+    if predictor == 2:
+        # horizontal differencing forward: store per-sample deltas
+        diff = arr.reshape(h, w, -1).astype(np.int16)
+        diff[:, 1:] -= diff[:, :-1].copy()
+        arr = (diff & 0xFF).astype(np.uint8)
     rows = arr.reshape(h, -1).tobytes()
     row_bytes = w * n_samples
     strips = []
     for y0 in range(0, h, rps):
         strip = rows[y0 * row_bytes : min(y0 + rps, h) * row_bytes]
-        strips.append(_packbits(strip) if packbits else strip)
+        if packbits:
+            strip = _packbits(strip)
+        elif lzw:
+            strip = _lzw_encode(strip)
+        strips.append(strip)
 
     entries = [
         (256, 4, 1, w), (257, 4, 1, h),
         (258, 3, n_samples, [8] * n_samples),
-        (259, 3, 1, 32773 if packbits else 1),
+        (259, 3, 1, 32773 if packbits else (5 if lzw else 1)),
         (262, 3, 1, photometric),
         (277, 3, 1, n_samples),
         (278, 4, 1, rps),
     ]
+    if predictor != 1:
+        entries.append((317, 3, 1, predictor))
     entries += list(extra_tags)
     # StripOffsets/ByteCounts appended after layout below
     n_entries = len(entries) + 2
@@ -159,15 +226,14 @@ def test_multi_strip_and_packbits():
 
 def test_refusals_and_malformed():
     g = _img(4, 4, seed=6, grey=True)
-    lzw = _tiff_image(g, extra_tags=())
-    # rewrite compression tag to LZW (5): unsupported, not corrupt
-    lzw_payload = _tiff_image(g)
-    i = lzw_payload.index(struct.pack("<HHI", 259, 3, 1))
-    lzw_payload = lzw_payload[: i + 8] + struct.pack("<I", 5) \
-        + lzw_payload[i + 12 :]
-    with pytest.raises(NotImplementedError, match="compression 5"):
-        tiff.decode_tiff(lzw_payload)
-    del lzw
+    # rewrite compression tag to deflate (8): unsupported, not corrupt
+    # (LZW, 5, decodes for real since r11)
+    zip_payload = _tiff_image(g)
+    i = zip_payload.index(struct.pack("<HHI", 259, 3, 1))
+    zip_payload = zip_payload[: i + 8] + struct.pack("<I", 8) \
+        + zip_payload[i + 12 :]
+    with pytest.raises(NotImplementedError, match="compression 8"):
+        tiff.decode_tiff(zip_payload)
     with pytest.raises(ValueError, match="bad magic"):
         tiff.decode_tiff(b"II+\x00" + b"\x00" * 16)
     with pytest.raises(ValueError, match="strip out of bounds|short strip"):
@@ -179,6 +245,77 @@ def test_refusals_and_malformed():
                      packbits=True)
     with pytest.raises(ValueError, match="PackBits|out of bounds|short"):
         tiff.decode_tiff(pb[:-3])
+
+
+def test_lzw_roundtrip_grey_rgb_and_orders():
+    g = _img(23, 31, seed=4, grey=True)
+    rgb = _img(17, 29, seed=5)
+    for img in (g, rgb):
+        for order in ("<", ">"):
+            payload = _tiff_image(img, lzw=True, order=order)
+            out = tiff.decode_tiff(payload)
+            want = np.repeat(img[:, :, None], 3, axis=2) \
+                if img.ndim == 2 else img
+            assert (out == want).all()
+
+
+def test_lzw_width_bump_and_clear():
+    """Random data forces a fresh table entry nearly every code, pushing
+    the table past the 511/1023 early-change boundaries; a long run also
+    crosses the encoder's mid-strip Clear. Any width-timing mismatch
+    between encoder and decoder desyncs within a few codes."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(40, 120, 3)).astype(np.uint8)
+    payload = _tiff_image(img, lzw=True)
+    assert (tiff.decode_tiff(payload) == img).all()
+    # highly-repetitive data exercises long matches instead
+    rep = np.tile(np.arange(8, dtype=np.uint8), (64, 32 * 3 // 8))
+    rep = rep.reshape(64, 32, 3)
+    payload = _tiff_image(rep, lzw=True)
+    assert (tiff.decode_tiff(payload) == rep).all()
+
+
+def test_lzw_horizontal_predictor():
+    """Predictor 2 (horizontal differencing) — the combination real
+    LZW scans carry — over grey, RGB and multi-strip layouts."""
+    g = _img(12, 33, seed=6, grey=True)
+    payload = _tiff_image(g, lzw=True, predictor=2)
+    assert (tiff.decode_tiff(payload)[:, :, 0] == g).all()
+    rgb = _img(21, 19, seed=7)
+    payload = _tiff_image(rgb, lzw=True, predictor=2, rows_per_strip=5)
+    assert (tiff.decode_tiff(payload) == rgb).all()
+    # predictor without LZW is legal too
+    payload = _tiff_image(rgb, predictor=2)
+    assert (tiff.decode_tiff(payload) == rgb).all()
+
+
+def test_lzw_refusals():
+    img = _img(9, 9, seed=8)
+    good = _tiff_image(img, lzw=True)
+    # truncate the (single) strip: LZW must refuse, not loop/misreport
+    with pytest.raises(ValueError, match="LZW|short strip|out of bounds"):
+        tiff.decode_tiff(good[:-10])
+    # an unassigned code: strip of just Clear then code 300 (9-bit codes
+    # 100101100 -> MSB-first bytes)
+    import struct as st
+    bits = (256 << 9) | 300
+    raw = (bits << 6).to_bytes(3, "big")  # 18 bits left-aligned, 6 pad
+    bad = _tiff_image(_img(2, 2, seed=1, grey=True), lzw=True)
+    # splice: rebuild a 2x2 grey with our crafted strip
+    payload = _tiff_image(np.zeros((2, 2), np.uint8), lzw=True)
+    at = payload.rindex(_lzw_encode(bytes(4)))
+    crafted = payload[:at] + raw
+    n = st.unpack_from("<H", crafted, 8)[0]
+    for i in range(n):
+        e = 10 + 12 * i
+        if st.unpack_from("<H", crafted, e)[0] == 279:
+            crafted = crafted[:e + 8] + st.pack("<I", len(raw)) \
+                + crafted[e + 12:]
+    with pytest.raises(ValueError, match="LZW code 300 out of range"):
+        tiff.decode_tiff(crafted)
+    # floating-point predictor refuses as unsupported
+    with pytest.raises(NotImplementedError, match="predictor 3"):
+        tiff.decode_tiff(_tiff_image(img, extra_tags=[(317, 3, 1, 3)]))
 
 
 def test_missing_bits_per_sample_defaults_bilevel():

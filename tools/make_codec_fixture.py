@@ -102,6 +102,11 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
         _tiff_image(
             np.repeat(_tiff_img(2, 9, seed=52, grey=True), 4, axis=0),
             packbits=True, rows_per_strip=3))
+    add(121, "image", "tiff_lzw_rgb",
+        _tiff_image(_tiff_img(11, 13, seed=53), lzw=True))
+    add(122, "image", "tiff_lzw_predictor_grey_strips",
+        _tiff_image(_tiff_img(9, 17, seed=54, grey=True), lzw=True,
+                    predictor=2, rows_per_strip=4))
     add(118, "image", "webp_vp8l_palette_predictor",
         _encode_vp8l(
             np.array([[((x * 37) % 2 * 200, (y * 53) % 3 * 80, 40, 255)

@@ -2,10 +2,12 @@
 
 TIFF 6.0's baseline profile is plain struct parsing over the same IFD
 machinery operators/mediameta.py already walks for EXIF: strip-based
-storage with two self-contained compressions — none (1) and PackBits
-(32773, a one-byte RLE). That covers the scanned-document/archival TIFF
-population without a codec library; LZW/JPEG-in-TIFF variants raise the
-honest NotImplementedError and quarantine as 'unsupported'.
+storage with three self-contained compressions — none (1), LZW (5,
+the dominant archival-scan compression; MSB-first early-change variant,
+see ``_lzw_decode``) and PackBits (32773, a one-byte RLE), plus the
+horizontal-differencing predictor (tag 317) LZW files usually carry.
+JPEG-in-TIFF/deflate variants raise the honest NotImplementedError and
+quarantine as 'unsupported'.
 
 Supported: 8-bit greyscale (photometric 0/1, WhiteIsZero inverted) and
 8-bit RGB/RGBA (photometric 2; alpha reported structurally by dropping
@@ -48,6 +50,75 @@ def _unpackbits(data: bytes, expected: int) -> bytes:
     if len(out) != expected:
         raise ValueError(
             f"malformed TIFF: PackBits yields {len(out)} bytes, strip "
+            f"declares {expected}"
+        )
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF LZW (TIFF 6.0 §13). Three deltas vs the GIF machine
+    (operators/gif.py ``_lzw_decode``): codes pack MSB-first into the
+    byte stream (GIF: LSB-first), the code width starts fixed at 9 bits
+    over a 256-literal alphabet (GIF: min_code_size+1 over the palette),
+    and the width bumps one code EARLY — when the table holds
+    2^width - 1 entries, the spec's "early change" (GIF bumps at
+    2^width; libtiff's maxcode is MAXCODE(n)-1 below 12 bits). Clear is
+    256, EOI 257, table caps at 4096. Decodes to strip BYTES, and EOI
+    (not a pixel count) ends the stream."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(CLEAR)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                raise ValueError(
+                    "malformed TIFF: LZW strip ended before EOI "
+                    f"({len(out)}/{expected} bytes out)"
+                )
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        acc &= (1 << nbits) - 1
+        if code == CLEAR:
+            reset()
+            continue
+        if code == EOI:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"malformed TIFF: LZW code {code} out of range")
+        out += entry
+        if len(out) > expected:
+            raise ValueError(
+                f"malformed TIFF: LZW yields over {expected} strip bytes"
+            )
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1  # early change
+        prev = entry
+    if len(out) != expected:
+        raise ValueError(
+            f"malformed TIFF: LZW yields {len(out)} bytes, strip "
             f"declares {expected}"
         )
     return bytes(out)
@@ -99,10 +170,17 @@ def decode_tiff(payload: bytes,
             "raise pixel_budget or route to a codec library"
         )
     compression = scalar(259, default=1)
-    if compression not in (1, 32773):
+    if compression not in (1, 5, 32773):
         raise NotImplementedError(
             f"TIFF compression {compression} needs a codec library; "
-            "only uncompressed (1) and PackBits (32773) decode here"
+            "only uncompressed (1), LZW (5) and PackBits (32773) "
+            "decode here"
+        )
+    predictor = scalar(317, default=1)
+    if predictor not in (1, 2):
+        raise NotImplementedError(
+            f"TIFF predictor {predictor} not supported (none/horizontal "
+            "differencing only; 3 is floating-point)"
         )
     photometric = scalar(262)
     if photometric not in (0, 1, 2):
@@ -149,6 +227,8 @@ def decode_tiff(payload: bytes,
         expected = n_rows * row_bytes
         if compression == 32773:
             raw += _unpackbits(strip, expected)
+        elif compression == 5:
+            raw += _lzw_decode(strip, expected)
         else:
             if len(strip) < expected:
                 raise ValueError("malformed TIFF: short strip")
@@ -161,6 +241,10 @@ def decode_tiff(payload: bytes,
         )
     arr = np.frombuffer(bytes(raw), dtype=np.uint8, count=h * row_bytes)
     arr = arr.reshape(h, w, spp)
+    if predictor == 2:
+        # horizontal differencing (tag 317): each sample stores the
+        # delta to its left neighbour; invert with a wrapping row cumsum
+        arr = np.add.accumulate(arr, axis=1, dtype=np.uint8)
     if photometric == 2:
         return np.ascontiguousarray(arr[:, :, :3])
     grey = arr[:, :, 0]
