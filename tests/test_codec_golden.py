@@ -33,7 +33,8 @@ def test_fixture_is_committed_and_covers_all_families():
         ).fetchall()
     )
     assert set(fams) == {"image", "audio", "image_meta", "video_meta",
-                         "audio_meta", "image_exif", "audio_tags"}
+                         "audio_meta", "image_exif", "audio_tags",
+                         "video_frame"}
     assert fams["image_exif"] == 7 and fams["audio_tags"] == 6
     # the decode matrix: 6 PNG variants + 4 JPEG + GIF/BMP/PPM +
     # 2 VP8L WebP + 4 TIFF (incl. 2 LZW, r11) + 2 refusals
@@ -164,4 +165,4 @@ def test_codec_stats_from_foreign_cwd():
         env={k: v for k, v in __import__("os").environ.items()
              if k != "PYTHONPATH"},
     )
-    assert "CODEC_ROWS=81" in out.stdout, out.stderr[-2000:]
+    assert "CODEC_ROWS=86" in out.stdout, out.stderr[-2000:]

@@ -205,3 +205,25 @@ def test_fuzz_tiff(rng):
     payloads += [b"II*\x00" + g for g in _garbage(rng, 120, 300)]
     payloads += [b"MM\x00*" + g for g in _garbage(rng, 120, 300)]
     _assert_contract(tiff.decode_tiff, payloads, "tiff")
+
+
+def test_fuzz_extract_keyframe(rng):
+    import sys
+    sys.path.insert(0, "tests")
+    from test_mediameta import _avi, _mjpeg_avi
+
+    valid, _ = _mjpeg_avi(rec_group=True)
+    xvid = _avi()
+    payloads = _mutations(rng, valid, 200) + _mutations(rng, xvid, 100)
+    payloads += [b"RIFF" + g for g in _garbage(rng, 100, 200)]
+    payloads += [b"GIF89a" + g for g in _garbage(rng, 60, 120)]
+    payloads += _garbage(rng, 60, 300)
+    _assert_contract(mediameta.extract_keyframe, payloads, "keyframe")
+
+    def full(p):
+        c, codec, blob = mediameta.extract_keyframe(p)
+        from youtube_api_data_etl_automation_spark.operators.multimodal \
+            import _decode_rgb
+        _decode_rgb(blob)
+
+    _assert_contract(full, payloads, "keyframe+decode")

@@ -779,7 +779,8 @@ def test_ogg_single_page_at_offset_zero():
 
 
 def _avi(tracks=((b"vids", b"XVID"), (b"auds", b"mp3 ")), w=320, h=240,
-         us_per_frame=40_000, total_frames=250):
+         us_per_frame=40_000, total_frames=250, movi_chunks=None,
+         rec_group=False):
     def chunk(cid, body):
         return cid + struct.pack("<I", len(body)) + body \
             + (b"\x00" if len(body) & 1 else b"")
@@ -794,7 +795,12 @@ def _avi(tracks=((b"vids", b"XVID"), (b"auds", b"mp3 ")), w=320, h=240,
         for fcc, handler in tracks
     )
     hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih) + strls)
-    movi = chunk(b"LIST", b"movi" + chunk(b"00dc", b"\x00" * 16))
+    if movi_chunks is None:
+        movi_chunks = [(b"00dc", b"\x00" * 16)]
+    inner = b"".join(chunk(cid, data) for cid, data in movi_chunks)
+    if rec_group:
+        inner = chunk(b"LIST", b"rec " + inner)
+    movi = chunk(b"LIST", b"movi" + inner)
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
@@ -914,3 +920,123 @@ def test_error_text_tags_bug_shaped_classes():
         "IndexError: list index out of range"
     assert _error_text(struct.error("unpack requires more")) == \
         "struct.error: unpack requires more"
+
+
+# ------------------------------------------------- keyframe extraction
+
+def _mjpeg_avi(img=None, *, handler=b"MJPG", rec_group=False,
+               extra_first=False, seed=31):
+    import sys
+    sys.path.insert(0, "tests")
+    from test_jpeg import _encode_jpeg, _rng_image
+    if img is None:
+        img = _rng_image(16, 16, seed, grey=True)
+    jpg = _encode_jpeg(img)[0]
+    chunks = [(b"01wb", b"\x00" * 8), (b"00dc", jpg),
+              (b"00dc", b"\xff\xd8junk")]
+    if extra_first:
+        chunks.insert(0, (b"99dc", b"\xff\xd8wrongstream"))
+    return _avi(tracks=((b"vids", handler), (b"auds", b"mp3 ")),
+                movi_chunks=chunks, rec_group=rec_group), jpg
+
+
+def test_extract_keyframe_avi_mjpeg():
+    payload, jpg = _mjpeg_avi()
+    container, codec, blob = mediameta.extract_keyframe(payload)
+    assert (container, codec) == ("avi", "mjpeg")
+    assert blob == jpg
+    # rec -grouped movi and decoy chunks of other streams are handled
+    payload, jpg = _mjpeg_avi(rec_group=True, extra_first=True)
+    assert mediameta.extract_keyframe(payload)[2] == jpg
+    # 'JPEG' handler fourcc is the same codec
+    payload, jpg = _mjpeg_avi(handler=b"JPEG")
+    assert mediameta.extract_keyframe(payload)[1] == "mjpeg"
+
+
+def test_extract_keyframe_refusals():
+    # non-MJPEG codec: unsupported, not corrupt
+    with pytest.raises(NotImplementedError, match="codec 'xvid'"):
+        mediameta.extract_keyframe(_avi())
+    # audio-only AVI
+    with pytest.raises(ValueError, match="no video stream"):
+        mediameta.extract_keyframe(_avi(tracks=((b"auds", b"mp3 "),)))
+    # video stream present but movi holds no frame chunk for it
+    with pytest.raises(ValueError, match="no frame chunk"):
+        mediameta.extract_keyframe(_avi(
+            tracks=((b"vids", b"MJPG"),),
+            movi_chunks=[(b"01wb", b"\x00" * 4)]))
+    # frame chunk that isn't JPEG
+    with pytest.raises(ValueError, match="lacks JPEG SOI"):
+        mediameta.extract_keyframe(_avi(
+            tracks=((b"vids", b"MJPG"),),
+            movi_chunks=[(b"00dc", b"\x00" * 12)]))
+    # AVI1-style frame omitting DHT: unsupported (implied Annex K)
+    payload, jpg = _mjpeg_avi()
+    stripped = _strip_dht(jpg)
+    no_dht = _avi(tracks=((b"vids", b"MJPG"),),
+                  movi_chunks=[(b"00dc", stripped)])
+    with pytest.raises(NotImplementedError, match="omits Huffman"):
+        mediameta.extract_keyframe(no_dht)
+    # MP4 / MKV essence
+    with pytest.raises(NotImplementedError, match="MP4 essence"):
+        mediameta.extract_keyframe(_mp4())
+    with pytest.raises(NotImplementedError, match="MKV/WebM essence"):
+        mediameta.extract_keyframe(b"\x1a\x45\xdf\xa3" + b"\x00" * 8)
+    with pytest.raises(ValueError, match="unknown container"):
+        mediameta.extract_keyframe(b"nonsense bytes here")
+
+
+def _strip_dht(jpg: bytes) -> bytes:
+    """Remove every DHT segment from a JPEG marker stream."""
+    out = bytearray(jpg[:2])
+    pos = 2
+    while pos < len(jpg):
+        marker = jpg[pos + 1]
+        if marker == 0xDA:
+            out += jpg[pos:]
+            break
+        (seglen,) = struct.unpack_from(">H", jpg, pos + 2)
+        if marker != 0xC4:
+            out += jpg[pos : pos + 2 + seglen]
+        pos += 2 + seglen
+    return bytes(out)
+
+
+def test_video_keyframe_features_operator(spark):
+    import sys
+    sys.path.insert(0, "tests")
+    from test_jpeg import _rng_image
+
+    img = _rng_image(16, 16, 31, grey=True)
+    payload, jpg = _mjpeg_avi(img)
+    from test_gif import PAL4
+    gif_payload = _animated_gif(
+        [[[0, 1, 2]] * 2, [[1, 2, 3]] * 2], PAL4, delays_cs=[10, 20])
+    rows = [
+        (1, bytearray(payload)),
+        (2, bytearray(gif_payload)),
+        (3, bytearray(_avi())),            # xvid -> unsupported
+        (4, bytearray(b"garbage")),        # -> corrupt
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in mediameta.video_keyframe_features(
+        df, errors="quarantine").collect()}
+    r1 = out[1]
+    assert (r1["container"], r1["codec"], r1["format"]) == \
+        ("avi", "mjpeg", "jpeg")
+    assert (r1["width"], r1["height"]) == (16, 16)
+    assert r1["frame_bytes"] == len(jpg)
+    from youtube_api_data_etl_automation_spark.operators import jpeg
+    want = jpeg.decode_baseline_jpeg(jpg)
+    import numpy as np
+    assert r1["mean_r"] == pytest.approx(
+        float(np.asarray(want, dtype=np.float64).reshape(-1, 3)[:, 0]
+              .mean()))
+    r2 = out[2]
+    assert (r2["container"], r2["codec"], r2["format"]) == \
+        ("gif", "gif", "gif")
+    assert out[3]["error_kind"] == "unsupported"
+    assert out[4]["error_kind"] == "corrupt"
+    # errors='raise' surfaces the first failure
+    with pytest.raises(Exception, match="codec|keyframe|container"):
+        mediameta.video_keyframe_features(df, errors="raise").collect()

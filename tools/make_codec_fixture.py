@@ -328,6 +328,20 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
         _id3(_id3_frame(b"TIT2", "Cut Short", encoding=3),
              padding=0)[:-2])
 
+    # ---- video_frame: video_keyframe_features (ids 8xx) --------------
+    from test_mediameta import _mjpeg_avi
+
+    avi_payload, _ = _mjpeg_avi(_rng_image(16, 16, 31, grey=True))
+    add(801, "video_frame", "avi_mjpeg_keyframe", avi_payload)
+    rec_payload, _ = _mjpeg_avi(_rng_image(8, 16, 33), rec_group=True,
+                                extra_first=True)
+    add(802, "video_frame", "avi_mjpeg_rec_grouped", rec_payload)
+    add(803, "video_frame", "gif_first_frame",
+        _animated_gif([[[0, 1, 2]] * 2, [[1, 2, 3]] * 2], PAL4,
+                      delays_cs=[10, 20]))
+    add(804, "video_frame", "avi_xvid_unsupported", _avi())
+    add(805, "video_frame", "keyframe_corrupt", b"not a container")
+
     return rows
 
 

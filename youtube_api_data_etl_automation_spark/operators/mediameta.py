@@ -967,6 +967,173 @@ def triage_decode_images(
     return blobs.mapInPandas(batches, TRIAGE_DECODE_SCHEMA)
 
 
+VIDEO_KEYFRAME_SCHEMA = (
+    "doc_id bigint, container string, codec string, frame_bytes int, "
+    "format string, width int, height int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+VIDEO_KEYFRAME_QUARANTINE_SCHEMA = VIDEO_KEYFRAME_SCHEMA + \
+    ", error string, error_kind string"
+
+
+def _jpeg_has_dht(blob: bytes) -> bool:
+    """True if a DHT segment precedes SOS in a JPEG marker stream.
+    MJPEG/AVI1 frames may legally omit DHT (implied T.81 Annex K
+    defaults); those route 'unsupported' rather than decode wrong."""
+    pos = 2
+    n = len(blob)
+    while pos + 2 <= n:
+        if blob[pos] != 0xFF:
+            raise ValueError(
+                "malformed AVI: bad JPEG marker stream in MJPEG frame"
+            )
+        marker = blob[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker == 0xC4:
+            return True
+        if marker == 0xDA:  # SOS — tables must have preceded
+            return False
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if pos + 4 > n:
+            break
+        (seglen,) = struct.unpack_from(">H", blob, pos + 2)
+        pos += 2 + seglen
+    raise ValueError("malformed AVI: MJPEG frame has no SOS segment")
+
+
+def extract_keyframe(payload: bytes) -> tuple[str, str, bytes]:
+    """``(container, codec, essence bytes)`` of the first video keyframe.
+
+    AVI: the hdrl walk locates the first 'vids' stream (its strl
+    position is the stream number) and its handler fourcc; the movi
+    walk — including one level of 'rec ' grouping — returns that
+    stream's first ``##db``/``##dc`` chunk. For MJPEG ('MJPG'/'JPEG'
+    handlers) that chunk IS a JPEG image, decodable by operators/
+    jpeg.py. GIF: the payload is its own first frame (operators/
+    gif.py). MP4/MKV essence and non-MJPEG AVI codecs refuse as
+    unsupported — H.264/VP9/XviD need a codec library."""
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif", "gif", payload
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        stream_idx = -1
+        codec = None
+        n_streams = 0
+        movi = None
+        for cid, b0, b1 in _riff_chunks(payload, 12, len(payload)):
+            if cid != b"LIST":
+                continue
+            ltype = payload[b0 : b0 + 4]
+            if ltype == b"hdrl":
+                for hid, h0, h1 in _riff_chunks(payload, b0 + 4, b1):
+                    if hid != b"LIST" or payload[h0 : h0 + 4] != b"strl":
+                        continue
+                    for sid, s0, s1 in _riff_chunks(payload, h0 + 4, h1):
+                        if sid != b"strh":
+                            continue
+                        if s1 - s0 < 8:
+                            raise ValueError("malformed AVI: short strh")
+                        if payload[s0 : s0 + 4] == b"vids" \
+                                and stream_idx < 0:
+                            stream_idx = n_streams
+                            codec = (payload[s0 + 4 : s0 + 8]
+                                     .decode("latin-1").strip("\x00 ")
+                                     .lower())
+                    n_streams += 1
+            elif ltype == b"movi" and movi is None:
+                movi = (b0 + 4, b1)
+        if stream_idx < 0:
+            raise ValueError(
+                "malformed AVI: no video stream to extract a keyframe from"
+            )
+        if movi is None:
+            raise ValueError("malformed AVI: no movi list")
+        if codec not in ("mjpg", "jpeg"):
+            raise NotImplementedError(
+                f"AVI video codec {codec!r} needs a codec library; only "
+                "MJPEG keyframes decode here"
+            )
+        want = b"%02d" % stream_idx
+
+        def scan(lo, hi, depth):
+            for cid, c0, c1 in _riff_chunks(payload, lo, hi):
+                if cid == b"LIST" and payload[c0 : c0 + 4] == b"rec " \
+                        and depth == 0:
+                    blob = scan(c0 + 4, c1, 1)
+                    if blob is not None:
+                        return blob
+                elif cid[:2] == want and cid[2:4] in (b"db", b"dc"):
+                    return payload[c0:c1]
+            return None
+
+        blob = scan(movi[0], movi[1], 0)
+        if not blob:
+            raise ValueError(
+                "malformed AVI: video stream has no frame chunk in movi"
+            )
+        if blob[:2] != b"\xff\xd8":
+            raise ValueError(
+                "malformed AVI: MJPEG frame chunk lacks JPEG SOI"
+            )
+        if not _jpeg_has_dht(blob):
+            raise NotImplementedError(
+                "MJPEG frame omits Huffman tables (AVI1 implied Annex K "
+                "defaults); table injection needs the spec text — route "
+                "to a codec-library executor image"
+            )
+        return "avi", "mjpeg", blob
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        raise NotImplementedError(
+            "MP4 essence keyframes need a codec library (H.264/HEVC/AV1)"
+        )
+    if payload[:4] == b"\x1a\x45\xdf\xa3":
+        raise NotImplementedError(
+            "MKV/WebM essence keyframes need a codec library (VP9/AV1)"
+        )
+    raise ValueError("unknown container for keyframe extraction")
+
+
+def video_keyframe_features(blobs: DataFrame,
+                            errors: str = "raise") -> DataFrame:
+    """First-keyframe pixel features per video payload: the
+    ``extract_keyframe`` container walk feeds the in-repo image
+    decoders (JPEG for AVI/MJPEG, LZW for GIF), yielding ``(doc_id,
+    container, codec, frame_bytes, format, width, height, mean_r/g/b)``
+    — real video-frame feature extraction with no codec library.
+    Same Arrow-batched mapInPandas + quarantine contract as the decode
+    family; pixel budgets apply inside the image decoders."""
+    from .multimodal import _check_errors_mode, _decode_rgb
+
+    quarantine = _check_errors_mode(errors)
+
+    def one(payload):
+        container, codec, blob = extract_keyframe(payload or b"")
+        fmt, rgb = _decode_rgb(blob)
+        means = rgb.reshape(-1, 3).mean(axis=0, dtype="float64")
+        return {
+            "container": container, "codec": codec,
+            "frame_bytes": len(blob), "format": fmt,
+            "width": rgb.shape[1], "height": rgb.shape[0],
+            "mean_r": float(means[0]), "mean_g": float(means[1]),
+            "mean_b": float(means[2]),
+        }
+
+    schema = VIDEO_KEYFRAME_QUARANTINE_SCHEMA if quarantine \
+        else VIDEO_KEYFRAME_SCHEMA
+    return blobs.mapInPandas(
+        _quarantine_batches(
+            one,
+            ("container", "codec", "frame_bytes", "format", "width",
+             "height", "mean_r", "mean_g", "mean_b"),
+            quarantine,
+        ),
+        schema,
+    )
+
+
 EXIF_SCHEMA = (
     "doc_id bigint, orientation int, exif_width int, exif_height int, "
     "datetime string, make string, model string"

@@ -27,6 +27,8 @@ Fixture families → engine op exercised:
   JPEG APP1 TIFF walk)
 - ``audio_tags``  → :func:`operators.mediameta.audio_tags` (r10:
   ID3v2 / VORBIS_COMMENT / LIST-INFO)
+- ``video_frame`` → :func:`operators.mediameta.video_keyframe_features`
+  (r11: AVI/MJPEG + GIF first-keyframe pixel features)
 
 Scale note: the fixture is a verification corpus (~40 rows, a few KB);
 the ops it drives are the same Arrow-batched mapInPandas operators that
@@ -68,6 +70,7 @@ def codec_stats(spark: SparkSession) -> DataFrame:
         audio_tags,
         image_exif,
         image_meta,
+        video_keyframe_features,
         video_meta,
     )
     from ..operators.multimodal import decode_audio, decode_image
@@ -82,7 +85,8 @@ def codec_stats(spark: SparkSession) -> DataFrame:
         fam: blobs.filter(F.col("family") == fam)
         .select(F.col("payload_id").alias("doc_id"), "payload")
         for fam in ("image", "audio", "image_meta", "video_meta",
-                    "audio_meta", "image_exif", "audio_tags")
+                    "audio_meta", "image_exif", "audio_tags",
+                    "video_frame")
     }
 
     img = decode_image(by_family["image"], errors="quarantine").select(
@@ -193,7 +197,28 @@ def codec_stats(spark: SparkSession) -> DataFrame:
             ),
         ).otherwise(_err_fp()).alias("fp"),
     )
+    keyf = video_keyframe_features(
+        by_family["video_frame"], errors="quarantine"
+    ).select(
+        "doc_id",
+        F.col("container").alias("fmt"),
+        "width",
+        "height",
+        F.when(
+            F.col("error").isNull(),
+            F.format_string(
+                "%s,%s,%d,%.6f,%.6f,%.6f",
+                F.col("codec"),
+                F.col("format"),
+                F.col("frame_bytes"),
+                round6(F.col("mean_r")),
+                round6(F.col("mean_g")),
+                round6(F.col("mean_b")),
+            ),
+        ).otherwise(_err_fp()).alias("fp"),
+    )
     return (
         img.unionByName(aud).unionByName(imeta).unionByName(vmeta)
         .unionByName(ameta).unionByName(exif).unionByName(tags)
+        .unionByName(keyf)
     )
