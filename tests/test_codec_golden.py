@@ -34,7 +34,7 @@ def test_fixture_is_committed_and_covers_all_families():
     )
     assert set(fams) == {"image", "audio", "image_meta", "video_meta",
                          "audio_meta", "image_exif", "audio_tags",
-                         "video_frame"}
+                         "video_frame", "audio_subband"}
     assert fams["image_exif"] == 7 and fams["audio_tags"] == 6
     # the decode matrix: 6 PNG variants + 4 JPEG + GIF/BMP/PPM +
     # 2 VP8L WebP + 4 TIFF (incl. 2 LZW, r11) + 2 refusals
@@ -45,6 +45,8 @@ def test_fixture_is_committed_and_covers_all_families():
     # MP4 ×2 + MKV ×2 + AVI + 3 refusals / MP3 ×3 + FLAC + WAV +
     # OGG ×2 + 3 refusals
     assert fams["video_meta"] == 11 and fams["audio_meta"] == 10
+    # MJPEG x2 + GIF + 2 refusals / Layer I x3 + 2 refusals (r11)
+    assert fams["video_frame"] == 5 and fams["audio_subband"] == 5
 
 
 def test_codec_stats_match_golden(spark):
@@ -165,4 +167,4 @@ def test_codec_stats_from_foreign_cwd():
         env={k: v for k, v in __import__("os").environ.items()
              if k != "PYTHONPATH"},
     )
-    assert "CODEC_ROWS=86" in out.stdout, out.stderr[-2000:]
+    assert "CODEC_ROWS=91" in out.stdout, out.stderr[-2000:]

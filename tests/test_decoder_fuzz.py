@@ -227,3 +227,19 @@ def test_fuzz_extract_keyframe(rng):
         _decode_rgb(blob)
 
     _assert_contract(full, payloads, "keyframe+decode")
+
+
+def test_fuzz_layer1(rng):
+    import sys
+    sys.path.insert(0, "tests")
+    from test_mpegaudio import _ALLOC_MIX, _frame_l1, _sine_groups
+
+    from youtube_api_data_etl_automation_spark.operators import mpegaudio
+
+    g = _sine_groups(12, 2, _ALLOC_MIX, seed=55)
+    valid, _ = _frame_l1(g, alloc_bands=_ALLOC_MIX, protected=True)
+    plain, _ = _frame_l1(g, alloc_bands=_ALLOC_MIX)
+    payloads = _mutations(rng, valid, 200) + _mutations(rng, plain, 200)
+    payloads += [b"\xff\xff" + g2 for g2 in _garbage(rng, 100, 400)]
+    payloads += _garbage(rng, 60, 400)
+    _assert_contract(mpegaudio.decode_layer1, payloads, "layer1")

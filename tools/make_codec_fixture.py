@@ -342,6 +342,28 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
     add(804, "video_frame", "avi_xvid_unsupported", _avi())
     add(805, "video_frame", "keyframe_corrupt", b"not a container")
 
+    # ---- audio_subband: Layer I essence (ids 9xx) --------------------
+    from test_mpegaudio import _ALLOC_MIX, _frame_l1, _sine_groups
+
+    g = _sine_groups(12, 1, _ALLOC_MIX, seed=91)
+    f1, _ = _frame_l1(g, alloc_bands=_ALLOC_MIX, protected=True)
+    add(901, "audio_subband", "layer1_mono_crc", f1)
+    g2 = _sine_groups(24, 2, _ALLOC_MIX, seed=92)
+    fa, _ = _frame_l1(g2[:12], alloc_bands=_ALLOC_MIX)
+    fb, _ = _frame_l1(g2[12:], alloc_bands=_ALLOC_MIX, padding=1)
+    add(902, "audio_subband", "layer1_stereo_two_frames", fa + fb)
+    gi = np.zeros((12, 2, 32))
+    gi[:, 0, 8] = 0.4 * np.sin(np.arange(12) / 2.0)
+    gi[:, 1, 8] = gi[:, 0, 8]
+    alloc_i = [0] * 32
+    alloc_i[8] = 7
+    fi, _ = _frame_l1(gi, alloc_bands=alloc_i, mode=1, mode_ext=0,
+                      sf_override={(0, 8): 4, (1, 8): 10})
+    add(903, "audio_subband", "layer1_intensity_joint", fi)
+    add(904, "audio_subband", "layer3_unsupported",
+        b"\xff\xfb\x90\x00" + b"\x00" * 96)
+    add(905, "audio_subband", "subband_corrupt", b"\xff\x00junk")
+
     return rows
 
 

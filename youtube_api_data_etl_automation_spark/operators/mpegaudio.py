@@ -1,0 +1,273 @@
+"""MPEG-1 Audio Layer I subband decoder (ISO/IEC 11172-3).
+
+MP3-family payloads are the most common audio format in a crawl
+corpus. The essence layers split by what is honestly recallable:
+
+- **Layer I decodes here, for real, to SUBBAND samples.** Everything
+  it needs is closed-form: the scalefactor table is the geometric
+  series ``sf = 2.0 * 2**(-idx/3)`` (Table 3-B.1), allocations are raw
+  4-bit widths (``nb = alloc + 1``), and requantization is
+  ``s'' = (2**nb / (2**nb - 1)) * (s''' + 2**(1 - nb))`` over the
+  inverted-sign-bit two's-complement fraction ``s'''`` (§2.4.3.1, a
+  symmetric midtread quantizer with ``2**nb - 1`` used codes — the
+  all-ones code is the unused one). One frame = 12 samples x 32 bands
+  per channel = 384 PCM-equivalent samples.
+- **PCM synthesis is an honest stub.** The polyphase matrixing
+  ``N[i][k] = cos((16 + i) * (2k + 1) * pi / 64)`` is closed-form, but
+  the 512-coefficient synthesis window (Table 3-B.3) is tabulated,
+  not derivable. Recalling it wrong and pairing it with a same-table
+  in-repo test encoder would mirror-bug nonconformance — the
+  arithmetic-JPEG policy (do not revisit without the spec text). All
+  subband-domain statistics (energy, RMS, band centroid) are exact
+  without it; see :func:`multimodal.audio_subband_features`.
+- **Layer II needs the tabulated allocation tables (3-B.2a-d) and
+  grouped 3/5/9-step quantizers; Layer III needs 34 Huffman tables.**
+  Both refuse as 'unsupported' under the same policy.
+
+CRC (protection_bit == 0): CRC-16 with polynomial x^16+x^15+x^2+1
+(0x8005, MSB-first, init 0xFFFF) over header bytes 2-3 plus the bit
+allocation field — the Layer I protected region per §2.4.3.1. A
+mismatch refuses the frame as corrupt.
+
+Reference anchor: the reference pipeline's media payloads are the
+YouTube-shaped corpus (fetch_youtube_data.py:121-134 tracks video
+metadata); audio essence features are the north-star multimodal
+column this engine adds on top.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# frames x 384 samples x channels; 16M samples ~ 6 min stereo @44.1k,
+# a few seconds of pure-Python bit reading worst case. None disables.
+MPEG_SAMPLE_BUDGET = 1 << 24
+
+_L1_BITRATES = (32, 64, 96, 128, 160, 192, 224, 256,
+                288, 320, 352, 384, 416, 448)  # kbit/s, index 1..14
+_RATES = {0: 44100, 1: 48000, 2: 32000}
+
+# Table 3-B.1 is the geometric series 2 * 2^(-idx/3), idx 0..62
+_SCALEFACTORS = tuple(2.0 * 2.0 ** (-idx / 3.0) for idx in range(63))
+
+
+class _BitReader:
+    """MSB-first bit reader over one frame's bytes."""
+
+    __slots__ = ("data", "pos", "end")
+
+    def __init__(self, data: bytes, start_bit: int, end_bit: int):
+        self.data = data
+        self.pos = start_bit
+        self.end = end_bit
+
+    def read(self, n: int) -> int:
+        if self.pos + n > self.end:
+            raise ValueError("malformed MPEG audio: frame bits exhausted")
+        v = 0
+        pos = self.pos
+        data = self.data
+        for _ in range(n):
+            v = (v << 1) | ((data[pos >> 3] >> (7 - (pos & 7))) & 1)
+            pos += 1
+        self.pos = pos
+        return v
+
+
+def _crc16(bits: list[int]) -> int:
+    """CRC-16, poly 0x8005 MSB-first, init 0xFFFF, over a bit list."""
+    crc = 0xFFFF
+    for b in bits:
+        hi = (crc >> 15) & 1
+        crc = (crc << 1) & 0xFFFF
+        if hi ^ b:
+            crc ^= 0x8005
+    return crc
+
+
+def _skip_id3v2(payload: bytes) -> int:
+    if payload[:3] != b"ID3":
+        return 0
+    if len(payload) < 10:
+        raise ValueError("malformed MPEG audio: truncated ID3v2 header")
+    size = 0
+    for b in payload[6:10]:
+        if b & 0x80:
+            raise ValueError("malformed MPEG audio: non-syncsafe ID3 size")
+        size = (size << 7) | b
+    return 10 + size
+
+
+def _requantize(code: int, nb: int, sf: float) -> float:
+    half = 1 << (nb - 1)
+    c = code ^ half  # invert the sign bit
+    if c >= half:
+        c -= 1 << nb
+    s3 = c / half
+    return sf * (float(1 << nb) / ((1 << nb) - 1)) * (s3 + 2.0 ** (1 - nb))
+
+
+def decode_layer1(payload: bytes,
+                  sample_budget: int | None = MPEG_SAMPLE_BUDGET,
+                  ) -> tuple[int, np.ndarray]:
+    """``(sample_rate, subbands[groups, channels, 32])`` for an MPEG-1
+    Layer I stream — groups = 12 x n_frames; each group row holds one
+    requantized sample per subband (float64, exact per §2.4.3.1).
+
+    Handles mono/stereo/dual/intensity-joint modes, padding slots,
+    optional CRC-16 (verified), a leading ID3v2 tag and a trailing
+    128-byte ID3v1 'TAG' block. Layer II/III and free-format refuse
+    as unsupported; structural damage refuses as corrupt."""
+    pos = _skip_id3v2(payload)
+    n = len(payload)
+    if pos + 4 > n:
+        raise ValueError("malformed MPEG audio: no frame header")
+
+    frames: list[np.ndarray] = []
+    rate = None
+    nch_out = None
+    while pos < n:
+        if n - pos == 128 and payload[pos : pos + 3] == b"TAG":
+            break  # trailing ID3v1
+        if pos + 4 > n:
+            raise ValueError("malformed MPEG audio: truncated frame header")
+        b1, b2, b3, b4 = payload[pos : pos + 4]
+        if b1 != 0xFF or (b2 & 0xE0) != 0xE0:
+            raise ValueError("malformed MPEG audio: lost frame sync")
+        ver_bits = (b2 >> 3) & 0x3
+        if ver_bits != 3:
+            raise NotImplementedError(
+                "MPEG-2/2.5 audio needs its own rate/frame tables; only "
+                "MPEG-1 Layer I decodes here"
+            )
+        layer_code = (b2 >> 1) & 0x3
+        if layer_code != 3:  # '11' = Layer I
+            which = {1: "III (34 Huffman tables)",
+                     2: "II (allocation tables 3-B.2a-d)",
+                     0: "reserved"}[layer_code]
+            if layer_code == 0:
+                raise ValueError("malformed MPEG audio: reserved layer")
+            raise NotImplementedError(
+                f"MPEG-1 Layer {which} needs tabulated spec data that "
+                "cannot be recalled reliably; Layer I subband decode "
+                "only — route to a codec-library executor image"
+            )
+        protected = not (b2 & 1)  # protection_bit 0 = CRC present
+        br_idx = (b3 >> 4) & 0xF
+        if br_idx == 0:
+            raise NotImplementedError(
+                "free-format Layer I (bitrate index 0) needs frame-length "
+                "discovery by sync scan; fixed-rate streams only"
+            )
+        if br_idx == 15:
+            raise ValueError("malformed MPEG audio: invalid bitrate index")
+        rate_idx = (b3 >> 2) & 0x3
+        if rate_idx == 3:
+            raise ValueError("malformed MPEG audio: reserved sample rate")
+        frame_rate = _RATES[rate_idx]
+        bitrate = _L1_BITRATES[br_idx - 1] * 1000
+        padding = (b3 >> 1) & 1
+        mode = (b4 >> 6) & 0x3
+        mode_ext = (b4 >> 4) & 0x3
+        nch = 1 if mode == 3 else 2
+        bound = (mode_ext + 1) * 4 if mode == 1 else 32
+        if rate is None:
+            rate, nch_out = frame_rate, nch
+        elif (frame_rate, nch) != (rate, nch_out):
+            raise ValueError(
+                "malformed MPEG audio: rate/mode change mid-stream"
+            )
+
+        slots = 12 * bitrate // frame_rate + padding
+        frame_len = slots * 4
+        if frame_len < 4 or pos + frame_len > n:
+            raise ValueError("malformed MPEG audio: truncated frame")
+        if sample_budget is not None and \
+                (len(frames) + 1) * 12 * 32 * nch > sample_budget:
+            raise NotImplementedError(
+                f"MPEG stream exceeds the {sample_budget}-sample budget "
+                "of the stdlib decoder; raise sample_budget or route to "
+                "a codec library"
+            )
+
+        data_start = pos + 6 if protected else pos + 4
+        br = _BitReader(payload, data_start * 8, (pos + frame_len) * 8)
+
+        alloc = [[0] * 32 for _ in range(nch)]
+        crc_bits: list[int] = []
+        if protected:
+            for byte in payload[pos + 2 : pos + 4]:
+                crc_bits.extend((byte >> (7 - i)) & 1 for i in range(8))
+
+        def read_alloc():
+            v = br.read(4)
+            if protected:
+                crc_bits.extend((v >> (3 - i)) & 1 for i in range(4))
+            if v == 15:
+                raise ValueError(
+                    "malformed MPEG audio: forbidden allocation 15"
+                )
+            return v
+
+        for sb in range(bound):
+            for ch in range(nch):
+                alloc[ch][sb] = read_alloc()
+        for sb in range(bound, 32):
+            shared = read_alloc()
+            for ch in range(nch):
+                alloc[ch][sb] = shared
+        if protected:
+            (crc_stored,) = (int.from_bytes(payload[pos + 4 : pos + 6],
+                                            "big"),)
+            if _crc16(crc_bits) != crc_stored:
+                raise ValueError("malformed MPEG audio: CRC-16 mismatch")
+
+        sf = [[0.0] * 32 for _ in range(nch)]
+        for sb in range(32):
+            for ch in range(nch):
+                if alloc[ch][sb]:
+                    idx = br.read(6)
+                    if idx == 63:
+                        raise ValueError(
+                            "malformed MPEG audio: forbidden scalefactor 63"
+                        )
+                    sf[ch][sb] = _SCALEFACTORS[idx]
+
+        out = np.zeros((12, nch, 32), dtype=np.float64)
+        for s in range(12):
+            for sb in range(32):
+                if sb < bound:
+                    for ch in range(nch):
+                        a = alloc[ch][sb]
+                        if a:
+                            code = br.read(a + 1)
+                            out[s, ch, sb] = _requantize(
+                                code, a + 1, sf[ch][sb])
+                else:
+                    a = alloc[0][sb]
+                    if a:
+                        code = br.read(a + 1)
+                        # intensity stereo: one sample stream, per-
+                        # channel scalefactors
+                        for ch in range(nch):
+                            out[s, ch, sb] = _requantize(
+                                code, a + 1, sf[ch][sb])
+        frames.append(out)
+        pos += frame_len
+
+    if not frames:
+        raise ValueError("malformed MPEG audio: no frames decoded")
+    return rate, np.concatenate(frames, axis=0)
+
+
+def synthesize_pcm(subbands: np.ndarray) -> np.ndarray:
+    """Polyphase synthesis filterbank — honest stub. The matrixing is
+    closed-form but the 512-coefficient window (Table 3-B.3) is
+    tabulated; recalling it wrong and testing against a same-table
+    in-repo encoder would mask nonconformance (the arithmetic-JPEG
+    policy). Subband-domain features are exact without it."""
+    raise NotImplementedError(
+        "Layer I PCM synthesis needs the 512-coefficient window of "
+        "ISO 11172-3 Table 3-B.3 (tabulated, not derivable); subband "
+        "features are exact — or route to a codec-library executor image"
+    )

@@ -21,9 +21,12 @@ prefix codes + LZ77 + color cache + all four transforms).
 ``decode_audio`` really decodes RIFF/WAVE integer PCM 8/16/24/32,
 IEEE-float 32/64, G.711, IMA + Microsoft ADPCM (the matrix completed in
 r9), and — r10 — FLAC via operators/flac.py (pure-integer LPC + Rice).
-Every remaining compressed format (arithmetic JPEG, lossy-VP8 WebP,
-MP3/AAC) raises an explicit NotImplementedError from inside the same
-mapInPandas shape — or becomes a quarantine ROW under
+MPEG-1 Layer I essence decodes to exact SUBBAND samples (r11,
+operators/mpegaudio.py; ``audio_subband_features`` below) — PCM
+synthesis stays stubbed on the unrecallable Table 3-B.3 window. Every
+remaining compressed format (arithmetic JPEG, lossy-VP8 WebP, Layer
+II/III, AAC) raises an explicit NotImplementedError from inside the
+same mapInPandas shape — or becomes a quarantine ROW under
 ``errors='quarantine'``. ``fake_decode_features`` remains the
 deterministic stand-in for pipeline tests that don't care about pixels.
 """
@@ -893,6 +896,16 @@ def _decode_pcm(payload: bytes,
         from .flac import decode_flac
 
         return decode_flac(payload)
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2 and payload[0] == 0xFF
+        and (payload[1] & 0xE0) == 0xE0
+    ):
+        raise NotImplementedError(
+            "MPEG audio essence cannot yield PCM here (the Table 3-B.3 "
+            "synthesis window is tabulated spec data); Layer I subband "
+            "features decode exactly via audio_subband_features — "
+            "Layer II/III need a codec library"
+        )
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError(
             "compressed/unknown audio format (magic "
@@ -1134,6 +1147,71 @@ def decode_audio(
 
     schema = AUDIO_QUARANTINE_SCHEMA if quarantine else AUDIO_SCHEMA
     return blobs.mapInPandas(batches, schema)
+
+
+AUDIO_SUBBAND_SCHEMA = (
+    "doc_id bigint, format string, sample_rate int, n_channels int, "
+    "n_mpeg_frames int, duration_sec double, sb_peak double, "
+    "sb_rms double, sb_centroid double"
+)
+AUDIO_SUBBAND_QUARANTINE_SCHEMA = AUDIO_SUBBAND_SCHEMA + \
+    ", error string, error_kind string"
+
+
+def audio_subband_features(blobs: DataFrame,
+                           errors: str = "raise") -> DataFrame:
+    """MPEG-1 Layer I essence features, computed EXACTLY in the subband
+    domain (operators/mpegaudio.py — requantized per ISO 11172-3
+    §2.4.3.1): per payload the frame count, duration (384 PCM samples
+    per frame), subband peak/RMS, and the energy-weighted band centroid
+    (0-31; the spectral-balance feature an audio-quality filter keys
+    on). PCM synthesis needs the tabulated Table 3-B.3 window and stays
+    an honest stub — these statistics don't. Layer II/III payloads
+    quarantine as 'unsupported'. Same Arrow-batched mapInPandas +
+    quarantine contract as :func:`decode_audio`."""
+    import numpy as np
+
+    from .mediameta import _quarantine_batches
+    from .mpegaudio import decode_layer1
+
+    quarantine = _check_errors_mode(errors)
+
+    def one(payload):
+        rate, sb = decode_layer1(payload or b"")
+        n_frames = sb.shape[0] // 12
+        flat = sb.reshape(-1)
+        energy = float(np.square(sb).sum())
+        if energy > 0.0:
+            band_e = np.square(sb).sum(axis=(0, 1))  # (32,)
+            centroid = float(
+                (band_e * np.arange(32)).sum() / energy
+            )
+            rms = float(np.sqrt(energy / flat.size))
+            peak = float(np.abs(flat).max())
+        else:
+            centroid, rms, peak = 0.0, 0.0, 0.0
+        return {
+            "format": "mp3-layer1",
+            "sample_rate": rate,
+            "n_channels": sb.shape[1],
+            "n_mpeg_frames": n_frames,
+            "duration_sec": n_frames * 384 / rate,
+            "sb_peak": peak,
+            "sb_rms": rms,
+            "sb_centroid": centroid,
+        }
+
+    schema = AUDIO_SUBBAND_QUARANTINE_SCHEMA if quarantine \
+        else AUDIO_SUBBAND_SCHEMA
+    return blobs.mapInPandas(
+        _quarantine_batches(
+            one,
+            ("format", "sample_rate", "n_channels", "n_mpeg_frames",
+             "duration_sec", "sb_peak", "sb_rms", "sb_centroid"),
+            quarantine,
+        ),
+        schema,
+    )
 
 
 def fake_decode_features(blobs: DataFrame) -> DataFrame:

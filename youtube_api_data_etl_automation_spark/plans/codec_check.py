@@ -29,6 +29,8 @@ Fixture families → engine op exercised:
   ID3v2 / VORBIS_COMMENT / LIST-INFO)
 - ``video_frame`` → :func:`operators.mediameta.video_keyframe_features`
   (r11: AVI/MJPEG + GIF first-keyframe pixel features)
+- ``audio_subband`` → :func:`operators.multimodal.audio_subband_features`
+  (r11: MPEG-1 Layer I exact subband-domain essence statistics)
 
 Scale note: the fixture is a verification corpus (~40 rows, a few KB);
 the ops it drives are the same Arrow-batched mapInPandas operators that
@@ -73,7 +75,11 @@ def codec_stats(spark: SparkSession) -> DataFrame:
         video_keyframe_features,
         video_meta,
     )
-    from ..operators.multimodal import decode_audio, decode_image
+    from ..operators.multimodal import (
+        audio_subband_features,
+        decode_audio,
+        decode_image,
+    )
     from ..session import ship_package
 
     # the decode closures are pickled by module reference — workers must
@@ -86,7 +92,7 @@ def codec_stats(spark: SparkSession) -> DataFrame:
         .select(F.col("payload_id").alias("doc_id"), "payload")
         for fam in ("image", "audio", "image_meta", "video_meta",
                     "audio_meta", "image_exif", "audio_tags",
-                    "video_frame")
+                    "video_frame", "audio_subband")
     }
 
     img = decode_image(by_family["image"], errors="quarantine").select(
@@ -217,8 +223,29 @@ def codec_stats(spark: SparkSession) -> DataFrame:
             ),
         ).otherwise(_err_fp()).alias("fp"),
     )
+    sband = audio_subband_features(
+        by_family["audio_subband"], errors="quarantine"
+    ).select(
+        "doc_id",
+        F.col("format").alias("fmt"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.when(
+            F.col("error").isNull(),
+            F.format_string(
+                "%d,%d,%d,%.6f,%.6f,%.6f,%.6f",
+                F.col("sample_rate"),
+                F.col("n_channels"),
+                F.col("n_mpeg_frames"),
+                round6(F.col("duration_sec")),
+                round6(F.col("sb_peak")),
+                round6(F.col("sb_rms")),
+                round6(F.col("sb_centroid")),
+            ),
+        ).otherwise(_err_fp()).alias("fp"),
+    )
     return (
         img.unionByName(aud).unionByName(imeta).unionByName(vmeta)
         .unionByName(ameta).unionByName(exif).unionByName(tags)
-        .unionByName(keyf)
+        .unionByName(keyf).unionByName(sband)
     )
