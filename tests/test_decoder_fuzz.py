@@ -190,6 +190,25 @@ def test_fuzz_metadata_parsers(rng):
                      "exif-garbage")
 
 
+def test_fuzz_bmp_pnm(rng):
+    import sys
+    sys.path.insert(0, "tests")
+    import numpy as np
+
+    from test_bmp_pnm import _bmp32, _bmp_pal, _bmp_rle8, _pal
+
+    pal = _pal(16, seed=66)
+    idx = (np.arange(6 * 9).reshape(6, 9) % 16).astype(np.uint8)
+    payloads = []
+    for base in (_bmp_pal(idx, pal, bpp=4), _bmp_rle8(idx, pal),
+                 _bmp32(np.arange(3 * 4 * 3).reshape(3, 4, 3) % 256)):
+        payloads += _mutations(rng, base, 120)
+    payloads += _mutations(rng, b"P5\n9 5\n255\n" + bytes(45), 60)
+    payloads += _mutations(rng, b"P4\n10 3\n" + bytes(6), 60)
+    payloads += [b"BM" + g for g in _garbage(rng, 80, 200)]
+    _assert_contract(multimodal._decode_rgb, payloads, "bmp_pnm")
+
+
 def test_fuzz_tiff(rng):
     import sys
     sys.path.insert(0, "tests")

@@ -94,8 +94,9 @@ def _lzw_encode(data: bytes) -> bytes:
 
 
 def _tiff_image(pixels, *, photometric=None, order="<", packbits=False,
-                lzw=False, predictor=1, rows_per_strip=None,
-                extra_tags=(), spp=None):
+                lzw=False, deflate=False, predictor=1,
+                rows_per_strip=None, extra_tags=(), spp=None,
+                palette=None):
     """Independent baseline-TIFF encoder. ``pixels``: (h, w) grey or
     (h, w, 3/4) arrays."""
     arr = np.asarray(pixels, dtype=np.uint8)
@@ -103,7 +104,7 @@ def _tiff_image(pixels, *, photometric=None, order="<", packbits=False,
     h, w = arr.shape[:2]
     n_samples = spp if spp is not None else (1 if grey else arr.shape[2])
     if photometric is None:
-        photometric = 1 if grey else 2
+        photometric = 3 if palette is not None else (1 if grey else 2)
     rps = rows_per_strip or h
     lt = order
 
@@ -121,18 +122,27 @@ def _tiff_image(pixels, *, photometric=None, order="<", packbits=False,
             strip = _packbits(strip)
         elif lzw:
             strip = _lzw_encode(strip)
+        elif deflate:
+            import zlib
+            strip = zlib.compress(strip)
         strips.append(strip)
 
     entries = [
         (256, 4, 1, w), (257, 4, 1, h),
         (258, 3, n_samples, [8] * n_samples),
-        (259, 3, 1, 32773 if packbits else (5 if lzw else 1)),
+        (259, 3, 1, 32773 if packbits else
+            (5 if lzw else (8 if deflate else 1))),
         (262, 3, 1, photometric),
         (277, 3, 1, n_samples),
         (278, 4, 1, rps),
     ]
     if predictor != 1:
         entries.append((317, 3, 1, predictor))
+    if palette is not None:
+        pal = np.zeros((256, 3), dtype=np.uint16)
+        pal[: len(palette)] = np.asarray(palette, dtype=np.uint16)
+        cm = (pal * 257).T.reshape(-1).tolist()  # 8->16 bit, R/G/B planes
+        entries.append((320, 3, 768, cm))
     entries += list(extra_tags)
     # StripOffsets/ByteCounts appended after layout below
     n_entries = len(entries) + 2
@@ -226,14 +236,14 @@ def test_multi_strip_and_packbits():
 
 def test_refusals_and_malformed():
     g = _img(4, 4, seed=6, grey=True)
-    # rewrite compression tag to deflate (8): unsupported, not corrupt
-    # (LZW, 5, decodes for real since r11)
-    zip_payload = _tiff_image(g)
-    i = zip_payload.index(struct.pack("<HHI", 259, 3, 1))
-    zip_payload = zip_payload[: i + 8] + struct.pack("<I", 8) \
-        + zip_payload[i + 12 :]
-    with pytest.raises(NotImplementedError, match="compression 8"):
-        tiff.decode_tiff(zip_payload)
+    # rewrite compression tag to JPEG-in-TIFF (7): unsupported, not
+    # corrupt (LZW 5 and deflate 8/32946 decode for real since r11)
+    jpg_payload = _tiff_image(g)
+    i = jpg_payload.index(struct.pack("<HHI", 259, 3, 1))
+    jpg_payload = jpg_payload[: i + 8] + struct.pack("<I", 7) \
+        + jpg_payload[i + 12 :]
+    with pytest.raises(NotImplementedError, match="compression 7"):
+        tiff.decode_tiff(jpg_payload)
     with pytest.raises(ValueError, match="bad magic"):
         tiff.decode_tiff(b"II+\x00" + b"\x00" * 16)
     with pytest.raises(ValueError, match="strip out of bounds|short strip"):
@@ -354,3 +364,48 @@ def test_probe_exif_and_triage_integration(spark):
     row = mediameta.triage_decode_images(blobs).collect()[0]
     assert row.route == "decoded" and row.format == "tiff"
     assert (row.width, row.height) == (8, 6)
+
+
+def test_deflate_strips_and_predictor():
+    rgb = _img(14, 23, seed=9)
+    payload = _tiff_image(rgb, deflate=True)
+    assert (tiff.decode_tiff(payload) == rgb).all()
+    payload = _tiff_image(rgb, deflate=True, predictor=2,
+                          rows_per_strip=4)
+    assert (tiff.decode_tiff(payload) == rgb).all()
+    # old-style deflate code 32946 decodes identically
+    import struct as st
+    old = bytearray(_tiff_image(rgb, deflate=True))
+    n = st.unpack_from("<H", old, 8)[0]
+    for i in range(n):
+        at = 10 + 12 * i
+        if st.unpack_from("<H", old, at)[0] == 259:
+            st.pack_into("<I", old, at + 8, 32946)
+    assert (tiff.decode_tiff(bytes(old)) == rgb).all()
+    # corrupt deflate stream refuses
+    bad = bytearray(_tiff_image(rgb, deflate=True))
+    bad[-8] ^= 0xFF
+    with pytest.raises(ValueError, match="deflate|strip"):
+        tiff.decode_tiff(bytes(bad))
+
+
+def test_palette_colormap():
+    rng = np.random.default_rng(12)
+    pal = rng.integers(0, 256, size=(16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, size=(9, 11)).astype(np.uint8)
+    payload = _tiff_image(idx, palette=pal)
+    out = tiff.decode_tiff(payload)
+    assert (out == pal[idx]).all()
+    # palette + LZW, big-endian
+    payload = _tiff_image(idx, palette=pal, lzw=True, order=">")
+    assert (tiff.decode_tiff(payload) == pal[idx]).all()
+    # palette without ColorMap refuses as corrupt
+    import struct as st
+    noem = bytearray(_tiff_image(idx, palette=pal))
+    n = st.unpack_from("<H", noem, 8)[0]
+    for i in range(n):
+        at = 10 + 12 * i
+        if st.unpack_from("<H", noem, at)[0] == 320:
+            st.pack_into("<H", noem, at, 32995)
+    with pytest.raises(ValueError, match="without ColorMap"):
+        tiff.decode_tiff(bytes(noem))

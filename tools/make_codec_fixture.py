@@ -102,6 +102,28 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
         _tiff_image(
             np.repeat(_tiff_img(2, 9, seed=52, grey=True), 4, axis=0),
             packbits=True, rows_per_strip=3))
+    add(123, "image", "tiff_deflate_rgb_predictor",
+        _tiff_image(_tiff_img(7, 12, seed=55), deflate=True,
+                    predictor=2))
+    import numpy as _np
+    _pal_rng = _np.random.default_rng(56)
+    _tpal = _pal_rng.integers(0, 256, size=(16, 3)).astype(_np.uint8)
+    _tidx = _pal_rng.integers(0, 16, size=(6, 10)).astype(_np.uint8)
+    add(124, "image", "tiff_palette_lzw",
+        _tiff_image(_tidx, palette=_tpal, lzw=True))
+    from test_bmp_pnm import _bmp32, _bmp_pal, _bmp_rle8, _pal
+    _bpal = _pal(16, seed=57)
+    _bidx = (_np.arange(5 * 8).reshape(5, 8) % 16).astype(_np.uint8)
+    add(125, "image", "bmp_palette_4bit", _bmp_pal(_bidx, _bpal, bpp=4))
+    add(126, "image", "bmp_rle8", _bmp_rle8(_bidx, _bpal))
+    add(127, "image", "bmp_32bit",
+        _bmp32(_np.arange(3 * 4 * 3).reshape(3, 4, 3) % 256))
+    add(128, "image", "pgm_binary",
+        b"P5\n9 5\n255\n" + bytes((i * 7) % 256 for i in range(45)))
+    add(129, "image", "pbm_bitmap",
+        b"P4\n10 3\n" + bytes((0b10110100, 0b01000000,
+                               0b01011011, 0b11000000,
+                               0b11100010, 0b10000000)))
     add(121, "image", "tiff_lzw_rgb",
         _tiff_image(_tiff_img(11, 13, seed=53), lzw=True))
     add(122, "image", "tiff_lzw_predictor_grey_strips",

@@ -198,11 +198,13 @@ def _probe_image(payload: bytes) -> tuple[str, int, int]:
         w = struct.unpack_from("<i", payload, 18)[0]
         h = abs(struct.unpack_from("<i", payload, 22)[0])
         return "bmp", w, h
-    if payload[:2] == b"P6":
+    if payload[:2] in (b"P4", b"P5", b"P6"):
         from .multimodal import _ppm_header  # O(header) — never pixels
 
-        w, h, _maxval, _off = _ppm_header(payload)
-        return "ppm", w, h
+        kind = {b"P4": "pbm", b"P5": "pgm", b"P6": "ppm"}[payload[:2]]
+        w, h, _maxval, _off = _ppm_header(
+            payload, n_vals=2 if payload[:2] == b"P4" else 3)
+        return kind, w, h
     if payload[:2] == b"\xff\xd8":
         # walk segments to the first SOF (any Huffman/arithmetic kind)
         pos = 2

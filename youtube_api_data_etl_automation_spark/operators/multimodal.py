@@ -13,11 +13,13 @@ Design (per the 100 TB posture):
 
 No codec libraries are installed in this environment, so the decoders are
 split honestly: ``decode_image`` REALLY decodes the formats that need no
-codec library (24-bit BMP, binary P6 PPM, the full PNG variant matrix via
-stdlib zlib + scanline unfilter incl. palette/16-bit/Adam7 — r9; Huffman
-JPEG baseline AND progressive via operators/jpeg.py — r9; first-frame GIF
-via operators/gif.py — r9; lossless WebP via operators/vp8l.py — r10:
-prefix codes + LZ77 + color cache + all four transforms).
+codec library (BMP incl. palette/RLE8/32-bit — r11; binary PNM P4/P5/P6;
+the full PNG variant matrix via stdlib zlib + scanline unfilter incl.
+palette/16-bit/Adam7 — r9; Huffman JPEG baseline AND progressive via
+operators/jpeg.py — r9; first-frame GIF via operators/gif.py — r9;
+lossless WebP via operators/vp8l.py — r10: prefix codes + LZ77 + color
+cache + all four transforms; TIFF baseline/LZW/deflate/PackBits incl.
+palette via operators/tiff.py — r10/r11).
 ``decode_audio`` really decodes RIFF/WAVE integer PCM 8/16/24/32,
 IEEE-float 32/64, G.711, IMA + Microsoft ADPCM (the matrix completed in
 r9), and — r10 — FLAC via operators/flac.py (pure-integer LPC + Rice).
@@ -412,12 +414,14 @@ def _decode_png(payload: bytes,
     return samples[:, :, :3]
 
 
-def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
-    """Parse a binary-P6 PPM header: ``(width, height, maxval,
-    pixel_data_offset)``. O(header bytes) — shared by the pixel decoder
+def _ppm_header(payload: bytes,
+                n_vals: int = 3) -> tuple[int, int, int, int]:
+    """Parse a binary PNM header (P4/P5/P6): ``(width, height, maxval,
+    pixel_data_offset)`` — for P4 pass ``n_vals=2`` (no maxval field;
+    1 is returned). O(header bytes) — shared by the pixel decoder
     and the header-only metadata probe, which must never touch pixels."""
     i, vals = 2, []
-    while len(vals) < 3:
+    while len(vals) < n_vals:
         while i < len(payload) and payload[i : i + 1].isspace():
             i += 1
         if payload[i : i + 1] == b"#":
@@ -431,9 +435,55 @@ def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
             raise ValueError("malformed PPM: truncated header")
         vals.append(int(payload[i:j]))
         i = j
-    i += 1  # the single whitespace byte after maxval
+    i += 1  # the single whitespace byte closing the header
+    if n_vals == 2:
+        w, h = vals
+        return w, h, 1, i
     w, h, maxval = vals
     return w, h, maxval, i
+
+
+def _bmp_rle8(data: bytes, w: int, h: int):
+    """BI_RLE8 expand to an (h, w) index array in FILE row order (the
+    caller applies the bottom-up flip). Encoded runs: (n>0, v) repeats;
+    n==0 escapes: 0 end-of-line, 1 end-of-bitmap, 2 delta (dx, dy),
+    >=3 absolute literals padded to a 16-bit boundary. Delta-skipped
+    pixels are undefined by the spec — they decode as palette index 0
+    here, deterministically."""
+    import numpy as np
+
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = pos = 0
+    n = len(data)
+    while pos + 2 <= n:
+        cnt, v = data[pos], data[pos + 1]
+        pos += 2
+        if cnt:
+            if y >= h or x + cnt > w:
+                raise ValueError("malformed BMP: RLE8 run exceeds row")
+            out[y, x : x + cnt] = v
+            x += cnt
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+            if y > h:
+                raise ValueError("malformed BMP: RLE8 rows exceed height")
+        elif v == 1:  # end of bitmap
+            return out
+        elif v == 2:  # delta
+            if pos + 2 > n:
+                raise ValueError("malformed BMP: truncated RLE8 delta")
+            x += data[pos]
+            y += data[pos + 1]
+            pos += 2
+            if x > w or y > h:
+                raise ValueError("malformed BMP: RLE8 delta out of range")
+        else:  # absolute run of v literals, word-aligned
+            if y >= h or x + v > w or pos + v > n:
+                raise ValueError("malformed BMP: RLE8 absolute overrun")
+            out[y, x : x + v] = bytearray(data[pos : pos + v])
+            x += v
+            pos += v + (v & 1)
+    raise ValueError("malformed BMP: RLE8 ended without end-of-bitmap")
 
 
 def _decode_rgb(payload: bytes,
@@ -442,9 +492,12 @@ def _decode_rgb(payload: bytes,
 
     Pure stdlib+numpy decoders for the formats that need no codec
     library:
-    - BMP: 24-bit BI_RGB (BITMAPINFOHEADER), bottom-up or top-down rows,
-      4-byte row padding, BGR channel order.
-    - PPM: binary P6, maxval ≤ 255, '#' header comments.
+    - BMP (completed r11): 24/32-bit BI_RGB, 1/4/8-bit palette via the
+      BGRX color table, and BI_RLE8 (runs/absolute/delta/EOL escapes;
+      delta-skipped pixels deterministically index 0) — bottom-up or
+      top-down rows, 4-byte row padding, BGR channel order.
+    - PNM: binary P6 PPM, P5 PGM, P4 PBM (r11), maxval ≤ 255,
+      '#' header comments.
     - PNG (r7, completed r9): the FULL spec variant matrix — greyscale
       1/2/4/8/16-bit, truecolor 8/16, palette 1/2/4/8, grey+alpha and
       RGBA 8/16, non-interlaced and Adam7 — via stdlib zlib + spec
@@ -469,21 +522,63 @@ def _decode_rgb(payload: bytes,
         raise ValueError("empty/NULL image payload")
     if payload[:2] == b"BM":
         off = struct.unpack_from("<I", payload, 10)[0]
+        hdr_size = struct.unpack_from("<I", payload, 14)[0]
         w = struct.unpack_from("<i", payload, 18)[0]
         h = struct.unpack_from("<i", payload, 22)[0]
         bpp = struct.unpack_from("<H", payload, 28)[0]
         comp = struct.unpack_from("<I", payload, 30)[0]
-        if bpp != 24 or comp != 0:
-            raise NotImplementedError(
-                f"BMP variant not supported (bpp={bpp}, compression={comp}); "
-                "only 24-bit BI_RGB decodes without a codec library"
-            )
         top_down, hh = h < 0, abs(h)
-        stride = (w * 3 + 3) & ~3
-        arr = np.frombuffer(
-            payload, dtype=np.uint8, count=stride * hh, offset=off
-        ).reshape(hh, stride)[:, : w * 3].reshape(hh, w, 3)
-        rgb = arr[:, :, ::-1]  # BGR → RGB
+        if w <= 0 or hh == 0:
+            raise ValueError(f"malformed BMP: dimensions {w}x{h}")
+        if bpp == 24 and comp == 0:
+            stride = (w * 3 + 3) & ~3
+            arr = np.frombuffer(
+                payload, dtype=np.uint8, count=stride * hh, offset=off
+            ).reshape(hh, stride)[:, : w * 3].reshape(hh, w, 3)
+            rgb = arr[:, :, ::-1]  # BGR → RGB
+        elif bpp == 32 and comp == 0:
+            arr = np.frombuffer(
+                payload, dtype=np.uint8, count=w * 4 * hh, offset=off
+            ).reshape(hh, w, 4)
+            rgb = arr[:, :, 2::-1]  # BGRA → RGB (alpha structural)
+        elif (bpp in (1, 4, 8) and comp == 0) or (bpp == 8 and comp == 1):
+            ncolors = 0
+            if hdr_size >= 36 and len(payload) >= 50:
+                ncolors = struct.unpack_from("<I", payload, 46)[0]
+            ncolors = ncolors or (1 << bpp)
+            pal_at = 14 + hdr_size
+            if pal_at + 4 * ncolors > len(payload):
+                raise ValueError("malformed BMP: truncated color table")
+            pal = np.frombuffer(
+                payload, dtype=np.uint8, count=4 * ncolors, offset=pal_at
+            ).reshape(ncolors, 4)[:, 2::-1]  # BGRX quads → RGB
+            if comp == 1:
+                idx = _bmp_rle8(payload[off:], w, hh)
+            else:
+                stride = ((w * bpp + 31) // 32) * 4
+                raw = np.frombuffer(
+                    payload, dtype=np.uint8, count=stride * hh, offset=off
+                ).reshape(hh, stride)
+                if bpp == 8:
+                    idx = raw[:, :w]
+                else:
+                    per = 8 // bpp
+                    bits = np.unpackbits(raw, axis=1)
+                    idx = np.zeros((hh, stride * per), dtype=np.uint8)
+                    for k in range(bpp):
+                        idx = (idx << 1) | bits[:, k::bpp][:, : idx.shape[1]]
+                    idx = idx[:, :w]
+            if int(idx.max(initial=0)) >= ncolors:
+                raise ValueError(
+                    "malformed BMP: pixel index beyond the color table"
+                )
+            rgb = pal[idx]
+        else:
+            raise NotImplementedError(
+                f"BMP variant not supported (bpp={bpp}, "
+                f"compression={comp}); 1/4/8-bit palette (incl. RLE8), "
+                "24-bit and 32-bit BI_RGB decode without a codec library"
+            )
         return "bmp", (rgb if top_down else rgb[::-1])
     if payload[:2] == b"P6":
         w, h, maxval, i = _ppm_header(payload)
@@ -495,6 +590,25 @@ def _decode_rgb(payload: bytes,
             payload, dtype=np.uint8, count=w * h * 3, offset=i
         ).reshape(h, w, 3)
         return "ppm", rgb
+    if payload[:2] == b"P5":
+        w, h, maxval, i = _ppm_header(payload)
+        if maxval > 255:
+            raise NotImplementedError(
+                "16-bit PGM (maxval > 255) not supported"
+            )
+        grey = np.frombuffer(
+            payload, dtype=np.uint8, count=w * h, offset=i
+        ).reshape(h, w)
+        return "pgm", np.repeat(grey[:, :, None], 3, axis=2)
+    if payload[:2] == b"P4":
+        w, h, _mv, i = _ppm_header(payload, n_vals=2)
+        stride = (w + 7) // 8
+        raw = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * h, offset=i
+        ).reshape(h, stride)
+        bits = np.unpackbits(raw, axis=1)[:, :w]  # MSB-first, 1 = black
+        grey = np.where(bits == 1, 0, 255).astype(np.uint8)
+        return "pbm", np.repeat(grey[:, :, None], 3, axis=2)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png", _decode_png(
             payload, slow_filter_budget=slow_filter_budget

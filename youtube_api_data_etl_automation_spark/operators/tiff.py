@@ -2,18 +2,20 @@
 
 TIFF 6.0's baseline profile is plain struct parsing over the same IFD
 machinery operators/mediameta.py already walks for EXIF: strip-based
-storage with three self-contained compressions — none (1), LZW (5,
+storage with four self-contained compressions — none (1), LZW (5,
 the dominant archival-scan compression; MSB-first early-change variant,
-see ``_lzw_decode``) and PackBits (32773, a one-byte RLE), plus the
-horizontal-differencing predictor (tag 317) LZW files usually carry.
-JPEG-in-TIFF/deflate variants raise the honest NotImplementedError and
-quarantine as 'unsupported'.
+see ``_lzw_decode``), deflate (8 and the old 32946 code, stdlib zlib
+with a bomb-bounding max_length) and PackBits (32773, a one-byte RLE),
+plus the horizontal-differencing predictor (tag 317) LZW/deflate files
+usually carry. JPEG-in-TIFF raises the honest NotImplementedError and
+quarantines as 'unsupported'.
 
-Supported: 8-bit greyscale (photometric 0/1, WhiteIsZero inverted) and
+Supported: 8-bit greyscale (photometric 0/1, WhiteIsZero inverted),
 8-bit RGB/RGBA (photometric 2; alpha reported structurally by dropping
-the extra sample, like the PNG decoder), both byte orders, multi-strip
-layouts, RowsPerStrip defaulting to the full image. Pixel budget with
-the family's recoverable-refusal contract.
+the extra sample, like the PNG decoder) and 8-bit palette (photometric
+3 via the 16-bit ColorMap tag), both byte orders, multi-strip layouts,
+RowsPerStrip defaulting to the full image. Pixel budget with the
+family's recoverable-refusal contract.
 """
 
 from __future__ import annotations
@@ -170,11 +172,11 @@ def decode_tiff(payload: bytes,
             "raise pixel_budget or route to a codec library"
         )
     compression = scalar(259, default=1)
-    if compression not in (1, 5, 32773):
+    if compression not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF compression {compression} needs a codec library; "
-            "only uncompressed (1), LZW (5) and PackBits (32773) "
-            "decode here"
+            "uncompressed (1), LZW (5), deflate (8/32946) and PackBits "
+            "(32773) decode here"
         )
     predictor = scalar(317, default=1)
     if predictor not in (1, 2):
@@ -183,20 +185,35 @@ def decode_tiff(payload: bytes,
             "differencing only; 3 is floating-point)"
         )
     photometric = scalar(262)
-    if photometric not in (0, 1, 2):
+    if photometric not in (0, 1, 2, 3):
         raise NotImplementedError(
             f"TIFF photometric {photometric} not supported (baseline "
-            "grey/RGB only — palette/CMYK/YCbCr need tables or a codec)"
+            "grey/RGB/palette only — CMYK/YCbCr need a codec)"
         )
     spp = scalar(277, default=1)
     if photometric == 2 and spp not in (3, 4):
         raise ValueError(
             f"malformed TIFF: RGB with {spp} samples per pixel"
         )
-    if photometric in (0, 1) and spp != 1:
+    if photometric in (0, 1, 3) and spp != 1:
         raise ValueError(
-            f"malformed TIFF: greyscale with {spp} samples per pixel"
+            f"malformed TIFF: greyscale/palette with {spp} samples "
+            "per pixel"
         )
+    colormap = None
+    if photometric == 3:
+        if 320 not in tags:
+            raise ValueError("malformed TIFF: palette without ColorMap")
+        cm = array(320)
+        if len(cm) != 3 * 256:
+            raise ValueError(
+                f"malformed TIFF: ColorMap has {len(cm)} entries, "
+                "8-bit palette needs 768"
+            )
+        # ColorMap values are 16-bit (black 0, white 65535); R then G
+        # then B planes of 2^bits entries each
+        colormap = (np.array(cm, dtype=np.uint16)
+                    .reshape(3, 256).T >> 8).astype(np.uint8)
     # TIFF 6.0 defaults BitsPerSample to 1 (bilevel) when tag 258 is
     # absent — assuming 8 would misread a tagless bilevel file as a
     # short strip; route it through the same unsupported branch instead
@@ -229,6 +246,22 @@ def decode_tiff(payload: bytes,
             raw += _unpackbits(strip, expected)
         elif compression == 5:
             raw += _lzw_decode(strip, expected)
+        elif compression in (8, 32946):
+            import zlib
+            try:
+                # max_length caps output: a deflate bomb costs at most
+                # the strip's declared pixel bytes, never unbounded RAM
+                d = zlib.decompressobj()
+                inflated = d.decompress(strip, expected)
+            except zlib.error as e:
+                raise ValueError(f"malformed TIFF: bad deflate strip "
+                                 f"({e})") from None
+            if len(inflated) != expected:
+                raise ValueError(
+                    f"malformed TIFF: deflate yields {len(inflated)} "
+                    f"bytes, strip declares {expected}"
+                )
+            raw += inflated
         else:
             if len(strip) < expected:
                 raise ValueError("malformed TIFF: short strip")
@@ -247,6 +280,8 @@ def decode_tiff(payload: bytes,
         arr = np.add.accumulate(arr, axis=1, dtype=np.uint8)
     if photometric == 2:
         return np.ascontiguousarray(arr[:, :, :3])
+    if photometric == 3:
+        return np.ascontiguousarray(colormap[arr[:, :, 0]])
     grey = arr[:, :, 0]
     if photometric == 0:  # WhiteIsZero
         grey = 255 - grey
