@@ -199,3 +199,15 @@ def test_decode_image_operator_new_formats(spark):
         assert r["mean_b"] == pytest.approx(want_means[2])
     assert out[3]["format"] == "pgm"
     assert out[3]["mean_g"] == pytest.approx(2.5)
+
+
+def test_bmp_pixel_budget_bounds_header_bombs():
+    """A forged huge-dimension header must refuse (budget), not
+    allocate — the RLE8 output buffer is sized from the header alone
+    (r11 fuzz finding: mutated headers reached 35 GB RSS)."""
+    pal = _pal(8, seed=9)
+    idx = np.zeros((2, 2), dtype=np.uint8)
+    bomb = bytearray(_bmp_rle8(idx, pal))
+    struct.pack_into("<ii", bomb, 18, 1 << 16, 1 << 16)  # 4 Gpx
+    with pytest.raises(NotImplementedError, match="pixel"):
+        multimodal._decode_rgb(bytes(bomb))

@@ -43,9 +43,9 @@ def test_fixture_is_committed_and_covers_all_families():
     # PCM 8/16/24/32 + float 32/64 + G.711 ×2 + IMA + MS +
     # 2 FLAC (r10) + 3 refusals
     assert fams["audio"] == 15
-    # MP4 ×2 + MKV ×2 + AVI + 3 refusals / MP3 ×3 + FLAC + WAV +
+    # MP4 ×3 (incl. stsz) + MKV ×2 + AVI + APNG + PNG + GIF ×2 + 3 refusals / MP3 ×3 + FLAC + WAV +
     # OGG ×2 + 3 refusals
-    assert fams["video_meta"] == 11 and fams["audio_meta"] == 10
+    assert fams["video_meta"] == 14 and fams["audio_meta"] == 10
     # MJPEG x2 + GIF + 2 refusals / Layer I x3 + 2 refusals (r11)
     assert fams["video_frame"] == 5 and fams["audio_subband"] == 5
 
@@ -168,4 +168,4 @@ def test_codec_stats_from_foreign_cwd():
         env={k: v for k, v in __import__("os").environ.items()
              if k != "PYTHONPATH"},
     )
-    assert "CODEC_ROWS=98" in out.stdout, out.stderr[-2000:]
+    assert "CODEC_ROWS=101" in out.stdout, out.stderr[-2000:]

@@ -156,6 +156,13 @@ def test_fuzz_metadata_parsers(rng):
                       for g in _garbage(rng, 100, 200)], "mkv-garbage")
     _assert_contract(mediameta._probe_image, _garbage(rng, 150),
                      "probe-garbage")
+    from test_mediameta import _apng
+
+    _assert_contract(mediameta._parse_apng_meta,
+                     _mutations(rng, _apng(), 120), "apng")
+    _assert_contract(mediameta._parse_apng_meta,
+                     [b"\x89PNG\r\n\x1a\n" + g
+                      for g in _garbage(rng, 80, 200)], "apng-garbage")
     from test_mediameta import _avi, _ogg_page
 
     avi = _avi()

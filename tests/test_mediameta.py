@@ -26,11 +26,16 @@ def _tkhd(w, h, version=0):
     return _box(b"tkhd", body)
 
 
-def _trak(handler: bytes, codec: bytes, w=0, h=0, tkhd_version=0):
+def _trak(handler: bytes, codec: bytes, w=0, h=0, tkhd_version=0,
+          n_samples=None):
     hdlr = _box(b"hdlr", b"\x00" * 8 + handler + b"\x00" * 12)
     stsd = _box(b"stsd", b"\x00" * 8 + struct.pack(">I", 86) + codec
                 + b"\x00" * 8)
-    stbl = _box(b"stbl", stsd)
+    stbl_body = stsd
+    if n_samples is not None:
+        stbl_body += _box(b"stsz", b"\x00" * 4
+                          + struct.pack(">II", 0, n_samples))
+    stbl = _box(b"stbl", stbl_body)
     minf = _box(b"minf", stbl)
     mdia = _box(b"mdia", hdlr + minf)
     return _box(b"trak", _tkhd(w, h, tkhd_version) + mdia)
@@ -1040,3 +1045,68 @@ def test_video_keyframe_features_operator(spark):
     # errors='raise' surfaces the first failure
     with pytest.raises(Exception, match="codec|keyframe|container"):
         mediameta.video_keyframe_features(df, errors="raise").collect()
+
+
+def test_mp4_n_frames_from_stsz():
+    payload = _mp4(
+        timescale=600, duration=1500,
+        tracks=(
+            _trak(b"vide", b"avc1", w=320, h=240, n_samples=75),
+            _trak(b"soun", b"mp4a", n_samples=1200),
+        ),
+    )
+    out = mediameta._parse_mp4(payload)
+    # the FIRST video trak's stsz sample count, not the audio one
+    assert out["n_frames"] == 75
+    # no stsz -> NULL, as before
+    out = mediameta._parse_mp4(_mp4(tracks=(
+        _trak(b"vide", b"avc1", w=16, h=16),)))
+    assert out["n_frames"] is None
+
+
+def _apng(frames=3, delays=((10, 100), (20, 100), (5, 0))):
+    """Minimal APNG: IHDR + acTL + fcTL per frame + IEND (no image
+    data — the metadata walk never touches pixels)."""
+    import zlib as _z
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body \
+            + struct.pack(">I", _z.crc32(body))
+
+    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 4, 8, 0, 0, 0, 0))
+    actl = chunk(b"acTL", struct.pack(">II", frames, 0))
+    fctls = b"".join(
+        chunk(b"fcTL", struct.pack(">IIIII", i, 7, 4, 0, 0)
+              + struct.pack(">HHBB", num, den, 0, 0))
+        for i, (num, den) in enumerate(delays)
+    )
+    return b"\x89PNG\r\n\x1a\n" + ihdr + actl + fctls \
+        + chunk(b"IEND", b"")
+
+
+def test_apng_and_static_png_video_meta(spark):
+    out = mediameta._parse_apng_meta(_apng())
+    assert out["brand"] == "apng" and out["n_frames"] == 3
+    # 10/100 + 20/100 + 5/(0->100 per spec) = 0.35 s
+    assert out["duration_sec"] == pytest.approx(0.35)
+    assert (out["width"], out["height"]) == (7, 4)
+
+    import sys
+    sys.path.insert(0, "tests")
+    from test_operators import _png
+
+    static = _png([[(1, 2, 3)] * 5] * 4)
+    out = mediameta._parse_apng_meta(static)
+    assert out["brand"] == "png" and out["n_frames"] == 1
+    assert out["duration_sec"] == 0.0
+
+    # cut INSIDE the last fcTL chunk (a lost trailing IEND alone is
+    # tolerated, like the other lenient probes)
+    with pytest.raises(ValueError, match="overruns|no IHDR"):
+        mediameta._parse_apng_meta(_apng()[:-30])
+    # the video_meta operator routes PNG payloads here
+    df = spark.createDataFrame([(1, bytearray(_apng()))],
+                               "doc_id long, payload binary")
+    r = mediameta.video_meta(df, errors="quarantine").collect()[0]
+    assert r["brand"] == "apng" and r["n_frames"] == 3

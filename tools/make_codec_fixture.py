@@ -234,6 +234,15 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
                        [[3, 0, 1]] * 2], PAL4, delays_cs=[10, 20, 30]))
     add(411, "video_meta", "gif_static_single_frame",
         _gif([[0, 1, 2, 3]] * 3, PAL4))
+    add(412, "video_meta", "mp4_stsz_frame_count",
+        _mp4(timescale=600, duration=1500,
+             tracks=(_trak(b"vide", b"avc1", w=320, h=240, n_samples=75),
+                     _trak(b"soun", b"mp4a", n_samples=1200))))
+    from test_mediameta import _apng
+    add(413, "video_meta", "apng_animated", _apng())
+    from test_operators import _png as _png_op
+    add(414, "video_meta", "png_static_one_frame",
+        _png_op([[(9, 8, 7)] * 3] * 2))
     add(405, "video_meta", "mp4_short_mvhd_corrupt",
         _box(b"ftyp", b"isom" + b"\x00" * 8)
         + _box(b"moov", _box(b"mvhd", bytes([0, 0, 0, 0]))))

@@ -113,6 +113,7 @@ def _parse_mp4(payload: bytes) -> dict:
     def walk_trak(body_start, body_end):
         out["n_tracks"] += 1
         t_w = t_h = None
+        nonlocal_frames = [None]  # stsz sample count of this trak
         handler = None
         for btype, b0, b1 in _boxes(payload, body_start, body_end):
             if btype == b"tkhd":
@@ -132,18 +133,27 @@ def _parse_mp4(payload: bytes) -> dict:
                             if ntype != b"stbl":
                                 continue
                             for stype, s0, s1 in _boxes(payload, n0, n1):
-                                if stype != b"stsd" or s1 - s0 < 16:
-                                    continue
-                                # full box header (4) + entry count (4),
-                                # then the first sample entry's fourcc
-                                out["codecs"].append(
-                                    payload[s0 + 12 : s0 + 16]
-                                    .decode("latin-1")
-                                )
+                                if stype == b"stsd" and s1 - s0 >= 16:
+                                    # full box header (4) + entry count
+                                    # (4), then the first sample
+                                    # entry's fourcc
+                                    out["codecs"].append(
+                                        payload[s0 + 12 : s0 + 16]
+                                        .decode("latin-1")
+                                    )
+                                elif stype == b"stsz" and s1 - s0 >= 12:
+                                    # sample count at offset 8 (after
+                                    # fullbox header + sample_size)
+                                    (t_cnt,) = struct.unpack_from(
+                                        ">I", payload, s0 + 8)
+                                    nonlocal_frames[0] = t_cnt
+        t_frames = nonlocal_frames[0]
         if handler == b"vide":
             out["n_video_tracks"] += 1
             if t_w and t_h and out["width"] is None:
                 out["width"], out["height"] = t_w, t_h
+            if t_frames is not None and out["n_frames"] is None:
+                out["n_frames"] = t_frames
         elif handler == b"soun":
             out["n_audio_tracks"] += 1
 
@@ -624,6 +634,56 @@ def _parse_gif_meta(payload: bytes) -> dict:
 
 # --- EBML / Matroska (and WebM) -------------------------------------
 
+def _parse_apng_meta(payload: bytes) -> dict:
+    """PNG/APNG triage metadata (r11): IHDR dimensions from the chunk
+    walk; an acTL chunk (animated PNG — it must precede IDAT) gives the
+    frame count and per-frame fcTL delays sum to the duration
+    (delay_den 0 means 100 per the APNG spec). Static PNGs report one
+    frame, zero duration — the same animated-vs-static routing signal
+    as the GIF walk, without decoding a pixel."""
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("malformed PNG: bad signature")
+    pos = 8
+    w = h = None
+    n_frames = None
+    duration = 0.0
+    animated = False
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = pos + 8
+        if body + clen + 4 > len(payload):
+            raise ValueError(
+                f"malformed PNG: chunk {ctype!r} overruns the payload"
+            )
+        if ctype == b"IHDR":
+            if clen < 8:
+                raise ValueError("malformed PNG: short IHDR")
+            w, h = struct.unpack_from(">II", payload, body)
+        elif ctype == b"acTL":
+            if clen < 8:
+                raise ValueError("malformed PNG: short acTL")
+            (n_frames, _plays) = struct.unpack_from(">II", payload, body)
+            animated = True
+        elif ctype == b"fcTL":
+            if clen < 26:
+                raise ValueError("malformed PNG: short fcTL")
+            num, den = struct.unpack_from(">HH", payload, body + 20)
+            duration += num / (den or 100)
+        elif ctype == b"IEND":
+            break
+        pos = body + clen + 4  # skip data + CRC
+    if w is None:
+        raise ValueError("malformed PNG: no IHDR chunk")
+    return {
+        "brand": "apng" if animated else "png",
+        "duration_sec": duration,
+        "n_tracks": 1, "n_video_tracks": 1, "n_audio_tracks": 0,
+        "n_frames": n_frames if n_frames is not None else 1,
+        "width": w, "height": h, "codecs": "png",
+    }
+
+
 def _ebml_vint(payload: bytes, pos: int, *, keep_marker: bool):
     """(value, next_pos) for an EBML variable-length integer at ``pos``.
     Element IDs keep the length-marker bit (``keep_marker=True``);
@@ -800,6 +860,8 @@ def video_meta(blobs: DataFrame, errors: str = "raise") -> DataFrame:
             return _parse_avi(payload)
         if payload[:6] in (b"GIF87a", b"GIF89a"):
             return _parse_gif_meta(payload)
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return _parse_apng_meta(payload)
         return _parse_mp4(payload)
 
     schema = VIDEO_META_QUARANTINE_SCHEMA if quarantine else VIDEO_META_SCHEMA

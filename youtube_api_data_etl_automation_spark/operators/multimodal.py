@@ -167,6 +167,14 @@ DECODE_SCHEMA = (
 # and keep this stdlib path for environments without one.
 PNG_SLOW_FILTER_BYTE_BUDGET = 2_000_000
 
+# BMP's RLE8 output buffer is allocated from HEADER-declared dims
+# before the (small) escape stream proves them — without a cap, a
+# forged 2-gigapixel header is a memory bomb, not a decode (caught by
+# the r11 fuzz pass: 35 GB RSS from mutated headers). Uncompressed
+# paths are naturally bounded by the payload's own byte count, but get
+# the same cap for a uniform refusal.
+BMP_PIXEL_BUDGET = 1 << 24
+
 
 def _png_unfilter(raw: bytes, pos: int, h: int, stride: int, bpp: int,
                   slow_filter_budget: int | None, slow_bytes: int):
@@ -530,6 +538,11 @@ def _decode_rgb(payload: bytes,
         top_down, hh = h < 0, abs(h)
         if w <= 0 or hh == 0:
             raise ValueError(f"malformed BMP: dimensions {w}x{h}")
+        if w * hh > BMP_PIXEL_BUDGET:
+            raise NotImplementedError(
+                f"BMP {w}x{hh} exceeds the {BMP_PIXEL_BUDGET}-pixel "
+                "budget; route to a codec-library executor image"
+            )
         if bpp == 24 and comp == 0:
             stride = (w * 3 + 3) & ~3
             arr = np.frombuffer(
