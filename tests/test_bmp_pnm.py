@@ -211,3 +211,14 @@ def test_bmp_pixel_budget_bounds_header_bombs():
     struct.pack_into("<ii", bomb, 18, 1 << 16, 1 << 16)  # 4 Gpx
     with pytest.raises(NotImplementedError, match="pixel"):
         multimodal._decode_rgb(bytes(bomb))
+
+
+def test_triage_routes_pnm_to_decode(spark):
+    """PGM/PBM joined DECODABLE_IMAGE_FORMATS in r11 — the triage
+    router must decode them rather than route 'undecodable'."""
+    df = spark.createDataFrame(
+        [(1, bytearray(b"P5\n3 2\n255\n" + bytes(range(6))))],
+        "doc_id long, payload binary")
+    r = mediameta.triage_decode_images(df).collect()[0]
+    assert r["route"] == "decoded" and r["format"] == "pgm"
+    assert r["mean_g"] == pytest.approx(2.5)

@@ -338,3 +338,99 @@ def test_audio_subband_features_operator(spark):
         float((e * np.arange(32)).sum() / e.sum()))
     assert out[2]["error_kind"] == "unsupported"
     assert out[3]["error_kind"] == "corrupt"
+
+
+def test_synthesize_pcm_structure():
+    """The filterbank STRUCTURE with a caller-supplied window: a delta
+    window isolates single FIFO taps, making the expected output a
+    direct cosine-matrix evaluation (independent of the implementation's
+    V/U bookkeeping)."""
+    rng = np.random.default_rng(13)
+    sb = rng.uniform(-1, 1, size=(3, 1, 32))
+    # refusal without the table
+    with pytest.raises(NotImplementedError, match="Table 3-B.3"):
+        mpegaudio.synthesize_pcm(sb)
+    with pytest.raises(ValueError, match="512"):
+        mpegaudio.synthesize_pcm(sb, window=np.ones(100))
+    with pytest.raises(ValueError, match="groups, channels"):
+        mpegaudio.synthesize_pcm(np.zeros((3, 32)), window=np.ones(512))
+    # delta window at index 0: out[0] of group g = V[0] right after
+    # the matrixing = sum_k cos(16*(2k+1)*pi/64) * S_g[k]; all other
+    # output samples zero
+    d0 = np.zeros(512)
+    d0[0] = 1.0
+    out = mpegaudio.synthesize_pcm(sb, window=d0)
+    assert out.shape == (96, 1)
+    for g in range(3):
+        want = sum(
+            math.cos(16 * (2 * k + 1) * math.pi / 64) * sb[g, 0, k]
+            for k in range(32)
+        )
+        assert out[g * 32, 0] == pytest.approx(want)
+        assert np.abs(out[g * 32 + 1 : (g + 1) * 32, 0]).max() < 1e-12
+    # delta window at index 64 reads the 128-offset FIFO block: group
+    # g's output sees group g-1's matrixed V (the 64-shift x2 history)
+    d64 = np.zeros(512)
+    d64[64] = 1.0
+    out = mpegaudio.synthesize_pcm(sb, window=d64)
+    for g in range(1, 3):
+        want = sum(
+            math.cos((16 + 0) * (2 * k + 1) * math.pi / 64)
+            * sb[g - 2, 0, k] for k in range(32)
+        ) if g >= 2 else None
+        # V[128] after g shifts holds the matrixing output V[0] from
+        # two groups ago
+        if g >= 2:
+            assert out[g * 32, 0] == pytest.approx(want)
+    assert np.abs(out[:32, 0]).max() < 1e-12  # no history yet
+
+
+def test_triage_decode_audio_routes(spark):
+    """The audio triage router: probe first, decode only in-budget
+    decodable formats; Layer I goes to the subband path."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_flac import _flac, _wave
+    from test_operators import _wav
+
+    from youtube_api_data_etl_automation_spark.operators import mediameta
+
+    g = _sine_groups(12, 1, _ALLOC_MIX, seed=21)
+    l1, _ = _frame_l1(g, alloc_bands=_ALLOC_MIX)
+    wav = _wav(8000, [(int(900 * math.sin(i / 3.0)),) for i in range(32)])
+    flac_payload = _flac([_wave(24, 700)],
+                         sub_kw={"kind": "fixed", "order": 1})
+    layer3 = b"\xff\xfb\x90\x00" + b"\x00" * 96
+    rows = [
+        (1, bytearray(wav)),
+        (2, bytearray(flac_payload)),
+        (3, bytearray(l1)),
+        (4, bytearray(layer3)),
+        (5, bytearray(b"nonsense")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in mediameta.triage_decode_audio(
+        df).collect()}
+    assert out[1]["route"] == "decoded" and out[1]["format"] == "wav"
+    assert out[1]["n_frames"] == 32
+    assert out[2]["route"] == "decoded" and out[2]["format"] == "flac"
+    assert out[2]["n_frames"] == 24
+    r3 = out[3]
+    assert r3["route"] == "subband" and r3["format"] == "mp3-layer1"
+    assert r3["n_frames"] == 1 and r3["sample_rate"] == 32000
+    rate, sb = mpegaudio.decode_layer1(l1)
+    assert r3["rms"] == pytest.approx(
+        float(np.sqrt(np.square(sb).mean())))
+    assert out[4]["route"] == "undecodable"
+    assert out[4]["error_kind"] == "unsupported"
+    assert out[5]["route"] == "probe_failed"
+    # unknown container = 'unsupported' (a codec library may read it),
+    # matching _parse_audio_meta's routing
+    assert out[5]["error_kind"] == "unsupported"
+    # budget: probe-declared duration routes out without decoding
+    tiny = mediameta.triage_decode_audio(
+        spark.createDataFrame([(9, bytearray(wav))],
+                              "doc_id long, payload binary"),
+        max_samples=8).collect()[0]
+    assert tiny["route"] == "oversized"
+    assert tiny["error_kind"] == "unsupported"

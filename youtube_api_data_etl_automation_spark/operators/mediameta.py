@@ -929,7 +929,7 @@ TRIAGE_DECODE_SCHEMA = (
 #: qualifies only in its VP8L (lossless) flavor — the router peeks the
 #: chunk fourcc, so lossy VP8/VP8X still route 'undecodable' pre-decode.
 DECODABLE_IMAGE_FORMATS = frozenset(
-    {"png", "jpeg", "gif", "bmp", "ppm", "webp", "tiff"}
+    {"png", "jpeg", "gif", "bmp", "ppm", "pgm", "pbm", "webp", "tiff"}
 )
 
 
@@ -1029,6 +1029,123 @@ def triage_decode_images(
             )
 
     return blobs.mapInPandas(batches, TRIAGE_DECODE_SCHEMA)
+
+
+TRIAGE_AUDIO_SCHEMA = (
+    "doc_id bigint, route string, format string, sample_rate int, "
+    "n_channels int, probe_duration_sec double, n_frames bigint, "
+    "rms double, error string, error_kind string"
+)
+
+
+def triage_decode_audio(
+    blobs: DataFrame,
+    *,
+    max_samples: int = 50_000_000,
+    errors: str = "quarantine",
+) -> DataFrame:
+    """Probe-first audio router — :func:`triage_decode_images`' twin.
+    :func:`audio_meta`'s O(header) probe runs FIRST; only payloads whose
+    probed format has an in-repo decoder and whose probed sample count
+    (duration x rate x channels) fits ``max_samples`` reach a
+    per-sample loop — a forged month-long FLAC costs its STREAMINFO
+    bytes, never a decode. One fused mapInPandas pass.
+
+    Routes: ``decoded`` (WAV/FLAC PCM; ``n_frames`` + ``rms`` in raw
+    sample units), ``subband`` (MPEG-1 Layer I — exact subband
+    statistics, ``rms`` is subband-domain; see
+    :func:`multimodal.audio_subband_features`), ``undecodable``
+    (probed fine, needs a codec library: Layer II/III, Ogg
+    Vorbis/Opus), ``oversized`` (probed samples over budget, never
+    decoded), ``probe_failed`` / ``decode_failed``."""
+    import numpy as np
+
+    from .multimodal import (
+        DECODE_ERRORS,
+        _check_errors_mode,
+        _decode_pcm,
+        _error_kind,
+        _error_text,
+    )
+    from .mpegaudio import decode_layer1
+
+    quarantine = _check_errors_mode(errors)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                k: [] for k in (
+                    "doc_id", "route", "format", "sample_rate",
+                    "n_channels", "probe_duration_sec", "n_frames",
+                    "rms", "error", "error_kind",
+                )
+            }
+
+            def emit(doc_id, route, fmt=None, rate=None, nch=None,
+                     dur=None, n_frames=None, rms=None, err=None,
+                     kind=None):
+                for k, v in zip(out, (doc_id, route, fmt, rate, nch,
+                                      dur, n_frames, rms, err, kind)):
+                    out[k].append(v)
+
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    probe = _parse_audio_meta(raw)
+                except DECODE_ERRORS as e:
+                    if not quarantine:
+                        raise
+                    emit(doc_id, "probe_failed", err=_error_text(e),
+                         kind=_error_kind(e))
+                    continue
+                fmt = probe["format"]
+                rate = probe["sample_rate"]
+                nch = probe["n_channels"]
+                dur = probe["duration_sec"]
+                layer1 = fmt == "mp3" and                     probe["detail"].startswith("mpeg1-layer1")
+                if fmt not in ("wav", "flac") and not layer1:
+                    e_msg = (f"probed {fmt} ({probe['detail']}): no "
+                             "stdlib codec — route to a codec-library "
+                             "executor image")
+                    if not quarantine:
+                        raise NotImplementedError(e_msg)
+                    emit(doc_id, "undecodable", fmt, rate, nch, dur,
+                         err=e_msg, kind="unsupported")
+                    continue
+                probed_samples = dur * rate * nch
+                if probed_samples > max_samples:
+                    e_msg = (f"probed {fmt} {dur:.1f}s x {rate}Hz x "
+                             f"{nch}ch = {probed_samples:.0f} samples "
+                             f"over the {max_samples} triage budget")
+                    if not quarantine:
+                        raise NotImplementedError(e_msg)
+                    emit(doc_id, "oversized", fmt, rate, nch, dur,
+                         err=e_msg, kind="unsupported")
+                    continue
+                try:
+                    if layer1:
+                        drate, sb = decode_layer1(raw)
+                        rms = float(np.sqrt(np.square(sb).mean()))                             if sb.size else 0.0
+                        emit(doc_id, "subband", "mp3-layer1", drate,
+                             sb.shape[1], dur, sb.shape[0] // 12, rms)
+                    else:
+                        drate, samples = _decode_pcm(raw)
+                        flat = samples.astype(np.float64).reshape(-1)
+                        rms = float(np.sqrt(np.square(flat).mean()))                             if flat.size else 0.0
+                        emit(doc_id, "decoded", fmt, drate,
+                             samples.shape[1] if samples.ndim == 2
+                             else 1,
+                             dur, samples.shape[0], rms)
+                except DECODE_ERRORS as e:
+                    if not quarantine:
+                        raise
+                    emit(doc_id, "decode_failed", fmt, rate, nch, dur,
+                         err=_error_text(e), kind=_error_kind(e))
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="object") for k, v in out.items()}
+            )
+
+    return blobs.mapInPandas(batches, TRIAGE_AUDIO_SCHEMA)
 
 
 VIDEO_KEYFRAME_SCHEMA = (
