@@ -631,3 +631,42 @@ def test_media_cli_triage_and_tags(spark, capsys):
     rc = main(["media", "--input", base + "/missing", "--op", "probe"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 1 and out["status"] == "error"
+
+
+def test_media_cli_r11_ops(spark, capsys):
+    """r11 media ops: audiotriage routes, keyframe decodes AVI/MJPEG,
+    subband reads Layer I essence."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_mediameta import _mjpeg_avi
+    from test_mpegaudio import _ALLOC_MIX, _frame_l1, _sine_groups
+    from test_operators import _wav
+
+    base = tempfile.mkdtemp(prefix="cli_media11_")
+    l1, _ = _frame_l1(_sine_groups(12, 1, _ALLOC_MIX, seed=41),
+                      alloc_bands=_ALLOC_MIX)
+    wav = _wav(8000, [(100,)] * 16)
+    spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(l1))],
+        "doc_id long, payload binary",
+    ).write.mode("overwrite").parquet(base + "/audio")
+    rc = main(["media", "--input", base + "/audio",
+               "--op", "audiotriage"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["by_route"] == {"decoded": 1, "subband": 1}
+
+    rc = main(["media", "--input", base + "/audio", "--op", "subband"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 2  # the WAV quarantines on the Layer-I-only op
+    assert out["by_format"] == {"mp3-layer1": 1, "None": 1}
+
+    avi, _ = _mjpeg_avi()
+    spark.createDataFrame(
+        [(1, bytearray(avi))], "doc_id long, payload binary",
+    ).write.mode("overwrite").parquet(base + "/video")
+    rc = main(["media", "--input", base + "/video", "--op", "keyframe"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # the summary groups by the first matching column — 'format' (the
+    # decoded essence) precedes 'container' in the keyframe schema
+    assert rc == 0 and out["by_format"] == {"jpeg": 1}

@@ -750,7 +750,11 @@ def _cmd_media(args: argparse.Namespace) -> int:
     from pyspark.sql import functions as F
 
     from .operators import mediameta
-    from .operators.multimodal import decode_audio, decode_image
+    from .operators.multimodal import (
+        audio_subband_features,
+        decode_audio,
+        decode_image,
+    )
     from .session import get_spark
 
     spark = get_spark("media-ops", master=args.master)
@@ -778,6 +782,11 @@ def _cmd_media(args: argparse.Namespace) -> int:
             b, max_pixels=args.max_pixels),
         "exif": lambda b: mediameta.image_exif(b, errors="quarantine"),
         "tags": lambda b: mediameta.audio_tags(b, errors="quarantine"),
+        "audiotriage": lambda b: mediameta.triage_decode_audio(b),
+        "keyframe": lambda b: mediameta.video_keyframe_features(
+            b, errors="quarantine"),
+        "subband": lambda b: audio_subband_features(
+            b, errors="quarantine"),
     }
     out = ops[args.op](blobs)
     if args.output:
@@ -830,10 +839,13 @@ def build_parser() -> argparse.ArgumentParser:
     med.add_argument(
         "--op", required=True,
         choices=["probe", "decode", "audio", "audiometa", "video",
-                 "triage", "exif", "tags"],
+                 "triage", "exif", "tags", "audiotriage", "keyframe",
+                 "subband"],
         help="probe=image headers, decode=image pixels, audio=samples, "
              "audiometa=MP3/FLAC/WAV headers, video=MP4/MKV containers, "
-             "triage=probe-then-decode router, exif=JPEG APP1, "
+             "triage=probe-then-decode router (audiotriage=the audio "
+             "twin), keyframe=AVI-MJPEG/GIF first-frame features, "
+             "subband=MPEG-1 Layer I essence stats, exif=JPEG APP1, "
              "tags=ID3/Vorbis/LIST-INFO",
     )
     med.add_argument("--output", default=None,
