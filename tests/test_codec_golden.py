@@ -37,9 +37,9 @@ def test_fixture_is_committed_and_covers_all_families():
                          "video_frame", "audio_subband"}
     assert fams["image_exif"] == 7 and fams["audio_tags"] == 6
     # the decode matrix: 6 PNG variants + 4 JPEG + GIF/BMP/PPM +
-    # 2 VP8L WebP + 6 TIFF (LZW/deflate/palette, r11) + 3 BMP
+    # 2 VP8L WebP + 7 TIFF (LZW/deflate/palette/tiled, r11) + 3 BMP
     # (palette/RLE8/32-bit, r11) + PGM + PBM + 2 refusals
-    assert fams["image"] == 29
+    assert fams["image"] == 30
     # PCM 8/16/24/32 + float 32/64 + G.711 ×2 + IMA + MS +
     # 2 FLAC (r10) + 3 refusals
     assert fams["audio"] == 15
@@ -168,4 +168,4 @@ def test_codec_stats_from_foreign_cwd():
         env={k: v for k, v in __import__("os").environ.items()
              if k != "PYTHONPATH"},
     )
-    assert "CODEC_ROWS=101" in out.stdout, out.stderr[-2000:]
+    assert "CODEC_ROWS=102" in out.stdout, out.stderr[-2000:]

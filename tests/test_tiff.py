@@ -79,6 +79,15 @@ def _lzw_encode(data: bytes) -> bytes:
             reset()
     if run:
         emit(table[run])
+        # the decoder appends a (never-referenced) entry after EVERY
+        # data code, including this final one, and checks the width
+        # right after — mirror that phantom append or the EOI (and any
+        # trailing strip bytes) desyncs when the table size crosses
+        # 2^width - 1 exactly at stream end (libtiff's LZWPostEncode
+        # bumps free_ent the same way)
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
     emit(EOI)
     out = bytearray()
     acc = nbits = 0
@@ -96,7 +105,7 @@ def _lzw_encode(data: bytes) -> bytes:
 def _tiff_image(pixels, *, photometric=None, order="<", packbits=False,
                 lzw=False, deflate=False, predictor=1,
                 rows_per_strip=None, extra_tags=(), spp=None,
-                palette=None):
+                palette=None, tiles=None):
     """Independent baseline-TIFF encoder. ``pixels``: (h, w) grey or
     (h, w, 3/4) arrays."""
     arr = np.asarray(pixels, dtype=np.uint8)
@@ -108,24 +117,36 @@ def _tiff_image(pixels, *, photometric=None, order="<", packbits=False,
     rps = rows_per_strip or h
     lt = order
 
-    if predictor == 2:
-        # horizontal differencing forward: store per-sample deltas
-        diff = arr.reshape(h, w, -1).astype(np.int16)
-        diff[:, 1:] -= diff[:, :-1].copy()
-        arr = (diff & 0xFF).astype(np.uint8)
-    rows = arr.reshape(h, -1).tobytes()
-    row_bytes = w * n_samples
-    strips = []
-    for y0 in range(0, h, rps):
-        strip = rows[y0 * row_bytes : min(y0 + rps, h) * row_bytes]
+    def squash(chunk_arr):
+        if predictor == 2:
+            diff = chunk_arr.astype(np.int16)
+            diff[:, 1:] -= diff[:, :-1].copy()
+            chunk_arr = (diff & 0xFF).astype(np.uint8)
+        chunk = chunk_arr.tobytes()
         if packbits:
-            strip = _packbits(strip)
-        elif lzw:
-            strip = _lzw_encode(strip)
-        elif deflate:
+            return _packbits(chunk)
+        if lzw:
+            return _lzw_encode(chunk)
+        if deflate:
             import zlib
-            strip = zlib.compress(strip)
-        strips.append(strip)
+            return zlib.compress(chunk)
+        return chunk
+
+    full = arr.reshape(h, w, -1)
+    strips = []
+    if tiles is not None:
+        tw, th = tiles
+        padded = np.zeros((((h + th - 1) // th) * th,
+                           ((w + tw - 1) // tw) * tw,
+                           full.shape[2]), dtype=np.uint8)
+        padded[:h, :w] = full
+        for y0 in range(0, padded.shape[0], th):
+            for x0 in range(0, padded.shape[1], tw):
+                strips.append(squash(
+                    padded[y0 : y0 + th, x0 : x0 + tw].copy()))
+    else:
+        for y0 in range(0, h, rps):
+            strips.append(squash(full[y0 : min(y0 + rps, h)].copy()))
 
     entries = [
         (256, 4, 1, w), (257, 4, 1, h),
@@ -134,8 +155,11 @@ def _tiff_image(pixels, *, photometric=None, order="<", packbits=False,
             (5 if lzw else (8 if deflate else 1))),
         (262, 3, 1, photometric),
         (277, 3, 1, n_samples),
-        (278, 4, 1, rps),
     ]
+    if tiles is not None:
+        entries += [(322, 4, 1, tiles[0]), (323, 4, 1, tiles[1])]
+    else:
+        entries.append((278, 4, 1, rps))
     if predictor != 1:
         entries.append((317, 3, 1, predictor))
     if palette is not None:
@@ -170,11 +194,12 @@ def _tiff_image(pixels, *, photometric=None, order="<", packbits=False,
         return struct.pack(lt + "HHI", tag, ftype, count) \
             + struct.pack(lt + "I", off)
 
+    off_tag, cnt_tag = (324, 325) if tiles is not None else (273, 279)
     # first pass to size the overflow area before strip data
     tmp_overflow = 0
     for tag, ftype, count, values in entries + [
-        (273, 4, len(strips), [0] * len(strips)),
-        (279, 4, len(strips), [0] * len(strips)),
+        (off_tag, 4, len(strips), [0] * len(strips)),
+        (cnt_tag, 4, len(strips), [0] * len(strips)),
     ]:
         vb_len = {1: 1, 3: 2, 4: 4}[ftype] * count
         if vb_len > 4:
@@ -187,8 +212,8 @@ def _tiff_image(pixels, *, photometric=None, order="<", packbits=False,
         at += len(s)
     counts = [len(s) for s in strips]
 
-    all_entries = entries + [(273, 4, len(strips), offsets),
-                             (279, 4, len(strips), counts)]
+    all_entries = entries + [(off_tag, 4, len(strips), offsets),
+                             (cnt_tag, 4, len(strips), counts)]
     all_entries.sort(key=lambda e: e[0])
     body = struct.pack(lt + "H", n_entries)
     for tag, ftype, count, values in all_entries:
@@ -409,3 +434,34 @@ def test_palette_colormap():
             st.pack_into("<H", noem, at, 32995)
     with pytest.raises(ValueError, match="without ColorMap"):
         tiff.decode_tiff(bytes(noem))
+
+
+def test_tiled_layout_all_codecs():
+    """TIFF 6.0 §15 tiles: full-size padded edge tiles crop away;
+    compression and the per-tile predictor restart compose."""
+    rgb = _img(37, 45, seed=10)
+    for kw in ({}, {"lzw": True}, {"deflate": True}, {"packbits": True},
+               {"lzw": True, "predictor": 2}):
+        payload = _tiff_image(rgb, tiles=(16, 16), **kw)
+        assert (tiff.decode_tiff(payload) == rgb).all(), kw
+    g = _img(16, 16, seed=11, grey=True)  # exactly one tile
+    payload = _tiff_image(g, tiles=(16, 16), deflate=True, predictor=2)
+    assert (tiff.decode_tiff(payload)[:, :, 0] == g).all()
+    # refusals: non-multiple-of-16 size, wrong grid count
+    bad = _tiff_image(rgb, tiles=(16, 16))
+    import struct as st
+    b = bytearray(bad)
+    n = st.unpack_from("<H", b, 8)[0]
+    for i in range(n):
+        at = 10 + 12 * i
+        if st.unpack_from("<H", b, at)[0] == 322:
+            st.pack_into("<I", b, at + 8, 20)
+    with pytest.raises(ValueError, match="multiple of 16"):
+        tiff.decode_tiff(bytes(b))
+    b = bytearray(bad)
+    for i in range(n):
+        at = 10 + 12 * i
+        if st.unpack_from("<H", b, at)[0] == 257:
+            st.pack_into("<I", b, at + 8, 200)  # grid no longer matches
+    with pytest.raises(ValueError, match="tiles for a"):
+        tiff.decode_tiff(bytes(b))

@@ -124,6 +124,9 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
         b"P4\n10 3\n" + bytes((0b10110100, 0b01000000,
                                0b01011011, 0b11000000,
                                0b11100010, 0b10000000)))
+    add(130, "image", "tiff_tiled_lzw_predictor",
+        _tiff_image(_tiff_img(37, 45, seed=58), tiles=(16, 16),
+                    lzw=True, predictor=2))
     add(121, "image", "tiff_lzw_rgb",
         _tiff_image(_tiff_img(11, 13, seed=53), lzw=True))
     add(122, "image", "tiff_lzw_predictor_grey_strips",

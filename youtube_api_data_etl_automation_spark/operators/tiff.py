@@ -7,8 +7,9 @@ the dominant archival-scan compression; MSB-first early-change variant,
 see ``_lzw_decode``), deflate (8 and the old 32946 code, stdlib zlib
 with a bomb-bounding max_length) and PackBits (32773, a one-byte RLE),
 plus the horizontal-differencing predictor (tag 317) LZW/deflate files
-usually carry. JPEG-in-TIFF raises the honest NotImplementedError and
-quarantines as 'unsupported'.
+usually carry (restarting per tile in tiled layouts). Both strip and
+tiled (§15) layouts decode; JPEG-in-TIFF raises the honest
+NotImplementedError and quarantines as 'unsupported'.
 
 Supported: 8-bit greyscale (photometric 0/1, WhiteIsZero inverted),
 8-bit RGB/RGBA (photometric 2; alpha reported structurally by dropping
@@ -223,61 +224,105 @@ def decode_tiff(payload: bytes,
             f"TIFF bits-per-sample {bits} not supported (8-bit "
             "baseline only)"
         )
-    if 273 not in tags or 279 not in tags:
-        raise ValueError("malformed TIFF: missing strip offsets/counts")
-    offsets = array(273)
-    counts = array(279)
-    if len(offsets) != len(counts):
-        raise ValueError("malformed TIFF: strip offsets/counts mismatch")
-    rows_per_strip = scalar(278, default=h)
-    if rows_per_strip == 0:
-        raise ValueError("malformed TIFF: RowsPerStrip=0")
-
-    row_bytes = w * spp
-    raw = bytearray()
-    remaining_rows = h
-    for off, cnt in zip(offsets, counts):
-        if off + cnt > len(payload):
-            raise ValueError("malformed TIFF: strip out of bounds")
-        strip = payload[off : off + cnt]
-        n_rows = min(rows_per_strip, remaining_rows)
-        expected = n_rows * row_bytes
+    def decompress(chunk: bytes, expected: int) -> bytes:
         if compression == 32773:
-            raw += _unpackbits(strip, expected)
-        elif compression == 5:
-            raw += _lzw_decode(strip, expected)
-        elif compression in (8, 32946):
+            return _unpackbits(chunk, expected)
+        if compression == 5:
+            return _lzw_decode(chunk, expected)
+        if compression in (8, 32946):
             import zlib
             try:
                 # max_length caps output: a deflate bomb costs at most
-                # the strip's declared pixel bytes, never unbounded RAM
+                # the chunk's declared pixel bytes, never unbounded RAM
                 d = zlib.decompressobj()
-                inflated = d.decompress(strip, expected)
+                inflated = d.decompress(chunk, expected)
             except zlib.error as e:
-                raise ValueError(f"malformed TIFF: bad deflate strip "
+                raise ValueError(f"malformed TIFF: bad deflate data "
                                  f"({e})") from None
             if len(inflated) != expected:
                 raise ValueError(
                     f"malformed TIFF: deflate yields {len(inflated)} "
-                    f"bytes, strip declares {expected}"
+                    f"bytes, segment declares {expected}"
                 )
-            raw += inflated
-        else:
-            if len(strip) < expected:
-                raise ValueError("malformed TIFF: short strip")
-            raw += strip[:expected]
-        remaining_rows -= n_rows
-    if remaining_rows > 0:
-        raise ValueError(
-            f"malformed TIFF: strips cover {h - remaining_rows} of {h} "
-            "rows"
-        )
-    arr = np.frombuffer(bytes(raw), dtype=np.uint8, count=h * row_bytes)
-    arr = arr.reshape(h, w, spp)
-    if predictor == 2:
-        # horizontal differencing (tag 317): each sample stores the
-        # delta to its left neighbour; invert with a wrapping row cumsum
-        arr = np.add.accumulate(arr, axis=1, dtype=np.uint8)
+            return inflated
+        if len(chunk) < expected:
+            raise ValueError("malformed TIFF: short strip/tile")
+        return chunk[:expected]
+
+    if 322 in tags and 323 in tags:
+        # tiled layout (TIFF 6.0 §15): the image is a grid of tw x th
+        # tiles, left-to-right top-to-bottom, EVERY tile padded to the
+        # full tile size (edge tiles carry pad pixels that crop away)
+        tw = scalar(322)
+        th = scalar(323)
+        if tw == 0 or th == 0 or tw % 16 or th % 16:
+            raise ValueError(
+                f"malformed TIFF: tile size {tw}x{th} (must be a "
+                "positive multiple of 16)"
+            )
+        if 324 not in tags or 325 not in tags:
+            raise ValueError("malformed TIFF: missing tile offsets/counts")
+        offsets = array(324)
+        counts = array(325)
+        tiles_x = (w + tw - 1) // tw
+        tiles_y = (h + th - 1) // th
+        if len(offsets) != tiles_x * tiles_y or                 len(offsets) != len(counts):
+            raise ValueError(
+                f"malformed TIFF: {len(offsets)} tiles for a "
+                f"{tiles_x}x{tiles_y} grid"
+            )
+        tile_bytes = tw * th * spp
+        arr = np.zeros((tiles_y * th, tiles_x * tw, spp), dtype=np.uint8)
+        for t, (off, cnt) in enumerate(zip(offsets, counts)):
+            if off + cnt > len(payload):
+                raise ValueError("malformed TIFF: tile out of bounds")
+            tile = np.frombuffer(
+                decompress(payload[off : off + cnt], tile_bytes),
+                dtype=np.uint8,
+            ).reshape(th, tw, spp)
+            if predictor == 2:
+                # differencing restarts at each tile's left edge
+                tile = np.add.accumulate(tile, axis=1, dtype=np.uint8)
+            ty, tx = divmod(t, tiles_x)
+            arr[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw] = tile
+        arr = arr[:h, :w]
+    else:
+        if 273 not in tags or 279 not in tags:
+            raise ValueError(
+                "malformed TIFF: missing strip offsets/counts"
+            )
+        offsets = array(273)
+        counts = array(279)
+        if len(offsets) != len(counts):
+            raise ValueError(
+                "malformed TIFF: strip offsets/counts mismatch"
+            )
+        rows_per_strip = scalar(278, default=h)
+        if rows_per_strip == 0:
+            raise ValueError("malformed TIFF: RowsPerStrip=0")
+
+        row_bytes = w * spp
+        raw = bytearray()
+        remaining_rows = h
+        for off, cnt in zip(offsets, counts):
+            if off + cnt > len(payload):
+                raise ValueError("malformed TIFF: strip out of bounds")
+            n_rows = min(rows_per_strip, remaining_rows)
+            raw += decompress(payload[off : off + cnt],
+                              n_rows * row_bytes)
+            remaining_rows -= n_rows
+        if remaining_rows > 0:
+            raise ValueError(
+                f"malformed TIFF: strips cover {h - remaining_rows} of "
+                f"{h} rows"
+            )
+        arr = np.frombuffer(bytes(raw), dtype=np.uint8,
+                            count=h * row_bytes)
+        arr = arr.reshape(h, w, spp)
+        if predictor == 2:
+            # horizontal differencing (tag 317): each sample stores the
+            # delta to its left neighbour; invert with a wrapping cumsum
+            arr = np.add.accumulate(arr, axis=1, dtype=np.uint8)
     if photometric == 2:
         return np.ascontiguousarray(arr[:, :, :3])
     if photometric == 3:
