@@ -1,0 +1,194 @@
+"""Archive/WARC operator tests (operators/archives.py): stdlib-built
+gzip/zip/tar fixtures and hand-rolled WARC records."""
+
+from __future__ import annotations
+
+import gzip
+import io
+import struct
+import tarfile
+import zipfile
+
+import pytest
+
+from youtube_api_data_etl_automation_spark.operators import archives
+
+
+def _warc_record(wtype, content, uri=None, extra=()):
+    head = [b"WARC/1.0",
+            b"WARC-Type: " + wtype.encode(),
+            b"WARC-Record-ID: <urn:uuid:0000>",
+            b"WARC-Date: 2024-01-02T03:04:05Z"]
+    if uri:
+        head.append(b"WARC-Target-URI: " + uri.encode())
+    head.extend(extra)
+    head.append(b"Content-Length: " + str(len(content)).encode())
+    return b"\r\n".join(head) + b"\r\n\r\n" + content + b"\r\n\r\n"
+
+
+def _http_response(body, status=200, ctype="text/html; charset=utf-8"):
+    return (f"HTTP/1.1 {status} OK\r\n"
+            f"Content-Type: {ctype}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n").encode() + body
+
+
+def _warc(per_record_gzip=False):
+    info = _warc_record("warcinfo", b"software: test\r\n")
+    req = _warc_record(
+        "request", b"GET / HTTP/1.1\r\nHost: example.com\r\n\r\n",
+        uri="https://example.com/",
+        extra=(b"Content-Type: application/http;msgtype=request",))
+    body = "<html>hello wörld</html>".encode()
+    resp = _warc_record(
+        "response", _http_response(body),
+        uri="https://example.com/",
+        extra=(b"Content-Type: application/http;msgtype=response",))
+    records = [info, req, resp]
+    if per_record_gzip:
+        return b"".join(gzip.compress(r, mtime=0) for r in records), body
+    return b"".join(records), body
+
+
+def _zip(members=(("a.txt", b"alpha"), ("dir/b.bin", b"\x00" * 100))):
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, data in members:
+            # pinned timestamp: ZipInfo defaults to wall-clock now,
+            # which breaks byte-deterministic fixture regeneration
+            zi = zipfile.ZipInfo(name, date_time=(2024, 1, 2, 3, 4, 6))
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(zi, data)
+    return buf.getvalue()
+
+
+def _tar(members=(("x.txt", b"xx"), ("y.txt", b"y" * 600))):
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) \
+            as tf:
+        for name, data in members:
+            ti = tarfile.TarInfo(name)
+            ti.size = len(data)
+            tf.addfile(ti, io.BytesIO(data))
+    return buf.getvalue()
+
+
+def _blob_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in rows],
+        "doc_id long, payload binary")
+
+
+def test_archive_meta_probe(spark):
+    gz = gzip.compress(b"hello " * 100, mtime=123)
+    # add an FNAME member for the detail field
+    named = io.BytesIO()
+    with gzip.GzipFile(filename="doc.txt", fileobj=named, mode="wb",
+                       mtime=7) as f:
+        f.write(b"content")
+    warc_plain, _ = _warc()
+    warc_gz, _ = _warc(per_record_gzip=True)
+    rows = [(1, gz), (2, named.getvalue()), (3, _zip()), (4, _tar()),
+            (5, warc_plain), (6, warc_gz), (7, b"RAR!junk"), (8, b"")]
+    out = {r["doc_id"]: r for r in archives.archive_meta(
+        _blob_df(spark, rows), errors="quarantine").collect()}
+    assert out[1]["format"] == "gzip"
+    assert out[1]["uncompressed_hint"] == 600
+    assert "mtime=123" in out[1]["detail"]
+    assert "name=doc.txt" in out[2]["detail"]
+    z = out[3]
+    assert (z["format"], z["n_members"]) == ("zip", 2)
+    assert z["uncompressed_hint"] == 105
+    assert "a.txt" in z["detail"]
+    t = out[4]
+    assert (t["format"], t["n_members"]) == ("tar", 2)
+    assert t["uncompressed_hint"] == 602
+    for d in (5, 6):
+        w = out[d]
+        assert (w["format"], w["n_members"]) == ("warc", 3)
+        assert w["detail"] == "warcinfo"
+    assert out[7]["error_kind"] == "unsupported"
+    assert out[8]["error_kind"] == "corrupt"
+
+
+def test_warc_records_plain_and_gzip(spark):
+    for per_gz in (False, True):
+        payload, body = _warc(per_record_gzip=per_gz)
+        rows = archives.warc_records(
+            _blob_df(spark, [(1, payload)])).collect()
+        assert [r["warc_type"] for r in rows] == \
+            ["warcinfo", "request", "response"]
+        resp = rows[2]
+        assert resp["record_idx"] == 2
+        assert resp["target_uri"] == "https://example.com/"
+        assert resp["warc_date"] == "2024-01-02T03:04:05Z"
+        assert resp["http_status"] == 200
+        assert resp["http_content_type"] == "text/html; charset=utf-8"
+        assert bytes(resp["body"]) == body
+        assert rows[0]["http_status"] is None
+        assert bytes(rows[0]["body"]) == b"software: test\r\n"
+
+
+def test_warc_refusals(spark):
+    payload, _ = _warc()
+    rows = [(1, payload[:-60]),        # truncated record body
+            (2, b"NOT A WARC"),
+            (3, gzip.compress(payload)[:20])]  # truncated gzip
+    out = {r["doc_id"]: r for r in archives.warc_records(
+        _blob_df(spark, rows)).collect()}
+    assert out[1]["error_kind"] == "corrupt"
+    assert "truncated" in out[1]["error"]
+    assert out[2]["error_kind"] == "corrupt"
+    assert out[3]["error_kind"] == "corrupt"
+    # decompressed-byte budget routes 'unsupported' pre-allocation
+    big = archives.warc_records(
+        _blob_df(spark, [(9, gzip.compress(payload))]),
+        byte_budget=64).collect()[0]
+    assert big["error_kind"] == "unsupported"
+    with pytest.raises(Exception, match="truncated|malformed"):
+        archives.warc_records(_blob_df(spark, [(1, payload[:-60])]),
+                              errors="raise").collect()
+
+
+def test_unpack_gzip_text(spark):
+    text = "olá mundo " * 50
+    out = archives.unpack_gzip_text(_blob_df(
+        spark, [(1, gzip.compress(text.encode()))])).collect()[0]
+    assert out["text"] == text
+    assert out["n_bytes"] == len(text.encode())
+    small = archives.unpack_gzip_text(
+        _blob_df(spark, [(1, gzip.compress(text.encode()))]),
+        byte_budget=16).collect()[0]
+    assert small["error_kind"] == "unsupported"
+    bad = archives.unpack_gzip_text(
+        _blob_df(spark, [(1, b"plain")])).collect()[0]
+    assert bad["error_kind"] == "corrupt"
+
+
+def test_zip_members(spark):
+    payload = _zip()
+    rows = archives.zip_members(_blob_df(spark, [(1, payload)])).collect()
+    assert [(r["name"], r["size"]) for r in rows] == \
+        [("a.txt", 5), ("dir/b.bin", 100)]
+    assert bytes(rows[0]["body"]) == b"alpha"
+    assert bytes(rows[1]["body"]) == b"\x00" * 100
+    assert rows[1]["compressed_size"] < 100  # deflate really ran
+    # declared-size budget refuses BEFORE inflating anything
+    out = archives.zip_members(_blob_df(spark, [(1, payload)]),
+                               byte_budget=50).collect()[0]
+    assert out["error_kind"] == "unsupported"
+    out = archives.zip_members(
+        _blob_df(spark, [(1, b"PK\x03\x04garbage")])).collect()[0]
+    assert out["error_kind"] == "corrupt"
+
+
+def test_zip_eocd_with_comment_and_bounds():
+    payload = _zip() + b""  # plain
+    meta = archives._parse_zip_meta(payload)
+    assert meta["n_members"] == 2
+    # EOCD scan tolerates a trailing comment
+    commented = bytearray(_zip())
+    struct.pack_into("<H", commented, len(commented) - 2, 9)
+    commented += b"a comment"
+    assert archives._parse_zip_meta(bytes(commented))["n_members"] == 2
+    with pytest.raises(ValueError, match="central directory"):
+        archives._parse_zip_meta(_zip()[len(_zip()) // 2 :])

@@ -670,3 +670,26 @@ def test_media_cli_r11_ops(spark, capsys):
     # the summary groups by the first matching column — 'format' (the
     # decoded essence) precedes 'container' in the keyframe schema
     assert rc == 0 and out["by_format"] == {"jpeg": 1}
+
+
+def test_media_cli_archive_and_warc(spark, capsys):
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_archives import _warc, _zip
+
+    base = tempfile.mkdtemp(prefix="cli_arch_")
+    warc_payload, _ = _warc(per_record_gzip=True)
+    spark.createDataFrame(
+        [(1, bytearray(_zip())), (2, bytearray(warc_payload))],
+        "doc_id long, payload binary",
+    ).write.mode("overwrite").parquet(base + "/archives")
+    rc = main(["media", "--input", base + "/archives",
+               "--op", "archive"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["by_format"] == {"warc": 1, "zip": 1}
+
+    rc = main(["media", "--input", base + "/archives", "--op", "warc"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 2  # the zip payload quarantines on the WARC op
+    assert out["n"] == 4  # 3 records + 1 quarantine row

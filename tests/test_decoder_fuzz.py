@@ -269,3 +269,49 @@ def test_fuzz_layer1(rng):
     payloads += [b"\xff\xff" + g2 for g2 in _garbage(rng, 100, 400)]
     payloads += _garbage(rng, 60, 400)
     _assert_contract(mpegaudio.decode_layer1, payloads, "layer1")
+
+
+def test_fuzz_archives(rng):
+    import sys
+    sys.path.insert(0, "tests")
+    import gzip as _gz
+
+    from test_archives import _tar, _warc, _zip
+
+    from youtube_api_data_etl_automation_spark.operators import archives
+
+    warc_plain, _ = _warc()
+    warc_gz, _ = _warc(per_record_gzip=True)
+    zipp = _zip()
+    tarp = _tar()
+    gz = _gz.compress(b"data " * 50, mtime=0)
+
+    def meta_one(p):
+        # the archive_meta dispatch, payload-level (no Spark)
+        if p[:4] in (b"PK\x03\x04", b"PK\x05\x06"):
+            return archives._parse_zip_meta(p)
+        if len(p) > 262 and p[257:262] == b"ustar":
+            return archives._parse_tar_meta(p)
+        if p[:5] == b"WARC/":
+            return archives._parse_warc_meta(p, 1 << 20)
+        if p[:2] == b"\x1f\x8b":
+            return archives._parse_gzip_header(p)
+        raise NotImplementedError("unknown")
+
+    payloads = []
+    for base in (warc_plain, warc_gz, zipp, tarp, gz):
+        payloads += _mutations(rng, base, 120)
+    payloads += _garbage(rng, 80, 400)
+    payloads += [b"PK\x05\x06" + g for g in _garbage(rng, 60, 100)]
+    _assert_contract(meta_one, payloads, "archive_meta")
+
+    def warc_one(p):
+        data = archives._gunzip_all(p, 1 << 20) \
+            if p[:2] == b"\x1f\x8b" else p
+        archives._split_warc(data)
+
+    _assert_contract(
+        warc_one,
+        _mutations(rng, warc_plain, 150) + _mutations(rng, warc_gz, 150),
+        "warc_records",
+    )

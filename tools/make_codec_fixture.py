@@ -398,6 +398,26 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
         b"\xff\xfb\x90\x00" + b"\x00" * 96)
     add(905, "audio_subband", "subband_corrupt", b"\xff\x00junk")
 
+    # ---- archive + warc (ids 10xx/11xx) ------------------------------
+    import gzip as _gzip
+
+    from test_archives import _tar, _warc, _zip
+
+    named = __import__("io").BytesIO()
+    with _gzip.GzipFile(filename="doc.txt", fileobj=named, mode="wb",
+                        mtime=7) as _gf:
+        _gf.write(b"archived document body " * 4)
+    add(1001, "archive", "gzip_named_member", named.getvalue())
+    add(1002, "archive", "zip_two_members", _zip())
+    add(1003, "archive", "tar_ustar", _tar())
+    warc_plain, _ = _warc()
+    warc_gz, _ = _warc(per_record_gzip=True)
+    add(1004, "archive", "warc_plain_probe", warc_plain)
+    add(1005, "archive", "unknown_refusal", b"RAR!unknown")
+    add(1101, "warc_records", "warc_plain", warc_plain)
+    add(1102, "warc_records", "warc_gzip_per_record", warc_gz)
+    add(1103, "warc_records", "warc_truncated", warc_plain[:-60])
+
     return rows
 
 

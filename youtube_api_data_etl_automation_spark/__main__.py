@@ -749,7 +749,7 @@ def _cmd_media(args: argparse.Namespace) -> int:
     checks exit codes still notices a corrupt batch), else 0."""
     from pyspark.sql import functions as F
 
-    from .operators import mediameta
+    from .operators import archives, mediameta
     from .operators.multimodal import (
         audio_subband_features,
         decode_audio,
@@ -783,6 +783,9 @@ def _cmd_media(args: argparse.Namespace) -> int:
         "exif": lambda b: mediameta.image_exif(b, errors="quarantine"),
         "tags": lambda b: mediameta.audio_tags(b, errors="quarantine"),
         "audiotriage": lambda b: mediameta.triage_decode_audio(b),
+        "archive": lambda b: archives.archive_meta(
+            b, errors="quarantine"),
+        "warc": lambda b: archives.warc_records(b),
         "keyframe": lambda b: mediameta.video_keyframe_features(
             b, errors="quarantine"),
         "subband": lambda b: audio_subband_features(
@@ -840,7 +843,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--op", required=True,
         choices=["probe", "decode", "audio", "audiometa", "video",
                  "triage", "exif", "tags", "audiotriage", "keyframe",
-                 "subband"],
+                 "subband", "archive", "warc"],
         help="probe=image headers, decode=image pixels, audio=samples, "
              "audiometa=MP3/FLAC/WAV headers, video=MP4/MKV containers, "
              "triage=probe-then-decode router (audiotriage=the audio "

@@ -1,0 +1,478 @@
+"""Archive-container operators for crawl corpora: gzip / zip / tar
+probing and WARC record parsing — all stdlib, all Arrow-batched.
+
+A 100 TB web corpus arrives as archives: Common-Crawl-style WARC files
+(usually .warc.gz with one gzip member per record), zip/tar bundles,
+and bare gzip documents. Before any text pipeline runs, the engine
+must (a) triage what an opaque payload IS without unpacking it, and
+(b) split the record containers into per-document rows. This module
+does both with the decode family's contract (Arrow-batched
+mapInPandas, ``errors='quarantine'`` one-bad-blob-is-a-row, explicit
+byte budgets so a zip/gzip bomb refuses instead of filling an
+executor):
+
+- ``archive_meta``: O(header / central-directory) probe — gzip member
+  header (method, mtime, FNAME, ISIZE hint), zip end-of-central-
+  directory walk (member count, compressed/uncompressed totals), POSIX
+  ustar tar header walk (members counted by seeking over data), WARC
+  first-record header.
+- ``warc_records``: one output row per WARC record — WARC-Type,
+  WARC-Target-URI, WARC-Date, Content-Type, Content-Length, and for
+  response records the HTTP status + Content-Type + body bytes.
+  Handles plain WARC and gzip WARC incl. the member-per-record layout
+  (concatenated gzip members), with a decompressed-byte budget.
+- ``unpack_gzip_text``: bare .gz document → utf-8 text row, budgeted.
+- ``zip_members``: one row per zip member (name, size, bytes),
+  stored/deflate entries via stdlib zipfile, per-member and total
+  byte budgets.
+
+Reference anchor: the reference pipeline ingests remote API payloads
+(fetch_youtube_data.py:121-134); archive split/triage is the same
+ingestion stage for file-drop corpora.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+# decompressed-output budgets: a 40-byte gzip bomb can declare
+# gigabytes; the budget refuses (recoverable 'unsupported') instead of
+# allocating. Raise per-call for trusted corpora.
+ARCHIVE_BYTE_BUDGET = 1 << 26  # 64 MiB decompressed per payload
+
+ARCHIVE_META_SCHEMA = (
+    "doc_id bigint, format string, n_members int, "
+    "uncompressed_hint bigint, detail string"
+)
+
+WARC_RECORDS_SCHEMA = (
+    "doc_id bigint, record_idx int, warc_type string, target_uri string, "
+    "warc_date string, content_type string, content_length bigint, "
+    "http_status int, http_content_type string, body binary"
+)
+
+GZIP_TEXT_SCHEMA = "doc_id bigint, text string, n_bytes bigint"
+
+ZIP_MEMBERS_SCHEMA = (
+    "doc_id bigint, member_idx int, name string, compressed_size bigint, "
+    "size bigint, body binary"
+)
+
+
+def _gunzip_all(payload: bytes, budget: int | None) -> bytes:
+    """Decompress ALL concatenated gzip members (the .warc.gz layout),
+    budget-capped."""
+    import zlib
+
+    out = bytearray()
+    rest = payload
+    while rest[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)  # gzip wrapper
+        try:
+            if budget is not None:
+                chunk = d.decompress(rest, budget + 1 - len(out))
+            else:
+                chunk = d.decompress(rest)
+        except zlib.error as e:
+            raise ValueError(f"malformed gzip stream: {e}") from None
+        out += chunk
+        if budget is not None and len(out) > budget:
+            raise NotImplementedError(
+                f"gzip output exceeds the {budget}-byte budget; raise "
+                "the budget or split the archive upstream"
+            )
+        if not d.eof:
+            raise ValueError("malformed gzip stream: truncated member")
+        rest = d.unused_data
+    if rest and not out:
+        raise ValueError("malformed gzip stream: no gzip magic")
+    return bytes(out)
+
+
+def _parse_gzip_header(payload: bytes) -> dict:
+    if len(payload) < 18:
+        raise ValueError("malformed gzip: shorter than one empty member")
+    if payload[2] != 8:
+        raise ValueError(f"malformed gzip: compression method {payload[2]}")
+    flags = payload[3]
+    (mtime,) = struct.unpack_from("<I", payload, 4)
+    pos = 10
+    if flags & 0x04:  # FEXTRA
+        (xlen,) = struct.unpack_from("<H", payload, pos)
+        pos += 2 + xlen
+    name = None
+    if flags & 0x08:  # FNAME, latin-1, NUL-terminated
+        end = payload.index(b"\x00", pos)
+        name = payload[pos:end].decode("latin-1")
+        pos = end + 1
+    # ISIZE (size mod 2^32) of the LAST member — a hint, exact only for
+    # single-member files under 4 GiB
+    (isize,) = struct.unpack_from("<I", payload, len(payload) - 4)
+    return {
+        "format": "gzip", "n_members": None,
+        "uncompressed_hint": isize,
+        "detail": f"mtime={mtime},name={name or '-'}",
+    }
+
+
+def _parse_zip_meta(payload: bytes) -> dict:
+    # end-of-central-directory: scan back over a possible comment
+    at = payload.rfind(b"PK\x05\x06", max(0, len(payload) - 65557))
+    if at < 0:
+        raise ValueError("malformed zip: no end-of-central-directory")
+    if at + 22 > len(payload):
+        raise ValueError("malformed zip: truncated EOCD")
+    n_total = struct.unpack_from("<H", payload, at + 10)[0]
+    cd_size, cd_off = struct.unpack_from("<II", payload, at + 12)
+    if cd_off + cd_size > len(payload):
+        raise ValueError("malformed zip: central directory out of bounds")
+    pos = cd_off
+    comp_total = uncomp_total = 0
+    names = []
+    for _ in range(n_total):
+        if payload[pos : pos + 4] != b"PK\x01\x02":
+            raise ValueError("malformed zip: bad central-directory entry")
+        comp, uncomp = struct.unpack_from("<II", payload, pos + 20)
+        (nlen,) = struct.unpack_from("<H", payload, pos + 28)
+        (elen,) = struct.unpack_from("<H", payload, pos + 30)
+        (clen,) = struct.unpack_from("<H", payload, pos + 32)
+        names.append(payload[pos + 46 : pos + 46 + nlen]
+                     .decode("utf-8", "replace"))
+        comp_total += comp
+        uncomp_total += uncomp
+        pos += 46 + nlen + elen + clen
+    return {
+        "format": "zip", "n_members": n_total,
+        "uncompressed_hint": uncomp_total,
+        "detail": ",".join(names[:5]) + ("…" if len(names) > 5 else ""),
+    }
+
+
+def _parse_tar_meta(payload: bytes) -> dict:
+    n = 0
+    total = 0
+    pos = 0
+    while pos + 512 <= len(payload):
+        block = payload[pos : pos + 512]
+        if block == b"\x00" * 512:
+            break  # end-of-archive marker
+        if block[257:262] != b"ustar":
+            raise ValueError("malformed tar: missing ustar magic")
+        size_field = block[124:136].split(b"\x00")[0].strip()
+        try:
+            size = int(size_field or b"0", 8)
+        except ValueError:
+            raise ValueError("malformed tar: bad size field") from None
+        n += 1
+        total += size
+        pos += 512 + ((size + 511) // 512) * 512
+    if n == 0:
+        raise ValueError("malformed tar: no member headers")
+    return {
+        "format": "tar", "n_members": n,
+        "uncompressed_hint": total, "detail": "ustar",
+    }
+
+
+def _parse_warc_headers(data: bytes, pos: int):
+    """(headers dict lower-cased, content offset) for the record at
+    ``pos``; refuses when the version line or header block is broken."""
+    eol = data.find(b"\r\n", pos)
+    if eol < 0 or not data[pos:eol].startswith(b"WARC/"):
+        raise ValueError("malformed WARC: missing version line")
+    headers: dict[str, str] = {}
+    at = eol + 2
+    while True:
+        eol = data.find(b"\r\n", at)
+        if eol < 0:
+            raise ValueError("malformed WARC: unterminated header block")
+        if eol == at:  # blank line ends headers
+            return headers, at + 2
+        line = data[at:eol]
+        sep = line.find(b":")
+        if sep <= 0:
+            raise ValueError("malformed WARC: header line without ':'")
+        headers[line[:sep].strip().lower().decode("latin-1")] = \
+            line[sep + 1 :].strip().decode("utf-8", "replace")
+        at = eol + 2
+
+
+def _split_warc(data: bytes) -> list[tuple[dict, bytes]]:
+    """[(headers, content)] for every record in a plain WARC buffer."""
+    out = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        headers, body_at = _parse_warc_headers(data, pos)
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError(
+                "malformed WARC: record without a numeric Content-Length"
+            ) from None
+        if body_at + clen > n:
+            raise ValueError("malformed WARC: record body truncated")
+        out.append((headers, data[body_at : body_at + clen]))
+        pos = body_at + clen
+        # two CRLFs close a record; tolerate a missing trailer at EOF
+        while data[pos : pos + 2] == b"\r\n":
+            pos += 2
+    if not out:
+        raise ValueError("malformed WARC: no records")
+    return out
+
+
+def _parse_warc_meta(payload: bytes, budget: int | None) -> dict:
+    data = _gunzip_all(payload, budget) \
+        if payload[:2] == b"\x1f\x8b" else payload
+    records = _split_warc(data)
+    h0 = records[0][0]
+    return {
+        "format": "warc", "n_members": len(records),
+        "uncompressed_hint": len(data),
+        "detail": h0.get("warc-type", "-"),
+    }
+
+
+def archive_meta(blobs: DataFrame, errors: str = "raise",
+                 byte_budget: int | None = ARCHIVE_BYTE_BUDGET,
+                 ) -> DataFrame:
+    """Probe an archive payload without unpacking members: ``(doc_id,
+    format, n_members, uncompressed_hint, detail)``. gzip is O(header)
+    (member count unknowable without a scan → NULL; ISIZE hint from
+    the trailer), zip walks the central directory, tar seeks over
+    member data by declared size, WARC counts records (decompressing
+    .warc.gz under the budget — the one non-O(header) case, inherent
+    to gzip). Unknown magic refuses 'unsupported'."""
+    from .mediameta import _quarantine_batches
+    from .multimodal import _check_errors_mode
+
+    quarantine = _check_errors_mode(errors)
+
+    def one(payload):
+        payload = payload or b""
+        if not payload:
+            raise ValueError("empty/NULL archive payload")
+        if payload[:4] == b"PK\x03\x04" or payload[:4] == b"PK\x05\x06":
+            return _parse_zip_meta(payload)
+        if len(payload) > 257 + 5 and payload[257:262] == b"ustar":
+            return _parse_tar_meta(payload)
+        if payload[:5] == b"WARC/":
+            return _parse_warc_meta(payload, byte_budget)
+        if payload[:2] == b"\x1f\x8b":
+            # a gzip whose first member opens a WARC is a .warc.gz
+            import zlib
+            d = zlib.decompressobj(wbits=31)
+            try:
+                head = d.decompress(payload[:4096], 16)
+            except zlib.error as e:
+                raise ValueError(f"malformed gzip stream: {e}") from None
+            if head[:5] == b"WARC/":
+                return _parse_warc_meta(payload, byte_budget)
+            return _parse_gzip_header(payload)
+        raise NotImplementedError(
+            f"unknown archive container (magic {payload[:4]!r}); "
+            "7z/rar/zstd need their libraries"
+        )
+
+    schema = ARCHIVE_META_SCHEMA + ", error string, error_kind string" \
+        if quarantine else ARCHIVE_META_SCHEMA
+    return blobs.mapInPandas(
+        _quarantine_batches(
+            one,
+            ("format", "n_members", "uncompressed_hint", "detail"),
+            quarantine,
+        ),
+        schema,
+    )
+
+
+def warc_records(blobs: DataFrame, errors: str = "quarantine",
+                 byte_budget: int | None = ARCHIVE_BYTE_BUDGET,
+                 ) -> DataFrame:
+    """Split WARC payloads (plain or .warc.gz incl. member-per-record)
+    into one row per record. Response records additionally parse the
+    HTTP status line and Content-Type and carry the HTTP body bytes;
+    other record types carry their raw content. Fan-out stays inside
+    the partition (mapInPandas) — no shuffle, like frame_sample."""
+    from .multimodal import (
+        DECODE_ERRORS,
+        _check_errors_mode,
+        _error_kind,
+        _error_text,
+    )
+
+    quarantine = _check_errors_mode(errors)
+    cols = ("doc_id", "record_idx", "warc_type", "target_uri",
+            "warc_date", "content_type", "content_length",
+            "http_status", "http_content_type", "body",
+            "error", "error_kind")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {c: [] for c in cols}
+
+            def emit(doc_id, idx=None, wtype=None, uri=None, date=None,
+                     ctype=None, clen=None, status=None, hct=None,
+                     body=None, err=None, kind=None):
+                for c, v in zip(cols, (doc_id, idx, wtype, uri, date,
+                                       ctype, clen, status, hct, body,
+                                       err, kind)):
+                    out[c].append(v)
+
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    data = _gunzip_all(raw, byte_budget) \
+                        if raw[:2] == b"\x1f\x8b" else raw
+                    records = _split_warc(data)
+                except DECODE_ERRORS as e:
+                    if not quarantine:
+                        raise
+                    emit(doc_id, err=_error_text(e), kind=_error_kind(e))
+                    continue
+                for i, (h, content) in enumerate(records):
+                    status = hct = None
+                    body = content
+                    ctype = h.get("content-type", "")
+                    if ctype.startswith("application/http"):
+                        eol = content.find(b"\r\n")
+                        parts = content[:eol].split(b" ", 2) \
+                            if eol > 0 else []
+                        if len(parts) >= 2 and parts[0][:5] == b"HTTP/":
+                            try:
+                                status = int(parts[1])
+                            except ValueError:
+                                status = None
+                        hdr_end = content.find(b"\r\n\r\n")
+                        if hdr_end >= 0:
+                            for line in content[:hdr_end].split(b"\r\n"):
+                                if line[:13].lower() == b"content-type:":
+                                    hct = line[13:].strip().decode(
+                                        "utf-8", "replace")
+                            body = content[hdr_end + 4 :]
+                    emit(doc_id, i, h.get("warc-type"),
+                         h.get("warc-target-uri"), h.get("warc-date"),
+                         ctype or None,
+                         int(h["content-length"]), status, hct,
+                         bytearray(body))
+            yield pd.DataFrame(
+                {c: pd.Series(v, dtype="object")
+                 for c, v in out.items()
+                 if quarantine or c not in ("error", "error_kind")}
+            )
+
+    schema = WARC_RECORDS_SCHEMA + ", error string, error_kind string" \
+        if quarantine else WARC_RECORDS_SCHEMA
+    return blobs.mapInPandas(batches, schema)
+
+
+def unpack_gzip_text(blobs: DataFrame, errors: str = "quarantine",
+                     byte_budget: int | None = ARCHIVE_BYTE_BUDGET,
+                     ) -> DataFrame:
+    """Bare .gz document → ``(doc_id, text, n_bytes)`` utf-8 row
+    (invalid sequences replaced), budget-capped."""
+    from .mediameta import _quarantine_batches
+    from .multimodal import _check_errors_mode
+
+    quarantine = _check_errors_mode(errors)
+
+    def one(payload):
+        payload = payload or b""
+        if payload[:2] != b"\x1f\x8b":
+            raise ValueError("not a gzip payload")
+        data = _gunzip_all(payload, byte_budget)
+        return {"text": data.decode("utf-8", "replace"),
+                "n_bytes": len(data)}
+
+    schema = GZIP_TEXT_SCHEMA + ", error string, error_kind string" \
+        if quarantine else GZIP_TEXT_SCHEMA
+    return blobs.mapInPandas(
+        _quarantine_batches(one, ("text", "n_bytes"), quarantine),
+        schema,
+    )
+
+
+def zip_members(blobs: DataFrame, errors: str = "quarantine",
+                byte_budget: int | None = ARCHIVE_BYTE_BUDGET,
+                ) -> DataFrame:
+    """One row per zip member: ``(doc_id, member_idx, name,
+    compressed_size, size, body)`` via stdlib zipfile. The declared
+    total uncompressed size is checked against the budget BEFORE any
+    member inflates (zip-bomb posture: the central directory is the
+    probe)."""
+    import io
+    import zipfile
+
+    from .multimodal import (
+        DECODE_ERRORS,
+        _check_errors_mode,
+        _error_kind,
+        _error_text,
+    )
+
+    quarantine = _check_errors_mode(errors)
+    cols = ("doc_id", "member_idx", "name", "compressed_size", "size",
+            "body", "error", "error_kind")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {c: [] for c in cols}
+
+            def emit(doc_id, idx=None, name=None, csize=None,
+                     size=None, body=None, err=None, kind=None):
+                for c, v in zip(cols, (doc_id, idx, name, csize, size,
+                                       body, err, kind)):
+                    out[c].append(v)
+
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    meta = _parse_zip_meta(raw)
+                    if byte_budget is not None and \
+                            meta["uncompressed_hint"] > byte_budget:
+                        raise NotImplementedError(
+                            f"zip declares {meta['uncompressed_hint']} "
+                            f"bytes over the {byte_budget}-byte budget"
+                        )
+                    zf = zipfile.ZipFile(io.BytesIO(raw))
+                    infos = zf.infolist()
+                except DECODE_ERRORS as e:
+                    if not quarantine:
+                        raise
+                    emit(doc_id, err=_error_text(e), kind=_error_kind(e))
+                    continue
+                except zipfile.BadZipFile as e:
+                    if not quarantine:
+                        raise ValueError(f"malformed zip: {e}") from None
+                    emit(doc_id, err=f"malformed zip: {e}",
+                         kind="corrupt")
+                    continue
+                for i, info in enumerate(infos):
+                    try:
+                        body = zf.read(info.filename)
+                    except Exception as e:  # noqa: BLE001 zlib/zipfile
+                        if not quarantine:
+                            raise ValueError(
+                                f"malformed zip member: {e}"
+                            ) from None
+                        emit(doc_id, i, info.filename,
+                             info.compress_size, info.file_size,
+                             err=f"malformed zip member: {e}",
+                             kind="corrupt")
+                        continue
+                    emit(doc_id, i, info.filename, info.compress_size,
+                         info.file_size, bytearray(body))
+            yield pd.DataFrame(
+                {c: pd.Series(v, dtype="object")
+                 for c, v in out.items()
+                 if quarantine or c not in ("error", "error_kind")}
+            )
+
+    schema = ZIP_MEMBERS_SCHEMA + ", error string, error_kind string" \
+        if quarantine else ZIP_MEMBERS_SCHEMA
+    return blobs.mapInPandas(batches, schema)

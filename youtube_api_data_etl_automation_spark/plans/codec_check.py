@@ -31,6 +31,10 @@ Fixture families → engine op exercised:
   (r11: AVI/MJPEG + GIF first-keyframe pixel features)
 - ``audio_subband`` → :func:`operators.multimodal.audio_subband_features`
   (r11: MPEG-1 Layer I exact subband-domain essence statistics)
+- ``archive``      → :func:`operators.archives.archive_meta`
+  (r11: gzip/zip/tar/WARC container probe)
+- ``warc_records`` → :func:`operators.archives.warc_records`
+  (r11: per-record WARC split, folded to one fingerprint per payload)
 
 Scale note: the fixture is a verification corpus (~40 rows, a few KB);
 the ops it drives are the same Arrow-batched mapInPandas operators that
@@ -75,6 +79,7 @@ def codec_stats(spark: SparkSession) -> DataFrame:
         video_keyframe_features,
         video_meta,
     )
+    from ..operators.archives import archive_meta, warc_records
     from ..operators.multimodal import (
         audio_subband_features,
         decode_audio,
@@ -92,7 +97,8 @@ def codec_stats(spark: SparkSession) -> DataFrame:
         .select(F.col("payload_id").alias("doc_id"), "payload")
         for fam in ("image", "audio", "image_meta", "video_meta",
                     "audio_meta", "image_exif", "audio_tags",
-                    "video_frame", "audio_subband")
+                    "video_frame", "audio_subband", "archive",
+                    "warc_records")
     }
 
     img = decode_image(by_family["image"], errors="quarantine").select(
@@ -244,8 +250,57 @@ def codec_stats(spark: SparkSession) -> DataFrame:
             ),
         ).otherwise(_err_fp()).alias("fp"),
     )
+    arch = archive_meta(
+        by_family["archive"], errors="quarantine"
+    ).select(
+        "doc_id",
+        F.col("format").alias("fmt"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.when(
+            F.col("error").isNull(),
+            F.format_string(
+                "%s,%s,%s",
+                F.coalesce(F.col("n_members").cast("string"),
+                           F.lit("-")),
+                F.col("uncompressed_hint").cast("string"),
+                F.col("detail"),
+            ),
+        ).otherwise(_err_fp()).alias("fp"),
+    )
+    wr = warc_records(by_family["warc_records"], errors="quarantine")
+    warcf = wr.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("record_idx", "warc_type"))),
+                lambda s: s["warc_type"],
+            ),
+        ).alias("types"),
+        F.max("http_status").alias("status"),
+        F.sum(F.octet_length("body")).alias("body_bytes"),
+        F.max("error_kind").alias("ek"),
+    ).select(
+        "doc_id",
+        F.lit("warc").alias("fmt"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.when(
+            F.col("ek").isNull(),
+            F.format_string(
+                "%d,%s,%s,%d",
+                F.col("n"),
+                F.col("types"),
+                F.coalesce(F.col("status").cast("string"), F.lit("-")),
+                F.col("body_bytes"),
+            ),
+        ).otherwise(F.concat(F.lit("ERR:"), F.col("ek"))).alias("fp"),
+    )
     return (
         img.unionByName(aud).unionByName(imeta).unionByName(vmeta)
         .unionByName(ameta).unionByName(exif).unionByName(tags)
-        .unionByName(keyf).unionByName(sband)
+        .unionByName(keyf).unionByName(sband).unionByName(arch)
+        .unionByName(warcf)
     )
