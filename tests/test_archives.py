@@ -192,3 +192,63 @@ def test_zip_eocd_with_comment_and_bounds():
     assert archives._parse_zip_meta(bytes(commented))["n_members"] == 2
     with pytest.raises(ValueError, match="central directory"):
         archives._parse_zip_meta(_zip()[len(_zip()) // 2 :])
+
+
+def test_warc_body_text_and_malformed_bytes(spark):
+    body = "ok é".encode() + b"\xff\xfe"  # trailing crawl garbage
+    rec = _warc_record(
+        "response", _http_response(body),
+        uri="https://x.example/a",
+        extra=(b"Content-Type: application/http;msgtype=response",))
+    r = archives.warc_records(_blob_df(spark, [(1, rec)])).collect()[0]
+    assert r["body_text"].startswith("ok é")
+    assert "�" in r["body_text"]  # replacement, not a task kill
+    # binary responses keep body bytes but no text
+    img = _warc_record(
+        "response", _http_response(b"\x89PNG...", ctype="image/png"),
+        uri="https://x.example/i",
+        extra=(b"Content-Type: application/http;msgtype=response",))
+    r = archives.warc_records(_blob_df(spark, [(1, img)])).collect()[0]
+    assert r["body_text"] is None and bytes(r["body"]) == b"\x89PNG..."
+
+
+def test_warc_to_documents_composition(spark):
+    from youtube_api_data_etl_automation_spark.corpus import (
+        warc_to_documents,
+    )
+
+    html = (b"<html><body><h1>Title</h1><p>This is the kind of page "
+            b"that the crawler keeps: it has enough plain English "
+            b"words for the language heuristic and the quality "
+            b"scorer to pass it through the funnel.</p></body></html>")
+    ok = _warc_record(
+        "response", _http_response(html),
+        uri="https://x.example/page",
+        extra=(b"Content-Type: application/http;msgtype=response",))
+    notfound = _warc_record(
+        "response", _http_response(b"<html>gone</html>", status=404),
+        uri="https://x.example/missing",
+        extra=(b"Content-Type: application/http;msgtype=response",))
+    png = _warc_record(
+        "response", _http_response(b"\x89PNG", ctype="image/png"),
+        uri="https://x.example/img",
+        extra=(b"Content-Type: application/http;msgtype=response",))
+    info = _warc_record("warcinfo", b"software: test\r\n")
+    payload = info + ok + notfound + png
+    docs = warc_to_documents(
+        _blob_df(spark, [(7, payload), (8, b"broken")])).collect()
+    assert len(docs) == 1
+    d = docs[0]
+    assert d["source"] == "https://x.example/page"
+    assert "crawler keeps" in d["text"] and "<p>" not in d["text"]
+    assert d["lang"] is None and d["n_chars"] == len(d["text"])
+    # doc_id is stable across re-ingestion
+    again = warc_to_documents(
+        _blob_df(spark, [(7, payload)])).collect()[0]
+    assert again["doc_id"] == d["doc_id"]
+    # and the result feeds curate_corpus directly
+    from youtube_api_data_etl_automation_spark.corpus import curate_corpus
+    out = curate_corpus(
+        warc_to_documents(_blob_df(spark, [(7, payload)])),
+        min_tokens=1, max_tokens=100, quality_min=0.0, audit=True)
+    assert out["documents"].count() == 1

@@ -358,6 +358,54 @@ def curate_corpus(
     return {"documents": packed, "report": report}
 
 
+def warc_to_documents(
+    payloads: DataFrame,
+    *,
+    statuses: tuple[int, ...] = (200,),
+    strip_html: bool = True,
+    min_chars: int = 1,
+    byte_budget: int | None = None,
+) -> DataFrame:
+    """WARC payload table → ``documents``-shaped rows — the crawl
+    ingestion composition: :func:`operators.archives.warc_records`
+    splits records in one in-partition pass, HTTP ``response`` records
+    with an allowed status and a texty Content-Type survive, markup
+    strips JVM-side (functions/markup.py Column expressions — no
+    second Python pass), and the output matches the corpus tables'
+    shape (doc_id, text, lang NULL — language-ID is a downstream
+    curation stage, source = the target URI, n_chars) so
+    :func:`curate_corpus` consumes it directly.
+
+    ``doc_id`` is ``xxhash64(payload id, record index)`` — stable
+    across re-ingestion of the same WARC, so the incremental dedup /
+    idempotent-append machinery (commit_deduped_batch) works on
+    re-crawled files."""
+    from .functions.markup import strip_markup
+    from .operators.archives import ARCHIVE_BYTE_BUDGET, warc_records
+
+    records = warc_records(
+        payloads, errors="quarantine",
+        byte_budget=byte_budget or ARCHIVE_BYTE_BUDGET,
+    )
+    text = strip_markup(F.col("body_text")) if strip_html         else F.col("body_text")
+    return (
+        records
+        .filter(F.col("error").isNull())
+        .filter(F.col("warc_type") == "response")
+        .filter(F.col("http_status").isin(*statuses))
+        .filter(F.col("body_text").isNotNull())
+        .select(
+            F.xxhash64(F.col("doc_id"), F.col("record_idx"))
+            .alias("doc_id"),
+            text.alias("text"),
+            F.lit(None).cast("string").alias("lang"),
+            F.col("target_uri").alias("source"),
+        )
+        .withColumn("n_chars", F.length("text"))
+        .filter(F.col("n_chars") >= min_chars)
+    )
+
+
 def curate_stream(stream_docs: DataFrame, checkpoint_dir: str, sink_path: str,
                   *, id_col: str = "doc_id", text_col: str = "text",
                   min_tokens: int = 10, max_tokens: int = 1000,

@@ -20,7 +20,9 @@ executor):
   WARC-Target-URI, WARC-Date, Content-Type, Content-Length, and for
   response records the HTTP status + Content-Type + body bytes.
   Handles plain WARC and gzip WARC incl. the member-per-record layout
-  (concatenated gzip members), with a decompressed-byte budget.
+  (concatenated gzip members), with a decompressed-byte budget; texty
+  response bodies additionally decode to a ``body_text`` column
+  (utf-8, replacement chars — total over crawl garbage).
 - ``unpack_gzip_text``: bare .gz document → utf-8 text row, budgeted.
 - ``zip_members``: one row per zip member (name, size, bytes),
   stored/deflate entries via stdlib zipfile, per-member and total
@@ -52,7 +54,8 @@ ARCHIVE_META_SCHEMA = (
 WARC_RECORDS_SCHEMA = (
     "doc_id bigint, record_idx int, warc_type string, target_uri string, "
     "warc_date string, content_type string, content_length bigint, "
-    "http_status int, http_content_type string, body binary"
+    "http_status int, http_content_type string, body binary, "
+    "body_text string"
 )
 
 GZIP_TEXT_SCHEMA = "doc_id bigint, text string, n_bytes bigint"
@@ -309,7 +312,7 @@ def warc_records(blobs: DataFrame, errors: str = "quarantine",
     quarantine = _check_errors_mode(errors)
     cols = ("doc_id", "record_idx", "warc_type", "target_uri",
             "warc_date", "content_type", "content_length",
-            "http_status", "http_content_type", "body",
+            "http_status", "http_content_type", "body", "body_text",
             "error", "error_kind")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -318,10 +321,10 @@ def warc_records(blobs: DataFrame, errors: str = "quarantine",
 
             def emit(doc_id, idx=None, wtype=None, uri=None, date=None,
                      ctype=None, clen=None, status=None, hct=None,
-                     body=None, err=None, kind=None):
+                     body=None, text=None, err=None, kind=None):
                 for c, v in zip(cols, (doc_id, idx, wtype, uri, date,
                                        ctype, clen, status, hct, body,
-                                       err, kind)):
+                                       text, err, kind)):
                     out[c].append(v)
 
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -355,11 +358,21 @@ def warc_records(blobs: DataFrame, errors: str = "quarantine",
                                     hct = line[13:].strip().decode(
                                         "utf-8", "replace")
                             body = content[hdr_end + 4 :]
+                    # utf-8 text decoded HERE (replacement chars for
+                    # malformed bytes) for texty responses: ANSI-mode
+                    # F.decode throws on crawl garbage, a Python-side
+                    # decode is total
+                    text = None
+                    if hct is not None and hct.split(";")[0].strip() in (
+                        "text/html", "text/plain", "application/json",
+                        "application/xhtml+xml", "text/xml",
+                    ):
+                        text = body.decode("utf-8", "replace")
                     emit(doc_id, i, h.get("warc-type"),
                          h.get("warc-target-uri"), h.get("warc-date"),
                          ctype or None,
                          int(h["content-length"]), status, hct,
-                         bytearray(body))
+                         bytearray(body), text)
             yield pd.DataFrame(
                 {c: pd.Series(v, dtype="object")
                  for c, v in out.items()
