@@ -418,6 +418,69 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
     add(1102, "warc_records", "warc_gzip_per_record", warc_gz)
     add(1103, "warc_records", "warc_truncated", warc_plain[:-60])
 
+    # ---- document: pdf_text / pdf_meta (ids 12xx/13xx) ----------------
+    import zlib as _zlib
+
+    from test_pdf import a85, lzw, mkpdf, one_page, stream_obj
+
+    add(1201, "document", "pdf_minimal_escapes",
+        one_page(b"BT /F1 12 Tf (Hello, corpus!) Tj 0 -14 Td "
+                 b"(esc \\050ok\\051 \\110i) Tj ET"))
+    c1 = _zlib.compress(b"BT /F1 9 Tf (page one body) Tj ET")
+    c2 = _zlib.compress(b"BT /F1 9 Tf [(ker) -50 (ned) -260 (words)] TJ ET")
+    pdf_two_pages = mkpdf([
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 /Resources "
+            b"<< /Font << /F1 7 0 R >> >> >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+        (4, stream_obj(b"/Filter /FlateDecode ", c1)),
+        (5, b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>"),
+        (6, stream_obj(b"/Filter /FlateDecode ", c2)),
+        (7, b"<< /Type /Font /Subtype /Type1 >>"),
+    ])
+    add(1202, "document", "pdf_flate_two_pages", pdf_two_pages)
+    cmap = (b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+            b"2 beginbfchar <0041> <0394> <0042> <00E9> endbfchar\n"
+            b"1 beginbfrange <0050> <0053> <0077> endbfrange")
+    add(1203, "document", "pdf_type0_tounicode", mkpdf([
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Resources "
+            b"<< /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
+        (4, stream_obj(b"", b"BT /F1 10 Tf <00410042> Tj "
+                            b"<0050005100520053> Tj ET")),
+        (5, b"<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>"),
+        (6, stream_obj(b"", cmap)),
+    ]))
+    objstm_member = (b"<< /Type /Page /Parent 2 0 R /Resources << >> "
+                     b"/Contents 4 0 R >>")
+    objstm_header = b"3 0 "
+    add(1204, "document", "pdf_objstm_lzw_content", mkpdf([
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (4, stream_obj(b"/Filter /LZWDecode ",
+                       lzw(b"BT (objstm and lzw decode) Tj ET"))),
+        (5, stream_obj(b"/Type /ObjStm /N 1 /First %d /Filter "
+                       b"/FlateDecode " % len(objstm_header),
+                       _zlib.compress(objstm_header + objstm_member))),
+    ]))
+    chained = b"BT (ascii85 flate chain) Tj ET "\
+        b"BI /W 2 /H 2 /BPC 8 ID \x01\x02\x03\x04 EI BT ( tail) Tj ET"
+    add(1205, "document", "pdf_a85_flate_inline_image",
+        one_page(chained, filt=b"/Filter [/ASCII85Decode /FlateDecode] ",
+                 encode=lambda c: a85(_zlib.compress(c))))
+    enc = one_page(b"BT (secret) Tj ET").replace(
+        b"/Root 1 0 R ", b"/Root 1 0 R /Encrypt 9 0 R ")
+    add(1206, "document", "pdf_encrypted_unsupported", enc)
+    add(1207, "document", "pdf_truncated_corrupt",
+        one_page(b"BT (cut) Tj ET")[:60])
+    add(1208, "document", "pdf_dct_content_unsupported",
+        one_page(b"\xff\xd8 not text", filt=b"/Filter /DCTDecode "))
+
+    add(1301, "document_meta", "pdf_probe_two_pages", pdf_two_pages)
+    add(1302, "document_meta", "pdf_probe_encrypted", enc)
+    add(1303, "document_meta", "pdf_probe_corrupt", b"%PDF-1.4\nempty")
+
     return rows
 
 

@@ -406,6 +406,50 @@ def warc_to_documents(
     )
 
 
+def pdf_to_documents(
+    payloads: DataFrame,
+    *,
+    min_chars: int = 1,
+    inflate_budget: int | None = None,
+    text_budget: int | None = None,
+) -> DataFrame:
+    """PDF payload table → ``documents``-shaped rows — the document
+    ingestion composition, twin of :func:`warc_to_documents` for the
+    second-biggest crawl document format: :func:`operators.pdf.pdf_text`
+    extracts per-page text (form feeds between pages become newlines
+    here — curation stages treat a document as one text), failures are
+    dropped (route them separately via pdf_text(errors='quarantine')
+    when the quarantine population matters), and the output matches the
+    corpus tables' shape (doc_id, text, lang NULL, source, n_chars) so
+    :func:`curate_corpus` consumes it directly.
+
+    ``doc_id`` is ``xxhash64(payload doc_id)`` of the source id — stable
+    across re-ingestion, so incremental dedup / idempotent append work
+    on re-crawls. One mapInPandas, no shuffle."""
+    from .operators.pdf import (
+        PDF_INFLATE_BUDGET, PDF_TEXT_BUDGET, pdf_text,
+    )
+
+    extracted = pdf_text(
+        payloads, errors="quarantine",
+        inflate_budget=inflate_budget or PDF_INFLATE_BUDGET,
+        text_budget=text_budget or PDF_TEXT_BUDGET,
+    )
+    return (
+        extracted
+        .filter(F.col("error").isNull())
+        .select(
+            F.xxhash64(F.col("doc_id")).alias("doc_id"),
+            F.translate(F.col("text"), "\f", "\n").alias("text"),
+            F.lit(None).cast("string").alias("lang"),
+            F.concat(F.lit("pdf:"), F.col("doc_id").cast("string"))
+            .alias("source"),
+        )
+        .withColumn("n_chars", F.length("text"))
+        .filter(F.col("n_chars") >= min_chars)
+    )
+
+
 def curate_stream(stream_docs: DataFrame, checkpoint_dir: str, sink_path: str,
                   *, id_col: str = "doc_id", text_col: str = "text",
                   min_tokens: int = 10, max_tokens: int = 1000,

@@ -35,6 +35,10 @@ Fixture families → engine op exercised:
   (r11: gzip/zip/tar/WARC container probe)
 - ``warc_records`` → :func:`operators.archives.warc_records`
   (r11: per-record WARC split, folded to one fingerprint per payload)
+- ``document``      → :func:`operators.pdf.pdf_text` (r11: full PDF
+  text extraction — filters, ObjStm, ToUnicode CMaps, refusals)
+- ``document_meta`` → :func:`operators.pdf.pdf_meta` (r11: structural
+  probe, no decompression)
 
 Scale note: the fixture is a verification corpus (~40 rows, a few KB);
 the ops it drives are the same Arrow-batched mapInPandas operators that
@@ -80,6 +84,7 @@ def codec_stats(spark: SparkSession) -> DataFrame:
         video_meta,
     )
     from ..operators.archives import archive_meta, warc_records
+    from ..operators.pdf import pdf_meta, pdf_text
     from ..operators.multimodal import (
         audio_subband_features,
         decode_audio,
@@ -98,7 +103,7 @@ def codec_stats(spark: SparkSession) -> DataFrame:
         for fam in ("image", "audio", "image_meta", "video_meta",
                     "audio_meta", "image_exif", "audio_tags",
                     "video_frame", "audio_subband", "archive",
-                    "warc_records")
+                    "warc_records", "document", "document_meta")
     }
 
     img = decode_image(by_family["image"], errors="quarantine").select(
@@ -298,9 +303,44 @@ def codec_stats(spark: SparkSession) -> DataFrame:
             ),
         ).otherwise(F.concat(F.lit("ERR:"), F.col("ek"))).alias("fp"),
     )
+    doc = pdf_text(by_family["document"], errors="quarantine").select(
+        "doc_id",
+        "format",
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.when(
+            F.col("error").isNull(),
+            F.format_string(
+                "%s,%d,%d,%s",
+                F.col("version"),
+                F.col("n_pages"),
+                F.col("n_chars"),
+                # newline/formfeed fold keeps the fp one SQL literal
+                F.translate(F.col("text"), "\n\f", "~|"),
+            ),
+        ).otherwise(_err_fp()).alias("fp"),
+    ).withColumnRenamed("format", "fmt")
+    dmeta = pdf_meta(
+        by_family["document_meta"], errors="quarantine"
+    ).select(
+        "doc_id",
+        F.col("format").alias("fmt"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.when(
+            F.col("error").isNull(),
+            F.format_string(
+                "%s,%d,%s,%s",
+                F.col("version"),
+                F.col("n_objects"),
+                F.coalesce(F.col("n_pages").cast("string"), F.lit("-")),
+                F.col("encrypted").cast("string"),
+            ),
+        ).otherwise(_err_fp()).alias("fp"),
+    )
     return (
         img.unionByName(aud).unionByName(imeta).unionByName(vmeta)
         .unionByName(ameta).unionByName(exif).unionByName(tags)
         .unionByName(keyf).unionByName(sband).unionByName(arch)
-        .unionByName(warcf)
+        .unionByName(warcf).unionByName(doc).unionByName(dmeta)
     )
