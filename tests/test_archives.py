@@ -252,3 +252,70 @@ def test_warc_to_documents_composition(spark):
         warc_to_documents(_blob_df(spark, [(7, payload)])),
         min_tokens=1, max_tokens=100, quality_min=0.0, audit=True)
     assert out["documents"].count() == 1
+
+
+def test_wet_conversion_records_decode_text(spark):
+    """WET-shaped files: 'conversion' records carry pre-extracted
+    text/plain content with no HTTP envelope — warc_records must decode
+    their text, and warc_to_documents ingests them when asked."""
+    from youtube_api_data_etl_automation_spark.corpus import (
+        warc_to_documents,
+    )
+    from youtube_api_data_etl_automation_spark.operators.archives import (
+        warc_records,
+    )
+
+    conv = _warc_record(
+        "conversion", "Extracted plain text wörds.".encode(),
+        uri="https://x.example/page",
+        extra=(b"Content-Type: text/plain",))
+    info = _warc_record("warcinfo", b"software: wet-test\r\n")
+    payload = info + conv
+    recs = {r["warc_type"]: r for r in
+            warc_records(_blob_df(spark, [(3, payload)])).collect()}
+    assert recs["conversion"]["body_text"] == "Extracted plain text wörds."
+    assert recs["conversion"]["http_status"] is None
+    # default record_types: conversion records are NOT documents
+    assert warc_to_documents(_blob_df(spark, [(3, payload)])).count() == 0
+    docs = warc_to_documents(
+        _blob_df(spark, [(3, payload)]),
+        record_types=("response", "conversion"), strip_html=False,
+    ).collect()
+    assert len(docs) == 1
+    assert docs[0]["text"] == "Extracted plain text wörds."
+    assert docs[0]["source"] == "https://x.example/page"
+
+
+def test_warc_pdf_to_documents_composition(spark):
+    """application/pdf crawl responses route through the PDF extractor
+    with the URI riding along; non-PDF and broken-PDF responses drop."""
+    from tests.test_pdf import one_page
+
+    from youtube_api_data_etl_automation_spark.corpus import (
+        warc_pdf_to_documents,
+    )
+
+    pdf_body = one_page(b"BT /F1 11 Tf (A PDF fetched from the crawl) "
+                        b"Tj ET")
+    ok = _warc_record(
+        "response", _http_response(pdf_body, ctype="application/pdf"),
+        uri="https://x.example/paper.pdf",
+        extra=(b"Content-Type: application/http;msgtype=response",))
+    html = _warc_record(
+        "response", _http_response(b"<html>not pdf</html>"),
+        uri="https://x.example/page",
+        extra=(b"Content-Type: application/http;msgtype=response",))
+    broken = _warc_record(
+        "response", _http_response(b"%PDF-1.4 truncated",
+                                   ctype="application/pdf; v=1"),
+        uri="https://x.example/bad.pdf",
+        extra=(b"Content-Type: application/http;msgtype=response",))
+    payload = ok + html + broken
+    docs = warc_pdf_to_documents(_blob_df(spark, [(5, payload)])).collect()
+    assert len(docs) == 1
+    d = docs[0]
+    assert d["text"] == "A PDF fetched from the crawl"
+    assert d["source"] == "https://x.example/paper.pdf"
+    again = warc_pdf_to_documents(
+        _blob_df(spark, [(5, payload)])).collect()[0]
+    assert again["doc_id"] == d["doc_id"]

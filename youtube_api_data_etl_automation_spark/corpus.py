@@ -362,6 +362,7 @@ def warc_to_documents(
     payloads: DataFrame,
     *,
     statuses: tuple[int, ...] = (200,),
+    record_types: tuple[str, ...] = ("response",),
     strip_html: bool = True,
     min_chars: int = 1,
     byte_budget: int | None = None,
@@ -379,7 +380,13 @@ def warc_to_documents(
     ``doc_id`` is ``xxhash64(payload id, record index)`` — stable
     across re-ingestion of the same WARC, so the incremental dedup /
     idempotent-append machinery (commit_deduped_batch) works on
-    re-crawled files."""
+    re-crawled files.
+
+    ``record_types``: which WARC record types count as documents.
+    The default ingests HTTP ``response`` records (raw crawl WARCs);
+    add ``"conversion"`` for WET-shaped files, whose records carry
+    pre-extracted text/plain content with no HTTP envelope — the
+    status filter applies only to ``response`` records."""
     from .functions.markup import strip_markup
     from .operators.archives import ARCHIVE_BYTE_BUDGET, warc_records
 
@@ -391,8 +398,9 @@ def warc_to_documents(
     return (
         records
         .filter(F.col("error").isNull())
-        .filter(F.col("warc_type") == "response")
-        .filter(F.col("http_status").isin(*statuses))
+        .filter(F.col("warc_type").isin(*record_types))
+        .filter((F.col("warc_type") != "response")
+                | F.col("http_status").isin(*statuses))
         .filter(F.col("body_text").isNotNull())
         .select(
             F.xxhash64(F.col("doc_id"), F.col("record_idx"))
@@ -444,6 +452,69 @@ def pdf_to_documents(
             F.lit(None).cast("string").alias("lang"),
             F.concat(F.lit("pdf:"), F.col("doc_id").cast("string"))
             .alias("source"),
+        )
+        .withColumn("n_chars", F.length("text"))
+        .filter(F.col("n_chars") >= min_chars)
+    )
+
+
+def warc_pdf_to_documents(
+    payloads: DataFrame,
+    *,
+    statuses: tuple[int, ...] = (200,),
+    min_chars: int = 1,
+    byte_budget: int | None = None,
+    inflate_budget: int | None = None,
+    text_budget: int | None = None,
+) -> DataFrame:
+    """Crawl WARCs → PDF-response bodies → ``documents`` rows, in one
+    shuffle-free composition: :func:`operators.archives.warc_records`
+    splits records in-partition, ``application/pdf`` HTTP responses
+    route into :func:`operators.pdf.pdf_text` (the target URI rides
+    through pdf_text's ``source`` passthrough — no join-back), and
+    survivors land in the corpus shape (doc_id, text, lang NULL,
+    source=URI, n_chars). Non-PDF responses are someone else's row
+    (:func:`warc_to_documents`); failed extractions drop here.
+
+    ``doc_id`` is ``xxhash64(payload id, record index)`` — the same
+    stability contract as warc_to_documents, so re-crawled WARCs
+    dedup/append idempotently."""
+    from .operators.archives import ARCHIVE_BYTE_BUDGET, warc_records
+    from .operators.pdf import (
+        PDF_INFLATE_BUDGET, PDF_TEXT_BUDGET, pdf_text,
+    )
+
+    records = warc_records(
+        payloads, errors="quarantine",
+        byte_budget=byte_budget or ARCHIVE_BYTE_BUDGET,
+    )
+    pdf_blobs = (
+        records
+        .filter(F.col("error").isNull())
+        .filter(F.col("warc_type") == "response")
+        .filter(F.col("http_status").isin(*statuses))
+        .filter(F.trim(F.split(F.col("http_content_type"), ";")
+                       .getItem(0)) == "application/pdf")
+        .select(
+            F.xxhash64(F.col("doc_id"), F.col("record_idx"))
+            .alias("doc_id"),
+            F.col("body").alias("payload"),
+            F.col("target_uri").alias("source"),
+        )
+    )
+    extracted = pdf_text(
+        pdf_blobs, errors="quarantine",
+        inflate_budget=inflate_budget or PDF_INFLATE_BUDGET,
+        text_budget=text_budget or PDF_TEXT_BUDGET,
+    )
+    return (
+        extracted
+        .filter(F.col("error").isNull())
+        .select(
+            "doc_id",
+            F.translate(F.col("text"), "\f", "\n").alias("text"),
+            F.lit(None).cast("string").alias("lang"),
+            "source",
         )
         .withColumn("n_chars", F.length("text"))
         .filter(F.col("n_chars") >= min_chars)

@@ -363,10 +363,16 @@ def warc_records(blobs: DataFrame, errors: str = "quarantine",
                     # F.decode throws on crawl garbage, a Python-side
                     # decode is total
                     text = None
-                    if hct is not None and hct.split(";")[0].strip() in (
-                        "text/html", "text/plain", "application/json",
-                        "application/xhtml+xml", "text/xml",
-                    ):
+                    texty = ("text/html", "text/plain",
+                             "application/json",
+                             "application/xhtml+xml", "text/xml")
+                    if hct is not None:
+                        if hct.split(";")[0].strip() in texty:
+                            text = body.decode("utf-8", "replace")
+                    elif ctype.split(";")[0].strip() in texty:
+                        # no HTTP envelope but a texty WARC content-type:
+                        # the WET 'conversion' record shape (extracted
+                        # text as text/plain record content)
                         text = body.decode("utf-8", "replace")
                     emit(doc_id, i, h.get("warc-type"),
                          h.get("warc-target-uri"), h.get("warc-date"),

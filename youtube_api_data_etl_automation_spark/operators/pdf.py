@@ -1135,12 +1135,17 @@ def pdf_text(blobs: DataFrame, errors: str = "raise",
     :func:`operators.multimodal.decode_image`; encrypted documents,
     image-codec filters, unmapped Type0 fonts, and budget blows route
     to ``error_kind='unsupported'``, structural damage to
-    ``'corrupt'``."""
+    ``'corrupt'``.
+
+    If the input carries a ``source`` string column it passes through
+    unchanged — provenance (a crawl URI) rides along without a
+    join-back shuffle."""
     from .multimodal import (
         DECODE_ERRORS, _check_errors_mode, _error_kind, _error_text,
     )
 
     quarantine = _check_errors_mode(errors)
+    with_source = "source" in blobs.columns
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_batch in it:
@@ -1182,12 +1187,18 @@ def pdf_text(blobs: DataFrame, errors: str = "raise",
                 "n_chars": pd.array(nchars, dtype="Int32"),
                 "text": pd.Series(texts, dtype="object"),
             }
+            if with_source:
+                out["source"] = pd.Series(list(pdf_batch["source"]),
+                                          dtype="object")
             if quarantine:
                 out["error"] = pd.Series(errs, dtype="object")
                 out["error_kind"] = pd.Series(kinds, dtype="object")
             yield pd.DataFrame(out)
 
     schema = PDF_TEXT_QUARANTINE_SCHEMA if quarantine else PDF_TEXT_SCHEMA
+    if with_source:
+        schema = schema.replace(
+            "text string", "text string, source string")
     return blobs.mapInPandas(batches, schema)
 
 
