@@ -35,7 +35,8 @@ def test_fixture_is_committed_and_covers_all_families():
     assert set(fams) == {"image", "audio", "image_meta", "video_meta",
                          "audio_meta", "image_exif", "audio_tags",
                          "video_frame", "audio_subband", "archive",
-                         "warc_records", "document", "document_meta"}
+                         "warc_records", "document", "document_meta",
+                         "image_hash"}
     assert fams["image_exif"] == 7 and fams["audio_tags"] == 6
     # the decode matrix: 6 PNG variants + 4 JPEG + GIF/BMP/PPM +
     # 2 VP8L WebP + 7 TIFF (LZW/deflate/palette/tiled, r11) + 3 BMP
@@ -54,6 +55,8 @@ def test_fixture_is_committed_and_covers_all_families():
     # PDF text: escapes + flate 2-page + ToUnicode + ObjStm/LZW +
     # a85-chain/inline-image + 3 refusals; probe: 2-page/encrypted/cut
     assert fams["document"] == 8 and fams["document_meta"] == 3
+    # perceptual hashes: PNG + same-pixels BMP + JPEG + GIF + refusal
+    assert fams["image_hash"] == 5
 
 
 def test_codec_stats_match_golden(spark):
@@ -174,4 +177,4 @@ def test_codec_stats_from_foreign_cwd():
         env={k: v for k, v in __import__("os").environ.items()
              if k != "PYTHONPATH"},
     )
-    assert "CODEC_ROWS=121" in out.stdout, out.stderr[-2000:]
+    assert "CODEC_ROWS=126" in out.stdout, out.stderr[-2000:]

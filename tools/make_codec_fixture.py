@@ -481,6 +481,19 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
     add(1302, "document_meta", "pdf_probe_encrypted", enc)
     add(1303, "document_meta", "pdf_probe_corrupt", b"%PDF-1.4\nempty")
 
+    # ---- image_hash: perceptual hashes (ids 14xx) ---------------------
+    # non-monotone in x so the dHash neighbor comparisons carry signal
+    hash_px = [[((x * x * 7 + y * 13) % 256, (x * 29 + y * y) % 256,
+                 (x * y * 3 + 40) % 256)
+                for x in range(20)] for y in range(14)]
+    add(1401, "image_hash", "phash_png", _png(hash_px))
+    add(1402, "image_hash", "phash_bmp_same_pixels", _bmp24(hash_px))
+    add(1403, "image_hash", "phash_jpeg",
+        _encode_jpeg(_rng_image(24, 24, seed=71))[0])
+    add(1404, "image_hash", "phash_gif",
+        _gif([[0, 1, 2, 3, 2, 1, 0, 3]] * 6, PAL4))
+    add(1405, "image_hash", "phash_truncated_corrupt", _png(hash_px)[:25])
+
     return rows
 
 

@@ -75,6 +75,10 @@ def _ops():
         decode_audio,
         decode_image,
     )
+    from youtube_api_data_etl_automation_spark.operators.pdf import (
+        pdf_meta,
+        pdf_text,
+    )
 
     def fam(df, *fams):
         return df.filter(F.col("family").isin(*fams)).select(
@@ -98,6 +102,10 @@ def _ops():
             fam(df, "video_frame"), errors="quarantine"),
         "audio_subband_features": lambda df: audio_subband_features(
             fam(df, "audio_subband"), errors="quarantine"),
+        "pdf_text": lambda df: pdf_text(
+            fam(df, "document"), errors="quarantine"),
+        "pdf_meta": lambda df: pdf_meta(
+            fam(df, "document", "document_meta"), errors="quarantine"),
     }
 
 

@@ -749,7 +749,7 @@ def _cmd_media(args: argparse.Namespace) -> int:
     checks exit codes still notices a corrupt batch), else 0."""
     from pyspark.sql import functions as F
 
-    from .operators import archives, mediameta, pdf
+    from .operators import archives, imagehash, mediameta, pdf
     from .operators.multimodal import (
         audio_subband_features,
         decode_audio,
@@ -792,6 +792,8 @@ def _cmd_media(args: argparse.Namespace) -> int:
             b, errors="quarantine"),
         "pdftext": lambda b: pdf.pdf_text(b, errors="quarantine"),
         "pdfmeta": lambda b: pdf.pdf_meta(b, errors="quarantine"),
+        "imagehash": lambda b: imagehash.image_hashes(
+            b, errors="quarantine"),
     }
     out = ops[args.op](blobs)
     if args.output:
@@ -845,7 +847,8 @@ def build_parser() -> argparse.ArgumentParser:
         "--op", required=True,
         choices=["probe", "decode", "audio", "audiometa", "video",
                  "triage", "exif", "tags", "audiotriage", "keyframe",
-                 "subband", "archive", "warc", "pdftext", "pdfmeta"],
+                 "subband", "archive", "warc", "pdftext", "pdfmeta",
+                 "imagehash"],
         help="probe=image headers, decode=image pixels, audio=samples, "
              "audiometa=MP3/FLAC/WAV headers, video=MP4/MKV containers, "
              "triage=probe-then-decode router (audiotriage=the audio "

@@ -39,6 +39,10 @@ Fixture families → engine op exercised:
   text extraction — filters, ObjStm, ToUnicode CMaps, refusals)
 - ``document_meta`` → :func:`operators.pdf.pdf_meta` (r11: structural
   probe, no decompression)
+- ``image_hash``    → :func:`operators.imagehash.image_hashes` (r11:
+  dHash/aHash perceptual codes over real decoded pixels — the
+  image-near-dup dedup bridge; format-invariance pinned by the
+  PNG-vs-BMP same-pixels payload pair)
 
 Scale note: the fixture is a verification corpus (~40 rows, a few KB);
 the ops it drives are the same Arrow-batched mapInPandas operators that
@@ -84,6 +88,7 @@ def codec_stats(spark: SparkSession) -> DataFrame:
         video_meta,
     )
     from ..operators.archives import archive_meta, warc_records
+    from ..operators.imagehash import image_hashes
     from ..operators.pdf import pdf_meta, pdf_text
     from ..operators.multimodal import (
         audio_subband_features,
@@ -103,7 +108,8 @@ def codec_stats(spark: SparkSession) -> DataFrame:
         for fam in ("image", "audio", "image_meta", "video_meta",
                     "audio_meta", "image_exif", "audio_tags",
                     "video_frame", "audio_subband", "archive",
-                    "warc_records", "document", "document_meta")
+                    "warc_records", "document", "document_meta",
+                    "image_hash")
     }
 
     img = decode_image(by_family["image"], errors="quarantine").select(
@@ -338,9 +344,27 @@ def codec_stats(spark: SparkSession) -> DataFrame:
             ),
         ).otherwise(_err_fp()).alias("fp"),
     )
+    ih = image_hashes(
+        by_family["image_hash"], errors="quarantine"
+    ).select(
+        "doc_id",
+        F.col("format").alias("fmt"),
+        "width",
+        "height",
+        F.when(
+            F.col("error").isNull(),
+            # hex of the unsigned 64-bit codes — stable, readable
+            F.format_string(
+                "%016x,%016x",
+                F.col("dhash"),
+                F.col("ahash"),
+            ),
+        ).otherwise(_err_fp()).alias("fp"),
+    )
     return (
         img.unionByName(aud).unionByName(imeta).unionByName(vmeta)
         .unionByName(ameta).unionByName(exif).unionByName(tags)
         .unionByName(keyf).unionByName(sband).unionByName(arch)
         .unionByName(warcf).unionByName(doc).unionByName(dmeta)
+        .unionByName(ih)
     )
