@@ -39,9 +39,9 @@ def test_fixture_is_committed_and_covers_all_families():
                          "image_hash"}
     assert fams["image_exif"] == 7 and fams["audio_tags"] == 6
     # the decode matrix: 6 PNG variants + 4 JPEG + GIF/BMP/PPM +
-    # 2 VP8L WebP + 7 TIFF (LZW/deflate/palette/tiled, r11) + 3 BMP
-    # (palette/RLE8/32-bit, r11) + PGM + PBM + 2 refusals
-    assert fams["image"] == 30
+    # 2 VP8L WebP + 8 TIFF (LZW/deflate/palette/tiled + JPEG-in-TIFF,
+    # r11) + 3 BMP (palette/RLE8/32-bit, r11) + PGM + PBM + 2 refusals
+    assert fams["image"] == 31
     # PCM 8/16/24/32 + float 32/64 + G.711 ×2 + IMA + MS +
     # 2 FLAC (r10) + 3 refusals
     assert fams["audio"] == 15
@@ -177,4 +177,4 @@ def test_codec_stats_from_foreign_cwd():
         env={k: v for k, v in __import__("os").environ.items()
              if k != "PYTHONPATH"},
     )
-    assert "CODEC_ROWS=126" in out.stdout, out.stderr[-2000:]
+    assert "CODEC_ROWS=127" in out.stdout, out.stderr[-2000:]

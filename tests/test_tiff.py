@@ -105,9 +105,11 @@ def _lzw_encode(data: bytes) -> bytes:
 def _tiff_image(pixels, *, photometric=None, order="<", packbits=False,
                 lzw=False, deflate=False, predictor=1,
                 rows_per_strip=None, extra_tags=(), spp=None,
-                palette=None, tiles=None):
+                palette=None, tiles=None, jpeg_chunks=None,
+                jpeg_tables=None):
     """Independent baseline-TIFF encoder. ``pixels``: (h, w) grey or
-    (h, w, 3/4) arrays."""
+    (h, w, 3/4) arrays. ``jpeg_chunks``: pre-encoded JPEG streams, one
+    per strip/tile (compression 7); ``jpeg_tables`` adds tag 347."""
     arr = np.asarray(pixels, dtype=np.uint8)
     grey = arr.ndim == 2
     h, w = arr.shape[:2]
@@ -134,7 +136,9 @@ def _tiff_image(pixels, *, photometric=None, order="<", packbits=False,
 
     full = arr.reshape(h, w, -1)
     strips = []
-    if tiles is not None:
+    if jpeg_chunks is not None:
+        strips = list(jpeg_chunks)
+    elif tiles is not None:
         tw, th = tiles
         padded = np.zeros((((h + th - 1) // th) * th,
                            ((w + tw - 1) // tw) * tw,
@@ -151,8 +155,9 @@ def _tiff_image(pixels, *, photometric=None, order="<", packbits=False,
     entries = [
         (256, 4, 1, w), (257, 4, 1, h),
         (258, 3, n_samples, [8] * n_samples),
-        (259, 3, 1, 32773 if packbits else
-            (5 if lzw else (8 if deflate else 1))),
+        (259, 3, 1, 7 if jpeg_chunks is not None else
+            (32773 if packbits else
+             (5 if lzw else (8 if deflate else 1)))),
         (262, 3, 1, photometric),
         (277, 3, 1, n_samples),
     ]
@@ -167,6 +172,8 @@ def _tiff_image(pixels, *, photometric=None, order="<", packbits=False,
         pal[: len(palette)] = np.asarray(palette, dtype=np.uint16)
         cm = (pal * 257).T.reshape(-1).tolist()  # 8->16 bit, R/G/B planes
         entries.append((320, 3, 768, cm))
+    if jpeg_tables is not None:
+        entries.append((347, 7, len(jpeg_tables), jpeg_tables))
     entries += list(extra_tags)
     # StripOffsets/ByteCounts appended after layout below
     n_entries = len(entries) + 2
@@ -177,8 +184,8 @@ def _tiff_image(pixels, *, photometric=None, order="<", packbits=False,
     overflow = b""
 
     def value_bytes(ftype, values):
-        fmt = {1: "B", 2: "s", 3: "H", 4: "I"}[ftype]
-        if ftype == 2:
+        fmt = {1: "B", 2: "s", 3: "H", 4: "I", 7: "s"}[ftype]
+        if ftype in (2, 7):
             return values  # bytes already
         return b"".join(struct.pack(lt + fmt, v) for v in values)
 
@@ -201,7 +208,7 @@ def _tiff_image(pixels, *, photometric=None, order="<", packbits=False,
         (off_tag, 4, len(strips), [0] * len(strips)),
         (cnt_tag, 4, len(strips), [0] * len(strips)),
     ]:
-        vb_len = {1: 1, 3: 2, 4: 4}[ftype] * count
+        vb_len = {1: 1, 2: 1, 3: 2, 4: 4, 7: 1}[ftype] * count
         if vb_len > 4:
             tmp_overflow += vb_len
     strips_at = data_at + tmp_overflow
@@ -261,14 +268,15 @@ def test_multi_strip_and_packbits():
 
 def test_refusals_and_malformed():
     g = _img(4, 4, seed=6, grey=True)
-    # rewrite compression tag to JPEG-in-TIFF (7): unsupported, not
-    # corrupt (LZW 5 and deflate 8/32946 decode for real since r11)
-    jpg_payload = _tiff_image(g)
-    i = jpg_payload.index(struct.pack("<HHI", 259, 3, 1))
-    jpg_payload = jpg_payload[: i + 8] + struct.pack("<I", 7) \
-        + jpg_payload[i + 12 :]
-    with pytest.raises(NotImplementedError, match="compression 7"):
-        tiff.decode_tiff(jpg_payload)
+    # rewrite compression tag to CCITT G3 (3): unsupported, not corrupt
+    # (LZW 5 / deflate 8/32946 decode since r11; new-style JPEG 7 since
+    # late r11 — see the dedicated compression-7 tests below)
+    fax_payload = _tiff_image(g)
+    i = fax_payload.index(struct.pack("<HHI", 259, 3, 1))
+    fax_payload = fax_payload[: i + 8] + struct.pack("<I", 3) \
+        + fax_payload[i + 12 :]
+    with pytest.raises(NotImplementedError, match="compression 3"):
+        tiff.decode_tiff(fax_payload)
     with pytest.raises(ValueError, match="bad magic"):
         tiff.decode_tiff(b"II+\x00" + b"\x00" * 16)
     with pytest.raises(ValueError, match="strip out of bounds|short strip"):
@@ -465,3 +473,155 @@ def test_tiled_layout_all_codecs():
             st.pack_into("<I", b, at + 8, 200)  # grid no longer matches
     with pytest.raises(ValueError, match="tiles for a"):
         tiff.decode_tiff(bytes(b))
+
+
+# ---------------------------------------------------------------------------
+# new-style JPEG-in-TIFF (compression 7)
+# ---------------------------------------------------------------------------
+
+def _split_jpeg_tables(payload: bytes) -> tuple[bytes, bytes]:
+    """Split a JPEG interchange stream into (tables stream, abbreviated
+    image stream): DQT/DHT segments move to a SOI..EOI tables-only
+    stream (the tag-347 shape), everything else stays."""
+    assert payload[:2] == b"\xff\xd8"
+    pos = 2
+    tables = bytearray(b"\xff\xd8")
+    rest = bytearray(b"\xff\xd8")
+    while pos + 4 <= len(payload):
+        assert payload[pos] == 0xFF, hex(payload[pos])
+        marker = payload[pos + 1]
+        if marker == 0xDA:  # SOS: entropy data runs to EOI
+            rest += payload[pos:]
+            return bytes(tables + b"\xff\xd9"), bytes(rest)
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        seg = payload[pos : pos + 2 + seglen]
+        if marker in (0xDB, 0xC4):
+            tables += seg
+        else:
+            rest += seg
+        pos += 2 + seglen
+    raise AssertionError("no SOS found")
+
+
+def test_jpeg_in_tiff_single_strip():
+    from tests.test_jpeg import _encode_jpeg, _rng_image
+
+    img = _rng_image(16, 16, seed=81, grey=True)
+    stream = _encode_jpeg(img)[0]
+    from youtube_api_data_etl_automation_spark.operators.jpeg import (
+        decode_baseline_jpeg,
+    )
+
+    want = decode_baseline_jpeg(stream)
+    payload = _tiff_image(np.zeros((16, 16), dtype=np.uint8),
+                          photometric=1, jpeg_chunks=[stream])
+    got = tiff.decode_tiff(payload)
+    assert np.array_equal(got, want)
+
+
+def test_jpeg_in_tiff_multi_strip_self_contained():
+    """Strip placement with different content: each strip a full
+    interchange stream (compression 7 without tag 347 is spec-valid)."""
+    from tests.test_jpeg import _encode_jpeg, _rng_image
+    from youtube_api_data_etl_automation_spark.operators.jpeg import (
+        decode_baseline_jpeg,
+    )
+
+    s_top = _encode_jpeg(_rng_image(8, 24, seed=82))[0]
+    s_bot = _encode_jpeg(_rng_image(8, 24, seed=83))[0]
+    payload = _tiff_image(
+        np.zeros((16, 24, 3), dtype=np.uint8), photometric=6,
+        rows_per_strip=8, jpeg_chunks=[s_top, s_bot])
+    got = tiff.decode_tiff(payload)
+    want = np.vstack([decode_baseline_jpeg(s_top),
+                      decode_baseline_jpeg(s_bot)])
+    assert np.array_equal(got, want)
+
+
+def test_jpeg_in_tiff_strips_with_shared_tables():
+    """The tag-347 splice: strips are ABBREVIATED streams (no DQT/DHT),
+    tables arrive once via JPEGTables. The test encoder derives tables
+    from the data, so the two strips carry identical pixels — what is
+    under test is that the tables reach the entropy decoder."""
+    from tests.test_jpeg import _encode_jpeg, _rng_image
+    from youtube_api_data_etl_automation_spark.operators.jpeg import (
+        decode_baseline_jpeg,
+    )
+
+    strip = _rng_image(8, 24, seed=82)
+    stream = _encode_jpeg(strip)[0]
+    tables, abbr = _split_jpeg_tables(stream)
+    # the abbreviated stream really lacks tables (starts at SOF)
+    assert abbr[2:4] == b"\xff\xc0"
+    payload = _tiff_image(
+        np.zeros((16, 24, 3), dtype=np.uint8), photometric=6,
+        rows_per_strip=8, jpeg_chunks=[abbr, abbr],
+        jpeg_tables=tables)
+    got = tiff.decode_tiff(payload)
+    one = decode_baseline_jpeg(stream)
+    assert np.array_equal(got, np.vstack([one, one]))
+    # without the tables tag the abbreviated strip must NOT decode
+    broken = _tiff_image(
+        np.zeros((16, 24, 3), dtype=np.uint8), photometric=6,
+        rows_per_strip=8, jpeg_chunks=[abbr, abbr])
+    with pytest.raises(ValueError):
+        tiff.decode_tiff(broken)
+
+
+def test_jpeg_in_tiff_tiled():
+    from tests.test_jpeg import _encode_jpeg, _rng_image
+    from youtube_api_data_etl_automation_spark.operators.jpeg import (
+        decode_baseline_jpeg,
+    )
+
+    # 20x35 image in 16x16 tiles -> 2x3 grid, edge tiles padded;
+    # self-contained per-tile streams (tables derive from each tile's
+    # data, so sharing via tag 347 would mismatch — covered by the
+    # shared-tables strip test instead)
+    full = _rng_image(20, 35, seed=84, grey=True)
+    padded = np.zeros((32, 48), dtype=full.dtype)
+    padded[:20, :35] = full
+    streams = []
+    for ty in range(2):
+        for tx in range(3):
+            tile = padded[ty * 16 : ty * 16 + 16, tx * 16 : tx * 16 + 16]
+            streams.append(_encode_jpeg(tile)[0])
+    payload = _tiff_image(
+        np.zeros((20, 35), dtype=np.uint8), photometric=1,
+        tiles=(16, 16), jpeg_chunks=streams)
+    got = tiff.decode_tiff(payload)
+    want = np.zeros((32, 48, 3), dtype=np.uint8)
+    for t, s in enumerate(streams):
+        ty, tx = divmod(t, 3)
+        want[ty * 16 : ty * 16 + 16, tx * 16 : tx * 16 + 16] = \
+            decode_baseline_jpeg(s)
+    assert np.array_equal(got, want[:20, :35])
+
+
+def test_jpeg_in_tiff_refusals():
+    from tests.test_jpeg import _encode_jpeg, _rng_image
+
+    stream = _encode_jpeg(_rng_image(16, 16, seed=85, grey=True))[0]
+    # tables tag that is not an abbreviated stream
+    bad = _tiff_image(np.zeros((16, 16), dtype=np.uint8), photometric=1,
+                      jpeg_chunks=[stream], jpeg_tables=b"\x00\x01\x02\x03")
+    with pytest.raises(ValueError, match="JPEGTables"):
+        tiff.decode_tiff(bad)
+    # segment that is not a JPEG stream
+    nosoi = _tiff_image(np.zeros((16, 16), dtype=np.uint8), photometric=1,
+                        jpeg_chunks=[b"\x00" * 40])
+    with pytest.raises(ValueError, match="without SOI"):
+        tiff.decode_tiff(nosoi)
+    # old-style JPEG (compression 6) stays an honest refusal
+    old = _tiff_image(np.zeros((4, 4), dtype=np.uint8), photometric=1,
+                      extra_tags=())
+    old = old.replace(struct.pack("<HHI", 259, 3, 1) + struct.pack("<HH", 1, 0),
+                      struct.pack("<HHI", 259, 3, 1) + struct.pack("<HH", 6, 0))
+    with pytest.raises(NotImplementedError, match="compression 6"):
+        tiff.decode_tiff(old)
+    # strip smaller than the declared region
+    small = _encode_jpeg(_rng_image(8, 8, seed=86, grey=True))[0]
+    short = _tiff_image(np.zeros((16, 16), dtype=np.uint8), photometric=1,
+                        jpeg_chunks=[small])
+    with pytest.raises(ValueError, match="smaller than"):
+        tiff.decode_tiff(short)

@@ -127,6 +127,15 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
     add(130, "image", "tiff_tiled_lzw_predictor",
         _tiff_image(_tiff_img(37, 45, seed=58), tiles=(16, 16),
                     lzw=True, predictor=2))
+    from test_tiff import _split_jpeg_tables
+
+    _jt_stream = _encode_jpeg(_rng_image(8, 16, seed=59))[0]
+    _jt_tables, _jt_abbr = _split_jpeg_tables(_jt_stream)
+    add(131, "image", "tiff_jpeg_shared_tables",
+        _tiff_image(np.zeros((16, 16, 3), dtype=np.uint8),
+                    photometric=6, rows_per_strip=8,
+                    jpeg_chunks=[_jt_abbr, _jt_abbr],
+                    jpeg_tables=_jt_tables))
     add(121, "image", "tiff_lzw_rgb",
         _tiff_image(_tiff_img(11, 13, seed=53), lzw=True))
     add(122, "image", "tiff_lzw_predictor_grey_strips",

@@ -1322,7 +1322,7 @@ EXIF_SCHEMA = (
 EXIF_QUARANTINE_SCHEMA = EXIF_SCHEMA + ", error string, error_kind string"
 
 # TIFF field types this reader needs (Exif 2.x / TIFF 6.0)
-_TIFF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4}
+_TIFF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 6: 1, 7: 1}
 
 
 def _tiff_ifd_entries(payload: bytes, tiff0: int, ifd_off: int, lt: str):

@@ -136,6 +136,107 @@ def _tag_values(vb: bytes, ftype: int, count: int, lt: str) -> list[int]:
     return list(struct.unpack_from(lt + fmt * count, vb, 0))
 
 
+def _decode_tiff_jpeg(payload: bytes, tags: dict, scalar, array,
+                      w: int, h: int) -> "np.ndarray":
+    """Compression 7 — new-style JPEG-in-TIFF (TIFF Tech Note 2).
+
+    Each strip/tile is a complete JPEG interchange or abbreviated-image
+    stream; tag 347 (JPEGTables) holds an abbreviated tables-only
+    stream (SOI, DQT/DHT…, EOI) shared by every segment. Decoding is a
+    byte splice — ``SOI + tables[2:-2] + segment[2:]`` — through
+    operators/jpeg.py's decoder, which already enforces its own entropy
+    budget and marker validation; the YCbCr→RGB conversion happens
+    there, so photometric 6 (the normal color-JPEG tagging) needs no
+    extra math here. Old-style TIFF JPEG (compression 6, withdrawn by
+    the tech note) is not supported — it is the one with the famously
+    broken per-strip restart semantics."""
+    from .jpeg import decode_baseline_jpeg
+
+    tables = None
+    if 347 in tags:
+        ftype, count, vb = tags[347]
+        tb = bytes(vb[:count])
+        if len(tb) < 4 or tb[:2] != b"\xff\xd8" or tb[-2:] != b"\xff\xd9":
+            raise ValueError(
+                "malformed TIFF: JPEGTables is not an abbreviated "
+                "JPEG stream"
+            )
+        tables = tb[2:-2]
+    photometric = scalar(262, default=6)
+    if photometric not in (1, 2, 6):
+        raise NotImplementedError(
+            f"TIFF photometric {photometric} with JPEG compression not "
+            "supported (grey/RGB/YCbCr only)"
+        )
+
+    def decode_chunk(off: int, cnt: int, exp_h: int, exp_w: int):
+        if off + cnt > len(payload):
+            raise ValueError("malformed TIFF: JPEG segment out of bounds")
+        chunk = payload[off : off + cnt]
+        if chunk[:2] != b"\xff\xd8":
+            raise ValueError("malformed TIFF: JPEG segment without SOI")
+        stream = chunk if tables is None \
+            else chunk[:2] + tables + chunk[2:]
+        rgb = decode_baseline_jpeg(stream)
+        if rgb.shape[0] < exp_h or rgb.shape[1] < exp_w:
+            raise ValueError(
+                f"malformed TIFF: JPEG segment {rgb.shape[1]}x"
+                f"{rgb.shape[0]} smaller than the declared "
+                f"{exp_w}x{exp_h}"
+            )
+        return rgb[:exp_h, :exp_w]
+
+    if 322 in tags and 323 in tags:
+        tw = scalar(322)
+        th = scalar(323)
+        if tw == 0 or th == 0 or tw % 16 or th % 16:
+            raise ValueError(
+                f"malformed TIFF: tile size {tw}x{th} (must be a "
+                "positive multiple of 16)"
+            )
+        if 324 not in tags or 325 not in tags:
+            raise ValueError("malformed TIFF: missing tile offsets/counts")
+        offsets = array(324)
+        counts = array(325)
+        tiles_x = (w + tw - 1) // tw
+        tiles_y = (h + th - 1) // th
+        if len(offsets) != tiles_x * tiles_y or \
+                len(offsets) != len(counts):
+            raise ValueError(
+                f"malformed TIFF: {len(offsets)} tiles for a "
+                f"{tiles_x}x{tiles_y} grid"
+            )
+        arr = np.zeros((tiles_y * th, tiles_x * tw, 3), dtype=np.uint8)
+        for t, (off, cnt) in enumerate(zip(offsets, counts)):
+            ty, tx = divmod(t, tiles_x)
+            arr[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw] = \
+                decode_chunk(off, cnt, th, tw)
+        return np.ascontiguousarray(arr[:h, :w])
+    if 273 not in tags or 279 not in tags:
+        raise ValueError("malformed TIFF: missing strip offsets/counts")
+    offsets = array(273)
+    counts = array(279)
+    if len(offsets) != len(counts):
+        raise ValueError("malformed TIFF: strip offsets/counts mismatch")
+    rows_per_strip = scalar(278, default=h)
+    if rows_per_strip == 0:
+        raise ValueError("malformed TIFF: RowsPerStrip=0")
+    arr = np.zeros((h, w, 3), dtype=np.uint8)
+    remaining = h
+    for i, (off, cnt) in enumerate(zip(offsets, counts)):
+        n_rows = min(rows_per_strip, remaining)
+        if n_rows <= 0:
+            raise ValueError("malformed TIFF: more strips than rows")
+        y0 = i * rows_per_strip
+        arr[y0 : y0 + n_rows] = decode_chunk(off, cnt, n_rows, w)
+        remaining -= n_rows
+    if remaining > 0:
+        raise ValueError(
+            f"malformed TIFF: strips cover {h - remaining} of {h} rows"
+        )
+    return arr
+
+
 def decode_tiff(payload: bytes,
                 pixel_budget: int | None = TIFF_PIXEL_BUDGET) -> np.ndarray:
     """Decode a baseline TIFF payload to an (h, w, 3) uint8 RGB array."""
@@ -173,11 +274,17 @@ def decode_tiff(payload: bytes,
             "raise pixel_budget or route to a codec library"
         )
     compression = scalar(259, default=1)
+    if compression == 7:
+        # new-style JPEG (TIFF Tech Note 2): each strip/tile is a JPEG
+        # stream, tables optionally shared via tag 347 — decoded by the
+        # in-repo Huffman JPEG decoder, so this is composition, not a
+        # new codec
+        return _decode_tiff_jpeg(payload, tags, scalar, array, w, h)
     if compression not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF compression {compression} needs a codec library; "
-            "uncompressed (1), LZW (5), deflate (8/32946) and PackBits "
-            "(32773) decode here"
+            "uncompressed (1), LZW (5), deflate (8/32946), PackBits "
+            "(32773) and new-style JPEG (7, Huffman subset) decode here"
         )
     predictor = scalar(317, default=1)
     if predictor not in (1, 2):
