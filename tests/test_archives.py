@@ -319,3 +319,89 @@ def test_warc_pdf_to_documents_composition(spark):
     again = warc_pdf_to_documents(
         _blob_df(spark, [(5, payload)])).collect()[0]
     assert again["doc_id"] == d["doc_id"]
+
+
+def test_archive_members_zip_tar_gzip(spark):
+    """Uniform member extraction across the three container formats,
+    incl. .tar.gz; unknown magic refuses 'unsupported'."""
+    import gzip as gz
+    import io
+
+    from youtube_api_data_etl_automation_spark.operators.archives import (
+        archive_members,
+    )
+
+    tarball = _tar(members=(("a/x.bin", b"\x01\x02\x03"),
+                            ("y.txt", b"hello tar")))
+    targz = gz.compress(tarball, mtime=0)
+    named = io.BytesIO()
+    with gz.GzipFile(filename="doc.txt", fileobj=named, mode="wb",
+                     mtime=3) as f:
+        f.write(b"gzip body")
+    rows = archive_members(_blob_df(spark, [
+        (1, _zip()), (2, tarball), (3, targz),
+        (4, named.getvalue()), (5, b"RAR!nope"),
+    ])).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["doc_id"], []).append(r)
+    assert [(r["name"], bytes(r["body"])) for r in sorted(
+        by[1], key=lambda r: r["member_idx"])] == [
+        ("a.txt", b"alpha"), ("dir/b.bin", b"\x00" * 100)]
+    for d in (2, 3):
+        assert [(r["name"], bytes(r["body"])) for r in sorted(
+            by[d], key=lambda r: r["member_idx"])] == [
+            ("a/x.bin", b"\x01\x02\x03"), ("y.txt", b"hello tar")]
+    assert by[4][0]["name"] == "doc.txt"
+    assert bytes(by[4][0]["body"]) == b"gzip body"
+    assert by[5][0]["error_kind"] == "unsupported"
+
+
+def test_archive_members_budget_refuses_from_headers(spark):
+    from youtube_api_data_etl_automation_spark.operators.archives import (
+        archive_members,
+    )
+
+    big = _tar(members=(("big.bin", b"z" * 4096),))
+    rows = archive_members(_blob_df(spark, [(1, big)]),
+                           byte_budget=1000).collect()
+    assert rows[0]["error_kind"] == "unsupported"
+    assert "budget" in rows[0]["error"]
+
+
+def test_archive_to_decoders_composition(spark):
+    """The crawl-dump loop: a tarball carrying a PNG and a PDF →
+    archive_members → members_as_payloads → triage / pdf_text, with
+    member names riding as provenance."""
+    from tests.test_operators import _png
+    from tests.test_pdf import one_page
+
+    from youtube_api_data_etl_automation_spark.operators.archives import (
+        archive_members,
+        members_as_payloads,
+    )
+    from youtube_api_data_etl_automation_spark.operators.mediameta import (
+        triage_decode_images,
+    )
+    from youtube_api_data_etl_automation_spark.operators.pdf import pdf_text
+
+    png = _png([[(x * 9 % 256, y * 31 % 256, 7) for x in range(6)]
+                for y in range(4)])
+    pdf = one_page(b"BT (doc inside a tarball) Tj ET")
+    tarball = _tar(members=(("img/pic.png", png), ("docs/a.pdf", pdf)))
+    payloads = members_as_payloads(
+        archive_members(_blob_df(spark, [(9, tarball)])))
+    rows = {r["source"]: r for r in payloads.collect()}
+    assert set(rows) == {"img/pic.png", "docs/a.pdf"}
+    img_rows = triage_decode_images(
+        payloads.filter("source = 'img/pic.png'")).collect()
+    assert len(img_rows) == 1 and img_rows[0]["width"] == 6
+    txt_rows = pdf_text(
+        payloads.filter("source = 'docs/a.pdf'"),
+        errors="quarantine").collect()
+    assert txt_rows[0]["text"] == "doc inside a tarball"
+    assert txt_rows[0]["source"] == "docs/a.pdf"  # passthrough
+    # stable ids across re-ingestion
+    again = {r["source"]: r["doc_id"] for r in members_as_payloads(
+        archive_members(_blob_df(spark, [(9, tarball)]))).collect()}
+    assert again == {s: r["doc_id"] for s, r in rows.items()}

@@ -794,6 +794,8 @@ def _cmd_media(args: argparse.Namespace) -> int:
         "pdfmeta": lambda b: pdf.pdf_meta(b, errors="quarantine"),
         "imagehash": lambda b: imagehash.image_hashes(
             b, errors="quarantine"),
+        "members": lambda b: archives.archive_members(
+            b, errors="quarantine"),
     }
     out = ops[args.op](blobs)
     if args.output:
@@ -848,7 +850,7 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["probe", "decode", "audio", "audiometa", "video",
                  "triage", "exif", "tags", "audiotriage", "keyframe",
                  "subband", "archive", "warc", "pdftext", "pdfmeta",
-                 "imagehash"],
+                 "imagehash", "members"],
         help="probe=image headers, decode=image pixels, audio=samples, "
              "audiometa=MP3/FLAC/WAV headers, video=MP4/MKV containers, "
              "triage=probe-then-decode router (audiotriage=the audio "

@@ -27,6 +27,11 @@ executor):
 - ``zip_members``: one row per zip member (name, size, bytes),
   stored/deflate entries via stdlib zipfile, per-member and total
   byte budgets.
+- ``archive_members`` (late r11): UNIFORM member extraction across
+  zip / tar / gzip / .tar.gz — one row per member, header-derived
+  budget enforcement; ``members_as_payloads`` turns the rows into the
+  standard ``(doc_id, payload, source)`` shape every decoder accepts,
+  closing the crawl-dump loop (tarball → images/PDFs/audio → features).
 
 Reference anchor: the reference pipeline ingests remote API payloads
 (fetch_youtube_data.py:121-134); archive split/triage is the same
@@ -117,7 +122,7 @@ def _parse_gzip_header(payload: bytes) -> dict:
     (isize,) = struct.unpack_from("<I", payload, len(payload) - 4)
     return {
         "format": "gzip", "n_members": None,
-        "uncompressed_hint": isize,
+        "uncompressed_hint": isize, "name": name,
         "detail": f"mtime={mtime},name={name or '-'}",
     }
 
@@ -495,3 +500,140 @@ def zip_members(blobs: DataFrame, errors: str = "quarantine",
     schema = ZIP_MEMBERS_SCHEMA + ", error string, error_kind string" \
         if quarantine else ZIP_MEMBERS_SCHEMA
     return blobs.mapInPandas(batches, schema)
+
+
+ARCHIVE_MEMBERS_SCHEMA = (
+    "doc_id bigint, member_idx int, name string, size bigint, body binary"
+)
+
+
+def _iter_archive_members(raw: bytes,
+                          budget: int | None) -> list[tuple[str, bytes]]:
+    """(name, body) for every member of one archive payload — format
+    dispatched on magic: zip (stdlib zipfile, central-directory size
+    probe BEFORE inflation), tar (stdlib tarfile over USTAR/GNU),
+    gzip (single member, or a tar walk when the inflated stream is
+    itself a tarball — the .tar.gz case). Non-archives refuse as
+    'unsupported'; a cumulative size budget is enforced from the
+    HEADERS, so a bomb costs O(headers), never O(inflated)."""
+    import io
+    import tarfile
+    import zipfile
+
+    def check(total: int) -> int:
+        if budget is not None and total > budget:
+            raise NotImplementedError(
+                f"archive declares {total} bytes over the "
+                f"{budget}-byte budget; raise byte_budget (or pass "
+                "None) to force the unpack"
+            )
+        return total
+
+    def walk_tar(data: bytes) -> list[tuple[str, bytes]]:
+        out = []
+        total = 0
+        try:
+            with tarfile.open(fileobj=io.BytesIO(data), mode="r:") as tf:
+                for ti in tf:
+                    if not ti.isfile():
+                        continue
+                    total = check(total + ti.size)
+                    f = tf.extractfile(ti)
+                    out.append((ti.name, f.read() if f else b""))
+        except tarfile.TarError as e:
+            raise ValueError(f"malformed tar: {e}") from None
+        return out
+
+    if raw[:4] in (b"PK\x03\x04", b"PK\x05\x06"):
+        meta = _parse_zip_meta(raw)
+        check(meta["uncompressed_hint"])
+        try:
+            zf = zipfile.ZipFile(io.BytesIO(raw))
+            return [(i.filename, zf.read(i.filename))
+                    for i in zf.infolist() if not i.is_dir()]
+        except Exception as e:  # zipfile/zlib raise several classes
+            raise ValueError(f"malformed zip: {e}") from None
+    if raw[:2] == b"\x1f\x8b":
+        hdr = _parse_gzip_header(raw)
+        data = _gunzip_all(raw, budget)
+        if len(data) >= 512 and data[257:262] == b"ustar":
+            return walk_tar(data)
+        return [(hdr.get("name") or "", data)]
+    if len(raw) >= 512 and raw[257:262] == b"ustar":
+        return walk_tar(raw)
+    raise NotImplementedError(
+        f"unknown archive format (magic {raw[:4]!r}); zip/tar/gzip/"
+        "tar.gz unpack here"
+    )
+
+
+def archive_members(blobs: DataFrame, errors: str = "quarantine",
+                    byte_budget: int | None = ARCHIVE_BYTE_BUDGET,
+                    ) -> DataFrame:
+    """Uniform member extraction over mixed zip / tar / gzip / .tar.gz
+    payloads: one row per member ``(doc_id, member_idx, name, size,
+    body)``. The container fan-out stays inside the partition
+    (mapInPandas) — no shuffle; feed the output to
+    :func:`members_as_payloads` and any decoder takes it from there."""
+    from .multimodal import (
+        DECODE_ERRORS,
+        _check_errors_mode,
+        _error_kind,
+        _error_text,
+    )
+
+    quarantine = _check_errors_mode(errors)
+    cols = ("doc_id", "member_idx", "name", "size", "body",
+            "error", "error_kind")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {c: [] for c in cols}
+
+            def emit(doc_id, idx=None, name=None, size=None, body=None,
+                     err=None, kind=None):
+                for c, v in zip(cols, (doc_id, idx, name, size, body,
+                                       err, kind)):
+                    out[c].append(v)
+
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    members = _iter_archive_members(raw, byte_budget)
+                except DECODE_ERRORS as e:
+                    if not quarantine:
+                        raise
+                    emit(doc_id, err=_error_text(e), kind=_error_kind(e))
+                    continue
+                for i, (name, body) in enumerate(members):
+                    emit(doc_id, i, name, len(body), bytearray(body))
+            yield pd.DataFrame(
+                {c: pd.Series(v, dtype="object")
+                 for c, v in out.items()
+                 if quarantine or c not in ("error", "error_kind")}
+            )
+
+    schema = ARCHIVE_MEMBERS_SCHEMA + ", error string, error_kind string" \
+        if quarantine else ARCHIVE_MEMBERS_SCHEMA
+    return blobs.mapInPandas(batches, schema)
+
+
+def members_as_payloads(members: DataFrame) -> DataFrame:
+    """Archive-member rows → a standard ``(doc_id, payload, source)``
+    payload table for any decode operator (triage_decode_images,
+    pdf_text, decode_audio, …). ``doc_id = xxhash64(archive id, member
+    index)`` — stable across re-ingestion of the same archive, the same
+    contract as warc_to_documents; ``source`` carries the member name
+    for provenance (pdf_text passes it through)."""
+    from pyspark.sql import functions as F
+
+    return (
+        members
+        .filter(F.col("body").isNotNull())
+        .select(
+            F.xxhash64(F.col("doc_id"), F.col("member_idx"))
+            .alias("doc_id"),
+            F.col("body").alias("payload"),
+            F.col("name").alias("source"),
+        )
+    )
