@@ -1,0 +1,94 @@
+"""URL analysis as pure Column expressions — the curation pipeline's
+provenance axis.
+
+Web-corpus curation is organized by WHERE a document came from: domain
+frequency caps (operators/capping.py), per-domain quality priors,
+blocklist filtering, and source-stratified sampling all key on the
+registrable domain. This module extracts those keys JVM-side
+(regexp/split Column math — zero Python in the hot path, the same
+posture as functions/text.py) and keeps every expression replayable in
+ANSI SQL so the DuckDB oracle can re-derive it.
+
+``registrable_domain`` uses a HEURISTIC public-suffix rule: the full
+Public Suffix List is a living database (thousands of entries,
+revisioned) that a from-scratch engine should not fossilize; instead a
+curated set of the common two-label country suffixes (co.uk, com.au,
+co.jp, …) catches the dominant cases and everything else falls back to
+the last two labels. The suffix set is an explicit constant — swap in
+the full PSL as a broadcast join if exactness matters for a corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# scheme://[userinfo@]host[:port]/...  — host stops at : / ? #
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(?:[^/@?#]*@)?([^/:?#]+)"
+_SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://"
+_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*(/[^?#]*)"
+
+# common two-label public suffixes (heuristic subset — see module doc)
+TWO_LABEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "com.ar", "com.tr", "com.tw", "com.hk", "com.sg",
+    "co.in", "net.in", "org.in",
+    "co.kr", "or.kr", "co.za", "org.za", "co.nz", "net.nz", "org.nz",
+    "com.co", "com.pe", "com.ve", "com.my", "com.ph", "com.vn",
+    "co.th", "co.id", "com.eg", "com.sa", "com.ua",
+)
+
+
+def url_scheme(url: Column | str) -> Column:
+    """Lower-cased scheme, empty string for schemeless input."""
+    return F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+
+
+def url_host(url: Column | str) -> Column:
+    """Lower-cased hostname: userinfo and port stripped, one trailing
+    dot removed (``example.com.`` is the same authority). Empty string
+    when the input has no ``scheme://`` authority at all."""
+    host = F.lower(F.regexp_extract(url, _HOST_RE, 1))
+    return F.regexp_replace(host, r"\.$", "")
+
+
+def url_path(url: Column | str) -> Column:
+    """The path component (query/fragment excluded); empty for bare
+    authority URLs."""
+    return F.regexp_extract(url, _PATH_RE, 1)
+
+
+def url_tld(url: Column | str) -> Column:
+    """Last host label (``uk``, ``com``); empty when there is no dot
+    (bare hostnames, IPv4 literals return their last octet — filter
+    those upstream if it matters)."""
+    host = url_host(url)
+    return F.when(host.contains("."),
+                  F.element_at(F.split(host, r"\."), -1)) \
+        .otherwise(F.lit(""))
+
+
+def registrable_domain(url: Column | str) -> Column:
+    """The owner-registerable domain: last two host labels, or three
+    when the last two form a known two-label public suffix
+    (``a.b.co.uk`` → ``b.co.uk``). Hosts without a dot (and empty
+    hosts) pass through unchanged."""
+    host = url_host(url)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.element_at(labels, -2),
+                        F.element_at(labels, -1))
+    last3 = F.concat_ws(".", F.element_at(labels, -3),
+                        F.element_at(labels, -2),
+                        F.element_at(labels, -1))
+    is_ccsld = F.array_contains(
+        F.array(*[F.lit(s) for s in TWO_LABEL_SUFFIXES]), last2)
+    return (
+        F.when(n <= 1, host)
+        .when((n >= 3) & is_ccsld, last3)
+        .otherwise(last2)
+    )

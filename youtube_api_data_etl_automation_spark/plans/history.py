@@ -154,7 +154,11 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CAP = 100  # per-lang cap; 'en' is over at sf0.01, keeping both paths live
 
-_CAP_ORACLE = f"""
+# the domains section constructs deterministic URLs from documents rows
+# (userinfo / upper-case / trailing-dot / port / ccSLD variants all
+# reachable via doc_id arithmetic) and re-derives host + registrable
+# domain + TLD in BOTH engines — functions/urls.py under the oracle.
+_CAP_ORACLE = rf"""
 WITH ranked AS (
   SELECT lang, doc_id,
          row_number() OVER (PARTITION BY lang
@@ -162,29 +166,92 @@ WITH ranked AS (
                                      doc_id) AS rn
   FROM documents
 ),
-kept AS (SELECT lang, doc_id FROM ranked WHERE rn <= {_CAP})
-SELECT l.lang,
-       l.n_docs,
-       k.n_kept,
-       k.kept_fp
-FROM (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
-      FROM documents GROUP BY lang) l
-JOIN (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
-             md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS kept_fp
-      FROM kept GROUP BY lang) k USING (lang)
+kept AS (SELECT lang, doc_id FROM ranked WHERE rn <= {_CAP}),
+lang_section AS (
+  SELECT 'lang_cap' AS section,
+         l.lang AS key,
+         l.n_docs,
+         k.n_kept,
+         k.kept_fp
+  FROM (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang) l
+  JOIN (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS kept_fp
+        FROM kept GROUP BY lang) k USING (lang)
+),
+u AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 11 = 0 THEN 'https://user:pw@' ELSE 'https://' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END)
+    || '.example'
+    || (CASE WHEN doc_id % 3 = 0 THEN '.co.uk'
+             WHEN doc_id % 3 = 1 THEN '.com' ELSE '.org' END)
+    || (CASE WHEN doc_id % 7 = 0 THEN '.' ELSE '' END)
+    || ':' || CAST(8000 + doc_id % 100 AS VARCHAR)
+    || '/p/' || CAST(doc_id AS VARCHAR)
+    || '?lang=' || COALESCE(lang, '-') AS url
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+    regexp_replace(
+      lower(regexp_extract(
+        url, '^[a-zA-Z][a-zA-Z0-9+.\-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)),
+      '\.$', '') AS host
+  FROM u
+),
+r AS (
+  SELECT doc_id, host,
+    CASE WHEN len(string_split(host, '.')) <= 1 THEN host
+         WHEN len(string_split(host, '.')) >= 3
+              AND list_contains(
+                ['co.uk', 'com.au', 'co.jp', 'com.br'],
+                string_split(host, '.')[-2] || '.'
+                || string_split(host, '.')[-1])
+           THEN string_split(host, '.')[-3] || '.'
+                || string_split(host, '.')[-2] || '.'
+                || string_split(host, '.')[-1]
+         ELSE string_split(host, '.')[-2] || '.'
+              || string_split(host, '.')[-1] END AS dom,
+    CASE WHEN host LIKE '%.%'
+         THEN string_split(host, '.')[-1] ELSE '' END AS tld
+  FROM h
+),
+domain_section AS (
+  SELECT 'domains' AS section,
+         dom || '|' || tld AS key,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT host) AS BIGINT) AS n_kept,
+         md5(string_agg(DISTINCT host, ',' ORDER BY host)) AS kept_fp
+  FROM r GROUP BY dom, tld
+)
+SELECT * FROM lang_section
+UNION ALL
+SELECT * FROM domain_section
 """
 
 
 @query("lang_cap_docs", oracle=_CAP_ORACLE)
 def lang_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group frequency cap (operators/capping.py — lang stands in for
-    the domain/host key): at most {cap} docs per language, chosen by
-    content-stable salted md5 rank. Two-path plan: under-cap groups pass
-    with NO window sort (broadcast anti-join against the over-cap group
-    list); only over-cap groups' rows pay the rank — at 100 TB that is the
-    difference between sorting the whole corpus and sorting the hot tail.
-    The oracle is the naive whole-corpus row_number form — results must be
-    identical. The audit fingerprints each group's kept id set."""
+    """Two curation sections over documents, tag-unioned:
+
+    ``lang_cap`` — per-group frequency cap (operators/capping.py — lang
+    stands in for the domain/host key): at most {cap} docs per language,
+    chosen by content-stable salted md5 rank. Two-path plan: under-cap
+    groups pass with NO window sort (broadcast anti-join against the
+    over-cap group list); only over-cap groups' rows pay the rank — at
+    100 TB that is the difference between sorting the whole corpus and
+    sorting the hot tail. The oracle is the naive whole-corpus
+    row_number form — results must be identical.
+
+    ``domains`` (late r11) — URL analysis (functions/urls.py): documents
+    rows mint deterministic URLs covering userinfo, upper-case hosts,
+    trailing dots, ports, and ccSLD suffixes; url_host /
+    registrable_domain / url_tld reduce them to per-domain counts and a
+    sorted-host fingerprint the DuckDB oracle re-derives with its own
+    string ops — the provenance key the domain cap runs on for real."""
+    from ..functions.urls import registrable_domain, url_host, url_tld
+
     docs = load_table(spark, sf_dir, "documents")
     kept = cap_per_group(docs, group_col="lang", id_col="doc_id", cap=_CAP)
     audit = kept.groupBy("lang").agg(
@@ -200,4 +267,40 @@ def lang_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("kept_fp"),
     )
     totals = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    return totals.join(audit, "lang").select("lang", "n_docs", "n_kept", "kept_fp")
+    lang_section = totals.join(audit, "lang").select(
+        F.lit("lang_cap").alias("section"),
+        F.col("lang").alias("key"),
+        "n_docs", "n_kept", "kept_fp",
+    )
+
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 11 == 0, F.lit("https://user:pw@"))
+        .otherwise(F.lit("https://")),
+        F.when(did % 5 == 0, F.upper(F.col("source")))
+        .otherwise(F.col("source")),
+        F.lit(".example"),
+        F.when(did % 3 == 0, F.lit(".co.uk"))
+        .when(did % 3 == 1, F.lit(".com")).otherwise(F.lit(".org")),
+        F.when(did % 7 == 0, F.lit(".")).otherwise(F.lit("")),
+        F.lit(":"), (F.lit(8000) + did % 100).cast("string"),
+        F.lit("/p/"), did.cast("string"),
+        F.lit("?lang="), F.coalesce(F.col("lang"), F.lit("-")),
+    )
+    with_url = docs.select(did.alias("doc_id"), url.alias("url"))
+    parsed = with_url.select(
+        url_host(F.col("url")).alias("host"),
+        registrable_domain(F.col("url")).alias("dom"),
+        url_tld(F.col("url")).alias("tld"),
+    )
+    domain_section = parsed.groupBy("dom", "tld").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("host").cast("long").alias("n_kept"),
+        F.md5(F.concat_ws(",", F.array_sort(F.collect_set("host"))))
+        .alias("kept_fp"),
+    ).select(
+        F.lit("domains").alias("section"),
+        F.concat_ws("|", F.col("dom"), F.col("tld")).alias("key"),
+        "n_docs", "n_kept", "kept_fp",
+    )
+    return lang_section.unionByName(domain_section)
