@@ -36,8 +36,8 @@ def test_fixture_is_committed_and_covers_all_families():
                          "audio_meta", "image_exif", "audio_tags",
                          "video_frame", "audio_subband", "archive",
                          "warc_records", "document", "document_meta",
-                         "image_hash"}
-    assert fams["image_exif"] == 7 and fams["audio_tags"] == 6
+                         "image_hash", "exif_strip"}
+    assert fams["image_exif"] == 8 and fams["audio_tags"] == 6
     # the decode matrix: 6 PNG variants + 4 JPEG + GIF/BMP/PPM +
     # 2 VP8L WebP + 8 TIFF (LZW/deflate/palette/tiled + JPEG-in-TIFF,
     # r11) + 3 BMP (palette/RLE8/32-bit, r11) + PGM + PBM + 2 refusals
@@ -57,6 +57,8 @@ def test_fixture_is_committed_and_covers_all_families():
     assert fams["document"] == 8 and fams["document_meta"] == 3
     # perceptual hashes: PNG + same-pixels BMP + JPEG + GIF + refusal
     assert fams["image_hash"] == 5
+    # privacy scrub: jpeg APP1 + png eXIf + passthrough + 2 refusals
+    assert fams["exif_strip"] == 5
 
 
 def test_codec_stats_match_golden(spark):
@@ -177,4 +179,4 @@ def test_codec_stats_from_foreign_cwd():
         env={k: v for k, v in __import__("os").environ.items()
              if k != "PYTHONPATH"},
     )
-    assert "CODEC_ROWS=127" in out.stdout, out.stderr[-2000:]
+    assert "CODEC_ROWS=133" in out.stdout, out.stderr[-2000:]

@@ -495,18 +495,21 @@ def test_triage_routes_vp8l_to_decode(spark):
 # --------------------------------------------------- r10: EXIF + tags
 
 
-def _tiff(entries, order="<", exif_entries=None):
+def _tiff(entries, order="<", exif_entries=None, gps_entries=None):
     """Minimal TIFF with IFD0 ``entries`` = [(tag, type, count, value)];
     value is int (inline) or bytes (stored out-of-line)."""
     lt = order
     blobs = b""
     blob_at = []  # patched after layout
-    n = len(entries) + (1 if exif_entries else 0)
+    n = len(entries) + (1 if exif_entries else 0) \
+        + (1 if gps_entries else 0)
     ifd0_at = 8
     entries_end = ifd0_at + 2 + 12 * n + 4
     exif_at = entries_end
     exif_size = (2 + 12 * len(exif_entries) + 4) if exif_entries else 0
-    data_at = exif_at + exif_size
+    gps_at = exif_at + exif_size
+    gps_size = (2 + 12 * len(gps_entries) + 4) if gps_entries else 0
+    data_at = gps_at + gps_size
 
     def pack_entries(ents, extra=()):
         nonlocal blobs
@@ -528,10 +531,21 @@ def _tiff(entries, order="<", exif_entries=None):
         return out
 
     extra = [(0x8769, 4, 1, exif_at)] if exif_entries else []
+    if gps_entries:
+        extra.append((0x8825, 4, 1, gps_at))
     ifd0 = pack_entries(entries, extra)
     exif = pack_entries(exif_entries) if exif_entries else b""
+    gps = pack_entries(gps_entries) if gps_entries else b""
     hdr = (b"II" if lt == "<" else b"MM") + struct.pack(lt + "HI", 42, 8)
-    return hdr + ifd0 + exif + blobs
+    return hdr + ifd0 + exif + gps + blobs
+
+
+def _gps_dms(deg, mins, secs, lt="<", denom=100):
+    """Three RATIONALs as the GPS IFD stores them (value bytes)."""
+    out = b""
+    for v in (deg, mins, secs):
+        out += struct.pack(lt + "II", int(round(v * denom)), denom)
+    return out
 
 
 def _jpeg_with_app1(tiff: bytes) -> bytes:
@@ -1110,3 +1124,106 @@ def test_apng_and_static_png_video_meta(spark):
                                "doc_id long, payload binary")
     r = mediameta.video_meta(df, errors="quarantine").collect()[0]
     assert r["brand"] == "apng" and r["n_frames"] == 3
+
+
+def test_exif_gps_extraction(spark):
+    """GPS IFD (tag 0x8825): DMS rationals signed by the N/S/E/W refs;
+    zero-denominator rationals void the coordinate."""
+    for order in ("<", ">"):
+        tiff = _tiff(
+            [(0x0112, 3, 1, 1)],
+            order=order,
+            gps_entries=[
+                (1, 2, 2, b"S\x00"),
+                (2, 5, 3, _gps_dms(37, 48, 30.25, lt=order)),
+                (3, 2, 2, b"W\x00"),
+                (4, 5, 3, _gps_dms(122, 25, 9.5, lt=order)),
+            ],
+        )
+        out = mediameta._parse_exif(_jpeg_with_app1(tiff))
+        assert abs(out["gps_lat"] - -(37 + 48 / 60 + 30.25 / 3600)) < 1e-9
+        assert abs(out["gps_lon"] - -(122 + 25 / 60 + 9.5 / 3600)) < 1e-9
+    # zero denominator -> NULL coordinate, no crash
+    broken = _tiff(
+        [(0x0112, 3, 1, 1)],
+        gps_entries=[(1, 2, 2, b"N\x00"),
+                     (2, 5, 3, struct.pack("<II", 1, 0) * 3)])
+    out = mediameta._parse_exif(_jpeg_with_app1(broken))
+    assert out["gps_lat"] is None
+    # no GPS IFD -> NULLs (the common case)
+    out = mediameta._parse_exif(_jpeg_with_app1(_tiff([(0x0112, 3, 1, 1)])))
+    assert out["gps_lat"] is None and out["gps_lon"] is None
+
+
+def test_strip_exif_jpeg_png_webp(spark):
+    """The privacy scrub: EXIF gone, pixels identical."""
+    import numpy as np
+
+    from tests.test_operators import _png
+    from tests.test_vp8l import _encode_vp8l, _rgba
+    from youtube_api_data_etl_automation_spark.operators.multimodal import (
+        _decode_rgb,
+    )
+
+    gps_tiff = _tiff(
+        [(0x0112, 3, 1, 1), (0x010F, 2, 6, b"Leaky\x00")],
+        gps_entries=[(1, 2, 2, b"N\x00"),
+                     (2, 5, 3, _gps_dms(10, 20, 30))])
+    # JPEG: a real decodable image with an injected APP1
+    from tests.test_jpeg import _encode_jpeg, _rng_image
+    base = _encode_jpeg(_rng_image(16, 16, seed=91, grey=True))[0]
+    seg = b"Exif\x00\x00" + gps_tiff
+    jpeg = base[:2] + b"\xff\xe1" + struct.pack(">H", 2 + len(seg)) \
+        + seg + base[2:]
+    # PNG with eXIf chunk
+    png = _png_with_exif(gps_tiff)
+    # WebP (VP8L) with EXIF chunk + VP8X wrapper
+    vp8l = _encode_vp8l(_rgba(4, 3, seed=7))
+    vp8l_body = vp8l[12:]  # chunks after RIFF....WEBP
+    vp8x = b"VP8X" + struct.pack("<I", 10) + bytes([0x08]) \
+        + b"\x00" * 3 + (3).to_bytes(3, "little") + (2).to_bytes(3, "little")
+    exif_chunk = b"EXIF" + struct.pack("<I", len(gps_tiff) + 6) \
+        + b"Exif\x00\x00" + gps_tiff
+    if len(exif_chunk) % 2:
+        exif_chunk += b"\x00"
+    webp_body = b"WEBP" + vp8x + exif_chunk + vp8l_body
+    webp = b"RIFF" + struct.pack("<I", len(webp_body)) + webp_body
+
+    df = spark.createDataFrame(
+        [(1, bytearray(jpeg)), (2, bytearray(png)), (3, bytearray(webp)),
+         (4, bytearray(b"\x00junk"))],
+        "doc_id long, payload binary")
+    rows = {r["doc_id"]: r for r in
+            mediameta.strip_exif(df, errors="quarantine").collect()}
+    for d, fmt, original in ((1, "jpeg", jpeg), (2, "png", png),
+                             (3, "webp", webp)):
+        row = rows[d]
+        assert row["format"] == fmt and row["error"] is None
+        cleaned = bytes(row["payload"])
+        assert row["removed_bytes"] == len(original) - len(cleaned) > 0
+        # the metadata is gone...
+        out = mediameta._parse_exif(cleaned)
+        assert out["gps_lat"] is None and out["make"] is None
+        # ...and the pixels are not (webp keeps its VP8X wrapper, which
+        # _decode_rgb doesn't decode — compare the lossless chunk)
+        if fmt != "webp":
+            _, before = _decode_rgb(original)
+            _, after = _decode_rgb(cleaned)
+            assert np.array_equal(before, after)
+        else:
+            assert cleaned.endswith(vp8l_body)
+            vp8x_at = cleaned.index(b"VP8X")
+            assert cleaned[vp8x_at + 8] & 0x08 == 0  # flag cleared
+    assert rows[4]["error_kind"] == "unsupported"
+
+
+def test_strip_exif_passthrough_formats(spark):
+    from tests.test_operators import _bmp24
+
+    bmp = _bmp24([[(1, 2, 3)]])
+    row = mediameta.strip_exif(
+        spark.createDataFrame([(1, bytearray(bmp))],
+                              "doc_id long, payload binary"),
+        errors="quarantine").collect()[0]
+    assert row["format"] == "bmp" and row["removed_bytes"] == 0
+    assert bytes(row["payload"]) == bmp

@@ -341,6 +341,16 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
         b"RIFF" + struct.pack("<I", len(webp_body)) + webp_body)
     add(607, "image_exif", "exif_gif_unsupported",
         _gif([[0, 1]] * 2, PAL4))
+    from test_mediameta import _gps_dms
+
+    gps_tiff = _tiff(
+        [(0x0112, 3, 1, 1), (0x010F, 2, 6, b"Pixel\x00")],
+        gps_entries=[(1, 2, 2, b"S\x00"),
+                     (2, 5, 3, _gps_dms(37, 48, 30.25)),
+                     (3, 2, 2, b"E\x00"),
+                     (4, 5, 3, _gps_dms(144, 57, 47.5))])
+    add(608, "image_exif", "exif_gps_southeast",
+        _jpeg_with_app1(gps_tiff))
 
     add(701, "audio_tags", "id3v4_tags",
         _id3(_id3_frame(b"TIT2", "Sunny Day", encoding=3)
@@ -502,6 +512,20 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
     add(1404, "image_hash", "phash_gif",
         _gif([[0, 1, 2, 3, 2, 1, 0, 3]] * 6, PAL4))
     add(1405, "image_hash", "phash_truncated_corrupt", _png(hash_px)[:25])
+
+    # ---- exif_strip: privacy scrub (ids 15xx) -------------------------
+    strip_jpeg_base = _encode_jpeg(_rng_image(8, 8, seed=72, grey=True))[0]
+    strip_seg = b"Exif\x00\x00" + gps_tiff
+    strip_jpeg = (strip_jpeg_base[:2] + b"\xff\xe1"
+                  + struct.pack(">H", 2 + len(strip_seg)) + strip_seg
+                  + strip_jpeg_base[2:])
+    add(1501, "exif_strip", "strip_jpeg_app1", strip_jpeg)
+    add(1502, "exif_strip", "strip_png_exif_chunk",
+        _png_with_exif(gps_tiff))
+    add(1503, "exif_strip", "strip_passthrough_png", _png(hash_px))
+    add(1504, "exif_strip", "strip_unknown_unsupported", b"\x00?junk")
+    add(1505, "exif_strip", "strip_truncated_jpeg_corrupt",
+        strip_jpeg[:30])
 
     return rows
 

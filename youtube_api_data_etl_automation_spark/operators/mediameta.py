@@ -1317,12 +1317,13 @@ def video_keyframe_features(blobs: DataFrame,
 
 EXIF_SCHEMA = (
     "doc_id bigint, orientation int, exif_width int, exif_height int, "
-    "datetime string, make string, model string"
+    "datetime string, make string, model string, gps_lat double, "
+    "gps_lon double"
 )
 EXIF_QUARANTINE_SCHEMA = EXIF_SCHEMA + ", error string, error_kind string"
 
-# TIFF field types this reader needs (Exif 2.x / TIFF 6.0)
-_TIFF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 6: 1, 7: 1}
+# TIFF field types this reader needs (Exif 2.x / TIFF 6.0; 5=RATIONAL)
+_TIFF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1}
 
 
 def _tiff_ifd_entries(payload: bytes, tiff0: int, ifd_off: int, lt: str):
@@ -1370,7 +1371,20 @@ def _tiff_ascii(vb: bytes) -> str:
 
 _EXIF_NULLS = {"orientation": None, "exif_width": None,
                "exif_height": None, "datetime": None, "make": None,
-               "model": None}
+               "model": None, "gps_lat": None, "gps_lon": None}
+
+
+def _tiff_dms(vb: bytes, lt: str) -> float | None:
+    """Three RATIONALs (deg, min, sec) → decimal degrees; a zero
+    denominator in any position voids the coordinate (tag-mangling
+    writers emit 0/0)."""
+    vals = []
+    for i in range(3):
+        num, den = struct.unpack_from(lt + "II", vb, 8 * i)
+        if den == 0:
+            return None
+        vals.append(num / den)
+    return vals[0] + vals[1] / 60.0 + vals[2] / 3600.0
 
 
 def _locate_exif_tiff(payload: bytes) -> bytes | None:
@@ -1455,6 +1469,7 @@ def _parse_exif(payload: bytes) -> dict:
     if magic != 42:
         raise ValueError("malformed EXIF: TIFF magic != 42")
     exif_ifd_off = None
+    gps_ifd_off = None
     for tag, ftype, count, vb in _tiff_ifd_entries(tiff, 0, ifd0, lt):
         if tag == 0x0112:
             out["orientation"] = _tiff_scalar(vb, ftype, lt)
@@ -1466,6 +1481,8 @@ def _parse_exif(payload: bytes) -> dict:
             out["datetime"] = _tiff_ascii(vb)
         elif tag == 0x8769:
             exif_ifd_off = _tiff_scalar(vb, ftype, lt)
+        elif tag == 0x8825:  # GPS Info IFD pointer
+            gps_ifd_off = _tiff_scalar(vb, ftype, lt)
     if exif_ifd_off is not None:
         for tag, ftype, count, vb in _tiff_ifd_entries(
             tiff, 0, exif_ifd_off, lt
@@ -1476,6 +1493,24 @@ def _parse_exif(payload: bytes) -> dict:
                 out["exif_height"] = _tiff_scalar(vb, ftype, lt)
             elif tag == 0x9003:  # DateTimeOriginal beats file DateTime
                 out["datetime"] = _tiff_ascii(vb)
+    if gps_ifd_off is not None:
+        lat = lon = None
+        lat_ref = lon_ref = ""
+        for tag, ftype, count, vb in _tiff_ifd_entries(
+            tiff, 0, gps_ifd_off, lt
+        ):
+            if tag == 1:
+                lat_ref = _tiff_ascii(vb)
+            elif tag == 2 and ftype == 5 and count == 3:
+                lat = _tiff_dms(vb, lt)
+            elif tag == 3:
+                lon_ref = _tiff_ascii(vb)
+            elif tag == 4 and ftype == 5 and count == 3:
+                lon = _tiff_dms(vb, lt)
+        if lat is not None:
+            out["gps_lat"] = -lat if lat_ref == "S" else lat
+        if lon is not None:
+            out["gps_lon"] = -lon if lon_ref == "W" else lon
     return out
 
 
@@ -1501,9 +1536,122 @@ def image_exif(blobs: DataFrame, errors: str = "raise") -> DataFrame:
         _quarantine_batches(
             one,
             ("orientation", "exif_width", "exif_height", "datetime",
-             "make", "model"),
+             "make", "model", "gps_lat", "gps_lon"),
             quarantine,
         ),
+        schema,
+    )
+
+
+EXIF_STRIP_SCHEMA = (
+    "doc_id bigint, format string, payload binary, removed_bytes int"
+)
+EXIF_STRIP_QUARANTINE_SCHEMA = EXIF_STRIP_SCHEMA + \
+    ", error string, error_kind string"
+
+
+def _strip_exif_bytes(payload: bytes) -> tuple[str, bytes]:
+    """Remove embedded EXIF (and JPEG XMP) metadata from one image
+    payload without touching pixel data — the privacy scrub: camera
+    serials, capture timestamps, and GPS fixes must not ride into a
+    training corpus. JPEG: drop APP1 segments whose body is Exif or
+    XMP; PNG: drop ``eXIf`` chunks; WebP: drop the ``EXIF`` chunk, fix
+    the RIFF size, and clear the VP8X EXIF flag bit. Formats with no
+    EXIF concept pass through unchanged (BMP/PPM/GIF)."""
+    if payload[:2] == b"\xff\xd8":
+        out = bytearray(b"\xff\xd8")
+        pos = 2
+        n = len(payload)
+        while pos + 4 <= n:
+            if payload[pos] != 0xFF:
+                raise ValueError("malformed JPEG: marker desync")
+            marker = payload[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                out += payload[pos : pos + 2]
+                pos += 2
+                continue
+            if marker == 0xDA:  # SOS: entropy data to EOI, verbatim
+                out += payload[pos:]
+                return "jpeg", bytes(out)
+            (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+            body = payload[pos + 4 : pos + 2 + seglen]
+            is_meta = marker == 0xE1 and (
+                body[:6] == b"Exif\x00\x00"
+                or body[:28] == b"http://ns.adobe.com/xap/1.0/"
+            )
+            if not is_meta:
+                out += payload[pos : pos + 2 + seglen]
+            pos += 2 + seglen
+        raise ValueError("malformed JPEG: no SOS before end of data")
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        out = bytearray(payload[:8])
+        pos, n = 8, len(payload)
+        while pos + 8 <= n:
+            (clen,) = struct.unpack_from(">I", payload, pos)
+            ctype = payload[pos + 4 : pos + 8]
+            if pos + 12 + clen > n:
+                raise ValueError(f"malformed PNG: truncated {ctype!r}")
+            if ctype != b"eXIf":
+                out += payload[pos : pos + 12 + clen]
+            pos += 12 + clen
+            if ctype == b"IEND":
+                break
+        return "png", bytes(out)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        body = bytearray()
+        pos, n = 12, len(payload)
+        vp8x_at = None
+        while pos + 8 <= n:
+            cid = payload[pos : pos + 4]
+            (clen,) = struct.unpack_from("<I", payload, pos + 4)
+            step = 8 + clen + (clen & 1)
+            if cid != b"EXIF":
+                if cid == b"VP8X" and clen >= 1:
+                    vp8x_at = len(body) + 8
+                body += payload[pos : pos + step]
+            pos += step
+        if vp8x_at is not None:
+            body[vp8x_at] &= ~0x08  # clear the VP8X EXIF flag
+        out = bytearray(b"RIFF")
+        out += struct.pack("<I", 4 + len(body))
+        out += b"WEBP" + body
+        return "webp", bytes(out)
+    if payload[:2] == b"BM" or payload[:2] in (b"P4", b"P5", b"P6") \
+            or payload[:6] in (b"GIF87a", b"GIF89a"):
+        fmt = {b"BM": "bmp", b"P4": "pbm", b"P5": "pgm",
+               b"P6": "ppm"}.get(payload[:2], "gif")
+        return fmt, bytes(payload)
+    raise NotImplementedError(
+        f"EXIF strip covers JPEG/PNG/WebP containers (magic "
+        f"{payload[:4]!r}); other formats pass through decode instead"
+    )
+
+
+def strip_exif(blobs: DataFrame, errors: str = "raise") -> DataFrame:
+    """Privacy scrub over image payloads: returns the payload with
+    embedded EXIF/XMP metadata removed (pixel/entropy data untouched —
+    the cleaned payload decodes to the SAME pixels) plus the byte count
+    removed, so a curation audit can report how much metadata the scrub
+    dropped. Same Arrow-batched quarantine contract as the other
+    payload ops; the PII twin of functions/pii.py on the multimodal
+    side."""
+    from .multimodal import _check_errors_mode
+
+    quarantine = _check_errors_mode(errors)
+
+    def one(payload):
+        if not payload:
+            raise ValueError("empty/NULL image payload")
+        raw = bytes(payload)
+        fmt, cleaned = _strip_exif_bytes(raw)
+        return {"format": fmt, "payload": bytearray(cleaned),
+                "removed_bytes": len(raw) - len(cleaned)}
+
+    schema = EXIF_STRIP_QUARANTINE_SCHEMA if quarantine \
+        else EXIF_STRIP_SCHEMA
+    return blobs.mapInPandas(
+        _quarantine_batches(
+            one, ("format", "payload", "removed_bytes"), quarantine),
         schema,
     )
 

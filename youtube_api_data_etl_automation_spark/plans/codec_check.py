@@ -84,6 +84,7 @@ def codec_stats(spark: SparkSession) -> DataFrame:
         audio_tags,
         image_exif,
         image_meta,
+        strip_exif,
         video_keyframe_features,
         video_meta,
     )
@@ -109,7 +110,7 @@ def codec_stats(spark: SparkSession) -> DataFrame:
                     "audio_meta", "image_exif", "audio_tags",
                     "video_frame", "audio_subband", "archive",
                     "warc_records", "document", "document_meta",
-                    "image_hash")
+                    "image_hash", "exif_strip")
     }
 
     img = decode_image(by_family["image"], errors="quarantine").select(
@@ -202,6 +203,30 @@ def codec_stats(spark: SparkSession) -> DataFrame:
                 F.coalesce(F.col("datetime"), F.lit("-")),
                 F.coalesce(F.col("make"), F.lit("-")),
                 F.coalesce(F.col("model"), F.lit("-")),
+                F.when(
+                    F.col("gps_lat").isNotNull(),
+                    F.format_string("%.6f", round6(F.col("gps_lat"))),
+                ).otherwise(F.lit("-")),
+                F.when(
+                    F.col("gps_lon").isNotNull(),
+                    F.format_string("%.6f", round6(F.col("gps_lon"))),
+                ).otherwise(F.lit("-")),
+            ),
+        ).otherwise(_err_fp()).alias("fp"),
+    )
+    estrip = strip_exif(
+        by_family["exif_strip"], errors="quarantine"
+    ).select(
+        "doc_id",
+        F.col("format").alias("fmt"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.when(
+            F.col("error").isNull(),
+            F.format_string(
+                "%d,%s",
+                F.col("removed_bytes"),
+                F.md5(F.col("payload")),
             ),
         ).otherwise(_err_fp()).alias("fp"),
     )
@@ -366,5 +391,5 @@ def codec_stats(spark: SparkSession) -> DataFrame:
         .unionByName(ameta).unionByName(exif).unionByName(tags)
         .unionByName(keyf).unionByName(sband).unionByName(arch)
         .unionByName(warcf).unionByName(doc).unionByName(dmeta)
-        .unionByName(ih)
+        .unionByName(ih).unionByName(estrip)
     )
