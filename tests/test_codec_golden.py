@@ -54,7 +54,7 @@ def test_fixture_is_committed_and_covers_all_families():
     assert fams["archive"] == 5 and fams["warc_records"] == 3
     # PDF text: escapes + flate 2-page + ToUnicode + ObjStm/LZW +
     # a85-chain/inline-image + 3 refusals; probe: 2-page/encrypted/cut
-    assert fams["document"] == 8 and fams["document_meta"] == 3
+    assert fams["document"] == 8 and fams["document_meta"] == 4
     # perceptual hashes: PNG + same-pixels BMP + JPEG + GIF + refusal
     assert fams["image_hash"] == 5
     # privacy scrub: jpeg APP1 + png eXIf + passthrough + 2 refusals
@@ -179,4 +179,4 @@ def test_codec_stats_from_foreign_cwd():
         env={k: v for k, v in __import__("os").environ.items()
              if k != "PYTHONPATH"},
     )
-    assert "CODEC_ROWS=133" in out.stdout, out.stderr[-2000:]
+    assert "CODEC_ROWS=134" in out.stdout, out.stderr[-2000:]

@@ -323,7 +323,28 @@ def test_probe_counts():
     doc = one_page(b"BT (x) Tj ET")
     meta = P.probe_pdf(doc)
     assert meta == {"version": "1.4", "n_objects": 5, "n_pages": 1,
-                    "encrypted": False}
+                    "encrypted": False, "title": None, "author": None,
+                    "producer": None}
+
+
+def test_probe_info_dict_provenance():
+    """Trailer /Info: Title/Author/Producer with both text encodings
+    (UTF-16BE BOM and PDFDocEncoding/Latin-1)."""
+    doc = mkpdf([
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Resources << >> "
+            b"/Contents 4 0 R >>"),
+        (4, stream_obj(b"", b"BT (x) Tj ET")),
+        (9, b"<< /Title <FEFF04220435043A04410422> /Author (Ana\\351) "
+            b"/Producer (TestWriter 1.0) >>"),
+    ], trailer_extra=b"/Info 9 0 R ")
+    meta = P.probe_pdf(doc)
+    want_title = b"\x04\x22\x04\x35\x04\x3a\x04\x41\x04\x22" \
+        .decode("utf-16-be")
+    assert meta["title"] == want_title
+    assert meta["author"] == "Anaé"
+    assert meta["producer"] == "TestWriter 1.0"
 
 
 def test_probe_detects_encryption_without_decrypting():

@@ -499,6 +499,15 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
     add(1301, "document_meta", "pdf_probe_two_pages", pdf_two_pages)
     add(1302, "document_meta", "pdf_probe_encrypted", enc)
     add(1303, "document_meta", "pdf_probe_corrupt", b"%PDF-1.4\nempty")
+    add(1304, "document_meta", "pdf_probe_info_dict", mkpdf([
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Resources << >> "
+            b"/Contents 4 0 R >>"),
+        (4, stream_obj(b"", b"BT (x) Tj ET")),
+        (9, b"<< /Title <FEFF00C900740075006400650073> "
+            b"/Author (Me\\351) /Producer (CorpusWriter 2.1) >>"),
+    ], trailer_extra=b"/Info 9 0 R "))
 
     # ---- image_hash: perceptual hashes (ids 14xx) ---------------------
     # non-monotone in x so the dHash neighbor comparisons carry signal

@@ -1046,11 +1046,23 @@ def extract_pdf_text(payload: bytes,
     return doc.version, len(pages), "\f".join(texts)
 
 
+def _pdf_text_string(b) -> str | None:
+    """Decode a PDF text string (ISO 32000-1 §7.9.2.2): UTF-16BE with a
+    BOM, else PDFDocEncoding (Latin-1 on the printable range)."""
+    if not isinstance(b, bytes) or not b:
+        return None
+    if b[:2] == b"\xfe\xff":
+        return b[2:].decode("utf-16-be", "replace")
+    return b.decode("latin-1")
+
+
 def probe_pdf(payload: bytes) -> dict:
     """Header-cost structural probe: version, object/page counts,
-    encryption flag. No stream is decompressed (ObjStm-only page dicts
-    fall back to the Pages-root /Count, which standalone writers keep
-    in a plain object)."""
+    encryption flag, and the Info-dict provenance fields (Title /
+    Author / Producer — source-stratification keys for a document
+    corpus). No stream is decompressed (ObjStm-only page dicts fall
+    back to the Pages-root /Count, which standalone writers keep in a
+    plain object)."""
     buf = bytes(payload)
     if not buf.startswith(b"%PDF-"):
         raise ValueError("malformed PDF: missing %PDF- header")
@@ -1098,11 +1110,27 @@ def probe_pdf(payload: bytes) -> dict:
     if n_pages is None:
         n_leaf = len(re.findall(rb"/Type\s*/Page[^s]", buf))
         n_pages = n_leaf if n_leaf else None
+    title = author = producer = None
+    for t in trailer_dicts:
+        info_ref = t.get("Info")
+        if not isinstance(info_ref, _Ref) or info_ref.num not in objects:
+            continue
+        try:
+            info = parse_at(objects[info_ref.num][1])
+        except ValueError:
+            continue
+        if isinstance(info, dict):
+            title = _pdf_text_string(info.get("Title")) or title
+            author = _pdf_text_string(info.get("Author")) or author
+            producer = _pdf_text_string(info.get("Producer")) or producer
     return {
         "version": version,
         "n_objects": n_objects,
         "n_pages": n_pages,
         "encrypted": encrypted,
+        "title": title,
+        "author": author,
+        "producer": producer,
     }
 
 
@@ -1119,7 +1147,8 @@ PDF_TEXT_QUARANTINE_SCHEMA = (
 )
 PDF_META_SCHEMA = (
     "doc_id bigint, format string, version string, n_objects int, "
-    "n_pages int, encrypted boolean"
+    "n_pages int, encrypted boolean, title string, author string, "
+    "producer string"
 )
 PDF_META_QUARANTINE_SCHEMA = (
     PDF_META_SCHEMA + ", error string, error_kind string"
@@ -1215,6 +1244,7 @@ def pdf_meta(blobs: DataFrame, errors: str = "raise") -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_batch in it:
             ids, vers, nobjs, npages, encs = [], [], [], [], []
+            titles, authors, producers = [], [], []
             errs, kinds = [], []
             for doc_id, payload in zip(pdf_batch["doc_id"],
                                        pdf_batch["payload"]):
@@ -1229,6 +1259,9 @@ def pdf_meta(blobs: DataFrame, errors: str = "raise") -> DataFrame:
                     nobjs.append(None)
                     npages.append(None)
                     encs.append(None)
+                    titles.append(None)
+                    authors.append(None)
+                    producers.append(None)
                     errs.append(_error_text(e))
                     kinds.append(_error_kind(e))
                     continue
@@ -1237,6 +1270,9 @@ def pdf_meta(blobs: DataFrame, errors: str = "raise") -> DataFrame:
                 nobjs.append(meta["n_objects"])
                 npages.append(meta["n_pages"])
                 encs.append(meta["encrypted"])
+                titles.append(meta["title"])
+                authors.append(meta["author"])
+                producers.append(meta["producer"])
                 errs.append(None)
                 kinds.append(None)
             out = {
@@ -1248,6 +1284,9 @@ def pdf_meta(blobs: DataFrame, errors: str = "raise") -> DataFrame:
                 "n_objects": pd.array(nobjs, dtype="Int32"),
                 "n_pages": pd.array(npages, dtype="Int32"),
                 "encrypted": pd.array(encs, dtype="boolean"),
+                "title": pd.Series(titles, dtype="object"),
+                "author": pd.Series(authors, dtype="object"),
+                "producer": pd.Series(producers, dtype="object"),
             }
             if quarantine:
                 out["error"] = pd.Series(errs, dtype="object")

@@ -360,12 +360,19 @@ def codec_stats(spark: SparkSession) -> DataFrame:
         F.lit(None).cast("int").alias("height"),
         F.when(
             F.col("error").isNull(),
-            F.format_string(
-                "%s,%d,%s,%s",
-                F.col("version"),
-                F.col("n_objects"),
-                F.coalesce(F.col("n_pages").cast("string"), F.lit("-")),
-                F.col("encrypted").cast("string"),
+            F.concat_ws(
+                "|",
+                F.format_string(
+                    "%s,%d,%s,%s",
+                    F.col("version"),
+                    F.col("n_objects"),
+                    F.coalesce(F.col("n_pages").cast("string"),
+                               F.lit("-")),
+                    F.col("encrypted").cast("string"),
+                ),
+                F.coalesce(F.col("title"), F.lit("-")),
+                F.coalesce(F.col("author"), F.lit("-")),
+                F.coalesce(F.col("producer"), F.lit("-")),
             ),
         ).otherwise(_err_fp()).alias("fp"),
     )
