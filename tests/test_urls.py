@@ -101,3 +101,40 @@ def test_feeds_domain_capping(spark):
               capped.groupBy("domain").agg(F.count("*").alias("n"))
               .collect()}
     assert counts == {"example.com": 2, "other.co.uk": 2}
+
+
+def test_host_suffixes_label_aligned(spark):
+    df = spark.createDataFrame(
+        [(1, "https://a.b.example.com/x"), (2, "https://example.com"),
+         (3, "not a url")], "i long, url string")
+    rows = {r["i"]: r["s"] for r in df.select(
+        "i", U.host_suffixes(F.col("url")).alias("s")).collect()}
+    assert set(rows[1]) == {"com", "example.com", "b.example.com",
+                            "a.b.example.com"}
+    assert set(rows[2]) == {"com", "example.com"}
+    assert rows[3] == []
+
+
+def test_filter_blocked_domains(spark):
+    docs = spark.createDataFrame(
+        [(1, "https://sub.example.com/a"),      # blocked via suffix
+         (2, "https://example.com/b"),          # blocked exactly
+         (3, "https://notexample.com/c"),       # NOT blocked (aligned)
+         (4, "https://ok.org/d"),
+         (5, "https://deep.tracker.evil.org/e"),  # blocked via suffix
+         (6, "not a url")],                     # empty host survives
+        "doc_id long, url string")
+    blocked = spark.createDataFrame(
+        [("Example.COM",), ("tracker.evil.org",)], "domain string")
+    kept = sorted(r["doc_id"] for r in
+                  U.filter_blocked_domains(docs, blocked).collect())
+    assert kept == [3, 4, 6]
+    # one-row broadcast (sanctioned BNLJ: the blocklist folds to a
+    # single array row) — the corpus side must NOT shuffle
+    plan = U.filter_blocked_domains(docs, blocked)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    # every Exchange is either the broadcast itself or the
+    # single-partition fold of the (small) blocklist side
+    non_broadcast = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert non_broadcast == plan.count("Exchange SinglePartition")

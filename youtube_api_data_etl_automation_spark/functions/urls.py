@@ -92,3 +92,53 @@ def registrable_domain(url: Column | str) -> Column:
         .when((n >= 3) & is_ccsld, last3)
         .otherwise(last2)
     )
+
+
+# hosts deeper than this many labels still match a blocklist entry on
+# their trailing 8 labels — deeper-than-8 subdomain chains are
+# vanishingly rare and an entry that deep is not a sane blocklist line
+_MAX_SUFFIX_LABELS = 8
+
+
+def host_suffixes(url: Column | str) -> Column:
+    """All label-aligned suffixes of the URL's host, shortest first
+    (``a.b.example.com`` → [com, example.com, b.example.com,
+    a.b.example.com]) — the match keys a domain blocklist joins on.
+    Label-aligned by construction (substring_index), so
+    ``notexample.com`` never matches a blocklist entry ``example.com``.
+    Bounded at 8 labels; empty hosts yield an empty array."""
+    host = url_host(url)
+    return F.when(host == "", F.array().cast("array<string>")).otherwise(
+        F.array_distinct(F.array(
+            *[F.substring_index(host, ".", -k)
+              for k in range(1, _MAX_SUFFIX_LABELS + 1)]
+        ))
+    )
+
+
+def filter_blocked_domains(df, blocked, url_col: str = "url"):
+    """Drop rows whose URL host matches a domain blocklist entry,
+    subdomain-aware: an entry ``example.com`` blocks ``example.com``
+    and every ``*.example.com`` (suffix matching is label-aligned — see
+    :func:`host_suffixes`).
+
+    ``blocked`` is a one-column DataFrame of domain strings (column
+    ``domain``) — the standard curation blocklist shape. Plan: the
+    blocklist folds to ONE broadcast row holding the deduped domain
+    array; the corpus cross-joins that single row (a broadcast, not a
+    shuffle) and filters with ``arrays_overlap`` against each row's
+    bounded suffix array — the whole operation is map-side, the corpus
+    never shuffles, and the filter sits where Catalyst can push other
+    predicates around it. Blocklists are small (≤ a few million short
+    strings fits a broadcast row comfortably); a corpus-sized "blocklist"
+    is a join-based dedup problem, not this operator."""
+    from pyspark.sql import functions as _F
+
+    blocked_row = blocked.agg(
+        _F.collect_set(_F.lower(_F.col("domain"))).alias("_blocked"))
+    return (
+        df.join(_F.broadcast(blocked_row))
+        .filter(~_F.arrays_overlap(
+            host_suffixes(_F.col(url_col)), _F.col("_blocked")))
+        .drop("_blocked")
+    )
