@@ -123,6 +123,18 @@ def _simhash_oracle_core() -> str:
 # tests/test_operators.py.
 
 
+def _hex15_to_bigint(col: str) -> str:
+    """Exact 60-bit integer from the first 15 hex digits of an md5 —
+    pure integer arithmetic (DuckDB power() returns DOUBLE, which goes
+    inexact past 2^53, so each digit multiplies a BIGINT literal)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({col}, {j + 1}, 1)) - 1) "
+        f"* {16 ** (14 - j)}::BIGINT"
+        for j in range(15)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
 def _neardup_methods_oracle() -> str:
     from .vector_queries import _cos
 
@@ -175,6 +187,40 @@ def _neardup_methods_oracle() -> str:
       SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS DOUBLE) AS score
       FROM fz_cand WHERE levenshtein(ta, tb) <= 1
     )
+    , ph_base AS (
+      SELECT doc_id,
+             md5('ph:' || CAST(doc_id // 4 AS VARCHAR)) AS hx
+      FROM documents WHERE doc_id % 10 < 4
+    ), ph_int AS (
+      SELECT doc_id,
+             {_hex15_to_bigint('hx')} AS base
+      FROM ph_base
+    ), ph AS (
+      SELECT doc_id,
+        xor(xor(xor(base,
+          CASE WHEN doc_id % 4 >= 1
+               THEN (1::BIGINT << CAST(doc_id % 60 AS INT)) ELSE 0 END),
+          CASE WHEN doc_id % 4 >= 2
+               THEN (1::BIGINT << CAST((doc_id + 21) % 60 AS INT))
+               ELSE 0 END),
+          CASE WHEN doc_id % 4 >= 3
+               THEN (1::BIGINT << CAST((doc_id + 43) % 60 AS INT))
+               ELSE 0 END) AS h
+      FROM ph_int
+    ), phb AS (
+      SELECT doc_id, h, 0 AS bi, (h >> 48) & 65535 AS b FROM ph
+      UNION ALL SELECT doc_id, h, 1, (h >> 32) & 65535 FROM ph
+      UNION ALL SELECT doc_id, h, 2, (h >> 16) & 65535 FROM ph
+      UNION ALL SELECT doc_id, h, 3, h & 65535 FROM ph
+    ), ph_cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.h, b.h)) AS INT) AS ham
+      FROM phb a JOIN phb b
+        ON a.bi = b.bi AND a.b = b.b AND a.doc_id < b.doc_id
+    ), ph_pairs AS (
+      SELECT id_a, id_b, CAST(ham AS DOUBLE) AS score
+      FROM ph_cand WHERE ham <= 3
+    )
     SELECT 'simhash' AS method, doc_a AS id_a, doc_b AS id_b,
            CAST(hamming AS DOUBLE) AS score
     FROM cand WHERE hamming <= 4
@@ -182,6 +228,8 @@ def _neardup_methods_oracle() -> str:
     SELECT 'embedding' AS method, id_a, id_b, score FROM emb_top
     UNION ALL
     SELECT 'fuzzy_name' AS method, id_a, id_b, score FROM fz_pairs
+    UNION ALL
+    SELECT 'phash' AS method, id_a, id_b, score FROM ph_pairs
     """
     )
 
@@ -202,10 +250,18 @@ def neardup_pairs_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     `fuzzy_name`: edit-distance ≤ 1 entity resolution over customer names
     via symmetric-delete blocking (operators/fuzzy.py — the deletion
     neighborhood provably covers every distance-1 pair; candidates from a
-    hash equi-join, exact Levenshtein rescore); score = distance. All
-    three keep candidate generation bucketed/blocked — the property
-    pinned in tests/test_scale_plans.py."""
+    hash equi-join, exact Levenshtein rescore); score = distance.
+    `phash` (late r11): the perceptual-image-hash pair machinery
+    (operators/imagehash.py ``near_dup_image_pairs`` — (k+1)-band
+    pigeonhole blocking, EXACT recall at the radius, bit_count verify)
+    over deterministically minted 60-bit codes: documents rows share an
+    md5-derived base per id-quad with 0-3 id-addressed bit flips, so
+    planted near-pairs at every Hamming distance exist and the oracle
+    re-derives the identical banding in SQL. All four keep candidate
+    generation bucketed/blocked — the property pinned in
+    tests/test_scale_plans.py."""
     from ..operators.fuzzy import fuzzy_self_pairs
+    from ..operators.imagehash import near_dup_image_pairs
     from ..operators.similarity import most_similar_pairs
 
     docs = load_table(spark, sf_dir, "documents", rebalance=True).filter(
@@ -237,7 +293,38 @@ def neardup_pairs_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").cast("long").alias("id_b"),
         F.col("dist").cast("double").alias("score"),
     )
-    return sh.unionByName(emb).unionByName(fz)
+    hashes = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 < 4)
+        .selectExpr(
+            "doc_id",
+            "cast(conv(substring(md5(concat('ph:', "
+            "cast(doc_id div 4 as string))), 1, 15), 16, 10) "
+            "as bigint) as base",
+        )
+        .selectExpr(
+            "doc_id",
+            """base
+            ^ (case when doc_id % 4 >= 1 then
+                 shiftleft(cast(1 as bigint), cast(doc_id % 60 as int))
+               else 0 end)
+            ^ (case when doc_id % 4 >= 2 then
+                 shiftleft(cast(1 as bigint),
+                           cast((doc_id + 21) % 60 as int))
+               else 0 end)
+            ^ (case when doc_id % 4 >= 3 then
+                 shiftleft(cast(1 as bigint),
+                           cast((doc_id + 43) % 60 as int))
+               else 0 end) as dhash""",
+        )
+    )
+    ph = near_dup_image_pairs(hashes, max_hamming=3).select(
+        F.lit("phash").alias("method"),
+        F.col("doc_id_a").alias("id_a"),
+        F.col("doc_id_b").alias("id_b"),
+        F.col("hamming").cast("double").alias("score"),
+    )
+    return sh.unionByName(emb).unionByName(fz).unionByName(ph)
 
 
 _CC_CTES_H = """
