@@ -405,3 +405,49 @@ def test_archive_to_decoders_composition(spark):
     again = {r["source"]: r["doc_id"] for r in members_as_payloads(
         archive_members(_blob_df(spark, [(9, tarball)]))).collect()}
     assert again == {s: r["doc_id"] for s, r in rows.items()}
+
+
+def _docx(xml_body: bytes) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zi = zipfile.ZipInfo("word/document.xml",
+                             date_time=(2024, 1, 2, 3, 4, 6))
+        zi.compress_type = zipfile.ZIP_DEFLATED
+        zf.writestr(zi, b'<?xml version="1.0"?><w:document>'
+                    b"<w:body>" + xml_body + b"</w:body></w:document>")
+        zi2 = zipfile.ZipInfo("[Content_Types].xml",
+                              date_time=(2024, 1, 2, 3, 4, 6))
+        zf.writestr(zi2, b"<Types/>")
+    return buf.getvalue()
+
+
+def test_docx_text_extraction(spark):
+    xml = (b'<w:p><w:r><w:t>Hello </w:t></w:r>'
+           b'<w:r><w:t xml:space="preserve">w&amp;rld &amp;lt;tag&gt;'
+           b"</w:t></w:r></w:p>"
+           b"<w:p><w:r><w:t>Line</w:t><w:br/><w:t>break</w:t>"
+           b"<w:tab/><w:t>tabbed</w:t></w:r></w:p>")
+    legacy_doc = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 64
+    rows = {r["doc_id"]: r for r in archives.docx_text(_blob_df(spark, [
+        (1, _docx(xml)),
+        (2, legacy_doc),
+        (3, _zip()),          # a zip but not a docx
+        (4, b"not even zip"),
+    ])).collect()}
+    d = rows[1]
+    assert d["format"] == "docx" and d["error"] is None
+    assert d["n_paragraphs"] == 2
+    assert d["text"] == "Hello w&rld &lt;tag>\nLine\nbreak\ttabbed"
+    assert d["n_chars"] == len(d["text"])
+    assert rows[2]["error_kind"] == "unsupported"      # legacy .doc
+    assert "OLE2" in rows[2]["error"]
+    assert rows[3]["error_kind"] == "corrupt"          # no document.xml
+    assert rows[4]["error_kind"] == "corrupt"
+
+
+def test_docx_budget_refuses_from_central_directory(spark):
+    big = _docx(b"<w:p><w:r><w:t>" + b"x" * 5000 + b"</w:t></w:r></w:p>")
+    row = archives.docx_text(_blob_df(spark, [(1, big)]),
+                             byte_budget=100).collect()[0]
+    assert row["error_kind"] == "unsupported"
+    assert "budget" in row["error"]

@@ -536,6 +536,19 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
     add(1505, "exif_strip", "strip_truncated_jpeg_corrupt",
         strip_jpeg[:30])
 
+    # ---- office: docx text (ids 16xx) ---------------------------------
+    from test_archives import _docx
+
+    add(1601, "office", "docx_runs_entities_breaks", _docx(
+        b"<w:p><w:r><w:t>Quarterly </w:t></w:r>"
+        b'<w:r><w:t xml:space="preserve">r&amp;eport &amp;lt;v2&gt;'
+        b"</w:t></w:r></w:p>"
+        b"<w:p><w:r><w:t>alpha</w:t><w:br/><w:t>beta</w:t>"
+        b"<w:tab/><w:t>gamma</w:t></w:r></w:p>"))
+    add(1602, "office", "doc_legacy_unsupported",
+        b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 64)
+    add(1603, "office", "zip_without_document_corrupt", _zip())
+
     return rows
 
 

@@ -637,3 +637,112 @@ def members_as_payloads(members: DataFrame) -> DataFrame:
             F.col("name").alias("source"),
         )
     )
+
+
+DOCX_TEXT_SCHEMA = (
+    "doc_id bigint, format string, n_paragraphs int, n_chars int, "
+    "text string"
+)
+
+# minimal XML entity set WordprocessingML actually emits in w:t runs
+_XML_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                 ("&apos;", "'"), ("&amp;", "&"))  # &amp; LAST
+
+_WT_RE = None  # compiled lazily (module import stays cheap)
+
+
+def _docx_extract_text(raw: bytes, budget: int | None) -> tuple[int, str]:
+    """(n_paragraphs, text) from one OOXML word-processing payload.
+
+    A .docx is a zip whose ``word/document.xml`` holds the body as
+    WordprocessingML: text lives in ``<w:t>`` runs, paragraphs close
+    with ``</w:p>``, and the layout elements ``<w:br/>``/``<w:tab/>``
+    render as newline/tab. This walks exactly that subset with
+    anchored regexes — a full XML parser buys nothing for corpus text
+    and loses the total-over-garbage property. Entities decode with
+    ``&amp;`` last so ``&amp;lt;`` round-trips as the literal ``&lt;``.
+    Legacy .doc (OLE2 magic) refuses as 'unsupported'."""
+    import io
+    import re as _re
+    import zipfile
+
+    global _WT_RE
+    if _WT_RE is None:
+        _WT_RE = _re.compile(
+            rb"<w:t(?:\s[^>]*)?>(.*?)</w:t>"
+            rb"|</w:p>|<w:br\s*/?>|<w:tab\s*/?>",
+            _re.DOTALL,
+        )
+    if raw[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
+        raise NotImplementedError(
+            "legacy OLE2 .doc needs a compound-file parser; only OOXML "
+            ".docx extracts here — route .doc to a document-library "
+            "executor image"
+        )
+    if raw[:4] not in (b"PK\x03\x04", b"PK\x05\x06"):
+        raise ValueError("malformed docx: not a zip container")
+    meta = _parse_zip_meta(raw)
+    if budget is not None and meta["uncompressed_hint"] > budget:
+        raise NotImplementedError(
+            f"docx declares {meta['uncompressed_hint']} bytes over the "
+            f"{budget}-byte budget"
+        )
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(raw))
+        xml = zf.read("word/document.xml")
+    except KeyError:
+        raise ValueError(
+            "malformed docx: zip without word/document.xml"
+        ) from None
+    except Exception as e:
+        raise ValueError(f"malformed docx: {e}") from None
+    parts: list[str] = []
+    n_paras = 0
+    for m in _WT_RE.finditer(xml):
+        tok = m.group(0)
+        if m.group(1) is not None:
+            text = m.group(1).decode("utf-8", "replace")
+            for ent, ch in _XML_ENTITIES:
+                text = text.replace(ent, ch)
+            parts.append(text)
+        elif tok.startswith(b"</w:p"):
+            n_paras += 1
+            if parts and not parts[-1].endswith("\n"):
+                parts.append("\n")
+        elif tok.startswith(b"<w:br"):
+            parts.append("\n")
+        else:  # <w:tab/>
+            parts.append("\t")
+    return n_paras, "".join(parts).strip()
+
+
+def docx_text(blobs: DataFrame, errors: str = "quarantine",
+              byte_budget: int | None = ARCHIVE_BYTE_BUDGET,
+              ) -> DataFrame:
+    """REAL .docx text extraction over ``(doc_id, payload)`` — the
+    office-format twin of :func:`operators.pdf.pdf_text`, composed from
+    the zip machinery already here plus a WordprocessingML run walk.
+    One row per document: paragraph count, char count, text (paragraph
+    breaks as newlines). Quarantine contract; legacy .doc refuses as
+    'unsupported'."""
+    from .mediameta import _quarantine_batches
+    from .multimodal import _check_errors_mode
+
+    quarantine = _check_errors_mode(errors)
+
+    def one(payload):
+        raw = bytes(payload) if payload else b""
+        if not raw:
+            raise ValueError("empty/NULL docx payload")
+        n_paras, text = _docx_extract_text(raw, byte_budget)
+        return {"format": "docx", "n_paragraphs": n_paras,
+                "n_chars": len(text), "text": text}
+
+    schema = DOCX_TEXT_SCHEMA + ", error string, error_kind string" \
+        if quarantine else DOCX_TEXT_SCHEMA
+    return blobs.mapInPandas(
+        _quarantine_batches(
+            one, ("format", "n_paragraphs", "n_chars", "text"),
+            quarantine),
+        schema,
+    )

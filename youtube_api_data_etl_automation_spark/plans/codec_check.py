@@ -88,7 +88,7 @@ def codec_stats(spark: SparkSession) -> DataFrame:
         video_keyframe_features,
         video_meta,
     )
-    from ..operators.archives import archive_meta, warc_records
+    from ..operators.archives import archive_meta, docx_text, warc_records
     from ..operators.imagehash import image_hashes
     from ..operators.pdf import pdf_meta, pdf_text
     from ..operators.multimodal import (
@@ -110,7 +110,7 @@ def codec_stats(spark: SparkSession) -> DataFrame:
                     "audio_meta", "image_exif", "audio_tags",
                     "video_frame", "audio_subband", "archive",
                     "warc_records", "document", "document_meta",
-                    "image_hash", "exif_strip")
+                    "image_hash", "exif_strip", "office")
     }
 
     img = decode_image(by_family["image"], errors="quarantine").select(
@@ -393,10 +393,25 @@ def codec_stats(spark: SparkSession) -> DataFrame:
             ),
         ).otherwise(_err_fp()).alias("fp"),
     )
+    office = docx_text(by_family["office"], errors="quarantine").select(
+        "doc_id",
+        F.col("format").alias("fmt"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.when(
+            F.col("error").isNull(),
+            F.format_string(
+                "%d,%d,%s",
+                F.col("n_paragraphs"),
+                F.col("n_chars"),
+                F.translate(F.col("text"), "\n\t", "~·"),
+            ),
+        ).otherwise(_err_fp()).alias("fp"),
+    )
     return (
         img.unionByName(aud).unionByName(imeta).unionByName(vmeta)
         .unionByName(ameta).unionByName(exif).unionByName(tags)
         .unionByName(keyf).unionByName(sband).unionByName(arch)
         .unionByName(warcf).unionByName(doc).unionByName(dmeta)
-        .unionByName(ih).unionByName(estrip)
+        .unionByName(ih).unionByName(estrip).unionByName(office)
     )
