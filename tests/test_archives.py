@@ -451,3 +451,20 @@ def test_docx_budget_refuses_from_central_directory(spark):
                              byte_budget=100).collect()[0]
     assert row["error_kind"] == "unsupported"
     assert "budget" in row["error"]
+
+
+def test_docx_to_documents_composition(spark):
+    from youtube_api_data_etl_automation_spark.corpus import (
+        docx_to_documents,
+    )
+
+    xml = (b"<w:p><w:r><w:t>Plenty of plain English words make this "
+           b"document pass any downstream funnel stage</w:t></w:r></w:p>")
+    df = _blob_df(spark, [(11, _docx(xml)), (12, b"broken")])
+    docs = docx_to_documents(df).collect()
+    assert len(docs) == 1
+    d = docs[0]
+    assert d["source"] == "docx:11" and "funnel stage" in d["text"]
+    assert d["n_chars"] == len(d["text"]) and d["lang"] is None
+    again = docx_to_documents(df).collect()[0]
+    assert again["doc_id"] == d["doc_id"]

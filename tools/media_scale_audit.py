@@ -75,6 +75,16 @@ def _ops():
         decode_audio,
         decode_image,
     )
+    from youtube_api_data_etl_automation_spark.operators.archives import (
+        archive_members,
+        docx_text,
+    )
+    from youtube_api_data_etl_automation_spark.operators.imagehash import (
+        image_hashes,
+    )
+    from youtube_api_data_etl_automation_spark.operators.mediameta import (
+        strip_exif,
+    )
     from youtube_api_data_etl_automation_spark.operators.pdf import (
         pdf_meta,
         pdf_text,
@@ -106,6 +116,14 @@ def _ops():
             fam(df, "document"), errors="quarantine"),
         "pdf_meta": lambda df: pdf_meta(
             fam(df, "document", "document_meta"), errors="quarantine"),
+        "image_hashes": lambda df: image_hashes(
+            fam(df, "image", "image_hash"), errors="quarantine"),
+        "strip_exif": lambda df: strip_exif(
+            fam(df, "image_exif", "exif_strip"), errors="quarantine"),
+        "docx_text": lambda df: docx_text(
+            fam(df, "office"), errors="quarantine"),
+        "archive_members": lambda df: archive_members(
+            fam(df, "archive")),
     }
 
 

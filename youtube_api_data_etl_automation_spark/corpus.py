@@ -458,6 +458,41 @@ def pdf_to_documents(
     )
 
 
+def docx_to_documents(
+    payloads: DataFrame,
+    *,
+    min_chars: int = 1,
+    byte_budget: int | None = None,
+) -> DataFrame:
+    """.docx payload table → ``documents``-shaped rows — the
+    office-format twin of :func:`pdf_to_documents`:
+    :func:`operators.archives.docx_text` extracts the WordprocessingML
+    text (failures drop; run docx_text(errors='quarantine') separately
+    when the quarantine population matters) and the output matches the
+    corpus tables' shape so :func:`curate_corpus` consumes it directly.
+    ``doc_id`` is ``xxhash64`` of the source id — stable across
+    re-ingestion. One mapInPandas, no shuffle."""
+    from .operators.archives import ARCHIVE_BYTE_BUDGET, docx_text
+
+    extracted = docx_text(
+        payloads, errors="quarantine",
+        byte_budget=byte_budget or ARCHIVE_BYTE_BUDGET,
+    )
+    return (
+        extracted
+        .filter(F.col("error").isNull())
+        .select(
+            F.xxhash64(F.col("doc_id")).alias("doc_id"),
+            F.col("text"),
+            F.lit(None).cast("string").alias("lang"),
+            F.concat(F.lit("docx:"), F.col("doc_id").cast("string"))
+            .alias("source"),
+        )
+        .withColumn("n_chars", F.length("text"))
+        .filter(F.col("n_chars") >= min_chars)
+    )
+
+
 def warc_pdf_to_documents(
     payloads: DataFrame,
     *,

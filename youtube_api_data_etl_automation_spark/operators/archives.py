@@ -32,6 +32,8 @@ executor):
   budget enforcement; ``members_as_payloads`` turns the rows into the
   standard ``(doc_id, payload, source)`` shape every decoder accepts,
   closing the crawl-dump loop (tarball → images/PDFs/audio → features).
+- ``docx_text`` (late r11): OOXML .docx → text rows via the zip
+  machinery + a WordprocessingML run walk; legacy .doc refuses.
 
 Reference anchor: the reference pipeline ingests remote API payloads
 (fetch_youtube_data.py:121-134); archive split/triage is the same

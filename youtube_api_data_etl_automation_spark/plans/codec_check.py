@@ -43,6 +43,10 @@ Fixture families → engine op exercised:
   dHash/aHash perceptual codes over real decoded pixels — the
   image-near-dup dedup bridge; format-invariance pinned by the
   PNG-vs-BMP same-pixels payload pair)
+- ``exif_strip``    → :func:`operators.mediameta.strip_exif` (r11:
+  privacy scrub — removed-bytes + md5 of the cleaned payload)
+- ``office``        → :func:`operators.archives.docx_text` (r11:
+  OOXML .docx text extraction)
 
 Scale note: the fixture is a verification corpus (~40 rows, a few KB);
 the ops it drives are the same Arrow-batched mapInPandas operators that
