@@ -315,3 +315,76 @@ def test_fuzz_archives(rng):
         _mutations(rng, warc_plain, 150) + _mutations(rng, warc_gz, 150),
         "warc_records",
     )
+
+
+def test_fuzz_pdf(rng):
+    import sys
+    sys.path.insert(0, "tests")
+    from test_pdf import mkpdf, one_page, stream_obj
+
+    from youtube_api_data_etl_automation_spark.operators import pdf as P
+
+    import zlib
+
+    base = one_page(b"BT /F1 12 Tf (fuzz corpus text) Tj "
+                    b"[(a) -300 (b)] TJ ET")
+    flate = mkpdf([
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Resources << >> "
+            b"/Contents 4 0 R >>"),
+        (4, stream_obj(b"/Filter /FlateDecode ",
+                       zlib.compress(b"BT (z) Tj ET"))),
+    ])
+    payloads = []
+    for b in (base, flate):
+        payloads += _mutations(rng, b, 150)
+    payloads += [b"%PDF-" + g for g in _garbage(rng, 80, 300)]
+    payloads += _garbage(rng, 40, 200)
+    _assert_contract(
+        lambda p: P.extract_pdf_text(p, inflate_budget=1 << 16,
+                                     text_budget=1 << 16),
+        payloads, "extract_pdf_text")
+    _assert_contract(P.probe_pdf, payloads, "probe_pdf")
+
+
+def test_fuzz_imagehash_and_strip(rng):
+    import sys
+    sys.path.insert(0, "tests")
+    from test_mediameta import _gps_dms, _jpeg_with_app1, _tiff
+    from test_operators import _png
+
+    from youtube_api_data_etl_automation_spark.operators import imagehash
+
+    png = _png([[(x * 3, y * 5, 7) for x in range(10)] for y in range(8)])
+    gps = _jpeg_with_app1(_tiff(
+        [(0x0112, 3, 1, 1)],
+        gps_entries=[(1, 2, 2, b"N\x00"), (2, 5, 3, _gps_dms(1, 2, 3))]))
+    payloads = _mutations(rng, png, 150) + _mutations(rng, gps, 150) \
+        + _garbage(rng, 60, 300)
+
+    def hash_one(p):
+        _, rgb = multimodal._decode_rgb(p)
+        imagehash.dhash64(rgb)
+        imagehash.ahash64(rgb)
+
+    _assert_contract(hash_one, payloads, "image_hashes")
+    _assert_contract(mediameta._strip_exif_bytes, payloads, "strip_exif")
+
+
+def test_fuzz_docx_and_members(rng):
+    import sys
+    sys.path.insert(0, "tests")
+    from test_archives import _docx, _tar, _zip
+
+    from youtube_api_data_etl_automation_spark.operators import archives
+
+    docx = _docx(b"<w:p><w:r><w:t>fuzz doc</w:t></w:r></w:p>")
+    payloads = _mutations(rng, docx, 150) + _mutations(rng, _zip(), 100) \
+        + _mutations(rng, _tar(), 100) + _garbage(rng, 60, 400)
+    _assert_contract(
+        lambda p: archives._docx_extract_text(p, 1 << 20),
+        payloads, "docx_text")
+    _assert_contract(
+        lambda p: archives._iter_archive_members(p, 1 << 20),
+        payloads, "archive_members")
