@@ -170,3 +170,27 @@ def test_pair_plan_has_no_nested_loop(spark):
     plan = IH.near_dup_image_pairs(df, max_hamming=2)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_pixel_budget_probe_first(spark):
+    """A huge-dimensioned header routes 'unsupported' at O(header) cost
+    — the triage posture — and max_pixels=None forces the decode."""
+    huge_header_only = b"P6\n50000 50000\n255\n"  # 2.5 Gpx declared
+    from tests.test_operators import _png
+
+    small = _png([[(1, 2, 3)] * 4] * 3)
+    df = spark.createDataFrame(
+        [(1, bytearray(huge_header_only)), (2, bytearray(small))],
+        "doc_id long, payload binary")
+    rows = {r["doc_id"]: r for r in
+            IH.image_hashes(df, errors="quarantine").collect()}
+    assert rows[1]["error_kind"] == "unsupported"
+    assert "pixel hash budget" in rows[1]["error"]
+    assert rows[2]["error"] is None
+    # None disables the gate (the huge one then fails decode on its
+    # truncated pixel data -> corrupt, proving the probe gate is what
+    # refused above)
+    rows2 = {r["doc_id"]: r for r in
+             IH.image_hashes(df, errors="quarantine",
+                             max_pixels=None).collect()}
+    assert rows2[1]["error_kind"] == "corrupt"

@@ -103,11 +103,23 @@ def ahash64(rgb: np.ndarray) -> int:
     return _bits_to_i64(grid > grid.mean())
 
 
-def image_hashes(blobs: DataFrame, errors: str = "raise") -> DataFrame:
+IMAGE_HASH_PIXEL_BUDGET = 4_000_000  # same default as triage
+
+
+def image_hashes(blobs: DataFrame, errors: str = "raise",
+                 max_pixels: int | None = IMAGE_HASH_PIXEL_BUDGET,
+                 ) -> DataFrame:
     """Decode + hash in ONE pass over ``(doc_id, payload)``: per image
     the 64-bit dHash and aHash plus dimensions. Same quarantine
     contract as :func:`operators.multimodal.decode_image` (whose
-    decoder this calls — every format it decodes, hashes)."""
+    decoder this calls — every format it decodes, hashes).
+
+    ``max_pixels``: probe-first budget (the triage_decode_images
+    posture) — the header is read BEFORE any pixel decodes, so an
+    oversized image costs O(header) and routes to
+    ``error_kind='unsupported'`` instead of tying up an executor; pass
+    None to hash everything."""
+    from .mediameta import _probe_image
     from .multimodal import (
         DECODE_ERRORS, _check_errors_mode, _decode_rgb, _error_kind,
         _error_text,
@@ -121,8 +133,17 @@ def image_hashes(blobs: DataFrame, errors: str = "raise") -> DataFrame:
             errs, kinds = [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
-                    fmt, rgb = _decode_rgb(
-                        bytes(payload) if payload is not None else b"")
+                    raw = bytes(payload) if payload is not None else b""
+                    if max_pixels is not None:
+                        _, pw, ph = _probe_image(raw)
+                        if pw * ph > max_pixels:
+                            raise NotImplementedError(
+                                f"image {pw}x{ph} exceeds the "
+                                f"{max_pixels}-pixel hash budget; raise "
+                                "max_pixels (or pass None) to force the "
+                                "decode"
+                            )
+                    fmt, rgb = _decode_rgb(raw)
                     d, a = dhash64(rgb), ahash64(rgb)
                 except DECODE_ERRORS as e:
                     if not quarantine:
