@@ -227,3 +227,34 @@ def test_dedup_images_end_to_end(spark):
     audit = {r["stage"]: r["n"] for r in out["audit"].collect()}
     assert audit == {"input": 5, "hashed": 4, "quarantined": 1,
                      "near_dup_pairs": 1, "survivors": 3}
+
+
+def test_image_thumbnails_exact_and_stable(spark):
+    """Thumbnail bytes are the exact area averages (hand-checkable on a
+    block image), identical across containers, quarantine-contracted."""
+    from tests.test_operators import _bmp24, _png
+
+    # 4x4 image of four 2x2 constant blocks -> 2x2 thumb == block values
+    blocks = [[(10, 20, 30), (10, 20, 30), (200, 100, 50), (200, 100, 50)],
+              [(10, 20, 30), (10, 20, 30), (200, 100, 50), (200, 100, 50)],
+              [(0, 0, 0), (0, 0, 0), (255, 255, 255), (255, 255, 255)],
+              [(0, 0, 0), (0, 0, 0), (255, 255, 255), (255, 255, 255)]]
+    df = spark.createDataFrame(
+        [(1, bytearray(_png(blocks))), (2, bytearray(_bmp24(blocks))),
+         (3, bytearray(b"junk"))],
+        "doc_id long, payload binary")
+    rows = {r["doc_id"]: r for r in IH.image_thumbnails(
+        df, out_h=2, out_w=2, errors="quarantine").collect()}
+    want = bytes([10, 20, 30, 200, 100, 50, 0, 0, 0, 255, 255, 255])
+    assert bytes(rows[1]["thumb"]) == want
+    assert bytes(rows[2]["thumb"]) == want  # container-invariant
+    assert rows[1]["thumb_w"] == 2 and rows[1]["thumb_h"] == 2
+    assert rows[3]["error_kind"] == "unsupported"
+    # budget probe-first
+    huge = spark.createDataFrame(
+        [(9, bytearray(b"P6\n60000 60000\n255\n"))],
+        "doc_id long, payload binary")
+    r = IH.image_thumbnails(huge, errors="quarantine").collect()[0]
+    assert r["error_kind"] == "unsupported" and "budget" in r["error"]
+    with pytest.raises(ValueError, match="256x256"):
+        IH.image_thumbnails(df, out_h=0)

@@ -536,6 +536,13 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
     add(1505, "exif_strip", "strip_truncated_jpeg_corrupt",
         strip_jpeg[:30])
 
+    # ---- image_thumb: deterministic resize (ids 17xx) -----------------
+    add(1701, "image_thumb", "thumb_png", _png(hash_px))
+    add(1702, "image_thumb", "thumb_bmp_same_pixels", _bmp24(hash_px))
+    add(1703, "image_thumb", "thumb_jpeg",
+        _encode_jpeg(_rng_image(24, 32, seed=73))[0])
+    add(1704, "image_thumb", "thumb_corrupt", _png(hash_px)[:22])
+
     # ---- office: docx text (ids 16xx) ---------------------------------
     from test_archives import _docx
 

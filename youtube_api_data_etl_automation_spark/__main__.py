@@ -799,6 +799,8 @@ def _cmd_media(args: argparse.Namespace) -> int:
         "exifstrip": lambda b: mediameta.strip_exif(
             b, errors="quarantine"),
         "docxtext": lambda b: archives.docx_text(b, errors="quarantine"),
+        "thumbnail": lambda b: imagehash.image_thumbnails(
+            b, errors="quarantine"),
     }
     out = ops[args.op](blobs)
     if args.output:
@@ -853,7 +855,8 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["probe", "decode", "audio", "audiometa", "video",
                  "triage", "exif", "tags", "audiotriage", "keyframe",
                  "subband", "archive", "warc", "pdftext", "pdfmeta",
-                 "imagehash", "members", "exifstrip", "docxtext"],
+                 "imagehash", "members", "exifstrip", "docxtext",
+                 "thumbnail"],
         help="probe=image headers, decode=image pixels, audio=samples, "
              "audiometa=MP3/FLAC/WAV headers, video=MP4/MKV containers, "
              "triage=probe-then-decode router (audiotriage=the audio "

@@ -183,6 +183,97 @@ def image_hashes(blobs: DataFrame, errors: str = "raise",
     return blobs.mapInPandas(batches, schema)
 
 
+THUMB_SCHEMA = (
+    "doc_id bigint, format string, width int, height int, "
+    "thumb_w int, thumb_h int, thumb binary"
+)
+THUMB_QUARANTINE_SCHEMA = THUMB_SCHEMA + ", error string, error_kind string"
+
+
+def image_thumbnails(blobs: DataFrame, out_h: int = 8, out_w: int = 8,
+                     errors: str = "raise",
+                     max_pixels: int | None = IMAGE_HASH_PIXEL_BUDGET,
+                     ) -> DataFrame:
+    """Deterministic thumbnail extraction — the resize step of an image
+    training pipeline: decode via the full format matrix, exact
+    area-average to ``out_h × out_w`` (the same box partition the
+    hashes use — float64 over exact integer pixels, no interpolation
+    kernels, so the output bytes are bit-identical across machines),
+    round half-up to uint8, and emit row-major RGB bytes
+    (``out_h*out_w*3``). Probe-first pixel budget like
+    :func:`image_hashes`; quarantine contract like every payload op.
+    The thumbnail is the model-input proxy — downstream embedding or
+    pHash-style stages consume it without re-decoding the original."""
+    from .mediameta import _probe_image
+    from .multimodal import (
+        DECODE_ERRORS, _check_errors_mode, _decode_rgb, _error_kind,
+        _error_text,
+    )
+
+    if not (1 <= out_h <= 256 and 1 <= out_w <= 256):
+        raise ValueError(
+            f"thumbnail grid must be within 256x256, got {out_w}x{out_h}"
+        )
+    quarantine = _check_errors_mode(errors)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fmts, ws, hs, thumbs = [], [], [], [], []
+            errs, kinds = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    raw = bytes(payload) if payload is not None else b""
+                    if max_pixels is not None:
+                        _, pw, ph = _probe_image(raw)
+                        if pw * ph > max_pixels:
+                            raise NotImplementedError(
+                                f"image {pw}x{ph} exceeds the "
+                                f"{max_pixels}-pixel thumbnail budget; "
+                                "raise max_pixels (or pass None)"
+                            )
+                    fmt, rgb = _decode_rgb(raw)
+                    grid = np.stack(
+                        [_area_average(rgb[..., c].astype(np.float64),
+                                       out_h, out_w)
+                         for c in range(3)], axis=-1)
+                    thumb = np.floor(grid + 0.5).clip(0, 255) \
+                        .astype(np.uint8).tobytes()
+                except DECODE_ERRORS as e:
+                    if not quarantine:
+                        raise
+                    ids.append(doc_id)
+                    fmts.append(None)
+                    ws.append(None)
+                    hs.append(None)
+                    thumbs.append(None)
+                    errs.append(_error_text(e))
+                    kinds.append(_error_kind(e))
+                    continue
+                ids.append(doc_id)
+                fmts.append(fmt)
+                hs.append(rgb.shape[0])
+                ws.append(rgb.shape[1])
+                thumbs.append(bytearray(thumb))
+                errs.append(None)
+                kinds.append(None)
+            out = {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "format": pd.Series(fmts, dtype="object"),
+                "width": pd.array(ws, dtype="Int32"),
+                "height": pd.array(hs, dtype="Int32"),
+                "thumb_w": pd.Series([out_w] * len(ids), dtype="int32"),
+                "thumb_h": pd.Series([out_h] * len(ids), dtype="int32"),
+                "thumb": pd.Series(thumbs, dtype="object"),
+            }
+            if quarantine:
+                out["error"] = pd.Series(errs, dtype="object")
+                out["error_kind"] = pd.Series(kinds, dtype="object")
+            yield pd.DataFrame(out)
+
+    schema = THUMB_QUARANTINE_SCHEMA if quarantine else THUMB_SCHEMA
+    return blobs.mapInPandas(batches, schema)
+
+
 def hash_bands(df: DataFrame, hash_col: str, n_bands: int) -> DataFrame:
     """Explode each 64-bit hash into ``(doc_id, band_idx, band_val)``
     rows — contiguous bit slices, widths as equal as 64/n_bands allows

@@ -47,6 +47,8 @@ Fixture families → engine op exercised:
   privacy scrub — removed-bytes + md5 of the cleaned payload)
 - ``office``        → :func:`operators.archives.docx_text` (r11:
   OOXML .docx text extraction)
+- ``image_thumb``   → :func:`operators.imagehash.image_thumbnails`
+  (r11: deterministic 8×8 area-average resize, bytes fingerprinted)
 
 Scale note: the fixture is a verification corpus (~40 rows, a few KB);
 the ops it drives are the same Arrow-batched mapInPandas operators that
@@ -93,7 +95,7 @@ def codec_stats(spark: SparkSession) -> DataFrame:
         video_meta,
     )
     from ..operators.archives import archive_meta, docx_text, warc_records
-    from ..operators.imagehash import image_hashes
+    from ..operators.imagehash import image_hashes, image_thumbnails
     from ..operators.pdf import pdf_meta, pdf_text
     from ..operators.multimodal import (
         audio_subband_features,
@@ -114,7 +116,8 @@ def codec_stats(spark: SparkSession) -> DataFrame:
                     "audio_meta", "image_exif", "audio_tags",
                     "video_frame", "audio_subband", "archive",
                     "warc_records", "document", "document_meta",
-                    "image_hash", "exif_strip", "office")
+                    "image_hash", "exif_strip", "office",
+                    "image_thumb")
     }
 
     img = decode_image(by_family["image"], errors="quarantine").select(
@@ -412,10 +415,28 @@ def codec_stats(spark: SparkSession) -> DataFrame:
             ),
         ).otherwise(_err_fp()).alias("fp"),
     )
+    thumb = image_thumbnails(
+        by_family["image_thumb"], errors="quarantine"
+    ).select(
+        "doc_id",
+        F.col("format").alias("fmt"),
+        "width",
+        "height",
+        F.when(
+            F.col("error").isNull(),
+            F.format_string(
+                "%dx%d,%s",
+                F.col("thumb_w"),
+                F.col("thumb_h"),
+                F.md5(F.col("thumb")),
+            ),
+        ).otherwise(_err_fp()).alias("fp"),
+    )
     return (
         img.unionByName(aud).unionByName(imeta).unionByName(vmeta)
         .unionByName(ameta).unionByName(exif).unionByName(tags)
         .unionByName(keyf).unionByName(sband).unionByName(arch)
         .unionByName(warcf).unionByName(doc).unionByName(dmeta)
         .unionByName(ih).unionByName(estrip).unionByName(office)
+        .unionByName(thumb)
     )
