@@ -1575,6 +1575,8 @@ def _strip_exif_bytes(payload: bytes) -> tuple[str, bytes]:
                 return "jpeg", bytes(out)
             (seglen,) = struct.unpack_from(">H", payload, pos + 2)
             body = payload[pos + 4 : pos + 2 + seglen]
+            # XMP APP1 is identified by its spec-mandated namespace
+            # identifier STRING (an opaque marker, never fetched)
             is_meta = marker == 0xE1 and (
                 body[:6] == b"Exif\x00\x00"
                 or body[:28] == b"http://ns.adobe.com/xap/1.0/"
