@@ -543,6 +543,20 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
         _encode_jpeg(_rng_image(24, 32, seed=73))[0])
     add(1704, "image_thumb", "thumb_corrupt", _png(hash_px)[:22])
 
+    # ---- subtitle: SRT/VTT captions (ids 18xx) ------------------------
+    add(1801, "subtitle", "srt_two_cues",
+        b"\xef\xbb\xbf1\n00:00:01,000 --> 00:00:03,500\nHello there,\n"
+        b"caption one.\n\n2\n00:00:04,000 --> 00:00:06,250\n"
+        b"Second cue text.\n")
+    add(1802, "subtitle", "vtt_tags_notes_cueids",
+        b"WEBVTT - note\n\nNOTE\nskipped\n\nintro\n"
+        b"00:01.000 --> 00:03.000\n<v Sp>Styled <i>text</i> here</v>\n\n"
+        b"00:00:04.000 --> 01:00:05.500\nPlain second cue\n")
+    add(1803, "subtitle", "plain_text_unsupported",
+        b"just plain prose, not captions\n")
+    add(1804, "subtitle", "backwards_cue_corrupt",
+        b"1\n00:00:09,000 --> 00:00:01,000\nbackwards\n")
+
     # ---- office: docx text (ids 16xx) ---------------------------------
     from test_archives import _docx
 

@@ -749,7 +749,7 @@ def _cmd_media(args: argparse.Namespace) -> int:
     checks exit codes still notices a corrupt batch), else 0."""
     from pyspark.sql import functions as F
 
-    from .operators import archives, imagehash, mediameta, pdf
+    from .operators import archives, imagehash, mediameta, pdf, subtitles
     from .operators.multimodal import (
         audio_subband_features,
         decode_audio,
@@ -801,6 +801,7 @@ def _cmd_media(args: argparse.Namespace) -> int:
         "docxtext": lambda b: archives.docx_text(b, errors="quarantine"),
         "thumbnail": lambda b: imagehash.image_thumbnails(
             b, errors="quarantine"),
+        "subtitles": lambda b: subtitles.subtitles_text(b),
     }
     out = ops[args.op](blobs)
     if args.output:
@@ -856,7 +857,7 @@ def build_parser() -> argparse.ArgumentParser:
                  "triage", "exif", "tags", "audiotriage", "keyframe",
                  "subband", "archive", "warc", "pdftext", "pdfmeta",
                  "imagehash", "members", "exifstrip", "docxtext",
-                 "thumbnail"],
+                 "thumbnail", "subtitles"],
         help="probe=image headers, decode=image pixels, audio=samples, "
              "audiometa=MP3/FLAC/WAV headers, video=MP4/MKV containers, "
              "triage=probe-then-decode router (audiotriage=the audio "

@@ -49,6 +49,8 @@ Fixture families → engine op exercised:
   OOXML .docx text extraction)
 - ``image_thumb``   → :func:`operators.imagehash.image_thumbnails`
   (r11: deterministic 8×8 area-average resize, bytes fingerprinted)
+- ``subtitle``      → :func:`operators.subtitles.subtitles_text`
+  (r11: SRT/WebVTT caption extraction — the video-adjacent text)
 
 Scale note: the fixture is a verification corpus (~40 rows, a few KB);
 the ops it drives are the same Arrow-batched mapInPandas operators that
@@ -97,6 +99,7 @@ def codec_stats(spark: SparkSession) -> DataFrame:
     from ..operators.archives import archive_meta, docx_text, warc_records
     from ..operators.imagehash import image_hashes, image_thumbnails
     from ..operators.pdf import pdf_meta, pdf_text
+    from ..operators.subtitles import subtitles_text
     from ..operators.multimodal import (
         audio_subband_features,
         decode_audio,
@@ -117,7 +120,7 @@ def codec_stats(spark: SparkSession) -> DataFrame:
                     "video_frame", "audio_subband", "archive",
                     "warc_records", "document", "document_meta",
                     "image_hash", "exif_strip", "office",
-                    "image_thumb")
+                    "image_thumb", "subtitle")
     }
 
     img = decode_image(by_family["image"], errors="quarantine").select(
@@ -432,11 +435,27 @@ def codec_stats(spark: SparkSession) -> DataFrame:
             ),
         ).otherwise(_err_fp()).alias("fp"),
     )
+    subs = subtitles_text(by_family["subtitle"]).select(
+        "doc_id",
+        F.col("format").alias("fmt"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.when(
+            F.col("error").isNull(),
+            F.format_string(
+                "%d,%.3f,%d,%s",
+                F.col("n_cues"),
+                F.col("duration_sec"),
+                F.col("n_chars"),
+                F.translate(F.col("text"), "\n", "~"),
+            ),
+        ).otherwise(_err_fp()).alias("fp"),
+    )
     return (
         img.unionByName(aud).unionByName(imeta).unionByName(vmeta)
         .unionByName(ameta).unionByName(exif).unionByName(tags)
         .unionByName(keyf).unionByName(sband).unionByName(arch)
         .unionByName(warcf).unionByName(doc).unionByName(dmeta)
         .unionByName(ih).unionByName(estrip).unionByName(office)
-        .unionByName(thumb)
+        .unionByName(thumb).unionByName(subs)
     )
