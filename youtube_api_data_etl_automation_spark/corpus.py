@@ -493,6 +493,37 @@ def docx_to_documents(
     )
 
 
+def subtitles_to_documents(
+    payloads: DataFrame,
+    *,
+    min_chars: int = 1,
+    cue_budget: int | None = None,
+) -> DataFrame:
+    """SRT/WebVTT caption payloads → ``documents``-shaped rows — the
+    caption twin of :func:`pdf_to_documents`
+    (:func:`operators.subtitles.subtitles_text`; failures drop). Same
+    stable-id/source contract; one mapInPandas, no shuffle."""
+    from .operators.subtitles import SUBTITLE_CUE_BUDGET, subtitles_text
+
+    extracted = subtitles_text(
+        payloads, errors="quarantine",
+        cue_budget=cue_budget or SUBTITLE_CUE_BUDGET,
+    )
+    return (
+        extracted
+        .filter(F.col("error").isNull())
+        .select(
+            F.xxhash64(F.col("doc_id")).alias("doc_id"),
+            F.col("text"),
+            F.lit(None).cast("string").alias("lang"),
+            F.concat(F.col("format"), F.lit(":"),
+                     F.col("doc_id").cast("string")).alias("source"),
+        )
+        .withColumn("n_chars", F.length("text"))
+        .filter(F.col("n_chars") >= min_chars)
+    )
+
+
 def warc_pdf_to_documents(
     payloads: DataFrame,
     *,
