@@ -181,6 +181,17 @@ def test_zip_members(spark):
     assert out["error_kind"] == "corrupt"
 
 
+def test_zip_duplicate_member_names_keep_both_bodies(spark):
+    """r12 (ADVICE): zf.read(name) resolves through NameToInfo (last
+    entry wins), so duplicate member names would both yield the LAST
+    member's bytes — reading by ZipInfo preserves each body."""
+    payload = _zip(members=(("same.txt", b"first"), ("same.txt", b"second")))
+    rows = archives.zip_members(_blob_df(spark, [(1, payload)])).collect()
+    assert [bytes(r["body"]) for r in rows] == [b"first", b"second"]
+    members = archives._iter_archive_members(payload, budget=None)
+    assert members == [("same.txt", b"first"), ("same.txt", b"second")]
+
+
 def test_zip_eocd_with_comment_and_bounds():
     payload = _zip() + b""  # plain
     meta = archives._parse_zip_meta(payload)

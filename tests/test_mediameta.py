@@ -1217,6 +1217,62 @@ def test_strip_exif_jpeg_png_webp(spark):
     assert rows[4]["error_kind"] == "unsupported"
 
 
+def test_strip_exif_drops_png_and_webp_xmp(spark):
+    """r12 (ADVICE): XMP can carry GPS/creator data too — the scrub
+    must drop the PNG iTXt 'XML:com.adobe.xmp' chunk and the WebP
+    'XMP ' chunk (clearing the VP8X 0x04 flag), while an unrelated
+    iTXt chunk survives."""
+    import struct as _s
+    import zlib
+
+    from tests.test_operators import _png
+    from tests.test_vp8l import _encode_vp8l, _rgba
+
+    def png_chunk(ctype: bytes, body: bytes) -> bytes:
+        return _s.pack(">I", len(body)) + ctype + body \
+            + _s.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+
+    xmp_text = b"<x:xmpmeta>exif:GPSLatitude=37,48.5N</x:xmpmeta>"
+    xmp_body = b"XML:com.adobe.xmp\x00\x00\x00\x00\x00" + xmp_text
+    keep_body = b"Comment\x00\x00\x00\x00\x00just a caption"
+    base = _png([[(5, 6, 7), (8, 9, 10)]])
+    ihdr_end = 8 + 8 + 13 + 4
+    png = base[:ihdr_end] + png_chunk(b"iTXt", xmp_body) \
+        + png_chunk(b"iTXt", keep_body) + base[ihdr_end:]
+
+    vp8l = _encode_vp8l(_rgba(4, 3, seed=11))
+    vp8l_body = vp8l[12:]
+    vp8x = b"VP8X" + _s.pack("<I", 10) + bytes([0x04]) + b"\x00" * 3 \
+        + (3).to_bytes(3, "little") + (2).to_bytes(3, "little")
+    xmp_chunk = b"XMP " + _s.pack("<I", len(xmp_text)) + xmp_text
+    if len(xmp_chunk) % 2:
+        xmp_chunk += b"\x00"
+    webp_body = b"WEBP" + vp8x + xmp_chunk + vp8l_body
+    webp = b"RIFF" + _s.pack("<I", len(webp_body)) + webp_body
+
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(webp))],
+        "doc_id long, payload binary")
+    rows = {r["doc_id"]: r for r in
+            mediameta.strip_exif(df, errors="quarantine").collect()}
+
+    cleaned_png = bytes(rows[1]["payload"])
+    assert rows[1]["removed_bytes"] > 0
+    assert xmp_text not in cleaned_png
+    assert b"XML:com.adobe.xmp" not in cleaned_png
+    assert keep_body in cleaned_png  # unrelated iTXt survives
+
+    cleaned_webp = bytes(rows[2]["payload"])
+    assert rows[2]["removed_bytes"] > 0
+    assert xmp_text not in cleaned_webp
+    assert cleaned_webp.endswith(vp8l_body)
+    vp8x_at = cleaned_webp.index(b"VP8X")
+    assert cleaned_webp[vp8x_at + 8] & 0x0C == 0
+    # RIFF size field stays consistent after the drop
+    (riff_len,) = _s.unpack_from("<I", cleaned_webp, 4)
+    assert riff_len == len(cleaned_webp) - 8
+
+
 def test_strip_exif_passthrough_formats(spark):
     from tests.test_operators import _bmp24
 

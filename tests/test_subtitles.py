@@ -48,6 +48,29 @@ def test_vtt_strips_tags_skips_notes_handles_cue_ids():
     assert text == "Styled text here\nPlain second cue"
 
 
+def test_vtt_header_metadata_lines_are_skipped():
+    """r12 (ADVICE): YouTube's real VTT shape — 'Kind: captions' /
+    'Language: en' header lines after WEBVTT, spec-valid until the
+    first blank line — must parse as header, not as cue identifiers."""
+    vtt = (b"WEBVTT\n"
+           b"Kind: captions\n"
+           b"Language: en\n"
+           b"\n"
+           b"00:00:01.000 --> 00:00:02.000\n"
+           b"First cue.\n"
+           b"\n"
+           b"00:00:03.000 --> 00:00:04.500\n"
+           b"Second cue.\n")
+    fmt, n, dur, text = S.parse_subtitles(vtt)
+    assert (fmt, n) == ("vtt", 2)
+    assert dur == 4.5
+    assert text == "First cue.\nSecond cue."
+    # header-only file (no cues) parses to zero cues, not an error
+    fmt, n, dur, text = S.parse_subtitles(
+        b"WEBVTT\nKind: captions\nLanguage: en\n")
+    assert (fmt, n, dur, text) == ("vtt", 0, 0.0, "")
+
+
 def test_refusals():
     with pytest.raises(NotImplementedError, match="neither WebVTT"):
         S.parse_subtitles(b"just some plain text\nwith lines\n")

@@ -138,3 +138,16 @@ def test_filter_blocked_domains(spark):
     # single-partition fold of the (small) blocklist side
     non_broadcast = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert non_broadcast == plan.count("Exchange SinglePartition")
+
+
+def test_filter_blocked_domains_keeps_null_urls(spark):
+    """r12 (ADVICE): arrays_overlap over an all-NULL suffix array is
+    NULL, not false — a NULL url matches no blocklist entry and must
+    survive the filter."""
+    docs = spark.createDataFrame(
+        [(1, "https://blocked.com/a"), (2, None), (3, "https://ok.org/b")],
+        "doc_id long, url string")
+    blocked = spark.createDataFrame([("blocked.com",)], "domain string")
+    kept = sorted(r["doc_id"] for r in
+                  U.filter_blocked_domains(docs, blocked).collect())
+    assert kept == [2, 3]

@@ -136,9 +136,15 @@ def filter_blocked_domains(df, blocked, url_col: str = "url"):
 
     blocked_row = blocked.agg(
         _F.collect_set(_F.lower(_F.col("domain"))).alias("_blocked"))
+    # arrays_overlap is NULL (not false) when the suffix array holds
+    # only NULLs — which is what a NULL url produces — so the predicate
+    # must coalesce to "keep": a NULL url matches no blocklist entry.
+    overlaps = _F.coalesce(
+        _F.arrays_overlap(host_suffixes(_F.col(url_col)),
+                          _F.col("_blocked")),
+        _F.lit(False))
     return (
         df.join(_F.broadcast(blocked_row))
-        .filter(~_F.arrays_overlap(
-            host_suffixes(_F.col(url_col)), _F.col("_blocked")))
+        .filter(~overlaps)
         .drop("_blocked")
     )

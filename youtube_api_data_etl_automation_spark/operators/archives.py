@@ -480,7 +480,9 @@ def zip_members(blobs: DataFrame, errors: str = "quarantine",
                     continue
                 for i, info in enumerate(infos):
                     try:
-                        body = zf.read(info.filename)
+                        # read by ZipInfo, not name: duplicate member
+                        # names resolve to the LAST entry via NameToInfo
+                        body = zf.read(info)
                     except Exception as e:  # noqa: BLE001 zlib/zipfile
                         if not quarantine:
                             raise ValueError(
@@ -551,7 +553,10 @@ def _iter_archive_members(raw: bytes,
         check(meta["uncompressed_hint"])
         try:
             zf = zipfile.ZipFile(io.BytesIO(raw))
-            return [(i.filename, zf.read(i.filename))
+            # Read by ZipInfo object, NOT by name: zf.read(name) resolves
+            # through NameToInfo (last entry wins), so duplicate member
+            # names would all yield the LAST member's bytes.
+            return [(i.filename, zf.read(i))
                     for i in zf.infolist() if not i.is_dir()]
         except Exception as e:  # zipfile/zlib raise several classes
             raise ValueError(f"malformed zip: {e}") from None

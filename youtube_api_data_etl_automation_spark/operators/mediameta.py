@@ -1555,9 +1555,11 @@ def _strip_exif_bytes(payload: bytes) -> tuple[str, bytes]:
     payload without touching pixel data — the privacy scrub: camera
     serials, capture timestamps, and GPS fixes must not ride into a
     training corpus. JPEG: drop APP1 segments whose body is Exif or
-    XMP; PNG: drop ``eXIf`` chunks; WebP: drop the ``EXIF`` chunk, fix
-    the RIFF size, and clear the VP8X EXIF flag bit. Formats with no
-    EXIF concept pass through unchanged (BMP/PPM/GIF)."""
+    XMP; PNG: drop ``eXIf`` chunks AND the XMP ``iTXt`` chunk
+    (keyword ``XML:com.adobe.xmp``); WebP: drop the ``EXIF`` and
+    ``XMP `` chunks, fix the RIFF size, and clear the VP8X EXIF/XMP
+    flag bits. Formats with no EXIF concept pass through unchanged
+    (BMP/PPM/GIF)."""
     if payload[:2] == b"\xff\xd8":
         out = bytearray(b"\xff\xd8")
         pos = 2
@@ -1593,7 +1595,15 @@ def _strip_exif_bytes(payload: bytes) -> tuple[str, bytes]:
             ctype = payload[pos + 4 : pos + 8]
             if pos + 12 + clen > n:
                 raise ValueError(f"malformed PNG: truncated {ctype!r}")
-            if ctype != b"eXIf":
+            # XMP rides in an iTXt chunk keyed 'XML:com.adobe.xmp'
+            # (null-terminated keyword at the chunk body start) and can
+            # carry GPS/creator data just like eXIf — drop both.
+            is_xmp = (
+                ctype == b"iTXt"
+                and payload[pos + 8 : pos + 26]
+                == b"XML:com.adobe.xmp\x00"
+            )
+            if ctype != b"eXIf" and not is_xmp:
                 out += payload[pos : pos + 12 + clen]
             pos += 12 + clen
             if ctype == b"IEND":
@@ -1607,13 +1617,14 @@ def _strip_exif_bytes(payload: bytes) -> tuple[str, bytes]:
             cid = payload[pos : pos + 4]
             (clen,) = struct.unpack_from("<I", payload, pos + 4)
             step = 8 + clen + (clen & 1)
-            if cid != b"EXIF":
+            if cid not in (b"EXIF", b"XMP "):
                 if cid == b"VP8X" and clen >= 1:
                     vp8x_at = len(body) + 8
                 body += payload[pos : pos + step]
             pos += step
         if vp8x_at is not None:
-            body[vp8x_at] &= ~0x08  # clear the VP8X EXIF flag
+            # clear both the EXIF (0x08) and XMP (0x04) VP8X flags
+            body[vp8x_at] &= ~0x0C
         out = bytearray(b"RIFF")
         out += struct.pack("<I", 4 + len(body))
         out += b"WEBP" + body

@@ -72,8 +72,16 @@ def parse_subtitles(payload: bytes,
     fmt = "vtt" if is_vtt else "srt"
     cues: list[str] = []
     last_end = 0.0
-    i = 1 if is_vtt else 0
     n = len(lines)
+    i = 0
+    if is_vtt:
+        # Per the WebVTT spec, the WEBVTT signature line may be followed
+        # by header metadata lines (YouTube emits 'Kind: captions' /
+        # 'Language: en') — everything up to the first blank line is
+        # header, not cues.
+        i = 1
+        while i < n and lines[i].strip():
+            i += 1
     while i < n:
         line = lines[i]
         stripped = line.strip()
