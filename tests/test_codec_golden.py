@@ -37,7 +37,7 @@ def test_fixture_is_committed_and_covers_all_families():
                          "video_frame", "audio_subband", "archive",
                          "warc_records", "document", "document_meta",
                          "image_hash", "exif_strip", "office",
-                         "image_thumb", "subtitle"}
+                         "image_thumb", "subtitle", "document_images"}
     assert fams["image_exif"] == 8 and fams["audio_tags"] == 6
     # the decode matrix: 6 PNG variants + 4 JPEG + GIF/BMP/PPM +
     # 2 VP8L WebP + 8 TIFF (LZW/deflate/palette/tiled + JPEG-in-TIFF,
@@ -66,6 +66,9 @@ def test_fixture_is_committed_and_covers_all_families():
     assert fams["image_thumb"] == 4
     # captions: SRT + tag-stripped VTT + plain-text + backwards-cue
     assert fams["subtitle"] == 4
+    # pdf images (r12): flate+dct pair + indexed + form-nested +
+    # jpx-refusal + truncated-corrupt
+    assert fams["document_images"] == 5
 
 
 def test_codec_stats_match_golden(spark):
@@ -186,4 +189,4 @@ def test_codec_stats_from_foreign_cwd():
         env={k: v for k, v in __import__("os").environ.items()
              if k != "PYTHONPATH"},
     )
-    assert "CODEC_ROWS=145" in out.stdout, out.stderr[-2000:]
+    assert "CODEC_ROWS=150" in out.stdout, out.stderr[-2000:]

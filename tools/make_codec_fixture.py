@@ -570,6 +570,53 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
         b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 64)
     add(1603, "office", "zip_without_document_corrupt", _zip())
 
+    # ---- document_images: pdf_images (ids 19xx, r12) ------------------
+    from test_pdf_images import img_obj, pdf_with_images, rgb_pixels
+
+    px = rgb_pixels(6, 4, seed=120)
+    dct_jpeg = _encode_jpeg(_rng_image(8, 8, seed=121, grey=True))[0]
+    add(1901, "document_images", "pdf_flate_rgb_and_dct_jpeg",
+        pdf_with_images([
+            (b"Raw", img_obj(
+                b"/Width 6 /Height 4 /ColorSpace /DeviceRGB "
+                b"/BitsPerComponent 8 /Filter /FlateDecode ",
+                _zlib.compress(px.tobytes()))),
+            (b"Jp", img_obj(
+                b"/Width 8 /Height 8 /ColorSpace /DeviceGray "
+                b"/BitsPerComponent 8 /Filter /DCTDecode ", dct_jpeg)),
+        ]))
+    _ipal = bytes([250, 0, 0, 0, 250, 0, 0, 0, 250, 9, 9, 9])
+    add(1902, "document_images", "pdf_indexed_palette",
+        pdf_with_images(
+            [(b"I", img_obj(
+                b"/Width 4 /Height 2 /ColorSpace [/Indexed /DeviceRGB "
+                b"3 7 0 R] /BitsPerComponent 8 ",
+                bytes([0, 1, 2, 3, 3, 2, 1, 0])))],
+            extra_objs=[(7, b"<" + _ipal.hex().encode() + b">")]))
+    _form = stream_obj(
+        b"/Type /XObject /Subtype /Form /Resources "
+        b"<< /XObject << /Nested 6 0 R >> >> ", b"")
+    add(1903, "document_images", "pdf_form_nested_grey",
+        pdf_with_images([
+            (b"F", _form),
+            (b"Nested", img_obj(
+                b"/Width 3 /Height 3 /ColorSpace /DeviceGray "
+                b"/BitsPerComponent 8 ", bytes(range(9)))),
+        ]))
+    add(1904, "document_images", "pdf_jpx_image_refusal",
+        pdf_with_images([
+            (b"Ok", img_obj(
+                b"/Width 2 /Height 2 /ColorSpace /DeviceGray "
+                b"/BitsPerComponent 8 ", bytes([5, 6, 7, 8]))),
+            (b"Jpx", img_obj(
+                b"/Width 2 /Height 2 /Filter /JPXDecode ", b"\x00\x01")),
+        ]))
+    add(1905, "document_images", "pdf_images_truncated_corrupt",
+        pdf_with_images([(b"Raw", img_obj(
+            b"/Width 6 /Height 4 /ColorSpace /DeviceRGB "
+            b"/BitsPerComponent 8 /Filter /FlateDecode ",
+            _zlib.compress(px.tobytes())))])[:70])
+
     return rows
 
 

@@ -1295,3 +1295,319 @@ def pdf_meta(blobs: DataFrame, errors: str = "raise") -> DataFrame:
 
     schema = PDF_META_QUARANTINE_SCHEMA if quarantine else PDF_META_SCHEMA
     return blobs.mapInPandas(batches, schema)
+
+
+# ---------------------------------------------------------------------------
+# image XObject extraction (r12)
+# ---------------------------------------------------------------------------
+
+PDF_IMAGES_SCHEMA = (
+    "doc_id bigint, page_idx int, image_idx int, name string, "
+    "format string, width int, height int, payload binary"
+)
+PDF_IMAGES_QUARANTINE_SCHEMA = (
+    PDF_IMAGES_SCHEMA + ", error string, error_kind string"
+)
+
+_PDF_FORM_DEPTH = 8  # nested Form-XObject recursion cap
+
+
+def _image_colorspace(doc: "_Doc", cs):
+    """Resolve an image /ColorSpace → ``(ncomp, palette)`` where
+    ``palette`` is ``None`` for direct spaces or ``(bytes, base_ncomp)``
+    for /Indexed. Supported: DeviceRGB/CalRGB (3), DeviceGray/CalGray
+    (1), ICCBased with /N 1 or 3 (treated as the device twin — the ICC
+    profile only affects color rendering, not sample layout), and
+    Indexed over any of those. Everything else (Separation, Lab,
+    DeviceN, DeviceCMYK) refuses honestly."""
+    cs = doc.resolve(cs)
+    if isinstance(cs, str):
+        s = str(cs)
+        if s in ("DeviceRGB", "CalRGB"):
+            return 3, None
+        if s in ("DeviceGray", "CalGray"):
+            return 1, None
+        raise NotImplementedError(
+            f"PDF image color space /{s} needs a color-management "
+            "transform; route to a codec-library executor image"
+        )
+    if isinstance(cs, list) and cs:
+        head = str(doc.resolve(cs[0]))
+        if head == "ICCBased" and len(cs) >= 2:
+            prof = doc.resolve(cs[1])
+            n = None
+            if isinstance(prof, tuple) and prof[0] == "stream":
+                n = doc.resolve(prof[1].get("N"))
+            if n == 3:
+                return 3, None
+            if n == 1:
+                return 1, None
+            raise NotImplementedError(
+                f"PDF ICCBased color space with N={n!r} is not a "
+                "grey/RGB layout"
+            )
+        if head == "Indexed" and len(cs) == 4:
+            base_n, base_pal = _image_colorspace(doc, cs[1])
+            if base_pal is not None:
+                raise ValueError(
+                    "malformed PDF: Indexed over Indexed color space"
+                )
+            lookup = doc.resolve(cs[3])
+            if isinstance(lookup, tuple) and lookup[0] == "stream":
+                pal = doc.stream_data(lookup)
+            elif isinstance(lookup, bytes):
+                pal = lookup
+            else:
+                raise ValueError(
+                    "malformed PDF: Indexed lookup is neither a string "
+                    "nor a stream"
+                )
+            hival = doc.resolve(cs[2])
+            if not isinstance(hival, int) or hival < 0:
+                raise ValueError("malformed PDF: Indexed hival")
+            if len(pal) < (hival + 1) * base_n:
+                raise ValueError(
+                    "malformed PDF: Indexed lookup table shorter than "
+                    "(hival+1) * ncomp"
+                )
+            return base_n, (bytes(pal), hival)
+    raise NotImplementedError(
+        f"PDF image color space {cs!r} is not supported"
+    )
+
+
+def _pnm_wrap(samples: bytes, w: int, h: int, ncomp: int) -> tuple[str,
+                                                                   bytes]:
+    """Raw 8-bit samples → a standalone PNM payload the in-repo image
+    pipeline (multimodal._decode_rgb, imagehash) decodes directly:
+    P6/PPM for RGB, P5/PGM for grey."""
+    need = w * h * ncomp
+    if len(samples) < need:
+        raise ValueError(
+            f"malformed PDF: image data holds {len(samples)} bytes, "
+            f"needs {need} for {w}x{h}x{ncomp}"
+        )
+    magic = b"P6" if ncomp == 3 else b"P5"
+    header = magic + b"\n%d %d\n255\n" % (w, h)
+    return ("ppm" if ncomp == 3 else "pgm"), header + samples[:need]
+
+
+def _extract_one_image(doc: "_Doc", obj) -> tuple[str, int, int, bytes]:
+    """One image XObject → ``(format, width, height, payload)``.
+
+    Two routes, both landing on a payload the in-repo decoders already
+    accept — the pdf analog of archives.members_as_payloads bridging
+    tarballs into the decode pipeline (VERDICT r11 item 2):
+
+    - **DCTDecode tail** → the remaining stream bytes ARE a baseline
+      JPEG; any preceding transfer filters (A85/AHx/Flate) are applied
+      and the JPEG payload passes through verbatim for
+      operators/jpeg.py.
+    - **fully-decodable filter chain** (Flate/LZW/A85/AHx/RL/none) →
+      8-bit DeviceGray/DeviceRGB/Indexed samples, wrapped as P5/P6 PNM.
+
+    JPXDecode/JBIG2Decode/CCITTFax, ImageMask stencils, non-8-bit
+    sample depths, exotic color spaces, and non-default /Decode arrays
+    refuse as 'unsupported' (quarantine-routed per image)."""
+    sdict, raw = obj[1], obj[2]
+    w = doc.resolve(sdict.get("Width"))
+    h = doc.resolve(sdict.get("Height"))
+    if not isinstance(w, int) or not isinstance(h, int) \
+            or w <= 0 or h <= 0:
+        raise ValueError("malformed PDF: image without Width/Height")
+    filters = [str(f) for f in
+               _as_list(doc.resolve(sdict.get("Filter")))]
+    if filters and filters[-1] in ("DCTDecode", "DCT"):
+        # preceding filters are byte-transport encodings; peel them and
+        # the remainder is a standalone JPEG
+        if len(filters) > 1:
+            sub = dict(sdict)
+            sub[_Name("Filter")] = [_Name(f) for f in filters[:-1]]
+            parms = _as_list(doc.resolve(
+                sdict.get("DecodeParms", sdict.get("DP"))))
+            sub[_Name("DecodeParms")] = parms[: len(filters) - 1]
+            data = _decode_stream(sub, raw, doc.resolve, doc.budget)
+        else:
+            data = raw
+        return "jpeg", w, h, data
+    if doc.resolve(sdict.get("ImageMask")) is True:
+        raise NotImplementedError(
+            "PDF ImageMask stencil images carry no color samples; "
+            "masks are not corpus images"
+        )
+    bpc = doc.resolve(sdict.get("BitsPerComponent"))
+    if bpc != 8:
+        raise NotImplementedError(
+            f"PDF image BitsPerComponent={bpc!r}: only 8-bit samples "
+            "are unpacked here"
+        )
+    ncomp, palette = _image_colorspace(doc, sdict.get("ColorSpace"))
+    decode_arr = doc.resolve(sdict.get("Decode"))
+    if decode_arr is not None:
+        # default /Decode: [0 1] per component for direct spaces,
+        # [0 (2^bpc - 1)] for Indexed — anything else remaps samples
+        default = [0, 255] if palette is not None else [0, 1] * ncomp
+        flat = [doc.resolve(v) for v in _as_list(decode_arr)]
+        if flat != default:
+            raise NotImplementedError(
+                f"PDF image /Decode {flat!r} remaps samples; only the "
+                "default identity mapping is supported"
+            )
+    data = doc.stream_data(obj)
+    if palette is not None:
+        pal, hival = palette
+        expanded = bytearray()
+        need = w * h
+        if len(data) < need:
+            raise ValueError(
+                "malformed PDF: Indexed image data shorter than "
+                "width*height"
+            )
+        for idx in data[:need]:
+            if idx > hival:
+                raise ValueError(
+                    f"malformed PDF: palette index {idx} > hival {hival}"
+                )
+            expanded += pal[idx * ncomp: (idx + 1) * ncomp]
+        data = bytes(expanded)
+    fmt, payload = _pnm_wrap(data, w, h, ncomp)
+    return fmt, w, h, payload
+
+
+def extract_pdf_images(payload: bytes,
+                       inflate_budget: int | None = PDF_INFLATE_BUDGET,
+                       ) -> list[dict]:
+    """All image XObjects of one PDF, page order, Form XObjects walked
+    recursively (cycle-guarded). One dict per image encountered:
+    ``{page_idx, image_idx, name, format, width, height, payload}`` on
+    success, or ``{..., error, error_kind}`` when that single image
+    refuses — one bad image never hides the document's other images."""
+    from .multimodal import DECODE_ERRORS, _error_kind, _error_text
+
+    doc = _Doc(bytes(payload), inflate_budget)
+    out: list[dict] = []
+
+    def walk(resources, page_idx, prefix, seen, depth):
+        if depth > _PDF_FORM_DEPTH:
+            raise ValueError("malformed PDF: Form XObject nesting too "
+                             "deep")
+        res = doc.resolve(resources)
+        if not isinstance(res, dict):
+            return
+        xobjects = doc.resolve(res.get("XObject"))
+        if not isinstance(xobjects, dict):
+            return
+        for key, ref in xobjects.items():
+            ref_num = ref.num if isinstance(ref, _Ref) else None
+            obj = doc.resolve(ref)
+            if not (isinstance(obj, tuple) and obj[0] == "stream"):
+                continue
+            subtype = str(obj[1].get("Subtype", ""))
+            name = prefix + str(key)
+            if subtype == "Form":
+                if ref_num is not None:
+                    if ref_num in seen:
+                        continue  # cycle: each form walked once
+                    seen = seen | {ref_num}
+                walk(obj[1].get("Resources"), page_idx, name + "/",
+                     seen, depth + 1)
+                continue
+            if subtype != "Image":
+                continue
+            row = {"page_idx": page_idx, "image_idx": len(
+                [r for r in out if r["page_idx"] == page_idx]),
+                "name": name, "format": None, "width": None,
+                "height": None, "payload": None,
+                "error": None, "error_kind": None}
+            try:
+                fmt, w, h, data = _extract_one_image(doc, obj)
+            except DECODE_ERRORS as e:
+                row["error"] = _error_text(e)
+                row["error_kind"] = _error_kind(e)
+            else:
+                row.update(format=fmt, width=w, height=h, payload=data)
+            out.append(row)
+
+    for page_idx, page in enumerate(doc.pages()):
+        walk(page.get("__resources__"), page_idx, "", frozenset(), 0)
+    return out
+
+
+def pdf_images(blobs: DataFrame, errors: str = "raise",
+               inflate_budget: int | None = PDF_INFLATE_BUDGET,
+               ) -> DataFrame:
+    """PDF payloads → one row per embedded image XObject, as a payload
+    the image pipeline decodes directly: DCTDecode streams pass through
+    as standalone JPEGs, fully-decodable chains unpack to P5/P6 PNM.
+    Feed the output through :func:`pdf_images_as_payloads` and PDF
+    figures reach ``image_hashes`` / ``dedup_images`` /
+    ``decode_image`` exactly like archive members do via
+    ``members_as_payloads`` (archives.py).
+
+    Quarantine is two-level: a malformed DOCUMENT yields one row with
+    NULL page_idx; a refused IMAGE (JPX/JBIG2/CCITT, ImageMask,
+    non-8-bit, exotic color space) yields its own error row while the
+    document's other images still extract."""
+    from .multimodal import (
+        DECODE_ERRORS, _check_errors_mode, _error_kind, _error_text,
+    )
+
+    quarantine = _check_errors_mode(errors)
+    cols = ("doc_id", "page_idx", "image_idx", "name", "format",
+            "width", "height", "payload", "error", "error_kind")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in it:
+            out: dict[str, list] = {c: [] for c in cols}
+
+            def emit(doc_id, row):
+                out["doc_id"].append(doc_id)
+                for c in cols[1:]:
+                    out[c].append(row.get(c))
+
+            for doc_id, payload in zip(pdf_batch["doc_id"],
+                                       pdf_batch["payload"]):
+                try:
+                    rows = extract_pdf_images(
+                        bytes(payload) if payload is not None else b"",
+                        inflate_budget=inflate_budget)
+                except DECODE_ERRORS as e:
+                    if not quarantine:
+                        raise
+                    emit(doc_id, {"error": _error_text(e),
+                                  "error_kind": _error_kind(e)})
+                    continue
+                for row in rows:
+                    if row["error"] is not None and not quarantine:
+                        raise ValueError(row["error"])
+                    if row["payload"] is not None:
+                        row = dict(row, payload=bytearray(row["payload"]))
+                    emit(doc_id, row)
+            yield pd.DataFrame(
+                {c: pd.Series(v, dtype="object")
+                 for c, v in out.items()
+                 if quarantine or c not in ("error", "error_kind")})
+
+    schema = PDF_IMAGES_QUARANTINE_SCHEMA if quarantine \
+        else PDF_IMAGES_SCHEMA
+    return blobs.mapInPandas(batches, schema)
+
+
+def pdf_images_as_payloads(images: DataFrame) -> DataFrame:
+    """pdf_images rows → the standard ``(doc_id, payload, source)``
+    payload table (the members_as_payloads contract, archives.py:628):
+    ``doc_id = xxhash64(document id, page, image)`` — stable across
+    re-ingestion; ``source`` carries ``page/XObject-name`` provenance."""
+    from pyspark.sql import functions as F
+
+    return (
+        images
+        .filter(F.col("payload").isNotNull())
+        .select(
+            F.xxhash64(F.col("doc_id"), F.col("page_idx"),
+                       F.col("image_idx")).alias("doc_id"),
+            F.col("payload"),
+            F.concat_ws("/", F.col("page_idx").cast("string"),
+                        F.col("name")).alias("source"),
+        )
+    )

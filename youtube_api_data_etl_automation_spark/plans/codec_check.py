@@ -51,6 +51,10 @@ Fixture families → engine op exercised:
   (r11: deterministic 8×8 area-average resize, bytes fingerprinted)
 - ``subtitle``      → :func:`operators.subtitles.subtitles_text`
   (r11: SRT/WebVTT caption extraction — the video-adjacent text)
+- ``document_images`` → :func:`operators.pdf.pdf_images` (r12: image
+  XObject extraction — DCTDecode passthrough JPEGs, Flate/Indexed
+  PNM unpack, Form recursion, per-image refusal routing; per-document
+  fold of every extracted payload's md5)
 
 Scale note: the fixture is a verification corpus (~40 rows, a few KB);
 the ops it drives are the same Arrow-batched mapInPandas operators that
@@ -98,7 +102,7 @@ def codec_stats(spark: SparkSession) -> DataFrame:
     )
     from ..operators.archives import archive_meta, docx_text, warc_records
     from ..operators.imagehash import image_hashes, image_thumbnails
-    from ..operators.pdf import pdf_meta, pdf_text
+    from ..operators.pdf import pdf_images, pdf_meta, pdf_text
     from ..operators.subtitles import subtitles_text
     from ..operators.multimodal import (
         audio_subband_features,
@@ -120,7 +124,7 @@ def codec_stats(spark: SparkSession) -> DataFrame:
                     "video_frame", "audio_subband", "archive",
                     "warc_records", "document", "document_meta",
                     "image_hash", "exif_strip", "office",
-                    "image_thumb", "subtitle")
+                    "image_thumb", "subtitle", "document_images")
     }
 
     img = decode_image(by_family["image"], errors="quarantine").select(
@@ -451,11 +455,37 @@ def codec_stats(spark: SparkSession) -> DataFrame:
             ),
         ).otherwise(_err_fp()).alias("fp"),
     )
+    # per-document fold like warc_records: one fingerprint row per
+    # payload, every image's page/idx/name/format/dims + payload md5
+    # (or its refusal kind) inside — any extraction regression flips it
+    pimg = pdf_images(by_family["document_images"], errors="quarantine")
+    pimgf = pimg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.concat_ws("|", F.array_sort(F.collect_list(F.concat_ws(
+            ":",
+            F.coalesce(F.col("page_idx").cast("string"), F.lit("-")),
+            F.coalesce(F.col("image_idx").cast("string"), F.lit("-")),
+            F.coalesce(F.col("name"), F.lit("-")),
+            F.coalesce(F.col("format"), F.lit("-")),
+            F.coalesce(F.col("width").cast("string"), F.lit("-")),
+            F.coalesce(F.col("height").cast("string"), F.lit("-")),
+            F.when(F.col("payload").isNotNull(),
+                   F.md5(F.col("payload")))
+            .otherwise(F.concat(F.lit("ERR:"),
+                                F.col("error_kind"))),
+        )))).alias("imgs"),
+    ).select(
+        "doc_id",
+        F.lit("pdfimg").alias("fmt"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.format_string("%d,%s", F.col("n"), F.col("imgs")).alias("fp"),
+    )
     return (
         img.unionByName(aud).unionByName(imeta).unionByName(vmeta)
         .unionByName(ameta).unionByName(exif).unionByName(tags)
         .unionByName(keyf).unionByName(sband).unionByName(arch)
         .unionByName(warcf).unionByName(doc).unionByName(dmeta)
         .unionByName(ih).unionByName(estrip).unionByName(office)
-        .unionByName(thumb).unionByName(subs)
+        .unionByName(thumb).unionByName(subs).unionByName(pimgf)
     )
