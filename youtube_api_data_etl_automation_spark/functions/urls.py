@@ -116,6 +116,110 @@ def host_suffixes(url: Column | str) -> Column:
     )
 
 
+def registrable_domain_psl(df, psl, url_col: str = "url",
+                           out_col: str = "registrable_domain_psl"):
+    """EXACT registrable domain against a Public Suffix List relation —
+    the opt-in precision upgrade of :func:`registrable_domain`'s
+    heuristic (VERDICT r11 item 3: PSL-listed hosts like ``*.github.io``
+    must NOT collapse to one "domain" in per-domain caps or
+    domain-stratified sampling).
+
+    ``psl`` is a one-column DataFrame of PSL rule lines (column
+    ``rule``): plain suffixes (``com``, ``co.uk``), wildcards
+    (``*.ck`` — every single label under ``ck`` is a public suffix),
+    and exceptions (``!www.ck`` — carves a registrable domain back out
+    of a wildcard). Comment lines (``// …``) and blanks are ignored, so
+    the raw PSL file parses as-is.
+
+    Semantics follow publicsuffix.org/list/: among matching rules the
+    longest wins, exceptions beat everything; with no match the default
+    rule ``*`` applies (last label is the public suffix). The
+    registrable domain is the public suffix plus one label; a host that
+    IS a public suffix — or has no dot at all — yields NULL (this is
+    the one deliberate delta from the heuristic, which passes bare
+    hosts through: NULL is what "no registrable owner" means).
+
+    Plan: the rule list folds to ONE broadcast row holding a
+    ``suffix → rule-kind bitmask`` map (the ~10k-entry real PSL is a
+    few hundred KB — trivially broadcastable); each corpus row probes
+    the map with its label-aligned host suffixes (bounded at
+    ``_MAX_SUFFIX_LABELS`` = 8, like :func:`host_suffixes`) via
+    ``transform``/``aggregate`` Column math. Map-side only: the corpus
+    never shuffles, exactly the :func:`filter_blocked_domains` shape.
+    """
+    from pyspark.sql import functions as _F
+
+    # rule lines → (key, kind bitmask): 1=normal, 2=wildcard (key is the
+    # base under the *), 4=exception (key is the full rule; the public
+    # suffix it yields is the rule minus its leftmost label)
+    prep = (
+        psl.select(_F.lower(_F.trim(_F.col("rule"))).alias("rule"))
+        .filter((_F.col("rule") != "")
+                & (~_F.col("rule").startswith("//")))
+        .select(
+            _F.when(_F.col("rule").startswith("!"), _F.lit(4))
+            .when(_F.col("rule").startswith("*."), _F.lit(2))
+            .otherwise(_F.lit(1)).alias("flag"),
+            _F.regexp_replace(_F.col("rule"), r"^(!|\*\.)", "")
+            .alias("key"),
+        )
+        .groupBy("key")
+        .agg(_F.expr("bit_or(flag)").alias("flags"))
+    )
+    rules_row = prep.agg(
+        _F.map_from_arrays(
+            _F.collect_list("key"), _F.collect_list("flags")
+        ).alias("_psl"))
+
+    host = url_host(_F.col(url_col))
+    labels = _F.split(host, r"\.")
+    n_labels = _F.size(labels)
+    sufs = host_suffixes(_F.col(url_col))  # entry i (1-based): i labels
+    cand = _F.transform(
+        sufs,
+        lambda s, i: _F.struct(
+            (i + 1).alias("n"),
+            _F.coalesce(_F.element_at(_F.col("_psl"), s), _F.lit(0))
+            .alias("flags"),
+        ),
+    )
+    # fold the matches: ps = labels in the prevailing public suffix
+    # (normal rule of n labels → n; wildcard base of n labels → n+1,
+    # valid only when the host has a label to fill the *), exceptions
+    # tracked separately because they override any length
+    acc = _F.aggregate(
+        cand,
+        _F.struct(_F.lit(1).alias("ps"), _F.lit(-1).alias("exc")),
+        lambda a, c: _F.struct(
+            _F.greatest(
+                a["ps"],
+                _F.when(c["flags"].bitwiseAND(1) != 0, c["n"])
+                .otherwise(_F.lit(0)),
+                _F.when(
+                    (c["flags"].bitwiseAND(2) != 0)
+                    & (n_labels > c["n"]),
+                    c["n"] + 1,
+                ).otherwise(_F.lit(0)),
+            ).alias("ps"),
+            _F.greatest(
+                a["exc"],
+                _F.when(c["flags"].bitwiseAND(4) != 0, c["n"] - 1)
+                .otherwise(_F.lit(-1)),
+            ).alias("exc"),
+        ),
+    )
+    ps = _F.when(acc["exc"] >= 0, acc["exc"]).otherwise(acc["ps"])
+    dom = _F.when(
+        (host != "") & (n_labels > ps),
+        _F.concat_ws(".", _F.slice(labels, n_labels - ps, ps + 1)),
+    )
+    return (
+        df.join(_F.broadcast(rules_row))
+        .withColumn(out_col, dom)
+        .drop("_psl")
+    )
+
+
 def filter_blocked_domains(df, blocked, url_col: str = "url"):
     """Drop rows whose URL host matches a domain blocklist entry,
     subdomain-aware: an entry ``example.com`` blocks ``example.com``
