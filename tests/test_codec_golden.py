@@ -49,8 +49,9 @@ def test_fixture_is_committed_and_covers_all_families():
     # MP4 ×3 (incl. stsz) + MKV ×2 + AVI + APNG + PNG + GIF ×2 + 3 refusals / MP3 ×3 + FLAC + WAV +
     # OGG ×2 + 3 refusals
     assert fams["video_meta"] == 14 and fams["audio_meta"] == 10
-    # MJPEG x2 + GIF + 2 refusals / Layer I x3 + 2 refusals (r11)
-    assert fams["video_frame"] == 5 and fams["audio_subband"] == 5
+    # MJPEG x2 + GIF + 2 refusals / Layer I x3 + Layer II x3 (r12)
+    # + 2 refusals
+    assert fams["video_frame"] == 5 and fams["audio_subband"] == 8
     # gzip/zip/tar/WARC probes + refusal / plain + per-record-gz + cut
     assert fams["archive"] == 5 and fams["warc_records"] == 3
     # PDF text: escapes + flate 2-page + ToUnicode + ObjStm/LZW +
@@ -189,4 +190,4 @@ def test_codec_stats_from_foreign_cwd():
         env={k: v for k, v in __import__("os").environ.items()
              if k != "PYTHONPATH"},
     )
-    assert "CODEC_ROWS=150" in out.stdout, out.stderr[-2000:]
+    assert "CODEC_ROWS=153" in out.stdout, out.stderr[-2000:]

@@ -388,3 +388,23 @@ def test_fuzz_docx_and_members(rng):
     _assert_contract(
         lambda p: archives._iter_archive_members(p, 1 << 20),
         payloads, "archive_members")
+
+
+def test_fuzz_layer2(rng):
+    import sys
+    sys.path.insert(0, "tests")
+    from test_mpegaudio import _L2_ALLOC_A, _frame_l2, _l2_sine
+
+    from youtube_api_data_etl_automation_spark.operators import mpegaudio
+
+    table = mpegaudio._l2_table(192, 2, 48000)
+    g = _l2_sine(36, 2, _L2_ALLOC_A, table, seed=56)
+    valid, _ = _frame_l2(g, rate=48000, bitrate=384,
+                         alloc_idx=_L2_ALLOC_A, protected=True)
+    plain, _ = _frame_l2(g, rate=48000, bitrate=384,
+                         alloc_idx=_L2_ALLOC_A)
+    payloads = _mutations(rng, valid, 200) + _mutations(rng, plain, 200)
+    payloads += [b"\xff\xfd" + g2 for g2 in _garbage(rng, 100, 400)]
+    payloads += _garbage(rng, 60, 400)
+    _assert_contract(mpegaudio.decode_layer2, payloads, "layer2")
+    _assert_contract(mpegaudio.decode_subbands, payloads, "subbands")

@@ -416,6 +416,31 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
     add(904, "audio_subband", "layer3_unsupported",
         b"\xff\xfb\x90\x00" + b"\x00" * 96)
     add(905, "audio_subband", "subband_corrupt", b"\xff\x00junk")
+    # Layer II (r12): allocation tables 3-B.2a-d + grouped quantizers
+    from test_mpegaudio import _L2_ALLOC_A, _frame_l2, _l2_sine
+
+    from youtube_api_data_etl_automation_spark.operators.mpegaudio import (
+        _l2_table,
+    )
+
+    gl2 = _l2_sine(36, 1, _L2_ALLOC_A, _l2_table(192, 1, 48000),
+                   seed=96)
+    fl2, _ = _frame_l2(gl2, rate=48000, bitrate=192,
+                       alloc_idx=_L2_ALLOC_A, protected=True)
+    add(906, "audio_subband", "layer2_mono_table_a_crc", fl2)
+    alloc_b = _L2_ALLOC_A + [1, 2, 0]
+    gl2b = _l2_sine(72, 2, alloc_b, _l2_table(384, 2, 44100), seed=97)
+    f2a, _ = _frame_l2(gl2b[:36], rate=44100, bitrate=384,
+                       alloc_idx=alloc_b)
+    f2b, _ = _frame_l2(gl2b[36:], rate=44100, bitrate=384,
+                       alloc_idx=alloc_b, padding=1, scfsi_all=2)
+    add(907, "audio_subband", "layer2_stereo_table_b_two_frames",
+        f2a + f2b)
+    low_alloc = [3] * 12 + [0] * 20
+    gl2c = _l2_sine(36, 1, low_alloc, _l2_table(48, 1, 32000), seed=98)
+    fl2c, _ = _frame_l2(gl2c, rate=32000, bitrate=48,
+                        alloc_idx=low_alloc, scfsi_all=2)
+    add(908, "audio_subband", "layer2_low_rate_table_d", fl2c)
 
     # ---- archive + warc (ids 10xx/11xx) ------------------------------
     import gzip as _gzip

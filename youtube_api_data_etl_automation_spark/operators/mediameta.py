@@ -1052,10 +1052,10 @@ def triage_decode_audio(
     bytes, never a decode. One fused mapInPandas pass.
 
     Routes: ``decoded`` (WAV/FLAC PCM; ``n_frames`` + ``rms`` in raw
-    sample units), ``subband`` (MPEG-1 Layer I — exact subband
+    sample units), ``subband`` (MPEG-1 Layer I/II — exact subband
     statistics, ``rms`` is subband-domain; see
     :func:`multimodal.audio_subband_features`), ``undecodable``
-    (probed fine, needs a codec library: Layer II/III, Ogg
+    (probed fine, needs a codec library: Layer III, Ogg
     Vorbis/Opus), ``oversized`` (probed samples over budget, never
     decoded), ``probe_failed`` / ``decode_failed``."""
     import numpy as np
@@ -1067,7 +1067,7 @@ def triage_decode_audio(
         _error_kind,
         _error_text,
     )
-    from .mpegaudio import decode_layer1
+    from .mpegaudio import decode_layer1, decode_layer2
 
     quarantine = _check_errors_mode(errors)
 
@@ -1102,8 +1102,13 @@ def triage_decode_audio(
                 rate = probe["sample_rate"]
                 nch = probe["n_channels"]
                 dur = probe["duration_sec"]
-                layer1 = fmt == "mp3" and                     probe["detail"].startswith("mpeg1-layer1")
-                if fmt not in ("wav", "flac") and not layer1:
+                subband_layer = 0
+                if fmt == "mp3":
+                    if probe["detail"].startswith("mpeg1-layer1"):
+                        subband_layer = 1
+                    elif probe["detail"].startswith("mpeg1-layer2"):
+                        subband_layer = 2
+                if fmt not in ("wav", "flac") and not subband_layer:
                     e_msg = (f"probed {fmt} ({probe['detail']}): no "
                              "stdlib codec — route to a codec-library "
                              "executor image")
@@ -1123,11 +1128,15 @@ def triage_decode_audio(
                          err=e_msg, kind="unsupported")
                     continue
                 try:
-                    if layer1:
-                        drate, sb = decode_layer1(raw)
+                    if subband_layer:
+                        drate, sb = (decode_layer1 if subband_layer == 1
+                                     else decode_layer2)(raw)
                         rms = float(np.sqrt(np.square(sb).mean()))                             if sb.size else 0.0
-                        emit(doc_id, "subband", "mp3-layer1", drate,
-                             sb.shape[1], dur, sb.shape[0] // 12, rms)
+                        rows_per_frame = 12 if subband_layer == 1 else 36
+                        emit(doc_id, "subband",
+                             f"mp3-layer{subband_layer}", drate,
+                             sb.shape[1], dur,
+                             sb.shape[0] // rows_per_frame, rms)
                     else:
                         drate, samples = _decode_pcm(raw)
                         flat = samples.astype(np.float64).reshape(-1)

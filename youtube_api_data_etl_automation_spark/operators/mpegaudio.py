@@ -20,9 +20,18 @@ corpus. The essence layers split by what is honestly recallable:
   arithmetic-JPEG policy (do not revisit without the spec text). All
   subband-domain statistics (energy, RMS, band centroid) are exact
   without it; see :func:`multimodal.audio_subband_features`.
-- **Layer II needs the tabulated allocation tables (3-B.2a-d) and
-  grouped 3/5/9-step quantizers; Layer III needs 34 Huffman tables.**
-  Both refuse as 'unsupported' under the same policy.
+- **Layer II decodes here too (r12).** Its tabulated data is the
+  allocation tables 3-B.2a-d — four short tables of quantizer-step
+  ladders with strong internal structure (powers-of-two-minus-one
+  plus the grouped 3/5/9 steps) that IS reliably recallable, unlike
+  Layer III's 34 Huffman tables — and the Table 3-B.4 requantization
+  constants, which are closed-form: for ``steps = 2**n - 1``,
+  ``C = 2**n/steps`` and ``D = 2**(1-n)`` (the Layer I formula); the
+  two non-power grouped quantizers are ``5: C=8/5, D=1/2`` and
+  ``9: C=16/9, D=1/2``. Grouped codes carry 3 samples in one 5/7/10-
+  bit codeword, degrouped by repeated ``mod steps``.
+- **Layer III needs 34 Huffman tables** and refuses as 'unsupported'
+  under the mirror-bug policy (do not implement without spec text).
 
 CRC (protection_bit == 0): CRC-16 with polynomial x^16+x^15+x^2+1
 (0x8005, MSB-first, init 0xFFFF) over header bytes 2-3 plus the bit
@@ -105,6 +114,308 @@ def _requantize(code: int, nb: int, sf: float) -> float:
         c -= 1 << nb
     s3 = c / half
     return sf * (float(1 << nb) / ((1 << nb) - 1)) * (s3 + 2.0 ** (1 - nb))
+
+
+# ---------------------------------------------------------------------------
+# Layer II (r12): allocation tables 3-B.2a-d + grouped quantizers
+# ---------------------------------------------------------------------------
+
+_L2_BITRATES = (32, 48, 56, 64, 80, 96, 112, 128,
+                160, 192, 224, 256, 320, 384)  # kbit/s, index 1..14
+
+# Table 3-B.4: the grouped quantizers carry 3 samples in one codeword
+_L2_GROUP_BITS = {3: 5, 5: 7, 9: 10}  # steps -> bits per triplet
+
+# Tables 3-B.2a-d quantizer ladders: allocation index (1-based) -> steps
+_Q_HIGH_03 = (3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+              8191, 16383, 32767, 65535)
+_Q_HIGH_310 = (3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047,
+               4095, 8191, 65535)
+_Q_HIGH_1122 = (3, 5, 7, 9, 15, 31, 65535)
+_Q_HIGH_23UP = (3, 5, 65535)
+_Q_LOW_01 = (3, 5, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+             8191, 16383, 32767)
+_Q_LOW_2UP = (3, 5, 9, 15, 31, 63, 127)
+
+# per-subband (nbal, ladder): 3-B.2a = first 27 rows, 3-B.2b = all 30;
+# 3-B.2c = first 8 low rows, 3-B.2d = all 12
+_ROWS_HIGH = (((4, _Q_HIGH_03),) * 3 + ((4, _Q_HIGH_310),) * 8
+              + ((3, _Q_HIGH_1122),) * 12 + ((2, _Q_HIGH_23UP),) * 7)
+_ROWS_LOW = ((4, _Q_LOW_01),) * 2 + ((3, _Q_LOW_2UP),) * 10
+
+
+def _l2_table(bitrate_kbps: int, nch: int, rate: int):
+    """Allocation-table selection (ISO 11172-3 §2.4.2.2): by bitrate
+    per channel and sampling rate. Low rates use 3-B.2c (8 subbands,
+    44.1/48 kHz) or 3-B.2d (12 subbands, 32 kHz); mid rates 3-B.2a
+    (27 subbands); high rates 3-B.2b (30 subbands) except 48 kHz,
+    which stays on 3-B.2a."""
+    if nch == 1:
+        cls = 0 if bitrate_kbps <= 48 else 1 if bitrate_kbps <= 80 \
+            else 2
+    else:
+        cls = 0 if bitrate_kbps <= 64 else 1 if bitrate_kbps <= 160 \
+            else 2
+    if cls == 0:
+        return _ROWS_LOW[: 12 if rate == 32000 else 8]
+    if cls == 1:
+        return _ROWS_HIGH[:27]
+    return _ROWS_HIGH[: 27 if rate == 48000 else 30]
+
+
+def _l2_dequant(v: int, steps: int, sf: float) -> float:
+    """Table 3-B.4 requantization ``s'' = C * (s''' + D)`` where s'''
+    is the sign-bit-inverted two's-complement fraction of the nb-bit
+    sample value; closed-form ``C = 2**nb/steps, D = 2**(1-nb)`` for
+    ``steps = 2**nb - 1``, tabled ``(8/5, 1/2)`` / ``(16/9, 1/2)`` for
+    the grouped 5- and 9-step quantizers."""
+    if steps == 5:
+        nb, c_const, d_const = 3, 8.0 / 5.0, 0.5
+    elif steps == 9:
+        nb, c_const, d_const = 4, 16.0 / 9.0, 0.5
+    else:
+        nb = steps.bit_length()
+        c_const = float(1 << nb) / steps
+        d_const = 2.0 ** (1 - nb)
+    half = 1 << (nb - 1)
+    c = v ^ half
+    if c >= half:
+        c -= 1 << nb
+    return sf * c_const * (c / half + d_const)
+
+
+def decode_layer2(payload: bytes,
+                  sample_budget: int | None = MPEG_SAMPLE_BUDGET,
+                  ) -> tuple[int, np.ndarray]:
+    """``(sample_rate, subbands[groups, channels, 32])`` for an MPEG-1
+    Layer II stream — groups = 36 x n_frames (12 granules x 3 samples);
+    each group row holds one requantized sample per subband (float64,
+    exact per §2.4.3.2).
+
+    Handles the four allocation tables (selected by bitrate/channel +
+    sampling rate), grouped 3/5/9-step quantizers, scfsi scalefactor
+    sharing, mono/stereo/dual/intensity-joint modes, padding slots,
+    optional CRC-16 over allocation + scfsi, leading ID3v2 and
+    trailing ID3v1 tags. Layer I/III refuse via the layer check;
+    free-format refuses as unsupported; structural damage as corrupt."""
+    pos = _skip_id3v2(payload)
+    n = len(payload)
+    if pos + 4 > n:
+        raise ValueError("malformed MPEG audio: no frame header")
+
+    frames: list[np.ndarray] = []
+    rate = None
+    nch_out = None
+    while pos < n:
+        if n - pos == 128 and payload[pos : pos + 3] == b"TAG":
+            break  # trailing ID3v1
+        if pos + 4 > n:
+            raise ValueError("malformed MPEG audio: truncated frame header")
+        b1, b2, b3, b4 = payload[pos : pos + 4]
+        if b1 != 0xFF or (b2 & 0xE0) != 0xE0:
+            raise ValueError("malformed MPEG audio: lost frame sync")
+        ver_bits = (b2 >> 3) & 0x3
+        if ver_bits != 3:
+            raise NotImplementedError(
+                "MPEG-2/2.5 audio needs its own rate/frame/allocation "
+                "tables; only MPEG-1 decodes here"
+            )
+        layer_code = (b2 >> 1) & 0x3
+        if layer_code != 2:  # '10' = Layer II
+            raise ValueError(
+                "not a Layer II stream: use decode_subbands to "
+                "dispatch by layer"
+            )
+        protected = not (b2 & 1)
+        br_idx = (b3 >> 4) & 0xF
+        if br_idx == 0:
+            raise NotImplementedError(
+                "free-format Layer II (bitrate index 0) needs frame-"
+                "length discovery by sync scan; fixed-rate streams only"
+            )
+        if br_idx == 15:
+            raise ValueError("malformed MPEG audio: invalid bitrate index")
+        rate_idx = (b3 >> 2) & 0x3
+        if rate_idx == 3:
+            raise ValueError("malformed MPEG audio: reserved sample rate")
+        frame_rate = _RATES[rate_idx]
+        bitrate_kbps = _L2_BITRATES[br_idx - 1]
+        padding = (b3 >> 1) & 1
+        mode = (b4 >> 6) & 0x3
+        mode_ext = (b4 >> 4) & 0x3
+        nch = 1 if mode == 3 else 2
+        if rate is None:
+            rate, nch_out = frame_rate, nch
+        elif (frame_rate, nch) != (rate, nch_out):
+            raise ValueError(
+                "malformed MPEG audio: rate/mode change mid-stream"
+            )
+
+        table = _l2_table(bitrate_kbps, nch, frame_rate)
+        sblimit = len(table)
+        bound = min((mode_ext + 1) * 4, sblimit) if mode == 1 \
+            else sblimit
+
+        frame_len = 144 * bitrate_kbps * 1000 // frame_rate + padding
+        if frame_len < 4 or pos + frame_len > n:
+            raise ValueError("malformed MPEG audio: truncated frame")
+        if sample_budget is not None and \
+                (len(frames) + 1) * 36 * 32 * nch > sample_budget:
+            raise NotImplementedError(
+                f"MPEG stream exceeds the {sample_budget}-sample budget "
+                "of the stdlib decoder; raise sample_budget or route to "
+                "a codec library"
+            )
+
+        data_start = pos + 6 if protected else pos + 4
+        br = _BitReader(payload, data_start * 8, (pos + frame_len) * 8)
+
+        crc_bits: list[int] = []
+        if protected:
+            for byte in payload[pos + 2 : pos + 4]:
+                crc_bits.extend((byte >> (7 - i)) & 1 for i in range(8))
+
+        def read_tracked(nbits):
+            v = br.read(nbits)
+            if protected:
+                crc_bits.extend(
+                    (v >> (nbits - 1 - i)) & 1 for i in range(nbits))
+            return v
+
+        # -- bit allocation ------------------------------------------------
+        # every 3-B.2 row's ladder has exactly 2^nbal - 1 entries, so
+        # any nbal-bit allocation value is in range by construction
+        alloc = [[0] * sblimit for _ in range(nch)]
+        for sb in range(bound):
+            for ch in range(nch):
+                alloc[ch][sb] = read_tracked(table[sb][0])
+        for sb in range(bound, sblimit):
+            a = read_tracked(table[sb][0])
+            for ch in range(nch):
+                alloc[ch][sb] = a
+
+        # -- scalefactor selection info ------------------------------------
+        scfsi = [[0] * sblimit for _ in range(nch)]
+        for sb in range(sblimit):
+            for ch in range(nch):
+                if alloc[ch][sb]:
+                    scfsi[ch][sb] = read_tracked(2)
+        if protected:
+            crc_stored = int.from_bytes(payload[pos + 4 : pos + 6],
+                                        "big")
+            if _crc16(crc_bits) != crc_stored:
+                raise ValueError("malformed MPEG audio: CRC-16 mismatch")
+
+        # -- scalefactors (scfsi-shared across the 3 frame parts) ----------
+        def read_sf():
+            idx = br.read(6)
+            if idx == 63:
+                raise ValueError(
+                    "malformed MPEG audio: forbidden scalefactor 63"
+                )
+            return _SCALEFACTORS[idx]
+
+        sf = [[(0.0, 0.0, 0.0)] * sblimit for _ in range(nch)]
+        for sb in range(sblimit):
+            for ch in range(nch):
+                if not alloc[ch][sb]:
+                    continue
+                s = scfsi[ch][sb]
+                if s == 0:
+                    sf[ch][sb] = (read_sf(), read_sf(), read_sf())
+                elif s == 1:
+                    a0, a2 = read_sf(), read_sf()
+                    sf[ch][sb] = (a0, a0, a2)
+                elif s == 2:
+                    a = read_sf()
+                    sf[ch][sb] = (a, a, a)
+                else:
+                    a0, a1 = read_sf(), read_sf()
+                    sf[ch][sb] = (a0, a1, a1)
+
+        # -- samples: 12 granules x 3 samples ------------------------------
+        out = np.zeros((36, nch, 32), dtype=np.float64)
+
+        def read_triplet(steps):
+            g_bits = _L2_GROUP_BITS.get(steps)
+            if g_bits is not None:
+                code = br.read(g_bits)
+                if code >= steps ** 3:
+                    raise ValueError(
+                        "malformed MPEG audio: grouped code out of range"
+                    )
+                v0 = code % steps
+                code //= steps
+                return (v0, code % steps, code // steps)
+            nb = steps.bit_length()
+            return (br.read(nb), br.read(nb), br.read(nb))
+
+        for gr in range(12):
+            part = gr // 4
+            for sb in range(sblimit):
+                if sb < bound:
+                    for ch in range(nch):
+                        a = alloc[ch][sb]
+                        if not a:
+                            continue
+                        steps = table[sb][1][a - 1]
+                        vals = read_triplet(steps)
+                        for i, v in enumerate(vals):
+                            out[gr * 3 + i, ch, sb] = _l2_dequant(
+                                v, steps, sf[ch][sb][part])
+                else:
+                    a = alloc[0][sb]
+                    if not a:
+                        continue
+                    steps = table[sb][1][a - 1]
+                    vals = read_triplet(steps)
+                    # intensity stereo: one sample stream, per-channel
+                    # scalefactors (same contract as Layer I)
+                    for i, v in enumerate(vals):
+                        for ch in range(nch):
+                            out[gr * 3 + i, ch, sb] = _l2_dequant(
+                                v, steps, sf[ch][sb][part])
+        frames.append(out)
+        pos += frame_len
+
+    if not frames:
+        raise ValueError("malformed MPEG audio: no frames decoded")
+    return rate, np.concatenate(frames, axis=0)
+
+
+def probe_layer(payload: bytes) -> int:
+    """Layer number (1/2/3) of the first MPEG-1 frame header (after an
+    ID3v2 tag, if any) — the dispatch key for :func:`decode_subbands`."""
+    pos = _skip_id3v2(payload)
+    if pos + 4 > len(payload):
+        raise ValueError("malformed MPEG audio: no frame header")
+    b1, b2 = payload[pos], payload[pos + 1]
+    if b1 != 0xFF or (b2 & 0xE0) != 0xE0:
+        raise ValueError("malformed MPEG audio: lost frame sync")
+    layer_code = (b2 >> 1) & 0x3
+    if layer_code == 0:
+        raise ValueError("malformed MPEG audio: reserved layer")
+    return 4 - layer_code
+
+
+def decode_subbands(payload: bytes,
+                    sample_budget: int | None = MPEG_SAMPLE_BUDGET,
+                    ) -> tuple[int, int, np.ndarray]:
+    """``(layer, sample_rate, subbands)`` — dispatch by the first frame
+    header: Layer I and II decode exactly; Layer III refuses with the
+    honest Huffman-table stub message."""
+    layer = probe_layer(bytes(payload))
+    if layer == 1:
+        rate, sb = decode_layer1(payload, sample_budget)
+        return 1, rate, sb
+    if layer == 2:
+        rate, sb = decode_layer2(payload, sample_budget)
+        return 2, rate, sb
+    raise NotImplementedError(
+        "MPEG-1 Layer III (34 Huffman tables) needs tabulated spec "
+        "data that cannot be recalled reliably; Layer I/II subband "
+        "decode only — route to a codec-library executor image"
+    )
 
 
 def decode_layer1(payload: bytes,

@@ -1287,25 +1287,27 @@ AUDIO_SUBBAND_QUARANTINE_SCHEMA = AUDIO_SUBBAND_SCHEMA + \
 
 def audio_subband_features(blobs: DataFrame,
                            errors: str = "raise") -> DataFrame:
-    """MPEG-1 Layer I essence features, computed EXACTLY in the subband
-    domain (operators/mpegaudio.py — requantized per ISO 11172-3
-    §2.4.3.1): per payload the frame count, duration (384 PCM samples
-    per frame), subband peak/RMS, and the energy-weighted band centroid
-    (0-31; the spectral-balance feature an audio-quality filter keys
-    on). PCM synthesis needs the tabulated Table 3-B.3 window and stays
-    an honest stub — these statistics don't. Layer II/III payloads
+    """MPEG-1 Layer I/II essence features, computed EXACTLY in the
+    subband domain (operators/mpegaudio.py — requantized per ISO
+    11172-3 §2.4.3.1/.2): per payload the frame count, duration (384
+    PCM samples per Layer I frame, 1152 per Layer II), subband
+    peak/RMS, and the energy-weighted band centroid (0-31; the
+    spectral-balance feature an audio-quality filter keys on). PCM
+    synthesis needs the tabulated Table 3-B.3 window and stays an
+    honest stub — these statistics don't. Layer III payloads
     quarantine as 'unsupported'. Same Arrow-batched mapInPandas +
     quarantine contract as :func:`decode_audio`."""
     import numpy as np
 
     from .mediameta import _quarantine_batches
-    from .mpegaudio import decode_layer1
+    from .mpegaudio import decode_subbands
 
     quarantine = _check_errors_mode(errors)
 
     def one(payload):
-        rate, sb = decode_layer1(payload or b"")
-        n_frames = sb.shape[0] // 12
+        layer, rate, sb = decode_subbands(payload or b"")
+        rows_per_frame = 12 if layer == 1 else 36
+        n_frames = sb.shape[0] // rows_per_frame
         flat = sb.reshape(-1)
         energy = float(np.square(sb).sum())
         if energy > 0.0:
@@ -1318,11 +1320,11 @@ def audio_subband_features(blobs: DataFrame,
         else:
             centroid, rms, peak = 0.0, 0.0, 0.0
         return {
-            "format": "mp3-layer1",
+            "format": f"mp3-layer{layer}",
             "sample_rate": rate,
             "n_channels": sb.shape[1],
             "n_mpeg_frames": n_frames,
-            "duration_sec": n_frames * 384 / rate,
+            "duration_sec": n_frames * rows_per_frame * 32 / rate,
             "sb_peak": peak,
             "sb_rms": rms,
             "sb_centroid": centroid,
