@@ -192,6 +192,32 @@ def section_pass(spark, sf_dir: str, sf) -> None:
         if construct_best < float("inf"):
             row["__construct__"] = round(construct_best, 3)
         out[name] = {"tag": tag, "times": row}
+
+    # r12: the codec section is one growing blob over ~19 payload
+    # families — time each family standalone (codec_stats(families=...))
+    # so the 2x policy can localize a regression inside it. Keys land in
+    # the same times dict as `codec:<family>`.
+    if "multimodal_frame_features" in out:
+        from youtube_api_data_etl_automation_spark.plans.codec_check import (
+            CODEC_FAMILIES,
+            codec_stats,
+        )
+
+        row = out["multimodal_frame_features"]["times"]
+        for fam in CODEC_FAMILIES:
+            spark.catalog.clearCache()
+            best = float("inf")
+            try:
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    force(codec_stats(spark, (fam,)))
+                    best = min(best, time.perf_counter() - t0)
+                row[f"codec:{fam}"] = round(best, 3)
+            except Exception as e:  # noqa: BLE001 — the audit must be total
+                print(f"bench: codec family {fam} FAILED: {e}",
+                      file=sys.stderr)
+                row[f"codec:{fam}"] = None
+        spark.catalog.clearCache()
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BENCH_SECTIONS.json")
     with open(path, "w") as f:

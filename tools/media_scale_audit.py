@@ -78,6 +78,11 @@ def _ops():
     from youtube_api_data_etl_automation_spark.operators.archives import (
         archive_members,
         docx_text,
+        members_as_payloads,
+        warc_records,
+    )
+    from youtube_api_data_etl_automation_spark.operators.subtitles import (
+        subtitles_text,
     )
     from youtube_api_data_etl_automation_spark.operators.imagehash import (
         image_hashes,
@@ -86,6 +91,7 @@ def _ops():
         strip_exif,
     )
     from youtube_api_data_etl_automation_spark.operators.pdf import (
+        pdf_images,
         pdf_meta,
         pdf_text,
     )
@@ -124,6 +130,19 @@ def _ops():
             fam(df, "office"), errors="quarantine"),
         "archive_members": lambda df: archive_members(
             fam(df, "archive")),
+        # r12 additions (VERDICT r11 item 5): the remaining crawl-front
+        # operators + the archive->decoder composition
+        "warc_records": lambda df: warc_records(
+            fam(df, "warc_records"), errors="quarantine"),
+        "subtitles_text": lambda df: subtitles_text(
+            fam(df, "subtitle"), errors="quarantine"),
+        "members_to_decode": lambda df: decode_image(
+            members_as_payloads(
+                archive_members(fam(df, "archive"))),
+            errors="quarantine"),
+        "pdf_images": lambda df: pdf_images(
+            fam(df, "document", "document_images"),
+            errors="quarantine"),
     }
 
 

@@ -87,10 +87,26 @@ def _err_fp():
     return F.concat(F.lit("ERR:"), F.col("error_kind"))
 
 
-def codec_stats(spark: SparkSession) -> DataFrame:
+CODEC_FAMILIES = (
+    "image", "audio", "image_meta", "video_meta", "audio_meta",
+    "image_exif", "audio_tags", "video_frame", "audio_subband",
+    "archive", "warc_records", "document", "document_meta",
+    "image_hash", "exif_strip", "office", "image_thumb", "subtitle",
+    "document_images",
+)
+
+
+def codec_stats(spark: SparkSession,
+                families: tuple[str, ...] | None = None) -> DataFrame:
     """One fingerprint row per fixture payload: ``(doc_id, fmt, width,
     height, fp)``. Quarantined payloads carry ``fp='ERR:<kind>'`` so the
-    corrupt/unsupported routing is part of the golden contract too."""
+    corrupt/unsupported routing is part of the golden contract too.
+
+    ``families`` restricts the union to a subset of
+    :data:`CODEC_FAMILIES` — bench.py times each family standalone so
+    the 2x per-section policy can localize a regression inside the
+    growing codec row (VERDICT r11 item 6); the driver oracle runs the
+    full union."""
     from ..operators.mediameta import (
         audio_meta,
         audio_tags,
@@ -115,377 +131,429 @@ def codec_stats(spark: SparkSession) -> DataFrame:
     # be able to import the package no matter where the driver is rooted
     ship_package(spark)
 
+    wanted = CODEC_FAMILIES if families is None else tuple(families)
+    unknown = set(wanted) - set(CODEC_FAMILIES)
+    if unknown:
+        raise ValueError(f"unknown codec families: {sorted(unknown)}")
     blobs = spark.read.parquet(CODEC_FIXTURE_PATH)
     by_family = {
         fam: blobs.filter(F.col("family") == fam)
         .select(F.col("payload_id").alias("doc_id"), "payload")
-        for fam in ("image", "audio", "image_meta", "video_meta",
-                    "audio_meta", "image_exif", "audio_tags",
-                    "video_frame", "audio_subband", "archive",
-                    "warc_records", "document", "document_meta",
-                    "image_hash", "exif_strip", "office",
-                    "image_thumb", "subtitle", "document_images")
+        for fam in wanted
     }
+    parts: list[DataFrame] = []
 
-    img = decode_image(by_family["image"], errors="quarantine").select(
-        "doc_id",
-        F.col("format").alias("fmt"),
-        "width",
-        "height",
-        F.when(
-            F.col("error").isNull(),
-            F.format_string(
-                "%.6f,%.6f,%.6f",
-                round6(F.col("mean_r")),
-                round6(F.col("mean_g")),
-                round6(F.col("mean_b")),
-            ),
-        ).otherwise(_err_fp()).alias("fp"),
-    )
-    aud = decode_audio(by_family["audio"], errors="quarantine").select(
-        "doc_id",
-        F.col("format").alias("fmt"),
-        F.lit(None).cast("int").alias("width"),
-        F.lit(None).cast("int").alias("height"),
-        F.when(
-            F.col("error").isNull(),
-            F.format_string(
-                "%d,%d,%d,%.6f,%d,%.6f",
-                F.col("sample_rate"),
-                F.col("n_channels"),
-                F.col("n_frames"),
-                round6(F.col("duration_sec")),
-                F.col("peak"),
-                round6(F.col("rms")),
-            ),
-        ).otherwise(_err_fp()).alias("fp"),
-    )
-    imeta = image_meta(by_family["image_meta"], errors="quarantine").select(
-        "doc_id",
-        F.col("format").alias("fmt"),
-        "width",
-        "height",
-        F.when(F.col("error").isNull(), F.lit("meta"))
-        .otherwise(_err_fp()).alias("fp"),
-    )
-    vmeta = video_meta(by_family["video_meta"], errors="quarantine").select(
-        "doc_id",
-        F.col("brand").alias("fmt"),
-        "width",
-        "height",
-        F.when(
-            F.col("error").isNull(),
-            F.format_string(
-                "%.6f,%d,%d,%d,%s,%s",
-                round6(F.col("duration_sec")),
-                F.col("n_tracks"),
-                F.col("n_video_tracks"),
-                F.col("n_audio_tracks"),
-                F.coalesce(F.col("n_frames").cast("string"),
-                           F.lit("-")),
-                F.col("codecs"),
-            ),
-        ).otherwise(_err_fp()).alias("fp"),
-    )
-    ameta = audio_meta(by_family["audio_meta"], errors="quarantine").select(
-        "doc_id",
-        F.col("format").alias("fmt"),
-        F.lit(None).cast("int").alias("width"),
-        F.lit(None).cast("int").alias("height"),
-        F.when(
-            F.col("error").isNull(),
-            F.format_string(
-                "%d,%d,%.6f,%s",
-                F.col("sample_rate"),
-                F.col("n_channels"),
-                round6(F.col("duration_sec")),
-                F.col("detail"),
-            ),
-        ).otherwise(_err_fp()).alias("fp"),
-    )
-    exif = image_exif(by_family["image_exif"], errors="quarantine").select(
-        "doc_id",
-        F.lit("exif").alias("fmt"),
-        F.col("exif_width").alias("width"),
-        F.col("exif_height").alias("height"),
-        F.when(
-            F.col("error").isNull(),
-            F.concat_ws(
-                "|",
-                F.coalesce(F.col("orientation").cast("string"),
-                           F.lit("-")),
-                F.coalesce(F.col("datetime"), F.lit("-")),
-                F.coalesce(F.col("make"), F.lit("-")),
-                F.coalesce(F.col("model"), F.lit("-")),
-                F.when(
-                    F.col("gps_lat").isNotNull(),
-                    F.format_string("%.6f", round6(F.col("gps_lat"))),
-                ).otherwise(F.lit("-")),
-                F.when(
-                    F.col("gps_lon").isNotNull(),
-                    F.format_string("%.6f", round6(F.col("gps_lon"))),
-                ).otherwise(F.lit("-")),
-            ),
-        ).otherwise(_err_fp()).alias("fp"),
-    )
-    estrip = strip_exif(
-        by_family["exif_strip"], errors="quarantine"
-    ).select(
-        "doc_id",
-        F.col("format").alias("fmt"),
-        F.lit(None).cast("int").alias("width"),
-        F.lit(None).cast("int").alias("height"),
-        F.when(
-            F.col("error").isNull(),
-            F.format_string(
-                "%d,%s",
-                F.col("removed_bytes"),
-                F.md5(F.col("payload")),
-            ),
-        ).otherwise(_err_fp()).alias("fp"),
-    )
-    tags = audio_tags(by_family["audio_tags"], errors="quarantine").select(
-        "doc_id",
-        F.col("container").alias("fmt"),
-        F.lit(None).cast("int").alias("width"),
-        F.lit(None).cast("int").alias("height"),
-        F.when(
-            F.col("error").isNull(),
-            F.concat_ws(
-                "|",
-                F.coalesce(F.col("title"), F.lit("-")),
-                F.coalesce(F.col("artist"), F.lit("-")),
-                F.coalesce(F.col("album"), F.lit("-")),
-            ),
-        ).otherwise(_err_fp()).alias("fp"),
-    )
-    keyf = video_keyframe_features(
-        by_family["video_frame"], errors="quarantine"
-    ).select(
-        "doc_id",
-        F.col("container").alias("fmt"),
-        "width",
-        "height",
-        F.when(
-            F.col("error").isNull(),
-            F.format_string(
-                "%s,%s,%d,%.6f,%.6f,%.6f",
-                F.col("codec"),
-                F.col("format"),
-                F.col("frame_bytes"),
-                round6(F.col("mean_r")),
-                round6(F.col("mean_g")),
-                round6(F.col("mean_b")),
-            ),
-        ).otherwise(_err_fp()).alias("fp"),
-    )
-    sband = audio_subband_features(
-        by_family["audio_subband"], errors="quarantine"
-    ).select(
-        "doc_id",
-        F.col("format").alias("fmt"),
-        F.lit(None).cast("int").alias("width"),
-        F.lit(None).cast("int").alias("height"),
-        F.when(
-            F.col("error").isNull(),
-            F.format_string(
-                "%d,%d,%d,%.6f,%.6f,%.6f,%.6f",
-                F.col("sample_rate"),
-                F.col("n_channels"),
-                F.col("n_mpeg_frames"),
-                round6(F.col("duration_sec")),
-                round6(F.col("sb_peak")),
-                round6(F.col("sb_rms")),
-                round6(F.col("sb_centroid")),
-            ),
-        ).otherwise(_err_fp()).alias("fp"),
-    )
-    arch = archive_meta(
-        by_family["archive"], errors="quarantine"
-    ).select(
-        "doc_id",
-        F.col("format").alias("fmt"),
-        F.lit(None).cast("int").alias("width"),
-        F.lit(None).cast("int").alias("height"),
-        F.when(
-            F.col("error").isNull(),
-            F.format_string(
-                "%s,%s,%s",
-                F.coalesce(F.col("n_members").cast("string"),
-                           F.lit("-")),
-                F.col("uncompressed_hint").cast("string"),
-                F.col("detail"),
-            ),
-        ).otherwise(_err_fp()).alias("fp"),
-    )
-    wr = warc_records(by_family["warc_records"], errors="quarantine")
-    warcf = wr.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.concat_ws(
-            "|",
-            F.transform(
-                F.array_sort(F.collect_list(
-                    F.struct("record_idx", "warc_type"))),
-                lambda s: s["warc_type"],
-            ),
-        ).alias("types"),
-        F.max("http_status").alias("status"),
-        F.sum(F.octet_length("body")).alias("body_bytes"),
-        F.max("error_kind").alias("ek"),
-    ).select(
-        "doc_id",
-        F.lit("warc").alias("fmt"),
-        F.lit(None).cast("int").alias("width"),
-        F.lit(None).cast("int").alias("height"),
-        F.when(
-            F.col("ek").isNull(),
-            F.format_string(
-                "%d,%s,%s,%d",
-                F.col("n"),
-                F.col("types"),
-                F.coalesce(F.col("status").cast("string"), F.lit("-")),
-                F.col("body_bytes"),
-            ),
-        ).otherwise(F.concat(F.lit("ERR:"), F.col("ek"))).alias("fp"),
-    )
-    doc = pdf_text(by_family["document"], errors="quarantine").select(
-        "doc_id",
-        "format",
-        F.lit(None).cast("int").alias("width"),
-        F.lit(None).cast("int").alias("height"),
-        F.when(
-            F.col("error").isNull(),
-            F.format_string(
-                "%s,%d,%d,%s",
-                F.col("version"),
-                F.col("n_pages"),
-                F.col("n_chars"),
-                # newline/formfeed fold keeps the fp one SQL literal
-                F.translate(F.col("text"), "\n\f", "~|"),
-            ),
-        ).otherwise(_err_fp()).alias("fp"),
-    ).withColumnRenamed("format", "fmt")
-    dmeta = pdf_meta(
-        by_family["document_meta"], errors="quarantine"
-    ).select(
-        "doc_id",
-        F.col("format").alias("fmt"),
-        F.lit(None).cast("int").alias("width"),
-        F.lit(None).cast("int").alias("height"),
-        F.when(
-            F.col("error").isNull(),
-            F.concat_ws(
-                "|",
+    if "image" in by_family:
+        img = decode_image(by_family["image"], errors="quarantine").select(
+            "doc_id",
+            F.col("format").alias("fmt"),
+            "width",
+            "height",
+            F.when(
+                F.col("error").isNull(),
                 F.format_string(
-                    "%s,%d,%s,%s",
-                    F.col("version"),
-                    F.col("n_objects"),
-                    F.coalesce(F.col("n_pages").cast("string"),
-                               F.lit("-")),
-                    F.col("encrypted").cast("string"),
+                    "%.6f,%.6f,%.6f",
+                    round6(F.col("mean_r")),
+                    round6(F.col("mean_g")),
+                    round6(F.col("mean_b")),
                 ),
-                F.coalesce(F.col("title"), F.lit("-")),
-                F.coalesce(F.col("author"), F.lit("-")),
-                F.coalesce(F.col("producer"), F.lit("-")),
-            ),
-        ).otherwise(_err_fp()).alias("fp"),
-    )
-    ih = image_hashes(
-        by_family["image_hash"], errors="quarantine"
-    ).select(
-        "doc_id",
-        F.col("format").alias("fmt"),
-        "width",
-        "height",
-        F.when(
-            F.col("error").isNull(),
-            # hex of the unsigned 64-bit codes — stable, readable
-            F.format_string(
-                "%016x,%016x",
-                F.col("dhash"),
-                F.col("ahash"),
-            ),
-        ).otherwise(_err_fp()).alias("fp"),
-    )
-    office = docx_text(by_family["office"], errors="quarantine").select(
-        "doc_id",
-        F.col("format").alias("fmt"),
-        F.lit(None).cast("int").alias("width"),
-        F.lit(None).cast("int").alias("height"),
-        F.when(
-            F.col("error").isNull(),
-            F.format_string(
-                "%d,%d,%s",
-                F.col("n_paragraphs"),
-                F.col("n_chars"),
-                F.translate(F.col("text"), "\n\t", "~·"),
-            ),
-        ).otherwise(_err_fp()).alias("fp"),
-    )
-    thumb = image_thumbnails(
-        by_family["image_thumb"], errors="quarantine"
-    ).select(
-        "doc_id",
-        F.col("format").alias("fmt"),
-        "width",
-        "height",
-        F.when(
-            F.col("error").isNull(),
-            F.format_string(
-                "%dx%d,%s",
-                F.col("thumb_w"),
-                F.col("thumb_h"),
-                F.md5(F.col("thumb")),
-            ),
-        ).otherwise(_err_fp()).alias("fp"),
-    )
-    subs = subtitles_text(by_family["subtitle"]).select(
-        "doc_id",
-        F.col("format").alias("fmt"),
-        F.lit(None).cast("int").alias("width"),
-        F.lit(None).cast("int").alias("height"),
-        F.when(
-            F.col("error").isNull(),
-            F.format_string(
-                "%d,%.3f,%d,%s",
-                F.col("n_cues"),
-                F.col("duration_sec"),
-                F.col("n_chars"),
-                F.translate(F.col("text"), "\n", "~"),
-            ),
-        ).otherwise(_err_fp()).alias("fp"),
-    )
-    # per-document fold like warc_records: one fingerprint row per
-    # payload, every image's page/idx/name/format/dims + payload md5
-    # (or its refusal kind) inside — any extraction regression flips it
-    pimg = pdf_images(by_family["document_images"], errors="quarantine")
-    pimgf = pimg.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.concat_ws("|", F.array_sort(F.collect_list(F.concat_ws(
-            ":",
-            F.coalesce(F.col("page_idx").cast("string"), F.lit("-")),
-            F.coalesce(F.col("image_idx").cast("string"), F.lit("-")),
-            F.coalesce(F.col("name"), F.lit("-")),
-            F.coalesce(F.col("format"), F.lit("-")),
-            F.coalesce(F.col("width").cast("string"), F.lit("-")),
-            F.coalesce(F.col("height").cast("string"), F.lit("-")),
-            F.when(F.col("payload").isNotNull(),
-                   F.md5(F.col("payload")))
-            .otherwise(F.concat(F.lit("ERR:"),
-                                F.col("error_kind"))),
-        )))).alias("imgs"),
-    ).select(
-        "doc_id",
-        F.lit("pdfimg").alias("fmt"),
-        F.lit(None).cast("int").alias("width"),
-        F.lit(None).cast("int").alias("height"),
-        F.format_string("%d,%s", F.col("n"), F.col("imgs")).alias("fp"),
-    )
-    return (
-        img.unionByName(aud).unionByName(imeta).unionByName(vmeta)
-        .unionByName(ameta).unionByName(exif).unionByName(tags)
-        .unionByName(keyf).unionByName(sband).unionByName(arch)
-        .unionByName(warcf).unionByName(doc).unionByName(dmeta)
-        .unionByName(ih).unionByName(estrip).unionByName(office)
-        .unionByName(thumb).unionByName(subs).unionByName(pimgf)
-    )
+            ).otherwise(_err_fp()).alias("fp"),
+        )
+        parts.append(img)
+
+    if "audio" in by_family:
+        aud = decode_audio(by_family["audio"], errors="quarantine").select(
+            "doc_id",
+            F.col("format").alias("fmt"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.when(
+                F.col("error").isNull(),
+                F.format_string(
+                    "%d,%d,%d,%.6f,%d,%.6f",
+                    F.col("sample_rate"),
+                    F.col("n_channels"),
+                    F.col("n_frames"),
+                    round6(F.col("duration_sec")),
+                    F.col("peak"),
+                    round6(F.col("rms")),
+                ),
+            ).otherwise(_err_fp()).alias("fp"),
+        )
+        parts.append(aud)
+
+    if "image_meta" in by_family:
+        imeta = image_meta(by_family["image_meta"], errors="quarantine").select(
+            "doc_id",
+            F.col("format").alias("fmt"),
+            "width",
+            "height",
+            F.when(F.col("error").isNull(), F.lit("meta"))
+            .otherwise(_err_fp()).alias("fp"),
+        )
+        parts.append(imeta)
+
+    if "video_meta" in by_family:
+        vmeta = video_meta(by_family["video_meta"], errors="quarantine").select(
+            "doc_id",
+            F.col("brand").alias("fmt"),
+            "width",
+            "height",
+            F.when(
+                F.col("error").isNull(),
+                F.format_string(
+                    "%.6f,%d,%d,%d,%s,%s",
+                    round6(F.col("duration_sec")),
+                    F.col("n_tracks"),
+                    F.col("n_video_tracks"),
+                    F.col("n_audio_tracks"),
+                    F.coalesce(F.col("n_frames").cast("string"),
+                               F.lit("-")),
+                    F.col("codecs"),
+                ),
+            ).otherwise(_err_fp()).alias("fp"),
+        )
+        parts.append(vmeta)
+
+    if "audio_meta" in by_family:
+        ameta = audio_meta(by_family["audio_meta"], errors="quarantine").select(
+            "doc_id",
+            F.col("format").alias("fmt"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.when(
+                F.col("error").isNull(),
+                F.format_string(
+                    "%d,%d,%.6f,%s",
+                    F.col("sample_rate"),
+                    F.col("n_channels"),
+                    round6(F.col("duration_sec")),
+                    F.col("detail"),
+                ),
+            ).otherwise(_err_fp()).alias("fp"),
+        )
+        parts.append(ameta)
+
+    if "image_exif" in by_family:
+        exif = image_exif(by_family["image_exif"], errors="quarantine").select(
+            "doc_id",
+            F.lit("exif").alias("fmt"),
+            F.col("exif_width").alias("width"),
+            F.col("exif_height").alias("height"),
+            F.when(
+                F.col("error").isNull(),
+                F.concat_ws(
+                    "|",
+                    F.coalesce(F.col("orientation").cast("string"),
+                               F.lit("-")),
+                    F.coalesce(F.col("datetime"), F.lit("-")),
+                    F.coalesce(F.col("make"), F.lit("-")),
+                    F.coalesce(F.col("model"), F.lit("-")),
+                    F.when(
+                        F.col("gps_lat").isNotNull(),
+                        F.format_string("%.6f", round6(F.col("gps_lat"))),
+                    ).otherwise(F.lit("-")),
+                    F.when(
+                        F.col("gps_lon").isNotNull(),
+                        F.format_string("%.6f", round6(F.col("gps_lon"))),
+                    ).otherwise(F.lit("-")),
+                ),
+            ).otherwise(_err_fp()).alias("fp"),
+        )
+        parts.append(exif)
+
+    if "exif_strip" in by_family:
+        estrip = strip_exif(
+            by_family["exif_strip"], errors="quarantine"
+        ).select(
+            "doc_id",
+            F.col("format").alias("fmt"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.when(
+                F.col("error").isNull(),
+                F.format_string(
+                    "%d,%s",
+                    F.col("removed_bytes"),
+                    F.md5(F.col("payload")),
+                ),
+            ).otherwise(_err_fp()).alias("fp"),
+        )
+        parts.append(estrip)
+
+    if "audio_tags" in by_family:
+        tags = audio_tags(by_family["audio_tags"], errors="quarantine").select(
+            "doc_id",
+            F.col("container").alias("fmt"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.when(
+                F.col("error").isNull(),
+                F.concat_ws(
+                    "|",
+                    F.coalesce(F.col("title"), F.lit("-")),
+                    F.coalesce(F.col("artist"), F.lit("-")),
+                    F.coalesce(F.col("album"), F.lit("-")),
+                ),
+            ).otherwise(_err_fp()).alias("fp"),
+        )
+        parts.append(tags)
+
+    if "video_frame" in by_family:
+        keyf = video_keyframe_features(
+            by_family["video_frame"], errors="quarantine"
+        ).select(
+            "doc_id",
+            F.col("container").alias("fmt"),
+            "width",
+            "height",
+            F.when(
+                F.col("error").isNull(),
+                F.format_string(
+                    "%s,%s,%d,%.6f,%.6f,%.6f",
+                    F.col("codec"),
+                    F.col("format"),
+                    F.col("frame_bytes"),
+                    round6(F.col("mean_r")),
+                    round6(F.col("mean_g")),
+                    round6(F.col("mean_b")),
+                ),
+            ).otherwise(_err_fp()).alias("fp"),
+        )
+        parts.append(keyf)
+
+    if "audio_subband" in by_family:
+        sband = audio_subband_features(
+            by_family["audio_subband"], errors="quarantine"
+        ).select(
+            "doc_id",
+            F.col("format").alias("fmt"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.when(
+                F.col("error").isNull(),
+                F.format_string(
+                    "%d,%d,%d,%.6f,%.6f,%.6f,%.6f",
+                    F.col("sample_rate"),
+                    F.col("n_channels"),
+                    F.col("n_mpeg_frames"),
+                    round6(F.col("duration_sec")),
+                    round6(F.col("sb_peak")),
+                    round6(F.col("sb_rms")),
+                    round6(F.col("sb_centroid")),
+                ),
+            ).otherwise(_err_fp()).alias("fp"),
+        )
+        parts.append(sband)
+
+    if "archive" in by_family:
+        arch = archive_meta(
+            by_family["archive"], errors="quarantine"
+        ).select(
+            "doc_id",
+            F.col("format").alias("fmt"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.when(
+                F.col("error").isNull(),
+                F.format_string(
+                    "%s,%s,%s",
+                    F.coalesce(F.col("n_members").cast("string"),
+                               F.lit("-")),
+                    F.col("uncompressed_hint").cast("string"),
+                    F.col("detail"),
+                ),
+            ).otherwise(_err_fp()).alias("fp"),
+        )
+        parts.append(arch)
+
+    if "warc_records" in by_family:
+        wr = warc_records(by_family["warc_records"], errors="quarantine")
+        warcf = wr.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("record_idx", "warc_type"))),
+                    lambda s: s["warc_type"],
+                ),
+            ).alias("types"),
+            F.max("http_status").alias("status"),
+            F.sum(F.octet_length("body")).alias("body_bytes"),
+            F.max("error_kind").alias("ek"),
+        ).select(
+            "doc_id",
+            F.lit("warc").alias("fmt"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.when(
+                F.col("ek").isNull(),
+                F.format_string(
+                    "%d,%s,%s,%d",
+                    F.col("n"),
+                    F.col("types"),
+                    F.coalesce(F.col("status").cast("string"), F.lit("-")),
+                    F.col("body_bytes"),
+                ),
+            ).otherwise(F.concat(F.lit("ERR:"), F.col("ek"))).alias("fp"),
+        )
+        parts.append(warcf)
+
+    if "document" in by_family:
+        doc = pdf_text(by_family["document"], errors="quarantine").select(
+            "doc_id",
+            "format",
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.when(
+                F.col("error").isNull(),
+                F.format_string(
+                    "%s,%d,%d,%s",
+                    F.col("version"),
+                    F.col("n_pages"),
+                    F.col("n_chars"),
+                    # newline/formfeed fold keeps the fp one SQL literal
+                    F.translate(F.col("text"), "\n\f", "~|"),
+                ),
+            ).otherwise(_err_fp()).alias("fp"),
+        ).withColumnRenamed("format", "fmt")
+        parts.append(doc)
+
+    if "document_meta" in by_family:
+        dmeta = pdf_meta(
+            by_family["document_meta"], errors="quarantine"
+        ).select(
+            "doc_id",
+            F.col("format").alias("fmt"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.when(
+                F.col("error").isNull(),
+                F.concat_ws(
+                    "|",
+                    F.format_string(
+                        "%s,%d,%s,%s",
+                        F.col("version"),
+                        F.col("n_objects"),
+                        F.coalesce(F.col("n_pages").cast("string"),
+                                   F.lit("-")),
+                        F.col("encrypted").cast("string"),
+                    ),
+                    F.coalesce(F.col("title"), F.lit("-")),
+                    F.coalesce(F.col("author"), F.lit("-")),
+                    F.coalesce(F.col("producer"), F.lit("-")),
+                ),
+            ).otherwise(_err_fp()).alias("fp"),
+        )
+        parts.append(dmeta)
+
+    if "image_hash" in by_family:
+        ih = image_hashes(
+            by_family["image_hash"], errors="quarantine"
+        ).select(
+            "doc_id",
+            F.col("format").alias("fmt"),
+            "width",
+            "height",
+            F.when(
+                F.col("error").isNull(),
+                # hex of the unsigned 64-bit codes — stable, readable
+                F.format_string(
+                    "%016x,%016x",
+                    F.col("dhash"),
+                    F.col("ahash"),
+                ),
+            ).otherwise(_err_fp()).alias("fp"),
+        )
+        parts.append(ih)
+
+    if "office" in by_family:
+        office = docx_text(by_family["office"], errors="quarantine").select(
+            "doc_id",
+            F.col("format").alias("fmt"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.when(
+                F.col("error").isNull(),
+                F.format_string(
+                    "%d,%d,%s",
+                    F.col("n_paragraphs"),
+                    F.col("n_chars"),
+                    F.translate(F.col("text"), "\n\t", "~·"),
+                ),
+            ).otherwise(_err_fp()).alias("fp"),
+        )
+        parts.append(office)
+
+    if "image_thumb" in by_family:
+        thumb = image_thumbnails(
+            by_family["image_thumb"], errors="quarantine"
+        ).select(
+            "doc_id",
+            F.col("format").alias("fmt"),
+            "width",
+            "height",
+            F.when(
+                F.col("error").isNull(),
+                F.format_string(
+                    "%dx%d,%s",
+                    F.col("thumb_w"),
+                    F.col("thumb_h"),
+                    F.md5(F.col("thumb")),
+                ),
+            ).otherwise(_err_fp()).alias("fp"),
+        )
+        parts.append(thumb)
+
+    if "subtitle" in by_family:
+        subs = subtitles_text(by_family["subtitle"]).select(
+            "doc_id",
+            F.col("format").alias("fmt"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.when(
+                F.col("error").isNull(),
+                F.format_string(
+                    "%d,%.3f,%d,%s",
+                    F.col("n_cues"),
+                    F.col("duration_sec"),
+                    F.col("n_chars"),
+                    F.translate(F.col("text"), "\n", "~"),
+                ),
+            ).otherwise(_err_fp()).alias("fp"),
+        )
+        parts.append(subs)
+
+    if "document_images" in by_family:
+        pimg = pdf_images(by_family["document_images"], errors="quarantine")
+        pimgf = pimg.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.concat_ws("|", F.array_sort(F.collect_list(F.concat_ws(
+                ":",
+                F.coalesce(F.col("page_idx").cast("string"), F.lit("-")),
+                F.coalesce(F.col("image_idx").cast("string"), F.lit("-")),
+                F.coalesce(F.col("name"), F.lit("-")),
+                F.coalesce(F.col("format"), F.lit("-")),
+                F.coalesce(F.col("width").cast("string"), F.lit("-")),
+                F.coalesce(F.col("height").cast("string"), F.lit("-")),
+                F.when(F.col("payload").isNotNull(),
+                       F.md5(F.col("payload")))
+                .otherwise(F.concat(F.lit("ERR:"),
+                                    F.col("error_kind"))),
+            )))).alias("imgs"),
+        ).select(
+            "doc_id",
+            F.lit("pdfimg").alias("fmt"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.format_string("%d,%s", F.col("n"), F.col("imgs")).alias("fp"),
+        )
+        parts.append(pimgf)
+
+    if not parts:
+        raise ValueError("codec_stats: empty families selection")
+    result = parts[0]
+    for part in parts[1:]:
+        result = result.unionByName(part)
+    return result
