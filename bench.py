@@ -129,6 +129,9 @@ SECTIONS: dict[str, tuple[str, list[str]]] = {
     # r10: the codec golden section (fixed ~43-payload fixture decode)
     # vs the sf-scaled ASCII frame plumbing
     "multimodal_frame_features": ("section", ["frames", "codec"]),
+    # r12: the psl section (exact PSL registrable domains) joined the
+    # lang-cap row — three sections, observable separately
+    "lang_cap_docs": ("section", ["lang_cap", "domains", "psl"]),
 }
 
 

@@ -693,3 +693,31 @@ def test_media_cli_archive_and_warc(spark, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 2  # the zip payload quarantines on the WARC op
     assert out["n"] == 4  # 3 records + 1 quarantine row
+
+
+def test_media_cli_pdfimages_r12(spark, capsys):
+    """r12: pdfimages extracts image XObjects, grouped by format in
+    the CLI summary."""
+    import sys
+    import zlib
+
+    sys.path.insert(0, "tests")
+    from test_pdf_images import img_obj, pdf_with_images, rgb_pixels
+
+    base = tempfile.mkdtemp(prefix="cli_media12_")
+    px = rgb_pixels(4, 3, seed=31)
+    doc = pdf_with_images([
+        (b"Raw", img_obj(
+            b"/Width 4 /Height 3 /ColorSpace /DeviceRGB "
+            b"/BitsPerComponent 8 /Filter /FlateDecode ",
+            zlib.compress(px.tobytes()))),
+        (b"Jpx", img_obj(b"/Width 2 /Height 2 /Filter /JPXDecode ",
+                         b"\x00")),
+    ])
+    spark.createDataFrame(
+        [(1, bytearray(doc))], "doc_id long, payload binary",
+    ).write.mode("overwrite").parquet(base + "/pdfs")
+    rc = main(["media", "--input", base + "/pdfs", "--op", "pdfimages"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 2  # the JPX image quarantines
+    assert out["by_format"] == {"ppm": 1, "None": 1}

@@ -51,6 +51,11 @@ SANCTIONED_BNLJ = {
         "exact-truth baseline: query batch broadcast vs corpus; centroid "
         "assignment + probe-cell ranking: k centroids broadcast"
     ),
+    "lang_cap_docs": (
+        "PSL rule map: 1-row suffix->bitmask map broadcast vs corpus "
+        "(functions/urls.py registrable_domain_psl — the "
+        "filter_blocked_domains shape)"
+    ),
 }
 
 

@@ -792,6 +792,7 @@ def _cmd_media(args: argparse.Namespace) -> int:
             b, errors="quarantine"),
         "pdftext": lambda b: pdf.pdf_text(b, errors="quarantine"),
         "pdfmeta": lambda b: pdf.pdf_meta(b, errors="quarantine"),
+        "pdfimages": lambda b: pdf.pdf_images(b, errors="quarantine"),
         "imagehash": lambda b: imagehash.image_hashes(
             b, errors="quarantine"),
         "members": lambda b: archives.archive_members(
@@ -856,13 +857,13 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["probe", "decode", "audio", "audiometa", "video",
                  "triage", "exif", "tags", "audiotriage", "keyframe",
                  "subband", "archive", "warc", "pdftext", "pdfmeta",
-                 "imagehash", "members", "exifstrip", "docxtext",
-                 "thumbnail", "subtitles"],
+                 "pdfimages", "imagehash", "members", "exifstrip",
+                 "docxtext", "thumbnail", "subtitles"],
         help="probe=image headers, decode=image pixels, audio=samples, "
              "audiometa=MP3/FLAC/WAV headers, video=MP4/MKV containers, "
              "triage=probe-then-decode router (audiotriage=the audio "
              "twin), keyframe=AVI-MJPEG/GIF first-frame features, "
-             "subband=MPEG-1 Layer I essence stats, exif=JPEG APP1, "
+             "subband=MPEG-1 Layer I/II essence stats, exif=JPEG APP1, "
              "tags=ID3/Vorbis/LIST-INFO",
     )
     med.add_argument("--output", default=None,

@@ -152,6 +152,14 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Per-group capping (documents by lang — the "domain cap" curation step)
 # ---------------------------------------------------------------------------
 
+# planted PSL rule set for the psl section: normal suffixes, a wildcard
+# over example.org (the *.github.io shape the heuristic over-merges),
+# and an exception carving src3.example.org back out of the wildcard
+_PSL_RULES = (
+    "com", "org", "uk", "co.uk",
+    "*.example.org", "!src3.example.org",
+)
+
 _CAP = 100  # per-lang cap; 'en' is over at sf0.01, keeping both paths live
 
 # the domains section constructs deterministic URLs from documents rows
@@ -224,10 +232,84 @@ domain_section AS (
          CAST(COUNT(DISTINCT host) AS BIGINT) AS n_kept,
          md5(string_agg(DISTINCT host, ',' ORDER BY host)) AS kept_fp
   FROM r GROUP BY dom, tld
+),
+psl_rules(rule) AS (VALUES
+  ('com'), ('org'), ('uk'), ('co.uk'),
+  ('*.example.org'), ('!src3.example.org')),
+psl_prep AS (
+  SELECT CASE WHEN rule LIKE '!%' THEN 4
+              WHEN rule LIKE '*.%' THEN 2 ELSE 1 END AS flag,
+         regexp_replace(rule, '^(!|\*\.)', '') AS key
+  FROM psl_rules
+),
+psl_keyed AS (SELECT key, bit_or(flag) AS flags FROM psl_prep GROUP BY key),
+psl_u AS (
+  SELECT doc_id,
+    'https://'
+    || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+    || source || '.example'
+    || (CASE WHEN doc_id % 3 = 0 THEN '.org'
+             WHEN doc_id % 3 = 1 THEN '.com' ELSE '.co.uk' END)
+    || '/d/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+),
+psl_h AS (
+  SELECT doc_id,
+    regexp_replace(
+      lower(regexp_extract(
+        url, '^[a-zA-Z][a-zA-Z0-9+.\-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)),
+      '\.$', '') AS host
+  FROM psl_u
+),
+psl_lab AS (
+  SELECT doc_id, host, string_split(host, '.') AS labels,
+         len(string_split(host, '.')) AS nl
+  FROM psl_h
+),
+psl_sufs AS (
+  SELECT l.doc_id, l.host, l.nl, l.labels, i.i,
+         array_to_string(l.labels[l.nl - i.i + 1 : l.nl], '.') AS suf
+  FROM psl_lab l, (SELECT unnest(range(1, 9)) AS i) i
+  WHERE i.i <= least(l.nl, 8) AND l.host <> ''
+),
+psl_m AS (
+  SELECT s.doc_id, s.host, s.nl, s.labels,
+         greatest(1,
+           coalesce(max(CASE WHEN (k.flags & 1) <> 0
+                             THEN s.i END), 0),
+           coalesce(max(CASE WHEN (k.flags & 2) <> 0 AND s.nl > s.i
+                             THEN s.i + 1 END), 0)) AS ps_n,
+         max(CASE WHEN (k.flags & 4) <> 0 THEN s.i - 1 END) AS exc
+  FROM psl_sufs s LEFT JOIN psl_keyed k ON k.key = s.suf
+  GROUP BY s.doc_id, s.host, s.nl, s.labels
+),
+psl_dom AS (
+  SELECT doc_id, host,
+    CASE WHEN nl > coalesce(exc, ps_n)
+         THEN array_to_string(
+           labels[nl - coalesce(exc, ps_n) : nl], '.') END AS psl_d,
+    CASE WHEN nl <= 1 THEN host
+         WHEN nl >= 3 AND list_contains(
+             ['co.uk'],
+             labels[-2] || '.' || labels[-1])
+           THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+         ELSE labels[-2] || '.' || labels[-1] END AS heur_d
+  FROM psl_m
+),
+psl_section AS (
+  SELECT 'psl' AS section,
+         coalesce(psl_d, '-') || '|' || heur_d AS key,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT host) AS BIGINT) AS n_kept,
+         md5(string_agg(DISTINCT host, ',' ORDER BY host)) AS kept_fp
+  FROM psl_dom
+  GROUP BY 1, 2
 )
 SELECT * FROM lang_section
 UNION ALL
 SELECT * FROM domain_section
+UNION ALL
+SELECT * FROM psl_section
 """
 
 
@@ -303,123 +385,21 @@ def lang_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", F.col("dom"), F.col("tld")).alias("key"),
         "n_docs", "n_kept", "kept_fp",
     )
-    return lang_section.unionByName(domain_section)
+    # psl section (r12): exact PSL registrable domains next to the
+    # heuristic — VERDICT r11 item 3 under the same oracle row. A third
+    # of the minted hosts land under a planted *.example.org wildcard
+    # (the *.github.io shape): the heuristic collapses them all to
+    # 'example.org' while the PSL keeps every srcN.example.org a
+    # distinct registrable domain — exactly the over-merge that
+    # distorts per-domain caps — and !src3.example.org exercises the
+    # exception path. The DuckDB side re-implements the full
+    # publicsuffix.org longest-match/wildcard/exception algorithm in
+    # SQL; the Spark side is registrable_domain_psl's one-row broadcast
+    # suffix-bitmask map (functions/urls.py — map-side, no corpus
+    # shuffle).
+    from ..functions.urls import registrable_domain_psl, url_host
 
-
-# ---------------------------------------------------------------------------
-# Exact PSL registrable domains (r12) — the heuristic's precision upgrade
-# ---------------------------------------------------------------------------
-
-# the planted PSL rule set: normal suffixes, a wildcard over
-# example.org (the *.github.io shape the heuristic over-merges), and
-# an exception carving src3.example.org back out of that wildcard
-_PSL_RULES = (
-    "com", "org", "uk", "co.uk",
-    "*.example.org", "!src3.example.org",
-)
-
-_PSL_ORACLE = r"""
-WITH rules(rule) AS (VALUES
-  ('com'), ('org'), ('uk'), ('co.uk'),
-  ('*.example.org'), ('!src3.example.org')),
-prep AS (
-  SELECT CASE WHEN rule LIKE '!%' THEN 4
-              WHEN rule LIKE '*.%' THEN 2 ELSE 1 END AS flag,
-         regexp_replace(rule, '^(!|\*\.)', '') AS key
-  FROM rules
-),
-keyed AS (SELECT key, bit_or(flag) AS flags FROM prep GROUP BY key),
-u AS (
-  SELECT doc_id,
-    'https://'
-    || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
-    || source || '.example'
-    || (CASE WHEN doc_id % 3 = 0 THEN '.org'
-             WHEN doc_id % 3 = 1 THEN '.com' ELSE '.co.uk' END)
-    || '/d/' || CAST(doc_id AS VARCHAR) AS url
-  FROM documents
-),
-h AS (
-  SELECT doc_id,
-    regexp_replace(
-      lower(regexp_extract(
-        url, '^[a-zA-Z][a-zA-Z0-9+.\-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)),
-      '\.$', '') AS host
-  FROM u
-),
-lab AS (
-  SELECT doc_id, host, string_split(host, '.') AS labels,
-         len(string_split(host, '.')) AS nl
-  FROM h
-),
-sufs AS (
-  SELECT l.doc_id, l.host, l.nl, l.labels, i.i,
-         array_to_string(l.labels[l.nl - i.i + 1 : l.nl], '.') AS suf
-  FROM lab l, (SELECT unnest(range(1, 9)) AS i) i
-  WHERE i.i <= least(l.nl, 8) AND l.host <> ''
-),
-m AS (
-  SELECT s.doc_id, s.host, s.nl, s.labels,
-         greatest(1,
-           coalesce(max(CASE WHEN (k.flags & 1) <> 0
-                             THEN s.i END), 0),
-           coalesce(max(CASE WHEN (k.flags & 2) <> 0 AND s.nl > s.i
-                             THEN s.i + 1 END), 0)) AS ps_n,
-         max(CASE WHEN (k.flags & 4) <> 0 THEN s.i - 1 END) AS exc
-  FROM sufs s LEFT JOIN keyed k ON k.key = s.suf
-  GROUP BY s.doc_id, s.host, s.nl, s.labels
-),
-dom AS (
-  SELECT doc_id, host,
-    CASE WHEN nl > coalesce(exc, ps_n)
-         THEN array_to_string(
-           labels[nl - coalesce(exc, ps_n) : nl], '.') END AS psl_dom,
-    CASE WHEN nl <= 1 THEN host
-         WHEN nl >= 3 AND list_contains(
-             ['co.uk'],
-             labels[-2] || '.' || labels[-1])
-           THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
-         ELSE labels[-2] || '.' || labels[-1] END AS heur_dom
-  FROM m
-)
-SELECT coalesce(psl_dom, '-') AS psl_dom,
-       heur_dom,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
-       md5(string_agg(DISTINCT host, ',' ORDER BY host)) AS host_fp
-FROM dom
-GROUP BY 1, 2
-"""
-
-
-@query("psl_registrable_domains", oracle=_PSL_ORACLE)
-def psl_registrable_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact registrable domains via a Public Suffix List broadcast
-    join (functions/urls.py ``registrable_domain_psl``) next to the
-    heuristic, per-domain counts + sorted-host fingerprints — VERDICT
-    r11 item 3 under the DuckDB oracle, which re-implements the full
-    publicsuffix.org longest-match/wildcard/exception algorithm in SQL.
-
-    Documents rows mint deterministic URLs where one third of hosts
-    land under a planted ``*.example.org`` wildcard (the
-    ``*.github.io`` shape): the heuristic collapses them all to
-    ``example.org`` while the PSL keeps every ``srcN.example.org`` a
-    distinct registrable domain — exactly the over-merge that distorts
-    per-domain caps — and ``!src3.example.org`` exercises the
-    exception path.
-
-    Plan: the rule relation folds to one broadcast map row; the corpus
-    side is pure map-side Column math (no shuffle until the final
-    bounded per-domain aggregate)."""
-    from ..functions.urls import (
-        registrable_domain,
-        registrable_domain_psl,
-        url_host,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    did = F.col("doc_id")
-    url = F.concat(
+    psl_url = F.concat(
         F.lit("https://"),
         F.when(did % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
         F.col("source"), F.lit(".example"),
@@ -427,21 +407,28 @@ def psl_registrable_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(did % 3 == 1, F.lit(".com")).otherwise(F.lit(".co.uk")),
         F.lit("/d/"), did.cast("string"),
     )
-    with_url = docs.select(did.alias("doc_id"), url.alias("url"))
-    psl = spark.createDataFrame([(r,) for r in _PSL_RULES],
-                                "rule string")
-    parsed = registrable_domain_psl(
-        with_url.withColumn("host", url_host(F.col("url")))
+    psl_rules = spark.createDataFrame(
+        [(r,) for r in _PSL_RULES], "rule string")
+    psl_parsed = registrable_domain_psl(
+        docs.select(did.alias("doc_id"), psl_url.alias("url"))
+        .withColumn("host", url_host(F.col("url")))
         .withColumn("heur_dom", registrable_domain(F.col("url"))),
-        psl,
+        psl_rules,
     )
-    return parsed.groupBy(
-        F.coalesce(F.col("registrable_domain_psl"), F.lit("-"))
-        .alias("psl_dom"),
-        F.col("heur_dom"),
+    psl_section = psl_parsed.groupBy(
+        F.concat_ws(
+            "|",
+            F.coalesce(F.col("registrable_domain_psl"), F.lit("-")),
+            F.col("heur_dom"),
+        ).alias("key"),
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.countDistinct("host").cast("long").alias("n_hosts"),
+        F.countDistinct("host").cast("long").alias("n_kept"),
         F.md5(F.concat_ws(",", F.array_sort(F.collect_set("host"))))
-        .alias("host_fp"),
+        .alias("kept_fp"),
+    ).select(
+        F.lit("psl").alias("section"), "key",
+        "n_docs", "n_kept", "kept_fp",
     )
+    return lang_section.unionByName(domain_section) \
+        .unionByName(psl_section)
