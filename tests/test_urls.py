@@ -231,3 +231,30 @@ def test_registrable_domain_psl_plan_is_broadcast_only(spark):
     rule_side = plan.count("Exchange SinglePartition") \
         + plan.count("Exchange hashpartitioning(key")
     assert non_broadcast == rule_side
+
+
+def test_url_normalize_canonicalization(spark):
+    """r12: URL-keyed dedup canonicalization — tracking params out,
+    remaining params sorted, default ports/fragments dropped, host
+    case-folded, path case preserved, non-URLs pass through."""
+    cases = {
+        1: ("HTTP://Site.com/a?utm_source=x&b=2&a=1#frag",
+            "http://site.com/a?a=1&b=2"),
+        2: ("http://site.com:80/a?b=2&a=1", "http://site.com/a?a=1&b=2"),
+        3: ("https://site.com:443/x", "https://site.com/x"),
+        4: ("https://site.com:8443/x", "https://site.com:8443/x"),
+        5: ("https://site.com", "https://site.com/"),
+        6: ("https://site.com/?fbclid=abc&gclid=1", "https://site.com/"),
+        7: ("https://u:p@Site.com/P/Q?utm_campaign=z",
+            "https://site.com/P/Q"),
+        8: ("not a url", "not a url"),
+        9: ("ftp://Host.org:21/f", "ftp://host.org:21/f"),  # non-http port kept
+    }
+    df = spark.createDataFrame([(k, v[0]) for k, v in cases.items()],
+                               "i long, url string")
+    got = {r["i"]: r["c"] for r in df.select(
+        "i", U.url_normalize(F.col("url")).alias("c")).collect()}
+    for k, (_, want) in cases.items():
+        assert got[k] == want, (k, cases[k][0], got[k])
+    # the dedup win: the two crawl variants above collapse to one key
+    assert got[1] == got[2]

@@ -94,6 +94,67 @@ def registrable_domain(url: Column | str) -> Column:
     )
 
 
+# query parameters that carry tracking state, not content identity —
+# the standard strip set for crawl URL canonicalization (utm_* by
+# prefix, the rest exact)
+TRACKING_PARAM_PREFIXES = ("utm_",)
+TRACKING_PARAMS = (
+    "fbclid", "gclid", "gclsrc", "dclid", "msclkid", "mc_cid",
+    "mc_eid", "igshid", "yclid", "twclid", "ref_src", "spm",
+)
+
+_QUERY_RE = r"\?([^#]*)"
+_PORT_DEFAULTS = (("http", "80"), ("https", "443"))
+
+
+def url_normalize(url: Column | str) -> Column:
+    """Canonical URL for URL-keyed dedup: lower-cased scheme and host
+    (path case preserved — it is significant), userinfo kept out of the
+    host (it stays in the original column; the canonical form drops
+    it), default ports stripped (``http:80`` / ``https:443``), the
+    fragment dropped, tracking query parameters removed (``utm_*`` by
+    prefix plus the exact :data:`TRACKING_PARAMS` set), remaining
+    parameters SORTED bytewise, ``?`` dropped when the query empties,
+    and a bare-authority empty path canonicalized to ``/``. Everything
+    is Column math (split/filter/array_sort/concat) — zero Python —
+    and each step is replayable in ANSI SQL for the oracle.
+
+    Two crawls of ``HTTP://Site.com/a?utm_source=x&b=2&a=1#frag`` and
+    ``http://site.com:80/a?a=1&b=2`` collapse to the same key — the
+    dedup win this exists for. Non-URL rows (no ``scheme://``) pass
+    through unchanged so the column stays total."""
+    scheme = url_scheme(url)
+    host = url_host(url)
+    path = url_path(url)
+    query = F.regexp_extract(url, _QUERY_RE, 1)
+    port = F.regexp_extract(
+        url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(?:[^/@?#]*@)?[^/:?#]+:(\d+)",
+        1)
+    keep_port = port != ""
+    for sch, dflt in _PORT_DEFAULTS:
+        keep_port = keep_port & ~((scheme == sch) & (port == dflt))
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~F.exists(
+            F.array(*[F.lit(t) for t in TRACKING_PARAMS]),
+            lambda t: F.split(p, "=")[0] == t,
+        ) & ~F.exists(
+            F.array(*[F.lit(t) for t in TRACKING_PARAM_PREFIXES]),
+            lambda t: F.split(p, "=")[0].startswith(t),
+        ),
+    )
+    canon_query = F.concat_ws("&", F.array_sort(params))
+    canon = F.concat(
+        scheme, F.lit("://"), host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        F.when(path == "", F.lit("/")).otherwise(path),
+        F.when(canon_query != "",
+               F.concat(F.lit("?"), canon_query)).otherwise(F.lit("")),
+    )
+    return F.when(host == "", url if isinstance(url, Column)
+                  else F.col(url)).otherwise(canon)
+
+
 # hosts deeper than this many labels still match a blocklist entry on
 # their trailing 8 labels — deeper-than-8 subdomain chains are
 # vanishingly rare and an entry that deep is not a sane blocklist line
