@@ -213,3 +213,37 @@ def test_raise_mode_propagates_image_errors(spark):
                                   "doc_id long, payload binary")
     with pytest.raises(Exception):
         P.pdf_images(blobs, errors="raise").collect()
+
+
+def test_corpus_pdf_to_images_composition(spark):
+    """corpus.pdf_to_images: PDF figures land in the standard image
+    payload shape and dedup_images collapses re-used figures."""
+    from youtube_api_data_etl_automation_spark.corpus import pdf_to_images
+    from youtube_api_data_etl_automation_spark.operators.imagehash import (
+        image_hashes,
+    )
+
+    px = rgb_pixels(8, 8, seed=41)
+    body = img_obj(
+        b"/Width 8 /Height 8 /ColorSpace /DeviceRGB "
+        b"/BitsPerComponent 8 /Filter /FlateDecode ",
+        zlib.compress(px.tobytes()))
+    # the same figure embedded in two different documents (the
+    # cover-image-reuse shape near-dup hunting wants to catch)
+    doc_a = pdf_with_images([(b"Fig", body)])
+    doc_b = pdf_with_images([(b"Cover", body),
+                             (b"Jpx", img_obj(
+                                 b"/Width 2 /Height 2 /Filter "
+                                 b"/JPXDecode ", b"\x00"))])
+    blobs = spark.createDataFrame(
+        [(1, bytearray(doc_a)), (2, bytearray(doc_b)),
+         (3, bytearray(b"broken"))],
+        "doc_id long, payload binary")
+    images = pdf_to_images(blobs)
+    rows = images.collect()
+    # refused image + broken doc dropped; two good figures remain
+    assert len(rows) == 2
+    assert {r["source"] for r in rows} == {"0/Fig", "0/Cover"}
+    assert len({r["doc_id"] for r in rows}) == 2  # distinct stable ids
+    hashes = image_hashes(images, errors="quarantine").collect()
+    assert len({(h["dhash"], h["ahash"]) for h in hashes}) == 1

@@ -258,3 +258,82 @@ def test_url_normalize_canonicalization(spark):
         assert got[k] == want, (k, cases[k][0], got[k])
     # the dedup win: the two crawl variants above collapse to one key
     assert got[1] == got[2]
+
+
+def _psl_reference(host, rules):
+    """Independent pure-Python publicsuffix.org algorithm (the spec's
+    own wording: collect matching rules with * consuming exactly one
+    label, exceptions win, else longest; default rule '*'; registrable
+    domain = public suffix + 1 label)."""
+    if not host:
+        return None
+    labels = host.split(".")
+
+    def rule_matches(rule_labels):
+        if len(rule_labels) > len(labels):
+            return False
+        for rl, hl in zip(reversed(rule_labels), reversed(labels)):
+            if rl != "*" and rl != hl:
+                return False
+        return True
+
+    exception = None
+    prevailing = ["*"]  # the default rule
+    for raw in rules:
+        raw = raw.strip().lower()
+        if not raw or raw.startswith("//"):
+            continue
+        is_exc = raw.startswith("!")
+        rl = (raw[1:] if is_exc else raw).split(".")
+        if not rule_matches(rl):
+            continue
+        if is_exc:
+            if exception is None or len(rl) > len(exception):
+                exception = rl
+        elif len(rl) > len(prevailing):
+            prevailing = rl
+    if exception is not None:
+        ps_len = len(exception) - 1
+    else:
+        ps_len = len(prevailing)
+    if len(labels) <= ps_len:
+        return None
+    return ".".join(labels[-(ps_len + 1):])
+
+
+def test_registrable_domain_psl_random_differential(spark):
+    """Seeded random hosts x random rule set vs the independent
+    reference implementation — one Spark pass over ~400 cases."""
+    import random
+
+    rng = random.Random(1234)
+    atoms = ["com", "org", "net", "uk", "co", "io", "app", "dev",
+             "example", "site", "blog", "kobe", "jp", "x", "y"]
+    rules = ["com", "org", "uk", "co.uk", "jp", "io"]
+    for _ in range(14):
+        depth = rng.randint(1, 3)
+        base = ".".join(rng.choice(atoms) for _ in range(depth))
+        kind = rng.random()
+        if kind < 0.25:
+            rules.append("*." + base)
+        elif kind < 0.4:
+            rules.append("!" + rng.choice(atoms) + "." + base)
+        else:
+            rules.append(base)
+    hosts = []
+    for _ in range(400):
+        depth = rng.randint(1, 6)
+        hosts.append(".".join(rng.choice(atoms) for _ in range(depth)))
+
+    df = spark.createDataFrame(
+        [(i, f"https://{h}/p") for i, h in enumerate(hosts)],
+        "i long, url string")
+    psl = spark.createDataFrame([(r,) for r in rules], "rule string")
+    got = {r["i"]: r["registrable_domain_psl"]
+           for r in U.registrable_domain_psl(df, psl).collect()}
+    mismatches = []
+    for i, h in enumerate(hosts):
+        want = _psl_reference(h, rules)
+        if got[i] != want:
+            mismatches.append((h, got[i], want))
+    assert not mismatches, mismatches[:10]

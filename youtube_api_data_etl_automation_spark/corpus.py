@@ -458,6 +458,35 @@ def pdf_to_documents(
     )
 
 
+def pdf_to_images(
+    payloads: DataFrame,
+    *,
+    inflate_budget: int | None = None,
+) -> DataFrame:
+    """PDF payload table → standard image-payload rows ``(doc_id,
+    payload, source)`` — the figure-ingestion composition (r12): each
+    document's image XObjects extract in-partition
+    (:func:`operators.pdf.pdf_images` — DCTDecode streams pass through
+    as standalone JPEGs, decodable chains unpack to PNM) and land in
+    the shape every image operator consumes, so PDF figures flow into
+    ``image_hashes`` / ``dedup_images`` / ``triage_decode_images``
+    exactly like archive members do via ``members_as_payloads``.
+    Refused images (JPX/JBIG2/CCITT, masks) and malformed documents
+    drop here — run pdf_images(errors='quarantine') directly when the
+    quarantine population matters. ``doc_id`` is xxhash64 over
+    (document id, page, image index) — stable across re-ingestion;
+    ``source`` carries ``page/XObject-name`` provenance. One
+    mapInPandas plus a projection, no shuffle."""
+    from .operators.pdf import (
+        PDF_INFLATE_BUDGET, pdf_images, pdf_images_as_payloads,
+    )
+
+    return pdf_images_as_payloads(pdf_images(
+        payloads, errors="quarantine",
+        inflate_budget=inflate_budget or PDF_INFLATE_BUDGET,
+    ))
+
+
 def docx_to_documents(
     payloads: DataFrame,
     *,
