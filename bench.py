@@ -129,9 +129,9 @@ SECTIONS: dict[str, tuple[str, list[str]]] = {
     # r10: the codec golden section (fixed ~43-payload fixture decode)
     # vs the sf-scaled ASCII frame plumbing
     "multimodal_frame_features": ("section", ["frames", "codec"]),
-    # r12: the psl section (exact PSL registrable domains) joined the
-    # lang-cap row — three sections, observable separately
-    "lang_cap_docs": ("section", ["lang_cap", "domains", "psl"]),
+    # r12: the psl (exact PSL registrable domains) and canon
+    # (url_normalize) sections joined the lang-cap row
+    "lang_cap_docs": ("section", ["lang_cap", "domains", "psl", "canon"]),
 }
 
 

@@ -304,12 +304,88 @@ psl_section AS (
          md5(string_agg(DISTINCT host, ',' ORDER BY host)) AS kept_fp
   FROM psl_dom
   GROUP BY 1, 2
+),
+canon_u AS (
+  SELECT doc_id,
+    'https://'
+    || (CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END)
+    || '.example.com'
+    || (CASE WHEN doc_id % 4 = 0 THEN ':443'
+             WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END)
+    || '/P/' || CAST(doc_id AS VARCHAR)
+    || (CASE WHEN doc_id % 3 = 0
+             THEN '?utm_source=x&b=' || CAST(doc_id % 7 AS VARCHAR)
+                  || '&a=1'
+             WHEN doc_id % 3 = 1
+             THEN '?a=1&b=' || CAST(doc_id % 7 AS VARCHAR)
+             ELSE '' END)
+    || (CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END) AS url
+  FROM documents
+),
+canon_parts AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.\-]*)://', 1))
+      AS scheme,
+    regexp_replace(
+      lower(regexp_extract(
+        url, '^[a-zA-Z][a-zA-Z0-9+.\-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)),
+      '\.$', '') AS host,
+    regexp_extract(
+      url, '^[a-zA-Z][a-zA-Z0-9+.\-]*://(?:[^/@?#]*@)?[^/:?#]+:(\d+)',
+      1) AS port,
+    regexp_extract(
+      url, '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*(/[^?#]*)', 1) AS path,
+    regexp_extract(url, '\?([^#]*)', 1) AS q
+  FROM canon_u
+),
+canon_c AS (
+  SELECT doc_id,
+    scheme || '://' || host
+    || (CASE WHEN port <> ''
+              AND NOT (scheme = 'http' AND port = '80')
+              AND NOT (scheme = 'https' AND port = '443')
+             THEN ':' || port ELSE '' END)
+    || (CASE WHEN path = '' THEN '/' ELSE path END)
+    || (CASE WHEN array_to_string(list_sort(list_filter(
+               string_split(q, '&'),
+               p -> p <> ''
+                    AND NOT list_contains(
+                      ['fbclid', 'gclid', 'gclsrc', 'dclid', 'msclkid',
+                       'mc_cid', 'mc_eid', 'igshid', 'yclid', 'twclid',
+                       'ref_src', 'spm'],
+                      string_split(p, '=')[1])
+                    AND NOT starts_with(string_split(p, '=')[1],
+                                        'utm_'))), '&') <> ''
+             THEN '?' || array_to_string(list_sort(list_filter(
+               string_split(q, '&'),
+               p -> p <> ''
+                    AND NOT list_contains(
+                      ['fbclid', 'gclid', 'gclsrc', 'dclid', 'msclkid',
+                       'mc_cid', 'mc_eid', 'igshid', 'yclid', 'twclid',
+                       'ref_src', 'spm'],
+                      string_split(p, '=')[1])
+                    AND NOT starts_with(string_split(p, '=')[1],
+                                        'utm_'))), '&')
+             ELSE '' END) AS canon
+  FROM canon_parts
+),
+canon_section AS (
+  SELECT 'canon' AS section,
+         CAST(doc_id % 3 AS VARCHAR) || '|'
+           || CAST(doc_id % 4 AS VARCHAR) AS key,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_kept,
+         md5(string_agg(DISTINCT canon, ',' ORDER BY canon)) AS kept_fp
+  FROM canon_c
+  GROUP BY 1, 2
 )
 SELECT * FROM lang_section
 UNION ALL
 SELECT * FROM domain_section
 UNION ALL
 SELECT * FROM psl_section
+UNION ALL
+SELECT * FROM canon_section
 """
 
 
@@ -430,5 +506,48 @@ def lang_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("psl").alias("section"), "key",
         "n_docs", "n_kept", "kept_fp",
     )
+    # canon section (r12): url_normalize under the oracle — URLs minted
+    # with tracking params, default/non-default ports, fragments, and
+    # host-case variants; both engines canonicalize (strip trackers,
+    # sort params, drop :443/#frag, case-fold host) and fingerprint the
+    # distinct canonical set per (query-shape, port-shape) bucket.
+    from ..functions.urls import url_normalize
+
+    canon_url = F.concat(
+        F.lit("https://"),
+        F.when(did % 5 == 0, F.upper(F.col("source")))
+        .otherwise(F.col("source")),
+        F.lit(".example.com"),
+        F.when(did % 4 == 0, F.lit(":443"))
+        .when(did % 4 == 1, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/P/"), did.cast("string"),
+        F.when(did % 3 == 0,
+               F.concat(F.lit("?utm_source=x&b="),
+                        (did % 7).cast("string"), F.lit("&a=1")))
+        .when(did % 3 == 1,
+              F.concat(F.lit("?a=1&b="), (did % 7).cast("string")))
+        .otherwise(F.lit("")),
+        F.when(did % 2 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    canon_section = (
+        docs.select(
+            did.alias("doc_id"),
+            url_normalize(canon_url).alias("canon"),
+        )
+        .groupBy(
+            F.concat_ws(
+                "|", (F.col("doc_id") % 3).cast("string"),
+                (F.col("doc_id") % 4).cast("string"),
+            ).alias("key"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("canon").cast("long").alias("n_kept"),
+            F.md5(F.concat_ws(",", F.array_sort(F.collect_set("canon"))))
+            .alias("kept_fp"),
+        )
+        .select(F.lit("canon").alias("section"), "key",
+                "n_docs", "n_kept", "kept_fp")
+    )
     return lang_section.unionByName(domain_section) \
-        .unionByName(psl_section)
+        .unionByName(psl_section).unionByName(canon_section)
