@@ -407,7 +407,16 @@ def lang_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     trailing dots, ports, and ccSLD suffixes; url_host /
     registrable_domain / url_tld reduce them to per-domain counts and a
     sorted-host fingerprint the DuckDB oracle re-derives with its own
-    string ops — the provenance key the domain cap runs on for real."""
+    string ops — the provenance key the domain cap runs on for real.
+
+    ``psl`` (r12) — exact PSL registrable domains next to the heuristic
+    (registrable_domain_psl's broadcast suffix-bitmask map; the oracle
+    re-implements the full publicsuffix.org longest-match/wildcard/
+    exception algorithm in SQL). ``canon`` (r12) — url_normalize
+    crawl-URL canonicalization under the oracle: tracking params
+    stripped, remaining params sorted, default ports and fragments
+    dropped; the DuckDB side re-derives the same canonical form with
+    its own list_filter/list_sort lambdas."""
     from ..functions.urls import registrable_domain, url_host, url_tld
 
     docs = load_table(spark, sf_dir, "documents")
