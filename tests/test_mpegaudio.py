@@ -646,6 +646,12 @@ def test_l2_table_selection():
     assert len(t(48, 1, 44100)) == 8    # low rate, 44.1 -> c
     assert len(t(48, 1, 32000)) == 12   # low rate, 32k -> d
     assert len(t(64, 2, 48000)) == 8    # stereo 64 total -> low rate
+    # r12 review fix: boundaries are PER CHANNEL — stereo 96 total is
+    # 48/ch, still a LOW-rate stream (tables c/d), and 112 total is
+    # 56/ch, the first mid-rate stereo point
+    assert len(t(96, 2, 44100)) == 8
+    assert len(t(96, 2, 32000)) == 12
+    assert len(t(112, 2, 48000)) == 27
     assert len(t(160, 2, 44100)) == 27  # stereo 80/ch -> a
     assert len(t(192, 2, 44100)) == 30  # stereo 96/ch -> b
     # nbal layout of the high table
@@ -910,3 +916,26 @@ def test_l2_triage_decode_audio_routes(spark):
     rate, sb = mpegaudio.decode_layer2(l2)
     assert r["rms"] == pytest.approx(
         float(np.sqrt(np.square(sb).mean())))
+
+
+def test_l2_stereo_96_low_rate_roundtrip():
+    """r12 review fix regression: stereo 96 kbit total = 48 kbit per
+    channel — a LOW-rate stream on table c; decoding it with the
+    27-subband table would desync the whole frame."""
+    table = _l2_table_rows(96, 2, 44100)
+    assert len(table) == 8
+    alloc = [3] * 8 + [0] * 24  # steps=9
+    g = _l2_sine(36, 2, alloc, table, seed=31)
+    payload, sf_idx = _frame_l2(g, rate=44100, bitrate=96,
+                                alloc_idx=alloc, scfsi_all=2)
+    rate, out = mpegaudio.decode_layer2(payload)
+    assert rate == 44100 and out.shape == (36, 2, 32)
+    for sb in range(8):
+        for ch in range(2):
+            for part in range(3):
+                sf = _SF[sf_idx[(ch, sb)][part]]
+                step = abs(_l2_value(1, sf, 9) - _l2_value(0, sf, 9))
+                seg = slice(part * 12, (part + 1) * 12)
+                err = np.abs(out[seg, ch, sb] - g[seg, ch, sb]).max()
+                assert err <= step * 0.5001 + 1e-12
+    assert (out[:, :, 8:] == 0).all()

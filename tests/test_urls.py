@@ -249,6 +249,13 @@ def test_url_normalize_canonicalization(spark):
             "https://site.com/P/Q"),
         8: ("not a url", "not a url"),
         9: ("ftp://Host.org:21/f", "ftp://host.org:21/f"),  # non-http port kept
+        # r12 review fixes: a '?' inside the fragment is NOT a query,
+        # and bracketed IPv6 authorities pass through untouched
+        10: ("http://app.com/#/route?tab=1", "http://app.com/"),
+        11: ("https://s.com/a#sec?x=1", "https://s.com/a"),
+        12: ("http://[fe80::1]/x", "http://[fe80::1]/x"),
+        13: ("http://[fe80::2]/x", "http://[fe80::2]/x"),
+        14: ("http://[::1]:8080/a", "http://[::1]:8080/a"),
     }
     df = spark.createDataFrame([(k, v[0]) for k, v in cases.items()],
                                "i long, url string")

@@ -636,6 +636,8 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
             (b"Jpx", img_obj(
                 b"/Width 2 /Height 2 /Filter /JPXDecode ", b"\x00\x01")),
         ]))
+    add(1906, "document_images", "pdf_no_images",
+        pdf_with_images([]))
     add(1905, "document_images", "pdf_images_truncated_corrupt",
         pdf_with_images([(b"Raw", img_obj(
             b"/Width 6 /Height 4 /ColorSpace /DeviceRGB "

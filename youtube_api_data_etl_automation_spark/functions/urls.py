@@ -103,7 +103,10 @@ TRACKING_PARAMS = (
     "mc_eid", "igshid", "yclid", "twclid", "ref_src", "spm",
 )
 
-_QUERY_RE = r"\?([^#]*)"
+# anchored to the pre-fragment prefix: a '?' that first appears inside
+# the fragment ('/#/route?tab=1') is NOT a query (r12 review fix)
+_QUERY_RE = r"^[^#?]*\?([^#]*)"
+_AUTHORITY_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)"
 _PORT_DEFAULTS = (("http", "80"), ("https", "443"))
 
 
@@ -121,8 +124,11 @@ def url_normalize(url: Column | str) -> Column:
 
     Two crawls of ``HTTP://Site.com/a?utm_source=x&b=2&a=1#frag`` and
     ``http://site.com:80/a?a=1&b=2`` collapse to the same key — the
-    dedup win this exists for. Non-URL rows (no ``scheme://``) pass
-    through unchanged so the column stays total."""
+    dedup win this exists for. Non-URL rows (no ``scheme://``) and
+    bracketed IPv6 authorities (``http://[::1]:8080/``, which the
+    host/port regexes cannot split — r12 review fix: corrupting them
+    would MERGE distinct hosts into one dedup key) pass through
+    unchanged so the column stays total and never invents collisions."""
     scheme = url_scheme(url)
     host = url_host(url)
     path = url_path(url)
@@ -151,8 +157,10 @@ def url_normalize(url: Column | str) -> Column:
         F.when(canon_query != "",
                F.concat(F.lit("?"), canon_query)).otherwise(F.lit("")),
     )
-    return F.when(host == "", url if isinstance(url, Column)
-                  else F.col(url)).otherwise(canon)
+    url_col = url if isinstance(url, Column) else F.col(url)
+    authority = F.regexp_extract(url, _AUTHORITY_RE, 1)
+    return F.when((host == "") | authority.contains("["), url_col) \
+        .otherwise(canon)
 
 
 # hosts deeper than this many labels still match a blocklist entry on

@@ -150,11 +150,14 @@ def _l2_table(bitrate_kbps: int, nch: int, rate: int):
     44.1/48 kHz) or 3-B.2d (12 subbands, 32 kHz); mid rates 3-B.2a
     (27 subbands); high rates 3-B.2b (30 subbands) except 48 kHz,
     which stays on 3-B.2a."""
+    # class boundaries are PER CHANNEL: <=48 low, 56-80 mid, 96+ high
+    # (2-channel modes halve the total — stereo 96 total = 48/ch is a
+    # LOW-rate stream, r12 review fix)
     if nch == 1:
         cls = 0 if bitrate_kbps <= 48 else 1 if bitrate_kbps <= 80 \
             else 2
     else:
-        cls = 0 if bitrate_kbps <= 64 else 1 if bitrate_kbps <= 160 \
+        cls = 0 if bitrate_kbps <= 96 else 1 if bitrate_kbps <= 160 \
             else 2
     if cls == 0:
         return _ROWS_LOW[: 12 if rate == 32000 else 8]

@@ -1456,20 +1456,22 @@ def _extract_one_image(doc: "_Doc", obj) -> tuple[str, int, int, bytes]:
     data = doc.stream_data(obj)
     if palette is not None:
         pal, hival = palette
-        expanded = bytearray()
         need = w * h
         if len(data) < need:
             raise ValueError(
                 "malformed PDF: Indexed image data shorter than "
                 "width*height"
             )
-        for idx in data[:need]:
-            if idx > hival:
-                raise ValueError(
-                    f"malformed PDF: palette index {idx} > hival {hival}"
-                )
-            expanded += pal[idx * ncomp: (idx + 1) * ncomp]
-        data = bytes(expanded)
+        idx_bytes = data[:need]
+        top = max(idx_bytes) if idx_bytes else 0
+        if top > hival:
+            raise ValueError(
+                f"malformed PDF: palette index {top} > hival {hival}"
+            )
+        # one range check + a table gather — no per-pixel Python loop
+        table = [pal[i * ncomp: (i + 1) * ncomp]
+                 for i in range(hival + 1)]
+        data = b"".join(map(table.__getitem__, idx_bytes))
     fmt, payload = _pnm_wrap(data, w, h, ncomp)
     return fmt, w, h, payload
 
@@ -1486,6 +1488,7 @@ def extract_pdf_images(payload: bytes,
 
     doc = _Doc(bytes(payload), inflate_budget)
     out: list[dict] = []
+    per_page_count: dict[int, int] = {}
 
     def walk(resources, page_idx, prefix, seen, depth):
         if depth > _PDF_FORM_DEPTH:
@@ -1514,11 +1517,12 @@ def extract_pdf_images(payload: bytes,
                 continue
             if subtype != "Image":
                 continue
-            row = {"page_idx": page_idx, "image_idx": len(
-                [r for r in out if r["page_idx"] == page_idx]),
-                "name": name, "format": None, "width": None,
-                "height": None, "payload": None,
-                "error": None, "error_kind": None}
+            image_idx = per_page_count.get(page_idx, 0)
+            per_page_count[page_idx] = image_idx + 1
+            row = {"page_idx": page_idx, "image_idx": image_idx,
+                   "name": name, "format": None, "width": None,
+                   "height": None, "payload": None,
+                   "error": None, "error_kind": None}
             try:
                 fmt, w, h, data = _extract_one_image(doc, obj)
             except DECODE_ERRORS as e:
@@ -1579,7 +1583,13 @@ def pdf_images(blobs: DataFrame, errors: str = "raise",
                     continue
                 for row in rows:
                     if row["error"] is not None and not quarantine:
-                        raise ValueError(row["error"])
+                        # preserve the exception CLASS so callers can
+                        # route 'unsupported' (codec-library work) apart
+                        # from 'corrupt' (r12 review fix)
+                        exc = NotImplementedError \
+                            if row["error_kind"] == "unsupported" \
+                            else ValueError
+                        raise exc(row["error"])
                     if row["payload"] is not None:
                         row = dict(row, payload=bytearray(row["payload"]))
                     emit(doc_id, row)

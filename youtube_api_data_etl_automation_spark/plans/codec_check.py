@@ -527,7 +527,7 @@ def codec_stats(spark: SparkSession,
 
     if "document_images" in by_family:
         pimg = pdf_images(by_family["document_images"], errors="quarantine")
-        pimgf = pimg.groupBy("doc_id").agg(
+        folded = pimg.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("n"),
             F.concat_ws("|", F.array_sort(F.collect_list(F.concat_ws(
                 ":",
@@ -542,12 +542,26 @@ def codec_stats(spark: SparkSession,
                 .otherwise(F.concat(F.lit("ERR:"),
                                     F.col("error_kind"))),
             )))).alias("imgs"),
-        ).select(
-            "doc_id",
-            F.lit("pdfimg").alias("fmt"),
-            F.lit(None).cast("int").alias("width"),
-            F.lit(None).cast("int").alias("height"),
-            F.format_string("%d,%s", F.col("n"), F.col("imgs")).alias("fp"),
+        )
+        # left-join from the payload list so a valid PDF with ZERO
+        # image XObjects still yields its one-row-per-payload
+        # fingerprint ('0,') instead of silently vanishing — an
+        # extraction regression that returns [] must flip the golden,
+        # not delete a row (r12 review fix)
+        pimgf = (
+            by_family["document_images"].select("doc_id")
+            .join(folded, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.lit("pdfimg").alias("fmt"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.format_string(
+                    "%d,%s",
+                    F.coalesce(F.col("n"), F.lit(0)),
+                    F.coalesce(F.col("imgs"), F.lit("")),
+                ).alias("fp"),
+            )
         )
         parts.append(pimgf)
 

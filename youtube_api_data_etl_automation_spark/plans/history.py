@@ -335,7 +335,7 @@ canon_parts AS (
       1) AS port,
     regexp_extract(
       url, '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*(/[^?#]*)', 1) AS path,
-    regexp_extract(url, '\?([^#]*)', 1) AS q
+    regexp_extract(url, '^[^#?]*\?([^#]*)', 1) AS q
   FROM canon_u
 ),
 canon_c AS (
