@@ -69,6 +69,14 @@ def test_vtt_header_metadata_lines_are_skipped():
     fmt, n, dur, text = S.parse_subtitles(
         b"WEBVTT\nKind: captions\nLanguage: en\n")
     assert (fmt, n, dur, text) == ("vtt", 0, 0.0, "")
+    # lenient writers omit the blank line after WEBVTT — the cue must
+    # not be swallowed as header (r12 review fix)
+    fmt, n, dur, text = S.parse_subtitles(
+        b"WEBVTT\n00:00:01.000 --> 00:00:02.000\nHi")
+    assert (fmt, n, dur, text) == ("vtt", 1, 2.0, "Hi")
+    fmt, n, dur, text = S.parse_subtitles(
+        b"WEBVTT\nKind: captions\n00:00:01.000 --> 00:00:02.000\nHi")
+    assert (fmt, n, dur, text) == ("vtt", 1, 2.0, "Hi")
 
 
 def test_refusals():

@@ -78,9 +78,12 @@ def parse_subtitles(payload: bytes,
         # Per the WebVTT spec, the WEBVTT signature line may be followed
         # by header metadata lines (YouTube emits 'Kind: captions' /
         # 'Language: en') — everything up to the first blank line is
-        # header, not cues.
+        # header, not cues. Lenient writers omit that blank line, so
+        # the scan also stops at the first cue timing line rather than
+        # swallowing the cues as header (r12 review fix).
         i = 1
-        while i < n and lines[i].strip():
+        while i < n and lines[i].strip() \
+                and not _CUE_RE.match(lines[i]):
             i += 1
     while i < n:
         line = lines[i]
