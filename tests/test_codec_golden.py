@@ -68,8 +68,8 @@ def test_fixture_is_committed_and_covers_all_families():
     # captions: SRT + tag-stripped VTT + plain-text + backwards-cue
     assert fams["subtitle"] == 4
     # pdf images (r12): flate+dct pair + indexed + form-nested +
-    # jpx-refusal + truncated-corrupt + zero-image document
-    assert fams["document_images"] == 6
+    # jpx-refusal + truncated-corrupt + zero-image + CMYK
+    assert fams["document_images"] == 7
 
 
 def test_codec_stats_match_golden(spark):
@@ -190,4 +190,4 @@ def test_codec_stats_from_foreign_cwd():
         env={k: v for k, v in __import__("os").environ.items()
              if k != "PYTHONPATH"},
     )
-    assert "CODEC_ROWS=154" in out.stdout, out.stderr[-2000:]
+    assert "CODEC_ROWS=155" in out.stdout, out.stderr[-2000:]

@@ -119,13 +119,13 @@ def test_per_image_refusals_leave_siblings_intact():
         (b"Deep", img_obj(
             b"/Width 2 /Height 2 /ColorSpace /DeviceGray "
             b"/BitsPerComponent 16 ", b"\x00" * 8)),
-        (b"Cmyk", img_obj(
-            b"/Width 1 /Height 1 /ColorSpace /DeviceCMYK "
-            b"/BitsPerComponent 8 ", b"\x00" * 4)),
+        (b"Lab", img_obj(
+            b"/Width 1 /Height 1 /ColorSpace /Lab "
+            b"/BitsPerComponent 8 ", b"\x00" * 3)),
     ])
     rows = {r["name"]: r for r in P.extract_pdf_images(doc)}
     assert rows["Ok"]["error"] is None
-    for name in ("Jpx", "Jb2", "Fax", "Mask", "Deep", "Cmyk"):
+    for name in ("Jpx", "Jb2", "Fax", "Mask", "Deep", "Lab"):
         assert rows[name]["error_kind"] == "unsupported", name
         assert rows[name]["payload"] is None
     # short sample data is corrupt, not unsupported
@@ -247,3 +247,33 @@ def test_corpus_pdf_to_images_composition(spark):
     assert len({r["doc_id"] for r in rows}) == 2  # distinct stable ids
     hashes = image_hashes(images, errors="quarantine").collect()
     assert len({(h["dhash"], h["ahash"]) for h in hashes}) == 1
+
+
+def test_devicecmyk_converts_to_rgb_ppm():
+    """r12: DeviceCMYK unpacks via the naive device transform —
+    r = (255-C)(255-K)/255 — so print-oriented PDF figures reach the
+    image pipeline instead of refusing."""
+    # hand-picked CMYK pixels with hand-computed RGB expectations
+    cmyk = bytes([
+        0, 0, 0, 0,          # white        -> 255,255,255
+        255, 0, 0, 0,        # pure cyan    -> 0,255,255
+        0, 255, 0, 0,        # pure magenta -> 255,0,255
+        0, 0, 255, 0,        # pure yellow  -> 255,255,0
+        0, 0, 0, 255,        # pure black   -> 0,0,0
+        51, 102, 153, 51,    # mixed: (204*204/255, 153*204/255, 102*204/255)
+    ])
+    expect = bytes([
+        255, 255, 255,
+        0, 255, 255,
+        255, 0, 255,
+        255, 255, 0,
+        0, 0, 0,
+        163, 122, 81,  # floor divisions
+    ])
+    doc = pdf_with_images([(b"C", img_obj(
+        b"/Width 3 /Height 2 /ColorSpace /DeviceCMYK "
+        b"/BitsPerComponent 8 ", cmyk))])
+    (r,) = P.extract_pdf_images(doc)
+    assert r["error"] is None
+    assert (r["format"], r["width"], r["height"]) == ("ppm", 3, 2)
+    assert r["payload"] == b"P6\n3 2\n255\n" + expect

@@ -638,6 +638,12 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
         ]))
     add(1906, "document_images", "pdf_no_images",
         pdf_with_images([]))
+    _cmyk_px = bytes([0, 0, 0, 0, 255, 0, 0, 0, 0, 255, 0, 0,
+                      0, 0, 255, 0, 0, 0, 0, 255, 51, 102, 153, 51])
+    add(1907, "document_images", "pdf_devicecmyk_rgb",
+        pdf_with_images([(b"C", img_obj(
+            b"/Width 3 /Height 2 /ColorSpace /DeviceCMYK "
+            b"/BitsPerComponent 8 ", _cmyk_px))]))
     add(1905, "document_images", "pdf_images_truncated_corrupt",
         pdf_with_images([(b"Raw", img_obj(
             b"/Width 6 /Height 4 /ColorSpace /DeviceRGB "

@@ -1316,10 +1316,11 @@ def _image_colorspace(doc: "_Doc", cs):
     """Resolve an image /ColorSpace → ``(ncomp, palette)`` where
     ``palette`` is ``None`` for direct spaces or ``(bytes, base_ncomp)``
     for /Indexed. Supported: DeviceRGB/CalRGB (3), DeviceGray/CalGray
-    (1), ICCBased with /N 1 or 3 (treated as the device twin — the ICC
-    profile only affects color rendering, not sample layout), and
-    Indexed over any of those. Everything else (Separation, Lab,
-    DeviceN, DeviceCMYK) refuses honestly."""
+    (1), DeviceCMYK (4 — converted to RGB via the naive device
+    transform, r12), ICCBased with /N 1, 3, or 4 (treated as the
+    device twin — the ICC profile only affects color rendering, not
+    sample layout), and Indexed over any of those. Everything else
+    (Separation, Lab, DeviceN) refuses honestly."""
     cs = doc.resolve(cs)
     if isinstance(cs, str):
         s = str(cs)
@@ -1327,6 +1328,8 @@ def _image_colorspace(doc: "_Doc", cs):
             return 3, None
         if s in ("DeviceGray", "CalGray"):
             return 1, None
+        if s == "DeviceCMYK":
+            return 4, None
         raise NotImplementedError(
             f"PDF image color space /{s} needs a color-management "
             "transform; route to a codec-library executor image"
@@ -1342,9 +1345,11 @@ def _image_colorspace(doc: "_Doc", cs):
                 return 3, None
             if n == 1:
                 return 1, None
+            if n == 4:
+                return 4, None
             raise NotImplementedError(
                 f"PDF ICCBased color space with N={n!r} is not a "
-                "grey/RGB layout"
+                "grey/RGB/CMYK layout"
             )
         if head == "Indexed" and len(cs) == 4:
             base_n, base_pal = _image_colorspace(doc, cs[1])
@@ -1472,6 +1477,25 @@ def _extract_one_image(doc: "_Doc", obj) -> tuple[str, int, int, bytes]:
         table = [pal[i * ncomp: (i + 1) * ncomp]
                  for i in range(hival + 1)]
         data = b"".join(map(table.__getitem__, idx_bytes))
+    if ncomp == 4:
+        # naive DeviceCMYK -> RGB (the PDF spec's device transform,
+        # 8-bit integer form): r = (255-C)(255-K)/255, likewise g/b —
+        # vectorized, no per-pixel Python
+        import numpy as np
+
+        need = w * h * 4
+        if len(data) < need:
+            raise ValueError(
+                f"malformed PDF: image data holds {len(data)} bytes, "
+                f"needs {need} for {w}x{h}x4"
+            )
+        cmyk = np.frombuffer(data[:need], dtype=np.uint8) \
+            .reshape(-1, 4).astype(np.uint16)
+        inv_k = 255 - cmyk[:, 3]
+        rgb = ((255 - cmyk[:, :3]) * inv_k[:, None] // 255) \
+            .astype(np.uint8)
+        data = rgb.tobytes()
+        ncomp = 3
     fmt, payload = _pnm_wrap(data, w, h, ncomp)
     return fmt, w, h, payload
 
