@@ -1,0 +1,237 @@
+"""robots.txt parsing and REP allow/deny evaluation — crawl-corpus
+provenance compliance, JVM-side.
+
+A training-data pipeline built on crawl data needs to answer "was this
+URL crawlable for agent X?" retroactively — per-host robots.txt
+snapshots ride next to the corpus and opt-outs must be honored at
+curation time, not just at crawl time. This module implements the
+Robots Exclusion Protocol (RFC 9309 / the public Google REP draft
+semantics) as DataFrame ops:
+
+- :func:`parse_robots` — per-host robots.txt payloads → one row per
+  directive with RFC group structure recovered (consecutive
+  ``User-agent`` lines share the following rules; comments stripped;
+  unknown lines ignored). Pure Column math over ``posexplode`` +
+  windows — the only shuffle keys on ``host``.
+- :func:`filter_robots_allowed` — URL table × rules → allowed rows,
+  with the full REP decision: the most specific matching agent group
+  wins (a named group shadows ``*``), longest-pattern match decides,
+  ``allow`` wins ties, ``*`` wildcards and ``$`` end anchors
+  supported, no match ⇒ allowed. The per-host rule set folds to ONE
+  array row, the corpus side joins on host (hash join — the rules
+  relation is host-sized, not corpus-sized) and the decision is a
+  map-side ``aggregate`` fold per row: the corpus never shuffles.
+- :func:`robots_crawl_delays` / :func:`robots_sitemaps` — the two
+  non-rule directives, as plain selects.
+
+Reference anchor: the reference pipeline consumes a public API
+(fetch_youtube_data.py:74-96) and never crawls, but the north-star
+corpus this engine curates is crawl-shaped (corpus.warc_to_documents);
+robots compliance is the provenance filter that corpus needs.
+
+Scale: parsing is linear in robots bytes (tiny next to any corpus);
+the decision join is corpus-rows × ≤rules-per-host with no
+quadratic term — REP files are small (the de-facto cap is 500 KiB,
+RFC 9309 §2.5) and the regex per rule is compiled from a bounded
+pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_RULE_TYPES = ("user-agent", "allow", "disallow", "crawl-delay",
+               "sitemap")
+
+
+def parse_robots(df: DataFrame, host_col: str = "host",
+                 payload_col: str = "payload") -> DataFrame:
+    """robots.txt payloads → ``(host, agent, rule_type, value)`` rows.
+
+    ``payload`` may be binary (decoded as ISO-8859-1 — total, byte-
+    preserving, and exact for the ASCII these files are in practice)
+    or string. Directives are matched case-insensitively; ``#``
+    comments and unknown lines are dropped; rule values keep their
+    case (REP paths are case-sensitive). Group recovery per RFC 9309:
+    one or more consecutive ``User-agent`` lines open a group and the
+    following allow/disallow/crawl-delay lines belong to EVERY agent
+    of that group (emitted once per agent); rules before any
+    ``User-agent`` line are ignored; ``Sitemap`` is group-independent
+    and carries a NULL agent."""
+    text = F.col(payload_col)
+    if dict(df.dtypes)[payload_col] == "binary":
+        text = F.decode(text, "ISO-8859-1")
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(text, r"\r\n|\r|\n")).alias("pos", "line"),
+    )
+    stripped = F.trim(F.regexp_replace(F.col("line"), "#.*$", ""))
+    parsed = lines.select(
+        "host", "pos",
+        F.lower(F.trim(F.regexp_extract(stripped, "^([^:]*):", 1)))
+        .alias("key"),
+        F.trim(F.regexp_extract(stripped, "^[^:]*:(.*)$", 1))
+        .alias("value"),
+    ).filter(F.col("key").isin(*_RULE_TYPES))
+
+    w = Window.partitionBy("host").orderBy("pos")
+    is_ua = F.col("key") == "user-agent"
+    new_group = is_ua & ~F.coalesce(F.lag(is_ua).over(w), F.lit(False))
+    grouped = parsed.select(
+        "host", "pos", "key", "value",
+        F.sum(new_group.cast("int")).over(w).alias("gid"),
+    )
+
+    agents = (
+        grouped.filter(is_ua)
+        .groupBy("host", "gid")
+        .agg(F.collect_set(F.lower(F.col("value"))).alias("agents"))
+    )
+    rules = (
+        grouped.filter(~is_ua & (F.col("key") != "sitemap")
+                       & (F.col("gid") > 0))
+        .join(agents, ["host", "gid"])
+        .select(
+            "host",
+            F.explode("agents").alias("agent"),
+            F.col("key").alias("rule_type"),
+            "value",
+        )
+    )
+    sitemaps = grouped.filter(F.col("key") == "sitemap").select(
+        "host",
+        F.lit(None).cast("string").alias("agent"),
+        F.lit("sitemap").alias("rule_type"),
+        "value",
+    )
+    return rules.unionByName(sitemaps)
+
+
+def _rule_regex(value: Column) -> Column:
+    """REP pattern → anchored Java regex, as Column math: regex
+    metacharacters escaped, ``*`` → ``.*``, a trailing ``$`` becomes
+    the anchor (anywhere else ``$`` is literal)."""
+    ends_anchored = value.endswith("$")
+    body = F.when(ends_anchored,
+                  value.substr(F.lit(1), F.length(value) - 1)) \
+        .otherwise(value)
+    escaped = F.regexp_replace(
+        body, r"([.\\+?(){}\[\]^$|])", r"\\$1")
+    pattern = F.regexp_replace(escaped, r"\*", ".*")
+    return F.concat(F.lit("^"), pattern,
+                    F.when(ends_anchored, F.lit("$"))
+                    .otherwise(F.lit("")))
+
+
+def robots_match_target(url: Column) -> Column:
+    """The string REP rules match against: the URL's path (``/`` when
+    empty) plus the ``?query`` when present — fragments excluded."""
+    from ..functions.urls import url_path
+
+    path = url_path(url)
+    query = F.regexp_extract(url, r"^[^#?]*\?([^#]*)", 1)
+    return F.concat(
+        F.when(path == "", F.lit("/")).otherwise(path),
+        F.when(query != "", F.concat(F.lit("?"), query))
+        .otherwise(F.lit("")),
+    )
+
+
+def filter_robots_allowed(urls: DataFrame, rules: DataFrame,
+                          agent: str = "*", url_col: str = "url",
+                          keep_disallowed: bool = False) -> DataFrame:
+    """Keep the URL rows the given agent may fetch under the parsed
+    robots rules (:func:`parse_robots` output). REP decision per RFC
+    9309 §2.2: the group for the requested agent (falling back to the
+    ``*`` group only when no named group exists for that host), the
+    longest matching pattern wins, ``allow`` wins length ties, hosts
+    with no rules — and rows whose URL has no host — are allowed.
+
+    ``keep_disallowed=True`` inverts the filter (the audit view: what
+    WOULD be dropped). Plan: per-host rule arrays (one groupBy on the
+    tiny rules relation), corpus joins on host (hash join) and decides
+    map-side with an ``aggregate`` fold calling ``regexp_like`` per
+    rule — no corpus shuffle, no pair blowup."""
+    from ..functions.urls import url_host
+
+    agent_lc = agent.lower()
+    r = rules.filter(
+        F.col("rule_type").isin("allow", "disallow")
+        & (F.col("value") != "")
+        & F.col("agent").isin(agent_lc, "*")
+    ).select(
+        "host",
+        (F.col("agent") == agent_lc).alias("specific"),
+        F.struct(
+            F.length("value").alias("l"),
+            (F.col("rule_type") == "allow").alias("is_allow"),
+            _rule_regex(F.col("value")).alias("rx"),
+        ).alias("rule"),
+    )
+    per_host = r.groupBy("host").agg(
+        F.collect_list(F.when(F.col("specific"), F.col("rule")))
+        .alias("spec_rules"),
+        F.collect_list(F.when(~F.col("specific"), F.col("rule")))
+        .alias("star_rules"),
+    ).select(
+        "host",
+        F.when(F.size("spec_rules") > 0, F.col("spec_rules"))
+        .otherwise(F.col("star_rules")).alias("rset"),
+    )
+
+    with_host = urls.withColumn("__rhost", url_host(F.col(url_col)))
+    joined = with_host.join(
+        per_host, with_host["__rhost"] == per_host["host"], "left"
+    ).drop("host")
+    target = robots_match_target(F.col(url_col))
+    # fold: track the longest matching rule; allow wins exact ties
+    decision = F.aggregate(
+        F.coalesce(F.col("rset"),
+                   F.array().cast(
+                       "array<struct<l:int,is_allow:boolean,rx:string>>")),
+        F.struct(F.lit(-1).alias("best"),
+                 F.lit(True).alias("allow")),
+        lambda acc, rule: F.when(
+            F.regexp_like(target, rule["rx"])
+            & ((rule["l"] > acc["best"])
+               | ((rule["l"] == acc["best"]) & rule["is_allow"]
+                  & ~acc["allow"])),
+            F.struct(rule["l"].alias("best"),
+                     rule["is_allow"].alias("allow")),
+        ).otherwise(acc),
+        lambda acc: acc["allow"],
+    )
+    out = joined.withColumn("__allowed", decision)
+    keep = ~F.col("__allowed") if keep_disallowed else F.col("__allowed")
+    return out.filter(keep).drop("__rhost", "rset", "__allowed")
+
+
+def robots_crawl_delays(rules: DataFrame,
+                        agent: str = "*") -> DataFrame:
+    """``(host, crawl_delay_sec)`` for the agent (named group shadows
+    ``*``, same as the allow/deny path); unparseable delays drop."""
+    agent_lc = agent.lower()
+    d = rules.filter(
+        (F.col("rule_type") == "crawl-delay")
+        & F.col("agent").isin(agent_lc, "*")
+    ).select(
+        "host",
+        (F.col("agent") == agent_lc).alias("specific"),
+        F.col("value").try_cast("double").alias("delay"),
+    ).filter(F.col("delay").isNotNull())
+    return d.groupBy("host").agg(
+        F.coalesce(
+            F.max(F.when(F.col("specific"), F.col("delay"))),
+            F.max(F.when(~F.col("specific"), F.col("delay"))),
+        ).alias("crawl_delay_sec")
+    )
+
+
+def robots_sitemaps(rules: DataFrame) -> DataFrame:
+    """Distinct ``(host, sitemap_url)`` pairs."""
+    return (
+        rules.filter(F.col("rule_type") == "sitemap")
+        .select("host", F.col("value").alias("sitemap_url"))
+        .distinct()
+    )
