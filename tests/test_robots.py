@@ -217,3 +217,35 @@ def test_plan_no_corpus_shuffle(spark):
         .queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_composition_with_warc_ingestion(spark):
+    """The intended pipeline seam: warc_to_documents rows carry the
+    crawl URI in `source`; robots filtering applies retroactively at
+    curation time via url_col='source'."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_archives import _http_response, _warc_record
+
+    from youtube_api_data_etl_automation_spark.corpus import (
+        warc_to_documents,
+    )
+
+    recs = []
+    for uri, body in (
+        ("https://a.com/private/page", b"<p>secret text</p>"),
+        ("https://a.com/public/page", b"<p>public text</p>"),
+    ):
+        recs.append(_warc_record(
+            "response", _http_response(body), uri=uri,
+            extra=(b"Content-Type: application/http;msgtype=response",)))
+    warc = b"".join(recs)
+    blobs = spark.createDataFrame([(1, bytearray(warc))],
+                                  "doc_id long, payload binary")
+    docs = warc_to_documents(blobs)
+    assert docs.count() == 2
+    rules = _rules(spark)
+    kept = R.filter_robots_allowed(docs, rules, url_col="source") \
+        .collect()
+    assert [r["source"] for r in kept] == ["https://a.com/public/page"]
+    assert "public text" in kept[0]["text"]
