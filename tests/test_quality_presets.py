@@ -1,0 +1,127 @@
+"""Gopher/C4 preset rules (operators/quality_presets.py) against
+hand-built documents that each trip exactly one rule."""
+
+from __future__ import annotations
+
+import pytest
+
+from youtube_api_data_etl_automation_spark.operators import (
+    quality_presets as QP,
+)
+
+GOOD = ("The quick brown fox jumps over the lazy dog and runs on. "
+        * 10)  # 100+ words, normal lengths, has the/and/to(?) stops
+
+
+def _gopher(spark, rows):
+    df = spark.createDataFrame(list(enumerate(rows)),
+                               "doc_id long, text string")
+    return {r["doc_id"]: r for r in QP.gopher_flags(df).collect()}
+
+
+def test_gopher_rules_first_fail_attribution(spark):
+    rows = [
+        GOOD,                                           # 0 keep
+        "short text with the and of that.",             # 1 word_count
+        " ".join(["supercalifragilistic" * 2] * 60),    # 2 mean_word_len
+        " ".join(["a#"] * 60),                          # 3 (len ok?) see below
+        "\n".join(["• the bullet item of doom"] * 40),  # 4 bullet_lines
+        "\n".join(["the line has many padding words and then"
+                   " quietly trails right off…"] * 40),  # 5 ellipsis
+        " ".join(["12345"] * 60),                       # 6 alpha or stops
+        " ".join(["banana"] * 60),                      # 7 stop_words
+        None,                                           # 8 NULL -> word_count
+    ]
+    out = _gopher(spark, rows)
+    assert out[0]["gopher_verdict"] == "keep" and out[0]["gopher_pass"]
+    assert out[1]["gopher_verdict"] == "word_count"
+    assert out[2]["gopher_verdict"] == "mean_word_len"
+    # row 3: 60 words of 'a#' (mean len 2 -> mean_word_len fires FIRST
+    # per published rule order)
+    assert out[3]["gopher_verdict"] == "mean_word_len"
+    assert out[3]["g_symbol_ratio"] is False  # 60 '#' / 60 words = 1.0
+    # rows 4/5: word count ok (40 * >=4 words), bullets/ellipsis 100%
+    assert out[4]["gopher_verdict"] == "bullet_lines"
+    assert out[5]["gopher_verdict"] == "ellipsis_lines"
+    # row 6: '12345' x60 -> mean len 5 ok, no letters -> alpha_words
+    assert out[6]["gopher_verdict"] == "alpha_words"
+    # row 7: all-letter words, no required stop words
+    assert out[7]["gopher_verdict"] == "stop_words"
+    assert out[8]["gopher_verdict"] == "word_count"
+
+
+def test_gopher_symbol_ratio_rule(spark):
+    # long words so mean length passes; every word carries a '#'
+    word = "the#word"
+    doc = " ".join([word] * 30) + " " + " ".join(
+        ["the of and that have with be to"] * 4)
+    out = _gopher(spark, [doc])
+    r = out[0]
+    assert r["g_word_count"] and r["g_mean_word_len"]
+    assert r["gopher_verdict"] == "symbol_ratio"
+    # ellipsis also counts toward the symbol ratio
+    doc2 = " ".join(["dots…"] * 30) + " " + " ".join(
+        ["the of and that have with be to"] * 4)
+    assert _gopher(spark, [doc2])[0]["gopher_verdict"] == "symbol_ratio"
+
+
+def test_gopher_boundaries_exact(spark):
+    # exactly 50 words with stops -> passes the word-count rule
+    base = ["the", "of", "and", "that", "have", "with"]
+    fifty = " ".join((base * 9)[:50])
+    out = _gopher(spark, [fifty, " ".join((base * 9)[:49])])
+    assert out[0]["g_word_count"] is True
+    assert out[1]["g_word_count"] is False
+
+
+def test_c4_line_rules(spark):
+    text = "\n".join([
+        "This is a proper sentence with enough words.",   # keep
+        "Too short line.",                                  # <5 words
+        "this line has enough words but no terminal mark",  # no punct
+        "Enable javascript to view this page properly.",    # javascript
+        "Please read our privacy policy before you proceed.",  # policy
+        'He said "it ends with a quote perfectly fine."',   # keep
+        "Another good sentence closes the page nicely!",    # keep
+    ])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = QP.c4_clean(df).collect()[0]
+    kept = r["c4_text"].split("\n")
+    assert kept == [
+        "This is a proper sentence with enough words.",
+        'He said "it ends with a quote perfectly fine."',
+        "Another good sentence closes the page nicely!",
+    ]
+    assert r["c4_kept_lines"] == 3
+    assert r["c4_pass"] and not r["c4_page_drop"]
+    # original column untouched
+    assert r["text"] == text
+
+
+def test_c4_page_drops(spark):
+    good_line = "This sentence is long enough and ends properly."
+    rows = [
+        (1, "\n".join([good_line] * 3)),                     # pass
+        (2, "\n".join([good_line] * 2)),                     # <3 kept lines
+        (3, "\n".join([good_line] * 3) + "\nLorem Ipsum dolor."),
+        (4, "\n".join([good_line] * 3) + "\nvar x = { a: 1 }"),
+        (5, None),                                           # NULL page
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in QP.c4_clean(df).collect()}
+    assert out[1]["c4_pass"] is True
+    assert out[2]["c4_pass"] is False
+    assert out[3]["c4_pass"] is False   # lorem ipsum
+    assert out[4]["c4_pass"] is False   # curly brace
+    assert out[5]["c4_pass"] is False and out[5]["c4_kept_lines"] == 0
+
+
+def test_presets_have_no_python_udfs(spark):
+    """Both presets stay JVM-side: no BatchEvalPython / ArrowEvalPython
+    in the plan (the interpreted higher-order funcs are fine — they're
+    JVM expressions)."""
+    df = spark.createDataFrame([(1, GOOD)], "doc_id long, text string")
+    for fn in (QP.gopher_flags, QP.c4_clean):
+        plan = fn(df)._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
+        assert "Exchange" not in plan  # map-only

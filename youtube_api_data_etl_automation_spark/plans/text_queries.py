@@ -275,6 +275,21 @@ def lang_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# preset-section text minting (r12): the synthetic documents are
+# punctuation-free word salad, which collapses the Gopher/C4 preset
+# sections to one verdict each — a quarter of rows keep the raw text
+# and the rest rotate through deterministic pages that light up the
+# keep / bullet-ratio / page-drop paths in BOTH engines (the literals
+# are injected verbatim into the SQL oracle and the Spark plan).
+_PRESET_GOOD = (
+    "the data and the model have that quality with more signal here.\n"
+    * 5)
+_PRESET_BULLET = (
+    "the list of items with bullets goes on and on here.\n" * 2
+    + "\u2022 bullet item\n" * 28)
+_PRESET_LOREM = _PRESET_GOOD + "Lorem ipsum dolor sit amet here."
+
+
 def _filter_report_oracle() -> str:
     counts = ",\n             ".join(
         f"CAST(len(list_filter(toks, x -> list_contains({_sql_list(mks)}, x))) AS INT) AS c_{lang}"
@@ -283,6 +298,14 @@ def _filter_report_oracle() -> str:
     langs = list(LANG_MARKERS)
     best = "greatest(" + ", ".join(f"c_{lg}" for lg in langs) + ")"
     whens = "\n                ".join(f"WHEN c_{lg} = best THEN '{lg}'" for lg in langs)
+
+    def lit(x: str) -> str:
+        return "'" + x.replace("'", "''") + "'"
+
+    _lit_good = lit(_PRESET_GOOD)
+    _lit_bullet = lit(_PRESET_BULLET)
+    _lit_lorem = lit(_PRESET_LOREM)
+    _norm_ptxt = _NORM.format(col="ptxt")
     return f"""
     WITH n AS (
       SELECT doc_id, text, {_NORM.format(col="COALESCE(text, '')")} AS norm
@@ -322,11 +345,111 @@ def _filter_report_oracle() -> str:
                   ELSE 'keep' END AS verdict
       FROM scored
     )
-    SELECT lang_guess, verdict,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           floor((CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_quality
-    FROM verdicts
-    GROUP BY lang_guess, verdict
+    , funnel_section AS (
+      SELECT 'funnel' AS section,
+             lang_guess || '|' || verdict AS key,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             floor((CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS metric
+      FROM verdicts
+      GROUP BY 1, 2
+    ), pv AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 1 THEN {_lit_good}
+               WHEN 2 THEN {_lit_bullet}
+               WHEN 3 THEN {_lit_lorem}
+               ELSE COALESCE(text, '') END AS ptxt
+      FROM documents
+    ), pt AS (
+      SELECT doc_id, ptxt, {_norm_ptxt} AS pnorm FROM pv
+    ), glines AS (
+      SELECT doc_id,
+             CASE WHEN pnorm = '' THEN []
+                  ELSE string_split(pnorm, ' ') END AS toks,
+             len(CASE WHEN pnorm = '' THEN []
+                      ELSE string_split(pnorm, ' ') END) AS nw,
+             ptxt AS txt,
+             regexp_split_to_array(ptxt, '\r\n|\r|\n') AS lns
+      FROM pt
+    ), gfeat AS (
+      SELECT doc_id, nw,
+        CASE WHEN nw > 0
+             THEN CAST(list_sum(list_transform(toks, w -> length(w)))
+                       AS DOUBLE) / nw ELSE 0.0 END AS mean_len,
+        length(txt) - length(replace(txt, '#', ''))
+          + length(regexp_replace(txt, '\.\.\.', '…', 'g'))
+          - length(replace(regexp_replace(txt, '\.\.\.', '…', 'g'),
+                           '…', '')) AS n_sym,
+        len(lns) AS n_lines,
+        len(list_filter(lns, l -> starts_with(trim(l), '•')
+              OR starts_with(trim(l), '-')
+              OR starts_with(trim(l), '*'))) AS n_bullet,
+        len(list_filter(lns, l -> ends_with(trim(l), '...')
+              OR ends_with(trim(l), '…'))) AS n_ellip_lines,
+        len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]')))
+          AS n_alpha,
+        len(list_filter(['the','be','to','of','and','that','have',
+                         'with'], sw -> list_contains(toks, sw)))
+          AS n_stop
+      FROM glines
+    ), gverd AS (
+      SELECT nw,
+        CASE WHEN NOT (nw >= 50 AND nw <= 100000) THEN 'word_count'
+             WHEN NOT (mean_len >= 3.0 AND mean_len <= 10.0)
+               THEN 'mean_word_len'
+             WHEN NOT (nw > 0 AND CAST(n_sym AS DOUBLE) / nw <= 0.1)
+               THEN 'symbol_ratio'
+             WHEN NOT (n_lines = 0
+                       OR CAST(n_bullet AS DOUBLE) / n_lines <= 0.9)
+               THEN 'bullet_lines'
+             WHEN NOT (n_lines = 0
+                       OR CAST(n_ellip_lines AS DOUBLE) / n_lines
+                          <= 0.3)
+               THEN 'ellipsis_lines'
+             WHEN NOT (nw > 0 AND CAST(n_alpha AS DOUBLE) / nw >= 0.8)
+               THEN 'alpha_words'
+             WHEN NOT (n_stop >= 2) THEN 'stop_words'
+             ELSE 'keep' END AS gv
+      FROM gfeat
+    ), gopher_section AS (
+      SELECT 'gopher' AS section, gv AS key,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(nw) AS DOUBLE) / COUNT(*) AS metric
+      FROM gverd GROUP BY 2
+    ), c4l AS (
+      SELECT doc_id, ptxt AS txt,
+             list_filter(
+               regexp_split_to_array(ptxt, '\r\n|\r|\n'),
+               l -> (ends_with(trim(l), '.') OR ends_with(trim(l), '!')
+                     OR ends_with(trim(l), '?')
+                     OR ends_with(trim(l), '"')
+                     OR ends_with(trim(l), '”'))
+                    AND len(regexp_split_to_array(trim(l), '\s+')) >= 5
+                    AND NOT contains(lower(l), 'javascript')
+                    AND NOT contains(lower(l), 'terms of use')
+                    AND NOT contains(lower(l), 'privacy policy')
+                    AND NOT contains(lower(l), 'cookie policy')
+                    AND NOT contains(lower(l), 'uses cookies')
+             ) AS kept
+      FROM pv
+    ), c4v AS (
+      SELECT len(kept) AS nk,
+             NOT (contains(lower(txt), 'lorem ipsum')
+                  OR contains(txt, '{{') OR len(kept) < 3) AS pass
+      FROM c4l
+    ), c4_section AS (
+      SELECT 'c4' AS section,
+             CAST(pass AS VARCHAR) || '|'
+               || CAST(least(nk, 5) AS VARCHAR) AS key,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(nk) AS DOUBLE) / COUNT(*) AS metric
+      FROM c4v GROUP BY 2
+    )
+    SELECT * FROM funnel_section
+    UNION ALL
+    SELECT * FROM gopher_section
+    UNION ALL
+    SELECT * FROM c4_section
     """
 
 
@@ -355,7 +478,7 @@ def corpus_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("q") < 0.55, "low_quality")
         .otherwise("keep")
     )
-    return (
+    funnel_section = (
         feat.select("lang_guess", "q", verdict.alias("verdict"))
         .groupBy("lang_guess", "verdict")
         .agg(
@@ -363,9 +486,57 @@ def corpus_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             round6(
                 F.sum(F.col("q").cast("decimal(18,6)")).cast("double")
                 / F.count(F.lit(1))
-            ).alias("avg_quality"),
+            ).alias("metric"),
+        )
+        .select(
+            F.lit("funnel").alias("section"),
+            F.concat_ws("|", "lang_guess", "verdict").alias("key"),
+            "n_docs", "metric",
         )
     )
+
+    # r12: the PUBLISHED preset rule chains next to the generic funnel
+    # (operators/quality_presets.py) — Gopher first-fail verdicts and
+    # the C4 line-filter outcome, both re-derived by the oracle's own
+    # list lambdas. Metrics are exact-integer averages (sum/count), so
+    # no float-rounding coordination is needed.
+    from ..operators.quality_presets import c4_clean, gopher_flags
+
+    minted = docs.select(
+        "doc_id",
+        F.when((F.col("doc_id") % 4).cast("int") == 1,
+               F.lit(_PRESET_GOOD))
+        .when((F.col("doc_id") % 4).cast("int") == 2,
+              F.lit(_PRESET_BULLET))
+        .when((F.col("doc_id") % 4).cast("int") == 3,
+              F.lit(_PRESET_LOREM))
+        .otherwise(F.coalesce(F.col("text"), F.lit("")))
+        .alias("ptxt"),
+    )
+    gop = gopher_flags(minted, text_col="ptxt")
+    gopher_section = gop.groupBy(
+        F.col("gopher_verdict").alias("key")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(token_count_t(tokens("ptxt")).cast("long"))
+         .cast("double") / F.count(F.lit(1))).alias("metric"),
+    ).select(F.lit("gopher").alias("section"), "key", "n_docs",
+             "metric")
+
+    c4 = c4_clean(minted, text_col="ptxt")
+    c4_section = c4.groupBy(
+        F.concat_ws(
+            "|", F.col("c4_pass").cast("string"),
+            F.least(F.col("c4_kept_lines"), F.lit(5)).cast("string"),
+        ).alias("key")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.col("c4_kept_lines").cast("long")).cast("double")
+         / F.count(F.lit(1))).alias("metric"),
+    ).select(F.lit("c4").alias("section"), "key", "n_docs", "metric")
+
+    return funnel_section.unionByName(gopher_section) \
+        .unionByName(c4_section)
 
 
 # The md5 content fingerprint (doc_fingerprint) is driver-verified through
