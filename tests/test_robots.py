@@ -249,3 +249,32 @@ def test_composition_with_warc_ingestion(spark):
         .collect()
     assert [r["source"] for r in kept] == ["https://a.com/public/page"]
     assert "public text" in kept[0]["text"]
+
+
+def test_parse_sitemaps(spark):
+    urlset = b"""<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url>
+    <loc> https://a.com/page?x=1&amp;y=2 </loc>
+    <lastmod>2024-01-02</lastmod>
+  </url>
+  <url><loc>https://a.com/plain</loc></url>
+</urlset>"""
+    index = b"""<sitemapindex>
+  <sitemap><loc>https://b.com/sitemap-1.xml</loc></sitemap>
+  <sitemap><loc>https://b.com/sitemap-2.xml</loc>
+  <lastmod>2023-12-31</lastmod></sitemap>
+</sitemapindex>"""
+    df = spark.createDataFrame(
+        [("a.com", bytearray(urlset)), ("b.com", bytearray(index)),
+         ("c.com", bytearray(b"not xml at all"))],
+        "host string, payload binary")
+    rows = R.parse_sitemaps(df).collect()
+    got = {(r["host"], r["kind"], r["url"], r["lastmod"]) for r in rows}
+    assert got == {
+        ("a.com", "urlset", "https://a.com/page?x=1&y=2", "2024-01-02"),
+        ("a.com", "urlset", "https://a.com/plain", None),
+        ("b.com", "sitemapindex", "https://b.com/sitemap-1.xml", None),
+        ("b.com", "sitemapindex", "https://b.com/sitemap-2.xml",
+         "2023-12-31"),
+    }

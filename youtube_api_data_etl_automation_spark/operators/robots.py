@@ -235,3 +235,56 @@ def robots_sitemaps(rules: DataFrame) -> DataFrame:
         .select("host", F.col("value").alias("sitemap_url"))
         .distinct()
     )
+
+
+_XML_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                 ("&apos;", "'"), ("&amp;", "&"))  # &amp; LAST
+
+
+def _xml_unescape(col: Column) -> Column:
+    # sitemap <loc> values escape the five XML entities; &amp; must be
+    # decoded last so '&amp;lt;' round-trips as '&lt;'
+    for ent, ch in _XML_ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return col
+
+
+def parse_sitemaps(df: DataFrame, host_col: str = "host",
+                   payload_col: str = "payload") -> DataFrame:
+    """Sitemap XML payloads → ``(host, kind, url, lastmod)`` rows —
+    the companion of :func:`robots_sitemaps`, closing the loop from a
+    robots ``Sitemap:`` pointer to the URL inventory it names.
+
+    ``kind`` is ``urlset`` (leaf sitemap) or ``sitemapindex`` (its
+    entries are further sitemap URLs). Parsing is pure Column math:
+    the document splits on ``</url>``/``</sitemap>`` block ends, each
+    block yields its ``<loc>`` (XML entities decoded — ``&amp;`` is
+    ubiquitous in real sitemap URLs) and optional ``<lastmod>``.
+    Sitemaps are machine-generated with this exact shape (the
+    sitemaps.org schema), so regexp extraction is sound here in a way
+    it would not be for general XML; payloads without a recognizable
+    root element yield no rows. Map-only — the explode stays in the
+    source partition."""
+    text = F.col(payload_col)
+    if dict(df.dtypes)[payload_col] == "binary":
+        text = F.decode(text, "ISO-8859-1")
+    kind = (
+        F.when(text.contains("<sitemapindex"), F.lit("sitemapindex"))
+        .when(text.contains("<urlset"), F.lit("urlset"))
+    )
+    blocks = F.split(text, "</url>|</sitemap>")
+    loc = F.regexp_extract(F.col("block"),
+                           r"<loc>\s*([^<]*?)\s*</loc>", 1)
+    lastmod = F.regexp_extract(F.col("block"),
+                               r"<lastmod>\s*([^<]*?)\s*</lastmod>", 1)
+    return (
+        df.select(F.col(host_col).alias("host"), kind.alias("kind"),
+                  F.explode(blocks).alias("block"))
+        .filter(F.col("kind").isNotNull())
+        .select(
+            "host", "kind",
+            _xml_unescape(loc).alias("url"),
+            F.when(lastmod != "", lastmod).alias("lastmod"),
+        )
+        .filter(F.col("url") != "")
+    )
