@@ -125,3 +125,35 @@ def test_presets_have_no_python_udfs(spark):
         plan = fn(df)._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan
         assert "Exchange" not in plan  # map-only
+
+
+def test_curate_corpus_preset_stages(spark):
+    """quality_preset wires the presets ahead of the funnel with audit
+    stage rows; text downstream is the c4-cleaned form."""
+    from youtube_api_data_etl_automation_spark.corpus import curate_corpus
+
+    keep_line = ("the data and the model have that quality with more "
+                 "signal here.")
+    good = "\n".join([keep_line] * 5)
+    bullets = "\n".join([keep_line] * 3 + ["• bullet item"] * 50)
+    lorem = good + "\nLorem ipsum dolor sit amet now."
+    junk_line = "no terminal punctuation on this line at all"
+    c4_killed = "\n".join([junk_line] * 6)
+    rows = [(1, good), (2, bullets), (3, lorem), (4, c4_killed)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curate_corpus(
+        docs, quality_preset="gopher+c4",
+        min_tokens=1, max_tokens=100000, quality_min=0.0,
+        n_shards=1)
+    report = {r["stage"]: r["n_docs"]
+              for r in out["report"].collect()}
+    assert report["input"] == 4
+    # c4: doc 3 (lorem) and doc 4 (no kept lines) drop
+    assert report["c4"] == 2
+    # gopher runs on the C4-CLEANED text: doc 2's bullets were already
+    # line-filtered away, leaving 36 words — the word-count rule drops it
+    assert report["gopher"] == 1
+    survivors = out["documents"].collect()
+    assert [r["doc_id"] for r in survivors] == [1]
+    with pytest.raises(ValueError, match="quality_preset"):
+        curate_corpus(docs, quality_preset="fineweb")

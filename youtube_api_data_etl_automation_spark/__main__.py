@@ -308,6 +308,7 @@ def _cmd_curate(args: argparse.Namespace) -> int:
         strip_html=args.strip_html,
         normalize_unicode=args.normalize_unicode,
         neardup_threshold=args.neardup_threshold,
+        quality_preset=args.quality_preset,
         dsir_target=dsir_target,
         dsir_keep=args.dsir_keep,
     )
@@ -917,6 +918,13 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="enable MinHash-LSH near-dup dedup at this estimated-Jaccard "
         "threshold (default: exact dedup only)",
+    )
+    cur.add_argument(
+        "--quality-preset",
+        choices=["gopher", "c4", "gopher+c4"],
+        default=None,
+        help="apply the published Gopher/C4 quality rule chains ahead "
+        "of the generic funnel (operators/quality_presets.py)",
     )
     cur.add_argument(
         "--dsir-target",

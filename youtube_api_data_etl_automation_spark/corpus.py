@@ -109,6 +109,7 @@ def curate_corpus(
     normalize_unicode: bool = False,
     neardup_threshold: float | None = None,
     neardup_k: int = 3,
+    quality_preset: str | None = None,
     dsir_target: DataFrame | None = None,
     dsir_keep: int | None = None,
     dsir_buckets: int = 256,
@@ -158,6 +159,17 @@ def curate_corpus(
     and its mis-decoded twin then share one fingerprint and one shingle
     set, so exact AND near dedup see through the damage. Folds into the
     same first projection pass (map-only, no extra scan).
+
+    ``quality_preset`` (r12): ``'c4'``, ``'gopher'``, or
+    ``'gopher+c4'`` — the PUBLISHED preset rule chains
+    (operators/quality_presets.py) as opt-in stages ahead of the
+    generic funnel. ``c4`` rewrites each document to its surviving
+    lines (terminal punctuation, ≥5 words, boilerplate dropped) and
+    drops pages failing the C4 page rules; ``gopher`` drops documents
+    failing any of the seven Gopher App. A1.1 rules. Both run AFTER
+    markup/unicode normalization and BEFORE every downstream signal,
+    so the funnel, dedup fingerprints, and shards see the preset-
+    cleaned text; each adds its own audit stage row.
 
     ``neardup_threshold`` (late r6): when set, a NEAR-duplicate stage runs
     after exact dedup — MinHash-LSH candidate pairs over ``clean_text``
@@ -218,6 +230,33 @@ def curate_corpus(
             txt = _nu(txt)
         base = base.select("doc_id", txt.alias("text"))
     checkpoint("input", base)
+
+    if quality_preset:
+        parts = set(quality_preset.split("+"))
+        unknown = parts - {"gopher", "c4"}
+        if unknown:
+            raise ValueError(
+                f"quality_preset parts {sorted(unknown)} unknown; "
+                "use 'gopher', 'c4', or 'gopher+c4'"
+            )
+        if "c4" in parts:
+            from .operators.quality_presets import c4_clean
+
+            base = (
+                c4_clean(base, text_col="text")
+                .filter(F.col("c4_pass"))
+                .select("doc_id", F.col("c4_text").alias("text"))
+            )
+            base = checkpoint("c4", base)
+        if "gopher" in parts:
+            from .operators.quality_presets import gopher_flags
+
+            base = (
+                gopher_flags(base, text_col="text")
+                .filter(F.col("gopher_pass"))
+                .select("doc_id", "text")
+            )
+            base = checkpoint("gopher", base)
 
     # 1+2+3a: one pass computes the funnel features, the redacted text,
     # and the content fingerprint. n_tokens is counted on the REDACTED
