@@ -157,3 +157,93 @@ def test_curate_corpus_preset_stages(spark):
     assert [r["doc_id"] for r in survivors] == [1]
     with pytest.raises(ValueError, match="quality_preset"):
         curate_corpus(docs, quality_preset="fineweb")
+
+
+def _rep(spark, rows):
+    df = spark.createDataFrame(list(enumerate(rows)),
+                               "doc_id long, text string")
+    return {r["doc_id"]: r for r in
+            QP.gopher_repetition_flags(df).collect()}
+
+
+def test_repetition_dup_lines_and_paragraphs(spark):
+    # every token unique — no line, paragraph, or n-gram repeats
+    varied = "\n".join(
+        " ".join(f"tok{i}{c}" for c in "abcde") for i in range(10))
+    # 10 lines, 6 of them the same -> 5/10 repeats = 0.5 > 0.3
+    dupl = "\n".join(["the repeated line content here"] * 6
+                     + [f"different line {i}" for i in range(4)])
+    para = "\n\n".join(["one paragraph body"] * 4
+                       + ["another", "third", "fourth", "fifth",
+                          "sixth", "seventh"])
+    out = _rep(spark, [varied, dupl, para])
+    assert out[0]["gopher_rep_verdict"] == "keep"
+    assert out[0]["dup_line_frac"] == 0.0
+    r1 = out[1]
+    assert r1["dup_line_frac"] == pytest.approx(0.5)
+    assert r1["gopher_rep_verdict"] == "dup_line"
+    r2 = out[2]
+    # 10 paragraphs, 3 repeats -> 0.3 NOT > 0.3 -> passes para rule
+    assert r2["dup_para_frac"] == pytest.approx(0.3)
+    assert r2["rep_dup_para"] == True  # noqa: E712 boundary inclusive
+
+
+def test_repetition_char_fractions(spark):
+    # one LONG line duplicated once among many short lines: the
+    # count fraction is small but the CHAR fraction is large
+    long_line = "x" * 400
+    text = "\n".join([long_line, long_line]
+                     + [f"s {i}" for i in range(18)])
+    r = _rep(spark, [text])[0]
+    assert r["dup_line_frac"] == pytest.approx(1 / 20)
+    assert r["dup_line_char_frac"] > 0.2
+    assert r["gopher_rep_verdict"] == "dup_line_chars"
+
+
+def test_repetition_top_ngram_fraction(spark):
+    # 'alpha beta' repeated heavily among filler: top 2-gram chars
+    # dominate
+    filler = " ".join(f"w{i:03d}" for i in range(40))
+    text = "alpha beta " * 30 + filler
+    r = _rep(spark, [text])[0]
+    assert r["gopher_rep_verdict"] == "top_2gram"
+    assert r["rep_top_2gram"] == False  # noqa: E712
+    # hand check: tokens = 60 + 40; top 2-gram ('alpha beta') occurs
+    # 30 times, 9 chars; token chars = 60*~4.5 + 40*4
+    tok_chars = 30 * (5 + 4) + 40 * 4
+    assert abs((30 * 9) / tok_chars) > 0.2
+
+
+def test_repetition_dup_ngram_fraction(spark):
+    # a 7-gram repeated twice inside otherwise-unique text: fires the
+    # dup_{5..10}gram family but not the top-{2,3,4} family
+    phrase = "one two three four five six seven"
+    uniq = " ".join(f"tok{i:04d}" for i in range(40))
+    text = f"{phrase} {uniq} {phrase}"
+    r = _rep(spark, [text])[0]
+    assert r["gopher_rep_verdict"].startswith("dup_")
+    assert "gram" in r["gopher_rep_verdict"]
+
+
+def test_repetition_empty_and_null_pass(spark):
+    out = _rep(spark, ["", None, "just a few plain words here"])
+    for i in range(3):
+        assert out[i]["gopher_rep_pass"], i
+
+
+def test_curate_corpus_gopher_rep_stage(spark):
+    from youtube_api_data_etl_automation_spark.corpus import curate_corpus
+
+    base_line = ("the data and the model have that quality with more "
+                 "signal here.")
+    uniq = " ".join(f"tok{i:03d}" for i in range(60)) \
+        + " the of and that."
+    repeated = "\n".join([base_line] * 20)  # dup lines >> 0.3
+    docs = spark.createDataFrame(
+        [(1, uniq), (2, repeated)], "doc_id long, text string")
+    out = curate_corpus(
+        docs, quality_preset="gopher-rep",
+        min_tokens=1, max_tokens=100000, quality_min=0.0, n_shards=1)
+    report = {r["stage"]: r["n_docs"] for r in out["report"].collect()}
+    assert report["input"] == 2 and report["gopher_rep"] == 1
+    assert [r["doc_id"] for r in out["documents"].collect()] == [1]

@@ -921,10 +921,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     cur.add_argument(
         "--quality-preset",
-        choices=["gopher", "c4", "gopher+c4"],
         default=None,
-        help="apply the published Gopher/C4 quality rule chains ahead "
-        "of the generic funnel (operators/quality_presets.py)",
+        help="apply published quality rule chains ahead of the generic "
+        "funnel: any '+'-combination of 'gopher' (quality rules), "
+        "'gopher-rep' (repetition rules), and 'c4' (line filter), "
+        "e.g. 'gopher+gopher-rep+c4' (operators/quality_presets.py)",
     )
     cur.add_argument(
         "--dsir-target",

@@ -160,16 +160,21 @@ def curate_corpus(
     set, so exact AND near dedup see through the damage. Folds into the
     same first projection pass (map-only, no extra scan).
 
-    ``quality_preset`` (r12): ``'c4'``, ``'gopher'``, or
-    ``'gopher+c4'`` — the PUBLISHED preset rule chains
+    ``quality_preset`` (r12): any ``+``-combination of ``'c4'``,
+    ``'gopher'``, and ``'gopher-rep'`` — the PUBLISHED preset rule chains
     (operators/quality_presets.py) as opt-in stages ahead of the
     generic funnel. ``c4`` rewrites each document to its surviving
     lines (terminal punctuation, ≥5 words, boilerplate dropped) and
     drops pages failing the C4 page rules; ``gopher`` drops documents
-    failing any of the seven Gopher App. A1.1 rules. Both run AFTER
+    failing any of the seven Gopher App. A1.1 quality rules;
+    ``gopher-rep`` drops documents failing the Gopher Table A1
+    REPETITION rules (duplicate line/paragraph fractions, top/dup
+    n-gram character fractions — the one preset stage that shuffles,
+    on hashed gram keys). All run AFTER
     markup/unicode normalization and BEFORE every downstream signal,
     so the funnel, dedup fingerprints, and shards see the preset-
-    cleaned text; each adds its own audit stage row.
+    cleaned text; each adds its own audit stage row. Stage order:
+    c4 → gopher → gopher-rep.
 
     ``neardup_threshold`` (late r6): when set, a NEAR-duplicate stage runs
     after exact dedup — MinHash-LSH candidate pairs over ``clean_text``
@@ -233,11 +238,11 @@ def curate_corpus(
 
     if quality_preset:
         parts = set(quality_preset.split("+"))
-        unknown = parts - {"gopher", "c4"}
+        unknown = parts - {"gopher", "c4", "gopher-rep"}
         if unknown:
             raise ValueError(
                 f"quality_preset parts {sorted(unknown)} unknown; "
-                "use 'gopher', 'c4', or 'gopher+c4'"
+                "combine 'gopher', 'gopher-rep', and 'c4' with '+'"
             )
         if "c4" in parts:
             from .operators.quality_presets import c4_clean
@@ -257,6 +262,17 @@ def curate_corpus(
                 .select("doc_id", "text")
             )
             base = checkpoint("gopher", base)
+        if "gopher-rep" in parts:
+            from .operators.quality_presets import (
+                gopher_repetition_flags,
+            )
+
+            base = (
+                gopher_repetition_flags(base, text_col="text")
+                .filter(F.col("gopher_rep_pass"))
+                .select("doc_id", "text")
+            )
+            base = checkpoint("gopher_rep", base)
 
     # 1+2+3a: one pass computes the funnel features, the redacted text,
     # and the content fingerprint. n_tokens is counted on the REDACTED

@@ -187,3 +187,185 @@ def c4_clean(docs: DataFrame, text_col: str = "text",
         "c4_page_drop": page_phrase_drop
         | (F.size(kept) < min_kept_lines),
     }).withColumn("c4_pass", ~F.col("c4_page_drop"))
+
+
+# Gopher Table A1 repetition thresholds (remove the document when the
+# fraction EXCEEDS the bound)
+GOPHER_MAX_DUP_LINE_FRAC = 0.30
+GOPHER_MAX_DUP_PARA_FRAC = 0.30
+GOPHER_MAX_DUP_LINE_CHAR_FRAC = 0.20
+GOPHER_MAX_DUP_PARA_CHAR_FRAC = 0.20
+GOPHER_MAX_TOP_NGRAM_CHAR_FRAC = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_MAX_DUP_NGRAM_CHAR_FRAC = {5: 0.15, 6: 0.14, 7: 0.13,
+                                  8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def _dup_stats(elems: Column) -> tuple[Column, Column]:
+    """(duplicate-element fraction, duplicate-element char fraction)
+    over an array of strings: an element occurring k times contributes
+    its k-1 repeat occurrences (and their characters) as duplicates.
+    Array-local math -- bounded by lines/paragraphs per document, which
+    is small; n-grams do NOT use this path (see the explode pipeline
+    in :func:`gopher_repetition_flags`)."""
+    total = F.size(elems)
+    total_chars = F.aggregate(elems, F.lit(0),
+                              lambda a, e: a + F.length(e))
+    distinct = F.array_distinct(elems)
+    per = F.transform(
+        distinct,
+        lambda d: F.struct(
+            (F.size(F.filter(elems, lambda e: e == d)) - 1).alias("k1"),
+            F.length(d).alias("ln"),
+        ),
+    )
+    dup_n = F.aggregate(per, F.lit(0), lambda a, s: a + s["k1"])
+    dup_chars = F.aggregate(per, F.lit(0),
+                            lambda a, s: a + s["k1"] * s["ln"])
+    frac = F.when(total > 0, dup_n / total).otherwise(F.lit(0.0))
+    cfrac = F.when(total_chars > 0, dup_chars / total_chars) \
+        .otherwise(F.lit(0.0))
+    return frac, cfrac
+
+
+def gopher_repetition_flags(docs: DataFrame,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """The OTHER half of Gopher Table A1 -- the repetition rules --
+    with per-rule fractions, booleans, first-fail
+    ``gopher_rep_verdict``, and ``gopher_rep_pass``:
+
+    - duplicate line / paragraph fraction <= 0.30 (repeat occurrences
+      over total), duplicate line / paragraph CHARACTER fraction
+      <= 0.20;
+    - top {2,3,4}-gram character fraction <= {0.20, 0.18, 0.16}
+      (the most frequent n-gram's characters, all occurrences, over
+      total token characters; a gram must occur at least twice to
+      count — a once-occurring gram is not repetition);
+    - duplicate {5..10}-gram character fraction <= {0.15 .. 0.10}
+      (characters of ALL occurrences of n-grams appearing more than
+      once -- the Dolma-style definition, occurrences counted without
+      position-overlap dedup; stated here because published
+      reproductions differ on this detail).
+
+    Scale shape: line/paragraph stats are array-local (documents have
+    bounded line counts); the n-gram stats CANNOT be array-local
+    (quadratic in document length), so they run as one explode of
+    xxhash64 gram keys (n = 2..10 -> 9 int rows per token, strings
+    never shuffle) -> count per (doc, n, gram) -> per-(doc, n) top/dup
+    character sums -> pivot back to columns and join on ``id_col``.
+    One shuffle keyed (doc, n, gram-hash), one keyed (doc) -- the
+    MinHash pipeline's traffic class. Documents with no tokens pass
+    every rule."""
+    text = F.col(text_col)
+    tok = tokens(text)
+    lines = F.filter(_lines(text), lambda ln: F.trim(ln) != "")
+    paras = F.filter(
+        F.split(F.coalesce(text, F.lit("")),
+                r"(\r\n|\r|\n)\s*(\r\n|\r|\n)"),
+        lambda p: F.trim(p) != "")
+    line_frac, line_cfrac = _dup_stats(lines)
+    para_frac, para_cfrac = _dup_stats(paras)
+
+    base = docs.withColumns({
+        "_tok": tok,
+        "dup_line_frac": line_frac,
+        "dup_line_char_frac": line_cfrac,
+        "dup_para_frac": para_frac,
+        "dup_para_char_frac": para_cfrac,
+        "_tok_chars": F.aggregate(tok, F.lit(0),
+                                  lambda a, t: a + F.length(t)),
+    })
+
+    ns = sorted(list(GOPHER_MAX_TOP_NGRAM_CHAR_FRAC)
+                + list(GOPHER_MAX_DUP_NGRAM_CHAR_FRAC))
+    # grams as (hash, chars) pairs per n -- strings stay map-side
+    gram_arrays = F.flatten(F.array(*[
+        F.when(
+            F.size(F.col("_tok")) >= n,
+            F.transform(
+                F.slice(F.col("_tok"), F.lit(1),
+                        F.greatest(F.size(F.col("_tok")) - (n - 1),
+                                   F.lit(0))),
+                lambda _t, i: F.struct(
+                    F.lit(n).alias("n"),
+                    F.xxhash64(F.concat_ws(
+                        "\x1f",
+                        F.slice(F.col("_tok"), i + 1, n))).alias("g"),
+                    F.aggregate(
+                        F.slice(F.col("_tok"), i + 1, n), F.lit(0),
+                        lambda a, t: a + F.length(t)).alias("chars"),
+                ),
+            ),
+        ).otherwise(F.array().cast(
+            "array<struct<n:int,g:bigint,chars:int>>"))
+        for n in ns
+    ]))
+    grams = (
+        base.select(F.col(id_col).alias("_id"),
+                    F.explode(gram_arrays).alias("gr"))
+        .select("_id", F.col("gr.n").alias("n"),
+                F.col("gr.g").alias("g"),
+                F.col("gr.chars").alias("chars"))
+        .groupBy("_id", "n", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.first("chars").alias("chars"))
+    )
+    per_n = grams.groupBy("_id", "n").agg(
+        # a gram occurring ONCE is not repetition: the top-gram rule
+        # considers only grams with cnt >= 2 (otherwise any short
+        # unrepeated document trips it on its longest single gram)
+        F.max(F.when(F.col("cnt") > 1, F.col("cnt") * F.col("chars")))
+        .alias("top_chars"),
+        F.sum(F.when(F.col("cnt") > 1,
+                     F.col("cnt") * F.col("chars"))
+              .otherwise(F.lit(0))).alias("dup_chars"),
+    )
+    stats = per_n.groupBy("_id").pivot("n", ns).agg(
+        F.first(F.struct("top_chars", "dup_chars")))
+
+    joined = base.join(stats, base[id_col] == stats["_id"], "left") \
+        .drop("_id")
+    tc = F.col("_tok_chars")
+
+    def top_frac(n):
+        v = F.col(f"{n}.top_chars")
+        return F.when((tc > 0) & v.isNotNull(), v / tc) \
+            .otherwise(F.lit(0.0))
+
+    def dup_frac(n):
+        v = F.col(f"{n}.dup_chars")
+        return F.when((tc > 0) & v.isNotNull(), v / tc) \
+            .otherwise(F.lit(0.0))
+
+    flags = {
+        "rep_dup_line": F.col("dup_line_frac")
+        <= GOPHER_MAX_DUP_LINE_FRAC,
+        "rep_dup_para": F.col("dup_para_frac")
+        <= GOPHER_MAX_DUP_PARA_FRAC,
+        "rep_dup_line_chars": F.col("dup_line_char_frac")
+        <= GOPHER_MAX_DUP_LINE_CHAR_FRAC,
+        "rep_dup_para_chars": F.col("dup_para_char_frac")
+        <= GOPHER_MAX_DUP_PARA_CHAR_FRAC,
+    }
+    for n, thr in GOPHER_MAX_TOP_NGRAM_CHAR_FRAC.items():
+        flags[f"rep_top_{n}gram"] = top_frac(n) <= thr
+    for n, thr in GOPHER_MAX_DUP_NGRAM_CHAR_FRAC.items():
+        flags[f"rep_dup_{n}gram"] = dup_frac(n) <= thr
+    out = joined.withColumns(flags)
+
+    order = (["rep_dup_line", "rep_dup_para", "rep_dup_line_chars",
+              "rep_dup_para_chars"]
+             + [f"rep_top_{n}gram" for n in
+                sorted(GOPHER_MAX_TOP_NGRAM_CHAR_FRAC)]
+             + [f"rep_dup_{n}gram" for n in
+                sorted(GOPHER_MAX_DUP_NGRAM_CHAR_FRAC)])
+    verdict = F.coalesce(*[
+        F.when(~F.col(c), F.lit(c.replace("rep_", "", 1)))
+        for c in order
+    ], F.lit("keep"))
+    return (
+        out.withColumn("gopher_rep_verdict", verdict)
+        .withColumn("gopher_rep_pass",
+                    F.col("gopher_rep_verdict") == "keep")
+        .drop("_tok", "_tok_chars", *[str(n) for n in ns])
+    )
