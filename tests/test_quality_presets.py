@@ -247,3 +247,75 @@ def test_curate_corpus_gopher_rep_stage(spark):
     report = {r["stage"]: r["n_docs"] for r in out["report"].collect()}
     assert report["input"] == 2 and report["gopher_rep"] == 1
     assert [r["doc_id"] for r in out["documents"].collect()] == [1]
+
+
+def test_repetition_random_differential(spark):
+    """Seeded random documents vs an independent Python computation of
+    every published fraction — one Spark pass over 60 docs."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(4242)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(60):
+        n_lines = rng.randint(1, 12)
+        lines = []
+        for _ in range(n_lines):
+            k = rng.randint(1, 10)
+            lines.append(" ".join(rng.choice(vocab) for _ in range(k)))
+        # sometimes force duplicate lines / heavy gram repetition
+        if rng.random() < 0.4 and lines:
+            lines += [rng.choice(lines)] * rng.randint(1, 4)
+        docs.append((i, "\n".join(lines)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           QP.gopher_repetition_flags(df).collect()}
+
+    for i, text in docs:
+        norm = " ".join(text.lower().split())
+        toks = norm.split(" ") if norm else []
+        tok_chars = sum(len(t) for t in toks)
+        lines = [ln for ln in text.split("\n") if ln.strip()]
+
+        def dup_stats(elems):
+            c = Counter(elems)
+            total, chars = len(elems), sum(len(e) for e in elems)
+            dn = sum(k - 1 for k in c.values() if k > 1)
+            dc = sum((k - 1) * len(e) for e, k in c.items() if k > 1)
+            return (dn / total if total else 0.0,
+                    dc / chars if chars else 0.0)
+
+        lf, lcf = dup_stats(lines)
+        r = got[i]
+        assert r["dup_line_frac"] == pytest.approx(lf, abs=1e-12), i
+        assert r["dup_line_char_frac"] == pytest.approx(lcf,
+                                                        abs=1e-12), i
+        for n, col, kind in [(2, "rep_top_2gram", "top"),
+                             (3, "rep_top_3gram", "top"),
+                             (4, "rep_top_4gram", "top"),
+                             (5, "rep_dup_5gram", "dup"),
+                             (7, "rep_dup_7gram", "dup"),
+                             (10, "rep_dup_10gram", "dup")]:
+            grams = [tuple(toks[j:j + n])
+                     for j in range(len(toks) - n + 1)]
+            c = Counter(grams)
+            if kind == "top":
+                v = max((k * sum(len(w) for w in g)
+                         for g, k in c.items() if k > 1), default=0)
+                thr = QP.GOPHER_MAX_TOP_NGRAM_CHAR_FRAC[n]
+            else:
+                v = sum(k * sum(len(w) for w in g)
+                        for g, k in c.items() if k > 1)
+                thr = QP.GOPHER_MAX_DUP_NGRAM_CHAR_FRAC[n]
+            frac = v / tok_chars if tok_chars else 0.0
+            assert r[col] == (frac <= thr), (i, col, frac)
+
+
+def test_repetition_plan_no_nested_loop(spark):
+    df = spark.createDataFrame([(1, GOOD)], "doc_id long, text string")
+    plan = QP.gopher_repetition_flags(df)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
