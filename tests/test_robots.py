@@ -278,3 +278,43 @@ def test_parse_sitemaps(spark):
         ("b.com", "sitemapindex", "https://b.com/sitemap-2.xml",
          "2023-12-31"),
     }
+
+
+def test_warc_robots_rules_composition(spark):
+    """robots.txt captured inside a WARC parses into rules keyed by
+    the capture host; non-robots responses are ignored."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_archives import _http_response, _warc_record
+
+    recs = [
+        _warc_record(
+            "response", _http_response(ROBOTS_A,
+                                       ctype="text/plain"),
+            uri="https://a.com/robots.txt",
+            extra=(b"Content-Type: application/http;msgtype=response",)),
+        _warc_record(
+            "response", _http_response(b"<p>a page</p>"),
+            uri="https://a.com/index.html",
+            extra=(b"Content-Type: application/http;msgtype=response",)),
+        _warc_record(
+            "response",
+            _http_response(b"gone", status=404),
+            uri="https://gone.com/robots.txt",
+            extra=(b"Content-Type: application/http;msgtype=response",)),
+    ]
+    blobs = spark.createDataFrame(
+        [(1, bytearray(b"".join(recs)))], "doc_id long, payload binary")
+    rules = R.warc_robots_rules(blobs)
+    rows = rules.collect()
+    hosts = {r["host"] for r in rows}
+    assert hosts == {"a.com"}  # 404 robots and the html page drop
+    tuples = {(r["agent"], r["rule_type"], r["value"]) for r in rows}
+    assert ("*", "disallow", "/private/") in tuples
+    # and the parsed rules drive the allow/deny filter end-to-end
+    urls = spark.createDataFrame(
+        [(1, "https://a.com/private/x"), (2, "https://a.com/ok")],
+        "i long, url string")
+    kept = [r["i"] for r in
+            R.filter_robots_allowed(urls, rules).collect()]
+    assert kept == [2]

@@ -288,3 +288,31 @@ def parse_sitemaps(df: DataFrame, host_col: str = "host",
         )
         .filter(F.col("url") != "")
     )
+
+
+def warc_robots_rules(blobs: DataFrame) -> DataFrame:
+    """WARC payload table → parsed robots rules: the crawl snapshot's
+    own ``/robots.txt`` captures (2xx HTTP responses whose target URI
+    path is exactly ``/robots.txt``) feed :func:`parse_robots`, keyed
+    by the capture's host — so the allow/deny filter runs against the
+    robots state AS CRAWLED, not a later fetch. One in-partition WARC
+    split plus the parser's host-keyed windows."""
+    from ..functions.urls import url_host, url_path
+
+    from .archives import warc_records
+
+    recs = warc_records(blobs, errors="quarantine")
+    robots = (
+        recs.filter(
+            (F.col("warc_type") == "response")
+            & F.col("http_status").between(200, 299)
+            & (url_path(F.col("target_uri")) == "/robots.txt")
+            & F.col("body").isNotNull()
+        )
+        .select(
+            url_host(F.col("target_uri")).alias("host"),
+            F.col("body").alias("payload"),
+        )
+        .filter(F.col("host") != "")
+    )
+    return parse_robots(robots)
