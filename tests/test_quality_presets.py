@@ -301,8 +301,12 @@ def test_repetition_random_differential(spark):
                      for j in range(len(toks) - n + 1)]
             c = Counter(grams)
             if kind == "top":
-                v = max((k * sum(len(w) for w in g)
-                         for g, k in c.items() if k > 1), default=0)
+                # most frequent gram, ties toward larger coverage,
+                # grams occurring once excluded
+                cands = [(k, sum(len(w) for w in g))
+                         for g, k in c.items() if k > 1]
+                v = (lambda kk, ch: kk * ch)(*max(cands)) if cands \
+                    else 0
                 thr = QP.GOPHER_MAX_TOP_NGRAM_CHAR_FRAC[n]
             else:
                 v = sum(k * sum(len(w) for w in g)
@@ -319,3 +323,27 @@ def test_repetition_plan_no_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_top_ngram_is_most_frequent_not_max_product(spark):
+    """r12 review fix: the top-gram rule reads the MOST FREQUENT
+    gram's coverage — a rarer-but-longer gram with a larger
+    count*chars product must not be selected."""
+    # 'a b' x10 (4 chars coverage each, total 40 over its own count)
+    # vs 'wwwwwwwwww xxxxxxxxxx' x2 (product 40 but count only 2)
+    filler = " ".join(f"u{i:03d}" for i in range(120))
+    text = ("a b " * 10
+            + "wwwwwwwwww xxxxxxxxxx yy wwwwwwwwww xxxxxxxxxx "
+            + filler)
+    r = _rep(spark, [text])[0]
+    norm = " ".join(text.lower().split())
+    toks = norm.split(" ")
+    tok_chars = sum(len(t) for t in toks)
+    # most frequent 2-gram is ('a','b'): count>=10, chars 2
+    from collections import Counter
+    c = Counter(tuple(toks[j:j + 2]) for j in range(len(toks) - 1))
+    (top_gram, top_cnt) = max(c.items(), key=lambda kv: (kv[1],
+                              sum(len(w) for w in kv[0])))
+    want = top_cnt * sum(len(w) for w in top_gram) / tok_chars
+    assert r["rep_top_2gram"] == (
+        want <= QP.GOPHER_MAX_TOP_NGRAM_CHAR_FRAC[2])

@@ -318,3 +318,88 @@ def test_warc_robots_rules_composition(spark):
     kept = [r["i"] for r in
             R.filter_robots_allowed(urls, rules).collect()]
     assert kept == [2]
+
+
+def test_bom_prefixed_robots(spark):
+    """r12 review fix: a UTF-8 BOM before 'User-agent' must not void
+    the first group."""
+    bom_txt = b"\xef\xbb\xbfUser-agent: *\nDisallow: /private/\n"
+    rules = R.parse_robots(spark.createDataFrame(
+        [("h.com", bytearray(bom_txt))], "host string, payload binary"))
+    got = {(r["agent"], r["rule_type"], r["value"])
+           for r in rules.collect()}
+    assert ("*", "disallow", "/private/") in got
+    # string payloads carry the real U+FEFF form
+    rules2 = R.parse_robots(spark.createDataFrame(
+        [("h.com", "﻿User-agent: *\nDisallow: /x/")],
+        "host string, payload string"))
+    assert ("*", "disallow", "/x/") in {
+        (r["agent"], r["rule_type"], r["value"])
+        for r in rules2.collect()}
+
+
+def test_multiple_payloads_same_host_parse_independently(spark):
+    """r12 review fix: two different captures of one host must not
+    interleave — each file's group structure stays intact (rules are
+    the union; warc_robots_rules picks one capture upstream)."""
+    cap1 = b"User-agent: *\nDisallow: /a\n"
+    cap2 = b"User-agent: bot\nDisallow: /b\n"
+    rules = R.parse_robots(spark.createDataFrame(
+        [("h.com", bytearray(cap1)), ("h.com", bytearray(cap2)),
+         ("h.com", bytearray(cap1))],  # identical dup: deduplicated
+        "host string, payload binary"))
+    got = sorted((r["agent"], r["value"])
+                 for r in rules.collect() if r["rule_type"] == "disallow")
+    # NO cross-product: * never gets /b, bot never gets /a, no dups
+    assert got == [("*", "/a"), ("bot", "/b")]
+
+
+def test_warc_robots_last_capture_wins(spark):
+    import sys
+    sys.path.insert(0, "tests")
+    from test_archives import _http_response, _warc_record
+
+    old = b"User-agent: *\nDisallow: /old/\n"
+    new = b"User-agent: *\nDisallow: /new/\n"
+    recs = [
+        _warc_record(
+            "response", _http_response(old, ctype="text/plain"),
+            uri="https://h.com/robots.txt",
+            extra=(b"Content-Type: application/http;msgtype=response",)),
+        _warc_record(
+            "response", _http_response(new, ctype="text/plain"),
+            uri="https://h.com/robots.txt",
+            extra=(b"Content-Type: application/http;msgtype=response",)),
+    ]
+    blobs = spark.createDataFrame(
+        [(1, bytearray(b"".join(recs)))], "doc_id long, payload binary")
+    vals = {r["value"] for r in R.warc_robots_rules(blobs).collect()}
+    assert vals == {"/new/"}
+
+
+def test_filter_preserves_caller_host_column(spark):
+    """r12 review fix: a caller-owned 'host' column must survive the
+    rules join."""
+    rules = _rules(spark)
+    urls = spark.createDataFrame(
+        [(1, "https://a.com/private/x", "a.com"),
+         (2, "https://a.com/ok", "a.com")],
+        "i long, url string, host string")
+    out = R.filter_robots_allowed(urls, rules)
+    rows = out.collect()
+    assert out.columns == ["i", "url", "host"]
+    assert [(r["i"], r["host"]) for r in rows] == [(2, "a.com")]
+
+
+def test_crawl_delay_group_exclusive(spark):
+    """r12 review fix: a named group without a delay must NOT inherit
+    the * group's delay."""
+    txt = (b"User-agent: trainingbot\nDisallow: /x\n\n"
+           b"User-agent: *\nCrawl-delay: 10\n")
+    rules = R.parse_robots(spark.createDataFrame(
+        [("h.com", bytearray(txt))], "host string, payload binary"))
+    named = R.robots_crawl_delays(rules, agent="trainingbot").collect()
+    assert named == []  # the governing group sets no delay
+    star = {r["host"]: r["crawl_delay_sec"]
+            for r in R.robots_crawl_delays(rules).collect()}
+    assert star == {"h.com": 10.0}

@@ -72,7 +72,12 @@ def gopher_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ``g_stop_words``      ≥ 2 of the 8 required stop words appear
     """
     text = F.col(text_col)
-    tok = tokens(text)
+    # project the token array ONCE: interpreted higher-order exprs are
+    # not CSE'd by Catalyst (the functions/text.py PERF note), so every
+    # rule below reads the same `_g_tok` column instead of re-running
+    # lower+trim+regexp+split per expression (r12 review fix)
+    docs = docs.withColumn("_g_tok", tokens(text))
+    tok = F.col("_g_tok")
     nw = F.size(tok)
     total_len = F.aggregate(
         tok, F.lit(0), lambda acc, t: acc + F.length(t))
@@ -134,8 +139,12 @@ def gopher_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .when(~F.col("g_stop_words"), "stop_words")
         .otherwise("keep")
     )
-    return out.withColumn("gopher_verdict", verdict).withColumn(
-        "gopher_pass", F.col("gopher_verdict") == "keep")
+    return (
+        out.withColumn("g_n_words", nw)
+        .withColumn("gopher_verdict", verdict)
+        .withColumn("gopher_pass", F.col("gopher_verdict") == "keep")
+        .drop("_g_tok")
+    )
 
 
 C4_MIN_WORDS_PER_LINE = 5
@@ -311,11 +320,15 @@ def gopher_repetition_flags(docs: DataFrame,
              F.first("chars").alias("chars"))
     )
     per_n = grams.groupBy("_id", "n").agg(
-        # a gram occurring ONCE is not repetition: the top-gram rule
-        # considers only grams with cnt >= 2 (otherwise any short
-        # unrepeated document trips it on its longest single gram)
-        F.max(F.when(F.col("cnt") > 1, F.col("cnt") * F.col("chars")))
-        .alias("top_chars"),
+        # the published rule reads the MOST FREQUENT n-gram's character
+        # coverage, so the selector is the count (ties broken toward
+        # larger coverage), NOT a max over cnt*chars products — and a
+        # gram occurring once is not repetition, so cnt >= 2 gates it
+        # (r12 review fixes)
+        F.expr(
+            "max_by(CASE WHEN cnt > 1 THEN cnt * chars END, "
+            "CASE WHEN cnt > 1 THEN struct(cnt, chars) END)"
+        ).alias("top_chars"),
         F.sum(F.when(F.col("cnt") > 1,
                      F.col("cnt") * F.col("chars"))
               .otherwise(F.lit(0))).alias("dup_chars"),

@@ -58,40 +58,55 @@ def parse_robots(df: DataFrame, host_col: str = "host",
     following allow/disallow/crawl-delay lines belong to EVERY agent
     of that group (emitted once per agent); rules before any
     ``User-agent`` line are ignored; ``Sitemap`` is group-independent
-    and carries a NULL agent."""
+    and carries a NULL agent.
+
+    A leading UTF-8 BOM is stripped before line parsing (BOM-prefixed
+    robots.txt is common; without the strip the first directive would
+    silently fail the key match — r12 review fix). Multiple payload
+    rows for the SAME host each parse independently — group recovery
+    is keyed by (host, payload hash), never interleaved across
+    payloads (r12 review fix); the emitted rules are the union, so
+    pick one capture per host upstream (as
+    :func:`warc_robots_rules` does) when snapshot-exact semantics
+    matter. Identical duplicate payloads are deduplicated."""
     text = F.col(payload_col)
     if dict(df.dtypes)[payload_col] == "binary":
         text = F.decode(text, "ISO-8859-1")
+    # the BOM is U+FEFF on pre-decoded strings and the three-char
+    # ISO-8859-1 rendering of EF BB BF on decoded binary payloads
+    text = F.regexp_replace(
+        text, "^(\uFEFF|\u00EF\u00BB\u00BF)", "")
     lines = df.select(
         F.col(host_col).alias("host"),
+        F.xxhash64(F.col(payload_col)).alias("src"),
         F.posexplode(F.split(text, r"\r\n|\r|\n")).alias("pos", "line"),
-    )
+    ).dropDuplicates(["host", "src", "pos"])
     stripped = F.trim(F.regexp_replace(F.col("line"), "#.*$", ""))
     parsed = lines.select(
-        "host", "pos",
+        "host", "src", "pos",
         F.lower(F.trim(F.regexp_extract(stripped, "^([^:]*):", 1)))
         .alias("key"),
         F.trim(F.regexp_extract(stripped, "^[^:]*:(.*)$", 1))
         .alias("value"),
     ).filter(F.col("key").isin(*_RULE_TYPES))
 
-    w = Window.partitionBy("host").orderBy("pos")
+    w = Window.partitionBy("host", "src").orderBy("pos")
     is_ua = F.col("key") == "user-agent"
     new_group = is_ua & ~F.coalesce(F.lag(is_ua).over(w), F.lit(False))
     grouped = parsed.select(
-        "host", "pos", "key", "value",
+        "host", "src", "pos", "key", "value",
         F.sum(new_group.cast("int")).over(w).alias("gid"),
     )
 
     agents = (
         grouped.filter(is_ua)
-        .groupBy("host", "gid")
+        .groupBy("host", "src", "gid")
         .agg(F.collect_set(F.lower(F.col("value"))).alias("agents"))
     )
     rules = (
         grouped.filter(~is_ua & (F.col("key") != "sitemap")
                        & (F.col("gid") > 0))
-        .join(agents, ["host", "gid"])
+        .join(agents, ["host", "src", "gid"])
         .select(
             "host",
             F.explode("agents").alias("agent"),
@@ -180,10 +195,15 @@ def filter_robots_allowed(urls: DataFrame, rules: DataFrame,
         .otherwise(F.col("star_rules")).alias("rset"),
     )
 
+    # the rules-side key is renamed before the join: drop("host") by
+    # NAME after an equi-join would also remove a caller-owned 'host'
+    # column from the URL table (r12 review fix)
+    per_host = per_host.withColumnRenamed("host", "__rules_host")
     with_host = urls.withColumn("__rhost", url_host(F.col(url_col)))
     joined = with_host.join(
-        per_host, with_host["__rhost"] == per_host["host"], "left"
-    ).drop("host")
+        per_host, with_host["__rhost"] == per_host["__rules_host"],
+        "left",
+    ).drop("__rules_host")
     target = robots_match_target(F.col(url_col))
     # fold: track the longest matching rule; allow wins exact ties
     decision = F.aggregate(
@@ -209,22 +229,40 @@ def filter_robots_allowed(urls: DataFrame, rules: DataFrame,
 
 def robots_crawl_delays(rules: DataFrame,
                         agent: str = "*") -> DataFrame:
-    """``(host, crawl_delay_sec)`` for the agent (named group shadows
-    ``*``, same as the allow/deny path); unparseable delays drop."""
+    """``(host, crawl_delay_sec)`` for the agent. Group-exclusive like
+    the allow/deny path (r12 review fix): when a NAMED group exists
+    for the host — judged on ANY of its directives, not just delays —
+    only that group's delay counts, even if it sets none (the ``*``
+    group's delay must not leak in); ``*`` applies only to hosts with
+    no named group. Unparseable delays drop; hosts whose governing
+    group sets no delay emit no row."""
     agent_lc = agent.lower()
-    d = rules.filter(
-        (F.col("rule_type") == "crawl-delay")
-        & F.col("agent").isin(agent_lc, "*")
+    scoped = rules.filter(
+        F.col("agent").isin(agent_lc, "*")
+        & (F.col("rule_type") != "sitemap")
     ).select(
         "host",
         (F.col("agent") == agent_lc).alias("specific"),
-        F.col("value").try_cast("double").alias("delay"),
-    ).filter(F.col("delay").isNotNull())
-    return d.groupBy("host").agg(
-        F.coalesce(
-            F.max(F.when(F.col("specific"), F.col("delay"))),
-            F.max(F.when(~F.col("specific"), F.col("delay"))),
-        ).alias("crawl_delay_sec")
+        F.when(
+            F.col("rule_type") == "crawl-delay",
+            F.col("value").try_cast("double"),
+        ).alias("delay"),
+    )
+    return (
+        scoped.groupBy("host")
+        .agg(
+            F.max(F.col("specific")).alias("has_named"),
+            F.max(F.when(F.col("specific"), F.col("delay")))
+            .alias("named_delay"),
+            F.max(F.when(~F.col("specific"), F.col("delay")))
+            .alias("star_delay"),
+        )
+        .select(
+            "host",
+            F.when(F.col("has_named"), F.col("named_delay"))
+            .otherwise(F.col("star_delay")).alias("crawl_delay_sec"),
+        )
+        .filter(F.col("crawl_delay_sec").isNotNull())
     )
 
 
@@ -295,8 +333,12 @@ def warc_robots_rules(blobs: DataFrame) -> DataFrame:
     own ``/robots.txt`` captures (2xx HTTP responses whose target URI
     path is exactly ``/robots.txt``) feed :func:`parse_robots`, keyed
     by the capture's host — so the allow/deny filter runs against the
-    robots state AS CRAWLED, not a later fetch. One in-partition WARC
-    split plus the parser's host-keyed windows."""
+    robots state AS CRAWLED, not a later fetch. When a host was
+    captured more than once, ONE capture wins — the last in collection
+    order (max (doc_id, record_idx)) — so the parsed rules reflect one
+    coherent snapshot rather than a union of captures (r12 review
+    fix). One in-partition WARC split, a per-host max_by, then the
+    parser's host-keyed windows."""
     from ..functions.urls import url_host, url_path
 
     from .archives import warc_records
@@ -312,7 +354,10 @@ def warc_robots_rules(blobs: DataFrame) -> DataFrame:
         .select(
             url_host(F.col("target_uri")).alias("host"),
             F.col("body").alias("payload"),
+            F.struct("doc_id", "record_idx").alias("ord"),
         )
         .filter(F.col("host") != "")
+        .groupBy("host")
+        .agg(F.expr("max_by(payload, ord)").alias("payload"))
     )
     return parse_robots(robots)

@@ -518,7 +518,7 @@ def corpus_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("gopher_verdict").alias("key")
     ).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        (F.sum(token_count_t(tokens("ptxt")).cast("long"))
+        (F.sum(F.col("g_n_words").cast("long"))
          .cast("double") / F.count(F.lit(1))).alias("metric"),
     ).select(F.lit("gopher").alias("section"), "key", "n_docs",
              "metric")
