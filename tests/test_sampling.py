@@ -101,3 +101,39 @@ def test_key_monotone_in_weight_for_same_u(spark):
     assert r["k1"] < r["k5"] < r["k50"]
     assert all(0 < v < 1 for v in (r["k1"], r["k5"], r["k50"]))
     assert not math.isnan(r["k1"])
+
+
+def test_grouped_split_leakage_safe(spark):
+    """r12: every row of a group lands in ONE split; proportions track
+    the requested fractions; deterministic and salt-independent of the
+    other samplers."""
+    from youtube_api_data_etl_automation_spark.operators.sampling import (
+        grouped_split,
+    )
+
+    import pytest
+
+    rows = [(i, f"domain{i % 200}.com") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    out = grouped_split(df, group_col="domain")
+    per_group = out.groupBy("domain").agg(
+        F.countDistinct("split").alias("k")).collect()
+    assert all(r["k"] == 1 for r in per_group)  # no straddling
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n"))
+              .collect()}
+    assert counts["train"] / 4000 == pytest.approx(0.9, abs=0.08)
+    assert set(counts) <= {"train", "val", "test"}
+    # deterministic across invocations
+    again = {r["doc_id"]: r["split"]
+             for r in grouped_split(df, group_col="domain").collect()}
+    first = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert first == again
+    # custom fractions + validation
+    two = grouped_split(df, group_col="domain",
+                        fractions={"a": 0.5, "b": 0.5})
+    assert set(r["split"] for r in two.select("split")
+               .distinct().collect()) == {"a", "b"}
+    with pytest.raises(ValueError, match="sum"):
+        grouped_split(df, group_col="domain",
+                      fractions={"a": 0.5, "b": 0.2})

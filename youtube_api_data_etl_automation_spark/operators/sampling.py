@@ -82,3 +82,45 @@ def weighted_sample_per_group(df: DataFrame, *, group_col: str, id_col: str,
     if keep_rank is not None:
         out = out.withColumn(keep_rank, F.col("_rn").cast("int"))
     return out.drop("_aes", "_rn")
+
+
+def grouped_split(df: DataFrame, *, group_col: str,
+                  fractions: dict[str, float] | None = None,
+                  salt: str = "split:") -> DataFrame:
+    """Leakage-safe train/val/test assignment (r12): the split is
+    hashed on the GROUP key — registrable domain, source, author —
+    so every row of a group lands in the SAME split and near-duplicate
+    members of one source can never straddle train and eval (the
+    leakage a row-hashed split invites). Adds a ``split`` column.
+
+    ``fractions`` maps split name → fraction (default 0.9/0.05/0.05
+    train/val/test); fractions must sum to 1 within 1e-9 and are
+    quantized to 256 content-stable md5 buckets — the same
+    ``bucket(salt ++ key)`` idiom as every sampler here, so a group's
+    assignment is deterministic across runs, partitionings, and
+    engines, and independent of other samplers via the salt. Map-only:
+    no shuffle, no state."""
+    if fractions is None:
+        fractions = {"train": 0.90, "val": 0.05, "test": 0.05}
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions sum to {total}, expected 1.0")
+    bucket = (
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit(salt),
+                           F.col(group_col).cast("string"))), 1, 2),
+            16, 10).cast("int")
+    )
+    # cumulative 256-bucket thresholds; the LAST split absorbs the
+    # rounding remainder so every bucket maps somewhere
+    names = list(fractions)
+    cum, expr = 0.0, None
+    for name in names[:-1]:
+        cum += fractions[name]
+        thr = int(round(cum * 256))
+        cond = bucket < thr
+        expr = F.when(cond, name) if expr is None else \
+            expr.when(cond, name)
+    expr = (expr.otherwise(names[-1]) if expr is not None
+            else F.lit(names[-1]))
+    return df.withColumn("split", expr)
