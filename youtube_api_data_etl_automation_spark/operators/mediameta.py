@@ -1875,3 +1875,75 @@ def audio_tags(blobs: DataFrame, errors: str = "raise") -> DataFrame:
         ),
         schema,
     )
+
+
+def sniff_format(blobs: DataFrame,
+                 payload_col: str = "payload") -> DataFrame:
+    """Pure-Column magic-byte sniffer over a mixed payload table (r12):
+    adds ``sniff_family`` / ``sniff_format`` so a heterogeneous crawl
+    partition routes to the right decoder family (triage_decode_images,
+    decode_audio/audio_subband_features, video_meta, archive_members,
+    pdf_text, subtitles_text, …) WITHOUT a Python round-trip — the
+    dispatch is substring-equality Column math the optimizer folds
+    into the scan projection, so routing a 100 TB mixed table costs
+    one map-only pass and zero Arrow batches.
+
+    Families/formats covered: image (png/jpeg/gif/bmp/webp/tiff/pnm),
+    audio (wav/flac/mp3/ogg), video (mp4/mkv/avi), archive
+    (gzip/zip/tar/warc), document (pdf). ``zip`` is reported as
+    archive even when it is OOXML — distinguishing docx needs a
+    member read, which is the downstream operator's job. Everything
+    else is ``('unknown', NULL)``. NULL/empty payloads are
+    ``('unknown', NULL)`` too."""
+    from pyspark.sql import Column, functions as F
+
+    p = F.col(payload_col)
+
+    def magic(off: int, sig: bytes) -> Column:
+        return F.substring(p, off + 1, len(sig)) == F.lit(
+            bytearray(sig))
+
+    riff = magic(0, b"RIFF")
+    fmt = (
+        F.when(magic(0, b"\x89PNG\r\n\x1a\n"), F.lit("png"))
+        .when(magic(0, b"\xff\xd8"), F.lit("jpeg"))
+        .when(magic(0, b"GIF87a") | magic(0, b"GIF89a"), F.lit("gif"))
+        .when(riff & magic(8, b"WEBP"), F.lit("webp"))
+        .when(magic(0, b"II*\x00") | magic(0, b"MM\x00*"),
+              F.lit("tiff"))
+        .when(magic(0, b"BM"), F.lit("bmp"))
+        .when(magic(0, b"P4") | magic(0, b"P5") | magic(0, b"P6"),
+              F.lit("pnm"))
+        .when(riff & magic(8, b"WAVE"), F.lit("wav"))
+        .when(magic(0, b"fLaC"), F.lit("flac"))
+        .when(magic(0, b"ID3"), F.lit("mp3"))
+        .when(
+            (F.substring(p, 1, 1) == F.lit(bytearray(b"\xff")))
+            & (F.substring(p, 2, 1) >= F.lit(bytearray(b"\xe0"))),
+            F.lit("mp3"))
+        .when(magic(0, b"OggS"), F.lit("ogg"))
+        .when(magic(4, b"ftyp"), F.lit("mp4"))
+        .when(magic(0, b"\x1a\x45\xdf\xa3"), F.lit("mkv"))
+        .when(riff & magic(8, b"AVI "), F.lit("avi"))
+        .when(magic(0, b"\x1f\x8b"), F.lit("gzip"))
+        .when(magic(0, b"PK\x03\x04") | magic(0, b"PK\x05\x06"),
+              F.lit("zip"))
+        .when(magic(257, b"ustar"), F.lit("tar"))
+        .when(magic(0, b"WARC/"), F.lit("warc"))
+        .when(magic(0, b"%PDF-"), F.lit("pdf"))
+    )
+    family_of = {
+        "image": ("png", "jpeg", "gif", "webp", "tiff", "bmp", "pnm"),
+        "audio": ("wav", "flac", "mp3", "ogg"),
+        "video": ("mp4", "mkv", "avi"),
+        "archive": ("gzip", "zip", "tar", "warc"),
+        "document": ("pdf",),
+    }
+    out = blobs.withColumn("sniff_format", fmt)
+    fam = F.lit("unknown")
+    family = None
+    for name, members in family_of.items():
+        cond = F.col("sniff_format").isin(*members)
+        family = F.when(cond, name) if family is None \
+            else family.when(cond, name)
+    return out.withColumn("sniff_family", family.otherwise(fam))
