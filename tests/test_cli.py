@@ -721,3 +721,17 @@ def test_media_cli_pdfimages_r12(spark, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 2  # the JPX image quarantines
     assert out["by_format"] == {"ppm": 1, "None": 1}
+
+
+def test_media_cli_sniff_r12(spark, capsys):
+    base = tempfile.mkdtemp(prefix="cli_sniff_")
+    spark.createDataFrame(
+        [(1, bytearray(b"%PDF-1.4\n")), (2, bytearray(b"PK\x03\x04" + b"\x00" * 8)),
+         (3, bytearray(b"garbage"))],
+        "doc_id long, payload binary",
+    ).write.mode("overwrite").parquet(base + "/mixed")
+    rc = main(["media", "--input", base + "/mixed", "--op", "sniff"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert out["by_sniff_family"] == {"document": 1, "archive": 1,
+                                      "unknown": 1}

@@ -794,6 +794,7 @@ def _cmd_media(args: argparse.Namespace) -> int:
         "pdftext": lambda b: pdf.pdf_text(b, errors="quarantine"),
         "pdfmeta": lambda b: pdf.pdf_meta(b, errors="quarantine"),
         "pdfimages": lambda b: pdf.pdf_images(b, errors="quarantine"),
+        "sniff": lambda b: mediameta.sniff_format(b),
         "imagehash": lambda b: imagehash.image_hashes(
             b, errors="quarantine"),
         "members": lambda b: archives.archive_members(
@@ -810,7 +811,8 @@ def _cmd_media(args: argparse.Namespace) -> int:
         out.write.mode("overwrite").parquet(args.output)
         out = spark.read.parquet(args.output)  # summarize the sink
     group_col = next(
-        (c for c in ("route", "format", "brand", "container")
+        (c for c in ("route", "format", "brand", "container",
+                     "sniff_family")
          if c in out.columns), None
     )
     summary = {"status": "ok", "op": args.op, "n": out.count()}
@@ -859,7 +861,7 @@ def build_parser() -> argparse.ArgumentParser:
                  "triage", "exif", "tags", "audiotriage", "keyframe",
                  "subband", "archive", "warc", "pdftext", "pdfmeta",
                  "pdfimages", "imagehash", "members", "exifstrip",
-                 "docxtext", "thumbnail", "subtitles"],
+                 "docxtext", "thumbnail", "subtitles", "sniff"],
         help="probe=image headers, decode=image pixels, audio=samples, "
              "audiometa=MP3/FLAC/WAV headers, video=MP4/MKV containers, "
              "triage=probe-then-decode router (audiotriage=the audio "
