@@ -344,3 +344,36 @@ def test_registrable_domain_psl_random_differential(spark):
         if got[i] != want:
             mismatches.append((h, got[i], want))
     assert not mismatches, mismatches[:10]
+
+
+def test_url_normalize_idempotent(spark):
+    """Canonicalization is a fixed point: normalize(normalize(u)) ==
+    normalize(u) over seeded random URL shapes (ports, userinfo,
+    tracking params, fragments, case, IPv6, junk)."""
+    import random
+
+    rng = random.Random(99)
+    hosts = ["Site.com", "a.B.example.ORG", "x.io", "[::1]",
+             "single-label"]
+    params = ["a=1", "b=2", "utm_source=x", "fbclid=zz", "z&=bad",
+              "c=d=e", "k"]
+    urls = []
+    for i in range(200):
+        scheme = rng.choice(["http", "https", "HTTP", "ftp"])
+        host = rng.choice(hosts)
+        port = rng.choice(["", ":80", ":443", ":8080"])
+        user = rng.choice(["", "u:p@"])
+        path = rng.choice(["", "/", "/A/b", "/x%20y"])
+        q = "&".join(rng.sample(params, rng.randint(0, 4)))
+        frag = rng.choice(["", "#f", "#/route?tab=1"])
+        urls.append(
+            (i, f"{scheme}://{user}{host}{port}{path}"
+                + (f"?{q}" if q else "") + frag))
+    urls += [(900, "not a url"), (901, None), (902, "")]
+    df = spark.createDataFrame(urls, "i long, url string")
+    once = df.select("i", U.url_normalize(F.col("url")).alias("c1"))
+    twice = once.select(
+        "i", "c1", U.url_normalize(F.col("c1")).alias("c2"))
+    bad = [(r["i"], r["c1"], r["c2"]) for r in twice.collect()
+           if r["c1"] != r["c2"]]
+    assert not bad, bad[:5]
