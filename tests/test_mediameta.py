@@ -1334,3 +1334,36 @@ def test_sniff_format_routes_all_families(spark):
     plan = mediameta.sniff_format(df)._jdf \
         .queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "Exchange" not in plan
+
+
+def test_sniff_tar_with_misleading_member_name(spark):
+    """r12 review fix: a tar whose first member is named 'BMfile.bin'
+    starts with the BMP magic at offset 0 — the offset-257 ustar check
+    must win."""
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w",
+                      format=tarfile.USTAR_FORMAT) as tf:
+        for name in ("BMfile.bin", "P6image.ppm", "ID3notes.txt"):
+            ti = tarfile.TarInfo(name)
+            data = b"payload"
+            ti.size = len(data)
+            tf.addfile(ti, io.BytesIO(data))
+    tars = [bytes(buf.getvalue())]
+    # three rotations so each misleading name leads once
+    for lead in ("P6image.ppm", "ID3notes.txt"):
+        b2 = io.BytesIO()
+        with tarfile.open(fileobj=b2, mode="w",
+                          format=tarfile.USTAR_FORMAT) as tf:
+            ti = tarfile.TarInfo(lead)
+            ti.size = 2
+            tf.addfile(ti, io.BytesIO(b"xy"))
+        tars.append(bytes(b2.getvalue()))
+    df = spark.createDataFrame(
+        [(i, bytearray(t)) for i, t in enumerate(tars)],
+        "doc_id long, payload binary")
+    rows = mediameta.sniff_format(df).collect()
+    assert all(r["sniff_format"] == "tar" for r in rows)
+    assert all(r["sniff_family"] == "archive" for r in rows)

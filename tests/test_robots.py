@@ -403,3 +403,22 @@ def test_crawl_delay_group_exclusive(spark):
     star = {r["host"]: r["crawl_delay_sec"]
             for r in R.robots_crawl_delays(rules).collect()}
     assert star == {"h.com": 10.0}
+
+
+def test_named_group_without_rules_still_shadows_star(spark):
+    """r12 review fix: a named group whose directives all filter out
+    (empty Disallow = allow-all, or crawl-delay only) must still be
+    group-exclusive — the * group's rules may not leak in."""
+    txt = (b"User-agent: trainingbot\nDisallow:\n\n"
+           b"User-agent: crawldelaybot\nCrawl-delay: 3\n\n"
+           b"User-agent: *\nDisallow: /\n")
+    rules = R.parse_robots(spark.createDataFrame(
+        [("h.com", bytearray(txt))], "host string, payload binary"))
+    urls = spark.createDataFrame([(1, "https://h.com/anything")],
+                                 "i long, url string")
+    for agent in ("trainingbot", "crawldelaybot"):
+        kept = [r["i"] for r in
+                R.filter_robots_allowed(urls, rules,
+                                        agent=agent).collect()]
+        assert kept == [1], agent  # named group governs: allowed
+    assert R.filter_robots_allowed(urls, rules).collect() == []

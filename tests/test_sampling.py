@@ -137,3 +137,32 @@ def test_grouped_split_leakage_safe(spark):
     with pytest.raises(ValueError, match="sum"):
         grouped_split(df, group_col="domain",
                       fractions={"a": 0.5, "b": 0.2})
+
+
+def test_grouped_split_null_keys_and_bad_fractions(spark):
+    """r12 review fix: NULL group keys fold to one deterministic
+    empty-string group (never flooding the last/eval split by
+    NULL-comparison fallthrough), and out-of-range fractions refuse."""
+    import pytest
+
+    from youtube_api_data_etl_automation_spark.operators.sampling import (
+        grouped_split,
+    )
+
+    df = spark.createDataFrame(
+        [(i, None) for i in range(50)] + [(99, "d.com")],
+        "doc_id long, domain string")
+    out = grouped_split(df, group_col="domain",
+                        fractions={"train": 0.5, "test": 0.5})
+    null_splits = {r["split"] for r in out.filter("domain IS NULL")
+                   .collect()}
+    assert len(null_splits) == 1  # one deterministic assignment
+    # and it equals the empty-string group's assignment
+    empty = grouped_split(
+        spark.createDataFrame([(1, "")], "doc_id long, domain string"),
+        group_col="domain", fractions={"train": 0.5, "test": 0.5}
+    ).collect()[0]["split"]
+    assert null_splits == {empty}
+    with pytest.raises(ValueError, match="outside"):
+        grouped_split(df, group_col="domain",
+                      fractions={"a": 1.5, "b": -0.5})

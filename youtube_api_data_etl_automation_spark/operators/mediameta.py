@@ -1905,7 +1905,12 @@ def sniff_format(blobs: DataFrame,
 
     riff = magic(0, b"RIFF")
     fmt = (
-        F.when(magic(0, b"\x89PNG\r\n\x1a\n"), F.lit("png"))
+        # tar first: its magic sits at offset 257, so a tar whose first
+        # member NAME starts with a weak 2-3 byte ASCII magic (BM, P6,
+        # ID3, GIF89a) would otherwise sniff as that format (r12 review
+        # fix); nothing else carries 'ustar' at 257
+        F.when(magic(257, b"ustar"), F.lit("tar"))
+        .when(magic(0, b"\x89PNG\r\n\x1a\n"), F.lit("png"))
         .when(magic(0, b"\xff\xd8"), F.lit("jpeg"))
         .when(magic(0, b"GIF87a") | magic(0, b"GIF89a"), F.lit("gif"))
         .when(riff & magic(8, b"WEBP"), F.lit("webp"))
@@ -1928,7 +1933,6 @@ def sniff_format(blobs: DataFrame,
         .when(magic(0, b"\x1f\x8b"), F.lit("gzip"))
         .when(magic(0, b"PK\x03\x04") | magic(0, b"PK\x05\x06"),
               F.lit("zip"))
-        .when(magic(257, b"ustar"), F.lit("tar"))
         .when(magic(0, b"WARC/"), F.lit("warc"))
         .when(magic(0, b"%PDF-"), F.lit("pdf"))
     )

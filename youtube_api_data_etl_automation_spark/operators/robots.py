@@ -76,11 +76,18 @@ def parse_robots(df: DataFrame, host_col: str = "host",
     # ISO-8859-1 rendering of EF BB BF on decoded binary payloads
     text = F.regexp_replace(
         text, "^(\uFEFF|\u00EF\u00BB\u00BF)", "")
-    lines = df.select(
+    # identical duplicate payloads dedupe BEFORE the explode — one
+    # shuffled row per capture, not per robots line (r12 review fix)
+    uniq = df.select(
         F.col(host_col).alias("host"),
         F.xxhash64(F.col(payload_col)).alias("src"),
-        F.posexplode(F.split(text, r"\r\n|\r|\n")).alias("pos", "line"),
-    ).dropDuplicates(["host", "src", "pos"])
+        text.alias("_text"),
+    ).dropDuplicates(["host", "src"])
+    lines = uniq.select(
+        "host", "src",
+        F.posexplode(F.split(F.col("_text"), r"\r\n|\r|\n"))
+        .alias("pos", "line"),
+    )
     stripped = F.trim(F.regexp_replace(F.col("line"), "#.*$", ""))
     parsed = lines.select(
         "host", "src", "pos",
@@ -171,27 +178,35 @@ def filter_robots_allowed(urls: DataFrame, rules: DataFrame,
     from ..functions.urls import url_host
 
     agent_lc = agent.lower()
-    r = rules.filter(
-        F.col("rule_type").isin("allow", "disallow")
-        & (F.col("value") != "")
-        & F.col("agent").isin(agent_lc, "*")
+    scoped = rules.filter(
+        F.col("agent").isin(agent_lc, "*")
+        & (F.col("rule_type") != "sitemap")
     ).select(
         "host",
         (F.col("agent") == agent_lc).alias("specific"),
-        F.struct(
-            F.length("value").alias("l"),
-            (F.col("rule_type") == "allow").alias("is_allow"),
-            _rule_regex(F.col("value")).alias("rx"),
+        F.when(
+            F.col("rule_type").isin("allow", "disallow")
+            & (F.col("value") != ""),
+            F.struct(
+                F.length("value").alias("l"),
+                (F.col("rule_type") == "allow").alias("is_allow"),
+                _rule_regex(F.col("value")).alias("rx"),
+            ),
         ).alias("rule"),
     )
-    per_host = r.groupBy("host").agg(
+    # group exclusivity is judged on ANY named-group directive — an
+    # empty-value Disallow or a crawl-delay-only named group still
+    # shadows the * group (RFC 9309; r12 review fix — size(spec_rules)
+    # alone would leak * rules into such groups)
+    per_host = scoped.groupBy("host").agg(
+        F.max(F.col("specific")).alias("has_named"),
         F.collect_list(F.when(F.col("specific"), F.col("rule")))
         .alias("spec_rules"),
         F.collect_list(F.when(~F.col("specific"), F.col("rule")))
         .alias("star_rules"),
     ).select(
         "host",
-        F.when(F.size("spec_rules") > 0, F.col("spec_rules"))
+        F.when(F.col("has_named"), F.col("spec_rules"))
         .otherwise(F.col("star_rules")).alias("rset"),
     )
 

@@ -100,17 +100,27 @@ def grouped_split(df: DataFrame, *, group_col: str,
     assignment is deterministic across runs, partitionings, and
     engines, and independent of other samplers via the salt. Map-only:
     no shuffle, no state."""
+    from ..functions.hashing import md5_bucket
+
     if fractions is None:
         fractions = {"train": 0.90, "val": 0.05, "test": 0.05}
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions sum to {total}, expected 1.0")
-    bucket = (
-        F.conv(F.substring(
-            F.md5(F.concat(F.lit(salt),
-                           F.col(group_col).cast("string"))), 1, 2),
-            16, 10).cast("int")
-    )
+    bad = {k: v for k, v in fractions.items() if not 0.0 <= v <= 1.0}
+    if bad:
+        raise ValueError(
+            f"fractions outside [0, 1]: {bad} (r12 review fix: "
+            "negative/overshooting fractions would silently collapse "
+            "the split)")
+    # NULL group keys fold to the empty-string group (one deterministic
+    # assignment) instead of falling through every threshold into the
+    # LAST split — which is the eval split by default (r12 review fix);
+    # the shared md5_bucket primitive keeps the bucketing idiom single-
+    # sourced with every other sampler and the DuckDB oracles.
+    bucket = md5_bucket(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("")),
+        salt=salt)
     # cumulative 256-bucket thresholds; the LAST split absorbs the
     # rounding remainder so every bucket maps somewhere
     names = list(fractions)
