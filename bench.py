@@ -131,7 +131,7 @@ SECTIONS: dict[str, tuple[str, list[str]]] = {
     "multimodal_frame_features": ("section", ["frames", "codec"]),
     # r12: the psl (exact PSL registrable domains) and canon
     # (url_normalize) sections joined the lang-cap row
-    "lang_cap_docs": ("section", ["lang_cap", "domains", "psl", "canon"]),
+    "lang_cap_docs": ("section", ["lang_cap", "domains", "psl", "canon", "robots"]),
 }
 
 

@@ -378,6 +378,43 @@ canon_section AS (
          md5(string_agg(DISTINCT canon, ',' ORDER BY canon)) AS kept_fp
   FROM canon_c
   GROUP BY 1, 2
+),
+rb_u AS (
+  SELECT doc_id,
+    source || '.example.com' AS host,
+    CASE CAST(doc_id % 5 AS INT)
+      WHEN 0 THEN '/p0'
+      WHEN 1 THEN '/p1/x'
+      WHEN 2 THEN '/p1/ok.html'
+      WHEN 3 THEN '/p2/doc'
+      ELSE '/file.pdf' END AS path
+  FROM documents
+),
+-- the oracle does NOT re-implement the REP evaluator: the planted
+-- rule set's longest-match/wildcard/anchor/named-group outcomes are
+-- HAND-DERIVED per path shape (see the Spark-side comment), so a
+-- mirror bug in the engine's fold cannot hide here
+rb_k AS (
+  SELECT doc_id, host,
+    CAST(doc_id % 5 AS INT) IN (0, 2, 3) AS keep_star,
+    CAST(doc_id % 5 AS INT) IN (0, 1, 2, 4) AS keep_bot
+  FROM rb_u
+),
+robots_section AS (
+  SELECT 'robots' AS section,
+         host || '|' || agent AS key,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+         md5(COALESCE(string_agg(
+           CASE WHEN kept THEN CAST(doc_id AS VARCHAR) END,
+           ',' ORDER BY doc_id), '')) AS kept_fp
+  FROM (
+    SELECT doc_id, host, '*' AS agent, keep_star AS kept FROM rb_k
+    UNION ALL
+    SELECT doc_id, host, 'trainingbot', keep_bot FROM rb_k
+  )
+  GROUP BY 1, 2
 )
 SELECT * FROM lang_section
 UNION ALL
@@ -386,6 +423,8 @@ UNION ALL
 SELECT * FROM psl_section
 UNION ALL
 SELECT * FROM canon_section
+UNION ALL
+SELECT * FROM robots_section
 """
 
 
@@ -416,7 +455,10 @@ def lang_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawl-URL canonicalization under the oracle: tracking params
     stripped, remaining params sorted, default ports and fragments
     dropped; the DuckDB side re-derives the same canonical form with
-    its own list_filter/list_sort lambdas."""
+    its own list_filter/list_sort lambdas. ``robots`` (late r12) —
+    the parse→decide REP pipeline (operators/robots.py) under the
+    oracle, with the planted rule set's longest-match/wildcard/anchor/
+    named-group outcomes HAND-DERIVED per path shape in the SQL."""
     from ..functions.urls import registrable_domain, url_host, url_tld
 
     docs = load_table(spark, sf_dir, "documents")
@@ -558,5 +600,65 @@ def lang_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("canon").alias("section"), "key",
                 "n_docs", "n_kept", "kept_fp")
     )
+    # robots section (r12): the WHOLE parse->decide REP pipeline under
+    # the oracle. One robots.txt text is planted per host; documents
+    # rows mint URLs whose paths hit every decision branch:
+    #   m=0 '/p0'         -> * allowed,    bot allowed
+    #   m=1 '/p1/x'       -> * disallowed (prefix rule), bot allowed
+    #                        (named group shadows *)
+    #   m=2 '/p1/ok.html' -> * allowed (LONGER Allow /p1/ok wins),
+    #                        bot allowed
+    #   m=3 '/p2/doc'     -> * allowed, bot disallowed (its group rule)
+    #   m=4 '/file.pdf'   -> * disallowed (wildcard+anchor /*.pdf$),
+    #                        bot allowed
+    # The oracle carries these outcomes HAND-DERIVED per branch, so the
+    # engine's longest-match fold is checked against the spec semantics
+    # rather than a SQL re-implementation that could mirror-bug.
+    from ..operators.robots import filter_robots_allowed, parse_robots
+
+    robots_txt = ("User-agent: *\nDisallow: /p1\nAllow: /p1/ok\n"
+                  "Disallow: /*.pdf$\n\n"
+                  "User-agent: trainingbot\nDisallow: /p2\n")
+    hosts = docs.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host")
+    ).distinct()
+    robots_rules = parse_robots(
+        hosts.withColumn("payload", F.lit(robots_txt)))
+    rb_path = (
+        F.when(did % 5 == 0, F.lit("/p0"))
+        .when(did % 5 == 1, F.lit("/p1/x"))
+        .when(did % 5 == 2, F.lit("/p1/ok.html"))
+        .when(did % 5 == 3, F.lit("/p2/doc"))
+        .otherwise(F.lit("/file.pdf"))
+    )
+    rb_urls = docs.select(
+        did.alias("doc_id"),
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.com"), rb_path).alias("url"),
+        F.concat(F.col("source"), F.lit(".example.com")).alias("uhost"),
+    )
+
+    def robots_arm(agent: str):
+        kept = filter_robots_allowed(rb_urls, robots_rules,
+                                     agent=agent)             .select("doc_id", "uhost", F.lit(True).alias("kept"))
+        return rb_urls.select("doc_id", "uhost")             .join(kept.select("doc_id", "kept"), "doc_id", "left")             .groupBy("uhost").agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(F.when(F.col("kept"), 1).otherwise(0))
+                .cast("long").alias("n_kept"),
+                F.md5(F.concat_ws(",", F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("kept"), F.col("doc_id")))),
+                    lambda x: x.cast("string"),
+                ))).alias("kept_fp"),
+            ).select(
+                F.lit("robots").alias("section"),
+                F.concat_ws("|", F.col("uhost"), F.lit(agent))
+                .alias("key"),
+                "n_docs", "n_kept", "kept_fp",
+            )
+
+    robots_section = robots_arm("*").unionByName(
+        robots_arm("trainingbot"))
     return lang_section.unionByName(domain_section) \
-        .unionByName(psl_section).unionByName(canon_section)
+        .unionByName(psl_section).unionByName(canon_section) \
+        .unionByName(robots_section)
