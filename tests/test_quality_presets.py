@@ -347,3 +347,39 @@ def test_top_ngram_is_most_frequent_not_max_product(spark):
     want = top_cnt * sum(len(w) for w in top_gram) / tok_chars
     assert r["rep_top_2gram"] == (
         want <= QP.GOPHER_MAX_TOP_NGRAM_CHAR_FRAC[2])
+
+
+def test_repetition_dolma_style_parameters(spark):
+    """r13 ADVICE: the gating/denominator knobs reproduce the
+    Dolma/datatrove reading — once-occurring top grams count
+    (min_count=1) and fractions divide by length(text) — verified
+    against an independent Python computation."""
+    from collections import Counter
+
+    docs = [
+        (0, "alpha beta gamma delta epsilon zeta"),   # all grams once
+        (1, "aa bb aa bb aa bb cc dd"),
+        (2, "x " * 30),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in QP.gopher_repetition_flags(
+        df, top_ngram_min_count=1,
+        char_denominator="text_chars").collect()}
+
+    for i, text in docs:
+        toks = " ".join(text.lower().split()).split(" ")
+        denom = len(text)
+        for n in (2, 3, 4):
+            grams = [tuple(toks[j:j + n])
+                     for j in range(len(toks) - n + 1)]
+            c = Counter(grams)
+            cands = [(k, sum(len(w) for w in g)) for g, k in c.items()]
+            v = (lambda kk, ch: kk * ch)(*max(cands)) if cands else 0
+            frac = v / denom if denom else 0.0
+            thr = QP.GOPHER_MAX_TOP_NGRAM_CHAR_FRAC[n]
+            assert got[i][f"rep_top_{n}gram"] == (frac <= thr), (i, n)
+
+    with pytest.raises(ValueError, match="char_denominator"):
+        QP.gopher_repetition_flags(df, char_denominator="bytes")
+    with pytest.raises(ValueError, match="min_count"):
+        QP.gopher_repetition_flags(df, top_ngram_min_count=0)

@@ -422,3 +422,18 @@ def test_named_group_without_rules_still_shadows_star(spark):
                                         agent=agent).collect()]
         assert kept == [1], agent  # named group governs: allowed
     assert R.filter_robots_allowed(urls, rules).collect() == []
+
+
+def test_filter_preserves_caller_rset_column(spark):
+    """r13 ADVICE: the decision-fold intermediate is now '__rset'; a
+    caller URL table that already owns a plain 'rset' column must
+    survive filter_robots_allowed with that column intact."""
+    rules = R.parse_robots(spark.createDataFrame(
+        [("a.com", ROBOTS_A)], "host string, payload binary"))
+    urls = spark.createDataFrame(
+        [("https://a.com/ok", "keep-me"),
+         ("https://a.com/private/x", "dropped")],
+        "url string, rset string")
+    out = R.filter_robots_allowed(urls, rules).collect()
+    assert [(r["url"], r["rset"]) for r in out] == [
+        ("https://a.com/ok", "keep-me")]

@@ -166,3 +166,30 @@ def test_grouped_split_null_keys_and_bad_fractions(spark):
     with pytest.raises(ValueError, match="outside"):
         grouped_split(df, group_col="domain",
                       fractions={"a": 1.5, "b": -0.5})
+
+
+def test_grouped_split_zero_width_fraction_refuses(spark):
+    """r13 ADVICE: a fraction below ~1/512 quantizes to ZERO of the
+    256 buckets — {a: 0.999, b: 0.001} would silently assign every
+    row to 'a'. The operator must refuse instead of emitting an
+    empty split."""
+    import pytest
+
+    from youtube_api_data_etl_automation_spark.operators.sampling import (
+        grouped_split,
+    )
+
+    df = spark.createDataFrame([(1, "d.com")],
+                               "doc_id long, domain string")
+    with pytest.raises(ValueError, match="zero of the 256"):
+        grouped_split(df, group_col="domain",
+                      fractions={"a": 0.999, "b": 0.001})
+    # order shouldn't matter: the tiny split is caught even first
+    with pytest.raises(ValueError, match="zero of the 256"):
+        grouped_split(df, group_col="domain",
+                      fractions={"b": 0.001, "a": 0.999})
+    # smallest representable split still works (1/256 = 0.00390625)
+    ok = grouped_split(
+        df, group_col="domain",
+        fractions={"a": 1.0 - 1 / 128, "b": 1 / 128})
+    assert ok.collect()[0]["split"] in ("a", "b")

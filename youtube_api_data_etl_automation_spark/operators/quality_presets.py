@@ -238,7 +238,10 @@ def _dup_stats(elems: Column) -> tuple[Column, Column]:
 
 def gopher_repetition_flags(docs: DataFrame,
                             text_col: str = "text",
-                            id_col: str = "doc_id") -> DataFrame:
+                            id_col: str = "doc_id",
+                            top_ngram_min_count: int = 2,
+                            char_denominator: str = "token_chars",
+                            ) -> DataFrame:
     """The OTHER half of Gopher Table A1 -- the repetition rules --
     with per-rule fractions, booleans, first-fail
     ``gopher_rep_verdict``, and ``gopher_rep_pass``:
@@ -256,6 +259,18 @@ def gopher_repetition_flags(docs: DataFrame,
       position-overlap dedup; stated here because published
       reproductions differ on this detail).
 
+    Published reproductions differ on two knobs, so both are exposed
+    (r13 ADVICE — the defaults keep this module's documented
+    semantics): ``top_ngram_min_count`` gates which grams may be "the
+    top n-gram" — the default 2 says a once-occurring gram is not
+    repetition; Dolma/datatrove include once-occurring grams, so pass
+    1 to reproduce them. ``char_denominator`` picks the fraction's
+    denominator: ``"token_chars"`` (default — characters of the
+    tokens, the quantity the numerators are measured in) or
+    ``"text_chars"`` (``length(text)``, the Dolma/datatrove
+    denominator — includes whitespace/punctuation, so fractions run
+    ~15-20% lower on normal prose).
+
     Scale shape: line/paragraph stats are array-local (documents have
     bounded line counts); the n-gram stats CANNOT be array-local
     (quadratic in document length), so they run as one explode of
@@ -265,6 +280,12 @@ def gopher_repetition_flags(docs: DataFrame,
     One shuffle keyed (doc, n, gram-hash), one keyed (doc) -- the
     MinHash pipeline's traffic class. Documents with no tokens pass
     every rule."""
+    if char_denominator not in ("token_chars", "text_chars"):
+        raise ValueError(
+            "char_denominator must be 'token_chars' or 'text_chars', "
+            f"got {char_denominator!r}")
+    if top_ngram_min_count < 1:
+        raise ValueError("top_ngram_min_count must be >= 1")
     text = F.col(text_col)
     tok = tokens(text)
     lines = F.filter(_lines(text), lambda ln: F.trim(ln) != "")
@@ -281,8 +302,11 @@ def gopher_repetition_flags(docs: DataFrame,
         "dup_line_char_frac": line_cfrac,
         "dup_para_frac": para_frac,
         "dup_para_char_frac": para_cfrac,
-        "_tok_chars": F.aggregate(tok, F.lit(0),
-                                  lambda a, t: a + F.length(t)),
+        "_tok_chars": (
+            F.aggregate(tok, F.lit(0), lambda a, t: a + F.length(t))
+            if char_denominator == "token_chars"
+            else F.coalesce(F.length(text), F.lit(0))
+        ),
     })
 
     ns = sorted(list(GOPHER_MAX_TOP_NGRAM_CHAR_FRAC)
@@ -326,8 +350,10 @@ def gopher_repetition_flags(docs: DataFrame,
         # gram occurring once is not repetition, so cnt >= 2 gates it
         # (r12 review fixes)
         F.expr(
-            "max_by(CASE WHEN cnt > 1 THEN cnt * chars END, "
-            "CASE WHEN cnt > 1 THEN struct(cnt, chars) END)"
+            f"max_by(CASE WHEN cnt >= {top_ngram_min_count} "
+            "THEN cnt * chars END, "
+            f"CASE WHEN cnt >= {top_ngram_min_count} "
+            "THEN struct(cnt, chars) END)"
         ).alias("top_chars"),
         F.sum(F.when(F.col("cnt") > 1,
                      F.col("cnt") * F.col("chars"))

@@ -206,8 +206,10 @@ def filter_robots_allowed(urls: DataFrame, rules: DataFrame,
         .alias("star_rules"),
     ).select(
         "host",
+        # '__'-prefixed like the host keys: a caller URL table owning a
+        # plain 'rset' column must survive the join + drop (r13 ADVICE)
         F.when(F.col("has_named"), F.col("spec_rules"))
-        .otherwise(F.col("star_rules")).alias("rset"),
+        .otherwise(F.col("star_rules")).alias("__rset"),
     )
 
     # the rules-side key is renamed before the join: drop("host") by
@@ -222,7 +224,7 @@ def filter_robots_allowed(urls: DataFrame, rules: DataFrame,
     target = robots_match_target(F.col(url_col))
     # fold: track the longest matching rule; allow wins exact ties
     decision = F.aggregate(
-        F.coalesce(F.col("rset"),
+        F.coalesce(F.col("__rset"),
                    F.array().cast(
                        "array<struct<l:int,is_allow:boolean,rx:string>>")),
         F.struct(F.lit(-1).alias("best"),
@@ -239,7 +241,7 @@ def filter_robots_allowed(urls: DataFrame, rules: DataFrame,
     )
     out = joined.withColumn("__allowed", decision)
     keep = ~F.col("__allowed") if keep_disallowed else F.col("__allowed")
-    return out.filter(keep).drop("__rhost", "rset", "__allowed")
+    return out.filter(keep).drop("__rhost", "__rset", "__allowed")
 
 
 def robots_crawl_delays(rules: DataFrame,

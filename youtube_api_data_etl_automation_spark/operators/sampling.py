@@ -124,10 +124,28 @@ def grouped_split(df: DataFrame, *, group_col: str,
     # cumulative 256-bucket thresholds; the LAST split absorbs the
     # rounding remainder so every bucket maps somewhere
     names = list(fractions)
-    cum, expr = 0.0, None
-    for name in names[:-1]:
+    cum, thresholds = 0.0, []
+    for name in names:
         cum += fractions[name]
-        thr = int(round(cum * 256))
+        thresholds.append(int(round(cum * 256)))
+    thresholds[-1] = 256  # the last split absorbs rounding remainder
+    # quantization audit (r13, ADVICE): a fraction below ~1/512 rounds
+    # to a ZERO-width bucket range — e.g. {a: 0.999, b: 0.001} sends
+    # every row to 'a' — and the sum check above cannot see it. That
+    # silent collapse is worse than an error for an eval split, so
+    # refuse it; callers needing finer splits should hash on a wider
+    # bucket space (functions/hashing.py) rather than get an empty
+    # test set.
+    prev = 0
+    for name, thr in zip(names, thresholds):
+        if thr - prev == 0 and fractions[name] > 0.0:
+            raise ValueError(
+                f"split {name!r} fraction {fractions[name]} quantizes "
+                "to zero of the 256 md5 buckets (needs >= ~1/512); it "
+                "would silently receive no rows")
+        prev = thr
+    expr = None
+    for name, thr in zip(names[:-1], thresholds[:-1]):
         cond = bucket < thr
         expr = F.when(cond, name) if expr is None else \
             expr.when(cond, name)
