@@ -92,6 +92,9 @@ HEADLINE = [
     "repeated_substring_spans",
     "scd2_priority_history",
     "lang_cap_docs",
+    # r13 addition: the URL/compliance row (psl/canon/robots/frontier),
+    # split off lang_cap_docs per VERDICT r12 item 6
+    "url_compliance_docs",
     # r6 additions (plans/curation.py)
     "mixing_temperature",
     "pack_token_sequences",
@@ -114,13 +117,14 @@ SECTIONS: dict[str, tuple[str, list[str]]] = {
     "jaccard_pairs_methods": ("method", ["minhash_lsh", "ngram_exact"]),
     "ann_topk_methods": ("method", ["exact", "sign_lsh", "pq_adc"]),
     "semantic_neardup": ("section", ["pair", "summary"]),
-    "ivf_ann_topk": ("section", ["topk", "cells"]),
+    "ivf_ann_topk": ("section", ["topk", "cells", "recall"]),
     "sessionize_methods": ("method", ["window", "stateful", "session_window"]),
     "term_stats_tfidf_pmi": ("section", ["tfidf", "pmi", "vocab"]),
     "decontam_ngram_hits": ("section", ["exact", "bloom"]),
     "sampling_audits": (
         "section",
-        ["split", "stratified", "aes", "dsir_lambda", "dsir", "diversity"],
+        ["split", "grouped", "stratified", "aes", "dsir_lambda", "dsir",
+         "diversity"],
     ),
     "table_profile_orders": (
         "section", ["stats", "hist", "topk", "checks", "state"],
@@ -128,10 +132,15 @@ SECTIONS: dict[str, tuple[str, list[str]]] = {
     "profile_drift_report": ("section", ["moments", "psi", "semantic"]),
     # r10: the codec golden section (fixed ~43-payload fixture decode)
     # vs the sf-scaled ASCII frame plumbing
-    "multimodal_frame_features": ("section", ["frames", "codec"]),
-    # r12: the psl (exact PSL registrable domains) and canon
-    # (url_normalize) sections joined the lang-cap row
-    "lang_cap_docs": ("section", ["lang_cap", "domains", "psl", "canon", "robots"]),
+    "multimodal_frame_features": (
+        "section", ["frames", "codec", "codec_sniff"],
+    ),
+    # r13: the URL/compliance sections moved to their own row and
+    # gained the crawl_frontier composition
+    "lang_cap_docs": ("section", ["lang_cap", "domains"]),
+    "url_compliance_docs": (
+        "section", ["psl", "canon", "robots", "frontier"],
+    ),
 }
 
 

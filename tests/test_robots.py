@@ -437,3 +437,56 @@ def test_filter_preserves_caller_rset_column(spark):
     out = R.filter_robots_allowed(urls, rules).collect()
     assert [(r["url"], r["rset"]) for r in out] == [
         ("https://a.com/ok", "keep-me")]
+
+
+def test_crawl_frontier_end_to_end(spark):
+    """r13: robots Sitemap pointers -> fetched sitemap payloads
+    (one sitemapindex indirection) -> canonical URLs -> REP filter
+    -> seen subtraction, with provenance (unreferenced sitemaps
+    contribute nothing) and cross-host rows keyed by the URL's own
+    host."""
+    robots = (b"User-agent: *\nDisallow: /private/\n"
+              b"Sitemap: https://a.com/sitemap_index.xml\n")
+    rules = R.parse_robots(spark.createDataFrame(
+        [("a.com", robots)], "host string, payload binary"))
+
+    index_xml = (
+        "<sitemapindex><sitemap>"
+        "<loc>https://a.com/sm1.xml</loc></sitemap>"
+        "<sitemap><loc>https://a.com/sm2.xml</loc></sitemap>"
+        "</sitemapindex>")
+    sm1 = ("<urlset>"
+           "<url><loc>https://a.com/page1</loc>"
+           "<lastmod>2026-01-02</lastmod></url>"
+           "<url><loc>https://a.com/private/x</loc></url>"
+           "<url><loc>https://other.com/cross</loc></url>"
+           "</urlset>")
+    sm2 = ("<urlset>"
+           "<url><loc>https://a.com/page1?utm_source=x</loc>"
+           "<lastmod>2026-02-03</lastmod></url>"
+           "<url><loc>https://a.com/page2#frag</loc></url>"
+           "</urlset>")
+    orphan = ("<urlset><url><loc>https://a.com/orphan</loc></url>"
+              "</urlset>")
+    fetches = spark.createDataFrame(
+        [("https://a.com/sitemap_index.xml", index_xml),
+         ("https://a.com/sm1.xml", sm1),
+         ("https://a.com/sm2.xml", sm2),
+         ("https://a.com/unreferenced.xml", orphan)],
+        "url string, payload string")
+
+    out = R.crawl_frontier(rules, fetches).collect()
+    got = {r["url"]: (r["host"], r["lastmod"]) for r in out}
+    # /private/x dropped by REP; duplicate page1 canonical-merged with
+    # max lastmod; tracking param and fragment stripped; orphan absent
+    assert got == {
+        "https://a.com/page1": ("a.com", "2026-02-03"),
+        "https://a.com/page2": ("a.com", None),
+        "https://other.com/cross": ("other.com", None),
+    }
+    # seen subtraction on the canonical key
+    seen = spark.createDataFrame(
+        [("https://a.com/page1?utm_medium=y",)], "url string")
+    left = {r["url"] for r in
+            R.crawl_frontier(rules, fetches, seen=seen).collect()}
+    assert left == {"https://a.com/page2", "https://other.com/cross"}

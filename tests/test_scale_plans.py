@@ -222,21 +222,26 @@ def test_decontam_broadcasts_benchmark_grams(spark):
 
 
 def test_stratified_sample_single_exchange(spark):
-    """Sampling audits (split + stratified + aes + late-r8 diversity
-    sections): every keep/assign decision is map-side; the exchanges are
-    the two audit aggregates (one per audit section), the A-ES draw's
-    per-group (lang, key) window partition, and the diversity section's
-    four (its cluster_id preference window, the k-row cluster-size
-    aggregate feeding water-filling, and the quota join's two sides) —
-    seven total, no shuffle beyond them. The diversity draw-order
-    windows over the ≤n picked rows are the section's documented
-    bounded-row SinglePartition ops, not data-plane shuffles."""
+    """Sampling audits (split + grouped + stratified + aes + late-r8
+    diversity sections): every keep/assign decision is map-side; the
+    exchanges are the two audit aggregates (one per audit section), the
+    r13 grouped section's two (its audit aggregate's countDistinct
+    runs as the standard two-phase distinct — (stratum, source) then
+    stratum), the A-ES draw's per-group (lang, key) window partition,
+    and the diversity section's four (its cluster_id preference window,
+    the k-row cluster-size aggregate feeding water-filling, and the
+    quota join's two sides) — nine total, no shuffle beyond them. The
+    grouped_split ASSIGNMENT itself is map-only (the two extra
+    exchanges are audit-side, not the operator's). The diversity
+    draw-order windows over the ≤n picked rows are the section's
+    documented bounded-row SinglePartition ops, not data-plane
+    shuffles."""
     from youtube_api_data_etl_automation_spark.plans.curation import (
         sampling_audits,
     )
 
     plan = _plan(sampling_audits(spark, SF_DIR))
-    assert plan.count("Exchange hashpartitioning") == 7
+    assert plan.count("Exchange hashpartitioning") == 9
 
 
 def test_runtime_bloom_filter_reaches_fact_scan(spark):

@@ -719,6 +719,49 @@ def write_golden() -> str:
     return out
 
 
+def write_sniff_golden() -> str:
+    """Emit plans/sniff_golden.py: per-payload magic-probe bytes (first
+    32 bytes + the tar probe at offset 257) as hex VARCHAR VALUES — the
+    DuckDB side of the `codec_sniff` section re-runs the magic CASE
+    over these real fixture bytes, independently of the engine's
+    Column-math dispatch (r13, VERDICT r12 item 1)."""
+    import pyarrow.parquet as pq
+
+    from youtube_api_data_etl_automation_spark.plans.codec_check import (
+        CODEC_FIXTURE_PATH,
+    )
+
+    t = pq.read_table(CODEC_FIXTURE_PATH)
+    rows = sorted(zip(t.column("payload_id").to_pylist(),
+                      t.column("payload").to_pylist()))
+    values = ",\n  ".join(
+        "({}, '{}', '{}')".format(
+            pid, (pl or b"")[:32].hex(), (pl or b"")[257:262].hex())
+        for pid, pl in rows
+    )
+    sql = (
+        "SELECT * FROM (VALUES\n  " + values
+        + "\n) AS t(doc_id, pre, tarmagic)"
+    )
+    out = os.path.join(
+        REPO, "youtube_api_data_etl_automation_spark", "plans",
+        "sniff_golden.py",
+    )
+    triple = chr(39) * 3
+    with open(out, "w") as f:
+        f.write(
+            chr(34) * 3 + "GENERATED by tools/make_codec_fixture.py -- "
+            "do not hand-edit.\n\n"
+            "Magic-probe byte slices (hex) of every codec-fixture "
+            "payload;\nthe DuckDB oracle for the `codec_sniff` section "
+            "of\n`multimodal_frame_features` re-runs the sniff CASE "
+            "over them.\n" + chr(34) * 3 + "\n\n"
+            "CODEC_SNIFF_SRC_SQL = " + triple + "\n" + sql
+            + "\n" + triple + "\n"
+        )
+    return out
+
+
 def main() -> None:
     rows = build_payloads()
     fx = write_fixture(rows)
@@ -726,6 +769,8 @@ def main() -> None:
           f"{sum(len(r[3]) for r in rows)} bytes)")
     out = write_golden()
     print(f"wrote {out}")
+    sn = write_sniff_golden()
+    print(f"wrote {sn}")
 
 
 if __name__ == "__main__":

@@ -378,3 +378,70 @@ def warc_robots_rules(blobs: DataFrame) -> DataFrame:
         .agg(F.expr("max_by(payload, ord)").alias("payload"))
     )
     return parse_robots(robots)
+
+
+def crawl_frontier(rules: DataFrame, sitemap_fetches: DataFrame, *,
+                   agent: str = "*", seen: DataFrame | None = None,
+                   url_col: str = "url",
+                   payload_col: str = "payload") -> DataFrame:
+    """Provenance-complete crawl seed list (r13): compose the REP
+    surface end-to-end — ``Sitemap:`` pointers from the parsed robots
+    rules select which fetched sitemap payloads to trust, those parse
+    to URL rows (one ``sitemapindex`` indirection level resolved
+    against the same fetch table — the standard two-level shape),
+    every URL canonicalizes through :func:`~..functions.urls.
+    url_normalize`, the crawling ``agent``'s own robots rules filter
+    them, and URLs already ingested (``seen``, any table with
+    ``url_col``) subtract out. Returns distinct
+    ``(host, url, lastmod)`` rows — host re-derived from the
+    CANONICAL URL (sitemaps may name cross-host URLs; the REP
+    decision and the frontier key both belong to the URL's own
+    host), lastmod the max across sitemap mentions.
+
+    ``sitemap_fetches`` is the caller's fetch table
+    ``(url, payload)`` — payloads are joined back to the robots
+    pointers by URL, so a sitemap nobody's robots.txt names
+    contributes nothing (the provenance property: every frontier row
+    traces to a robots pointer for its snapshot).
+
+    Scale: pointers/sitemaps are rules-sized (KBs per host) — every
+    join before the final two is tiny-side hash; the ``seen``
+    anti-join is the only corpus-sized edge and it shuffles canonical
+    URL strings, never documents. The robots decision is the
+    map-side fold of :func:`filter_robots_allowed`."""
+    from ..functions.urls import url_host, url_normalize
+
+    pointers = robots_sitemaps(rules).withColumn(
+        "__smu", url_normalize(F.col("sitemap_url")))
+    fetched = sitemap_fetches.select(
+        url_normalize(F.col(url_col)).alias("__smu"),
+        F.col(payload_col).alias("__payload"),
+    ).dropDuplicates(["__smu"])
+
+    def _parse(ptrs: DataFrame) -> DataFrame:
+        return parse_sitemaps(
+            ptrs.join(fetched, "__smu").select("host", "__payload"),
+            host_col="host", payload_col="__payload")
+
+    first = _parse(pointers.select("host", "__smu"))
+    # one sitemapindex indirection: its entries are further sitemap
+    # URLs, resolved against the same fetch table (deeper nesting is
+    # out of the sitemaps.org contract for a single index file)
+    leaf = first.filter(F.col("kind") == "urlset")
+    idx = first.filter(F.col("kind") == "sitemapindex").select(
+        "host", url_normalize(F.col("url")).alias("__smu")
+    ).dropDuplicates(["host", "__smu"])
+    second = _parse(idx).filter(F.col("kind") == "urlset")
+    urls = leaf.unionByName(second).select(
+        url_normalize(F.col("url")).alias("url"), "lastmod")
+
+    allowed = filter_robots_allowed(urls, rules, agent=agent)
+    if seen is not None:
+        seen_urls = seen.select(
+            url_normalize(F.col(url_col)).alias("url")).distinct()
+        allowed = allowed.join(seen_urls, "url", "left_anti")
+    return (
+        allowed.groupBy("url")
+        .agg(F.max("lastmod").alias("lastmod"))
+        .select(url_host(F.col("url")).alias("host"), "url", "lastmod")
+    )

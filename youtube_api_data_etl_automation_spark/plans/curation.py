@@ -630,6 +630,28 @@ split_rows AS (
          CAST(MIN(doc_id) AS BIGINT) AS min_id, CAST(MAX(doc_id) AS BIGINT) AS max_id
   FROM h GROUP BY 1
 ),
+grouped AS (
+  SELECT doc_id, source,
+         CASE WHEN gb < 230 THEN 'train'
+              WHEN gb < 243 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id, source,
+           (strpos('0123456789abcdef',
+                   substr(md5('split:' || COALESCE(source, '')), 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef',
+                     substr(md5('split:' || COALESCE(source, '')), 2, 1)) - 1) AS gb
+    FROM documents
+  )
+),
+grouped_rows AS (
+  SELECT split AS stratum,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sampled,
+         CAST(MIN(doc_id) AS BIGINT) AS min_id,
+         CAST(MAX(doc_id) AS BIGINT) AS max_id
+  FROM grouped GROUP BY 1
+),
 strat_rows AS (
   SELECT lang AS stratum,
          CAST(COUNT(*) AS BIGINT)                                       AS n_docs,
@@ -645,6 +667,13 @@ SELECT 'split' AS section, stratum, n_docs,
        min_id, max_id,
        CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INT) AS rank
 FROM split_rows
+UNION ALL
+SELECT 'grouped', stratum, n_docs, n_sampled,
+       CAST(NULL AS BIGINT) AS sampled_chars,
+       CAST(NULL AS DOUBLE) AS target_rate, CAST(NULL AS DOUBLE) AS achieved_rate,
+       min_id, max_id,
+       CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INT) AS rank
+FROM grouped_rows
 UNION ALL
 SELECT 'stratified', stratum, n_docs, n_sampled, sampled_chars,
        target_rate, achieved_rate, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
@@ -739,6 +768,38 @@ def sampling_audits(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stratum",
             "n_docs",
             F.lit(None).cast("long").alias("n_sampled"),
+            F.lit(None).cast("long").alias("sampled_chars"),
+            F.lit(None).cast("double").alias("target_rate"),
+            F.lit(None).cast("double").alias("achieved_rate"),
+            "min_id",
+            "max_id",
+            F.lit(None).cast("long").alias("doc_id"),
+            F.lit(None).cast("int").alias("rank"),
+        )
+    )
+
+    # grouped section (r13, VERDICT r12 item 1): grouped_split under the
+    # oracle — the leakage-safe split hashes the GROUP key (source), so
+    # every row of a group lands in one split; the oracle re-derives the
+    # md5-bucket assignment on 'split:' || source and the per-split
+    # group/row counts + id bounds.
+    from ..operators.sampling import grouped_split
+
+    grouped_rows = (
+        grouped_split(docs.select("doc_id", "source"),
+                      group_col="source")
+        .groupBy(F.col("split").alias("stratum"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sampled"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .select(
+            F.lit("grouped").alias("section"),
+            "stratum",
+            "n_docs",
+            "n_sampled",
             F.lit(None).cast("long").alias("sampled_chars"),
             F.lit(None).cast("double").alias("target_rate"),
             F.lit(None).cast("double").alias("achieved_rate"),
@@ -869,7 +930,8 @@ def sampling_audits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
     )
     return (
-        split_rows.unionByName(strat_rows)
+        split_rows.unionByName(grouped_rows)
+        .unionByName(strat_rows)
         .unionByName(aes_rows)
         .unionByName(div_rows)
         .unionByName(lam_rows)

@@ -29,6 +29,69 @@ try:
 except ImportError:  # golden not generated yet → honest rows-only check
     _CODEC_GOLDEN = None
 
+try:
+    from .sniff_golden import CODEC_SNIFF_SRC_SQL as _SNIFF_SRC
+except ImportError:
+    _SNIFF_SRC = None
+
+# The sniff oracle re-runs the magic dispatch in SQL over the REAL
+# fixture bytes (hex slices in sniff_golden.py — first 32 bytes + the
+# tar probe at offset 257). Branch ORDER mirrors
+# operators/mediameta.py::sniff_format (tar first — its magic sits at
+# 257, so weak leading magics must not shadow it). Lowercase-hex string
+# compares are exact byte compares: 2-char lowercase hex is
+# lexicographically monotone in the byte value.
+_SNIFF_CASE = """
+      CASE
+        WHEN tarmagic = '7573746172' THEN 'tar'
+        WHEN substr(pre, 1, 16) = '89504e470d0a1a0a' THEN 'png'
+        WHEN substr(pre, 1, 4) = 'ffd8' THEN 'jpeg'
+        WHEN substr(pre, 1, 12) IN ('474946383761', '474946383961')
+          THEN 'gif'
+        WHEN substr(pre, 1, 8) = '52494646'
+             AND substr(pre, 17, 8) = '57454250' THEN 'webp'
+        WHEN substr(pre, 1, 8) IN ('49492a00', '4d4d002a') THEN 'tiff'
+        WHEN substr(pre, 1, 4) = '424d' THEN 'bmp'
+        WHEN substr(pre, 1, 4) IN ('5034', '5035', '5036') THEN 'pnm'
+        WHEN substr(pre, 1, 8) = '52494646'
+             AND substr(pre, 17, 8) = '57415645' THEN 'wav'
+        WHEN substr(pre, 1, 8) = '664c6143' THEN 'flac'
+        WHEN substr(pre, 1, 6) = '494433' THEN 'mp3'
+        WHEN substr(pre, 1, 2) = 'ff' AND len(pre) >= 4
+             AND substr(pre, 3, 2) >= 'e0' THEN 'mp3'
+        WHEN substr(pre, 1, 8) = '4f676753' THEN 'ogg'
+        WHEN substr(pre, 9, 8) = '66747970' THEN 'mp4'
+        WHEN substr(pre, 1, 8) = '1a45dfa3' THEN 'mkv'
+        WHEN substr(pre, 1, 8) = '52494646'
+             AND substr(pre, 17, 8) = '41564920' THEN 'avi'
+        WHEN substr(pre, 1, 4) = '1f8b' THEN 'gzip'
+        WHEN substr(pre, 1, 8) IN ('504b0304', '504b0506') THEN 'zip'
+        WHEN substr(pre, 1, 10) = '574152432f' THEN 'warc'
+        WHEN substr(pre, 1, 10) = '255044462d' THEN 'pdf'
+      END
+"""
+
+_SNIFF_ORACLE = None if _SNIFF_SRC is None else f"""
+    SELECT 'codec_sniff' AS section, CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(NULL AS INT) AS frame_idx, CAST(NULL AS INT) AS frame_len,
+           CAST(NULL AS INT) AS first_byte, CAST(NULL AS INT) AS last_byte,
+           fmt,
+           CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+           CASE
+             WHEN fmt IN ('png', 'jpeg', 'gif', 'webp', 'tiff', 'bmp',
+                          'pnm') THEN 'image'
+             WHEN fmt IN ('wav', 'flac', 'mp3', 'ogg') THEN 'audio'
+             WHEN fmt IN ('mp4', 'mkv', 'avi') THEN 'video'
+             WHEN fmt IN ('gzip', 'zip', 'tar', 'warc') THEN 'archive'
+             WHEN fmt = 'pdf' THEN 'document'
+             ELSE 'unknown'
+           END AS fp
+    FROM (
+      SELECT doc_id, {_SNIFF_CASE} AS fmt
+      FROM ({_SNIFF_SRC})
+    )
+"""
+
 _FRAMES_ORACLE = """
     WITH b AS (
       SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n FROM documents
@@ -45,12 +108,15 @@ _FRAMES_ORACLE = """
 
 @query(
     "multimodal_frame_features",
-    oracle=None if _CODEC_GOLDEN is None else _FRAMES_ORACLE + f"""
+    oracle=None if _CODEC_GOLDEN is None or _SNIFF_ORACLE is None
+    else _FRAMES_ORACLE + f"""
     UNION ALL
     SELECT 'codec' AS section, CAST(doc_id AS BIGINT), CAST(NULL AS INT),
            CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT),
            fmt, width, height, fp
     FROM ({_CODEC_GOLDEN})
+    UNION ALL
+    {_SNIFF_ORACLE}
     """,
 )
 def multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,8 +135,15 @@ def multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       decode_image/decode_audio/image_meta/video_meta and fingerprinted;
       the oracle replays the generated golden VALUES
       (tools/make_codec_fixture.py), so any decoder regression flips the
-      driver's hash match."""
-    from .codec_check import codec_stats
+      driver's hash match.
+    - section='codec_sniff' (r13, VERDICT r12 item 1): sniff_format's
+      pure-Column magic routing over the SAME fixture payloads; the
+      oracle re-runs the magic CASE in SQL over hex slices of the real
+      bytes (plans/sniff_golden.py), so the dispatch table — including
+      the tar-at-257 ordering — is value-verified, not just
+      pytest-pinned."""
+    from .codec_check import CODEC_FIXTURE_PATH, codec_stats
+    from ..operators.mediameta import sniff_format
 
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
     frames = frame_features(attach_binary(docs), frame_bytes=16).select(
@@ -90,7 +163,22 @@ def multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("last_byte"),
         "fmt", "width", "height", "fp",
     )
-    return frames.unionByName(codec)
+    sniff = sniff_format(
+        spark.read.parquet(CODEC_FIXTURE_PATH)
+        .select(F.col("payload_id").alias("doc_id"), "payload")
+    ).select(
+        F.lit("codec_sniff").alias("section"),
+        "doc_id",
+        F.lit(None).cast("int").alias("frame_idx"),
+        F.lit(None).cast("int").alias("frame_len"),
+        F.lit(None).cast("int").alias("first_byte"),
+        F.lit(None).cast("int").alias("last_byte"),
+        F.col("sniff_format").alias("fmt"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.col("sniff_family").alias("fp"),
+    )
+    return frames.unionByName(codec).unionByName(sniff)
 
 
 def _simhash_oracle_core() -> str:

@@ -232,8 +232,107 @@ domain_section AS (
          CAST(COUNT(DISTINCT host) AS BIGINT) AS n_kept,
          md5(string_agg(DISTINCT host, ',' ORDER BY host)) AS kept_fp
   FROM r GROUP BY dom, tld
-),
-psl_rules(rule) AS (VALUES
+)
+SELECT * FROM lang_section
+UNION ALL
+SELECT * FROM domain_section
+"""
+
+
+@query("lang_cap_docs", oracle=_CAP_ORACLE)
+def lang_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two curation sections over documents, tag-unioned:
+
+    ``lang_cap`` — per-group frequency cap (operators/capping.py — lang
+    stands in for the domain/host key): at most {cap} docs per language,
+    chosen by content-stable salted md5 rank. Two-path plan: under-cap
+    groups pass with NO window sort (broadcast anti-join against the
+    over-cap group list); only over-cap groups' rows pay the rank — at
+    100 TB that is the difference between sorting the whole corpus and
+    sorting the hot tail. The oracle is the naive whole-corpus
+    row_number form — results must be identical.
+
+    ``domains`` (late r11) — URL analysis (functions/urls.py): documents
+    rows mint deterministic URLs covering userinfo, upper-case hosts,
+    trailing dots, ports, and ccSLD suffixes; url_host /
+    registrable_domain / url_tld reduce them to per-domain counts and a
+    sorted-host fingerprint the DuckDB oracle re-derives with its own
+    string ops — the provenance key the domain cap runs on for real.
+
+    The URL-compliance sections (psl/canon/robots) that rode this row
+    in r12 moved to their own ``url_compliance_docs`` row in r13 —
+    this row had grown five pipelines deep and its per-section timing
+    was dominated by the shared construct (VERDICT r12 item 6)."""
+    from ..functions.urls import registrable_domain, url_host, url_tld
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = cap_per_group(docs, group_col="lang", id_col="doc_id", cap=_CAP)
+    audit = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("kept_fp"),
+    )
+    totals = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    lang_section = totals.join(audit, "lang").select(
+        F.lit("lang_cap").alias("section"),
+        F.col("lang").alias("key"),
+        "n_docs", "n_kept", "kept_fp",
+    )
+
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 11 == 0, F.lit("https://user:pw@"))
+        .otherwise(F.lit("https://")),
+        F.when(did % 5 == 0, F.upper(F.col("source")))
+        .otherwise(F.col("source")),
+        F.lit(".example"),
+        F.when(did % 3 == 0, F.lit(".co.uk"))
+        .when(did % 3 == 1, F.lit(".com")).otherwise(F.lit(".org")),
+        F.when(did % 7 == 0, F.lit(".")).otherwise(F.lit("")),
+        F.lit(":"), (F.lit(8000) + did % 100).cast("string"),
+        F.lit("/p/"), did.cast("string"),
+        F.lit("?lang="), F.coalesce(F.col("lang"), F.lit("-")),
+    )
+    with_url = docs.select(did.alias("doc_id"), url.alias("url"))
+    parsed = with_url.select(
+        url_host(F.col("url")).alias("host"),
+        registrable_domain(F.col("url")).alias("dom"),
+        url_tld(F.col("url")).alias("tld"),
+    )
+    domain_section = parsed.groupBy("dom", "tld").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("host").cast("long").alias("n_kept"),
+        F.md5(F.concat_ws(",", F.array_sort(F.collect_set("host"))))
+        .alias("kept_fp"),
+    ).select(
+        F.lit("domains").alias("section"),
+        F.concat_ws("|", F.col("dom"), F.col("tld")).alias("key"),
+        "n_docs", "n_kept", "kept_fp",
+    )
+    return lang_section.unionByName(domain_section)
+
+
+# ---------------------------------------------------------------------------
+# URL compliance (documents) — the crawl-provenance front end as its own row
+# (r13: moved off lang_cap_docs per VERDICT r12 item 6 — that row had grown
+# five pipelines deep; this row owns the URL/compliance sections and adds
+# the crawl_frontier composition)
+# ---------------------------------------------------------------------------
+
+# the robots/psl/canon CTEs are shared verbatim with the pre-r13
+# lang_cap_docs oracle; the frontier section hand-derives the REP
+# outcomes per path shape exactly like the robots section does, plus the
+# canonicalization dedup (tracking-param twin entries, entity-escaped
+# unsorted query) and the seen subtraction
+_URL_COMPLIANCE_ORACLE = rf"""
+WITH psl_rules(rule) AS (VALUES
   ('com'), ('org'), ('uk'), ('co.uk'),
   ('*.example.org'), ('!src3.example.org')),
 psl_prep AS (
@@ -415,38 +514,50 @@ robots_section AS (
     SELECT doc_id, host, 'trainingbot', keep_bot FROM rb_k
   )
   GROUP BY 1, 2
+),
+fr_c AS (
+  SELECT doc_id,
+         source || '.example.com' AS host,
+         'https://' || source || '.example.com' ||
+         (CASE CAST(doc_id % 5 AS INT)
+            WHEN 0 THEN '/p0/d' || CAST(doc_id AS VARCHAR)
+            WHEN 1 THEN '/p1/x' || CAST(doc_id AS VARCHAR)
+            WHEN 2 THEN '/p1/ok' || CAST(doc_id AS VARCHAR)
+            WHEN 3 THEN '/p2/d' || CAST(doc_id AS VARCHAR) || '?a=1&b=2'
+            ELSE '/d' || CAST(doc_id AS VARCHAR) || '.pdf' END) AS canon,
+         CASE WHEN doc_id % 4 = 0
+              THEN 'd' || CAST(doc_id AS VARCHAR) END AS lastmod,
+         CAST(doc_id % 5 AS INT) IN (0, 2, 3) AS allowed,
+         doc_id % 10 = 2 AS seen
+  FROM documents
+),
+frontier_section AS (
+  SELECT 'frontier' AS section,
+         host AS key,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN allowed AND NOT seen THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_kept,
+         md5(COALESCE(string_agg(
+           CASE WHEN allowed AND NOT seen
+                THEN canon || '|' || COALESCE(lastmod, '-') END,
+           ',' ORDER BY canon || '|' || COALESCE(lastmod, '-')), ''))
+           AS kept_fp
+  FROM fr_c
+  GROUP BY host
 )
-SELECT * FROM lang_section
-UNION ALL
-SELECT * FROM domain_section
-UNION ALL
 SELECT * FROM psl_section
 UNION ALL
 SELECT * FROM canon_section
 UNION ALL
 SELECT * FROM robots_section
+UNION ALL
+SELECT * FROM frontier_section
 """
 
 
-@query("lang_cap_docs", oracle=_CAP_ORACLE)
-def lang_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two curation sections over documents, tag-unioned:
-
-    ``lang_cap`` — per-group frequency cap (operators/capping.py — lang
-    stands in for the domain/host key): at most {cap} docs per language,
-    chosen by content-stable salted md5 rank. Two-path plan: under-cap
-    groups pass with NO window sort (broadcast anti-join against the
-    over-cap group list); only over-cap groups' rows pay the rank — at
-    100 TB that is the difference between sorting the whole corpus and
-    sorting the hot tail. The oracle is the naive whole-corpus
-    row_number form — results must be identical.
-
-    ``domains`` (late r11) — URL analysis (functions/urls.py): documents
-    rows mint deterministic URLs covering userinfo, upper-case hosts,
-    trailing dots, ports, and ccSLD suffixes; url_host /
-    registrable_domain / url_tld reduce them to per-domain counts and a
-    sorted-host fingerprint the DuckDB oracle re-derives with its own
-    string ops — the provenance key the domain cap runs on for real.
+@query("url_compliance_docs", oracle=_URL_COMPLIANCE_ORACLE)
+def url_compliance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/crawl-compliance sections over documents, tag-unioned:
 
     ``psl`` (r12) — exact PSL registrable domains next to the heuristic
     (registrable_domain_psl's broadcast suffix-bitmask map; the oracle
@@ -458,60 +569,31 @@ def lang_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     its own list_filter/list_sort lambdas. ``robots`` (late r12) —
     the parse→decide REP pipeline (operators/robots.py) under the
     oracle, with the planted rule set's longest-match/wildcard/anchor/
-    named-group outcomes HAND-DERIVED per path shape in the SQL."""
-    from ..functions.urls import registrable_domain, url_host, url_tld
+    named-group outcomes HAND-DERIVED per path shape in the SQL.
+
+    ``frontier`` (r13) — the crawl_frontier composition end-to-end:
+    per-host robots payloads carry a ``Sitemap:`` pointer to a
+    sitemapindex, which names the host's urlset; each document
+    contributes one sitemap entry (even doc_ids a second,
+    tracking-param twin entry; ``m=3`` paths an entity-escaped
+    unsorted query), the REP filter drops the planted disallowed
+    shapes, canonicalization merges the twins, and doc_id%10==2 rows
+    subtract out as already-ingested. The oracle re-derives the
+    surviving canonical URL set per host with the outcomes
+    hand-derived per path shape (never a second REP evaluator).
+
+    Reference anchor: the reference consumes one public API and never
+    crawls (fetch_youtube_data.py:74-96); this row is the engine's
+    crawl-corpus provenance surface (SURVEY §7 north star)."""
+    from ..functions.urls import registrable_domain
+    from ..operators.robots import (
+        crawl_frontier,
+        filter_robots_allowed,
+        parse_robots,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    kept = cap_per_group(docs, group_col="lang", id_col="doc_id", cap=_CAP)
-    audit = kept.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n_kept"),
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(F.collect_list("doc_id")),
-                    lambda x: x.cast("string"),
-                ),
-            )
-        ).alias("kept_fp"),
-    )
-    totals = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    lang_section = totals.join(audit, "lang").select(
-        F.lit("lang_cap").alias("section"),
-        F.col("lang").alias("key"),
-        "n_docs", "n_kept", "kept_fp",
-    )
-
     did = F.col("doc_id")
-    url = F.concat(
-        F.when(did % 11 == 0, F.lit("https://user:pw@"))
-        .otherwise(F.lit("https://")),
-        F.when(did % 5 == 0, F.upper(F.col("source")))
-        .otherwise(F.col("source")),
-        F.lit(".example"),
-        F.when(did % 3 == 0, F.lit(".co.uk"))
-        .when(did % 3 == 1, F.lit(".com")).otherwise(F.lit(".org")),
-        F.when(did % 7 == 0, F.lit(".")).otherwise(F.lit("")),
-        F.lit(":"), (F.lit(8000) + did % 100).cast("string"),
-        F.lit("/p/"), did.cast("string"),
-        F.lit("?lang="), F.coalesce(F.col("lang"), F.lit("-")),
-    )
-    with_url = docs.select(did.alias("doc_id"), url.alias("url"))
-    parsed = with_url.select(
-        url_host(F.col("url")).alias("host"),
-        registrable_domain(F.col("url")).alias("dom"),
-        url_tld(F.col("url")).alias("tld"),
-    )
-    domain_section = parsed.groupBy("dom", "tld").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.countDistinct("host").cast("long").alias("n_kept"),
-        F.md5(F.concat_ws(",", F.array_sort(F.collect_set("host"))))
-        .alias("kept_fp"),
-    ).select(
-        F.lit("domains").alias("section"),
-        F.concat_ws("|", F.col("dom"), F.col("tld")).alias("key"),
-        "n_docs", "n_kept", "kept_fp",
-    )
     # psl section (r12): exact PSL registrable domains next to the
     # heuristic — VERDICT r11 item 3 under the same oracle row. A third
     # of the minted hosts land under a planted *.example.org wildcard
@@ -659,6 +741,83 @@ def lang_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     robots_section = robots_arm("*").unionByName(
         robots_arm("trainingbot"))
-    return lang_section.unionByName(domain_section) \
-        .unionByName(psl_section).unionByName(canon_section) \
-        .unionByName(robots_section)
+
+    # frontier section (r13): the provenance-complete seed-list
+    # composition under the oracle. Fixture: per-host robots (the SAME
+    # planted rule set as the robots section, plus a Sitemap pointer),
+    # a one-level sitemapindex, and per-doc urlset entries exercising
+    # entity decode, tracking-param twins, lastmod merge, REP drops,
+    # and seen subtraction.
+    host_c = F.concat(F.col("source"), F.lit(".example.com"))
+    m5 = (did % 5).cast("int")
+    fr_path = (
+        F.when(m5 == 0, F.concat(F.lit("/p0/d"), did.cast("string")))
+        .when(m5 == 1, F.concat(F.lit("/p1/x"), did.cast("string")))
+        .when(m5 == 2, F.concat(F.lit("/p1/ok"), did.cast("string")))
+        .when(m5 == 3, F.concat(F.lit("/p2/d"), did.cast("string")))
+        .otherwise(F.concat(F.lit("/d"), did.cast("string"),
+                            F.lit(".pdf")))
+    )
+    base_url = F.concat(F.lit("https://"), host_c, fr_path)
+    loc1 = F.when(m5 == 3, F.concat(base_url, F.lit("?b=2&amp;a=1"))) \
+        .otherwise(base_url)
+    fr_lastmod = F.when(did % 4 == 0,
+                        F.concat(F.lit("d"), did.cast("string")))
+    entry1 = F.concat(
+        F.lit("<url><loc>"), loc1, F.lit("</loc>"),
+        F.coalesce(
+            F.concat(F.lit("<lastmod>"), fr_lastmod,
+                     F.lit("</lastmod>")),
+            F.lit("")),
+        F.lit("</url>"))
+    entry2 = F.when(
+        (m5 != 3) & (did % 2 == 0),
+        F.concat(F.lit("<url><loc>"), base_url,
+                 F.lit("?utm_source=x</loc></url>"))
+    ).otherwise(F.lit(""))
+    urlsets = (
+        docs.select(host_c.alias("host"),
+                    F.concat(entry1, entry2).alias("e"))
+        .groupBy("host")
+        .agg(F.concat(F.lit("<urlset>"),
+                      F.concat_ws("", F.collect_list("e")),
+                      F.lit("</urlset>")).alias("payload"))
+    )
+    fetches = urlsets.select(
+        F.concat(F.lit("https://"), F.col("host"),
+                 F.lit("/smidx.xml")).alias("url"),
+        F.concat(F.lit("<sitemapindex><sitemap><loc>https://"),
+                 F.col("host"),
+                 F.lit("/sm1.xml</loc></sitemap></sitemapindex>"))
+        .alias("payload"),
+    ).unionByName(urlsets.select(
+        F.concat(F.lit("https://"), F.col("host"),
+                 F.lit("/sm1.xml")).alias("url"),
+        "payload",
+    ))
+    fr_rules = parse_robots(
+        hosts.withColumn(
+            "payload",
+            F.concat(F.lit(robots_txt),
+                     F.lit("\nSitemap: https://"), F.col("host"),
+                     F.lit("/smidx.xml\n"))))
+    seen = docs.filter(did % 10 == 2).select(base_url.alias("url"))
+    frontier = crawl_frontier(fr_rules, fetches, seen=seen)
+    totals_f = docs.groupBy(host_c.alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+    fr_agg = frontier.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.md5(F.concat_ws(",", F.array_sort(F.collect_list(
+            F.concat(F.col("url"), F.lit("|"),
+                     F.coalesce(F.col("lastmod"), F.lit("-")))))))
+        .alias("kept_fp"))
+    frontier_section = totals_f.join(fr_agg, "host", "left").select(
+        F.lit("frontier").alias("section"),
+        F.col("host").alias("key"),
+        "n_docs",
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("long"))
+        .alias("n_kept"),
+        F.coalesce(F.col("kept_fp"), F.md5(F.lit(""))).alias("kept_fp"),
+    )
+    return psl_section.unionByName(canon_section) \
+        .unionByName(robots_section).unionByName(frontier_section)
