@@ -735,3 +735,23 @@ def test_media_cli_sniff_r12(spark, capsys):
     assert rc == 0
     assert out["by_sniff_family"] == {"document": 1, "archive": 1,
                                       "unknown": 1}
+
+
+def test_parser_curate_robots_psl_flags():
+    """r13: crawl-compliance flags parse; --psl-file without
+    --domain-cap is a usage error before any Spark session."""
+    args = build_parser().parse_args(
+        ["curate", "--input", "i", "--output", "o",
+         "--robots", "r.parquet", "--robots-agent", "trainingbot",
+         "--domain-cap", "100", "--psl-file", "psl.dat",
+         "--url-col", "uri"]
+    )
+    assert args.robots == "r.parquet"
+    assert args.robots_agent == "trainingbot"
+    assert args.domain_cap == 100 and args.psl_file == "psl.dat"
+    assert args.url_col == "uri"
+    half = build_parser().parse_args(
+        ["curate", "--input", "i", "--output", "o",
+         "--psl-file", "psl.dat"]
+    )
+    assert half.fn(half) == 2

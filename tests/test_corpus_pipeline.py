@@ -552,3 +552,100 @@ def test_dsir_stage_selects_target_like_docs(spark):
     assert all(i < 100 for i in ids), f"cooking docs selected: {ids}"
     # selection metadata must not leak into the packed schema
     assert not {"log_w", "key", "rank"} & set(out["documents"].columns)
+
+
+def test_robots_and_domain_cap_stages(spark):
+    """r13 (VERDICT r12 item 2): REP pre-filter + per-registrable-domain
+    cap wired into curate_corpus — robots drops opted-out URLs before
+    any signal, the PSL keeps wildcard-listed subdomains distinct cap
+    groups where the heuristic over-merges them."""
+    from youtube_api_data_etl_automation_spark.operators.robots import (
+        parse_robots,
+    )
+
+    # under the planted *.example.org wildcard, sK.example.org is itself
+    # a public suffix, so the registrable domain of h.sK.example.org is
+    # h.sK.example.org — three distinct PSL cap groups the ccSLD
+    # heuristic merges into one 'example.org'
+    rows = []
+    for i in range(12):
+        sub = f"h.s{i % 3}.example.org"
+        path = "/private/x" if i >= 9 else f"/p/{i}"
+        rows.append((i, f"{GOOD} marker{i}", f"https://{sub}{path}"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    robots = parse_robots(spark.createDataFrame(
+        [(f"h.s{k}.example.org", "User-agent: *\nDisallow: /private/\n")
+         for k in range(3)],
+        "host string, payload string"))
+    psl = spark.createDataFrame(
+        [("org",), ("// comment",), ("*.example.org",)], "rule string")
+
+    out = curate_corpus(
+        docs, robots_rules=robots, domain_cap=2, psl=psl,
+        min_tokens=1, quality_min=0.0, n_shards=1)
+    report = {r["stage"]: r["n_docs"] for r in out["report"].collect()}
+    assert report["input"] == 12
+    assert report["robots"] == 9       # one /private doc per subdomain
+    # *.example.org keeps each sN.example.org its own group: 3 x cap 2
+    assert report["domain_cap"] == 6
+    assert report["packed"] == 6
+
+    # heuristic grouping merges every subdomain into example.org
+    heur = curate_corpus(
+        docs, robots_rules=robots, domain_cap=2,
+        min_tokens=1, quality_min=0.0, n_shards=1)
+    hr = {r["stage"]: r["n_docs"] for r in heur["report"].collect()}
+    assert hr["domain_cap"] == 2
+
+    with pytest.raises(ValueError, match="domain_cap"):
+        curate_corpus(docs, psl=psl)
+    with pytest.raises(ValueError, match="url_col"):
+        curate_corpus(docs.drop("source"), robots_rules=robots)
+
+
+def test_warc_robots_to_curate_composition(spark):
+    """The full crawl-compliance seam: the WARC's own robots.txt capture
+    governs which of the WARC's documents survive curation."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_archives import _http_response, _warc_record
+
+    from youtube_api_data_etl_automation_spark.corpus import (
+        warc_to_documents,
+    )
+    from youtube_api_data_etl_automation_spark.operators.robots import (
+        warc_robots_rules,
+    )
+
+    robots_txt = b"User-agent: *\nDisallow: /private/\n"
+    recs = [
+        _warc_record(
+            "response", _http_response(robots_txt, ctype="text/plain"),
+            uri="https://a.com/robots.txt",
+            extra=(b"Content-Type: application/http;msgtype=response",)),
+        _warc_record(
+            "response",
+            _http_response(f"<p>{GOOD} public</p>".encode()),
+            uri="https://a.com/public/page",
+            extra=(b"Content-Type: application/http;msgtype=response",)),
+        _warc_record(
+            "response",
+            _http_response(f"<p>{GOOD} secret</p>".encode()),
+            uri="https://a.com/private/page",
+            extra=(b"Content-Type: application/http;msgtype=response",)),
+    ]
+    blobs = spark.createDataFrame(
+        [(1, bytearray(b"".join(recs)))], "doc_id long, payload binary")
+    docs = warc_to_documents(blobs)
+    out = curate_corpus(
+        docs, robots_rules=warc_robots_rules(blobs),
+        min_tokens=1, quality_min=0.0, n_shards=1)
+    report = {r["stage"]: r["n_docs"] for r in out["report"].collect()}
+    # robots.txt itself ingests as a text/plain document (1 + 2 pages);
+    # the REP stage then drops the /private page
+    assert report["robots"] == report["input"] - 1
+    texts = [r["clean_text"]
+             for r in out["documents"].select("clean_text").collect()]
+    assert any("public" in t for t in texts)
+    assert not any("secret" in t for t in texts)

@@ -281,9 +281,25 @@ def _cmd_curate(args: argparse.Namespace) -> int:
             )
         )
         return 2
+    if args.psl_file and args.domain_cap is None:
+        print(json.dumps({
+            "status": "error",
+            "error": "--psl-file is only consumed by --domain-cap; "
+                     "pass both",
+        }))
+        return 2
     spark = get_spark("corpus-curate", master=args.master)
     docs = spark.read.parquet(args.input)
     benchmark = spark.read.parquet(args.benchmark) if args.benchmark else None
+    robots_rules = None
+    if args.robots:
+        from .operators.robots import parse_robots
+
+        robots_rules = parse_robots(spark.read.parquet(args.robots))
+    psl = None
+    if args.psl_file:
+        psl = spark.read.text(args.psl_file).withColumnRenamed(
+            "value", "rule")
     dsir_target = (
         spark.read.parquet(args.dsir_target) if args.dsir_target else None
     )
@@ -311,6 +327,11 @@ def _cmd_curate(args: argparse.Namespace) -> int:
         quality_preset=args.quality_preset,
         dsir_target=dsir_target,
         dsir_keep=args.dsir_keep,
+        url_col=args.url_col,
+        robots_rules=robots_rules,
+        robots_agent=args.robots_agent,
+        domain_cap=args.domain_cap,
+        psl=psl,
     )
     write_training_shards(out["documents"], args.output)
     report = {r["stage"]: r["n_docs"] for r in out["report"].collect()}
@@ -942,6 +963,39 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="number of docs the DSIR stage keeps (sampled without "
         "replacement proportional to importance weight)",
+    )
+    cur.add_argument(
+        "--robots",
+        default=None,
+        help="parquet path of per-host robots.txt captures (host, "
+        "payload): enable the REP compliance pre-filter — documents "
+        "whose URL the agent may not fetch are dropped before any "
+        "signal is computed (operators/robots.py)",
+    )
+    cur.add_argument(
+        "--robots-agent",
+        default="*",
+        help="user-agent the REP decision is made for (default '*')",
+    )
+    cur.add_argument(
+        "--domain-cap",
+        type=int,
+        default=None,
+        help="cap each registrable domain's contribution at N docs "
+        "(two-path capping after dedup/decontam; group = exact PSL "
+        "domain with --psl-file, ccSLD heuristic otherwise)",
+    )
+    cur.add_argument(
+        "--psl-file",
+        default=None,
+        help="Public Suffix List text file (publicsuffix.org format, "
+        "parses as-is): exact registrable domains for --domain-cap",
+    )
+    cur.add_argument(
+        "--url-col",
+        default="source",
+        help="column carrying each document's URL (default 'source', "
+        "the warc_to_documents output)",
     )
     cur.set_defaults(fn=_cmd_curate)
 

@@ -113,6 +113,11 @@ def curate_corpus(
     dsir_target: DataFrame | None = None,
     dsir_keep: int | None = None,
     dsir_buckets: int = 256,
+    url_col: str = "source",
+    robots_rules: DataFrame | None = None,
+    robots_agent: str = "*",
+    domain_cap: int | None = None,
+    psl: DataFrame | None = None,
 ) -> dict:
     """Run the full curation pipeline. Returns
     {"documents": packed survivors (id, lang, clean_text, n_tokens,
@@ -197,8 +202,36 @@ def curate_corpus(
     (selection should see the deduplicated pool, per the paper) and
     BEFORE packing. The target goes through the same PII redaction the
     survivors' clean_text did, so both distributions are measured on the
-    shipping surface form."""
+    shipping surface form.
+
+    ``robots_rules`` + ``robots_agent`` (r13, VERDICT r12 item 2): a
+    parsed REP rule relation (operators/robots.py::parse_robots, or
+    warc_robots_rules straight off the crawl's own robots captures).
+    When given, a ``robots`` pre-filter stage runs FIRST — before any
+    signal is computed — keeping only documents whose ``url_col`` the
+    agent may fetch, with its drop count in the audit report. The
+    decision is the operator's map-side fold: rules fold to one array
+    row per host and the corpus hash-joins on host — the corpus never
+    shuffles for this stage.
+
+    ``domain_cap`` + ``psl`` (r13): cap each registrable domain's
+    contribution at ``domain_cap`` docs. The group column is computed
+    off ``url_col`` at ingest — EXACT PSL registrable domains when
+    ``psl`` (a one-column ``rule`` relation of publicsuffix.org lines)
+    is given, the ccSLD heuristic otherwise — so ``*.github.io``-style
+    PSL entries keep every subdomain a distinct cap group instead of
+    over-merging (the r11 complaint this closes). The cap runs after
+    dedup/decontam (capping should see the deduplicated pool) and
+    before stratified sampling, via the two-path capping plan
+    (operators/capping.py — under-cap groups never sort). ``psl``
+    without ``domain_cap`` is an error (it would silently do nothing).
+    """
     spark = docs.sparkSession
+    if psl is not None and domain_cap is None:
+        raise ValueError(
+            "psl= is only consumed by the domain_cap stage; pass "
+            "domain_cap= too (a PSL with nothing to group for would "
+            "silently do nothing)")
     stages: list[tuple[str, int]] = []
     cached: list[DataFrame] = []
 
@@ -220,9 +253,16 @@ def curate_corpus(
             cached.append(df)
         return df
 
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
-    )
+    need_url = robots_rules is not None or domain_cap is not None
+    base_cols = [F.col(id_col).alias("doc_id"),
+                 F.col(text_col).alias("text")]
+    if need_url:
+        if url_col not in docs.columns:
+            raise ValueError(
+                f"robots_rules/domain_cap need url_col={url_col!r} in "
+                "the input (warc_to_documents emits it as 'source')")
+        base_cols.append(F.col(url_col).alias("__url"))
+    base = docs.select(*base_cols)
     if strip_html or normalize_unicode:
         txt = F.col("text")
         if strip_html:
@@ -233,8 +273,39 @@ def curate_corpus(
             from .functions.unicodefns import normalize_unicode as _nu
 
             txt = _nu(txt)
-        base = base.select("doc_id", txt.alias("text"))
+        base = base.select("doc_id", txt.alias("text"),
+                           *(["__url"] if need_url else []))
     checkpoint("input", base)
+
+    # r13: REP compliance pre-filter — FIRST, before any signal: an
+    # opted-out document must not even contribute to dedup fingerprints
+    # or DSIR statistics.
+    if robots_rules is not None:
+        from .operators.robots import filter_robots_allowed
+
+        base = filter_robots_allowed(base, robots_rules,
+                                     agent=robots_agent,
+                                     url_col="__url")
+        base = checkpoint("robots", base)
+
+    # r13: the cap/stratification group column, computed ONCE map-side
+    # off the URL (exact PSL when given, ccSLD heuristic otherwise) and
+    # carried as a plain column; the URL itself is no longer needed.
+    extra_cols: list[str] = []
+    if domain_cap is not None:
+        if psl is not None:
+            from .functions.urls import registrable_domain_psl
+
+            base = registrable_domain_psl(
+                base, psl, url_col="__url", out_col="__domain")
+        else:
+            from .functions.urls import registrable_domain
+
+            base = base.withColumn(
+                "__domain", registrable_domain(F.col("__url")))
+        extra_cols = ["__domain"]
+    if need_url:
+        base = base.drop("__url")
 
     if quality_preset:
         parts = set(quality_preset.split("+"))
@@ -250,7 +321,8 @@ def curate_corpus(
             base = (
                 c4_clean(base, text_col="text")
                 .filter(F.col("c4_pass"))
-                .select("doc_id", F.col("c4_text").alias("text"))
+                .select("doc_id", F.col("c4_text").alias("text"),
+                        *extra_cols)
             )
             base = checkpoint("c4", base)
         if "gopher" in parts:
@@ -259,7 +331,7 @@ def curate_corpus(
             base = (
                 gopher_flags(base, text_col="text")
                 .filter(F.col("gopher_pass"))
-                .select("doc_id", "text")
+                .select("doc_id", "text", *extra_cols)
             )
             base = checkpoint("gopher", base)
         if "gopher-rep" in parts:
@@ -270,7 +342,7 @@ def curate_corpus(
             base = (
                 gopher_repetition_flags(base, text_col="text")
                 .filter(F.col("gopher_rep_pass"))
-                .select("doc_id", "text")
+                .select("doc_id", "text", *extra_cols)
             )
             base = checkpoint("gopher_rep", base)
 
@@ -280,7 +352,8 @@ def curate_corpus(
     # materialize, so offsets stay exact even when redaction changes the
     # token count (e.g. a spaced phone number collapsing to one [PHONE]).
     toks = base.select(
-        "doc_id", "text", redact_pii(F.col("text")).alias("clean_text")
+        "doc_id", "text", redact_pii(F.col("text")).alias("clean_text"),
+        *extra_cols
     ).withColumn("tok", tokens("text"))
     if bpe_merges is None:
         n_tokens_expr = token_count("clean_text")
@@ -311,6 +384,7 @@ def curate_corpus(
         quality_score_t("text", "tok").alias("quality"),
         "clean_text",
         doc_fingerprint("text").alias("fingerprint"),
+        *extra_cols,
     )
     kept = feat.filter(
         (F.col("n_tokens") >= min_tokens)
@@ -360,6 +434,17 @@ def curate_corpus(
         clean_ids = hits.filter(F.col("contaminated") == 0).select("doc_id")
         survivors = survivors.join(clean_ids, "doc_id", "left_semi")
         survivors = checkpoint("decontam", survivors)
+
+    # 4b (r13): per-registrable-domain cap on the deduplicated,
+    # decontaminated pool — the two-path plan (under-cap groups never
+    # sort); the group column was computed map-side at ingest.
+    if domain_cap is not None:
+        from .operators.capping import cap_per_group
+
+        survivors = cap_per_group(
+            survivors, group_col="__domain", id_col="doc_id",
+            cap=domain_cap)
+        survivors = checkpoint("domain_cap", survivors)
 
     # 5: optional content-stable stratified sampling by language.
     if lang_rates is not None:

@@ -929,6 +929,9 @@ def _redact_sql(col: str) -> str:
     )
 
 
+_CURATE_DOMAIN_CAP = 10  # bites at sf0.001 already (per-source survivors)
+
+
 def _curation_report_oracle() -> str:
     counts = ",\n             ".join(
         f"CAST(len(list_filter(toks, x -> list_contains({_sql_list(mks)}, x))) AS INT) AS c_{lang}"
@@ -946,10 +949,16 @@ def _curation_report_oracle() -> str:
     return f"""
     WITH corpus AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+    ), rb AS (
+      -- r13 robots pre-filter: the planted per-host rule set disallows
+      -- /private/ and the minted URL puts doc_id % 4 == 0 there; the
+      -- REP decision itself is value-verified in url_compliance_docs,
+      -- so the oracle carries the hand-derived outcome
+      SELECT doc_id, text FROM corpus WHERE doc_id % 4 <> 0
     ), n AS (
       SELECT doc_id, text, {_NORM.format(col="COALESCE(text, '')")} AS norm,
              {_redact_sql('text')} AS clean_text
-      FROM corpus
+      FROM rb
     ), t AS (
       SELECT doc_id, text, norm, clean_text,
              CASE WHEN norm = '' THEN [] ELSE string_split(norm, ' ') END AS toks,
@@ -998,15 +1007,31 @@ def _curation_report_oracle() -> str:
       SELECT DISTINCT doc_id FROM sgrams JOIN bench USING (g)
     ), decon AS (
       SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), dcap AS (
+      -- r13 domain cap: the minted URL's PSL registrable domain is
+      -- source || '.example.org' BY CONSTRUCTION (rules org +
+      -- example.org fold the www. variants in); the PSL evaluation is
+      -- value-verified in url_compliance_docs, so the oracle derives
+      -- the group directly and replays the content-stable cap rank
+      SELECT decon.*, doc.source AS src
+      FROM decon JOIN documents doc USING (doc_id)
+    ), capped AS (
+      SELECT * FROM dcap
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY src
+        ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id
+      ) <= {_CURATE_DOMAIN_CAP}
     ), sampled AS (
-      SELECT * FROM decon
+      SELECT * FROM capped
       WHERE {bucket} < CASE lang WHEN 'en' THEN 128 WHEN 'fr' THEN 64
                                  WHEN 'es' THEN 64 ELSE 256 END
     )
     SELECT 'input' AS stage, CAST((SELECT COUNT(*) FROM corpus) AS BIGINT) AS n_docs
+    UNION ALL SELECT 'robots', (SELECT COUNT(*) FROM rb)
     UNION ALL SELECT 'funnel', (SELECT COUNT(*) FROM kept)
     UNION ALL SELECT 'exact_dedup', (SELECT COUNT(*) FROM surv)
     UNION ALL SELECT 'decontam', (SELECT COUNT(*) FROM decon)
+    UNION ALL SELECT 'domain_cap', (SELECT COUNT(*) FROM capped)
     UNION ALL SELECT 'stratified_sample', (SELECT COUNT(*) FROM sampled)
     UNION ALL SELECT 'packed', (SELECT COUNT(*) FROM sampled)
     """
@@ -1023,13 +1048,40 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint, 3-gram overlap vs the redacted benchmark, and the
     salt='corpus:' md5-bucket language rates. 'packed' equals
     'stratified_sample' by construction — concat-and-cut packing is
-    row-preserving, and the oracle pins that invariant."""
+    row-preserving, and the oracle pins that invariant.
+
+    r13 (VERDICT r12 item 2): the run now exercises the crawl-
+    compliance wiring too — a ``robots`` pre-filter stage (minted URLs
+    put doc_id%4==0 under a planted /private/ Disallow; the REP
+    decision itself is value-verified in url_compliance_docs, so the
+    oracle carries the hand-derived outcome) and a ``domain_cap``
+    stage grouped by EXACT PSL registrable domain (rules org +
+    example.org fold the www. variants; the oracle derives the group
+    by construction and replays the content-stable cap rank)."""
     from ..corpus import curate_corpus
+    from ..operators.robots import parse_robots
 
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
     is_bench = F.col("doc_id") % 97 == 0
+    host = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("www."))
+        .otherwise(F.lit("")),
+        F.col("source"), F.lit(".example.org"),
+    )
+    url = F.concat(
+        F.lit("https://"), host,
+        F.when(F.col("doc_id") % 4 == 0, F.lit("/private/"))
+        .otherwise(F.lit("/p/")),
+        F.col("doc_id").cast("string"),
+    )
+    robots_rules = parse_robots(
+        docs.select(host.alias("host")).distinct().withColumn(
+            "payload",
+            F.lit("User-agent: *\nDisallow: /private/\n")))
+    psl = spark.createDataFrame(
+        [("org",), ("example.org",)], "rule string")
     out = curate_corpus(
-        docs.filter(~is_bench),
+        docs.filter(~is_bench).withColumn("url", url),
         benchmark=docs.filter(is_bench),
         min_tokens=10,
         max_tokens=1000,
@@ -1039,6 +1091,10 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack_budget=2048,
         n_shards=16,
         audit=True,
+        url_col="url",
+        robots_rules=robots_rules,
+        domain_cap=_CURATE_DOMAIN_CAP,
+        psl=psl,
     )
     return out["report"]
 
