@@ -40,9 +40,10 @@ def test_fixture_is_committed_and_covers_all_families():
                          "image_thumb", "subtitle", "document_images"}
     assert fams["image_exif"] == 8 and fams["audio_tags"] == 6
     # the decode matrix: 6 PNG variants + 4 JPEG + GIF/BMP/PPM +
-    # 2 VP8L WebP + 8 TIFF (LZW/deflate/palette/tiled + JPEG-in-TIFF,
-    # r11) + 3 BMP (palette/RLE8/32-bit, r11) + PGM + PBM + 2 refusals
-    assert fams["image"] == 31
+    # 2 VP8L WebP + 10 TIFF (LZW/deflate/palette/tiled + JPEG-in-TIFF,
+    # r11; CCITT G4 + MH, r13) + 3 BMP (palette/RLE8/32-bit, r11) +
+    # PGM + PBM + 2 refusals
+    assert fams["image"] == 33
     # PCM 8/16/24/32 + float 32/64 + G.711 ×2 + IMA + MS +
     # 2 FLAC (r10) + 3 refusals
     assert fams["audio"] == 15
@@ -68,8 +69,9 @@ def test_fixture_is_committed_and_covers_all_families():
     # captions: SRT + tag-stripped VTT + plain-text + backwards-cue
     assert fams["subtitle"] == 4
     # pdf images (r12): flate+dct pair + indexed + form-nested +
-    # jpx-refusal + truncated-corrupt + zero-image + CMYK
-    assert fams["document_images"] == 7
+    # jpx-refusal + truncated-corrupt + zero-image + CMYK + the r13
+    # CCITT G4 + K>0-refusal pair
+    assert fams["document_images"] == 8
 
 
 def test_codec_stats_match_golden(spark):
@@ -190,4 +192,4 @@ def test_codec_stats_from_foreign_cwd():
         env={k: v for k, v in __import__("os").environ.items()
              if k != "PYTHONPATH"},
     )
-    assert "CODEC_ROWS=155" in out.stdout, out.stderr[-2000:]
+    assert "CODEC_ROWS=158" in out.stdout, out.stderr[-2000:]

@@ -408,3 +408,37 @@ def test_fuzz_layer2(rng):
     payloads += _garbage(rng, 60, 400)
     _assert_contract(mpegaudio.decode_layer2, payloads, "layer2")
     _assert_contract(mpegaudio.decode_subbands, payloads, "subbands")
+
+
+def test_fuzz_ccitt(rng):
+    """r13: CCITT G4/MH TIFFs and the raw bitstream decoders map
+    arbitrary bytes to DECODE_ERRORS, never a crash or hang."""
+    import sys
+    sys.path.insert(0, "tests")
+    import random as _random
+
+    from test_ccitt import _encode_g4, _encode_mh, _rand_img, \
+        _tiff_ccitt
+
+    from youtube_api_data_etl_automation_spark.operators import ccitt, tiff
+
+    prng = _random.Random(4242)
+    img = _rand_img(prng, 10, 33)
+    g4_tiff = _tiff_ccitt(img, compression=4)
+    mh_tiff = _tiff_ccitt(img, compression=2, rows_per_strip=3)
+    payloads = _mutations(rng, g4_tiff, 200) + _mutations(rng, mh_tiff, 150)
+    payloads += [b"II*\x00" + g for g in _garbage(rng, 100, 200)]
+    _assert_contract(tiff.decode_tiff, payloads, "ccitt-tiff")
+
+    raw_g4 = _encode_g4(img)
+    raw_mh = _encode_mh(img)
+    raws = _mutations(rng, raw_g4, 200) + _mutations(rng, raw_mh, 150) \
+        + _garbage(rng, 150, 200)
+    _assert_contract(lambda p: ccitt.decode_g4(p, 33, 10), raws,
+                     "ccitt-g4-raw")
+    _assert_contract(lambda p: ccitt.decode_mh(p, 33, 10), raws,
+                     "ccitt-mh-raw")
+    # rows=None: EOFB/garbage streams must terminate via max_rows
+    _assert_contract(lambda p: ccitt.decode_g4(p, 17, None,
+                                               max_rows=64),
+                     _garbage(rng, 80, 400), "ccitt-g4-norows")

@@ -111,8 +111,9 @@ def test_per_image_refusals_leave_siblings_intact():
             b"/Width 2 /Height 2 /Filter /JPXDecode ", b"\x00\x00")),
         (b"Jb2", img_obj(
             b"/Width 2 /Height 2 /Filter /JBIG2Decode ", b"\x00")),
-        (b"Fax", img_obj(
-            b"/Width 2 /Height 2 /Filter /CCITTFaxDecode ", b"\x00")),
+        (b"Fax", img_obj(  # K>0 (mixed 2D G3) keeps the honest refusal
+            b"/Width 2 /Height 2 /Filter /CCITTFaxDecode "
+            b"/DecodeParms << /K 1 /Columns 2 >> ", b"\x00")),
         (b"Mask", img_obj(
             b"/Width 2 /Height 2 /ImageMask true "
             b"/BitsPerComponent 1 ", b"\xf0")),
@@ -277,3 +278,52 @@ def test_devicecmyk_converts_to_rgb_ppm():
     assert r["error"] is None
     assert (r["format"], r["width"], r["height"]) == ("ppm", 3, 2)
     assert r["payload"] == b"P6\n3 2\n255\n" + expect
+
+
+def test_ccitt_fax_images_decode():
+    """r13: CCITTFaxDecode image XObjects decode via operators/ccitt.py
+    — G4 (K<0) and MH (K=0), BlackIs1 both ways, transport filters
+    peeled, parameter mismatches corrupt-routed."""
+    import random
+
+    from tests.test_ccitt import _encode_g4, _encode_mh, _rand_img
+
+    img = _rand_img(random.Random(3), 6, 16)
+    g4 = _encode_g4(img)
+    mh = _encode_mh(img, byte_align=True)
+    doc = pdf_with_images([
+        (b"G4", img_obj(
+            b"/Width 16 /Height 6 /ColorSpace /DeviceGray "
+            b"/BitsPerComponent 1 /Filter /CCITTFaxDecode "
+            b"/DecodeParms << /K -1 /Columns 16 >> ", g4)),
+        (b"G4b", img_obj(  # BlackIs1: black run -> sample 1 -> 255
+            b"/Width 16 /Height 6 /BitsPerComponent 1 "
+            b"/Filter /CCITTFaxDecode "
+            b"/DecodeParms << /K -1 /Columns 16 /BlackIs1 true >> ",
+            g4)),
+        (b"MH", img_obj(
+            b"/Width 16 /Height 6 /BitsPerComponent 1 "
+            b"/Filter /CCITTFaxDecode /DecodeParms "
+            b"<< /K 0 /Columns 16 /EncodedByteAlign true >> ", mh)),
+        (b"Fl", img_obj(  # transport filter peels first
+            b"/Width 16 /Height 6 /BitsPerComponent 1 "
+            b"/Filter [/FlateDecode /CCITTFaxDecode] /DecodeParms "
+            b"[null << /K -1 /Columns 16 >>] ", zlib.compress(g4))),
+        (b"Bad", img_obj(  # Columns/Width mismatch is corrupt
+            b"/Width 8 /Height 6 /BitsPerComponent 1 "
+            b"/Filter /CCITTFaxDecode "
+            b"/DecodeParms << /K -1 /Columns 16 >> ", g4)),
+    ])
+    rows = {r["name"]: r for r in P.extract_pdf_images(doc)}
+    # default BlackIs1=false: black run -> 0 bit -> DeviceGray 0 (dark)
+    dark = ((1 - img) * 255).astype(np.uint8).tobytes()
+    bright = (img * 255).astype(np.uint8).tobytes()
+    head = b"P5\n16 6\n255\n"
+    assert rows["G4"]["error"] is None
+    assert (rows["G4"]["format"], rows["G4"]["width"],
+            rows["G4"]["height"]) == ("pgm", 16, 6)
+    assert rows["G4"]["payload"] == head + dark
+    assert rows["G4b"]["payload"] == head + bright
+    assert rows["MH"]["payload"] == head + dark
+    assert rows["Fl"]["payload"] == head + dark
+    assert rows["Bad"]["error_kind"] == "corrupt"

@@ -268,14 +268,15 @@ def test_multi_strip_and_packbits():
 
 def test_refusals_and_malformed():
     g = _img(4, 4, seed=6, grey=True)
-    # rewrite compression tag to CCITT G3 (3): unsupported, not corrupt
-    # (LZW 5 / deflate 8/32946 decode since r11; new-style JPEG 7 since
-    # late r11 — see the dedicated compression-7 tests below)
+    # rewrite compression tag to old-style JPEG (6, withdrawn by TIFF
+    # Tech Note 2): unsupported, not corrupt (LZW 5 / deflate 8/32946
+    # decode since r11; new-style JPEG 7 since late r11; CCITT 2/3-1D/4
+    # since r13 — see tests/test_ccitt.py)
     fax_payload = _tiff_image(g)
     i = fax_payload.index(struct.pack("<HHI", 259, 3, 1))
-    fax_payload = fax_payload[: i + 8] + struct.pack("<I", 3) \
+    fax_payload = fax_payload[: i + 8] + struct.pack("<I", 6) \
         + fax_payload[i + 12 :]
-    with pytest.raises(NotImplementedError, match="compression 3"):
+    with pytest.raises(NotImplementedError, match="compression 6"):
         tiff.decode_tiff(fax_payload)
     with pytest.raises(ValueError, match="bad magic"):
         tiff.decode_tiff(b"II+\x00" + b"\x00" * 16)

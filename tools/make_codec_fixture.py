@@ -127,6 +127,18 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
     add(130, "image", "tiff_tiled_lzw_predictor",
         _tiff_image(_tiff_img(37, 45, seed=58), tiles=(16, 16),
                     lzw=True, predictor=2))
+    # r13: CCITT bilevel fax TIFFs (operators/ccitt.py via tiff.py)
+    import random as _ccitt_rng_mod
+    from test_ccitt import _encode_g4 as _ccitt_g4_enc  # noqa: F401
+    from test_ccitt import _rand_img as _ccitt_rand
+    from test_ccitt import _tiff_ccitt
+
+    _crng = _ccitt_rng_mod.Random(1313)
+    _cimg = _ccitt_rand(_crng, 18, 41)
+    add(132, "image", "tiff_ccitt_g4_strips",
+        _tiff_ccitt(_cimg, compression=4, rows_per_strip=7))
+    add(133, "image", "tiff_ccitt_mh",
+        _tiff_ccitt(_cimg, compression=2, photometric=0))
     from test_tiff import _split_jpeg_tables
 
     _jt_stream = _encode_jpeg(_rng_image(8, 16, seed=59))[0]
@@ -644,6 +656,22 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
         pdf_with_images([(b"C", img_obj(
             b"/Width 3 /Height 2 /ColorSpace /DeviceCMYK "
             b"/BitsPerComponent 8 ", _cmyk_px))]))
+    from test_ccitt import _encode_g4 as _g4e
+    from test_ccitt import _rand_img as _cri
+    import random as _crm
+    _pimg = _cri(_crm.Random(77), 9, 24)
+    add(1908, "document_images", "pdf_ccitt_g4_and_k1_refusal",
+        pdf_with_images([
+            (b"Fax", img_obj(
+                b"/Width 24 /Height 9 /ColorSpace /DeviceGray "
+                b"/BitsPerComponent 1 /Filter /CCITTFaxDecode "
+                b"/DecodeParms << /K -1 /Columns 24 >> ",
+                _g4e(_pimg))),
+            (b"K1", img_obj(
+                b"/Width 4 /Height 2 /BitsPerComponent 1 "
+                b"/Filter /CCITTFaxDecode "
+                b"/DecodeParms << /K 2 /Columns 4 >> ", b"\x00")),
+        ]))
     add(1905, "document_images", "pdf_images_truncated_corrupt",
         pdf_with_images([(b"Raw", img_obj(
             b"/Width 6 /Height 4 /ColorSpace /DeviceRGB "

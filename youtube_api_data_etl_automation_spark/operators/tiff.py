@@ -136,6 +136,102 @@ def _tag_values(vb: bytes, ftype: int, count: int, lt: str) -> list[int]:
     return list(struct.unpack_from(lt + fmt * count, vb, 0))
 
 
+def _decode_tiff_ccitt(payload: bytes, tags: dict, scalar, array,
+                       w: int, h: int) -> "np.ndarray":
+    """Compressions 2/3/4 — CCITT bilevel fax (r13, operators/ccitt.py).
+
+    Compression 4 is Group 4 / T.6 (the archival-scan standard; tag 293
+    T6Options — the uncompressed-mode bit refuses honestly), 2 is
+    modified Huffman with byte-aligned rows, 3 is G3 one-dimensional
+    with EOL-prefixed rows (T4Options 2D/uncompressed/fill bits refuse
+    — those variants carry details without an in-repo anchor). Strips
+    decode independently (each restarts the all-white reference line,
+    per TIFF 6.0 §2's strip independence); bilevel samples map through
+    PhotometricInterpretation exactly like the 8-bit grey path (the
+    spec mandates 0 = WhiteIsZero for fax, but a file declaring 1 is
+    honored, not second-guessed)."""
+    from .ccitt import decode_g4, decode_mh
+
+    compression = scalar(259)
+    photometric = scalar(262)
+    if photometric not in (0, 1):
+        raise ValueError(
+            f"malformed TIFF: CCITT with photometric {photometric} "
+            "(bilevel grey only)"
+        )
+    spp = scalar(277, default=1)
+    if spp != 1:
+        raise ValueError(
+            f"malformed TIFF: CCITT with {spp} samples per pixel"
+        )
+    bits = array(258) if 258 in tags else [1]
+    if bits != [1]:
+        raise ValueError(
+            f"malformed TIFF: CCITT with bits-per-sample {bits}"
+        )
+    fill_order = scalar(266, default=1)
+    if fill_order != 1:
+        raise NotImplementedError(
+            "TIFF FillOrder 2 (LSB-first) not supported for CCITT"
+        )
+    if compression == 4:
+        opts = scalar(293, default=0)
+        if opts & 2:
+            raise NotImplementedError(
+                "T.6 uncompressed mode (T6Options bit 1) not supported"
+            )
+        if opts & ~2:
+            raise ValueError(
+                f"malformed TIFF: reserved T6Options bits set ({opts})"
+            )
+    if compression == 3:
+        opts = scalar(292, default=0)
+        if opts & 1:
+            raise NotImplementedError(
+                "G3 two-dimensional coding (T4Options bit 0) not "
+                "supported"
+            )
+        if opts & 6:
+            raise NotImplementedError(
+                "G3 uncompressed/fill-bit options not supported"
+            )
+    if 322 in tags:
+        raise NotImplementedError("tiled CCITT layout not supported")
+    if 273 not in tags or 279 not in tags:
+        raise ValueError("malformed TIFF: missing strip offsets/counts")
+    offsets = array(273)
+    counts = array(279)
+    if len(offsets) != len(counts):
+        raise ValueError("malformed TIFF: strip offsets/counts mismatch")
+    rows_per_strip = scalar(278, default=h)
+    if rows_per_strip == 0:
+        raise ValueError("malformed TIFF: RowsPerStrip=0")
+
+    parts = []
+    remaining = h
+    for off, cnt in zip(offsets, counts):
+        if off + cnt > len(payload):
+            raise ValueError("malformed TIFF: strip out of bounds")
+        n_rows = min(rows_per_strip, remaining)
+        chunk = bytes(payload[off : off + cnt])
+        if compression == 4:
+            parts.append(decode_g4(chunk, w, n_rows))
+        elif compression == 2:
+            parts.append(decode_mh(chunk, w, n_rows, byte_align=True))
+        else:
+            parts.append(decode_mh(chunk, w, n_rows))
+        remaining -= n_rows
+    if remaining > 0:
+        raise ValueError(
+            f"malformed TIFF: strips cover {h - remaining} of {h} rows"
+        )
+    sample = np.concatenate(parts, axis=0)
+    grey = sample * np.uint8(255)
+    if photometric == 0:  # WhiteIsZero: sample 1 (black) -> dark
+        grey = 255 - grey
+    return np.repeat(grey[:, :, None], 3, axis=2)
+
+
 def _decode_tiff_jpeg(payload: bytes, tags: dict, scalar, array,
                       w: int, h: int) -> "np.ndarray":
     """Compression 7 — new-style JPEG-in-TIFF (TIFF Tech Note 2).
@@ -280,11 +376,16 @@ def decode_tiff(payload: bytes,
         # in-repo Huffman JPEG decoder, so this is composition, not a
         # new codec
         return _decode_tiff_jpeg(payload, tags, scalar, array, w, h)
+    if compression in (2, 3, 4):
+        # CCITT bilevel fax (r13): Group 4 + MH/G3-1D via the from-
+        # scratch T.4/T.6 decoder
+        return _decode_tiff_ccitt(payload, tags, scalar, array, w, h)
     if compression not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF compression {compression} needs a codec library; "
             "uncompressed (1), LZW (5), deflate (8/32946), PackBits "
-            "(32773) and new-style JPEG (7, Huffman subset) decode here"
+            "(32773), new-style JPEG (7, Huffman subset) and CCITT "
+            "(2/3-1D/4) decode here"
         )
     predictor = scalar(317, default=1)
     if predictor not in (1, 2):
