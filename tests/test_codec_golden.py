@@ -52,7 +52,7 @@ def test_fixture_is_committed_and_covers_all_families():
     assert fams["video_meta"] == 14 and fams["audio_meta"] == 10
     # MJPEG x2 + GIF + 2 refusals / Layer I x3 + Layer II x3 (r12)
     # + 2 refusals
-    assert fams["video_frame"] == 5 and fams["audio_subband"] == 8
+    assert fams["video_frame"] == 5 and fams["audio_subband"] == 10
     # gzip/zip/tar/WARC probes + refusal / plain + per-record-gz + cut
     assert fams["archive"] == 5 and fams["warc_records"] == 3
     # PDF text: escapes + flate 2-page + ToUnicode + ObjStm/LZW +
@@ -192,4 +192,4 @@ def test_codec_stats_from_foreign_cwd():
         env={k: v for k, v in __import__("os").environ.items()
              if k != "PYTHONPATH"},
     )
-    assert "CODEC_ROWS=158" in out.stdout, out.stderr[-2000:]
+    assert "CODEC_ROWS=160" in out.stdout, out.stderr[-2000:]

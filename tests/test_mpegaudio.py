@@ -73,17 +73,23 @@ def _pick_sf(maxabs: float) -> int:
 
 def _frame_l1(groups, *, rate=32000, bitrate=448, alloc_bands,
               mode=None, mode_ext=0, protected=False, padding=0,
-              sf_override=None, code_override=None):
+              sf_override=None, code_override=None, version=1):
     """One Layer I frame from ``groups`` shaped (12, nch, 32)."""
     groups = np.asarray(groups, dtype=np.float64)
     _, nch, _ = groups.shape
     if mode is None:
         mode = 3 if nch == 1 else 0
     bound = (mode_ext + 1) * 4 if mode == 1 else 32
-    rate_idx = {44100: 0, 48000: 1, 32000: 2}[rate]
-    br_idx = mpegaudio._L1_BITRATES.index(bitrate) + 1
+    if version == 2:
+        rate_idx = {22050: 0, 24000: 1, 16000: 2}[rate]
+        br_idx = mpegaudio._L1_LSF_BITRATES.index(bitrate) + 1
+        ver_bits = 2
+    else:
+        rate_idx = {44100: 0, 48000: 1, 32000: 2}[rate]
+        br_idx = mpegaudio._L1_BITRATES.index(bitrate) + 1
+        ver_bits = 3
 
-    b2 = 0xE0 | (3 << 3) | (3 << 1) | (0 if protected else 1)
+    b2 = 0xE0 | (ver_bits << 3) | (3 << 1) | (0 if protected else 1)
     b3 = (br_idx << 4) | (rate_idx << 2) | (padding << 1)
     b4 = (mode << 6) | (mode_ext << 4)
     header = bytes([0xFF, b2, b3, b4])
@@ -271,10 +277,11 @@ def test_refusals():
     hdr[1] = 0xE0 | (3 << 3) | (0 << 1) | 1
     with pytest.raises(ValueError, match="reserved layer"):
         mpegaudio.decode_layer1(bytes(hdr) + good[4:])
-    # MPEG-2 version bits
+    # MPEG-2.5 version bits (00) — Layer I/II undefined there (r13:
+    # MPEG-2 LSF itself now decodes, see the dedicated LSF tests)
     hdr = bytearray(good)
-    hdr[1] = 0xE0 | (2 << 3) | (3 << 1) | 1
-    with pytest.raises(NotImplementedError, match="MPEG-2"):
+    hdr[1] = 0xE0 | (0 << 3) | (3 << 1) | 1
+    with pytest.raises(NotImplementedError, match="2.5"):
         mpegaudio.decode_layer1(bytes(hdr))
     # free format
     hdr = bytearray(good)
@@ -469,13 +476,15 @@ def _l2_value(v, sf, steps):
     return sf * c_const * ((v - half) / half + d_const)
 
 
-def _l2_table_rows(bitrate, nch, rate):
+def _l2_table_rows(bitrate, nch, rate, version=1):
+    if version == 2:
+        return mpegaudio._ROWS_LSF
     return mpegaudio._l2_table(bitrate, nch, rate)
 
 
 def _frame_l2(samples, *, rate=48000, bitrate=192, alloc_idx,
               mode=None, mode_ext=0, protected=False, padding=0,
-              scfsi_all=0, sf_override=None):
+              scfsi_all=0, sf_override=None, version=1):
     """One Layer II frame from ``samples`` shaped (36, nch, 32).
 
     ``alloc_idx[sb]`` is the ALLOCATION INDEX into the selected
@@ -486,13 +495,19 @@ def _frame_l2(samples, *, rate=48000, bitrate=192, alloc_idx,
     _, nch, _ = samples.shape
     if mode is None:
         mode = 3 if nch == 1 else 0
-    table = _l2_table_rows(bitrate, nch, rate)
+    table = _l2_table_rows(bitrate, nch, rate, version)
     sblimit = len(table)
     bound = min((mode_ext + 1) * 4, sblimit) if mode == 1 else sblimit
-    rate_idx = {44100: 0, 48000: 1, 32000: 2}[rate]
-    br_idx = mpegaudio._L2_BITRATES.index(bitrate) + 1
+    if version == 2:
+        rate_idx = {22050: 0, 24000: 1, 16000: 2}[rate]
+        br_idx = mpegaudio._L2_LSF_BITRATES.index(bitrate) + 1
+        ver_bits = 2
+    else:
+        rate_idx = {44100: 0, 48000: 1, 32000: 2}[rate]
+        br_idx = mpegaudio._L2_BITRATES.index(bitrate) + 1
+        ver_bits = 3
 
-    b2 = 0xE0 | (3 << 3) | (2 << 1) | (0 if protected else 1)
+    b2 = 0xE0 | (ver_bits << 3) | (2 << 1) | (0 if protected else 1)
     b3 = (br_idx << 4) | (rate_idx << 2) | (padding << 1)
     b4 = (mode << 6) | (mode_ext << 4)
     header = bytes([0xFF, b2, b3, b4])
@@ -848,10 +863,10 @@ def test_l2_refusals_and_dispatch():
         mpegaudio.decode_layer2(l2[:-40])
     with pytest.raises(NotImplementedError, match="sample budget"):
         mpegaudio.decode_layer2(l2, sample_budget=100)
-    # MPEG-2 version bits
+    # MPEG-2.5 version bits (r13: MPEG-2 LSF itself decodes now)
     v2 = bytearray(l2)
-    v2[1] = 0xE0 | (2 << 3) | (2 << 1) | 1
-    with pytest.raises(NotImplementedError, match="MPEG-2"):
+    v2[1] = 0xE0 | (0 << 3) | (2 << 1) | 1
+    with pytest.raises(NotImplementedError, match="2.5"):
         mpegaudio.decode_layer2(bytes(v2))
 
 
@@ -939,3 +954,75 @@ def test_l2_stereo_96_low_rate_roundtrip():
                 err = np.abs(out[seg, ch, sb] - g[seg, ch, sb]).max()
                 assert err <= step * 0.5001 + 1e-12
     assert (out[:, :, 8:] == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# MPEG-2 LSF (r13): halved rates, own bitrate ladders, Annex B table
+# ---------------------------------------------------------------------------
+
+def test_lsf_layer2_round_trip_all_rates():
+    """MPEG-2 Layer II at 22.05/24/16 kHz: the Annex B table's 30
+    subbands round-trip through the independent encoder, including the
+    2-bit rows' grouped 3/5/9 quantizers that only exist there."""
+    table = mpegaudio._ROWS_LSF
+    # exercise every row class: 4-bit rows deep ladder, 3-bit rows,
+    # and the 19 2-bit rows (grouped 3/5/9 only)
+    alloc = [14, 10, 7, 4] + [7, 5, 4, 3, 2, 1, 6] + \
+        ([1, 2, 3] * 7)[:19]
+    assert len(alloc) == 30
+    for rate in (22050, 24000, 16000):
+        g = _l2_sine(36, 1, alloc, table, seed=21)
+        payload, sf_idx = _frame_l2(g, rate=rate, bitrate=160,
+                                    alloc_idx=alloc, version=2)
+        got_rate, sb = mpegaudio.decode_layer2(payload)
+        assert got_rate == rate
+        assert sb.shape == (36, 1, 32)
+        for s in range(30):
+            a = alloc[s]
+            if not a:
+                continue
+            steps = table[s][1][a - 1]
+            sf = mpegaudio._SCALEFACTORS[sf_idx[(0, s)][0]]
+            lo = np.abs(sb[:12, 0, s])
+            assert lo.max() <= sf * 2.0 + 1e-12, s
+        # bands 30/31 do not exist at sblimit 30
+        assert np.all(sb[:, :, 30:] == 0.0)
+
+
+def test_lsf_layer2_stereo_crc_and_scfsi():
+    table = mpegaudio._ROWS_LSF
+    alloc = [3, 2, 1, 1] + [2, 1, 0, 1, 2, 1, 1] + [1, 0, 2] * 6 + [1]
+    g = _l2_sine(36, 2, alloc, table, seed=22)
+    payload, _ = _frame_l2(g, rate=24000, bitrate=144, alloc_idx=alloc,
+                           version=2, protected=True, scfsi_all=2)
+    rate, sb = mpegaudio.decode_layer2(payload)
+    assert rate == 24000 and sb.shape == (36, 2, 32)
+    # CRC is verified: flip one allocation bit -> corrupt
+    body = bytearray(payload)
+    body[6] ^= 0x10
+    with pytest.raises(ValueError, match="CRC"):
+        mpegaudio.decode_layer2(bytes(body))
+
+
+def test_lsf_layer1_round_trip():
+    g = _sine_groups(12, 1, _ALLOC_MIX, seed=23)
+    payload, _ = _frame_l1(g, rate=22050, bitrate=144,
+                           alloc_bands=_ALLOC_MIX, version=2)
+    rate, sb = mpegaudio.decode_layer1(payload)
+    assert rate == 22050
+    assert sb.shape == (12, 1, 32)
+
+
+def test_mpeg25_still_refuses():
+    """MPEG-2.5 (version bits 00) has no Layer I/II definition — the
+    refusal stays honest."""
+    g = _l2_sine(36, 1, [1] * 30, mpegaudio._ROWS_LSF, seed=24)
+    payload, _ = _frame_l2(g, rate=22050, bitrate=160,
+                           alloc_idx=[1] * 30, version=2)
+    b = bytearray(payload)
+    b[1] &= ~0x18  # version bits 00 = MPEG-2.5
+    with pytest.raises(NotImplementedError, match="2.5"):
+        mpegaudio.decode_layer2(bytes(b))
+    b[1] |= 0x08  # version bits 01 = reserved
+    with pytest.raises(ValueError, match="reserved version"):
+        mpegaudio.decode_layer2(bytes(b))

@@ -453,6 +453,22 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
     fl2c, _ = _frame_l2(gl2c, rate=32000, bitrate=48,
                         alloc_idx=low_alloc, scfsi_all=2)
     add(908, "audio_subband", "layer2_low_rate_table_d", fl2c)
+    # MPEG-2 LSF (r13): Annex B table at 22.05 kHz incl. the 2-bit
+    # rows' grouped quantizers, and an LSF Layer I frame
+    from youtube_api_data_etl_automation_spark.operators.mpegaudio import (
+        _ROWS_LSF,
+    )
+
+    lsf_alloc = ([14, 10, 7, 4] + [7, 5, 4, 3, 2, 1, 6]
+                 + ([1, 2, 3] * 7)[:19])
+    gl2d = _l2_sine(36, 1, lsf_alloc, _ROWS_LSF, seed=99)
+    fl2d, _ = _frame_l2(gl2d, rate=22050, bitrate=160,
+                        alloc_idx=lsf_alloc, version=2, protected=True)
+    add(909, "audio_subband", "layer2_lsf_22050_annex_b", fl2d)
+    gl1l = _sine_groups(12, 1, _ALLOC_MIX, seed=100)
+    fl1l, _ = _frame_l1(gl1l, rate=24000, bitrate=160,
+                        alloc_bands=_ALLOC_MIX, version=2)
+    add(910, "audio_subband", "layer1_lsf_24000", fl1l)
 
     # ---- archive + warc (ids 10xx/11xx) ------------------------------
     import gzip as _gzip

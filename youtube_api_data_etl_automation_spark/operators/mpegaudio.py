@@ -30,8 +30,28 @@ corpus. The essence layers split by what is honestly recallable:
   two non-power grouped quantizers are ``5: C=8/5, D=1/2`` and
   ``9: C=16/9, D=1/2``. Grouped codes carry 3 samples in one 5/7/10-
   bit codeword, degrouped by repeated ``mod steps``.
+- **MPEG-2 LSF (22.05/24/16 kHz) Layers I and II decode too (r13,
+  ISO/IEC 13818-3).** The LSF deltas are structural: halved sampling
+  rates, their own bitrate ladders, and for Layer II ONE allocation
+  table (Annex B Table B.1) built from the SAME 3/5/9-headed low-rate
+  ladders as MPEG-1's 3-B.2c/d — no new tabulated values to recall,
+  only the row split (4 x nbal=4, 7 x nbal=3, 19 x nbal=2, sblimit
+  30). Frame layout, scfsi, grouping, and requantization carry over
+  verbatim.
 - **Layer III needs 34 Huffman tables** and refuses as 'unsupported'
-  under the mirror-bug policy (do not implement without spec text).
+  under the mirror-bug policy (do not implement without spec text);
+  MPEG-2.5 is a Layer III-only unofficial extension, so its rates
+  refuse for Layers I/II as well.
+
+External-anchor status (r13, ADVICE r12): a third-party-encoded
+fixture frame (dist10/twolame) would break the encoder/decoder table
+symmetry, but no MP2 encoder exists in this container and fetching
+one is out of scope; the standing mitigations are the STRUCTURAL
+table checks (the 3-B.2 ladders are powers-of-two-minus-one plus the
+grouped 3/5/9 family; the LSF table reuses the ALREADY-ORACLE-CHECKED
+low-rate ladders with only a row split recalled fresh) and the
+closed-form requantization constants. If a reference MP2 sample ever
+lands in the environment, add it as a golden row first.
 
 CRC (protection_bit == 0): CRC-16 with polynomial x^16+x^15+x^2+1
 (0x8005, MSB-first, init 0xFFFF) over header bytes 2-3 plus the bit
@@ -55,6 +75,14 @@ MPEG_SAMPLE_BUDGET = 1 << 24
 _L1_BITRATES = (32, 64, 96, 128, 160, 192, 224, 256,
                 288, 320, 352, 384, 416, 448)  # kbit/s, index 1..14
 _RATES = {0: 44100, 1: 48000, 2: 32000}
+
+# MPEG-2 LSF (ISO/IEC 13818-3, r13): halved sampling rates and their
+# own bitrate ladders; frame layouts and requantization are unchanged
+_RATES_LSF = {0: 22050, 1: 24000, 2: 16000}
+_L1_LSF_BITRATES = (32, 48, 56, 64, 80, 96, 112, 128,
+                    144, 160, 176, 192, 224, 256)
+_L2_LSF_BITRATES = (8, 16, 24, 32, 40, 48, 56, 64,
+                    80, 96, 112, 128, 144, 160)
 
 # Table 3-B.1 is the geometric series 2 * 2^(-idx/3), idx 0..62
 _SCALEFACTORS = tuple(2.0 * 2.0 ** (-idx / 3.0) for idx in range(63))
@@ -143,6 +171,14 @@ _ROWS_HIGH = (((4, _Q_HIGH_03),) * 3 + ((4, _Q_HIGH_310),) * 8
               + ((3, _Q_HIGH_1122),) * 12 + ((2, _Q_HIGH_23UP),) * 7)
 _ROWS_LOW = ((4, _Q_LOW_01),) * 2 + ((3, _Q_LOW_2UP),) * 10
 
+# MPEG-2 LSF Layer II allocation (13818-3 Annex B Table B.1): ONE
+# table for every bitrate, 30 subbands, built from the SAME low-rate
+# ladders as 3-B.2c/d (the 3/5/9-headed grouped family) — the
+# structural recall anchor: no new ladder values, only the row split
+# 4 x nbal=4 / 7 x nbal=3 / 19 x nbal=2
+_ROWS_LSF = (((4, _Q_LOW_01),) * 4 + ((3, _Q_LOW_2UP),) * 7
+             + ((2, (3, 5, 9)),) * 19)
+
 
 def _l2_table(bitrate_kbps: int, nch: int, rate: int):
     """Allocation-table selection (ISO 11172-3 §2.4.2.2): by bitrate
@@ -199,8 +235,10 @@ def decode_layer2(payload: bytes,
     sampling rate), grouped 3/5/9-step quantizers, scfsi scalefactor
     sharing, mono/stereo/dual/intensity-joint modes, padding slots,
     optional CRC-16 over allocation + scfsi, leading ID3v2 and
-    trailing ID3v1 tags. Layer I/III refuse via the layer check;
-    free-format refuses as unsupported; structural damage as corrupt."""
+    trailing ID3v1 tags, and (r13) MPEG-2 LSF streams at 22.05/24/16
+    kHz via the Annex B allocation table. Layer I/III refuse via the
+    layer check; free-format and MPEG-2.5 refuse as unsupported;
+    structural damage as corrupt."""
     pos = _skip_id3v2(payload)
     n = len(payload)
     if pos + 4 > n:
@@ -218,11 +256,14 @@ def decode_layer2(payload: bytes,
         if b1 != 0xFF or (b2 & 0xE0) != 0xE0:
             raise ValueError("malformed MPEG audio: lost frame sync")
         ver_bits = (b2 >> 3) & 0x3
-        if ver_bits != 3:
+        if ver_bits == 1:
+            raise ValueError("malformed MPEG audio: reserved version")
+        if ver_bits == 0:
             raise NotImplementedError(
-                "MPEG-2/2.5 audio needs its own rate/frame/allocation "
-                "tables; only MPEG-1 decodes here"
+                "MPEG-2.5 is a Layer III-only unofficial extension; "
+                "no Layer II streams exist at its rates"
             )
+        lsf = ver_bits == 2  # MPEG-2 LSF (r13)
         layer_code = (b2 >> 1) & 0x3
         if layer_code != 2:  # '10' = Layer II
             raise ValueError(
@@ -241,8 +282,9 @@ def decode_layer2(payload: bytes,
         rate_idx = (b3 >> 2) & 0x3
         if rate_idx == 3:
             raise ValueError("malformed MPEG audio: reserved sample rate")
-        frame_rate = _RATES[rate_idx]
-        bitrate_kbps = _L2_BITRATES[br_idx - 1]
+        frame_rate = (_RATES_LSF if lsf else _RATES)[rate_idx]
+        bitrate_kbps = (_L2_LSF_BITRATES if lsf
+                        else _L2_BITRATES)[br_idx - 1]
         padding = (b3 >> 1) & 1
         mode = (b4 >> 6) & 0x3
         mode_ext = (b4 >> 4) & 0x3
@@ -254,7 +296,8 @@ def decode_layer2(payload: bytes,
                 "malformed MPEG audio: rate/mode change mid-stream"
             )
 
-        table = _l2_table(bitrate_kbps, nch, frame_rate)
+        table = _ROWS_LSF if lsf \
+            else _l2_table(bitrate_kbps, nch, frame_rate)
         sblimit = len(table)
         bound = min((mode_ext + 1) * 4, sblimit) if mode == 1 \
             else sblimit
@@ -449,11 +492,15 @@ def decode_layer1(payload: bytes,
         if b1 != 0xFF or (b2 & 0xE0) != 0xE0:
             raise ValueError("malformed MPEG audio: lost frame sync")
         ver_bits = (b2 >> 3) & 0x3
-        if ver_bits != 3:
+        if ver_bits == 1:
+            raise ValueError("malformed MPEG audio: reserved version")
+        if ver_bits == 0:
             raise NotImplementedError(
-                "MPEG-2/2.5 audio needs its own rate/frame tables; only "
-                "MPEG-1 Layer I decodes here"
+                "MPEG-2.5 is a Layer III-only unofficial extension; "
+                "no Layer I streams exist at its rates"
             )
+        lsf = ver_bits == 2  # MPEG-2 LSF (r13): only the rate/bitrate
+        # tables change for Layer I — allocations stay raw 4-bit
         layer_code = (b2 >> 1) & 0x3
         if layer_code != 3:  # '11' = Layer I
             which = {1: "III (34 Huffman tables)",
@@ -478,8 +525,9 @@ def decode_layer1(payload: bytes,
         rate_idx = (b3 >> 2) & 0x3
         if rate_idx == 3:
             raise ValueError("malformed MPEG audio: reserved sample rate")
-        frame_rate = _RATES[rate_idx]
-        bitrate = _L1_BITRATES[br_idx - 1] * 1000
+        frame_rate = (_RATES_LSF if lsf else _RATES)[rate_idx]
+        bitrate = (_L1_LSF_BITRATES if lsf
+                   else _L1_BITRATES)[br_idx - 1] * 1000
         padding = (b3 >> 1) & 1
         mode = (b4 >> 6) & 0x3
         mode_ext = (b4 >> 4) & 0x3
