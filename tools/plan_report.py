@@ -47,14 +47,12 @@ SANCTIONED_BNLJ = {
         "vocab-size relation (operators/vocab.py — bounded rows by "
         "construction, never data)"
     ),
-    "ivf_recall_curve": (
-        "exact-truth baseline: query batch broadcast vs corpus; centroid "
-        "assignment + probe-cell ranking: k centroids broadcast"
-    ),
-    "lang_cap_docs": (
+    "url_compliance_docs": (
         "PSL rule map: 1-row suffix->bitmask map broadcast vs corpus "
         "(functions/urls.py registrable_domain_psl — the "
-        "filter_blocked_domains shape)"
+        "filter_blocked_domains shape; r13: the section moved here off "
+        "lang_cap_docs). The folded ivf recall section's sanctioned "
+        "k-centroid broadcasts live under ivf_ann_topk"
     ),
 }
 

@@ -529,7 +529,7 @@ fr_c AS (
               THEN 'd' || CAST(doc_id AS VARCHAR) END AS lastmod,
          CAST(doc_id % 5 AS INT) IN (0, 2, 3) AS allowed,
          doc_id % 10 = 2 AS seen
-  FROM documents
+  FROM documents WHERE doc_id % 3 = 0
 ),
 frontier_section AS (
   SELECT 'frontier' AS section,
@@ -747,7 +747,12 @@ def url_compliance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # planted rule set as the robots section, plus a Sitemap pointer),
     # a one-level sitemapindex, and per-doc urlset entries exercising
     # entity decode, tracking-param twins, lastmod merge, REP drops,
-    # and seen subtraction.
+    # and seen subtraction. The fixture samples a THIRD of documents
+    # (doc_id % 3 == 0 — every path/twin/lastmod/seen shape survives,
+    # 5, 2, 4 and 10 being coprime to 3): the other three sections
+    # already run the full table, and the wiring proof does not need
+    # the volume.
+    fr_docs = docs.filter(did % 3 == 0)
     host_c = F.concat(F.col("source"), F.lit(".example.com"))
     m5 = (did % 5).cast("int")
     fr_path = (
@@ -775,24 +780,34 @@ def url_compliance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("<url><loc>"), base_url,
                  F.lit("?utm_source=x</loc></url>"))
     ).otherwise(F.lit(""))
+    # 16 sub-sitemaps per host, named by the sitemapindex — the shape
+    # sitemapindex EXISTS for (urlsets cap at 50k URLs), and it keeps
+    # each fixture payload task-sized instead of one giant per-host
+    # string serializing the parse into n_hosts tasks
+    n_sm = 16
     urlsets = (
-        docs.select(host_c.alias("host"),
+        fr_docs.select(host_c.alias("host"),
+                    (did % n_sm).cast("int").alias("smk"),
                     F.concat(entry1, entry2).alias("e"))
-        .groupBy("host")
+        .groupBy("host", "smk")
         .agg(F.concat(F.lit("<urlset>"),
                       F.concat_ws("", F.collect_list("e")),
                       F.lit("</urlset>")).alias("payload"))
     )
-    fetches = urlsets.select(
+    idx_entries = F.concat_ws("", F.array(*[
+        F.concat(F.lit("<sitemap><loc>https://"), F.col("host"),
+                 F.lit(f"/sm{k}.xml</loc></sitemap>"))
+        for k in range(n_sm)
+    ]))
+    fetches = fr_docs.select(host_c.alias("host")).distinct().select(
         F.concat(F.lit("https://"), F.col("host"),
                  F.lit("/smidx.xml")).alias("url"),
-        F.concat(F.lit("<sitemapindex><sitemap><loc>https://"),
-                 F.col("host"),
-                 F.lit("/sm1.xml</loc></sitemap></sitemapindex>"))
-        .alias("payload"),
+        F.concat(F.lit("<sitemapindex>"), idx_entries,
+                 F.lit("</sitemapindex>")).alias("payload"),
     ).unionByName(urlsets.select(
-        F.concat(F.lit("https://"), F.col("host"),
-                 F.lit("/sm1.xml")).alias("url"),
+        F.concat(F.lit("https://"), F.col("host"), F.lit("/sm"),
+                 F.col("smk").cast("string"),
+                 F.lit(".xml")).alias("url"),
         "payload",
     ))
     fr_rules = parse_robots(
@@ -801,9 +816,9 @@ def url_compliance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit(robots_txt),
                      F.lit("\nSitemap: https://"), F.col("host"),
                      F.lit("/smidx.xml\n"))))
-    seen = docs.filter(did % 10 == 2).select(base_url.alias("url"))
+    seen = fr_docs.filter(did % 10 == 2).select(base_url.alias("url"))
     frontier = crawl_frontier(fr_rules, fetches, seen=seen)
-    totals_f = docs.groupBy(host_c.alias("host")).agg(
+    totals_f = fr_docs.groupBy(host_c.alias("host")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"))
     fr_agg = frontier.groupBy("host").agg(
         F.count(F.lit(1)).cast("long").alias("n_kept"),
