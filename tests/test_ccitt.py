@@ -428,3 +428,72 @@ def test_tiff_ccitt_refusals():
         tiff.decode_tiff(_tiff_ccitt(img, compression=3, t_options=1))
     with pytest.raises(NotImplementedError, match="FillOrder"):
         tiff.decode_tiff(_tiff_ccitt(img, compression=4, fill_order=2))
+
+
+def test_g4_byte_align_and_zero_fill_tail():
+    """r13 review fixes: EncodedByteAlign-style per-line alignment
+    decodes (it was silently ignored for G4), and a zero-padded tail
+    without EOFB terminates rows=None decoding instead of misparsing
+    fill bits as the EXT escape."""
+    rng = random.Random(17)
+    img = _rand_img(rng, 6, 21)
+    # aligned independent encoder: same coding-decision procedure as
+    # _encode_g4, with each line's first code starting on a byte
+    # boundary (the reference line still carries across lines)
+    w = _W()
+    ref = np.zeros(21, dtype=np.uint8)
+    for r in range(6):
+        s = "".join(w.bits)
+        w.bits = [s + "0" * (-len(s) % 8)]
+        line = img[r]
+        a0, color = -1, 0
+        while a0 < 21:
+            b1 = _next_change_color(ref, a0, 21, 1 - color)
+            b2 = _next_change(ref, b1, 21)
+            a1 = _next_change(line, a0, 21)
+            if b2 < a1:
+                w.put("0001")
+                a0 = b2
+            elif abs(a1 - b1) <= 3:
+                w.put({0: "1", 1: "011", 2: "000011", 3: "0000011",
+                       -1: "010", -2: "000010", -3: "0000010"}
+                      [a1 - b1])
+                a0 = a1
+                color ^= 1
+            else:
+                a2 = _next_change(line, a1, 21)
+                w.put("001")
+                start = a0 if a0 > 0 else 0
+                _encode_run(w, a1 - start, color)
+                _encode_run(w, a2 - a1, 1 - color)
+                a0 = a2
+        ref = line
+    aligned = w.bytes()
+    out = C.decode_g4(aligned, 21, 6, byte_align=True)
+    assert np.array_equal(out, img)
+
+    # zero-fill tail, no EOFB, rows=None: clean termination
+    plain = _encode_g4(img, eofb=False) + b"\x00\x00"
+    out2 = C.decode_g4(plain, 21, None)
+    assert np.array_equal(out2, img)
+
+
+def test_g4_vertical_regression_is_malformed():
+    """r13 review fix: a VL mode landing LEFT of a0 must refuse (it
+    would make the next reference line unsorted -> silent garbage)."""
+    # craft: line of 16, ref transitions from row 1 at [4, 6]; then a
+    # stream whose second row does V0 (a1=4), then VL3 against b1=6
+    # -> a1 = 3 < a0 = 4
+    w = _W()
+    # row 1: white 4, black 2, white 10  (H + runs, then V0 x fill)
+    w.put("001")                      # H
+    _encode_run(w, 4, 0)
+    _encode_run(w, 2, 1)
+    # a0=6 white; b1=16 (none) -> V0 lands 16: line done
+    w.put("1")
+    # row 2: V0 (a1=4, color black), then VL3 on b1=6 -> a1=3 < 4
+    w.put("1")
+    w.put("0000010")
+    data = w.bytes()
+    with pytest.raises(ValueError, match="regresses"):
+        C.decode_g4(data, 16, 2)

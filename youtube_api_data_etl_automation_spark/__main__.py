@@ -291,6 +291,14 @@ def _cmd_curate(args: argparse.Namespace) -> int:
     spark = get_spark("corpus-curate", master=args.master)
     docs = spark.read.parquet(args.input)
     benchmark = spark.read.parquet(args.benchmark) if args.benchmark else None
+    if (args.robots or args.domain_cap is not None) \
+            and args.url_col not in docs.columns:
+        print(json.dumps({
+            "status": "error",
+            "error": f"--robots/--domain-cap need column "
+                     f"{args.url_col!r} in the input (see --url-col)",
+        }))
+        return 2
     robots_rules = None
     if args.robots:
         from .operators.robots import parse_robots

@@ -217,6 +217,9 @@ class _Bits:
     def align(self) -> None:
         self.pos = (self.pos + 7) & ~7
 
+    def only_zeros_left(self) -> bool:
+        return all(self._bit(p) == 0 for p in range(self.pos, self.n))
+
 
 def _read_run(bits: _Bits, color: int) -> int:
     """Total run length: zero or more make-up codes then a terminating
@@ -249,13 +252,16 @@ def _line_from_transitions(cur: list[int], columns: int) -> np.ndarray:
 
 
 def decode_g4(data: bytes, columns: int, rows: int | None = None,
-              *, max_rows: int = 1 << 16) -> np.ndarray:
+              *, byte_align: bool = False,
+              max_rows: int = 1 << 16) -> np.ndarray:
     """Decode a T.6 (Group 4) bitstream to a ``(rows, columns)`` uint8
-    array with 1 = black. ``rows=None`` decodes until EOFB or the
-    bitstream exhausts (then ``max_rows`` bounds a malformed stream);
-    with ``rows`` given, exactly that many lines decode and trailing
-    EOFB/fill is ignored (the TIFF/PDF convention — both carry the row
-    count out of band)."""
+    array with 1 = black. ``rows=None`` decodes until EOFB, a zero-fill
+    tail, or the bitstream exhausts (``max_rows`` bounds a malformed
+    stream); with ``rows`` given, exactly that many lines decode and
+    trailing EOFB/fill is ignored (the TIFF/PDF convention — both carry
+    the row count out of band). ``byte_align`` restarts each coding
+    line on a byte boundary (PDF ``EncodedByteAlign`` — r13 review
+    fix: it was silently ignored for K<0)."""
     if columns <= 0:
         raise ValueError(f"malformed CCITT: columns={columns}")
     bits = _Bits(data)
@@ -268,6 +274,8 @@ def decode_g4(data: bytes, columns: int, rows: int | None = None,
         if rows is None and (len(out) >= max_rows):
             raise ValueError("malformed CCITT: row bound exceeded "
                              "without EOFB")
+        if byte_align:
+            bits.align()
         if bits.peek_is(EOL + EOL):
             break
         if bits.exhausted() or bits.n - bits.pos < 1:
@@ -276,8 +284,13 @@ def decode_g4(data: bytes, columns: int, rows: int | None = None,
                     f"malformed CCITT: stream ends after {len(out)} of "
                     f"{rows} rows")
             break
-        # a lone trailing EOL / zero-fill tail (some encoders pad):
-        # only zeros remain -> stop when rows are satisfied by caller
+        # zero-padded tail without a full EOFB (encoders pad the last
+        # byte; some put fill bits before the EOFB): with no row count
+        # expected, an all-zeros remainder is end-of-data, not a mode
+        # code — without this check 7+ fill zeros would parse as the
+        # EXT escape and misreport 'unsupported' (r13 review fix)
+        if rows is None and bits.only_zeros_left():
+            break
         cur: list[int] = []
         a0 = -1
         color = _WHITE
@@ -318,6 +331,16 @@ def decode_g4(data: bytes, columns: int, rows: int | None = None,
             if a1 < 0 or a1 > columns:
                 raise ValueError(
                     f"malformed CCITT: vertical mode lands at {a1}")
+            # T.6 invariant: coding-line changing elements are
+            # monotone (a1 > a0 except at line start). A VL mode on a
+            # malformed stream can land LEFT of a0; appending it would
+            # make the next reference line unsorted and the bisect
+            # lookups garbage — silent wrong pixels instead of a
+            # refusal (r13 review fix)
+            if a1 < a0:
+                raise ValueError(
+                    f"malformed CCITT: vertical mode regresses "
+                    f"({a1} < a0 {a0})")
             cur.append(a1)
             a0 = a1
             color ^= 1

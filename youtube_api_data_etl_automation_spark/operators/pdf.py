@@ -1514,7 +1514,7 @@ def _extract_one_image(doc: "_Doc", obj) -> tuple[str, int, int, bytes]:
                     "only the default identity mapping is supported"
                 )
         if k < 0:
-            bil = decode_g4(data, columns, h)
+            bil = decode_g4(data, columns, h, byte_align=align)
         else:
             bil = decode_mh(data, columns, h, byte_align=align)
         # sample bit per BlackIs1 (default: 0 bits are black), then the

@@ -423,7 +423,11 @@ def crawl_frontier(rules: DataFrame, sitemap_fetches: DataFrame, *,
             ptrs.join(fetched, "__smu").select("host", "__payload"),
             host_col="host", payload_col="__payload")
 
-    first = _parse(pointers.select("host", "__smu"))
+    # consumed by BOTH union branches (leaf rows + the index
+    # indirection) — materialize once; the relation is rules-sized
+    # (r13 review fix: without this the first-level join+parse ran
+    # twice per job)
+    first = _parse(pointers.select("host", "__smu")).localCheckpoint()
     # one sitemapindex indirection: its entries are further sitemap
     # URLs, resolved against the same fetch table (deeper nesting is
     # out of the sitemaps.org contract for a single index file)
