@@ -426,8 +426,54 @@ def test_tiff_ccitt_refusals():
         tiff.decode_tiff(_tiff_ccitt(img, compression=4, t_options=2))
     with pytest.raises(NotImplementedError, match="two-dimensional"):
         tiff.decode_tiff(_tiff_ccitt(img, compression=3, t_options=1))
-    with pytest.raises(NotImplementedError, match="FillOrder"):
-        tiff.decode_tiff(_tiff_ccitt(img, compression=4, fill_order=2))
+    with pytest.raises(ValueError, match="FillOrder"):
+        tiff.decode_tiff(_tiff_ccitt(img, compression=4, fill_order=3))
+
+
+def test_tiff_ccitt_fillorder2():
+    """r13: FillOrder 2 TIFFs (LSB-first bit fill) decode via the
+    derived per-byte bit reversal — built here by reversing the
+    independently encoded strips."""
+    from youtube_api_data_etl_automation_spark.operators import tiff
+
+    rng = random.Random(23)
+    img = _rand_img(rng, 7, 29)
+    normal = _tiff_ccitt(img, compression=4)
+    rev_strip = bytes(
+        sum(((b >> i) & 1) << (7 - i) for i in range(8))
+        for b in _encode_g4(img, eofb=False))
+    # rebuild with the reversed strip and FillOrder tag
+    flipped = _tiff_ccitt_raw_strip(img.shape, rev_strip,
+                                    compression=4, fill_order=2)
+    out = tiff.decode_tiff(flipped)
+    assert np.array_equal(out, tiff.decode_tiff(normal))
+
+
+def _tiff_ccitt_raw_strip(shape, strip, *, compression, fill_order):
+    """Single-strip CCITT TIFF around pre-built strip bytes."""
+    import struct
+
+    h, w = shape
+    entries = [
+        (256, 4, 1, [w]), (257, 4, 1, [h]), (258, 3, 1, [1]),
+        (259, 3, 1, [compression]), (262, 3, 1, [0]),
+        (266, 3, 1, [fill_order]),
+        (277, 3, 1, [1]), (278, 4, 1, [h]),
+    ]
+    n_entries = len(entries) + 2
+    ifd0 = 8
+    ifd_size = 2 + 12 * n_entries + 4
+    strips_at = ifd0 + ifd_size
+    all_entries = entries + [(273, 4, 1, [strips_at]),
+                             (279, 4, 1, [len(strip)])]
+    all_entries.sort(key=lambda e: e[0])
+    ifd = struct.pack("<H", n_entries)
+    for tag, ftype, count, values in all_entries:
+        fmt = {3: "H", 4: "I"}[ftype]
+        vb = b"".join(struct.pack("<" + fmt, v) for v in values)
+        ifd += struct.pack("<HHI", tag, ftype, count) +             vb.ljust(4, b"\x00")
+    ifd += struct.pack("<I", 0)
+    return b"II*\x00" + struct.pack("<I", ifd0) + ifd + strip
 
 
 def test_g4_byte_align_and_zero_fill_tail():

@@ -755,3 +755,35 @@ def test_parser_curate_robots_psl_flags():
          "--psl-file", "psl.dat"]
     )
     assert half.fn(half) == 2
+
+
+def test_frontier_command_end_to_end(spark, tmp_path):
+    """r13: the frontier subcommand composes robots captures + sitemap
+    fetches into a REP-filtered canonical seed list on disk."""
+    robots_dir = str(tmp_path / "robots")
+    sm_dir = str(tmp_path / "sitemaps")
+    seen_dir = str(tmp_path / "seen")
+    out_dir = str(tmp_path / "frontier")
+    spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /private/\n"
+          "Sitemap: https://a.com/sm.xml\n")],
+        "host string, payload string").write.parquet(robots_dir)
+    spark.createDataFrame(
+        [("https://a.com/sm.xml",
+          "<urlset><url><loc>https://a.com/p1?utm_source=x</loc></url>"
+          "<url><loc>https://a.com/p2</loc></url>"
+          "<url><loc>https://a.com/private/x</loc></url></urlset>")],
+        "url string, payload string").write.parquet(sm_dir)
+    spark.createDataFrame([("https://a.com/p2",)], "url string") \
+        .write.parquet(seen_dir)
+
+    rc = main(["frontier", "--robots", robots_dir, "--sitemaps",
+               sm_dir, "--seen", seen_dir, "--output", out_dir])
+    assert rc == 0
+    rows = spark.read.parquet(out_dir).collect()
+    assert [(r["host"], r["url"]) for r in rows] == [
+        ("a.com", "https://a.com/p1")]
+    # exactly one of --robots/--warc is a parse-time usage error
+    bad = build_parser().parse_args(
+        ["frontier", "--sitemaps", sm_dir, "--output", out_dir])
+    assert bad.fn(bad) == 2

@@ -347,6 +347,40 @@ def _cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_frontier(args: argparse.Namespace) -> int:
+    from .operators.robots import (
+        crawl_frontier,
+        parse_robots,
+        warc_robots_rules,
+    )
+    from .session import get_spark
+
+    if (args.robots is None) == (args.warc is None):
+        print(json.dumps({
+            "status": "error",
+            "error": "give exactly one of --robots (host,payload "
+                     "captures) or --warc (crawl payloads with "
+                     "robots.txt responses)",
+        }))
+        return 2
+    spark = get_spark("crawl-frontier", master=args.master)
+    if args.robots:
+        rules = parse_robots(spark.read.parquet(args.robots))
+    else:
+        rules = warc_robots_rules(spark.read.parquet(args.warc))
+    fetches = spark.read.parquet(args.sitemaps)
+    seen = spark.read.parquet(args.seen) if args.seen else None
+    frontier = crawl_frontier(rules, fetches, agent=args.agent,
+                              seen=seen, url_col=args.url_col)
+    frontier.write.mode("overwrite").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    n = out.count()
+    n_hosts = out.select("host").distinct().count()
+    print(json.dumps({"status": "ok", "output": args.output,
+                      "n_urls": n, "n_hosts": n_hosts}))
+    return 0
+
+
 def _cmd_ingest(args: argparse.Namespace) -> int:
     from .corpus import commit_deduped_batch
     from .session import get_spark
@@ -1006,6 +1040,34 @@ def build_parser() -> argparse.ArgumentParser:
         "the warc_to_documents output)",
     )
     cur.set_defaults(fn=_cmd_curate)
+
+    fro = sub.add_parser(
+        "frontier",
+        help="provenance-complete crawl seed list: robots Sitemap "
+        "pointers -> fetched sitemap payloads -> REP-filtered "
+        "canonical URLs minus already-ingested (operators/robots.py"
+        "::crawl_frontier)",
+    )
+    fro.add_argument(
+        "--robots", default=None,
+        help="parquet of per-host robots.txt captures (host, payload)")
+    fro.add_argument(
+        "--warc", default=None,
+        help="parquet of WARC payloads: use the crawl's own "
+        "/robots.txt captures (warc_robots_rules)")
+    fro.add_argument(
+        "--sitemaps", required=True,
+        help="parquet fetch table of sitemap payloads (url, payload)")
+    fro.add_argument(
+        "--seen", default=None,
+        help="parquet of already-ingested URLs to subtract "
+        "(column named by --url-col)")
+    fro.add_argument("--agent", default="*",
+                     help="crawling user-agent for the REP decision")
+    fro.add_argument("--url-col", default="url")
+    fro.add_argument("--output", required=True,
+                     help="frontier parquet output dir")
+    fro.set_defaults(fn=_cmd_frontier)
 
     ing = sub.add_parser(
         "ingest",

@@ -136,6 +136,12 @@ def _tag_values(vb: bytes, ftype: int, count: int, lt: str) -> list[int]:
     return list(struct.unpack_from(lt + fmt * count, vb, 0))
 
 
+# FillOrder-2 byte bit-reversal table (derived, not tabulated)
+_BITREV = bytes(
+    sum(((b >> i) & 1) << (7 - i) for i in range(8)) for b in range(256)
+)
+
+
 def _decode_tiff_ccitt(payload: bytes, tags: dict, scalar, array,
                        w: int, h: int) -> "np.ndarray":
     """Compressions 2/3/4 — CCITT bilevel fax (r13, operators/ccitt.py).
@@ -144,7 +150,9 @@ def _decode_tiff_ccitt(payload: bytes, tags: dict, scalar, array,
     T6Options — the uncompressed-mode bit refuses honestly), 2 is
     modified Huffman with byte-aligned rows, 3 is G3 one-dimensional
     with EOL-prefixed rows (T4Options 2D/uncompressed/fill bits refuse
-    — those variants carry details without an in-repo anchor). Strips
+    — those variants carry details without an in-repo anchor).
+    FillOrder 2 (r13: LSB-first bit fill, common in fax TIFFs) decodes
+    via a derived per-byte bit reversal. Strips
     decode independently (each restarts the all-white reference line,
     per TIFF 6.0 §2's strip independence); bilevel samples map through
     PhotometricInterpretation exactly like the 8-bit grey path (the
@@ -170,9 +178,9 @@ def _decode_tiff_ccitt(payload: bytes, tags: dict, scalar, array,
             f"malformed TIFF: CCITT with bits-per-sample {bits}"
         )
     fill_order = scalar(266, default=1)
-    if fill_order != 1:
-        raise NotImplementedError(
-            "TIFF FillOrder 2 (LSB-first) not supported for CCITT"
+    if fill_order not in (1, 2):
+        raise ValueError(
+            f"malformed TIFF: FillOrder {fill_order}"
         )
     if compression == 4:
         opts = scalar(293, default=0)
@@ -214,6 +222,11 @@ def _decode_tiff_ccitt(payload: bytes, tags: dict, scalar, array,
             raise ValueError("malformed TIFF: strip out of bounds")
         n_rows = min(rows_per_strip, remaining)
         chunk = bytes(payload[off : off + cnt])
+        if fill_order == 2:
+            # FillOrder 2 (r13): bits fill low-to-high within each
+            # byte — common in real fax TIFFs; a per-byte bit reversal
+            # restores the MSB-first stream the decoder reads
+            chunk = chunk.translate(_BITREV)
         if compression == 4:
             parts.append(decode_g4(chunk, w, n_rows))
         elif compression == 2:
