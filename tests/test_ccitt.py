@@ -543,3 +543,15 @@ def test_g4_vertical_regression_is_malformed():
     data = w.bytes()
     with pytest.raises(ValueError, match="regresses"):
         C.decode_g4(data, 16, 2)
+
+
+def test_mh_fill_bits_terminate_rows_none():
+    """r13 review fix: byte padding leaves 1-7 zero fill bits; all of
+    them must terminate rows=None decoding cleanly (the old '<4 bits'
+    test missed 4-7)."""
+    for columns in (29, 30, 31, 33, 37):
+        img = np.zeros((1, columns), dtype=np.uint8)
+        img[0, 3:7] = 1
+        data = _encode_mh(img)
+        out = C.decode_mh(data, columns, None)
+        assert np.array_equal(out, img), columns

@@ -490,3 +490,22 @@ def test_crawl_frontier_end_to_end(spark):
     left = {r["url"] for r in
             R.crawl_frontier(rules, fetches, seen=seen).collect()}
     assert left == {"https://a.com/page2", "https://other.com/cross"}
+
+
+def test_crawl_frontier_seen_url_col(spark):
+    """r13 review fix: url_col names the SEEN table's column only; the
+    fetch table keeps its documented (url, payload) contract."""
+    robots = (b"User-agent: *\n"
+              b"Sitemap: https://a.com/sm.xml\n")
+    rules = R.parse_robots(spark.createDataFrame(
+        [("a.com", robots)], "host string, payload binary"))
+    fetches = spark.createDataFrame(
+        [("https://a.com/sm.xml",
+          "<urlset><url><loc>https://a.com/p1</loc></url>"
+          "<url><loc>https://a.com/p2</loc></url></urlset>")],
+        "url string, payload string")
+    seen = spark.createDataFrame(
+        [("https://a.com/p2",)], "source string")
+    left = {r["url"] for r in R.crawl_frontier(
+        rules, fetches, seen=seen, url_col="source").collect()}
+    assert left == {"https://a.com/p1"}

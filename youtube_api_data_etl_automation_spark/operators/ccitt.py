@@ -278,7 +278,7 @@ def decode_g4(data: bytes, columns: int, rows: int | None = None,
             bits.align()
         if bits.peek_is(EOL + EOL):
             break
-        if bits.exhausted() or bits.n - bits.pos < 1:
+        if bits.exhausted():
             if rows is not None:
                 raise ValueError(
                     f"malformed CCITT: stream ends after {len(out)} of "
@@ -377,8 +377,13 @@ def decode_mh(data: bytes, columns: int, rows: int | None = None,
             bits.align()
         while bits.peek_is(EOL):
             bits.pos += len(EOL)
-        if bits.n - bits.pos < 4:  # shortest useful code is 2 bits;
-            break                  # <4 left is fill
+        # end-of-data: exhausted, an all-zeros pad tail (r13 review
+        # fix — byte padding leaves 1-7 zero fill bits and the old
+        # '<4 bits' test missed 4-7), or a tail too short to start a
+        # line (the shortest white code is 4 bits)
+        if bits.exhausted() or bits.n - bits.pos < 4 \
+                or (rows is None and bits.only_zeros_left()):
+            break
         cur: list[int] = []
         pos, color = 0, _WHITE
         while pos < columns:

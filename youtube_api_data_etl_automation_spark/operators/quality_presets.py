@@ -284,8 +284,12 @@ def gopher_repetition_flags(docs: DataFrame,
         raise ValueError(
             "char_denominator must be 'token_chars' or 'text_chars', "
             f"got {char_denominator!r}")
-    if top_ngram_min_count < 1:
-        raise ValueError("top_ngram_min_count must be >= 1")
+    if not isinstance(top_ngram_min_count, int) \
+            or isinstance(top_ngram_min_count, bool) \
+            or top_ngram_min_count < 1:
+        raise ValueError(
+            "top_ngram_min_count must be an int >= 1 (it is "
+            "interpolated into the gating expression)")
     text = F.col(text_col)
     tok = tokens(text)
     lines = F.filter(_lines(text), lambda ln: F.trim(ln) != "")

@@ -413,8 +413,12 @@ def crawl_frontier(rules: DataFrame, sitemap_fetches: DataFrame, *,
 
     pointers = robots_sitemaps(rules).withColumn(
         "__smu", url_normalize(F.col("sitemap_url")))
+    # the fetch table's URL column is fixed at 'url' per the documented
+    # (url, payload) contract; url_col names only the SEEN table's
+    # column (r13 review fix — applying url_col here made a seen table
+    # with a non-'url' column impossible to subtract)
     fetched = sitemap_fetches.select(
-        url_normalize(F.col(url_col)).alias("__smu"),
+        url_normalize(F.col("url")).alias("__smu"),
         F.col(payload_col).alias("__payload"),
     ).dropDuplicates(["__smu"])
 
@@ -424,10 +428,12 @@ def crawl_frontier(rules: DataFrame, sitemap_fetches: DataFrame, *,
             host_col="host", payload_col="__payload")
 
     # consumed by BOTH union branches (leaf rows + the index
-    # indirection) — materialize once; the relation is rules-sized
-    # (r13 review fix: without this the first-level join+parse ran
-    # twice per job)
-    first = _parse(pointers.select("host", "__smu")).localCheckpoint()
+    # indirection) — checkpoint LAZILY so composition stays plan-only
+    # and the parse runs once per action; the relation is rules-sized
+    # (r13 review fixes: without this the first-level join+parse ran
+    # twice per job; an eager checkpoint ran jobs at build time)
+    first = _parse(pointers.select("host", "__smu")) \
+        .localCheckpoint(eager=False)
     # one sitemapindex indirection: its entries are further sitemap
     # URLs, resolved against the same fetch table (deeper nesting is
     # out of the sitemaps.org contract for a single index file)

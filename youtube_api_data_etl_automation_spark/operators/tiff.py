@@ -383,6 +383,15 @@ def decode_tiff(payload: bytes,
             "raise pixel_budget or route to a codec library"
         )
     compression = scalar(259, default=1)
+    # FillOrder 2 is handled on the CCITT path (derived bit reversal);
+    # for every other compression the bit order changes the entropy
+    # stream itself — refuse honestly instead of decoding garbage
+    # (r13 review fix; FillOrder 2 outside fax is vanishingly rare)
+    if compression not in (2, 3, 4) and scalar(266, default=1) != 1:
+        raise NotImplementedError(
+            f"TIFF FillOrder {scalar(266, default=1)} only supported "
+            "for CCITT compressions (2/3/4)"
+        )
     if compression == 7:
         # new-style JPEG (TIFF Tech Note 2): each strip/tile is a JPEG
         # stream, tables optionally shared via tag 347 — decoded by the
