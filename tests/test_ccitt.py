@@ -424,8 +424,11 @@ def test_tiff_ccitt_refusals():
     img = np.zeros((4, 16), dtype=np.uint8)
     with pytest.raises(NotImplementedError, match="uncompressed"):
         tiff.decode_tiff(_tiff_ccitt(img, compression=4, t_options=2))
-    with pytest.raises(NotImplementedError, match="two-dimensional"):
-        tiff.decode_tiff(_tiff_ccitt(img, compression=3, t_options=1))
+    # G3 2D (T4Options bit 0) DECODES since r13 — see
+    # test_tiff_g3_2d_and_pdf_k_positive; the uncompressed option
+    # stays refused
+    with pytest.raises(NotImplementedError, match="uncompressed"):
+        tiff.decode_tiff(_tiff_ccitt(img, compression=3, t_options=2))
     with pytest.raises(ValueError, match="FillOrder"):
         tiff.decode_tiff(_tiff_ccitt(img, compression=4, fill_order=3))
 
@@ -555,3 +558,150 @@ def test_mh_fill_bits_terminate_rows_none():
         data = _encode_mh(img)
         out = C.decode_mh(data, columns, None)
         assert np.array_equal(out, img), columns
+
+
+# ---------------------------------------------------------------------------
+# G3 mixed 1D/2D (T.4 §4.2 — TIFF compression 3 + T4Options bit 0,
+# PDF K>0)
+# ---------------------------------------------------------------------------
+
+def _encode_g3(img: np.ndarray, *, k: int = 2, fill_to_byte=False,
+               rtc: bool = False) -> bytes:
+    """Independent T.4 2D encoder: EOL + tag per line; every k-th line
+    1D (the K-parameter discipline real encoders follow), others 2D
+    against the line above; optional zero fill before each EOL."""
+    rows, columns = img.shape
+    w = _W()
+    ref = np.zeros(columns, dtype=np.uint8)
+    for r in range(rows):
+        if fill_to_byte:
+            n = len("".join(w.bits)) + len(C.EOL) + 1
+            w.put("0" * (-n % 8))
+        w.put(C.EOL)
+        one_d = (r % k == 0)
+        w.put("1" if one_d else "0")
+        line = img[r]
+        if one_d:
+            pos, color = 0, 0
+            while pos < columns:
+                run = 0
+                while pos + run < columns and line[pos + run] == color:
+                    run += 1
+                _encode_run(w, run, color)
+                pos += run
+                color ^= 1
+        else:
+            a0, color = -1, 0
+            while a0 < columns:
+                b1 = _next_change_color(ref, a0, columns, 1 - color)
+                b2 = _next_change(ref, b1, columns)
+                a1 = _next_change(line, a0, columns)
+                if b2 < a1:
+                    w.put("0001")
+                    a0 = b2
+                elif abs(a1 - b1) <= 3:
+                    w.put({0: "1", 1: "011", 2: "000011",
+                           3: "0000011", -1: "010", -2: "000010",
+                           -3: "0000010"}[a1 - b1])
+                    a0 = a1
+                    color ^= 1
+                else:
+                    a2 = _next_change(line, a1, columns)
+                    w.put("001")
+                    start = a0 if a0 > 0 else 0
+                    _encode_run(w, a1 - start, color)
+                    _encode_run(w, a2 - a1, 1 - color)
+                    a0 = a2
+        ref = line
+    if rtc:
+        w.put(C.EOL * 6)
+    return w.bytes()
+
+
+def test_g3_mixed_round_trip():
+    rng = random.Random(31)
+    for trial in range(12):
+        rows = rng.randint(1, 16)
+        columns = rng.choice((1, 8, 64, 129))
+        img = _rand_img(rng, rows, columns)
+        for fill in (False, True):
+            data = _encode_g3(img, k=rng.choice((1, 2, 4)),
+                              fill_to_byte=fill)
+            out = C.decode_g3(data, columns, rows)
+            assert np.array_equal(out, img), (trial, fill)
+
+
+def test_g3_rtc_and_rows_none():
+    rng = random.Random(32)
+    img = _rand_img(rng, 5, 40)
+    data = _encode_g3(img, rtc=True)
+    out = C.decode_g3(data, 40, None)
+    assert np.array_equal(out, img)
+    # first line tagged 2D is malformed
+    bad = _W()
+    bad.put(C.EOL + "0" + "1")
+    with pytest.raises(ValueError, match="first G3 line"):
+        C.decode_g3(bad.bytes(), 8, 1)
+
+
+def test_tiff_g3_2d_and_pdf_k_positive():
+    from youtube_api_data_etl_automation_spark.operators import tiff
+
+    rng = random.Random(33)
+    img = _rand_img(rng, 8, 33)
+    # TIFF compression 3 + T4Options bit 0 (+ fill bit set: absorbed)
+    for opts in (1, 5):
+        w_ = _W()
+        payload = _tiff_ccitt_g3_2d(img, t_options=opts)
+        out = tiff.decode_tiff(payload)
+        expect = np.repeat(((1 - img) * 255).astype(np.uint8)
+                           [:, :, None], 3, axis=2)
+        assert np.array_equal(out, expect), opts
+        del w_
+
+
+def _tiff_ccitt_g3_2d(img, *, t_options):
+    import struct
+
+    h, w = img.shape
+    strip = _encode_g3(img, fill_to_byte=bool(t_options & 4))
+    entries = [
+        (256, 4, 1, [w]), (257, 4, 1, [h]), (258, 3, 1, [1]),
+        (259, 3, 1, [3]), (262, 3, 1, [0]),
+        (277, 3, 1, [1]), (278, 4, 1, [h]),
+        (292, 4, 1, [t_options]),
+    ]
+    n_entries = len(entries) + 2
+    ifd0 = 8
+    strips_at = ifd0 + 2 + 12 * n_entries + 4
+    all_entries = entries + [(273, 4, 1, [strips_at]),
+                             (279, 4, 1, [len(strip)])]
+    all_entries.sort(key=lambda e: e[0])
+    ifd = struct.pack("<H", n_entries)
+    for tag, ftype, count, values in all_entries:
+        fmt = {3: "H", 4: "I"}[ftype]
+        vb = b"".join(struct.pack("<" + fmt, v) for v in values)
+        ifd += struct.pack("<HHI", tag, ftype, count) + \
+            vb.ljust(4, b"\x00")
+    ifd += struct.pack("<I", 0)
+    return b"II*\x00" + struct.pack("<I", ifd0) + ifd + strip
+
+
+def test_pdf_ccitt_k_positive_decodes():
+    import zlib as _zl
+
+    from tests.test_pdf_images import img_obj, pdf_with_images
+    from youtube_api_data_etl_automation_spark.operators import pdf as P
+
+    rng = random.Random(34)
+    img = _rand_img(rng, 6, 24)
+    data = _encode_g3(img, k=2)
+    doc = pdf_with_images([(b"G3", img_obj(
+        b"/Width 24 /Height 6 /BitsPerComponent 1 "
+        b"/Filter /CCITTFaxDecode "
+        b"/DecodeParms << /K 2 /Columns 24 >> ", data))])
+    (r,) = P.extract_pdf_images(doc)
+    assert r["error"] is None
+    dark = ((1 - img) * 255).astype(np.uint8).tobytes()
+    assert r["payload"] == b"P5\n24 6\n255\n" + dark
+    del _zl

@@ -442,3 +442,13 @@ def test_fuzz_ccitt(rng):
     _assert_contract(lambda p: ccitt.decode_g4(p, 17, None,
                                                max_rows=64),
                      _garbage(rng, 80, 400), "ccitt-g4-norows")
+    # G3 mixed 1D/2D (r13 late)
+    from test_ccitt import _encode_g3
+
+    raw_g3 = _encode_g3(img, k=2)
+    g3s = _mutations(rng, raw_g3, 150) + _garbage(rng, 100, 200)
+    _assert_contract(lambda p: ccitt.decode_g3(p, 33, 10), g3s,
+                     "ccitt-g3-raw")
+    _assert_contract(lambda p: ccitt.decode_g3(p, 17, None,
+                                               max_rows=64),
+                     _garbage(rng, 80, 400), "ccitt-g3-norows")

@@ -111,8 +111,8 @@ def test_per_image_refusals_leave_siblings_intact():
             b"/Width 2 /Height 2 /Filter /JPXDecode ", b"\x00\x00")),
         (b"Jb2", img_obj(
             b"/Width 2 /Height 2 /Filter /JBIG2Decode ", b"\x00")),
-        (b"Fax", img_obj(  # K>0 (mixed 2D G3) keeps the honest refusal
-            b"/Width 2 /Height 2 /Filter /CCITTFaxDecode "
+        (b"Fax", img_obj(  # K>0 decodes since r13; junk data routes
+            b"/Width 2 /Height 2 /Filter /CCITTFaxDecode "  # corrupt
             b"/DecodeParms << /K 1 /Columns 2 >> ", b"\x00")),
         (b"Mask", img_obj(
             b"/Width 2 /Height 2 /ImageMask true "
@@ -126,9 +126,10 @@ def test_per_image_refusals_leave_siblings_intact():
     ])
     rows = {r["name"]: r for r in P.extract_pdf_images(doc)}
     assert rows["Ok"]["error"] is None
-    for name in ("Jpx", "Jb2", "Fax", "Mask", "Deep", "Lab"):
+    for name in ("Jpx", "Jb2", "Mask", "Deep", "Lab"):
         assert rows[name]["error_kind"] == "unsupported", name
         assert rows[name]["payload"] is None
+    assert rows["Fax"]["error_kind"] == "corrupt"  # truncated G3
     # short sample data is corrupt, not unsupported
     bad = pdf_with_images([(b"Short", img_obj(
         b"/Width 9 /Height 9 /ColorSpace /DeviceRGB "

@@ -672,21 +672,23 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
         pdf_with_images([(b"C", img_obj(
             b"/Width 3 /Height 2 /ColorSpace /DeviceCMYK "
             b"/BitsPerComponent 8 ", _cmyk_px))]))
+    from test_ccitt import _encode_g3 as _g3e
     from test_ccitt import _encode_g4 as _g4e
     from test_ccitt import _rand_img as _cri
     import random as _crm
     _pimg = _cri(_crm.Random(77), 9, 24)
-    add(1908, "document_images", "pdf_ccitt_g4_and_k1_refusal",
+    add(1908, "document_images", "pdf_ccitt_g4_and_g3_mixed",
         pdf_with_images([
             (b"Fax", img_obj(
                 b"/Width 24 /Height 9 /ColorSpace /DeviceGray "
                 b"/BitsPerComponent 1 /Filter /CCITTFaxDecode "
                 b"/DecodeParms << /K -1 /Columns 24 >> ",
                 _g4e(_pimg))),
-            (b"K1", img_obj(
-                b"/Width 4 /Height 2 /BitsPerComponent 1 "
+            (b"G3", img_obj(  # r13 late: K>0 mixed 1D/2D decodes too
+                b"/Width 24 /Height 9 /BitsPerComponent 1 "
                 b"/Filter /CCITTFaxDecode "
-                b"/DecodeParms << /K 2 /Columns 4 >> ", b"\x00")),
+                b"/DecodeParms << /K 2 /Columns 24 >> ",
+                _g3e(_pimg, k=2))),
         ]))
     add(1905, "document_images", "pdf_images_truncated_corrupt",
         pdf_with_images([(b"Raw", img_obj(

@@ -251,6 +251,85 @@ def _line_from_transitions(cur: list[int], columns: int) -> np.ndarray:
     return row
 
 
+
+def _decode_2d_line(bits: _Bits, ref: list[int],
+                    columns: int) -> list[int]:
+    """One 2D-coded line (T.6 / T.4 2D — identical mode alphabet)
+    against the reference line's transition list; returns the coding
+    line's transitions."""
+    cur: list[int] = []
+    a0 = -1
+    color = _WHITE
+    while a0 < columns:
+        mode = bits.read_code(_MODE_TABLE, _MODE_MAX_LEN, "mode")
+        if mode == "EXT":
+            raise NotImplementedError(
+                "CCITT uncompressed extension mode not supported")
+        # b1: first changing element on the reference line right of
+        # a0 with color opposite to a0's color. Transitions in ref
+        # alternate white->black (even index), black->white (odd).
+        i = bisect_right(ref, a0)
+        if (i & 1) != color:
+            i += 1
+        b1 = ref[i] if i < len(ref) else columns
+        b2 = ref[i + 1] if i + 1 < len(ref) else columns
+        if mode == "P":
+            a0 = b2
+            continue
+        if mode == "H":
+            start = a0 if a0 > 0 else 0
+            r1 = _read_run(bits, color)
+            r2 = _read_run(bits, color ^ 1)
+            a1 = start + r1
+            a2 = a1 + r2
+            if a2 > columns:
+                raise ValueError(
+                    "malformed CCITT: horizontal runs overrun the "
+                    f"line ({a2} > {columns})")
+            cur.append(a1)
+            cur.append(a2)
+            a0 = a2
+            continue
+        # vertical modes
+        delta = {"V0": 0, "VR1": 1, "VR2": 2, "VR3": 3,
+                 "VL1": -1, "VL2": -2, "VL3": -3}[mode]
+        a1 = b1 + delta
+        if a1 < 0 or a1 > columns:
+            raise ValueError(
+                f"malformed CCITT: vertical mode lands at {a1}")
+        # monotonicity invariant: coding-line changing elements never
+        # regress (a1 > a0 except at line start). A VL mode on a
+        # malformed stream can land LEFT of a0; appending it would
+        # make the next reference line unsorted and the bisect
+        # lookups garbage — silent wrong pixels instead of a
+        # refusal (r13 review fix)
+        if a1 < a0:
+            raise ValueError(
+                f"malformed CCITT: vertical mode regresses "
+                f"({a1} < a0 {a0})")
+        cur.append(a1)
+        a0 = a1
+        color ^= 1
+    return cur
+
+
+def _decode_1d_line(bits: _Bits, columns: int) -> list[int]:
+    """One modified-Huffman line: alternating white/black runs summing
+    to ``columns``; returns the transition list."""
+    cur: list[int] = []
+    pos, color = 0, _WHITE
+    while pos < columns:
+        run = _read_run(bits, color)
+        pos += run
+        if pos > columns:
+            raise ValueError(
+                f"malformed CCITT: run overruns the line ({pos} > "
+                f"{columns})")
+        cur.append(pos)
+        color ^= 1
+    return cur
+
+
 def decode_g4(data: bytes, columns: int, rows: int | None = None,
               *, byte_align: bool = False,
               max_rows: int = 1 << 16) -> np.ndarray:
@@ -291,59 +370,7 @@ def decode_g4(data: bytes, columns: int, rows: int | None = None,
         # EXT escape and misreport 'unsupported' (r13 review fix)
         if rows is None and bits.only_zeros_left():
             break
-        cur: list[int] = []
-        a0 = -1
-        color = _WHITE
-        while a0 < columns:
-            mode = bits.read_code(_MODE_TABLE, _MODE_MAX_LEN, "mode")
-            if mode == "EXT":
-                raise NotImplementedError(
-                    "T.6 uncompressed extension mode not supported")
-            # b1: first changing element on the reference line right of
-            # a0 with color opposite to a0's color. Transitions in ref
-            # alternate white->black (even index), black->white (odd).
-            i = bisect_right(ref, a0)
-            if (i & 1) != color:
-                i += 1
-            b1 = ref[i] if i < len(ref) else columns
-            b2 = ref[i + 1] if i + 1 < len(ref) else columns
-            if mode == "P":
-                a0 = b2
-                continue
-            if mode == "H":
-                start = a0 if a0 > 0 else 0
-                r1 = _read_run(bits, color)
-                r2 = _read_run(bits, color ^ 1)
-                a1 = start + r1
-                a2 = a1 + r2
-                if a2 > columns:
-                    raise ValueError(
-                        "malformed CCITT: horizontal runs overrun the "
-                        f"line ({a2} > {columns})")
-                cur.append(a1)
-                cur.append(a2)
-                a0 = a2
-                continue
-            # vertical modes
-            delta = {"V0": 0, "VR1": 1, "VR2": 2, "VR3": 3,
-                     "VL1": -1, "VL2": -2, "VL3": -3}[mode]
-            a1 = b1 + delta
-            if a1 < 0 or a1 > columns:
-                raise ValueError(
-                    f"malformed CCITT: vertical mode lands at {a1}")
-            # T.6 invariant: coding-line changing elements are
-            # monotone (a1 > a0 except at line start). A VL mode on a
-            # malformed stream can land LEFT of a0; appending it would
-            # make the next reference line unsorted and the bisect
-            # lookups garbage — silent wrong pixels instead of a
-            # refusal (r13 review fix)
-            if a1 < a0:
-                raise ValueError(
-                    f"malformed CCITT: vertical mode regresses "
-                    f"({a1} < a0 {a0})")
-            cur.append(a1)
-            a0 = a1
-            color ^= 1
+        cur = _decode_2d_line(bits, ref, columns)
         out.append(_line_from_transitions(cur, columns))
         ref = cur + [columns, columns]
     if rows is not None and len(out) != rows:
@@ -384,21 +411,88 @@ def decode_mh(data: bytes, columns: int, rows: int | None = None,
         if bits.exhausted() or bits.n - bits.pos < 4 \
                 or (rows is None and bits.only_zeros_left()):
             break
-        cur: list[int] = []
-        pos, color = 0, _WHITE
-        while pos < columns:
-            run = _read_run(bits, color)
-            pos += run
-            if pos > columns:
-                raise ValueError(
-                    f"malformed CCITT: run overruns the line ({pos} > "
-                    f"{columns})")
-            cur.append(pos)
-            color ^= 1
-        out.append(_line_from_transitions(cur, columns))
+        out.append(_line_from_transitions(
+            _decode_1d_line(bits, columns), columns))
     if rows is not None and len(out) != rows:
         raise ValueError(
             f"malformed CCITT: decoded {len(out)} rows, expected {rows}")
+    if not out:
+        return np.zeros((0, columns), dtype=np.uint8)
+    return np.stack(out)
+
+
+def decode_g3(data: bytes, columns: int, rows: int | None = None,
+              *, max_rows: int = 1 << 16) -> np.ndarray:
+    """Decode a G3 two-dimensional-capable stream (T.4 §4.2 — TIFF
+    compression 3 with T4Options bit 0, PDF ``CCITTFaxDecode`` with
+    ``K > 0``): every line is preceded by an EOL plus a one-bit tag
+    (1 = the line is 1D/modified-Huffman coded, 0 = 2D coded against
+    the line above). The EOL scanner tolerates any number of zero
+    FILL bits before each EOL (T4Options bit 2 pads EOLs to byte
+    boundaries — handled naturally, no option plumbing needed) and
+    treats six consecutive EOLs (RTC) or a fill-only tail as end of
+    data. The first line must be 1D by spec; a 2D tag there is
+    malformed (there is no reference line). ``rows`` as in
+    :func:`decode_g4`."""
+    if columns <= 0:
+        raise ValueError(f"malformed CCITT: columns={columns}")
+    bits = _Bits(data)
+    out: list[np.ndarray] = []
+    ref = [columns, columns]
+
+    def eat_eol() -> bool:
+        """Consume zero fill bits + one EOL; False at end of data."""
+        zeros = 0
+        while not bits.exhausted():
+            if bits._bit(bits.pos) == 0:
+                bits.pos += 1
+                zeros += 1
+                continue
+            if zeros < 11:
+                raise ValueError(
+                    "malformed CCITT: expected EOL before a G3 2D "
+                    f"line (only {zeros} zeros before the 1)")
+            bits.pos += 1  # the EOL's terminating 1
+            return True
+        return False  # fill-only tail / exhausted
+
+    while True:
+        if rows is not None and len(out) >= rows:
+            break
+        if rows is None and len(out) >= max_rows:
+            raise ValueError("malformed CCITT: row bound exceeded "
+                             "without RTC")
+        if not eat_eol():
+            if rows is not None:
+                raise ValueError(
+                    f"malformed CCITT: stream ends after {len(out)} "
+                    f"of {rows} rows")
+            break
+        # RTC probe: five MORE EOLs after the one just consumed end
+        # the page; a lone trailing EOL before exhaustion does too
+        if bits.exhausted() or (
+                rows is None and bits.only_zeros_left()):
+            break
+        if bits.peek_is(EOL * 5):
+            break
+        if bits.pos >= bits.n:
+            break
+        tag = bits._bit(bits.pos)
+        bits.pos += 1
+        if tag == 1:
+            cur = _decode_1d_line(bits, columns)
+        else:
+            if not out:
+                raise ValueError(
+                    "malformed CCITT: first G3 line tagged 2D (no "
+                    "reference line exists)")
+            cur = _decode_2d_line(bits, ref, columns)
+        out.append(_line_from_transitions(cur, columns))
+        ref = cur + [columns, columns]
+    if rows is not None and len(out) != rows:
+        raise ValueError(
+            f"malformed CCITT: decoded {len(out)} rows, expected "
+            f"{rows}")
     if not out:
         return np.zeros((0, columns), dtype=np.uint8)
     return np.stack(out)

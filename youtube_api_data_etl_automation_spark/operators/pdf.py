@@ -1453,7 +1453,7 @@ def _extract_one_image(doc: "_Doc", obj) -> tuple[str, int, int, bytes]:
         # of scanned-document PDFs — decodes via operators/ccitt.py;
         # preceding transfer filters peel exactly like the DCT path.
         # K > 0 (mixed 2D G3) keeps the honest refusal.
-        from .ccitt import decode_g4, decode_mh
+        from .ccitt import decode_g3, decode_g4, decode_mh
 
         parms_list = [doc.resolve(v) for v in _as_list(doc.resolve(
             sdict.get("DecodeParms", sdict.get("DP"))))]
@@ -1482,11 +1482,7 @@ def _extract_one_image(doc: "_Doc", obj) -> tuple[str, int, int, bytes]:
         align = _p("EncodedByteAlign", False) is True
         if not isinstance(k, int) or not isinstance(columns, int):
             raise ValueError("malformed PDF: CCITT K/Columns not ints")
-        if k > 0:
-            raise NotImplementedError(
-                "CCITTFaxDecode K>0 (mixed two-dimensional G3) not "
-                "supported; K<0 (Group 4) and K=0 (MH) decode here"
-            )
+
         if columns != w:
             raise ValueError(
                 f"malformed PDF: CCITT Columns={columns} but image "
@@ -1515,6 +1511,10 @@ def _extract_one_image(doc: "_Doc", obj) -> tuple[str, int, int, bytes]:
                 )
         if k < 0:
             bil = decode_g4(data, columns, h, byte_align=align)
+        elif k > 0:
+            # mixed 1D/2D G3 (r13): EOL+tag per line; the EOL scanner
+            # absorbs zero fill, so EncodedByteAlign needs no plumbing
+            bil = decode_g3(data, columns, h)
         else:
             bil = decode_mh(data, columns, h, byte_align=align)
         # sample bit per BlackIs1 (default: 0 bits are black), then the

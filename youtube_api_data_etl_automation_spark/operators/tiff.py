@@ -158,7 +158,7 @@ def _decode_tiff_ccitt(payload: bytes, tags: dict, scalar, array,
     PhotometricInterpretation exactly like the 8-bit grey path (the
     spec mandates 0 = WhiteIsZero for fax, but a file declaring 1 is
     honored, not second-guessed)."""
-    from .ccitt import decode_g4, decode_mh
+    from .ccitt import decode_g3, decode_g4, decode_mh
 
     compression = scalar(259)
     photometric = scalar(262)
@@ -192,16 +192,20 @@ def _decode_tiff_ccitt(payload: bytes, tags: dict, scalar, array,
             raise ValueError(
                 f"malformed TIFF: reserved T6Options bits set ({opts})"
             )
+    g3_2d = False
     if compression == 3:
         opts = scalar(292, default=0)
-        if opts & 1:
+        g3_2d = bool(opts & 1)  # r13: mixed 1D/2D decodes (T.4 §4.2)
+        if opts & 2:
             raise NotImplementedError(
-                "G3 two-dimensional coding (T4Options bit 0) not "
-                "supported"
+                "G3 uncompressed option not supported"
             )
-        if opts & 6:
+        # fill bits (bit 2) need no plumbing: the 2D path's EOL
+        # scanner absorbs any zero fill, and the 1D path skips EOLs
+        if (opts & 4) and not g3_2d:
             raise NotImplementedError(
-                "G3 uncompressed/fill-bit options not supported"
+                "G3 1D with byte-aligned EOLs (fill bits) not "
+                "supported; the 2D variant handles fill"
             )
     if 322 in tags:
         raise NotImplementedError("tiled CCITT layout not supported")
@@ -231,6 +235,8 @@ def _decode_tiff_ccitt(payload: bytes, tags: dict, scalar, array,
             parts.append(decode_g4(chunk, w, n_rows))
         elif compression == 2:
             parts.append(decode_mh(chunk, w, n_rows, byte_align=True))
+        elif g3_2d:
+            parts.append(decode_g3(chunk, w, n_rows))
         else:
             parts.append(decode_mh(chunk, w, n_rows))
         remaining -= n_rows
