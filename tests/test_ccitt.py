@@ -447,22 +447,24 @@ def test_tiff_ccitt_fillorder2():
         for b in _encode_g4(img, eofb=False))
     # rebuild with the reversed strip and FillOrder tag
     flipped = _tiff_ccitt_raw_strip(img.shape, rev_strip,
-                                    compression=4, fill_order=2)
+                                    compression=4,
+                                    extra=[(266, 3, 1, [2])])
     out = tiff.decode_tiff(flipped)
     assert np.array_equal(out, tiff.decode_tiff(normal))
 
 
-def _tiff_ccitt_raw_strip(shape, strip, *, compression, fill_order):
-    """Single-strip CCITT TIFF around pre-built strip bytes."""
+def _tiff_ccitt_raw_strip(shape, strip, *, compression, extra=()):
+    """Single-strip CCITT TIFF around pre-built strip bytes; ``extra``
+    appends (tag, type, count, values) entries — the ONE in-test IFD
+    writer for pre-encoded strips (r13 review consolidation)."""
     import struct
 
     h, w = shape
     entries = [
         (256, 4, 1, [w]), (257, 4, 1, [h]), (258, 3, 1, [1]),
         (259, 3, 1, [compression]), (262, 3, 1, [0]),
-        (266, 3, 1, [fill_order]),
         (277, 3, 1, [1]), (278, 4, 1, [h]),
-    ]
+    ] + list(extra)
     n_entries = len(entries) + 2
     ifd0 = 8
     ifd_size = 2 + 12 * n_entries + 4
@@ -566,10 +568,13 @@ def test_mh_fill_bits_terminate_rows_none():
 # ---------------------------------------------------------------------------
 
 def _encode_g3(img: np.ndarray, *, k: int = 2, fill_to_byte=False,
-               rtc: bool = False) -> bytes:
+               rtc=False) -> bytes:
     """Independent T.4 2D encoder: EOL + tag per line; every k-th line
     1D (the K-parameter discipline real encoders follow), others 2D
-    against the line above; optional zero fill before each EOL."""
+    against the line above; optional zero fill before each EOL.
+    ``rtc``: False, True/'tagged' ((EOL+1) x 6, the libtiff form),
+    'tagless' (bare EOL x 6), or 'fill' (byte-fill before each RTC
+    EOL)."""
     rows, columns = img.shape
     w = _W()
     ref = np.zeros(columns, dtype=np.uint8)
@@ -614,7 +619,17 @@ def _encode_g3(img: np.ndarray, *, k: int = 2, fill_to_byte=False,
                     a0 = a2
         ref = line
     if rtc:
-        w.put(C.EOL * 6)
+        if rtc == "tagless":
+            w.put(C.EOL * 6)
+        elif rtc == "fill":
+            for _ in range(6):
+                w.put("0" * (-len("".join(w.bits)) % 8))
+                w.put(C.EOL + "1")
+        else:
+            # standard T.4 2D RTC: (EOL + tag-bit 1) x 6 — what
+            # libtiff writes (r13 review fix: the old decoder probe
+            # matched only the tagless form)
+            w.put((C.EOL + "1") * 6)
     return w.bytes()
 
 
@@ -634,9 +649,16 @@ def test_g3_mixed_round_trip():
 def test_g3_rtc_and_rows_none():
     rng = random.Random(32)
     img = _rand_img(rng, 5, 40)
+    # standard tagged RTC ((EOL+1) x 6, the libtiff form)
     data = _encode_g3(img, rtc=True)
     out = C.decode_g3(data, 40, None)
     assert np.array_equal(out, img)
+    # tagless EOLx6 (non-standard but seen in the wild) ends too
+    out2 = C.decode_g3(_encode_g3(img, rtc="tagless"), 40, None)
+    assert np.array_equal(out2, img)
+    # fill-padded RTC: zero fill before each RTC EOL is absorbed
+    out3 = C.decode_g3(_encode_g3(img, rtc="fill"), 40, None)
+    assert np.array_equal(out3, img)
     # first line tagged 2D is malformed
     bad = _W()
     bad.put(C.EOL + "0" + "1")
@@ -651,45 +673,17 @@ def test_tiff_g3_2d_and_pdf_k_positive():
     img = _rand_img(rng, 8, 33)
     # TIFF compression 3 + T4Options bit 0 (+ fill bit set: absorbed)
     for opts in (1, 5):
-        w_ = _W()
-        payload = _tiff_ccitt_g3_2d(img, t_options=opts)
+        strip = _encode_g3(img, fill_to_byte=bool(opts & 4))
+        payload = _tiff_ccitt_raw_strip(
+            img.shape, strip, compression=3,
+            extra=[(292, 4, 1, [opts])])
         out = tiff.decode_tiff(payload)
         expect = np.repeat(((1 - img) * 255).astype(np.uint8)
                            [:, :, None], 3, axis=2)
         assert np.array_equal(out, expect), opts
-        del w_
-
-
-def _tiff_ccitt_g3_2d(img, *, t_options):
-    import struct
-
-    h, w = img.shape
-    strip = _encode_g3(img, fill_to_byte=bool(t_options & 4))
-    entries = [
-        (256, 4, 1, [w]), (257, 4, 1, [h]), (258, 3, 1, [1]),
-        (259, 3, 1, [3]), (262, 3, 1, [0]),
-        (277, 3, 1, [1]), (278, 4, 1, [h]),
-        (292, 4, 1, [t_options]),
-    ]
-    n_entries = len(entries) + 2
-    ifd0 = 8
-    strips_at = ifd0 + 2 + 12 * n_entries + 4
-    all_entries = entries + [(273, 4, 1, [strips_at]),
-                             (279, 4, 1, [len(strip)])]
-    all_entries.sort(key=lambda e: e[0])
-    ifd = struct.pack("<H", n_entries)
-    for tag, ftype, count, values in all_entries:
-        fmt = {3: "H", 4: "I"}[ftype]
-        vb = b"".join(struct.pack("<" + fmt, v) for v in values)
-        ifd += struct.pack("<HHI", tag, ftype, count) + \
-            vb.ljust(4, b"\x00")
-    ifd += struct.pack("<I", 0)
-    return b"II*\x00" + struct.pack("<I", ifd0) + ifd + strip
 
 
 def test_pdf_ccitt_k_positive_decodes():
-    import zlib as _zl
-
     from tests.test_pdf_images import img_obj, pdf_with_images
     from youtube_api_data_etl_automation_spark.operators import pdf as P
 
@@ -704,4 +698,3 @@ def test_pdf_ccitt_k_positive_decodes():
     assert r["error"] is None
     dark = ((1 - img) * 255).astype(np.uint8).tobytes()
     assert r["payload"] == b"P5\n24 6\n255\n" + dark
-    del _zl

@@ -328,3 +328,27 @@ def test_ccitt_fax_images_decode():
     assert rows["MH"]["payload"] == head + dark
     assert rows["Fl"]["payload"] == head + dark
     assert rows["Bad"]["error_kind"] == "corrupt"
+
+
+def test_ccitt_decode_array_inversion():
+    """r13 late: /BlackIs1 true + /Decode [1 0] — the common scanned-
+    PDF pairing — cancels back to the default rendering."""
+    import random
+
+    from tests.test_ccitt import _encode_g4, _rand_img
+
+    img = _rand_img(random.Random(8), 5, 16)
+    g4 = _encode_g4(img)
+    body = (b"/Width 16 /Height 5 /BitsPerComponent 1 "
+            b"/Filter /CCITTFaxDecode "
+            b"/DecodeParms << /K -1 /Columns 16 /BlackIs1 true >> ")
+    doc = pdf_with_images([
+        (b"Plain", img_obj(body, g4)),
+        (b"Inv", img_obj(b"/Decode [1 0] " + body, g4)),
+    ])
+    rows = {r["name"]: r for r in P.extract_pdf_images(doc)}
+    dark = ((1 - img) * 255).astype(np.uint8).tobytes()
+    bright = (img * 255).astype(np.uint8).tobytes()
+    head = b"P5\n16 5\n255\n"
+    assert rows["Plain"]["payload"] == head + bright  # BlackIs1
+    assert rows["Inv"]["payload"] == head + dark      # inverted back

@@ -364,7 +364,7 @@ def _cmd_frontier(args: argparse.Namespace) -> int:
         }))
         return 2
     spark = get_spark("crawl-frontier", master=args.master)
-    if args.robots:
+    if args.robots is not None:
         rules = parse_robots(spark.read.parquet(args.robots))
     else:
         rules = warc_robots_rules(spark.read.parquet(args.warc))

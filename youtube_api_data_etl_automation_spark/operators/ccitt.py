@@ -37,10 +37,12 @@ PDF ``BlackIs1``).
 Scale shape: decoding runs inside the same Arrow-batched mapInPandas
 operators as every other codec, per payload, under the family's pixel
 budgets and quarantine contract — no shuffle, no driver data-plane.
-Refusals stay honest: T.6 uncompressed-extension mode (the 0000001
-escape) and G3 2D (K>0) raise NotImplementedError and quarantine as
-'unsupported' (mirror-bug policy: those paths carry spec details we
-cannot anchor in-repo).
+Refusals stay honest: the T.4/T.6 uncompressed-extension mode (the
+0000001 escape) raises NotImplementedError and quarantines as
+'unsupported' (mirror-bug policy: its code table is a separate recall
+surface). G3 mixed 1D/2D (TIFF T4Options bit 0, PDF K>0) DECODES via
+:func:`decode_g3` — the late-r13 rung: one EOL+tag framing layer over
+the same two line decoders.
 
 Reference anchor: the reference ETL (fetch_youtube_data.py) consumes
 a JSON API and decodes nothing; this codec rung belongs to the
@@ -468,17 +470,20 @@ def decode_g3(data: bytes, columns: int, rows: int | None = None,
                     f"malformed CCITT: stream ends after {len(out)} "
                     f"of {rows} rows")
             break
-        # RTC probe: five MORE EOLs after the one just consumed end
-        # the page; a lone trailing EOL before exhaustion does too
         if bits.exhausted() or (
                 rows is None and bits.only_zeros_left()):
             break
-        if bits.peek_is(EOL * 5):
-            break
-        if bits.pos >= bits.n:
-            break
         tag = bits._bit(bits.pos)
         bits.pos += 1
+        # RTC / end-of-page: after the tag bit, 8+ zeros cannot start
+        # any legal run or mode code (the longest legal zero prefix is
+        # the 7-zero extended make-up 1792) — the only thing that can
+        # follow is another EOL, i.e. the standard (EOL+1)x6 RTC
+        # libtiff writes OR a tagless EOLx6 (r13 review fix: the old
+        # probe matched only the tagless form and misparsed the
+        # standard one)
+        if bits.exhausted() or bits.peek_is("0" * 8):
+            break
         if tag == 1:
             cur = _decode_1d_line(bits, columns)
         else:

@@ -1414,11 +1414,13 @@ def _extract_one_image(doc: "_Doc", obj) -> tuple[str, int, int, bytes]:
     - **fully-decodable filter chain** (Flate/LZW/A85/AHx/RL/none) →
       8-bit DeviceGray/DeviceRGB/Indexed samples, wrapped as P5/P6 PNM.
 
-    - **CCITTFaxDecode tail** (r13) → Group 4 (K<0) and modified-
-      Huffman (K=0) fax decode via operators/ccitt.py, honoring
-      Columns/BlackIs1/EncodedByteAlign, emitted as P5 PGM.
+    - **CCITTFaxDecode tail** (r13) → Group 4 (K<0), modified-
+      Huffman (K=0), and mixed 1D/2D G3 (K>0) fax decode via
+      operators/ccitt.py, honoring Columns/BlackIs1/
+      EncodedByteAlign and the /Decode [1 0] inversion, emitted as
+      P5 PGM.
 
-    JPXDecode/JBIG2Decode/CCITT-K>0, ImageMask stencils, non-8-bit
+    JPXDecode/JBIG2Decode, ImageMask stencils, non-8-bit
     sample depths (CCITT's 1-bit aside), exotic color spaces, and
     non-default /Decode arrays refuse as 'unsupported'
     (quarantine-routed per image)."""
@@ -1449,10 +1451,10 @@ def _extract_one_image(doc: "_Doc", obj) -> tuple[str, int, int, bytes]:
             "masks are not corpus images"
         )
     if filters and filters[-1] in ("CCITTFaxDecode", "CCF"):
-        # r13 (VERDICT r12 item 3): Group 4 / MH fax — the compression
-        # of scanned-document PDFs — decodes via operators/ccitt.py;
+        # r13 (VERDICT r12 item 3): CCITT fax — the compression of
+        # scanned-document PDFs — decodes via operators/ccitt.py for
+        # ALL K regimes (K<0 Group 4, K=0 MH, K>0 mixed 1D/2D G3);
         # preceding transfer filters peel exactly like the DCT path.
-        # K > 0 (mixed 2D G3) keeps the honest refusal.
         from .ccitt import decode_g3, decode_g4, decode_mh
 
         parms_list = [doc.resolve(v) for v in _as_list(doc.resolve(
@@ -1502,12 +1504,18 @@ def _extract_one_image(doc: "_Doc", obj) -> tuple[str, int, int, bytes]:
                     "CCITT image with a non-gray color space"
                 )
         dec_c = doc.resolve(sdict.get("Decode"))
+        dec_flip = False
         if dec_c is not None:
             flat_c = [doc.resolve(v) for v in _as_list(dec_c)]
-            if flat_c != [0, 1]:
+            if flat_c == [1, 0]:
+                # the common companion of BlackIs1 in scanned PDFs:
+                # for 1-bit gray, /Decode [1 0] is a pure inversion
+                dec_flip = True
+            elif flat_c != [0, 1]:
                 raise NotImplementedError(
                     f"PDF image /Decode {flat_c!r} remaps samples; "
-                    "only the default identity mapping is supported"
+                    "only identity and [1 0] inversion are supported "
+                    "for CCITT images"
                 )
         if k < 0:
             bil = decode_g4(data, columns, h, byte_align=align)
@@ -1517,9 +1525,12 @@ def _extract_one_image(doc: "_Doc", obj) -> tuple[str, int, int, bytes]:
             bil = decode_g3(data, columns, h)
         else:
             bil = decode_mh(data, columns, h, byte_align=align)
-        # sample bit per BlackIs1 (default: 0 bits are black), then the
-        # 1-bit DeviceGray scaling 0/1 -> 0/255
+        # sample bit per BlackIs1 (default: 0 bits are black), then
+        # the optional /Decode [1 0] inversion, then the 1-bit
+        # DeviceGray scaling 0/1 -> 0/255
         sample = bil if black1 else (1 - bil)
+        if dec_flip:
+            sample = 1 - sample
         grey = (sample * 255).astype("uint8")
         fmt_c, payload_c = _pnm_wrap(grey.tobytes(), w, h, 1)
         return fmt_c, w, h, payload_c
@@ -1656,7 +1667,7 @@ def pdf_images(blobs: DataFrame, errors: str = "raise",
     ``members_as_payloads`` (archives.py).
 
     Quarantine is two-level: a malformed DOCUMENT yields one row with
-    NULL page_idx; a refused IMAGE (JPX/JBIG2/CCITT-K>0, ImageMask,
+    NULL page_idx; a refused IMAGE (JPX/JBIG2, ImageMask,
     non-8-bit, exotic color space) yields its own error row while the
     document's other images still extract."""
     from .multimodal import (

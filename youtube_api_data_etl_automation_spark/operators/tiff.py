@@ -148,9 +148,10 @@ def _decode_tiff_ccitt(payload: bytes, tags: dict, scalar, array,
 
     Compression 4 is Group 4 / T.6 (the archival-scan standard; tag 293
     T6Options — the uncompressed-mode bit refuses honestly), 2 is
-    modified Huffman with byte-aligned rows, 3 is G3 one-dimensional
-    with EOL-prefixed rows (T4Options 2D/uncompressed/fill bits refuse
-    — those variants carry details without an in-repo anchor).
+    modified Huffman with byte-aligned rows, 3 is G3: one-dimensional
+    EOL-prefixed rows by default, MIXED 1D/2D via decode_g3 when
+    T4Options bit 0 is set (fill bits are absorbed by its EOL
+    scanner; the uncompressed option refuses).
     FillOrder 2 (r13: LSB-first bit fill, common in fax TIFFs) decodes
     via a derived per-byte bit reversal. Strips
     decode independently (each restarts the all-white reference line,
@@ -392,11 +393,15 @@ def decode_tiff(payload: bytes,
     # FillOrder 2 is handled on the CCITT path (derived bit reversal);
     # for every other compression the bit order changes the entropy
     # stream itself — refuse honestly instead of decoding garbage
-    # (r13 review fix; FillOrder 2 outside fax is vanishingly rare)
-    if compression not in (2, 3, 4) and scalar(266, default=1) != 1:
+    # (r13 review fix; FillOrder 2 outside fax is vanishingly rare).
+    # Values other than 1/2 are malformed per TIFF 6.0 on EVERY path.
+    _fo = scalar(266, default=1)
+    if _fo not in (1, 2):
+        raise ValueError(f"malformed TIFF: FillOrder {_fo}")
+    if _fo == 2 and compression not in (2, 3, 4):
         raise NotImplementedError(
-            f"TIFF FillOrder {scalar(266, default=1)} only supported "
-            "for CCITT compressions (2/3/4)"
+            f"TIFF FillOrder 2 only supported for CCITT "
+            "compressions (2/3/4)"
         )
     if compression == 7:
         # new-style JPEG (TIFF Tech Note 2): each strip/tile is a JPEG
