@@ -139,7 +139,7 @@ SECTIONS: dict[str, tuple[str, list[str]]] = {
     # gained the crawl_frontier composition
     "lang_cap_docs": ("section", ["lang_cap", "domains"]),
     "url_compliance_docs": (
-        "section", ["psl", "canon", "robots", "frontier"],
+        "section", ["psl", "canon", "robots", "delays", "frontier"],
     ),
 }
 

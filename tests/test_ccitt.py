@@ -698,3 +698,72 @@ def test_pdf_ccitt_k_positive_decodes():
     assert r["error"] is None
     dark = ((1 - img) * 255).astype(np.uint8).tobytes()
     assert r["payload"] == b"P5\n24 6\n255\n" + dark
+
+
+def test_multipage_tiff_pages_decode_independently():
+    """r13: multi-page TIFF (the normal fax/scan container) — the IFD
+    chain enumerates and each page decodes with its own strips (here:
+    page 0 G4, page 1 MH, different bitmaps)."""
+    import struct
+
+    from youtube_api_data_etl_automation_spark.operators import tiff
+
+    rng = random.Random(41)
+    img0 = _rand_img(rng, 6, 17)
+    img1 = _rand_img(rng, 4, 17)
+    strips = [(_encode_g4(img0, eofb=False), 4, img0),
+              (_encode_mh(img1, byte_align=True), 2, img1)]
+
+    # two-page little-endian file: IFD0 -> IFD1 -> 0
+    def ifd(entries, next_off):
+        out = struct.pack("<H", len(entries))
+        for tag, ftype, count, values in sorted(entries):
+            fmt = {3: "H", 4: "I"}[ftype]
+            vb = b"".join(struct.pack("<" + fmt, v) for v in values)
+            out += struct.pack("<HHI", tag, ftype, count) + \
+                vb.ljust(4, b"\x00")
+        return out + struct.pack("<I", next_off)
+
+    n_entries = 9
+    ifd_size = 2 + 12 * n_entries + 4
+    ifd0_at = 8
+    ifd1_at = ifd0_at + ifd_size
+    data_at = ifd1_at + ifd_size
+    parts, offs = [], []
+    at = data_at
+    for strip, _, _ in strips:
+        offs.append(at)
+        parts.append(strip)
+        at += len(strip)
+
+    def entries(i):
+        strip, comp, img = strips[i]
+        h, w = img.shape
+        return [
+            (256, 4, 1, [w]), (257, 4, 1, [h]), (258, 3, 1, [1]),
+            (259, 3, 1, [comp]), (262, 3, 1, [0]),
+            (273, 4, 1, [offs[i]]), (277, 3, 1, [1]),
+            (278, 4, 1, [h]), (279, 4, 1, [len(strips[i][0])]),
+        ]
+
+    payload = (b"II*\x00" + struct.pack("<I", ifd0_at)
+               + ifd(entries(0), ifd1_at)
+               + ifd(entries(1), 0)
+               + b"".join(parts))
+
+    assert tiff.tiff_page_count(payload) == 2
+    for page, (_, _, img) in enumerate(strips):
+        out = tiff.decode_tiff(payload, page=page)
+        expect = np.repeat(((1 - img) * 255).astype(np.uint8)
+                           [:, :, None], 3, axis=2)
+        assert np.array_equal(out, expect), page
+    # default stays page 0 (existing behavior)
+    assert np.array_equal(tiff.decode_tiff(payload),
+                          tiff.decode_tiff(payload, page=0))
+    with pytest.raises(ValueError, match="page 2 of a 2-page"):
+        tiff.decode_tiff(payload, page=2)
+    # IFD chain loop refuses
+    looped = (b"II*\x00" + struct.pack("<I", ifd0_at)
+              + ifd(entries(0), ifd0_at) + b"".join(parts))
+    with pytest.raises(ValueError, match="loop"):
+        tiff.tiff_page_count(looped)

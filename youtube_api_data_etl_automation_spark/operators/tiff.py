@@ -353,9 +353,53 @@ def _decode_tiff_jpeg(payload: bytes, tags: dict, scalar, array,
     return arr
 
 
+def _ifd_chain(payload: bytes, lt: str,
+               max_pages: int = 1024) -> list[int]:
+    """Offsets of every IFD in the page chain (TIFF 6.0: each IFD ends
+    with a u32 pointer to the next, 0 terminates). Loop- and
+    bounds-checked; ``max_pages`` bounds a malformed self-referencing
+    chain."""
+    import struct
+
+    (off,) = struct.unpack_from(lt + "I", payload, 4)
+    offs: list[int] = []
+    seen: set[int] = set()
+    while off:
+        if off in seen:
+            raise ValueError("malformed TIFF: IFD chain loop")
+        if off + 2 > len(payload):
+            raise ValueError("malformed TIFF: IFD offset out of bounds")
+        seen.add(off)
+        offs.append(off)
+        if len(offs) >= max_pages:
+            break
+        (n,) = struct.unpack_from(lt + "H", payload, off)
+        nxt_at = off + 2 + 12 * n
+        if nxt_at + 4 > len(payload):
+            raise ValueError("malformed TIFF: truncated IFD chain")
+        (off,) = struct.unpack_from(lt + "I", payload, nxt_at)
+    if not offs:
+        raise ValueError("malformed TIFF: empty IFD chain")
+    return offs
+
+
+def tiff_page_count(payload: bytes) -> int:
+    """Number of pages (IFDs) — multi-page TIFF is the normal shape of
+    scanned/fax documents (r13)."""
+    payload = bytes(payload)
+    if payload[:4] not in (b"II*\x00", b"MM\x00*"):
+        raise ValueError("malformed TIFF: bad magic")
+    lt = "<" if payload[:2] == b"II" else ">"
+    return len(_ifd_chain(payload, lt))
+
+
 def decode_tiff(payload: bytes,
-                pixel_budget: int | None = TIFF_PIXEL_BUDGET) -> np.ndarray:
-    """Decode a baseline TIFF payload to an (h, w, 3) uint8 RGB array."""
+                pixel_budget: int | None = TIFF_PIXEL_BUDGET,
+                page: int = 0) -> np.ndarray:
+    """Decode a baseline TIFF payload to an (h, w, 3) uint8 RGB array.
+    ``page`` selects the IFD in the page chain (r13: multi-page TIFFs
+    are the normal container for scanned/fax documents — enumerate
+    with :func:`tiff_page_count`)."""
     import struct
 
     from .mediameta import _tiff_ifd_entries
@@ -363,7 +407,11 @@ def decode_tiff(payload: bytes,
     if payload[:4] not in (b"II*\x00", b"MM\x00*"):
         raise ValueError("malformed TIFF: bad magic")
     lt = "<" if payload[:2] == b"II" else ">"
-    (ifd0,) = struct.unpack_from(lt + "I", payload, 4)
+    chain = _ifd_chain(payload, lt)
+    if not 0 <= page < len(chain):
+        raise ValueError(
+            f"malformed TIFF: page {page} of a {len(chain)}-page file")
+    ifd0 = chain[page]
     tags: dict[int, tuple[int, int, bytes]] = {}
     for tag, ftype, count, vb in _tiff_ifd_entries(payload, 0, ifd0, lt):
         tags[tag] = (ftype, count, vb)

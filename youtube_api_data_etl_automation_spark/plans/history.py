@@ -531,6 +531,18 @@ fr_c AS (
          doc_id % 10 = 2 AS seen
   FROM documents WHERE doc_id % 3 = 0
 ),
+delays_section AS (
+  -- hand-derived: * -> 2, trainingbot -> 7 (its own, not *'s),
+  -- otherbot -> no row (named group w/o delay; exclusivity)
+  SELECT 'delays' AS section,
+         h.host || '|' || a.agent AS key,
+         CAST(1 AS BIGINT) AS n_docs,
+         CAST(a.d AS BIGINT) AS n_kept,
+         md5(CAST(a.d AS VARCHAR)) AS kept_fp
+  FROM (SELECT DISTINCT source || '.example.com' AS host
+        FROM documents) h,
+       (VALUES ('*', 2), ('trainingbot', 7)) AS a(agent, d)
+),
 frontier_section AS (
   SELECT 'frontier' AS section,
          host AS key,
@@ -550,6 +562,8 @@ UNION ALL
 SELECT * FROM canon_section
 UNION ALL
 SELECT * FROM robots_section
+UNION ALL
+SELECT * FROM delays_section
 UNION ALL
 SELECT * FROM frontier_section
 """
@@ -698,9 +712,16 @@ def url_compliance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rather than a SQL re-implementation that could mirror-bug.
     from ..operators.robots import filter_robots_allowed, parse_robots
 
+    # crawl-delays (r13 'delays' section): * sets 2, trainingbot sets
+    # its own 7, otherbot's named group sets NONE — group exclusivity
+    # means the * delay must NOT leak to it (no row). Delay rows are
+    # invisible to the allow/deny fold, so the robots/frontier
+    # sections' hand-derived outcomes are untouched.
     robots_txt = ("User-agent: *\nDisallow: /p1\nAllow: /p1/ok\n"
-                  "Disallow: /*.pdf$\n\n"
-                  "User-agent: trainingbot\nDisallow: /p2\n")
+                  "Disallow: /*.pdf$\nCrawl-delay: 2\n\n"
+                  "User-agent: trainingbot\nDisallow: /p2\n"
+                  "Crawl-delay: 7\n\n"
+                  "User-agent: otherbot\nDisallow: /x\n")
     hosts = docs.select(
         F.concat(F.col("source"), F.lit(".example.com")).alias("host")
     ).distinct()
@@ -741,6 +762,26 @@ def url_compliance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     robots_section = robots_arm("*").unionByName(
         robots_arm("trainingbot"))
+    # delays section (r13): robots_crawl_delays under the oracle —
+    # hand-derived per agent arm (* -> 2, trainingbot -> its own 7,
+    # otherbot -> NO row: its named group sets no delay and the *
+    # value must not leak through group exclusivity)
+    from ..operators.robots import robots_crawl_delays
+
+    delay_arms = []
+    for agent in ("*", "trainingbot", "otherbot"):
+        delay_arms.append(
+            robots_crawl_delays(robots_rules, agent=agent).select(
+                F.lit("delays").alias("section"),
+                F.concat_ws("|", F.col("host"), F.lit(agent))
+                .alias("key"),
+                F.lit(1).cast("long").alias("n_docs"),
+                F.col("crawl_delay_sec").cast("long").alias("n_kept"),
+                F.md5(F.col("crawl_delay_sec").cast("long")
+                      .cast("string")).alias("kept_fp"),
+            ))
+    delays_section = delay_arms[0].unionByName(delay_arms[1]) \
+        .unionByName(delay_arms[2])
 
     # frontier section (r13): the provenance-complete seed-list
     # composition under the oracle. Fixture: per-host robots (the SAME
@@ -835,4 +876,5 @@ def url_compliance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("kept_fp"), F.md5(F.lit(""))).alias("kept_fp"),
     )
     return psl_section.unionByName(canon_section) \
-        .unionByName(robots_section).unionByName(frontier_section)
+        .unionByName(robots_section).unionByName(delays_section) \
+        .unionByName(frontier_section)
