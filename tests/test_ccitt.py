@@ -700,21 +700,13 @@ def test_pdf_ccitt_k_positive_decodes():
     assert r["payload"] == b"P5\n24 6\n255\n" + dark
 
 
-def test_multipage_tiff_pages_decode_independently():
-    """r13: multi-page TIFF (the normal fax/scan container) — the IFD
-    chain enumerates and each page decodes with its own strips (here:
-    page 0 G4, page 1 MH, different bitmaps)."""
+def _two_page_tiff(img0, img1):
+    """Two-page LE TIFF: page 0 G4, page 1 MH."""
     import struct
 
-    from youtube_api_data_etl_automation_spark.operators import tiff
-
-    rng = random.Random(41)
-    img0 = _rand_img(rng, 6, 17)
-    img1 = _rand_img(rng, 4, 17)
     strips = [(_encode_g4(img0, eofb=False), 4, img0),
               (_encode_mh(img1, byte_align=True), 2, img1)]
 
-    # two-page little-endian file: IFD0 -> IFD1 -> 0
     def ifd(entries, next_off):
         out = struct.pack("<H", len(entries))
         for tag, ftype, count, values in sorted(entries):
@@ -726,11 +718,8 @@ def test_multipage_tiff_pages_decode_independently():
 
     n_entries = 9
     ifd_size = 2 + 12 * n_entries + 4
-    ifd0_at = 8
-    ifd1_at = ifd0_at + ifd_size
-    data_at = ifd1_at + ifd_size
-    parts, offs = [], []
-    at = data_at
+    ifd0_at, data_at = 8, 8 + 2 * ifd_size
+    offs, parts, at = [], [], data_at
     for strip, _, _ in strips:
         offs.append(at)
         parts.append(strip)
@@ -746,13 +735,26 @@ def test_multipage_tiff_pages_decode_independently():
             (278, 4, 1, [h]), (279, 4, 1, [len(strips[i][0])]),
         ]
 
-    payload = (b"II*\x00" + struct.pack("<I", ifd0_at)
-               + ifd(entries(0), ifd1_at)
-               + ifd(entries(1), 0)
-               + b"".join(parts))
+    return (b"II*\x00" + struct.pack("<I", ifd0_at)
+            + ifd(entries(0), ifd0_at + ifd_size)
+            + ifd(entries(1), 0) + b"".join(parts))
+
+
+def test_multipage_tiff_pages_decode_independently():
+    """r13: multi-page TIFF (the normal fax/scan container) — the IFD
+    chain enumerates and each page decodes with its own strips (here:
+    page 0 G4, page 1 MH, different bitmaps)."""
+    import struct
+
+    from youtube_api_data_etl_automation_spark.operators import tiff
+
+    rng = random.Random(41)
+    img0 = _rand_img(rng, 6, 17)
+    img1 = _rand_img(rng, 4, 17)
+    payload = _two_page_tiff(img0, img1)
 
     assert tiff.tiff_page_count(payload) == 2
-    for page, (_, _, img) in enumerate(strips):
+    for page, img in ((0, img0), (1, img1)):
         out = tiff.decode_tiff(payload, page=page)
         expect = np.repeat(((1 - img) * 255).astype(np.uint8)
                            [:, :, None], 3, axis=2)
@@ -762,8 +764,53 @@ def test_multipage_tiff_pages_decode_independently():
                           tiff.decode_tiff(payload, page=0))
     with pytest.raises(ValueError, match="page 2 of a 2-page"):
         tiff.decode_tiff(payload, page=2)
-    # IFD chain loop refuses
-    looped = (b"II*\x00" + struct.pack("<I", ifd0_at)
-              + ifd(entries(0), ifd0_at) + b"".join(parts))
+    # IFD chain loop refuses: splice the first IFD's next pointer back
+    # to itself
+    n_entries = 9
+    ifd_size = 2 + 12 * n_entries + 4
+    nxt_at = 8 + ifd_size - 4
+    looped = bytearray(payload)
+    looped[nxt_at:nxt_at + 4] = struct.pack("<I", 8)
     with pytest.raises(ValueError, match="loop"):
-        tiff.tiff_page_count(looped)
+        tiff.tiff_page_count(bytes(looped))
+
+
+def test_tiff_page_images_bridge(spark):
+    """r13: the multi-page corpus bridge — one P6 PPM row per page,
+    container/page quarantine levels, payloads decodable by the image
+    pipeline, stable payload-table ids."""
+    from youtube_api_data_etl_automation_spark.operators.multimodal import (
+        decode_image,
+    )
+    from youtube_api_data_etl_automation_spark.operators.tiff import (
+        tiff_page_images,
+        tiff_pages_as_payloads,
+    )
+
+    rng = random.Random(51)
+    img0 = _rand_img(rng, 5, 13)
+    img1 = _rand_img(rng, 3, 13)
+    blobs = spark.createDataFrame(
+        [(1, bytearray(_two_page_tiff(img0, img1))),
+         (2, bytearray(b"II*\x00junk"))],
+        "doc_id long, payload binary")
+    pages = tiff_page_images(blobs, errors="quarantine")
+    rows = pages.collect()
+    good = sorted((r["page_idx"] for r in rows if r["error"] is None))
+    assert good == [0, 1]
+    bad = [r for r in rows if r["doc_id"] == 2]
+    assert len(bad) == 1 and bad[0]["page_idx"] is None
+    assert bad[0]["error_kind"] == "corrupt"
+    by_page = {r["page_idx"]: r for r in rows if r["doc_id"] == 1}
+    for page, img in ((0, img0), (1, img1)):
+        grey = ((1 - img) * 255).astype(np.uint8)
+        expect = np.repeat(grey[:, :, None], 3, axis=2).tobytes()
+        head = b"P6\n%d %d\n255\n" % (img.shape[1], img.shape[0])
+        assert bytes(by_page[page]["payload"]) == head + expect
+
+    # the payload bridge feeds decode_image with exact pixel stats
+    decoded = decode_image(
+        tiff_pages_as_payloads(pages), errors="quarantine").collect()
+    assert len(decoded) == 2
+    assert all(r["error"] is None and r["format"] == "ppm"
+               for r in decoded)

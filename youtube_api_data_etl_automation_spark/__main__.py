@@ -868,6 +868,10 @@ def _cmd_media(args: argparse.Namespace) -> int:
         "thumbnail": lambda b: imagehash.image_thumbnails(
             b, errors="quarantine"),
         "subtitles": lambda b: subtitles.subtitles_text(b),
+        "tiffpages": lambda b: __import__(
+            "youtube_api_data_etl_automation_spark.operators.tiff",
+            fromlist=["tiff_page_images"],
+        ).tiff_page_images(b, errors="quarantine"),
     }
     out = ops[args.op](blobs)
     if args.output:
@@ -924,7 +928,8 @@ def build_parser() -> argparse.ArgumentParser:
                  "triage", "exif", "tags", "audiotriage", "keyframe",
                  "subband", "archive", "warc", "pdftext", "pdfmeta",
                  "pdfimages", "imagehash", "members", "exifstrip",
-                 "docxtext", "thumbnail", "subtitles", "sniff"],
+                 "docxtext", "thumbnail", "subtitles", "sniff",
+                 "tiffpages"],
         help="probe=image headers, decode=image pixels, audio=samples, "
              "audiometa=MP3/FLAC/WAV headers, video=MP4/MKV containers, "
              "triage=probe-then-decode router (audiotriage=the audio "

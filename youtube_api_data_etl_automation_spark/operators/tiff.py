@@ -620,3 +620,130 @@ def decode_tiff(payload: bytes,
     if photometric == 0:  # WhiteIsZero
         grey = 255 - grey
     return np.repeat(grey[:, :, None], 3, axis=2)
+
+
+# ---------------------------------------------------------------------------
+# Multi-page corpus bridge (r13): fax/scan archives are multi-page
+# TIFFs; one row per page, as a payload the image pipeline decodes
+# directly — the pdf_images idiom (operators/pdf.py:1658) for the
+# other scanned-document container.
+# ---------------------------------------------------------------------------
+
+TIFF_PAGES_SCHEMA = (
+    "doc_id long, page_idx int, format string, width int, height int, "
+    "payload binary"
+)
+TIFF_PAGES_QUARANTINE_SCHEMA = (
+    TIFF_PAGES_SCHEMA + ", error string, error_kind string"
+)
+
+
+def extract_tiff_pages(payload: bytes,
+                       pixel_budget: int | None = TIFF_PIXEL_BUDGET,
+                       ) -> list[dict]:
+    """Every page of a (possibly multi-page) TIFF as a P6 PPM payload
+    row dict; per-page failures yield their own error rows while the
+    other pages still extract (the pdf_images two-level contract)."""
+    n = tiff_page_count(payload)  # raises on a malformed container
+    rows: list[dict] = []
+    for page in range(n):
+        row = {"page_idx": page, "format": None, "width": None,
+               "height": None, "payload": None, "error": None,
+               "error_kind": None}
+        try:
+            rgb = decode_tiff(payload, pixel_budget=pixel_budget,
+                              page=page)
+        except (ValueError, NotImplementedError) as e:
+            row["error"] = f"{type(e).__name__}: {e}"
+            row["error_kind"] = ("unsupported"
+                                 if isinstance(e, NotImplementedError)
+                                 else "corrupt")
+            rows.append(row)
+            continue
+        h, w = rgb.shape[:2]
+        row.update(format="ppm", width=int(w), height=int(h),
+                   payload=b"P6\n%d %d\n255\n" % (w, h)
+                   + rgb.tobytes())
+        rows.append(row)
+    return rows
+
+
+def tiff_page_images(blobs, errors: str = "raise",
+                     pixel_budget: int | None = TIFF_PIXEL_BUDGET):
+    """TIFF payload table → one row per PAGE, each a standalone P6 PPM
+    the image pipeline decodes directly (multi-page TIFF is the normal
+    fax/scan-archive container). Two-level quarantine: a malformed
+    CONTAINER yields one row with NULL page_idx; a refused PAGE
+    (unsupported compression, pixel budget) yields its own error row
+    while sibling pages extract. Arrow-batched mapInPandas, no shuffle
+    — feed :func:`tiff_pages_as_payloads` into image_hashes /
+    dedup_images exactly like pdf_images_as_payloads."""
+    import pandas as pd
+
+    from .multimodal import (
+        DECODE_ERRORS, _check_errors_mode, _error_kind, _error_text,
+    )
+
+    quarantine = _check_errors_mode(errors)
+    cols = ("doc_id", "page_idx", "format", "width", "height",
+            "payload", "error", "error_kind")
+
+    def batches(it):
+        for batch in it:
+            out: dict[str, list] = {c: [] for c in cols}
+
+            def emit(doc_id, row):
+                out["doc_id"].append(doc_id)
+                for c in cols[1:]:
+                    out[c].append(row.get(c))
+
+            for doc_id, payload in zip(batch["doc_id"],
+                                       batch["payload"]):
+                try:
+                    rows = extract_tiff_pages(
+                        bytes(payload) if payload is not None else b"",
+                        pixel_budget=pixel_budget)
+                except DECODE_ERRORS as e:
+                    if not quarantine:
+                        raise
+                    emit(doc_id, {"error": _error_text(e),
+                                  "error_kind": _error_kind(e)})
+                    continue
+                for row in rows:
+                    if row["error"] is not None and not quarantine:
+                        exc = NotImplementedError \
+                            if row["error_kind"] == "unsupported" \
+                            else ValueError
+                        raise exc(row["error"])
+                    if row["payload"] is not None:
+                        row = dict(row,
+                                   payload=bytearray(row["payload"]))
+                    emit(doc_id, row)
+            yield pd.DataFrame(
+                {c: pd.Series(v, dtype="object")
+                 for c, v in out.items()
+                 if quarantine or c not in ("error", "error_kind")})
+
+    schema = TIFF_PAGES_QUARANTINE_SCHEMA if quarantine \
+        else TIFF_PAGES_SCHEMA
+    return blobs.mapInPandas(batches, schema)
+
+
+def tiff_pages_as_payloads(pages):
+    """tiff_page_images rows → the standard ``(doc_id, payload,
+    source)`` payload table (the members_as_payloads contract):
+    ``doc_id = xxhash64(document id, page)`` — stable across
+    re-ingestion; ``source`` carries the page index."""
+    from pyspark.sql import functions as F
+
+    return (
+        pages
+        .filter(F.col("payload").isNotNull())
+        .select(
+            F.xxhash64(F.col("doc_id"), F.col("page_idx"))
+            .alias("doc_id"),
+            F.col("payload"),
+            F.concat(F.lit("page/"), F.col("page_idx").cast("string"))
+            .alias("source"),
+        )
+    )
