@@ -813,7 +813,14 @@ def _cmd_media(args: argparse.Namespace) -> int:
     checks exit codes still notices a corrupt batch), else 0."""
     from pyspark.sql import functions as F
 
-    from .operators import archives, imagehash, mediameta, pdf, subtitles
+    from .operators import (
+        archives,
+        imagehash,
+        mediameta,
+        pdf,
+        subtitles,
+        tiff,
+    )
     from .operators.multimodal import (
         audio_subband_features,
         decode_audio,
@@ -868,10 +875,8 @@ def _cmd_media(args: argparse.Namespace) -> int:
         "thumbnail": lambda b: imagehash.image_thumbnails(
             b, errors="quarantine"),
         "subtitles": lambda b: subtitles.subtitles_text(b),
-        "tiffpages": lambda b: __import__(
-            "youtube_api_data_etl_automation_spark.operators.tiff",
-            fromlist=["tiff_page_images"],
-        ).tiff_page_images(b, errors="quarantine"),
+        "tiffpages": lambda b: tiff.tiff_page_images(
+            b, errors="quarantine"),
     }
     out = ops[args.op](blobs)
     if args.output:

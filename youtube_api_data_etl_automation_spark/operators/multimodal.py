@@ -694,6 +694,62 @@ def _error_text(e: Exception) -> str:
     return f"{type(e).__name__}: {e}"
 
 
+def _extract_rows_op(blobs, extract_fn, cols, schema,
+                     quarantine_schema, errors):
+    """Shared mapInPandas harness for one-payload -> many-row
+    extractors with the TWO-LEVEL quarantine contract (pdf_images,
+    tiff_page_images): a malformed CONTAINER yields one row with NULL
+    positional columns; a refused ITEM yields its own error row while
+    siblings extract. ``extract_fn(payload_bytes) -> list[dict]`` with
+    each dict carrying cols[1:] keys incl. error/error_kind. Factored
+    in r13 after the second copy of this machinery started drifting
+    (error-text divergence)."""
+    import pandas as pd
+
+    quarantine = _check_errors_mode(errors)
+
+    def batches(it):
+        for batch in it:
+            out = {c: [] for c in cols}
+
+            def emit(doc_id, row):
+                out["doc_id"].append(doc_id)
+                for c in cols[1:]:
+                    out[c].append(row.get(c))
+
+            for doc_id, payload in zip(batch["doc_id"],
+                                       batch["payload"]):
+                try:
+                    rows = extract_fn(
+                        bytes(payload) if payload is not None else b"")
+                except DECODE_ERRORS as e:
+                    if not quarantine:
+                        raise
+                    emit(doc_id, {"error": _error_text(e),
+                                  "error_kind": _error_kind(e)})
+                    continue
+                for row in rows:
+                    if row["error"] is not None and not quarantine:
+                        # preserve the exception CLASS so callers can
+                        # route 'unsupported' (codec-library work)
+                        # apart from 'corrupt' (r12 review fix)
+                        exc = NotImplementedError \
+                            if row["error_kind"] == "unsupported" \
+                            else ValueError
+                        raise exc(row["error"])
+                    if row.get("payload") is not None:
+                        row = dict(row,
+                                   payload=bytearray(row["payload"]))
+                    emit(doc_id, row)
+            yield pd.DataFrame(
+                {c: pd.Series(v, dtype="object")
+                 for c, v in out.items()
+                 if quarantine or c not in ("error", "error_kind")})
+
+    return blobs.mapInPandas(
+        batches, quarantine_schema if quarantine else schema)
+
+
 def _check_errors_mode(errors: str) -> bool:
     if errors not in ("raise", "quarantine"):
         raise ValueError(

@@ -1670,55 +1670,14 @@ def pdf_images(blobs: DataFrame, errors: str = "raise",
     NULL page_idx; a refused IMAGE (JPX/JBIG2, ImageMask,
     non-8-bit, exotic color space) yields its own error row while the
     document's other images still extract."""
-    from .multimodal import (
-        DECODE_ERRORS, _check_errors_mode, _error_kind, _error_text,
-    )
+    from .multimodal import _extract_rows_op
 
-    quarantine = _check_errors_mode(errors)
-    cols = ("doc_id", "page_idx", "image_idx", "name", "format",
-            "width", "height", "payload", "error", "error_kind")
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf_batch in it:
-            out: dict[str, list] = {c: [] for c in cols}
-
-            def emit(doc_id, row):
-                out["doc_id"].append(doc_id)
-                for c in cols[1:]:
-                    out[c].append(row.get(c))
-
-            for doc_id, payload in zip(pdf_batch["doc_id"],
-                                       pdf_batch["payload"]):
-                try:
-                    rows = extract_pdf_images(
-                        bytes(payload) if payload is not None else b"",
-                        inflate_budget=inflate_budget)
-                except DECODE_ERRORS as e:
-                    if not quarantine:
-                        raise
-                    emit(doc_id, {"error": _error_text(e),
-                                  "error_kind": _error_kind(e)})
-                    continue
-                for row in rows:
-                    if row["error"] is not None and not quarantine:
-                        # preserve the exception CLASS so callers can
-                        # route 'unsupported' (codec-library work) apart
-                        # from 'corrupt' (r12 review fix)
-                        exc = NotImplementedError \
-                            if row["error_kind"] == "unsupported" \
-                            else ValueError
-                        raise exc(row["error"])
-                    if row["payload"] is not None:
-                        row = dict(row, payload=bytearray(row["payload"]))
-                    emit(doc_id, row)
-            yield pd.DataFrame(
-                {c: pd.Series(v, dtype="object")
-                 for c, v in out.items()
-                 if quarantine or c not in ("error", "error_kind")})
-
-    schema = PDF_IMAGES_QUARANTINE_SCHEMA if quarantine \
-        else PDF_IMAGES_SCHEMA
-    return blobs.mapInPandas(batches, schema)
+    return _extract_rows_op(
+        blobs,
+        lambda p: extract_pdf_images(p, inflate_budget=inflate_budget),
+        ("doc_id", "page_idx", "image_idx", "name", "format",
+         "width", "height", "payload", "error", "error_kind"),
+        PDF_IMAGES_SCHEMA, PDF_IMAGES_QUARANTINE_SCHEMA, errors)
 
 
 def pdf_images_as_payloads(images: DataFrame) -> DataFrame:

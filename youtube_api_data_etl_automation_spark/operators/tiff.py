@@ -353,12 +353,17 @@ def _decode_tiff_jpeg(payload: bytes, tags: dict, scalar, array,
     return arr
 
 
-def _ifd_chain(payload: bytes, lt: str,
-               max_pages: int = 1024) -> list[int]:
-    """Offsets of every IFD in the page chain (TIFF 6.0: each IFD ends
+def _ifd_chain(payload: bytes, lt: str, stop_after: int | None = None,
+               max_pages: int = 1 << 16) -> list[int]:
+    """Offsets of the IFDs in the page chain (TIFF 6.0: each IFD ends
     with a u32 pointer to the next, 0 terminates). Loop- and
-    bounds-checked; ``max_pages`` bounds a malformed self-referencing
-    chain."""
+    bounds-checked. ``stop_after`` returns once that many offsets are
+    collected WITHOUT touching the next pointer — so requesting page 0
+    never validates the rest of the chain (r13 review fix: broken
+    writers leave junk in the next-IFD field of single-page files, and
+    walking it would flip previously-decodable payloads to corrupt).
+    ``max_pages`` bounds a pathological chain with an honest refusal,
+    never a silent truncation."""
     import struct
 
     (off,) = struct.unpack_from(lt + "I", payload, 4)
@@ -371,8 +376,12 @@ def _ifd_chain(payload: bytes, lt: str,
             raise ValueError("malformed TIFF: IFD offset out of bounds")
         seen.add(off)
         offs.append(off)
+        if stop_after is not None and len(offs) >= stop_after:
+            return offs
         if len(offs) >= max_pages:
-            break
+            raise NotImplementedError(
+                f"TIFF page chain exceeds {max_pages} IFDs; raise "
+                "max_pages or route to a codec library")
         (n,) = struct.unpack_from(lt + "H", payload, off)
         nxt_at = off + 2 + 12 * n
         if nxt_at + 4 > len(payload):
@@ -399,19 +408,29 @@ def decode_tiff(payload: bytes,
     """Decode a baseline TIFF payload to an (h, w, 3) uint8 RGB array.
     ``page`` selects the IFD in the page chain (r13: multi-page TIFFs
     are the normal container for scanned/fax documents — enumerate
-    with :func:`tiff_page_count`)."""
+    with :func:`tiff_page_count`; page 0 never validates the rest of
+    the chain, so junk trailing next-IFD pointers stay decodable)."""
+    if payload[:4] not in (b"II*\x00", b"MM\x00*"):
+        raise ValueError("malformed TIFF: bad magic")
+    lt = "<" if payload[:2] == b"II" else ">"
+    if page < 0:
+        raise ValueError(f"malformed TIFF: page {page}")
+    chain = _ifd_chain(payload, lt, stop_after=page + 1)
+    if page >= len(chain):
+        raise ValueError(
+            f"malformed TIFF: page {page} of a {len(chain)}-page file")
+    return _decode_ifd(payload, lt, chain[page], pixel_budget)
+
+
+def _decode_ifd(payload: bytes, lt: str, ifd0: int,
+                pixel_budget: int | None) -> np.ndarray:
+    """Decode ONE IFD's image (the body shared by the page-selected
+    public API and the multi-page extractor, which walks the chain
+    once and decodes by offset — O(pages), r13 review fix)."""
     import struct
 
     from .mediameta import _tiff_ifd_entries
 
-    if payload[:4] not in (b"II*\x00", b"MM\x00*"):
-        raise ValueError("malformed TIFF: bad magic")
-    lt = "<" if payload[:2] == b"II" else ">"
-    chain = _ifd_chain(payload, lt)
-    if not 0 <= page < len(chain):
-        raise ValueError(
-            f"malformed TIFF: page {page} of a {len(chain)}-page file")
-    ifd0 = chain[page]
     tags: dict[int, tuple[int, int, bytes]] = {}
     for tag, ftype, count, vb in _tiff_ifd_entries(payload, 0, ifd0, lt):
         tags[tag] = (ftype, count, vb)
@@ -642,22 +661,28 @@ def extract_tiff_pages(payload: bytes,
                        pixel_budget: int | None = TIFF_PIXEL_BUDGET,
                        ) -> list[dict]:
     """Every page of a (possibly multi-page) TIFF as a P6 PPM payload
-    row dict; per-page failures yield their own error rows while the
-    other pages still extract (the pdf_images two-level contract)."""
-    n = tiff_page_count(payload)  # raises on a malformed container
+    row dict; per-page failures — including bug-shaped ones, the full
+    DECODE_ERRORS set — yield their own error rows while the other
+    pages still extract (the pdf_images two-level contract; r13 review
+    fix: a narrower per-page catch let an IndexError discard healthy
+    sibling pages). One chain walk; pages decode by IFD offset."""
+    from .multimodal import DECODE_ERRORS, _error_kind, _error_text
+
+    payload = bytes(payload)
+    if payload[:4] not in (b"II*\x00", b"MM\x00*"):
+        raise ValueError("malformed TIFF: bad magic")
+    lt = "<" if payload[:2] == b"II" else ">"
+    chain = _ifd_chain(payload, lt)  # raises on a malformed container
     rows: list[dict] = []
-    for page in range(n):
+    for page, off in enumerate(chain):
         row = {"page_idx": page, "format": None, "width": None,
                "height": None, "payload": None, "error": None,
                "error_kind": None}
         try:
-            rgb = decode_tiff(payload, pixel_budget=pixel_budget,
-                              page=page)
-        except (ValueError, NotImplementedError) as e:
-            row["error"] = f"{type(e).__name__}: {e}"
-            row["error_kind"] = ("unsupported"
-                                 if isinstance(e, NotImplementedError)
-                                 else "corrupt")
+            rgb = _decode_ifd(payload, lt, off, pixel_budget)
+        except DECODE_ERRORS as e:
+            row["error"] = _error_text(e)
+            row["error_kind"] = _error_kind(e)
             rows.append(row)
             continue
         h, w = rgb.shape[:2]
@@ -672,61 +697,21 @@ def tiff_page_images(blobs, errors: str = "raise",
                      pixel_budget: int | None = TIFF_PIXEL_BUDGET):
     """TIFF payload table → one row per PAGE, each a standalone P6 PPM
     the image pipeline decodes directly (multi-page TIFF is the normal
-    fax/scan-archive container). Two-level quarantine: a malformed
-    CONTAINER yields one row with NULL page_idx; a refused PAGE
-    (unsupported compression, pixel budget) yields its own error row
-    while sibling pages extract. Arrow-batched mapInPandas, no shuffle
-    — feed :func:`tiff_pages_as_payloads` into image_hashes /
-    dedup_images exactly like pdf_images_as_payloads."""
-    import pandas as pd
+    fax/scan-archive container). Two-level quarantine via the shared
+    harness (multimodal._extract_rows_op — r13 review consolidation
+    with pdf_images): a malformed CONTAINER yields one row with NULL
+    page_idx; a refused PAGE (unsupported compression, pixel budget)
+    yields its own error row while sibling pages extract. Arrow-batched
+    mapInPandas, no shuffle — feed :func:`tiff_pages_as_payloads` into
+    image_hashes / dedup_images exactly like pdf_images_as_payloads."""
+    from .multimodal import _extract_rows_op
 
-    from .multimodal import (
-        DECODE_ERRORS, _check_errors_mode, _error_kind, _error_text,
-    )
-
-    quarantine = _check_errors_mode(errors)
-    cols = ("doc_id", "page_idx", "format", "width", "height",
-            "payload", "error", "error_kind")
-
-    def batches(it):
-        for batch in it:
-            out: dict[str, list] = {c: [] for c in cols}
-
-            def emit(doc_id, row):
-                out["doc_id"].append(doc_id)
-                for c in cols[1:]:
-                    out[c].append(row.get(c))
-
-            for doc_id, payload in zip(batch["doc_id"],
-                                       batch["payload"]):
-                try:
-                    rows = extract_tiff_pages(
-                        bytes(payload) if payload is not None else b"",
-                        pixel_budget=pixel_budget)
-                except DECODE_ERRORS as e:
-                    if not quarantine:
-                        raise
-                    emit(doc_id, {"error": _error_text(e),
-                                  "error_kind": _error_kind(e)})
-                    continue
-                for row in rows:
-                    if row["error"] is not None and not quarantine:
-                        exc = NotImplementedError \
-                            if row["error_kind"] == "unsupported" \
-                            else ValueError
-                        raise exc(row["error"])
-                    if row["payload"] is not None:
-                        row = dict(row,
-                                   payload=bytearray(row["payload"]))
-                    emit(doc_id, row)
-            yield pd.DataFrame(
-                {c: pd.Series(v, dtype="object")
-                 for c, v in out.items()
-                 if quarantine or c not in ("error", "error_kind")})
-
-    schema = TIFF_PAGES_QUARANTINE_SCHEMA if quarantine \
-        else TIFF_PAGES_SCHEMA
-    return blobs.mapInPandas(batches, schema)
+    return _extract_rows_op(
+        blobs,
+        lambda p: extract_tiff_pages(p, pixel_budget=pixel_budget),
+        ("doc_id", "page_idx", "format", "width", "height",
+         "payload", "error", "error_kind"),
+        TIFF_PAGES_SCHEMA, TIFF_PAGES_QUARANTINE_SCHEMA, errors)
 
 
 def tiff_pages_as_payloads(pages):
