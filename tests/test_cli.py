@@ -787,3 +787,29 @@ def test_frontier_command_end_to_end(spark, tmp_path):
     bad = build_parser().parse_args(
         ["frontier", "--sitemaps", sm_dir, "--output", out_dir])
     assert bad.fn(bad) == 2
+
+
+def test_frontier_command_schedule(spark, tmp_path):
+    """r14: --schedule-slots emits the politeness-aware fetch plan
+    (slot/seq/not_before_sec honoring Crawl-delay)."""
+    robots_dir = str(tmp_path / "robots")
+    sm_dir = str(tmp_path / "sitemaps")
+    out_dir = str(tmp_path / "plan")
+    spark.createDataFrame(
+        [("a.com", "User-agent: *\nCrawl-delay: 3\n"
+          "Sitemap: https://a.com/sm.xml\n")],
+        "host string, payload string").write.parquet(robots_dir)
+    spark.createDataFrame(
+        [("https://a.com/sm.xml",
+          "<urlset><url><loc>https://a.com/p1</loc></url>"
+          "<url><loc>https://a.com/p2</loc></url></urlset>")],
+        "url string, payload string").write.parquet(sm_dir)
+
+    rc = main(["frontier", "--robots", robots_dir, "--sitemaps",
+               sm_dir, "--output", out_dir, "--schedule-slots", "4"])
+    assert rc == 0
+    rows = {r["url"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert rows["https://a.com/p1"]["seq"] == 0
+    assert rows["https://a.com/p2"]["not_before_sec"] == 3.0
+    assert rows["https://a.com/p1"]["slot"] == \
+        rows["https://a.com/p2"]["slot"]

@@ -509,3 +509,80 @@ def test_crawl_frontier_seen_url_col(spark):
     left = {r["url"] for r in R.crawl_frontier(
         rules, fetches, seen=seen, url_col="source").collect()}
     assert left == {"https://a.com/p1"}
+
+
+def test_crawl_frontier_delay_column(spark):
+    """r14 (VERDICT r13 item 2): frontier rows carry the agent's
+    governing Crawl-delay per host; hosts with no governing delay
+    (cross-host rows whose own robots set none) stay NULL."""
+    robots = (b"User-agent: *\nCrawl-delay: 4\n"
+              b"Sitemap: https://a.com/sm.xml\n")
+    rules = R.parse_robots(spark.createDataFrame(
+        [("a.com", robots)], "host string, payload binary"))
+    fetches = spark.createDataFrame(
+        [("https://a.com/sm.xml",
+          "<urlset><url><loc>https://a.com/p1</loc></url>"
+          "<url><loc>https://other.com/x</loc></url></urlset>")],
+        "url string, payload string")
+    out = {r["host"]: r["crawl_delay_sec"]
+           for r in R.crawl_frontier(rules, fetches).collect()}
+    assert out == {"a.com": 4.0, "other.com": None}
+
+
+def test_crawl_frontier_delay_agent_scoped(spark):
+    """The delay join honors group exclusivity for the crawling
+    agent: a named group's own delay wins; the * delay must not
+    leak into a named group that sets none."""
+    robots = (b"User-agent: *\nCrawl-delay: 2\n\n"
+              b"User-agent: fastbot\nDisallow: /x\n\n"
+              b"User-agent: slowbot\nCrawl-delay: 9\n"
+              b"Sitemap: https://a.com/sm.xml\n")
+    rules = R.parse_robots(spark.createDataFrame(
+        [("a.com", robots)], "host string, payload binary"))
+    fetches = spark.createDataFrame(
+        [("https://a.com/sm.xml",
+          "<urlset><url><loc>https://a.com/p1</loc></url></urlset>")],
+        "url string, payload string")
+
+    def delay(agent):
+        rows = R.crawl_frontier(rules, fetches, agent=agent).collect()
+        return rows[0]["crawl_delay_sec"]
+
+    assert delay("slowbot") == 9.0
+    assert delay("fastbot") is None  # named group, no delay: no leak
+    assert delay("anybot") == 2.0    # falls to *
+
+
+def test_schedule_fetches(spark):
+    """r14: politeness-aware fetch plan — one slot per host (all of a
+    host's URLs co-located), deterministic per-host sequence, and
+    not_before_sec = seq * delay (default when the host set none)."""
+    frontier = spark.createDataFrame(
+        [("a.com", "https://a.com/b", "2026-01-01", 4.0),
+         ("a.com", "https://a.com/a", None, 4.0),
+         ("a.com", "https://a.com/c", None, 4.0),
+         ("b.com", "https://b.com/z", None, None)],
+        "host string, url string, lastmod string, "
+        "crawl_delay_sec double")
+    out = R.schedule_fetches(frontier, slots=8,
+                             default_delay_sec=1.5).collect()
+    by_url = {r["url"]: r for r in out}
+    # all of a host's URLs share one slot, in [0, slots)
+    slots_a = {by_url[u]["slot"] for u in
+               ("https://a.com/a", "https://a.com/b", "https://a.com/c")}
+    assert len(slots_a) == 1 and 0 <= slots_a.pop() < 8
+    # sequence is URL-ordered within host; offsets honor the delay
+    assert [(by_url[f"https://a.com/{p}"]["seq"],
+             by_url[f"https://a.com/{p}"]["not_before_sec"])
+            for p in "abc"] == [(0, 0.0), (1, 4.0), (2, 8.0)]
+    # NULL delay falls to the fetcher default
+    assert by_url["https://b.com/z"]["not_before_sec"] == 0.0
+    two = spark.createDataFrame(
+        [("b.com", "https://b.com/z", None, None),
+         ("b.com", "https://b.com/y", None, None)],
+        "host string, url string, lastmod string, "
+        "crawl_delay_sec double")
+    out2 = {r["url"]: r["not_before_sec"]
+            for r in R.schedule_fetches(two, slots=8,
+                                        default_delay_sec=1.5).collect()}
+    assert out2 == {"https://b.com/y": 0.0, "https://b.com/z": 1.5}

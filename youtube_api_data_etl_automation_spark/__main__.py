@@ -372,6 +372,12 @@ def _cmd_frontier(args: argparse.Namespace) -> int:
     seen = spark.read.parquet(args.seen) if args.seen else None
     frontier = crawl_frontier(rules, fetches, agent=args.agent,
                               seen=seen, url_col=args.url_col)
+    if args.schedule_slots:
+        from .operators.robots import schedule_fetches
+
+        frontier = schedule_fetches(
+            frontier, args.schedule_slots,
+            default_delay_sec=args.default_delay)
     frontier.write.mode("overwrite").parquet(args.output)
     out = spark.read.parquet(args.output)
     n = out.count()
@@ -1075,6 +1081,15 @@ def build_parser() -> argparse.ArgumentParser:
     fro.add_argument("--agent", default="*",
                      help="crawling user-agent for the REP decision")
     fro.add_argument("--url-col", default="url")
+    fro.add_argument(
+        "--schedule-slots", type=int, default=0,
+        help="if >0, emit a politeness-aware fetch plan instead of "
+        "the bare frontier: slot (host-sticky worker), seq, and "
+        "not_before_sec honoring each host's Crawl-delay "
+        "(operators/robots.py::schedule_fetches)")
+    fro.add_argument(
+        "--default-delay", type=float, default=1.0,
+        help="not_before_sec spacing for hosts with no Crawl-delay")
     fro.add_argument("--output", required=True,
                      help="frontier parquet output dir")
     fro.set_defaults(fn=_cmd_frontier)

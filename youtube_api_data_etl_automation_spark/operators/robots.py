@@ -393,10 +393,14 @@ def crawl_frontier(rules: DataFrame, sitemap_fetches: DataFrame, *,
     url_normalize`, the crawling ``agent``'s own robots rules filter
     them, and URLs already ingested (``seen``, any table with
     ``url_col``) subtract out. Returns distinct
-    ``(host, url, lastmod)`` rows — host re-derived from the
-    CANONICAL URL (sitemaps may name cross-host URLs; the REP
-    decision and the frontier key both belong to the URL's own
-    host), lastmod the max across sitemap mentions.
+    ``(host, url, lastmod, crawl_delay_sec)`` rows — host re-derived
+    from the CANONICAL URL (sitemaps may name cross-host URLs; the
+    REP decision and the frontier key both belong to the URL's own
+    host), lastmod the max across sitemap mentions, and
+    ``crawl_delay_sec`` (r14, nullable) the agent's governing
+    ``Crawl-delay`` for that host via :func:`robots_crawl_delays` —
+    the politeness metadata a fetcher consuming the frontier needs,
+    joined here so it never has to re-derive it (VERDICT r13 item 2).
 
     ``sitemap_fetches`` is the caller's fetch table
     ``(url, payload)`` — payloads are joined back to the robots
@@ -450,8 +454,47 @@ def crawl_frontier(rules: DataFrame, sitemap_fetches: DataFrame, *,
         seen_urls = seen.select(
             url_normalize(F.col(url_col)).alias("url")).distinct()
         allowed = allowed.join(seen_urls, "url", "left_anti")
+    # host-keyed left join of the agent's governing Crawl-delay: the
+    # delays relation is rules-sized (≤1 row per host) — broadcast
+    # hash, never a corpus shuffle; hosts whose governing group sets
+    # no delay stay NULL (the fetcher's default applies)
+    delays = robots_crawl_delays(rules, agent=agent)
     return (
         allowed.groupBy("url")
         .agg(F.max("lastmod").alias("lastmod"))
         .select(url_host(F.col("url")).alias("host"), "url", "lastmod")
+        .join(F.broadcast(delays), "host", "left")
     )
+
+
+def schedule_fetches(frontier: DataFrame, slots: int, *,
+                     default_delay_sec: float = 1.0) -> DataFrame:
+    """Politeness-aware fetch plan over a :func:`crawl_frontier`
+    relation: assign every URL a worker ``slot`` and a host-local
+    ``not_before_sec`` offset honoring the host's ``crawl_delay_sec``.
+
+    - ``slot = pmod(xxhash64(host), slots)`` — ALL of a host's URLs
+      land on one worker, so per-host delays can be enforced locally
+      without cross-worker coordination (the standard
+      politeness-partitioned fetcher shape).
+    - ``seq`` — the URL's 0-based position within its host (ordered
+      by canonical URL: deterministic, re-runs produce the same
+      schedule).
+    - ``not_before_sec = seq * coalesce(crawl_delay_sec,
+      default_delay_sec)`` — the earliest offset (seconds from the
+      host's first fetch) at which the fetch respects the delay.
+
+    Scale: one window partitioned by ``host`` — fine at crawl scale
+    because host cardinality is high and per-host URL counts are
+    sitemap-bounded (50k per urlset); no host's partition approaches
+    executor memory. No global sort, no driver collect.
+    """
+    w = Window.partitionBy("host").orderBy("url")
+    delay = F.coalesce(F.col("crawl_delay_sec"),
+                       F.lit(float(default_delay_sec)))
+    return frontier.select(
+        "*",
+        F.pmod(F.xxhash64(F.col("host")), F.lit(slots))
+        .cast("int").alias("slot"),
+        (F.row_number().over(w) - F.lit(1)).alias("seq"),
+    ).withColumn("not_before_sec", F.col("seq") * delay)

@@ -544,6 +544,9 @@ delays_section AS (
        (VALUES ('*', 2), ('trainingbot', 7)) AS a(agent, d)
 ),
 frontier_section AS (
+  -- r14: the per-URL fingerprint grows the host's hand-derived
+  -- Crawl-delay (the fixture plants 2 + length(host) % 3 in the *
+  -- group), checking crawl_frontier's host-keyed delay join
   SELECT 'frontier' AS section,
          host AS key,
          CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -551,8 +554,10 @@ frontier_section AS (
               AS BIGINT) AS n_kept,
          md5(COALESCE(string_agg(
            CASE WHEN allowed AND NOT seen
-                THEN canon || '|' || COALESCE(lastmod, '-') END,
-           ',' ORDER BY canon || '|' || COALESCE(lastmod, '-')), ''))
+                THEN canon || '|' || COALESCE(lastmod, '-') || '|'
+                     || CAST(2 + length(host) % 3 AS VARCHAR) END,
+           ',' ORDER BY canon || '|' || COALESCE(lastmod, '-') || '|'
+                     || CAST(2 + length(host) % 3 AS VARCHAR)), ''))
            AS kept_fp
   FROM fr_c
   GROUP BY host
@@ -851,10 +856,21 @@ def url_compliance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.lit(".xml")).alias("url"),
         "payload",
     ))
+    # r14: the frontier fixture's * group carries a PER-HOST
+    # Crawl-delay (2 + len(host) % 3 — varies across hosts) so the
+    # frontier's host-keyed delay join is checked cross-host: a
+    # swapped or broken join key produces the wrong delay in the
+    # fingerprint. Hand-derived in the oracle SQL, never a second
+    # delay evaluator. Substituted INTO the * group (not appended —
+    # an appended line would join otherbot's group).
+    fr_delay = (F.length(F.col("host")) % 3 + 2).cast("long")
+    _pre, _post = robots_txt.split("Crawl-delay: 2\n", 1)
     fr_rules = parse_robots(
         hosts.withColumn(
             "payload",
-            F.concat(F.lit(robots_txt),
+            F.concat(F.lit(_pre), F.lit("Crawl-delay: "),
+                     fr_delay.cast("string"), F.lit("\n"),
+                     F.lit(_post),
                      F.lit("\nSitemap: https://"), F.col("host"),
                      F.lit("/smidx.xml\n"))))
     seen = fr_docs.filter(did % 10 == 2).select(base_url.alias("url"))
@@ -865,7 +881,10 @@ def url_compliance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_kept"),
         F.md5(F.concat_ws(",", F.array_sort(F.collect_list(
             F.concat(F.col("url"), F.lit("|"),
-                     F.coalesce(F.col("lastmod"), F.lit("-")))))))
+                     F.coalesce(F.col("lastmod"), F.lit("-")),
+                     F.lit("|"),
+                     F.coalesce(F.col("crawl_delay_sec").cast("long")
+                                .cast("string"), F.lit("-")))))))
         .alias("kept_fp"))
     frontier_section = totals_f.join(fr_agg, "host", "left").select(
         F.lit("frontier").alias("section"),
