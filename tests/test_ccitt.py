@@ -700,12 +700,12 @@ def test_pdf_ccitt_k_positive_decodes():
     assert r["payload"] == b"P5\n24 6\n255\n" + dark
 
 
-def _two_page_tiff(img0, img1):
-    """Two-page LE TIFF: page 0 G4, page 1 MH."""
+def _multi_page_tiff(pages):
+    """N-page LE TIFF, one strip per page. ``pages`` is a list of
+    ``(strip_bytes, compression, (h, w), bits, photometric)`` — mixed
+    per-page compressions/sample layouts are the point (the fixture's
+    mixed-codec multi-page contract)."""
     import struct
-
-    strips = [(_encode_g4(img0, eofb=False), 4, img0),
-              (_encode_mh(img1, byte_align=True), 2, img1)]
 
     def ifd(entries, next_off):
         out = struct.pack("<H", len(entries))
@@ -718,26 +718,35 @@ def _two_page_tiff(img0, img1):
 
     n_entries = 9
     ifd_size = 2 + 12 * n_entries + 4
-    ifd0_at, data_at = 8, 8 + 2 * ifd_size
-    offs, parts, at = [], [], data_at
-    for strip, _, _ in strips:
+    first_at = 8
+    data_at = first_at + len(pages) * ifd_size
+    offs, at = [], data_at
+    for strip, *_ in pages:
         offs.append(at)
-        parts.append(strip)
         at += len(strip)
 
     def entries(i):
-        strip, comp, img = strips[i]
-        h, w = img.shape
+        strip, comp, (h, w), bits, photometric = pages[i]
         return [
-            (256, 4, 1, [w]), (257, 4, 1, [h]), (258, 3, 1, [1]),
-            (259, 3, 1, [comp]), (262, 3, 1, [0]),
+            (256, 4, 1, [w]), (257, 4, 1, [h]), (258, 3, 1, [bits]),
+            (259, 3, 1, [comp]), (262, 3, 1, [photometric]),
             (273, 4, 1, [offs[i]]), (277, 3, 1, [1]),
-            (278, 4, 1, [h]), (279, 4, 1, [len(strips[i][0])]),
+            (278, 4, 1, [h]), (279, 4, 1, [len(strip)]),
         ]
 
-    return (b"II*\x00" + struct.pack("<I", ifd0_at)
-            + ifd(entries(0), ifd0_at + ifd_size)
-            + ifd(entries(1), 0) + b"".join(parts))
+    out = b"II*\x00" + struct.pack("<I", first_at)
+    for i in range(len(pages)):
+        nxt = first_at + (i + 1) * ifd_size if i + 1 < len(pages) else 0
+        out += ifd(entries(i), nxt)
+    return out + b"".join(strip for strip, *_ in pages)
+
+
+def _two_page_tiff(img0, img1):
+    """Two-page LE TIFF: page 0 G4, page 1 MH."""
+    return _multi_page_tiff([
+        (_encode_g4(img0, eofb=False), 4, img0.shape, 1, 0),
+        (_encode_mh(img1, byte_align=True), 2, img1.shape, 1, 0),
+    ])
 
 
 def test_multipage_tiff_pages_decode_independently():
@@ -814,3 +823,30 @@ def test_tiff_page_images_bridge(spark):
     assert len(decoded) == 2
     assert all(r["error"] is None and r["format"] == "ppm"
                for r in decoded)
+
+
+def test_three_page_mixed_corrupt_middle():
+    """r14 (VERDICT r13 item 5): the golden-fixture shape — mixed
+    per-page compressions with a corrupt middle page that quarantines
+    alone while both siblings decode."""
+    from youtube_api_data_etl_automation_spark.operators import tiff
+
+    rng = random.Random(61)
+    img0 = _rand_img(rng, 6, 19)
+    grey = np.arange(5 * 19, dtype=np.uint8).reshape(5, 19) * 2
+    payload = _multi_page_tiff([
+        (_encode_g4(img0, eofb=False), 4, img0.shape, 1, 0),
+        (b"\x12\x34\x56", 4, (4, 19), 1, 0),   # garbage G4 strip
+        (grey.tobytes(), 1, grey.shape, 8, 1),  # uncompressed grey
+    ])
+    rows = tiff.extract_tiff_pages(payload)
+    assert [r["page_idx"] for r in rows] == [0, 1, 2]
+    assert rows[1]["error_kind"] == "corrupt"
+    assert rows[1]["payload"] is None
+    g4 = np.repeat(((1 - img0) * 255).astype(np.uint8)[:, :, None],
+                   3, axis=2)
+    assert bytes(rows[0]["payload"]) == \
+        b"P6\n19 6\n255\n" + g4.tobytes()
+    assert bytes(rows[2]["payload"]) == \
+        b"P6\n19 5\n255\n" + np.repeat(grey[:, :, None], 3,
+                                       axis=2).tobytes()

@@ -37,7 +37,8 @@ def test_fixture_is_committed_and_covers_all_families():
                          "video_frame", "audio_subband", "archive",
                          "warc_records", "document", "document_meta",
                          "image_hash", "exif_strip", "office",
-                         "image_thumb", "subtitle", "document_images"}
+                         "image_thumb", "subtitle", "document_images",
+                         "image_pages"}
     assert fams["image_exif"] == 8 and fams["audio_tags"] == 6
     # the decode matrix: 6 PNG variants + 4 JPEG + GIF/BMP/PPM +
     # 2 VP8L WebP + 10 TIFF (LZW/deflate/palette/tiled + JPEG-in-TIFF,
@@ -70,8 +71,11 @@ def test_fixture_is_committed_and_covers_all_families():
     assert fams["subtitle"] == 4
     # pdf images (r12): flate+dct pair + indexed + form-nested +
     # jpx-refusal + truncated-corrupt + zero-image + CMYK + the r13
-    # CCITT G4 + K>0-refusal pair
-    assert fams["document_images"] == 8
+    # CCITT G4 + K>0-refusal pair + the r14 JBIG2 MMR/arith pair
+    assert fams["document_images"] == 9
+    # multi-page TIFF (r14): 3-page corrupt-middle + G4/MH pair +
+    # corrupt container
+    assert fams["image_pages"] == 3
 
 
 def test_codec_stats_match_golden(spark):
@@ -192,4 +196,4 @@ def test_codec_stats_from_foreign_cwd():
         env={k: v for k, v in __import__("os").environ.items()
              if k != "PYTHONPATH"},
     )
-    assert "CODEC_ROWS=160" in out.stdout, out.stderr[-2000:]
+    assert "CODEC_ROWS=164" in out.stdout, out.stderr[-2000:]

@@ -109,8 +109,15 @@ def test_per_image_refusals_leave_siblings_intact():
             b"/BitsPerComponent 8 ", grey)),
         (b"Jpx", img_obj(
             b"/Width 2 /Height 2 /Filter /JPXDecode ", b"\x00\x00")),
-        (b"Jb2", img_obj(
-            b"/Width 2 /Height 2 /Filter /JBIG2Decode ", b"\x00")),
+        (b"Jb2", img_obj(  # MMR=1 decodes since r14; an arithmetic
+            b"/Width 2 /Height 2 /Filter /JBIG2Decode ",  # region
+            # page info (2x2) + immediate generic region, MMR=0
+            b"\x00\x00\x00\x00\x30\x00\x01\x00\x00\x00\x13"
+            b"\x00\x00\x00\x02\x00\x00\x00\x02\x00\x00\x00\x00"
+            b"\x00\x00\x00\x00\x00\x00\x00"
+            b"\x00\x00\x00\x01\x27\x00\x01\x00\x00\x00\x13"
+            b"\x00\x00\x00\x02\x00\x00\x00\x02\x00\x00\x00\x00"
+            b"\x00\x00\x00\x00\x00\x00\x00")),
         (b"Fax", img_obj(  # K>0 decodes since r13; junk data routes
             b"/Width 2 /Height 2 /Filter /CCITTFaxDecode "  # corrupt
             b"/DecodeParms << /K 1 /Columns 2 >> ", b"\x00")),

@@ -695,6 +695,54 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
             b"/Width 6 /Height 4 /ColorSpace /DeviceRGB "
             b"/BitsPerComponent 8 /Filter /FlateDecode ",
             _zlib.compress(px.tobytes())))])[:70])
+    # r14: JBIG2 MMR generic region (decodes via operators/jbig2.py +
+    # the T.6 decoder) next to an arithmetic-coded sibling that keeps
+    # refusing — golden-pins both the decode and the refusal row
+    from test_jbig2 import _page_info as _jb_page
+    from test_jbig2 import _region as _jb_region
+    from test_jbig2 import _seg as _jb_seg
+    _jimg = _cri(_crm.Random(99), 11, 29)
+    _jb_body = (_jb_seg(1, 39, 1, _jb_region(_jimg))
+                + _jb_seg(2, 49, 1, b""))
+    _jb_glob = _jb_seg(0, 48, 1, _jb_page(29, 11))
+    add(1909, "document_images", "pdf_jbig2_mmr_and_arith_refusal",
+        pdf_with_images([
+            (b"Jb", img_obj(
+                b"/Width 29 /Height 11 /BitsPerComponent 1 "
+                b"/ColorSpace /DeviceGray /Filter /JBIG2Decode "
+                b"/DecodeParms << /JBIG2Globals 9 0 R >> ",
+                _jb_body)),
+            (b"Arith", img_obj(
+                b"/Width 6 /Height 4 /BitsPerComponent 1 "
+                b"/Filter /JBIG2Decode ",
+                _jb_seg(0, 48, 1, _jb_page(6, 4))
+                + _jb_seg(1, 39, 1, _jb_region(_jimg[:4, :6],
+                                               gflags=0)))),
+        ], extra_objs=[(9, stream_obj(b"", _jb_glob))]))
+
+    # ---- image_pages: tiff_page_images (ids 21xx, r14) -----------------
+    # VERDICT r13 item 5: the multi-page TIFF surface under the golden
+    # oracle — mixed per-page compressions, a corrupt middle page that
+    # quarantines alone, and a corrupt container.
+    from test_ccitt import _encode_mh as _ccitt_mh_enc
+    from test_ccitt import _multi_page_tiff
+    _mp0 = _ccitt_rand(_crm.Random(141), 6, 19)
+    _mp2 = np.arange(5 * 19, dtype=np.uint8).reshape(5, 19) * 2
+    add(2101, "image_pages", "tiff_three_pages_corrupt_middle",
+        _multi_page_tiff([
+            (_ccitt_g4_enc(_mp0, eofb=False), 4, _mp0.shape, 1, 0),
+            (b"\x12\x34\x56", 4, (4, 19), 1, 0),
+            (_mp2.tobytes(), 1, _mp2.shape, 8, 1),
+        ]))
+    _mp3 = _ccitt_rand(_crm.Random(142), 4, 17)
+    add(2102, "image_pages", "tiff_two_pages_g4_mh",
+        _multi_page_tiff([
+            (_ccitt_g4_enc(_mp3, eofb=False), 4, _mp3.shape, 1, 0),
+            (_ccitt_mh_enc(_mp3, byte_align=True), 2, _mp3.shape,
+             1, 0),
+        ]))
+    add(2103, "image_pages", "tiff_pages_container_corrupt",
+        b"II*\x00junk")
 
     return rows
 

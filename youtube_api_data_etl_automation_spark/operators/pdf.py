@@ -1420,9 +1420,14 @@ def _extract_one_image(doc: "_Doc", obj) -> tuple[str, int, int, bytes]:
       EncodedByteAlign and the /Decode [1 0] inversion, emitted as
       P5 PGM.
 
-    JPXDecode/JBIG2Decode, ImageMask stencils, non-8-bit
-    sample depths (CCITT's 1-bit aside), exotic color spaces, and
-    non-default /Decode arrays refuse as 'unsupported'
+    - **JBIG2Decode tail** (r14) → MMR-coded generic regions decode
+      via operators/jbig2.py (segment parse + the T.6 decoder),
+      honoring JBIG2Globals and the /Decode [1 0] inversion;
+      arithmetic-coded (MQ) segments still refuse inside the module.
+
+    JPXDecode, arithmetic JBIG2, ImageMask stencils, non-8-bit
+    sample depths (the bilevel codecs' 1-bit aside), exotic color
+    spaces, and non-default /Decode arrays refuse as 'unsupported'
     (quarantine-routed per image)."""
     sdict, raw = obj[1], obj[2]
     w = doc.resolve(sdict.get("Width"))
@@ -1534,6 +1539,74 @@ def _extract_one_image(doc: "_Doc", obj) -> tuple[str, int, int, bytes]:
         grey = (sample * 255).astype("uint8")
         fmt_c, payload_c = _pnm_wrap(grey.tobytes(), w, h, 1)
         return fmt_c, w, h, payload_c
+    if filters and filters[-1] == "JBIG2Decode":
+        # r14 (VERDICT r13 item 4 precursor, item 3): MMR-coded JBIG2
+        # generic regions decode — T.88 defines MMR region coding AS
+        # T.6, so operators/jbig2.py composes segment parsing over the
+        # existing ccitt.decode_g4. Arithmetic-coded (MQ) segments
+        # keep refusing inside decode_jbig2 (mirror-bug policy).
+        from .jbig2 import decode_jbig2
+
+        parms_list = [doc.resolve(v) for v in _as_list(doc.resolve(
+            sdict.get("DecodeParms", sdict.get("DP"))))]
+        if len(filters) > 1:
+            sub = dict(sdict)
+            sub[_Name("Filter")] = [_Name(f) for f in filters[:-1]]
+            sub[_Name("DecodeParms")] = parms_list[: len(filters) - 1]
+            data = _decode_stream(sub, raw, doc.resolve, doc.budget)
+        else:
+            data = raw
+        parm = None
+        if parms_list:
+            if len(parms_list) == len(filters):
+                parm = parms_list[-1]
+            elif len(filters) == 1:
+                parm = parms_list[0]
+        parm = parm if isinstance(parm, dict) else {}
+        globals_data = None
+        gref = parm.get("JBIG2Globals")
+        if gref is not None:
+            gobj = doc.resolve(gref)
+            if not (isinstance(gobj, tuple) and gobj[0] == "stream"):
+                raise ValueError(
+                    "malformed PDF: JBIG2Globals is not a stream")
+            globals_data = doc.stream_data(gobj)
+        bpc_j = doc.resolve(sdict.get("BitsPerComponent"))
+        if bpc_j not in (None, 1):
+            raise ValueError(
+                f"malformed PDF: JBIG2 image with BitsPerComponent="
+                f"{bpc_j!r} (must be 1)")
+        if sdict.get("ColorSpace") is not None:
+            ncomp_j, pal_j = _image_colorspace(
+                doc, sdict.get("ColorSpace"))
+            if ncomp_j != 1 or pal_j is not None:
+                raise NotImplementedError(
+                    "JBIG2 image with a non-gray color space")
+        dec_j = doc.resolve(sdict.get("Decode"))
+        dec_flip_j = False
+        if dec_j is not None:
+            flat_j = [doc.resolve(v) for v in _as_list(dec_j)]
+            if flat_j == [1, 0]:
+                dec_flip_j = True
+            elif flat_j != [0, 1]:
+                raise NotImplementedError(
+                    f"PDF image /Decode {flat_j!r} remaps samples; "
+                    "only identity and [1 0] inversion are supported "
+                    "for JBIG2 images")
+        bil = decode_jbig2(data, globals_data)
+        if bil.shape != (h, w):
+            raise ValueError(
+                f"malformed PDF: JBIG2 page {bil.shape[1]}x"
+                f"{bil.shape[0]} but image is {w}x{h}")
+        # JBIG2 foreground is 1 = black; DeviceGray samples put black
+        # at 0 (every viewer inverts this filter's output), then the
+        # optional /Decode [1 0] inversion, then 1-bit -> 0/255
+        sample = 1 - bil
+        if dec_flip_j:
+            sample = 1 - sample
+        grey = (sample * 255).astype("uint8")
+        fmt_j, payload_j = _pnm_wrap(grey.tobytes(), w, h, 1)
+        return fmt_j, w, h, payload_j
     bpc = doc.resolve(sdict.get("BitsPerComponent"))
     if bpc != 8:
         raise NotImplementedError(
@@ -1667,7 +1740,7 @@ def pdf_images(blobs: DataFrame, errors: str = "raise",
     ``members_as_payloads`` (archives.py).
 
     Quarantine is two-level: a malformed DOCUMENT yields one row with
-    NULL page_idx; a refused IMAGE (JPX/JBIG2, ImageMask,
+    NULL page_idx; a refused IMAGE (JPX/arithmetic-JBIG2, ImageMask,
     non-8-bit, exotic color space) yields its own error row while the
     document's other images still extract."""
     from .multimodal import _extract_rows_op

@@ -54,7 +54,12 @@ Fixture families → engine op exercised:
 - ``document_images`` → :func:`operators.pdf.pdf_images` (r12: image
   XObject extraction — DCTDecode passthrough JPEGs, Flate/Indexed
   PNM unpack, Form recursion, per-image refusal routing; per-document
-  fold of every extracted payload's md5)
+  fold of every extracted payload's md5; r14: JBIG2 MMR decode +
+  arithmetic refusal rows)
+- ``image_pages`` → :func:`operators.tiff.tiff_page_images` (r14:
+  multi-page TIFF per-page extraction — mixed per-page compressions,
+  the corrupt-middle-page sibling-survival contract, container
+  quarantine; per-document fold of every page payload's md5)
 
 Scale note: the fixture is a verification corpus (~40 rows, a few KB);
 the ops it drives are the same Arrow-batched mapInPandas operators that
@@ -92,7 +97,7 @@ CODEC_FAMILIES = (
     "image_exif", "audio_tags", "video_frame", "audio_subband",
     "archive", "warc_records", "document", "document_meta",
     "image_hash", "exif_strip", "office", "image_thumb", "subtitle",
-    "document_images",
+    "document_images", "image_pages",
 )
 
 
@@ -564,6 +569,45 @@ def codec_stats(spark: SparkSession,
             )
         )
         parts.append(pimgf)
+
+    if "image_pages" in by_family:
+        from ..operators.tiff import tiff_page_images
+
+        tpg = tiff_page_images(by_family["image_pages"],
+                               errors="quarantine")
+        tfolded = tpg.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.concat_ws("|", F.array_sort(F.collect_list(F.concat_ws(
+                ":",
+                F.coalesce(F.col("page_idx").cast("string"), F.lit("-")),
+                F.coalesce(F.col("format"), F.lit("-")),
+                F.coalesce(F.col("width").cast("string"), F.lit("-")),
+                F.coalesce(F.col("height").cast("string"), F.lit("-")),
+                F.when(F.col("payload").isNotNull(),
+                       F.md5(F.col("payload")))
+                .otherwise(F.concat(F.lit("ERR:"),
+                                    F.col("error_kind"))),
+            )))).alias("pages"),
+        )
+        # same left-join-from-payloads shape as document_images: an
+        # extraction regression to [] must flip the golden, not
+        # delete the row
+        tpgf = (
+            by_family["image_pages"].select("doc_id")
+            .join(tfolded, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.lit("tiffpages").alias("fmt"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.format_string(
+                    "%d,%s",
+                    F.coalesce(F.col("n"), F.lit(0)),
+                    F.coalesce(F.col("pages"), F.lit("")),
+                ).alias("fp"),
+            )
+        )
+        parts.append(tpgf)
 
     if not parts:
         raise ValueError("codec_stats: empty families selection")
