@@ -1,0 +1,166 @@
+"""pptx_text / xlsx_text (operators/archives.py, r14 — VERDICT r13
+item 4): OOXML presentation and spreadsheet text extraction through
+the same zip machinery, budgets, and quarantine contract as docx."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+import pytest
+
+from youtube_api_data_etl_automation_spark.operators import archives
+
+from tests.test_archives import _blob_df, _zip
+
+
+def _ooxml_zip(members: dict[str, bytes]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, body in members.items():
+            zi = zipfile.ZipInfo(name, date_time=(2024, 1, 2, 3, 4, 6))
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(zi, body)
+        zf.writestr(zipfile.ZipInfo("[Content_Types].xml",
+                                    date_time=(2024, 1, 2, 3, 4, 6)),
+                    b"<Types/>")
+    return buf.getvalue()
+
+
+def _pptx(slides: list[bytes]) -> bytes:
+    return _ooxml_zip({
+        f"ppt/slides/slide{i + 1}.xml":
+            b'<?xml version="1.0"?><p:sld><p:cSld>' + body
+            + b"</p:cSld></p:sld>"
+        for i, body in enumerate(slides)
+    })
+
+
+def _xlsx(sheets: list[bytes], shared: list[bytes] | None = None
+          ) -> bytes:
+    members = {
+        f"xl/worksheets/sheet{i + 1}.xml":
+            b'<?xml version="1.0"?><worksheet><sheetData>' + body
+            + b"</sheetData></worksheet>"
+        for i, body in enumerate(sheets)
+    }
+    members["xl/workbook.xml"] = b"<workbook/>"
+    if shared is not None:
+        members["xl/sharedStrings.xml"] = (
+            b"<sst>" + b"".join(b"<si>" + s + b"</si>" for s in shared)
+            + b"</sst>")
+    return _ooxml_zip(members)
+
+
+LEGACY_OLE2 = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 64
+
+
+def test_pptx_text_extraction(spark):
+    slides = [
+        (b"<p:sp><a:p><a:r><a:t>Title &amp; more</a:t></a:r></a:p>"
+         b'<a:p><a:r><a:t xml:space="preserve">line</a:t><a:br/>'
+         b"<a:t>break</a:t></a:r></a:p></p:sp>"),
+        b"<p:sp><a:p><a:r><a:t>Second slide</a:t></a:r></a:p></p:sp>",
+    ]
+    rows = {r["doc_id"]: r for r in archives.pptx_text(_blob_df(spark, [
+        (1, _pptx(slides)),
+        (2, LEGACY_OLE2),
+        (3, _zip()),           # a zip but not a pptx
+        (4, b"not even zip"),
+    ])).collect()}
+    p = rows[1]
+    assert p["format"] == "pptx" and p["error"] is None
+    assert p["n_slides"] == 2 and p["n_paragraphs"] == 3
+    assert p["text"] == "Title & more\nline\nbreak\fSecond slide"
+    assert p["n_chars"] == len(p["text"])
+    assert rows[2]["error_kind"] == "unsupported"
+    assert "OLE2" in rows[2]["error"]
+    assert rows[3]["error_kind"] == "corrupt"
+    assert rows[4]["error_kind"] == "corrupt"
+
+
+def test_pptx_slide_numeric_order():
+    """slide10 sorts after slide2 (numeric part order, not lexical)."""
+    raw = _ooxml_zip({
+        "ppt/slides/slide10.xml": b"<a:p><a:r><a:t>ten</a:t></a:r></a:p>",
+        "ppt/slides/slide2.xml": b"<a:p><a:r><a:t>two</a:t></a:r></a:p>",
+    })
+    n_slides, n_paras, text = archives._pptx_extract_text(raw, None)
+    assert (n_slides, n_paras) == (2, 2)
+    assert text == "two\ften"
+
+
+def test_xlsx_text_extraction(spark):
+    shared = [b"<t>alpha</t>",
+              b"<t>rich </t><t>text</t>",     # runs concatenate
+              b"<t>a &amp; b</t>"]
+    sheets = [
+        (b'<row r="1"><c r="A1" t="s"><v>0</v></c>'
+         b'<c r="B1"><v>42</v></c>'
+         b'<c r="C1" t="b"><v>1</v></c></row>'
+         b'<row r="2"><c r="A2" t="s"><v>1</v></c>'
+         b'<c r="B2" t="inlineStr"><is><t>inline</t></is></c>'
+         b'<c r="C2"/></row>'),                # C2 empty, skipped
+        (b'<row r="1"><c r="A1" t="s"><v>2</v></c>'
+         b'<c r="B1" t="str"><v>SUM=7</v></c>'
+         b'<c r="C1" t="e"><v>#DIV/0!</v></c></row>'),
+    ]
+    rows = {r["doc_id"]: r for r in archives.xlsx_text(_blob_df(spark, [
+        (1, _xlsx(sheets, shared)),
+        (2, LEGACY_OLE2),
+        (3, _zip()),
+        (4, b"junk"),
+    ])).collect()}
+    x = rows[1]
+    assert x["format"] == "xlsx" and x["error"] is None
+    assert x["n_sheets"] == 2 and x["n_cells"] == 8
+    assert x["text"] == ("alpha\t42\tTRUE\nrich text\tinline"
+                         "\fa & b\tSUM=7\t#DIV/0!")
+    assert x["n_chars"] == len(x["text"])
+    assert rows[2]["error_kind"] == "unsupported"
+    assert "OLE2" in rows[2]["error"]
+    assert rows[3]["error_kind"] == "corrupt"
+    assert rows[4]["error_kind"] == "corrupt"
+
+
+def test_xlsx_no_shared_strings_and_bad_index():
+    """A workbook without sharedStrings.xml works for numeric cells;
+    an out-of-range shared index is malformed, not a crash."""
+    raw = _xlsx([b'<row><c><v>3.5</v></c></row>'])
+    assert archives._xlsx_extract_text(raw, None) == (1, 1, "3.5")
+    bad = _xlsx([b'<row><c t="s"><v>9</v></c></row>'], shared=[])
+    with pytest.raises(ValueError, match="out of range"):
+        archives._xlsx_extract_text(bad, None)
+
+
+def test_office_budget_refuses_before_inflation(spark):
+    big = _pptx([b"<a:p><a:r><a:t>" + b"y" * 5000 + b"</a:t></a:r></a:p>"])
+    row = archives.pptx_text(_blob_df(spark, [(1, big)]),
+                             byte_budget=100).collect()[0]
+    assert row["error_kind"] == "unsupported"
+    assert "budget" in row["error"]
+    bigx = _xlsx([b"<row><c><v>" + b"9" * 5000 + b"</v></c></row>"])
+    rowx = archives.xlsx_text(_blob_df(spark, [(1, bigx)]),
+                              byte_budget=100).collect()[0]
+    assert rowx["error_kind"] == "unsupported"
+
+
+def test_office_to_documents_kinds(spark):
+    from youtube_api_data_etl_automation_spark.corpus import (
+        office_to_documents,
+    )
+
+    pp = _pptx([b"<a:p><a:r><a:t>Deck text body here</a:t></a:r></a:p>"])
+    xl = _xlsx([b'<row><c t="inlineStr"><is><t>cell text</t></is></c>'
+                b"</row>"])
+    got_p = office_to_documents(
+        _blob_df(spark, [(21, pp), (22, b"junk")]), kind="pptx"
+    ).collect()
+    assert len(got_p) == 1 and got_p[0]["source"] == "pptx:21"
+    assert got_p[0]["text"] == "Deck text body here"
+    got_x = office_to_documents(
+        _blob_df(spark, [(31, xl)]), kind="xlsx").collect()
+    assert got_x[0]["source"] == "xlsx:31"
+    assert got_x[0]["text"] == "cell text"
+    with pytest.raises(ValueError, match="kind="):
+        office_to_documents(_blob_df(spark, [(1, pp)]), kind="odt")

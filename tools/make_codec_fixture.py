@@ -622,6 +622,27 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
     add(1602, "office", "doc_legacy_unsupported",
         b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 64)
     add(1603, "office", "zip_without_document_corrupt", _zip())
+    # r14 (VERDICT r13 item 4): the presentation and spreadsheet twins
+    from test_office import _pptx, _xlsx
+    add(1604, "office_pptx", "pptx_two_slides_breaks", _pptx([
+        b"<p:sp><a:p><a:r><a:t>Deck &amp; title</a:t></a:r></a:p>"
+        b"<a:p><a:r><a:t>one</a:t><a:br/><a:t>two</a:t></a:r></a:p>"
+        b"</p:sp>",
+        b"<p:sp><a:p><a:r><a:t>closing slide</a:t></a:r></a:p></p:sp>",
+    ]))
+    add(1605, "office_pptx", "ppt_legacy_unsupported",
+        b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 64)
+    add(1606, "office_xlsx", "xlsx_shared_inline_types", _xlsx(
+        [b'<row r="1"><c r="A1" t="s"><v>0</v></c>'
+         b'<c r="B1"><v>42</v></c>'
+         b'<c r="C1" t="b"><v>0</v></c></row>'
+         b'<row r="2"><c r="A2" t="inlineStr"><is><t>inline cell</t>'
+         b"</is></c>"
+         b'<c r="B2" t="e"><v>#REF!</v></c></row>',
+         b'<row r="1"><c r="A1" t="s"><v>1</v></c>'
+         b'<c r="B1" t="str"><v>TOTAL=99</v></c></row>'],
+        shared=[b"<t>pool </t><t>string</t>", b"<t>k&amp;v</t>"]))
+    add(1607, "office_xlsx", "xlsx_zip_without_sheets_corrupt", _zip())
 
     # ---- document_images: pdf_images (ids 19xx, r12) ------------------
     from test_pdf_images import img_obj, pdf_with_images, rgb_pixels

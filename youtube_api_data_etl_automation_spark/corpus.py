@@ -627,23 +627,36 @@ def pdf_to_images(
     ))
 
 
-def docx_to_documents(
+def office_to_documents(
     payloads: DataFrame,
     *,
+    kind: str = "docx",
     min_chars: int = 1,
     byte_budget: int | None = None,
 ) -> DataFrame:
-    """.docx payload table → ``documents``-shaped rows — the
-    office-format twin of :func:`pdf_to_documents`:
-    :func:`operators.archives.docx_text` extracts the WordprocessingML
-    text (failures drop; run docx_text(errors='quarantine') separately
-    when the quarantine population matters) and the output matches the
-    corpus tables' shape so :func:`curate_corpus` consumes it directly.
+    """Office payload table → ``documents``-shaped rows — the
+    office-format twin of :func:`pdf_to_documents`. ``kind`` picks the
+    OOXML extractor (``docx``/``pptx``/``xlsx``, operators/archives.py;
+    r14 added the latter two per VERDICT r13 item 4); failures drop —
+    run the extractor with ``errors='quarantine'`` separately when the
+    quarantine population matters. The output matches the corpus
+    tables' shape so :func:`curate_corpus` consumes it directly.
     ``doc_id`` is ``xxhash64`` of the source id — stable across
     re-ingestion. One mapInPandas, no shuffle."""
-    from .operators.archives import ARCHIVE_BYTE_BUDGET, docx_text
+    from .operators.archives import (
+        ARCHIVE_BYTE_BUDGET,
+        docx_text,
+        pptx_text,
+        xlsx_text,
+    )
 
-    extracted = docx_text(
+    extractors = {"docx": docx_text, "pptx": pptx_text,
+                  "xlsx": xlsx_text}
+    if kind not in extractors:
+        raise ValueError(
+            f"office_to_documents: kind={kind!r} not in "
+            f"{sorted(extractors)}")
+    extracted = extractors[kind](
         payloads, errors="quarantine",
         byte_budget=byte_budget or ARCHIVE_BYTE_BUDGET,
     )
@@ -654,12 +667,25 @@ def docx_to_documents(
             F.xxhash64(F.col("doc_id")).alias("doc_id"),
             F.col("text"),
             F.lit(None).cast("string").alias("lang"),
-            F.concat(F.lit("docx:"), F.col("doc_id").cast("string"))
+            F.concat(F.lit(kind + ":"), F.col("doc_id").cast("string"))
             .alias("source"),
         )
         .withColumn("n_chars", F.length("text"))
         .filter(F.col("n_chars") >= min_chars)
     )
+
+
+def docx_to_documents(
+    payloads: DataFrame,
+    *,
+    min_chars: int = 1,
+    byte_budget: int | None = None,
+) -> DataFrame:
+    """.docx → ``documents`` rows; the original office bridge, now a
+    :func:`office_to_documents` alias (kept for API stability)."""
+    return office_to_documents(payloads, kind="docx",
+                               min_chars=min_chars,
+                               byte_budget=byte_budget)
 
 
 def subtitles_to_documents(

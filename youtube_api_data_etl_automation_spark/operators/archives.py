@@ -34,6 +34,10 @@ executor):
   closing the crawl-dump loop (tarball → images/PDFs/audio → features).
 - ``docx_text`` (late r11): OOXML .docx → text rows via the zip
   machinery + a WordprocessingML run walk; legacy .doc refuses.
+- ``pptx_text`` / ``xlsx_text`` (r14): the presentation and
+  spreadsheet twins — DrawingML ``<a:t>`` run walk per slide, and
+  shared-strings + per-sheet cell walk (``t=`` s/inlineStr/b/str/e/
+  numeric encodings); legacy .ppt/.xls refuse.
 
 Reference anchor: the reference pipeline ingests remote API payloads
 (fetch_youtube_data.py:121-134); archive split/triage is the same
@@ -750,6 +754,268 @@ def docx_text(blobs: DataFrame, errors: str = "quarantine",
     return blobs.mapInPandas(
         _quarantine_batches(
             one, ("format", "n_paragraphs", "n_chars", "text"),
+            quarantine),
+        schema,
+    )
+
+
+_OLE2_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+
+PPTX_TEXT_SCHEMA = (
+    "doc_id bigint, format string, n_slides int, n_paragraphs int, "
+    "n_chars int, text string"
+)
+
+_AT_RE = None  # DrawingML run walk, compiled lazily like _WT_RE
+
+
+def _xml_unescape(text: str) -> str:
+    for ent, ch in _XML_ENTITIES:
+        text = text.replace(ent, ch)
+    return text
+
+
+def _office_zip(raw: bytes, budget: int | None, kind: str,
+                legacy: str):
+    """Shared OOXML container checks: OLE2 legacy refusal, zip magic,
+    declared-size budget (enforced BEFORE any inflation — the same
+    zip-bomb posture as every archive op here). Returns the ZipFile."""
+    import io
+    import zipfile
+
+    if raw[:8] == _OLE2_MAGIC:
+        raise NotImplementedError(
+            f"legacy OLE2 .{legacy} needs a compound-file parser; only "
+            f"OOXML .{kind} extracts here — route .{legacy} to a "
+            "document-library executor image"
+        )
+    if raw[:4] not in (b"PK\x03\x04", b"PK\x05\x06"):
+        raise ValueError(f"malformed {kind}: not a zip container")
+    meta = _parse_zip_meta(raw)
+    if budget is not None and meta["uncompressed_hint"] > budget:
+        raise NotImplementedError(
+            f"{kind} declares {meta['uncompressed_hint']} bytes over "
+            f"the {budget}-byte budget"
+        )
+    try:
+        return zipfile.ZipFile(io.BytesIO(raw))
+    except Exception as e:
+        raise ValueError(f"malformed {kind}: {e}") from None
+
+
+def _pptx_extract_text(raw: bytes,
+                       budget: int | None) -> tuple[int, int, str]:
+    """(n_slides, n_paragraphs, text) from one OOXML presentation.
+
+    A .pptx is a zip whose ``ppt/slides/slideN.xml`` parts hold the
+    deck as DrawingML: text lives in ``<a:t>`` runs, paragraphs close
+    with ``</a:p>``, ``<a:br/>`` renders as newline. Slides walk in
+    their numeric part order (the standard approximation of the
+    presentation.xml relationship order — part numbers ARE the deck
+    order as every mainstream producer writes them); slide boundaries
+    render as form-feed, the pdf_text page convention. The same
+    anchored-regex subset walk as :func:`_docx_extract_text` — a full
+    XML parser buys nothing for corpus text and loses the
+    total-over-garbage property."""
+    import re as _re
+
+    global _AT_RE
+    if _AT_RE is None:
+        _AT_RE = _re.compile(
+            rb"<a:t(?:\s[^>]*)?>(.*?)</a:t>|</a:p>|<a:br\s*/?>",
+            _re.DOTALL,
+        )
+    zf = _office_zip(raw, budget, "pptx", "ppt")
+    slide_re = _re.compile(r"^ppt/slides/slide(\d+)\.xml$")
+    slides = sorted(
+        (int(m.group(1)), n)
+        for n in zf.namelist() if (m := slide_re.match(n))
+    )
+    if not slides:
+        raise ValueError("malformed pptx: zip without ppt/slides/")
+    pages: list[str] = []
+    n_paras = 0
+    for _, name in slides:
+        try:
+            xml = zf.read(name)
+        except Exception as e:
+            raise ValueError(f"malformed pptx: {e}") from None
+        parts: list[str] = []
+        for m in _AT_RE.finditer(xml):
+            if m.group(1) is not None:
+                parts.append(
+                    _xml_unescape(m.group(1).decode("utf-8", "replace")))
+            elif m.group(0).startswith(b"</a:p"):
+                n_paras += 1
+                if parts and not parts[-1].endswith("\n"):
+                    parts.append("\n")
+            else:  # <a:br/>
+                parts.append("\n")
+        pages.append("".join(parts).strip())
+    return len(slides), n_paras, "\f".join(pages).strip("\f")
+
+
+def pptx_text(blobs: DataFrame, errors: str = "quarantine",
+              byte_budget: int | None = ARCHIVE_BYTE_BUDGET,
+              ) -> DataFrame:
+    """REAL .pptx text extraction over ``(doc_id, payload)`` (r14,
+    VERDICT r13 item 4) — the presentation twin of :func:`docx_text`,
+    composed from the same zip machinery plus a DrawingML run walk.
+    One row per document: slide/paragraph counts, char count, text
+    (slides separated by form-feed, the pdf_text convention).
+    Quarantine contract; legacy .ppt refuses as 'unsupported'."""
+    from .mediameta import _quarantine_batches
+    from .multimodal import _check_errors_mode
+
+    quarantine = _check_errors_mode(errors)
+
+    def one(payload):
+        raw = bytes(payload) if payload else b""
+        if not raw:
+            raise ValueError("empty/NULL pptx payload")
+        n_slides, n_paras, text = _pptx_extract_text(raw, byte_budget)
+        return {"format": "pptx", "n_slides": n_slides,
+                "n_paragraphs": n_paras, "n_chars": len(text),
+                "text": text}
+
+    schema = PPTX_TEXT_SCHEMA + ", error string, error_kind string" \
+        if quarantine else PPTX_TEXT_SCHEMA
+    return blobs.mapInPandas(
+        _quarantine_batches(
+            one, ("format", "n_slides", "n_paragraphs", "n_chars",
+                  "text"),
+            quarantine),
+        schema,
+    )
+
+
+XLSX_TEXT_SCHEMA = (
+    "doc_id bigint, format string, n_sheets int, n_cells int, "
+    "n_chars int, text string"
+)
+
+
+def _xlsx_cell_text(attrs: str, inner: bytes, shared: list[str],
+                    t_re, v_re, ist_re) -> str | None:
+    """One ``<c>`` element → rendered cell text (None = empty cell)."""
+    m = t_re.search(attrs)
+    ctype = m.group(1) if m else "n"
+    if ctype == "inlineStr":
+        runs = ist_re.findall(inner)
+        if not runs:
+            return None
+        return _xml_unescape(
+            b"".join(runs).decode("utf-8", "replace"))
+    mv = v_re.search(inner)
+    if mv is None:
+        return None
+    v = mv.group(1).decode("utf-8", "replace")
+    if ctype == "s":
+        try:
+            return shared[int(v)]
+        except (ValueError, IndexError):
+            raise ValueError(
+                f"malformed xlsx: shared-string index {v!r} out of "
+                f"range ({len(shared)} entries)") from None
+    if ctype == "b":
+        return "TRUE" if v.strip() == "1" else "FALSE"
+    # n (number), str (formula string), e (error literal): the stored
+    # value IS the text
+    return _xml_unescape(v)
+
+
+def _xlsx_extract_text(raw: bytes,
+                       budget: int | None) -> tuple[int, int, str]:
+    """(n_sheets, n_cells, text) from one OOXML workbook.
+
+    A .xlsx is a zip: ``xl/sharedStrings.xml`` interns the string pool
+    (``<si>`` entries whose ``<t>`` runs concatenate — rich-text
+    formatting splits one cell across runs), and each
+    ``xl/worksheets/sheetN.xml`` holds rows of ``<c>`` cells whose
+    ``t`` attribute picks the value encoding: ``s`` shared-string
+    index, ``inlineStr`` inline runs, ``b`` boolean, ``str`` formula
+    result, ``e`` error literal, default numeric. Cells render
+    tab-separated within a row, rows newline-separated, sheets
+    form-feed-separated in numeric part order. Same anchored-regex
+    subset walk as the docx/pptx paths."""
+    import re as _re
+
+    zf = _office_zip(raw, budget, "xlsx", "xls")
+    names = zf.namelist()
+    si_re = _re.compile(rb"<si>(.*?)</si>", _re.DOTALL)
+    st_re = _re.compile(rb"<t(?:\s[^>]*)?>(.*?)</t>", _re.DOTALL)
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in names:
+        try:
+            pool = zf.read("xl/sharedStrings.xml")
+        except Exception as e:
+            raise ValueError(f"malformed xlsx: {e}") from None
+        for si in si_re.findall(pool):
+            shared.append(_xml_unescape(
+                b"".join(st_re.findall(si)).decode("utf-8", "replace")))
+    sheet_re = _re.compile(r"^xl/worksheets/sheet(\d+)\.xml$")
+    sheets = sorted(
+        (int(m.group(1)), n)
+        for n in names if (m := sheet_re.match(n))
+    )
+    if not sheets:
+        raise ValueError("malformed xlsx: zip without xl/worksheets/")
+    row_re = _re.compile(rb"<row[^>]*>(.*?)</row>", _re.DOTALL)
+    c_re = _re.compile(rb"<c([^>/]*)>(.*?)</c>", _re.DOTALL)
+    t_re = _re.compile(r'\st="([^"]*)"')
+    v_re = _re.compile(rb"<v(?:\s[^>]*)?>(.*?)</v>", _re.DOTALL)
+    ist_re = st_re
+    pages: list[str] = []
+    n_cells = 0
+    for _, name in sheets:
+        try:
+            xml = zf.read(name)
+        except Exception as e:
+            raise ValueError(f"malformed xlsx: {e}") from None
+        lines: list[str] = []
+        for row in row_re.findall(xml):
+            cells: list[str] = []
+            for attrs, inner in c_re.findall(row):
+                cell = _xlsx_cell_text(
+                    attrs.decode("utf-8", "replace"), inner, shared,
+                    t_re, v_re, ist_re)
+                if cell is not None:
+                    n_cells += 1
+                    cells.append(cell)
+            if cells:
+                lines.append("\t".join(cells))
+        pages.append("\n".join(lines))
+    return len(sheets), n_cells, "\f".join(pages).strip("\f")
+
+
+def xlsx_text(blobs: DataFrame, errors: str = "quarantine",
+              byte_budget: int | None = ARCHIVE_BYTE_BUDGET,
+              ) -> DataFrame:
+    """REAL .xlsx text extraction over ``(doc_id, payload)`` (r14,
+    VERDICT r13 item 4) — the spreadsheet twin of :func:`docx_text`:
+    shared-string pool + per-sheet cell walk through the same zip
+    machinery and budgets. One row per document: sheet/cell counts,
+    char count, text (cells tab-joined, rows newline-joined, sheets
+    form-feed-joined). Quarantine contract; legacy .xls refuses as
+    'unsupported'."""
+    from .mediameta import _quarantine_batches
+    from .multimodal import _check_errors_mode
+
+    quarantine = _check_errors_mode(errors)
+
+    def one(payload):
+        raw = bytes(payload) if payload else b""
+        if not raw:
+            raise ValueError("empty/NULL xlsx payload")
+        n_sheets, n_cells, text = _xlsx_extract_text(raw, byte_budget)
+        return {"format": "xlsx", "n_sheets": n_sheets,
+                "n_cells": n_cells, "n_chars": len(text), "text": text}
+
+    schema = XLSX_TEXT_SCHEMA + ", error string, error_kind string" \
+        if quarantine else XLSX_TEXT_SCHEMA
+    return blobs.mapInPandas(
+        _quarantine_batches(
+            one, ("format", "n_sheets", "n_cells", "n_chars", "text"),
             quarantine),
         schema,
     )

@@ -60,6 +60,10 @@ Fixture families → engine op exercised:
   multi-page TIFF per-page extraction — mixed per-page compressions,
   the corrupt-middle-page sibling-survival contract, container
   quarantine; per-document fold of every page payload's md5)
+- ``office_pptx`` / ``office_xlsx`` → :func:`operators.archives.
+  pptx_text` / :func:`~operators.archives.xlsx_text` (r14: DrawingML
+  slide runs; shared-strings + typed cell walk — legacy OLE2
+  refusals pinned alongside)
 
 Scale note: the fixture is a verification corpus (~40 rows, a few KB);
 the ops it drives are the same Arrow-batched mapInPandas operators that
@@ -97,7 +101,7 @@ CODEC_FAMILIES = (
     "image_exif", "audio_tags", "video_frame", "audio_subband",
     "archive", "warc_records", "document", "document_meta",
     "image_hash", "exif_strip", "office", "image_thumb", "subtitle",
-    "document_images", "image_pages",
+    "document_images", "image_pages", "office_pptx", "office_xlsx",
 )
 
 
@@ -569,6 +573,50 @@ def codec_stats(spark: SparkSession,
             )
         )
         parts.append(pimgf)
+
+    if "office_pptx" in by_family:
+        from ..operators.archives import pptx_text
+
+        ppt = pptx_text(by_family["office_pptx"],
+                        errors="quarantine").select(
+            "doc_id",
+            F.col("format").alias("fmt"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.when(
+                F.col("error").isNull(),
+                F.format_string(
+                    "%d,%d,%d,%s",
+                    F.col("n_slides"),
+                    F.col("n_paragraphs"),
+                    F.col("n_chars"),
+                    F.translate(F.col("text"), "\n\f", "~|"),
+                ),
+            ).otherwise(_err_fp()).alias("fp"),
+        )
+        parts.append(ppt)
+
+    if "office_xlsx" in by_family:
+        from ..operators.archives import xlsx_text
+
+        xls = xlsx_text(by_family["office_xlsx"],
+                        errors="quarantine").select(
+            "doc_id",
+            F.col("format").alias("fmt"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.when(
+                F.col("error").isNull(),
+                F.format_string(
+                    "%d,%d,%d,%s",
+                    F.col("n_sheets"),
+                    F.col("n_cells"),
+                    F.col("n_chars"),
+                    F.translate(F.col("text"), "\n\t\f", "~·|"),
+                ),
+            ).otherwise(_err_fp()).alias("fp"),
+        )
+        parts.append(xls)
 
     if "image_pages" in by_family:
         from ..operators.tiff import tiff_page_images
