@@ -673,9 +673,7 @@ def _docx_extract_text(raw: bytes, budget: int | None) -> tuple[int, str]:
     and loses the total-over-garbage property. Entities decode with
     ``&amp;`` last so ``&amp;lt;`` round-trips as the literal ``&lt;``.
     Legacy .doc (OLE2 magic) refuses as 'unsupported'."""
-    import io
     import re as _re
-    import zipfile
 
     global _WT_RE
     if _WT_RE is None:
@@ -684,22 +682,11 @@ def _docx_extract_text(raw: bytes, budget: int | None) -> tuple[int, str]:
             rb"|</w:p>|<w:br\s*/?>|<w:tab\s*/?>",
             _re.DOTALL,
         )
-    if raw[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
-        raise NotImplementedError(
-            "legacy OLE2 .doc needs a compound-file parser; only OOXML "
-            ".docx extracts here — route .doc to a document-library "
-            "executor image"
-        )
-    if raw[:4] not in (b"PK\x03\x04", b"PK\x05\x06"):
-        raise ValueError("malformed docx: not a zip container")
-    meta = _parse_zip_meta(raw)
-    if budget is not None and meta["uncompressed_hint"] > budget:
-        raise NotImplementedError(
-            f"docx declares {meta['uncompressed_hint']} bytes over the "
-            f"{budget}-byte budget"
-        )
+    # container checks shared with pptx/xlsx (r14 consolidation —
+    # _office_zip is the one OOXML container harness, so the three
+    # paths cannot drift)
+    zf = _office_zip(raw, budget, "docx", "doc")
     try:
-        zf = zipfile.ZipFile(io.BytesIO(raw))
         xml = zf.read("word/document.xml")
     except KeyError:
         raise ValueError(
