@@ -591,3 +591,51 @@ def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
     write_ivf_index(extra, cent, path, mode="append")
     n = spark.read.parquet(path).count()
     assert n == emb.count() + 10
+
+
+def test_frontier_delay_join_broadcasts(spark):
+    """r14: crawl_frontier's crawl_delay_sec join is a BROADCAST hash
+    join of the rules-sized delays relation — a refactor that lets it
+    fall to a sort-merge join would shuffle the frontier on host."""
+    from youtube_api_data_etl_automation_spark.operators.robots import (
+        crawl_frontier,
+        parse_robots,
+    )
+
+    rules = parse_robots(spark.createDataFrame(
+        [("a.com", "User-agent: *\nCrawl-delay: 3\n"
+          "Sitemap: https://a.com/sm.xml\n")],
+        "host string, payload string"))
+    fetches = spark.createDataFrame(
+        [("https://a.com/sm.xml",
+          "<urlset><url><loc>https://a.com/p1</loc></url></urlset>")],
+        "url string, payload string")
+    plan = _plan(crawl_frontier(rules, fetches))
+    # the delays join is the OUTERMOST operator (LeftOuter on host):
+    # the first join in the plan string must be the broadcast one.
+    # Deeper joins (the REP/sitemap rules-sized equi-joins) may print
+    # as SMJ pre-AQE at this fixture size; AQE converts them at
+    # runtime and they are not this test's contract.
+    first_join = min(i for i in (
+        plan.find("BroadcastHashJoin"), plan.find("SortMergeJoin"))
+        if i != -1)
+    assert plan[first_join:].startswith("BroadcastHashJoin")
+    head = plan[first_join:first_join + 120]
+    assert "host" in head and "LeftOuter" in head
+
+
+def test_schedule_fetches_single_host_exchange(spark):
+    """r14: schedule_fetches is ONE hash exchange on host (the window)
+    plus map-side slot math — no global sort, no extra shuffle."""
+    from youtube_api_data_etl_automation_spark.operators.robots import (
+        schedule_fetches,
+    )
+
+    frontier = spark.createDataFrame(
+        [("a.com", "https://a.com/p1", None, 2.0)],
+        "host string, url string, lastmod string, "
+        "crawl_delay_sec double")
+    plan = _plan(schedule_fetches(frontier, 16))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+    assert "Window" in plan
