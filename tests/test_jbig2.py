@@ -209,3 +209,18 @@ def test_pdf_jbig2_page_size_mismatch_is_malformed():
     row = P.extract_pdf_images(doc)[0]
     assert row["error_kind"] == "corrupt"  # ValueError -> corrupt
     assert "JBIG2 page" in row["error"]
+
+
+def test_cumulative_region_budget():
+    """r14 review fix: many just-under-budget regions must trip the
+    CUMULATIVE pixel budget (checked from the declared sizes, before
+    any decode) instead of accumulating decoded buffers."""
+    img = np.zeros((64, 64), dtype=np.uint8)
+    base = _seg(0, 48, 1, _page_info(64, 64))
+    body = b"".join(_seg(i + 1, 39, 1, _region(img))
+                    for i in range(5))
+    with pytest.raises(ValueError, match="cumulative"):
+        J.decode_jbig2(base + body, pixel_budget=64 * 64 * 3)
+    # under the cap the same shape composes fine
+    assert J.decode_jbig2(base + body,
+                          pixel_budget=64 * 64 * 6).shape == (64, 64)

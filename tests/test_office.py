@@ -164,3 +164,12 @@ def test_office_to_documents_kinds(spark):
     assert got_x[0]["text"] == "cell text"
     with pytest.raises(ValueError, match="kind="):
         office_to_documents(_blob_df(spark, [(1, pp)]), kind="odt")
+
+
+def test_xlsx_negative_shared_index_is_malformed():
+    """r14 review fix: a negative shared-string index must raise (not
+    silently wrap to the END of the pool via Python indexing)."""
+    bad = _xlsx([b'<row><c t="s"><v>-1</v></c></row>'],
+                shared=[b"<t>only</t>"])
+    with pytest.raises(ValueError, match="out of range"):
+        archives._xlsx_extract_text(bad, None)

@@ -586,3 +586,14 @@ def test_schedule_fetches(spark):
             for r in R.schedule_fetches(two, slots=8,
                                         default_delay_sec=1.5).collect()}
     assert out2 == {"https://b.com/y": 0.0, "https://b.com/z": 1.5}
+
+
+def test_schedule_fetches_rejects_bad_slots(spark):
+    """r14 review fix: slots <= 0 fails fast instead of producing
+    NULL slots via pmod(x, 0)."""
+    frontier = spark.createDataFrame(
+        [("a.com", "https://a.com/p", None, None)],
+        "host string, url string, lastmod string, "
+        "crawl_delay_sec double")
+    with pytest.raises(ValueError, match="slots"):
+        R.schedule_fetches(frontier, 0)

@@ -699,10 +699,8 @@ def _docx_extract_text(raw: bytes, budget: int | None) -> tuple[int, str]:
     for m in _WT_RE.finditer(xml):
         tok = m.group(0)
         if m.group(1) is not None:
-            text = m.group(1).decode("utf-8", "replace")
-            for ent, ch in _XML_ENTITIES:
-                text = text.replace(ent, ch)
-            parts.append(text)
+            parts.append(
+                _xml_unescape(m.group(1).decode("utf-8", "replace")))
         elif tok.startswith(b"</w:p"):
             n_paras += 1
             if parts and not parts[-1].endswith("\n"):
@@ -754,6 +752,7 @@ PPTX_TEXT_SCHEMA = (
 )
 
 _AT_RE = None  # DrawingML run walk, compiled lazily like _WT_RE
+_XLSX_RES = None  # the xlsx walk's regex set, compiled lazily too
 
 
 def _xml_unescape(text: str) -> str:
@@ -898,12 +897,17 @@ def _xlsx_cell_text(attrs: str, inner: bytes, shared: list[str],
         return None
     v = mv.group(1).decode("utf-8", "replace")
     if ctype == "s":
+        # explicit range check — Python's negative indexing would
+        # silently return pool[-1] for index -1 (r14 review fix)
         try:
-            return shared[int(v)]
-        except (ValueError, IndexError):
+            idx = int(v)
+        except ValueError:
+            idx = -1
+        if not 0 <= idx < len(shared):
             raise ValueError(
                 f"malformed xlsx: shared-string index {v!r} out of "
-                f"range ({len(shared)} entries)") from None
+                f"range ({len(shared)} entries)")
+        return shared[idx]
     if ctype == "b":
         return "TRUE" if v.strip() == "1" else "FALSE"
     # n (number), str (formula string), e (error literal): the stored
@@ -925,12 +929,23 @@ def _xlsx_extract_text(raw: bytes,
     tab-separated within a row, rows newline-separated, sheets
     form-feed-separated in numeric part order. Same anchored-regex
     subset walk as the docx/pptx paths."""
-    import re as _re
+    global _XLSX_RES
+    if _XLSX_RES is None:
+        import re as _re
+
+        _XLSX_RES = (
+            _re.compile(rb"<si>(.*?)</si>", _re.DOTALL),
+            _re.compile(rb"<t(?:\s[^>]*)?>(.*?)</t>", _re.DOTALL),
+            _re.compile(r"^xl/worksheets/sheet(\d+)\.xml$"),
+            _re.compile(rb"<row[^>]*>(.*?)</row>", _re.DOTALL),
+            _re.compile(rb"<c([^>/]*)>(.*?)</c>", _re.DOTALL),
+            _re.compile(r'\st="([^"]*)"'),
+            _re.compile(rb"<v(?:\s[^>]*)?>(.*?)</v>", _re.DOTALL),
+        )
+    si_re, st_re, sheet_re, row_re, c_re, t_re, v_re = _XLSX_RES
 
     zf = _office_zip(raw, budget, "xlsx", "xls")
     names = zf.namelist()
-    si_re = _re.compile(rb"<si>(.*?)</si>", _re.DOTALL)
-    st_re = _re.compile(rb"<t(?:\s[^>]*)?>(.*?)</t>", _re.DOTALL)
     shared: list[str] = []
     if "xl/sharedStrings.xml" in names:
         try:
@@ -940,17 +955,12 @@ def _xlsx_extract_text(raw: bytes,
         for si in si_re.findall(pool):
             shared.append(_xml_unescape(
                 b"".join(st_re.findall(si)).decode("utf-8", "replace")))
-    sheet_re = _re.compile(r"^xl/worksheets/sheet(\d+)\.xml$")
     sheets = sorted(
         (int(m.group(1)), n)
         for n in names if (m := sheet_re.match(n))
     )
     if not sheets:
         raise ValueError("malformed xlsx: zip without xl/worksheets/")
-    row_re = _re.compile(rb"<row[^>]*>(.*?)</row>", _re.DOTALL)
-    c_re = _re.compile(rb"<c([^>/]*)>(.*?)</c>", _re.DOTALL)
-    t_re = _re.compile(r'\st="([^"]*)"')
-    v_re = _re.compile(rb"<v(?:\s[^>]*)?>(.*?)</v>", _re.DOTALL)
     ist_re = st_re
     pages: list[str] = []
     n_cells = 0

@@ -181,6 +181,7 @@ def decode_jbig2(data: bytes, globals_data: bytes | None = None, *,
     page_h: int | None = None
     default_px = 0
     regions: list[tuple[int, int, int, np.ndarray]] = []
+    decoded_px = 0  # cumulative across regions — see budget note below
     for s in segs:
         t = s["type"]
         if t == _SEG_PAGE_INFO:
@@ -196,6 +197,21 @@ def decode_jbig2(data: bytes, globals_data: bytes | None = None, *,
             if page_h == _UNKNOWN_LENGTH:
                 page_h = None  # striped page: resolve from regions
         elif t in _SEG_GENERIC_IMMEDIATE:
+            # the budget is CUMULATIVE across regions (r14 review fix:
+            # per-region-only checks let a ~1 MB payload declare many
+            # just-under-budget regions and hold them all — the page
+            # buffer plus every decoded region must stay bounded by
+            # one budget, so a hostile payload quarantines instead of
+            # OOMing the executor). Checked BEFORE the region decodes:
+            # the header declares w*h, so nothing allocates past the
+            # cap.
+            d = s["data"]
+            if len(d) >= 8:
+                decoded_px += _u32(d, 0) * _u32(d, 4)
+                if decoded_px > pixel_budget:
+                    raise ValueError(
+                        f"malformed JBIG2: cumulative region pixels "
+                        f"{decoded_px} exceed the budget")
             regions.append(_decode_generic_region(s["data"],
                                                   pixel_budget))
         elif t in (_SEG_END_OF_PAGE, _SEG_END_OF_STRIPE,

@@ -1400,6 +1400,68 @@ def _pnm_wrap(samples: bytes, w: int, h: int, ncomp: int) -> tuple[str,
     return ("ppm" if ncomp == 3 else "pgm"), header + samples[:need]
 
 
+def _bilevel_image_setup(doc: "_Doc", sdict, raw, filters,
+                         codec_name: str):
+    """Shared tail setup for the bilevel codec filters (CCITTFaxDecode
+    and JBIG2Decode — r14 review consolidation so the two branches
+    cannot drift): peel preceding transport filters, pick the tail
+    filter's DecodeParms entry, validate BitsPerComponent (1) and a
+    gray color space, and parse the /Decode array (identity or the
+    [1 0] inversion). Returns ``(data, parm, dec_flip)``."""
+    parms_list = [doc.resolve(v) for v in _as_list(doc.resolve(
+        sdict.get("DecodeParms", sdict.get("DP"))))]
+    if len(filters) > 1:
+        sub = dict(sdict)
+        sub[_Name("Filter")] = [_Name(f) for f in filters[:-1]]
+        sub[_Name("DecodeParms")] = parms_list[: len(filters) - 1]
+        data = _decode_stream(sub, raw, doc.resolve, doc.budget)
+    else:
+        data = raw
+    parm = None
+    if parms_list:
+        if len(parms_list) == len(filters):
+            parm = parms_list[-1]
+        elif len(filters) == 1:
+            parm = parms_list[0]
+    parm = parm if isinstance(parm, dict) else {}
+    bpc = doc.resolve(sdict.get("BitsPerComponent"))
+    if bpc not in (None, 1):
+        raise ValueError(
+            f"malformed PDF: {codec_name} image with BitsPerComponent="
+            f"{bpc!r} (must be 1)")
+    if sdict.get("ColorSpace") is not None:
+        ncomp, pal = _image_colorspace(doc, sdict.get("ColorSpace"))
+        if ncomp != 1 or pal is not None:
+            raise NotImplementedError(
+                f"{codec_name} image with a non-gray color space")
+    dec = doc.resolve(sdict.get("Decode"))
+    dec_flip = False
+    if dec is not None:
+        flat = [doc.resolve(v) for v in _as_list(dec)]
+        if flat == [1, 0]:
+            # the common companion of BlackIs1 in scanned PDFs: for
+            # 1-bit gray, /Decode [1 0] is a pure inversion
+            dec_flip = True
+        elif flat != [0, 1]:
+            raise NotImplementedError(
+                f"PDF image /Decode {flat!r} remaps samples; only "
+                "identity and [1 0] inversion are supported for "
+                f"{codec_name} images")
+    return data, parm, dec_flip
+
+
+def _bilevel_pgm(bil, one_is_sample: bool, dec_flip: bool,
+                 w: int, h: int) -> tuple[str, bytes]:
+    """Bilevel array → P5 PGM: sample bit selection (``one_is_sample``
+    = the decoded 1 bits ARE the sample value, e.g. BlackIs1), the
+    optional /Decode [1 0] inversion, then 1-bit → 0/255."""
+    sample = bil if one_is_sample else (1 - bil)
+    if dec_flip:
+        sample = 1 - sample
+    grey = (sample * 255).astype("uint8")
+    return _pnm_wrap(grey.tobytes(), w, h, 1)
+
+
 def _extract_one_image(doc: "_Doc", obj) -> tuple[str, int, int, bytes]:
     """One image XObject → ``(format, width, height, payload)``.
 
@@ -1462,22 +1524,8 @@ def _extract_one_image(doc: "_Doc", obj) -> tuple[str, int, int, bytes]:
         # preceding transfer filters peel exactly like the DCT path.
         from .ccitt import decode_g3, decode_g4, decode_mh
 
-        parms_list = [doc.resolve(v) for v in _as_list(doc.resolve(
-            sdict.get("DecodeParms", sdict.get("DP"))))]
-        if len(filters) > 1:
-            sub = dict(sdict)
-            sub[_Name("Filter")] = [_Name(f) for f in filters[:-1]]
-            sub[_Name("DecodeParms")] = parms_list[: len(filters) - 1]
-            data = _decode_stream(sub, raw, doc.resolve, doc.budget)
-        else:
-            data = raw
-        parm = None
-        if parms_list:
-            if len(parms_list) == len(filters):
-                parm = parms_list[-1]
-            elif len(filters) == 1:
-                parm = parms_list[0]
-        parm = parm if isinstance(parm, dict) else {}
+        data, parm, dec_flip = _bilevel_image_setup(
+            doc, sdict, raw, filters, "CCITT")
 
         def _p(name, default):
             v = doc.resolve(parm.get(name))
@@ -1495,33 +1543,6 @@ def _extract_one_image(doc: "_Doc", obj) -> tuple[str, int, int, bytes]:
                 f"malformed PDF: CCITT Columns={columns} but image "
                 f"Width={w}"
             )
-        bpc_c = doc.resolve(sdict.get("BitsPerComponent"))
-        if bpc_c not in (None, 1):
-            raise ValueError(
-                f"malformed PDF: CCITT image with BitsPerComponent="
-                f"{bpc_c!r} (must be 1)"
-            )
-        if sdict.get("ColorSpace") is not None:
-            ncomp_c, pal_c = _image_colorspace(
-                doc, sdict.get("ColorSpace"))
-            if ncomp_c != 1 or pal_c is not None:
-                raise NotImplementedError(
-                    "CCITT image with a non-gray color space"
-                )
-        dec_c = doc.resolve(sdict.get("Decode"))
-        dec_flip = False
-        if dec_c is not None:
-            flat_c = [doc.resolve(v) for v in _as_list(dec_c)]
-            if flat_c == [1, 0]:
-                # the common companion of BlackIs1 in scanned PDFs:
-                # for 1-bit gray, /Decode [1 0] is a pure inversion
-                dec_flip = True
-            elif flat_c != [0, 1]:
-                raise NotImplementedError(
-                    f"PDF image /Decode {flat_c!r} remaps samples; "
-                    "only identity and [1 0] inversion are supported "
-                    "for CCITT images"
-                )
         if k < 0:
             bil = decode_g4(data, columns, h, byte_align=align)
         elif k > 0:
@@ -1531,13 +1552,8 @@ def _extract_one_image(doc: "_Doc", obj) -> tuple[str, int, int, bytes]:
         else:
             bil = decode_mh(data, columns, h, byte_align=align)
         # sample bit per BlackIs1 (default: 0 bits are black), then
-        # the optional /Decode [1 0] inversion, then the 1-bit
-        # DeviceGray scaling 0/1 -> 0/255
-        sample = bil if black1 else (1 - bil)
-        if dec_flip:
-            sample = 1 - sample
-        grey = (sample * 255).astype("uint8")
-        fmt_c, payload_c = _pnm_wrap(grey.tobytes(), w, h, 1)
+        # the 1-bit DeviceGray scaling — shared with JBIG2
+        fmt_c, payload_c = _bilevel_pgm(bil, black1, dec_flip, w, h)
         return fmt_c, w, h, payload_c
     if filters and filters[-1] == "JBIG2Decode":
         # r14 (VERDICT r13 item 4 precursor, item 3): MMR-coded JBIG2
@@ -1547,22 +1563,8 @@ def _extract_one_image(doc: "_Doc", obj) -> tuple[str, int, int, bytes]:
         # keep refusing inside decode_jbig2 (mirror-bug policy).
         from .jbig2 import decode_jbig2
 
-        parms_list = [doc.resolve(v) for v in _as_list(doc.resolve(
-            sdict.get("DecodeParms", sdict.get("DP"))))]
-        if len(filters) > 1:
-            sub = dict(sdict)
-            sub[_Name("Filter")] = [_Name(f) for f in filters[:-1]]
-            sub[_Name("DecodeParms")] = parms_list[: len(filters) - 1]
-            data = _decode_stream(sub, raw, doc.resolve, doc.budget)
-        else:
-            data = raw
-        parm = None
-        if parms_list:
-            if len(parms_list) == len(filters):
-                parm = parms_list[-1]
-            elif len(filters) == 1:
-                parm = parms_list[0]
-        parm = parm if isinstance(parm, dict) else {}
+        data, parm, dec_flip_j = _bilevel_image_setup(
+            doc, sdict, raw, filters, "JBIG2")
         globals_data = None
         gref = parm.get("JBIG2Globals")
         if gref is not None:
@@ -1571,41 +1573,14 @@ def _extract_one_image(doc: "_Doc", obj) -> tuple[str, int, int, bytes]:
                 raise ValueError(
                     "malformed PDF: JBIG2Globals is not a stream")
             globals_data = doc.stream_data(gobj)
-        bpc_j = doc.resolve(sdict.get("BitsPerComponent"))
-        if bpc_j not in (None, 1):
-            raise ValueError(
-                f"malformed PDF: JBIG2 image with BitsPerComponent="
-                f"{bpc_j!r} (must be 1)")
-        if sdict.get("ColorSpace") is not None:
-            ncomp_j, pal_j = _image_colorspace(
-                doc, sdict.get("ColorSpace"))
-            if ncomp_j != 1 or pal_j is not None:
-                raise NotImplementedError(
-                    "JBIG2 image with a non-gray color space")
-        dec_j = doc.resolve(sdict.get("Decode"))
-        dec_flip_j = False
-        if dec_j is not None:
-            flat_j = [doc.resolve(v) for v in _as_list(dec_j)]
-            if flat_j == [1, 0]:
-                dec_flip_j = True
-            elif flat_j != [0, 1]:
-                raise NotImplementedError(
-                    f"PDF image /Decode {flat_j!r} remaps samples; "
-                    "only identity and [1 0] inversion are supported "
-                    "for JBIG2 images")
         bil = decode_jbig2(data, globals_data)
         if bil.shape != (h, w):
             raise ValueError(
                 f"malformed PDF: JBIG2 page {bil.shape[1]}x"
                 f"{bil.shape[0]} but image is {w}x{h}")
         # JBIG2 foreground is 1 = black; DeviceGray samples put black
-        # at 0 (every viewer inverts this filter's output), then the
-        # optional /Decode [1 0] inversion, then 1-bit -> 0/255
-        sample = 1 - bil
-        if dec_flip_j:
-            sample = 1 - sample
-        grey = (sample * 255).astype("uint8")
-        fmt_j, payload_j = _pnm_wrap(grey.tobytes(), w, h, 1)
+        # at 0 (every viewer inverts this filter's output)
+        fmt_j, payload_j = _bilevel_pgm(bil, False, dec_flip_j, w, h)
         return fmt_j, w, h, payload_j
     bpc = doc.resolve(sdict.get("BitsPerComponent"))
     if bpc != 8:

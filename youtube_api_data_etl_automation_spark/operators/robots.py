@@ -489,6 +489,10 @@ def schedule_fetches(frontier: DataFrame, slots: int, *,
     sitemap-bounded (50k per urlset); no host's partition approaches
     executor memory. No global sort, no driver collect.
     """
+    if slots <= 0:
+        # pmod(x, 0) is NULL under non-ANSI Spark — every row would
+        # land in one NULL bucket instead of failing fast (r14 review)
+        raise ValueError(f"schedule_fetches: slots={slots} must be > 0")
     w = Window.partitionBy("host").orderBy("url")
     delay = F.coalesce(F.col("crawl_delay_sec"),
                        F.lit(float(default_delay_sec)))
