@@ -43,8 +43,8 @@ def test_fixture_is_committed_and_covers_all_families():
     # the decode matrix: 6 PNG variants + 4 JPEG + GIF/BMP/PPM +
     # 2 VP8L WebP + 10 TIFF (LZW/deflate/palette/tiled + JPEG-in-TIFF,
     # r11; CCITT G4 + MH, r13) + 3 BMP (palette/RLE8/32-bit, r11) +
-    # PGM + PBM + 2 refusals
-    assert fams["image"] == 33
+    # PGM + PBM + a standalone JBIG2 file (r14) + 2 refusals
+    assert fams["image"] == 34
     # PCM 8/16/24/32 + float 32/64 + G.711 ×2 + IMA + MS +
     # 2 FLAC (r10) + 3 refusals
     assert fams["audio"] == 15
@@ -198,4 +198,4 @@ def test_codec_stats_from_foreign_cwd():
         env={k: v for k, v in __import__("os").environ.items()
              if k != "PYTHONPATH"},
     )
-    assert "CODEC_ROWS=168" in out.stdout, out.stderr[-2000:]
+    assert "CODEC_ROWS=169" in out.stdout, out.stderr[-2000:]

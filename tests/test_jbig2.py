@@ -224,3 +224,51 @@ def test_cumulative_region_budget():
     # under the cap the same shape composes fine
     assert J.decode_jbig2(base + body,
                           pixel_budget=64 * 64 * 6).shape == (64, 64)
+
+
+def test_standalone_file_organization():
+    """r14: T.88 Annex D file organization — sequential files decode
+    (with and without the page-count field), random-access refuses,
+    bad magic/truncation are malformed."""
+    img = _rand_img(random.Random(15), 7, 13)
+    body = (_seg(0, 48, 1, _page_info(13, 7))
+            + _seg(1, 39, 1, _region(img)))
+    magic = b"\x97JB2\r\n\x1a\n"
+    # flags 0x03: sequential + unknown page count (no count field)
+    assert np.array_equal(J.decode_jbig2_file(magic + b"\x03" + body),
+                          img)
+    # flags 0x01: sequential + KNOWN page count (4-byte field)
+    assert np.array_equal(
+        J.decode_jbig2_file(magic + b"\x01\x00\x00\x00\x01" + body),
+        img)
+    with pytest.raises(NotImplementedError, match="random-access"):
+        J.decode_jbig2_file(magic + b"\x02" + body)
+    with pytest.raises(ValueError, match="bad magic"):
+        J.decode_jbig2_file(b"not jbig2")
+    with pytest.raises(ValueError, match="truncated"):
+        J.decode_jbig2_file(magic)
+    with pytest.raises(ValueError, match="truncated page-count"):
+        J.decode_jbig2_file(magic + b"\x01\x00\x00")
+
+
+def test_decode_image_routes_jbig2(spark):
+    """Standalone .jb2 payloads flow through decode_image like any
+    image: bilevel page -> grey RGB, black = 0."""
+    from youtube_api_data_etl_automation_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    img = _rand_img(random.Random(16), 5, 11)
+    payload = (b"\x97JB2\r\n\x1a\n\x03"
+               + _seg(0, 48, 1, _page_info(11, 5))
+               + _seg(1, 39, 1, _region(img)))
+    rows = decode_image(spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"\x97JB2\r\n\x1a\n"))],
+        "doc_id long, payload binary"), errors="quarantine").collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    ok = by_id[1]
+    assert ok["format"] == "jbig2" and ok["error"] is None
+    assert (ok["width"], ok["height"]) == (11, 5)
+    want_mean = float(((1 - img) * 255).mean())
+    assert abs(ok["mean_r"] - want_mean) < 1e-6
+    assert by_id[2]["error_kind"] == "corrupt"

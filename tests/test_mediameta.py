@@ -1298,6 +1298,7 @@ def test_sniff_format_routes_all_families(spark):
         "gif": b"GIF89a" + b"\x00" * 8,
         "webp": b"RIFF\x10\x00\x00\x00WEBPVP8L",
         "tiff": b"II*\x00" + b"\x00" * 8,
+        "jbig2": b"\x97JB2\r\n\x1a\n\x03",
         "bmp": bytes(_bmp24([[(1, 2, 3)]])),
         "pnm": b"P6\n1 1\n255\n\x01\x02\x03",
         "wav": bytes(_wav(8000, [(1,)])),
@@ -1314,7 +1315,8 @@ def test_sniff_format_routes_all_families(spark):
         "pdf": b"%PDF-1.4\n",
     }
     family_want = {"png": "image", "jpeg": "image", "gif": "image",
-                   "webp": "image", "tiff": "image", "bmp": "image",
+                   "webp": "image", "tiff": "image", "jbig2": "image",
+                   "bmp": "image",
                    "pnm": "image", "wav": "audio", "flac": "audio",
                    "mp3": "audio", "ogg": "audio", "mp4": "video",
                    "mkv": "video", "avi": "video", "gzip": "archive",

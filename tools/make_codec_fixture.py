@@ -139,6 +139,17 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
         _tiff_ccitt(_cimg, compression=4, rows_per_strip=7))
     add(133, "image", "tiff_ccitt_mh",
         _tiff_ccitt(_cimg, compression=2, photometric=0))
+    # r14: standalone JBIG2 file (sequential organization, MMR page)
+    # through decode_image — the same bitmap as the CCITT pair, so a
+    # cross-codec fingerprint anchor rides for free
+    from test_jbig2 import _page_info as _jb2_page
+    from test_jbig2 import _region as _jb2_region
+    from test_jbig2 import _seg as _jb2_seg
+    add(134, "image", "jbig2_file_sequential_mmr",
+        b"\x97JB2\r\n\x1a\n\x03"
+        + _jb2_seg(0, 48, 1, _jb2_page(41, 18))
+        + _jb2_seg(1, 39, 1, _jb2_region(_cimg))
+        + _jb2_seg(2, 51, 1, b""))
     from test_tiff import _split_jpeg_tables
 
     _jt_stream = _encode_jpeg(_rng_image(8, 16, seed=59))[0]

@@ -264,3 +264,38 @@ def decode_jbig2(data: bytes, globals_data: bytes | None = None, *,
             raise ValueError(
                 f"malformed JBIG2: combination operator {comb}")
     return page
+
+
+JBIG2_FILE_MAGIC = b"\x97JB2\r\n\x1a\n"
+
+
+def decode_jbig2_file(data: bytes, *,
+                      pixel_budget: int = JBIG2_PIXEL_BUDGET
+                      ) -> np.ndarray:
+    """Standalone JBIG2 file (T.88 Annex D file organization) → the
+    first page's bilevel array, 1 = black. File header: the 8-byte
+    magic, one flags byte (bit 0: 1 = sequential organization, 0 =
+    random access; bit 1: 1 = number of pages unknown), and a 4-byte
+    page count when known. Sequential organization interleaves
+    segment headers with their data — exactly the embedded walk
+    :func:`decode_jbig2` already implements; random-access files
+    (ALL headers first, data after) refuse as unsupported rather
+    than misparse."""
+    data = bytes(data)
+    if data[:8] != JBIG2_FILE_MAGIC:
+        raise ValueError("malformed JBIG2 file: bad magic")
+    if len(data) < 9:
+        raise ValueError("malformed JBIG2 file: truncated header")
+    flags = data[8]
+    o = 9
+    if not flags & 0x02:  # page count known → 4-byte field present
+        if len(data) < 13:
+            raise ValueError(
+                "malformed JBIG2 file: truncated page-count field")
+        o = 13
+    if not flags & 0x01:
+        raise NotImplementedError(
+            "JBIG2 random-access file organization (all segment "
+            "headers before any data) is not supported; sequential "
+            "files decode")
+    return decode_jbig2(data[o:], pixel_budget=pixel_budget)

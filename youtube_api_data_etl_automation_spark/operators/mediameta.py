@@ -1888,7 +1888,8 @@ def sniff_format(blobs: DataFrame,
     into the scan projection, so routing a 100 TB mixed table costs
     one map-only pass and zero Arrow batches.
 
-    Families/formats covered: image (png/jpeg/gif/bmp/webp/tiff/pnm),
+    Families/formats covered: image (png/jpeg/gif/bmp/webp/tiff/jbig2/
+    pnm),
     audio (wav/flac/mp3/ogg), video (mp4/mkv/avi), archive
     (gzip/zip/tar/warc), document (pdf). ``zip`` is reported as
     archive even when it is OOXML — distinguishing docx needs a
@@ -1916,6 +1917,7 @@ def sniff_format(blobs: DataFrame,
         .when(riff & magic(8, b"WEBP"), F.lit("webp"))
         .when(magic(0, b"II*\x00") | magic(0, b"MM\x00*"),
               F.lit("tiff"))
+        .when(magic(0, b"\x97JB2\r\n\x1a\n"), F.lit("jbig2"))
         .when(magic(0, b"BM"), F.lit("bmp"))
         .when(magic(0, b"P4") | magic(0, b"P5") | magic(0, b"P6"),
               F.lit("pnm"))
@@ -1937,7 +1939,8 @@ def sniff_format(blobs: DataFrame,
         .when(magic(0, b"%PDF-"), F.lit("pdf"))
     )
     family_of = {
-        "image": ("png", "jpeg", "gif", "webp", "tiff", "bmp", "pnm"),
+        "image": ("png", "jpeg", "gif", "webp", "tiff", "jbig2", "bmp",
+                  "pnm"),
         "audio": ("wav", "flac", "mp3", "ogg"),
         "video": ("mp4", "mkv", "avi"),
         "archive": ("gzip", "zip", "tar", "warc"),

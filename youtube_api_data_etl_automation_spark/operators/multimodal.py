@@ -646,6 +646,16 @@ def _decode_rgb(payload: bytes,
         # baseline TIFF really decodes (r10): uncompressed + PackBits,
         # 8-bit grey/RGB; LZW/JPEG-in-TIFF refuse from inside
         return "tiff", decode_tiff(payload)
+    if payload[:8] == b"\x97JB2\r\n\x1a\n":
+        from .jbig2 import decode_jbig2_file
+
+        # standalone JBIG2 fax/scan files (r14): sequential-organized
+        # MMR pages decode via operators/jbig2.py; random-access files
+        # and arithmetic regions refuse from inside. 1 = black maps to
+        # grey 0, like the TIFF bilevel path.
+        page = decode_jbig2_file(payload)
+        grey = ((1 - page) * 255).astype(np.uint8)
+        return "jbig2", np.repeat(grey[:, :, None], 3, axis=2)
     raise NotImplementedError(
         "compressed/unknown image format (magic "
         f"{payload[:2]!r}) requires PIL/opencv, not available in this "

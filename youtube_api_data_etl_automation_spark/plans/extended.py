@@ -51,6 +51,7 @@ _SNIFF_CASE = """
         WHEN substr(pre, 1, 8) = '52494646'
              AND substr(pre, 17, 8) = '57454250' THEN 'webp'
         WHEN substr(pre, 1, 8) IN ('49492a00', '4d4d002a') THEN 'tiff'
+        WHEN substr(pre, 1, 16) = '974a42320d0a1a0a' THEN 'jbig2'
         WHEN substr(pre, 1, 4) = '424d' THEN 'bmp'
         WHEN substr(pre, 1, 4) IN ('5034', '5035', '5036') THEN 'pnm'
         WHEN substr(pre, 1, 8) = '52494646'
@@ -78,8 +79,8 @@ _SNIFF_ORACLE = None if _SNIFF_SRC is None else f"""
            fmt,
            CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
            CASE
-             WHEN fmt IN ('png', 'jpeg', 'gif', 'webp', 'tiff', 'bmp',
-                          'pnm') THEN 'image'
+             WHEN fmt IN ('png', 'jpeg', 'gif', 'webp', 'tiff', 'jbig2',
+                          'bmp', 'pnm') THEN 'image'
              WHEN fmt IN ('wav', 'flac', 'mp3', 'ogg') THEN 'audio'
              WHEN fmt IN ('mp4', 'mkv', 'avi') THEN 'video'
              WHEN fmt IN ('gzip', 'zip', 'tar', 'warc') THEN 'archive'
