@@ -813,3 +813,31 @@ def test_frontier_command_schedule(spark, tmp_path):
     assert rows["https://a.com/p2"]["not_before_sec"] == 3.0
     assert rows["https://a.com/p1"]["slot"] == \
         rows["https://a.com/p2"]["slot"]
+
+
+def test_media_cli_office_ops_r14(spark, capsys):
+    """r14: pptxtext/xlsxtext media ops extract office text."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_office import _pptx, _xlsx
+
+    base = tempfile.mkdtemp(prefix="cli_office_")
+    spark.createDataFrame(
+        [(1, bytearray(_pptx(
+            [b"<a:p><a:r><a:t>deck</a:t></a:r></a:p>"])))],
+        "doc_id long, payload binary",
+    ).write.mode("overwrite").parquet(base + "/ppt")
+    rc = main(["media", "--input", base + "/ppt", "--op", "pptxtext"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["by_format"] == {"pptx": 1}
+
+    spark.createDataFrame(
+        [(1, bytearray(_xlsx([b"<row><c><v>7</v></c></row>"]))),
+         (2, bytearray(b"junk"))],
+        "doc_id long, payload binary",
+    ).write.mode("overwrite").parquet(base + "/xls")
+    rc = main(["media", "--input", base + "/xls", "--op", "xlsxtext"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 2  # the junk payload quarantines
+    assert out["by_format"] == {"xlsx": 1, "None": 1}

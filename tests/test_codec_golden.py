@@ -38,7 +38,8 @@ def test_fixture_is_committed_and_covers_all_families():
                          "warc_records", "document", "document_meta",
                          "image_hash", "exif_strip", "office",
                          "image_thumb", "subtitle", "document_images",
-                         "image_pages", "office_pptx", "office_xlsx"}
+                         "image_pages", "office_pptx", "office_xlsx",
+                         "office_odf"}
     assert fams["image_exif"] == 8 and fams["audio_tags"] == 6
     # the decode matrix: 6 PNG variants + 4 JPEG + GIF/BMP/PPM +
     # 2 VP8L WebP + 10 TIFF (LZW/deflate/palette/tiled + JPEG-in-TIFF,
@@ -78,6 +79,8 @@ def test_fixture_is_committed_and_covers_all_families():
     assert fams["image_pages"] == 3
     # pptx/xlsx (r14): one real deck/workbook + one refusal each
     assert fams["office_pptx"] == 2 and fams["office_xlsx"] == 2
+    # OpenDocument (r14): odt + ods + a content-less-zip refusal
+    assert fams["office_odf"] == 3
 
 
 def test_codec_stats_match_golden(spark):
@@ -198,4 +201,4 @@ def test_codec_stats_from_foreign_cwd():
         env={k: v for k, v in __import__("os").environ.items()
              if k != "PYTHONPATH"},
     )
-    assert "CODEC_ROWS=169" in out.stdout, out.stderr[-2000:]
+    assert "CODEC_ROWS=172" in out.stdout, out.stderr[-2000:]

@@ -173,3 +173,67 @@ def test_xlsx_negative_shared_index_is_malformed():
                 shared=[b"<t>only</t>"])
     with pytest.raises(ValueError, match="out of range"):
         archives._xlsx_extract_text(bad, None)
+
+
+def _odf(content_body: bytes, mimetype: bytes | None =
+         b"application/vnd.oasis.opendocument.text") -> bytes:
+    members = {
+        "content.xml":
+            b'<?xml version="1.0"?><office:document-content>'
+            b"<office:body>" + content_body
+            + b"</office:body></office:document-content>",
+    }
+    if mimetype is not None:
+        members["mimetype"] = mimetype
+    return _ooxml_zip(members)
+
+
+def test_odf_text_extraction(spark):
+    body = (b'<office:text><text:h text:outline-level="1">Head '
+            b"&amp; tail</text:h>"
+            b"<text:p>a<text:tab/>b<text:line-break/>c"
+            b'<text:s text:c="3"/>d</text:p>'
+            b"<text:p><text:span text:style-name=\"T1\">span"
+            b"</text:span>ned</text:p></office:text>")
+    ods_body = (b"<office:spreadsheet><table:table><table:table-row>"
+                b"<table:table-cell><text:p>cell one</text:p>"
+                b"</table:table-cell><table:table-cell>"
+                b"<text:p>cell two</text:p></table:table-cell>"
+                b"</table:table-row></table:table></office:spreadsheet>")
+    rows = {r["doc_id"]: r for r in archives.odf_text(_blob_df(spark, [
+        (1, _odf(body)),
+        (2, _odf(ods_body,
+                 b"application/vnd.oasis.opendocument.spreadsheet")),
+        (3, _odf(body, mimetype=None)),   # no mimetype member
+        (4, LEGACY_OLE2),
+        (5, _zip()),                       # zip without content.xml
+        (6, b"nope"),
+    ])).collect()}
+    d = rows[1]
+    assert d["format"] == "odt" and d["error"] is None
+    assert d["n_paragraphs"] == 3
+    assert d["text"] == "Head & tail\na\tb\nc   d\nspanned"
+    assert d["n_chars"] == len(d["text"])
+    assert rows[2]["format"] == "ods"
+    assert rows[2]["text"] == "cell one\ncell two"
+    assert rows[3]["format"] == "odf"     # kind falls back
+    assert rows[4]["error_kind"] == "unsupported"
+    assert rows[5]["error_kind"] == "corrupt"
+    assert rows[6]["error_kind"] == "corrupt"
+
+
+def test_odf_budget_and_documents_bridge(spark):
+    from youtube_api_data_etl_automation_spark.corpus import (
+        office_to_documents,
+    )
+
+    big = _odf(b"<text:p>" + b"z" * 5000 + b"</text:p>")
+    row = archives.odf_text(_blob_df(spark, [(1, big)]),
+                            byte_budget=100).collect()[0]
+    assert row["error_kind"] == "unsupported"
+    assert "budget" in row["error"]
+    ok = _odf(b"<text:p>OpenDocument body text</text:p>")
+    got = office_to_documents(
+        _blob_df(spark, [(41, ok)]), kind="odf").collect()
+    assert got[0]["source"] == "odf:41"
+    assert got[0]["text"] == "OpenDocument body text"

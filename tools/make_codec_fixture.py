@@ -654,6 +654,19 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
          b'<c r="B1" t="str"><v>TOTAL=99</v></c></row>'],
         shared=[b"<t>pool </t><t>string</t>", b"<t>k&amp;v</t>"]))
     add(1607, "office_xlsx", "xlsx_zip_without_sheets_corrupt", _zip())
+    from test_office import _odf
+    add(1608, "office_odf", "odt_paragraphs_tabs_spaces", _odf(
+        b'<office:text><text:h text:outline-level="1">Agenda &amp; '
+        b"notes</text:h>"
+        b"<text:p>x<text:tab/>y<text:line-break/>z"
+        b'<text:s text:c="2"/>w</text:p></office:text>'))
+    add(1609, "office_odf", "ods_cells", _odf(
+        b"<office:spreadsheet><table:table><table:table-row>"
+        b"<table:table-cell><text:p>k1</text:p></table:table-cell>"
+        b"<table:table-cell><text:p>v1</text:p></table:table-cell>"
+        b"</table:table-row></table:table></office:spreadsheet>",
+        b"application/vnd.oasis.opendocument.spreadsheet"))
+    add(1610, "office_odf", "odf_zip_without_content_corrupt", _zip())
 
     # ---- document_images: pdf_images (ids 19xx, r12) ------------------
     from test_pdf_images import img_obj, pdf_with_images, rgb_pixels

@@ -878,6 +878,9 @@ def _cmd_media(args: argparse.Namespace) -> int:
         "exifstrip": lambda b: mediameta.strip_exif(
             b, errors="quarantine"),
         "docxtext": lambda b: archives.docx_text(b, errors="quarantine"),
+        "pptxtext": lambda b: archives.pptx_text(b, errors="quarantine"),
+        "xlsxtext": lambda b: archives.xlsx_text(b, errors="quarantine"),
+        "odftext": lambda b: archives.odf_text(b, errors="quarantine"),
         "thumbnail": lambda b: imagehash.image_thumbnails(
             b, errors="quarantine"),
         "subtitles": lambda b: subtitles.subtitles_text(b),
@@ -939,8 +942,8 @@ def build_parser() -> argparse.ArgumentParser:
                  "triage", "exif", "tags", "audiotriage", "keyframe",
                  "subband", "archive", "warc", "pdftext", "pdfmeta",
                  "pdfimages", "imagehash", "members", "exifstrip",
-                 "docxtext", "thumbnail", "subtitles", "sniff",
-                 "tiffpages"],
+                 "docxtext", "pptxtext", "xlsxtext", "odftext",
+                 "thumbnail", "subtitles", "sniff", "tiffpages"],
         help="probe=image headers, decode=image pixels, audio=samples, "
              "audiometa=MP3/FLAC/WAV headers, video=MP4/MKV containers, "
              "triage=probe-then-decode router (audiotriage=the audio "

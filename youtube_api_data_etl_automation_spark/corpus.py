@@ -636,8 +636,9 @@ def office_to_documents(
 ) -> DataFrame:
     """Office payload table → ``documents``-shaped rows — the
     office-format twin of :func:`pdf_to_documents`. ``kind`` picks the
-    OOXML extractor (``docx``/``pptx``/``xlsx``, operators/archives.py;
-    r14 added the latter two per VERDICT r13 item 4); failures drop —
+    extractor (``docx``/``pptx``/``xlsx``/``odf``,
+    operators/archives.py; r14 added all but the first — VERDICT r13
+    item 4 plus the OpenDocument twin); failures drop —
     run the extractor with ``errors='quarantine'`` separately when the
     quarantine population matters. The output matches the corpus
     tables' shape so :func:`curate_corpus` consumes it directly.
@@ -646,12 +647,13 @@ def office_to_documents(
     from .operators.archives import (
         ARCHIVE_BYTE_BUDGET,
         docx_text,
+        odf_text,
         pptx_text,
         xlsx_text,
     )
 
     extractors = {"docx": docx_text, "pptx": pptx_text,
-                  "xlsx": xlsx_text}
+                  "xlsx": xlsx_text, "odf": odf_text}
     if kind not in extractors:
         raise ValueError(
             f"office_to_documents: kind={kind!r} not in "

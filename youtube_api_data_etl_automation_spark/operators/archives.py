@@ -38,6 +38,10 @@ executor):
   spreadsheet twins — DrawingML ``<a:t>`` run walk per slide, and
   shared-strings + per-sheet cell walk (``t=`` s/inlineStr/b/str/e/
   numeric encodings); legacy .ppt/.xls refuse.
+- ``odf_text`` (r14): OpenDocument odt/odp/ods through ONE
+  ``content.xml`` walk (``<text:p>``/``<text:h>`` paragraphs,
+  tab/line-break/run-length-space elements, mimetype-member kind
+  detection) — the LibreOffice twin of the OOXML trio.
 
 Reference anchor: the reference pipeline ingests remote API payloads
 (fetch_youtube_data.py:121-134); archive split/triage is the same
@@ -1013,6 +1017,113 @@ def xlsx_text(blobs: DataFrame, errors: str = "quarantine",
     return blobs.mapInPandas(
         _quarantine_batches(
             one, ("format", "n_sheets", "n_cells", "n_chars", "text"),
+            quarantine),
+        schema,
+    )
+
+
+ODF_TEXT_SCHEMA = (
+    "doc_id bigint, format string, n_paragraphs int, n_chars int, "
+    "text string"
+)
+
+_ODF_RES = None  # the ODF walk's regexes, compiled lazily
+
+_ODF_MIME_KINDS = (
+    ("application/vnd.oasis.opendocument.text", "odt"),
+    ("application/vnd.oasis.opendocument.presentation", "odp"),
+    ("application/vnd.oasis.opendocument.spreadsheet", "ods"),
+)
+
+
+def _odf_extract_text(raw: bytes,
+                      budget: int | None) -> tuple[str, int, str]:
+    """(kind, n_paragraphs, text) from one OpenDocument payload.
+
+    An ODF file (odt/odp/ods — LibreOffice/OpenOffice, common in any
+    document crawl) is a zip whose ``content.xml`` holds the body:
+    text lives in ``<text:p>`` paragraphs and ``<text:h>`` headings
+    (spreadsheet cells and presentation frames nest the same
+    elements, so ONE walk covers all three kinds), with
+    ``<text:tab/>`` → tab, ``<text:line-break/>`` → newline, and
+    ``<text:s text:c="N"/>`` → N spaces (the run-length-encoded
+    spaces ODF uses instead of literal runs). Inline spans and other
+    markup inside a paragraph strip away; entities decode last. The
+    kind comes from the ``mimetype`` member (the spec's first,
+    STORED member), falling back to generic ``odf``."""
+    global _ODF_RES
+    if _ODF_RES is None:
+        import re as _re
+
+        _ODF_RES = (
+            _re.compile(rb"<text:(p|h)(?:\s[^>]*)?>(.*?)</text:\1>",
+                        _re.DOTALL),
+            _re.compile(rb"<text:tab\s*/?>"),
+            _re.compile(rb"<text:line-break\s*/?>"),
+            _re.compile(rb'<text:s(?:\s[^>]*?text:c="(\d+)")?[^>]*/>'),
+            _re.compile(rb"<[^>]*>"),
+        )
+    p_re, tab_re, br_re, sp_re, tag_re = _ODF_RES
+
+    zf = _office_zip(raw, budget, "odf", "sxw")
+    kind = "odf"
+    names = zf.namelist()
+    if "mimetype" in names:
+        try:
+            mime = zf.read("mimetype").decode("ascii", "replace").strip()
+        except Exception as e:
+            raise ValueError(f"malformed odf: {e}") from None
+        for want, k in _ODF_MIME_KINDS:
+            if mime == want:
+                kind = k
+                break
+    try:
+        xml = zf.read("content.xml")
+    except KeyError:
+        raise ValueError("malformed odf: zip without content.xml") \
+            from None
+    except Exception as e:
+        raise ValueError(f"malformed odf: {e}") from None
+    paras: list[str] = []
+    for m in p_re.finditer(xml):
+        body = m.group(2)
+        body = tab_re.sub(b"\t", body)
+        body = br_re.sub(b"\n", body)
+        body = sp_re.sub(
+            lambda sm: b" " * int(sm.group(1) or b"1"), body)
+        body = tag_re.sub(b"", body)
+        paras.append(_xml_unescape(body.decode("utf-8", "replace")))
+    return kind, len(paras), "\n".join(paras).strip()
+
+
+def odf_text(blobs: DataFrame, errors: str = "quarantine",
+             byte_budget: int | None = ARCHIVE_BYTE_BUDGET,
+             ) -> DataFrame:
+    """REAL OpenDocument text extraction over ``(doc_id, payload)``
+    (r14) — odt/odp/ods through one walk: the LibreOffice twin of the
+    OOXML trio, through the same consolidated container harness and
+    budgets. One row per document: format (``odt``/``odp``/``ods``,
+    or ``odf`` when the mimetype member is absent), paragraph count,
+    char count, text. Quarantine contract; legacy StarOffice binary
+    payloads refuse via the OLE2 check."""
+    from .mediameta import _quarantine_batches
+    from .multimodal import _check_errors_mode
+
+    quarantine = _check_errors_mode(errors)
+
+    def one(payload):
+        raw = bytes(payload) if payload else b""
+        if not raw:
+            raise ValueError("empty/NULL odf payload")
+        kind, n_paras, text = _odf_extract_text(raw, byte_budget)
+        return {"format": kind, "n_paragraphs": n_paras,
+                "n_chars": len(text), "text": text}
+
+    schema = ODF_TEXT_SCHEMA + ", error string, error_kind string" \
+        if quarantine else ODF_TEXT_SCHEMA
+    return blobs.mapInPandas(
+        _quarantine_batches(
+            one, ("format", "n_paragraphs", "n_chars", "text"),
             quarantine),
         schema,
     )

@@ -64,6 +64,9 @@ Fixture families → engine op exercised:
   pptx_text` / :func:`~operators.archives.xlsx_text` (r14: DrawingML
   slide runs; shared-strings + typed cell walk — legacy OLE2
   refusals pinned alongside)
+- ``office_odf`` → :func:`operators.archives.odf_text` (r14:
+  OpenDocument odt/odp/ods content.xml walk — paragraphs/headings,
+  tab/line-break/run-length spaces, mimetype kind detection)
 
 Scale note: the fixture is a verification corpus (~40 rows, a few KB);
 the ops it drives are the same Arrow-batched mapInPandas operators that
@@ -102,6 +105,7 @@ CODEC_FAMILIES = (
     "archive", "warc_records", "document", "document_meta",
     "image_hash", "exif_strip", "office", "image_thumb", "subtitle",
     "document_images", "image_pages", "office_pptx", "office_xlsx",
+    "office_odf",
 )
 
 
@@ -617,6 +621,27 @@ def codec_stats(spark: SparkSession,
             ).otherwise(_err_fp()).alias("fp"),
         )
         parts.append(xls)
+
+    if "office_odf" in by_family:
+        from ..operators.archives import odf_text
+
+        odf = odf_text(by_family["office_odf"],
+                       errors="quarantine").select(
+            "doc_id",
+            F.col("format").alias("fmt"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.when(
+                F.col("error").isNull(),
+                F.format_string(
+                    "%d,%d,%s",
+                    F.col("n_paragraphs"),
+                    F.col("n_chars"),
+                    F.translate(F.col("text"), "\n\t", "~·"),
+                ),
+            ).otherwise(_err_fp()).alias("fp"),
+        )
+        parts.append(odf)
 
     if "image_pages" in by_family:
         from ..operators.tiff import tiff_page_images
