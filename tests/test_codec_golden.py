@@ -39,7 +39,7 @@ def test_fixture_is_committed_and_covers_all_families():
                          "image_hash", "exif_strip", "office",
                          "image_thumb", "subtitle", "document_images",
                          "image_pages", "office_pptx", "office_xlsx",
-                         "office_odf"}
+                         "office_odf", "document_epub"}
     assert fams["image_exif"] == 8 and fams["audio_tags"] == 6
     # the decode matrix: 6 PNG variants + 4 JPEG + GIF/BMP/PPM +
     # 2 VP8L WebP + 10 TIFF (LZW/deflate/palette/tiled + JPEG-in-TIFF,
@@ -81,6 +81,8 @@ def test_fixture_is_committed_and_covers_all_families():
     assert fams["office_pptx"] == 2 and fams["office_xlsx"] == 2
     # OpenDocument (r14): odt + ods + a content-less-zip refusal
     assert fams["office_odf"] == 3
+    # EPUB (r14): a 2-chapter book + a container-less-zip refusal
+    assert fams["document_epub"] == 2
 
 
 def test_codec_stats_match_golden(spark):
@@ -201,4 +203,4 @@ def test_codec_stats_from_foreign_cwd():
         env={k: v for k, v in __import__("os").environ.items()
              if k != "PYTHONPATH"},
     )
-    assert "CODEC_ROWS=172" in out.stdout, out.stderr[-2000:]
+    assert "CODEC_ROWS=174" in out.stdout, out.stderr[-2000:]

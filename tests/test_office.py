@@ -237,3 +237,81 @@ def test_odf_budget_and_documents_bridge(spark):
         _blob_df(spark, [(41, ok)]), kind="odf").collect()
     assert got[0]["source"] == "odf:41"
     assert got[0]["text"] == "OpenDocument body text"
+
+
+def _epub(chapters: list[bytes], *, spine_extra: bytes = b"",
+          manifest_extra: bytes = b"") -> bytes:
+    items = b"".join(
+        b'<item id="c%d" href="ch%d.xhtml" '
+        b'media-type="application/xhtml+xml"/>' % (i, i)
+        for i in range(len(chapters)))
+    spine = b"".join(b'<itemref idref="c%d"/>' % i
+                     for i in range(len(chapters)))
+    opf = (b'<?xml version="1.0"?><package><manifest>' + items
+           + manifest_extra + b"</manifest><spine>" + spine
+           + spine_extra + b"</spine></package>")
+    members = {
+        "META-INF/container.xml":
+            b'<?xml version="1.0"?><container><rootfiles><rootfile '
+            b'full-path="OEBPS/content.opf" media-type='
+            b'"application/oebps-package+xml"/></rootfiles></container>',
+        "OEBPS/content.opf": opf,
+    }
+    for i, body in enumerate(chapters):
+        members[f"OEBPS/ch{i}.xhtml"] = (
+            b"<html><head><title>t</title><style>p{}</style></head>"
+            b"<body>" + body + b"</body></html>")
+    return _ooxml_zip(members)
+
+
+def test_epub_text_extraction(spark):
+    chapters = [
+        (b"<h1>Chapter  One</h1><p>First para &amp; more.</p>"
+         b"<p>Second<br/>line</p>"
+         b"<script>var x = '<p>not text</p>';</script>"
+         b"<!-- a comment with <p>tags</p> -->"),
+        b"<p>Num ref: &#65;&#x42; and&nbsp;space</p>",
+    ]
+    rows = {r["doc_id"]: r for r in archives.epub_text(_blob_df(spark, [
+        (1, _epub(chapters)),
+        (2, LEGACY_OLE2),
+        (3, _zip()),            # zip without container.xml
+        (4, b"nope"),
+    ])).collect()}
+    e = rows[1]
+    assert e["format"] == "epub" and e["error"] is None
+    assert e["n_chapters"] == 2
+    # the whole <head> (title/meta) strips as chrome, block closes
+    # become newlines, script/comment content never leaks,
+    # whitespace collapses
+    assert e["text"] == ("Chapter One\nFirst para & more.\n"
+                         "Second\nline\fNum ref: AB and space")
+    assert e["n_chars"] == len(e["text"])
+    assert rows[2]["error_kind"] == "unsupported"
+    assert rows[3]["error_kind"] == "corrupt"
+    assert rows[4]["error_kind"] == "corrupt"
+
+
+def test_epub_structure_errors_and_bridge(spark):
+    from youtube_api_data_etl_automation_spark.corpus import (
+        office_to_documents,
+    )
+
+    # spine idref pointing at a missing member is malformed
+    broken = _epub([b"<p>x</p>"],
+                   spine_extra=b'<itemref idref="gone"/>',
+                   manifest_extra=b'<item id="gone" href="no.xhtml" '
+                   b'media-type="application/xhtml+xml"/>')
+    with pytest.raises(ValueError, match="spine chapter"):
+        archives._epub_extract_text(broken, None)
+    # non-xhtml spine entries (covers, images) skip silently
+    ok = _epub([b"<p>body</p>"],
+               spine_extra=b'<itemref idref="img"/>',
+               manifest_extra=b'<item id="img" href="cover.png" '
+               b'media-type="image/png"/>')
+    assert archives._epub_extract_text(ok, None) == (1, "body")
+    got = office_to_documents(
+        _blob_df(spark, [(51, _epub([b"<p>ebook body text</p>"]))]),
+        kind="epub").collect()
+    assert got[0]["source"] == "epub:51"
+    assert got[0]["text"] == "ebook body text"

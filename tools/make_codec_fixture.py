@@ -667,6 +667,14 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
         b"</table:table-row></table:table></office:spreadsheet>",
         b"application/vnd.oasis.opendocument.spreadsheet"))
     add(1610, "office_odf", "odf_zip_without_content_corrupt", _zip())
+    from test_office import _epub
+    add(1611, "document_epub", "epub_two_chapters_entities", _epub([
+        b"<h1>Intro</h1><p>Alpha &amp; beta.</p><p>Gamma<br/>delta</p>"
+        b"<script>ignore('<p>this</p>')</script>",
+        b"<p>Refs: &#72;&#x49;&nbsp;end</p>",
+    ]))
+    add(1612, "document_epub", "epub_zip_without_container_corrupt",
+        _zip())
 
     # ---- document_images: pdf_images (ids 19xx, r12) ------------------
     from test_pdf_images import img_obj, pdf_with_images, rgb_pixels

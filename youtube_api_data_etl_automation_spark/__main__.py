@@ -881,6 +881,7 @@ def _cmd_media(args: argparse.Namespace) -> int:
         "pptxtext": lambda b: archives.pptx_text(b, errors="quarantine"),
         "xlsxtext": lambda b: archives.xlsx_text(b, errors="quarantine"),
         "odftext": lambda b: archives.odf_text(b, errors="quarantine"),
+        "epubtext": lambda b: archives.epub_text(b, errors="quarantine"),
         "thumbnail": lambda b: imagehash.image_thumbnails(
             b, errors="quarantine"),
         "subtitles": lambda b: subtitles.subtitles_text(b),
@@ -943,7 +944,8 @@ def build_parser() -> argparse.ArgumentParser:
                  "subband", "archive", "warc", "pdftext", "pdfmeta",
                  "pdfimages", "imagehash", "members", "exifstrip",
                  "docxtext", "pptxtext", "xlsxtext", "odftext",
-                 "thumbnail", "subtitles", "sniff", "tiffpages"],
+                 "epubtext", "thumbnail", "subtitles", "sniff",
+                 "tiffpages"],
         help="probe=image headers, decode=image pixels, audio=samples, "
              "audiometa=MP3/FLAC/WAV headers, video=MP4/MKV containers, "
              "triage=probe-then-decode router (audiotriage=the audio "

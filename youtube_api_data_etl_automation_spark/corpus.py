@@ -647,13 +647,15 @@ def office_to_documents(
     from .operators.archives import (
         ARCHIVE_BYTE_BUDGET,
         docx_text,
+        epub_text,
         odf_text,
         pptx_text,
         xlsx_text,
     )
 
     extractors = {"docx": docx_text, "pptx": pptx_text,
-                  "xlsx": xlsx_text, "odf": odf_text}
+                  "xlsx": xlsx_text, "odf": odf_text,
+                  "epub": epub_text}
     if kind not in extractors:
         raise ValueError(
             f"office_to_documents: kind={kind!r} not in "

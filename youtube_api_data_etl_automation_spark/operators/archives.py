@@ -42,6 +42,9 @@ executor):
   ``content.xml`` walk (``<text:p>``/``<text:h>`` paragraphs,
   tab/line-break/run-length-space elements, mimetype-member kind
   detection) — the LibreOffice twin of the OOXML trio.
+- ``epub_text`` (r14): EPUB container → OPF manifest → spine-ordered
+  XHTML chapters → visible text (script/style subtrees dropped,
+  block closes as newlines, entities decoded) — the ebook slice.
 
 Reference anchor: the reference pipeline ingests remote API payloads
 (fetch_youtube_data.py:121-134); archive split/triage is the same
@@ -1124,6 +1127,153 @@ def odf_text(blobs: DataFrame, errors: str = "quarantine",
     return blobs.mapInPandas(
         _quarantine_batches(
             one, ("format", "n_paragraphs", "n_chars", "text"),
+            quarantine),
+        schema,
+    )
+
+
+EPUB_TEXT_SCHEMA = (
+    "doc_id bigint, format string, n_chapters int, n_chars int, "
+    "text string"
+)
+
+_EPUB_RES = None  # the EPUB walk's regexes, compiled lazily
+
+
+def _html_unescape(text: str) -> str:
+    """The five XML entities plus numeric character references and
+    ``&nbsp;`` — the set XHTML chapter files actually carry (named
+    HTML entities beyond these require a DTD table; they pass through
+    verbatim rather than guess)."""
+    import re as _re
+
+    text = _re.sub(r"&#(\d+);",
+                   lambda m: chr(int(m.group(1)))
+                   if int(m.group(1)) < 0x110000 else m.group(0), text)
+    text = _re.sub(r"&#[xX]([0-9a-fA-F]+);",
+                   lambda m: chr(int(m.group(1), 16))
+                   if int(m.group(1), 16) < 0x110000 else m.group(0),
+                   text)
+    text = text.replace("&nbsp;", " ")
+    return _xml_unescape(text)
+
+
+def _epub_extract_text(raw: bytes,
+                       budget: int | None) -> tuple[int, str]:
+    """(n_chapters, text) from one EPUB payload.
+
+    An EPUB is a zip: ``META-INF/container.xml`` names the OPF package
+    file, whose manifest maps item ids to hrefs and whose spine fixes
+    the reading order. Every spine item with an XHTML media type is
+    read (hrefs resolved against the OPF directory, percent-decoding
+    honored) and stripped to visible text: script/style/head subtrees
+    drop whole (titles and meta are chrome, not body text), ``<br/>``
+    and block-element closes render as newlines, all
+    other tags strip away, entities decode (XML five + numeric refs +
+    nbsp), whitespace runs collapse. Chapters join with form-feed —
+    the pdf_text page convention."""
+    import posixpath
+    from urllib.parse import unquote
+
+    global _EPUB_RES
+    if _EPUB_RES is None:
+        import re as _re
+
+        _EPUB_RES = (
+            _re.compile(rb'<rootfile[^>]*full-path="([^"]+)"'),
+            _re.compile(rb"<item\s[^>]*/?>"),
+            _re.compile(rb'<itemref\s[^>]*idref="([^"]+)"'),
+            _re.compile(rb'\b(id|href|media-type)="([^"]*)"'),
+            _re.compile(rb"<(script|style|head)(?:\s[^>]*)?>.*?</\1\s*>",
+                        _re.DOTALL | _re.IGNORECASE),
+            _re.compile(rb"<!--.*?-->", _re.DOTALL),
+            _re.compile(
+                rb"<br\s*/?>|</(?:p|div|h[1-6]|li|tr|section|article"
+                rb"|blockquote|title)\s*>", _re.IGNORECASE),
+            _re.compile(rb"<[^>]*>"),
+            _re.compile(r"[ \t\r]+"),
+            _re.compile(r" ?\n[ \n]*"),
+        )
+    (root_re, item_re, spine_re, attr_re, scriptstyle_re, comment_re,
+     break_re, tag_re, sp_re, nl_re) = _EPUB_RES
+
+    zf = _office_zip(raw, budget, "epub", "lit")
+    names = set(zf.namelist())
+    if "META-INF/container.xml" not in names:
+        raise ValueError("malformed epub: no META-INF/container.xml")
+    try:
+        container = zf.read("META-INF/container.xml")
+    except Exception as e:
+        raise ValueError(f"malformed epub: {e}") from None
+    m = root_re.search(container)
+    if m is None:
+        raise ValueError("malformed epub: container names no rootfile")
+    opf_path = unquote(m.group(1).decode("utf-8", "replace"))
+    try:
+        opf = zf.read(opf_path)
+    except Exception:
+        raise ValueError(
+            f"malformed epub: rootfile {opf_path!r} missing") from None
+    base = posixpath.dirname(opf_path)
+    manifest: dict[str, str] = {}
+    for im in item_re.finditer(opf):
+        attrs = dict(
+            (k.decode(), v.decode("utf-8", "replace"))
+            for k, v in attr_re.findall(im.group(0)))
+        if attrs.get("media-type") in ("application/xhtml+xml",
+                                       "text/html") \
+                and "id" in attrs and "href" in attrs:
+            manifest[attrs["id"]] = attrs["href"]
+    chapters: list[str] = []
+    for sm in spine_re.finditer(opf):
+        href = manifest.get(sm.group(1).decode("utf-8", "replace"))
+        if href is None:
+            continue  # non-text spine entries (covers, navs) skip
+        path = posixpath.normpath(
+            posixpath.join(base, unquote(href.split("#", 1)[0])))
+        try:
+            xml = zf.read(path)
+        except Exception:
+            raise ValueError(
+                f"malformed epub: spine chapter {path!r} missing"
+            ) from None
+        xml = comment_re.sub(b"", scriptstyle_re.sub(b"", xml))
+        xml = tag_re.sub(b"", break_re.sub(b"\n", xml))
+        text = _html_unescape(xml.decode("utf-8", "replace"))
+        text = nl_re.sub("\n", sp_re.sub(" ", text)).strip()
+        chapters.append(text)
+    if not chapters:
+        raise ValueError("malformed epub: spine names no XHTML chapters")
+    return len(chapters), "\f".join(chapters).strip("\f")
+
+
+def epub_text(blobs: DataFrame, errors: str = "quarantine",
+              byte_budget: int | None = ARCHIVE_BYTE_BUDGET,
+              ) -> DataFrame:
+    """REAL EPUB text extraction over ``(doc_id, payload)`` (r14) —
+    the ebook slice of a document crawl: container → OPF manifest →
+    spine-ordered XHTML chapters → visible text, through the same
+    consolidated zip harness and budgets as the office trio. One row
+    per book: chapter count, char count, text (chapters form-feed
+    separated). Quarantine contract."""
+    from .mediameta import _quarantine_batches
+    from .multimodal import _check_errors_mode
+
+    quarantine = _check_errors_mode(errors)
+
+    def one(payload):
+        raw = bytes(payload) if payload else b""
+        if not raw:
+            raise ValueError("empty/NULL epub payload")
+        n_chapters, text = _epub_extract_text(raw, byte_budget)
+        return {"format": "epub", "n_chapters": n_chapters,
+                "n_chars": len(text), "text": text}
+
+    schema = EPUB_TEXT_SCHEMA + ", error string, error_kind string" \
+        if quarantine else EPUB_TEXT_SCHEMA
+    return blobs.mapInPandas(
+        _quarantine_batches(
+            one, ("format", "n_chapters", "n_chars", "text"),
             quarantine),
         schema,
     )

@@ -67,6 +67,9 @@ Fixture families → engine op exercised:
 - ``office_odf`` → :func:`operators.archives.odf_text` (r14:
   OpenDocument odt/odp/ods content.xml walk — paragraphs/headings,
   tab/line-break/run-length spaces, mimetype kind detection)
+- ``document_epub`` → :func:`operators.archives.epub_text` (r14:
+  container → OPF spine → XHTML chapters → visible text; entity and
+  whitespace normalization pinned)
 
 Scale note: the fixture is a verification corpus (~40 rows, a few KB);
 the ops it drives are the same Arrow-batched mapInPandas operators that
@@ -105,7 +108,7 @@ CODEC_FAMILIES = (
     "archive", "warc_records", "document", "document_meta",
     "image_hash", "exif_strip", "office", "image_thumb", "subtitle",
     "document_images", "image_pages", "office_pptx", "office_xlsx",
-    "office_odf",
+    "office_odf", "document_epub",
 )
 
 
@@ -642,6 +645,27 @@ def codec_stats(spark: SparkSession,
             ).otherwise(_err_fp()).alias("fp"),
         )
         parts.append(odf)
+
+    if "document_epub" in by_family:
+        from ..operators.archives import epub_text
+
+        epub = epub_text(by_family["document_epub"],
+                         errors="quarantine").select(
+            "doc_id",
+            F.col("format").alias("fmt"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.when(
+                F.col("error").isNull(),
+                F.format_string(
+                    "%d,%d,%s",
+                    F.col("n_chapters"),
+                    F.col("n_chars"),
+                    F.translate(F.col("text"), "\n\f", "~|"),
+                ),
+            ).otherwise(_err_fp()).alias("fp"),
+        )
+        parts.append(epub)
 
     if "image_pages" in by_family:
         from ..operators.tiff import tiff_page_images
