@@ -39,7 +39,7 @@ def test_fixture_is_committed_and_covers_all_families():
                          "image_hash", "exif_strip", "office",
                          "image_thumb", "subtitle", "document_images",
                          "image_pages", "office_pptx", "office_xlsx",
-                         "office_odf", "document_epub"}
+                         "office_odf", "document_epub", "mail_eml"}
     assert fams["image_exif"] == 8 and fams["audio_tags"] == 6
     # the decode matrix: 6 PNG variants + 4 JPEG + GIF/BMP/PPM +
     # 2 VP8L WebP + 10 TIFF (LZW/deflate/palette/tiled + JPEG-in-TIFF,
@@ -83,6 +83,9 @@ def test_fixture_is_committed_and_covers_all_families():
     assert fams["office_odf"] == 3
     # EPUB (r14): a 2-chapter book + a container-less-zip refusal
     assert fams["document_epub"] == 2
+    # mail (r14): a MIME alternative+attachment message + a
+    # headerless-bytes refusal
+    assert fams["mail_eml"] == 2
 
 
 def test_codec_stats_match_golden(spark):
@@ -203,4 +206,4 @@ def test_codec_stats_from_foreign_cwd():
         env={k: v for k, v in __import__("os").environ.items()
              if k != "PYTHONPATH"},
     )
-    assert "CODEC_ROWS=174" in out.stdout, out.stderr[-2000:]
+    assert "CODEC_ROWS=176" in out.stdout, out.stderr[-2000:]

@@ -675,6 +675,11 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
     ]))
     add(1612, "document_epub", "epub_zip_without_container_corrupt",
         _zip())
+    from test_mail import _mime_alt
+    add(2201, "mail_eml", "eml_mime_alternative_attachment",
+        _mime_alt())
+    add(2202, "mail_eml", "eml_headerless_corrupt",
+        b"just bytes, no rfc5322 headers")
 
     # ---- document_images: pdf_images (ids 19xx, r12) ------------------
     from test_pdf_images import img_obj, pdf_with_images, rgb_pixels

@@ -822,6 +822,7 @@ def _cmd_media(args: argparse.Namespace) -> int:
     from .operators import (
         archives,
         imagehash,
+        mail,
         mediameta,
         pdf,
         subtitles,
@@ -882,6 +883,8 @@ def _cmd_media(args: argparse.Namespace) -> int:
         "xlsxtext": lambda b: archives.xlsx_text(b, errors="quarantine"),
         "odftext": lambda b: archives.odf_text(b, errors="quarantine"),
         "epubtext": lambda b: archives.epub_text(b, errors="quarantine"),
+        "emltext": lambda b: mail.eml_text(b, errors="quarantine"),
+        "mboxsplit": lambda b: mail.mbox_split(b),
         "thumbnail": lambda b: imagehash.image_thumbnails(
             b, errors="quarantine"),
         "subtitles": lambda b: subtitles.subtitles_text(b),
@@ -944,8 +947,8 @@ def build_parser() -> argparse.ArgumentParser:
                  "subband", "archive", "warc", "pdftext", "pdfmeta",
                  "pdfimages", "imagehash", "members", "exifstrip",
                  "docxtext", "pptxtext", "xlsxtext", "odftext",
-                 "epubtext", "thumbnail", "subtitles", "sniff",
-                 "tiffpages"],
+                 "epubtext", "emltext", "mboxsplit", "thumbnail",
+                 "subtitles", "sniff", "tiffpages"],
         help="probe=image headers, decode=image pixels, audio=samples, "
              "audiometa=MP3/FLAC/WAV headers, video=MP4/MKV containers, "
              "triage=probe-then-decode router (audiotriage=the audio "

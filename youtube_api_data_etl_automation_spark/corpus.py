@@ -679,6 +679,54 @@ def office_to_documents(
     )
 
 
+def mail_to_documents(
+    payloads: DataFrame,
+    *,
+    mbox: bool = False,
+    min_chars: int = 1,
+    byte_budget: int | None = None,
+) -> DataFrame:
+    """Mail payloads → ``documents``-shaped rows (r14): .eml messages
+    (or, with ``mbox=True``, whole mailboxes split per message first)
+    through :func:`operators.mail.eml_text`; the subject line joins
+    the body (``Subject: …`` as the first line — the form a reader
+    sees and dedup should key on). Failures drop — run the extractors
+    with ``errors='quarantine'`` separately when the quarantine
+    population matters. ``doc_id`` is ``xxhash64`` of the source id
+    (and message index for mbox) — stable across re-ingestion."""
+    from .operators.archives import ARCHIVE_BYTE_BUDGET
+    from .operators.mail import (
+        eml_text,
+        mbox_messages_as_payloads,
+        mbox_split,
+    )
+
+    if mbox:
+        payloads = mbox_messages_as_payloads(mbox_split(payloads))
+    extracted = eml_text(
+        payloads, errors="quarantine",
+        byte_budget=byte_budget or ARCHIVE_BYTE_BUDGET,
+    )
+    return (
+        extracted
+        .filter(F.col("error").isNull())
+        .select(
+            F.xxhash64(F.col("doc_id")).alias("doc_id"),
+            F.concat_ws(
+                "\n",
+                F.concat(F.lit("Subject: "),
+                         F.coalesce(F.col("subject"), F.lit("-"))),
+                F.col("text"),
+            ).alias("text"),
+            F.lit(None).cast("string").alias("lang"),
+            F.concat(F.lit("eml:"), F.col("doc_id").cast("string"))
+            .alias("source"),
+        )
+        .withColumn("n_chars", F.length("text"))
+        .filter(F.col("n_chars") >= min_chars)
+    )
+
+
 def docx_to_documents(
     payloads: DataFrame,
     *,

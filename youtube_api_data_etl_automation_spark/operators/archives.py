@@ -1158,6 +1158,39 @@ def _html_unescape(text: str) -> str:
     return _xml_unescape(text)
 
 
+_STRIP_RES = None  # the XHTML visible-text strip, compiled lazily
+
+
+def _strip_xhtml_text(xml: bytes) -> str:
+    """Visible text of one (X)HTML document/fragment — shared by the
+    EPUB chapter walk and mail HTML bodies (operators/mail.py):
+    head/script/style subtrees drop whole (titles and meta are chrome,
+    not body text), comments drop, ``<br/>`` and block-element closes
+    render as newlines, all other tags strip away, entities decode
+    (XML five + numeric refs + nbsp), whitespace runs collapse."""
+    global _STRIP_RES
+    if _STRIP_RES is None:
+        import re as _re
+
+        _STRIP_RES = (
+            _re.compile(rb"<(script|style|head)(?:\s[^>]*)?>.*?</\1\s*>",
+                        _re.DOTALL | _re.IGNORECASE),
+            _re.compile(rb"<!--.*?-->", _re.DOTALL),
+            _re.compile(
+                rb"<br\s*/?>|</(?:p|div|h[1-6]|li|tr|section|article"
+                rb"|blockquote|title)\s*>", _re.IGNORECASE),
+            _re.compile(rb"<[^>]*>"),
+            _re.compile(r"[ \t\r]+"),
+            _re.compile(r" ?\n[ \n]*"),
+        )
+    scriptstyle_re, comment_re, break_re, tag_re, sp_re, nl_re = \
+        _STRIP_RES
+    xml = comment_re.sub(b"", scriptstyle_re.sub(b"", xml))
+    xml = tag_re.sub(b"", break_re.sub(b"\n", xml))
+    text = _html_unescape(xml.decode("utf-8", "replace"))
+    return nl_re.sub("\n", sp_re.sub(" ", text)).strip()
+
+
 def _epub_extract_text(raw: bytes,
                        budget: int | None) -> tuple[int, str]:
     """(n_chapters, text) from one EPUB payload.
@@ -1184,18 +1217,8 @@ def _epub_extract_text(raw: bytes,
             _re.compile(rb"<item\s[^>]*/?>"),
             _re.compile(rb'<itemref\s[^>]*idref="([^"]+)"'),
             _re.compile(rb'\b(id|href|media-type)="([^"]*)"'),
-            _re.compile(rb"<(script|style|head)(?:\s[^>]*)?>.*?</\1\s*>",
-                        _re.DOTALL | _re.IGNORECASE),
-            _re.compile(rb"<!--.*?-->", _re.DOTALL),
-            _re.compile(
-                rb"<br\s*/?>|</(?:p|div|h[1-6]|li|tr|section|article"
-                rb"|blockquote|title)\s*>", _re.IGNORECASE),
-            _re.compile(rb"<[^>]*>"),
-            _re.compile(r"[ \t\r]+"),
-            _re.compile(r" ?\n[ \n]*"),
         )
-    (root_re, item_re, spine_re, attr_re, scriptstyle_re, comment_re,
-     break_re, tag_re, sp_re, nl_re) = _EPUB_RES
+    root_re, item_re, spine_re, attr_re = _EPUB_RES
 
     zf = _office_zip(raw, budget, "epub", "lit")
     names = set(zf.namelist())
@@ -1237,11 +1260,7 @@ def _epub_extract_text(raw: bytes,
             raise ValueError(
                 f"malformed epub: spine chapter {path!r} missing"
             ) from None
-        xml = comment_re.sub(b"", scriptstyle_re.sub(b"", xml))
-        xml = tag_re.sub(b"", break_re.sub(b"\n", xml))
-        text = _html_unescape(xml.decode("utf-8", "replace"))
-        text = nl_re.sub("\n", sp_re.sub(" ", text)).strip()
-        chapters.append(text)
+        chapters.append(_strip_xhtml_text(xml))
     if not chapters:
         raise ValueError("malformed epub: spine names no XHTML chapters")
     return len(chapters), "\f".join(chapters).strip("\f")

@@ -70,6 +70,9 @@ Fixture families → engine op exercised:
 - ``document_epub`` → :func:`operators.archives.epub_text` (r14:
   container → OPF spine → XHTML chapters → visible text; entity and
   whitespace normalization pinned)
+- ``mail_eml`` → :func:`operators.mail.eml_text` (r14: MIME
+  multipart walk — alternative-prefers-plain, RFC 2047 header
+  decode, transfer-encoding/charset handling, attachment counting)
 
 Scale note: the fixture is a verification corpus (~40 rows, a few KB);
 the ops it drives are the same Arrow-batched mapInPandas operators that
@@ -108,7 +111,7 @@ CODEC_FAMILIES = (
     "archive", "warc_records", "document", "document_meta",
     "image_hash", "exif_strip", "office", "image_thumb", "subtitle",
     "document_images", "image_pages", "office_pptx", "office_xlsx",
-    "office_odf", "document_epub",
+    "office_odf", "document_epub", "mail_eml",
 )
 
 
@@ -666,6 +669,30 @@ def codec_stats(spark: SparkSession,
             ).otherwise(_err_fp()).alias("fp"),
         )
         parts.append(epub)
+
+    if "mail_eml" in by_family:
+        from ..operators.mail import eml_text
+
+        eml = eml_text(by_family["mail_eml"],
+                       errors="quarantine").select(
+            "doc_id",
+            F.col("format").alias("fmt"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.when(
+                F.col("error").isNull(),
+                F.format_string(
+                    "%s|%s|%d|%d|%d|%s",
+                    F.coalesce(F.col("subject"), F.lit("-")),
+                    F.coalesce(F.col("sender"), F.lit("-")),
+                    F.col("n_parts"),
+                    F.col("n_attachments"),
+                    F.col("n_chars"),
+                    F.translate(F.col("text"), "\n", "~"),
+                ),
+            ).otherwise(_err_fp()).alias("fp"),
+        )
+        parts.append(eml)
 
     if "image_pages" in by_family:
         from ..operators.tiff import tiff_page_images
