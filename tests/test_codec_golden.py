@@ -39,7 +39,7 @@ def test_fixture_is_committed_and_covers_all_families():
                          "image_hash", "exif_strip", "office",
                          "image_thumb", "subtitle", "document_images",
                          "image_pages", "office_pptx", "office_xlsx",
-                         "office_odf", "document_epub", "mail_eml"}
+                         "office_odf", "document_epub", "mail_eml", "document_rtf"}
     assert fams["image_exif"] == 8 and fams["audio_tags"] == 6
     # the decode matrix: 6 PNG variants + 4 JPEG + GIF/BMP/PPM +
     # 2 VP8L WebP + 10 TIFF (LZW/deflate/palette/tiled + JPEG-in-TIFF,
@@ -86,6 +86,8 @@ def test_fixture_is_committed_and_covers_all_families():
     # mail (r14): a MIME alternative+attachment message + a
     # headerless-bytes refusal
     assert fams["mail_eml"] == 2
+    # RTF (r14): escapes/destinations doc + an unbalanced refusal
+    assert fams["document_rtf"] == 2
 
 
 def test_codec_stats_match_golden(spark):
@@ -206,4 +208,4 @@ def test_codec_stats_from_foreign_cwd():
         env={k: v for k, v in __import__("os").environ.items()
              if k != "PYTHONPATH"},
     )
-    assert "CODEC_ROWS=176" in out.stdout, out.stderr[-2000:]
+    assert "CODEC_ROWS=178" in out.stdout, out.stderr[-2000:]

@@ -452,3 +452,56 @@ def test_fuzz_ccitt(rng):
     _assert_contract(lambda p: ccitt.decode_g3(p, 17, None,
                                                max_rows=64),
                      _garbage(rng, 80, 400), "ccitt-g3-norows")
+
+
+def test_fuzz_r14_document_extractors(rng):
+    """r14 extractors (jbig2 embedded+file, rtf, office/odf/epub zip
+    walks, eml/mbox): arbitrary bytes map to DECODE_ERRORS or a clean
+    result — never an unexpected exception class."""
+    from youtube_api_data_etl_automation_spark.operators import (
+        archives,
+        jbig2,
+        mail,
+        rtf,
+    )
+
+    import sys
+    sys.path.insert(0, "tests")
+    from test_jbig2 import _page_info, _region, _seg, _rand_img
+    import random as _rnd
+
+    img = _rand_img(_rnd.Random(3), 5, 9)
+    valid_jb = (_seg(0, 48, 1, _page_info(9, 5))
+                + _seg(1, 39, 1, _region(img)))
+    valid_rtf = (rb"{\rtf1{\uc1 body \u233? text \'e9}\par done}")
+    from test_office import _odf, _pptx, _xlsx, _epub
+    from test_mail import _mime_alt
+
+    corpora = [
+        (lambda b: jbig2.decode_jbig2(b), valid_jb),
+        (lambda b: jbig2.decode_jbig2_file(b),
+         b"\x97JB2\r\n\x1a\n\x03" + valid_jb),
+        (lambda b: rtf._extract_rtf(b, 1 << 20), valid_rtf),
+        (lambda b: archives._pptx_extract_text(b, 1 << 20),
+         _pptx([b"<a:p><a:r><a:t>s</a:t></a:r></a:p>"])),
+        (lambda b: archives._xlsx_extract_text(b, 1 << 20),
+         _xlsx([b"<row><c><v>1</v></c></row>"])),
+        (lambda b: archives._odf_extract_text(b, 1 << 20),
+         _odf(b"<text:p>x</text:p>")),
+        (lambda b: archives._epub_extract_text(b, 1 << 20),
+         _epub([b"<p>x</p>"])),
+        (lambda b: mail._extract_eml(b, 1 << 20), _mime_alt()),
+        (lambda b: mail.split_mbox(b),
+         b"From a@x Mon\nSubject: s\n\nbody\n"),
+    ]
+    for fn, valid in corpora:
+        fn(valid)  # the valid payload must parse clean
+        cases = _mutations(rng, valid, 40)
+        cases += [bytes(rng.integers(0, 256, size=int(n)).astype("u1"))
+                  for n in rng.integers(1, 400, size=40)]
+        cases += [b""]
+        for payload in cases:
+            try:
+                fn(payload)
+            except OK_ERRORS:
+                pass

@@ -680,6 +680,12 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
         _mime_alt())
     add(2202, "mail_eml", "eml_headerless_corrupt",
         b"just bytes, no rfc5322 headers")
+    add(2301, "document_rtf", "rtf_tables_escapes_unicode",
+        rb"{\rtf1\ansi{\fonttbl{\f0 Arial;}}"
+        rb"\f0 Caf\'e9 notes\par "
+        rb"{\*\generator Writer}Euro: \u8364? end\par}")
+    add(2302, "document_rtf", "rtf_unbalanced_corrupt",
+        rb"{\rtf1 half open")
 
     # ---- document_images: pdf_images (ids 19xx, r12) ------------------
     from test_pdf_images import img_obj, pdf_with_images, rgb_pixels

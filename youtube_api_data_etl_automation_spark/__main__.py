@@ -825,6 +825,7 @@ def _cmd_media(args: argparse.Namespace) -> int:
         mail,
         mediameta,
         pdf,
+        rtf,
         subtitles,
         tiff,
     )
@@ -884,6 +885,7 @@ def _cmd_media(args: argparse.Namespace) -> int:
         "odftext": lambda b: archives.odf_text(b, errors="quarantine"),
         "epubtext": lambda b: archives.epub_text(b, errors="quarantine"),
         "emltext": lambda b: mail.eml_text(b, errors="quarantine"),
+        "rtftext": lambda b: rtf.rtf_text(b, errors="quarantine"),
         "mboxsplit": lambda b: mail.mbox_split(b),
         "thumbnail": lambda b: imagehash.image_thumbnails(
             b, errors="quarantine"),
@@ -947,8 +949,8 @@ def build_parser() -> argparse.ArgumentParser:
                  "subband", "archive", "warc", "pdftext", "pdfmeta",
                  "pdfimages", "imagehash", "members", "exifstrip",
                  "docxtext", "pptxtext", "xlsxtext", "odftext",
-                 "epubtext", "emltext", "mboxsplit", "thumbnail",
-                 "subtitles", "sniff", "tiffpages"],
+                 "epubtext", "emltext", "mboxsplit", "rtftext",
+                 "thumbnail", "subtitles", "sniff", "tiffpages"],
         help="probe=image headers, decode=image pixels, audio=samples, "
              "audiometa=MP3/FLAC/WAV headers, video=MP4/MKV containers, "
              "triage=probe-then-decode router (audiotriage=the audio "

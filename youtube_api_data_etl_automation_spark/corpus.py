@@ -652,10 +652,11 @@ def office_to_documents(
         pptx_text,
         xlsx_text,
     )
+    from .operators.rtf import rtf_text
 
     extractors = {"docx": docx_text, "pptx": pptx_text,
                   "xlsx": xlsx_text, "odf": odf_text,
-                  "epub": epub_text}
+                  "epub": epub_text, "rtf": rtf_text}
     if kind not in extractors:
         raise ValueError(
             f"office_to_documents: kind={kind!r} not in "

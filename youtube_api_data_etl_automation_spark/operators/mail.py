@@ -103,7 +103,10 @@ def _extract_eml(raw: bytes, budget: int | None) -> dict:
             return
         n_parts += 1
         ctype = m.get_content_type()
-        dispo = (m.get("Content-Disposition") or "").lower()
+        # str(): compat32 may hand back a Header object for headers
+        # with damaged encodings (fuzz-found r14) — .lower() on it
+        # would kill the task instead of quarantining
+        dispo = str(m.get("Content-Disposition") or "").lower()
         if dispo.startswith("attachment") or not \
                 ctype.startswith("text/"):
             n_attach += 1

@@ -73,6 +73,9 @@ Fixture families → engine op exercised:
 - ``mail_eml`` → :func:`operators.mail.eml_text` (r14: MIME
   multipart walk — alternative-prefers-plain, RFC 2047 header
   decode, transfer-encoding/charset handling, attachment counting)
+- ``document_rtf`` → :func:`operators.rtf.rtf_text` (r14: the RTF
+  group/destination/escape walk — uN unicode words with ucN
+  fallbacks, cp1252 hex escapes, destination skipping)
 
 Scale note: the fixture is a verification corpus (~40 rows, a few KB);
 the ops it drives are the same Arrow-batched mapInPandas operators that
@@ -111,7 +114,7 @@ CODEC_FAMILIES = (
     "archive", "warc_records", "document", "document_meta",
     "image_hash", "exif_strip", "office", "image_thumb", "subtitle",
     "document_images", "image_pages", "office_pptx", "office_xlsx",
-    "office_odf", "document_epub", "mail_eml",
+    "office_odf", "document_epub", "mail_eml", "document_rtf",
 )
 
 
@@ -693,6 +696,27 @@ def codec_stats(spark: SparkSession,
             ).otherwise(_err_fp()).alias("fp"),
         )
         parts.append(eml)
+
+    if "document_rtf" in by_family:
+        from ..operators.rtf import rtf_text
+
+        rtfp = rtf_text(by_family["document_rtf"],
+                        errors="quarantine").select(
+            "doc_id",
+            F.col("format").alias("fmt"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.when(
+                F.col("error").isNull(),
+                F.format_string(
+                    "%d,%d,%s",
+                    F.col("n_groups"),
+                    F.col("n_chars"),
+                    F.translate(F.col("text"), "\n\t", "~·"),
+                ),
+            ).otherwise(_err_fp()).alias("fp"),
+        )
+        parts.append(rtfp)
 
     if "image_pages" in by_family:
         from ..operators.tiff import tiff_page_images
