@@ -1313,6 +1313,7 @@ def test_sniff_format_routes_all_families(spark):
         "tar": b"\x00" * 257 + b"ustar" + b"\x00" * 20,
         "warc": b"WARC/1.0\r\n",
         "pdf": b"%PDF-1.4\n",
+        "rtf": b"{\\rtf1\\ansi body}",
     }
     family_want = {"png": "image", "jpeg": "image", "gif": "image",
                    "webp": "image", "tiff": "image", "jbig2": "image",
@@ -1321,7 +1322,8 @@ def test_sniff_format_routes_all_families(spark):
                    "mp3": "audio", "ogg": "audio", "mp4": "video",
                    "mkv": "video", "avi": "video", "gzip": "archive",
                    "zip": "archive", "tar": "archive",
-                   "warc": "archive", "pdf": "document"}
+                   "warc": "archive", "pdf": "document",
+                   "rtf": "document"}
     rows = [(i, bytearray(v)) for i, v in enumerate(samples.values())]
     rows += [(900, bytearray(b"plain text here")), (901, None),
              (902, bytearray(b""))]

@@ -1891,7 +1891,7 @@ def sniff_format(blobs: DataFrame,
     Families/formats covered: image (png/jpeg/gif/bmp/webp/tiff/jbig2/
     pnm),
     audio (wav/flac/mp3/ogg), video (mp4/mkv/avi), archive
-    (gzip/zip/tar/warc), document (pdf). ``zip`` is reported as
+    (gzip/zip/tar/warc), document (pdf/rtf). ``zip`` is reported as
     archive even when it is OOXML — distinguishing docx needs a
     member read, which is the downstream operator's job. Everything
     else is ``('unknown', NULL)``. NULL/empty payloads are
@@ -1937,6 +1937,7 @@ def sniff_format(blobs: DataFrame,
               F.lit("zip"))
         .when(magic(0, b"WARC/"), F.lit("warc"))
         .when(magic(0, b"%PDF-"), F.lit("pdf"))
+        .when(magic(0, b"{\\rtf"), F.lit("rtf"))
     )
     family_of = {
         "image": ("png", "jpeg", "gif", "webp", "tiff", "jbig2", "bmp",
@@ -1944,7 +1945,7 @@ def sniff_format(blobs: DataFrame,
         "audio": ("wav", "flac", "mp3", "ogg"),
         "video": ("mp4", "mkv", "avi"),
         "archive": ("gzip", "zip", "tar", "warc"),
-        "document": ("pdf",),
+        "document": ("pdf", "rtf"),
     }
     out = blobs.withColumn("sniff_format", fmt)
     fam = F.lit("unknown")

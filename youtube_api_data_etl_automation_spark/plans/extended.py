@@ -69,6 +69,7 @@ _SNIFF_CASE = """
         WHEN substr(pre, 1, 8) IN ('504b0304', '504b0506') THEN 'zip'
         WHEN substr(pre, 1, 10) = '574152432f' THEN 'warc'
         WHEN substr(pre, 1, 10) = '255044462d' THEN 'pdf'
+        WHEN substr(pre, 1, 10) = '7b5c727466' THEN 'rtf'
       END
 """
 
@@ -84,7 +85,7 @@ _SNIFF_ORACLE = None if _SNIFF_SRC is None else f"""
              WHEN fmt IN ('wav', 'flac', 'mp3', 'ogg') THEN 'audio'
              WHEN fmt IN ('mp4', 'mkv', 'avi') THEN 'video'
              WHEN fmt IN ('gzip', 'zip', 'tar', 'warc') THEN 'archive'
-             WHEN fmt = 'pdf' THEN 'document'
+             WHEN fmt IN ('pdf', 'rtf') THEN 'document'
              ELSE 'unknown'
            END AS fp
     FROM (
