@@ -125,6 +125,37 @@ def main() -> None:
         print(json.dumps({"op": "pptx+xlsx_text", "scale": scale,
                           "payloads": reps * 2, "sec": round(t, 3)}))
 
+    # late-r14 extractors: odf/epub/rtf/eml fixture payloads replicated,
+    # all four ops forced per run — the combined document-ladder wall
+    from youtube_api_data_etl_automation_spark.operators.archives import (
+        epub_text,
+        odf_text,
+    )
+    from youtube_api_data_etl_automation_spark.operators.mail import (
+        eml_text,
+    )
+    from youtube_api_data_etl_automation_spark.operators.rtf import (
+        rtf_text,
+    )
+
+    for scale, reps in (("1x", r_small * 4), ("10x", r_small * 40)):
+        dfs = [(_fixture_blobs(spark, (pid,), reps), op)
+               for pid, op in ((1608, odf_text), (1611, epub_text),
+                               (2301, rtf_text), (2201, eml_text))]
+        for df, _ in dfs:
+            df.persist().count()
+
+        def run():
+            for df, op in dfs:
+                _force(op(df, errors="quarantine"))
+
+        t = _time(run)
+        for df, _ in dfs:
+            df.unpersist()
+        results[f"doc_extract_{scale}"] = round(t, 3)
+        print(json.dumps({"op": "odf+epub+rtf+eml_text", "scale": scale,
+                          "payloads": reps * 4, "sec": round(t, 3)}))
+
     for scale, nh in (("1x", 40 * r_small // 10),
                       ("10x", 40 * r_small)):
         frontier = _frontier_rows(spark, nh).persist()
