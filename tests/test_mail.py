@@ -140,3 +140,12 @@ def test_mail_to_documents_and_cli(spark, capsys):
     rc = main(["media", "--input", base + "/eml", "--op", "emltext"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and out["by_format"] == {"eml": 1}
+
+
+def test_mbox_empty_message_keeps_its_slot():
+    """r14 review fix: an empty message between consecutive From_
+    lines occupies its msg_idx so later doc_ids stay stable."""
+    mbox = (b"From a@x Mon\n"
+            b"From b@x Tue\nSubject: s\n\nbody\n")
+    msgs = M.split_mbox(mbox)
+    assert len(msgs) == 2 and msgs[0] == b""

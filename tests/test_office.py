@@ -315,3 +315,43 @@ def test_epub_structure_errors_and_bridge(spark):
         kind="epub").collect()
     assert got[0]["source"] == "epub:51"
     assert got[0]["text"] == "ebook body text"
+
+
+def test_odf_second_review_fixes():
+    """r14 review fixes: nested text:p keeps the outer tail, text:s
+    run-length bombs refuse before allocation, surrogate numeric refs
+    in epub/eml bodies become U+FFFD."""
+    nested = _odf(
+        b"<office:text><text:p>A <draw:frame><text:p>inner</text:p>"
+        b"</draw:frame> B tail</text:p></office:text>")
+    kind, n_paras, text = archives._odf_extract_text(nested, None)
+    assert text == "A inner\nB tail"
+    bomb = _odf(b'<office:text><text:p>x<text:s text:c="200000000"/>'
+                b"y</text:p></office:text>")
+    with pytest.raises(ValueError, match="run-length"):
+        archives._odf_extract_text(bomb, 1 << 26)
+    many = _odf(b"<office:text><text:p>"
+                + b'<text:s text:c="60000"/>' * 40
+                + b"</text:p></office:text>")
+    with pytest.raises(ValueError, match="cumulative"):
+        archives._odf_extract_text(many, 100_000)
+    # surrogate numeric ref -> U+FFFD, encodable
+    assert archives._html_unescape("&#55296;ok") == "�ok"
+    assert archives._html_unescape("&#xD800;ok") == "�ok"
+
+
+def test_epub_single_quoted_attributes():
+    """r14 review fix: single-quoted XML attributes are valid and
+    must parse."""
+    members = {
+        "META-INF/container.xml":
+            b"<container><rootfiles><rootfile full-path='c.opf'/>"
+            b"</rootfiles></container>",
+        "c.opf":
+            b"<package><manifest><item id='a' href='ch.xhtml' "
+            b"media-type='application/xhtml+xml'/></manifest>"
+            b"<spine><itemref idref='a'/></spine></package>",
+        "ch.xhtml": b"<html><body><p>quoted body</p></body></html>",
+    }
+    raw = _ooxml_zip(members)
+    assert archives._epub_extract_text(raw, None) == (1, "quoted body")

@@ -59,3 +59,25 @@ def test_rtf_structure_and_budget():
         R._extract_rtf(b"{\\rtf1 " + b"y" * 5000 + b"}", 100)
     # newline bytes are structure, not text; \<newline> IS \par
     assert R._extract_rtf(b"{\\rtf1 a\r\nb\\\nc}", None)[1] == "ab\nc"
+
+
+def test_rtf_second_review_fixes():
+    """r14 review fixes: surrogate \\uN values never emit lone
+    surrogates, \\binN raw data skips whole, control-word fallbacks
+    after \\uN skip as ONE char, pending fallback dies at group
+    boundaries."""
+    # \u-10240 would be U+D800 (lone surrogate) — must become U+FFFD
+    # and the result must stay UTF-8-encodable
+    _, text = R._extract_rtf(b"{\\rtf1 \\u-10240?x}", None)
+    assert text == "�x"
+    text.encode("utf-8")  # must not raise
+    # \bin4 consumes its 4 raw bytes even when they contain } and backslash
+    _, text = R._extract_rtf(
+        b"{\\rtf1 {\\pict\\bin4 \x7d\x5c\x01\x02 x}done}", None)
+    assert text == "x done" or text == "xdone" or "done" in text
+    # a control word is ONE fallback character
+    _, text = R._extract_rtf(b"{\\rtf1 \\u8364\\tab after}", None)
+    assert text == "€after"
+    # pending fallback cleared at group close: A is real text
+    _, text = R._extract_rtf(b"{\\rtf1 {\\uc1\\u8364}ABC}", None)
+    assert text == "€ABC"

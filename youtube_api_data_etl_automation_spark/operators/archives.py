@@ -1050,23 +1050,26 @@ def _odf_extract_text(raw: bytes,
     elements, so ONE walk covers all three kinds), with
     ``<text:tab/>`` → tab, ``<text:line-break/>`` → newline, and
     ``<text:s text:c="N"/>`` → N spaces (the run-length-encoded
-    spaces ODF uses instead of literal runs). Inline spans and other
-    markup inside a paragraph strip away; entities decode last. The
-    kind comes from the ``mimetype`` member (the spec's first,
+    spaces ODF uses instead of literal runs; N is bounded — a
+    gigabyte run-length is a bomb, not a document). The walk is
+    LINEAR over the body (r14 review fix: a paired non-greedy
+    paragraph regex loses the outer paragraph's tail when frames or
+    annotations NEST ``text:p``): paragraph/heading closes become
+    newlines, every other tag strips away, entities decode last.
+    The kind comes from the ``mimetype`` member (the spec's first,
     STORED member), falling back to generic ``odf``."""
     global _ODF_RES
     if _ODF_RES is None:
         import re as _re
 
         _ODF_RES = (
-            _re.compile(rb"<text:(p|h)(?:\s[^>]*)?>(.*?)</text:\1>",
-                        _re.DOTALL),
+            _re.compile(rb"</text:(?:p|h)\s*>"),
             _re.compile(rb"<text:tab\s*/?>"),
             _re.compile(rb"<text:line-break\s*/?>"),
             _re.compile(rb'<text:s(?:\s[^>]*?text:c="(\d+)")?[^>]*/>'),
             _re.compile(rb"<[^>]*>"),
         )
-    p_re, tab_re, br_re, sp_re, tag_re = _ODF_RES
+    pclose_re, tab_re, br_re, sp_re, tag_re = _ODF_RES
 
     zf = _office_zip(raw, budget, "odf", "sxw")
     kind = "odf"
@@ -1087,16 +1090,45 @@ def _odf_extract_text(raw: bytes,
             from None
     except Exception as e:
         raise ValueError(f"malformed odf: {e}") from None
-    paras: list[str] = []
-    for m in p_re.finditer(xml):
-        body = m.group(2)
-        body = tab_re.sub(b"\t", body)
-        body = br_re.sub(b"\n", body)
-        body = sp_re.sub(
-            lambda sm: b" " * int(sm.group(1) or b"1"), body)
-        body = tag_re.sub(b"", body)
-        paras.append(_xml_unescape(body.decode("utf-8", "replace")))
-    return kind, len(paras), "\n".join(paras).strip()
+    # body slice: everything inside <office:body> (entities and text
+    # live only there; styles/meta precede it)
+    start = xml.find(b"<office:body")
+    if start >= 0:
+        start = xml.find(b">", start) + 1
+        end = xml.rfind(b"</office:body>")
+        xml = xml[start:end if end > start else len(xml)]
+    n_paras = len(pclose_re.findall(xml))
+    body = pclose_re.sub(b"\n", xml)
+    body = tab_re.sub(b"\t", body)
+    body = br_re.sub(b"\n", body)
+
+    sp_total = 0
+
+    def _spaces(sm):
+        # run-length spaces are the one place a tiny payload can
+        # expand unboundedly (r14 review fix: the zip declared-size
+        # budget only sees the XML bytes) — bound per element AND
+        # cumulatively, BEFORE any allocation
+        nonlocal sp_total
+        n = int(sm.group(1) or b"1")
+        sp_total += n
+        if n > 65535 or (budget is not None and sp_total > budget):
+            raise ValueError(
+                f"malformed odf: text:s run-length {n} "
+                f"(cumulative {sp_total})")
+        return b" " * n
+
+    body = sp_re.sub(_spaces, body)
+    body = tag_re.sub(b"", body)
+    text = _xml_unescape(body.decode("utf-8", "replace"))
+    # inter-tag pretty-printing whitespace is layout, not text: trim
+    # each rendered line, drop empty ones
+    lines = [ln.strip() for ln in text.split("\n")]
+    text = "\n".join(ln for ln in lines if ln)
+    if budget is not None and len(text) > budget:
+        raise NotImplementedError(
+            f"odf text exceeds the {budget}-byte budget")
+    return kind, n_paras, text
 
 
 def odf_text(blobs: DataFrame, errors: str = "quarantine",
@@ -1140,6 +1172,19 @@ EPUB_TEXT_SCHEMA = (
 _EPUB_RES = None  # the EPUB walk's regexes, compiled lazily
 
 
+def _cp_char(cp: int, raw: str) -> str:
+    """Numeric character reference → its character. Out-of-range refs
+    pass through verbatim; SURROGATE refs (D800-DFFF) become U+FFFD —
+    a lone surrogate in the output string is not UTF-8-encodable and
+    would kill the task at Arrow serialization, OUTSIDE the quarantine
+    handler (r14 review fix)."""
+    if cp >= 0x110000:
+        return raw
+    if 0xD800 <= cp < 0xE000:
+        return "�"
+    return chr(cp)
+
+
 def _html_unescape(text: str) -> str:
     """The five XML entities plus numeric character references and
     ``&nbsp;`` — the set XHTML chapter files actually carry (named
@@ -1148,11 +1193,10 @@ def _html_unescape(text: str) -> str:
     import re as _re
 
     text = _re.sub(r"&#(\d+);",
-                   lambda m: chr(int(m.group(1)))
-                   if int(m.group(1)) < 0x110000 else m.group(0), text)
+                   lambda m: _cp_char(int(m.group(1)), m.group(0)),
+                   text)
     text = _re.sub(r"&#[xX]([0-9a-fA-F]+);",
-                   lambda m: chr(int(m.group(1), 16))
-                   if int(m.group(1), 16) < 0x110000 else m.group(0),
+                   lambda m: _cp_char(int(m.group(1), 16), m.group(0)),
                    text)
     text = text.replace("&nbsp;", " ")
     return _xml_unescape(text)
@@ -1212,11 +1256,16 @@ def _epub_extract_text(raw: bytes,
     if _EPUB_RES is None:
         import re as _re
 
+        # attributes accept either XML quote style (r14 review fix:
+        # double-quote-only regexes misclassified valid single-quoted
+        # EPUBs as corrupt)
         _EPUB_RES = (
-            _re.compile(rb'<rootfile[^>]*full-path="([^"]+)"'),
+            _re.compile(
+                rb"<rootfile[^>]*full-path=[\"']([^\"']+)[\"']"),
             _re.compile(rb"<item\s[^>]*/?>"),
-            _re.compile(rb'<itemref\s[^>]*idref="([^"]+)"'),
-            _re.compile(rb'\b(id|href|media-type)="([^"]*)"'),
+            _re.compile(rb"<itemref\s[^>]*idref=[\"']([^\"']+)[\"']"),
+            _re.compile(
+                rb"\b(id|href|media-type)=[\"']([^\"']*)[\"']"),
         )
     root_re, item_re, spine_re, attr_re = _EPUB_RES
 

@@ -171,10 +171,14 @@ def split_mbox(payload: bytes) -> list[bytes]:
     if not payload.startswith(b"From "):
         raise ValueError("malformed mbox: no 'From ' envelope line")
     msgs: list[bytes] = []
-    cur: list[bytes] = []
+    # None until the first envelope line: an EMPTY message between two
+    # consecutive 'From ' lines must still occupy its msg_idx slot —
+    # silently dropping it shifts every later message's index and its
+    # xxhash64-stable doc_id (r14 review fix)
+    cur: list[bytes] | None = None
     for line in payload.splitlines(keepends=True):
         if line.startswith(b"From "):
-            if cur:
+            if cur is not None:
                 msgs.append(b"".join(cur))
             cur = []  # envelope line itself is not part of the message
             continue
@@ -182,7 +186,7 @@ def split_mbox(payload: bytes) -> list[bytes]:
                 line.startswith(b">"):
             line = line[1:]  # mboxrd unstuffing
         cur.append(line)
-    if cur:
+    if cur is not None:
         msgs.append(b"".join(cur))
     return msgs
 

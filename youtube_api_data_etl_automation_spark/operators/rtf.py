@@ -93,13 +93,38 @@ def _extract_rtf(raw: bytes, budget: int | None) -> tuple[int, str]:
     while i < n:
         c = raw[i]
         if pending_uc_skip and c not in (0x7B, 0x7D):  # { }
-            # \uN fallback bytes: skip uc chars (a \'xx counts as one)
+            # \uN fallback CHARACTERS: a \'xx escape, a whole control
+            # word (spec: a fallback may be a control word standing
+            # for one character — r14 review fix: counting only its
+            # backslash leaked the word's letters into the text), or
+            # one literal byte
             if c == 0x5C and raw[i:i + 2] == b"\\'":
                 i += 4
+            elif c == 0x5C and i + 1 < n and (
+                    65 <= raw[i + 1] <= 90 or 97 <= raw[i + 1] <= 122):
+                j = i + 1
+                while j < n and (65 <= raw[j] <= 90
+                                 or 97 <= raw[j] <= 122):
+                    j += 1
+                if j < n and raw[j] == 0x2D:
+                    j += 1
+                while j < n and 48 <= raw[j] <= 57:
+                    j += 1
+                if j < n and raw[j] == 0x20:
+                    j += 1
+                i = j
+            elif c == 0x5C and i + 1 < n:
+                i += 2  # control symbol = one fallback char
             else:
                 i += 1
             pending_uc_skip -= 1
             continue
+        # a group boundary ends any pending fallback run (the
+        # fallback chars must immediately follow \uN in the same
+        # group — r14 review fix: a surviving skip count ate the
+        # first character after the group closed)
+        if c in (0x7B, 0x7D):
+            pending_uc_skip = 0
         if c == 0x7B:  # {
             stack.append((skipping, uc))
             n_groups += 1
@@ -171,9 +196,21 @@ def _extract_rtf(raw: bytes, budget: int | None) -> tuple[int, str]:
                 uc = num if num is not None else 1
             elif word == "u" and num is not None:
                 cp = num if num >= 0 else num + 65536
-                if 0 <= cp < 0x110000:
+                if 0xD800 <= cp < 0xE000:
+                    # a lone UTF-16 surrogate is not UTF-8-encodable:
+                    # it would kill the task at Arrow serialization,
+                    # OUTSIDE the quarantine handler (r14 review fix)
+                    emit("�")
+                elif 0 <= cp < 0x110000:
                     emit(chr(cp))
                 pending_uc_skip = uc if not skipping else 0
+            elif word == "bin" and num is not None and num > 0:
+                # \binN: N raw bytes follow (after the delimiter
+                # already consumed) — brace/backslash bytes inside are
+                # DATA, not structure (r14 review fix: dropping \bin
+                # as unknown let embedded pictures corrupt the group
+                # stack)
+                i = min(n, i + num)
             elif word in _CHAR_WORDS:
                 emit(_CHAR_WORDS[word])
             # every other control word is formatting: drop
