@@ -39,7 +39,9 @@ def test_fixture_is_committed_and_covers_all_families():
                          "image_hash", "exif_strip", "office",
                          "image_thumb", "subtitle", "document_images",
                          "image_pages", "office_pptx", "office_xlsx",
-                         "office_odf", "document_epub", "mail_eml", "document_rtf"}
+                         "office_odf", "document_epub", "mail_eml",
+                         "document_rtf", "document_latex",
+                         "document_ipynb"}
     assert fams["image_exif"] == 8 and fams["audio_tags"] == 6
     # the decode matrix: 6 PNG variants + 4 JPEG + GIF/BMP/PPM +
     # 2 VP8L WebP + 10 TIFF (LZW/deflate/palette/tiled + JPEG-in-TIFF,
@@ -88,6 +90,12 @@ def test_fixture_is_committed_and_covers_all_families():
     assert fams["mail_eml"] == 2
     # RTF (r14): escapes/destinations doc + an unbalanced refusal
     assert fams["document_rtf"] == 2
+    # LaTeX (late r14): math/env/accents doc + unterminated math +
+    # plain-prose (both corrupt)
+    assert fams["document_latex"] == 3
+    # ipynb (late r14): v4 + v3-worksheets + not-JSON corrupt +
+    # future-nbformat unsupported
+    assert fams["document_ipynb"] == 4
 
 
 def test_codec_stats_match_golden(spark):
@@ -208,4 +216,4 @@ def test_codec_stats_from_foreign_cwd():
         env={k: v for k, v in __import__("os").environ.items()
              if k != "PYTHONPATH"},
     )
-    assert "CODEC_ROWS=178" in out.stdout, out.stderr[-2000:]
+    assert "CODEC_ROWS=185" in out.stdout, out.stderr[-2000:]

@@ -461,7 +461,9 @@ def test_fuzz_r14_document_extractors(rng):
     from youtube_api_data_etl_automation_spark.operators import (
         archives,
         jbig2,
+        latex,
         mail,
+        notebooks,
         rtf,
     )
 
@@ -493,6 +495,14 @@ def test_fuzz_r14_document_extractors(rng):
         (lambda b: mail._extract_eml(b, 1 << 20), _mime_alt()),
         (lambda b: mail.split_mbox(b),
          b"From a@x Mon\nSubject: s\n\nbody\n"),
+        # late r14: latex + ipynb extractors join the same gate
+        (lambda b: latex._extract_latex(b, 1 << 20),
+         b"\\documentclass{a}\n\\begin{document}\nx $m$ \\'e "
+         b"\\begin{verbatim}v\\end{verbatim}\n\\end{document}\n"),
+        (lambda b: notebooks._extract_ipynb(b, 1 << 20, True),
+         b'{"nbformat": 4, "cells": [{"cell_type": "code", '
+         b'"source": "x", "outputs": [{"output_type": "stream", '
+         b'"text": "y"}]}]}'),
     ]
     for fn, valid in corpora:
         fn(valid)  # the valid payload must parse clean

@@ -140,3 +140,32 @@ def test_latex_math_ignores_comment_dollars():
         b"a $x % not-close $\n y$ b"), None)
     assert nd == 1
     assert text == "a b"
+
+
+def test_latex_to_documents_bridge_and_cli(spark, capsys):
+    from youtube_api_data_etl_automation_spark.corpus import (
+        office_to_documents,
+    )
+
+    doc = _doc(b"Visible prose body that survives curation.")
+    got = office_to_documents(
+        _blob_df(spark, [(41, doc), (42, b"junk")]), kind="latex"
+    ).collect()
+    assert len(got) == 1 and got[0]["source"] == "latex:41"
+    assert got[0]["text"] == "Visible prose body that survives curation."
+
+    # the media CLI routes op=latextext
+    import json as _json
+    import tempfile
+
+    from youtube_api_data_etl_automation_spark.__main__ import main
+
+    with tempfile.TemporaryDirectory() as td:
+        src = td + "/blobs.parquet"
+        _blob_df(spark, [(1, doc), (2, b"nope")]).write.parquet(src)
+        main(["media", "--input", src, "--op", "latextext"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # one junk payload → quarantined_payloads status, not a crash
+    assert out["status"] == "quarantined_payloads" and out["n"] == 2
+    assert out["by_format"] == {"latex": 1, "None": 1}
+    assert out["by_error_kind"] == {"corrupt": 1}

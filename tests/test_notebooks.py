@@ -111,3 +111,29 @@ def test_ipynb_missing_nbformat_defaults_to_cells():
     nb = json.dumps({"cells": [
         {"cell_type": "markdown", "source": "hello"}]}).encode()
     assert N._extract_ipynb(nb, None, False)["text"] == "hello"
+
+
+def test_ipynb_to_documents_bridge_and_cli(spark, capsys):
+    from youtube_api_data_etl_automation_spark.corpus import (
+        office_to_documents,
+    )
+
+    nb = _nb4([{"cell_type": "markdown", "source": "Notebook prose."}],
+              kernelspec={"language": "python"})
+    got = office_to_documents(
+        _blob_df(spark, [(51, nb), (52, b"{bad")]), kind="ipynb"
+    ).collect()
+    assert len(got) == 1 and got[0]["source"] == "ipynb:51"
+    assert got[0]["text"] == "Notebook prose."
+
+    import tempfile
+
+    from youtube_api_data_etl_automation_spark.__main__ import main
+
+    with tempfile.TemporaryDirectory() as td:
+        src = td + "/blobs.parquet"
+        _blob_df(spark, [(1, nb)]).write.parquet(src)
+        main(["media", "--input", src, "--op", "ipynbtext"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["status"] == "ok" and out["n"] == 1
+    assert out["by_format"] == {"ipynb": 1}

@@ -808,6 +808,55 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
     add(2103, "image_pages", "tiff_pages_container_corrupt",
         b"II*\x00junk")
 
+    # ---- document_latex: latex_text (ids 24xx, r14) --------------------
+    add(2401, "document_latex", "latex_math_envs_accents",
+        b"\\documentclass{article}\n"
+        b"\\usepackage{amsmath} % preamble comment\n"
+        b"\\begin{document}\n"
+        b"\\section{Intro}\n"
+        b"Cost is $L=\\sum_i p_i$ and \\$5 (50\\% off) "
+        b"--- see~\\cite{x14}.\n"
+        b"\\begin{equation}\ny = Wx\n\\end{equation}\n"
+        b"Caf\\'e \\textbf{bold} ``quoted''.\n"
+        b"\\begin{verbatim}\nif x:\n    go()\n\\end{verbatim}\n"
+        b"\\end{document}\n")
+    add(2402, "document_latex", "latex_unterminated_math_corrupt",
+        b"\\documentclass{a}\\begin{document} x $y "
+        b"\\end{document}")
+    add(2403, "document_latex", "latex_plain_prose_corrupt",
+        b"no tex here at all")
+
+    # ---- document_ipynb: ipynb_text (ids 25xx, r14) --------------------
+    import json as _json
+    add(2501, "document_ipynb", "ipynb_v4_md_code_raw",
+        _json.dumps({
+            "nbformat": 4, "nbformat_minor": 5,
+            "metadata": {"kernelspec": {"language": "python",
+                                        "name": "python3"}},
+            "cells": [
+                {"cell_type": "markdown",
+                 "source": ["# Title\n", "Some *prose*.\n"]},
+                {"cell_type": "code", "source": "print('hi')",
+                 "outputs": [{"output_type": "stream",
+                              "text": ["hi\n"]}]},
+                {"cell_type": "raw", "source": "raw tail"},
+            ],
+        }).encode())
+    add(2502, "document_ipynb", "ipynb_v3_worksheets",
+        _json.dumps({
+            "nbformat": 3, "metadata": {},
+            "worksheets": [{"cells": [
+                {"cell_type": "heading", "level": 2,
+                 "source": "Sec"},
+                {"cell_type": "code", "input": "x = 1",
+                 "outputs": []},
+            ]}],
+        }).encode())
+    add(2503, "document_ipynb", "ipynb_not_json_corrupt",
+        b"{nope")
+    add(2504, "document_ipynb", "ipynb_future_nbformat_unsupported",
+        b'{"nbformat": 9, "cells": []}')
+
     return rows
 
 

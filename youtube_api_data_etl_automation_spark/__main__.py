@@ -822,8 +822,10 @@ def _cmd_media(args: argparse.Namespace) -> int:
     from .operators import (
         archives,
         imagehash,
+        latex,
         mail,
         mediameta,
+        notebooks,
         pdf,
         rtf,
         subtitles,
@@ -886,6 +888,9 @@ def _cmd_media(args: argparse.Namespace) -> int:
         "epubtext": lambda b: archives.epub_text(b, errors="quarantine"),
         "emltext": lambda b: mail.eml_text(b, errors="quarantine"),
         "rtftext": lambda b: rtf.rtf_text(b, errors="quarantine"),
+        "latextext": lambda b: latex.latex_text(b, errors="quarantine"),
+        "ipynbtext": lambda b: notebooks.ipynb_text(
+            b, errors="quarantine"),
         "mboxsplit": lambda b: mail.mbox_split(b),
         "thumbnail": lambda b: imagehash.image_thumbnails(
             b, errors="quarantine"),
@@ -950,6 +955,7 @@ def build_parser() -> argparse.ArgumentParser:
                  "pdfimages", "imagehash", "members", "exifstrip",
                  "docxtext", "pptxtext", "xlsxtext", "odftext",
                  "epubtext", "emltext", "mboxsplit", "rtftext",
+                 "latextext", "ipynbtext",
                  "thumbnail", "subtitles", "sniff", "tiffpages"],
         help="probe=image headers, decode=image pixels, audio=samples, "
              "audiometa=MP3/FLAC/WAV headers, video=MP4/MKV containers, "

@@ -634,11 +634,13 @@ def office_to_documents(
     min_chars: int = 1,
     byte_budget: int | None = None,
 ) -> DataFrame:
-    """Office payload table → ``documents``-shaped rows — the
-    office-format twin of :func:`pdf_to_documents`. ``kind`` picks the
-    extractor (``docx``/``pptx``/``xlsx``/``odf``,
+    """Document payload table → ``documents``-shaped rows — the
+    single-payload-extractor twin of :func:`pdf_to_documents` (the
+    name is historical: it grew past office formats). ``kind`` picks
+    the extractor (``docx``/``pptx``/``xlsx``/``odf`` in
     operators/archives.py; r14 added all but the first — VERDICT r13
-    item 4 plus the OpenDocument twin); failures drop —
+    item 4 plus the OpenDocument twin — and late r14 added ``latex``
+    and ``ipynb`` for scientific/code corpora); failures drop —
     run the extractor with ``errors='quarantine'`` separately when the
     quarantine population matters. The output matches the corpus
     tables' shape so :func:`curate_corpus` consumes it directly.
@@ -652,11 +654,14 @@ def office_to_documents(
         pptx_text,
         xlsx_text,
     )
+    from .operators.latex import latex_text
+    from .operators.notebooks import ipynb_text
     from .operators.rtf import rtf_text
 
     extractors = {"docx": docx_text, "pptx": pptx_text,
                   "xlsx": xlsx_text, "odf": odf_text,
-                  "epub": epub_text, "rtf": rtf_text}
+                  "epub": epub_text, "rtf": rtf_text,
+                  "latex": latex_text, "ipynb": ipynb_text}
     if kind not in extractors:
         raise ValueError(
             f"office_to_documents: kind={kind!r} not in "

@@ -76,6 +76,12 @@ Fixture families → engine op exercised:
 - ``document_rtf`` → :func:`operators.rtf.rtf_text` (r14: the RTF
   group/destination/escape walk — uN unicode words with ucN
   fallbacks, cp1252 hex escapes, destination skipping)
+- ``document_latex`` → :func:`operators.latex.latex_text` (late r14:
+  comment/math/environment dropping, accent composition, verbatim
+  preservation; unterminated math and plain prose quarantine)
+- ``document_ipynb`` → :func:`operators.notebooks.ipynb_text` (late
+  r14: nbformat 4 cells + nbformat 3 worksheets flattened to
+  markdown-plus-fenced-code; future nbformat refuses)
 
 Scale note: the fixture is a verification corpus (~40 rows, a few KB);
 the ops it drives are the same Arrow-batched mapInPandas operators that
@@ -115,6 +121,7 @@ CODEC_FAMILIES = (
     "image_hash", "exif_strip", "office", "image_thumb", "subtitle",
     "document_images", "image_pages", "office_pptx", "office_xlsx",
     "office_odf", "document_epub", "mail_eml", "document_rtf",
+    "document_latex", "document_ipynb",
 )
 
 
@@ -717,6 +724,51 @@ def codec_stats(spark: SparkSession,
             ).otherwise(_err_fp()).alias("fp"),
         )
         parts.append(rtfp)
+
+    if "document_latex" in by_family:
+        from ..operators.latex import latex_text
+
+        ltx = latex_text(by_family["document_latex"],
+                         errors="quarantine").select(
+            "doc_id",
+            F.col("format").alias("fmt"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.when(
+                F.col("error").isNull(),
+                F.format_string(
+                    "%d,%d,%s",
+                    F.col("n_dropped"),
+                    F.col("n_chars"),
+                    F.translate(F.col("text"), "\n", "~"),
+                ),
+            ).otherwise(_err_fp()).alias("fp"),
+        )
+        parts.append(ltx)
+
+    if "document_ipynb" in by_family:
+        from ..operators.notebooks import ipynb_text
+
+        ipy = ipynb_text(by_family["document_ipynb"],
+                         errors="quarantine").select(
+            "doc_id",
+            F.col("format").alias("fmt"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.when(
+                F.col("error").isNull(),
+                F.format_string(
+                    "%s|%d,%d,%d|%d|%s",
+                    F.coalesce(F.col("language"), F.lit("-")),
+                    F.col("n_cells"),
+                    F.col("n_code_cells"),
+                    F.col("n_md_cells"),
+                    F.col("n_chars"),
+                    F.translate(F.col("text"), "\n", "~"),
+                ),
+            ).otherwise(_err_fp()).alias("fp"),
+        )
+        parts.append(ipy)
 
     if "image_pages" in by_family:
         from ..operators.tiff import tiff_page_images
