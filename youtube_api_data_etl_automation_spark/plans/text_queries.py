@@ -289,6 +289,23 @@ _PRESET_BULLET = (
     + "\u2022 bullet item\n" * 28)
 _PRESET_LOREM = _PRESET_GOOD + "Lorem ipsum dolor sit amet here."
 
+# late r14: minted source files for the `stack_code` section — each
+# doc_id % 6 class lands one verdict of the The-Stack-style funnel
+# (operators/code_quality.py); the literals are injected verbatim
+# into BOTH the Spark plan and the SQL oracle, which re-derives every
+# feature with its own list/regexp lambdas.
+_CODE_GOOD = (
+    "import os\n\n\ndef walk(root):\n"
+    "    for name in os.listdir(root):\n"
+    "        yield os.path.join(root, name)\n\n"
+    "print(list(walk('.')))\n")
+_CODE_MINIFIED = "var a=1;" * 160  # one 1280-char line
+_CODE_HEX = ("key = 0x" + "deadbeef" * 8 + "\n") * 6 + "ok\n"
+_CODE_AUTOGEN = ("# This file is auto-generated. DO NOT EDIT.\n"
+                 + "x = 1\n" * 20)
+_CODE_SPARSE = "}{;;;; ~~~ ++++ ----\n" * 10
+_CODE_B64 = ("data = '" + "QUJD" * 20 + "'\n") * 5 + "tail\n"
+
 
 def _filter_report_oracle() -> str:
     counts = ",\n             ".join(
@@ -306,6 +323,32 @@ def _filter_report_oracle() -> str:
     _lit_bullet = lit(_PRESET_BULLET)
     _lit_lorem = lit(_PRESET_LOREM)
     _norm_ptxt = _NORM.format(col="ptxt")
+
+    # stack_code section inputs (late r14): the minted code literals
+    # and the funnel's published patterns — the features themselves
+    # are re-derived below with DuckDB's own list/regexp lambdas
+    from ..operators.code_quality import (
+        AUTOGEN_MARKERS,
+        _B64_RUN,
+        _HEX_RUN,
+    )
+    from ..functions.rounding import sql_round6
+
+    _lit_mini = lit(_CODE_MINIFIED)
+    _lit_hex = lit(_CODE_HEX)
+    _lit_auto = lit(_CODE_AUTOGEN)
+    _lit_sparse = lit(_CODE_SPARSE)
+    _lit_b64 = lit(_CODE_B64)
+
+    def _sc_frac(pattern: str) -> str:
+        kept = (f"length(regexp_replace(ctxt, '{pattern}', '', 'g'))")
+        return sql_round6(
+            "CASE WHEN tot > 0 THEN "
+            f"CAST(tot - {kept} AS DOUBLE) / tot ELSE 0.0 END")
+
+    _sc_autogen = " OR ".join(
+        f"contains(lower(substr(ctxt, 1, 2000)), '{mk}')"
+        for mk in AUTOGEN_MARKERS)
     return f"""
     WITH n AS (
       SELECT doc_id, text, {_NORM.format(col="COALESCE(text, '')")} AS norm
@@ -444,12 +487,60 @@ def _filter_report_oracle() -> str:
              CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(SUM(nk) AS DOUBLE) / COUNT(*) AS metric
       FROM c4v GROUP BY 2
+    ), sc0 AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 6 AS INT)
+               WHEN 1 THEN {_lit_mini}
+               WHEN 2 THEN {_lit_hex}
+               WHEN 3 THEN {_lit_auto}
+               WHEN 4 THEN {_lit_sparse}
+               WHEN 5 THEN {_lit_b64}
+               ELSE COALESCE(text, '') END AS ctxt
+      FROM documents
+    ), sc1 AS (
+      SELECT doc_id, ctxt,
+             list_transform(string_split(ctxt, chr(10)),
+                            x -> length(x)) AS lens,
+             CAST(length(ctxt) AS BIGINT) AS tot
+      FROM sc0
+    ), sc2 AS (
+      SELECT doc_id, ctxt, tot,
+             len(lens) AS nl,
+             COALESCE(list_aggregate(lens, 'max'), 0) AS maxl,
+             COALESCE(list_sum(lens), 0) AS suml
+      FROM sc1
+    ), sc3 AS (
+      SELECT doc_id, tot, maxl,
+             {sql_round6("CASE WHEN nl > 0 THEN CAST(suml AS DOUBLE) / nl ELSE 0.0 END")} AS avgl,
+             {_sc_frac('[A-Za-z0-9]')} AS alnumf,
+             {_sc_frac(_HEX_RUN)} AS hexf,
+             {_sc_frac(_B64_RUN)} AS b64f,
+             ({_sc_autogen}) AS autog
+      FROM sc2
+    ), scv AS (
+      SELECT maxl,
+             CASE WHEN tot = 0 THEN 'empty'
+                  WHEN maxl > 1000 THEN 'long_lines'
+                  WHEN avgl > 100.0 THEN 'avg_line_len'
+                  WHEN alnumf < 0.25 THEN 'low_alnum'
+                  WHEN hexf > 0.4 THEN 'hex_blob'
+                  WHEN b64f > 0.4 THEN 'b64_blob'
+                  WHEN autog THEN 'autogenerated'
+                  ELSE 'keep' END AS v
+      FROM sc3
+    ), stack_section AS (
+      SELECT 'stack_code' AS section, v AS key,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(maxl) AS DOUBLE) / COUNT(*) AS metric
+      FROM scv GROUP BY 2
     )
     SELECT * FROM funnel_section
     UNION ALL
     SELECT * FROM gopher_section
     UNION ALL
     SELECT * FROM c4_section
+    UNION ALL
+    SELECT * FROM stack_section
     """
 
 
@@ -535,8 +626,39 @@ def corpus_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.count(F.lit(1))).alias("metric"),
     ).select(F.lit("c4").alias("section"), "key", "n_docs", "metric")
 
+    # late r14: the The-Stack-style code funnel
+    # (operators/code_quality.py) as a fourth section — minted
+    # per-class source files, verdict counts with the mean max line
+    # length as the metric (exact-integer average)
+    from ..operators.code_quality import stack_filter
+
+    code_minted = docs.select(
+        "doc_id",
+        F.when((F.col("doc_id") % 6).cast("int") == 1,
+               F.lit(_CODE_MINIFIED))
+        .when((F.col("doc_id") % 6).cast("int") == 2,
+              F.lit(_CODE_HEX))
+        .when((F.col("doc_id") % 6).cast("int") == 3,
+              F.lit(_CODE_AUTOGEN))
+        .when((F.col("doc_id") % 6).cast("int") == 4,
+              F.lit(_CODE_SPARSE))
+        .when((F.col("doc_id") % 6).cast("int") == 5,
+              F.lit(_CODE_B64))
+        .otherwise(F.coalesce(F.col("text"), F.lit("")))
+        .alias("ctxt"),
+    )
+    sc = stack_filter(code_minted, text_col="ctxt")
+    stack_section = sc.groupBy(
+        F.col("cq_verdict").alias("key")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.col("cq_max_line_len").cast("long")).cast("double")
+         / F.count(F.lit(1))).alias("metric"),
+    ).select(F.lit("stack_code").alias("section"), "key", "n_docs",
+             "metric")
+
     return funnel_section.unionByName(gopher_section) \
-        .unionByName(c4_section)
+        .unionByName(c4_section).unionByName(stack_section)
 
 
 # The md5 content fingerprint (doc_fingerprint) is driver-verified through
