@@ -156,6 +156,55 @@ def main() -> None:
         print(json.dumps({"op": "odf+epub+rtf+eml_text", "scale": scale,
                           "payloads": reps * 4, "sec": round(t, 3)}))
 
+    # third-wave extractors (late r14): latex + ipynb fixture payloads
+    # replicated — both are linear byte scans / JSON walks
+    from youtube_api_data_etl_automation_spark.operators.latex import (
+        latex_text,
+    )
+    from youtube_api_data_etl_automation_spark.operators.notebooks import (
+        ipynb_text,
+    )
+
+    for scale, reps in (("1x", r_small * 4), ("10x", r_small * 40)):
+        dfs = [(_fixture_blobs(spark, (pid,), reps), op)
+               for pid, op in ((2401, latex_text), (2501, ipynb_text))]
+        for df, _ in dfs:
+            df.persist().count()
+
+        def run():
+            for df, op in dfs:
+                _force(op(df, errors="quarantine"))
+
+        t = _time(run)
+        for df, _ in dfs:
+            df.unpersist()
+        results[f"sci_extract_{scale}"] = round(t, 3)
+        print(json.dumps({"op": "latex+ipynb_text", "scale": scale,
+                          "payloads": reps * 2, "sec": round(t, 3)}))
+
+    # code funnel (late r14): stack_filter is pure Column math over a
+    # generated text column — the audit pins the map-only projection's
+    # decade behavior
+    from youtube_api_data_etl_automation_spark.operators.code_quality import (
+        stack_filter,
+    )
+
+    for scale, nrows in (("1x", r_small * 400),
+                         ("10x", r_small * 4000)):
+        texts = spark.range(nrows).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("import os\nx = "), F.col("id").cast("string"),
+                F.lit("\n" + "print(os.path.join('a', 'b'))\n" * 20),
+            ).alias("text"),
+        ).persist()
+        texts.count()
+        t = _time(lambda: _force(stack_filter(texts)))
+        texts.unpersist()
+        results[f"stack_filter_{scale}"] = round(t, 3)
+        print(json.dumps({"op": "stack_filter", "scale": scale,
+                          "rows": nrows, "sec": round(t, 3)}))
+
     for scale, nh in (("1x", 40 * r_small // 10),
                       ("10x", 40 * r_small)):
         frontier = _frontier_rows(spark, nh).persist()
