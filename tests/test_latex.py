@@ -114,11 +114,10 @@ def test_latex_malformed_and_budget():
     with pytest.raises(ValueError, match="unterminated environment"):
         L._extract_latex(_doc(b"\\begin{equation} x"), None)
     with pytest.raises(ValueError, match="trailing backslash"):
-        # the body slice ends right at the backslash that fuses into
-        # \end{document} — the one way a body can end mid-escape
+        # a truncated body ending mid-escape hits the scanner before
+        # the missing-terminator check
         L._extract_latex(
-            b"\\documentclass{a}\\begin{document}x\\\\end{document}",
-            None)
+            b"\\documentclass{a}\\begin{document}x\\", None)
     with pytest.raises(ValueError, match="empty"):
         L._extract_latex(b"", None)
     with pytest.raises(NotImplementedError, match="budget"):
@@ -169,3 +168,34 @@ def test_latex_to_documents_bridge_and_cli(spark, capsys):
     assert out["status"] == "quarantined_payloads" and out["n"] == 2
     assert out["by_format"] == {"latex": 1, "None": 1}
     assert out["by_error_kind"] == {"corrupt": 1}
+
+
+def test_latex_review_fixes_r14():
+    """The third-wave self-review findings, pinned (ADVICE r14)."""
+    # 1: tabular column specs / minipage widths must not leak
+    nd, text = L._extract_latex(_doc(
+        b"\\begin{tabular}{ll} a & b \\\\ c & d \\end{tabular}"), None)
+    assert text == "a b\nc d"
+    nd, text = L._extract_latex(_doc(
+        b"\\begin{minipage}[t]{0.5\\textwidth}inside"
+        b"\\end{minipage}"), None)
+    assert text == "inside"
+    # 2: \url is verbatim-like — %/~ inside never interpreted
+    nd, text = L._extract_latex(_doc(
+        b"see \\url{http://a.com/~u/x%7E} end"), None)
+    assert text == "see http://a.com/~u/x%7E end"
+    # 3: a commented-out \end inside a dropped environment must not
+    # terminate it (no math source may leak)
+    nd, text = L._extract_latex(_doc(
+        b"a\n\\begin{equation}\nx = 1 % \\end{equation}\ny = 2\n"
+        b"\\end{equation}\nb"), None)
+    assert nd == 1 and text == "a\n\nb"
+    # 4: the body terminator is found by the scanner, not a textual
+    # pre-slice — commented or verbatim-quoted \end{document} ignored
+    nd, text = L._extract_latex(_doc(
+        b"hello % \\end{document}\nworld"), None)
+    assert text == "hello world"
+    nd, text = L._extract_latex(_doc(
+        b"\\begin{verbatim}\\end{document} shown\\end{verbatim} t"),
+        None)
+    assert text == "\\end{document} shown\nt"

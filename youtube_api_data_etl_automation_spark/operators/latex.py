@@ -78,15 +78,26 @@ _SKIP_ENVS = frozenset((
 _VERBATIM_ENVS = frozenset(("verbatim", "verbatim*", "lstlisting",
                             "minted", "alltt"))
 
-# commands whose single braced argument is not body text
+# commands whose single braced argument is not body text (\caption is
+# deliberately ABSENT: caption text is visible prose and stays)
 _SKIP_ONE_GROUP = frozenset((
     "label", "ref", "eqref", "pageref", "autoref", "nameref", "cite",
     "citep", "citet", "citealp", "citealt", "citeauthor", "citeyear",
     "bibliography", "bibliographystyle", "includegraphics", "input",
     "include", "usepackage", "documentclass", "vspace", "vspace*",
     "hspace", "hspace*", "pagestyle", "thispagestyle", "graphicspath",
-    "bibitem", "newcounter", "hypersetup", "def", "bibliographystyle",
+    "bibitem", "newcounter", "hypersetup", "def",
 ))
+
+# environments whose \begin carries mandatory non-text braced
+# arguments (column specs, widths) that must not leak into the text
+# (r14 review fix: \begin{tabular}{ll} was emitting 'll'); optional
+# [..] arguments may interleave (tabular* is {width}[pos]{cols})
+_ENV_GROUP_ARGS = {
+    "tabular": 1, "tabular*": 2, "tabularx": 2, "longtable": 1,
+    "array": 1, "minipage": 1, "multicols": 1, "wrapfigure": 2,
+    "wraptable": 2, "list": 2,
+}
 # commands with two braced arguments to skip
 _SKIP_TWO_GROUPS = frozenset(("setcounter", "setlength", "addtolength",
                               "rule", "newcommand", "renewcommand",
@@ -128,6 +139,8 @@ _ACCENTS = {
 _WS_RUN = re.compile(r"[ \t]+")
 _NL_SPACE = re.compile(r" ?\n ?")
 _BLANKS = re.compile(r"\n{3,}")
+# a run of characters with no markup meaning — emitted as one chunk
+_PLAIN_RUN = re.compile(r"[^\\{}$%~&`'-]+")
 
 
 def _skip_ws(s: str, i: int) -> int:
@@ -146,6 +159,15 @@ def _skip_opt(s: str, i: int) -> int:
         if k >= 0:
             return k + 1
     return i
+
+
+def _skip_opts(s: str, i: int) -> int:
+    """Past any run of consecutive optional ``[...]`` arguments."""
+    while True:
+        j = _skip_opt(s, i)
+        if j == i:
+            return i
+        i = j
 
 
 def _skip_group(s: str, i: int) -> int:
@@ -201,23 +223,35 @@ def _find_math_close(s: str, i: int, close: str) -> int:
 
 def _find_env_end(s: str, i: int, name: str) -> int:
     """Index past ``\\end{name}``, counting nested same-name
-    ``\\begin{name}``. Unterminated → malformed."""
+    ``\\begin{name}`` and honoring ``%`` comments — a commented-out
+    ``\\end`` must not terminate the environment (r14 review fix:
+    math source was leaking into the text). Unterminated →
+    malformed."""
     begin, end = f"\\begin{{{name}}}", f"\\end{{{name}}}"
     depth = 1
-    while True:
-        nb = s.find(begin, i)
-        ne = s.find(end, i)
-        if ne < 0:
-            raise ValueError(
-                f"malformed latex: unterminated environment {name}")
-        if 0 <= nb < ne:
-            depth += 1
-            i = nb + len(begin)
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c == "\\":
+            if s.startswith(end, i):
+                depth -= 1
+                i += len(end)
+                if depth == 0:
+                    return i
+                continue
+            if s.startswith(begin, i):
+                depth += 1
+                i += len(begin)
+                continue
+            i += 2  # escape: a \% here never starts a comment
             continue
-        depth -= 1
-        i = ne + len(end)
-        if depth == 0:
-            return i
+        if c == "%":
+            j = s.find("\n", i)
+            i = n if j < 0 else j + 1
+            continue
+        i += 1
+    raise ValueError(
+        f"malformed latex: unterminated environment {name}")
 
 
 def _read_word(s: str, i: int) -> tuple[str, int]:
@@ -242,38 +276,53 @@ def _extract_latex(raw: bytes, budget: int | None) -> tuple[int, str]:
         raise ValueError("empty/NULL latex payload")
     src = raw.decode("utf-8", errors="replace")
     body_at = src.find("\\begin{document}")
-    if body_at >= 0:
-        end_at = src.find("\\end{document}", body_at)
-        if end_at < 0:
-            raise ValueError(
-                "malformed latex: missing \\end{document}")
-        s = src[body_at + len("\\begin{document}"):end_at]
-    elif "\\documentclass" in src:
-        raise ValueError("malformed latex: preamble without "
-                         "\\begin{document}")
-    else:
+    if body_at < 0:
+        if "\\documentclass" in src:
+            raise ValueError("malformed latex: preamble without "
+                             "\\begin{document}")
         raise ValueError("not a latex document (no \\documentclass / "
                          "\\begin{document})")
+    # the body terminates when the MAIN SCAN reaches \end{document} —
+    # not a textual pre-slice, so a commented-out or verbatim-quoted
+    # \end{document} cannot truncate the body (r14 review fix)
+    s = src[body_at + len("\\begin{document}"):]
 
-    # (is_raw, chunk): raw chunks (verbatim bodies) skip the final
-    # whitespace normalization — collapsing space runs would destroy
-    # code indentation (r14 smoke-test finding)
-    out: list[tuple[bool, str]] = []
+    # pieces: flushed (is_raw, chunk) segments — raw chunks (verbatim
+    # bodies, \url arguments) skip the final whitespace
+    # normalization; buf accumulates pending non-raw chunks and is
+    # periodically compacted so a large payload cannot amplify into
+    # tens of millions of single-char strings (r14 review fix)
+    pieces: list[tuple[bool, str]] = []
+    buf: list[str] = []
     out_len = 0
     n_dropped = 0
+    ended = False
     i, n = 0, len(s)
 
     def emit(t: str, raw: bool = False):
         nonlocal out_len
         if not t:
             return
-        out.append((raw, t))
         out_len += len(t)
         if budget is not None and out_len > budget:
             raise NotImplementedError(
                 f"latex text exceeds the {budget}-byte budget")
+        if raw:
+            if buf:
+                pieces.append((False, "".join(buf)))
+                buf.clear()
+            pieces.append((True, t))
+            return
+        buf.append(t)
+        if len(buf) >= 65536:
+            buf[:] = ["".join(buf)]
 
     while i < n:
+        m = _PLAIN_RUN.match(s, i)
+        if m:  # batch the run up to the next special character
+            emit(m.group())
+            i = m.end()
+            continue
         c = s[i]
         if c == "%":
             j = s.find("\n", i)
@@ -414,9 +463,19 @@ def _extract_latex(raw: bytes, budget: int | None) -> tuple[int, str]:
                 i = e + len(end)
                 continue
             i = _skip_opt(s, g)  # begin's optional argument
+            # mandatory non-text arguments (tabular column specs,
+            # minipage widths) skip instead of leaking (review fix)
+            for _ in range(_ENV_GROUP_ARGS.get(name, 0)):
+                i = _skip_opts(s, i)
+                i = _skip_group(s, i)
             continue
         if word == "end":
-            i = _skip_group(s, _skip_ws(s, j))
+            j2 = _skip_ws(s, j)
+            g = _skip_group(s, j2)
+            if g != j2 and s[j2 + 1:g - 1].strip() == "document":
+                ended = True  # the real body terminator (review fix)
+                break
+            i = g
             continue
         if word == "par":
             emit("\n\n")
@@ -428,6 +487,19 @@ def _extract_latex(raw: bytes, budget: int | None) -> tuple[int, str]:
                 i = j
                 continue
             i = g1  # the {text} group stays transparent
+            continue
+        if word in ("url", "path"):
+            j2 = _skip_ws(s, j)
+            g = _skip_group(s, j2)
+            if g == j2:
+                i = j2  # non-braced delimiter form: drop the token
+                continue
+            # the argument is a verbatim-like token: emit raw so %/~
+            # and friends inside the URL are never interpreted
+            # (review fix: a % in a percent-encoded URL was starting
+            # a comment that swallowed following text)
+            emit(s[j2 + 1:g - 1], raw=True)
+            i = g
             continue
         if word in _SKIP_TWO_GROUPS:
             g = _skip_opt(s, j)
@@ -460,27 +532,22 @@ def _extract_latex(raw: bytes, budget: int | None) -> tuple[int, str]:
         # content (transparent braces) — \textbf{word} keeps word
         i = _skip_opt(s, j)
 
+    if not ended:
+        raise ValueError("malformed latex: missing \\end{document}")
+
     def norm(t: str) -> str:
         t = _WS_RUN.sub(" ", t)
         t = _NL_SPACE.sub("\n", t)
         return _BLANKS.sub("\n\n", t)
 
-    # fuse contiguous non-raw chunks (normal text emits per character)
-    # so whitespace runs normalize across chunk boundaries; raw
-    # (verbatim) chunks pass through untouched
-    pieces: list[str] = []
-    buf: list[str] = []
-    for raw_flag, t in out:
-        if raw_flag:
-            if buf:
-                pieces.append(norm("".join(buf)))
-                buf = []
-            pieces.append(t)
-        else:
-            buf.append(t)
+    # buf already fuses contiguous non-raw chunks (emit flushes it
+    # only at raw boundaries), so whitespace runs normalize across
+    # chunk boundaries; raw chunks pass through untouched
     if buf:
-        pieces.append(norm("".join(buf)))
-    return n_dropped, "".join(pieces).strip()
+        pieces.append((False, "".join(buf)))
+    text = "".join(t if raw_flag else norm(t)
+                   for raw_flag, t in pieces).strip()
+    return n_dropped, text
 
 
 def latex_text(blobs: DataFrame, errors: str = "quarantine",

@@ -290,15 +290,12 @@ _PRESET_BULLET = (
 _PRESET_LOREM = _PRESET_GOOD + "Lorem ipsum dolor sit amet here."
 
 # late r14: minted source files for the `stack_code` section — each
-# doc_id % 6 class lands one verdict of the The-Stack-style funnel
-# (operators/code_quality.py); the literals are injected verbatim
-# into BOTH the Spark plan and the SQL oracle, which re-derives every
-# feature with its own list/regexp lambdas.
-_CODE_GOOD = (
-    "import os\n\n\ndef walk(root):\n"
-    "    for name in os.listdir(root):\n"
-    "        yield os.path.join(root, name)\n\n"
-    "print(list(walk('.')))\n")
+# doc_id % 6 class 1-5 lands one failing verdict of the
+# The-Stack-style funnel (operators/code_quality.py); class 0 keeps
+# the document's own text, so the `keep` verdict is exercised by real
+# prose digested identically on both engines. The literals are
+# injected verbatim into BOTH the Spark plan and the SQL oracle,
+# which re-derives every feature with its own list/regexp lambdas.
 _CODE_MINIFIED = "var a=1;" * 160  # one 1280-char line
 _CODE_HEX = ("key = 0x" + "deadbeef" * 8 + "\n") * 6 + "ok\n"
 _CODE_AUTOGEN = ("# This file is auto-generated. DO NOT EDIT.\n"
