@@ -137,3 +137,13 @@ def test_ipynb_to_documents_bridge_and_cli(spark, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["status"] == "ok" and out["n"] == 1
     assert out["by_format"] == {"ipynb": 1}
+
+
+def test_ipynb_output_ansi_stripped():
+    # colored tracebacks / progress bars flatten to clean text
+    nb = _nb4([{"cell_type": "code", "source": "x", "outputs": [
+        {"output_type": "stream",
+         "text": "\x1b[31mError\x1b[0m: bad\n50%\r"},
+    ]}])
+    on = N._extract_ipynb(nb, None, True)
+    assert on["text"].endswith("Error: bad\n50%")

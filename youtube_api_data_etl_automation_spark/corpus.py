@@ -746,6 +746,43 @@ def docx_to_documents(
                                byte_budget=byte_budget)
 
 
+def code_files_to_documents(
+    files: DataFrame,
+    *,
+    path_col: str = "path",
+    text_col: str = "text",
+    min_chars: int = 1,
+    apply_filter: bool = True,
+) -> DataFrame:
+    """Source-file table ``(path, text)`` → ``documents``-shaped rows
+    (late r14) — the code-corpus front door. ``lang`` is filled from
+    the file extension (:func:`operators.code_quality.lang_from_path`),
+    so the per-language caps / stratified-sampling machinery inside
+    :func:`curate_corpus` keys on it directly; with ``apply_filter``
+    (default) files failing the The-Stack-style structural funnel
+    (:func:`~operators.code_quality.stack_filter` defaults) drop —
+    run ``stack_filter`` separately when the verdict population
+    matters. ``doc_id`` is ``xxhash64`` of the path — stable across
+    re-ingestion. Entirely Column math: zero Python, zero shuffles,
+    map-only at any scale."""
+    from .operators.code_quality import lang_from_path, stack_filter
+
+    out = files
+    if apply_filter:
+        out = stack_filter(files, text_col=text_col).filter(
+            F.col("cq_verdict") == "keep")
+    return (
+        out.select(
+            F.xxhash64(F.col(path_col)).alias("doc_id"),
+            F.col(text_col).alias("text"),
+            lang_from_path(path_col).alias("lang"),
+            F.concat(F.lit("code:"), F.col(path_col)).alias("source"),
+        )
+        .withColumn("n_chars", F.length("text"))
+        .filter(F.col("n_chars") >= min_chars)
+    )
+
+
 def subtitles_to_documents(
     payloads: DataFrame,
     *,

@@ -39,10 +39,16 @@ corpora.
 from __future__ import annotations
 
 import json
+import re
 
 from pyspark.sql import DataFrame
 
 from .archives import ARCHIVE_BYTE_BUDGET
+
+# CSI escape sequences (colored tracebacks, progress bars) are pure
+# noise in flattened outputs — stripped before the text joins the doc
+_ANSI = re.compile(r"\x1b\[[0-9;?]*[A-Za-z]|\x1b\][^\x07\x1b]*"
+                   r"(?:\x07|\x1b\\)|[\r\x08]")
 
 IPYNB_TEXT_SCHEMA = (
     "doc_id bigint, format string, language string, n_cells int, "
@@ -179,7 +185,7 @@ def _extract_ipynb(raw: bytes, budget: int | None,
             if include_outputs:
                 for out in cell.get("outputs") or []:
                     if isinstance(out, dict):
-                        txt = _output_text(out)
+                        txt = _ANSI.sub("", _output_text(out))
                         if txt:
                             emit(txt.rstrip("\n") + "\n\n")
         # unknown cell types drop (forward compatibility)
