@@ -407,6 +407,37 @@ def _cmd_ingest(args: argparse.Namespace) -> int:
     return 3 if report["n_committed"] == 0 else 0
 
 
+def _cmd_codedocs(args: argparse.Namespace) -> int:
+    from pyspark.sql import functions as F
+
+    from .corpus import code_files_to_documents
+    from .session import get_spark
+
+    spark = get_spark("code-docs", master=args.master)
+    files = spark.read.parquet(args.input)
+    docs = code_files_to_documents(
+        files,
+        path_col=args.path_col,
+        text_col=args.text_col,
+        min_chars=args.min_chars,
+        apply_filter=not args.no_filter,
+    )
+    docs.write.mode("overwrite").parquet(args.output)
+    docs = spark.read.parquet(args.output)  # summarize the sink
+    n_in = files.count()
+    n_out = docs.count()
+    by_lang = {
+        str(r["lang"]): r["n"]
+        for r in docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    print(json.dumps({"status": "ok", "n_files": n_in,
+                      "n_documents": n_out,
+                      "n_dropped": n_in - n_out,
+                      "by_lang": by_lang, "output": args.output}))
+    return 0
+
+
 def _version_pair(s: str) -> tuple[int, int]:
     """argparse type for PREV:CUR — malformed specs (including
     semantically invalid ones like PREV == CUR) die as clean usage
@@ -1133,6 +1164,24 @@ def build_parser() -> argparse.ArgumentParser:
         "while listed)",
     )
     ing.set_defaults(fn=_cmd_ingest)
+
+    cod = sub.add_parser(
+        "codedocs",
+        help="source-file table (path, text) -> documents-shaped "
+        "parquet: language routed from the extension, files failing "
+        "the The-Stack structural funnel dropped (late r14)",
+    )
+    cod.add_argument("--input", required=True,
+                     help="parquet with path + text columns")
+    cod.add_argument("--output", required=True,
+                     help="documents-shaped parquet sink")
+    cod.add_argument("--path-col", default="path")
+    cod.add_argument("--text-col", default="text")
+    cod.add_argument("--min-chars", type=int, default=1)
+    cod.add_argument(
+        "--no-filter", action="store_true",
+        help="skip the structural funnel (keep every non-empty file)")
+    cod.set_defaults(fn=_cmd_codedocs)
 
     pr_ = sub.add_parser(
         "profile",
