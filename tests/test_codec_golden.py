@@ -41,7 +41,7 @@ def test_fixture_is_committed_and_covers_all_families():
                          "image_pages", "office_pptx", "office_xlsx",
                          "office_odf", "document_epub", "mail_eml",
                          "document_rtf", "document_latex",
-                         "document_ipynb"}
+                         "document_ipynb", "document_markdown"}
     assert fams["image_exif"] == 8 and fams["audio_tags"] == 6
     # the decode matrix: 6 PNG variants + 4 JPEG + GIF/BMP/PPM +
     # 2 VP8L WebP + 10 TIFF (LZW/deflate/palette/tiled + JPEG-in-TIFF,
@@ -96,6 +96,9 @@ def test_fixture_is_committed_and_covers_all_families():
     # ipynb (late r14): v4 + v3-worksheets + not-JSON corrupt +
     # future-nbformat unsupported
     assert fams["document_ipynb"] == 4
+    # markdown (late r14): a construct-rich README + the empty payload
+    # (the only refusal a magic-less text format has)
+    assert fams["document_markdown"] == 2
 
 
 def test_codec_stats_match_golden(spark):
@@ -216,4 +219,4 @@ def test_codec_stats_from_foreign_cwd():
         env={k: v for k, v in __import__("os").environ.items()
              if k != "PYTHONPATH"},
     )
-    assert "CODEC_ROWS=185" in out.stdout, out.stderr[-2000:]
+    assert "CODEC_ROWS=187" in out.stdout, out.stderr[-2000:]

@@ -463,6 +463,7 @@ def test_fuzz_r14_document_extractors(rng):
         jbig2,
         latex,
         mail,
+        markdown,
         notebooks,
         rtf,
     )
@@ -503,6 +504,8 @@ def test_fuzz_r14_document_extractors(rng):
          b'{"nbformat": 4, "cells": [{"cell_type": "code", '
          b'"source": "x", "outputs": [{"output_type": "stream", '
          b'"text": "y"}]}]}'),
+        (lambda b: markdown._extract_markdown(b, 1 << 20),
+         b"# T\n\n[a](b) `c` **d**\n```\ncode\n```\n"),
     ]
     for fn, valid in corpora:
         fn(valid)  # the valid payload must parse clean

@@ -857,6 +857,16 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
     add(2504, "document_ipynb", "ipynb_future_nbformat_unsupported",
         b'{"nbformat": 9, "cells": []}')
 
+    # ---- document_markdown: markdown_text (ids 26xx, r14) --------------
+    add(2601, "document_markdown", "markdown_readme_constructs",
+        b"# Title\n\nSee [docs](https://e.org) and ![logo](i.png) "
+        b"with `code` and **bold**.\n\n"
+        b"```python\nif x:\n    go()  # **raw**\n```\n\n"
+        b"> quoted &amp; <b>tagged</b>\n\n"
+        b"- item one\n* item two\n\n"
+        b"| a | b |\n|---|---|\n| 1 | 2 |\n")
+    add(2602, "document_markdown", "markdown_empty_corrupt", b"")
+
     return rows
 
 

@@ -855,6 +855,7 @@ def _cmd_media(args: argparse.Namespace) -> int:
         imagehash,
         latex,
         mail,
+        markdown,
         mediameta,
         notebooks,
         pdf,
@@ -920,6 +921,8 @@ def _cmd_media(args: argparse.Namespace) -> int:
         "emltext": lambda b: mail.eml_text(b, errors="quarantine"),
         "rtftext": lambda b: rtf.rtf_text(b, errors="quarantine"),
         "latextext": lambda b: latex.latex_text(b, errors="quarantine"),
+        "mdtext": lambda b: markdown.markdown_text(
+            b, errors="quarantine"),
         "ipynbtext": lambda b: notebooks.ipynb_text(
             b, errors="quarantine"),
         "mboxsplit": lambda b: mail.mbox_split(b),
@@ -986,7 +989,7 @@ def build_parser() -> argparse.ArgumentParser:
                  "pdfimages", "imagehash", "members", "exifstrip",
                  "docxtext", "pptxtext", "xlsxtext", "odftext",
                  "epubtext", "emltext", "mboxsplit", "rtftext",
-                 "latextext", "ipynbtext",
+                 "latextext", "ipynbtext", "mdtext",
                  "thumbnail", "subtitles", "sniff", "tiffpages"],
         help="probe=image headers, decode=image pixels, audio=samples, "
              "audiometa=MP3/FLAC/WAV headers, video=MP4/MKV containers, "

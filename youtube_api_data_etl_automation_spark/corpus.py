@@ -655,13 +655,15 @@ def office_to_documents(
         xlsx_text,
     )
     from .operators.latex import latex_text
+    from .operators.markdown import markdown_text
     from .operators.notebooks import ipynb_text
     from .operators.rtf import rtf_text
 
     extractors = {"docx": docx_text, "pptx": pptx_text,
                   "xlsx": xlsx_text, "odf": odf_text,
                   "epub": epub_text, "rtf": rtf_text,
-                  "latex": latex_text, "ipynb": ipynb_text}
+                  "latex": latex_text, "ipynb": ipynb_text,
+                  "markdown": markdown_text}
     if kind not in extractors:
         raise ValueError(
             f"office_to_documents: kind={kind!r} not in "

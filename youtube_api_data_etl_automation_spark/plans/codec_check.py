@@ -82,6 +82,9 @@ Fixture families → engine op exercised:
 - ``document_ipynb`` → :func:`operators.notebooks.ipynb_text` (late
   r14: nbformat 4 cells + nbformat 3 worksheets flattened to
   markdown-plus-fenced-code; future nbformat refuses)
+- ``document_markdown`` → :func:`operators.markdown.markdown_text`
+  (late r14: CommonMark-lite flatten — fences raw, headings/quotes/
+  lists/tables/inline passes; only the empty payload refuses)
 
 Scale note: the fixture is a verification corpus (~40 rows, a few KB);
 the ops it drives are the same Arrow-batched mapInPandas operators that
@@ -121,7 +124,7 @@ CODEC_FAMILIES = (
     "image_hash", "exif_strip", "office", "image_thumb", "subtitle",
     "document_images", "image_pages", "office_pptx", "office_xlsx",
     "office_odf", "document_epub", "mail_eml", "document_rtf",
-    "document_latex", "document_ipynb",
+    "document_latex", "document_ipynb", "document_markdown",
 )
 
 
@@ -769,6 +772,29 @@ def codec_stats(spark: SparkSession,
             ).otherwise(_err_fp()).alias("fp"),
         )
         parts.append(ipy)
+
+    if "document_markdown" in by_family:
+        from ..operators.markdown import markdown_text
+
+        mdn = markdown_text(by_family["document_markdown"],
+                            errors="quarantine").select(
+            "doc_id",
+            F.col("format").alias("fmt"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.when(
+                F.col("error").isNull(),
+                F.format_string(
+                    "%d,%d,%d|%d|%s",
+                    F.col("n_headings"),
+                    F.col("n_code_blocks"),
+                    F.col("n_links"),
+                    F.col("n_chars"),
+                    F.translate(F.col("text"), "\n", "~"),
+                ),
+            ).otherwise(_err_fp()).alias("fp"),
+        )
+        parts.append(mdn)
 
     if "image_pages" in by_family:
         from ..operators.tiff import tiff_page_images
