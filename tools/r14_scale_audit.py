@@ -161,13 +161,17 @@ def main() -> None:
     from youtube_api_data_etl_automation_spark.operators.latex import (
         latex_text,
     )
+    from youtube_api_data_etl_automation_spark.operators.markdown import (
+        markdown_text,
+    )
     from youtube_api_data_etl_automation_spark.operators.notebooks import (
         ipynb_text,
     )
 
     for scale, reps in (("1x", r_small * 4), ("10x", r_small * 40)):
         dfs = [(_fixture_blobs(spark, (pid,), reps), op)
-               for pid, op in ((2401, latex_text), (2501, ipynb_text))]
+               for pid, op in ((2401, latex_text), (2501, ipynb_text),
+                               (2601, markdown_text))]
         for df, _ in dfs:
             df.persist().count()
 
@@ -179,8 +183,9 @@ def main() -> None:
         for df, _ in dfs:
             df.unpersist()
         results[f"sci_extract_{scale}"] = round(t, 3)
-        print(json.dumps({"op": "latex+ipynb_text", "scale": scale,
-                          "payloads": reps * 2, "sec": round(t, 3)}))
+        print(json.dumps({"op": "latex+ipynb+markdown_text",
+                          "scale": scale,
+                          "payloads": reps * 3, "sec": round(t, 3)}))
 
     # code funnel (late r14): stack_filter is pure Column math over a
     # generated text column — the audit pins the map-only projection's
