@@ -1895,7 +1895,15 @@ def sniff_format(blobs: DataFrame,
     archive even when it is OOXML — distinguishing docx needs a
     member read, which is the downstream operator's job. Everything
     else is ``('unknown', NULL)``. NULL/empty payloads are
-    ``('unknown', NULL)`` too."""
+    ``('unknown', NULL)`` too.
+
+    Deliberately NOT sniffed (late r14): latex, ipynb, and markdown
+    — none carries a reliable magic (ipynb is bare JSON, markdown is
+    bare text, latex's ``\\documentclass`` may sit after arbitrary
+    comment lines); guessing would misroute ordinary text/JSON.
+    Those formats route by extension/Content-Type, which crawl
+    pipelines carry anyway (see corpus.office_to_documents kinds and
+    code_quality.lang_from_path)."""
     from pyspark.sql import Column, functions as F
 
     p = F.col(payload_col)
