@@ -99,3 +99,34 @@ def test_markdown_to_documents_bridge(spark):
         kind="markdown").collect()
     assert len(got) == 1 and got[0]["source"] == "markdown:61"
     assert got[0]["text"] == "H\n\nBody prose."
+
+
+def test_markdown_review_fixes_r14():
+    """The fourth self-review round's findings, pinned (ADVICE r14)."""
+    X = M._extract_markdown
+    # 1: intraword __ never unwraps; space-delimited __x__ is strong
+    # emphasis per CommonMark (unwraps); code-span dunders are safe
+    r = X(b"call `__init__` on my__var__x or __bold__", None)
+    assert r["text"] == "call __init__ on my__var__x or bold"
+    # 2: fenced code inside a blockquote unquotes at the opener's
+    # depth, stays raw, and counts
+    r = X(b"> ```python\n> x = '**a**'\n> ```\n", None)
+    assert r["text"] == "x = '**a**'" and r["n_code_blocks"] == 1
+    # ... while '>' inside UNQUOTED code survives untouched
+    assert X(b"```\n> prompt\n```\n", None)["text"] == "> prompt"
+    # 3: CRLF normalizes; a thematic break with \r still drops
+    assert X(b"para\r\n\r\n***\r\nafter\r\n", None)["text"] \
+        == "para\n\nafter"
+    # 4: code spans are literal — no tag strip, no link unwrap/count,
+    # no entity decode inside
+    r = X(b"use `[a](b)` and `<br>` and `&amp;` here", None)
+    assert r["text"] == "use [a](b) and <br> and &amp; here"
+    assert r["n_links"] == 0
+    # 5: only a strict ref def (optional QUOTED title) drops
+    r = X(b"[note]: this stays as prose\n"
+          b"[ref]: https://real.def \"title\"\n", None)
+    assert r["text"] == "[note]: this stays as prose"
+    # 6: indented code after a blank line stays raw
+    r = X(b"para\n\n    code with **stars** and [a](b)\n", None)
+    assert r["text"] == "para\n\n    code with **stars** and [a](b)"
+    assert r["n_links"] == 0
