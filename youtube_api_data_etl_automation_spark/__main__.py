@@ -415,13 +415,23 @@ def _cmd_codedocs(args: argparse.Namespace) -> int:
 
     spark = get_spark("code-docs", master=args.master)
     files = spark.read.parquet(args.input)
-    docs = code_files_to_documents(
-        files,
-        path_col=args.path_col,
-        text_col=args.text_col,
-        min_chars=args.min_chars,
-        apply_filter=not args.no_filter,
-    )
+    if args.archives:
+        from .corpus import repo_archive_to_code_documents
+
+        docs = repo_archive_to_code_documents(
+            files,
+            strip_components=args.strip_components,
+            min_chars=args.min_chars,
+            apply_filter=not args.no_filter,
+        )
+    else:
+        docs = code_files_to_documents(
+            files,
+            path_col=args.path_col,
+            text_col=args.text_col,
+            min_chars=args.min_chars,
+            apply_filter=not args.no_filter,
+        )
     docs.write.mode("overwrite").parquet(args.output)
     docs = spark.read.parquet(args.output)  # summarize the sink
     n_in = files.count()
@@ -1184,6 +1194,14 @@ def build_parser() -> argparse.ArgumentParser:
     cod.add_argument(
         "--no-filter", action="store_true",
         help="skip the structural funnel (keep every non-empty file)")
+    cod.add_argument(
+        "--archives", action="store_true",
+        help="--input is an archive payload table (doc_id, payload): "
+        "repository tarballs/zips fan out to member files first")
+    cod.add_argument(
+        "--strip-components", type=int, default=1,
+        help="leading path components to drop in archive mode (the "
+        "repo-name-sha/ prefix code hosts prepend)")
     cod.set_defaults(fn=_cmd_codedocs)
 
     pr_ = sub.add_parser(

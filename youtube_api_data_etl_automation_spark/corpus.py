@@ -785,6 +785,94 @@ def code_files_to_documents(
     )
 
 
+def repo_archive_to_code_documents(
+    blobs: DataFrame,
+    *,
+    strip_components: int = 1,
+    min_chars: int = 1,
+    apply_filter: bool = True,
+    byte_budget: int | None = None,
+) -> DataFrame:
+    """Repository archive payloads (the tarball/zip a code host
+    serves per repo — The-Stack-style ingestion) → ``documents``-
+    shaped rows (late r14): :func:`operators.archives.
+    archive_members` fans each archive out to members in-partition,
+    members whose extension maps to a known language keep (the
+    binary-asset mass never decodes), bodies decode utf-8-replace in
+    one Arrow batch pass, ``strip_components`` drops the
+    ``repo-name-sha/`` prefix code hosts prepend, and the
+    The-Stack structural funnel prunes the survivors (module:
+    operators/code_quality.py; disable via ``apply_filter=False``).
+
+    ``doc_id`` is ``xxhash64(archive doc_id, stripped path)`` —
+    stable across re-ingestion AND unique across repos whose trees
+    share paths. ``source`` is ``repo:<archive id>/<path>`` and
+    ``lang`` the routed language, so per-language caps and
+    leakage-safe grouped splits (group = the archive id prefix) work
+    downstream. Two mapInPandas passes and otherwise pure Column
+    math — no shuffle anywhere."""
+    import pandas as pd
+
+    from .operators.archives import ARCHIVE_BYTE_BUDGET, archive_members
+    from .operators.code_quality import lang_from_path, stack_filter
+
+    members = archive_members(
+        blobs, errors="quarantine",
+        byte_budget=byte_budget or ARCHIVE_BYTE_BUDGET,
+    ).filter(
+        F.col("error").isNull() & F.col("body").isNotNull()
+        & (F.col("size") > 0)
+    )
+    path = F.col("name")
+    if strip_components > 0:
+        parts = F.split(F.col("name"), "/")
+        path = F.when(
+            F.size(parts) > strip_components,
+            F.array_join(
+                F.slice(parts, strip_components + 1,
+                        2_147_483_647), "/"),
+        )  # members shallower than the strip depth drop (NULL path)
+    cand = members.select(
+        F.col("doc_id").alias("archive_id"),
+        path.alias("path"),
+        "body",
+    ).filter(
+        F.col("path").isNotNull()
+        & lang_from_path("path").isNotNull()
+    )
+
+    def decode(it):
+        for pdf in it:
+            yield pd.DataFrame({
+                "archive_id": pdf["archive_id"],
+                "path": pdf["path"],
+                "text": [
+                    (bytes(b).decode("utf-8", errors="replace")
+                     if b is not None else "")
+                    for b in pdf["body"]
+                ],
+            })
+
+    files = cand.mapInPandas(
+        decode, "archive_id bigint, path string, text string")
+    if apply_filter:
+        files = stack_filter(files).filter(
+            F.col("cq_verdict") == "keep")
+    return (
+        files.select(
+            F.xxhash64(F.col("archive_id"), F.col("path"))
+            .alias("doc_id"),
+            F.col("text"),
+            lang_from_path("path").alias("lang"),
+            F.concat(F.lit("repo:"),
+                     F.col("archive_id").cast("string"),
+                     F.lit("/"), F.col("path")).alias("source"),
+        )
+        .withColumn("n_chars", F.length("text"))
+        .filter(F.col("n_chars") >= min_chars)
+    )
+
+
 def subtitles_to_documents(
     payloads: DataFrame,
     *,
