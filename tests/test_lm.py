@@ -133,3 +133,50 @@ def test_pmi_ranks_fixed_collocation_above_frequent_pair(spark):
     assert ("new", "york") in pmis
     the_pairs = [v for (a, _b), v in pmis.items() if a == "the"]
     assert all(pmis[("new", "york")] > v for v in the_pairs) or not the_pairs
+
+
+def test_perplexity_buckets_ccnet_split(spark):
+    """CCNet head/middle/tail: per-group exact thirds, NULL scores
+    labeled none, head = highest avg_logp (lowest perplexity)."""
+    import numpy as np
+
+    from youtube_api_data_etl_automation_spark.operators.lm import (
+        perplexity_buckets,
+    )
+
+    rows = []
+    rng = __import__("random").Random(11)
+    for i in range(90):
+        lang = "en" if i % 3 else "fr"
+        rows.append((i, lang, round(rng.uniform(-9.0, -2.0), 6)))
+    rows += [(900, "en", None), (901, "xx", None)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, avg_logp double")
+    got = {r["doc_id"]: r["ppl_bucket"] for r in perplexity_buckets(
+        df, group_col="lang").collect()}
+    # python reference: numpy linear-interpolation quantiles per group
+    by_lang = {}
+    for i, lang, s in rows:
+        if s is not None:
+            by_lang.setdefault(lang, []).append(s)
+    for i, lang, s in rows:
+        if s is None:
+            assert got[i] == "none", i
+            continue
+        t1, t2 = np.quantile(np.array(by_lang[lang]), [1 / 3, 2 / 3],
+                             method="linear")
+        want = "head" if s >= t2 else ("middle" if s >= t1 else "tail")
+        assert got[i] == want, (i, lang, s, t1, t2, got[i])
+    # thirds are balanced within one per group
+    from collections import Counter
+    for lang in ("en", "fr"):
+        c = Counter(got[i] for i, lg, s in rows
+                    if lg == lang and s is not None)
+        assert max(c.values()) - min(c.values()) <= 2, (lang, c)
+    # ungrouped + approx (the 100 TB sketch path) smoke: same schema,
+    # every non-null score bucketed
+    ap = perplexity_buckets(df, approx=10_000).collect()
+    assert {r["ppl_bucket"] for r in ap} <= {"head", "middle",
+                                             "tail", "none"}
+    assert all(r["ppl_bucket"] == "none" for r in ap
+               if r["avg_logp"] is None)

@@ -123,6 +123,51 @@ def score_docs(docs: DataFrame, lm: dict, *, text_col: str = "text",
     )
 
 
+def perplexity_buckets(scored: DataFrame, *, group_col: str | None = None,
+                       score_col: str = "avg_logp",
+                       fractions: tuple[float, float] = (1 / 3, 2 / 3),
+                       approx: int | None = None) -> DataFrame:
+    """CCNet's head/middle/tail split (late r14): label each document
+    by which perplexity third it falls in — ``head`` = the
+    best-modeled (highest ``avg_logp`` = lowest perplexity) third,
+    computed PER GROUP when ``group_col`` is set (CCNet buckets per
+    language, so a low-resource language's head is not swamped by the
+    dominant one). Documents with a NULL score (no bigram evidence)
+    label ``none``.
+
+    ``approx=None`` (default) uses the exact interpolated percentile
+    — verified bit-identical to DuckDB's ``quantile_cont`` including
+    1/2/3-element groups, so the oracle reproduces the thresholds
+    exactly; it sorts per group, which is fine at verification scale.
+    At 100 TB pass ``approx=<accuracy>`` to switch to
+    ``approx_percentile`` — a one-pass mergeable sketch (no sort, no
+    second scan), the documented scale path. The threshold relation
+    is group-cardinality-sized and broadcast back — the corpus never
+    reshuffles."""
+    grp = [group_col] if group_col else []
+    pcts = F.lit([float(f) for f in fractions])
+    col = F.col(score_col)
+    q = (F.percentile(col, pcts) if approx is None
+         else F.approx_percentile(col, pcts, F.lit(approx)))
+    th = scored.filter(col.isNotNull())
+    th = (th.groupBy(*grp) if grp else th.groupBy()).agg(q.alias("_qs"))
+    th = th.select(*grp, F.col("_qs")[0].alias("_t1"),
+                   F.col("_qs")[1].alias("_t2"))
+    if grp:
+        joined = scored.join(F.broadcast(th), grp, "left")
+    else:
+        # 1-row broadcast fold (sanctioned BNLJ shape, PLANS.md)
+        joined = scored.crossJoin(F.broadcast(th))
+    bucket = (
+        F.when(col.isNull() | F.col("_t1").isNull(), "none")
+        .when(col >= F.col("_t2"), "head")
+        .when(col >= F.col("_t1"), "middle")
+        .otherwise("tail")
+    )
+    return joined.withColumn("ppl_bucket", bucket) \
+        .drop("_t1", "_t2")
+
+
 def pmi_collocations(lm: dict, *, min_count: int = 5,
                      top_k: int | None = None) -> DataFrame:
     """Pointwise mutual information of adjacent word pairs from the LM's

@@ -211,16 +211,34 @@ def _lang_quality_oracle() -> str:
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
              SUM(CAST(lp AS DECIMAL(20,12))) AS slp
       FROM lmscore GROUP BY doc_id
+    ),
+    fin AS (
+      SELECT s.doc_id, lang_guess,
+             floor((0.5 * least(1.0, nt / 64.0)
+                   + 0.3 * (1.0 - CASE WHEN ln > 0 THEN np / ln ELSE 0.0 END)
+                   + 0.2 * CASE WHEN nt > 0 THEN sw / nt ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS quality,
+             floor((wsum / (1.0 + nt)) * 1000000.0 + 0.5) / 1000000.0 AS clf_logit,
+             CAST(COALESCE(g.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             floor(CAST(g.slp AS DOUBLE) / g.n_bigrams * 1000000.0 + 0.5) / 1000000.0
+               AS avg_logp
+      FROM s LEFT JOIN lmagg g ON s.doc_id = g.doc_id
+    ),
+    -- CCNet head/middle/tail thresholds per language (late r14):
+    -- exact interpolated quantiles over the ROUNDED avg_logp —
+    -- bit-identical to Spark's percentile()
+    ppq AS (
+      SELECT lang_guess,
+             quantile_cont(avg_logp, 1.0/3) AS t1,
+             quantile_cont(avg_logp, 2.0/3) AS t2
+      FROM fin WHERE avg_logp IS NOT NULL GROUP BY lang_guess
     )
-    SELECT s.doc_id, lang_guess,
-           floor((0.5 * least(1.0, nt / 64.0)
-                 + 0.3 * (1.0 - CASE WHEN ln > 0 THEN np / ln ELSE 0.0 END)
-                 + 0.2 * CASE WHEN nt > 0 THEN sw / nt ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS quality,
-           floor((wsum / (1.0 + nt)) * 1000000.0 + 0.5) / 1000000.0 AS clf_logit,
-           CAST(COALESCE(g.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-           floor(CAST(g.slp AS DOUBLE) / g.n_bigrams * 1000000.0 + 0.5) / 1000000.0
-             AS avg_logp
-    FROM s LEFT JOIN lmagg g ON s.doc_id = g.doc_id
+    SELECT f.doc_id, f.lang_guess, f.quality, f.clf_logit,
+           f.n_bigrams, f.avg_logp,
+           CASE WHEN f.avg_logp IS NULL OR q.t1 IS NULL THEN 'none'
+                WHEN f.avg_logp >= q.t2 THEN 'head'
+                WHEN f.avg_logp >= q.t1 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM fin f LEFT JOIN ppq q ON f.lang_guess = q.lang_guess
     """
 
 
@@ -242,7 +260,11 @@ def lang_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotone equivalent of perplexity, kept in log space so the oracle
     avoids a second transcendental."""
     from ..functions.text import clf_logit_t, quality_score_t
-    from ..operators.lm import score_docs, train_bigram_lm
+    from ..operators.lm import (
+        perplexity_buckets,
+        score_docs,
+        train_bigram_lm,
+    )
 
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
     # One token projection feeds the quality signals, LM training, and LM
@@ -265,7 +287,7 @@ def lang_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         round6(quality_score_t("text", "tok")).alias("quality"),
         round6(clf_logit_t("tok")).alias("clf_logit"),
     )
-    return main.join(lm_scores, "doc_id", "left").select(
+    fin = main.join(lm_scores, "doc_id", "left").select(
         "doc_id",
         "lang_guess",
         "quality",
@@ -273,6 +295,10 @@ def lang_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
         "avg_logp",
     )
+    # late r14: the CCNet head/middle/tail split over the ROUNDED
+    # avg_logp, per language — the thresholds are exact interpolated
+    # percentiles, bit-identical to the oracle's quantile_cont
+    return perplexity_buckets(fin, group_col="lang_guess")
 
 
 # preset-section text minting (r12): the synthetic documents are
