@@ -649,3 +649,58 @@ def test_warc_robots_to_curate_composition(spark):
              for r in out["documents"].select("clean_text").collect()]
     assert any("public" in t for t in texts)
     assert not any("secret" in t for t in texts)
+
+
+def test_curate_corpus_ppl_bucket_stage(spark, corpus):
+    """The CCNet perplexity stage (late r14): reference-like docs
+    land head/middle and survive; a kept-language doc whose wording
+    the reference LM has never seen lands tail and drops; the audit
+    gains the stage row; default-off leaves the report unchanged."""
+    from youtube_api_data_etl_automation_spark.corpus import (
+        curate_corpus,
+    )
+
+    # reference = the corpus's own good English wording, so the 40
+    # good docs score well; an in-language but alien-wording doc
+    # (English markers, scrambled content words) scores worst
+    ref = spark.createDataFrame(
+        [(9100 + i, f"{GOOD} marker{i}") for i in range(40)],
+        "doc_id long, text string")
+    # passes the generic funnel (long, stopword-rich, English
+    # markers) but its content words never occur in the reference,
+    # so the LM ranks it worst
+    alien = (
+        "the quantum marmalade and the purple telescope in the "
+        "gleaming attic with a zealous marmot and the cascading "
+        "hexagon of the velvet accordion in a shimmering grotto "
+        "with the obsidian kaleidoscope and the turquoise "
+        "metronome of the whispering labyrinth in the amber "
+        "observatory with a crimson pendulum and the emerald "
+        "sundial of the twilight conservatory")
+    docs = corpus.union(spark.createDataFrame(
+        [(300, alien)], "doc_id long, text string"))
+
+    out = curate_corpus(docs, ppl_ref=ref)
+    stages = dict(
+        (r["stage"], r["n_docs"]) for r in out["report"].collect())
+    assert "ppl_bucket" in stages
+    assert stages["ppl_bucket"] <= stages["exact_dedup"]
+    kept_ids = {r["doc_id"] for r in out["documents"].select("doc_id")
+                .distinct().collect()}
+    assert 300 not in kept_ids  # the alien-wording doc fell in the tail
+    assert 0 in kept_ids        # reference-like docs survive
+    # keep the tail too -> the alien doc survives (knob semantics)
+    out2 = curate_corpus(
+        docs, ppl_ref=ref, ppl_keep=("head", "middle", "tail"))
+    kept2 = {r["doc_id"] for r in out2["documents"].select("doc_id")
+             .distinct().collect()}
+    assert 300 in kept2
+    # default-off: no stage row
+    out3 = curate_corpus(docs)
+    assert "ppl_bucket" not in {
+        r["stage"] for r in out3["report"].collect()}
+    # bad bucket name fails fast
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ppl_keep"):
+        curate_corpus(docs, ppl_ref=ref, ppl_keep=("head", "torso"))

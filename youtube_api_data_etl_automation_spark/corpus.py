@@ -118,6 +118,9 @@ def curate_corpus(
     robots_agent: str = "*",
     domain_cap: int | None = None,
     psl: DataFrame | None = None,
+    ppl_ref: DataFrame | None = None,
+    ppl_keep: tuple[str, ...] = ("head", "middle"),
+    ppl_approx: int | None = None,
 ) -> dict:
     """Run the full curation pipeline. Returns
     {"documents": packed survivors (id, lang, clean_text, n_tokens,
@@ -225,6 +228,15 @@ def curate_corpus(
     before stratified sampling, via the two-path capping plan
     (operators/capping.py — under-cap groups never sort). ``psl``
     without ``domain_cap`` is an error (it would silently do nothing).
+
+    ``ppl_ref`` + ``ppl_keep`` (late r14): CCNet's perplexity stage —
+    train the bigram LM on the reference corpus (CCNet uses
+    Wikipedia), score the DEDUPLICATED pool's ``clean_text``, bucket
+    head/middle/tail per language (operators/lm.py::
+    perplexity_buckets), and keep only the ``ppl_keep`` buckets
+    (default drops the tail, CCNet's convention). Docs without bigram
+    evidence always keep. ``ppl_approx`` switches the thresholds to
+    the one-pass approx_percentile sketch — the 100 TB path.
     """
     spark = docs.sparkSession
     if psl is not None and domain_cap is None:
@@ -396,6 +408,39 @@ def curate_corpus(
 
     # 3b: exact dedup — deterministic min-id survivor per fingerprint.
     survivors = checkpoint("exact_dedup", _min_id_survivors(kept))
+
+    # 3b': optional CCNet perplexity stage (late r14) — score the
+    # DEDUPLICATED pool against a reference-corpus bigram LM (CCNet
+    # scores after dedup), bucket head/middle/tail per language, keep
+    # the configured buckets. Docs without bigram evidence ('none')
+    # always keep — absence of signal is not low quality.
+    if ppl_ref is not None:
+        bad = set(ppl_keep) - {"head", "middle", "tail"}
+        if bad:
+            raise ValueError(
+                f"ppl_keep buckets {sorted(bad)} unknown; choose "
+                "among 'head', 'middle', 'tail'")
+        from .operators.lm import (
+            perplexity_buckets,
+            score_docs,
+            train_bigram_lm,
+        )
+
+        ref = ppl_ref.select(F.col(id_col).alias("doc_id"),
+                             F.col(text_col).alias("text"))
+        lm = train_bigram_lm(ref, k=0.5)
+        sc = score_docs(
+            survivors.select("doc_id",
+                             F.col("clean_text").alias("text")),
+            lm,
+        ).select("doc_id", "avg_logp")
+        scored = survivors.join(sc, "doc_id", "left")
+        survivors = perplexity_buckets(
+            scored, group_col="lang", approx=ppl_approx,
+        ).filter(
+            F.col("ppl_bucket").isin(*ppl_keep, "none")
+        ).drop("avg_logp", "ppl_bucket")
+        survivors = checkpoint("ppl_bucket", survivors)
 
     # 3c: optional near-dup dedup (MinHash-LSH pairs → connected
     # components → min-id survivor) on the shipping text.
