@@ -311,6 +311,7 @@ def _cmd_curate(args: argparse.Namespace) -> int:
     dsir_target = (
         spark.read.parquet(args.dsir_target) if args.dsir_target else None
     )
+    ppl_ref = spark.read.parquet(args.ppl_ref) if args.ppl_ref else None
     lang_rates = None
     if args.lang_rates:
         lang_rates = {
@@ -340,6 +341,9 @@ def _cmd_curate(args: argparse.Namespace) -> int:
         robots_agent=args.robots_agent,
         domain_cap=args.domain_cap,
         psl=psl,
+        ppl_ref=ppl_ref,
+        ppl_keep=tuple(b for b in args.ppl_keep.split(",") if b),
+        ppl_approx=args.ppl_approx,
     )
     write_training_shards(out["documents"], args.output)
     report = {r["stage"]: r["n_docs"] for r in out["report"].collect()}
@@ -1053,6 +1057,18 @@ def build_parser() -> argparse.ArgumentParser:
         help="canonicalize unicode (mojibake repair, fullwidth fold, "
         "zero-width strip) before curation signals",
     )
+    cur.add_argument(
+        "--ppl-ref", default=None,
+        help="reference-corpus parquet for the CCNet perplexity "
+        "stage (bigram LM trained on it; tail bucket drops)")
+    cur.add_argument(
+        "--ppl-keep", default="head,middle",
+        help="perplexity buckets to keep, comma-joined (with "
+        "--ppl-ref)")
+    cur.add_argument(
+        "--ppl-approx", type=int, default=None,
+        help="approx_percentile accuracy for the bucket thresholds "
+        "(default exact; set for very large corpora)")
     cur.add_argument(
         "--neardup-threshold",
         type=float,
