@@ -297,7 +297,11 @@ def lang_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # late r14: the CCNet head/middle/tail split over the ROUNDED
     # avg_logp, per language — the thresholds are exact interpolated
-    # percentiles, bit-identical to the oracle's quantile_cont
+    # percentiles, bit-identical to the oracle's quantile_cont.
+    # persist(): fin now has TWO consumers (the threshold aggregate
+    # and the final bucket join) — without it the whole LM-scoring
+    # lineage executes twice (repo convention)
+    fin = fin.persist()
     return perplexity_buckets(fin, group_col="lang_guess")
 
 
