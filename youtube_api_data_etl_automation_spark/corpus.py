@@ -121,6 +121,7 @@ def curate_corpus(
     ppl_ref: DataFrame | None = None,
     ppl_keep: tuple[str, ...] = ("head", "middle"),
     ppl_approx: int | None = None,
+    nl_funnel: bool = True,
 ) -> dict:
     """Run the full curation pipeline. Returns
     {"documents": packed survivors (id, lang, clean_text, n_tokens,
@@ -229,6 +230,17 @@ def curate_corpus(
     (operators/capping.py — under-cap groups never sort). ``psl``
     without ``domain_cap`` is an error (it would silently do nothing).
 
+    ``nl_funnel`` (late r14): the lang-ID + quality predicates of the
+    funnel stage assume natural-language prose; code corpora
+    (:func:`code_files_to_documents` / :func:`repo_archive_to_code_
+    documents`, which already applied the The-Stack STRUCTURAL
+    funnel) set ``nl_funnel=False`` to keep only the token bounds and
+    take ``lang`` from the INPUT's lang column (the extension-routed
+    language), so per-language caps, stratified sampling, and the
+    perplexity stage group on real code languages. Everything
+    downstream — dedup, near-dup, decontam, capping, sampling,
+    packing — applies to code unchanged.
+
     ``ppl_ref`` + ``ppl_keep`` (late r14): CCNet's perplexity stage —
     train the bigram LM on the reference corpus (CCNet uses
     Wikipedia), score the DEDUPLICATED pool's ``clean_text``, bucket
@@ -266,6 +278,10 @@ def curate_corpus(
         return df
 
     need_url = robots_rules is not None or domain_cap is not None
+    # code corpora (nl_funnel=False) carry their INPUT lang column
+    # (codedocs routes it from the file extension) instead of the
+    # natural-language marker heuristic
+    carry_lang = (not nl_funnel) and ("lang" in docs.columns)
     base_cols = [F.col(id_col).alias("doc_id"),
                  F.col(text_col).alias("text")]
     if need_url:
@@ -274,6 +290,8 @@ def curate_corpus(
                 f"robots_rules/domain_cap need url_col={url_col!r} in "
                 "the input (warc_to_documents emits it as 'source')")
         base_cols.append(F.col(url_col).alias("__url"))
+    if carry_lang:
+        base_cols.append(F.col("lang").alias("__lang"))
     base = docs.select(*base_cols)
     if strip_html or normalize_unicode:
         txt = F.col("text")
@@ -286,7 +304,8 @@ def curate_corpus(
 
             txt = _nu(txt)
         base = base.select("doc_id", txt.alias("text"),
-                           *(["__url"] if need_url else []))
+                           *(["__url"] if need_url else []),
+                           *(["__lang"] if carry_lang else []))
     checkpoint("input", base)
 
     # r13: REP compliance pre-filter — FIRST, before any signal: an
@@ -316,6 +335,8 @@ def curate_corpus(
             base = base.withColumn(
                 "__domain", registrable_domain(F.col("__url")))
         extra_cols = ["__domain"]
+    if carry_lang:
+        extra_cols = extra_cols + ["__lang"]
     if need_url:
         base = base.drop("__url")
 
@@ -389,21 +410,28 @@ def curate_corpus(
         n_tokens_expr = token_count_t(
             bpe_encode_t(tokens("clean_text"), bpe_merges)
         )
+    lang_expr = (
+        lang_id_t("tok") if nl_funnel
+        else F.coalesce(F.col("__lang"), F.lit("und"))
+    )
     feat = toks.select(
         "doc_id",
-        lang_id_t("tok").alias("lang"),
+        lang_expr.alias("lang"),
         n_tokens_expr.alias("n_tokens"),
         quality_score_t("text", "tok").alias("quality"),
         "clean_text",
         doc_fingerprint("text").alias("fingerprint"),
-        *extra_cols,
+        *[c for c in extra_cols if c != "__lang"],
     )
-    kept = feat.filter(
+    funnel_pred = (
         (F.col("n_tokens") >= min_tokens)
         & (F.col("n_tokens") <= max_tokens)
-        & (F.col("lang") != "und")
-        & (F.col("quality") >= quality_min)
     )
+    if nl_funnel:
+        funnel_pred = funnel_pred \
+            & (F.col("lang") != "und") \
+            & (F.col("quality") >= quality_min)
+    kept = feat.filter(funnel_pred)
     kept = checkpoint("funnel", kept)
 
     # 3b: exact dedup — deterministic min-id survivor per fingerprint.
