@@ -281,6 +281,23 @@ def _cmd_curate(args: argparse.Namespace) -> int:
             )
         )
         return 2
+    if args.ppl_ref is None and (args.ppl_keep is not None
+                                 or args.ppl_approx is not None):
+        print(json.dumps({
+            "status": "error",
+            "error": "--ppl-keep/--ppl-approx are only consumed by "
+                     "the perplexity stage; pass --ppl-ref too",
+        }))
+        return 2
+    ppl_keep = tuple(
+        b.strip() for b in (args.ppl_keep or "head,middle").split(",")
+        if b.strip())
+    if args.ppl_ref is not None and not ppl_keep:
+        print(json.dumps({
+            "status": "error",
+            "error": "--ppl-keep must name at least one bucket",
+        }))
+        return 2
     if args.psl_file and args.domain_cap is None:
         print(json.dumps({
             "status": "error",
@@ -342,8 +359,9 @@ def _cmd_curate(args: argparse.Namespace) -> int:
         domain_cap=args.domain_cap,
         psl=psl,
         ppl_ref=ppl_ref,
-        ppl_keep=tuple(b for b in args.ppl_keep.split(",") if b),
+        ppl_keep=ppl_keep,
         ppl_approx=args.ppl_approx,
+        nl_funnel=not args.no_nl_funnel,
     )
     write_training_shards(out["documents"], args.output)
     report = {r["stage"]: r["n_docs"] for r in out["report"].collect()}
@@ -445,10 +463,16 @@ def _cmd_codedocs(args: argparse.Namespace) -> int:
         for r in docs.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    print(json.dumps({"status": "ok", "n_files": n_in,
-                      "n_documents": n_out,
-                      "n_dropped": n_in - n_out,
-                      "by_lang": by_lang, "output": args.output}))
+    summary = {"status": "ok", "n_documents": n_out,
+               "by_lang": by_lang, "output": args.output}
+    if args.archives:
+        # input rows are archives, outputs are member files — a
+        # files-minus-documents drop count would be negative nonsense
+        summary["n_archives"] = n_in
+    else:
+        summary["n_files"] = n_in
+        summary["n_dropped"] = n_in - n_out
+    print(json.dumps(summary))
     return 0
 
 
@@ -1062,13 +1086,20 @@ def build_parser() -> argparse.ArgumentParser:
         help="reference-corpus parquet for the CCNet perplexity "
         "stage (bigram LM trained on it; tail bucket drops)")
     cur.add_argument(
-        "--ppl-keep", default="head,middle",
-        help="perplexity buckets to keep, comma-joined (with "
-        "--ppl-ref)")
+        "--ppl-keep", default=None,
+        help="perplexity buckets to keep, comma-joined (default "
+        "head,middle; requires --ppl-ref)")
     cur.add_argument(
         "--ppl-approx", type=int, default=None,
         help="approx_percentile accuracy for the bucket thresholds "
-        "(default exact; set for very large corpora)")
+        "(default exact; set for very large corpora; requires "
+        "--ppl-ref)")
+    cur.add_argument(
+        "--no-nl-funnel", action="store_true",
+        help="skip the natural-language lang/quality gate (keep the "
+        "token bounds) and take lang from the input's lang column — "
+        "for code corpora minted by codedocs, which already applied "
+        "the structural funnel")
     cur.add_argument(
         "--neardup-threshold",
         type=float,

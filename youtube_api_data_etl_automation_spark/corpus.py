@@ -410,10 +410,14 @@ def curate_corpus(
         n_tokens_expr = token_count_t(
             bpe_encode_t(tokens("clean_text"), bpe_merges)
         )
-    lang_expr = (
-        lang_id_t("tok") if nl_funnel
-        else F.coalesce(F.col("__lang"), F.lit("und"))
-    )
+    if nl_funnel:
+        lang_expr = lang_id_t("tok")
+    elif carry_lang:
+        lang_expr = F.coalesce(F.col("__lang"), F.lit("und"))
+    else:
+        # input without a lang column: everything is 'und' (r14
+        # review fix — referencing the never-selected __lang crashed)
+        lang_expr = F.lit("und")
     feat = toks.select(
         "doc_id",
         lang_expr.alias("lang"),
@@ -454,21 +458,31 @@ def curate_corpus(
             train_bigram_lm,
         )
 
-        ref = ppl_ref.select(F.col(id_col).alias("doc_id"),
-                             F.col(text_col).alias("text"))
-        lm = train_bigram_lm(ref, k=0.5)
+        # one token projection for BOTH of train_bigram_lm's passes
+        # (tokens() is interpreted and not CSE'd — r14 review fix)
+        ref = ppl_ref.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("text"),
+        ).withColumn("tok", tokens("text"))
+        lm = train_bigram_lm(ref, k=0.5, tok_col="tok")
         sc = score_docs(
             survivors.select("doc_id",
                              F.col("clean_text").alias("text")),
             lm,
         ).select("doc_id", "avg_logp")
-        scored = survivors.join(sc, "doc_id", "left")
+        # persist: perplexity_buckets consumes this twice (threshold
+        # aggregate + bucket join) — without it the LM-scoring
+        # lineage executes twice (r14 review fix, the lang_quality
+        # convention); released after the audit materializes
+        scored = survivors.join(sc, "doc_id", "left").persist()
         survivors = perplexity_buckets(
             scored, group_col="lang", approx=ppl_approx,
         ).filter(
             F.col("ppl_bucket").isin(*ppl_keep, "none")
         ).drop("avg_logp", "ppl_bucket")
         survivors = checkpoint("ppl_bucket", survivors)
+        if audit:
+            scored.unpersist()
 
     # 3c: optional near-dup dedup (MinHash-LSH pairs → connected
     # components → min-id survivor) on the shipping text.
@@ -877,9 +891,11 @@ def repo_archive_to_code_documents(
     The-Stack structural funnel prunes the survivors (module:
     operators/code_quality.py; disable via ``apply_filter=False``).
 
-    ``doc_id`` is ``xxhash64(archive doc_id, stripped path)`` —
-    stable across re-ingestion AND unique across repos whose trees
-    share paths. ``source`` is ``repo:<archive id>/<path>`` and
+    ``doc_id`` is ``xxhash64(archive doc_id, stripped path,
+    member_idx)`` — stable across re-ingestion (member order is the
+    archive's own), unique across repos whose trees share paths, AND
+    unique when two members collapse to one stripped path (tar
+    append semantics, sibling top-level dirs). ``source`` is ``repo:<archive id>/<path>`` and
     ``lang`` the routed language, so per-language caps and
     leakage-safe grouped splits (group = the archive id prefix) work
     downstream. Two mapInPandas passes and otherwise pure Column
@@ -907,6 +923,7 @@ def repo_archive_to_code_documents(
         )  # members shallower than the strip depth drop (NULL path)
     cand = members.select(
         F.col("doc_id").alias("archive_id"),
+        F.col("member_idx"),
         path.alias("path"),
         "body",
     ).filter(
@@ -918,6 +935,7 @@ def repo_archive_to_code_documents(
         for pdf in it:
             yield pd.DataFrame({
                 "archive_id": pdf["archive_id"],
+                "member_idx": pdf["member_idx"],
                 "path": pdf["path"],
                 "text": [
                     (bytes(b).decode("utf-8", errors="replace")
@@ -927,13 +945,20 @@ def repo_archive_to_code_documents(
             })
 
     files = cand.mapInPandas(
-        decode, "archive_id bigint, path string, text string")
+        decode,
+        "archive_id bigint, member_idx int, path string, text string")
     if apply_filter:
         files = stack_filter(files).filter(
             F.col("cq_verdict") == "keep")
     return (
         files.select(
-            F.xxhash64(F.col("archive_id"), F.col("path"))
+            # member_idx joins the hash so two members that collapse
+            # to one stripped path (tar append semantics, sibling
+            # top-level dirs) keep DISTINCT ids (r14 review fix); the
+            # member order of a given archive is deterministic, so
+            # ids stay stable across re-ingestion
+            F.xxhash64(F.col("archive_id"), F.col("path"),
+                       F.col("member_idx"))
             .alias("doc_id"),
             F.col("text"),
             lang_from_path("path").alias("lang"),
