@@ -479,3 +479,60 @@ def test_docx_to_documents_composition(spark):
     assert d["n_chars"] == len(d["text"]) and d["lang"] is None
     again = docx_to_documents(df).collect()[0]
     assert again["doc_id"] == d["doc_id"]
+
+
+def test_bzip2_xz_archives(spark):
+    """late r14: the stdlib compressors beyond gzip — bare documents,
+    tarballs, concatenated streams, budgets, refusal routing."""
+    import bz2 as _bz2
+    import lzma as _lzma
+
+    from youtube_api_data_etl_automation_spark.operators import (
+        archives as A,
+    )
+
+    body = b"corpus text " * 40
+    tar = _tar((("x/a.txt", b"alpha"), ("x/b.txt", b"beta")))
+    bz_doc = _bz2.compress(body)
+    xz_doc = _lzma.compress(body, format=_lzma.FORMAT_XZ)
+    rows = {r["doc_id"]: r for r in A.archive_meta(_blob_df(spark, [
+        (1, bz_doc), (2, xz_doc)]), errors="quarantine").collect()}
+    assert rows[1]["format"] == "bzip2" and rows[1]["error"] is None
+    assert rows[1]["detail"] == "level=9"
+    assert rows[2]["format"] == "xz"
+    # members: tar.bz2 / tar.xz walk; bare docs emit one unnamed row
+    ms = {(r["doc_id"], r["name"]): r for r in A.archive_members(
+        _blob_df(spark, [
+            (3, _bz2.compress(tar)),
+            (4, _lzma.compress(tar, format=_lzma.FORMAT_XZ)),
+            (5, bz_doc),
+        ])).collect()}
+    assert bytes(ms[(3, "x/a.txt")]["body"]) == b"alpha"
+    assert bytes(ms[(4, "x/b.txt")]["body"]) == b"beta"
+    assert bytes(ms[(5, "")]["body"]) == body
+    # concatenated streams (pbzip2 layout) decode whole
+    assert A._bunzip_all(bz_doc + bz_doc, None) == body + body
+    assert A._unxz_all(xz_doc + xz_doc, None) == body + body
+    # budgets refuse BEFORE materializing
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="budget"):
+        A._bunzip_all(bz_doc, 16)
+    with _pytest.raises(NotImplementedError, match="budget"):
+        A._unxz_all(xz_doc, 16)
+    # truncation is malformed, not a crash
+    with _pytest.raises(ValueError, match="truncated"):
+        A._bunzip_all(bz_doc[:-4], None)
+    with _pytest.raises(ValueError, match="truncated"):
+        A._unxz_all(xz_doc[:-4], None)
+    # sniff routes both (engine side)
+    from youtube_api_data_etl_automation_spark.operators.mediameta \
+        import sniff_format
+
+    sn = {r["doc_id"]: (r["sniff_family"], r["sniff_format"])
+          for r in sniff_format(_blob_df(spark, [
+              (1, bz_doc), (2, xz_doc), (3, b"BZx not bzip"),
+          ])).collect()}
+    assert sn[1] == ("archive", "bzip2")
+    assert sn[2] == ("archive", "xz")
+    assert sn[3] == ("unknown", None)

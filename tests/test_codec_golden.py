@@ -57,8 +57,8 @@ def test_fixture_is_committed_and_covers_all_families():
     # MJPEG x2 + GIF + 2 refusals / Layer I x3 + Layer II x3 (r12)
     # + 2 refusals
     assert fams["video_frame"] == 5 and fams["audio_subband"] == 10
-    # gzip/zip/tar/WARC probes + refusal / plain + per-record-gz + cut
-    assert fams["archive"] == 5 and fams["warc_records"] == 3
+    # gzip/zip/tar/WARC probes + refusal + bz2/xz (late r14) / plain + per-record-gz + cut
+    assert fams["archive"] == 7 and fams["warc_records"] == 3
     # PDF text: escapes + flate 2-page + ToUnicode + ObjStm/LZW +
     # a85-chain/inline-image + 3 refusals; probe: 2-page/encrypted/cut
     assert fams["document"] == 8 and fams["document_meta"] == 4
@@ -219,4 +219,4 @@ def test_codec_stats_from_foreign_cwd():
         env={k: v for k, v in __import__("os").environ.items()
              if k != "PYTHONPATH"},
     )
-    assert "CODEC_ROWS=187" in out.stdout, out.stderr[-2000:]
+    assert "CODEC_ROWS=189" in out.stdout, out.stderr[-2000:]

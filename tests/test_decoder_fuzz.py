@@ -506,6 +506,12 @@ def test_fuzz_r14_document_extractors(rng):
          b'"text": "y"}]}]}'),
         (lambda b: markdown._extract_markdown(b, 1 << 20),
          b"# T\n\n[a](b) `c` **d**\n```\ncode\n```\n"),
+        (lambda b: archives._bunzip_all(b, 1 << 20),
+         __import__("bz2").compress(b"fuzz body " * 20)),
+        (lambda b: archives._unxz_all(b, 1 << 20),
+         __import__("lzma").compress(
+             b"fuzz body " * 20,
+             format=__import__("lzma").FORMAT_XZ)),
     ]
     for fn, valid in corpora:
         fn(valid)  # the valid payload must parse clean

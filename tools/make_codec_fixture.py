@@ -497,6 +497,14 @@ def build_payloads() -> list[tuple[int, str, str, bytes]]:
     warc_gz, _ = _warc(per_record_gzip=True)
     add(1004, "archive", "warc_plain_probe", warc_plain)
     add(1005, "archive", "unknown_refusal", b"RAR!unknown")
+    # late r14: the stdlib-decodable compressors beyond gzip
+    import bz2 as _bz2
+    import lzma as _lzma
+    add(1006, "archive", "bzip2_probe",
+        _bz2.compress(b"bzip2 body bytes here"))
+    add(1007, "archive", "xz_probe",
+        _lzma.compress(b"xz body bytes here",
+                       format=_lzma.FORMAT_XZ))
     add(1101, "warc_records", "warc_plain", warc_plain)
     add(1102, "warc_records", "warc_gzip_per_record", warc_gz)
     add(1103, "warc_records", "warc_truncated", warc_plain[:-60])

@@ -28,7 +28,8 @@ executor):
   stored/deflate entries via stdlib zipfile, per-member and total
   byte budgets.
 - ``archive_members`` (late r11): UNIFORM member extraction across
-  zip / tar / gzip / .tar.gz — one row per member, header-derived
+  zip / tar / gzip / .tar.gz — and, late r14, bzip2 and xz (both
+  stdlib) with their tarballs — one row per member, header-derived
   budget enforcement; ``members_as_payloads`` turns the rows into the
   standard ``(doc_id, payload, source)`` shape every decoder accepts,
   closing the crawl-dump loop (tarball → images/PDFs/audio → features).
@@ -111,6 +112,69 @@ def _gunzip_all(payload: bytes, budget: int | None) -> bytes:
         rest = d.unused_data
     if rest and not out:
         raise ValueError("malformed gzip stream: no gzip magic")
+    return bytes(out)
+
+
+def _bunzip_all(payload: bytes, budget: int | None) -> bytes:
+    """Decompress ALL concatenated bzip2 streams (pbzip2 and
+    block-parallel compressors emit them), budget-capped via the
+    decompressor's max_length so a bomb never materializes past the
+    budget (late r14 — bz2 is stdlib, same discipline as gzip)."""
+    import bz2
+
+    out = bytearray()
+    rest = payload
+    while rest[:3] == b"BZh":
+        d = bz2.BZ2Decompressor()
+        try:
+            if budget is not None:
+                chunk = d.decompress(rest, budget + 1 - len(out))
+            else:
+                chunk = d.decompress(rest)
+        except OSError as e:
+            raise ValueError(f"malformed bzip2 stream: {e}") from None
+        out += chunk
+        if budget is not None and len(out) > budget:
+            raise NotImplementedError(
+                f"bzip2 output exceeds the {budget}-byte budget; "
+                "raise the budget or split the archive upstream"
+            )
+        if not d.eof:
+            raise ValueError("malformed bzip2 stream: truncated")
+        rest = d.unused_data
+    if rest and not out:
+        raise ValueError("malformed bzip2 stream: no BZh magic")
+    return bytes(out)
+
+
+def _unxz_all(payload: bytes, budget: int | None) -> bytes:
+    """Decompress ALL concatenated xz streams, budget-capped (late
+    r14 — lzma is stdlib; FORMAT_XZ only, the raw-.lzma legacy format
+    has no reliable magic and keeps refusing)."""
+    import lzma
+
+    out = bytearray()
+    rest = payload
+    while rest[:6] == b"\xfd7zXZ\x00":
+        d = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
+        try:
+            if budget is not None:
+                chunk = d.decompress(rest, budget + 1 - len(out))
+            else:
+                chunk = d.decompress(rest)
+        except lzma.LZMAError as e:
+            raise ValueError(f"malformed xz stream: {e}") from None
+        out += chunk
+        if budget is not None and len(out) > budget:
+            raise NotImplementedError(
+                f"xz output exceeds the {budget}-byte budget; raise "
+                "the budget or split the archive upstream"
+            )
+        if not d.eof:
+            raise ValueError("malformed xz stream: truncated")
+        rest = d.unused_data
+    if rest and not out:
+        raise ValueError("malformed xz stream: no xz magic")
     return bytes(out)
 
 
@@ -295,6 +359,17 @@ def archive_meta(blobs: DataFrame, errors: str = "raise",
             if head[:5] == b"WARC/":
                 return _parse_warc_meta(payload, byte_budget)
             return _parse_gzip_header(payload)
+        if payload[:3] == b"BZh" and payload[3:4].isdigit():
+            # O(header): bzip2 carries no size or name in-band
+            return {"format": "bzip2", "n_members": None,
+                    "uncompressed_hint": None,
+                    "detail": f"level={chr(payload[3])}"}
+        if payload[:6] == b"\xfd7zXZ\x00":
+            # O(header): stream flags only; totals live in the index,
+            # which a probe does not decode
+            return {"format": "xz", "n_members": None,
+                    "uncompressed_hint": None,
+                    "detail": f"flags={payload[6:8].hex()}"}
         raise NotImplementedError(
             f"unknown archive container (magic {payload[:4]!r}); "
             "7z/rar/zstd need their libraries"
@@ -527,8 +602,9 @@ def _iter_archive_members(raw: bytes,
     """(name, body) for every member of one archive payload — format
     dispatched on magic: zip (stdlib zipfile, central-directory size
     probe BEFORE inflation), tar (stdlib tarfile over USTAR/GNU),
-    gzip (single member, or a tar walk when the inflated stream is
-    itself a tarball — the .tar.gz case). Non-archives refuse as
+    gzip/bzip2/xz (single member, or a tar walk when the inflated
+    stream is itself a tarball — .tar.gz/.tar.bz2/.tar.xz; bz2 and
+    lzma are stdlib, late r14). Non-archives refuse as
     'unsupported'; a cumulative size budget is enforced from the
     HEADERS, so a bomb costs O(headers), never O(inflated)."""
     import io
@@ -579,9 +655,19 @@ def _iter_archive_members(raw: bytes,
         return [(hdr.get("name") or "", data)]
     if len(raw) >= 512 and raw[257:262] == b"ustar":
         return walk_tar(raw)
+    if raw[:3] == b"BZh" and raw[3:4].isdigit():
+        data = _bunzip_all(raw, budget)
+        if len(data) >= 512 and data[257:262] == b"ustar":
+            return walk_tar(data)
+        return [("", data)]  # bare .bz2 document (no name in-band)
+    if raw[:6] == b"\xfd7zXZ\x00":
+        data = _unxz_all(raw, budget)
+        if len(data) >= 512 and data[257:262] == b"ustar":
+            return walk_tar(data)
+        return [("", data)]  # bare .xz document (no name in-band)
     raise NotImplementedError(
         f"unknown archive format (magic {raw[:4]!r}); zip/tar/gzip/"
-        "tar.gz unpack here"
+        "bzip2/xz (+ their tarballs) unpack here"
     )
 
 

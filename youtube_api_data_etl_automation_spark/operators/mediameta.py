@@ -1891,7 +1891,7 @@ def sniff_format(blobs: DataFrame,
     Families/formats covered: image (png/jpeg/gif/bmp/webp/tiff/jbig2/
     pnm),
     audio (wav/flac/mp3/ogg), video (mp4/mkv/avi), archive
-    (gzip/zip/tar/warc), document (pdf/rtf). ``zip`` is reported as
+    (gzip/zip/tar/warc/bzip2/xz), document (pdf/rtf). ``zip`` is reported as
     archive even when it is OOXML — distinguishing docx needs a
     member read, which is the downstream operator's job. Everything
     else is ``('unknown', NULL)``. NULL/empty payloads are
@@ -1941,6 +1941,12 @@ def sniff_format(blobs: DataFrame,
         .when(magic(0, b"\x1a\x45\xdf\xa3"), F.lit("mkv"))
         .when(riff & magic(8, b"AVI "), F.lit("avi"))
         .when(magic(0, b"\x1f\x8b"), F.lit("gzip"))
+        .when(
+            magic(0, b"BZh")
+            & (F.substring(p, 4, 1) >= F.lit(bytearray(b"1")))
+            & (F.substring(p, 4, 1) <= F.lit(bytearray(b"9"))),
+            F.lit("bzip2"))
+        .when(magic(0, b"\xfd7zXZ\x00"), F.lit("xz"))
         .when(magic(0, b"PK\x03\x04") | magic(0, b"PK\x05\x06"),
               F.lit("zip"))
         .when(magic(0, b"WARC/"), F.lit("warc"))
@@ -1952,7 +1958,7 @@ def sniff_format(blobs: DataFrame,
                   "pnm"),
         "audio": ("wav", "flac", "mp3", "ogg"),
         "video": ("mp4", "mkv", "avi"),
-        "archive": ("gzip", "zip", "tar", "warc"),
+        "archive": ("gzip", "zip", "tar", "warc", "bzip2", "xz"),
         "document": ("pdf", "rtf"),
     }
     out = blobs.withColumn("sniff_format", fmt)

@@ -66,6 +66,10 @@ _SNIFF_CASE = """
         WHEN substr(pre, 1, 8) = '52494646'
              AND substr(pre, 17, 8) = '41564920' THEN 'avi'
         WHEN substr(pre, 1, 4) = '1f8b' THEN 'gzip'
+        WHEN substr(pre, 1, 6) = '425a68' AND len(pre) >= 8
+             AND substr(pre, 7, 2) >= '31'
+             AND substr(pre, 7, 2) <= '39' THEN 'bzip2'
+        WHEN substr(pre, 1, 12) = 'fd377a585a00' THEN 'xz'
         WHEN substr(pre, 1, 8) IN ('504b0304', '504b0506') THEN 'zip'
         WHEN substr(pre, 1, 10) = '574152432f' THEN 'warc'
         WHEN substr(pre, 1, 10) = '255044462d' THEN 'pdf'
@@ -84,7 +88,8 @@ _SNIFF_ORACLE = None if _SNIFF_SRC is None else f"""
                           'bmp', 'pnm') THEN 'image'
              WHEN fmt IN ('wav', 'flac', 'mp3', 'ogg') THEN 'audio'
              WHEN fmt IN ('mp4', 'mkv', 'avi') THEN 'video'
-             WHEN fmt IN ('gzip', 'zip', 'tar', 'warc') THEN 'archive'
+             WHEN fmt IN ('gzip', 'zip', 'tar', 'warc', 'bzip2',
+                          'xz') THEN 'archive'
              WHEN fmt IN ('pdf', 'rtf') THEN 'document'
              ELSE 'unknown'
            END AS fp
