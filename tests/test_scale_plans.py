@@ -235,13 +235,20 @@ def test_stratified_sample_single_exchange(spark):
     exchanges are audit-side, not the operator's). The diversity
     draw-order windows over the ≤n picked rows are the section's
     documented bounded-row SinglePartition ops, not data-plane
-    shuffles."""
+    shuffles.
+
+    r14 optimization round: SEVEN, down from nine — assign_clusters'
+    cluster assignment became a map-side literal argmax, so the
+    diversity section no longer re-shuffles every (vec, cluster) row
+    through the former broadcast-join + groupBy(id).max_by pass (two
+    exchanges gone: the argmax groupBy and the downstream re-key it
+    forced)."""
     from youtube_api_data_etl_automation_spark.plans.curation import (
         sampling_audits,
     )
 
     plan = _plan(sampling_audits(spark, SF_DIR))
-    assert plan.count("Exchange hashpartitioning") == 9
+    assert plan.count("Exchange hashpartitioning") == 7
 
 
 def test_runtime_bloom_filter_reaches_fact_scan(spark):
@@ -639,3 +646,24 @@ def test_schedule_fetches_single_host_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange rangepartitioning" not in plan  # no global sort
     assert "Window" in plan
+
+
+def test_cluster_assignment_is_map_side_literal(spark):
+    """r14 optimization round: assign_clusters folds the centroid
+    relation into k literal score expressions (O(k) control-plane
+    collect), so the assignment plan has NO join and NO exchange of any
+    kind — the former broadcast-join + groupBy(id).max_by shape
+    re-shuffled every corpus row WITH its vector payload for an
+    aggregate that had nothing left to merge. At 100 TB that exchange
+    was the operator's entire cost; kmeans_lloyd and train_pq
+    iterations share the same literal-argmax shape (their only
+    remaining exchange is the k·dim partial-sum aggregate)."""
+    from youtube_api_data_etl_automation_spark.operators.similarity import (
+        assign_clusters,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") <= 17))
+    plan = _plan(assign_clusters(emb.select("vec_id", "embedding"), cents))
+    assert "Join" not in plan
+    assert "Exchange" not in plan

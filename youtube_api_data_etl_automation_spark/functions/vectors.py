@@ -19,6 +19,24 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def lit_double_array(values) -> Column:
+    """Literal ``array<double>`` in ONE py4j round-trip.
+
+    ``F.array(*[F.lit(v) for v in values])`` costs one driver↔JVM
+    round-trip per element; a d=64 centroid literal built per
+    (subspace, centroid) pair turns codebook plans into tens of
+    thousands of round-trips — pure plan-construction latency
+    (optimization guide §7.3: avoid generating gigantic expression
+    trees element-wise). ``F.lit(ndarray)`` ships the whole array in
+    one call. Bit-exact: Python float → np.float64 → JVM Double
+    round-trips identically, and both forms fold to the same
+    ``Literal(array<double>)`` — downstream zip_with/aggregate
+    arithmetic is unchanged (pinned by the pq/ann oracle rows)."""
+    import numpy as np
+
+    return F.lit(np.asarray(list(values), dtype=np.float64))
+
+
 def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
 

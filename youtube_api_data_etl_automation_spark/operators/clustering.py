@@ -20,30 +20,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round6
-from ..functions.vectors import cosine_similarity
 
 
-def _assign(corpus: DataFrame, cent_df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """Nearest-centroid assignment by cosine (deterministic tie-break).
-    max_by aggregate, not a window: the k scored rows per vector collapse
-    map-side, so the exchange carries |corpus| rows, unsorted — see
-    similarity.assign_clusters for the full argument."""
-    scored = corpus.join(F.broadcast(cent_df)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        "cluster_id",
-        round6(cosine_similarity(vec_col, "cv")).alias("_csim"),
-    )
-    best = scored.groupBy(id_col).agg(
-        F.max_by(
-            F.struct(F.col(vec_col), F.col("cluster_id")),
-            F.struct(F.col("_csim"), (-F.col("cluster_id")).alias("_tie")),
-        ).alias("_best")
-    )
-    return best.select(
-        id_col,
-        F.col(f"_best.{vec_col}").alias(vec_col),
-        F.col("_best.cluster_id").alias("cluster_id"),
+def _assign_expr(cents: dict[int, list[float]], vec_col: str,
+                 id_dt: str = "int") -> F.Column:
+    """``struct(cluster_id int, s double)`` of the nearest centroid —
+    the map-side literal form of the former broadcast-join +
+    ``groupBy(id).max_by`` assignment (r14): the centroids are already
+    driver-side Python floats each round, so they fold into k literal
+    score expressions and the corpus is never joined OR re-shuffled for
+    assignment. Score arithmetic (round6 cosine) and the
+    (cosine, −cluster_id) tie-break are expression-identical — the
+    kmeans_embeddings oracle unrolls all three rounds and value-checks
+    the result."""
+    from .similarity import _nearest_centroid_struct
+
+    cids = sorted(cents)
+    best = _nearest_centroid_struct(vec_col, [cents[c] for c in cids])
+    cid_arr = F.array(*[F.lit(int(c)) for c in cids]).cast(f"array<{id_dt}>")
+    return F.struct(
+        F.element_at(cid_arr, (F.lit(1) - best["nj"]).cast("int"))
+        .alias("cluster_id"),
+        best["s"].alias("s"),
     )
 
 
@@ -63,59 +61,84 @@ def kmeans_lloyd(spark: SparkSession, corpus: DataFrame, init_centroids: DataFra
     centroid instead of silently vanishing (k used to shrink with no
     signal); it simply reports n_vecs=0-absent in the stats, like any
     empty group."""
-    cent_df = init_centroids.select("cluster_id", F.col("cv").cast("array<double>"))
-    dim = len(cent_df.first()["cv"])
+    cent_src = init_centroids.select(
+        "cluster_id", F.col("cv").cast("array<double>"))
+    id_dt = cent_src.schema["cluster_id"].dataType.simpleString()
     prev = {
         int(r["cluster_id"]): [float(x) for x in r["cv"]]
-        for r in cent_df.collect()
+        for r in cent_src.collect()
     }
-    for _ in range(n_iter):
-        assigned = _assign(corpus, cent_df, id_col, vec_col)
-        # Recompute: element-wise decimal mean per cluster.
-        comp = assigned.select(
-            "cluster_id", F.posexplode(F.col(vec_col).cast("array<double>"))
-        )
-        means = (
-            comp.groupBy("cluster_id", "pos")
-            .agg(
-                # Exact decimal SUM (order-independent), cast to double
-                # BEFORE the divide: one double division is reproducible
-                # across engines, while decimal-division precision/scale
-                # rules are engine-specific (Spark and DuckDB disagree).
-                (
-                    F.sum(F.col("col").cast("decimal(28,12)")).cast("double")
-                    / F.count(F.lit(1))
+    dim = len(next(iter(prev.values()))) if prev else 0
+    # r14: assignment is the map-side literal argmax (_assign_expr) — no
+    # broadcast join, no per-round corpus exchange. The only shuffle per
+    # round is the (cluster, component) partial-sum aggregate, and the
+    # projected vector column is persisted across the n_iter+1 passes
+    # (iterative reuse — the standard k-means caching trade; released
+    # before returning).
+    src = corpus.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    if n_iter > 0:
+        src = src.persist()
+    try:
+        for _ in range(n_iter):
+            # assignment and posexplode in SEPARATE selects: a generator
+            # in the same projection makes the analyzer re-derive the
+            # other expressions and struct-field aliases inside lambdas
+            # are lost (FIELD_NOT_FOUND on the argmax struct)
+            comp = src.select(
+                _assign_expr(prev, "_v", id_dt)["cluster_id"]
+                .alias("cluster_id"),
+                F.col("_v"),
+            ).select("cluster_id", F.posexplode(F.col("_v")))
+            means = (
+                comp.groupBy("cluster_id", "pos")
+                .agg(
+                    # Exact decimal SUM (order-independent), cast to double
+                    # BEFORE the divide: one double division is
+                    # reproducible across engines, while decimal-division
+                    # precision/scale rules are engine-specific (Spark and
+                    # DuckDB disagree).
+                    (
+                        F.sum(F.col("col").cast("decimal(28,12)"))
+                        .cast("double")
+                        / F.count(F.lit(1))
+                    )
+                    .alias("m")
                 )
-                .alias("m")
+                .groupBy("cluster_id")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "m"))).alias("pm")
+                )
+                .select(
+                    "cluster_id",
+                    F.transform(F.col("pm"), lambda s: s["m"]).alias("cv"),
+                )
             )
-            .groupBy("cluster_id")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
-            )
-            .select(
-                "cluster_id",
-                F.transform(F.col("pm"), lambda s: s["m"]).alias("cv"),
-            )
-        )
-        # Centroids re-enter as literal rows: constant plan depth per round.
-        rows = means.collect()
-        if not rows:
-            break
-        new = {int(r["cluster_id"]): [float(x) for x in r["cv"]] for r in rows}
-        assert all(len(cv) == dim for cv in new.values())
-        # Empty clusters keep their previous centroid (winning no vectors
-        # must not silently shrink k).
-        prev = {cid: new.get(cid, cv) for cid, cv in prev.items()}
-        cent_df = spark.createDataFrame(
-            sorted(prev.items()), "cluster_id int, cv array<double>"
-        )
-    final = _assign(corpus, cent_df, id_col, vec_col)
+            # Centroids return to the driver as plain floats: constant plan
+            # depth per round, and the next round's assignment is again a
+            # pure literal expression.
+            rows = means.collect()
+            if not rows:
+                break
+            new = {
+                int(r["cluster_id"]): [float(x) for x in r["cv"]]
+                for r in rows
+            }
+            assert all(len(cv) == dim for cv in new.values())
+            # Empty clusters keep their previous centroid (winning no
+            # vectors must not silently shrink k).
+            prev = {cid: new.get(cid, cv) for cid, cv in prev.items()}
+    finally:
+        if n_iter > 0:
+            src.unpersist()
+    # Final stats in ONE map-side pass: the winning score IS the round6
+    # cosine to the assigned centroid, so the former re-join + re-score
+    # (one broadcast join + one full-corpus re-scan of the scoring
+    # expression) is gone.
+    final = corpus.select(_assign_expr(prev, vec_col, id_dt).alias("_a"))
     stats = (
-        final.join(F.broadcast(cent_df), "cluster_id")
-        .select(
-            "cluster_id",
-            round6(cosine_similarity(vec_col, "cv")).alias("c"),
-        )
+        final.select(F.col("_a.cluster_id").alias("cluster_id"),
+                     F.col("_a.s").alias("c"))
         .groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
@@ -125,7 +148,12 @@ def kmeans_lloyd(spark: SparkSession, corpus: DataFrame, init_centroids: DataFra
             ).alias("avg_cos_to_centroid"),
         )
     )
-    return (stats, cent_df) if return_centroids else stats
+    if return_centroids:
+        cent_df = spark.createDataFrame(
+            sorted(prev.items()), f"cluster_id {id_dt}, cv array<double>"
+        )
+        return stats, cent_df
+    return stats
 
 
 def cluster_occupancy(corpus: DataFrame, centroids: DataFrame,
@@ -141,23 +169,26 @@ def cluster_occupancy(corpus: DataFrame, centroids: DataFrame,
     :func:`embedding_drift`, useful alone as a corpus-composition readout
     (which semantic regions a crawl actually filled).
 
-    Unlike :func:`_assign` (whose callers need the vectors back), the
-    max_by here carries ONLY the winning cluster_id, so the post-scoring
-    exchange holds (id, cluster) partials — the embedding column dies at
-    the map side [pinned in tests/test_profile.py]."""
-    scored = corpus.select(id_col, vec_col).join(F.broadcast(centroids)).select(
-        F.col(id_col),
-        F.col("cluster_id"),
-        round6(cosine_similarity(vec_col, "cv")).alias("_csim"),
-    )
-    best = scored.groupBy(id_col).agg(
-        F.max_by(
-            F.col("cluster_id"),
-            F.struct(F.col("_csim"), (-F.col("cluster_id")).alias("_tie")),
-        ).alias("cluster_id")
-    )
-    return best.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    r14: the assignment is the map-side literal argmax of
+    ``similarity.assign_clusters`` (the centroids fold into k literal
+    score expressions via an O(k) collect), so the ONLY exchange left
+    is the ≤k-per-partition count partials — the former per-row
+    ``groupBy(id).max_by`` exchange carried every (id, cluster) pair
+    [pinned in tests/test_profile.py]."""
+    from .similarity import _collect_centroids, _nearest_centroid_struct
+
+    cids, cvs, id_dt = _collect_centroids(centroids, "cluster_id", "cv")
+    if not cids:
+        return corpus.filter(F.lit(False)).select(
+            F.lit(None).cast(id_dt).alias("cluster_id"),
+            F.lit(0).cast("long").alias("n"))
+    cid_arr = F.array(*[F.lit(c) for c in cids]).cast(f"array<{id_dt}>")
+    best = _nearest_centroid_struct(vec_col, cvs)
+    cluster = F.element_at(cid_arr, (F.lit(1) - best["nj"]).cast("int"))
+    return (
+        corpus.select(cluster.alias("cluster_id"))
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
 
 

@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round6
+from ..functions.vectors import lit_double_array
 from .similarity import _rank_topk, _rename_query
 
 Codebooks = list[list[list[float]]]  # [subspace][centroid][component]
@@ -63,9 +64,11 @@ def _subvec(vec_col: str | F.Column, s: int, dsub: int) -> F.Column:
 
 def _dot_lit(xs: F.Column, cv: list[float]) -> F.Column:
     """Left-fold dot product of a column subvector against a literal
-    centroid — the same op sequence as DuckDB's list_dot_product."""
-    cvl = F.array(*[F.lit(float(v)) for v in cv])
-    prods = F.zip_with(xs, cvl, lambda a, b: a * b)
+    centroid — the same op sequence as DuckDB's list_dot_product.
+    The centroid enters as ONE array literal (r14: element-wise
+    F.lit cost ~m·k·d driver round-trips per plan — see
+    functions/vectors.lit_double_array)."""
+    prods = F.zip_with(xs, lit_double_array(cv), lambda a, b: a * b)
     return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
 
@@ -73,9 +76,9 @@ def _dot_cc_lit(cv: list[float]) -> F.Column:
     """Engine-side ||c||² of a literal centroid. Computed in the plan (not
     driver-side Python) so the oracle's list_dot_product(cv, cv) is
     mirrored op-for-op — no Python-float-vs-engine question to audit."""
-    cvl = F.array(*[F.lit(float(v)) for v in cv])
     return F.aggregate(
-        F.transform(cvl, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        F.transform(lit_double_array(cv), lambda x: x * x),
+        F.lit(0.0), lambda acc, v: acc + v,
     )
 
 
@@ -138,7 +141,7 @@ def pq_reconstruct(codes_col: str | F.Column, codebooks: Codebooks) -> F.Column:
     codes = F.col(codes_col) if isinstance(codes_col, str) else codes_col
     parts = []
     for s, cb in enumerate(codebooks):
-        lut = F.array(*[F.array(*[F.lit(float(v)) for v in cv]) for cv in cb])
+        lut = F.array(*[lit_double_array(cv) for cv in cb])
         parts.append(F.element_at(lut, F.element_at(codes, s + 1) + 1))
     return F.concat(*parts)
 
@@ -230,96 +233,101 @@ def train_pq(spark: SparkSession, corpus: DataFrame, m: int, k: int,
     their previous centroid, as in clustering.kmeans_lloyd. Returns plain
     Python codebooks, ready for pq_encode/pq_topk's literal plans.
     """
-    dim = len(corpus.select(vec_col).first()[0])
-    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
-    dsub = dim // m
     if init_codebooks is None:
+        # the seed collect doubles as the dim probe (r14: the former
+        # separate corpus.first() job is gone; with explicit init no
+        # probe job runs at all — dim comes from the codebooks)
         seed = [
             [float(x) for x in r[0]]
             for r in corpus.select(vec_col).orderBy(F.col(id_col)).limit(k).collect()
         ]
         assert len(seed) == k, f"corpus has < k={k} vectors"
+        dim = len(seed[0])
+        assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+        dsub = dim // m
         cbs: Codebooks = [
             [v[s * dsub:(s + 1) * dsub] for v in seed] for s in range(m)
         ]
     else:
         cbs = [[list(map(float, cv)) for cv in cb] for cb in init_codebooks]
+        dsub = len(cbs[0][0])
+        dim = dsub * m
 
-    sub = corpus.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            F.array(
+    # r14: assignment is pq_encode's map-side literal argmax — the
+    # codebooks are already driver-side floats each round, so the former
+    # per-round createDataFrame + broadcast join + full groupBy(_id,
+    # subspace) re-shuffle of the exploded corpus is gone; the only
+    # exchange per round is the (subspace, cluster, component)
+    # partial-sum aggregate (≤ m·k·dsub rows per partition, map-side
+    # combined). Scoring arithmetic (_assign_score) and the lowest-j
+    # tie-break (_argmax_code) are expression-identical to the former
+    # join+max_by — the ann_topk pq_adc oracle pins them. The projected
+    # double vector is persisted across the n_iter passes (iterative
+    # reuse; released before returning).
+    src = corpus.select(
+        F.transform(
+            F.col(vec_col) if isinstance(vec_col, str) else vec_col,
+            lambda x: x.cast("double"),
+        ).alias("_v")
+    )
+    if n_iter > 0:
+        src = src.persist()
+    try:
+        for _ in range(n_iter):
+            codes = F.array(
                 *[
-                    F.struct(
-                        F.lit(s).alias("subspace"),
-                        _subvec(vec_col, s, dsub).alias("xs"),
+                    _argmax_code(
+                        [
+                            _assign_score(_subvec("_v", s, dsub), cbs[s][j])
+                            for j in range(k)
+                        ]
                     )
                     for s in range(m)
                 ]
             )
-        ).alias("_sv"),
-    ).select("_id", "_sv.subspace", "_sv.xs")
-
-    for _ in range(n_iter):
-        cent_rows = [
-            (s, j, cbs[s][j]) for s in range(m) for j in range(k)
-        ]
-        cent_df = spark.createDataFrame(
-            cent_rows, "subspace int, cluster_id int, cv array<double>"
-        )
-        scored = sub.join(F.broadcast(cent_df), "subspace").select(
-            "_id",
-            "subspace",
-            "xs",
-            "cluster_id",
-            round6(
-                F.aggregate(
-                    F.zip_with(F.col("xs"), F.col("cv"), lambda a, b: a * b),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                - F.lit(0.5)
-                * F.aggregate(
-                    F.transform(F.col("cv"), lambda x: x * x),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-            ).alias("_score"),
-        )
-        assigned = scored.groupBy("_id", "subspace").agg(
-            F.max_by(
-                F.struct(F.col("xs"), F.col("cluster_id")),
-                F.struct(F.col("_score"), (-F.col("cluster_id")).alias("_tie")),
-            ).alias("_best")
-        ).select(
-            "subspace",
-            F.col("_best.cluster_id").alias("cluster_id"),
-            F.col("_best.xs").alias("xs"),
-        )
-        means = (
-            assigned.select("subspace", "cluster_id", F.posexplode("xs"))
-            .groupBy("subspace", "cluster_id", "pos")
-            .agg(
-                (
-                    F.sum(F.col("col").cast("decimal(28,12)")).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("mval")
-            )
-            .groupBy("subspace", "cluster_id")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "mval"))).alias("pm"))
-            .select(
+            # codes and posexplode in separate selects (the generator
+            # re-analysis quirk clustering.kmeans_lloyd documents)
+            comp = src.select(codes.alias("_codes"), F.col("_v")) \
+                .select("_codes", F.posexplode("_v"))
+            comp = comp.select(
+                F.floor(F.col("pos") / F.lit(dsub)).cast("int")
+                .alias("subspace"),
+                (F.col("pos") % F.lit(dsub)).alias("pos_in"),
+                "col",
+                "_codes",
+            ).select(
                 "subspace",
-                "cluster_id",
-                F.transform(F.col("pm"), lambda t: t["mval"]).alias("cv"),
+                F.element_at(F.col("_codes"), F.col("subspace") + 1)
+                .alias("cluster_id"),
+                F.col("pos_in").alias("pos"),
+                "col",
             )
-        )
-        new = {
-            (int(r["subspace"]), int(r["cluster_id"])): [float(x) for x in r["cv"]]
-            for r in means.collect()
-        }
-        cbs = [
-            [new.get((s, j), cbs[s][j]) for j in range(k)] for s in range(m)
-        ]
+            means = (
+                comp.groupBy("subspace", "cluster_id", "pos")
+                .agg(
+                    (
+                        F.sum(F.col("col").cast("decimal(28,12)")).cast("double")
+                        / F.count(F.lit(1))
+                    ).alias("mval")
+                )
+                .groupBy("subspace", "cluster_id")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "mval"))).alias("pm"))
+                .select(
+                    "subspace",
+                    "cluster_id",
+                    F.transform(F.col("pm"), lambda t: t["mval"]).alias("cv"),
+                )
+            )
+            new = {
+                (int(r["subspace"]), int(r["cluster_id"])): [float(x) for x in r["cv"]]
+                for r in means.collect()
+            }
+            cbs = [
+                [new.get((s, j), cbs[s][j]) for j in range(k)] for s in range(m)
+            ]
+    finally:
+        if n_iter > 0:
+            src.unpersist()
     return cbs
 
 

@@ -98,35 +98,87 @@ def sign_lsh_topk(corpus: DataFrame, queries: DataFrame, top_k: int = 3, bits: i
     return _rank_topk(scored, top_k)
 
 
+def _nearest_centroid_struct(vec_col: str | F.Column,
+                             cvs: list[list[float]]) -> F.Column:
+    """``struct(s: double, nj: int)`` of the nearest centroid among the
+    literal vectors ``cvs`` (in list order): ``s`` = round6 cosine to the
+    winner, ``nj`` = −(winning list index). The argmax is ``array_max``
+    over k score structs — struct ordering puts a NULL score below every
+    real one and breaks score ties toward the larger ``nj``, i.e. the
+    LOWER index — exactly the (cosine, −cluster_id) ``max_by`` ordering
+    the former broadcast-join assignment used, including the
+    all-scores-NULL edge (zero-norm vector → lowest index wins).
+
+    The row's own ‖v‖ is bound ONCE via a 1-element transform (the CSE
+    rule functions/vectors.py documents: higher-order lambdas are
+    interpreted with no CSE, so the O(d) norm fold would otherwise
+    re-run per centroid)."""
+    from ..functions.vectors import dot_product, l2_norm, lit_double_array
+
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+
+    def pick(nv: F.Column) -> F.Column:
+        return F.array_max(F.array(*[
+            F.struct(
+                round6(
+                    dot_product(vec, lit_double_array(cv))
+                    / F.nullif(nv * l2_norm(lit_double_array(cv)),
+                               F.lit(0.0))
+                ).alias("s"),
+                F.lit(-j).alias("nj"),
+            )
+            for j, cv in enumerate(cvs)
+        ]))
+
+    return F.element_at(F.transform(F.array(l2_norm(vec)), pick), 1)
+
+
+def _collect_centroids(centroids: DataFrame, id_col: str,
+                       vec_col: str) -> tuple[list, list[list[float]], str]:
+    """O(k) control-plane read of a centroid relation (the standing
+    k-means-centroid sanction): ids sorted ascending, their vectors
+    (exact: float32 widens to the same double the JVM cast produces),
+    and the id column's Spark type name for literal casts."""
+    rows = centroids.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    ).collect()
+    rows.sort(key=lambda r: r["cid"])
+    id_dt = centroids.select(F.col(id_col)).schema[0].dataType.simpleString()
+    return ([r["cid"] for r in rows],
+            [[float(x) for x in r["cv"]] for r in rows], id_dt)
+
+
 def assign_clusters(corpus: DataFrame, centroids: DataFrame,
                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF cluster assignment: nearest centroid by cosine (deterministic
-    tie-break on centroid id). Centroids broadcast — the corpus never
-    shuffles for assignment; at 100 TB this is a map-side pass.
+    tie-break on centroid id). r14: the centroid relation is an O(k)
+    control-plane collect folded into k LITERAL score expressions
+    (:func:`_nearest_centroid_struct`) — the assignment is a pure
+    map-side projection with NO join and NO exchange [pinned in
+    tests/test_scale_plans.py]. The former shape broadcast-joined the
+    centroids and re-aggregated with ``groupBy(id).max_by``: the k
+    scored copies collapsed map-side, but the final aggregate still
+    re-shuffled every corpus row WITH its payload for a merge that had
+    nothing left to combine — at 100 TB that exchange was the entire
+    cost of the operator. Scoring arithmetic and the
+    (cosine, −cluster_id) tie-break are unchanged expression-for-
+    expression (the ivf/semantic/kmeans oracle rows pin them).
 
-    The per-vector argmax is a ``max_by`` AGGREGATE, not a row_number
-    window: the k scored rows per vector collapse map-side (partial
-    aggregation) so the exchange carries |corpus| rows instead of
-    k·|corpus| — and no sort. The (cosine, -cluster_id) ordering struct
-    reproduces the window's DESC-cosine/ASC-id tie-break exactly.
-
-    Output: corpus columns + ``cluster_id``."""
-    cent = F.broadcast(
-        centroids.select(F.col(id_col).alias("cluster_id"), F.col(vec_col).alias("cv"))
-    )
+    Corpus ids are treated as unique (every caller's contract; the old
+    groupBy additionally deduplicated them). Output: corpus columns +
+    ``cluster_id``."""
+    cids, cvs, id_dt = _collect_centroids(centroids, id_col, vec_col)
     payload = [c for c in corpus.columns if c != id_col]
-    scored = corpus.join(cent).select(
-        *corpus.columns,
-        F.col("cluster_id"),
-        round6(cosine_similarity(vec_col, "cv")).alias("_csim"),
-    )
-    best = scored.groupBy(id_col).agg(
-        F.max_by(
-            F.struct(*payload, "cluster_id"),
-            F.struct(F.col("_csim"), (-F.col("cluster_id")).alias("_tie")),
-        ).alias("_best")
-    )
-    return best.select(id_col, *[F.col(f"_best.{c}").alias(c) for c in payload + ["cluster_id"]])
+    if not cids:
+        # empty centroid relation: the former inner join yielded an
+        # empty result — keep that contract
+        return corpus.filter(F.lit(False)).select(
+            id_col, *payload,
+            F.lit(None).cast(id_dt).alias("cluster_id"))
+    cid_arr = F.array(*[F.lit(c) for c in cids]).cast(f"array<{id_dt}>")
+    best = _nearest_centroid_struct(vec_col, cvs)
+    cluster = F.element_at(cid_arr, (F.lit(1) - best["nj"]).cast("int"))
+    return corpus.select(id_col, *payload, cluster.alias("cluster_id"))
 
 
 def probe_cells(queries: DataFrame, centroids: DataFrame, nprobe: int = 1,
