@@ -64,10 +64,13 @@ def main() -> None:
         spark.catalog.clearCache()
         spark.sparkContext.setJobDescription(f"profile:{name}:construct")
         c0 = _calls["n"]
-        t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        t_construct = time.perf_counter() - t0
-        py4j_construct = _calls["n"] - c0
+        t_construct = float("inf")
+        for _ in range(3):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df = QUERIES[name](spark, sf_dir)
+            t_construct = min(t_construct, time.perf_counter() - t0)
+        py4j_construct = (_calls["n"] - c0) // 3
         best = float("inf")
         spark.sparkContext.setJobDescription(f"profile:{name}:force")
         for _ in range(3):
@@ -75,7 +78,7 @@ def main() -> None:
             force(df)
             best = min(best, time.perf_counter() - t0)
         out[name] = {
-            "construct_sec": round(t_construct, 3),
+            "construct_min3_sec": round(t_construct, 3),
             "py4j_calls_construct": py4j_construct,
             "force_min3_sec": round(best, 3),
             "total_sec": round(t_construct + best, 3),

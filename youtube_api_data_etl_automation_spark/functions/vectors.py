@@ -11,6 +11,8 @@ Used by operators/similarity.py for brute-force and LSH-bucketed ANN.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -23,18 +25,59 @@ def lit_double_array(values) -> Column:
     """Literal ``array<double>`` in ONE py4j round-trip.
 
     ``F.array(*[F.lit(v) for v in values])`` costs one driver↔JVM
-    round-trip per element; a d=64 centroid literal built per
+    round-trip per element — a d=64 centroid literal built per
     (subspace, centroid) pair turns codebook plans into tens of
-    thousands of round-trips — pure plan-construction latency
-    (optimization guide §7.3: avoid generating gigantic expression
-    trees element-wise). ``F.lit(ndarray)`` ships the whole array in
-    one call. Bit-exact: Python float → np.float64 → JVM Double
-    round-trips identically, and both forms fold to the same
-    ``Literal(array<double>)`` — downstream zip_with/aggregate
-    arithmetic is unchanged (pinned by the pq/ann oracle rows)."""
-    import numpy as np
+    thousands of round-trips, pure plan-construction latency (guide
+    §7.3: avoid generating gigantic expression trees element-wise).
+    ``F.lit(ndarray)`` is no better: py4j's array converter still
+    round-trips per element (measured: −19%, not −95%). One
+    ``F.expr("array(…D, …)")`` string IS one round-trip; the JVM
+    parses the doubles with correctly-rounded Double.parseDouble, so
+    Python ``repr`` shortest-decimal literals round-trip bit-exactly
+    (verified against element-wise F.lit on subnormals, −0.0 and
+    DBL_MAX; the pq/ann oracle rows pin the downstream arithmetic).
+    Non-finite values fall back to the element-wise form (no SQL
+    literal spells NaN/Inf)."""
+    vals = [float(v) for v in values]
+    if all(math.isfinite(v) for v in vals):
+        return F.expr(sql_double_array(vals))
+    return F.array(*[F.lit(v) for v in vals])
 
-    return F.lit(np.asarray(list(values), dtype=np.float64))
+
+def sql_cosine6(a: str, b: str) -> str:
+    """Spark-SQL text of ``round6(cosine_similarity(a, b))`` over two
+    named array columns — the expression-for-expression twin of the
+    Column form (same transform-cast, same left folds, same nullif and
+    round6 grid), built as ONE parseable string because each Column
+    higher-order function costs ~13 driver round-trips of lambda
+    construction (guide §7.3). The ann/ivf/semantic oracle rows pin the
+    values."""
+
+    def q(n: str) -> str:
+        return "`" + n.replace("`", "``") + "`"
+
+    def vd(n: str) -> str:
+        return f"transform({q(n)}, x -> CAST(x AS DOUBLE))"
+
+    dot = (f"aggregate(zip_with({vd(a)}, {vd(b)}, (x, y) -> x * y), "
+           "0.0D, (acc, v) -> acc + v)")
+    na = f"sqrt(aggregate({vd(a)}, 0.0D, (acc, v) -> acc + v * v))"
+    nb = f"sqrt(aggregate({vd(b)}, 0.0D, (acc, v) -> acc + v * v))"
+    cos = f"({dot}) / nullif({na} * {nb}, 0.0D)"
+    return f"floor(({cos}) * 1000000.0D + 0.5D) / 1000000.0D"
+
+
+def sql_double_array(values) -> str:
+    """``array(…D, …)`` SQL text for a finite double list — the string
+    form of :func:`lit_double_array`, for callers assembling a larger
+    single ``F.expr`` (each higher-order Column function costs ~13
+    driver round-trips to build its lambdas; one parsed SQL string
+    costs one). Raises on non-finite values (no SQL literal spells
+    NaN/Inf — use the Column form's fallback)."""
+    vals = [float(v) for v in values]
+    if not all(math.isfinite(v) for v in vals):
+        raise ValueError("sql_double_array: non-finite value")
+    return "array(" + ",".join(f"{v!r}D" for v in vals) + ")"
 
 
 def _as_double(arr: Column) -> Column:

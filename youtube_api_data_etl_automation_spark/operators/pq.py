@@ -40,14 +40,11 @@ index on both engines.
 
 from __future__ import annotations
 
-import operator
-from functools import reduce
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round6
-from ..functions.vectors import lit_double_array
+from ..functions.vectors import lit_double_array, sql_double_array
 from .similarity import _rank_topk, _rename_query
 
 Codebooks = list[list[list[float]]]  # [subspace][centroid][component]
@@ -60,6 +57,65 @@ def _subvec(vec_col: str | F.Column, s: int, dsub: int) -> F.Column:
     return F.transform(
         F.slice(col, s * dsub + 1, dsub), lambda x: x.cast("double")
     )
+
+
+# --- SQL-text twins of the literal-codebook expression builders (r14) ----
+# Building the m·k scoring tree through Column higher-order functions costs
+# ~13 driver↔JVM round-trips PER zip_with/aggregate/transform (lambda
+# construction) — ~20k round-trips and seconds of plan-construction latency
+# per pq_encode/_adc_cosine call (guide §7.3). One F.expr string is ONE
+# round-trip and parses to the same expression nodes; values are pinned by
+# the ann_topk pq_adc oracle and the numpy differentials in tests/test_pq.
+
+
+def _qn(name: str) -> str:
+    """Backtick-quote a column name for SQL text."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _round6_sql(x: str) -> str:
+    """Spark-SQL text of functions.rounding.round6 (D-suffixed literals —
+    plain decimals would parse as DECIMAL and change the expression)."""
+    return f"floor(({x}) * 1000000.0D + 0.5D) / 1000000.0D"
+
+
+def _subvec_sql(vec_sql: str, s: int, dsub: int) -> str:
+    return (f"transform(slice({vec_sql}, {s * dsub + 1}, {dsub}), "
+            "x -> CAST(x AS DOUBLE))")
+
+
+def _dot_sql(xs_sql: str, cv: list[float]) -> str:
+    return (f"aggregate(zip_with({xs_sql}, {sql_double_array(cv)}, "
+            "(a, b) -> a * b), 0.0D, (acc, v) -> acc + v)")
+
+
+def _cc_sql(cv: list[float]) -> str:
+    return (f"aggregate(transform({sql_double_array(cv)}, x -> x * x), "
+            "0.0D, (acc, v) -> acc + v)")
+
+
+def _assign_score_sql(xs_sql: str, cv: list[float]) -> str:
+    return _round6_sql(f"{_dot_sql(xs_sql, cv)} - 0.5D * {_cc_sql(cv)}")
+
+
+def _argmax_sql(scores: list[str]) -> str:
+    inner = "array(" + ",".join(scores) + ")"
+    return ("CAST(element_at(transform(array(" + inner + "), "
+            "sc -> array_position(sc, array_max(sc))), 1) - 1 AS INT)")
+
+
+def _codes_sql(vec_name: str, codebooks: Codebooks) -> str:
+    """The whole pq_encode ``codes`` array as one SQL string."""
+    m, k = len(codebooks), len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    v = _qn(vec_name)
+    return "array(" + ",".join(
+        _argmax_sql([
+            _assign_score_sql(_subvec_sql(v, s, dsub), codebooks[s][j])
+            for j in range(k)
+        ])
+        for s in range(m)
+    ) + ")"
 
 
 def _dot_lit(xs: F.Column, cv: list[float]) -> F.Column:
@@ -124,14 +180,18 @@ def pq_encode(corpus: DataFrame, codebooks: Codebooks,
     k = len(codebooks[0])
     dsub = len(codebooks[0][0])
     assert all(len(cb) == k and all(len(cv) == dsub for cv in cb) for cb in codebooks)
-    codes = F.array(
-        *[
-            _argmax_code(
-                [_assign_score(_subvec(vec_col, s, dsub), codebooks[s][j]) for j in range(k)]
-            )
-            for s in range(m)
-        ]
-    )
+    if isinstance(vec_col, str):
+        # one parsed SQL string instead of ~m·k·4 lambda-built HOFs
+        codes = F.expr(_codes_sql(vec_col, codebooks))
+    else:
+        codes = F.array(
+            *[
+                _argmax_code(
+                    [_assign_score(_subvec(vec_col, s, dsub), codebooks[s][j]) for j in range(k)]
+                )
+                for s in range(m)
+            ]
+        )
     return corpus.select(F.col(id_col), codes.alias("codes"), *keep)
 
 
@@ -189,29 +249,28 @@ def _adc_cosine(codebooks: Codebooks) -> F.Column:
     adc_terms, n2_terms = [], []
     for s in range(m):
         cb = codebooks[s]
-        code_s = F.element_at(F.col("codes"), s + 1)
-        qs = _subvec("query_vec", s, dsub)
+        code_s = f"element_at(codes, {s + 1})"
+        qs = _subvec_sql("query_vec", s, dsub)
         # dot(q_s, ĉ_s): fold q_s against each centroid, pick by code —
         # the k dots are cheap (dsub each) and the element_at keeps the
-        # expression branch-free.
-        dots = F.array(*[_dot_lit(qs, cv) for cv in cb])
-        ccs = F.array(*[_dot_cc_lit(cv) for cv in cb])
+        # expression branch-free. All SQL text (r14): one parsed string
+        # replaces ~m·k·2 lambda-built HOF round-trips.
+        dots = "array(" + ",".join(_dot_sql(qs, cv) for cv in cb) + ")"
+        ccs = "array(" + ",".join(_cc_sql(cv) for cv in cb) + ")"
         adc_terms.append(
-            round6(F.element_at(dots, code_s + 1)).cast("decimal(18,6)")
+            "CAST(" + _round6_sql(f"element_at({dots}, {code_s} + 1)")
+            + " AS DECIMAL(18,6))"
         )
         n2_terms.append(
-            round6(F.element_at(ccs, code_s + 1)).cast("decimal(18,6)")
+            "CAST(" + _round6_sql(f"element_at({ccs}, {code_s} + 1)")
+            + " AS DECIMAL(18,6))"
         )
-    adc = reduce(operator.add, adc_terms).cast("double")
-    n2 = reduce(operator.add, n2_terms).cast("double")
-    qq = F.aggregate(
-        F.transform(
-            F.col("query_vec"), lambda x: x.cast("double")
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v * v,
-    )
-    return round6(adc / F.nullif(F.sqrt(qq) * F.sqrt(n2), F.lit(0.0)))
+    adc = "CAST(" + " + ".join(adc_terms) + " AS DOUBLE)"
+    n2 = "CAST(" + " + ".join(n2_terms) + " AS DOUBLE)"
+    qq = ("aggregate(transform(query_vec, x -> CAST(x AS DOUBLE)), "
+          "0.0D, (acc, v) -> acc + v * v)")
+    return F.expr(_round6_sql(
+        f"{adc} / nullif(sqrt({qq}) * sqrt({n2}), 0.0D)"))
 
 
 def train_pq(spark: SparkSession, corpus: DataFrame, m: int, k: int,
@@ -274,17 +333,7 @@ def train_pq(spark: SparkSession, corpus: DataFrame, m: int, k: int,
         src = src.persist()
     try:
         for _ in range(n_iter):
-            codes = F.array(
-                *[
-                    _argmax_code(
-                        [
-                            _assign_score(_subvec("_v", s, dsub), cbs[s][j])
-                            for j in range(k)
-                        ]
-                    )
-                    for s in range(m)
-                ]
-            )
+            codes = F.expr(_codes_sql("_v", cbs))
             # codes and posexplode in separate selects (the generator
             # re-analysis quirk clustering.kmeans_lloyd documents)
             comp = src.select(codes.alias("_codes"), F.col("_v")) \

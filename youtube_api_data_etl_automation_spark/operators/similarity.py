@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.rounding import round6
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import cosine_similarity, sql_cosine6
 
 
 def _rename_query(queries: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -59,7 +59,7 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, top_k: int = 3,
         .select(
             "query_id",
             "neighbor_id",
-            round6(cosine_similarity("query_vec", "vec")).alias("cosine"),
+            F.expr(sql_cosine6("query_vec", "vec")).alias("cosine"),
         )
     )
     return _rank_topk(scored, top_k)
@@ -93,7 +93,7 @@ def sign_lsh_topk(corpus: DataFrame, queries: DataFrame, top_k: int = 3, bits: i
         sign_bucket(vec_col, bits).alias("bucket"),
     )
     scored = c.join(q, "bucket").filter(F.col("neighbor_id") != F.col("query_id")).select(
-        "query_id", "neighbor_id", round6(cosine_similarity("query_vec", "vec")).alias("cosine")
+        "query_id", "neighbor_id", F.expr(sql_cosine6("query_vec", "vec")).alias("cosine")
     )
     return _rank_topk(scored, top_k)
 
@@ -112,10 +112,41 @@ def _nearest_centroid_struct(vec_col: str | F.Column,
     The row's own ‖v‖ is bound ONCE via a 1-element transform (the CSE
     rule functions/vectors.py documents: higher-order lambdas are
     interpreted with no CSE, so the O(d) norm fold would otherwise
-    re-run per centroid)."""
-    from ..functions.vectors import dot_product, l2_norm, lit_double_array
+    re-run per centroid).
 
-    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    Built as ONE parsed SQL string when the vector is named by a
+    column name (every current caller): each Column higher-order
+    function costs ~13 driver round-trips to build its lambdas, and
+    the k-score tree holds ~3k of them — seconds of pure
+    plan-construction latency per assignment (guide §7.3). The
+    Column fallback below is the same expression tree, kept for
+    Column-typed callers."""
+    from ..functions.vectors import (
+        dot_product,
+        l2_norm,
+        lit_double_array,
+        sql_double_array,
+    )
+
+    if isinstance(vec_col, str):
+        v = "`" + vec_col.replace("`", "``") + "`"
+        vd = f"transform({v}, x -> CAST(x AS DOUBLE))"
+        norm = f"sqrt(aggregate({vd}, 0.0D, (acc, v) -> acc + v * v))"
+        structs = []
+        for j, cv in enumerate(cvs):
+            arr = sql_double_array(cv)
+            dot = (f"aggregate(zip_with({vd}, {arr}, (a, b) -> a * b), "
+                   "0.0D, (acc, v) -> acc + v)")
+            cnorm = (f"sqrt(aggregate({arr}, 0.0D, "
+                     "(acc, v) -> acc + v * v))")
+            score = (f"floor((({dot}) / nullif(nv * {cnorm}, 0.0D))"
+                     " * 1000000.0D + 0.5D) / 1000000.0D")
+            structs.append(f"named_struct('s', {score}, 'nj', {-j})")
+        return F.expr(
+            f"element_at(transform(array({norm}), "
+            f"nv -> array_max(array({','.join(structs)}))), 1)")
+
+    vec = vec_col
 
     def pick(nv: F.Column) -> F.Column:
         return F.array_max(F.array(*[
@@ -199,7 +230,7 @@ def probe_cells(queries: DataFrame, centroids: DataFrame, nprobe: int = 1,
         "query_id",
         "query_vec",
         "cluster_id",
-        round6(cosine_similarity("query_vec", "cv")).alias("_csim"),
+        F.expr(sql_cosine6("query_vec", "cv")).alias("_csim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("_csim"), F.asc("cluster_id")
@@ -241,7 +272,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
         .select(
             "query_id",
             "neighbor_id",
-            round6(cosine_similarity("query_vec", "vec")).alias("cosine"),
+            F.expr(sql_cosine6("query_vec", "vec")).alias("cosine"),
         )
     )
     return _rank_topk(scored, top_k)
@@ -251,7 +282,8 @@ def ivf_recall_report(corpus: DataFrame, queries: DataFrame,
                       centroids: DataFrame, *, top_k: int = 3,
                       nprobes: tuple[int, ...] = (1, 2, 4, 8),
                       id_col: str = "vec_id",
-                      vec_col: str = "embedding") -> DataFrame:
+                      vec_col: str = "embedding",
+                      assigned: DataFrame | None = None) -> DataFrame:
     """Recall@k of the IVF index against exact brute force, per nprobe —
     the tuning artifact an ANN operator owes its user: pick the smallest
     nprobe whose recall clears the application bar, since candidate cost
@@ -275,11 +307,15 @@ def ivf_recall_report(corpus: DataFrame, queries: DataFrame,
     ).select("query_id", "neighbor_id").localCheckpoint()
     # Hoist the cluster assignment too: it is the other corpus-scale term,
     # and each probed setting shares the identical assignment (only the
-    # probe list varies with nprobe) — without this the broadcast-argmax
-    # pass replayed len(nprobes) times (r6 review finding).
-    assigned = assign_clusters(
-        corpus.select(id_col, vec_col), centroids, id_col, vec_col
-    ).localCheckpoint()
+    # probe list varies with nprobe) — without this the map-side argmax
+    # pass replayed len(nprobes) times (r6 review finding). A caller that
+    # already built the (lazy) assignment passes it in (r14: ivf_ann_topk
+    # shares one assignment relation across its three sections).
+    if assigned is None:
+        assigned = assign_clusters(
+            corpus.select(id_col, vec_col), centroids, id_col, vec_col
+        )
+    assigned = assigned.localCheckpoint()
     report = None
     for np_ in nprobes:
         got = ivf_topk(
@@ -395,7 +431,7 @@ def semantic_neardup(corpus: DataFrame, centroids: DataFrame, *,
             "cluster_id",
             "id_a",
             "id_b",
-            round6(cosine_similarity("vec_a", "vec_b")).alias("cosine"),
+            F.expr(sql_cosine6("vec_a", "vec_b")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -472,7 +508,7 @@ def ivf_topk_from_index(spark, path, queries: DataFrame,
         .select(
             "query_id",
             "neighbor_id",
-            round6(cosine_similarity("query_vec", "vec")).alias("cosine"),
+            F.expr(sql_cosine6("query_vec", "vec")).alias("cosine"),
         )
     )
     return _rank_topk(scored, top_k)

@@ -550,12 +550,18 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     centroids = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") <= 17))
     queries = emb.filter(F.col("vec_id") < 5)
-    topk = ivf_topk(emb, queries, centroids, top_k=3).select(
+    # ONE assignment relation for all three sections (r14): the map-side
+    # literal argmax collects the centroids once; topk, the cell counts
+    # and the recall section's checkpoint all reuse the same lazy plan.
+    assigned = assign_clusters(
+        emb.select("vec_id", "embedding"), centroids)
+    topk = ivf_topk(emb, queries, centroids, top_k=3,
+                    assigned=assigned).select(
         F.lit("topk").alias("section"), "query_id", "neighbor_id",
         "rank", "cosine",
     )
     counts = (
-        assign_clusters(emb.select("vec_id", "embedding"), centroids)
+        assigned
         .groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("n_vecs"))
     )
@@ -574,7 +580,8 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_recall_report
 
     recall = ivf_recall_report(
-        emb, queries, centroids, top_k=3, nprobes=_RECALL_NPROBES
+        emb, queries, centroids, top_k=3, nprobes=_RECALL_NPROBES,
+        assigned=assigned,
     ).select(
         F.lit("recall").alias("section"),
         F.col("nprobe").cast("long").alias("query_id"),
