@@ -92,7 +92,7 @@ def main() -> None:
         json.dump({"sf_dir": sf_dir, "rows": out}, f, indent=1,
                   sort_keys=True)
         f.write("\n")
-    tot_c = sum(r["construct_sec"] for r in out.values())
+    tot_c = sum(r["construct_min3_sec"] for r in out.values())
     tot_f = sum(r["force_min3_sec"] for r in out.values())
     print(json.dumps({"construct_total": round(tot_c, 2),
                       "force_total": round(tot_f, 2)}))

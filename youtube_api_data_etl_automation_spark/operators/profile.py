@@ -134,8 +134,8 @@ def _stats_aggs(
             mn = F.min(col).cast("string")
             mx = F.max(col).cast("string")
         else:  # arrays/structs/maps/binary: no portable rendering
-            mn = F.lit(None).cast("string")
-            mx = F.lit(None).cast("string")
+            mn = _null_of("string")
+            mx = _null_of("string")
         aggs.append(mn.alias(f"__p{i}__min"))
         aggs.append(mx.alias(f"__p{i}__max"))
         if _is_numeric(dt):
@@ -146,7 +146,7 @@ def _stats_aggs(
                 ),
             )
         else:
-            avg = F.lit(None).cast("double")
+            avg = _null_of("double")
         aggs.append(avg.alias(f"__p{i}__avg"))
         if isinstance(dt, T.StringType):
             alen = F.when(
@@ -157,7 +157,7 @@ def _stats_aggs(
                 ),
             )
         else:
-            alen = F.lit(None).cast("double")
+            alen = _null_of("double")
         aggs.append(alen.alias(f"__p{i}__len"))
     return aggs
 
@@ -343,10 +343,32 @@ _WIDE_FIELDS: tuple[tuple[str, str], ...] = (
 )
 
 
+_TYPED_NULLS: dict[tuple[int, str], Column] = {}
+
+
+def _null_of(t: str) -> Column:
+    """``lit(NULL) CAST t`` with the Column cached per SparkContext —
+    the profiler's wide unpivots NULL-pad ~20 fields per section struct
+    and build dozens of structs per plan, so the two py4j round-trips
+    per pad (lit + cast) were most of the profile family's
+    plan-construction latency (guide §7.3). A Column is an immutable
+    expression wrapper, safe to reuse across plans; the alias is still
+    applied per use (fresh Alias per field). Keyed by the live
+    SparkContext id so a restarted JVM cannot serve stale references."""
+    from pyspark import SparkContext
+
+    key = (id(SparkContext._active_spark_context), t)
+    col = _TYPED_NULLS.get(key)
+    if col is None:
+        col = F.lit(None).cast(t)
+        _TYPED_NULLS[key] = col
+    return col
+
+
 def _wide_struct(given: dict[str, Column]) -> Column:
     return F.struct(
         *[
-            (given[n] if n in given else F.lit(None).cast(t)).alias(n)
+            (given[n] if n in given else _null_of(t)).alias(n)
             for n, t in _WIDE_FIELDS
         ]
     )
@@ -764,15 +786,9 @@ def profile_state(
             aggs.append(F.min(col).cast("decimal(38,6)").alias(f"__s{i}__mnn"))
             aggs.append(F.max(col).cast("decimal(38,6)").alias(f"__s{i}__mxn"))
         else:
-            aggs.append(
-                F.lit(None).cast("decimal(38,6)").alias(f"__s{i}__sum")
-            )
-            aggs.append(
-                F.lit(None).cast("decimal(38,6)").alias(f"__s{i}__mnn")
-            )
-            aggs.append(
-                F.lit(None).cast("decimal(38,6)").alias(f"__s{i}__mxn")
-            )
+            aggs.append(_null_of("decimal(38,6)").alias(f"__s{i}__sum"))
+            aggs.append(_null_of("decimal(38,6)").alias(f"__s{i}__mnn"))
+            aggs.append(_null_of("decimal(38,6)").alias(f"__s{i}__mxn"))
         if isinstance(dt, T.StringType):
             slen = (
                 F.sum(F.length(col).cast("decimal(24,6)"))
@@ -780,7 +796,7 @@ def profile_state(
                 .alias(f"__s{i}__len")
             )
         else:
-            slen = F.lit(None).cast("decimal(38,6)").alias(f"__s{i}__len")
+            slen = _null_of("decimal(38,6)").alias(f"__s{i}__len")
         aggs.append(slen)
         if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
             mns = F.date_format(F.min(col), timestamp_format)
@@ -789,8 +805,8 @@ def profile_state(
             mns = F.min(col).cast("string")
             mxs = F.max(col).cast("string")
         else:
-            mns = F.lit(None).cast("string")
-            mxs = F.lit(None).cast("string")
+            mns = _null_of("string")
+            mxs = _null_of("string")
         aggs.append(mns.alias(f"__s{i}__mns"))
         aggs.append(mxs.alias(f"__s{i}__mxs"))
         if track_distinct:
@@ -798,7 +814,7 @@ def profile_state(
                 F.when(col.isNotNull(), F.xxhash64(col)), F.lit(int(lgk))
             )
         else:
-            sk = F.lit(None).cast("binary")
+            sk = _null_of("binary")
         aggs.append(sk.alias(f"__s{i}__hll"))
     if batch_expr is not None:
         row = df.groupBy(batch_expr.cast("string").alias("__batch")).agg(*aggs)

@@ -131,6 +131,65 @@ def stateful_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def _drain_partitions(spark, sf_dir: str) -> int:
+    """Scale-adaptive state-store partition count for a one-shot
+    availableNow drain (r14, guide §2: derive partitioning from input
+    size, never a constant tuned for one box). A streaming aggregation
+    pins its state partitioning to ``spark.sql.shuffle.partitions`` at
+    the first batch, and EVERY partition costs a state-store commit
+    (delta file + CRC + rename in the checkpoint) per batch plus a
+    memory-sink collect batch — at fixture scale that fixed cost dwarfs
+    the data. Measured on the sf0.1 drain (min-of-2 per point):
+    partitions 1/4/8/16/32 → 9.3/4.0/3.7/8.5/11.8 s for the Python
+    stateful drain and 4.8/2.9/4.3/8.8/12.1 s for the JVM
+    session_window drain — commit overhead grows with the partition
+    count while parallelism saturates quickly, and ONE partition
+    serializes the CPU-bound Python fold. ~256 KiB of compressed input
+    per partition sits at the measured knee; the session setting stays
+    the CAP so a real cluster's configuration governs at volume (a
+    100 TB drain hits the cap immediately)."""
+    import os
+
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    except OSError:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(1, min(target, size // (256 << 10) + 1))
+
+
+def _drain(spark, sf_dir, checkpoint_dir, table_name, sessions_builder,
+           output_mode: str, block: bool):
+    """Shared availableNow drain: the adaptive partition count is set
+    while the query PLANS its first batch and restored after the drain
+    (blocking callers only — a non-blocking caller keeps the session
+    setting untouched, since restoring under a still-planning query
+    would race)."""
+    from .ingest import read_events_stream
+
+    stream = read_events_stream(spark, sf_dir)
+    sessions = sessions_builder(stream)
+    conf_key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(conf_key)
+    if block:
+        spark.conf.set(conf_key, str(_drain_partitions(spark, sf_dir)))
+    try:
+        q = (
+            sessions.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode(output_mode)
+            .format("memory")
+            .queryName(table_name)
+            .start()
+        )
+        if not block:
+            return q
+        q.awaitTermination()
+    finally:
+        if block:
+            spark.conf.set(conf_key, prev)
+
+
 def run_stateful_sessions(spark, sf_dir: str, checkpoint_dir: str,
                           table_name: str, gap_minutes: int = 30,
                           block: bool = True):
@@ -141,21 +200,11 @@ def run_stateful_sessions(spark, sf_dir: str, checkpoint_dir: str,
     it — Spark runs concurrent streaming queries natively, so independent
     drains (e.g. this and the session_window twin) should overlap their
     fixed stream-init/state-store setup rather than paying it serially."""
-    from .ingest import read_events_stream
-
-    stream = read_events_stream(spark, sf_dir)
-    sessions = stateful_sessionize(stream, gap_minutes)
-    q = (
-        sessions.writeStream.trigger(availableNow=True)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
-        .format("memory")
-        .queryName(table_name)
-        .start()
+    return _drain(
+        spark, sf_dir, checkpoint_dir, table_name,
+        lambda stream: stateful_sessionize(stream, gap_minutes),
+        "update", block,
     )
-    if not block:
-        return q
-    q.awaitTermination()
 
 
 def session_window_stats(events: DataFrame, gap_minutes: int = 30,
@@ -219,18 +268,8 @@ def run_session_window_sessions(spark, sf_dir: str, checkpoint_dir: str,
     one-shot availableNow drain wants (same trade as the tumbling demo
     runner in ingest.py; an always-on deployment would use append + a real
     sink and accept watermark-delayed finalization)."""
-    from .ingest import read_events_stream
-
-    stream = read_events_stream(spark, sf_dir)
-    sessions = session_window_stats(stream, gap_minutes)
-    q = (
-        sessions.writeStream.trigger(availableNow=True)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("complete")
-        .format("memory")
-        .queryName(table_name)
-        .start()
+    return _drain(
+        spark, sf_dir, checkpoint_dir, table_name,
+        lambda stream: session_window_stats(stream, gap_minutes),
+        "complete", block,
     )
-    if not block:
-        return q
-    q.awaitTermination()
