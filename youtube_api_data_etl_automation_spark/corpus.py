@@ -333,7 +333,7 @@ def curate_corpus(
             from .functions.urls import registrable_domain
 
             base = base.withColumn(
-                "__domain", registrable_domain(F.col("__url")))
+                "__domain", registrable_domain("__url"))
         extra_cols = ["__domain"]
     if carry_lang:
         extra_cols = extra_cols + ["__lang"]

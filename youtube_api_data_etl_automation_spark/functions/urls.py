@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .colcache import name_memo
+
 # scheme://[userinfo@]host[:port]/...  — host stops at : / ? #
 _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(?:[^/@?#]*@)?([^/:?#]+)"
 _SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://"
@@ -43,11 +45,13 @@ TWO_LABEL_SUFFIXES = (
 )
 
 
+@name_memo
 def url_scheme(url: Column | str) -> Column:
     """Lower-cased scheme, empty string for schemeless input."""
     return F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
 
 
+@name_memo
 def url_host(url: Column | str) -> Column:
     """Lower-cased hostname: userinfo and port stripped, one trailing
     dot removed (``example.com.`` is the same authority). Empty string
@@ -56,12 +60,14 @@ def url_host(url: Column | str) -> Column:
     return F.regexp_replace(host, r"\.$", "")
 
 
+@name_memo
 def url_path(url: Column | str) -> Column:
     """The path component (query/fragment excluded); empty for bare
     authority URLs."""
     return F.regexp_extract(url, _PATH_RE, 1)
 
 
+@name_memo
 def url_tld(url: Column | str) -> Column:
     """Last host label (``uk``, ``com``); empty when there is no dot
     (bare hostnames, IPv4 literals return their last octet — filter
@@ -72,6 +78,7 @@ def url_tld(url: Column | str) -> Column:
         .otherwise(F.lit(""))
 
 
+@name_memo
 def registrable_domain(url: Column | str) -> Column:
     """The owner-registerable domain: last two host labels, or three
     when the last two form a known two-label public suffix
@@ -85,8 +92,9 @@ def registrable_domain(url: Column | str) -> Column:
     last3 = F.concat_ws(".", F.element_at(labels, -3),
                         F.element_at(labels, -2),
                         F.element_at(labels, -1))
-    is_ccsld = F.array_contains(
-        F.array(*[F.lit(s) for s in TWO_LABEL_SUFFIXES]), last2)
+    # one array literal (F.lit on the tuple) instead of 46 element
+    # round-trips — r14 construct-latency trim, same literal tree
+    is_ccsld = F.array_contains(F.lit(list(TWO_LABEL_SUFFIXES)), last2)
     return (
         F.when(n <= 1, host)
         .when((n >= 3) & is_ccsld, last3)
@@ -110,6 +118,7 @@ _AUTHORITY_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)"
 _PORT_DEFAULTS = (("http", "80"), ("https", "443"))
 
 
+@name_memo
 def url_normalize(url: Column | str) -> Column:
     """Canonical URL for URL-keyed dedup: lower-cased scheme and host
     (path case preserved — it is significant), userinfo kept out of the
@@ -141,11 +150,14 @@ def url_normalize(url: Column | str) -> Column:
         keep_port = keep_port & ~((scheme == sch) & (port == dflt))
     params = F.filter(
         F.split(query, "&"),
-        lambda p: (p != "") & ~F.exists(
-            F.array(*[F.lit(t) for t in TRACKING_PARAMS]),
-            lambda t: F.split(p, "=")[0] == t,
+        # array_contains on one array literal replaces the former
+        # F.exists equality scan (r14 construct-latency trim —
+        # identical semantics: the probe value is never NULL, it comes
+        # from split); the prefix set keeps exists+startswith
+        lambda p: (p != "") & ~F.array_contains(
+            F.lit(list(TRACKING_PARAMS)), F.split(p, "=")[0]
         ) & ~F.exists(
-            F.array(*[F.lit(t) for t in TRACKING_PARAM_PREFIXES]),
+            F.lit(list(TRACKING_PARAM_PREFIXES)),
             lambda t: F.split(p, "=")[0].startswith(t),
         ),
     )
@@ -169,6 +181,7 @@ def url_normalize(url: Column | str) -> Column:
 _MAX_SUFFIX_LABELS = 8
 
 
+@name_memo
 def host_suffixes(url: Column | str) -> Column:
     """All label-aligned suffixes of the URL's host, shortest first
     (``a.b.example.com`` → [com, example.com, b.example.com,

@@ -48,6 +48,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from ..functions.colcache import name_memo
+
 VIDEO_META_SCHEMA = (
     "doc_id bigint, brand string, duration_sec double, n_tracks int, "
     "n_video_tracks int, n_audio_tracks int, n_frames bigint, "
@@ -1904,6 +1906,18 @@ def sniff_format(blobs: DataFrame,
     Those formats route by extension/Content-Type, which crawl
     pipelines carry anyway (see corpus.office_to_documents kinds and
     code_quality.lang_from_path)."""
+    fmt, family = _sniff_frags(payload_col)
+    out = blobs.withColumn("sniff_format", fmt)
+    return out.withColumn("sniff_family", family)
+
+
+@name_memo
+def _sniff_frags(payload_col: str):
+    """(format, family) dispatch Columns of :func:`sniff_format`,
+    memoized per payload column name (r14 construct-latency trim —
+    the ~30-branch magic CASE was ~3k py4j round-trips per build;
+    see functions/colcache.py). Expression-identical to the former
+    inline build; the codec_sniff oracle section pins the routing."""
     from pyspark.sql import Column, functions as F
 
     p = F.col(payload_col)
@@ -1961,11 +1975,10 @@ def sniff_format(blobs: DataFrame,
         "archive": ("gzip", "zip", "tar", "warc", "bzip2", "xz"),
         "document": ("pdf", "rtf"),
     }
-    out = blobs.withColumn("sniff_format", fmt)
     fam = F.lit("unknown")
     family = None
     for name, members in family_of.items():
         cond = F.col("sniff_format").isin(*members)
         family = F.when(cond, name) if family is None \
             else family.when(cond, name)
-    return out.withColumn("sniff_family", family.otherwise(fam))
+    return fmt, family.otherwise(fam)

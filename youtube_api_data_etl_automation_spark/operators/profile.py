@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from ..functions.colcache import memo_call
 from ..functions.rounding import round6
 
 _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
@@ -113,6 +114,25 @@ def _stats_aggs(
     5×N sort is gone at any scale. Approx mode keeps the HLL sketches in
     this same aggregate: no Expand exists there, so the single-scan fused
     form is strictly better."""
+    # memoized on the scalar signature (r14 construct-latency trim —
+    # functions/colcache.py): the profile family builds this ~7-agg-per-
+    # column block for every profile/drift construct; a fresh list is
+    # returned because fused_profile appends to it
+    sig = (tuple(names),
+           tuple(fields[c].simpleString() for c in names),
+           exact_distinct, timestamp_format)
+    return list(memo_call("profile._stats_aggs", sig,
+                          lambda: _stats_aggs_build(
+                              fields, names, exact_distinct,
+                              timestamp_format)))
+
+
+def _stats_aggs_build(
+    fields: dict[str, T.DataType],
+    names: Sequence[str],
+    exact_distinct: bool,
+    timestamp_format: str,
+) -> tuple[Column, ...]:
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n_rows")]
     for i, c in enumerate(names):
         dt = fields[c]
@@ -159,7 +179,7 @@ def _stats_aggs(
         else:
             alen = _null_of("double")
         aggs.append(alen.alias(f"__p{i}__len"))
-    return aggs
+    return tuple(aggs)
 
 
 def _merge_nd(
@@ -188,15 +208,18 @@ def _merge_nd(
     must live on this side for the same reason (e.g. ``fused_profile``'s
     ``unique`` expectation, whose violation count is
     ``count - count_distinct``)."""
-    nd_row = df.agg(
-        *[
+    nd_aggs = memo_call(
+        "profile._merge_nd.nd", tuple(names),
+        lambda: tuple(
             F.count_distinct(_ref(c)).cast("long").alias(f"__p{i}__nd")
             for i, c in enumerate(names)
-        ],
-        *extra,
-    )
+        ))
+    nd_row = df.agg(*nd_aggs, *extra)
     both = row.unionByName(nd_row, allowMissingColumns=True)
-    return both.agg(*[F.max(c).alias(c) for c in both.columns])
+    fold = memo_call(
+        "profile._merge_nd.fold", tuple(both.columns),
+        lambda: tuple(F.max(c).alias(c) for c in both.columns))
+    return both.agg(*fold)
 
 
 def _stat_struct_fields(i: int, c: str, dt: T.DataType) -> dict[str, Column]:
@@ -241,16 +264,19 @@ def column_stats(
     row = df.agg(*_stats_aggs(fields, names, exact_distinct, timestamp_format))
     if exact_distinct:
         row = _merge_nd(df, row, names)
-    structs = [
-        F.struct(
-            *[
+    sig = (tuple(names),
+           tuple(fields[c].simpleString() for c in names))
+    unpivot = memo_call(
+        "profile.column_stats.unpivot", sig,
+        lambda: F.inline(F.array(*[
+            F.struct(*[
                 col.alias(name)
-                for name, col in _stat_struct_fields(i, c, fields[c]).items()
-            ]
-        )
-        for i, c in enumerate(names)
-    ]
-    return row.select(F.inline(F.array(*structs)))
+                for name, col in
+                _stat_struct_fields(i, c, fields[c]).items()
+            ])
+            for i, c in enumerate(names)
+        ])))
+    return row.select(unpivot)
 
 
 def numeric_histogram(
@@ -275,22 +301,30 @@ def numeric_histogram(
     if not hi > lo:
         raise ValueError(f"need hi > lo, got [{lo}, {hi})")
     width = (float(hi) - float(lo)) / bins
-    x = _ref(col).cast("double")
-    b = F.floor((x - F.lit(float(lo))) / F.lit(width)).cast("int")
-    b = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1))
-    return (
-        df.filter(x.isNotNull() & ~F.isnan(x))
-        .select(b.alias("bucket"))
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("bucket_n"))
-        .select(
-            "bucket",
-            (F.lit(float(lo)) + F.col("bucket") * F.lit(width)).alias("bucket_lo"),
-            (F.lit(float(lo)) + (F.col("bucket") + 1) * F.lit(width)).alias(
-                "bucket_hi"
-            ),
-            "bucket_n",
+
+    def _frags() -> tuple[Column, ...]:
+        x = _ref(col).cast("double")
+        b = F.floor((x - F.lit(float(lo))) / F.lit(width)).cast("int")
+        b = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1))
+        return (
+            x.isNotNull() & ~F.isnan(x),
+            b.alias("bucket"),
+            F.count(F.lit(1)).alias("bucket_n"),
+            (F.lit(float(lo)) + F.col("bucket") * F.lit(width))
+            .alias("bucket_lo"),
+            (F.lit(float(lo)) + (F.col("bucket") + 1) * F.lit(width))
+            .alias("bucket_hi"),
         )
+
+    keep, bucket, n, b_lo, b_hi = memo_call(
+        "profile.numeric_histogram",
+        (col, float(lo), float(hi), int(bins)), _frags)
+    return (
+        df.filter(keep)
+        .select(bucket)
+        .groupBy("bucket")
+        .agg(n)
+        .select("bucket", b_lo, b_hi, "bucket_n")
     )
 
 

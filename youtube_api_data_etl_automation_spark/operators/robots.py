@@ -41,6 +41,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.colcache import name_memo
+
 _RULE_TYPES = ("user-agent", "allow", "disallow", "crawl-delay",
                "sitemap")
 
@@ -69,13 +71,13 @@ def parse_robots(df: DataFrame, host_col: str = "host",
     pick one capture per host upstream (as
     :func:`warc_robots_rules` does) when snapshot-exact semantics
     matter. Identical duplicate payloads are deduplicated."""
-    text = F.col(payload_col)
-    if dict(df.dtypes)[payload_col] == "binary":
-        text = F.decode(text, "ISO-8859-1")
-    # the BOM is U+FEFF on pre-decoded strings and the three-char
-    # ISO-8859-1 rendering of EF BB BF on decoded binary payloads
-    text = F.regexp_replace(
-        text, "^(\uFEFF|\u00EF\u00BB\u00BF)", "")
+    is_binary = dict(df.dtypes)[payload_col] == "binary"
+    # every Column fragment is memoized per (column names, dtype) —
+    # r14 construct-latency trim: two parses per url_compliance
+    # construct rebuilt identical trees (functions/colcache.py)
+    (text, pos_line, key, value, key_filter, gid, is_ua, agents_agg,
+     rule_cols, sitemap_cols) = _parse_robots_frags(
+        host_col, payload_col, is_binary)
     # identical duplicate payloads dedupe BEFORE the explode — one
     # shuffled row per capture, not per robots line (r12 review fix)
     uniq = df.select(
@@ -83,51 +85,69 @@ def parse_robots(df: DataFrame, host_col: str = "host",
         F.xxhash64(F.col(payload_col)).alias("src"),
         text.alias("_text"),
     ).dropDuplicates(["host", "src"])
-    lines = uniq.select(
-        "host", "src",
-        F.posexplode(F.split(F.col("_text"), r"\r\n|\r|\n"))
-        .alias("pos", "line"),
-    )
-    stripped = F.trim(F.regexp_replace(F.col("line"), "#.*$", ""))
+    lines = uniq.select("host", "src", pos_line)
     parsed = lines.select(
-        "host", "src", "pos",
-        F.lower(F.trim(F.regexp_extract(stripped, "^([^:]*):", 1)))
-        .alias("key"),
-        F.trim(F.regexp_extract(stripped, "^[^:]*:(.*)$", 1))
-        .alias("value"),
-    ).filter(F.col("key").isin(*_RULE_TYPES))
-
-    w = Window.partitionBy("host", "src").orderBy("pos")
-    is_ua = F.col("key") == "user-agent"
-    new_group = is_ua & ~F.coalesce(F.lag(is_ua).over(w), F.lit(False))
-    grouped = parsed.select(
-        "host", "src", "pos", "key", "value",
-        F.sum(new_group.cast("int")).over(w).alias("gid"),
-    )
+        "host", "src", "pos", key, value,
+    ).filter(key_filter)
+    grouped = parsed.select("host", "src", "pos", "key", "value", gid)
 
     agents = (
         grouped.filter(is_ua)
         .groupBy("host", "src", "gid")
-        .agg(F.collect_set(F.lower(F.col("value"))).alias("agents"))
+        .agg(agents_agg)
     )
     rules = (
         grouped.filter(~is_ua & (F.col("key") != "sitemap")
                        & (F.col("gid") > 0))
         .join(agents, ["host", "src", "gid"])
-        .select(
-            "host",
-            F.explode("agents").alias("agent"),
-            F.col("key").alias("rule_type"),
-            "value",
-        )
+        .select(*rule_cols)
     )
-    sitemaps = grouped.filter(F.col("key") == "sitemap").select(
+    sitemaps = grouped.filter(F.col("key") == "sitemap") \
+        .select(*sitemap_cols)
+    return rules.unionByName(sitemaps)
+
+
+@name_memo
+def _parse_robots_frags(host_col: str, payload_col: str,
+                        is_binary: bool) -> tuple:
+    """Every Column fragment of :func:`parse_robots`, memoized (r14 —
+    see functions/colcache.py). Expression-identical to the former
+    inline builds; the url_compliance_docs oracle row pins the
+    values."""
+    text = F.col(payload_col)
+    if is_binary:
+        text = F.decode(text, "ISO-8859-1")
+    # the BOM is U+FEFF on pre-decoded strings and the three-char
+    # ISO-8859-1 rendering of EF BB BF on decoded binary payloads
+    text = F.regexp_replace(
+        text, "^(\uFEFF|\u00EF\u00BB\u00BF)", "")
+    pos_line = F.posexplode(
+        F.split(F.col("_text"), r"\r\n|\r|\n")).alias("pos", "line")
+    stripped = F.trim(F.regexp_replace(F.col("line"), "#.*$", ""))
+    key = F.lower(F.trim(F.regexp_extract(stripped, "^([^:]*):", 1))) \
+        .alias("key")
+    value = F.trim(F.regexp_extract(stripped, "^[^:]*:(.*)$", 1)) \
+        .alias("value")
+    key_filter = F.col("key").isin(*_RULE_TYPES)
+    w = Window.partitionBy("host", "src").orderBy("pos")
+    is_ua = F.col("key") == "user-agent"
+    new_group = is_ua & ~F.coalesce(F.lag(is_ua).over(w), F.lit(False))
+    gid = F.sum(new_group.cast("int")).over(w).alias("gid")
+    agents_agg = F.collect_set(F.lower(F.col("value"))).alias("agents")
+    rule_cols = (
+        "host",
+        F.explode("agents").alias("agent"),
+        F.col("key").alias("rule_type"),
+        "value",
+    )
+    sitemap_cols = (
         "host",
         F.lit(None).cast("string").alias("agent"),
         F.lit("sitemap").alias("rule_type"),
         "value",
     )
-    return rules.unionByName(sitemaps)
+    return (text, pos_line, key, value, key_filter, gid, is_ua,
+            agents_agg, rule_cols, sitemap_cols)
 
 
 def _rule_regex(value: Column) -> Column:
@@ -146,7 +166,8 @@ def _rule_regex(value: Column) -> Column:
                     .otherwise(F.lit("")))
 
 
-def robots_match_target(url: Column) -> Column:
+@name_memo
+def robots_match_target(url: Column | str) -> Column:
     """The string REP rules match against: the URL's path (``/`` when
     empty) plus the ``?query`` when present — fragments excluded."""
     from ..functions.urls import url_path
@@ -157,6 +178,65 @@ def robots_match_target(url: Column) -> Column:
         F.when(path == "", F.lit("/")).otherwise(path),
         F.when(query != "", F.concat(F.lit("?"), query))
         .otherwise(F.lit("")),
+    )
+
+
+@name_memo
+def _rep_decision(url_col: str) -> Column:
+    """The map-side REP verdict for one row: fold the row's governing
+    rule array (``__rset``) tracking the longest matching rule, allow
+    winning exact ties; no match ⇒ allowed. Pure function of the URL
+    column NAME, so the (large) fold tree builds once per process
+    (r14 construct-latency memo — see functions/colcache.py)."""
+    target = robots_match_target(url_col)
+    return F.aggregate(
+        F.coalesce(F.col("__rset"),
+                   F.array().cast(
+                       "array<struct<l:int,is_allow:boolean,rx:string>>")),
+        F.struct(F.lit(-1).alias("best"),
+                 F.lit(True).alias("allow")),
+        lambda acc, rule: F.when(
+            F.regexp_like(target, rule["rx"])
+            & ((rule["l"] > acc["best"])
+               | ((rule["l"] == acc["best"]) & rule["is_allow"]
+                  & ~acc["allow"])),
+            F.struct(rule["l"].alias("best"),
+                     rule["is_allow"].alias("allow")),
+        ).otherwise(acc),
+        lambda acc: acc["allow"],
+    )
+
+
+@name_memo
+def _rep_scoped_cols(agent_lc: str) -> tuple[Column, Column, Column]:
+    """(filter, specific, rule-struct) fragments of the rules-side
+    projection in :func:`filter_robots_allowed`, memoized per agent."""
+    flt = (F.col("agent").isin(agent_lc, "*")
+           & (F.col("rule_type") != "sitemap"))
+    specific = (F.col("agent") == agent_lc).alias("specific")
+    rule = F.when(
+        F.col("rule_type").isin("allow", "disallow")
+        & (F.col("value") != ""),
+        F.struct(
+            F.length("value").alias("l"),
+            (F.col("rule_type") == "allow").alias("is_allow"),
+            _rule_regex(F.col("value")).alias("rx"),
+        ),
+    ).alias("rule")
+    return flt, specific, rule
+
+
+@name_memo
+def _rep_per_host_cols() -> tuple[Column, Column, Column, Column]:
+    """The per-host rule-set aggregation fragments (agent-independent)."""
+    return (
+        F.max(F.col("specific")).alias("has_named"),
+        F.collect_list(F.when(F.col("specific"), F.col("rule")))
+        .alias("spec_rules"),
+        F.collect_list(F.when(~F.col("specific"), F.col("rule")))
+        .alias("star_rules"),
+        F.when(F.col("has_named"), F.col("spec_rules"))
+        .otherwise(F.col("star_rules")).alias("__rset"),
     )
 
 
@@ -178,68 +258,36 @@ def filter_robots_allowed(urls: DataFrame, rules: DataFrame,
     from ..functions.urls import url_host
 
     agent_lc = agent.lower()
-    scoped = rules.filter(
-        F.col("agent").isin(agent_lc, "*")
-        & (F.col("rule_type") != "sitemap")
-    ).select(
-        "host",
-        (F.col("agent") == agent_lc).alias("specific"),
-        F.when(
-            F.col("rule_type").isin("allow", "disallow")
-            & (F.col("value") != ""),
-            F.struct(
-                F.length("value").alias("l"),
-                (F.col("rule_type") == "allow").alias("is_allow"),
-                _rule_regex(F.col("value")).alias("rx"),
-            ),
-        ).alias("rule"),
-    )
+    # every Column fragment below is memoized per (agent, url column
+    # NAME) — r14: three REP evaluations per url_compliance construct
+    # were rebuilding ~6k py4j round-trips of identical trees
+    flt, specific, rule = _rep_scoped_cols(agent_lc)
+    scoped = rules.filter(flt).select("host", specific, rule)
     # group exclusivity is judged on ANY named-group directive — an
     # empty-value Disallow or a crawl-delay-only named group still
     # shadows the * group (RFC 9309; r12 review fix — size(spec_rules)
     # alone would leak * rules into such groups)
+    has_named, spec_rules, star_rules, rset = _rep_per_host_cols()
     per_host = scoped.groupBy("host").agg(
-        F.max(F.col("specific")).alias("has_named"),
-        F.collect_list(F.when(F.col("specific"), F.col("rule")))
-        .alias("spec_rules"),
-        F.collect_list(F.when(~F.col("specific"), F.col("rule")))
-        .alias("star_rules"),
+        has_named, spec_rules, star_rules,
     ).select(
         "host",
         # '__'-prefixed like the host keys: a caller URL table owning a
         # plain 'rset' column must survive the join + drop (r13 ADVICE)
-        F.when(F.col("has_named"), F.col("spec_rules"))
-        .otherwise(F.col("star_rules")).alias("__rset"),
+        rset,
     )
 
     # the rules-side key is renamed before the join: drop("host") by
     # NAME after an equi-join would also remove a caller-owned 'host'
     # column from the URL table (r12 review fix)
     per_host = per_host.withColumnRenamed("host", "__rules_host")
-    with_host = urls.withColumn("__rhost", url_host(F.col(url_col)))
+    with_host = urls.withColumn("__rhost", url_host(url_col))
     joined = with_host.join(
         per_host, with_host["__rhost"] == per_host["__rules_host"],
         "left",
     ).drop("__rules_host")
-    target = robots_match_target(F.col(url_col))
     # fold: track the longest matching rule; allow wins exact ties
-    decision = F.aggregate(
-        F.coalesce(F.col("__rset"),
-                   F.array().cast(
-                       "array<struct<l:int,is_allow:boolean,rx:string>>")),
-        F.struct(F.lit(-1).alias("best"),
-                 F.lit(True).alias("allow")),
-        lambda acc, rule: F.when(
-            F.regexp_like(target, rule["rx"])
-            & ((rule["l"] > acc["best"])
-               | ((rule["l"] == acc["best"]) & rule["is_allow"]
-                  & ~acc["allow"])),
-            F.struct(rule["l"].alias("best"),
-                     rule["is_allow"].alias("allow")),
-        ).otherwise(acc),
-        lambda acc: acc["allow"],
-    )
-    out = joined.withColumn("__allowed", decision)
+    out = joined.withColumn("__allowed", _rep_decision(url_col))
     keep = ~F.col("__allowed") if keep_disallowed else F.col("__allowed")
     return out.filter(keep).drop("__rhost", "__rset", "__allowed")
 
@@ -253,34 +301,39 @@ def robots_crawl_delays(rules: DataFrame,
     group's delay must not leak in); ``*`` applies only to hosts with
     no named group. Unparseable delays drop; hosts whose governing
     group sets no delay emit no row."""
-    agent_lc = agent.lower()
-    scoped = rules.filter(
-        F.col("agent").isin(agent_lc, "*")
-        & (F.col("rule_type") != "sitemap")
-    ).select(
-        "host",
-        (F.col("agent") == agent_lc).alias("specific"),
-        F.when(
-            F.col("rule_type") == "crawl-delay",
-            F.col("value").try_cast("double"),
-        ).alias("delay"),
-    )
+    # fragments memoized per agent (r14 construct-latency trim —
+    # four evaluations per url_compliance construct)
+    flt, specific, delay, aggs, pick = _delay_frags(agent.lower())
+    scoped = rules.filter(flt).select("host", specific, delay)
     return (
         scoped.groupBy("host")
-        .agg(
-            F.max(F.col("specific")).alias("has_named"),
-            F.max(F.when(F.col("specific"), F.col("delay")))
-            .alias("named_delay"),
-            F.max(F.when(~F.col("specific"), F.col("delay")))
-            .alias("star_delay"),
-        )
-        .select(
-            "host",
-            F.when(F.col("has_named"), F.col("named_delay"))
-            .otherwise(F.col("star_delay")).alias("crawl_delay_sec"),
-        )
+        .agg(*aggs)
+        .select("host", pick)
         .filter(F.col("crawl_delay_sec").isNotNull())
     )
+
+
+@name_memo
+def _delay_frags(agent_lc: str) -> tuple:
+    """Column fragments of :func:`robots_crawl_delays`, memoized —
+    expression-identical to the former inline builds."""
+    flt = (F.col("agent").isin(agent_lc, "*")
+           & (F.col("rule_type") != "sitemap"))
+    specific = (F.col("agent") == agent_lc).alias("specific")
+    delay = F.when(
+        F.col("rule_type") == "crawl-delay",
+        F.col("value").try_cast("double"),
+    ).alias("delay")
+    aggs = (
+        F.max(F.col("specific")).alias("has_named"),
+        F.max(F.when(F.col("specific"), F.col("delay")))
+        .alias("named_delay"),
+        F.max(F.when(~F.col("specific"), F.col("delay")))
+        .alias("star_delay"),
+    )
+    pick = F.when(F.col("has_named"), F.col("named_delay")) \
+        .otherwise(F.col("star_delay")).alias("crawl_delay_sec")
+    return flt, specific, delay, aggs, pick
 
 
 def robots_sitemaps(rules: DataFrame) -> DataFrame:
@@ -320,28 +373,39 @@ def parse_sitemaps(df: DataFrame, host_col: str = "host",
     it would not be for general XML; payloads without a recognizable
     root element yield no rows. Map-only — the explode stays in the
     source partition."""
+    is_binary = dict(df.dtypes)[payload_col] == "binary"
+    kind, block, url, lastmod = _parse_sitemaps_frags(
+        host_col, payload_col, is_binary)
+    return (
+        df.select(F.col(host_col).alias("host"), kind, block)
+        .filter(F.col("kind").isNotNull())
+        .select("host", "kind", url, lastmod)
+        .filter(F.col("url") != "")
+    )
+
+
+@name_memo
+def _parse_sitemaps_frags(host_col: str, payload_col: str,
+                          is_binary: bool) -> tuple:
+    """Column fragments of :func:`parse_sitemaps`, memoized (r14) —
+    expression-identical to the former inline builds."""
     text = F.col(payload_col)
-    if dict(df.dtypes)[payload_col] == "binary":
+    if is_binary:
         text = F.decode(text, "ISO-8859-1")
     kind = (
         F.when(text.contains("<sitemapindex"), F.lit("sitemapindex"))
         .when(text.contains("<urlset"), F.lit("urlset"))
-    )
-    blocks = F.split(text, "</url>|</sitemap>")
+    ).alias("kind")
+    block = F.explode(
+        F.split(text, "</url>|</sitemap>")).alias("block")
     loc = F.regexp_extract(F.col("block"),
                            r"<loc>\s*([^<]*?)\s*</loc>", 1)
     lastmod = F.regexp_extract(F.col("block"),
                                r"<lastmod>\s*([^<]*?)\s*</lastmod>", 1)
     return (
-        df.select(F.col(host_col).alias("host"), kind.alias("kind"),
-                  F.explode(blocks).alias("block"))
-        .filter(F.col("kind").isNotNull())
-        .select(
-            "host", "kind",
-            _xml_unescape(loc).alias("url"),
-            F.when(lastmod != "", lastmod).alias("lastmod"),
-        )
-        .filter(F.col("url") != "")
+        kind, block,
+        _xml_unescape(loc).alias("url"),
+        F.when(lastmod != "", lastmod).alias("lastmod"),
     )
 
 
@@ -365,11 +429,11 @@ def warc_robots_rules(blobs: DataFrame) -> DataFrame:
         recs.filter(
             (F.col("warc_type") == "response")
             & F.col("http_status").between(200, 299)
-            & (url_path(F.col("target_uri")) == "/robots.txt")
+            & (url_path("target_uri") == "/robots.txt")
             & F.col("body").isNotNull()
         )
         .select(
-            url_host(F.col("target_uri")).alias("host"),
+            url_host("target_uri").alias("host"),
             F.col("body").alias("payload"),
             F.struct("doc_id", "record_idx").alias("ord"),
         )
@@ -416,13 +480,13 @@ def crawl_frontier(rules: DataFrame, sitemap_fetches: DataFrame, *,
     from ..functions.urls import url_host, url_normalize
 
     pointers = robots_sitemaps(rules).withColumn(
-        "__smu", url_normalize(F.col("sitemap_url")))
+        "__smu", url_normalize("sitemap_url"))
     # the fetch table's URL column is fixed at 'url' per the documented
     # (url, payload) contract; url_col names only the SEEN table's
     # column (r13 review fix — applying url_col here made a seen table
     # with a non-'url' column impossible to subtract)
     fetched = sitemap_fetches.select(
-        url_normalize(F.col("url")).alias("__smu"),
+        url_normalize("url").alias("__smu"),
         F.col(payload_col).alias("__payload"),
     ).dropDuplicates(["__smu"])
 
@@ -443,16 +507,16 @@ def crawl_frontier(rules: DataFrame, sitemap_fetches: DataFrame, *,
     # out of the sitemaps.org contract for a single index file)
     leaf = first.filter(F.col("kind") == "urlset")
     idx = first.filter(F.col("kind") == "sitemapindex").select(
-        "host", url_normalize(F.col("url")).alias("__smu")
+        "host", url_normalize("url").alias("__smu")
     ).dropDuplicates(["host", "__smu"])
     second = _parse(idx).filter(F.col("kind") == "urlset")
     urls = leaf.unionByName(second).select(
-        url_normalize(F.col("url")).alias("url"), "lastmod")
+        url_normalize("url").alias("url"), "lastmod")
 
     allowed = filter_robots_allowed(urls, rules, agent=agent)
     if seen is not None:
         seen_urls = seen.select(
-            url_normalize(F.col(url_col)).alias("url")).distinct()
+            url_normalize(url_col).alias("url")).distinct()
         allowed = allowed.join(seen_urls, "url", "left_anti")
     # host-keyed left join of the agent's governing Crawl-delay: the
     # delays relation is rules-sized (≤1 row per host) — broadcast
@@ -462,7 +526,7 @@ def crawl_frontier(rules: DataFrame, sitemap_fetches: DataFrame, *,
     return (
         allowed.groupBy("url")
         .agg(F.max("lastmod").alias("lastmod"))
-        .select(url_host(F.col("url")).alias("host"), "url", "lastmod")
+        .select(url_host("url").alias("host"), "url", "lastmod")
         .join(F.broadcast(delays), "host", "left")
     )
 

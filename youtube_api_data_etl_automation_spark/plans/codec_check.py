@@ -99,7 +99,18 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from weakref import WeakKeyDictionary
+
 from ..functions.rounding import round6
+
+# r14 construct-latency memo: the codec verification plan is a PURE
+# function of (session, families) over the committed fixture parquet —
+# 29 operator constructions + a 29-way union cost ~2.3 s of driver
+# latency per build (guide §7.3: single-threaded plan construction).
+# Only the lazy PLAN is cached (keyed weakly per live SparkSession, so
+# a stopped session frees it); every force still re-reads the fixture
+# and re-runs every decoder — results are never cached.
+_CODEC_STATS_PLANS: WeakKeyDictionary = WeakKeyDictionary()
 
 CODEC_FIXTURE_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -167,6 +178,9 @@ def codec_stats(spark: SparkSession,
     unknown = set(wanted) - set(CODEC_FAMILIES)
     if unknown:
         raise ValueError(f"unknown codec families: {sorted(unknown)}")
+    per_session = _CODEC_STATS_PLANS.setdefault(spark, {})
+    if wanted in per_session:
+        return per_session[wanted]
     blobs = spark.read.parquet(CODEC_FIXTURE_PATH)
     by_family = {
         fam: blobs.filter(F.col("family") == fam)
@@ -840,4 +854,5 @@ def codec_stats(spark: SparkSession,
     result = parts[0]
     for part in parts[1:]:
         result = result.unionByName(part)
+    per_session[wanted] = result
     return result

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.colcache import name_memo
 from ..operators.capping import cap_per_group
 from ..operators.scd import scd2_history
 from ..operators.substring import repeated_span_profile
@@ -302,9 +303,9 @@ def lang_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with_url = docs.select(did.alias("doc_id"), url.alias("url"))
     parsed = with_url.select(
-        url_host(F.col("url")).alias("host"),
-        registrable_domain(F.col("url")).alias("dom"),
-        url_tld(F.col("url")).alias("tld"),
+        url_host("url").alias("host"),
+        registrable_domain("url").alias("dom"),
+        url_tld("url").alias("tld"),
     )
     domain_section = parsed.groupBy("dom", "tld").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -574,6 +575,101 @@ SELECT * FROM frontier_section
 """
 
 
+
+@name_memo
+def _uc_psl_url():
+    """The psl section's minted URL tree (r14 construct memo — all
+    fragments below are pure functions of fixed column names; see
+    functions/colcache.py). Expression-identical to the former inline
+    builds; the url_compliance_docs oracle hash pins the values."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.lit("https://"),
+        F.when(did % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"), F.lit(".example"),
+        F.when(did % 3 == 0, F.lit(".org"))
+        .when(did % 3 == 1, F.lit(".com")).otherwise(F.lit(".co.uk")),
+        F.lit("/d/"), did.cast("string"),
+    )
+
+
+@name_memo
+def _uc_canon_url():
+    """The canon section's minted URL tree (r14 construct memo)."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.lit("https://"),
+        F.when(did % 5 == 0, F.upper(F.col("source")))
+        .otherwise(F.col("source")),
+        F.lit(".example.com"),
+        F.when(did % 4 == 0, F.lit(":443"))
+        .when(did % 4 == 1, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/P/"), did.cast("string"),
+        F.when(did % 3 == 0,
+               F.concat(F.lit("?utm_source=x&b="),
+                        (did % 7).cast("string"), F.lit("&a=1")))
+        .when(did % 3 == 1,
+              F.concat(F.lit("?a=1&b="), (did % 7).cast("string")))
+        .otherwise(F.lit("")),
+        F.when(did % 2 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+
+
+@name_memo
+def _uc_rb_path():
+    """The robots section's path shapes (r14 construct memo)."""
+    did = F.col("doc_id")
+    return (
+        F.when(did % 5 == 0, F.lit("/p0"))
+        .when(did % 5 == 1, F.lit("/p1/x"))
+        .when(did % 5 == 2, F.lit("/p1/ok.html"))
+        .when(did % 5 == 3, F.lit("/p2/doc"))
+        .otherwise(F.lit("/file.pdf"))
+    )
+
+
+@name_memo
+def _uc_frontier_frags(n_sm: int):
+    """The frontier section's fixture trees (r14 construct memo):
+    (host, entry pair concat, sitemapindex entries, per-host delay)."""
+    did = F.col("doc_id")
+    host_c = F.concat(F.col("source"), F.lit(".example.com"))
+    m5 = (did % 5).cast("int")
+    fr_path = (
+        F.when(m5 == 0, F.concat(F.lit("/p0/d"), did.cast("string")))
+        .when(m5 == 1, F.concat(F.lit("/p1/x"), did.cast("string")))
+        .when(m5 == 2, F.concat(F.lit("/p1/ok"), did.cast("string")))
+        .when(m5 == 3, F.concat(F.lit("/p2/d"), did.cast("string")))
+        .otherwise(F.concat(F.lit("/d"), did.cast("string"),
+                            F.lit(".pdf")))
+    )
+    base_url = F.concat(F.lit("https://"), host_c, fr_path)
+    loc1 = F.when(m5 == 3, F.concat(base_url, F.lit("?b=2&amp;a=1"))) \
+        .otherwise(base_url)
+    fr_lastmod = F.when(did % 4 == 0,
+                        F.concat(F.lit("d"), did.cast("string")))
+    entry1 = F.concat(
+        F.lit("<url><loc>"), loc1, F.lit("</loc>"),
+        F.coalesce(
+            F.concat(F.lit("<lastmod>"), fr_lastmod,
+                     F.lit("</lastmod>")),
+            F.lit("")),
+        F.lit("</url>"))
+    entry2 = F.when(
+        (m5 != 3) & (did % 2 == 0),
+        F.concat(F.lit("<url><loc>"), base_url,
+                 F.lit("?utm_source=x</loc></url>"))
+    ).otherwise(F.lit(""))
+    idx_entries = F.concat_ws("", F.array(*[
+        F.concat(F.lit("<sitemap><loc>https://"), F.col("host"),
+                 F.lit(f"/sm{k}.xml</loc></sitemap>"))
+        for k in range(n_sm)
+    ]))
+    fr_delay = (F.length(F.col("host")) % 3 + 2).cast("long")
+    return (host_c, base_url, F.concat(entry1, entry2), idx_entries,
+            fr_delay)
+
+
 @query("url_compliance_docs", oracle=_URL_COMPLIANCE_ORACLE)
 def url_compliance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL/crawl-compliance sections over documents, tag-unioned:
@@ -627,20 +723,13 @@ def url_compliance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle).
     from ..functions.urls import registrable_domain_psl, url_host
 
-    psl_url = F.concat(
-        F.lit("https://"),
-        F.when(did % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
-        F.col("source"), F.lit(".example"),
-        F.when(did % 3 == 0, F.lit(".org"))
-        .when(did % 3 == 1, F.lit(".com")).otherwise(F.lit(".co.uk")),
-        F.lit("/d/"), did.cast("string"),
-    )
+    psl_url = _uc_psl_url()
     psl_rules = spark.createDataFrame(
         [(r,) for r in _PSL_RULES], "rule string")
     psl_parsed = registrable_domain_psl(
         docs.select(did.alias("doc_id"), psl_url.alias("url"))
-        .withColumn("host", url_host(F.col("url")))
-        .withColumn("heur_dom", registrable_domain(F.col("url"))),
+        .withColumn("host", url_host("url"))
+        .withColumn("heur_dom", registrable_domain("url")),
         psl_rules,
     )
     psl_section = psl_parsed.groupBy(
@@ -665,27 +754,12 @@ def url_compliance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct canonical set per (query-shape, port-shape) bucket.
     from ..functions.urls import url_normalize
 
-    canon_url = F.concat(
-        F.lit("https://"),
-        F.when(did % 5 == 0, F.upper(F.col("source")))
-        .otherwise(F.col("source")),
-        F.lit(".example.com"),
-        F.when(did % 4 == 0, F.lit(":443"))
-        .when(did % 4 == 1, F.lit(":8080")).otherwise(F.lit("")),
-        F.lit("/P/"), did.cast("string"),
-        F.when(did % 3 == 0,
-               F.concat(F.lit("?utm_source=x&b="),
-                        (did % 7).cast("string"), F.lit("&a=1")))
-        .when(did % 3 == 1,
-              F.concat(F.lit("?a=1&b="), (did % 7).cast("string")))
-        .otherwise(F.lit("")),
-        F.when(did % 2 == 0, F.lit("#frag")).otherwise(F.lit("")),
-    )
     canon_section = (
-        docs.select(
-            did.alias("doc_id"),
-            url_normalize(canon_url).alias("canon"),
-        )
+        docs.select(did.alias("doc_id"),
+                    _uc_canon_url().alias("__cu"))
+        # normalize over the aliased NAME so the (large) canonical-form
+        # tree hits the module memo instead of rebuilding per construct
+        .select("doc_id", url_normalize("__cu").alias("canon"))
         .groupBy(
             F.concat_ws(
                 "|", (F.col("doc_id") % 3).cast("string"),
@@ -732,13 +806,7 @@ def url_compliance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     robots_rules = parse_robots(
         hosts.withColumn("payload", F.lit(robots_txt)))
-    rb_path = (
-        F.when(did % 5 == 0, F.lit("/p0"))
-        .when(did % 5 == 1, F.lit("/p1/x"))
-        .when(did % 5 == 2, F.lit("/p1/ok.html"))
-        .when(did % 5 == 3, F.lit("/p2/doc"))
-        .otherwise(F.lit("/file.pdf"))
-    )
+    rb_path = _uc_rb_path()
     rb_urls = docs.select(
         did.alias("doc_id"),
         F.concat(F.lit("https://"), F.col("source"),
@@ -799,52 +867,22 @@ def url_compliance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # already run the full table, and the wiring proof does not need
     # the volume.
     fr_docs = docs.filter(did % 3 == 0)
-    host_c = F.concat(F.col("source"), F.lit(".example.com"))
-    m5 = (did % 5).cast("int")
-    fr_path = (
-        F.when(m5 == 0, F.concat(F.lit("/p0/d"), did.cast("string")))
-        .when(m5 == 1, F.concat(F.lit("/p1/x"), did.cast("string")))
-        .when(m5 == 2, F.concat(F.lit("/p1/ok"), did.cast("string")))
-        .when(m5 == 3, F.concat(F.lit("/p2/d"), did.cast("string")))
-        .otherwise(F.concat(F.lit("/d"), did.cast("string"),
-                            F.lit(".pdf")))
-    )
-    base_url = F.concat(F.lit("https://"), host_c, fr_path)
-    loc1 = F.when(m5 == 3, F.concat(base_url, F.lit("?b=2&amp;a=1"))) \
-        .otherwise(base_url)
-    fr_lastmod = F.when(did % 4 == 0,
-                        F.concat(F.lit("d"), did.cast("string")))
-    entry1 = F.concat(
-        F.lit("<url><loc>"), loc1, F.lit("</loc>"),
-        F.coalesce(
-            F.concat(F.lit("<lastmod>"), fr_lastmod,
-                     F.lit("</lastmod>")),
-            F.lit("")),
-        F.lit("</url>"))
-    entry2 = F.when(
-        (m5 != 3) & (did % 2 == 0),
-        F.concat(F.lit("<url><loc>"), base_url,
-                 F.lit("?utm_source=x</loc></url>"))
-    ).otherwise(F.lit(""))
     # 16 sub-sitemaps per host, named by the sitemapindex — the shape
     # sitemapindex EXISTS for (urlsets cap at 50k URLs), and it keeps
     # each fixture payload task-sized instead of one giant per-host
     # string serializing the parse into n_hosts tasks
     n_sm = 16
+    (host_c, base_url, entries, idx_entries,
+     fr_delay) = _uc_frontier_frags(n_sm)
     urlsets = (
         fr_docs.select(host_c.alias("host"),
                     (did % n_sm).cast("int").alias("smk"),
-                    F.concat(entry1, entry2).alias("e"))
+                    entries.alias("e"))
         .groupBy("host", "smk")
         .agg(F.concat(F.lit("<urlset>"),
                       F.concat_ws("", F.collect_list("e")),
                       F.lit("</urlset>")).alias("payload"))
     )
-    idx_entries = F.concat_ws("", F.array(*[
-        F.concat(F.lit("<sitemap><loc>https://"), F.col("host"),
-                 F.lit(f"/sm{k}.xml</loc></sitemap>"))
-        for k in range(n_sm)
-    ]))
     fetches = fr_docs.select(host_c.alias("host")).distinct().select(
         F.concat(F.lit("https://"), F.col("host"),
                  F.lit("/smidx.xml")).alias("url"),
@@ -863,7 +901,6 @@ def url_compliance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fingerprint. Hand-derived in the oracle SQL, never a second
     # delay evaluator. Substituted INTO the * group (not appended —
     # an appended line would join otherbot's group).
-    fr_delay = (F.length(F.col("host")) % 3 + 2).cast("long")
     _pre, _post = robots_txt.split("Crawl-delay: 2\n", 1)
     fr_rules = parse_robots(
         hosts.withColumn(
