@@ -51,10 +51,17 @@ def name_memo(fn: Callable) -> Callable:
     argument — a Column, a DataFrame, a list — falls through to a
     plain call, so decorated builders keep their full signature."""
 
+    def _keyable(a: Any) -> bool:
+        if isinstance(a, _SCALARS):
+            return True
+        if isinstance(a, tuple):  # scalar tuples (e.g. a stopword list)
+            return all(_keyable(x) for x in a)
+        return False
+
     @functools.wraps(fn)
     def wrapped(*args: Any, **kwargs: Any):
         vals = args + tuple(kwargs.values())
-        if any(not isinstance(a, _SCALARS) for a in vals):
+        if any(not _keyable(a) for a in vals):
             return fn(*args, **kwargs)
         key = (
             _jvm_token(),

@@ -20,7 +20,10 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .colcache import name_memo
 
+
+@name_memo
 def md5_bucket(col: Column | str, salt: str = "") -> Column:
     """256-way content-stable bucket of ``salt ++ str(col)``."""
     c = F.col(col) if isinstance(col, str) else col

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .colcache import name_memo
+
 # Deterministic marker vocabularies for the n-gram/stopword language heuristic.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of", "to", "a"),
@@ -25,11 +27,13 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+@name_memo
 def normalize_text(col: Column | str) -> Column:
     """lower + trim + collapse internal whitespace to single spaces."""
     return F.lower(F.trim(F.regexp_replace(_c(col), r"\s+", " ")))
 
 
+@name_memo
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens of the *normalized* text (empty OR NULL text →
     empty array — r6: NULL used to propagate, making the token-derived
@@ -48,17 +52,20 @@ def tokens(col: Column | str) -> Column:
     ).otherwise(F.split(n, " "))
 
 
+@name_memo
 def token_count_t(tok: Column | str) -> Column:
     """Token count from a pre-projected token array; NULL → 0."""
     t = _c(tok) if isinstance(tok, str) else tok
     return F.coalesce(F.size(t), F.lit(0)).cast("int")
 
 
+@name_memo
 def token_count(col: Column | str) -> Column:
     """Whitespace token count; NULL/empty → 0."""
     return token_count_t(tokens(col))
 
 
+@name_memo
 def punct_count(col: Column | str) -> Column:
     """Count of punctuation chars (.,;:!?) — length-difference formula so the
     DuckDB oracle can mirror it exactly."""
@@ -67,30 +74,35 @@ def punct_count(col: Column | str) -> Column:
     return (F.coalesce(F.length(c), F.lit(0)) - F.coalesce(F.length(stripped), F.lit(0))).cast("int")
 
 
+@name_memo
 def stopword_count_t(tok: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
     """Stopword-token count from a pre-projected token array."""
     t = F.col(tok) if isinstance(tok, str) else tok
-    sw = F.array(*[F.lit(s) for s in stopwords])
+    sw = F.lit(list(stopwords))
     return F.size(F.filter(t, lambda x: F.array_contains(sw, x))).cast("int")
 
 
+@name_memo
 def stopword_count(col: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
     """Number of tokens that are English stopwords."""
     return stopword_count_t(tokens(col), stopwords)
 
 
+@name_memo
 def marker_count_t(tok: Column | str, markers: tuple[str, ...]) -> Column:
     """Marker-vocabulary token count from a pre-projected token array."""
     t = F.col(tok) if isinstance(tok, str) else tok
-    mk = F.array(*[F.lit(m) for m in markers])
+    mk = F.lit(list(markers))
     return F.size(F.filter(t, lambda x: F.array_contains(mk, x))).cast("int")
 
 
+@name_memo
 def marker_count(col: Column | str, markers: tuple[str, ...]) -> Column:
     """Number of tokens in a marker vocabulary (language-ID building block)."""
     return marker_count_t(tokens(col), markers)
 
 
+@name_memo
 def lang_id_t(tok: Column | str) -> Column:
     """Language guess from a pre-projected token array (see lang_id)."""
     counts = {lang: marker_count_t(tok, mks) for lang, mks in LANG_MARKERS.items()}
@@ -102,6 +114,7 @@ def lang_id_t(tok: Column | str) -> Column:
     return expr
 
 
+@name_memo
 def lang_id(col: Column | str) -> Column:
     """Marker-vocabulary language guess with deterministic tie-breaking:
     highest marker count wins; ties resolve in LANG_MARKERS insertion order;
@@ -109,6 +122,7 @@ def lang_id(col: Column | str) -> Column:
     return lang_id_t(tokens(col))
 
 
+@name_memo
 def quality_score_t(col: Column | str, tok: Column | str) -> Column:
     """quality_score from raw text + pre-projected token array."""
     nt = token_count_t(tok).cast("double")
@@ -122,6 +136,7 @@ def quality_score_t(col: Column | str, tok: Column | str) -> Column:
     )
 
 
+@name_memo
 def quality_score(col: Column | str) -> Column:
     """Deterministic heuristic quality in [0,1]:
     0.5·min(1, tokens/64) + 0.3·(1 − punct_ratio) + 0.2·stopword_ratio.
@@ -130,6 +145,7 @@ def quality_score(col: Column | str) -> Column:
     return quality_score_t(col, tokens(col))
 
 
+@name_memo
 def clf_logit_t(tok: Column | str) -> Column:
     """Hashed-feature linear-model logit (fasttext-style quality classifier
     shape): each token hashes to one of 256 md5 buckets; the bucket's weight
@@ -157,6 +173,7 @@ def clf_logit_t(tok: Column | str) -> Column:
     return wsum / (F.lit(1.0) + F.size(t).cast("double"))
 
 
+@name_memo
 def clf_score_t(tok: Column | str) -> Column:
     """Sigmoid of 4×logit — the keep-probability a trained quality
     classifier would emit. Round at the query edge."""
@@ -164,6 +181,7 @@ def clf_score_t(tok: Column | str) -> Column:
     return F.lit(1.0) / (F.lit(1.0) + F.exp(F.lit(-4.0) * z))
 
 
+@name_memo
 def dup_token_fraction_t(tok: Column | str) -> Column:
     """Repetition signal (Gopher-style duplicate-fraction family, unigram
     member): fraction of tokens that are repeats of an earlier token —
@@ -175,6 +193,7 @@ def dup_token_fraction_t(tok: Column | str) -> Column:
     return F.when(n > 0, (n - nd) / n).otherwise(F.lit(0.0))
 
 
+@name_memo
 def token_entropy_t(tok: Column | str) -> Column:
     """Unigram token entropy H = −Σ_d (c_d/n)·ln(c_d/n) in nats — the
     information-content quality signal (Gopher-family): boilerplate and
@@ -205,6 +224,7 @@ def token_entropy_t(tok: Column | str) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+@name_memo
 def rolling_hash_t(tok: Column | str) -> Column:
     """Polynomial rolling hash over the token stream (Karp–Rabin form:
     acc·31 + h(tok) mod 1e9+7). Order-sensitive — unlike the md5 content
@@ -220,12 +240,14 @@ def rolling_hash_t(tok: Column | str) -> Column:
     )
 
 
+@name_memo
 def doc_fingerprint(col: Column | str) -> Column:
     """Stable content fingerprint: md5 of the normalized text (hex string —
     identical across engines, unlike engine-native hash())."""
     return F.md5(normalize_text(col))
 
 
+@name_memo
 def word_shingles_t(tok: Column | str, k: int = 3) -> Column:
     """k-word shingles from a pre-projected token array. CRITICAL: the input
     must be a plain column reference — transform() lambdas are interpreted,
@@ -240,6 +262,7 @@ def word_shingles_t(tok: Column | str, k: int = 3) -> Column:
     )
 
 
+@name_memo
 def word_shingles(col: Column | str, k: int = 3) -> Column:
     """Array of k-word shingles of the normalized text (for MinHash / Jaccard
     dedup). Fewer than k tokens → empty array. Prefer projecting tokens()
@@ -247,6 +270,7 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     return word_shingles_t(tokens(col), k)
 
 
+@name_memo
 def dup_ngram_fraction_t(tok: Column | str, n: int = 2) -> Column:
     """Duplicate word-n-gram fraction (the Gopher repetition filters'
     n-gram members — unigram is :func:`dup_token_fraction_t`): fraction

@@ -140,9 +140,15 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "d
     in the round's plan) and analysis itself blows up long before the data
     does — the canonical iterative-on-Spark trap."""
     e = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    # LAZY checkpoints throughout the setup (r14): the count() below is
+    # the one action that materializes the pair computation, and the
+    # repartitioned-edges + labels checkpoints both materialize inside
+    # the first convergence probe — two driver-synchronized jobs before
+    # the loop instead of the former five (each eager checkpoint ran its
+    # own job; at fixture scale the fixed per-job cost dominated).
     edges = e.union(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # Size the loop to the graph: per-round task count tracks edge volume
     # instead of the global shuffle setting, so small graphs don't pay
     # dozens of empty-task launches per round and huge graphs still fan
@@ -150,13 +156,13 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "d
     n_edges = edges.count()
     target = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     parts = max(1, min(target, n_edges // 100_000 + 1))
-    edges = edges.repartition(parts, "a").localCheckpoint()
+    edges = edges.repartition(parts, "a").localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("a").alias("node"))
         .repartition(parts, "node")
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # Convergence probe. For numeric ids: labels only decrease
     # (min-propagation), so sum(label) is strictly decreasing until the

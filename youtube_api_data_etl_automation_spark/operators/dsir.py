@@ -114,8 +114,27 @@ def dsir_log_weight_expr(text_col: str | Column, lambdas: list[float], *,
     """Per-row importance log-weight as a pure Column expression: each
     token's λ looked up from the literal bucket array and folded in
     DECIMAL(18,6) (exact, order-free — matches the oracle's grouped SUM).
-    Empty/NULL text scores 0.0."""
-    lam_arr = F.array(*[F.lit(float(v)) for v in lambdas])
+    Empty/NULL text scores 0.0.
+
+    Memoized on (text column name, λ values, salt) — r14: the 256-
+    literal array + fold tree is a pure function of those scalars, so
+    repeated constructs reuse one tree (functions/colcache.py; only
+    the expression is cached, never data)."""
+    if isinstance(text_col, str):
+        from ..functions.colcache import memo_call
+
+        return memo_call(
+            "dsir.log_weight_expr",
+            (text_col, tuple(float(v) for v in lambdas), salt),
+            lambda: _dsir_log_weight_build(text_col, lambdas, salt))
+    return _dsir_log_weight_build(text_col, lambdas, salt)
+
+
+def _dsir_log_weight_build(text_col: str | Column, lambdas: list[float],
+                           salt: str) -> Column:
+    # one 256-element array literal (r14: one py4j round-trip instead
+    # of ~520 — the F.lit(list) form builds the same literal tree)
+    lam_arr = F.lit([float(v) for v in lambdas])
     terms = F.transform(
         tokens(text_col),
         lambda t: F.element_at(lam_arr, md5_bucket(t, salt=salt) + 1).cast(

@@ -493,41 +493,55 @@ def fused_profile(
         # or it would drag the whole agg onto the sorted Expand path.
         row = _merge_nd(df, row, [], extra=side)
 
-    structs = [
-        _wide_struct(
-            {"section": F.lit("stats"), **_stat_struct_fields(i, c, fields[c])}
-        )
-        for i, c in enumerate(names)
-    ]
-    for j, c in enumerate(checks):
-        structs.append(
+    def _structs() -> Column:
+        structs = [
             _wide_struct(
-                {
-                    "section": F.lit("checks"),
-                    "column_name": F.lit(c.column),
-                    "n_rows": F.col("__n_rows"),
-                    "check": F.lit(c.name),
-                    "n_violations": F.col(f"__c{j}"),
-                    "passed": F.col(f"__c{j}") == 0,
-                }
+                {"section": F.lit("stats"),
+                 **_stat_struct_fields(i, c, fields[c])}
             )
-        )
-    for j, (col, lo, hi, bins) in enumerate(hists):
-        width = (hi - lo) / bins
-        for i in range(bins):
+            for i, c in enumerate(names)
+        ]
+        for j, c in enumerate(checks):
             structs.append(
                 _wide_struct(
                     {
-                        "section": F.lit("hist"),
-                        "column_name": F.lit(col),
-                        "bucket": F.lit(i),
-                        "bucket_lo": F.lit(lo + i * width),
-                        "bucket_hi": F.lit(lo + (i + 1) * width),
-                        "bucket_n": F.col(f"__h{j}_{i}"),
+                        "section": F.lit("checks"),
+                        "column_name": F.lit(c.column),
+                        "n_rows": F.col("__n_rows"),
+                        "check": F.lit(c.name),
+                        "n_violations": F.col(f"__c{j}"),
+                        "passed": F.col(f"__c{j}") == 0,
                     }
                 )
             )
-    out = row.select(F.inline(F.array(*structs)))
+        for j, (col, lo, hi, bins) in enumerate(hists):
+            width = (hi - lo) / bins
+            for i in range(bins):
+                structs.append(
+                    _wide_struct(
+                        {
+                            "section": F.lit("hist"),
+                            "column_name": F.lit(col),
+                            "bucket": F.lit(i),
+                            "bucket_lo": F.lit(lo + i * width),
+                            "bucket_hi": F.lit(lo + (i + 1) * width),
+                            "bucket_n": F.col(f"__h{j}_{i}"),
+                        }
+                    )
+                )
+        return F.inline(F.array(*structs))
+
+    # the wide unpivot is a pure function of the profiled signature,
+    # the check (name, column) list, and the hist grid (r14 memo —
+    # ~40 wide structs × ~20 padded fields each rebuilt per construct)
+    unpivot = memo_call(
+        "profile.fused_profile.unpivot",
+        (tuple(names),
+         tuple(fields[c].simpleString() for c in names),
+         tuple((c.name, c.column) for c in checks),
+         tuple(hists)),
+        _structs)
+    out = row.select(unpivot)
     # Empty buckets are ABSENT, matching numeric_histogram's groupBy shape.
     return out.filter((F.col("section") != "hist") | (F.col("bucket_n") > 0))
 
@@ -806,6 +820,32 @@ def profile_state(
     when cardinality is not needed (``n_distinct`` derives as NULL).
     """
     fields, names = _resolve_cols(df, cols)
+    sig = (tuple(names),
+           tuple(fields[c].simpleString() for c in names),
+           track_distinct, int(lgk), timestamp_format,
+           batch_expr is not None)
+    aggs, unpivot = memo_call(
+        "profile.profile_state", sig,
+        lambda: _profile_state_frags(
+            fields, names, track_distinct, lgk, timestamp_format,
+            batch_expr is not None))
+    if batch_expr is not None:
+        row = df.groupBy(batch_expr.cast("string").alias("__batch")).agg(*aggs)
+    else:
+        row = df.agg(*aggs)
+    return row.select(unpivot)
+
+
+def _profile_state_frags(
+    fields: dict[str, T.DataType],
+    names: Sequence[str],
+    track_distinct: bool,
+    lgk: int,
+    timestamp_format: str,
+    batched: bool,
+) -> tuple:
+    """(agg columns, inline-unpivot Column) of :func:`profile_state` —
+    pure in the scalar signature, memoized by the caller (r14)."""
     aggs: list[Column] = [F.count(F.lit(1)).cast("long").alias("__n_rows")]
     for i, c in enumerate(names):
         dt = fields[c]
@@ -850,12 +890,7 @@ def profile_state(
         else:
             sk = _null_of("binary")
         aggs.append(sk.alias(f"__s{i}__hll"))
-    if batch_expr is not None:
-        row = df.groupBy(batch_expr.cast("string").alias("__batch")).agg(*aggs)
-        batch_col = F.col("__batch")
-    else:
-        row = df.agg(*aggs)
-        batch_col = F.lit("all")
+    batch_col = F.col("__batch") if batched else F.lit("all")
     structs = [
         F.struct(
             batch_col.alias("batch_id"),
@@ -873,7 +908,7 @@ def profile_state(
         )
         for i, c in enumerate(names)
     ]
-    return row.select(F.inline(F.array(*structs)))
+    return tuple(aggs), F.inline(F.array(*structs))
 
 
 def merge_profile_states(*states: DataFrame) -> DataFrame:

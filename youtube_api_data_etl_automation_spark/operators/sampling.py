@@ -24,11 +24,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.colcache import name_memo
+
 # 2^53 — doubles represent every integer below this exactly; using the
 # first 13 hex chars (52 bits) of md5 keeps u uniform and exact.
 _U_DENOM = float(1 << 52)
 
 
+@name_memo
 def stable_uniform(col: Column | str, salt: str = "aes:") -> Column:
     """Content-stable u ∈ (0,1]: 52 md5 bits of (salt ++ id), +1 to avoid
     u=0 (which would give key=0 regardless of weight)."""

@@ -98,6 +98,29 @@ def sign_lsh_topk(corpus: DataFrame, queries: DataFrame, top_k: int = 3, bits: i
     return _rank_topk(scored, top_k)
 
 
+def name_memo_values(fn):
+    """Value-keyed memo for the literal-centroid scorer (r14): the
+    expression is a pure function of (vec_col, centroid values); the
+    values are driver-side floats, so freezing them into a tuple key
+    lets repeated constructs (bench min-of-3, the ivf/sampling/drift
+    section passes) reuse one parsed tree instead of re-formatting and
+    re-parsing the m*k*d-literal SQL string every time. Only the
+    EXPRESSION is cached — never data or results."""
+    import functools
+
+    from ..functions.colcache import memo_call
+
+    @functools.wraps(fn)
+    def wrapped(vec_col, cvs):
+        if not isinstance(vec_col, str):
+            return fn(vec_col, cvs)
+        key = (vec_col, tuple(tuple(float(x) for x in cv) for cv in cvs))
+        return memo_call("similarity._nearest_centroid_struct", key,
+                         lambda: fn(vec_col, cvs))
+    return wrapped
+
+
+@name_memo_values
 def _nearest_centroid_struct(vec_col: str | F.Column,
                              cvs: list[list[float]]) -> F.Column:
     """``struct(s: double, nj: int)`` of the nearest centroid among the
