@@ -182,15 +182,19 @@ def robots_match_target(url: Column | str) -> Column:
 
 
 @name_memo
-def _rep_decision(url_col: str) -> Column:
+def _rep_decision(url_col: str, rset_col: str = "__rset") -> Column:
     """The map-side REP verdict for one row: fold the row's governing
-    rule array (``__rset``) tracking the longest matching rule, allow
-    winning exact ties; no match ⇒ allowed. Pure function of the URL
-    column NAME, so the (large) fold tree builds once per process
-    (r14 construct-latency memo — see functions/colcache.py)."""
+    rule array (``rset_col``, default ``__rset``) tracking the longest
+    matching rule, allow winning exact ties; no match ⇒ allowed. Pure
+    function of the URL/rule-array column NAMES, so the (large) fold
+    tree builds once per process (r14 construct-latency memo — see
+    functions/colcache.py). The fold is order-independent (longest
+    match wins, allow wins exact ties regardless of visit order), so
+    callers may feed it any collect_list rule order — the r15 fused
+    two-agent evaluation relies on this."""
     target = robots_match_target(url_col)
     return F.aggregate(
-        F.coalesce(F.col("__rset"),
+        F.coalesce(F.col(rset_col),
                    F.array().cast(
                        "array<struct<l:int,is_allow:boolean,rx:string>>")),
         F.struct(F.lit(-1).alias("best"),
@@ -496,12 +500,15 @@ def crawl_frontier(rules: DataFrame, sitemap_fetches: DataFrame, *,
             host_col="host", payload_col="__payload")
 
     # consumed by BOTH union branches (leaf rows + the index
-    # indirection) — checkpoint LAZILY so composition stays plan-only
-    # and the parse runs once per action; the relation is rules-sized
+    # indirection) — persist() so composition stays plan-only and the
+    # parse runs once per action; the relation is rules-sized
     # (r13 review fixes: without this the first-level join+parse ran
-    # twice per job; an eager checkpoint ran jobs at build time)
-    first = _parse(pointers.select("host", "__smu")) \
-        .localCheckpoint(eager=False)
+    # twice per job; an eager checkpoint ran jobs at build time.
+    # r15: was a LAZY localCheckpoint — whose eager toRdd conversion
+    # physically planned the whole subtree at BUILD time, ~0.8 s per
+    # construct at sf0.1; persist() keeps the run-once materialization
+    # and moves planning into the action where it happens once anyway)
+    first = _parse(pointers.select("host", "__smu")).persist()
     # one sitemapindex indirection: its entries are further sitemap
     # URLs, resolved against the same fetch table (deeper nesting is
     # out of the sitemaps.org contract for a single index file)

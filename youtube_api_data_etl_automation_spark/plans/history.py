@@ -670,6 +670,124 @@ def _uc_frontier_frags(n_sm: int):
             fr_delay)
 
 
+@name_memo
+def _uc_fp_agg_cols(val_col: str) -> tuple:
+    """(n_docs, n_kept, kept_fp) aggregate triple over a distinct-value
+    fingerprint column — the psl/canon section rollup (r15 construct
+    memo; expression-identical to the former inline builds)."""
+    return (
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct(val_col).cast("long").alias("n_kept"),
+        F.md5(F.concat_ws(",", F.array_sort(F.collect_set(val_col))))
+        .alias("kept_fp"),
+    )
+
+
+@name_memo
+def _uc_psl_key():
+    """The psl section's group key (r15 construct memo)."""
+    return F.concat_ws(
+        "|",
+        F.coalesce(F.col("registrable_domain_psl"), F.lit("-")),
+        F.col("heur_dom"),
+    ).alias("key")
+
+
+@name_memo
+def _uc_canon_key():
+    """The canon section's group key (r15 construct memo)."""
+    did = F.col("doc_id")
+    return F.concat_ws(
+        "|", (did % 3).cast("string"), (did % 4).cast("string"),
+    ).alias("key")
+
+
+@name_memo
+def _uc_robots_cols() -> tuple:
+    """The fused two-agent robots section's Column bundles (r15):
+    (per-host agg triple, per-host select triple, decision explode,
+    group-agg triple, final select). Expression-identical to the
+    per-arm builds they replace; the oracle's hand-derived outcomes
+    pin the values."""
+    from ..operators.robots import _rep_decision
+
+    per_host_aggs = (
+        F.collect_list(
+            F.when(F.col("__ag") == "*", F.col("rule"))).alias("__star"),
+        F.max(F.col("__ag") == "trainingbot").alias("__has_bot"),
+        F.collect_list(
+            F.when(F.col("__ag") == "trainingbot", F.col("rule")))
+        .alias("__bot_rules"),
+    )
+    per_host_sel = (
+        F.col("host").alias("__rules_host"),
+        F.col("__star").alias("__rset"),
+        F.when(F.col("__has_bot"), F.col("__bot_rules"))
+        .otherwise(F.col("__star")).alias("__rset_bot"),
+    )
+    dec = F.explode(F.array(
+        F.struct(F.lit("*").alias("agent"),
+                 _rep_decision("url").alias("kept")),
+        F.struct(F.lit("trainingbot").alias("agent"),
+                 _rep_decision("url", "__rset_bot").alias("kept")),
+    )).alias("__d")
+    group_aggs = (
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0))
+        .cast("long").alias("n_kept"),
+        F.md5(F.concat_ws(",", F.transform(
+            F.array_sort(F.collect_list(
+                F.when(F.col("kept"), F.col("doc_id")))),
+            lambda x: x.cast("string"),
+        ))).alias("kept_fp"),
+    )
+    final_sel = (
+        F.lit("robots").alias("section"),
+        F.concat_ws("|", F.col("uhost"), F.col("agent")).alias("key"),
+    )
+    return per_host_aggs, per_host_sel, dec, group_aggs, final_sel
+
+
+_UC_DELAY_AGENTS = ("*", "trainingbot", "otherbot")
+
+
+@name_memo
+def _uc_delay_cols() -> tuple:
+    """The fused three-agent delays section's Column bundles (r15):
+    one groupBy over the parsed rules computes every agent's governing
+    delay (named group wins even when it sets none — the * value must
+    not leak through group exclusivity), then an explode emits one row
+    per (host, agent) with a delay. Expression-identical semantics to
+    three robots_crawl_delays arms; the oracle hand-derives the
+    values."""
+    delay = F.when(
+        F.col("rule_type") == "crawl-delay",
+        F.col("value").try_cast("double"),
+    )
+    aggs = []
+    picks = []
+    for i, a in enumerate(_UC_DELAY_AGENTS):
+        is_a = F.col("agent") == a
+        aggs.append(F.max(is_a).alias(f"__has{i}"))
+        aggs.append(F.max(F.when(is_a, delay)).alias(f"__d{i}"))
+        # agent's governing delay: its own group's when one exists
+        # (judged on ANY directive), else the * group's
+        own = F.when(F.col(f"__has{i}"), F.col(f"__d{i}")) \
+            .otherwise(F.col("__d0"))
+        picks.append(F.struct(
+            F.lit(a).alias("agent"), own.alias("crawl_delay_sec")))
+    exploded = F.explode(F.array(*picks)).alias("__p")
+    final_sel = (
+        F.lit("delays").alias("section"),
+        F.concat_ws("|", F.col("host"), F.col("__p.agent")).alias("key"),
+        F.lit(1).cast("long").alias("n_docs"),
+        F.col("__p.crawl_delay_sec").cast("long").alias("n_kept"),
+        F.md5(F.col("__p.crawl_delay_sec").cast("long").cast("string"))
+        .alias("kept_fp"),
+    )
+    return tuple(aggs), exploded, final_sel
+
+
 @query("url_compliance_docs", oracle=_URL_COMPLIANCE_ORACLE)
 def url_compliance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL/crawl-compliance sections over documents, tag-unioned:
@@ -701,11 +819,7 @@ def url_compliance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawls (fetch_youtube_data.py:74-96); this row is the engine's
     crawl-corpus provenance surface (SURVEY §7 north star)."""
     from ..functions.urls import registrable_domain
-    from ..operators.robots import (
-        crawl_frontier,
-        filter_robots_allowed,
-        parse_robots,
-    )
+    from ..operators.robots import crawl_frontier, parse_robots
 
     docs = load_table(spark, sf_dir, "documents")
     did = F.col("doc_id")
@@ -726,23 +840,18 @@ def url_compliance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     psl_url = _uc_psl_url()
     psl_rules = spark.createDataFrame(
         [(r,) for r in _PSL_RULES], "rule string")
+    # r15: one wide second select replaces the two withColumns (each a
+    # full analysis pass), and keeps the host/heur_dom trees building
+    # over the NAME 'url' so they hit the module memos; the group/agg/
+    # select trees are module memos too (guide §7.3)
     psl_parsed = registrable_domain_psl(
         docs.select(did.alias("doc_id"), psl_url.alias("url"))
-        .withColumn("host", url_host("url"))
-        .withColumn("heur_dom", registrable_domain("url")),
+        .select("doc_id", "url", url_host("url").alias("host"),
+                registrable_domain("url").alias("heur_dom")),
         psl_rules,
     )
-    psl_section = psl_parsed.groupBy(
-        F.concat_ws(
-            "|",
-            F.coalesce(F.col("registrable_domain_psl"), F.lit("-")),
-            F.col("heur_dom"),
-        ).alias("key"),
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.countDistinct("host").cast("long").alias("n_kept"),
-        F.md5(F.concat_ws(",", F.array_sort(F.collect_set("host"))))
-        .alias("kept_fp"),
+    psl_section = psl_parsed.groupBy(_uc_psl_key()).agg(
+        *_uc_fp_agg_cols("host"),
     ).select(
         F.lit("psl").alias("section"), "key",
         "n_docs", "n_kept", "kept_fp",
@@ -760,18 +869,8 @@ def url_compliance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # normalize over the aliased NAME so the (large) canonical-form
         # tree hits the module memo instead of rebuilding per construct
         .select("doc_id", url_normalize("__cu").alias("canon"))
-        .groupBy(
-            F.concat_ws(
-                "|", (F.col("doc_id") % 3).cast("string"),
-                (F.col("doc_id") % 4).cast("string"),
-            ).alias("key"),
-        )
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.countDistinct("canon").cast("long").alias("n_kept"),
-            F.md5(F.concat_ws(",", F.array_sort(F.collect_set("canon"))))
-            .alias("kept_fp"),
-        )
+        .groupBy(_uc_canon_key())
+        .agg(*_uc_fp_agg_cols("canon"))
         .select(F.lit("canon").alias("section"), "key",
                 "n_docs", "n_kept", "kept_fp")
     )
@@ -789,7 +888,6 @@ def url_compliance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The oracle carries these outcomes HAND-DERIVED per branch, so the
     # engine's longest-match fold is checked against the spec semantics
     # rather than a SQL re-implementation that could mirror-bug.
-    from ..operators.robots import filter_robots_allowed, parse_robots
 
     # crawl-delays (r13 'delays' section): * sets 2, trainingbot sets
     # its own 7, otherbot's named group sets NONE — group exclusivity
@@ -804,8 +902,13 @@ def url_compliance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hosts = docs.select(
         F.concat(F.col("source"), F.lit(".example.com")).alias("host")
     ).distinct()
+    # r15: the parsed rules relation is consumed FIVE times per action
+    # (two robots verdict arms, three delay arms) and its subtree
+    # carries the corpus-scale hosts distinct + the parser's windows —
+    # persist the host-sized parse output so those replays read one
+    # materialization (guide §2.4 remove shuffles outright; §5 reuse).
     robots_rules = parse_robots(
-        hosts.withColumn("payload", F.lit(robots_txt)))
+        hosts.withColumn("payload", F.lit(robots_txt))).persist()
     rb_path = _uc_rb_path()
     rb_urls = docs.select(
         did.alias("doc_id"),
@@ -814,47 +917,54 @@ def url_compliance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("source"), F.lit(".example.com")).alias("uhost"),
     )
 
-    def robots_arm(agent: str):
-        kept = filter_robots_allowed(rb_urls, robots_rules,
-                                     agent=agent)             .select("doc_id", "uhost", F.lit(True).alias("kept"))
-        return rb_urls.select("doc_id", "uhost")             .join(kept.select("doc_id", "kept"), "doc_id", "left")             .groupBy("uhost").agg(
-                F.count(F.lit(1)).cast("long").alias("n_docs"),
-                F.sum(F.when(F.col("kept"), 1).otherwise(0))
-                .cast("long").alias("n_kept"),
-                F.md5(F.concat_ws(",", F.transform(
-                    F.array_sort(F.collect_list(
-                        F.when(F.col("kept"), F.col("doc_id")))),
-                    lambda x: x.cast("string"),
-                ))).alias("kept_fp"),
-            ).select(
-                F.lit("robots").alias("section"),
-                F.concat_ws("|", F.col("uhost"), F.lit(agent))
-                .alias("key"),
-                "n_docs", "n_kept", "kept_fp",
-            )
+    # r15: BOTH agent arms in one pass — the per-host governing rule
+    # arrays for '*' and 'trainingbot' aggregate in ONE groupBy over
+    # the (tiny) rules relation, the URL table joins ONCE on its
+    # (precomputed) host, both REP verdicts fold map-side, and an
+    # explode to (agent, kept) rows feeds one (host, agent) aggregate
+    # — replacing two filter_robots_allowed passes + two per-arm
+    # groupBys + a union (2 rules scans + 2 corpus joins + 4 corpus
+    # aggs -> 1 + 1 + 1; guide §2.4). The fold, the rule structs and
+    # the group-exclusivity rule ('trainingbot' rows govern when any
+    # exist, else '*') are the operator's own fragments; outcomes are
+    # pinned by the oracle's hand-derived per-path-shape values.
+    from ..operators.robots import _rep_scoped_cols
 
-    robots_section = robots_arm("*").unionByName(
-        robots_arm("trainingbot"))
-    # delays section (r13): robots_crawl_delays under the oracle —
-    # hand-derived per agent arm (* -> 2, trainingbot -> its own 7,
-    # otherbot -> NO row: its named group sets no delay and the *
-    # value must not leak through group exclusivity)
-    from ..operators.robots import robots_crawl_delays
-
-    delay_arms = []
-    for agent in ("*", "trainingbot", "otherbot"):
-        delay_arms.append(
-            robots_crawl_delays(robots_rules, agent=agent).select(
-                F.lit("delays").alias("section"),
-                F.concat_ws("|", F.col("host"), F.lit(agent))
-                .alias("key"),
-                F.lit(1).cast("long").alias("n_docs"),
-                F.col("crawl_delay_sec").cast("long").alias("n_kept"),
-                F.md5(F.col("crawl_delay_sec").cast("long")
-                      .cast("string")).alias("kept_fp"),
-            ))
-    delays_section = delay_arms[0].unionByName(delay_arms[1]) \
-        .unionByName(delay_arms[2])
+    _, _, _rb_rule = _rep_scoped_cols("*")
+    (rb_ph_aggs, rb_ph_sel, rb_dec_col, rb_group_aggs,
+     rb_final_sel) = _uc_robots_cols()
+    rb_scoped = robots_rules.filter(
+        F.col("agent").isin("*", "trainingbot")
+        & (F.col("rule_type") != "sitemap")
+    ).select("host", F.col("agent").alias("__ag"), _rb_rule)
+    rb_per_host = rb_scoped.groupBy("host").agg(*rb_ph_aggs) \
+        .select(*rb_ph_sel)
+    rb_dec = rb_urls.join(
+        rb_per_host, rb_urls["uhost"] == rb_per_host["__rules_host"],
+        "left",
+    ).select(
+        "doc_id", "uhost", rb_dec_col,
+    ).select("doc_id", "uhost", F.col("__d.agent").alias("agent"),
+             F.col("__d.kept").alias("kept"))
+    robots_section = rb_dec.groupBy("uhost", "agent") \
+        .agg(*rb_group_aggs) \
+        .select(*rb_final_sel, "n_docs", "n_kept", "kept_fp")
+    # delays section (r13): the governing Crawl-delay per agent arm
+    # under the oracle — hand-derived (* -> 2, trainingbot -> its own
+    # 7, otherbot -> NO row: its named group sets no delay and the *
+    # value must not leak through group exclusivity). r15: the three
+    # robots_crawl_delays arms fused into ONE groupBy over the
+    # persisted rules + an explode to (host, agent, delay) rows —
+    # 3 scans + 3 aggs + 2 unions -> 1 scan + 1 agg (guide §2.4);
+    # semantics pinned by the oracle's hand-derived values.
+    d_aggs, d_explode, d_final_sel = _uc_delay_cols()
+    delays_section = (
+        robots_rules.filter(F.col("rule_type") != "sitemap")
+        .groupBy("host").agg(*d_aggs)
+        .select("host", d_explode)
+        .select(*d_final_sel)
+        .filter(F.col("n_kept").isNotNull())
+    )
 
     # frontier section (r13): the provenance-complete seed-list
     # composition under the oracle. Fixture: per-host robots (the SAME
@@ -902,6 +1012,10 @@ def url_compliance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # delay evaluator. Substituted INTO the * group (not appended —
     # an appended line would join otherbot's group).
     _pre, _post = robots_txt.split("Crawl-delay: 2\n", 1)
+    # r15: persisted like robots_rules above — crawl_frontier consumes
+    # the rules relation three times (sitemap pointers, the REP filter,
+    # the delay join); one host-sized materialization replaces three
+    # replays of the corpus-scale hosts distinct + parser windows.
     fr_rules = parse_robots(
         hosts.withColumn(
             "payload",
@@ -909,7 +1023,7 @@ def url_compliance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      fr_delay.cast("string"), F.lit("\n"),
                      F.lit(_post),
                      F.lit("\nSitemap: https://"), F.col("host"),
-                     F.lit("/smidx.xml\n"))))
+                     F.lit("/smidx.xml\n")))).persist()
     seen = fr_docs.filter(did % 10 == 2).select(base_url.alias("url"))
     frontier = crawl_frontier(fr_rules, fetches, seen=seen)
     totals_f = fr_docs.groupBy(host_c.alias("host")).agg(
