@@ -100,16 +100,33 @@ def sessionize_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = uuid.uuid4().hex[:8]
     name = f"stateful_sessions_{tag}"
     sw_name = f"sw_sessions_{tag}"
-    # Deliberately SEQUENTIAL drains: the run_* helpers expose
-    # block=False for clusters with spare capacity, but on local[32] the
-    # two CPU-bound availableNow drains contend for the same cores and
-    # overlapping them measured ~25% SLOWER than back-to-back (4.5-4.8 s
-    # vs 3.3-3.9 s at sf0.1) — concurrency only buys wall-clock when the
-    # queries aren't fighting over one machine.
-    run_stateful_sessions(spark, sf_dir, tempfile.mkdtemp(prefix="ckpt_"), name)
-    run_session_window_sessions(
-        spark, sf_dir, tempfile.mkdtemp(prefix="ckpt_"), sw_name
-    )
+    # OVERLAPPED drains (r15, guide §2.6): the two availableNow queries
+    # are independent, so their fixed stream-init/state-store-commit
+    # costs overlap instead of paying serially. An r6-era A/B found
+    # overlap ~25% slower — but that predates the r14 scale-adaptive
+    # state partitioning: with state partitions sized to the input
+    # (~4 at sf0.1, not 32) the drains no longer saturate the box, and
+    # the r15 same-session A/B reads sequential 3.2-4.5 s vs overlapped
+    # 1.9-2.4 s at sf0.1 (min 3.19 vs 1.94, -39%). The adaptive
+    # partition count is set ONCE before both queries plan (both drains
+    # read the same input, so they share the value) and restored after
+    # — the blocking per-drain set/restore would race under overlap.
+    from ..streaming.stateful import _drain_partitions
+
+    _conf_key = "spark.sql.shuffle.partitions"
+    _prev = spark.conf.get(_conf_key)
+    spark.conf.set(_conf_key, str(_drain_partitions(spark, sf_dir)))
+    try:
+        q1 = run_stateful_sessions(
+            spark, sf_dir, tempfile.mkdtemp(prefix="ckpt_"), name,
+            block=False)
+        q2 = run_session_window_sessions(
+            spark, sf_dir, tempfile.mkdtemp(prefix="ckpt_"), sw_name,
+            block=False)
+        q1.awaitTermination()
+        q2.awaitTermination()
+    finally:
+        spark.conf.set(_conf_key, _prev)
     stateful = spark.table(name).select(F.lit("stateful").alias("method"), "*")
     idx_w = Window.partitionBy("user_id").orderBy("session_start_us")
     native = (
