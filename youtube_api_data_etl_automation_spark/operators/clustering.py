@@ -175,9 +175,20 @@ def cluster_occupancy(corpus: DataFrame, centroids: DataFrame,
     is the ≤k-per-partition count partials — the former per-row
     ``groupBy(id).max_by`` exchange carried every (id, cluster) pair
     [pinned in tests/test_profile.py]."""
-    from .similarity import _collect_centroids, _nearest_centroid_struct
+    from .similarity import _collect_centroids
 
     cids, cvs, id_dt = _collect_centroids(centroids, "cluster_id", "cv")
+    return _occupancy_counts(corpus, cids, cvs, id_dt, vec_col)
+
+
+def _occupancy_counts(corpus: DataFrame, cids: list, cvs: list,
+                      id_dt: str, vec_col: str) -> DataFrame:
+    """:func:`cluster_occupancy`'s plan over an already-collected
+    centroid list — split out (r15) so :func:`embedding_drift` collects
+    the shared centroid relation ONCE for its two occupancy sides
+    instead of running the O(k) control-plane job per side."""
+    from .similarity import _nearest_centroid_struct
+
     if not cids:
         return corpus.filter(F.lit(False)).select(
             F.lit(None).cast(id_dt).alias("cluster_id"),
@@ -214,12 +225,19 @@ def embedding_drift(cur: DataFrame, prev: DataFrame, centroids: DataFrame,
     prices at one pass over each NEW batch only, like the streaming PSI
     monitor it composes with."""
     from .profile import histogram_drift
+    from .similarity import _collect_centroids
+
+    # ONE O(k) control-plane read of the shared centroid relation for
+    # both occupancy sides (r15 — cluster_occupancy per side collected
+    # the identical k rows twice, a whole extra driver-synchronized job
+    # at build time)
+    cids, cvs, id_dt = _collect_centroids(centroids, "cluster_id", "cv")
 
     def occ_hist(df: DataFrame) -> DataFrame:
         # cluster ids as the "grid": lo/hi = [id, id+1) so the shared-grid
         # guard inside histogram_drift is trivially satisfied when both
         # sides use the same centroid relation
-        return cluster_occupancy(df, centroids, id_col, vec_col).select(
+        return _occupancy_counts(df, cids, cvs, id_dt, vec_col).select(
             F.col("cluster_id").cast("int").alias("bucket"),
             F.col("cluster_id").cast("double").alias("bucket_lo"),
             (F.col("cluster_id") + 1).cast("double").alias("bucket_hi"),

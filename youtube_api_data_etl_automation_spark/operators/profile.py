@@ -678,19 +678,36 @@ def histogram_drift(
     second time (the first version of this operator did exactly that —
     two extra scans of the tables that built them).
     """
-    p = prev.select(
-        "bucket",
+    # every Column tree below is a pure function of (psi_threshold,
+    # epsilon) over fixed names — memoized per process (r15 construct
+    # trim: the drift row evaluates this operator twice per construct,
+    # ~1.7k py4j round-trips of identical trees; see colcache.py)
+    p_sel, c_sel, mid_sel, aggs, final = memo_call(
+        "profile.histogram_drift.frags",
+        (float(psi_threshold), float(epsilon)),
+        lambda: _hist_drift_frags(float(psi_threshold), float(epsilon)))
+    p = prev.select(*p_sel)
+    c = cur.select(*c_sel)
+    j = c.join(p, "bucket", "full_outer")
+    return j.select(*mid_sel).agg(*aggs).select(*final)
+
+
+def _hist_drift_frags(psi_threshold: float, epsilon: float) -> tuple:
+    """Column fragments of :func:`histogram_drift` — expression-
+    identical to the former inline builds (the drift oracle rows pin
+    the values)."""
+    p_sel = (
+        F.col("bucket"),
         F.col("bucket_lo").alias("_p_lo"),
         F.col("bucket_hi").alias("_p_hi"),
         F.col("bucket_n").alias("_p_n"),
     )
-    c = cur.select(
-        "bucket",
+    c_sel = (
+        F.col("bucket"),
         F.col("bucket_lo").alias("_c_lo"),
         F.col("bucket_hi").alias("_c_hi"),
         F.col("bucket_n").alias("_c_n"),
     )
-    j = c.join(p, "bucket", "full_outer")
     grid_ok = (
         F.col("_p_lo").isNull()
         | F.col("_c_lo").isNull()
@@ -723,26 +740,21 @@ def histogram_drift(
             )
         ).cast("double")
     )
-    return (
-        j.select(
-            term.alias("_t"),
-            tp.alias("_tp"),
-            tc.alias("_tc"),
-        )
-        .agg(
-            F.coalesce(F.sum("_t"), F.lit(0.0)).alias("psi"),
-            F.count(F.lit(1)).cast("long").alias("n_buckets"),
-            F.coalesce(F.max("_tp"), F.lit(0.0)).cast("long").alias("prev_total"),
-            F.coalesce(F.max("_tc"), F.lit(0.0)).cast("long").alias("cur_total"),
-        )
-        .select(
-            round6(F.col("psi")).alias("psi"),
-            "n_buckets",
-            "prev_total",
-            "cur_total",
-            (F.col("psi") > F.lit(float(psi_threshold))).alias("flagged"),
-        )
+    mid_sel = (term.alias("_t"), tp.alias("_tp"), tc.alias("_tc"))
+    aggs = (
+        F.coalesce(F.sum("_t"), F.lit(0.0)).alias("psi"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.coalesce(F.max("_tp"), F.lit(0.0)).cast("long").alias("prev_total"),
+        F.coalesce(F.max("_tc"), F.lit(0.0)).cast("long").alias("cur_total"),
     )
+    final = (
+        round6(F.col("psi")).alias("psi"),
+        F.col("n_buckets"),
+        F.col("prev_total"),
+        F.col("cur_total"),
+        (F.col("psi") > F.lit(float(psi_threshold))).alias("flagged"),
+    )
+    return p_sel, c_sel, mid_sel, aggs, final
 
 
 # ---------------------------------------------------------------------------

@@ -1799,13 +1799,18 @@ def profile_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (prev__*/cur__*) profiles both in the same aggregates instead of
     # two separate profile jobs over the same fact — the "profile many
     # slices in one pass" shape that matters when prev isn't a committed
-    # profile but live data. The 8-row result is collected (O(k)
-    # control-plane, k = profiled columns — same sanction as the k
-    # centroids in operators/clustering.py) and re-created as two local
-    # relations; referencing the stats DataFrame from both drift sides
-    # instead would re-execute the whole profile job per side (the
-    # prefix filters specialize each branch, so ReuseExchange never
-    # matches the subtrees).
+    # profile but live data. r15: the 8-row result PERSISTS and the two
+    # slices derive LAZILY (prefix filter + strip) instead of an eager
+    # collect + createDataFrame: the construct no longer runs the
+    # profile job at build time (it ran per construct — ~1.4 s at
+    # sf0.1, dominated by AQE stage turnaround, not data), and both
+    # drift sides read the one in-memory materialization — the same
+    # persisted-shared-projection shape as the dedup index and the
+    # lang_quality scored relation. Referencing the stats DataFrame
+    # from both sides UNPERSISTED would re-execute the whole profile
+    # job per side (the prefix filters specialize each branch, so
+    # ReuseExchange never matches the subtrees) — the persist is what
+    # makes the lazy form sound.
     both = orders.select(
         *[F.col(c).alias(f"prev__{c}") for c in cols],
         F.when(F.col("o_orderkey") % 5 == 0, F.lit(None))
@@ -1815,21 +1820,18 @@ def profile_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("1-URGENT").alias("cur__o_orderpriority"),
         F.col("o_orderdate").alias("cur__o_orderdate"),
     )
-    stats = column_stats(both)
-    stat_rows = stats.collect()
-    names = stats.schema.fieldNames()
+    stats = column_stats(both).persist()
+    rest = [f for f in stats.schema.fieldNames() if f != "column_name"]
 
     def _slice(tag: str) -> DataFrame:
         pref = f"{tag}__"
-        rows = [
-            tuple(
-                r[f][len(pref):] if f == "column_name" else r[f]
-                for f in names
-            )
-            for r in stat_rows
-            if r["column_name"].startswith(pref)
-        ]
-        return spark.createDataFrame(rows, stats.schema)
+        return stats.filter(
+            F.col("column_name").startswith(pref)
+        ).select(
+            F.expr(f"substring(column_name, {len(pref) + 1})")
+            .alias("column_name"),
+            *rest,
+        )
 
     moments = profile_drift(_slice("cur"), _slice("prev"))
     moment_rows = moments.select(
