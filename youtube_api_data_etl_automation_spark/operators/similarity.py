@@ -236,13 +236,20 @@ def assign_clusters(corpus: DataFrame, centroids: DataFrame,
 
 
 def probe_cells(queries: DataFrame, centroids: DataFrame, nprobe: int = 1,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                keep_rank: str | None = None) -> DataFrame:
     """(query_id, query_vec, cluster_id) for each query's ``nprobe``
     nearest centroid cells — the IVF re-probe list. Cell ranking uses the
     same rounded cosine + lowest-id tie-break as ``assign_clusters``, so
     nprobe=1 reproduces the plain own-cell assignment exactly. The query
     set is small (it broadcasts downstream), so the per-query rank window
-    is driver-scale work, not corpus-scale."""
+    is driver-scale work, not corpus-scale.
+
+    ``keep_rank`` (r15) additionally emits the 1-based cell rank under
+    that name: filtering the widest probe list down to ``rank <= m``
+    reproduces ``probe_cells(nprobe=m)`` exactly (cell sets are nested
+    in rank), which is what lets one scored relation serve a whole
+    recall ladder."""
     cent = F.broadcast(
         centroids.select(F.col(id_col).alias("cluster_id"), F.col(vec_col).alias("cv"))
     )
@@ -258,11 +265,12 @@ def probe_cells(queries: DataFrame, centroids: DataFrame, nprobe: int = 1,
     w = Window.partitionBy("query_id").orderBy(
         F.desc("_csim"), F.asc("cluster_id")
     )
-    return (
-        scored.withColumn("_cr", F.row_number().over(w))
+    ranked = scored.withColumn("_cr", F.row_number().over(w)) \
         .filter(F.col("_cr") <= nprobe)
-        .select("query_id", "query_vec", "cluster_id")
-    )
+    if keep_rank is None:
+        return ranked.select("query_id", "query_vec", "cluster_id")
+    return ranked.select("query_id", "query_vec", "cluster_id",
+                         F.col("_cr").alias(keep_rank))
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
@@ -301,12 +309,46 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
     return _rank_topk(scored, top_k)
 
 
+def ivf_scored_candidates(assigned: DataFrame, queries: DataFrame,
+                          centroids: DataFrame, *, nprobe: int,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          rank_col: str = "cell_rank") -> DataFrame:
+    """One scored candidate relation covering every probe depth up to
+    ``nprobe``: ``(query_id, neighbor_id, <rank_col>, cosine)`` over the
+    query's ``nprobe`` nearest cells, where ``<rank_col>`` is the rank
+    of the candidate's cell in the query's cell ordering (r15).
+
+    Because per-query cell sets are NESTED in cell rank, filtering
+    ``rank_col <= m`` and ranking reproduces ``ivf_topk(nprobe=m)``
+    exactly for every ``m <= nprobe`` — so a recall ladder scores the
+    corpus-side join ONCE instead of once per probed setting (the
+    per-arm joins were the dominant replay in the combined IVF row;
+    guide §2.4/§5). Scoring arithmetic and the tie-breaks are the
+    shared fragments every other path uses."""
+    q = probe_cells(queries, centroids, nprobe=nprobe,
+                    id_col=id_col, vec_col=vec_col, keep_rank=rank_col)
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"),
+        "cluster_id",
+    )
+    return (
+        c.join(F.broadcast(q), "cluster_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", rank_col,
+            F.expr(sql_cosine6("query_vec", "vec")).alias("cosine"),
+        )
+    )
+
+
 def ivf_recall_report(corpus: DataFrame, queries: DataFrame,
                       centroids: DataFrame, *, top_k: int = 3,
                       nprobes: tuple[int, ...] = (1, 2, 4, 8),
                       id_col: str = "vec_id",
                       vec_col: str = "embedding",
-                      assigned: DataFrame | None = None) -> DataFrame:
+                      assigned: DataFrame | None = None,
+                      scored: DataFrame | None = None) -> DataFrame:
     """Recall@k of the IVF index against exact brute force, per nprobe —
     the tuning artifact an ANN operator owes its user: pick the smallest
     nprobe whose recall clears the application bar, since candidate cost
@@ -323,28 +365,38 @@ def ivf_recall_report(corpus: DataFrame, queries: DataFrame,
     fixed centroids, so recall values are exactly reproducible."""
     # Materialize the exact-truth relation once: it is consumed twice per
     # nprobe (semi-join probe side + tag-union denominator), and without
-    # the checkpoint the O(|corpus|·|queries|·d) brute-force pass would
-    # replay 2·len(nprobes) times (r6 review finding).
+    # it the O(|corpus|·|queries|·d) brute-force pass would replay
+    # 2·len(nprobes) times (r6 review finding; r15: persist() instead of
+    # an eager localCheckpoint — same run-once materialization, but the
+    # brute-force job runs inside the consuming action instead of as a
+    # driver-synchronized job at BUILD time).
     truth = brute_force_topk(
         corpus, queries, top_k=top_k, id_col=id_col, vec_col=vec_col
-    ).select("query_id", "neighbor_id").localCheckpoint()
-    # Hoist the cluster assignment too: it is the other corpus-scale term,
-    # and each probed setting shares the identical assignment (only the
-    # probe list varies with nprobe) — without this the map-side argmax
-    # pass replayed len(nprobes) times (r6 review finding). A caller that
-    # already built the (lazy) assignment passes it in (r14: ivf_ann_topk
-    # shares one assignment relation across its three sections).
-    if assigned is None:
-        assigned = assign_clusters(
-            corpus.select(id_col, vec_col), centroids, id_col, vec_col
-        )
-    assigned = assigned.localCheckpoint()
+    ).select("query_id", "neighbor_id").persist()
+    # ONE scored candidate relation for the whole ladder (r15): the
+    # widest probe list joins the assignment once, and each probed
+    # setting is a cell-rank filter + rank over the persisted scores —
+    # the per-arm corpus joins were the row's dominant replay (the r14
+    # shape hoisted the ASSIGNMENT but still re-joined and re-scored
+    # per nprobe). Equivalence: per-query cell sets are nested in cell
+    # rank, so filter-then-rank reproduces each arm's candidate set and
+    # ordering exactly (the oracle and test_ivf_nprobe.py pin the
+    # values). A caller that already built the relation passes it in.
+    if scored is None:
+        if assigned is None:
+            assigned = assign_clusters(
+                corpus.select(id_col, vec_col), centroids, id_col, vec_col
+            )
+        scored = ivf_scored_candidates(
+            assigned, queries, centroids, nprobe=max(nprobes),
+            id_col=id_col, vec_col=vec_col,
+        ).persist()
     report = None
     for np_ in nprobes:
-        got = ivf_topk(
-            corpus, queries, centroids, top_k=top_k,
-            id_col=id_col, vec_col=vec_col, nprobe=np_,
-            assigned=assigned,
+        got = _rank_topk(
+            scored.filter(F.col("cell_rank") <= np_)
+            .select("query_id", "neighbor_id", "cosine"),
+            top_k,
         ).select("query_id", "neighbor_id")
         hits = got.join(truth, ["query_id", "neighbor_id"], "left_semi")
         tagged = hits.select(F.lit(1).alias("hit")).unionByName(

@@ -562,18 +562,38 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank slot) — the skew verdict that triggers rebalance_ivf_index. The
     at-rest half (partition-metadata-only scan, versioned rewrite, probe
     identity) is pinned in tests/test_ivf_maintenance.py."""
-    from ..operators.similarity import assign_clusters, cell_report_from_counts
+    from ..operators.similarity import (
+        _rank_topk,
+        assign_clusters,
+        cell_report_from_counts,
+        ivf_scored_candidates,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     centroids = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") <= 17))
     queries = emb.filter(F.col("vec_id") < 5)
     # ONE assignment relation for all three sections (r14): the map-side
-    # literal argmax collects the centroids once; topk, the cell counts
-    # and the recall section's checkpoint all reuse the same lazy plan.
+    # literal argmax collects the centroids once. r15: it PERSISTS — the
+    # cell counts and the shared scored relation both consume it, and
+    # persist (vs the former eager localCheckpoint inside the recall
+    # report) runs the corpus pass inside the first consuming action
+    # instead of as a build-time job.
     assigned = assign_clusters(
-        emb.select("vec_id", "embedding"), centroids)
-    topk = ivf_topk(emb, queries, centroids, top_k=3,
-                    assigned=assigned).select(
+        emb.select("vec_id", "embedding"), centroids).persist()
+    # ONE scored candidate relation for the topk section AND the whole
+    # recall ladder (r15): nprobe=1's candidates are exactly the
+    # cell_rank<=1 slice of the widest probe list (cell sets nest in
+    # rank), so the topk section is a filter + rank over the same
+    # persisted scores the recall arms use — the corpus-side score join
+    # runs once per action instead of 1 + len(nprobes) times.
+    scored = ivf_scored_candidates(
+        assigned, queries, centroids, nprobe=max(_RECALL_NPROBES),
+    ).persist()
+    topk = _rank_topk(
+        scored.filter(F.col("cell_rank") <= 1)
+        .select("query_id", "neighbor_id", "cosine"),
+        3,
+    ).select(
         F.lit("topk").alias("section"), "query_id", "neighbor_id",
         "rank", "cosine",
     )
@@ -598,7 +618,7 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     recall = ivf_recall_report(
         emb, queries, centroids, top_k=3, nprobes=_RECALL_NPROBES,
-        assigned=assigned,
+        assigned=assigned, scored=scored,
     ).select(
         F.lit("recall").alias("section"),
         F.col("nprobe").cast("long").alias("query_id"),
